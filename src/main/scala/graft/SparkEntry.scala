@@ -1,13 +1,300 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops._
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2 (+ §7.4 training-data extensions), each paired with
+  * DuckDB-runnable oracle SQL over the same parquet tables.
+  *
+  * Conventions shared by every (query, oracle) pair:
+  *  - timestamps are emitted as `unix_micros` BIGINTs (`*_us` columns) —
+  *    Spark writes parquet TIMESTAMP(µs) while the events source is
+  *    TIMESTAMP(ns), so integer micros is the only type both engines agree
+  *    on bit-for-bit;
+  *  - float aggregates are rounded (4 dp) or routed through DECIMAL so
+  *    partial-aggregation merge order can't leak into the compare;
+  *  - every query ends in a total ORDER BY;
+  *  - time predicates anchor to literals inside the 2024-01 data range,
+  *    never current_timestamp() (SURVEY §7.2 determinism note).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Flagship: 4-way broadcast star join + aggregate on sf=0.001. */
+  def entry(spark: SparkSession): DataFrame = {
+    val d = "/root/testdata/sf0.001"
+    Relational.revenueByNation(
+      Relational.table(spark, d, "region"),
+      Relational.table(spark, d, "nation"),
+      Relational.table(spark, d, "customer"),
+      Relational.table(spark, d, "orders"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- event analytics (reference query plane, SURVEY §2.5–2.6) ----
+    "q_event_summary" -> ((s, d) => Analytics.eventSummary(Analytics.events(s, d))),
+    "q_quality_histogram" -> ((s, d) => Analytics.qualityHistogram(Analytics.events(s, d))),
+    "q_verification_count" -> ((s, d) => Analytics.verificationCount(Analytics.events(s, d))),
+    "q_health_check" -> ((s, d) => Analytics.healthCheck(Analytics.events(s, d))),
+    "q_health_check_approx" -> ((s, d) => Analytics.healthCheckApprox(Analytics.events(s, d))),
+    "q_type_counts" -> ((s, d) => Analytics.typeCounts(Analytics.events(s, d))),
+    "q_hourly_counts" -> ((s, d) => Analytics.hourlyCounts(Analytics.events(s, d))),
+    "q_dashboard_metrics" -> ((s, d) => Analytics.dashboardMetrics(Analytics.events(s, d))),
+    "q_recent_events" -> ((s, d) => Analytics.recentEvents(Analytics.events(s, d))),
+    "q_props_extract" -> ((s, d) => Analytics.propsExtract(Analytics.events(s, d))),
+    "q_tumbling_counts" -> ((s, d) => Analytics.tumblingCounts(Analytics.events(s, d))),
+    "q_sliding_counts" -> ((s, d) => Analytics.slidingCounts(Analytics.events(s, d))),
+    "q_set_ops" -> ((s, d) => Analytics.setOps(Analytics.events(s, d))),
+    "q_dedup_events" -> ((s, d) => Analytics.dedupExactEvents(Analytics.events(s, d))),
+    // ---- relational surface (joins / windows / rollup, SURVEY §2.7–2.9) ----
+    "q_pricing_summary" -> ((s, d) => Relational.pricingSummary(Relational.table(s, d, "lineitem"))),
+    "q_revenue_by_nation" -> ((s, d) =>
+      Relational.revenueByNation(
+        Relational.table(s, d, "region"), Relational.table(s, d, "nation"),
+        Relational.table(s, d, "customer"), Relational.table(s, d, "orders"))),
+    "q_revenue_by_brand" -> ((s, d) =>
+      Relational.revenueByBrand(
+        Relational.table(s, d, "lineitem"), Relational.table(s, d, "part"))),
+    "q_top_orders" -> ((s, d) => Relational.topOrders(Relational.table(s, d, "orders"))),
+    "q_top_orders_per_customer" -> ((s, d) =>
+      Relational.topOrdersPerCustomer(Relational.table(s, d, "orders"))),
+    "q_order_rollup" -> ((s, d) => Relational.orderStatusRollup(Relational.table(s, d, "orders"))),
+    "q_customers_without_orders" -> ((s, d) =>
+      Relational.customersWithoutOrders(
+        Relational.table(s, d, "customer"), Relational.table(s, d, "orders"))),
+    // ---- text analysis (§7.4-2) ----
+    "q_doc_stats" -> ((s, d) => TextAnalysis.docStats(TextAnalysis.documents(s, d))),
+    "q_lang_stats" -> ((s, d) => TextAnalysis.langStats(TextAnalysis.documents(s, d))),
+    "q_token_counts" -> ((s, d) => TextAnalysis.tokenCounts(TextAnalysis.documents(s, d))),
+    "q_lang_id" -> ((s, d) => TextAnalysis.langId(TextAnalysis.documents(s, d))),
+    "q_text_quality" -> ((s, d) => TextAnalysis.qualityScore(TextAnalysis.documents(s, d))),
+    "q_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(TextAnalysis.documents(s, d))),
+    // ---- dedup (§7.4-1) ----
+    "q_exact_dedup" -> ((s, d) => Dedup.exactDedup(TextAnalysis.documents(s, d))),
+    "q_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(TextAnalysis.documents(s, d), 0.05)),
+    "q_minhash_lsh" -> ((s, d) => Dedup.minHashLsh(TextAnalysis.documents(s, d), 0.05)),
+    "q_simhash_pairs" -> ((s, d) => Dedup.simHashPairs(TextAnalysis.documents(s, d))),
+    "q_embedding_neardup" -> ((s, d) => Dedup.embeddingNearDup(Similarity.embeddings(s, d))),
+    // ---- similarity search (§7.4-3) ----
+    "q_ann_brute" -> ((s, d) => {
+      val e = Similarity.embeddings(s, d)
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10))
+    }),
+    "q_ann_lsh" -> ((s, d) => {
+      val e = Similarity.embeddings(s, d)
+      Similarity.lshTopK(e, e.filter(col("vec_id") < 10))
+    }),
+    "q_centroid_norms" -> ((s, d) => Similarity.labelCentroidNorms(Similarity.embeddings(s, d)))
+  )
+
+  /** DuckDB twins. Omitted (→ driver rows-only check): q_minhash_lsh,
+    * q_simhash_pairs (xxhash64 has no DuckDB equivalent), q_ann_lsh
+    * (recall < 1 by design), q_health_check_approx (HLL estimates are
+    * engine-specific).
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q_event_summary" ->
+      """SELECT event_type, count(*) AS event_count,
+        |  round(sum(CAST(value AS DECIMAL(12,2)))::DOUBLE / count(*), 4) AS avg_value,
+        |  epoch_us(max(ts)) AS latest_event_us
+        |FROM events WHERE ts >= TIMESTAMP '2024-01-30 00:00:00'
+        |GROUP BY event_type ORDER BY event_count DESC, event_type""".stripMargin,
+    "q_quality_histogram" ->
+      """SELECT (CASE WHEN user_id IS NOT NULL AND CAST(user_id AS VARCHAR) <> '' AND CAST(user_id AS VARCHAR) <> 'unknown' THEN 25 ELSE 0 END
+        |      + CASE WHEN props IS NOT NULL AND props <> '' THEN 25 ELSE 0 END
+        |      + CASE WHEN value > 0 THEN 25 ELSE 0 END
+        |      + CASE WHEN ts IS NOT NULL THEN 25 ELSE 0 END)::BIGINT AS data_quality_score,
+        |  count(*) AS record_count,
+        |  round(avg(length(props)), 4) AS avg_message_length
+        |FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+        |GROUP BY 1 ORDER BY data_quality_score DESC""".stripMargin,
+    "q_verification_count" ->
+      """SELECT count(*) AS row_count FROM events
+        |WHERE event_type = 'view' AND ts >= TIMESTAMP '2024-01-30 00:00:00'""".stripMargin,
+    "q_health_check" ->
+      """SELECT count(*) AS total_events,
+        |  count(DISTINCT user_id) AS unique_users,
+        |  count(DISTINCT event_type) AS unique_event_types,
+        |  epoch_us(max(ts)) AS latest_event_us
+        |FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'""".stripMargin,
+    "q_type_counts" ->
+      """SELECT event_type, count(*) AS n FROM events
+        |GROUP BY event_type ORDER BY n DESC, event_type""".stripMargin,
+    "q_hourly_counts" ->
+      """SELECT EXTRACT(hour FROM ts)::BIGINT AS hour_of_day, count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY hour_of_day""".stripMargin,
+    "q_dashboard_metrics" ->
+      """SELECT count(*) AS total_events,
+        |  sum(CASE WHEN ts >= TIMESTAMP '2024-01-30 00:00:00' THEN 1 ELSE 0 END)::BIGINT AS recent_events,
+        |  round(sum(CAST(value AS DECIMAL(12,2)))::DOUBLE / count(*), 4) AS avg_value
+        |FROM events""".stripMargin,
+    "q_recent_events" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us, event_type, value
+        |FROM events ORDER BY ts_us DESC, event_id LIMIT 100""".stripMargin,
+    "q_props_extract" ->
+      """SELECT event_id, CAST(props->>'k' AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_tumbling_counts" ->
+      """SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us, event_type,
+        |  count(*) AS n, sum(CAST(value AS DECIMAL(12,2)))::DOUBLE AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY window_start_us, event_type""".stripMargin,
+    "q_sliding_counts" ->
+      """SELECT window_start_us, count(*) AS n FROM (
+        |  SELECT (epoch_us(ts) // 1800000000) * 1800000000 AS window_start_us FROM events
+        |  UNION ALL
+        |  SELECT (epoch_us(ts) // 1800000000) * 1800000000 - 1800000000 FROM events
+        |) GROUP BY 1 ORDER BY window_start_us""".stripMargin,
+    "q_set_ops" ->
+      """SELECT user_id FROM events WHERE event_type = 'purchase'
+        |INTERSECT
+        |SELECT user_id FROM events WHERE event_type = 'error'
+        |ORDER BY user_id""".stripMargin,
+    "q_dedup_events" ->
+      """SELECT user_id, event_type, min(event_id) AS keep_id, count(*) AS dup_count
+        |FROM events GROUP BY user_id, event_type ORDER BY user_id, event_type""".stripMargin,
+    "q_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,2)))::DOUBLE AS sum_base_price,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.0 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))::DOUBLE AS sum_disc_price,
+        |  round(sum(l_quantity) / count(*), 4) AS avg_qty,
+        |  round(sum(CAST(l_discount AS DECIMAL(4,2)))::DOUBLE / count(*), 4) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_revenue_by_nation" ->
+      """SELECT r_name, n_name,
+        |  sum(CAST(o_totalprice AS DECIMAL(18,2)))::DOUBLE AS revenue,
+        |  count(*) AS order_count
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "q_revenue_by_brand" ->
+      """SELECT p_brand,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.0 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))::DOUBLE AS revenue,
+        |  count(*) AS line_count
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q_top_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q_top_orders_per_customer" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |  FROM orders) WHERE rnk <= 3 ORDER BY o_custkey, rnk""".stripMargin,
+    "q_order_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  sum(CAST(o_totalprice AS DECIMAL(18,2)))::DOUBLE AS total
+        |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q_customers_without_orders" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_doc_stats" ->
+      """SELECT doc_id, lang, length(text)::BIGINT AS n_chars,
+        |  len(toks)::BIGINT AS n_tokens,
+        |  len(list_distinct(toks))::BIGINT AS n_distinct_tokens,
+        |  round(len(list_distinct(toks))::DOUBLE / len(toks), 4) AS type_token_ratio
+        |FROM (SELECT doc_id, lang, text, regexp_split_to_array(lower(text), '\s+') AS toks FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "q_lang_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  sum(len(regexp_split_to_array(lower(text), '\s+')))::BIGINT AS total_tokens,
+        |  round(avg(length(text)), 4) AS avg_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_token_counts" ->
+      """SELECT doc_id,
+        |  len(regexp_split_to_array(lower(text), '\s+'))::BIGINT AS ws_tokens,
+        |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))::BIGINT AS bpeish_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_lang_id" ->
+      """SELECT doc_id,
+        |  CASE WHEN hits_en = mx AND mx > 0 THEN 'en'
+        |       WHEN hits_de = mx AND mx > 0 THEN 'de'
+        |       WHEN hits_es = mx AND mx > 0 THEN 'es'
+        |       WHEN hits_fr = mx AND mx > 0 THEN 'fr'
+        |       WHEN hits_zh = mx AND mx > 0 THEN 'zh'
+        |       ELSE 'und' END AS predicted_lang,
+        |  mx AS marker_hits
+        |FROM (
+        |  SELECT doc_id, hits_en, hits_de, hits_es, hits_fr, hits_zh,
+        |    greatest(hits_en, hits_de, hits_es, hits_fr, hits_zh) AS mx
+        |  FROM (
+        |    SELECT doc_id,
+        |      len(list_filter(toks, t -> t IN ('the','a','of','and','to')))::BIGINT AS hits_en,
+        |      len(list_filter(toks, t -> t IN ('der','die','das','und','ist')))::BIGINT AS hits_de,
+        |      len(list_filter(toks, t -> t IN ('el','la','los','de','que')))::BIGINT AS hits_es,
+        |      len(list_filter(toks, t -> t IN ('le','la','les','et','est')))::BIGINT AS hits_fr,
+        |      len(list_filter(toks, t -> t IN ('的','是','了','在','我')))::BIGINT AS hits_zh
+        |    FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks FROM documents)))
+        |ORDER BY doc_id""".stripMargin,
+    "q_text_quality" ->
+      """SELECT doc_id, round(len_score, 4) AS len_score,
+        |  round(stop_score, 4) AS stopword_score,
+        |  round(diversity, 4) AS diversity,
+        |  round((len_score + stop_score + diversity) / 3.0, 4) AS quality
+        |FROM (
+        |  SELECT doc_id,
+        |    CASE WHEN n_chars BETWEEN 100 AND 450 THEN 1.0
+        |         WHEN n_chars < 100 THEN n_chars / 100.0
+        |         ELSE 450.0 / n_chars END AS len_score,
+        |    least(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in')))::DOUBLE / len(toks) * 10.0, 1.0) AS stop_score,
+        |    len(list_distinct(toks))::DOUBLE / len(toks) AS diversity
+        |  FROM (SELECT doc_id, n_chars, regexp_split_to_array(lower(text), '\s+') AS toks FROM documents))
+        |ORDER BY doc_id""".stripMargin,
+    "q_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_exact_dedup" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS dup_count
+        |FROM documents GROUP BY md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+        |ORDER BY keep_id""".stripMargin,
+    "q_ngram_jaccard" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+        |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+        |       FROM t WHERE len(toks) >= 3),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, round(i::DOUBLE / (sa.sz + sb.sz - i), 4) AS jaccard
+        |FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+        |WHERE round(i::DOUBLE / (sa.sz + sb.sz - i), 4) >= 0.05
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_embedding_neardup" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_sum(list_transform(range(1, len(a.embedding) + 1), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+        |      / sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1), i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)))
+        |      / sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1), i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))) >= 0.45
+        |ORDER BY vec_a, vec_b""".stripMargin,
+    "q_ann_brute" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.query_id, c.vec_id,
+        |    list_sum(list_transform(range(1, len(q.q_emb) + 1), i -> q.q_emb[i]::DOUBLE * c.embedding[i]::DOUBLE))
+        |    / sqrt(list_sum(list_transform(range(1, len(q.q_emb) + 1), i -> q.q_emb[i]::DOUBLE * q.q_emb[i]::DOUBLE)))
+        |    / sqrt(list_sum(list_transform(range(1, len(c.embedding) + 1), i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))) AS cos
+        |  FROM embeddings c CROSS JOIN q WHERE c.vec_id <> q.query_id)
+        |SELECT query_id, rnk, neighbor_id FROM (
+        |  SELECT query_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk,
+        |    vec_id AS neighbor_id
+        |  FROM scored) WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
+    "q_centroid_norms" ->
+      """WITH pos AS (SELECT label, generate_subscripts(embedding, 1) AS j, unnest(embedding) AS v FROM embeddings),
+        |sums AS (SELECT label, j, sum(v::DOUBLE) AS s FROM pos GROUP BY label, j),
+        |cnt AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label)
+        |SELECT cnt.label::BIGINT AS label, cnt.n AS n_vectors,
+        |  round(sqrt(sum((s / cnt.n) * (s / cnt.n))), 4) AS centroid_norm
+        |FROM sums JOIN cnt ON sums.label = cnt.label
+        |GROUP BY cnt.label, cnt.n ORDER BY label""".stripMargin
+  )
 }

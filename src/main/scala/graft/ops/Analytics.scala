@@ -1,0 +1,191 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's query plane (SURVEY.md §2.5–2.6, §2.10-W2), re-anchored
+  * onto the driver's `events` table
+  * (event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING,
+  * value DOUBLE, props STRING-JSON).
+  *
+  * Time predicates anchor to literals inside the data range
+  * (2024-01-01 → 2024-01-30) instead of current_timestamp() so results are
+  * deterministic for the DuckDB oracle (SURVEY §7.2). At scale the same
+  * predicates become parquet row-group min/max pruning + partition pruning
+  * when the sink is date-partitioned.
+  */
+object Analytics {
+
+  /** The events table stores `ts` as parquet TIMESTAMP(NANOS), which
+    * Spark's vectorized reader rejects by default. We read it as a long
+    * (nanos since epoch) via the legacy flag and convert with integer
+    * division — `ts / 1000` through double would lose precision at 1.7e18.
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** F4-analog: "last hour" → last day of the dataset. */
+  val recentDay: Column = col("ts") >= lit("2024-01-30 00:00:00").cast("timestamp")
+
+  /** F5-analog: "last 24 h" → last half of the dataset. */
+  val recentHalf: Column = col("ts") >= lit("2024-01-15 00:00:00").cast("timestamp")
+
+  /** A1 (README.md:186-195): event summary — count/avg/max per type over a
+    * recent window, ordered by count. One shuffle (partial+final hash agg);
+    * the time filter pushes to the parquet scan.
+    */
+  def eventSummary(df: DataFrame): DataFrame =
+    df.filter(recentDay)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("event_count"),
+        // exact decimal sum / count: independent of partial-agg merge order
+        round(sum(col("value").cast("decimal(12,2)")).cast("double") /
+          count(lit(1)), 4).as("avg_value"),
+        unix_micros(max(col("ts"))).as("latest_event_us"))
+      .orderBy(desc("event_count"), col("event_type"))
+
+  /** A2 (README.md:197-205): data-quality histogram. The testdata events
+    * table has no stored score, so the score is derived inline with the
+    * reference's four-condition formula (user_id/message/value/timestamp →
+    * user_id/props/value/ts here).
+    */
+  def qualityHistogram(df: DataFrame): DataFrame =
+    df.filter(recentHalf)
+      .withColumn("data_quality_score", derivedScore.cast("long"))
+      .groupBy(col("data_quality_score"))
+      .agg(
+        count(lit(1)).as("record_count"),
+        round(avg(length(col("props"))), 4).as("avg_message_length"))
+      .orderBy(desc("data_quality_score"))
+
+  /** The §2.3-P9 scoring formula applied to the events table's columns. */
+  val derivedScore: Column = {
+    val uid = col("user_id").cast("string")
+    EventPipeline.qualityScore(uid, col("props"), col("value"), col("ts"))
+  }
+
+  /** A3 (Streamingdag.py:424-429): verification count — equality filter +
+    * time range, global count.
+    */
+  def verificationCount(df: DataFrame): DataFrame =
+    df.filter(col("event_type") === "view" && recentDay)
+      .agg(count(lit(1)).as("row_count"))
+
+  /** A4 (Streamingdag.py:440-448): health check — total, distinct users,
+    * distinct types, latest timestamp. Exact distincts here (oracle-able);
+    * see [[healthCheckApprox]] for the 100 TB variant.
+    */
+  def healthCheck(df: DataFrame): DataFrame =
+    df.filter(recentHalf)
+      .agg(
+        count(lit(1)).as("total_events"),
+        countDistinct(col("user_id")).as("unique_users"),
+        countDistinct(col("event_type")).as("unique_event_types"),
+        unix_micros(max(col("ts"))).as("latest_event_us"))
+
+  /** A4 at scale: HLL-sketch distincts — one pass, no expand, bounded
+    * memory regardless of cardinality. Not oracle-comparable (sketch
+    * estimates differ across engines); benchmarked instead.
+    */
+  def healthCheckApprox(df: DataFrame): DataFrame =
+    df.filter(recentHalf)
+      .agg(
+        count(lit(1)).as("total_events"),
+        approx_count_distinct(col("user_id")).as("unique_users"),
+        approx_count_distinct(col("event_type")).as("unique_event_types"),
+        unix_micros(max(col("ts"))).as("latest_event_us"))
+
+  /** A5 (web-application.py:282-283): frequency count per event type. */
+  def typeCounts(df: DataFrame): DataFrame =
+    df.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("event_type"))
+
+  /** A6 (web-application.py:288-290): events per hour-of-day. */
+  def hourlyCounts(df: DataFrame): DataFrame =
+    df.withColumn("hour_of_day", hour(col("ts")).cast("long"))
+      .groupBy(col("hour_of_day"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("hour_of_day"))
+
+  /** A7+A8+A9 (web-application.py:309-322): dashboard metrics — total
+    * count, recent count, global mean — in one pass (conditional agg
+    * instead of three scans).
+    */
+  def dashboardMetrics(df: DataFrame): DataFrame =
+    df.agg(
+      count(lit(1)).as("total_events"),
+      sum(when(recentDay, 1L).otherwise(0L)).as("recent_events"),
+      round(sum(col("value").cast("decimal(12,2)")).cast("double") /
+        count(lit(1)), 4).as("avg_value"))
+
+  /** O3+O4 (web-application.py:263-265, :296): most recent events, top-k.
+    * Catalyst plans this as TakeOrderedAndProject — per-partition top-k,
+    * no global sort, no full shuffle.
+    */
+  def recentEvents(df: DataFrame, k: Int = 100): DataFrame =
+    df.select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_type"), col("value"))
+      .orderBy(desc("ts_us"), col("event_id"))
+      .limit(k)
+
+  /** X1 (Streamingdag.py:172): JSON field extraction from the props
+    * payload — from_json against a declared schema (never inference).
+    */
+  def propsExtract(df: DataFrame): DataFrame =
+    df.select(
+        col("event_id"),
+        from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+          .getField("k").cast("long").as("k"))
+      .orderBy(col("event_id"))
+
+  /** W2 batch-twin: tumbling event-time windows (60 s in the reference,
+    * 1 h here so the oracle is a date_trunc GROUP BY). The window struct's
+    * start is epoch-aligned — identical to date_trunc('hour') for hour
+    * windows.
+    */
+  def tumblingCounts(df: DataFrame): DataFrame =
+    df.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_value"))
+      .select(
+        unix_micros(col("window.start")).as("window_start_us"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("window_start_us"), col("event_type"))
+
+  /** W2 sliding variant: 1 h windows sliding every 30 min — each event
+    * lands in two windows. Oracle form: epoch/1800 grid arithmetic.
+    */
+  def slidingCounts(df: DataFrame): DataFrame =
+    df.groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("window.start")).as("window_start_us"), col("n"))
+      .orderBy(col("window_start_us"))
+
+  /** §2.8 extension (absent in reference): set operations. Users seen in
+    * both purchase and error events, minus signup-only users — exercises
+    * INTERSECT/EXCEPT planning (left-semi/anti joins under AQE).
+    */
+  def setOps(df: DataFrame): DataFrame = {
+    val purchasers = df.filter(col("event_type") === "purchase")
+      .select(col("user_id"))
+    val erroring = df.filter(col("event_type") === "error")
+      .select(col("user_id"))
+    purchasers.intersect(erroring).orderBy(col("user_id"))
+  }
+
+  /** Exact dedup (extension §7.4-1): deterministic keeper per key group —
+    * min(event_id) — instead of dropDuplicates' arbitrary row.
+    */
+  def dedupExactEvents(df: DataFrame): DataFrame =
+    df.groupBy(col("user_id"), col("event_type"))
+      .agg(
+        min(col("event_id")).as("keep_id"),
+        count(lit(1)).as("dup_count"))
+      .orderBy(col("user_id"), col("event_type"))
+}

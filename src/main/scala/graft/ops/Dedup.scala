@@ -1,0 +1,204 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a training-data pipeline (SURVEY §7.4-1).
+  *
+  * Scale design: every signature (shingles, MinHash, SimHash) is computed
+  * row-locally with array algebra — zero shuffle until the candidate join.
+  * Candidate generation joins on compact band keys (LSH), so the shuffle
+  * volume is O(docs × bands), never O(docs²). Exact-pair verification runs
+  * only on candidates. The all-pairs variants exist as oracle baselines
+  * for small data, not as the scale path.
+  */
+object Dedup {
+
+  /** Word n-gram shingles (default 3), distinct, lowercase. Row-local.
+    * Guarded so documents shorter than n tokens yield an empty array
+    * (sequence() would otherwise run descending / index out of range
+    * under ANSI mode).
+    */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = split(lower(text), "\\s+")
+    val starts = when(size(toks) >= n, sequence(lit(1), size(toks) - (n - 1)))
+      .otherwise(array().cast("array<int>"))
+    array_distinct(
+      transform(
+        starts,
+        i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*)))
+  }
+
+  /** Exact dedup with a deterministic keeper: group identical normalized
+    * texts, keep min(doc_id). At scale: hash-partitioned single shuffle on
+    * the fingerprint, no sort.
+    */
+  def exactDedup(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("fp",
+        md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_count"))
+      .select(col("keep_id"), col("dup_count"))
+      .orderBy(col("keep_id"))
+
+  /** All-pairs n-gram Jaccard ≥ threshold (oracle baseline; O(n²) —
+    * small-data only, the scale path is [[minHashLsh]]). Pairs are built
+    * by an equi-join on exploded shingles, so only pairs sharing ≥1
+    * shingle are ever materialized.
+    */
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.8, n: Int = 3): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"), explode(shingles(col("text"), n)).as("shingle"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = sh.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") /
+          (col("sa.sz") + col("sb.sz") - col("inter")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** MinHash signature: k hash functions, each the min over shingles of a
+    * seeded 64-bit hash. Pure array algebra — computed inside the row,
+    * codegen'd, no shuffle, no UDF.
+    */
+  def minHashSignature(shingleArr: Column, numHashes: Int): Column =
+    transform(
+      sequence(lit(0), lit(numHashes - 1)),
+      i => array_min(transform(shingleArr, s => xxhash64(i, s))))
+
+  /** MinHash + banded LSH near-dup pairs, verified with exact Jaccard.
+    *
+    * bands × rowsPerBand hashes; docs sharing any band key become
+    * candidates; candidates are verified with exact shingle Jaccard so the
+    * output contains no false positives. With (16 bands × 4 rows) the
+    * probability of missing a Jaccard-0.9 pair is (1-0.9⁴)¹⁶ ≈ 3e-8.
+    *
+    * Scale: the only shuffles are (a) the band-key self-join — O(docs ×
+    * bands) rows of (long, long) — and (b) the candidate verification join,
+    * proportional to true-positive density. AQE handles hot buckets
+    * (boilerplate-heavy corpora) via skew-join splitting.
+    */
+  def minHashLsh(
+      docs: DataFrame,
+      threshold: Double = 0.8,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleSize: Int = 3): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
+
+    val withSig = docs
+      .select(col("doc_id"), shingles(col("text"), shingleSize).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", minHashSignature(col("sh"), numHashes))
+
+    // band key = hash of the band's signature slice + band index
+    val bandKeys = array((0 until bands).map(b =>
+      hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand), lit(b))): _*)
+    val banded = withSig
+      .select(col("doc_id"), col("sh"), posexplode(bandKeys))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_key")
+
+    val candidates = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"), col("a.sh").as("sh_a"),
+        col("b.doc_id").as("doc_b"), col("b.sh").as("sh_b"))
+      .dropDuplicates("doc_a", "doc_b")
+
+    candidates
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** 64-bit SimHash over shingles: bit j of the signature is the majority
+    * vote of shingle-hash bit j. Row-local array algebra.
+    */
+  def simHash(shingleArr: Column): Column =
+    (0 until 64).map { j =>
+      val bitSum = aggregate(
+        shingleArr,
+        lit(0L),
+        (acc, s) =>
+          acc + (shiftright(xxhash64(s), j).bitwiseAND(lit(1L)) * 2L - 1L))
+      when(bitSum > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxDist, blocked by
+    * 8-bit chunks: any pair within distance 7 must agree on ≥1 of 8
+    * chunks (pigeonhole), so candidates come from an equi-join on chunk
+    * values, never a cross join. Verified with exact bit_count(xor).
+    */
+  def simHashPairs(docs: DataFrame, maxDist: Int = 7): DataFrame = {
+    require(maxDist <= 7, "8-chunk blocking guarantees recall only to distance 7")
+    val sigDf = docs
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", simHash(col("sh")))
+
+    val chunks = array((0 until 8).map(c =>
+      shiftright(col("sig"), c * 8).bitwiseAND(lit(255L))): _*)
+    val chunked = sigDf.select(col("doc_id"), col("sig"), posexplode(chunks))
+      .withColumnRenamed("pos", "chunk")
+      .withColumnRenamed("col", "chunk_val")
+
+    chunked.as("a")
+      .join(chunked.as("b"),
+        col("a.chunk") === col("b.chunk") &&
+          col("a.chunk_val") === col("b.chunk_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("hamming",
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
+      .filter(col("hamming") <= maxDist)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Cosine similarity of two float-array columns, computed in double with
+    * a fixed left-to-right summation order (deterministic, oracle-stable).
+    */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column) = aggregate(
+      zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))
+  }
+
+  /** Embedding-cosine near-dup pairs ≥ threshold. All-pairs (oracle
+    * baseline — the ANN path in [[Similarity]] is the 100 TB variant).
+    * Norms are precomputed once per vector before the join.
+    */
+  def embeddingNearDup(embeddings: DataFrame, threshold: Double = 0.45): DataFrame = {
+    val e = embeddings.select(col("vec_id"), col("embedding"))
+    e.as("a")
+      .join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", cosine(col("a.embedding"), col("b.embedding")))
+      .filter(col("cos") >= threshold)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+}

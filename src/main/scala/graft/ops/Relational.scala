@@ -1,0 +1,119 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Relational capability demos over the star schema — joins, window
+  * functions, top-k, rollups. The reference has NO joins, set-ops or
+  * window functions (SURVEY §2.7–2.9); these prove the engine covers the
+  * full relational surface a user would expect, with 100 TB-shaped plans:
+  *
+  *  - dimension tables (region/nation/supplier/part) are broadcast — no
+  *    shuffle of the fact side;
+  *  - fact⋈fact joins shuffle on the join key once and reuse it;
+  *  - money sums go through DECIMAL(18,2) so results are exact and
+  *    order-independent (double summation order would poison both the
+  *    oracle hash and cross-run reproducibility).
+  */
+object Relational {
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  private def money(c: String) = col(c).cast("decimal(18,2)")
+
+  /** TPC-H Q1-shaped pricing summary over lineitem: one wide partial+final
+    * hash aggregate, filter pushed to the parquet scan.
+    */
+  def pricingSummary(li: DataFrame): DataFrame =
+    li.filter(col("l_shipdate") <= lit("1998-09-01 00:00:00").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).cast("double").as("sum_qty"),
+        sum(money("l_extendedprice")).cast("double").as("sum_base_price"),
+        sum(money("l_extendedprice") * (lit(1.0).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)")))
+          .cast("double").as("sum_disc_price"),
+        // averages via exact sums (integral doubles / decimal) so the
+        // result is independent of partial-aggregation merge order
+        round(sum(col("l_quantity")) / count(lit(1)), 4).as("avg_qty"),
+        round(sum(col("l_discount").cast("decimal(4,2)")).cast("double") /
+          count(lit(1)), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Revenue per region/nation: 4-way join where every dimension side is
+    * broadcast (region 5 rows, nation 25, customer small relative to
+    * orders) — the fact table never shuffles for the dims.
+    */
+  def revenueByNation(
+      region: DataFrame,
+      nation: DataFrame,
+      customer: DataFrame,
+      orders: DataFrame): DataFrame =
+    orders
+      .join(broadcast(customer.select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        sum(money("o_totalprice")).cast("double").as("revenue"),
+        count(lit(1)).as("order_count"))
+      .orderBy(col("r_name"), col("n_name"))
+
+  /** Revenue per part brand: fact⋈dim with broadcast part side. */
+  def revenueByBrand(li: DataFrame, part: DataFrame): DataFrame =
+    li.join(broadcast(part.select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        sum(money("l_extendedprice") * (lit(1.0).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)")))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("line_count"))
+      .orderBy(col("p_brand"))
+
+  /** Top-k orders by price — TakeOrderedAndProject (per-partition heap,
+    * no global sort), ties broken by key.
+    */
+  def topOrders(orders: DataFrame, k: Int = 10): DataFrame =
+    orders
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(desc("o_totalprice"), col("o_orderkey"))
+      .limit(k)
+
+  /** Window function (§2.9 extension): top-3 orders per customer by
+    * price. One shuffle on the partition key; rank ties broken by key.
+    */
+  def topOrdersPerCustomer(orders: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(desc("o_totalprice"), col("o_orderkey"))
+    orders
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .orderBy(col("o_custkey"), col("rnk"))
+  }
+
+  /** Rollup (§2.5 extension): order counts by status with subtotals —
+    * exercises grouping-set expansion.
+    */
+  def orderStatusRollup(orders: DataFrame): DataFrame =
+    orders
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(money("o_totalprice")).cast("double").as("total"))
+      .orderBy(
+        col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  /** Correlated-style semi/anti join: customers with no orders (NOT
+    * EXISTS → left-anti, broadcast the distinct key set when small).
+    */
+  def customersWithoutOrders(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer
+      .join(orders.select(col("o_custkey")).distinct(),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+}

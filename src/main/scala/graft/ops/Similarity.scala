@@ -1,0 +1,130 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (ARRAY<FLOAT>, dim 64). Two paths:
+  *
+  *  - [[bruteForceTopK]]: exact cosine top-k — the correctness baseline
+  *    and the DuckDB-oracle query. Broadcast the (small) query set against
+  *    the corpus: one pass, per-partition top-k, no corpus shuffle.
+  *  - [[lshTopK]]: random-hyperplane LSH — the 100 TB path. Signatures are
+  *    row-local; candidates come from band-key equi-joins, so compared
+  *    pairs scale with bucket density, not corpus size².
+  */
+object Similarity {
+
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  /** Exact top-k neighbors for each query vector. Query side is broadcast;
+    * ranking is a window over qid (k small ⇒ per-partition heap via
+    * rank-filter). Ties broken by vec_id.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10): DataFrame = {
+    val q = queries.select(
+      col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val scored = corpus
+      .join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cos", Dedup.cosine(col("q_emb"), col("embedding")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cos"), col("vec_id"))
+    scored
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("vec_id").as("neighbor_id"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane i, dim j):
+    * ±1 from the sign bit of a seeded hash — reproducible across runs and
+    * cluster sizes with no stored model.
+    */
+  private def planeComponent(i: Column, j: Column): Column =
+    when(xxhash64(lit("graft-lsh"), i, j) >= 0, lit(1.0)).otherwise(lit(-1.0))
+
+  /** nBits-bit random-hyperplane signature of an embedding: bit i = sign
+    * of the projection onto pseudo-random hyperplane i. Row-local.
+    */
+  def rhpSignature(emb: Column, nBits: Int): Column =
+    transform(
+      sequence(lit(0), lit(nBits - 1)),
+      i =>
+        when(
+          aggregate(
+            zip_with(
+              emb,
+              sequence(lit(0), size(emb) - 1),
+              (v, j) => v.cast("double") * planeComponent(i, j)),
+            lit(0.0), (acc, v) => acc + v) >= 0, lit(1L)).otherwise(lit(0L)))
+
+  /** ANN top-k via banded RHP-LSH: vectors sharing any signature band are
+    * candidates; exact cosine ranks candidates. Recall < 1 by design —
+    * the spec measures it against [[bruteForceTopK]].
+    */
+  def lshTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int = 10,
+      nBits: Int = 16,
+      bands: Int = 4): DataFrame = {
+    val rowsPerBand = nBits / bands
+    def banded(df: DataFrame, idCol: String, embCol: String) = {
+      val bandKeys = array((0 until bands).map(b =>
+        hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand), lit(b))): _*)
+      df.withColumn("sig", rhpSignature(col(embCol), nBits))
+        .select(col(idCol), col(embCol), posexplode(bandKeys))
+        .withColumnRenamed("pos", "band")
+        .withColumnRenamed("col", "band_key")
+    }
+
+    val c = banded(corpus, "vec_id", "embedding")
+    val q = banded(
+      queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("q_emb")), "query_id", "q_emb")
+
+    val candidates = c.as("c")
+      .join(q.as("q"),
+        col("c.band") === col("q.band") &&
+          col("c.band_key") === col("q.band_key") &&
+          col("c.vec_id") =!= col("q.query_id"))
+      .select(col("q.query_id"), col("q.q_emb"),
+        col("c.vec_id"), col("c.embedding"))
+      .dropDuplicates("query_id", "vec_id")
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cos"), col("vec_id"))
+    candidates
+      .withColumn("cos", Dedup.cosine(col("q_emb"), col("embedding")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("vec_id").as("neighbor_id"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** Centroid stats per label — the IVF-style partition profile: shows how
+    * the corpus would shard into coarse cells (here the given labels) for
+    * inverted-file ANN.
+    */
+  def labelCentroidNorms(embeddings: DataFrame): DataFrame = {
+    val dim = 64
+    val sums = embeddings
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n_vectors"),
+        array((0 until dim).map(j =>
+          sum(element_at(col("embedding"), j + 1).cast("double"))): _*)
+          .as("sum_vec"))
+    sums
+      .withColumn("centroid_norm",
+        round(
+          sqrt(aggregate(col("sum_vec"), lit(0.0),
+            (acc, v) => acc + (v / col("n_vectors")) * (v / col("n_vectors")))),
+          4))
+      .select(col("label").cast("long").as("label"),
+        col("n_vectors"), col("centroid_norm"))
+      .orderBy(col("label"))
+  }
+}

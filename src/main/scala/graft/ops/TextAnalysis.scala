@@ -1,0 +1,139 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline, over the
+  * `documents` table (doc_id, text, lang, source, n_chars). All pure
+  * Column algebra — codegen'd, shuffle-free per-document transforms that
+  * scale linearly with input splits at 100 TB.
+  */
+object TextAnalysis {
+
+  def documents(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+
+  /** Whitespace tokens, lowercased. */
+  def tokens(text: Column): Column = split(lower(text), "\\s+")
+
+  /** Per-document stats: token count, distinct-token count, type/token
+    * ratio, mean token length — the standard text-quality raw features.
+    */
+  def docStats(df: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    df.select(
+        col("doc_id"),
+        col("lang"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_distinct_tokens"))
+      .withColumn("type_token_ratio",
+        round(col("n_distinct_tokens").cast("double") / col("n_tokens"), 4))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Corpus rollup per language. */
+  def langStats(df: DataFrame): DataFrame =
+    df.groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(tokens(col("text"))).cast("long")).as("total_tokens"),
+        round(avg(length(col("text"))), 4).as("avg_chars"))
+      .orderBy(col("lang"))
+
+  /** BPE-ish token counting: split on letter-runs / digit-runs / single
+    * non-space symbols — a deterministic stand-in for a subword tokenizer
+    * (the regex mirrors the common GPT-2-style pre-tokenizer classes).
+    */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+      .cast("long")
+
+  def tokenCounts(df: DataFrame): DataFrame =
+    df.select(
+        col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("ws_tokens"),
+        bpeishTokenCount(col("text")).as("bpeish_tokens"))
+      .orderBy(col("doc_id"))
+
+  /** Language-ID marker words. Tiny per-language stopword lists: the
+    * n-gram/stopword-hit heuristic standard for coarse lang-ID. Scoring is
+    * CASE-sum algebra so the same formula is expressible in ANSI SQL for
+    * the oracle.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "la", "los", "de", "que"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "zh" -> Seq("的", "是", "了", "在", "我"))
+
+  /** Count of marker-token occurrences over a token array (row-local,
+    * SQL twin: len(list_filter(toks, t -> t IN (...)))).
+    */
+  private def markerHits(toks: Column, markers: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(markers))).cast("long")
+
+  /** Predict language = argmax marker-hit count, ties broken by language
+    * code order, all-zero → "und" (undetermined).
+    */
+  def langId(df: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val scored = df.withColumn("toks", toks)
+    val withScores = langMarkers.foldLeft(scored) { case (d, (code, ms)) =>
+      d.withColumn(s"hits_$code", markerHits(col("toks"), ms))
+    }
+    val best = langMarkers.map { case (code, _) =>
+      struct(col(s"hits_$code").as("hits"), lit(code).as("code"))
+    }
+    // greatest() on (hits, code) structs: max hits, then max code — to make
+    // ties deterministic and SQL-expressible we instead pick the FIRST code
+    // with the max hits via a chained CASE.
+    val maxHits = best.map(_.getField("hits"))
+      .reduce((a, b) => when(a >= b, a).otherwise(b))
+    val firstArgmax = langMarkers.map { case (code, _) =>
+      (col(s"hits_$code"), lit(code))
+    }.foldRight(lit("und")) { case ((hits, code), els) =>
+      when(hits === maxHits && maxHits > 0, code).otherwise(els)
+    }
+    withScores
+      .select(col("doc_id"),
+        firstArgmax.as("predicted_lang"),
+        maxHits.as("marker_hits"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Heuristic quality score in [0,1]: length band + stopword ratio +
+    * lexical diversity — the standard cheap pre-filter for training data.
+    * Pure arithmetic on exact integer counts → deterministic.
+    */
+  def qualityScore(df: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("double")
+    val stopHits = markerHits(toks, Seq("the", "a", "of", "and", "to", "in"))
+      .cast("double")
+    val diversity = size(array_distinct(toks)).cast("double") / nTok
+    val lenScore = when(col("n_chars").between(100, 450), lit(1.0))
+      .when(col("n_chars") < 100, col("n_chars").cast("double") / 100.0)
+      .otherwise(lit(450.0) / col("n_chars").cast("double"))
+    val stopScore = least(stopHits / nTok * 10.0, lit(1.0))
+    df.select(
+        col("doc_id"),
+        round(lenScore, 4).as("len_score"),
+        round(stopScore, 4).as("stopword_score"),
+        round(diversity, 4).as("diversity"),
+        round((lenScore + stopScore + diversity) / 3.0, 4).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Document fingerprint: MD5 over whitespace-normalized lowercase text.
+    * Content-addressed identity for exact dedup across shards — hash is
+    * engine-independent (oracle: DuckDB md5()).
+    */
+  def fingerprint(df: DataFrame): DataFrame =
+    df.select(
+        col("doc_id"),
+        md5(regexp_replace(trim(lower(col("text"))), "\\s+", " "))
+          .as("fingerprint"))
+      .orderBy(col("doc_id"))
+}
