@@ -32,6 +32,21 @@ object SparkEntry {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- the core pipeline itself (SURVEY §2.3-P1..P9, §2.4-F1..F3):
+    // events → wire-format JSON → full parse/validate/enrich/score chain ----
+    "q_event_pipeline" -> ((s, d) => {
+      val wire = Analytics.events(s, d).select(to_json(struct(
+        col("event_id").cast("string").as("id"),
+        date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'").as("timestamp"),
+        col("props").as("message"),
+        col("user_id").cast("string").as("user_id"),
+        col("event_type"),
+        col("value"))).as("value"))
+      EventPipeline.fromRawJson(wire, deterministic = true)
+        .select(col("id").cast("long").as("id"), col("event_hour"),
+          col("message_length"), col("data_quality_score"))
+        .orderBy("id")
+    }),
     // ---- event analytics (reference query plane, SURVEY §2.5–2.6) ----
     "q_event_summary" -> ((s, d) => Analytics.eventSummary(Analytics.events(s, d))),
     "q_quality_histogram" -> ((s, d) => Analytics.qualityHistogram(Analytics.events(s, d))),
@@ -94,6 +109,20 @@ object SparkEntry {
     * engine-specific).
     */
   def oracleSql: Map[String, String] = Map(
+    "q_event_pipeline" ->
+      """SELECT event_id AS id,
+        |  EXTRACT(hour FROM ts)::INTEGER AS event_hour,
+        |  length(props)::INTEGER AS message_length,
+        |  (CASE WHEN user_id IS NOT NULL AND CAST(user_id AS VARCHAR) <> '' AND CAST(user_id AS VARCHAR) <> 'unknown' THEN 25 ELSE 0 END
+        |   + CASE WHEN props IS NOT NULL AND props <> '' THEN 25 ELSE 0 END
+        |   + CASE WHEN value > 0 THEN 25 ELSE 0 END
+        |   + 25)::INTEGER AS data_quality_score
+        |FROM events
+        |WHERE (CASE WHEN user_id IS NOT NULL AND CAST(user_id AS VARCHAR) <> '' AND CAST(user_id AS VARCHAR) <> 'unknown' THEN 25 ELSE 0 END
+        |   + CASE WHEN props IS NOT NULL AND props <> '' THEN 25 ELSE 0 END
+        |   + CASE WHEN value > 0 THEN 25 ELSE 0 END
+        |   + 25) >= 50
+        |ORDER BY id""".stripMargin,
     "q_event_summary" ->
       """SELECT event_type, count(*) AS event_count,
         |  round(sum(CAST(value AS DECIMAL(12,2)))::DOUBLE / count(*), 4) AS avg_value,

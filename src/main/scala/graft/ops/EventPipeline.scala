@@ -26,17 +26,26 @@ import graft.schema.EventSchema
   */
 object EventPipeline {
 
+  /** Wire schema + PERMISSIVE corrupt-record column: from_json yields a
+    * struct of nulls for malformed input (not a null struct), so corrupt
+    * rows are only distinguishable via columnNameOfCorruptRecord.
+    */
+  private val corruptCol = "_corrupt_record"
+  private val parseSchema =
+    EventSchema.wireSchema.add(corruptCol, org.apache.spark.sql.types.StringType)
+  private val parseOpts = Map("columnNameOfCorruptRecord" -> corruptCol)
+
   /** P2+F1: parse a column of raw JSON strings against the declared wire
-    * schema. Corrupt JSON yields a null struct (PERMISSIVE), which the
-    * filter drops — the Spark twin of Streamingdag.py:233-234. Unknown
-    * keys are dropped by construction (ignoreUnknownValues,
-    * Streamingdag.py:319).
+    * schema; corrupt JSON is dropped — the Spark twin of
+    * Streamingdag.py:233-234. Unknown keys are dropped by construction
+    * (ignoreUnknownValues, Streamingdag.py:319).
     */
   def parse(raw: DataFrame, jsonCol: String = "value"): DataFrame =
     raw
-      .select(from_json(col(jsonCol), EventSchema.wireSchema).as("e"))
-      .filter(col("e").isNotNull)
+      .select(from_json(col(jsonCol), parseSchema, parseOpts).as("e"))
+      .filter(col(s"e.$corruptCol").isNull)
       .select("e.*")
+      .drop(corruptCol)
 
   /** P3/F2: required-field presence gate (Streamingdag.py:175-181).
     * The reference checks dict-key *presence*; a JSON null id would pass
@@ -126,7 +135,7 @@ object EventPipeline {
     */
   def deadLetter(raw: DataFrame, jsonCol: String = "value"): DataFrame = {
     val parsed = raw.withColumn("e",
-      from_json(col(jsonCol), EventSchema.wireSchema))
+      from_json(col(jsonCol), parseSchema, parseOpts))
     val missingReq = EventSchema.requiredFields
       .map(f => col(s"e.$f").isNull).reduce(_ || _)
     val score = qualityScore(col("e.user_id"), col("e.message"),
@@ -134,7 +143,7 @@ object EventPipeline {
     parsed
       .withColumn(
         "reject_reason",
-        when(col("e").isNull, "corrupt_json")
+        when(col("e").isNull || col(s"e.$corruptCol").isNotNull, "corrupt_json")
           .when(missingReq, "missing_required_field")
           .when(score < 50, "low_quality"))
       .filter(col("reject_reason").isNotNull)

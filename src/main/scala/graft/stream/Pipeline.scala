@@ -1,0 +1,97 @@
+package graft.stream
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.ops.EventPipeline
+
+/** The streaming data plane — Spark twin of the reference's Beam pipeline
+  * (Pub/Sub → parse/validate/enrich/score/filter → 60 s windows → BigQuery
+  * append; Streamingdag.py:285-323).
+  *
+  * Design (SURVEY §3.1 Spark-native trace):
+  *  - the transform chain is EXACTLY the batch `EventPipeline` — Structured
+  *    Streaming incrementalizes the same logical plan, so batch tests prove
+  *    streaming semantics;
+  *  - the reference's 60 s window-without-aggregation is modeled as the
+  *    sink trigger (`Trigger.ProcessingTime`), not a `groupBy(window)` —
+  *    its windows never changed row contents (SURVEY §7.5);
+  *  - the parquet sink is date-partitioned (reference D6 advice,
+  *    README.md:353): at 100 TB this gives partition pruning for every
+  *    time-ranged query in §2.4;
+  *  - watermark policy (the reference has none — SURVEY W3): 10 minutes,
+  *    applied only where state exists (windowed aggregation), bounding
+  *    state at scale.
+  */
+object Pipeline {
+
+  val DefaultWatermark = "10 minutes"
+  val DefaultTrigger: Trigger = Trigger.ProcessingTime("60 seconds")
+
+  /** S1 test twin: unbounded read of a directory of JSON-lines text files
+    * (prod twin: Kafka with the same downstream chain — the source swaps,
+    * the plan doesn't).
+    */
+  def fromTextDir(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.format("text").load(dir)
+
+  /** The full per-record chain. Works on streaming and batch frames. */
+  def process(raw: DataFrame, jsonCol: String = "value"): DataFrame =
+    EventPipeline.fromRawJson(raw, jsonCol)
+
+  /** K1: append sink — date-partitioned parquet, 60 s micro-batches. */
+  def startSink(
+      events: DataFrame,
+      path: String,
+      checkpoint: String,
+      trigger: Trigger = DefaultTrigger): StreamingQuery =
+    events
+      .withColumn("event_date", to_date(col("timestamp")))
+      .writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("event_date")
+      .outputMode("append")
+      .trigger(trigger)
+      .start()
+
+  /** K4: dead-letter quarantine sink — the reference's log-and-drop paths
+    * (Streamingdag.py:179-181, :230-231, :233-236) made durable.
+    */
+  def startDeadLetterSink(
+      raw: DataFrame,
+      path: String,
+      checkpoint: String,
+      jsonCol: String = "value",
+      trigger: Trigger = DefaultTrigger): StreamingQuery =
+    EventPipeline.deadLetter(raw, jsonCol)
+      .writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .trigger(trigger)
+      .start()
+
+  /** W2 as a TRUE streaming aggregation (the part the reference's windows
+    * only gestured at): tumbling event-time windows with a watermark so
+    * state is bounded — per-window per-type counts and value sums.
+    * Append output mode: a window emits once, when the watermark passes
+    * its end.
+    */
+  def windowedCounts(
+      events: DataFrame,
+      windowLength: String = "60 seconds",
+      watermark: String = DefaultWatermark): DataFrame =
+    events
+      .withWatermark("timestamp", watermark)
+      .groupBy(window(col("timestamp"), windowLength), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value")).as("sum_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n"), col("sum_value"))
+}

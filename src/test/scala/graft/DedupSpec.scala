@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Dedup
+
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"),
+    (3L, "completely different text about spark engines entirely"),
+    (4L, "The  quick brown fox jumps over the lazy dog")
+  ).toDF("doc_id", "text")
+
+  test("shingles: 9 tokens → 7 distinct trigrams; short doc → empty") {
+    val sh = docs.filter($"doc_id" === 1)
+      .select(size(Dedup.shingles($"text")).as("n")).as[Int].head()
+    assert(sh == 7)
+    val short = Seq((9L, "just two")).toDF("doc_id", "text")
+      .select(size(Dedup.shingles($"text")).as("n")).as[Int].head()
+    assert(short == 0)
+  }
+
+  test("exact dedup groups case/whitespace-normalized duplicates") {
+    val out = Dedup.exactDedup(docs).collect()
+    assert(out.length == 3)
+    val grp = out.find(_.getAs[Long]("keep_id") == 1L).get
+    assert(grp.getAs[Long]("dup_count") == 2) // docs 1 and 4
+  }
+
+  test("n-gram Jaccard pairs: known overlap ratios") {
+    val pairs = Dedup.ngramJaccardPairs(docs, threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // docs 1,2 share 6 of 8 distinct trigrams → 0.75; 1,4 identical → 1.0
+    assert(pairs((1L, 2L)) == 0.75)
+    assert(pairs((1L, 4L)) == 1.0)
+    assert(pairs((2L, 4L)) == 0.75)
+    assert(pairs.size == 3)
+  }
+
+  test("MinHash+LSH finds the same pairs as exact Jaccard here") {
+    val out = Dedup.minHashLsh(docs, threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out((1L, 4L)) == 1.0)
+    // LSH is probabilistic but (16 bands × 4 rows) at j=0.75 has miss
+    // probability ≈ 0.2% per pair; the verify step guarantees no false
+    // positives regardless.
+    assert(out.keySet == Set((1L, 2L), (1L, 4L), (2L, 4L)))
+    assert(out.values.forall(_ >= 0.7))
+  }
+
+  test("SimHash: identical docs at hamming 0, near-dups within 7") {
+    val out = Dedup.simHashPairs(docs, maxDist = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out((1L, 4L)) == 0L)
+    assert(out.keys.forall { case (a, b) => a < b })
+  }
+
+  test("cosine: orthogonal → 0, identical → 1") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)), (3L, Array(2.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val cos = vecs.as("a").join(vecs.as("b"), $"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id", $"b.vec_id",
+        round(Dedup.cosine($"a.embedding", $"b.embedding"), 6).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(cos((1L, 2L)) == 0.0)
+    assert(cos((1L, 3L)) == 1.0)
+  }
+
+  test("embedding near-dup finds scaled copies, skips orthogonal") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)), (3L, Array(2.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.embeddingNearDup(vecs, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 3L)))
+  }
+}

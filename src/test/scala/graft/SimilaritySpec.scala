@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Similarity
+
+class SimilaritySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val corpus = Seq(
+    (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+    (2L, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+    (3L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+    (4L, Array(0.0f, 0.0f, 1.0f, 0.0f)),
+    (5L, Array(1.0f, 0.0f, 0.0f, 0.0f)) // exact copy of 1
+  ).toDF("vec_id", "embedding")
+
+  test("brute-force top-k ranks by cosine with vec_id tiebreak") {
+    val q = corpus.filter($"vec_id" === 1)
+      .select($"vec_id", $"embedding")
+    val out = Similarity.bruteForceTopK(corpus, q, k = 4).collect()
+      .map(r => (r.getAs[Long]("rnk"), r.getAs[Long]("neighbor_id")))
+    // cos: v5=1.0, v2≈0.994, v3=0, v4=0 (tie → id order)
+    assert(out.toSeq == Seq((1L, 5L), (2L, 2L), (3L, 3L), (4L, 4L)))
+  }
+
+  test("LSH top-k always finds an identical vector (same signature)") {
+    val q = corpus.filter($"vec_id" === 1)
+    val out = Similarity.lshTopK(corpus, q, k = 3).collect()
+      .map(r => (r.getAs[Long]("rnk"), r.getAs[Long]("neighbor_id")))
+    assert(out.nonEmpty)
+    assert(out.head == ((1L, 5L))) // exact copy shares every band
+  }
+
+  test("label centroid norms: unit cluster → norm 1") {
+    val e = Seq(
+      (1L, Array.fill(64)(0.0f).updated(0, 1.0f), 0),
+      (2L, Array.fill(64)(0.0f).updated(0, 1.0f), 0),
+      (3L, Array.fill(64)(0.0f).updated(1, 2.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelCentroidNorms(e).collect()
+      .map(r => r.getAs[Long]("label") -> (r.getAs[Long]("n_vectors"), r.getAs[Double]("centroid_norm"))).toMap
+    assert(out(0L) == ((2L, 1.0)))
+    assert(out(1L) == ((1L, 2.0)))
+  }
+}

@@ -1,0 +1,96 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import graft.stream.{Lifecycle, Pipeline}
+
+/** Streaming twins of the reference's operational smoke tests (SURVEY
+  * §5.2-2): feed the DAG test messages through the full chain via
+  * MemoryStream, assert sink contents — the Spark equivalent of the
+  * BigQueryCheckOperator (Streamingdag.py:422-432) — plus watermarked
+  * windowed aggregation with late data (the W3 semantics we add).
+  */
+class StreamingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val msg1 =
+    """{"id":"test-dag-001","timestamp":"2024-01-15T10:00:00Z","message":"DAG test message 1","user_id":"dag_tester","event_type":"test","value":1.0,"source":"airflow_dag"}"""
+  private val msg2 =
+    """{"id":"test-dag-002","timestamp":"2024-01-15T10:05:00Z","message":"DAG test message 2","user_id":"dag_tester","event_type":"purchase","value":99.99,"source":"airflow_dag","product_id":"test_product"}"""
+
+  test("end-to-end micro-batch: raw JSON stream → enriched sink rows") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[String]
+    val metrics = Lifecycle.register(spark)
+    val q = Pipeline.process(input.toDF())
+      .writeStream.format("memory").queryName("stream_sink")
+      .outputMode("append").start()
+    try {
+      input.addData(msg1, msg2, "{corrupt json")
+      q.processAllAvailable()
+      val rows = spark.table("stream_sink").orderBy("id").collect()
+      assert(rows.length == 2) // corrupt row dropped
+      assert(rows.map(_.getAs[Int]("data_quality_score")).toSeq == Seq(100, 100))
+      assert(rows(1).getAs[String]("product_id") == "test_product")
+      assert(metrics.inputRows.get() == 3)
+    } finally {
+      q.stop()
+      spark.streams.removeListener(metrics)
+    }
+  }
+
+  test("windowed aggregation with watermark emits closed windows, drops late data") {
+    implicit val ctx = spark.sqlContext
+    def ev(id: String, tsIso: String) =
+      s"""{"id":"$id","timestamp":"$tsIso","message":"m","user_id":"u","event_type":"click","value":1.0}"""
+    val input = MemoryStream[String]
+    val agg = Pipeline.windowedCounts(
+      Pipeline.process(input.toDF()),
+      windowLength = "60 seconds", watermark = "10 minutes")
+    val q = agg.writeStream.format("memory").queryName("win_sink")
+      .outputMode("append").start()
+    try {
+      // two events in the 10:00:00 window, one in 10:01
+      input.addData(
+        ev("a", "2024-01-15T10:00:10Z"), ev("b", "2024-01-15T10:00:40Z"),
+        ev("c", "2024-01-15T10:01:10Z"))
+      q.processAllAvailable()
+      // advance the watermark past 10:01 + 10 min → first windows close
+      input.addData(ev("d", "2024-01-15T10:20:00Z"))
+      q.processAllAvailable()
+      val closed = spark.table("win_sink")
+        .collect().map(r => r.getAs[Timestamp]("window_start").toString -> r.getAs[Long]("n")).toMap
+      assert(closed("2024-01-15 10:00:00.0") == 2)
+      assert(closed("2024-01-15 10:01:00.0") == 1)
+      // an event 25 min behind the watermark arrives → dropped as late
+      input.addData(ev("late", "2024-01-15T09:55:00Z"))
+      input.addData(ev("flush", "2024-01-15T10:40:00Z"))
+      q.processAllAvailable()
+      val after = spark.table("win_sink")
+        .collect().map(r => r.getAs[Timestamp]("window_start").toString).toSet
+      assert(!after.contains("2024-01-15 09:55:00.0"))
+    } finally q.stop()
+  }
+
+  test("file-source streaming with date-partitioned parquet sink") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val srcDir = s"$dir/in"; val outDir = s"$dir/out"; val ckpt = s"$dir/ckpt"
+    new java.io.File(srcDir).mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$srcDir/batch1.jsonl"), s"$msg1\n$msg2\n")
+    val q = Pipeline.startSink(
+      Pipeline.process(Pipeline.fromTextDir(spark, srcDir)),
+      outDir, ckpt, trigger = Trigger.AvailableNow())
+    try {
+      assert(Lifecycle.awaitActive(q, timeoutMs = 60000) || !q.isActive)
+      q.awaitTermination(60000)
+      val out = spark.read.parquet(outDir)
+      assert(out.count() == 2)
+      // D6: sink is physically partitioned by event_date
+      assert(out.columns.contains("event_date"))
+      val dirs = new java.io.File(outDir).list().filter(_.startsWith("event_date="))
+      assert(dirs.nonEmpty)
+    } finally if (q.isActive) q.stop()
+  }
+}
