@@ -2,6 +2,8 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.HashFunctions.{minhashSig, simhash64}
+import graft.functions.VectorFunctions.vecDot
 
 /** Deduplication operators for a training-data pipeline (SURVEY §7.4-1).
   *
@@ -14,20 +16,13 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Word n-gram shingles (default 3), distinct, lowercase. Row-local.
-    * Guarded so documents shorter than n tokens yield an empty array
-    * (sequence() would otherwise run descending / index out of range
-    * under ANSI mode).
+  /** Word n-gram shingles (default 3), distinct, lowercase, row-local —
+    * a single-pass native expression over the tokenized text
+    * ([[graft.functions.WordShingles]]). Documents shorter than n tokens
+    * yield an empty array.
     */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val toks = split(lower(text), "\\s+")
-    val starts = when(size(toks) >= n, sequence(lit(1), size(toks) - (n - 1)))
-      .otherwise(array().cast("array<int>"))
-    array_distinct(
-      transform(
-        starts,
-        i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*)))
-  }
+  def shingles(text: Column, n: Int = 3): Column =
+    graft.functions.ShingleFunctions.wordShingles(split(lower(text), "\\s+"), n)
 
   /** Exact dedup with a deterministic keeper: group identical normalized
     * texts, keep min(doc_id). At scale: hash-partitioned single shuffle on
@@ -68,14 +63,12 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** MinHash signature: k hash functions, each the min over shingles of a
-    * seeded 64-bit hash. Pure array algebra — computed inside the row,
-    * codegen'd, no shuffle, no UDF.
+  /** MinHash signature: one xxhash64 pass over the shingles, then k
+    * permutation minima in a single codegen'd loop ([[graft.functions.MinHashSig]]).
+    * Row-local, no shuffle, no UDF.
     */
   def minHashSignature(shingleArr: Column, numHashes: Int): Column =
-    transform(
-      sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(shingleArr, s => xxhash64(i, s))))
+    minhashSig(transform(shingleArr, s => xxhash64(s)), numHashes)
 
   /** MinHash + banded LSH near-dup pairs, verified with exact Jaccard.
     *
@@ -132,17 +125,11 @@ object Dedup {
   }
 
   /** 64-bit SimHash over shingles: bit j of the signature is the majority
-    * vote of shingle-hash bit j. Row-local array algebra.
+    * vote of shingle-hash bit j — one hash pass + one codegen'd majority
+    * loop ([[graft.functions.SimHash64]]). Row-local.
     */
   def simHash(shingleArr: Column): Column =
-    (0 until 64).map { j =>
-      val bitSum = aggregate(
-        shingleArr,
-        lit(0L),
-        (acc, s) =>
-          acc + (shiftright(xxhash64(s), j).bitwiseAND(lit(1L)) * 2L - 1L))
-      when(bitSum > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
+    simhash64(transform(shingleArr, s => xxhash64(s)))
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxDist, blocked by
     * 8-bit chunks: any pair within distance 7 must agree on ≥1 of 8
@@ -179,14 +166,12 @@ object Dedup {
   }
 
   /** Cosine similarity of two float-array columns, computed in double with
-    * a fixed left-to-right summation order (deterministic, oracle-stable).
+    * a fixed left-to-right summation order (deterministic, oracle-stable —
+    * bit-identical to the `aggregate(zip_with(...))` formulation, but a
+    * codegen'd loop via [[graft.functions.FloatVecDot]]).
     */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column) = aggregate(
-      zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))
-  }
+  def cosine(a: Column, b: Column): Column =
+    vecDot(a, b) / sqrt(vecDot(a, a)) / sqrt(vecDot(b, b))
 
   /** Embedding-cosine near-dup pairs ≥ threshold. All-pairs (oracle
     * baseline — the ANN path in [[Similarity]] is the 100 TB variant).
