@@ -91,6 +91,36 @@ object SparkEntry {
     "q_minhash_lsh" -> ((s, d) => Dedup.minHashLsh(TextAnalysis.documents(s, d), 0.05)),
     "q_simhash_pairs" -> ((s, d) => Dedup.simHashPairs(TextAnalysis.documents(s, d))),
     "q_embedding_neardup" -> ((s, d) => Dedup.embeddingNearDup(Similarity.embeddings(s, d))),
+    // ---- producer plane / sinks (S4, W6, K2; §2.11 X12–X14) ----
+    "q_generator" -> ((s, d) => Generator.syntheticEvents(s, 10000L)
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("event_type"), col("value"))
+      .orderBy("event_id")),
+    "q_publish_roundtrip" -> ((s, d) => {
+      val ev = Analytics.events(s, d)
+      val wire = Generator.toWire(
+        ev.select(
+          col("event_id").cast("string").as("id"),
+          date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'").as("timestamp"),
+          col("props").as("message"),
+          col("user_id").cast("string").as("user_id"),
+          col("event_type"), col("value")),
+        Seq("id", "timestamp", "message", "user_id", "event_type", "value"))
+      EventPipeline.parse(wire)
+        .select(col("id").cast("long").as("event_id"),
+          col("user_id").cast("long").as("user_id"),
+          col("event_type"), col("value"))
+        .orderBy("event_id")
+    }),
+    // ---- session windows (W4 stretch) ----
+    "q_session_windows" -> ((s, d) => Analytics.sessionCounts(Analytics.events(s, d))),
+    // ---- multimodal plumbing (§7.4-4; decode is a documented stub) ----
+    "q_media_profile" -> ((s, d) =>
+      Multimodal.mediaProfile(Multimodal.syntheticAssets(s, 1000L).toDF())),
+    "q_media_features" -> ((s, d) =>
+      Multimodal.extractFeatures(Multimodal.syntheticAssets(s, 1000L)).toDF()
+        .select(col("asset_id"), col("media_type"), col("n_bytes"), col("frames_sampled"))
+        .orderBy("asset_id")),
     // ---- similarity search (§7.4-3) ----
     "q_ann_brute" -> ((s, d) => {
       val e = Similarity.embeddings(s, d)
@@ -123,6 +153,40 @@ object SparkEntry {
         |   + CASE WHEN value > 0 THEN 25 ELSE 0 END
         |   + 25) >= 50
         |ORDER BY id""".stripMargin,
+    "q_generator" ->
+      """SELECT i AS event_id, 1704067200000000 + i * 1000000 AS ts_us,
+        |  (i * 2654435761) % 100 + 1 AS user_id,
+        |  (['login','logout','purchase','page_view','search'])[(i % 5 + 1)::INT] AS event_type,
+        |  ((i * 48271) % 49000 + 1) / 100.0 AS value
+        |FROM generate_series(0, 9999) AS t(i) ORDER BY event_id""".stripMargin,
+    "q_publish_roundtrip" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+        |ORDER BY event_id""".stripMargin,
+    "q_session_windows" ->
+      """WITH x AS (
+        |  SELECT user_id, epoch_us(ts) AS tu,
+        |    CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) > 300000000
+        |         THEN 1 ELSE 0 END AS ns
+        |  FROM events),
+        |y AS (SELECT user_id, tu,
+        |        sum(ns) OVER (PARTITION BY user_id ORDER BY tu ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM x)
+        |SELECT user_id, min(tu) AS session_start_us, count(*) AS n_events
+        |FROM y GROUP BY user_id, sid ORDER BY user_id, session_start_us""".stripMargin,
+    "q_media_profile" ->
+      """SELECT CASE WHEN i % 3 = 0 THEN 'image' WHEN i % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |  count(*) AS n_assets,
+        |  round(avg((64 + (i * 37) % 64) * (64 + (i * 53) % 64)), 4) AS avg_pixels,
+        |  sum(CASE WHEN i % 3 = 0 THEN 0 ELSE 1000 + (i * 97) % 9000 END)::BIGINT AS total_duration_ms
+        |FROM generate_series(0, 999) AS t(i) GROUP BY 1 ORDER BY media_type""".stripMargin,
+    "q_media_features" ->
+      """SELECT i AS asset_id,
+        |  CASE WHEN i % 3 = 0 THEN 'image' WHEN i % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |  (64 + (i * 31) % 192)::BIGINT AS n_bytes,
+        |  (CASE WHEN i % 3 = 0 THEN 1
+        |        ELSE least(16, greatest(1, (1000 + (i * 97) % 9000) // 1000)) END)::INT AS frames_sampled
+        |FROM generate_series(0, 999) AS t(i) ORDER BY asset_id""".stripMargin,
     "q_event_summary" ->
       """SELECT event_type, count(*) AS event_count,
         |  round(sum(CAST(value AS DECIMAL(12,2)))::DOUBLE / count(*), 4) AS avg_value,

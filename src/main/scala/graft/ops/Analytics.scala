@@ -167,6 +167,20 @@ object Analytics {
       .select(unix_micros(col("window.start")).as("window_start_us"), col("n"))
       .orderBy(col("window_start_us"))
 
+  /** W4 stretch (absent in reference — SURVEY §2.10): session windows.
+    * Events within `gap` of each other merge into one session per user;
+    * works identically in batch and (with a watermark) streaming. Oracle
+    * twin: islands-and-gaps via LAG + running SUM.
+    */
+  def sessionCounts(df: DataFrame, gap: String = "5 minutes"): DataFrame =
+    df.groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("session_start_us"))
+
   /** §2.8 extension (absent in reference): set operations. Users seen in
     * both purchase and error events, minus signup-only users — exercises
     * INTERSECT/EXCEPT planning (left-semi/anti joins under AQE).

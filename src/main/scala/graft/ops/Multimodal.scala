@@ -1,0 +1,139 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions.vecDot
+
+/** Multimodal columns for a training-data pipeline (builder mandate —
+  * NOT in the reference, which is text/JSON only).
+  *
+  * Representation: media as opaque BINARY content plus a typed metadata
+  * struct — the layout every large-scale multimodal corpus uses (content
+  * survives any codec; metadata is columnar and prunable, so scans that
+  * only need width/height/codec never touch the bytes).
+  *
+  * The codec step itself (JPEG decode, audio resample, …) requires
+  * native libraries not present in this container, so `decodeStub`
+  * produces a DETERMINISTIC FAKE: a seeded byte expansion of the content
+  * hash. Everything around it — schema, batching, partition-local
+  * processing, feature shape — is real, tested Spark plumbing; swapping
+  * the fake for libjpeg is a one-function change inside the mapPartitions.
+  */
+object Multimodal {
+
+  /** One media asset row. `content` is the opaque payload; metadata
+    * columns are typed and independently prunable.
+    */
+  final case class MediaAsset(
+      asset_id: Long,
+      media_type: String, // image | audio | video
+      codec: String,
+      width: Int,
+      height: Int,
+      duration_ms: Long,
+      content: Array[Byte])
+
+  final case class MediaFeature(
+      asset_id: Long,
+      media_type: String,
+      n_bytes: Long,
+      frames_sampled: Int,
+      embedding: Array[Float])
+
+  /** Deterministic synthetic asset table (stand-in for a real ingest).
+    * Metadata uses plain modular arithmetic (SQL-replicable, so the
+    * oracle can verify everything but the payload); content bytes are a
+    * seeded hash expansion. Identical across runs, partition counts and
+    * cluster sizes.
+    */
+  def syntheticAssets(spark: SparkSession, n: Long = 1000L): Dataset[MediaAsset] = {
+    import spark.implicits._
+    spark.range(n).map { i =>
+      val t = (i % 3) match {
+        case 0 => "image"; case 1 => "audio"; case _ => "video"
+      }
+      val len = (64 + (i * 31) % 192).toInt
+      val bytes = Array.tabulate[Byte](len)(j => (mix(i, j.toLong + 2) & 0xff).toByte)
+      MediaAsset(i, t, if (t == "image") "jpeg" else "opus",
+        (64 + (i * 37) % 64).toInt, (64 + (i * 53) % 64).toInt,
+        if (t == "image") 0L else 1000L + (i * 97) % 9000L, bytes)
+    }
+  }
+
+  private def mix(a: Long, b: Long): Long = {
+    var x = a * -7046029254386353131L + b
+    x ^= (x >>> 33); x *= -4417276706812531889L; x ^= (x >>> 29)
+    x
+  }
+
+  /** STUB — the real implementation decodes `content` with a codec
+    * library (not available in this container). The fake derives
+    * `dim` floats deterministically from the bytes, preserving the real
+    * signature: bytes → fixed-width float feature vector.
+    */
+  private[ops] def decodeStub(content: Array[Byte], dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    var i = 0
+    while (i < dim) {
+      var h = mix(content.length.toLong, i.toLong)
+      var j = i
+      while (j < content.length) { h = mix(h, content(j).toLong); j += dim }
+      out(i) = ((h % 2000L) / 1000.0f)
+      i += 1
+    }
+    out
+  }
+
+  /** Frame sampling policy: images contribute 1 frame, audio/video one
+    * frame per second of duration, capped.
+    */
+  private[ops] def frameCount(mediaType: String, durationMs: Long, cap: Int = 16): Int =
+    mediaType match {
+      case "image" => 1
+      case _ => math.min(cap, math.max(1, (durationMs / 1000L).toInt))
+    }
+
+  /** Partition-local batch feature extraction: the Scala twin of an
+    * Arrow-batched decode UDF. Runs entirely inside each partition (no
+    * shuffle, no driver involvement) — at 100 TB this scales with input
+    * splits, and the per-partition loop is where a real decoder would
+    * amortize its native context across rows.
+    */
+  def extractFeatures(assets: Dataset[MediaAsset], dim: Int = 16): Dataset[MediaFeature] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      // per-partition decoder context would be initialized here once
+      it.map { a =>
+        MediaFeature(a.asset_id, a.media_type, a.content.length.toLong,
+          frameCount(a.media_type, a.duration_ms), decodeStub(a.content, dim))
+      }
+    }
+  }
+
+  /** Metadata-only profile — must never read the `content` bytes (column
+    * pruning keeps the scan narrow; verified in the spec via the plan's
+    * ReadSchema).
+    */
+  def mediaProfile(assets: DataFrame): DataFrame =
+    assets
+      .groupBy(col("media_type"))
+      .agg(
+        count(lit(1)).as("n_assets"),
+        round(avg(col("width") * col("height")), 4).as("avg_pixels"),
+        sum(col("duration_ms")).as("total_duration_ms"))
+      .orderBy(col("media_type"))
+
+  /** Downstream proof: extracted features flow into the similarity
+    * operators unchanged (same ARRAY<FLOAT> contract as `embeddings`).
+    */
+  def nearestAssets(features: DataFrame, queryId: Long, k: Int = 5): DataFrame = {
+    val q = features.filter(col("asset_id") === queryId)
+      .select(col("embedding").as("q_emb"))
+    features.filter(col("asset_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .withColumn("cos", Dedup.cosine(col("q_emb"), col("embedding")))
+      .select(col("asset_id"), round(col("cos"), 4).as("cos"))
+      .orderBy(desc("cos"), col("asset_id"))
+      .limit(k)
+  }
+}

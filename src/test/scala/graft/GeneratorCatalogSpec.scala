@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Catalog, Generator}
+
+class GeneratorCatalogSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("synthetic events are deterministic across runs and partitionings") {
+    val a = Generator.syntheticEvents(spark, 1000L).orderBy("event_id").collect()
+    val b = Generator.syntheticEvents(spark, 1000L)
+      .repartition(7).orderBy("event_id").collect()
+    assert(a.toSeq == b.toSeq)
+    assert(a.length == 1000)
+    assert(a.map(_.getAs[String]("event_type")).distinct.sorted.toSeq ==
+      Generator.EventTypes.sorted)
+  }
+
+  test("wire serialization round-trips through the pipeline parser") {
+    val ev = Generator.randomEvents(spark, 50L)
+    val wire = Generator.toWire(ev,
+      Seq("id", "timestamp", "message", "user_id", "event_type", "value"))
+    assert(wire.columns.toSeq == Seq("value"))
+    val back = graft.ops.EventPipeline.parse(wire)
+    assert(back.count() == 50)
+    assert(back.filter(col("id").isNull || col("event_type").isNull).count() == 0)
+  }
+
+  test("rate stream produces parseable wire JSON") {
+    val stream = Generator.rateStream(spark, rowsPerSecond = 100)
+    assert(stream.isStreaming)
+    assert(stream.schema.fieldNames.toSeq == Seq("value"))
+    val q = graft.stream.Pipeline.process(stream)
+      .writeStream.format("memory").queryName("rate_sink")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      Thread.sleep(1200)
+      q.processAllAvailable()
+      val rows = spark.table("rate_sink")
+      assert(rows.filter(col("data_quality_score") < 50).count() == 0)
+    } finally q.stop()
+  }
+
+  test("csv export writes header + rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    Generator.writeCsv(Generator.syntheticEvents(spark, 10L), dir)
+    val back = spark.read.option("header", "true").csv(dir)
+    assert(back.count() == 10)
+    assert(back.columns.contains("event_type"))
+  }
+
+  test("catalog: database + declared-schema external table") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tbl").toString
+    Catalog.ensureEventsTable(spark, "graft_test_db", "events_sink", dir)
+    assert(spark.catalog.tableExists("graft_test_db.events_sink"))
+    val t = Catalog.readTable(spark, "graft_test_db", "events_sink")
+    // file-based tables surface every column as nullable (Spark relaxes
+    // nullability at the catalog boundary) — compare names + types
+    assert(t.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      graft.schema.EventSchema.sinkSchema.fields.map(f => (f.name, f.dataType)).toSeq)
+    assert(t.count() == 0) // empty until the sink writes
+    // idempotent re-create
+    Catalog.ensureEventsTable(spark, "graft_test_db", "events_sink", dir)
+  }
+}

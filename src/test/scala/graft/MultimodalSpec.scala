@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Multimodal
+
+class MultimodalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("synthetic assets are deterministic with typed metadata + binary payload") {
+    val a = Multimodal.syntheticAssets(spark, 100L).collect().sortBy(_.asset_id)
+    val b = Multimodal.syntheticAssets(spark, 100L).collect().sortBy(_.asset_id)
+    assert(a.length == 100)
+    assert(a.map(_.content.toSeq).toSeq == b.map(_.content.toSeq).toSeq)
+    assert(a.forall(x => x.content.length == (64 + (x.asset_id * 31) % 192).toInt))
+    assert(a.map(_.media_type).distinct.sorted.toSeq == Seq("audio", "image", "video"))
+  }
+
+  test("feature extraction: fixed-dim embeddings, frame policy, partition-local") {
+    val assets = Multimodal.syntheticAssets(spark, 100L).repartition(5)
+    val feats = Multimodal.extractFeatures(assets, dim = 16).collect()
+    assert(feats.length == 100)
+    assert(feats.forall(_.embedding.length == 16))
+    assert(feats.filter(_.media_type == "image").forall(_.frames_sampled == 1))
+    assert(feats.filter(_.media_type != "image").forall(f =>
+      f.frames_sampled >= 1 && f.frames_sampled <= 16))
+    // deterministic regardless of partitioning
+    val again = Multimodal.extractFeatures(
+      Multimodal.syntheticAssets(spark, 100L).repartition(2), dim = 16).collect()
+    assert(feats.sortBy(_.asset_id).map(_.embedding.toSeq).toSeq ==
+      again.sortBy(_.asset_id).map(_.embedding.toSeq).toSeq)
+  }
+
+  test("metadata-only profile never reads the content bytes (column pruning)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_media").toString
+    Multimodal.syntheticAssets(spark, 100L).toDF()
+      .write.mode("overwrite").parquet(dir)
+    val profile = Multimodal.mediaProfile(spark.read.parquet(dir))
+    val plan = profile.queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema"))
+    assert(!plan.split("ReadSchema")(1).split("\n")(0).contains("content"),
+      s"content column must be pruned from the scan:\n$plan")
+    val rows = profile.collect()
+    assert(rows.map(_.getAs[String]("media_type")).toSeq ==
+      Seq("audio", "image", "video"))
+  }
+
+  test("extracted features feed the similarity operators") {
+    val feats = Multimodal.extractFeatures(
+      Multimodal.syntheticAssets(spark, 50L)).toDF()
+    val nn = Multimodal.nearestAssets(feats, queryId = 0L, k = 3).collect()
+    assert(nn.length == 3)
+    assert(nn.forall(_.getAs[Long]("asset_id") != 0L))
+  }
+}
