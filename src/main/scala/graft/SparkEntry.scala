@@ -48,11 +48,20 @@ object SparkEntry {
         .orderBy("id")
     }),
     // ---- event analytics (reference query plane, SURVEY §2.5–2.6) ----
-    "q_event_summary" -> ((s, d) => Analytics.eventSummary(Analytics.events(s, d))),
-    "q_quality_histogram" -> ((s, d) => Analytics.qualityHistogram(Analytics.events(s, d))),
-    "q_verification_count" -> ((s, d) => Analytics.verificationCount(Analytics.events(s, d))),
-    "q_health_check" -> ((s, d) => Analytics.healthCheck(Analytics.events(s, d))),
-    "q_health_check_approx" -> ((s, d) => Analytics.healthCheckApprox(Analytics.events(s, d))),
+    // time-bounded queries read through eventsSince so the range predicate
+    // pushes to the parquet scan as a raw-nanos comparison (row-group
+    // pruning); the ops' own filters on the converted ts stay as a no-op
+    // guard
+    "q_event_summary" -> ((s, d) =>
+      Analytics.eventSummary(Analytics.eventsSince(s, d, "2024-01-30T00:00:00Z"))),
+    "q_quality_histogram" -> ((s, d) =>
+      Analytics.qualityHistogram(Analytics.eventsSince(s, d, "2024-01-15T00:00:00Z"))),
+    "q_verification_count" -> ((s, d) =>
+      Analytics.verificationCount(Analytics.eventsSince(s, d, "2024-01-30T00:00:00Z"))),
+    "q_health_check" -> ((s, d) =>
+      Analytics.healthCheck(Analytics.eventsSince(s, d, "2024-01-15T00:00:00Z"))),
+    "q_health_check_approx" -> ((s, d) =>
+      Analytics.healthCheckApprox(Analytics.eventsSince(s, d, "2024-01-15T00:00:00Z"))),
     "q_type_counts" -> ((s, d) => Analytics.typeCounts(Analytics.events(s, d))),
     "q_hourly_counts" -> ((s, d) => Analytics.hourlyCounts(Analytics.events(s, d))),
     "q_dashboard_metrics" -> ((s, d) => Analytics.dashboardMetrics(Analytics.events(s, d))),

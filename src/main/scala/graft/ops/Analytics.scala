@@ -27,6 +27,21 @@ object Analytics {
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
+  /** Time-bounded events scan with the predicate applied to the RAW nanos
+    * column — a filter on the converted `timestamp_micros(...)` expression
+    * cannot reach the parquet reader, but `ts >= <nanos literal>` becomes
+    * a pushed filter with row-group min/max pruning. At 100 TB (where the
+    * sink is additionally date-partitioned) this is the difference between
+    * scanning an hour and scanning the table.
+    */
+  def eventsSince(spark: SparkSession, sfDir: String, sinceIso: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val nanos = java.time.Instant.parse(sinceIso).getEpochSecond * 1000000000L
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .filter(col("ts") >= lit(nanos))
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
   /** F4-analog: "last hour" → last day of the dataset. */
   val recentDay: Column = col("ts") >= lit("2024-01-30 00:00:00").cast("timestamp")
 

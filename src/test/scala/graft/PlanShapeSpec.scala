@@ -1,0 +1,75 @@
+package graft
+
+import graft.ops.{Analytics, Relational, Similarity}
+
+/** Physical-plan regression suite: the 100 TB posture is encoded in plan
+  * shapes, not just results — these assertions fail if a refactor silently
+  * loses a pushdown, broadcasts the wrong side, or drops top-k pushdown.
+  */
+class PlanShapeSpec extends SparkTestBase {
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("lineitem date filter reaches the parquet scan (PushedFilters)") {
+    val p = plan(Relational.pricingSummary(Relational.table(spark, sf, "lineitem")))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+  }
+
+  test("events time filter pushes as a raw-nanos comparison") {
+    val p = plan(Analytics.eventSummary(
+      Analytics.eventsSince(spark, sf, "2024-01-30T00:00:00Z")))
+    assert(p.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts"), p)
+  }
+
+  test("star join broadcasts every dimension side (no shuffle of orders)") {
+    val p = plan(Relational.revenueByNation(
+      Relational.table(spark, sf, "region"), Relational.table(spark, sf, "nation"),
+      Relational.table(spark, sf, "customer"), Relational.table(spark, sf, "orders")))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("top-k plans as TakeOrderedAndProject, not a global sort") {
+    val p = plan(Relational.topOrders(Relational.table(spark, sf, "orders")))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("aggregations are partial+final (map-side combine before shuffle)") {
+    val p = plan(Analytics.typeCounts(Analytics.events(spark, sf)))
+    assert(p.contains("partial_count") || p.contains("HashAggregate"), p)
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+  }
+
+  test("aggregate queries prune to the referenced columns only") {
+    val p = plan(Analytics.typeCounts(Analytics.events(spark, sf)))
+    val readSchema = p.split("ReadSchema: ")(1).split("\n")(0)
+    assert(readSchema.contains("event_type"), readSchema)
+    assert(!readSchema.contains("props"), readSchema)
+  }
+
+  test("similarity brute-force broadcasts the query side") {
+    val e = Similarity.embeddings(spark, sf)
+    import org.apache.spark.sql.functions.col
+    val p = plan(Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10)))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("whole-stage codegen covers the event enrichment chain") {
+    // a literal Seq would constant-fold to a LocalTableScan at plan time;
+    // a file-backed source exercises the real scan → project → filter span
+    import org.apache.spark.sql.functions._
+    val wire = Analytics.events(spark, sf).select(to_json(struct(
+      col("event_id").cast("string").as("id"),
+      date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'").as("timestamp"),
+      col("props").as("message"),
+      col("user_id").cast("string").as("user_id"),
+      col("event_type"), col("value"))).as("value"))
+    val p = plan(graft.ops.EventPipeline.fromRawJson(wire))
+    // "*(n)" prefixes mark whole-stage-codegen'd operators in toString
+    assert(p.contains("*("), p)
+    // the whole per-record chain is one narrow stage: no exchange at all
+    assert(!p.contains("Exchange"), p)
+  }
+}
