@@ -139,6 +139,10 @@ object SparkEntry {
       val e = Similarity.embeddings(s, d)
       Similarity.lshTopK(e, e.filter(col("vec_id") < 10))
     }),
+    "q_ann_ivf" -> ((s, d) => {
+      val e = Similarity.embeddings(s, d)
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 10))
+    }),
     "q_centroid_norms" -> ((s, d) => Similarity.labelCentroidNorms(Similarity.embeddings(s, d)))
   )
 

@@ -104,6 +104,81 @@ object Similarity {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** IVF (inverted-file) ANN top-k — the 100 TB scale path.
+    *
+    * Train: nCells seed vectors (lowest vec_ids — deterministic), one
+    * Lloyd refinement (assign-all → per-cell mean). The centroid model is
+    * tiny (nCells × dim) and broadcast everywhere; collecting it to the
+    * driver is the standard IVF "train" step, not a data collect.
+    *
+    * Search: every corpus vector is assigned to its nearest centroid
+    * (broadcast join — narrow); each query probes its nProbe nearest
+    * cells and computes exact cosine only against those cells' vectors.
+    *
+    * Scale shape: the corpus shuffles ONCE on cell id (at 100 TB the
+    * corpus would be bucketed/persisted by cell, making this free), and
+    * per-query work drops to ~nProbe/nCells of the corpus. Recall < 1 by
+    * design; the spec measures it against [[bruteForceTopK]].
+    */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int = 10,
+      nCells: Int = 10,
+      nProbe: Int = 3): DataFrame = {
+    val spark = corpus.sparkSession
+
+    // -- train: seeds + one Lloyd iteration (mean per assigned cell) --
+    val seeds = corpus.orderBy(col("vec_id")).limit(nCells)
+      .select(col("vec_id").as("cell"), col("embedding").as("centroid"))
+    val assigned0 = assignToCell(corpus, seeds)
+    val dim = 64
+    val centroids = assigned0
+      .join(corpus, "vec_id")
+      .groupBy(col("cell"))
+      .agg(array((0 until dim).map(j =>
+        avg(element_at(col("embedding"), j + 1).cast("double")).cast("float")): _*)
+        .as("centroid"))
+
+    // -- index: nearest refined centroid per corpus vector --
+    val assignment = assignToCell(corpus, centroids)
+      .join(corpus, "vec_id")
+
+    // -- search: probe nProbe cells per query, exact cosine within --
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cdot"), col("cell"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("cdot", Dedup.cosine(col("q_emb"), col("centroid")))
+      .withColumn("prnk", row_number().over(probeW))
+      .filter(col("prnk") <= nProbe)
+      .select(col("query_id"), col("q_emb"), col("cell"))
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cos"), col("vec_id"))
+    probes.join(assignment, "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", Dedup.cosine(col("q_emb"), col("embedding")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("vec_id").as("neighbor_id"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** Nearest-centroid assignment via broadcast + window argmax (ties by
+    * cell id). Narrow on the corpus side: no corpus shuffle.
+    */
+  private def assignToCell(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(desc("cdot"), col("cell"))
+    vectors.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("cdot", Dedup.cosine(col("embedding"), col("centroid")))
+      .withColumn("arnk", row_number().over(w))
+      .filter(col("arnk") === 1)
+      .select(col("vec_id"), col("cell"))
+  }
+
   /** Centroid stats per label — the IVF-style partition profile: shows how
     * the corpus would shard into coarse cells (here the given labels) for
     * inverted-file ANN.

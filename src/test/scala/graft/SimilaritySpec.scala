@@ -31,6 +31,17 @@ class SimilaritySpec extends SparkTestBase {
     assert(out.head == ((1L, 5L))) // exact copy shares every band
   }
 
+  test("IVF top-k: high recall vs brute force on the real embeddings") {
+    val e = graft.ops.Similarity.embeddings(spark, "/root/testdata/sf0.001")
+    val q = e.filter($"vec_id" < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val brute = pairs(Similarity.bruteForceTopK(e, q, k = 10))
+    val ivf = pairs(Similarity.ivfTopK(e, q, k = 10, nCells = 10, nProbe = 3))
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.5, s"IVF recall $recall too low (${ivf.size} returned)")
+  }
+
   test("label centroid norms: unit cluster → norm 1") {
     val e = Seq(
       (1L, Array.fill(64)(0.0f).updated(0, 1.0f), 0),
