@@ -94,6 +94,8 @@ object SparkEntry {
     "q_lang_id" -> ((s, d) => TextAnalysis.langId(TextAnalysis.documents(s, d))),
     "q_text_quality" -> ((s, d) => TextAnalysis.qualityScore(TextAnalysis.documents(s, d))),
     "q_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(TextAnalysis.documents(s, d))),
+    "q_rolling_fingerprint" -> ((s, d) =>
+      TextAnalysis.rollingFingerprints(TextAnalysis.documents(s, d))),
     // ---- dedup (§7.4-1) ----
     "q_exact_dedup" -> ((s, d) => Dedup.exactDedup(TextAnalysis.documents(s, d))),
     "q_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(TextAnalysis.documents(s, d), 0.05)),
@@ -355,6 +357,11 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
     "q_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_rolling_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(list_prepend(0::BIGINT, list_transform(string_split(text, ''), c -> ord(c)::BIGINT)),
+        |              (a, b) -> (a * 31 + b) % 1000000007)::BIGINT AS rolling_fp
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_exact_dedup" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS dup_count

@@ -136,4 +136,19 @@ object TextAnalysis {
         md5(regexp_replace(trim(lower(col("text"))), "\\s+", " "))
           .as("fingerprint"))
       .orderBy(col("doc_id"))
+
+  /** Rolling (polynomial) document fingerprint: h ← (h·31 + codepoint)
+    * mod 1e9+7 over the text's characters — the Rabin-Karp-style content
+    * hash, engine-independent by construction (plain modular arithmetic,
+    * reproducible in ANSI-ish SQL via list_reduce). Row-local, one pass.
+    */
+  def rollingFingerprint(text: Column, mod: Long = 1000000007L): Column =
+    aggregate(
+      transform(split(text, ""), c => ascii(c).cast("long")),
+      lit(0L),
+      (h, c) => pmod(h * 31L + c, lit(mod)))
+
+  def rollingFingerprints(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), rollingFingerprint(col("text")).as("rolling_fp"))
+      .orderBy(col("doc_id"))
 }

@@ -46,6 +46,15 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(math.abs(r.getAs[Double]("quality") - exp) < 0.001)
   }
 
+  test("rolling fingerprint: known value, content-sensitive") {
+    val df = Seq((1L, "abc"), (2L, "abd"), (3L, "abc"))
+      .toDF("doc_id", "text")
+    val fps = TextAnalysis.rollingFingerprints(df).collect().map(_.getLong(1))
+    assert(fps(0) == 96354L) // ((0*31+97)*31+98)*31+99
+    assert(fps(0) != fps(1))
+    assert(fps(0) == fps(2))
+  }
+
   test("fingerprint is case/whitespace-insensitive") {
     val df = Seq(
       (1L, "Hello   World"), (2L, "hello world"), (3L, "hello worlds")
