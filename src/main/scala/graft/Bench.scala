@@ -10,7 +10,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // One untimed warm-up execution per query: the first run of each
+    // operator family pays JIT + whole-stage-codegen compilation (5-10x
+    // the steady-state cost); the timed second run measures engine
+    // throughput, which is the quantity comparable across engines.
     val results = SparkEntry.queries.map { case (name, fn) =>
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

@@ -38,27 +38,12 @@ object Similarity {
       .orderBy(col("query_id"), col("rnk"))
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane i, dim j):
-    * ±1 from the sign bit of a seeded hash — reproducible across runs and
-    * cluster sizes with no stored model.
-    */
-  private def planeComponent(i: Column, j: Column): Column =
-    when(xxhash64(lit("graft-lsh"), i, j) >= 0, lit(1.0)).otherwise(lit(-1.0))
-
-  /** nBits-bit random-hyperplane signature of an embedding: bit i = sign
-    * of the projection onto pseudo-random hyperplane i. Row-local.
+  /** nBits-bit random-hyperplane signature, packed into a long bitmask —
+    * a single codegen'd loop ([[graft.functions.RhpSig]]); bands become
+    * bit-shift extractions. Row-local, no stored model.
     */
   def rhpSignature(emb: Column, nBits: Int): Column =
-    transform(
-      sequence(lit(0), lit(nBits - 1)),
-      i =>
-        when(
-          aggregate(
-            zip_with(
-              emb,
-              sequence(lit(0), size(emb) - 1),
-              (v, j) => v.cast("double") * planeComponent(i, j)),
-            lit(0.0), (acc, v) => acc + v) >= 0, lit(1L)).otherwise(lit(0L)))
+    graft.functions.VectorFunctions.rhpSig(emb, nBits)
 
   /** ANN top-k via banded RHP-LSH: vectors sharing any signature band are
     * candidates; exact cosine ranks candidates. Recall < 1 by design —
@@ -71,9 +56,10 @@ object Similarity {
       nBits: Int = 16,
       bands: Int = 4): DataFrame = {
     val rowsPerBand = nBits / bands
+    val mask = (1L << rowsPerBand) - 1L
     def banded(df: DataFrame, idCol: String, embCol: String) = {
       val bandKeys = array((0 until bands).map(b =>
-        hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand), lit(b))): _*)
+        shiftrightunsigned(col("sig"), b * rowsPerBand).bitwiseAND(lit(mask))): _*)
       df.withColumn("sig", rhpSignature(col(embCol), nBits))
         .select(col(idCol), col(embCol), posexplode(bandKeys))
         .withColumnRenamed("pos", "band")

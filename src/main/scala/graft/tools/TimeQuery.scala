@@ -1,0 +1,26 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: time one SparkEntry query repeatedly (JIT-warm timings). */
+object TimeQuery {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val reps = if (args.length > 2) args(2).toInt else 3
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val fn = graft.SparkEntry.queries(name)
+    (1 to reps).foreach { r =>
+      val t0 = System.nanoTime()
+      val n = fn(spark, sfDir).count()
+      println(f"run$r: ${(System.nanoTime() - t0) / 1e9}%6.2f s  rows=$n")
+    }
+    spark.stop()
+  }
+}
