@@ -87,6 +87,16 @@ object SparkEntry {
     "q_customers_without_orders" -> ((s, d) =>
       Relational.customersWithoutOrders(
         Relational.table(s, d, "customer"), Relational.table(s, d, "orders"))),
+    // hot-key mitigation: salted join is result-equal to the plain join
+    "q_salted_join" -> ((s, d) =>
+      Skew.saltedJoin(
+          Relational.table(s, d, "lineitem"),
+          Relational.table(s, d, "part").select(col("p_partkey"), col("p_brand")),
+          "l_partkey" -> "p_partkey", salts = 8)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("line_count"),
+          sum(col("l_quantity")).cast("double").as("sum_qty"))
+        .orderBy(col("p_brand"))),
     // ---- text analysis (§7.4-2) ----
     "q_doc_stats" -> ((s, d) => TextAnalysis.docStats(TextAnalysis.documents(s, d))),
     "q_lang_stats" -> ((s, d) => TextAnalysis.langStats(TextAnalysis.documents(s, d))),
@@ -299,6 +309,10 @@ object SparkEntry {
         |  sum(CAST(o_totalprice AS DECIMAL(18,2)))::DOUBLE AS total
         |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q_salted_join" ->
+      """SELECT p_brand, count(*) AS line_count, sum(l_quantity) AS sum_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "q_customers_without_orders" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)

@@ -18,26 +18,31 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  /** Equi-join `big` (skewed) with `small` on `key`, spreading each hot
-    * key across `salts` shuffle partitions: the big side gets a random
-    * salt in [0, salts), the small side is replicated once per salt
-    * value. Result equals a plain inner join on `key`.
+  /** Equi-join `big` (skewed) with `small` on `keys` (bigKey -> smallKey),
+    * spreading each hot key across `salts` shuffle partitions: the big
+    * side gets a random salt in [0, salts), the small side is replicated
+    * once per salt value. Result equals a plain inner join.
     */
   def saltedJoin(
       big: DataFrame,
       small: DataFrame,
-      key: String,
+      keys: (String, String),
       salts: Int = 8): DataFrame = {
     require(salts > 0)
+    val (bigKey, smallKey) = keys
     val saltedBig = big.withColumn("__salt", (rand(42) * salts).cast("int"))
     val explodedSmall = small.withColumn(
       "__salt", explode(array((0 until salts).map(lit): _*)))
     saltedBig.join(explodedSmall,
-        saltedBig(key) === explodedSmall(key) &&
+        saltedBig(bigKey) === explodedSmall(smallKey) &&
           saltedBig("__salt") === explodedSmall("__salt"))
-      .drop(explodedSmall(key))
       .drop("__salt")
   }
+
+  /** Same-name-key convenience overload. */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String, salts: Int): DataFrame =
+    saltedJoin(big, small.withColumnRenamed(key, s"__sk_$key"), key -> s"__sk_$key", salts)
+      .drop(s"__sk_$key")
 
   /** Persist `df` as a bucketed+sorted table: subsequent equi-joins and
     * aggregations on `key` between same-bucketed tables plan with ZERO

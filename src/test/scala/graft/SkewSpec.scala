@@ -16,7 +16,7 @@ class SkewSpec extends SparkTestBase {
     val plain = big.join(small, "k").groupBy("name")
       .agg(count(lit(1)).as("n"), sum("payload").as("s"))
       .orderBy("name").collect()
-    val salted = Skew.saltedJoin(big, small, "k").groupBy("name")
+    val salted = Skew.saltedJoin(big, small, "k", salts = 8).groupBy("name")
       .agg(count(lit(1)).as("n"), sum("payload").as("s"))
       .orderBy("name").collect()
     assert(plain.toSeq == salted.toSeq)
