@@ -1,0 +1,59 @@
+package graft
+
+import graft.functions.GraftExtensions
+
+class GraftExtensionsSpec extends SparkTestBase {
+
+  test("native expressions are callable from SQL after registration") {
+    GraftExtensions.register(spark)
+    val dot = spark.sql(
+      "SELECT float_vec_dot(array(1.0f, 2.0f), array(3.0f, 4.0f)) AS d")
+      .head().getDouble(0)
+    assert(dot == 11.0)
+
+    val sh = spark.sql(
+      "SELECT word_shingles(array('a','b','c','b','c'), 2) AS s")
+      .head().getSeq[String](0)
+    assert(sh == Seq("a b", "b c", "c b"))
+
+    val score = spark.sql(
+      "SELECT quality_score('u7', 'hello', 2.5d, '2024-01-01T00:00:00Z') AS q")
+      .head().getInt(0)
+    assert(score == 100)
+
+    val scoreLow = spark.sql(
+      "SELECT quality_score('unknown', '', 0.0d, '2024-01-01T00:00:00Z') AS q")
+      .head().getInt(0)
+    assert(scoreLow == 25)
+
+    // signature functions compose in SQL
+    val sim = spark.sql(
+      """SELECT simhash64(transform(array('x','y'), t -> xxhash64(t))) AS s,
+        |       minhash_sig(transform(array('x','y'), t -> xxhash64(t)), 4) AS m
+        |""".stripMargin).head()
+    assert(sim.getSeq[Long](1).length == 4)
+  }
+
+  test("extensions class injects the same functions into a fresh session") {
+    import org.apache.spark.sql.SparkSession
+    val prev = spark // keep the shared session alive
+    // getOrCreate only applies extensions when it actually creates a
+    // session — clear the default so a new one (same context) is built
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new GraftExtensions)
+        .config("spark.ui.enabled", "false")
+        .appName("graft-ext-test")
+        .getOrCreate()
+      val d = s2.sql("SELECT float_vec_dot(array(1.0f), array(5.0f)) AS d")
+        .head().getDouble(0)
+      assert(d == 5.0)
+    } finally {
+      SparkSession.setDefaultSession(prev)
+      SparkSession.setActiveSession(prev)
+    }
+  }
+}
