@@ -112,6 +112,7 @@ object SparkEntry {
     "q_minhash_lsh" -> ((s, d) => Dedup.minHashLsh(TextAnalysis.documents(s, d), 0.05)),
     "q_simhash_pairs" -> ((s, d) => Dedup.simHashPairs(TextAnalysis.documents(s, d))),
     "q_embedding_neardup" -> ((s, d) => Dedup.embeddingNearDup(Similarity.embeddings(s, d))),
+    "q_embedding_neardup_lsh" -> ((s, d) => Dedup.embeddingNearDupLsh(Similarity.embeddings(s, d))),
     // ---- producer plane / sinks (S4, W6, K2; §2.11 X12–X14) ----
     "q_generator" -> ((s, d) => Generator.syntheticEvents(s, 10000L)
       .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),

@@ -186,4 +186,42 @@ object Dedup {
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
       .orderBy(col("vec_a"), col("vec_b"))
   }
+
+  /** Embedding near-dup, LSH-bucketed — the 100 TB path for
+    * [[embeddingNearDup]]: candidates share at least one band of a packed
+    * random-hyperplane signature ([[graft.functions.RhpSig]]), verified
+    * with exact cosine. Shuffle volume is O(vectors × bands), never
+    * O(vectors²); recall < 1 by design (the spec measures it against the
+    * all-pairs baseline).
+    */
+  def embeddingNearDupLsh(
+      embeddings: DataFrame,
+      threshold: Double = 0.45,
+      nBits: Int = 16,
+      bands: Int = 8): DataFrame = {
+    val rowsPerBand = nBits / bands
+    require(bands * rowsPerBand == nBits, "bands must divide nBits")
+    val mask = (1L << rowsPerBand) - 1L
+    val sig = graft.functions.VectorFunctions.rhpSig(col("embedding"), nBits)
+    val bandKeys = array((0 until bands).map(b =>
+      shiftrightunsigned(col("sig"), b * rowsPerBand).bitwiseAND(lit(mask))): _*)
+    val banded = embeddings
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("sig", sig)
+      .select(col("vec_id"), col("embedding"), posexplode(bandKeys))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_key")
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("a.embedding").as("emb_a"),
+        col("b.vec_id").as("vec_b"), col("b.embedding").as("emb_b"))
+      .dropDuplicates("vec_a", "vec_b")
+      .withColumn("cos", cosine(col("emb_a"), col("emb_b")))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_a"), col("vec_b"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
 }

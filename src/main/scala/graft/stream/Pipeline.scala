@@ -74,6 +74,18 @@ object Pipeline {
       .trigger(trigger)
       .start()
 
+  /** Streaming exact dedup (§7.4-1 in streaming form): drop events whose
+    * `id` was already seen, with state bounded by the watermark —
+    * duplicates arriving within the watermark window are suppressed,
+    * state for older ids is reclaimed.
+    */
+  def dedupStream(
+      events: DataFrame,
+      watermark: String = DefaultWatermark): DataFrame =
+    events
+      .withWatermark("timestamp", watermark)
+      .dropDuplicatesWithinWatermark("id")
+
   /** W2 as a TRUE streaming aggregation (the part the reference's windows
     * only gestured at): tumbling event-time windows with a watermark so
     * state is bounded — per-window per-type counts and value sums.

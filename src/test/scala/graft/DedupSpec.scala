@@ -69,6 +69,17 @@ class DedupSpec extends SparkTestBase {
     assert(cos((1L, 3L)) == 1.0)
   }
 
+  test("LSH-bucketed embedding near-dup: full recall on the real table") {
+    val e = graft.ops.Similarity.embeddings(spark, "/root/testdata/sf0.001")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Dedup.embeddingNearDup(e, 0.45))
+    val lsh = pairs(Dedup.embeddingNearDupLsh(e, 0.45))
+    assert(lsh.subsetOf(exact)) // verification step: no false positives
+    val recall = if (exact.isEmpty) 1.0 else (exact & lsh).size.toDouble / exact.size
+    assert(recall >= 0.7, s"recall $recall (${lsh.size}/${exact.size})")
+  }
+
   test("embedding near-dup finds scaled copies, skips orthogonal") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)), (3L, Array(2.0f, 0.0f))

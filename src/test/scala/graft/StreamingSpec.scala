@@ -73,6 +73,22 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming dedup suppresses duplicate ids within the watermark") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[String]
+    val q = Pipeline.dedupStream(Pipeline.process(input.toDF()))
+      .writeStream.format("memory").queryName("dedup_sink")
+      .outputMode("append").start()
+    try {
+      input.addData(msg1, msg2, msg1) // msg1 duplicated in-batch
+      q.processAllAvailable()
+      input.addData(msg1) // and again in a later batch, still in watermark
+      q.processAllAvailable()
+      val ids = spark.table("dedup_sink").collect().map(_.getAs[String]("id"))
+      assert(ids.sorted.toSeq == Seq("test-dag-001", "test-dag-002"))
+    } finally q.stop()
+  }
+
   test("file-source streaming with date-partitioned parquet sink") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
     val srcDir = s"$dir/in"; val outDir = s"$dir/out"; val ckpt = s"$dir/ckpt"
