@@ -24,11 +24,15 @@ object Similarity {
     * rank-filter). Ties broken by vec_id.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10): DataFrame = {
+    import graft.functions.VectorFunctions.vecDot
     val q = queries.select(
-      col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+      Dedup.vecNorm(col("embedding")).as("q_norm"))
     val scored = corpus
+      .withColumn("c_norm", Dedup.vecNorm(col("embedding")))
       .join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .withColumn("cos", Dedup.cosine(col("q_emb"), col("embedding")))
+      .withColumn("cos",
+        vecDot(col("q_emb"), col("embedding")) / col("q_norm") / col("c_norm"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(desc("cos"), col("vec_id"))
     scored
@@ -83,7 +87,9 @@ object Similarity {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(desc("cos"), col("vec_id"))
     candidates
-      .withColumn("cos", Dedup.cosine(col("q_emb"), col("embedding")))
+      .withColumn("cos",
+        graft.functions.VectorFunctions.vecDot(col("q_emb"), col("embedding"))
+          / Dedup.vecNorm(col("q_emb")) / Dedup.vecNorm(col("embedding")))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("rnk"), col("vec_id").as("neighbor_id"))
