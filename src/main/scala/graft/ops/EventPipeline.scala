@@ -145,7 +145,11 @@ object EventPipeline {
         "reject_reason",
         when(col("e").isNull || col(s"e.$corruptCol").isNotNull, "corrupt_json")
           .when(missingReq, "missing_required_field")
-          .when(score < 50, "low_quality"))
+          .when(score < 50, "low_quality")
+          // the typed-sink gate in fromRawJson (timestamp must parse to a
+          // real TIMESTAMP) — without this arm such rows vanish from both
+          // the main and quarantine sinks
+          .when(try_to_timestamp(col("e.timestamp")).isNull, "unparseable_timestamp"))
       .filter(col("reject_reason").isNotNull)
       .select(col(jsonCol).as("raw"), col("reject_reason"))
   }

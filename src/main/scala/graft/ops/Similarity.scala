@@ -51,37 +51,42 @@ object Similarity {
 
   /** ANN top-k via banded RHP-LSH: vectors sharing any signature band are
     * candidates; exact cosine ranks candidates. Recall < 1 by design —
-    * the spec measures it against [[bruteForceTopK]].
+    * the spec measures it against [[bruteForceTopK]]. Band sizing follows
+    * [[Dedup.embeddingNearDupLsh]]: 8-bit band keys (256 buckets per
+    * band), so unrelated vectors collide on some band with P ≈ 0.03
+    * instead of the near-cross-join coarse keys produce. Norms ride
+    * through the explode so the verify stage does one dot per pair.
     */
   def lshTopK(
       corpus: DataFrame,
       queries: DataFrame,
       k: Int = 10,
-      nBits: Int = 16,
-      bands: Int = 4): DataFrame = {
+      nBits: Int = 64,
+      bands: Int = 8): DataFrame = {
     val rowsPerBand = nBits / bands
     val mask = (1L << rowsPerBand) - 1L
-    def banded(df: DataFrame, idCol: String, embCol: String) = {
+    def banded(df: DataFrame, idCol: String, embCol: String, normCol: String) = {
       val bandKeys = array((0 until bands).map(b =>
         shiftrightunsigned(col("sig"), b * rowsPerBand).bitwiseAND(lit(mask))): _*)
-      df.withColumn("sig", rhpSignature(col(embCol), nBits))
-        .select(col(idCol), col(embCol), posexplode(bandKeys))
+      df.withColumn(normCol, Dedup.vecNorm(col(embCol)))
+        .withColumn("sig", rhpSignature(col(embCol), nBits))
+        .select(col(idCol), col(embCol), col(normCol), posexplode(bandKeys))
         .withColumnRenamed("pos", "band")
         .withColumnRenamed("col", "band_key")
     }
 
-    val c = banded(corpus, "vec_id", "embedding")
+    val c = banded(corpus, "vec_id", "embedding", "c_norm")
     val q = banded(
       queries.select(col("vec_id").as("query_id"),
-        col("embedding").as("q_emb")), "query_id", "q_emb")
+        col("embedding").as("q_emb")), "query_id", "q_emb", "q_norm")
 
     val candidates = c.as("c")
       .join(q.as("q"),
         col("c.band") === col("q.band") &&
           col("c.band_key") === col("q.band_key") &&
           col("c.vec_id") =!= col("q.query_id"))
-      .select(col("q.query_id"), col("q.q_emb"),
-        col("c.vec_id"), col("c.embedding"))
+      .select(col("q.query_id"), col("q.q_emb"), col("q.q_norm"),
+        col("c.vec_id"), col("c.embedding"), col("c.c_norm"))
       .dropDuplicates("query_id", "vec_id")
 
     val w = Window.partitionBy(col("query_id"))
@@ -89,7 +94,7 @@ object Similarity {
     candidates
       .withColumn("cos",
         graft.functions.VectorFunctions.vecDot(col("q_emb"), col("embedding"))
-          / Dedup.vecNorm(col("q_emb")) / Dedup.vecNorm(col("embedding")))
+          / col("q_norm") / col("c_norm"))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("rnk"), col("vec_id").as("neighbor_id"))
@@ -137,20 +142,25 @@ object Similarity {
       .join(corpus, "vec_id")
 
     // -- search: probe nProbe cells per query, exact cosine within --
-    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    // norms precomputed per side: one dot per (query, candidate) pair
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"), Dedup.vecNorm(col("embedding")).as("q_norm"))
     val probeW = Window.partitionBy(col("query_id"))
       .orderBy(desc("cdot"), col("cell"))
     val probes = q.crossJoin(broadcast(centroids))
       .withColumn("cdot", Dedup.cosine(col("q_emb"), col("centroid")))
       .withColumn("prnk", row_number().over(probeW))
       .filter(col("prnk") <= nProbe)
-      .select(col("query_id"), col("q_emb"), col("cell"))
+      .select(col("query_id"), col("q_emb"), col("q_norm"), col("cell"))
 
     val w = Window.partitionBy(col("query_id"))
       .orderBy(desc("cos"), col("vec_id"))
-    probes.join(assignment, "cell")
+    probes.join(
+        assignment.withColumn("c_norm", Dedup.vecNorm(col("embedding"))), "cell")
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos", Dedup.cosine(col("q_emb"), col("embedding")))
+      .withColumn("cos",
+        graft.functions.VectorFunctions.vecDot(col("q_emb"), col("embedding"))
+          / col("q_norm") / col("c_norm"))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("rnk"), col("vec_id").as("neighbor_id"))

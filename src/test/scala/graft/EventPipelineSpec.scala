@@ -83,10 +83,18 @@ class EventPipelineSpec extends SparkTestBase {
     val lowQ =
       """{"id":"x","timestamp":"2024-01-15T10:00:00Z","message":"","user_id":"unknown","event_type":"t","value":0.0}"""
     val noField = """{"id":"x","timestamp":"2024-01-15T10:00:00Z"}"""
+    val badTs =
+      """{"id":"x","timestamp":"not-a-date","message":"m","user_id":"u","event_type":"t","value":1.0}"""
     val dl = EventPipeline.deadLetter(
-      Seq("{corrupt", noField, lowQ, dagMsg1).toDF("value"))
+      Seq("{corrupt", noField, lowQ, badTs, dagMsg1).toDF("value"))
     val reasons = dl.select("reject_reason").as[String].collect().sorted
-    assert(reasons.toSeq == Seq("corrupt_json", "low_quality", "missing_required_field"))
+    assert(reasons.toSeq == Seq("corrupt_json", "low_quality",
+      "missing_required_field", "unparseable_timestamp"))
+    // main-path + dead-letter outputs partition the input: nothing vanishes
+    val kept = EventPipeline.fromRawJson(
+      Seq("{corrupt", noField, lowQ, badTs, dagMsg1).toDF("value"),
+      deterministic = true).count()
+    assert(kept + dl.count() == 5)
   }
 
   test("sink schema column order matches the declared 19-column table") {
