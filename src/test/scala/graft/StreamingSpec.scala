@@ -89,6 +89,36 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState sessionization closes sessions on gap timeout") {
+    implicit val ctx = spark.sqlContext
+    def ev(id: String, user: String, tsIso: String) =
+      s"""{"id":"$id","timestamp":"$tsIso","message":"m","user_id":"$user","event_type":"click","value":1.0}"""
+    val input = MemoryStream[String]
+    val sessions = graft.stream.Sessionize.userSessions(
+      Pipeline.process(input.toDF()), gapMinutes = 5, watermark = "1 minute")
+    val q = sessions.toDF()
+      .writeStream.format("memory").queryName("session_sink")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        ev("a", "u1", "2024-01-15T10:00:00Z"),
+        ev("b", "u1", "2024-01-15T10:00:30Z"),
+        ev("c", "u2", "2024-01-15T10:00:10Z"))
+      q.processAllAvailable()
+      assert(spark.table("session_sink").count() == 0) // sessions still open
+      // advance the watermark far past u1/u2's last-event + gap
+      input.addData(ev("d", "u3", "2024-01-15T11:00:00Z"))
+      q.processAllAvailable()
+      input.addData(ev("e", "u3", "2024-01-15T11:30:00Z"))
+      q.processAllAvailable()
+      val closed = spark.table("session_sink").collect()
+        .map(r => r.getAs[String]("user_id") -> r.getAs[Long]("n_events")).toMap
+      assert(closed("u1") == 2)
+      assert(closed("u2") == 1)
+      assert(!closed.contains("u3")) // still open
+    } finally q.stop()
+  }
+
   test("file-source streaming with date-partitioned parquet sink") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
     val srcDir = s"$dir/in"; val outDir = s"$dir/out"; val ckpt = s"$dir/ckpt"
