@@ -30,14 +30,29 @@ case class MinHashSig(child: Expression, k: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig"
 
-  protected override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  protected override def nullSafeEval(input: Any): Any =
+    MinHashSig.compute(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.MinHashSig$$.MODULE$$.compute($c, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+object MinHashSig {
+  /** 0x9E3779B97F4A7C15 / 0xBF58476D1CE4E5B9 (splitmix64 constants). */
+  val GoldenA: Long = -7046029254386353131L
+  val GoldenB: Long = -4658895280553007687L
+
+  def compute(arr: ArrayData, k: Int): UnsafeArrayData = {
     val n = arr.numElements()
-    val mins = Array.fill(k)(Long.MaxValue)
+    val mins = new Array[Long](k)
     var j = 0
     while (j < k) {
-      val a = (2L * j + 1L) * MinHashSig.GoldenA
-      val b = j * MinHashSig.GoldenB
+      val a = (2L * j + 1L) * GoldenA
+      val b = j * GoldenB
       var m = Long.MaxValue
       var i = 0
       while (i < n) {
@@ -50,42 +65,6 @@ case class MinHashSig(child: Expression, k: Int)
     }
     UnsafeArrayData.fromPrimitiveArray(mins)
   }
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c => {
-      val i = ctx.freshName("i")
-      val j = ctx.freshName("j")
-      val n = ctx.freshName("n")
-      val a = ctx.freshName("a")
-      val b = ctx.freshName("b")
-      val m = ctx.freshName("m")
-      val g = ctx.freshName("g")
-      val mins = ctx.freshName("mins")
-      s"""
-         |final int $n = $c.numElements();
-         |final long[] $mins = new long[$k];
-         |for (int $j = 0; $j < $k; $j++) {
-         |  final long $a = (2L * $j + 1L) * ${MinHashSig.GoldenA}L;
-         |  final long $b = $j * ${MinHashSig.GoldenB}L;
-         |  long $m = Long.MAX_VALUE;
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    final long $g = $c.getLong($i) * $a + $b;
-         |    if ($g < $m) $m = $g;
-         |  }
-         |  $mins[$j] = $m;
-         |}
-         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($mins);
-       """.stripMargin
-    })
-
-  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
-    copy(child = newChild)
-}
-
-object MinHashSig {
-  /** 0x9E3779B97F4A7C15 / 0xBF58476D1CE4E5B9 (splitmix64 constants). */
-  val GoldenA: Long = -7046029254386353131L
-  val GoldenB: Long = -4658895280553007687L
 }
 
 /** 64-bit SimHash over pre-hashed features: bit j of the result is set
@@ -99,8 +78,19 @@ case class SimHash64(child: Expression)
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
 
-  protected override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  protected override def nullSafeEval(input: Any): Any =
+    SimHash64.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SimHash64$$.MODULE$$.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+object SimHash64 {
+  def compute(arr: ArrayData): Long = {
     val n = arr.numElements()
     val cnt = new Array[Int](64)
     var i = 0
@@ -121,34 +111,6 @@ case class SimHash64(child: Expression)
     }
     sig
   }
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c => {
-      val i = ctx.freshName("i")
-      val j = ctx.freshName("j")
-      val n = ctx.freshName("n")
-      val h = ctx.freshName("h")
-      val cnt = ctx.freshName("cnt")
-      val sig = ctx.freshName("sig")
-      s"""
-         |final int $n = $c.numElements();
-         |final int[] $cnt = new int[64];
-         |for (int $i = 0; $i < $n; $i++) {
-         |  final long $h = $c.getLong($i);
-         |  for (int $j = 0; $j < 64; $j++) {
-         |    if ((($h >>> $j) & 1L) == 1L) $cnt[$j]++; else $cnt[$j]--;
-         |  }
-         |}
-         |long $sig = 0L;
-         |for (int $j = 0; $j < 64; $j++) {
-         |  if ($cnt[$j] > 0) $sig |= (1L << $j);
-         |}
-         |${ev.value} = $sig;
-       """.stripMargin
-    })
-
-  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
-    copy(child = newChild)
 }
 
 object HashFunctions {
