@@ -83,6 +83,8 @@ object SparkEntry {
     "q_top_orders" -> ((s, d) => Relational.topOrders(Relational.table(s, d, "orders"))),
     "q_top_orders_per_customer" -> ((s, d) =>
       Relational.topOrdersPerCustomer(Relational.table(s, d, "orders"))),
+    "q_top_orders_per_customer_agg" -> ((s, d) =>
+      Relational.topOrdersPerCustomerAgg(Relational.table(s, d, "orders"))),
     "q_order_rollup" -> ((s, d) => Relational.orderStatusRollup(Relational.table(s, d, "orders"))),
     "q_customers_without_orders" -> ((s, d) =>
       Relational.customersWithoutOrders(
@@ -301,6 +303,11 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
     "q_top_orders_per_customer" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |  FROM orders) WHERE rnk <= 3 ORDER BY o_custkey, rnk""".stripMargin,
+    "q_top_orders_per_customer_agg" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
         |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk

@@ -95,6 +95,30 @@ object Relational {
       .orderBy(col("o_custkey"), col("rnk"))
   }
 
+  /** Top-k per customer via the typed [[graft.functions.TopKAggregator]]
+    * — result-identical to [[topOrdersPerCustomer]], but planned as a
+    * partial+final aggregate: map tasks ship ≤ k pairs per group instead
+    * of shuffling and sorting every order row (the window-function cost).
+    */
+  def topOrdersPerCustomerAgg(orders: DataFrame, k: Int = 3): DataFrame = {
+    val spark = orders.sparkSession
+    import spark.implicits._
+    val topk = new graft.functions.TopKAggregator[(Long, Double, Long)](
+      k, r => (r._2, r._3))
+    orders
+      .select(col("o_custkey"), col("o_totalprice"), col("o_orderkey"))
+      .as[(Long, Double, Long)]
+      .groupByKey(_._1)
+      .agg(topk.toColumn)
+      .flatMap { case (cust, pairs) =>
+        pairs.zipWithIndex.map { case ((price, okey), i) =>
+          (cust, okey, price, (i + 1).toLong)
+        }
+      }
+      .toDF("o_custkey", "o_orderkey", "o_totalprice", "rnk")
+      .orderBy(col("o_custkey"), col("rnk"))
+  }
+
   /** Rollup (§2.5 extension): order counts by status with subtotals —
     * exercises grouping-set expansion.
     */

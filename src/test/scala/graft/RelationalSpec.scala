@@ -24,6 +24,17 @@ class RelationalSpec extends SparkTestBase {
     assert(out.toSeq == Seq((10L, 4L, 1L), (10L, 2L, 2L), (20L, 5L, 1L)))
   }
 
+  test("typed top-k Aggregator matches the window-function formulation") {
+    val viaWindow = Relational.topOrdersPerCustomer(orders, k = 2).collect().toSeq
+    val viaAgg = Relational.topOrdersPerCustomerAgg(orders, k = 2).collect().toSeq
+    assert(viaWindow == viaAgg)
+    // and on real data
+    val o = Relational.table(spark, "/root/testdata/sf0.001", "orders")
+    val w = Relational.topOrdersPerCustomer(o).collect().toSeq
+    val a = Relational.topOrdersPerCustomerAgg(o).collect().toSeq
+    assert(w == a)
+  }
+
   test("rollup emits subtotal and grand-total rows") {
     val out = Relational.orderStatusRollup(orders).collect()
     // 3 (status,priority) combos + 2 status subtotals + 1 grand total
