@@ -104,6 +104,7 @@ object SparkEntry {
     "q_lang_stats" -> ((s, d) => TextAnalysis.langStats(TextAnalysis.documents(s, d))),
     "q_token_counts" -> ((s, d) => TextAnalysis.tokenCounts(TextAnalysis.documents(s, d))),
     "q_lang_id" -> ((s, d) => TextAnalysis.langId(TextAnalysis.documents(s, d))),
+    "q_lang_id_ngram" -> ((s, d) => TextAnalysis.langIdCharNgram(TextAnalysis.documents(s, d))),
     "q_text_quality" -> ((s, d) => TextAnalysis.qualityScore(TextAnalysis.documents(s, d))),
     "q_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(TextAnalysis.documents(s, d))),
     "q_rolling_fingerprint" -> ((s, d) =>
@@ -362,6 +363,31 @@ object SparkEntry {
         |      len(list_filter(toks, t -> t IN ('le','la','les','et','est')))::BIGINT AS hits_fr,
         |      len(list_filter(toks, t -> t IN ('的','是','了','在','我')))::BIGINT AS hits_zh
         |    FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks FROM documents)))
+        |ORDER BY doc_id""".stripMargin,
+    "q_lang_id_ngram" ->
+      """SELECT doc_id,
+        |  CASE WHEN c_en = mx AND mx > 0 THEN 'en'
+        |       WHEN c_de = mx AND mx > 0 THEN 'de'
+        |       WHEN c_es = mx AND mx > 0 THEN 'es'
+        |       WHEN c_fr = mx AND mx > 0 THEN 'fr'
+        |       ELSE 'und' END AS predicted_lang,
+        |  mx AS trigram_hits
+        |FROM (
+        |  SELECT doc_id, c_en, c_de, c_es, c_fr,
+        |    greatest(c_en, c_de, c_es, c_fr) AS mx
+        |  FROM (
+        |    SELECT doc_id,
+        |      len(list_filter(tg, t -> t IN ('the', ' th', 'he ', 'ing', 'and')))::BIGINT AS c_en,
+        |      len(list_filter(tg, t -> t IN ('der', 'ein', 'ich', 'sch', 'und')))::BIGINT AS c_de,
+        |      len(list_filter(tg, t -> t IN (' el', 'los', 'ión', 'que', 'ado')))::BIGINT AS c_es,
+        |      len(list_filter(tg, t -> t IN (' le', 'les', 'eur', 'ait', 'oux')))::BIGINT AS c_fr
+        |    FROM (
+        |      SELECT doc_id,
+        |        CASE WHEN length(lower(text)) >= 3
+        |             THEN list_transform(range(1, length(lower(text)) - 1),
+        |                                 i -> substr(lower(text), i::INT, 3))
+        |             ELSE [] END AS tg
+        |      FROM documents)))
         |ORDER BY doc_id""".stripMargin,
     "q_text_quality" ->
       """SELECT doc_id, round(len_score, 4) AS len_score,

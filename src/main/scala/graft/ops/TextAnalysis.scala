@@ -103,6 +103,52 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Character trigrams of the lowercased text (positions 1..len-2).
+    * `text` is a plain attribute inside the lambda, so there is no
+    * re-evaluation hazard (only computed subexpressions suffer from the
+    * no-CSE-across-lambdas behavior).
+    */
+  def charTrigrams(text: Column): Column = {
+    val lc = lower(text)
+    when(length(lc) >= 3,
+      transform(sequence(lit(1), length(lc) - 2), i => lc.substr(i, lit(3))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Characteristic char-trigram sets per language (with their leading/
+    * trailing spaces as word-boundary signals) — the classic n-gram
+    * profile heuristic at minimal size.
+    */
+  val charMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", " th", "he ", "ing", "and"),
+    "de" -> Seq("der", "ein", "ich", "sch", "und"),
+    "es" -> Seq(" el", "los", "ión", "que", "ado"),
+    "fr" -> Seq(" le", "les", "eur", "ait", "oux"))
+
+  /** Language ID via char-trigram profile hits: argmax over languages,
+    * first-listed wins ties, all-zero → "und". The word-marker variant
+    * ([[langId]]) is the cheaper heuristic; this one also fires on text
+    * without clean token boundaries.
+    */
+  def langIdCharNgram(df: DataFrame): DataFrame = {
+    val scored = df.withColumn("tg", charTrigrams(col("text")))
+    val withScores = charMarkers.foldLeft(scored) { case (d, (code, ms)) =>
+      d.withColumn(s"chits_$code",
+        size(filter(col("tg"), t => t.isInCollection(ms))).cast("long"))
+    }
+    val maxHits = charMarkers.map { case (code, _) => col(s"chits_$code") }
+      .reduce((a, b) => when(a >= b, a).otherwise(b))
+    val firstArgmax = charMarkers.map { case (code, _) =>
+      (col(s"chits_$code"), lit(code))
+    }.foldRight(lit("und")) { case ((hits, code), els) =>
+      when(hits === maxHits && maxHits > 0, code).otherwise(els)
+    }
+    withScores
+      .select(col("doc_id"), firstArgmax.as("predicted_lang"),
+        maxHits.as("trigram_hits"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Heuristic quality score in [0,1]: length band + stopword ratio +
     * lexical diversity — the standard cheap pre-filter for training data.
     * Pure arithmetic on exact integer counts → deterministic.
