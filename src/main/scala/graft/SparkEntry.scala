@@ -70,6 +70,9 @@ object SparkEntry {
     "q_tumbling_counts" -> ((s, d) => Analytics.tumblingCounts(Analytics.events(s, d))),
     "q_sliding_counts" -> ((s, d) => Analytics.slidingCounts(Analytics.events(s, d))),
     "q_set_ops" -> ((s, d) => Analytics.setOps(Analytics.events(s, d))),
+    "q_value_stats" -> ((s, d) => Analytics.valueStats(Analytics.events(s, d))),
+    "q_hourly_type_pivot" -> ((s, d) => Analytics.hourlyTypePivot(Analytics.events(s, d))),
+    "q_user_event_sets" -> ((s, d) => Analytics.userEventSets(Analytics.events(s, d))),
     "q_dedup_events" -> ((s, d) => Analytics.dedupExactEvents(Analytics.events(s, d))),
     // ---- relational surface (joins / windows / rollup, SURVEY §2.7–2.9) ----
     "q_pricing_summary" -> ((s, d) => Relational.pricingSummary(Relational.table(s, d, "lineitem"))),
@@ -272,6 +275,24 @@ object SparkEntry {
         |INTERSECT
         |SELECT user_id FROM events WHERE event_type = 'error'
         |ORDER BY user_id""".stripMargin,
+    "q_value_stats" ->
+      """SELECT event_type, count(*) AS n,
+        |  round(stddev_samp(value), 4) AS stddev_value,
+        |  round(median(value), 4) AS median_value,
+        |  round(min(value), 4) AS min_value,
+        |  round(max(value), 4) AS max_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_hourly_type_pivot" ->
+      """SELECT EXTRACT(hour FROM ts)::BIGINT AS hour_of_day,
+        |  sum(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(12,2)) END)::DOUBLE AS click,
+        |  sum(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(12,2)) END)::DOUBLE AS error,
+        |  sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(12,2)) END)::DOUBLE AS purchase,
+        |  sum(CASE WHEN event_type = 'signup' THEN CAST(value AS DECIMAL(12,2)) END)::DOUBLE AS signup,
+        |  sum(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(12,2)) END)::DOUBLE AS view
+        |FROM events GROUP BY 1 ORDER BY hour_of_day""".stripMargin,
+    "q_user_event_sets" ->
+      """SELECT user_id, list_sort(list_distinct(list(event_type))) AS event_types
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_dedup_events" ->
       """SELECT user_id, event_type, min(event_id) AS keep_id, count(*) AS dup_count
         |FROM events GROUP BY user_id, event_type ORDER BY user_id, event_type""".stripMargin,

@@ -208,6 +208,38 @@ object Analytics {
     purchasers.intersect(erroring).orderBy(col("user_id"))
   }
 
+  /** §2.5 absent-in-reference aggregates, provided as engine surface:
+    * dispersion + exact median per event type.
+    */
+  def valueStats(df: DataFrame): DataFrame =
+    df.groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(stddev_samp(col("value")), 4).as("stddev_value"),
+        round(median(col("value")), 4).as("median_value"),
+        round(min(col("value")), 4).as("min_value"),
+        round(max(col("value")), 4).as("max_value"))
+      .orderBy(col("event_type"))
+
+  /** Pivot: hour-of-day × event_type value sums (wide layout). Explicit
+    * pivot values keep the schema static — never data-driven at plan
+    * time (a full-scan hazard at 100 TB).
+    */
+  def hourlyTypePivot(df: DataFrame): DataFrame =
+    df.withColumn("hour_of_day", hour(col("ts")).cast("long"))
+      .groupBy(col("hour_of_day"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(sum(col("value").cast("decimal(12,2)")).cast("double"))
+      .orderBy(col("hour_of_day"))
+
+  /** collect_set surface: the distinct event types seen per user, sorted
+    * for determinism.
+    */
+  def userEventSets(df: DataFrame): DataFrame =
+    df.groupBy(col("user_id"))
+      .agg(sort_array(collect_set(col("event_type"))).as("event_types"))
+      .orderBy(col("user_id"))
+
   /** Exact dedup (extension §7.4-1): deterministic keeper per key group —
     * min(event_id) — instead of dropDuplicates' arbitrary row.
     */
