@@ -73,6 +73,7 @@ object SparkEntry {
     "q_value_stats" -> ((s, d) => Analytics.valueStats(Analytics.events(s, d))),
     "q_hourly_type_pivot" -> ((s, d) => Analytics.hourlyTypePivot(Analytics.events(s, d))),
     "q_user_event_sets" -> ((s, d) => Analytics.userEventSets(Analytics.events(s, d))),
+    "q_first_event_per_user" -> ((s, d) => Analytics.firstEventPerUser(Analytics.events(s, d))),
     "q_dedup_events" -> ((s, d) => Analytics.dedupExactEvents(Analytics.events(s, d))),
     // ---- relational surface (joins / windows / rollup, SURVEY §2.7–2.9) ----
     "q_pricing_summary" -> ((s, d) => Relational.pricingSummary(Relational.table(s, d, "lineitem"))),
@@ -293,6 +294,12 @@ object SparkEntry {
     "q_user_event_sets" ->
       """SELECT user_id, list_sort(list_distinct(list(event_type))) AS event_types
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_first_event_per_user" ->
+      """SELECT DISTINCT ON (user_id) user_id,
+        |  epoch_us(ts) AS first_ts_us,
+        |  event_id AS first_event_id,
+        |  event_type AS first_event_type
+        |FROM events ORDER BY user_id, ts, event_id""".stripMargin,
     "q_dedup_events" ->
       """SELECT user_id, event_type, min(event_id) AS keep_id, count(*) AS dup_count
         |FROM events GROUP BY user_id, event_type ORDER BY user_id, event_type""".stripMargin,

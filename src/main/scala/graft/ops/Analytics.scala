@@ -240,6 +240,20 @@ object Analytics {
       .agg(sort_array(collect_set(col("event_type"))).as("event_types"))
       .orderBy(col("user_id"))
 
+  /** DISTINCT ON-style: each user's first event (by ts, event_id). A
+    * min(struct(...)) aggregate rather than a rank-filter window: one
+    * partial+final aggregate, no per-group sort of the full data.
+    */
+  def firstEventPerUser(df: DataFrame): DataFrame =
+    df.groupBy(col("user_id"))
+      .agg(min(struct(col("ts"), col("event_id"), col("event_type"))).as("f"))
+      .select(
+        col("user_id"),
+        unix_micros(col("f.ts")).as("first_ts_us"),
+        col("f.event_id").as("first_event_id"),
+        col("f.event_type").as("first_event_type"))
+      .orderBy(col("user_id"))
+
   /** Exact dedup (extension §7.4-1): deterministic keeper per key group —
     * min(event_id) — instead of dropDuplicates' arbitrary row.
     */
