@@ -16,6 +16,9 @@ object Bench {
     // throughput, which is the quantity comparable across engines.
     val results = SparkEntry.queries.map { case (name, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      // reclaim garbage from the warm-up / previous queries outside the
+      // timed window so one query's allocation debt doesn't tax the next
+      System.gc()
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
         catch { case e: Throwable =>
