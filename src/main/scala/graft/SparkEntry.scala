@@ -90,6 +90,9 @@ object SparkEntry {
     "q_top_orders_per_customer_agg" -> ((s, d) =>
       Relational.topOrdersPerCustomerAgg(Relational.table(s, d, "orders"))),
     "q_order_rollup" -> ((s, d) => Relational.orderStatusRollup(Relational.table(s, d, "orders"))),
+    "q_order_cube" -> ((s, d) => Relational.orderStatusCube(Relational.table(s, d, "orders"))),
+    "q_corr_stats" -> ((s, d) => Relational.quantityPriceCorr(Relational.table(s, d, "lineitem"))),
+    "q_except_users" -> ((s, d) => Analytics.viewersWithoutPurchase(Analytics.events(s, d))),
     "q_customers_without_orders" -> ((s, d) =>
       Relational.customersWithoutOrders(
         Relational.table(s, d, "customer"), Relational.table(s, d, "orders"))),
@@ -350,6 +353,23 @@ object SparkEntry {
       """SELECT p_brand, count(*) AS line_count, sum(l_quantity) AS sum_qty
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q_order_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  sum(CAST(o_totalprice AS DECIMAL(18,2)))::DOUBLE AS total
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q_corr_stats" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+        |  round(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_covar
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_except_users" ->
+      """SELECT user_id FROM events
+        |WHERE event_type = 'view' AND ts >= TIMESTAMP '2024-01-30 00:00:00'
+        |EXCEPT
+        |SELECT user_id FROM events
+        |WHERE event_type = 'purchase' AND ts >= TIMESTAMP '2024-01-30 00:00:00'
+        |ORDER BY user_id""".stripMargin,
     "q_customers_without_orders" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)

@@ -254,6 +254,17 @@ object Analytics {
         col("f.event_type").as("first_event_type"))
       .orderBy(col("user_id"))
 
+  /** §2.8 EXCEPT counterpart to [[setOps]]: users who viewed but never
+    * purchased (EXCEPT → left-anti under the hood).
+    */
+  def viewersWithoutPurchase(df: DataFrame): DataFrame = {
+    // last-day restriction keeps the result non-trivial at test densities
+    val recent = df.filter(recentDay)
+    val viewers = recent.filter(col("event_type") === "view").select(col("user_id"))
+    val purchasers = recent.filter(col("event_type") === "purchase").select(col("user_id"))
+    viewers.except(purchasers).orderBy(col("user_id"))
+  }
+
   /** Exact dedup (extension §7.4-1): deterministic keeper per key group —
     * min(event_id) — instead of dropDuplicates' arbitrary row.
     */

@@ -131,6 +131,29 @@ object Relational {
         col("o_orderstatus").asc_nulls_first,
         col("o_orderpriority").asc_nulls_first)
 
+  /** Cube (grouping-sets family, completing [[orderStatusRollup]]):
+    * all 2^2 grouping combinations of status × priority.
+    */
+  def orderStatusCube(orders: DataFrame): DataFrame =
+    orders
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(money("o_totalprice")).cast("double").as("total"))
+      .orderBy(
+        col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  /** Bivariate stats per group: Pearson correlation and sample
+    * covariance of quantity vs price.
+    */
+  def quantityPriceCorr(li: DataFrame): DataFrame =
+    li.groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("qty_price_corr"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("qty_price_covar"))
+      .orderBy(col("l_returnflag"))
+
   /** Correlated-style semi/anti join: customers with no orders (NOT
     * EXISTS → left-anti, broadcast the distinct key set when small).
     */

@@ -89,6 +89,28 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-static join enriches events with a broadcast dimension table") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val userDim = Seq(("dag_tester", "ops-team"), ("someone", "web-team"))
+      .toDF("user_id", "team")
+    val input = MemoryStream[String]
+    val enriched = Pipeline.process(input.toDF())
+      .join(broadcast(userDim), Seq("user_id"), "left")
+    val q = enriched.writeStream.format("memory").queryName("join_sink")
+      .outputMode("append").start()
+    try {
+      input.addData(msg1, msg2)
+      q.processAllAvailable()
+      val teams = spark.table("join_sink")
+        .select($"id", $"team").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(teams("test-dag-001") == "ops-team")
+      assert(teams("test-dag-002") == "ops-team")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionization closes sessions on gap timeout") {
     implicit val ctx = spark.sqlContext
     def ev(id: String, user: String, tsIso: String) =
