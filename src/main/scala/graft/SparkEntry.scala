@@ -116,6 +116,8 @@ object SparkEntry {
     "q_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(TextAnalysis.documents(s, d))),
     "q_rolling_fingerprint" -> ((s, d) =>
       TextAnalysis.rollingFingerprints(TextAnalysis.documents(s, d))),
+    // ---- end-to-end corpus curation (capstone: §7.4 composed) ----
+    "q_corpus_curation" -> ((s, d) => Corpus.curate(TextAnalysis.documents(s, d))),
     // ---- dedup (§7.4-1) ----
     "q_exact_dedup" -> ((s, d) => Dedup.exactDedup(TextAnalysis.documents(s, d))),
     "q_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(TextAnalysis.documents(s, d), 0.05)),
@@ -459,6 +461,25 @@ object SparkEntry {
         |  list_reduce(list_prepend(0::BIGINT, list_transform(string_split(text, ''), c -> ord(c)::BIGINT)),
         |              (a, b) -> (a * 31 + b) % 1000000007)::BIGINT AS rolling_fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_corpus_curation" ->
+      """WITH scored AS (
+        |  SELECT doc_id, lang,
+        |    md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+        |    len(toks)::BIGINT AS n_tokens,
+        |    round((
+        |      CASE WHEN n_chars BETWEEN 100 AND 450 THEN 1.0
+        |           WHEN n_chars < 100 THEN n_chars / 100.0
+        |           ELSE 450.0 / n_chars END
+        |      + least(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in')))::DOUBLE / len(toks) * 10.0, 1.0)
+        |      + len(list_distinct(toks))::DOUBLE / len(toks)
+        |    ) / 3.0, 4) AS quality
+        |  FROM (SELECT doc_id, lang, text, n_chars,
+        |          regexp_split_to_array(lower(text), '\s+') AS toks FROM documents)),
+        |keepers AS (SELECT fp, min(doc_id) AS keep_id FROM scored GROUP BY fp)
+        |SELECT s.doc_id, s.lang, s.n_tokens, s.quality
+        |FROM scored s JOIN keepers k ON s.fp = k.fp AND s.doc_id = k.keep_id
+        |WHERE s.quality >= 0.5 AND s.n_tokens BETWEEN 30 AND 120
+        |ORDER BY s.doc_id""".stripMargin,
     "q_exact_dedup" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS dup_count
         |FROM documents GROUP BY md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))

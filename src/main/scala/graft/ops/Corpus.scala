@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-data curation — the composition the individual
+  * §7.4 operators exist for: quality-score the corpus, drop boilerplate
+  * duplicates (exact, content-addressed), bound document length, keep
+  * the deterministic representative per duplicate group.
+  *
+  * Every stage is a deterministic, SQL-expressible transform, so the
+  * WHOLE pipeline is oracle-verifiable end-to-end (q_corpus_curation).
+  * The probabilistic near-dup stages (MinHash/SimHash/embedding-LSH)
+  * slot in between `dedup` and `select` at scale; they're exercised
+  * separately because their outputs are probabilistic.
+  *
+  * Plan shape at 100 TB: stages 1-3 are narrow (row-local scoring +
+  * fingerprints), the dedup keeper is one hash-partitioned aggregate on
+  * the fingerprint, and the final join is fingerprint-co-partitioned —
+  * two shuffles total regardless of corpus size.
+  */
+object Corpus {
+
+  /** Survivors of the curation gauntlet with their audit columns. */
+  def curate(
+      docs: DataFrame,
+      minQuality: Double = 0.5,
+      minTokens: Int = 30,
+      maxTokens: Int = 120): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    val nTok = size(toks).cast("long")
+    val stopHits = size(filter(toks,
+      t => t.isInCollection(Seq("the", "a", "of", "and", "to", "in")))).cast("double")
+    val diversity = size(array_distinct(toks)).cast("double") / nTok.cast("double")
+    val lenScore: Column = when(col("n_chars").between(100, 450), lit(1.0))
+      .when(col("n_chars") < 100, col("n_chars").cast("double") / 100.0)
+      .otherwise(lit(450.0) / col("n_chars").cast("double"))
+    val stopScore = least(stopHits / nTok.cast("double") * 10.0, lit(1.0))
+    val quality = round((lenScore + stopScore + diversity) / 3.0, 4)
+
+    val scored = docs.select(
+      col("doc_id"), col("lang"),
+      md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")).as("fp"),
+      nTok.as("n_tokens"),
+      quality.as("quality"))
+
+    // one representative per content fingerprint: lowest doc_id
+    val keepers = scored.groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("keep_id"))
+
+    scored
+      .join(keepers,
+        scored("fp") === keepers("fp") && scored("doc_id") === keepers("keep_id"))
+      .filter(col("quality") >= minQuality &&
+        col("n_tokens").between(minTokens, maxTokens))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Curation funnel report: how many documents each gate removes —
+    * the ops dashboard for a curation run.
+    */
+  def curationFunnel(
+      docs: DataFrame,
+      minQuality: Double = 0.5,
+      minTokens: Int = 30,
+      maxTokens: Int = 120): DataFrame = {
+    val total = docs.count()
+    val kept = curate(docs, minQuality, minTokens, maxTokens).count()
+    val spark = docs.sparkSession
+    import spark.implicits._
+    Seq(("input", total), ("kept", kept), ("dropped", total - kept))
+      .toDF("stage", "n_docs")
+  }
+}

@@ -1,0 +1,28 @@
+package graft
+
+import graft.ops.Corpus
+
+class CorpusSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("curation keeps one representative per duplicate, gates quality and length") {
+    val good = ("the quality of this document and the text in it " * 3).trim // 143 chars, 30 toks
+    val docs = Seq(
+      (1L, good, "en", good.length.toLong),
+      (2L, good.toUpperCase, "en", good.length.toLong), // case-dup of 1 → dropped
+      (3L, "too short", "en", 9L), // fails length + token gates
+      (4L, ("zq xv " * 40).trim, "en", 239L) // no stopwords → low quality
+    ).toDF("doc_id", "text", "lang", "n_chars")
+    val kept = Corpus.curate(docs).collect().map(_.getLong(0))
+    assert(kept.toSeq == Seq(1L))
+  }
+
+  test("funnel accounts for every document") {
+    val docs = graft.ops.TextAnalysis.documents(spark, "/root/testdata/sf0.001")
+    val funnel = Corpus.curationFunnel(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(funnel("input") == 500)
+    assert(funnel("kept") + funnel("dropped") == funnel("input"))
+    assert(funnel("kept") > 0)
+  }
+}
