@@ -85,6 +85,10 @@ object SparkEntry {
       Relational.revenueByBrand(
         Relational.table(s, d, "lineitem"), Relational.table(s, d, "part"))),
     "q_top_orders" -> ((s, d) => Relational.topOrders(Relational.table(s, d, "orders"))),
+    "q_shipping_priority" -> ((s, d) =>
+      Relational.shippingPriority(
+        Relational.table(s, d, "customer"), Relational.table(s, d, "orders"),
+        Relational.table(s, d, "lineitem"))),
     "q_top_orders_per_customer" -> ((s, d) =>
       Relational.topOrdersPerCustomer(Relational.table(s, d, "orders"))),
     "q_top_orders_per_customer_agg" -> ((s, d) =>
@@ -333,6 +337,17 @@ object SparkEntry {
         |  count(*) AS line_count
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q_shipping_priority" ->
+      """SELECT o_orderkey, epoch_us(o_orderdate) AS o_orderdate_us, o_orderpriority,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.0 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))::DOUBLE AS revenue
+        |FROM customer
+        |JOIN orders ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1996-01-01 00:00:00'
+        |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
     "q_top_orders" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,

@@ -72,6 +72,35 @@ object Relational {
         count(lit(1)).as("line_count"))
       .orderBy(col("p_brand"))
 
+  /** TPC-H Q3-shaped shipping priority: the one fact⋈fact join shape —
+    * orders⋈lineitem shuffle on the order key (both sides large; no
+    * broadcast path exists). At scale this is THE join to co-partition:
+    * bucket both tables by orderkey (Skew.writeBucketed) and the
+    * exchange disappears. Top-k after the join is a bounded
+    * TakeOrderedAndProject, not a global sort.
+    */
+  def shippingPriority(
+      customer: DataFrame,
+      orders: DataFrame,
+      li: DataFrame,
+      k: Int = 10): DataFrame =
+    orders
+      .join(broadcast(customer.filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))), col("o_custkey") === col("c_custkey"))
+      .filter(col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .filter(col("l_shipdate") > lit("1996-01-01 00:00:00").cast("timestamp"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(money("l_extendedprice") * (lit(1.0).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)")))
+        .cast("double").as("revenue"))
+      .select(col("o_orderkey"),
+        // o_orderdate is TIMESTAMP_NTZ in the parquet; the session is
+        // pinned UTC so the LTZ cast is value-preserving
+        unix_micros(col("o_orderdate").cast("timestamp")).as("o_orderdate_us"),
+        col("o_orderpriority"), col("revenue"))
+      .orderBy(desc("revenue"), col("o_orderkey"))
+      .limit(k)
+
   /** Top-k orders by price — TakeOrderedAndProject (per-partition heap,
     * no global sort), ties broken by key.
     */
