@@ -17,10 +17,12 @@ def norm(df):
     for c in df.columns:
         if df[c].dtype == object:
             df[c] = df[c].astype(str)
-    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    # round BEFORE sorting: rows that tie after rounding must sort the
+    # same way in both frames, or the row-wise compare misaligns
     for c in df.columns:
         if df[c].dtype == np.float64:
             df[c] = df[c].round(6)
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
     return df
 
 fail = 0

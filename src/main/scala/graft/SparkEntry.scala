@@ -176,9 +176,9 @@ object SparkEntry {
   )
 
   /** DuckDB twins. Omitted (→ driver rows-only check): q_minhash_lsh,
-    * q_simhash_pairs (xxhash64 has no DuckDB equivalent), q_ann_lsh
-    * (recall < 1 by design), q_health_check_approx (HLL estimates are
-    * engine-specific).
+    * q_simhash_pairs (xxhash64 has no DuckDB equivalent), q_ann_lsh,
+    * q_ann_ivf, q_embedding_neardup_lsh (recall < 1 by design),
+    * q_health_check_approx (HLL estimates are engine-specific).
     */
   def oracleSql: Map[String, String] = Map(
     "q_event_pipeline" ->
@@ -301,7 +301,7 @@ object SparkEntry {
         |  sum(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(12,2)) END)::DOUBLE AS view
         |FROM events GROUP BY 1 ORDER BY hour_of_day""".stripMargin,
     "q_user_event_sets" ->
-      """SELECT user_id, list_sort(list_distinct(list(event_type))) AS event_types
+      """SELECT user_id, array_to_string(list_sort(list_distinct(list(event_type))), ',') AS event_types
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_first_event_per_user" ->
       """SELECT DISTINCT ON (user_id) user_id,

@@ -233,11 +233,13 @@ object Analytics {
       .orderBy(col("hour_of_day"))
 
   /** collect_set surface: the distinct event types seen per user, sorted
-    * for determinism.
+    * for determinism and joined to a CSV string — the driver's pandas
+    * compare can't hash ARRAY cells, and the flattened form is
+    * hash-identical across engines.
     */
   def userEventSets(df: DataFrame): DataFrame =
     df.groupBy(col("user_id"))
-      .agg(sort_array(collect_set(col("event_type"))).as("event_types"))
+      .agg(array_join(sort_array(collect_set(col("event_type"))), ",").as("event_types"))
       .orderBy(col("user_id"))
 
   /** DISTINCT ON-style: each user's first event (by ts, event_id). A

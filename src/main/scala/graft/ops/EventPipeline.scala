@@ -39,10 +39,17 @@ object EventPipeline {
     * schema; corrupt JSON is dropped — the Spark twin of
     * Streamingdag.py:233-234. Unknown keys are dropped by construction
     * (ignoreUnknownValues, Streamingdag.py:319).
+    *
+    * The parse sits behind an [[graft.functions.OptimizerBarrier]] so the
+    * downstream validate/quality filters can't be substituted through the
+    * projection — without it the pushed Filter carried ~12 copies of
+    * `from_json` (round-1 review). One parse per row, on every execution
+    * path, is the plan we want.
     */
   def parse(raw: DataFrame, jsonCol: String = "value"): DataFrame =
     raw
-      .select(from_json(col(jsonCol), parseSchema, parseOpts).as("e"))
+      .select(graft.functions.BarrierFunctions.barrier(
+        from_json(col(jsonCol), parseSchema, parseOpts)).as("e"))
       .filter(col(s"e.$corruptCol").isNull)
       .select("e.*")
       .drop(corruptCol)
@@ -135,7 +142,8 @@ object EventPipeline {
     */
   def deadLetter(raw: DataFrame, jsonCol: String = "value"): DataFrame = {
     val parsed = raw.withColumn("e",
-      from_json(col(jsonCol), parseSchema, parseOpts))
+      graft.functions.BarrierFunctions.barrier(
+        from_json(col(jsonCol), parseSchema, parseOpts)))
     val missingReq = EventSchema.requiredFields
       .map(f => col(s"e.$f").isNull).reduce(_ || _)
     val score = qualityScore(col("e.user_id"), col("e.message"),

@@ -112,10 +112,13 @@ object Similarity {
     * (broadcast join — narrow); each query probes its nProbe nearest
     * cells and computes exact cosine only against those cells' vectors.
     *
-    * Scale shape: the corpus shuffles ONCE on cell id (at 100 TB the
-    * corpus would be bucketed/persisted by cell, making this free), and
-    * per-query work drops to ~nProbe/nCells of the corpus. Recall < 1 by
-    * design; the spec measures it against [[bruteForceTopK]].
+    * Scale shape: assignment is a narrow map (see [[assignToCell]]); the
+    * probe join broadcasts the tiny (query × nProbe) side, so the corpus
+    * never shuffles — only the surviving candidates (~nProbe/nCells of
+    * the corpus) are exchanged for the per-query top-k. At 100 TB the
+    * assignment would be persisted/bucketed by cell, making re-search
+    * free. Recall < 1 by design; the spec measures it against
+    * [[bruteForceTopK]].
     */
   def ivfTopK(
       corpus: DataFrame,
@@ -131,7 +134,6 @@ object Similarity {
     val assigned0 = assignToCell(corpus, seeds)
     val dim = 64
     val centroids = assigned0
-      .join(corpus, "vec_id")
       .groupBy(col("cell"))
       .agg(array((0 until dim).map(j =>
         avg(element_at(col("embedding"), j + 1).cast("double")).cast("float")): _*)
@@ -139,7 +141,6 @@ object Similarity {
 
     // -- index: nearest refined centroid per corpus vector --
     val assignment = assignToCell(corpus, centroids)
-      .join(corpus, "vec_id")
 
     // -- search: probe nProbe cells per query, exact cosine within --
     // norms precomputed per side: one dot per (query, candidate) pair
@@ -155,8 +156,8 @@ object Similarity {
 
     val w = Window.partitionBy(col("query_id"))
       .orderBy(desc("cos"), col("vec_id"))
-    probes.join(
-        assignment.withColumn("c_norm", Dedup.vecNorm(col("embedding"))), "cell")
+    assignment.withColumn("c_norm", Dedup.vecNorm(col("embedding")))
+      .join(broadcast(probes), "cell")
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos",
         graft.functions.VectorFunctions.vecDot(col("q_emb"), col("embedding"))
@@ -167,18 +168,40 @@ object Similarity {
       .orderBy(col("query_id"), col("rnk"))
   }
 
-  /** Nearest-centroid assignment via broadcast + window argmax (ties by
-    * cell id). Narrow on the corpus side: no corpus shuffle.
+  /** Nearest-centroid assignment, genuinely narrow on the corpus side:
+    * the centroid table collapses to ONE row holding an array of
+    * (cell, centroid, norm) structs, broadcast-nested-loop joined onto the
+    * corpus, and the argmax is a row-local `transform` + `array_max` —
+    * no window, no corpus shuffle at any scale. (The earlier
+    * crossJoin+window formulation hash-exchanged corpus×nCells rows on
+    * vec_id — the component's scale-killer per round-1 review.)
+    *
+    * Two row-local tricks keep it one dot product per (vector, centroid):
+    * centroid norms are precomputed inside the packed structs (no CSE
+    * across lambda boundaries in Catalyst), and the corpus vector's own
+    * norm is never divided out — it is a positive per-row constant, so
+    * the cosine argmax equals the `dot/centroid_norm` argmax. Ties break
+    * to the smallest cell id via max-of-(cdot, -cell), matching the old
+    * window `orderBy(desc(cdot), cell)`.
+    *
+    * Output keeps the embedding: (vec_id, embedding, cell) — callers need
+    * it for the Lloyd mean and candidate scoring, and carrying it avoids a
+    * corpus self-join.
     */
-  private def assignToCell(vectors: DataFrame, centroids: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(desc("cdot"), col("cell"))
+  private[graft] def assignToCell(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+    import graft.functions.VectorFunctions.vecDot
+    val packed = centroids.agg(
+      sort_array(collect_list(struct(
+        col("cell"), col("centroid"),
+        Dedup.vecNorm(col("centroid")).as("cnorm")))).as("cents"))
     vectors.select(col("vec_id"), col("embedding"))
-      .crossJoin(broadcast(centroids))
-      .withColumn("cdot", Dedup.cosine(col("embedding"), col("centroid")))
-      .withColumn("arnk", row_number().over(w))
-      .filter(col("arnk") === 1)
-      .select(col("vec_id"), col("cell"))
+      .crossJoin(broadcast(packed))
+      .withColumn("best", array_max(transform(col("cents"), c =>
+        struct(
+          (vecDot(col("embedding"), c.getField("centroid")) / c.getField("cnorm"))
+            .as("cdot"),
+          (-c.getField("cell")).as("neg_cell")))))
+      .select(col("vec_id"), col("embedding"), (-col("best.neg_cell")).as("cell"))
   }
 
   /** Centroid stats per label — the IVF-style partition profile: shows how

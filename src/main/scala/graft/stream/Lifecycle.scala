@@ -38,7 +38,10 @@ object Lifecycle {
     override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
     override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
       inputRows.addAndGet(e.progress.numInputRows)
-      Option(e.progress.sink).foreach(s => outputRows.addAndGet(s.numOutputRows))
+      // sinks that don't report output rows send -1 — accumulating that
+      // would corrupt the counter and inflate droppedRows
+      Option(e.progress.sink).filter(_.numOutputRows >= 0)
+        .foreach(s => outputRows.addAndGet(s.numOutputRows))
     }
     override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
 

@@ -19,8 +19,7 @@ object Sessionize {
 
   final case class SessionEvent(user_id: String, event_ts: Timestamp)
 
-  final case class SessionState(
-      nEvents: Long, firstTs: Long, lastTs: Long, sumValue: Double)
+  final case class SessionState(nEvents: Long, firstTs: Long, lastTs: Long)
 
   final case class SessionSummary(
       user_id: String,
@@ -55,18 +54,32 @@ object Sessionize {
             Iterator.single(SessionSummary(
               userId, s.nEvents, new Timestamp(s.firstTs), new Timestamp(s.lastTs)))
           } else {
-            val ts = rows.map(_.event_ts.getTime).toArray
-            val prev = state.getOption.getOrElse(
-              SessionState(0L, Long.MaxValue, Long.MinValue, 0.0))
-            val next = SessionState(
-              prev.nEvents + ts.length,
-              math.min(prev.firstTs, ts.min),
-              math.max(prev.lastTs, ts.max),
-              prev.sumValue)
-            state.update(next)
-            // close the session once the watermark passes last-event + gap
-            state.setTimeoutTimestamp(next.lastTs + gapMs)
-            Iterator.empty
+            // Split WITHIN the batch too: a micro-batch (or a backfill
+            // arriving before the event-time timeout fires) can carry
+            // events more than gap apart — they must land in separate
+            // sessions, exactly as the islands-and-gaps oracle and
+            // session_window would place them.
+            val ts = rows.map(_.event_ts.getTime).toArray.sorted
+            val closed = Seq.newBuilder[SessionSummary]
+            var cur = state.getOption
+            ts.foreach { t =>
+              cur match {
+                case Some(s) if t - s.lastTs > gapMs =>
+                  closed += SessionSummary(userId, s.nEvents,
+                    new Timestamp(s.firstTs), new Timestamp(s.lastTs))
+                  cur = Some(SessionState(1L, t, t))
+                case Some(s) =>
+                  cur = Some(SessionState(s.nEvents + 1,
+                    math.min(s.firstTs, t), math.max(s.lastTs, t)))
+                case None =>
+                  cur = Some(SessionState(1L, t, t))
+              }
+            }
+            val open = cur.get
+            state.update(open)
+            // close the open session once the watermark passes last + gap
+            state.setTimeoutTimestamp(open.lastTs + gapMs)
+            closed.result().iterator
           }
       }
   }

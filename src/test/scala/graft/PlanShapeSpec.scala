@@ -56,6 +56,33 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("event pipeline plan carries exactly ONE from_json (barrier holds)") {
+    import org.apache.spark.sql.functions._
+    val wire = Analytics.events(spark, sf).select(to_json(struct(
+      col("event_id").cast("string").as("id"),
+      date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'").as("timestamp"),
+      col("props").as("message"),
+      col("user_id").cast("string").as("user_id"),
+      col("event_type"), col("value"))).as("value"))
+    val p = plan(graft.ops.EventPipeline.fromRawJson(wire))
+    val nParses = "from_json".r.findAllIn(p).length
+    assert(nParses == 1, s"expected 1 from_json, found $nParses in:\n$p")
+  }
+
+  test("IVF cell assignment is narrow: no Exchange, no Window") {
+    import org.apache.spark.sql.functions.col
+    val e = Similarity.embeddings(spark, sf)
+    val centroids = e.limit(10)
+      .select(col("vec_id").as("cell"), col("embedding").as("centroid"))
+    val p = plan(Similarity.assignToCell(e, centroids))
+    // round-1 shape was crossJoin + Window.partitionBy(vec_id): a hash
+    // exchange of corpus×nCells rows. The fix is a 1-row broadcast join +
+    // row-local array_max — the corpus must never hash-partition.
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("hashpartitioning(vec_id"), s"corpus shuffles on vec_id:\n$p")
+    assert(!p.contains("Window"), s"window argmax crept back:\n$p")
+  }
+
   test("whole-stage codegen covers the event enrichment chain") {
     // a literal Seq would constant-fold to a LocalTableScan at plan time;
     // a file-backed source exercises the real scan → project → filter span

@@ -125,19 +125,30 @@ class StreamingSpec extends SparkTestBase {
       input.addData(
         ev("a", "u1", "2024-01-15T10:00:00Z"),
         ev("b", "u1", "2024-01-15T10:00:30Z"),
-        ev("c", "u2", "2024-01-15T10:00:10Z"))
+        ev("c", "u2", "2024-01-15T10:00:10Z"),
+        // u4: two events in ONE micro-batch, 10 min apart — must split
+        // into two sessions even though no timeout fires between them
+        ev("f", "u4", "2024-01-15T10:00:00Z"),
+        ev("g", "u4", "2024-01-15T10:10:00Z"))
       q.processAllAvailable()
-      assert(spark.table("session_sink").count() == 0) // sessions still open
+      val afterBatch1 = spark.table("session_sink").collect()
+        .map(r => r.getAs[String]("user_id") -> r.getAs[Long]("n_events")).toMap
+      // u4's first session split out within the batch (u1/u2 may also have
+      // closed already: u4's 10:10 event advanced the watermark past their
+      // gap, firing their event-time timeouts inside processAllAvailable)
+      assert(afterBatch1("u4") == 1L)
       // advance the watermark far past u1/u2's last-event + gap
       input.addData(ev("d", "u3", "2024-01-15T11:00:00Z"))
       q.processAllAvailable()
+      // u3's next event is > gap after its last: the open session closes
+      // on arrival (cross-batch split), not only via timeout
       input.addData(ev("e", "u3", "2024-01-15T11:30:00Z"))
       q.processAllAvailable()
       val closed = spark.table("session_sink").collect()
         .map(r => r.getAs[String]("user_id") -> r.getAs[Long]("n_events")).toMap
       assert(closed("u1") == 2)
       assert(closed("u2") == 1)
-      assert(!closed.contains("u3")) // still open
+      assert(closed("u3") == 1) // the 11:00 session; 11:30 still open
     } finally q.stop()
   }
 
