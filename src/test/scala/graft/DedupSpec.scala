@@ -39,6 +39,29 @@ class DedupSpec extends SparkTestBase {
     assert(pairs.size == 3)
   }
 
+  test("df cutoff drops boilerplate-driven pairs, keeps true near-dups") {
+    // 10 docs share an identical boilerplate banner; two (20, 21) are also
+    // true near-dups of each other in their unique content
+    val boiler = "subscribe to our newsletter for updates and exclusive offers today"
+    val corpus = (
+      (0 until 10).map(i => (10L + i,
+        s"$boiler unique content piece number $i with extra words alpha$i beta$i gamma$i delta$i epsilon$i zeta$i eta$i theta$i")) ++
+      Seq(
+        (20L, s"$boiler the shared near duplicate body of text that repeats almost verbatim in both documents here"),
+        (21L, s"$boiler the shared near duplicate body of text that repeats almost verbatim in both documents too"))
+    ).toDF("doc_id", "text")
+    // without the guard, the boilerplate shingles alone push unrelated
+    // docs over a low threshold
+    val noGuard = Dedup.ngramJaccardPairs(corpus, threshold = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(noGuard.exists { case (a, b) => a < 20 && b < 20 }, noGuard.toString)
+    // df ≤ 5 kills the banner (df=12) but keeps the unique-content
+    // shingles (df ≤ 2): only the true near-dup pair survives
+    val guarded = Dedup.ngramJaccardPairs(corpus, threshold = 0.2, maxDf = Some(5))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(guarded == Set((20L, 21L)), guarded.toString)
+  }
+
   test("MinHash+LSH finds the same pairs as exact Jaccard here") {
     val out = Dedup.minHashLsh(docs, threshold = 0.7)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
