@@ -75,6 +75,23 @@ object SparkEntry {
     "q_user_event_sets" -> ((s, d) => Analytics.userEventSets(Analytics.events(s, d))),
     "q_first_event_per_user" -> ((s, d) => Analytics.firstEventPerUser(Analytics.events(s, d))),
     "q_dedup_events" -> ((s, d) => Analytics.dedupExactEvents(Analytics.events(s, d))),
+    // batch twin of the stream-stream interval join (Pipeline.viewPurchaseJoin)
+    "q_purchase_attribution" -> ((s, d) =>
+      Analytics.purchaseAttribution(Analytics.events(s, d))),
+    // SQL-text surface: the same query plane through the PARSER, over a
+    // registered view, using a graft SQL-registered native function
+    "q_sql_quality_histogram" -> ((s, d) => {
+      graft.functions.GraftExtensions.register(s)
+      Analytics.events(s, d).createOrReplaceTempView("events_sql")
+      s.sql(
+        """SELECT event_type,
+          |       quality_score(CAST(user_id AS STRING), props, value, ts) AS data_quality_score,
+          |       count(*) AS record_count,
+          |       round(avg(length(props)), 4) AS avg_message_length
+          |FROM events_sql
+          |GROUP BY 1, 2
+          |ORDER BY event_type, data_quality_score DESC""".stripMargin)
+    }),
     // ---- relational surface (joins / windows / rollup, SURVEY §2.7–2.9) ----
     "q_pricing_summary" -> ((s, d) => Relational.pricingSummary(Relational.table(s, d, "lineitem"))),
     "q_revenue_by_nation" -> ((s, d) =>
@@ -318,6 +335,23 @@ object SparkEntry {
     "q_dedup_events" ->
       """SELECT user_id, event_type, min(event_id) AS keep_id, count(*) AS dup_count
         |FROM events GROUP BY user_id, event_type ORDER BY user_id, event_type""".stripMargin,
+    "q_purchase_attribution" ->
+      """SELECT p.event_id AS purchase_id, p.user_id,
+        |  count(*) AS n_views,
+        |  max(epoch_us(v.ts)) AS last_view_us
+        |FROM events p JOIN events v ON v.user_id = p.user_id
+        |  AND p.event_type = 'purchase' AND v.event_type = 'view'
+        |  AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 60 MINUTE
+        |GROUP BY 1, 2 ORDER BY purchase_id""".stripMargin,
+    "q_sql_quality_histogram" ->
+      """SELECT event_type,
+        |  (CASE WHEN user_id IS NOT NULL AND CAST(user_id AS VARCHAR) <> '' AND CAST(user_id AS VARCHAR) <> 'unknown' THEN 25 ELSE 0 END
+        |      + CASE WHEN props IS NOT NULL AND props <> '' THEN 25 ELSE 0 END
+        |      + CASE WHEN value > 0 THEN 25 ELSE 0 END
+        |      + CASE WHEN ts IS NOT NULL THEN 25 ELSE 0 END)::INTEGER AS data_quality_score,
+        |  count(*) AS record_count,
+        |  round(avg(length(props)), 4) AS avg_message_length
+        |FROM events GROUP BY 1, 2 ORDER BY event_type, data_quality_score DESC""".stripMargin,
     "q_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,

@@ -267,6 +267,32 @@ object Analytics {
     viewers.except(purchasers).orderBy(col("user_id"))
   }
 
+  /** Batch twin of the stream-stream interval join
+    * ([[graft.stream.Pipeline.viewPurchaseJoin]]): purchases attributed
+    * to the same user's views in the preceding `gapMinutes`, aggregated
+    * per purchase. Shape at scale: a fact⋈fact equi-join on user_id with
+    * a range residual — both sides hash-partition on user_id once, the
+    * time bound prunes inside each partition; no broadcast (both sides
+    * are the events fact table), which is exactly what the streaming
+    * form's state store does incrementally.
+    */
+  def purchaseAttribution(df: DataFrame, gapMinutes: Int = 60): DataFrame = {
+    val p = df.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"))
+    val v = df.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user_id"), col("ts").as("v_ts"))
+    p.join(v,
+        col("user_id") === col("v_user_id") &&
+          col("v_ts") <= col("p_ts") &&
+          col("v_ts") >= col("p_ts") - expr(s"INTERVAL $gapMinutes MINUTES"))
+      .groupBy(col("purchase_id"), col("user_id"))
+      .agg(
+        count(lit(1)).as("n_views"),
+        unix_micros(max(col("v_ts"))).as("last_view_us"))
+      .orderBy(col("purchase_id"))
+  }
+
   /** Exact dedup (extension §7.4-1): deterministic keeper per key group —
     * min(event_id) — instead of dropDuplicates' arbitrary row.
     */

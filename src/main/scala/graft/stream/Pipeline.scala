@@ -35,9 +35,67 @@ object Pipeline {
   def fromTextDir(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.format("text").load(dir)
 
+  /** S1 prod twin: Kafka topic → raw JSON strings. The `value` cast is
+    * the P1 bytes→string decode (Kafka values are BINARY, exactly like
+    * Pub/Sub message data — Streamingdag.py:288-294, :166-172); the
+    * downstream chain is IDENTICAL to the text-dir and MemoryStream
+    * sources — the source swaps, the plan above it doesn't (asserted by
+    * StreamingSpec's source-agnosticism test).
+    *
+    * The sandbox ships no kafka connector jar or broker, so this is
+    * compile-verified + wiring-tested only: calling it without the
+    * connector on the classpath fails at source resolution with Spark's
+    * standard "find the kafka artifact" guidance.
+    */
+  def fromKafka(
+      spark: SparkSession,
+      bootstrapServers: String,
+      topic: String,
+      startingOffsets: String = "latest"): DataFrame =
+    spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", topic)
+      .option("startingOffsets", startingOffsets)
+      .load()
+      .select(col("value").cast("string").as("value"))
+
   /** The full per-record chain. Works on streaming and batch frames. */
   def process(raw: DataFrame, jsonCol: String = "value"): DataFrame =
     EventPipeline.fromRawJson(raw, jsonCol)
+
+  /** Stream-stream interval join: each purchase joined to the same
+    * user's page views in the `gap` before it. Both sides carry
+    * watermarks, and the join condition bounds view_ts to
+    * [purchase_ts - gap, purchase_ts], so Spark can size the state store
+    * and evict rows once the watermark passes — state is bounded by
+    * (gap + watermark) of per-user traffic, never unbounded.
+    *
+    * Inner join ⇒ matches emit as soon as both sides arrive (append
+    * mode); the watermark only governs state eviction. Batch twin with
+    * the DuckDB oracle: [[graft.ops.Analytics.purchaseAttribution]].
+    */
+  def viewPurchaseJoin(
+      events: DataFrame,
+      gap: String = "10 minutes",
+      watermark: String = DefaultWatermark): DataFrame = {
+    val views = events
+      .filter(col("event_type") === "view")
+      .select(col("user_id"), col("id").as("view_id"),
+        col("timestamp").as("view_ts"))
+      .withWatermark("view_ts", watermark)
+    val purchases = events
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("id").as("purchase_id"),
+        col("timestamp").as("purchase_ts"))
+      .withWatermark("purchase_ts", watermark)
+    views.join(purchases,
+        col("user_id") === col("p_user_id") &&
+          col("view_ts") <= col("purchase_ts") &&
+          col("view_ts") >= col("purchase_ts") - expr(s"INTERVAL $gap"))
+      .select(col("purchase_id"), col("p_user_id").as("user_id"),
+        col("view_id"), col("view_ts"), col("purchase_ts"))
+  }
 
   /** K1: append sink — date-partitioned parquet, 60 s micro-batches. */
   def startSink(
