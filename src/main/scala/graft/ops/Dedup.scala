@@ -125,16 +125,22 @@ object Dedup {
     val rowsPerBand = numHashes / bands
     require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
 
-    val withSig = docs
+    val withSh = docs
       .select(col("doc_id"), shingles(col("text"), shingleSize).as("sh"))
       .filter(size(col("sh")) > 0)
-      .withColumn("sig", minHashSignature(col("sh"), numHashes))
+    val withSig = withSh.withColumn("sig", minHashSignature(col("sh"), numHashes))
 
-    // band key = hash of the band's signature slice + band index
+    // band key = hash of the band's signature slice + band index.
+    // The banded frame carries IDS ONLY: exploding the shingle arrays
+    // ×bands through the candidate shuffle would duplicate every doc's
+    // content 32× — at 100 TB that shuffle, not the join, is the cost.
+    // The shingle sets are re-joined by id for verification instead
+    // (recomputing them is a narrow row-local pass; at scale the
+    // signature table would be persisted once and both branches read it).
     val bandKeys = array((0 until bands).map(b =>
       hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand), lit(b))): _*)
     val banded = withSig
-      .select(col("doc_id"), col("sh"), posexplode(bandKeys))
+      .select(col("doc_id"), posexplode(bandKeys))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_key")
 
@@ -143,12 +149,12 @@ object Dedup {
         col("a.band") === col("b.band") &&
           col("a.band_key") === col("b.band_key") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(
-        col("a.doc_id").as("doc_a"), col("a.sh").as("sh_a"),
-        col("b.doc_id").as("doc_b"), col("b.sh").as("sh_b"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
 
     candidates
+      .join(withSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(withSh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard",
         round(col("inter").cast("double") /
@@ -190,7 +196,8 @@ object Dedup {
     val sigDf = docs
       .select(col("doc_id"), shingles(col("text")).as("sh"))
       .filter(size(col("sh")) > 0)
-      .withColumn("sig", simhash64(transform(col("sh"), s => shingleHashReplicable(s))))
+      .withColumn("sig",
+        simhash64(graft.functions.HashFunctions.polyHashArray(col("sh"))))
 
     val chunks = array((0 until 8).map(c =>
       shiftright(col("sig"), c * 8).bitwiseAND(lit(255L))): _*)
@@ -271,23 +278,27 @@ object Dedup {
     val sig = graft.functions.VectorFunctions.rhpSig(col("embedding"), nBits)
     val bandKeys = array((0 until bands).map(b =>
       shiftrightunsigned(col("sig"), b * rowsPerBand).bitwiseAND(lit(mask))): _*)
+    // ids-only band frame: exploding the 64-float embeddings ×bands
+    // through the candidate shuffle would move the corpus 8× — vectors
+    // are re-joined by id for the exact-cosine verify instead
     val banded = embeddings
-      .select(col("vec_id"), col("embedding"),
-        vecNorm(col("embedding")).as("norm"))
-      .withColumn("sig", sig)
-      .select(col("vec_id"), col("embedding"), col("norm"), posexplode(bandKeys))
+      .select(col("vec_id"), sig.as("sig"))
+      .select(col("vec_id"), posexplode(bandKeys))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_key")
+    val vecs = embeddings.select(col("vec_id"), col("embedding"),
+      vecNorm(col("embedding")).as("norm"))
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") &&
           col("a.band_key") === col("b.band_key") &&
           col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("a.embedding").as("emb_a"),
-        col("a.norm").as("norm_a"),
-        col("b.vec_id").as("vec_b"), col("b.embedding").as("emb_b"),
-        col("b.norm").as("norm_b"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
       .dropDuplicates("vec_a", "vec_b")
+      .join(vecs.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"),
+        col("norm").as("norm_a")), "vec_a")
+      .join(vecs.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"),
+        col("norm").as("norm_b")), "vec_b")
       .withColumn("cos",
         vecDot(col("emb_a"), col("emb_b")) / col("norm_a") / col("norm_b"))
       .filter(col("cos") >= threshold)

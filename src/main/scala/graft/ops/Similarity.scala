@@ -65,33 +65,42 @@ object Similarity {
       bands: Int = 8): DataFrame = {
     val rowsPerBand = nBits / bands
     val mask = (1L << rowsPerBand) - 1L
-    def banded(df: DataFrame, idCol: String, embCol: String, normCol: String) = {
+    // ids-only band frames: the corpus embeddings are NOT exploded ×bands
+    // through the candidate shuffle (8× the corpus at scale) — candidates
+    // are (query_id, vec_id) pairs, and vectors re-join by id afterwards
+    // (queries broadcast: the query set is small by contract).
+    def bandedIds(df: DataFrame, idCol: String, embCol: String) = {
       val bandKeys = array((0 until bands).map(b =>
         shiftrightunsigned(col("sig"), b * rowsPerBand).bitwiseAND(lit(mask))): _*)
-      df.withColumn(normCol, Dedup.vecNorm(col(embCol)))
-        .withColumn("sig", rhpSignature(col(embCol), nBits))
-        .select(col(idCol), col(embCol), col(normCol), posexplode(bandKeys))
+      df.select(col(idCol), rhpSignature(col(embCol), nBits).as("sig"))
+        .select(col(idCol), posexplode(bandKeys))
         .withColumnRenamed("pos", "band")
         .withColumnRenamed("col", "band_key")
     }
 
-    val c = banded(corpus, "vec_id", "embedding", "c_norm")
-    val q = banded(
+    val c = bandedIds(corpus, "vec_id", "embedding")
+    val q = bandedIds(
       queries.select(col("vec_id").as("query_id"),
-        col("embedding").as("q_emb")), "query_id", "q_emb", "q_norm")
+        col("embedding").as("q_emb")), "query_id", "q_emb")
 
     val candidates = c.as("c")
       .join(q.as("q"),
         col("c.band") === col("q.band") &&
           col("c.band_key") === col("q.band_key") &&
           col("c.vec_id") =!= col("q.query_id"))
-      .select(col("q.query_id"), col("q.q_emb"), col("q.q_norm"),
-        col("c.vec_id"), col("c.embedding"), col("c.c_norm"))
+      .select(col("q.query_id"), col("c.vec_id"))
       .dropDuplicates("query_id", "vec_id")
+
+    val cv = corpus.select(col("vec_id"), col("embedding"),
+      Dedup.vecNorm(col("embedding")).as("c_norm"))
+    val qv = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"), Dedup.vecNorm(col("embedding")).as("q_norm"))
 
     val w = Window.partitionBy(col("query_id"))
       .orderBy(desc("cos"), col("vec_id"))
     candidates
+      .join(cv, "vec_id")
+      .join(broadcast(qv), "query_id")
       .withColumn("cos",
         graft.functions.VectorFunctions.vecDot(col("q_emb"), col("embedding"))
           / col("q_norm") / col("c_norm"))

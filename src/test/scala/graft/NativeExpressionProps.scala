@@ -75,4 +75,18 @@ object NativeExpressionProps extends Properties("NativeExpressions") {
       val b = RhpSig.compute(new GenericArrayData(v.map(x => x * c: Any)), 16)
       a == b
     }
+
+  private val anyStr: Gen[String] = Gen.listOf(Gen.choose(32, 0x2FFF).map(_.toChar)).map(_.mkString)
+
+  property("poly_hash_array ≡ per-string poly hashes packed h1 | h2<<30") =
+    forAll(Gen.listOf(anyStr)) { strs =>
+      val out = graft.functions.PolyHashArray.compute(utf8Array(strs))
+      (0 until out.numElements()).forall { i =>
+        val s = UTF8String.fromString(strs(i))
+        val h1 = graft.functions.PolyHash.compute(s, 31L, 1000000007L)
+        val h2 = graft.functions.PolyHash.compute(s, 131L, 1000000009L)
+        val v = out.getLong(i)
+        v == (h1 | (h2 << 30)) && v >= 0L && (v >> 60) == 0L
+      }
+    }
 }
