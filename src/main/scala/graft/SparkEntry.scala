@@ -78,6 +78,8 @@ object SparkEntry {
     // batch twin of the stream-stream interval join (Pipeline.viewPurchaseJoin)
     "q_purchase_attribution" -> ((s, d) =>
       Analytics.purchaseAttribution(Analytics.events(s, d))),
+    // AS-OF join: union + one shuffle + running last() — not a pair join
+    "q_asof_last_view" -> ((s, d) => Analytics.asofLastView(Analytics.events(s, d))),
     // SQL-text surface: the same query plane through the PARSER, over a
     // registered view, using a graft SQL-registered native function
     "q_sql_quality_histogram" -> ((s, d) => {
@@ -343,6 +345,13 @@ object SparkEntry {
         |  AND p.event_type = 'purchase' AND v.event_type = 'view'
         |  AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 60 MINUTE
         |GROUP BY 1, 2 ORDER BY purchase_id""".stripMargin,
+    "q_asof_last_view" ->
+      """SELECT p.event_id AS purchase_id, p.user_id,
+        |  epoch_us(v.ts) AS last_view_us, v.value AS last_view_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON p.user_id = v.user_id AND v.ts <= p.ts
+        |ORDER BY purchase_id""".stripMargin,
     "q_sql_quality_histogram" ->
       """SELECT event_type,
         |  (CASE WHEN user_id IS NOT NULL AND CAST(user_id AS VARCHAR) <> '' AND CAST(user_id AS VARCHAR) <> 'unknown' THEN 25 ELSE 0 END

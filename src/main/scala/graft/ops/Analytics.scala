@@ -293,6 +293,44 @@ object Analytics {
       .orderBy(col("purchase_id"))
   }
 
+  /** AS-OF join (engine-surface operator Spark lacks natively): each
+    * purchase paired with the same user's most recent view AT OR BEFORE
+    * it — LEFT semantics (purchases with no prior view keep nulls).
+    *
+    * Shape: the scalable distributed as-of is NOT a join at all — union
+    * both sides with a side marker, ONE hash shuffle on the key, sort
+    * (ts, marker) within partitions, and carry the right side forward
+    * with a running `last(..., ignoreNulls)` window. Cost is one
+    * exchange + one sort regardless of how many right rows precede each
+    * left row; the naive interval-join+argmax pays O(matching pairs).
+    * Marker ordering (views before purchases at equal ts) gives the
+    * ≤ tie semantics, matching DuckDB's `ASOF LEFT JOIN ... ON v.ts <=
+    * p.ts` oracle.
+    */
+  def asofLastView(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = df.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        lit(null).cast("double").as("v_value"), lit(1).as("is_purchase"))
+    val v = df.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"),
+        lit(null).cast("long").as("event_id"),
+        col("value").as("v_value"), lit(0).as("is_purchase"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("is_purchase"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    p.unionByName(v)
+      .withColumn("last_view_ts",
+        last(when(col("is_purchase") === 0, col("ts")), ignoreNulls = true).over(w))
+      .withColumn("last_view_value",
+        last(when(col("is_purchase") === 0, col("v_value")), ignoreNulls = true).over(w))
+      .filter(col("is_purchase") === 1)
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        unix_micros(col("last_view_ts")).as("last_view_us"),
+        col("last_view_value"))
+      .orderBy(col("purchase_id"))
+  }
+
   /** Exact dedup (extension §7.4-1): deterministic keeper per key group —
     * min(event_id) — instead of dropDuplicates' arbitrary row.
     */

@@ -78,22 +78,27 @@ object Pipeline {
   def viewPurchaseJoin(
       events: DataFrame,
       gap: String = "10 minutes",
-      watermark: String = DefaultWatermark): DataFrame = {
+      watermark: String = DefaultWatermark,
+      joinType: String = "inner"): DataFrame = {
     val views = events
       .filter(col("event_type") === "view")
-      .select(col("user_id"), col("id").as("view_id"),
+      .select(col("user_id").as("v_user_id"), col("id").as("view_id"),
         col("timestamp").as("view_ts"))
       .withWatermark("view_ts", watermark)
     val purchases = events
       .filter(col("event_type") === "purchase")
-      .select(col("user_id").as("p_user_id"), col("id").as("purchase_id"),
+      .select(col("user_id"), col("id").as("purchase_id"),
         col("timestamp").as("purchase_ts"))
       .withWatermark("purchase_ts", watermark)
-    views.join(purchases,
-        col("user_id") === col("p_user_id") &&
+    // purchases are the preserved side: joinType "left_outer" emits an
+    // unmatched purchase (null view columns) once the watermark passes
+    // purchase_ts + gap and no view can still arrive
+    purchases.join(views,
+        col("user_id") === col("v_user_id") &&
           col("view_ts") <= col("purchase_ts") &&
-          col("view_ts") >= col("purchase_ts") - expr(s"INTERVAL $gap"))
-      .select(col("purchase_id"), col("p_user_id").as("user_id"),
+          col("view_ts") >= col("purchase_ts") - expr(s"INTERVAL $gap"),
+        joinType)
+      .select(col("purchase_id"), col("user_id"),
         col("view_id"), col("view_ts"), col("purchase_ts"))
   }
 

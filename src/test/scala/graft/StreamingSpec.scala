@@ -176,6 +176,42 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("left-outer interval join emits unmatched purchases after the watermark") {
+    implicit val ctx = spark.sqlContext
+    def ev(id: String, user: String, typ: String, tsIso: String) =
+      s"""{"id":"$id","timestamp":"$tsIso","message":"m","user_id":"$user","event_type":"$typ","value":1.0}"""
+    val input = MemoryStream[String]
+    val joined = Pipeline.viewPurchaseJoin(
+      Pipeline.process(input.toDF()), gap = "10 minutes",
+      watermark = "1 minute", joinType = "left_outer")
+    val q = joined.writeStream.format("memory").queryName("attrib_outer_sink")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        ev("v1", "u1", "view", "2024-01-15T10:00:00Z"),
+        ev("p1", "u1", "purchase", "2024-01-15T10:05:00Z"), // matched
+        ev("p2", "u2", "purchase", "2024-01-15T10:06:00Z")) // no view
+      q.processAllAvailable()
+      // push the watermark far past p2's ts + gap so the unmatched row
+      // can be finalized as a null-padded emit. The global watermark is
+      // the MIN across both sides' watermark nodes, so BOTH the view and
+      // purchase branches need late traffic to advance it.
+      input.addData(
+        ev("z", "u9", "view", "2024-01-15T12:00:00Z"),
+        ev("zp", "u9", "purchase", "2024-01-15T12:00:00Z"))
+      q.processAllAvailable()
+      input.addData(
+        ev("z2", "u9", "view", "2024-01-15T13:00:00Z"),
+        ev("z2p", "u9", "purchase", "2024-01-15T13:00:00Z"))
+      q.processAllAvailable()
+      val rows = spark.table("attrib_outer_sink")
+        .select($"purchase_id", $"view_id").collect()
+        .map(r => (r.getString(0), Option(r.getString(1)))).toSet
+      assert(rows.contains(("p1", Some("v1"))), rows.toString)
+      assert(rows.contains(("p2", None)), rows.toString)
+    } finally q.stop()
+  }
+
   test("fromKafka reaches Spark's kafka source resolution (no connector here)") {
     // the sandbox ships no kafka connector jar; the wiring is correct iff
     // Spark's DataSource lookup is what rejects it, with its standard
