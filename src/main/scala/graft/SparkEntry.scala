@@ -71,6 +71,7 @@ object SparkEntry {
     "q_sliding_counts" -> ((s, d) => Analytics.slidingCounts(Analytics.events(s, d))),
     "q_set_ops" -> ((s, d) => Analytics.setOps(Analytics.events(s, d))),
     "q_value_stats" -> ((s, d) => Analytics.valueStats(Analytics.events(s, d))),
+    "q_value_percentiles" -> ((s, d) => Analytics.valuePercentiles(Analytics.events(s, d))),
     "q_hourly_type_pivot" -> ((s, d) => Analytics.hourlyTypePivot(Analytics.events(s, d))),
     "q_user_event_sets" -> ((s, d) => Analytics.userEventSets(Analytics.events(s, d))),
     "q_first_event_per_user" -> ((s, d) => Analytics.firstEventPerUser(Analytics.events(s, d))),
@@ -148,6 +149,11 @@ object SparkEntry {
     // corpus's J≥0.8 near-dup pairs), so the exact-Jaccard oracle applies
     "q_minhash_lsh" -> ((s, d) => Dedup.minHashLsh(TextAnalysis.documents(s, d), 0.5, bands = 32)),
     "q_simhash_pairs" -> ((s, d) => Dedup.simHashPairs(TextAnalysis.documents(s, d))),
+    // connected components over the (recall 1-ε, exact-verified) pair set
+    "q_neardup_clusters" -> ((s, d) => {
+      val docs = TextAnalysis.documents(s, d)
+      Dedup.nearDupClusters(docs, Dedup.minHashLsh(docs, 0.5, bands = 32))
+    }),
     "q_embedding_neardup" -> ((s, d) => Dedup.embeddingNearDup(Similarity.embeddings(s, d))),
     "q_embedding_neardup_lsh" -> ((s, d) => Dedup.embeddingNearDupLsh(Similarity.embeddings(s, d))),
     // ---- producer plane / sinks (S4, W6, K2; §2.11 X12–X14) ----
@@ -316,6 +322,12 @@ object SparkEntry {
         |  round(median(value), 4) AS median_value,
         |  round(min(value), 4) AS min_value,
         |  round(max(value), 4) AS max_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_value_percentiles" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 4) AS p50,
+        |  round(quantile_cont(value, 0.95), 4) AS p95,
+        |  round(quantile_cont(value, 0.99), 4) AS p99
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_hourly_type_pivot" ->
       """SELECT EXTRACT(hour FROM ts)::BIGINT AS hour_of_day,
@@ -574,6 +586,29 @@ object SparkEntry {
         |FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
         |WHERE round(i::DOUBLE / (sa.sz + sb.sz - i), 4) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_neardup_clusters" ->
+      """WITH RECURSIVE
+        |t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+        |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+        |       FROM t WHERE len(toks) >= 3),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |pairs AS (SELECT doc_a, doc_b
+        |          FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+        |          WHERE round(i::DOUBLE / (sa.sz + sb.sz - i), 4) >= 0.5),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT doc_id, doc_id AS other FROM documents
+        |  UNION
+        |  SELECT reach.doc_id, e.b FROM reach JOIN edges e ON reach.other = e.a),
+        |lab AS (SELECT doc_id, min(other) AS cluster_id FROM reach GROUP BY doc_id)
+        |SELECT l.doc_id, l.cluster_id, c.cluster_size
+        |FROM lab l JOIN (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY 1) c USING (cluster_id)
+        |ORDER BY doc_id""".stripMargin,
     "q_simhash_pairs" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks FROM documents),
         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),

@@ -221,6 +221,21 @@ object Analytics {
         round(max(col("value")), 4).as("max_value"))
       .orderBy(col("event_type"))
 
+  /** Exact percentiles per type (linear interpolation — matches DuckDB's
+    * quantile_cont bit-for-bit on the same doubles). Exact percentile is
+    * a sort-based aggregate: fine at per-group cardinalities; at 100 TB
+    * switch to approx_percentile (t-digest sketch, mergeable, one pass)
+    * — which is deliberately NOT the verified query because sketches are
+    * engine-specific.
+    */
+  def valuePercentiles(df: DataFrame): DataFrame =
+    df.groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.95)"), 4).as("p95"),
+        round(expr("percentile(value, 0.99)"), 4).as("p99"))
+      .orderBy(col("event_type"))
+
   /** Pivot: hour-of-day × event_type value sums (wide layout). Explicit
     * pivot values keep the schema static — never data-driven at plan
     * time (a full-scan hazard at 100 TB).

@@ -221,6 +221,53 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Connected components over near-dup pairs — the step a dedup pipeline
+    * runs AFTER pair generation: transitively-linked documents form one
+    * cluster (keep one doc per cluster, drop the rest). Min-label
+    * propagation: every doc starts as its own label; each iteration
+    * lowers a doc's label to the minimum among its neighbors; fixpoint =
+    * connected components with cluster_id = min doc_id in the component.
+    *
+    * Scale shape: one equi-join + one aggregate per iteration, all
+    * hash-partitioned on ids — no driver-side graph. Iteration count is
+    * the component diameter (near-dup clusters are small cliques/chains;
+    * the label-propagation bound is O(log n) for pathological chains).
+    * `localCheckpoint` after each step truncates the lineage so plan
+    * size stays constant across iterations. Deterministic (min is
+    * order-insensitive) — oracle: DuckDB recursive CTE closure.
+    */
+  def nearDupClusters(
+      docs: DataFrame,
+      pairs: DataFrame,
+      maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
+    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster_id"))
+      .localCheckpoint()
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIters) {
+      val nmin = edges.join(labels, edges("dst") === labels("doc_id"))
+        .groupBy(col("src")).agg(min(col("cluster_id")).as("nmin"))
+      val updated = labels.as("l")
+        .join(nmin, col("l.doc_id") === nmin("src"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id")))
+            .as("new_cluster_id"),
+          (coalesce(col("nmin"), col("cluster_id")) < col("cluster_id")).as("chg"))
+        .localCheckpoint()
+      changed = updated.filter(col("chg")).count()
+      labels = updated.select(col("doc_id"), col("new_cluster_id").as("cluster_id"))
+      i += 1
+    }
+    val sizes = labels.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Cosine similarity of two float-array columns, computed in double with
     * a fixed left-to-right summation order (deterministic, oracle-stable —
     * bit-identical to the `aggregate(zip_with(...))` formulation, but a

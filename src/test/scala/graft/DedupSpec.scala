@@ -80,6 +80,18 @@ class DedupSpec extends SparkTestBase {
     assert(out.keys.forall { case (a, b) => a < b })
   }
 
+  test("near-dup clustering: transitive chains collapse to min-id components") {
+    val allDocs = (1L to 7L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // 1-2-3 is a CHAIN (needs >1 propagation iteration), 5-6 a pair,
+    // 4 and 7 singletons
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val out = Dedup.nearDupClusters(allDocs, pairs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) == (1L, 3L) && out(2L) == (1L, 3L) && out(3L) == (1L, 3L))
+    assert(out(5L) == (5L, 2L) && out(6L) == (5L, 2L))
+    assert(out(4L) == (4L, 1L) && out(7L) == (7L, 1L))
+  }
+
   test("cosine: orthogonal → 0, identical → 1") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)), (3L, Array(2.0f, 0.0f))
