@@ -243,7 +243,12 @@ object Dedup {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint()
-    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster_id"))
+    // propagate over the INDUCED SUBGRAPH only: a doc with no near-dup
+    // edge can never change label, so the iteration state is the pair
+    // endpoints (≪ corpus — at 100 TB the corpus is billions of docs,
+    // the duplicate graph millions), and singletons rejoin at the end
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id"))
       .localCheckpoint()
     var changed = 1L
     var i = 0
@@ -261,10 +266,16 @@ object Dedup {
       labels = updated.select(col("doc_id"), col("new_cluster_id").as("cluster_id"))
       i += 1
     }
+    // singletons: every doc with no near-dup edge is its own cluster
+    val singletons = docs.select(col("doc_id"))
+      .join(labels.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("cluster_id"),
+        lit(1L).as("cluster_size"))
     val sizes = labels.groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "cluster_id")
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+      .unionByName(singletons)
       .orderBy(col("doc_id"))
   }
 
