@@ -120,6 +120,10 @@ object SparkEntry {
     "q_customers_without_orders" -> ((s, d) =>
       Relational.customersWithoutOrders(
         Relational.table(s, d, "customer"), Relational.table(s, d, "orders"))),
+    "q_above_avg_orders" -> ((s, d) => Relational.aboveAvgOrders(Relational.table(s, d, "orders"))),
+    "q_orders_of_segment" -> ((s, d) =>
+      Relational.ordersOfSegment(
+        Relational.table(s, d, "orders"), Relational.table(s, d, "customer"))),
     // hot-key mitigation: salted join is result-equal to the plain join
     "q_salted_join" -> ((s, d) =>
       Skew.saltedJoin(
@@ -452,6 +456,17 @@ object SparkEntry {
       """SELECT c_custkey, c_name FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |ORDER BY c_custkey""".stripMargin,
+    "q_above_avg_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE CAST(o_totalprice AS DECIMAL(18,2)) >
+        |  (SELECT sum(CAST(o_totalprice AS DECIMAL(18,2))) / count(*) FROM orders)
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q_orders_of_segment" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  sum(CAST(o_totalprice AS DECIMAL(18,2)))::DOUBLE AS total
+        |FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q_doc_stats" ->
       """SELECT doc_id, lang, length(text)::BIGINT AS n_chars,
         |  len(toks)::BIGINT AS n_tokens,

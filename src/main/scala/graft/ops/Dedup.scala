@@ -125,9 +125,13 @@ object Dedup {
     val rowsPerBand = numHashes / bands
     require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
 
+    // materialized once (localCheckpoint): read by the band branch and by
+    // BOTH sides of the verification join — the "persist the signature
+    // table" step an at-scale dedup run does before candidate generation
     val withSh = docs
       .select(col("doc_id"), shingles(col("text"), shingleSize).as("sh"))
       .filter(size(col("sh")) > 0)
+      .localCheckpoint()
     val withSig = withSh.withColumn("sig", minHashSignature(col("sh"), numHashes))
 
     // band key = hash of the band's signature slice + band index.
@@ -193,11 +197,17 @@ object Dedup {
     */
   def simHashPairs(docs: DataFrame, maxDist: Int = 7): DataFrame = {
     require(maxDist <= 7, "8-chunk blocking guarantees recall only to distance 7")
+    // localCheckpoint: both sides of the chunk self-join read the same
+    // signature table — materializing it once halves the shingle+hash
+    // compute (the equivalent of "persist the signature table" any
+    // at-scale dedup run would do before candidate generation)
     val sigDf = docs
       .select(col("doc_id"), shingles(col("text")).as("sh"))
       .filter(size(col("sh")) > 0)
       .withColumn("sig",
         simhash64(graft.functions.HashFunctions.polyHashArray(col("sh"))))
+      .select(col("doc_id"), col("sig"))
+      .localCheckpoint()
 
     val chunks = array((0 until 8).map(c =>
       shiftright(col("sig"), c * 8).bitwiseAND(lit(255L))): _*)

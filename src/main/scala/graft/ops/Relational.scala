@@ -192,4 +192,40 @@ object Relational {
         col("c_custkey") === col("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"))
       .orderBy(col("c_custkey"))
+
+  /** Scalar-subquery shape: orders priced above the global average.
+    * Catalyst plans the aggregate as a 1-row subquery broadcast into the
+    * filter — the fact table is scanned once with the comparison pushed
+    * into its stage, never joined. Top-k keeps the verified output small.
+    */
+  def aboveAvgOrders(orders: DataFrame, k: Int = 100): DataFrame = {
+    val avgPrice = orders.agg(
+      (sum(money("o_totalprice")) / count(lit(1))).as("avg_price"))
+    orders
+      .join(broadcast(avgPrice))
+      .filter(money("o_totalprice") > col("avg_price"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").cast("double").as("o_totalprice"))
+      .orderBy(desc("o_totalprice"), col("o_orderkey"))
+      .limit(k)
+  }
+
+  /** IN-subquery / left-semi shape: orders whose customer is in the
+    * BUILDING segment — the semi side reduces to its distinct key set
+    * and broadcasts; no fact shuffle, no row duplication (semantics of
+    * EXISTS, not of an inner join).
+    */
+  def ordersOfSegment(
+      orders: DataFrame,
+      customer: DataFrame,
+      segment: String = "BUILDING"): DataFrame =
+    orders
+      .join(
+        broadcast(customer.filter(col("c_mktsegment") === segment)
+          .select(col("c_custkey"))),
+        col("o_custkey") === col("c_custkey"), "left_semi")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(money("o_totalprice")).cast("double").as("total"))
+      .orderBy(col("o_orderstatus"))
 }
