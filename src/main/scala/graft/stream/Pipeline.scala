@@ -137,6 +137,53 @@ object Pipeline {
       .trigger(trigger)
       .start()
 
+  /** W8 depth: attach named observed metrics to the enriched stream —
+    * per-micro-batch row count, mean quality, and sub-threshold count,
+    * computed inside the running plan (no second scan, no extra action).
+    * Surfaces in `StreamingQueryProgress.observedMetrics("graft_metrics")`
+    * (streaming) or via `Observation` (batch) — the Spark twin of the
+    * reference's documented `Metrics.counter` instrumentation
+    * (README.md:331-340).
+    */
+  def withQualityMetrics(events: DataFrame): DataFrame =
+    events.observe("graft_metrics",
+      count(lit(1)).as("rows"),
+      avg(col("data_quality_score")).as("avg_quality"),
+      sum(when(col("data_quality_score") < 50, 1L).otherwise(0L))
+        .as("low_quality_rows"))
+
+  /** foreachBatch fan-out sink: each micro-batch appends its rows to the
+    * date-partitioned main sink AND a one-row batch summary (batch id,
+    * row count, mean quality) to a stats sink — the per-batch custom
+    * logic surface (multi-sink, merge, side effects) that a declarative
+    * `writeStream.format(...)` can't express. The batch DataFrame is
+    * written twice, so it is persisted for the duration of the batch.
+    */
+  def startFanoutSink(
+      events: DataFrame,
+      mainPath: String,
+      statsPath: String,
+      checkpoint: String,
+      trigger: Trigger = DefaultTrigger): StreamingQuery =
+    events
+      .withColumn("event_date", to_date(col("timestamp")))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.persist()
+        try {
+          batch.write.mode("append").partitionBy("event_date").parquet(mainPath)
+          batch.agg(
+              count(lit(1)).as("n_rows"),
+              round(avg(col("data_quality_score")), 4).as("avg_quality"))
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(statsPath)
+        } finally batch.unpersist()
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+
   /** Streaming exact dedup (§7.4-1 in streaming form): drop events whose
     * `id` was already seen, with state bounded by the watermark —
     * duplicates arriving within the watermark window are suppressed,

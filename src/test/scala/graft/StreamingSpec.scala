@@ -259,6 +259,56 @@ class StreamingSpec extends SparkTestBase {
     } finally if (q.isActive) q.stop()
   }
 
+  test("observed metrics report per-batch rows and quality inside the plan") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[String]
+    @volatile var seen: Option[org.apache.spark.sql.Row] = None
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = {
+        val m = e.progress.observedMetrics
+        if (m.containsKey("graft_metrics") && m.get("graft_metrics").getAs[Long]("rows") > 0)
+          seen = Some(m.get("graft_metrics"))
+      }
+      override def onQueryTerminated(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(listener)
+    val q = Pipeline.withQualityMetrics(Pipeline.process(input.toDF()))
+      .writeStream.format("memory").queryName("obs_sink")
+      .outputMode("append").start()
+    try {
+      input.addData(msg1, msg2)
+      q.processAllAvailable()
+      // listener events are delivered asynchronously
+      val deadline = System.nanoTime() + 30e9.toLong
+      while (seen.isEmpty && System.nanoTime() < deadline) Thread.sleep(100)
+      val m = seen.get
+      assert(m.getAs[Long]("rows") == 2)
+      assert(m.getAs[Double]("avg_quality") == 100.0)
+      assert(m.getAs[Long]("low_quality_rows") == 0)
+    } finally {
+      q.stop()
+      spark.streams.removeListener(listener)
+    }
+  }
+
+  test("foreachBatch fan-out writes rows to the main sink and summaries to stats") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_fanout").toString
+    val srcDir = s"$dir/in"; val mainDir = s"$dir/main"
+    val statsDir = s"$dir/stats"; val ckpt = s"$dir/ckpt"
+    new java.io.File(srcDir).mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$srcDir/batch1.jsonl"), s"$msg1\n$msg2\n")
+    val q = Pipeline.startFanoutSink(
+      Pipeline.process(Pipeline.fromTextDir(spark, srcDir)),
+      mainDir, statsDir, ckpt, trigger = Trigger.AvailableNow())
+    q.awaitTermination(60000)
+    assert(spark.read.parquet(mainDir).count() == 2)
+    val stats = spark.read.parquet(statsDir).collect()
+    assert(stats.map(_.getAs[Long]("n_rows")).sum == 2)
+    assert(stats.forall(_.getAs[Double]("avg_quality") == 100.0))
+  }
+
   test("checkpoint restart is exactly-once: no duplicates, new data picked up") {
     // K1 reliability semantics: the file sink's manifest + the source's
     // checkpointed offsets make stop/restart idempotent — re-running from
