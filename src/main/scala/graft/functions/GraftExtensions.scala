@@ -20,6 +20,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *   word_shingles(toks, n)   distinct word n-grams
   *   quality_score(user_id, message, value, ts)
   *                            the reference's 0-100 event quality score
+  *   poly_hash(s, base, mod)  cross-engine-replicable rolling hash
+  *   poly_hash_array(arr)     packed dual poly hash per array element
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -43,8 +45,17 @@ object GraftExtensions {
     "minhash_sig" -> (es => MinHashSig(es(0), intArg(es(1), "k"))),
     "simhash64" -> (es => SimHash64(es(0))),
     "word_shingles" -> (es => WordShingles(es(0), intArg(es(1), "n"))),
-    "quality_score" -> (es => qualityScoreExpr(es(0), es(1), es(2), es(3)))
+    "quality_score" -> (es => qualityScoreExpr(es(0), es(1), es(2), es(3))),
+    "poly_hash" -> (es => PolyHash(es(0), longArg(es(1), "base"), longArg(es(2), "mod"))),
+    "poly_hash_array" -> (es => PolyHashArray(es(0)))
   )
+
+  private def longArg(e: Expression, what: String): Long = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v.toLong
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got: $other")
+  }
 
   /** The §2.3-P9 scoring formula as a single SQL-callable function —
     * the same semantics as EventPipeline.qualityScore, built from raw

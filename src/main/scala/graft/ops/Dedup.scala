@@ -58,8 +58,10 @@ object Dedup {
       threshold: Double = 0.8,
       n: Int = 3,
       maxDf: Option[Int] = None): DataFrame = {
+    // materialized once: read by sizes and by BOTH sides of the self-join
     val shAll = docs
       .select(col("doc_id"), explode(shingles(col("text"), n)).as("shingle"))
+      .localCheckpoint()
     val sh = maxDf match {
       case None => shAll
       case Some(cut) =>

@@ -32,6 +32,13 @@ class GraftExtensionsSpec extends SparkTestBase {
         |       minhash_sig(transform(array('x','y'), t -> xxhash64(t)), 4) AS m
         |""".stripMargin).head()
     assert(sim.getSeq[Long](1).length == 4)
+
+    // replicable hash family: scalar ≡ array form, SQL-callable
+    val ph = spark.sql(
+      """SELECT poly_hash('abc', 31L, 1000000007L) AS h1,
+        |       poly_hash('abc', 131L, 1000000009L) AS h2,
+        |       poly_hash_array(array('abc'))[0] AS packed""".stripMargin).head()
+    assert(ph.getLong(2) == (ph.getLong(0) | (ph.getLong(1) << 30)))
   }
 
   test("extensions class injects the same functions into a fresh session") {
