@@ -121,6 +121,33 @@ object SparkEntry {
       Relational.customersWithoutOrders(
         Relational.table(s, d, "customer"), Relational.table(s, d, "orders"))),
     "q_above_avg_orders" -> ((s, d) => Relational.aboveAvgOrders(Relational.table(s, d, "orders"))),
+    "q_nation_trade_flows" -> ((s, d) =>
+      Relational.nationTradeFlows(
+        Relational.table(s, d, "lineitem"), Relational.table(s, d, "orders"),
+        Relational.table(s, d, "customer"), Relational.table(s, d, "supplier"),
+        Relational.table(s, d, "nation"))),
+    "q_big_orders" -> ((s, d) =>
+      Relational.bigOrders(
+        Relational.table(s, d, "lineitem"), Relational.table(s, d, "orders"))),
+    "q_distinct_profile" -> ((s, d) => Analytics.distinctProfile(Analytics.events(s, d))),
+    "q_event_gaps" -> ((s, d) => Analytics.eventGaps(Analytics.events(s, d))),
+    // SQL-text GROUPING SETS through the parser (subtotals by type, by
+    // hour, and the grand total in one aggregate)
+    "q_sql_grouping_sets" -> ((s, d) => {
+      Analytics.events(s, d).createOrReplaceTempView("events_gs")
+      // subtotal rows carry NULL group labels; coalesce to sentinels so
+      // the driver's pandas compare never sees a NULL-bearing int column
+      // (nullable ints degrade to float64 and fail frame equality)
+      s.sql(
+        """SELECT coalesce(event_type, 'ALL') AS event_type,
+          |       coalesce(hour(ts), -1) AS hour_of_day,
+          |       CAST(grouping(event_type) AS INT) AS g_type,
+          |       CAST(grouping(hour(ts)) AS INT) AS g_hour,
+          |       count(*) AS n
+          |FROM events_gs
+          |GROUP BY GROUPING SETS ((event_type), (hour(ts)), ())
+          |ORDER BY g_type, g_hour, event_type, hour_of_day""".stripMargin)
+    }),
     "q_orders_of_segment" -> ((s, d) =>
       Relational.ordersOfSegment(
         Relational.table(s, d, "orders"), Relational.table(s, d, "customer"))),
@@ -461,6 +488,49 @@ object SparkEntry {
         |WHERE CAST(o_totalprice AS DECIMAL(18,2)) >
         |  (SELECT sum(CAST(o_totalprice AS DECIMAL(18,2))) / count(*) FROM orders)
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q_nation_trade_flows" ->
+      """SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.0 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))::DOUBLE AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        |WHERE cn.n_name < sn.n_name
+        |GROUP BY 1, 2 ORDER BY cust_nation, supp_nation""".stripMargin,
+    "q_big_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, total_qty
+        |FROM orders JOIN (
+        |  SELECT l_orderkey, sum(l_quantity) AS total_qty FROM lineitem
+        |  GROUP BY 1 HAVING sum(l_quantity) > 300
+        |) ON o_orderkey = l_orderkey
+        |ORDER BY total_qty DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q_distinct_profile" ->
+      """SELECT event_type,
+        |  count(DISTINCT user_id) AS n_users,
+        |  count(DISTINCT CAST(ts AS DATE)) AS n_days,
+        |  count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "q_event_gaps" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        |  FROM events)
+        |SELECT user_id, count(*) AS n_gaps, max(gap_us) AS max_gap_us,
+        |  round(avg(gap_us), 4) AS avg_gap_us
+        |FROM g WHERE gap_us IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_sql_grouping_sets" ->
+      """SELECT coalesce(event_type, 'ALL') AS event_type,
+        |  coalesce(EXTRACT(hour FROM ts), -1)::INTEGER AS hour_of_day,
+        |  GROUPING(event_type)::INTEGER AS g_type,
+        |  GROUPING(EXTRACT(hour FROM ts))::INTEGER AS g_hour,
+        |  count(*) AS n
+        |FROM events
+        |GROUP BY GROUPING SETS ((event_type), (EXTRACT(hour FROM ts)), ())
+        |ORDER BY g_type, g_hour, event_type, hour_of_day""".stripMargin,
     "q_orders_of_segment" ->
       """SELECT o_orderstatus, count(*) AS n,
         |  sum(CAST(o_totalprice AS DECIMAL(18,2)))::DOUBLE AS total

@@ -236,6 +236,38 @@ object Analytics {
         round(expr("percentile(value, 0.99)"), 4).as("p99"))
       .orderBy(col("event_type"))
 
+  /** Multiple DISTINCT aggregates in one pass — Catalyst plans this with
+    * an Expand (one input row fans into one row per distinct clause),
+    * partial-deduped before the final shuffle; at scale this is the
+    * planner shape to watch (row amplification = #distinct clauses).
+    */
+  def distinctProfile(df: DataFrame): DataFrame =
+    df.groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(to_date(col("ts"))).as("n_days"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+
+  /** Inter-event gaps per user via LAG — the time-series delta pattern:
+    * one hash shuffle on user_id, per-partition sort, narrow everywhere
+    * else. Deterministic tie order via (ts, event_id).
+    */
+  def eventGaps(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    df.withColumn("gap_us",
+        unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+      .filter(col("gap_us").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_gaps"),
+        max(col("gap_us")).as("max_gap_us"),
+        round(avg(col("gap_us")), 4).as("avg_gap_us"))
+      .orderBy(col("user_id"))
+  }
+
   /** Pivot: hour-of-day × event_type value sums (wide layout). Explicit
     * pivot values keep the schema static — never data-driven at plan
     * time (a full-scan hazard at 100 TB).

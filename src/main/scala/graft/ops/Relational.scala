@@ -193,6 +193,65 @@ object Relational {
       .select(col("c_custkey"), col("c_name"))
       .orderBy(col("c_custkey"))
 
+  /** TPC-H Q7-shaped trade flows: revenue per (customer nation, supplier
+    * nation) pair. Topology: ONE fact⋈fact shuffle (lineitem⋈orders on
+    * the order key) with TWO broadcast dimension branches hanging off
+    * it (customer→nation on the order side, supplier→nation on the line
+    * side) — the shape where join ORDER matters at scale: dims reduce
+    * early, the big join happens once.
+    */
+  def nationTradeFlows(
+      lineitem: DataFrame,
+      orders: DataFrame,
+      customer: DataFrame,
+      supplier: DataFrame,
+      nation: DataFrame): DataFrame = {
+    val custNation = customer.select(col("c_custkey"), col("c_nationkey"))
+      .join(broadcast(nation.select(col("n_nationkey"),
+        col("n_name").as("cust_nation"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("cust_nation"))
+    val suppNation = supplier.select(col("s_suppkey"), col("s_nationkey"))
+      .join(broadcast(nation.select(col("n_nationkey"),
+        col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    lineitem
+      .join(orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(custNation), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .filter(col("cust_nation") < col("supp_nation"))
+      .groupBy(col("cust_nation"), col("supp_nation"))
+      .agg(
+        sum(money("l_extendedprice") * (lit(1.0).cast("decimal(4,2)") -
+          col("l_discount").cast("decimal(4,2)"))).cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("cust_nation"), col("supp_nation"))
+  }
+
+  /** TPC-H Q18-shaped HAVING: orders whose total quantity exceeds the
+    * threshold. The HAVING is a post-aggregate filter on the grouped
+    * fact (never a row-level predicate), and the surviving key set is
+    * small — it joins back to orders as a broadcast.
+    */
+  def bigOrders(
+      lineitem: DataFrame,
+      orders: DataFrame,
+      minQty: Double = 300.0,
+      k: Int = 100): DataFrame = {
+    val big = lineitem.groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).cast("double").as("total_qty"))
+      .filter(col("total_qty") > minQty)
+    orders
+      .join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").cast("double").as("o_totalprice"),
+        col("total_qty"))
+      .orderBy(desc("total_qty"), col("o_orderkey"))
+      .limit(k)
+  }
+
   /** Scalar-subquery shape: orders priced above the global average.
     * Catalyst plans the aggregate as a 1-row subquery broadcast into the
     * filter — the fact table is scanned once with the comparison pushed

@@ -83,6 +83,17 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("Window"), s"window argmax crept back:\n$p")
   }
 
+  test("Q7-shaped trade flows: one shuffle join, both nation branches broadcast") {
+    val p = plan(Relational.nationTradeFlows(
+      Relational.table(spark, sf, "lineitem"), Relational.table(spark, sf, "orders"),
+      Relational.table(spark, sf, "customer"), Relational.table(spark, sf, "supplier"),
+      Relational.table(spark, sf, "nation")))
+    // lineitem⋈orders is the only non-broadcast join; every dimension
+    // branch (customer→nation, supplier→nation) must broadcast
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 3, p)
+    assert("SortMergeJoin|ShuffledHashJoin".r.findAllIn(p).length <= 1, p)
+  }
+
   test("whole-stage codegen covers the event enrichment chain") {
     // a literal Seq would constant-fold to a LocalTableScan at plan time;
     // a file-backed source exercises the real scan → project → filter span
