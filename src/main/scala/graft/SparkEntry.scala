@@ -168,11 +168,14 @@ object SparkEntry {
     "q_lang_id" -> ((s, d) => TextAnalysis.langId(TextAnalysis.documents(s, d))),
     "q_lang_id_ngram" -> ((s, d) => TextAnalysis.langIdCharNgram(TextAnalysis.documents(s, d))),
     "q_text_quality" -> ((s, d) => TextAnalysis.qualityScore(TextAnalysis.documents(s, d))),
+    "q_tfidf_top_terms" -> ((s, d) => TextAnalysis.tfidfTopTerms(TextAnalysis.documents(s, d))),
     "q_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(TextAnalysis.documents(s, d))),
     "q_rolling_fingerprint" -> ((s, d) =>
       TextAnalysis.rollingFingerprints(TextAnalysis.documents(s, d))),
     // ---- end-to-end corpus curation (capstone: §7.4 composed) ----
     "q_corpus_curation" -> ((s, d) => Corpus.curate(TextAnalysis.documents(s, d))),
+    "q_corpus_curation_neardup" -> ((s, d) =>
+      Corpus.curateNearDup(TextAnalysis.documents(s, d))),
     // ---- dedup (§7.4-1) ----
     "q_exact_dedup" -> ((s, d) => Dedup.exactDedup(TextAnalysis.documents(s, d))),
     "q_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(TextAnalysis.documents(s, d), 0.05)),
@@ -614,6 +617,18 @@ object SparkEntry {
         |    len(list_distinct(toks))::DOUBLE / len(toks) AS diversity
         |  FROM (SELECT doc_id, n_chars, regexp_split_to_array(lower(text), '\s+') AS toks FROM documents))
         |ORDER BY doc_id""".stripMargin,
+    "q_tfidf_top_terms" ->
+      """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |s AS (SELECT doc_id, term, round(tf * ln(n_docs::DOUBLE / df), 4) AS tfidf
+        |      FROM tf JOIN df USING (term) CROSS JOIN n)
+        |SELECT doc_id, rnk, term, tfidf FROM (
+        |  SELECT doc_id, term, tfidf,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
+        |  FROM s)
+        |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
     "q_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
@@ -640,6 +655,48 @@ object SparkEntry {
         |SELECT s.doc_id, s.lang, s.n_tokens, s.quality
         |FROM scored s JOIN keepers k ON s.fp = k.fp AND s.doc_id = k.keep_id
         |WHERE s.quality >= 0.5 AND s.n_tokens BETWEEN 30 AND 120
+        |ORDER BY s.doc_id""".stripMargin,
+    "q_corpus_curation_neardup" ->
+      """WITH RECURSIVE
+        |t AS (SELECT doc_id, lang, n_chars,
+        |        regexp_split_to_array(lower(text), '\s+') AS toks,
+        |        md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+        |      FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+        |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+        |       FROM t WHERE len(toks) >= 3),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |pairs AS (SELECT doc_a, doc_b
+        |          FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+        |          WHERE round(i::DOUBLE / (sa.sz + sb.sz - i), 4) >= 0.5),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT doc_id, doc_id AS other FROM documents
+        |  UNION
+        |  SELECT reach.doc_id, e.b FROM reach JOIN edges e ON reach.other = e.a),
+        |lab AS (SELECT doc_id, min(other) AS cluster_id FROM reach GROUP BY doc_id),
+        |scored AS (
+        |  SELECT doc_id, lang, fp,
+        |    len(toks)::BIGINT AS n_tokens,
+        |    round((
+        |      CASE WHEN n_chars BETWEEN 100 AND 450 THEN 1.0
+        |           WHEN n_chars < 100 THEN n_chars / 100.0
+        |           ELSE 450.0 / n_chars END
+        |      + least(len(list_filter(toks, tk -> tk IN ('the','a','of','and','to','in')))::DOUBLE / len(toks) * 10.0, 1.0)
+        |      + len(list_distinct(toks))::DOUBLE / len(toks)
+        |    ) / 3.0, 4) AS quality
+        |  FROM t),
+        |keepers AS (SELECT fp, min(doc_id) AS keep_id FROM scored GROUP BY fp)
+        |SELECT s.doc_id, s.lang, s.n_tokens, s.quality
+        |FROM scored s
+        |JOIN keepers k ON s.fp = k.fp AND s.doc_id = k.keep_id
+        |JOIN lab ON s.doc_id = lab.doc_id
+        |WHERE s.quality >= 0.5 AND s.n_tokens BETWEEN 30 AND 120
+        |  AND lab.doc_id = lab.cluster_id
         |ORDER BY s.doc_id""".stripMargin,
     "q_exact_dedup" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS dup_count

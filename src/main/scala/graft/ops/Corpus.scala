@@ -57,6 +57,34 @@ object Corpus {
       .orderBy(col("doc_id"))
   }
 
+  /** The capstone upgraded with the NEAR-dup stage: exact dedup's
+    * fingerprint keeper can't see reworded boilerplate, so survivors
+    * additionally pass through connected-component clustering over the
+    * verified near-dup pair set ([[Dedup.minHashLsh]] at its recall-(1-ε)
+    * operating point → [[Dedup.nearDupClusters]]), keeping the minimum
+    * doc_id per cluster. End-to-end deterministic, so the WHOLE composed
+    * pipeline — score → exact-dedup → near-dup-cluster-keeper → gates —
+    * is oracle-verified (q_corpus_curation_neardup; the oracle recomputes
+    * the clusters with a recursive CTE).
+    *
+    * Added cost over [[curate]]: the LSH band join + the label
+    * propagation, both on the pair graph, not the corpus.
+    */
+  def curateNearDup(
+      docs: DataFrame,
+      minQuality: Double = 0.5,
+      minTokens: Int = 30,
+      maxTokens: Int = 120,
+      jaccard: Double = 0.5): DataFrame = {
+    val clusters = Dedup.nearDupClusters(
+      docs, Dedup.minHashLsh(docs, jaccard, bands = 32))
+    curate(docs, minQuality, minTokens, maxTokens)
+      .join(clusters.select(col("doc_id"), col("cluster_id")), "doc_id")
+      .filter(col("doc_id") === col("cluster_id"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("quality"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Curation funnel report: how many documents each gate removes —
     * the ops dashboard for a curation run.
     */

@@ -188,6 +188,36 @@ object TextAnalysis {
     * hash, engine-independent by construction (plain modular arithmetic,
     * reproducible in ANSI-ish SQL via list_reduce). Row-local, one pass.
     */
+  /** TF-IDF top-k terms per document — the corpus-weighting operator a
+    * training-data pipeline uses for keyword extraction / quality
+    * features. Shape at scale: token TF is a (doc, term) aggregate, DF a
+    * (term) aggregate, and the weighting join shuffles on the term key —
+    * all hash-partitioned, no broadcast of anything corpus-sized (the
+    * 1-row doc count is the only broadcast). Ranking happens on the
+    * ROUNDED score so tie order (then term asc) is deterministic and
+    * engine-independent.
+    */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tokens = docs.select(col("doc_id"),
+      explode(split(lower(col("text")), "\\s+")).as("term"))
+    val tf = tokens.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df_, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(desc("tfidf"), col("term"))
+    scored
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("rnk"), col("term"), col("tfidf"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
   def rollingFingerprint(text: Column, mod: Long = 1000000007L): Column =
     aggregate(
       transform(split(text, ""), c => ascii(c).cast("long")),

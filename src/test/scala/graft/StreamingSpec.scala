@@ -259,6 +259,24 @@ class StreamingSpec extends SparkTestBase {
     } finally if (q.isActive) q.stop()
   }
 
+  test("complete output mode re-emits the full aggregate each batch") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[String]
+    val counts = Pipeline.process(input.toDF())
+      .groupBy($"event_type").count()
+    val q = counts.writeStream.format("memory").queryName("complete_sink")
+      .outputMode("complete").start()
+    try {
+      input.addData(msg1, msg2)
+      q.processAllAvailable()
+      input.addData(msg2.replace("test-dag-002", "test-dag-003"))
+      q.processAllAvailable()
+      val m = spark.table("complete_sink").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(m == Map("test" -> 1L, "purchase" -> 2L))
+    } finally q.stop()
+  }
+
   test("observed metrics report per-batch rows and quality inside the plan") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[String]
