@@ -522,7 +522,7 @@ object SparkEntry {
         |    epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
         |  FROM events)
         |SELECT user_id, count(*) AS n_gaps, max(gap_us) AS max_gap_us,
-        |  round(avg(gap_us), 4) AS avg_gap_us
+        |  (sum(gap_us) // count(*))::BIGINT AS avg_gap_us
         |FROM g WHERE gap_us IS NOT NULL
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_sql_grouping_sets" ->

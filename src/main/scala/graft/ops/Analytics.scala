@@ -264,7 +264,11 @@ object Analytics {
       .agg(
         count(lit(1)).as("n_gaps"),
         max(col("gap_us")).as("max_gap_us"),
-        round(avg(col("gap_us")), 4).as("avg_gap_us"))
+        // INTEGER division of the exact BIGINT sum: at ~1e10 µs the
+        // quotient's 4th decimal is at the double's ulp limit, where
+        // engines' round() implementations legitimately disagree — the
+        // floor-div is exact arithmetic end to end
+        expr("sum(gap_us) div count(1)").as("avg_gap_us"))
       .orderBy(col("user_id"))
   }
 
