@@ -125,8 +125,11 @@ object SimHash64 {
   */
 case class PolyHash(child: Expression, base: Long, mod: Long)
     extends UnaryExpression with ImplicitCastInputTypes {
-  require(mod > 0 && base > 0 && base < Long.MaxValue / mod,
-    "base * mod must fit in a long")
+  // worst step is h*base + cp with h ≤ mod-1 and cp ≤ 0x10FFFF — the
+  // whole bound must fit in a long or hashes silently wrap negative
+  require(mod > 0 && base > 0 &&
+    (mod - 1) <= (Long.MaxValue - 0x10FFFFL) / base,
+    "(mod-1)*base + max code point must fit in a long")
 
   override def inputTypes = Seq(org.apache.spark.sql.types.StringType)
   override def dataType: DataType = LongType

@@ -221,12 +221,13 @@ object Analytics {
         round(max(col("value")), 4).as("max_value"))
       .orderBy(col("event_type"))
 
-  /** Exact percentiles per type (linear interpolation — matches DuckDB's
-    * quantile_cont bit-for-bit on the same doubles). Exact percentile is
-    * a sort-based aggregate: fine at per-group cardinalities; at 100 TB
-    * switch to approx_percentile (t-digest sketch, mergeable, one pass)
-    * — which is deliberately NOT the verified query because sketches are
-    * engine-specific.
+  /** Exact percentiles per type (linear interpolation — same formula as
+    * DuckDB's quantile_cont; the engines' interpolations differ at the
+    * ulp level, so agreement is at the rounded 4 decimals, not
+    * bit-for-bit). Exact percentile is a sort-based aggregate: fine at
+    * per-group cardinalities; at 100 TB switch to approx_percentile
+    * (t-digest sketch, mergeable, one pass) — which is deliberately NOT
+    * the verified query because sketches are engine-specific.
     */
   def valuePercentiles(df: DataFrame): DataFrame =
     df.groupBy(col("event_type"))
@@ -356,7 +357,11 @@ object Analytics {
     * left row; the naive interval-join+argmax pays O(matching pairs).
     * Marker ordering (views before purchases at equal ts) gives the
     * ≤ tie semantics, matching DuckDB's `ASOF LEFT JOIN ... ON v.ts <=
-    * p.ts` oracle.
+    * p.ts` oracle; event_id is the final sort key so equal-timestamp
+    * views resolve deterministically (highest event_id wins) instead of
+    * by partition order. (ASOF engines leave that tie unspecified — the
+    * test corpus has no duplicate (user, ts) view pairs, but OUR pick
+    * must not flip between runs.)
     */
   def asofLastView(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -364,11 +369,10 @@ object Analytics {
       .select(col("user_id"), col("ts"), col("event_id"),
         lit(null).cast("double").as("v_value"), lit(1).as("is_purchase"))
     val v = df.filter(col("event_type") === "view")
-      .select(col("user_id"), col("ts"),
-        lit(null).cast("long").as("event_id"),
+      .select(col("user_id"), col("ts"), col("event_id"),
         col("value").as("v_value"), lit(0).as("is_purchase"))
     val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("is_purchase"))
+      .orderBy(col("ts"), col("is_purchase"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     p.unionByName(v)
       .withColumn("last_view_ts",

@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.functions.HashFunctions.{minhashSig, polyHash, simhash64}
+import graft.functions.HashFunctions.{minhashSig, simhash64}
 import graft.functions.VectorFunctions.vecDot
 
 /** Deduplication operators for a training-data pipeline (SURVEY §7.4-1).
@@ -177,25 +177,18 @@ object Dedup {
   def simHash(shingleArr: Column): Column =
     simhash64(transform(shingleArr, s => xxhash64(s)))
 
-  /** Cross-engine-replicable shingle hash: two independent polynomial
-    * rolling hashes (bases 31/131, Mersenne-ish primes just under 2^30)
-    * packed into one 60-bit non-negative long — bits 0..29 from the first,
-    * 30..59 from the second. Every step is replicable in DuckDB SQL
-    * (`list_reduce` fold + `ord`), which is what lets [[simHashPairs]]
-    * carry a full value-level oracle instead of a rows-only check.
-    */
-  def shingleHashReplicable(s: Column): Column =
-    polyHash(s, 31L, 1000000007L) +
-      polyHash(s, 131L, 1000000009L) * lit(1073741824L)
-
   /** SimHash near-dup pairs with Hamming distance ≤ maxDist, blocked by
     * 8-bit chunks: any pair within distance 7 must agree on ≥1 of 8
     * chunks (pigeonhole), so candidates come from an equi-join on chunk
     * values, never a cross join. Verified with exact bit_count(xor), and
     * because the blocking is pigeonhole-COMPLETE (not probabilistic), the
     * output is exactly "all pairs at distance ≤ maxDist" — an oracle-able
-    * semantics. Signatures use [[shingleHashReplicable]] (60 effective
-    * bits; bits 60-63 are constant-zero) so the oracle can recompute them.
+    * semantics. Shingle hashes come from
+    * [[graft.functions.PolyHashArray]] — two polynomial rolling hashes
+    * packed as h1 | h2 << 30 (60 effective bits; bits 60-63 are
+    * constant-zero) — every step replicable in DuckDB SQL
+    * (`list_reduce` fold + `ord` + bit ops), which is what lets this
+    * query carry a full value-level oracle instead of a rows-only check.
     */
   def simHashPairs(docs: DataFrame, maxDist: Int = 7): DataFrame = {
     require(maxDist <= 7, "8-chunk blocking guarantees recall only to distance 7")
@@ -242,8 +235,11 @@ object Dedup {
     *
     * Scale shape: one equi-join + one aggregate per iteration, all
     * hash-partitioned on ids — no driver-side graph. Iteration count is
-    * the component diameter (near-dup clusters are small cliques/chains;
-    * the label-propagation bound is O(log n) for pathological chains).
+    * the component DIAMETER (plain min-label propagation is O(diameter),
+    * not O(log n); near-dup clusters are small cliques/chains in
+    * practice, so a handful of rounds converge). Non-convergence within
+    * `maxIters` throws rather than silently returning partial labels —
+    * wrong cluster ids would quietly corrupt downstream keeper logic.
     * `localCheckpoint` after each step truncates the lineage so plan
     * size stays constant across iterations. Deterministic (min is
     * order-insensitive) — oracle: DuckDB recursive CTE closure.
@@ -251,7 +247,7 @@ object Dedup {
   def nearDupClusters(
       docs: DataFrame,
       pairs: DataFrame,
-      maxIters: Int = 20): DataFrame = {
+      maxIters: Int = 50): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint()
@@ -278,6 +274,10 @@ object Dedup {
       labels = updated.select(col("doc_id"), col("new_cluster_id").as("cluster_id"))
       i += 1
     }
+    if (changed > 0) throw new IllegalStateException(
+      s"nearDupClusters did not converge in $maxIters iterations " +
+        s"($changed labels still changing) — component diameter exceeds " +
+        "maxIters; raise it or pre-split the pair graph")
     // singletons: every doc with no near-dup edge is its own cluster
     val singletons = docs.select(col("doc_id"))
       .join(labels.select(col("doc_id")), Seq("doc_id"), "left_anti")

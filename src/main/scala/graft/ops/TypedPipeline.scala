@@ -125,7 +125,9 @@ object TypedPipeline {
       currency = opt("currency"),
       device_id = opt("device_id"),
       location = opt("location"),
-      message_length = Some(message.length),
+      // code points, not UTF-16 units — the Column path's length() counts
+      // code points, and this twin exists to match it exactly
+      message_length = Some(message.codePointCount(0, message.length)),
       event_hour = Some(eventHour),
       data_quality_score = Some(score)))
   }

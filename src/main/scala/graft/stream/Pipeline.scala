@@ -152,11 +152,17 @@ object Pipeline {
       sum(when(col("data_quality_score") < 50, 1L).otherwise(0L))
         .as("low_quality_rows"))
 
-  /** foreachBatch fan-out sink: each micro-batch appends its rows to the
-    * date-partitioned main sink AND a one-row batch summary (batch id,
-    * row count, mean quality) to a stats sink — the per-batch custom
-    * logic surface (multi-sink, merge, side effects) that a declarative
-    * `writeStream.format(...)` can't express. The batch DataFrame is
+  /** foreachBatch fan-out sink: each micro-batch writes its rows to the
+    * main sink AND a one-row batch summary (batch id, row count, mean
+    * quality) to a stats sink — the per-batch custom logic surface
+    * (multi-sink, merge, side effects) that a declarative
+    * `writeStream.format(...)` can't express.
+    *
+    * foreachBatch gives at-least-once batch execution, so each write is
+    * made IDEMPOTENT by overwriting that batch's own `batch_id=` hive
+    * partition: a retried batch replaces its previous (possibly partial)
+    * output instead of double-appending. Readers see one logical table
+    * via partition discovery over the root path. The batch DataFrame is
     * written twice, so it is persisted for the duration of the batch.
     */
   def startFanoutSink(
@@ -171,12 +177,12 @@ object Pipeline {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         batch.persist()
         try {
-          batch.write.mode("append").partitionBy("event_date").parquet(mainPath)
+          batch.write.mode("overwrite").partitionBy("event_date")
+            .parquet(s"$mainPath/batch_id=$batchId")
           batch.agg(
               count(lit(1)).as("n_rows"),
               round(avg(col("data_quality_score")), 4).as("avg_quality"))
-            .withColumn("batch_id", lit(batchId))
-            .write.mode("append").parquet(statsPath)
+            .write.mode("overwrite").parquet(s"$statsPath/batch_id=$batchId")
         } finally batch.unpersist()
         ()
       }

@@ -11,15 +11,21 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * this is the escape hatch for session logic a window can't express:
   * per-session invariants, custom merge rules, side outputs).
   *
-  * State design for scale: one small fixed-size record per ACTIVE user
-  * (not per event); event-time timeout + watermark reclaim state for
-  * idle users, so state size tracks concurrent activity, not history.
+  * State design for scale: a SHORT LIST of open sessions per active user
+  * (not per event) — more than one only while out-of-order events inside
+  * the watermark straddle a gap, exactly the case `session_window`'s
+  * merging state also has to hold. Event-time timeout + watermark
+  * reclaim state for idle users, so state size tracks concurrent
+  * activity, not history.
   */
 object Sessionize {
 
   final case class SessionEvent(user_id: String, event_ts: Timestamp)
 
-  final case class SessionState(nEvents: Long, firstTs: Long, lastTs: Long)
+  final case class OpenSession(nEvents: Long, firstTs: Long, lastTs: Long)
+
+  /** Open sessions, pairwise more than gap apart, sorted by firstTs. */
+  final case class SessionList(sessions: Seq[OpenSession])
 
   final case class SessionSummary(
       user_id: String,
@@ -29,7 +35,11 @@ object Sessionize {
 
   /** Sessions close after `gapMinutes` of per-user inactivity (measured
     * in event time against the stream's watermark). Emits one summary row
-    * per closed session; open sessions hold a single state record.
+    * per closed session. Semantics match `session_window` / the
+    * islands-and-gaps oracle exactly, INCLUDING out-of-order arrivals
+    * within the watermark: an event that lands more than gap before every
+    * open session starts its own session rather than being glued onto a
+    * later one, and an event bridging two open sessions merges them.
     */
   def userSessions(
       events: DataFrame,
@@ -43,43 +53,51 @@ object Sessionize {
       .as[SessionEvent]
 
     val gapMs = gapMinutes * 60000L
+    def summary(userId: String, s: OpenSession): SessionSummary =
+      SessionSummary(userId, s.nEvents,
+        new Timestamp(s.firstTs), new Timestamp(s.lastTs))
+
     typed
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionState, SessionSummary](
+      .flatMapGroupsWithState[SessionList, SessionSummary](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (userId, rows, state: GroupState[SessionState]) =>
+        (userId, rows, state: GroupState[SessionList]) =>
+          val wm = state.getCurrentWatermarkMs()
           if (state.hasTimedOut) {
-            val s = state.get
-            state.remove()
-            Iterator.single(SessionSummary(
-              userId, s.nEvents, new Timestamp(s.firstTs), new Timestamp(s.lastTs)))
-          } else {
-            // Split WITHIN the batch too: a micro-batch (or a backfill
-            // arriving before the event-time timeout fires) can carry
-            // events more than gap apart — they must land in separate
-            // sessions, exactly as the islands-and-gaps oracle and
-            // session_window would place them.
-            val ts = rows.map(_.event_ts.getTime).toArray.sorted
-            val closed = Seq.newBuilder[SessionSummary]
-            var cur = state.getOption
-            ts.foreach { t =>
-              cur match {
-                case Some(s) if t - s.lastTs > gapMs =>
-                  closed += SessionSummary(userId, s.nEvents,
-                    new Timestamp(s.firstTs), new Timestamp(s.lastTs))
-                  cur = Some(SessionState(1L, t, t))
-                case Some(s) =>
-                  cur = Some(SessionState(s.nEvents + 1,
-                    math.min(s.firstTs, t), math.max(s.lastTs, t)))
-                case None =>
-                  cur = Some(SessionState(1L, t, t))
-              }
+            val all = state.get.sessions
+            val (done, open) = all.partition(_.lastTs + gapMs <= wm)
+            if (open.isEmpty) state.remove()
+            else {
+              state.update(SessionList(open))
+              state.setTimeoutTimestamp(open.map(_.lastTs).min + gapMs)
             }
-            val open = cur.get
-            state.update(open)
-            // close the open session once the watermark passes last + gap
-            state.setTimeoutTimestamp(open.lastTs + gapMs)
-            closed.result().iterator
+            done.sortBy(_.firstTs).iterator.map(summary(userId, _))
+          } else {
+            var sessions =
+              state.getOption.map(_.sessions.toList).getOrElse(Nil)
+            rows.map(_.event_ts.getTime).toArray.sorted.foreach { t =>
+              // sessions within gap of t merge with it (an event bridging
+              // two sessions collapses them into one — session_window's
+              // merge rule); otherwise t opens a new session
+              val (touching, rest) = sessions.partition(s =>
+                t >= s.firstTs - gapMs && t <= s.lastTs + gapMs)
+              val merged =
+                if (touching.isEmpty) OpenSession(1L, t, t)
+                else OpenSession(
+                  touching.map(_.nEvents).sum + 1L,
+                  math.min(touching.map(_.firstTs).min, t),
+                  math.max(touching.map(_.lastTs).max, t))
+              sessions = merged :: rest
+            }
+            // anything already beyond the watermark can never grow — emit
+            // now (its timeout timestamp would be invalid to register)
+            val (done, open) = sessions.partition(_.lastTs + gapMs <= wm)
+            if (open.isEmpty) state.remove()
+            else {
+              state.update(SessionList(open.sortBy(_.firstTs)))
+              state.setTimeoutTimestamp(open.map(_.lastTs).min + gapMs)
+            }
+            done.sortBy(_.firstTs).iterator.map(summary(userId, _))
           }
       }
   }

@@ -152,6 +152,38 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("sessionization: late event more than gap BEFORE the open session forms its own") {
+    implicit val ctx = spark.sqlContext
+    def ev(id: String, user: String, tsIso: String) =
+      s"""{"id":"$id","timestamp":"$tsIso","message":"m","user_id":"$user","event_type":"click","value":1.0}"""
+    val input = MemoryStream[String]
+    val sessions = graft.stream.Sessionize.userSessions(
+      Pipeline.process(input.toDF()), gapMinutes = 5, watermark = "10 minutes")
+    val q = sessions.toDF()
+      .writeStream.format("memory").queryName("ooo_session_sink")
+      .outputMode("append").start()
+    try {
+      input.addData(ev("a", "u1", "2024-01-15T10:10:00Z"))
+      q.processAllAvailable()
+      // late arrival INSIDE the 10-min watermark but > gap before the
+      // open session's start: islands-and-gaps puts it in its OWN session
+      input.addData(ev("b", "u1", "2024-01-15T10:02:00Z"))
+      q.processAllAvailable()
+      // advance the watermark far past both sessions to close them
+      input.addData(ev("c", "u9", "2024-01-15T11:00:00Z"))
+      q.processAllAvailable()
+      input.addData(ev("d", "u9", "2024-01-15T12:00:00Z"))
+      q.processAllAvailable()
+      val u1 = spark.table("ooo_session_sink")
+        .filter($"user_id" === "u1")
+        .select($"n_events", $"session_start").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).toInstant.toString)).toSet
+      assert(u1 == Set(
+        (1L, "2024-01-15T10:02:00Z"),
+        (1L, "2024-01-15T10:10:00Z")), u1.toString)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join attributes purchases to preceding views") {
     implicit val ctx = spark.sqlContext
     def ev(id: String, user: String, typ: String, tsIso: String) =

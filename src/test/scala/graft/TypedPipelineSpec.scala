@@ -42,7 +42,9 @@ class TypedPipelineSpec extends SparkTestBase {
           else node.put("id", i) // numeric id → stringified by both paths
           node.put("timestamp", timestamps(rnd.nextInt(timestamps.length)))
           node.put("message",
-            Seq(s"msg $i", "", """he said "hi" there""")(rnd.nextInt(3)))
+            // includes a non-BMP emoji: length() counts code points, and
+            // the typed twin must agree (codePointCount, not String.length)
+            Seq(s"msg $i", "", """he said "hi" there""", "🎉 party")(rnd.nextInt(4)))
           node.put("user_id", Seq(s"user_$i", "", "unknown")(rnd.nextInt(3)))
           node.put("event_type", "click")
           rnd.nextInt(3) match {
