@@ -291,6 +291,31 @@ class StreamingSpec extends SparkTestBase {
     } finally if (q.isActive) q.stop()
   }
 
+  test("transformWithState running counts (RocksDB state store)") {
+    implicit val ctx = spark.sqlContext
+    // the transformWithState API requires the RocksDB provider — state
+    // lives on disk, the 100 TB posture for wide key spaces
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[String]
+      val counts = graft.stream.RunningCounts.perUser(Pipeline.process(input.toDF()))
+      val q = counts.toDF().writeStream.format("memory").queryName("tws_sink")
+        .outputMode("update").start()
+      try {
+        input.addData(msg1, msg2) // both dag_tester
+        q.processAllAvailable()
+        input.addData(msg2.replace("test-dag-002", "test-dag-003"))
+        q.processAllAvailable()
+        val rows = spark.table("tws_sink").collect()
+          .map(r => (r.getString(0), r.getLong(1)))
+        // update mode: one row per batch for the active user — running
+        // count reaches 3 and passes through 2
+        assert(rows.toSet == Set(("dag_tester", 2L), ("dag_tester", 3L)), rows.mkString(","))
+      } finally q.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("complete output mode re-emits the full aggregate each batch") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[String]
