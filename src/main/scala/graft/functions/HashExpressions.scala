@@ -120,8 +120,10 @@ object SimHash64 {
   * family proven by q_rolling_fingerprint, packaged as a codegen'd loop so
   * per-shingle hashing doesn't pay the interpreted-HOF tax.
   *
-  * Constraint: base * m must fit in a signed 64-bit long (m ≤ ~2^30 for
-  * base ≤ 131) — enforced at construction.
+  * Constraint: the worst fold step (mod-1)*base + maxCodePoint must fit
+  * in a signed 64-bit long — enforced at construction (for base 131 that
+  * admits mod up to ~7.0e16; the replicable family uses primes near
+  * 2^30, far inside the bound).
   */
 case class PolyHash(child: Expression, base: Long, mod: Long)
     extends UnaryExpression with ImplicitCastInputTypes {

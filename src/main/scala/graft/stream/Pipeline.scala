@@ -159,11 +159,19 @@ object Pipeline {
     * `writeStream.format(...)` can't express.
     *
     * foreachBatch gives at-least-once batch execution, so each write is
-    * made IDEMPOTENT by overwriting that batch's own `batch_id=` hive
-    * partition: a retried batch replaces its previous (possibly partial)
-    * output instead of double-appending. Readers see one logical table
-    * via partition discovery over the root path. The batch DataFrame is
-    * written twice, so it is persisted for the duration of the batch.
+    * made IDEMPOTENT by overwriting that batch's own `batch-N`
+    * subdirectory: a retried batch replaces its previous (possibly
+    * partial) output instead of double-appending. batch_id rides INSIDE
+    * the data as an explicit LongType column (a hive-style `batch_id=`
+    * directory would surface through partition inference as an
+    * IntegerType column that silently widens past 2^31 batches, and
+    * would vanish entirely when reading one batch directory directly).
+    * event_date stays a DATA column here too: readers use
+    * `recursiveFileLookup` over the root (which disables partition
+    * discovery), and the date-pruned layout is [[startSink]]'s job — this
+    * sink demonstrates the per-batch custom-logic surface. The batch
+    * DataFrame is written twice, so it is persisted for the duration of
+    * the batch.
     */
   def startFanoutSink(
       events: DataFrame,
@@ -177,12 +185,14 @@ object Pipeline {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         batch.persist()
         try {
-          batch.write.mode("overwrite").partitionBy("event_date")
-            .parquet(s"$mainPath/batch_id=$batchId")
+          batch.withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .parquet(s"$mainPath/batch-$batchId")
           batch.agg(
               count(lit(1)).as("n_rows"),
               round(avg(col("data_quality_score")), 4).as("avg_quality"))
-            .write.mode("overwrite").parquet(s"$statsPath/batch_id=$batchId")
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite").parquet(s"$statsPath/batch-$batchId")
         } finally batch.unpersist()
         ()
       }

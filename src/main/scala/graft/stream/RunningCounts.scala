@@ -42,16 +42,20 @@ object RunningCounts {
   }
 
   /** events: the enriched stream (needs `user_id`). `ttl = null` keeps
-    * state forever (tests); production passes an idle-age bound.
+    * state forever; with an idle-age bound the query runs in
+    * ProcessingTime mode — Spark rejects a non-NONE TTLConfig under any
+    * other time mode, so the mode follows the ttl argument.
     */
   def perUser(
       events: DataFrame,
       ttl: java.time.Duration = null): Dataset[UserCount] = {
     val spark = events.sparkSession
     import spark.implicits._
+    val timeMode =
+      if (ttl == null) TimeMode.None() else TimeMode.ProcessingTime()
     events.select(col("user_id")).as[String]
       .groupByKey(identity)
       .transformWithState(
-        new CountProcessor(ttl), TimeMode.None(), OutputMode.Update())
+        new CountProcessor(ttl), timeMode, OutputMode.Update())
   }
 }

@@ -57,48 +57,43 @@ object Sessionize {
       SessionSummary(userId, s.nEvents,
         new Timestamp(s.firstTs), new Timestamp(s.lastTs))
 
+    // One body serves both entry modes: a timeout call is simply a call
+    // with zero input rows, so the merge fold is a no-op and only the
+    // close/re-register step runs.
     typed
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionList, SessionSummary](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId, rows, state: GroupState[SessionList]) =>
           val wm = state.getCurrentWatermarkMs()
-          if (state.hasTimedOut) {
-            val all = state.get.sessions
-            val (done, open) = all.partition(_.lastTs + gapMs <= wm)
-            if (open.isEmpty) state.remove()
-            else {
-              state.update(SessionList(open))
-              state.setTimeoutTimestamp(open.map(_.lastTs).min + gapMs)
-            }
-            done.sortBy(_.firstTs).iterator.map(summary(userId, _))
-          } else {
-            var sessions =
-              state.getOption.map(_.sessions.toList).getOrElse(Nil)
-            rows.map(_.event_ts.getTime).toArray.sorted.foreach { t =>
-              // sessions within gap of t merge with it (an event bridging
-              // two sessions collapses them into one — session_window's
-              // merge rule); otherwise t opens a new session
-              val (touching, rest) = sessions.partition(s =>
-                t >= s.firstTs - gapMs && t <= s.lastTs + gapMs)
-              val merged =
-                if (touching.isEmpty) OpenSession(1L, t, t)
-                else OpenSession(
-                  touching.map(_.nEvents).sum + 1L,
-                  math.min(touching.map(_.firstTs).min, t),
-                  math.max(touching.map(_.lastTs).max, t))
-              sessions = merged :: rest
-            }
-            // anything already beyond the watermark can never grow — emit
-            // now (its timeout timestamp would be invalid to register)
-            val (done, open) = sessions.partition(_.lastTs + gapMs <= wm)
-            if (open.isEmpty) state.remove()
-            else {
-              state.update(SessionList(open.sortBy(_.firstTs)))
-              state.setTimeoutTimestamp(open.map(_.lastTs).min + gapMs)
-            }
-            done.sortBy(_.firstTs).iterator.map(summary(userId, _))
+          var sessions =
+            state.getOption.map(_.sessions.toList).getOrElse(Nil)
+          rows.map(_.event_ts.getTime).toArray.sorted.foreach { t =>
+            // sessions within gap of t merge with it (an event bridging
+            // two sessions collapses them into one — session_window's
+            // merge rule); otherwise t opens a new session
+            val (touching, rest) = sessions.partition(s =>
+              t >= s.firstTs - gapMs && t <= s.lastTs + gapMs)
+            val merged =
+              if (touching.isEmpty) OpenSession(1L, t, t)
+              else OpenSession(
+                touching.map(_.nEvents).sum + 1L,
+                math.min(touching.map(_.firstTs).min, t),
+                math.max(touching.map(_.lastTs).max, t))
+            sessions = merged :: rest
           }
+          // a session closes only when no on-time event can still merge:
+          // merging needs t ≤ lastTs + gap and on-time means t ≥ wm, so
+          // the cut is STRICTLY lastTs + gap < wm (an event at exactly
+          // the watermark is on time and must still merge)
+          val (done, open) = sessions.partition(_.lastTs + gapMs < wm)
+          if (open.isEmpty) { if (state.exists) state.remove() }
+          else {
+            state.update(SessionList(open.sortBy(_.firstTs)))
+            // ≥ wm for every open session, so always legal to register
+            state.setTimeoutTimestamp(open.map(_.lastTs).min + gapMs)
+          }
+          done.sortBy(_.firstTs).iterator.map(summary(userId, _))
       }
   }
 }

@@ -378,10 +378,16 @@ class StreamingSpec extends SparkTestBase {
       Pipeline.process(Pipeline.fromTextDir(spark, srcDir)),
       mainDir, statsDir, ckpt, trigger = Trigger.AvailableNow())
     q.awaitTermination(60000)
-    assert(spark.read.parquet(mainDir).count() == 2)
-    val stats = spark.read.parquet(statsDir).collect()
+    val main = spark.read.option("recursiveFileLookup", "true").parquet(mainDir)
+    assert(main.count() == 2)
+    // batch_id is an explicit LongType DATA column (stable type, present
+    // even when reading one batch directory directly)
+    assert(main.schema("batch_id").dataType.typeName == "long")
+    val stats = spark.read.option("recursiveFileLookup", "true")
+      .parquet(statsDir).collect()
     assert(stats.map(_.getAs[Long]("n_rows")).sum == 2)
     assert(stats.forall(_.getAs[Double]("avg_quality") == 100.0))
+    assert(stats.map(_.getAs[Long]("batch_id")).distinct.nonEmpty)
   }
 
   test("checkpoint restart is exactly-once: no duplicates, new data picked up") {
