@@ -94,6 +94,15 @@ class PlanShapeSpec extends SparkTestBase {
     assert("SortMergeJoin|ShuffledHashJoin".r.findAllIn(p).length <= 1, p)
   }
 
+  test("AS-OF join is one hash shuffle + window, never a pair join") {
+    val p = plan(Analytics.asofLastView(Analytics.events(spark, sf)))
+    assert(!p.contains("Join"), s"as-of turned into a join:\n$p")
+    assert(p.contains("Window"), p)
+    // exactly one hash exchange (user_id for the window); the only other
+    // exchange is the oracle-contract global sort (rangepartitioning)
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+  }
+
   test("whole-stage codegen covers the event enrichment chain") {
     // a literal Seq would constant-fold to a LocalTableScan at plan time;
     // a file-backed source exercises the real scan → project → filter span
