@@ -94,6 +94,15 @@ class PlanShapeSpec extends SparkTestBase {
     assert("SortMergeJoin|ShuffledHashJoin".r.findAllIn(p).length <= 1, p)
   }
 
+  test("rank-filter top-k per group plans as WindowGroupLimit (partial+final)") {
+    // Spark 4 pushes `row_number() <= k` into a per-partition group limit
+    // BEFORE the shuffle — the declarative rank-filter gets map-side
+    // top-k pruning for free; this pins that the query stays in the
+    // rewritable pattern
+    val p = plan(Relational.topOrdersPerCustomer(Relational.table(spark, sf, "orders")))
+    assert("WindowGroupLimit".r.findAllIn(p).length == 2, p) // Partial + Final
+  }
+
   test("AS-OF join is one hash shuffle + window, never a pair join") {
     val p = plan(Analytics.asofLastView(Analytics.events(spark, sf)))
     assert(!p.contains("Join"), s"as-of turned into a join:\n$p")
