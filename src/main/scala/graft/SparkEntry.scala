@@ -220,6 +220,11 @@ object SparkEntry {
       Multimodal.extractFeatures(Multimodal.syntheticAssets(s, 1000L)).toDF()
         .select(col("asset_id"), col("media_type"), col("n_bytes"), col("frames_sampled"))
         .orderBy("asset_id")),
+    "q_media_resize" -> ((s, d) =>
+      Multimodal.resizeAssets(Multimodal.syntheticAssets(s, 1000L)).toDF()
+        .select(col("asset_id"), col("media_type"), col("width"),
+          col("height"), col("n_bytes_out"))
+        .orderBy("asset_id")),
     // ---- similarity search (§7.4-3) ----
     "q_ann_brute" -> ((s, d) => {
       val e = Similarity.embeddings(s, d)
@@ -294,6 +299,20 @@ object SparkEntry {
         |  (CASE WHEN i % 3 = 0 THEN 1
         |        ELSE least(16, greatest(1, (1000 + (i * 97) % 9000) // 1000)) END)::INT AS frames_sampled
         |FROM generate_series(0, 999) AS t(i) ORDER BY asset_id""".stripMargin,
+    "q_media_resize" ->
+      """WITH a AS (
+        |  SELECT i,
+        |    CASE WHEN i % 3 = 0 THEN 'image' WHEN i % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |    (64 + (i * 37) % 64)::INT AS w, (64 + (i * 53) % 64)::INT AS h,
+        |    (64 + (i * 31) % 192)::BIGINT AS n_in
+        |  FROM generate_series(0, 999) AS t(i)),
+        |s AS (SELECT *, least(1000, least(96000 // w, 96000 // h)) AS scale FROM a)
+        |SELECT i AS asset_id, media_type,
+        |  CASE WHEN media_type = 'audio' THEN w ELSE ((w * scale) // 1000)::INT END AS width,
+        |  CASE WHEN media_type = 'audio' THEN h ELSE ((h * scale) // 1000)::INT END AS height,
+        |  CASE WHEN media_type = 'audio' THEN n_in
+        |       ELSE greatest(16, (((w * scale) // 1000) * ((h * scale) // 1000)) // 64) END::BIGINT AS n_bytes_out
+        |FROM s ORDER BY asset_id""".stripMargin,
     "q_event_summary" ->
       """SELECT event_type, count(*) AS event_count,
         |  round(sum(CAST(value AS DECIMAL(12,2)))::DOUBLE / count(*), 4) AS avg_value,

@@ -110,6 +110,46 @@ object Multimodal {
     }
   }
 
+  final case class ResizedAsset(
+      asset_id: Long,
+      media_type: String,
+      width: Int,
+      height: Int,
+      n_bytes_out: Long,
+      content: Array[Byte])
+
+  /** Fit-within resize for spatial media (image/video); audio passes
+    * through untouched. All metadata math is INTEGER (per-mille scale,
+    * floor division) so the oracle can replicate it exactly; the pixel
+    * resample itself is the documented codec stub (deterministic byte
+    * expansion sized from the target dims). Partition-local like
+    * [[extractFeatures]] — no shuffle, scales with input splits.
+    */
+  def resizeAssets(
+      assets: Dataset[MediaAsset],
+      maxW: Int = 96,
+      maxH: Int = 96): Dataset[ResizedAsset] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.map { a =>
+        if (a.media_type == "audio")
+          ResizedAsset(a.asset_id, a.media_type, a.width, a.height,
+            a.content.length.toLong, a.content)
+        else {
+          // per-mille scale, never upscale; floor division throughout
+          val scale = math.min(1000L,
+            math.min(maxW * 1000L / a.width, maxH * 1000L / a.height))
+          val nw = (a.width * scale / 1000L).toInt
+          val nh = (a.height * scale / 1000L).toInt
+          val nOut = math.max(16L, nw.toLong * nh / 64L)
+          val bytes = Array.tabulate[Byte](nOut.toInt)(j =>
+            (mix(a.asset_id, j.toLong + 3) & 0xff).toByte) // resample stub
+          ResizedAsset(a.asset_id, a.media_type, nw, nh, nOut, bytes)
+        }
+      }
+    }
+  }
+
   /** Metadata-only profile — must never read the `content` bytes (column
     * pruning keeps the scan narrow; verified in the spec via the plan's
     * ReadSchema).

@@ -30,6 +30,28 @@ class MultimodalSpec extends SparkTestBase {
       again.sortBy(_.asset_id).map(_.embedding.toSeq).toSeq)
   }
 
+  test("resize: spatial media fits within bounds, never upscales; audio untouched") {
+    val assets = Multimodal.syntheticAssets(spark, 200L)
+    val original = assets.collect().map(a => a.asset_id -> a).toMap
+    val out = Multimodal.resizeAssets(assets, maxW = 96, maxH = 96).collect()
+    assert(out.length == 200)
+    out.foreach { r =>
+      val o = original(r.asset_id)
+      if (r.media_type == "audio") {
+        assert(r.width == o.width && r.height == o.height)
+        assert(r.content.toSeq == o.content.toSeq)
+      } else {
+        assert(r.width <= 96 && r.height <= 96, s"${r.asset_id} not fitted")
+        assert(r.width <= o.width && r.height <= o.height, "upscaled")
+        // aspect ratio preserved to per-mille precision
+        val scaleW = r.width.toLong * 1000 / o.width
+        val scaleH = r.height.toLong * 1000 / o.height
+        assert(math.abs(scaleW - scaleH) <= 20, s"aspect drift: $scaleW vs $scaleH")
+        assert(r.content.length.toLong == r.n_bytes_out)
+      }
+    }
+  }
+
   test("metadata-only profile never reads the content bytes (column pruning)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_media").toString
     Multimodal.syntheticAssets(spark, 100L).toDF()
