@@ -29,7 +29,23 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // The driver captures a bounded TAIL of stdout; the full single-line
+    // JSON can exceed it (round-2/3 artifacts lost the total and the
+    // slowest timings). Durability: (a) persist the complete JSON to a
+    // file in the repo, (b) print the full line first, (c) end with a
+    // short total+slowest line that survives any tail capture.
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_RESULTS.json"),
+        (full + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] results-file write failed: ${e.getMessage}") }
+    println(full)
+    val slowest = results.toSeq.sortBy(-_._2).take(5)
+      .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"slowest":$slowest,"sf":"$sfDir","results_file":"BENCH_RESULTS.json"}""")
     spark.stop()
   }
 }
