@@ -22,6 +22,27 @@ object Relational {
 
   private def money(c: String) = col(c).cast("decimal(18,2)")
 
+  /** Broadcast hint gated on the optimizer's size estimate vs the
+    * session's `autoBroadcastJoinThreshold`. Fixed-cardinality dimensions
+    * (region 5, nation 25, part catalog) may be hinted unconditionally,
+    * but customer/supplier-derived sides scale WITH the fact data — an
+    * unconditional hint there overrides AQE's size logic and becomes a
+    * driver OOM at the 100 TB target. This helper applies the hint only
+    * when the estimate is under the threshold; above it (or when the
+    * threshold is disabled with -1) the side is left unhinted and
+    * AQE/CBO picks broadcast-vs-shuffle at the stage boundary.
+    */
+  def broadcastIfSmall(df: DataFrame): DataFrame = {
+    val raw = df.sparkSession.conf
+      .get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    val threshold =
+      try raw.trim.toLong
+      catch { case _: NumberFormatException =>
+        org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw) }
+    val estimate = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (threshold > 0 && estimate <= threshold) broadcast(df) else df
+  }
+
   /** TPC-H Q1-shaped pricing summary over lineitem: one wide partial+final
     * hash aggregate, filter pushed to the parquet scan.
     */
@@ -41,9 +62,10 @@ object Relational {
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
-  /** Revenue per region/nation: 4-way join where every dimension side is
-    * broadcast (region 5 rows, nation 25, customer small relative to
-    * orders) — the fact table never shuffles for the dims.
+  /** Revenue per region/nation: 4-way join. Region (5 rows) and nation
+    * (25) are unconditionally broadcast; customer SCALES with the fact
+    * data (TPC-H: 150 k × sf), so its hint is size-gated — at test SFs it
+    * broadcasts, at 100 TB it falls back to AQE's choice.
     */
   def revenueByNation(
       region: DataFrame,
@@ -51,7 +73,7 @@ object Relational {
       customer: DataFrame,
       orders: DataFrame): DataFrame =
     orders
-      .join(broadcast(customer.select(col("c_custkey"), col("c_nationkey"))),
+      .join(broadcastIfSmall(customer.select(col("c_custkey"), col("c_nationkey"))),
         col("o_custkey") === col("c_custkey"))
       .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
@@ -85,7 +107,7 @@ object Relational {
       li: DataFrame,
       k: Int = 10): DataFrame =
     orders
-      .join(broadcast(customer.filter(col("c_mktsegment") === "BUILDING")
+      .join(broadcastIfSmall(customer.filter(col("c_mktsegment") === "BUILDING")
         .select(col("c_custkey"))), col("o_custkey") === col("c_custkey"))
       .filter(col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
       .join(li, col("o_orderkey") === col("l_orderkey"))
@@ -219,8 +241,8 @@ object Relational {
     lineitem
       .join(orders.select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(custNation), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcastIfSmall(custNation), col("o_custkey") === col("c_custkey"))
+      .join(broadcastIfSmall(suppNation), col("l_suppkey") === col("s_suppkey"))
       .filter(col("cust_nation") < col("supp_nation"))
       .groupBy(col("cust_nation"), col("supp_nation"))
       .agg(
@@ -244,7 +266,7 @@ object Relational {
       .agg(sum(col("l_quantity")).cast("double").as("total_qty"))
       .filter(col("total_qty") > minQty)
     orders
-      .join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+      .join(broadcastIfSmall(big), col("o_orderkey") === col("l_orderkey"))
       .select(col("o_orderkey"), col("o_custkey"),
         col("o_totalprice").cast("double").as("o_totalprice"),
         col("total_qty"))
@@ -280,7 +302,7 @@ object Relational {
       segment: String = "BUILDING"): DataFrame =
     orders
       .join(
-        broadcast(customer.filter(col("c_mktsegment") === segment)
+        broadcastIfSmall(customer.filter(col("c_mktsegment") === segment)
           .select(col("c_custkey"))),
         col("o_custkey") === col("c_custkey"), "left_semi")
       .groupBy(col("o_orderstatus"))

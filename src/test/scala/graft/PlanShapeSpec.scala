@@ -24,11 +24,47 @@ class PlanShapeSpec extends SparkTestBase {
   }
 
   test("star join broadcasts every dimension side (no shuffle of orders)") {
+    // at sf0.001 every side is under the broadcast threshold, so the
+    // size-gated hint applies to the customer branch too
     val p = plan(Relational.revenueByNation(
       Relational.table(spark, sf, "region"), Relational.table(spark, sf, "nation"),
       Relational.table(spark, sf, "customer"), Relational.table(spark, sf, "orders")))
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("customer-scale sides fall back to a shuffle join above the broadcast threshold") {
+    // the 100 TB posture: the customer branch's broadcast hint is gated
+    // on the size estimate — with the threshold disabled (simulating a
+    // side that outgrew it) the plan must NOT force a broadcast of
+    // customer; fixed-cardinality nation/region keep their hints
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "-1")
+    try {
+      val p = plan(Relational.revenueByNation(
+        Relational.table(spark, sf, "region"), Relational.table(spark, sf, "nation"),
+        Relational.table(spark, sf, "customer"), Relational.table(spark, sf, "orders")))
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"customer side still broadcast with threshold disabled:\n$p")
+      assert(p.contains("BroadcastHashJoin"), s"nation/region hints lost:\n$p")
+      val p3 = plan(Relational.shippingPriority(
+        Relational.table(spark, sf, "customer"), Relational.table(spark, sf, "orders"),
+        Relational.table(spark, sf, "lineitem")))
+      assert(p3.contains("SortMergeJoin") || p3.contains("ShuffledHashJoin"),
+        s"BUILDING-segment side still broadcast with threshold disabled:\n$p3")
+      val p7 = plan(Relational.nationTradeFlows(
+        Relational.table(spark, sf, "lineitem"), Relational.table(spark, sf, "orders"),
+        Relational.table(spark, sf, "customer"), Relational.table(spark, sf, "supplier"),
+        Relational.table(spark, sf, "nation")))
+      assert(p7.contains("SortMergeJoin") || p7.contains("ShuffledHashJoin"),
+        s"custNation side still broadcast with threshold disabled:\n$p7")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
   }
 
   test("top-k plans as TakeOrderedAndProject, not a global sort") {
