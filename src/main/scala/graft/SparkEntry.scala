@@ -176,6 +176,8 @@ object SparkEntry {
     "q_corpus_curation" -> ((s, d) => Corpus.curate(TextAnalysis.documents(s, d))),
     "q_corpus_curation_neardup" -> ((s, d) =>
       Corpus.curateNearDup(TextAnalysis.documents(s, d))),
+    "q_curation_funnel" -> ((s, d) =>
+      Corpus.curationFunnel(TextAnalysis.documents(s, d))),
     // ---- dedup (§7.4-1) ----
     "q_exact_dedup" -> ((s, d) => Dedup.exactDedup(TextAnalysis.documents(s, d))),
     "q_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(TextAnalysis.documents(s, d), 0.05)),
@@ -675,6 +677,33 @@ object SparkEntry {
         |FROM scored s JOIN keepers k ON s.fp = k.fp AND s.doc_id = k.keep_id
         |WHERE s.quality >= 0.5 AND s.n_tokens BETWEEN 30 AND 120
         |ORDER BY s.doc_id""".stripMargin,
+    "q_curation_funnel" ->
+      """WITH scored AS (
+        |  SELECT doc_id,
+        |    md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+        |    len(toks)::BIGINT AS n_tokens,
+        |    round((
+        |      CASE WHEN n_chars BETWEEN 100 AND 450 THEN 1.0
+        |           WHEN n_chars < 100 THEN n_chars / 100.0
+        |           ELSE 450.0 / n_chars END
+        |      + least(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in')))::DOUBLE / len(toks) * 10.0, 1.0)
+        |      + len(list_distinct(toks))::DOUBLE / len(toks)
+        |    ) / 3.0, 4) AS quality
+        |  FROM (SELECT doc_id, text, n_chars,
+        |          regexp_split_to_array(lower(text), '\s+') AS toks FROM documents)),
+        |g AS (SELECT fp, count(*) AS n_in_group,
+        |        arg_min(quality, doc_id) AS kq,
+        |        arg_min(n_tokens, doc_id) AS kt
+        |      FROM scored GROUP BY fp),
+        |a AS (SELECT sum(n_in_group)::BIGINT AS input,
+        |        sum(CASE WHEN kq >= 0.5 AND kt BETWEEN 30 AND 120
+        |            THEN 1 ELSE 0 END)::BIGINT AS kept
+        |      FROM g)
+        |SELECT stage, n_docs FROM (
+        |  SELECT 'input' AS stage, input AS n_docs FROM a
+        |  UNION ALL SELECT 'kept', kept FROM a
+        |  UNION ALL SELECT 'dropped', input - kept FROM a)
+        |ORDER BY stage""".stripMargin,
     "q_corpus_curation_neardup" ->
       """WITH RECURSIVE
         |t AS (SELECT doc_id, lang, n_chars,
@@ -709,14 +738,17 @@ object SparkEntry {
         |      + len(list_distinct(toks))::DOUBLE / len(toks)
         |    ) / 3.0, 4) AS quality
         |  FROM t),
-        |keepers AS (SELECT fp, min(doc_id) AS keep_id FROM scored GROUP BY fp)
-        |SELECT s.doc_id, s.lang, s.n_tokens, s.quality
-        |FROM scored s
-        |JOIN keepers k ON s.fp = k.fp AND s.doc_id = k.keep_id
-        |JOIN lab ON s.doc_id = lab.doc_id
-        |WHERE s.quality >= 0.5 AND s.n_tokens BETWEEN 30 AND 120
-        |  AND lab.doc_id = lab.cluster_id
-        |ORDER BY s.doc_id""".stripMargin,
+        |keepers AS (SELECT fp, min(doc_id) AS keep_id FROM scored GROUP BY fp),
+        |gated AS (
+        |  SELECT s.doc_id, s.lang, s.n_tokens, s.quality, lab.cluster_id
+        |  FROM scored s
+        |  JOIN keepers k ON s.fp = k.fp AND s.doc_id = k.keep_id
+        |  JOIN lab ON s.doc_id = lab.doc_id
+        |  WHERE s.quality >= 0.5 AND s.n_tokens BETWEEN 30 AND 120),
+        |ck AS (SELECT cluster_id, min(doc_id) AS keep2 FROM gated GROUP BY cluster_id)
+        |SELECT g.doc_id, g.lang, g.n_tokens, g.quality
+        |FROM gated g JOIN ck ON g.doc_id = ck.keep2
+        |ORDER BY g.doc_id""".stripMargin,
     "q_exact_dedup" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS dup_count
         |FROM documents GROUP BY md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))

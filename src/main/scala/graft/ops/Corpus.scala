@@ -21,12 +21,10 @@ import org.apache.spark.sql.functions._
   */
 object Corpus {
 
-  /** Survivors of the curation gauntlet with their audit columns. */
-  def curate(
-      docs: DataFrame,
-      minQuality: Double = 0.5,
-      minTokens: Int = 30,
-      maxTokens: Int = 120): DataFrame = {
+  /** Row-local scoring + content fingerprint — the shared narrow stage of
+    * [[curate]] and [[curationFunnel]].
+    */
+  private def scoreAndFingerprint(docs: DataFrame): DataFrame = {
     val toks = TextAnalysis.tokens(col("text"))
     val nTok = size(toks).cast("long")
     val stopHits = size(filter(toks,
@@ -38,11 +36,20 @@ object Corpus {
     val stopScore = least(stopHits / nTok.cast("double") * 10.0, lit(1.0))
     val quality = round((lenScore + stopScore + diversity) / 3.0, 4)
 
-    val scored = docs.select(
+    docs.select(
       col("doc_id"), col("lang"),
       md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")).as("fp"),
       nTok.as("n_tokens"),
       quality.as("quality"))
+  }
+
+  /** Survivors of the curation gauntlet with their audit columns. */
+  def curate(
+      docs: DataFrame,
+      minQuality: Double = 0.5,
+      minTokens: Int = 30,
+      maxTokens: Int = 120): DataFrame = {
+    val scored = scoreAndFingerprint(docs)
 
     // one representative per content fingerprint: lowest doc_id
     val keepers = scored.groupBy(col("fp"))
@@ -67,6 +74,11 @@ object Corpus {
     * is oracle-verified (q_corpus_curation_neardup; the oracle recomputes
     * the clusters with a recursive CTE).
     *
+    * The cluster representative is chosen among GATE SURVIVORS (minimum
+    * surviving doc_id per cluster), not among all members: if the
+    * cluster-wide minimum fails the quality/token gates, the cluster's
+    * good content must not vanish with it.
+    *
     * Added cost over [[curate]]: the LSH band join + the label
     * propagation, both on the pair graph, not the corpus.
     */
@@ -78,26 +90,46 @@ object Corpus {
       jaccard: Double = 0.5): DataFrame = {
     val clusters = Dedup.nearDupClusters(
       docs, Dedup.minHashLsh(docs, jaccard, bands = 32))
-    curate(docs, minQuality, minTokens, maxTokens)
+    val gated = curate(docs, minQuality, minTokens, maxTokens)
       .join(clusters.select(col("doc_id"), col("cluster_id")), "doc_id")
-      .filter(col("doc_id") === col("cluster_id"))
-      .select(col("doc_id"), col("lang"), col("n_tokens"), col("quality"))
+    val keepers = gated.groupBy(col("cluster_id"))
+      .agg(min(col("doc_id")).as("keep_id"))
+    gated
+      .join(keepers, gated("doc_id") === keepers("keep_id"))
+      .select(gated("doc_id"), col("lang"), col("n_tokens"), col("quality"))
       .orderBy(col("doc_id"))
   }
 
   /** Curation funnel report: how many documents each gate removes —
-    * the ops dashboard for a curation run.
+    * the ops dashboard for a curation run. Fully lazy, single pass: one
+    * fingerprint aggregate carrying each group's size and its keeper's
+    * gate columns (`min_by` = the keeper is the min-doc_id member), one
+    * global conditional aggregate, then an explode back to (stage, n)
+    * rows. No driver-side actions — equivalent to `docs.count()` +
+    * `curate(...).count()` but one job instead of two table scans.
     */
   def curationFunnel(
       docs: DataFrame,
       minQuality: Double = 0.5,
       minTokens: Int = 30,
       maxTokens: Int = 120): DataFrame = {
-    val total = docs.count()
-    val kept = curate(docs, minQuality, minTokens, maxTokens).count()
-    val spark = docs.sparkSession
-    import spark.implicits._
-    Seq(("input", total), ("kept", kept), ("dropped", total - kept))
-      .toDF("stage", "n_docs")
+    val perFp = scoreAndFingerprint(docs)
+      .groupBy(col("fp"))
+      .agg(
+        count(lit(1)).as("n_in_group"),
+        min_by(struct(col("quality"), col("n_tokens")), col("doc_id")).as("keeper"))
+    perFp
+      .agg(
+        sum(col("n_in_group")).as("input"),
+        sum(when(col("keeper.quality") >= minQuality &&
+          col("keeper.n_tokens").between(minTokens, maxTokens), 1L)
+          .otherwise(0L)).as("kept"))
+      .select(explode(array(
+        struct(lit("input").as("stage"), col("input").cast("long").as("n_docs")),
+        struct(lit("kept").as("stage"), col("kept").cast("long").as("n_docs")),
+        struct(lit("dropped").as("stage"),
+          (col("input") - col("kept")).cast("long").as("n_docs")))).as("r"))
+      .select(col("r.stage").as("stage"), col("r.n_docs").as("n_docs"))
+      .orderBy(col("stage"))
   }
 }

@@ -17,6 +17,20 @@ class CorpusSpec extends SparkTestBase {
     assert(kept.toSeq == Seq(1L))
   }
 
+  test("near-dup keeper is chosen among gate survivors, not all members") {
+    val good = ("the quality of this document and the text in it " * 3).trim
+    // near-dup of `good` (same periodic shingle set) that FAILS the
+    // token gate (150 tokens > maxTokens 120): it is the cluster's min
+    // doc_id, but must not drag the surviving member down with it
+    val big = ((good + " ") * 5).trim
+    val docs = Seq(
+      (1L, big, "en", big.length.toLong),
+      (2L, good, "en", good.length.toLong)
+    ).toDF("doc_id", "text", "lang", "n_chars")
+    val kept = Corpus.curateNearDup(docs).collect().map(_.getLong(0))
+    assert(kept.toSeq == Seq(2L), "gate-surviving cluster member must be kept")
+  }
+
   test("funnel accounts for every document") {
     val docs = graft.ops.TextAnalysis.documents(spark, "/root/testdata/sf0.001")
     val funnel = Corpus.curationFunnel(docs).collect()
