@@ -194,6 +194,12 @@ case class PolyHashArray(child: Expression)
 object PolyHashArray {
   private val Mod1 = 1000000007L
   private val Mod2 = 1000000009L
+  // The h1 | (h2 << 30) pack is collision-free ONLY because both moduli
+  // fit in 30 bits, keeping the bit ranges disjoint — the DuckDB twin
+  // (q_simhash_pairs computes h1 + h2*2^30) and the 60-bit SimHash claim
+  // both depend on this invariant.
+  require(Mod1 <= (1L << 30) && Mod2 <= (1L << 30),
+    s"PolyHashArray pack requires both moduli <= 2^30 (got $Mod1, $Mod2)")
 
   def compute(arr: ArrayData): UnsafeArrayData = {
     val n = arr.numElements()

@@ -58,10 +58,13 @@ object Dedup {
       threshold: Double = 0.8,
       n: Int = 3,
       maxDf: Option[Int] = None): DataFrame = {
-    // materialized once: read by sizes and by BOTH sides of the self-join
+    // cached lazily: read by sizes and by BOTH sides of the self-join.
+    // persist() (not localCheckpoint) keeps the library function lazy —
+    // building or explaining the query runs no jobs; the cache populates
+    // at first action and both branches read one materialization
     val shAll = docs
       .select(col("doc_id"), explode(shingles(col("text"), n)).as("shingle"))
-      .localCheckpoint()
+      .persist()
     val sh = maxDf match {
       case None => shAll
       case Some(cut) =>
@@ -127,13 +130,14 @@ object Dedup {
     val rowsPerBand = numHashes / bands
     require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
 
-    // materialized once (localCheckpoint): read by the band branch and by
-    // BOTH sides of the verification join — the "persist the signature
-    // table" step an at-scale dedup run does before candidate generation
+    // cached lazily (persist, not localCheckpoint — construction stays
+    // job-free): read by the band branch and by BOTH sides of the
+    // verification join — the "persist the signature table" step an
+    // at-scale dedup run does before candidate generation
     val withSh = docs
       .select(col("doc_id"), shingles(col("text"), shingleSize).as("sh"))
       .filter(size(col("sh")) > 0)
-      .localCheckpoint()
+      .persist()
     val withSig = withSh.withColumn("sig", minHashSignature(col("sh"), numHashes))
 
     // band key = hash of the band's signature slice + band index.
@@ -192,17 +196,16 @@ object Dedup {
     */
   def simHashPairs(docs: DataFrame, maxDist: Int = 7): DataFrame = {
     require(maxDist <= 7, "8-chunk blocking guarantees recall only to distance 7")
-    // localCheckpoint: both sides of the chunk self-join read the same
-    // signature table — materializing it once halves the shingle+hash
-    // compute (the equivalent of "persist the signature table" any
-    // at-scale dedup run would do before candidate generation)
+    // persist (lazy): both sides of the chunk self-join read the same
+    // signature table — cached once at first action, halving the
+    // shingle+hash compute, without running jobs at construction time
     val sigDf = docs
       .select(col("doc_id"), shingles(col("text")).as("sh"))
       .filter(size(col("sh")) > 0)
       .withColumn("sig",
         simhash64(graft.functions.HashFunctions.polyHashArray(col("sh"))))
       .select(col("doc_id"), col("sig"))
-      .localCheckpoint()
+      .persist()
 
     val chunks = array((0 until 8).map(c =>
       shiftright(col("sig"), c * 8).bitwiseAND(lit(255L))): _*)

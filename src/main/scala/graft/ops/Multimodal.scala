@@ -135,6 +135,12 @@ object Multimodal {
         if (a.media_type == "audio")
           ResizedAsset(a.asset_id, a.media_type, a.width, a.height,
             a.content.length.toLong, a.content)
+        else if (a.width <= 0 || a.height <= 0)
+          // degenerate dims: the per-mille math below would divide by
+          // zero — emit 0x0 with the 16-byte floor instead of failing
+          // the whole job on one malformed row
+          ResizedAsset(a.asset_id, a.media_type, 0, 0, 16L,
+            Array.tabulate[Byte](16)(j => (mix(a.asset_id, j.toLong + 3) & 0xff).toByte))
         else {
           // per-mille scale, never upscale; floor division throughout
           val scale = math.min(1000L,
