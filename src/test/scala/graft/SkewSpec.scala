@@ -22,6 +22,49 @@ class SkewSpec extends SparkTestBase {
     assert(plain.toSeq == salted.toSeq)
   }
 
+  test("AQE skew-join splits the planted hot partition (first line of defense)") {
+    // Skew.scala's scaladoc defers to AQE as the first mitigation; this
+    // pins that the claim holds: with skewJoin enabled and thresholds
+    // scaled to test data, the planted hot key must plan as a split
+    // sort-merge join ("skew=true") and produce the same result as the
+    // manual saltedJoin fallback.
+    val keys = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "256KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "128KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // ~95% of rows hit key 0; 64-byte payload makes the hot shuffle
+      // partition a few MB — far over the lowered skew threshold
+      val big = spark.range(100000)
+        .select(when($"id" % 20 === 0, $"id" % 5).otherwise(0L).as("k"),
+          concat(lit("p"), lpad($"id".cast("string"), 63, "x")).as("payload"))
+      val small = Seq((0L, "hot"), (1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
+        .toDF("k", "name")
+      val joined = big.join(small, "k")
+      // AQE finalizes the plan during execution — collect THIS DataFrame,
+      // then read ITS executedPlan (a separate agg query would be a
+      // different QueryExecution with its own adaptive plan)
+      val rows = joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE skew-join did not engage on the planted hot key:\n$plan")
+      val aqeCounts = rows.groupBy(_.getAs[String]("name"))
+        .map { case (n, rs) => n -> rs.length.toLong }
+      val saltedCounts = Skew.saltedJoin(big, small, "k", salts = 8)
+        .groupBy("name").agg(count(lit(1)).as("n")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(aqeCounts == saltedCounts)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("bucketed tables join with zero exchanges") {
     val docs = spark.range(1000).select($"id".as("doc_id"),
       concat(lit("text"), $"id").as("text"))
