@@ -200,6 +200,135 @@ object Pipeline {
       .trigger(trigger)
       .start()
 
+  /** foreachBatch keyed UPSERT sink — the MERGE-by-key serving-table
+    * layout the append-only sinks can't express: the table converges to
+    * ONE row per key, the newest version of each key winning.
+    *
+    * Layout: the table is hash-bucketed on the key; each micro-batch
+    * merges only the buckets its keys touch and writes them as a new
+    * `v-<batchId>/bucket-<b>` directory (existing-minus-incoming ∪
+    * incoming). A bucket's current state is its highest committed
+    * version. Properties:
+    *  - rewrite cost is proportional to TOUCHED BUCKETS, not table size
+    *    — the 100 TB shape (a transactional table format does the same
+    *    dance with a metadata log);
+    *  - idempotent under at-least-once foreachBatch: a re-delivered
+    *    batch re-merges from the versions below its own batchId and
+    *    OVERWRITES `v-<batchId>` — convergent, never double-appended;
+    *  - within a batch, the newest row per key wins (`orderCol` desc,
+    *    content-hash tiebreak so retries pick the same row even on ts
+    *    ties); across batches, incoming beats existing (MERGE update);
+    *  - versions below a bucket's merge source are deleted after the
+    *    write — at most two versions per bucket live at once.
+    * `bucket` rides as an explicit data column (hive-style partition
+    * inference would drop/narrow it — see [[startFanoutSink]]).
+    */
+  def startUpsertSink(
+      events: DataFrame,
+      key: String,
+      path: String,
+      checkpoint: String,
+      nBuckets: Int = 16,
+      orderCol: String = "timestamp",
+      trigger: Trigger = DefaultTrigger): StreamingQuery =
+    events.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        upsertBatch(batch, key, path, batchId, nBuckets, orderCol)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+
+  /** One MERGE step of [[startUpsertSink]] — public so tests (and batch
+    * backfills) can drive re-delivery deterministically.
+    */
+  def upsertBatch(
+      batch: DataFrame,
+      key: String,
+      path: String,
+      batchId: Long,
+      nBuckets: Int = 16,
+      orderCol: String = "timestamp"): Unit = {
+    require(nBuckets > 0)
+    val spark = batch.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    val cols = batch.columns
+    // newest row per key in this batch; content-hash tiebreak keeps the
+    // choice deterministic across retries when orderCol ties
+    val w = Window.partitionBy(col(key))
+      .orderBy(desc(orderCol), desc("__tie"))
+    val incoming = batch
+      .withColumn("__tie", xxhash64(struct(cols.map(col): _*)))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(cols.map(col): _*)
+      .withColumn("bucket", pmod(xxhash64(col(key)), lit(nBuckets)).cast("int"))
+      .persist()
+    try {
+      // ≤ nBuckets small ints to the driver — bounded, not a data collect
+      val touched = incoming.select(col("bucket")).distinct()
+        .collect().map(_.getInt(0)).sorted
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+      touched.foreach { b =>
+        val source = latestBucketVersion(fs, path, b, below = Some(batchId))
+        val inc = incoming.filter(col("bucket") === b)
+        val merged = source match {
+          case Some(v) =>
+            spark.read.parquet(s"$path/v-$v/bucket-$b")
+              .join(inc.select(col(key)), Seq(key), "left_anti")
+              .unionByName(inc)
+          case None => inc
+        }
+        merged.write.mode("overwrite").parquet(s"$path/v-$batchId/bucket-$b")
+        // retention: anything below the merge source can no longer be a
+        // retry's source — drop it
+        source.foreach { v =>
+          bucketVersions(fs, path, b).filter(_ < v).foreach { old =>
+            fs.delete(new org.apache.hadoop.fs.Path(s"$path/v-$old/bucket-$b"), true)
+          }
+        }
+      }
+    } finally incoming.unpersist()
+  }
+
+  /** Current state of the upsert table: per bucket, its highest
+    * committed version.
+    */
+  def readUpsertTable(spark: SparkSession, path: String, nBuckets: Int = 16): DataFrame = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val dirs = (0 until nBuckets).flatMap(b =>
+      latestBucketVersion(fs, path, b, below = None).map(v => s"$path/v-$v/bucket-$b"))
+    if (dirs.isEmpty)
+      spark.emptyDataFrame
+    else
+      dirs.map(spark.read.parquet(_)).reduce(_ unionByName _)
+  }
+
+  private def bucketVersions(
+      fs: org.apache.hadoop.fs.FileSystem,
+      path: String,
+      bucket: Int): Seq[Long] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v-"))
+      .flatMap(s => s.getPath.getName.stripPrefix("v-").toLongOption)
+      .filter(v => fs.exists(new org.apache.hadoop.fs.Path(
+        s"$path/v-$v/bucket-$bucket/_SUCCESS")))
+  }
+
+  private def latestBucketVersion(
+      fs: org.apache.hadoop.fs.FileSystem,
+      path: String,
+      bucket: Int,
+      below: Option[Long]): Option[Long] = {
+    val vs = bucketVersions(fs, path, bucket)
+    val eligible = below.fold(vs)(b => vs.filter(_ < b))
+    if (eligible.isEmpty) None else Some(eligible.max)
+  }
+
   /** Streaming exact dedup (§7.4-1 in streaming form): drop events whose
     * `id` was already seen, with state bounded by the watermark —
     * duplicates arriving within the watermark window are suppressed,

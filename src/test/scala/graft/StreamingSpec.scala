@@ -316,6 +316,52 @@ class StreamingSpec extends SparkTestBase {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("streaming as-of twin: purchases enriched with latest view, batch parity") {
+    implicit val ctx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[(String, Long, String, Long, Double)]
+      val events = input.toDF()
+        .toDF("user_id", "event_id", "event_type", "ts_us", "value")
+        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros($"ts_us"))
+      val q = graft.stream.AsOfEnrich.enrich(events).toDF()
+        .writeStream.format("memory").queryName("asof_sink")
+        .outputMode("append").start()
+      try {
+        // batch 1: u1's views arrive OUT of event-time order, purchase
+        // at 400 must still see the ts-300 view; u2 purchases view-less
+        input.addData(
+          ("u1", 3L, "view", 300L, 3.0), ("u1", 1L, "view", 100L, 1.0),
+          ("u1", 4L, "purchase", 400L, 99.0), ("u2", 5L, "purchase", 50L, 9.0))
+        q.processAllAvailable()
+        // batch 2: a LATE view (ts 200 < state 300) must not regress
+        // state; then a fresh view moves it forward
+        input.addData(
+          ("u1", 2L, "view", 200L, 2.0), ("u1", 6L, "purchase", 500L, 98.0),
+          ("u1", 7L, "view", 600L, 6.0), ("u1", 8L, "purchase", 700L, 97.0))
+        q.processAllAvailable()
+        val got = spark.table("asof_sink").collect().map(r =>
+          (r.getLong(0), r.getString(1),
+            if (r.isNullAt(2)) null else r.getLong(2),
+            if (r.isNullAt(3)) null else r.getDouble(3))).toSet
+        // batch twin over the SAME eight events
+        val batchDf = Seq(
+          ("u1", 3L, "view", 300L, 3.0), ("u1", 1L, "view", 100L, 1.0),
+          ("u1", 4L, "purchase", 400L, 99.0), ("u2", 5L, "purchase", 50L, 9.0),
+          ("u1", 2L, "view", 200L, 2.0), ("u1", 6L, "purchase", 500L, 98.0),
+          ("u1", 7L, "view", 600L, 6.0), ("u1", 8L, "purchase", 700L, 97.0))
+          .toDF("user_id", "event_id", "event_type", "ts_us", "value")
+          .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros($"ts_us"))
+        val expected = graft.ops.Analytics.asofLastView(batchDf).collect().map(r =>
+          (r.getLong(0), r.getString(1),
+            if (r.isNullAt(2)) null else r.getLong(2),
+            if (r.isNullAt(3)) null else r.getDouble(3))).toSet
+        assert(got == expected, s"got=$got expected=$expected")
+      } finally q.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("complete output mode re-emits the full aggregate each batch") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[String]
@@ -388,6 +434,37 @@ class StreamingSpec extends SparkTestBase {
     assert(stats.map(_.getAs[Long]("n_rows")).sum == 2)
     assert(stats.forall(_.getAs[Double]("avg_quality") == 100.0))
     assert(stats.map(_.getAs[Long]("batch_id")).distinct.nonEmpty)
+  }
+
+  test("foreachBatch keyed upsert: updates and re-delivery converge to one row per key") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions.timestamp_micros
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toString
+    val ckpt = s"$dir/ckpt"; val table = s"$dir/table"
+    val input = MemoryStream[(Long, String, Double, Long)]
+    val events = input.toDF().toDF("id", "name", "value", "ts_us")
+      .withColumn("timestamp", timestamp_micros($"ts_us")).drop("ts_us")
+    val q = Pipeline.startUpsertSink(events, "id", table, ckpt, nBuckets = 4)
+    try {
+      input.addData((1L, "a", 10.0, 100L), (2L, "b", 20.0, 200L))
+      q.processAllAvailable()
+      // batch 2: update key 2, insert key 3 twice (newest ts must win)
+      input.addData((2L, "b2", 25.0, 300L), (3L, "c", 30.0, 300L),
+        (3L, "c2", 35.0, 400L))
+      q.processAllAvailable()
+    } finally q.stop()
+    // at-least-once: re-deliver batch 1 (same batchId) after the fact —
+    // the merge must overwrite its own version, not double-append
+    val redelivered = Seq(
+      (2L, "b2", 25.0, 300L), (3L, "c", 30.0, 300L), (3L, "c2", 35.0, 400L))
+      .toDF("id", "name", "value", "ts_us")
+      .withColumn("timestamp", timestamp_micros($"ts_us")).drop("ts_us")
+    Pipeline.upsertBatch(redelivered, "id", table, batchId = 1L, nBuckets = 4)
+    val rows = Pipeline.readUpsertTable(spark, table, nBuckets = 4)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("name"),
+        r.getAs[Double]("value"))).toSet
+    assert(rows == Set((1L, "a", 10.0), (2L, "b2", 25.0), (3L, "c2", 35.0)),
+      rows.toString)
   }
 
   test("checkpoint restart is exactly-once: no duplicates, new data picked up") {
