@@ -110,12 +110,54 @@ object Similarity {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** Lloyd training loop for the IVF coarse quantizer: nCells seeds
+    * (lowest vec_ids — deterministic), then up to `maxIters`
+    * assign→per-cell-mean refinements, stopping early once the largest
+    * centroid L2 shift drops below `shiftEpsilon`. The model is
+    * nCells × dim floats — it lives on the driver between iterations
+    * (the standard IVF "train" step, NOT a data collect); each iteration
+    * is one narrow assignment plus one aggregate over the corpus. Cells
+    * that lose all members keep their previous centroid.
+    */
+  private[graft] def trainCentroids(
+      corpus: DataFrame,
+      nCells: Int,
+      maxIters: Int = 5,
+      shiftEpsilon: Double = 1e-3,
+      dim: Int = 64): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    def toDf(cs: Seq[(Long, Seq[Float])]): DataFrame =
+      cs.toDF("cell", "centroid")
+    var cents: Seq[(Long, Seq[Float])] = corpus.orderBy(col("vec_id"))
+      .limit(nCells)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().toSeq
+    var iter = 0
+    var shift = Double.MaxValue
+    while (iter < maxIters && shift > shiftEpsilon) {
+      val means = assignToCell(corpus, toDf(cents))
+        .groupBy(col("cell"))
+        .agg(array((0 until dim).map(j =>
+          avg(element_at(col("embedding"), j + 1).cast("double")).cast("float")): _*)
+          .as("centroid"))
+        .as[(Long, Seq[Float])].collect().toMap
+      val next = cents.map { case (cell, old) =>
+        cell -> means.getOrElse(cell, old) }
+      shift = cents.zip(next).map { case ((_, o), (_, n)) =>
+        math.sqrt(o.zip(n).map { case (a, b) =>
+          val d = a.toDouble - b.toDouble; d * d }.sum) }.max
+      cents = next
+      iter += 1
+    }
+    toDf(cents)
+  }
+
   /** IVF (inverted-file) ANN top-k — the 100 TB scale path.
     *
-    * Train: nCells seed vectors (lowest vec_ids — deterministic), one
-    * Lloyd refinement (assign-all → per-cell mean). The centroid model is
-    * tiny (nCells × dim) and broadcast everywhere; collecting it to the
-    * driver is the standard IVF "train" step, not a data collect.
+    * Train: [[trainCentroids]] — seeded Lloyd iterations to convergence
+    * (bounded by maxIters / shiftEpsilon). The centroid model is tiny
+    * (nCells × dim) and broadcast everywhere.
     *
     * Search: every corpus vector is assigned to its nearest centroid
     * (broadcast join — narrow); each query probes its nProbe nearest
@@ -134,19 +176,11 @@ object Similarity {
       queries: DataFrame,
       k: Int = 10,
       nCells: Int = 10,
-      nProbe: Int = 3): DataFrame = {
-    val spark = corpus.sparkSession
-
-    // -- train: seeds + one Lloyd iteration (mean per assigned cell) --
-    val seeds = corpus.orderBy(col("vec_id")).limit(nCells)
-      .select(col("vec_id").as("cell"), col("embedding").as("centroid"))
-    val assigned0 = assignToCell(corpus, seeds)
-    val dim = 64
-    val centroids = assigned0
-      .groupBy(col("cell"))
-      .agg(array((0 until dim).map(j =>
-        avg(element_at(col("embedding"), j + 1).cast("double")).cast("float")): _*)
-        .as("centroid"))
+      nProbe: Int = 3,
+      maxIters: Int = 5,
+      shiftEpsilon: Double = 1e-3): DataFrame = {
+    // -- train: Lloyd iterations to convergence --
+    val centroids = trainCentroids(corpus, nCells, maxIters, shiftEpsilon)
 
     // -- index: nearest refined centroid per corpus vector --
     val assignment = assignToCell(corpus, centroids)

@@ -31,15 +31,25 @@ class SimilaritySpec extends SparkTestBase {
     assert(out.head == ((1L, 5L))) // exact copy shares every band
   }
 
-  test("IVF top-k: high recall vs brute force on the real embeddings") {
+  test("IVF top-k: recall@10 curve vs brute force across nProbe (trained to convergence)") {
     val e = graft.ops.Similarity.embeddings(spark, "/root/testdata/sf0.001")
     val q = e.filter($"vec_id" < 10)
     def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
     val brute = pairs(Similarity.bruteForceTopK(e, q, k = 10))
-    val ivf = pairs(Similarity.ivfTopK(e, q, k = 10, nCells = 10, nProbe = 3))
-    val recall = (brute & ivf).size.toDouble / brute.size
-    assert(recall >= 0.5, s"IVF recall $recall too low (${ivf.size} returned)")
+    val recalls = Seq(1, 2, 3, 5).map { nProbe =>
+      val ivf = pairs(Similarity.ivfTopK(e, q, k = 10, nCells = 10, nProbe = nProbe))
+      nProbe -> (brute & ivf).size.toDouble / brute.size
+    }
+    info("IVF recall@10 vs nProbe (nCells=10, Lloyd to convergence): " +
+      recalls.map { case (p, r) => f"nProbe=$p%d:$r%.3f" }.mkString("  "))
+    // more probes can only add candidate cells — recall is monotone
+    recalls.sliding(2).foreach { case Seq((pa, ra), (pb, rb)) =>
+      assert(rb >= ra - 1e-9, s"recall regressed from nProbe=$pa ($ra) to nProbe=$pb ($rb)")
+    }
+    assert(recalls.last._2 >= 0.5,
+      s"recall@10 at nProbe=5 too low: ${recalls.last._2}")
+    assert(recalls.head._2 > 0.0, "nProbe=1 found nothing")
   }
 
   test("label centroid norms: unit cluster → norm 1") {
