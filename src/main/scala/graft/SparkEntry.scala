@@ -131,6 +131,24 @@ object SparkEntry {
         Relational.table(s, d, "lineitem"), Relational.table(s, d, "orders"))),
     "q_distinct_profile" -> ((s, d) => Analytics.distinctProfile(Analytics.events(s, d))),
     "q_event_gaps" -> ((s, d) => Analytics.eventGaps(Analytics.events(s, d))),
+    "q_rolling_revenue" -> ((s, d) =>
+      Relational.rollingRevenue(Relational.table(s, d, "orders"))),
+    "q_user_value_ranks" -> ((s, d) => Analytics.userValueRanks(Analytics.events(s, d))),
+    // correlated scalar subquery THROUGH THE PARSER: Catalyst's
+    // decorrelation (RewriteCorrelatedScalarSubquery) turns the per-part
+    // min into an aggregate + join — the §4.2 rule the DSL queries never
+    // exercised
+    "q_sql_min_cost_supplier" -> ((s, d) => {
+      Relational.table(s, d, "lineitem").createOrReplaceTempView("li_sq")
+      s.sql(
+        """SELECT l_partkey, l_suppkey, l_extendedprice
+          |FROM li_sq l1
+          |WHERE l_partkey <= 200
+          |  AND l_extendedprice = (SELECT min(l_extendedprice)
+          |                         FROM li_sq l2
+          |                         WHERE l2.l_partkey = l1.l_partkey)
+          |ORDER BY l_partkey, l_suppkey""".stripMargin)
+    }),
     // SQL-text GROUPING SETS through the parser (subtotals by type, by
     // hour, and the grand total in one aggregate)
     "q_sql_grouping_sets" -> ((s, d) => {
@@ -546,6 +564,34 @@ object SparkEntry {
         |  (sum(gap_us) // count(*))::BIGINT AS avg_gap_us
         |FROM g WHERE gap_us IS NOT NULL
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_rolling_revenue" ->
+      """WITH daily AS (
+        |  SELECT date_diff('day', DATE '1970-01-01', o_orderdate::DATE)::BIGINT AS day_num,
+        |    sum((o_totalprice::DECIMAL(18,2) * 100)::BIGINT) AS rev_cents,
+        |    count(*) AS n
+        |  FROM orders GROUP BY 1)
+        |SELECT day_num,
+        |  rev_cents / 100.0 AS day_revenue,
+        |  ((sum(rev_cents) OVER w * 100) // (sum(n) OVER w))::BIGINT AS rolling_avg_order_e4,
+        |  (sum(n) OVER w)::BIGINT AS rolling_orders
+        |FROM daily
+        |WINDOW w AS (ORDER BY day_num RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY day_num""".stripMargin,
+    "q_user_value_ranks" ->
+      """SELECT user_id, event_id, value,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cume
+        |FROM events WHERE user_id < 20
+        |WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
+    "q_sql_min_cost_supplier" ->
+      """SELECT l_partkey, l_suppkey, l_extendedprice
+        |FROM lineitem l1
+        |WHERE l_partkey <= 200
+        |  AND l_extendedprice = (SELECT min(l_extendedprice)
+        |                         FROM lineitem l2
+        |                         WHERE l2.l_partkey = l1.l_partkey)
+        |ORDER BY l_partkey, l_suppkey""".stripMargin,
     "q_sql_grouping_sets" ->
       """SELECT coalesce(event_type, 'ALL') AS event_type,
         |  coalesce(EXTRACT(hour FROM ts), -1)::INTEGER AS hour_of_day,

@@ -386,6 +386,26 @@ object Analytics {
       .orderBy(col("purchase_id"))
   }
 
+  /** percent_rank / cume_dist (§2.9 extension — the distribution-rank
+    * functions the row_number/LAG queries don't cover): each event's
+    * value rank within its user's history. Partitioned window — per-user
+    * partitions are small and bounded, so the shape scales (a GLOBAL
+    * ntile/rank would serialize the fact table; the exact-percentile
+    * query covers that need as an aggregate). Unique (value, event_id)
+    * ordering leaves no peer groups, so both functions are exact
+    * rationals — deterministic to 6 dp on any engine.
+    */
+  def userValueRanks(df: DataFrame, maxUser: Long = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("value"), col("event_id"))
+    df.filter(col("user_id") < maxUser)
+      .select(col("user_id"), col("event_id"), col("value"))
+      .withColumn("pct_rank", round(percent_rank().over(w), 6))
+      .withColumn("cume", round(cume_dist().over(w), 6))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   /** Exact dedup (extension §7.4-1): deterministic keeper per key group —
     * min(event_id) — instead of dropDuplicates' arbitrary row.
     */

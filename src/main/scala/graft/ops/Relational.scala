@@ -291,6 +291,39 @@ object Relational {
       .limit(k)
   }
 
+  /** RANGE-frame rolling revenue (§2.9 extension — the frame variant the
+    * row_number/LAG queries don't cover): per-day order revenue with a
+    * trailing `days`-day average order price and order count, via
+    * `rangeBetween` on the day number. Scale note: the window input is
+    * the DAILY aggregate (one row per day — thousands of rows for years
+    * of data), so the unpartitioned ordered window is trivially small;
+    * the fact-table work is the ordinary partial+final aggregate
+    * feeding it.
+    */
+  def rollingRevenue(orders: DataFrame, days: Int = 7): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // all money in integer CENTS: a double division + round(_, 4) sits at
+    // the half-ulp boundary whenever the exact quotient has 5 decimals
+    // (cents / 40 orders), and engines legitimately disagree there — the
+    // rolling average is therefore exact integer division in 1e-4 units
+    val daily = orders
+      .groupBy(datediff(col("o_orderdate"), lit("1970-01-01").cast("date"))
+        .cast("long").as("day_num"))
+      .agg(
+        sum((money("o_totalprice") * 100).cast("long")).as("rev_cents"),
+        count(lit(1)).as("n"))
+    val w = Window.orderBy(col("day_num")).rangeBetween(-(days - 1), 0)
+    daily
+      .withColumn("roll_cents", sum(col("rev_cents")).over(w))
+      .withColumn("roll_n", sum(col("n")).over(w))
+      .select(
+        col("day_num"),
+        (col("rev_cents").cast("double") / 100.0).as("day_revenue"),
+        expr("(roll_cents * 100) div roll_n").as("rolling_avg_order_e4"),
+        col("roll_n").cast("long").as("rolling_orders"))
+      .orderBy(col("day_num"))
+  }
+
   /** IN-subquery / left-semi shape: orders whose customer is in the
     * BUILDING segment — the semi side reduces to its distinct key set
     * and broadcasts; no fact shuffle, no row duplication (semantics of

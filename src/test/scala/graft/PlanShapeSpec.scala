@@ -130,6 +130,15 @@ class PlanShapeSpec extends SparkTestBase {
     assert("SortMergeJoin|ShuffledHashJoin".r.findAllIn(p).length <= 1, p)
   }
 
+  test("correlated scalar subquery decorrelates to aggregate + join") {
+    // the per-part min must be rewritten (RewriteCorrelatedScalarSubquery)
+    // into one aggregate joined back — never a per-row subquery execution
+    val p = plan(SparkEntry.queries("q_sql_min_cost_supplier")(spark, sf))
+    assert(!p.contains("ScalarSubquery"), s"subquery not decorrelated:\n$p")
+    assert(p.contains("partial_min") || p.contains("min("), p)
+    assert(p.contains("Join"), p)
+  }
+
   test("rank-filter top-k per group plans as WindowGroupLimit (partial+final)") {
     // Spark 4 pushes `row_number() <= k` into a per-partition group limit
     // BEFORE the shuffle — the declarative rank-filter gets map-side
