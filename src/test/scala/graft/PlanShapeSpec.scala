@@ -157,6 +157,33 @@ class PlanShapeSpec extends SparkTestBase {
     assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
   }
 
+  test("dynamic partition pruning engages on the date-partitioned sink") {
+    // D6 at scale: a time-dimension filter must prune the partitioned
+    // fact's directories AT RUNTIME via the dim-side subquery broadcast
+    // (DPP), not scan every date partition
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    val spark2 = spark
+    import spark2.implicits._
+    spark.range(1000)
+      .select(($"id" % 30).cast("int").as("day_id"), $"id".as("v"))
+      .write.mode("overwrite").partitionBy("day_id").parquet(s"$dir/fact")
+    // the dim must be file-backed: a literal Seq constant-folds to a
+    // LocalRelation, the Filter node disappears, and the DPP rule no
+    // longer sees a selective predicate on the build side
+    (0 until 30).map(d => (d, if (d < 3) "hot" else "cold"))
+      .toDF("day_id", "tag")
+      .write.mode("overwrite").parquet(s"$dir/dim")
+    val dim = spark.read.parquet(s"$dir/dim")
+    val joined = spark.read.parquet(s"$dir/fact")
+      .join(dim.filter($"tag" === "hot"), "day_id")
+    // 1000 = 33*30 + 10, so days 0-9 hold 34 rows: 3 hot days = 102
+    val n = joined.count()
+    assert(n == 102, s"expected 102 rows over 3 hot days, got $n")
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruning"), s"DPP did not engage:\n$p")
+  }
+
   test("whole-stage codegen covers the event enrichment chain") {
     // a literal Seq would constant-fold to a LocalTableScan at plan time;
     // a file-backed source exercises the real scan → project → filter span
