@@ -36,16 +36,20 @@ object Bench {
     // slowest timings). Durability: (a) persist the complete JSON to a
     // file in the repo, (b) print the full line first, (c) end with a
     // short total+slowest line that survives any tail capture.
+    // relative to the process working directory (the repo root under the
+    // driver's sbt invocation); override via SPARK_GRAFT_RESULTS when
+    // launching from elsewhere
+    val resultsPath = sys.env.getOrElse("SPARK_GRAFT_RESULTS", "BENCH_RESULTS.json")
     try {
       java.nio.file.Files.write(
-        java.nio.file.Paths.get("BENCH_RESULTS.json"),
+        java.nio.file.Paths.get(resultsPath),
         (full + "\n").getBytes("UTF-8"))
     } catch { case e: Throwable =>
       System.err.println(s"[bench] results-file write failed: ${e.getMessage}") }
     println(full)
     val slowest = results.toSeq.sortBy(-_._2).take(5)
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"slowest":$slowest,"sf":"$sfDir","results_file":"BENCH_RESULTS.json"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"slowest":$slowest,"sf":"$sfDir","results_file":"$resultsPath"}""")
     spark.stop()
   }
 }

@@ -120,10 +120,12 @@ object Corpus {
         min_by(struct(col("quality"), col("n_tokens")), col("doc_id")).as("keeper"))
     perFp
       .agg(
-        sum(col("n_in_group")).as("input"),
-        sum(when(col("keeper.quality") >= minQuality &&
+        // coalesce: sum() over ZERO groups is NULL — an empty corpus
+        // must report a 0/0/0 funnel, not a NULL one
+        coalesce(sum(col("n_in_group")), lit(0L)).as("input"),
+        coalesce(sum(when(col("keeper.quality") >= minQuality &&
           col("keeper.n_tokens").between(minTokens, maxTokens), 1L)
-          .otherwise(0L)).as("kept"))
+          .otherwise(0L)), lit(0L)).as("kept"))
       .select(explode(array(
         struct(lit("input").as("stage"), col("input").cast("long").as("n_docs")),
         struct(lit("kept").as("stage"), col("kept").cast("long").as("n_docs")),

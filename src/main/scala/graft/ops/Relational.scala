@@ -31,6 +31,15 @@ object Relational {
     * when the estimate is under the threshold; above it (or when the
     * threshold is disabled with -1) the side is left unhinted and
     * AQE/CBO picks broadcast-vs-shuffle at the stage boundary.
+    *
+    * The gate is deliberately CONSERVATIVE: without CBO, join-derived
+    * sides are estimated as the product of their children and
+    * aggregates inherit their child's size, so a derived side can blow
+    * past the threshold while actually tiny — the hint then simply
+    * lapses and the planner's own (identically estimated) decision or
+    * AQE's runtime sizes take over. Correctness and the at-scale plan
+    * are unaffected; only the static plan at mid SFs may prefer a
+    * shuffle join that AQE converts back at runtime.
     */
   def broadcastIfSmall(df: DataFrame): DataFrame = {
     val raw = df.sparkSession.conf

@@ -133,6 +133,7 @@ object Similarity {
       .limit(nCells)
       .select(col("vec_id"), col("embedding"))
       .as[(Long, Seq[Float])].collect().toSeq
+    if (cents.isEmpty) return toDf(cents) // empty corpus: nothing to train
     var iter = 0
     var shift = Double.MaxValue
     while (iter < maxIters && shift > shiftEpsilon) {
@@ -178,11 +179,22 @@ object Similarity {
       nCells: Int = 10,
       nProbe: Int = 3,
       maxIters: Int = 5,
-      shiftEpsilon: Double = 1e-3): DataFrame = {
-    // -- train: Lloyd iterations to convergence --
-    val centroids = trainCentroids(corpus, nCells, maxIters, shiftEpsilon)
+      shiftEpsilon: Double = 1e-3): DataFrame =
+    ivfSearch(corpus, queries,
+      trainCentroids(corpus, nCells, maxIters, shiftEpsilon), k, nProbe)
 
-    // -- index: nearest refined centroid per corpus vector --
+  /** Search phase against a PRE-TRAINED centroid model — split out so a
+    * recall sweep over nProbe reuses one training run (retraining per
+    * sweep point would both waste work and blur the comparison:
+    * float-mean aggregation order can perturb centroids between runs).
+    */
+  private[graft] def ivfSearch(
+      corpus: DataFrame,
+      queries: DataFrame,
+      centroids: DataFrame,
+      k: Int,
+      nProbe: Int): DataFrame = {
+    // -- index: nearest centroid per corpus vector --
     val assignment = assignToCell(corpus, centroids)
 
     // -- search: probe nProbe cells per query, exact cosine within --

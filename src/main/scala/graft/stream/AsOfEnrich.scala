@@ -16,9 +16,11 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, 
   *    (ts, view-before-purchase, event_id) order — the exact window
   *    order of the batch twin — so out-of-order delivery inside a batch
   *    cannot flip the result;
-  *  - across batches, the state keeps the MAX-ts view, so a late view
-  *    older than the current last view never regresses state (batch
-  *    "last view" = max ts among views ≤ the purchase);
+  *  - across batches, the state keeps the lexicographically greatest
+  *    (ts, event_id) view, so a late view older than (or an equal-ts,
+  *    lower-id rival of) the current last view never regresses state
+  *    (batch "last view" = max (ts, event_id) among views ≤ the
+  *    purchase);
   *  - the one divergence streaming cannot avoid: a view arriving AFTER
   *    a purchase it precedes in event time has already been emitted
   *    cannot retroactively re-enrich that purchase. The watermark-bounded
@@ -33,7 +35,7 @@ object AsOfEnrich {
       ts_us: Long,
       value: Double)
 
-  final case class LastView(ts_us: Long, value: Double)
+  final case class LastView(ts_us: Long, event_id: Long, value: Double)
 
   final case class EnrichedPurchase(
       purchase_id: Long,
@@ -62,10 +64,13 @@ object AsOfEnrich {
           out += EnrichedPurchase(e.event_id, key,
             lv.map(_.ts_us), lv.map(_.value))
         } else if (e.event_type == "view") {
-          // >= : among equal-ts views the later-processed (higher
-          // event_id, by the sort above) wins, matching the window order
-          if (!lastView.exists() || e.ts_us >= lastView.get().ts_us)
-            lastView.update(LastView(e.ts_us, e.value))
+          // lexicographic (ts, event_id) comparison: among equal-ts views
+          // the HIGHEST event_id wins — the batch twin's window order —
+          // including when the equal-ts rival arrives in a LATER batch
+          val lv = if (lastView.exists()) lastView.get() else null
+          if (lv == null || e.ts_us > lv.ts_us ||
+              (e.ts_us == lv.ts_us && e.event_id > lv.event_id))
+            lastView.update(LastView(e.ts_us, e.event_id, e.value))
         }
       }
       out.result().iterator

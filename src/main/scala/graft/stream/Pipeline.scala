@@ -253,6 +253,10 @@ object Pipeline {
     val spark = batch.sparkSession
     import org.apache.spark.sql.expressions.Window
     val cols = batch.columns
+    val reserved = Seq("bucket", "__tie", "__rn").filter(cols.contains)
+    require(reserved.isEmpty,
+      s"upsert input must not carry reserved column(s) ${reserved.mkString(", ")} " +
+        "— they would be silently overwritten by the bucketing/tiebreak machinery")
     // newest row per key in this batch; content-hash tiebreak keeps the
     // choice deterministic across retries when orderCol ties
     val w = Window.partitionBy(col(key))
@@ -270,6 +274,20 @@ object Pipeline {
         .collect().map(_.getInt(0)).sorted
       val fs = org.apache.hadoop.fs.FileSystem.get(
         new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+      // batchIds must move forward: a committed version ABOVE this batch
+      // means the query was restarted against an existing table with a
+      // FRESH checkpoint (batchId reset to 0) — merging from below would
+      // silently clobber low-numbered versions while readers keep
+      // serving the old high ones. Refuse loudly; a retry of the
+      // CURRENT batch (own version == batchId) is still allowed.
+      val maxCommitted = tableMaxVersion(fs, path)
+      maxCommitted.filter(_ > batchId).foreach { v =>
+        throw new IllegalStateException(
+          s"upsert table at $path already holds committed version v-$v > " +
+            s"batch $batchId — the streaming checkpoint was reset against an " +
+            "existing table; resume with the original checkpoint or point the " +
+            "sink at a fresh table path")
+      }
       touched.foreach { b =>
         val source = latestBucketVersion(fs, path, b, below = Some(batchId))
         val inc = incoming.filter(col("bucket") === b)
@@ -293,7 +311,9 @@ object Pipeline {
   }
 
   /** Current state of the upsert table: per bucket, its highest
-    * committed version.
+    * committed version. A table with no committed version yields
+    * `spark.emptyDataFrame` (zero columns) — callers that project
+    * specific columns must handle the never-written case themselves.
     */
   def readUpsertTable(spark: SparkSession, path: String, nBuckets: Int = 16): DataFrame = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
@@ -304,6 +324,23 @@ object Pipeline {
       spark.emptyDataFrame
     else
       dirs.map(spark.read.parquet(_)).reduce(_ unionByName _)
+  }
+
+  /** Highest version with at least one committed bucket, if any. */
+  private def tableMaxVersion(
+      fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Option[Long] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(root)) None
+    else fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v-"))
+      .flatMap(s => s.getPath.getName.stripPrefix("v-").toLongOption
+        .filter { _ =>
+          fs.listStatus(s.getPath).exists(b =>
+            b.getPath.getName.startsWith("bucket-") &&
+              fs.exists(new org.apache.hadoop.fs.Path(b.getPath, "_SUCCESS")))
+        })
+      .maxOption
   }
 
   private def bucketVersions(

@@ -37,8 +37,12 @@ class SimilaritySpec extends SparkTestBase {
     def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
     val brute = pairs(Similarity.bruteForceTopK(e, q, k = 10))
+    // ONE training run for the whole sweep: retraining per point would
+    // let float-mean aggregation order perturb centroids between runs
+    // and break the monotonicity the shared model guarantees
+    val centroids = Similarity.trainCentroids(e, nCells = 10)
     val recalls = Seq(1, 2, 3, 5).map { nProbe =>
-      val ivf = pairs(Similarity.ivfTopK(e, q, k = 10, nCells = 10, nProbe = nProbe))
+      val ivf = pairs(Similarity.ivfSearch(e, q, centroids, k = 10, nProbe = nProbe))
       nProbe -> (brute & ivf).size.toDouble / brute.size
     }
     info("IVF recall@10 vs nProbe (nCells=10, Lloyd to convergence): " +

@@ -7,9 +7,11 @@ class SkewSpec extends SparkTestBase {
   import spark.implicits._
 
   test("salted join equals the plain join on a skewed key") {
-    // 90% of the big side hits one key — the classic hot-key shape
+    // 90% of the big side hits key 0, the rest spread over keys 0-4
+    // (NOT `id % 5` of a multiple of 10 — that is constantly 0)
     val big = spark.range(10000)
-      .select(when($"id" % 10 === 0, $"id" % 5).otherwise(0L).as("k"),
+      .select(when($"id" % 10 === 0, ($"id" / 10).cast("long") % 5)
+        .otherwise(0L).as("k"),
         $"id".as("payload"))
     val small = Seq((0L, "hot"), (1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
       .toDF("k", "name")
@@ -38,10 +40,13 @@ class SkewSpec extends SparkTestBase {
     val prev = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
     keys.foreach { case (k, v) => spark.conf.set(k, v) }
     try {
-      // ~95% of rows hit key 0; 64-byte payload makes the hot shuffle
-      // partition a few MB — far over the lowered skew threshold
+      // ~95% of rows hit key 0, the rest spread over keys 0-4 so the
+      // per-key correctness of the split is actually exercised; 64-byte
+      // payload makes the hot shuffle partition a few MB — far over the
+      // lowered skew threshold
       val big = spark.range(100000)
-        .select(when($"id" % 20 === 0, $"id" % 5).otherwise(0L).as("k"),
+        .select(when($"id" % 20 === 0, ($"id" / 20).cast("long") % 5)
+          .otherwise(0L).as("k"),
           concat(lit("p"), lpad($"id".cast("string"), 63, "x")).as("payload"))
       val small = Seq((0L, "hot"), (1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
         .toDF("k", "name")

@@ -339,7 +339,14 @@ class StreamingSpec extends SparkTestBase {
         // state; then a fresh view moves it forward
         input.addData(
           ("u1", 2L, "view", 200L, 2.0), ("u1", 6L, "purchase", 500L, 98.0),
-          ("u1", 7L, "view", 600L, 6.0), ("u1", 8L, "purchase", 700L, 97.0))
+          ("u1", 7L, "view", 600L, 6.0), ("u1", 8L, "purchase", 700L, 97.0),
+          ("u3", 20L, "view", 1000L, 20.0))
+        q.processAllAvailable()
+        // batch 3: an EQUAL-ts view with a LOWER event_id arrives in a
+        // later batch — the batch twin's (ts, event_id) order says the
+        // id-20 view still wins
+        input.addData(
+          ("u3", 19L, "view", 1000L, 19.0), ("u3", 21L, "purchase", 1100L, 96.0))
         q.processAllAvailable()
         val got = spark.table("asof_sink").collect().map(r =>
           (r.getLong(0), r.getString(1),
@@ -350,7 +357,9 @@ class StreamingSpec extends SparkTestBase {
           ("u1", 3L, "view", 300L, 3.0), ("u1", 1L, "view", 100L, 1.0),
           ("u1", 4L, "purchase", 400L, 99.0), ("u2", 5L, "purchase", 50L, 9.0),
           ("u1", 2L, "view", 200L, 2.0), ("u1", 6L, "purchase", 500L, 98.0),
-          ("u1", 7L, "view", 600L, 6.0), ("u1", 8L, "purchase", 700L, 97.0))
+          ("u1", 7L, "view", 600L, 6.0), ("u1", 8L, "purchase", 700L, 97.0),
+          ("u3", 20L, "view", 1000L, 20.0), ("u3", 19L, "view", 1000L, 19.0),
+          ("u3", 21L, "purchase", 1100L, 96.0))
           .toDF("user_id", "event_id", "event_type", "ts_us", "value")
           .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros($"ts_us"))
         val expected = graft.ops.Analytics.asofLastView(batchDf).collect().map(r =>
