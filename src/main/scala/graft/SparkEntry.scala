@@ -134,6 +134,22 @@ object SparkEntry {
     "q_rolling_revenue" -> ((s, d) =>
       Relational.rollingRevenue(Relational.table(s, d, "orders"))),
     "q_user_value_ranks" -> ((s, d) => Analytics.userValueRanks(Analytics.events(s, d))),
+    // NOT EXISTS through the parser (RewritePredicateSubquery → left-anti
+    // join), completing the subquery surface next to the DSL anti-join
+    // and the correlated-scalar shape below: big-spender customers with
+    // no small orders
+    "q_sql_no_small_orders" -> ((s, d) => {
+      Relational.table(s, d, "customer").createOrReplaceTempView("cust_ne")
+      Relational.table(s, d, "orders").createOrReplaceTempView("ord_ne")
+      s.sql(
+        """SELECT c.c_custkey, c.c_name
+          |FROM cust_ne c
+          |WHERE c.c_acctbal > 9000.0
+          |  AND NOT EXISTS (SELECT 1 FROM ord_ne o
+          |                  WHERE o.o_custkey = c.c_custkey
+          |                    AND o.o_totalprice < 50000.0)
+          |ORDER BY c.c_custkey""".stripMargin)
+    }),
     // correlated scalar subquery THROUGH THE PARSER: Catalyst's
     // decorrelation (RewriteCorrelatedScalarSubquery) turns the per-part
     // min into an aggregate + join — the §4.2 rule the DSL queries never
@@ -584,6 +600,14 @@ object SparkEntry {
         |FROM events WHERE user_id < 20
         |WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
         |ORDER BY user_id, event_id""".stripMargin,
+    "q_sql_no_small_orders" ->
+      """SELECT c.c_custkey, c.c_name
+        |FROM customer c
+        |WHERE c.c_acctbal > 9000.0
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_totalprice < 50000.0)
+        |ORDER BY c.c_custkey""".stripMargin,
     "q_sql_min_cost_supplier" ->
       """SELECT l_partkey, l_suppkey, l_extendedprice
         |FROM lineitem l1
