@@ -474,6 +474,12 @@ class StreamingSpec extends SparkTestBase {
         r.getAs[Double]("value"))).toSet
     assert(rows == Set((1L, "a", 10.0), (2L, "b2", 25.0), (3L, "c2", 35.0)),
       rows.toString)
+    // a RESET checkpoint (batchId below the committed head) must refuse
+    // rather than silently clobber low versions behind the readers
+    val ex = intercept[IllegalStateException] {
+      Pipeline.upsertBatch(redelivered, "id", table, batchId = 0L, nBuckets = 4)
+    }
+    assert(ex.getMessage.contains("checkpoint"), ex.getMessage)
   }
 
   test("checkpoint restart is exactly-once: no duplicates, new data picked up") {
