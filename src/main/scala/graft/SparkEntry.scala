@@ -129,6 +129,34 @@ object SparkEntry {
     "q_big_orders" -> ((s, d) =>
       Relational.bigOrders(
         Relational.table(s, d, "lineitem"), Relational.table(s, d, "orders"))),
+    "q_forecast_revenue" -> ((s, d) =>
+      Relational.forecastRevenue(Relational.table(s, d, "lineitem"))),
+    "q_market_share" -> ((s, d) =>
+      Relational.marketShare(
+        Relational.table(s, d, "lineitem"), Relational.table(s, d, "orders"),
+        Relational.table(s, d, "customer"), Relational.table(s, d, "supplier"),
+        Relational.table(s, d, "nation"), Relational.table(s, d, "region"),
+        Relational.table(s, d, "part"))),
+    "q_returned_items" -> ((s, d) =>
+      Relational.returnedItems(
+        Relational.table(s, d, "customer"), Relational.table(s, d, "orders"),
+        Relational.table(s, d, "lineitem"), Relational.table(s, d, "nation"))),
+    "q_order_count_distribution" -> ((s, d) =>
+      Relational.orderCountDistribution(
+        Relational.table(s, d, "customer"), Relational.table(s, d, "orders"))),
+    "q_promo_share" -> ((s, d) =>
+      Relational.promoShare(
+        Relational.table(s, d, "lineitem"), Relational.table(s, d, "part"))),
+    "q_disjunctive_revenue" -> ((s, d) =>
+      Relational.disjunctiveRevenue(
+        Relational.table(s, d, "lineitem"), Relational.table(s, d, "part"))),
+    "q_waiting_suppliers" -> ((s, d) =>
+      Relational.waitingSuppliers(
+        Relational.table(s, d, "lineitem"), Relational.table(s, d, "orders"),
+        Relational.table(s, d, "supplier"))),
+    "q_lapsed_high_balance" -> ((s, d) =>
+      Relational.lapsedHighBalance(
+        Relational.table(s, d, "customer"), Relational.table(s, d, "orders"))),
     "q_distinct_profile" -> ((s, d) => Analytics.distinctProfile(Analytics.events(s, d))),
     "q_event_gaps" -> ((s, d) => Analytics.eventGaps(Analytics.events(s, d))),
     "q_rolling_revenue" -> ((s, d) =>
@@ -565,6 +593,97 @@ object SparkEntry {
         |  GROUP BY 1 HAVING sum(l_quantity) > 300
         |) ON o_orderkey = l_orderkey
         |ORDER BY total_qty DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q_forecast_revenue" ->
+      """SELECT sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(4,2)))::DOUBLE AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND CAST(l_discount AS DECIMAL(4,2)) BETWEEN 0.02 AND 0.06
+        |  AND l_quantity < 24""".stripMargin,
+    "q_market_share" ->
+      """WITH base AS (
+        |  SELECT year(o_orderdate) AS o_year,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.0 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) AS rev,
+        |    (sn.n_name = 'NATION_2') AS is_target
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |  WHERE o_custkey IN (
+        |    SELECT c_custkey FROM customer
+        |    JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |    JOIN region ON cn.n_regionkey = r_regionkey
+        |    WHERE r_name = 'ASIA'))
+        |SELECT o_year,
+        |  ((sum(CASE WHEN is_target THEN rev ELSE 0 END) * 10000)::BIGINT * 10000
+        |    // (sum(rev) * 10000)::BIGINT)::BIGINT AS mkt_share_e4,
+        |  (sum(rev) * 10000)::BIGINT / 10000.0 AS total_revenue
+        |FROM base GROUP BY 1 ORDER BY o_year""".stripMargin,
+    "q_returned_items" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.0 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))::DOUBLE AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q_order_count_distribution" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q_promo_share" ->
+      """WITH base AS (
+        |  SELECT CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.0 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) AS rev,
+        |    (p_type = 'PROMO') AS is_promo
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00')
+        |SELECT
+        |  ((sum(CASE WHEN is_promo THEN rev ELSE 0 END) * 10000)::BIGINT * 1000000
+        |    // (sum(rev) * 10000)::BIGINT)::BIGINT AS promo_share_e6,
+        |  (sum(CASE WHEN is_promo THEN rev ELSE 0 END) * 10000)::BIGINT / 10000.0 AS promo_revenue,
+        |  (sum(rev) * 10000)::BIGINT / 10000.0 AS total_revenue
+        |FROM base""".stripMargin,
+    "q_disjunctive_revenue" ->
+      """SELECT
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.0 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))::DOUBLE AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q_waiting_suppliers" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM lineitem l1
+        |JOIN orders o ON l1.l_orderkey = o.o_orderkey
+        |JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+        |WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |              WHERE l3.l_orderkey = l1.l_orderkey
+        |                AND l3.l_suppkey <> l1.l_suppkey
+        |                AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+    "q_lapsed_high_balance" ->
+      """SELECT c_mktsegment, count(*) AS n_cust,
+        |  sum(CAST(c_acctbal AS DECIMAL(18,2)))::DOUBLE AS total_bal
+        |FROM customer
+        |WHERE (CAST(c_acctbal AS DECIMAL(18,2)) * 100)::BIGINT >
+        |  (SELECT (sum((CAST(c_acctbal AS DECIMAL(18,2)) * 100)::BIGINT) // count(*))::BIGINT
+        |   FROM customer WHERE c_acctbal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_distinct_profile" ->
       """SELECT event_type,
         |  count(DISTINCT user_id) AS n_users,

@@ -351,4 +351,245 @@ object Relational {
       .agg(count(lit(1)).as("n"),
         sum(money("o_totalprice")).cast("double").as("total"))
       .orderBy(col("o_orderstatus"))
+
+  /** Discounted revenue as exact DECIMAL: (18,2) price × (4,2) discount
+    * factor keeps 4 decimal places — no double rounding until the final
+    * output cast.
+    */
+  private def discRevenue =
+    money("l_extendedprice") *
+      (lit(1.0).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)"))
+
+  /** TPC-H Q6-shaped revenue forecast: a single filtered scan with every
+    * predicate pushed to parquet (shipdate range, discount band, quantity
+    * cap) and one partial+final aggregate — the canonical
+    * pushdown-or-bust query. Discount is compared through DECIMAL(4,2) on
+    * both engines so the band edges (0.02, 0.06) are exact, not
+    * double-noise.
+    */
+  def forecastRevenue(li: DataFrame): DataFrame =
+    li.filter(
+        col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01 00:00:00").cast("timestamp") &&
+        col("l_discount").cast("decimal(4,2)")
+          .between(lit(0.02).cast("decimal(4,2)"), lit(0.06).cast("decimal(4,2)")) &&
+        col("l_quantity") < 24)
+      .agg(
+        sum(money("l_extendedprice") * col("l_discount").cast("decimal(4,2)"))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+
+  /** TPC-H Q8-shaped market share: the fraction of a region's PROMO
+    * revenue supplied by one nation, per order year. Topology: ONE
+    * lineitem⋈orders shuffle; part (filtered to the type), the
+    * region-gated customer→nation branch, and the supplier→nation flag
+    * branch all hang off it as (size-gated) broadcasts. The share is
+    * EXACT integer arithmetic — revenues are summed as DECIMAL, scaled to
+    * 1e-4 units, and divided with `div` (a double ratio + round(_, 4)
+    * sits at the half-ulp boundary and engines legitimately disagree
+    * there).
+    */
+  def marketShare(
+      lineitem: DataFrame,
+      orders: DataFrame,
+      customer: DataFrame,
+      supplier: DataFrame,
+      nation: DataFrame,
+      region: DataFrame,
+      part: DataFrame,
+      suppNation: String = "NATION_2",
+      mktRegion: String = "ASIA",
+      pType: String = "PROMO"): DataFrame = {
+    val regionCust = customer.select(col("c_custkey"), col("c_nationkey"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_regionkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.filter(col("r_name") === mktRegion)
+        .select(col("r_regionkey"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"))
+    val suppFlag = supplier.select(col("s_suppkey"), col("s_nationkey"))
+      .join(broadcast(nation.select(col("n_nationkey"),
+        (col("n_name") === suppNation).as("is_target_nation"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("is_target_nation"))
+    lineitem
+      .join(broadcast(part.filter(col("p_type") === pType)
+        .select(col("p_partkey"))), col("l_partkey") === col("p_partkey"))
+      .join(orders.select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcastIfSmall(regionCust), col("o_custkey") === col("c_custkey"),
+        "left_semi")
+      .join(broadcastIfSmall(suppFlag), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        (sum(when(col("is_target_nation"), discRevenue)
+          .otherwise(lit(0).cast("decimal(18,2)"))) * 10000).cast("long")
+          .as("nation_rev_e4"),
+        (sum(discRevenue) * 10000).cast("long").as("total_rev_e4"))
+      .select(col("o_year"),
+        expr("(nation_rev_e4 * 10000) div total_rev_e4").as("mkt_share_e4"),
+        (col("total_rev_e4").cast("double") / 1e4).as("total_revenue"))
+      .orderBy(col("o_year"))
+  }
+
+  /** TPC-H Q10-shaped returned-item report: top-k customers by revenue
+    * lost to returns in a quarter. lineitem⋈orders is the one big
+    * shuffle; the customer+nation attributes join AFTER the aggregate
+    * (group on the key alone, then decorate) so the shuffle carries the
+    * grouping key and revenue only — at 100 TB the difference between
+    * shuffling 2 columns and shuffling the customer row is the job.
+    */
+  def returnedItems(
+      customer: DataFrame,
+      orders: DataFrame,
+      lineitem: DataFrame,
+      nation: DataFrame,
+      k: Int = 20): DataFrame = {
+    val lost = lineitem.filter(col("l_returnflag") === "R")
+      .join(orders
+        .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-04-01 00:00:00").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(discRevenue).cast("double").as("revenue"))
+    lost
+      .join(broadcastIfSmall(customer.select(col("c_custkey"), col("c_name"),
+        col("c_acctbal"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"),
+        col("c_acctbal").cast("double").as("c_acctbal"),
+        col("n_name"), col("revenue"))
+      .orderBy(desc("revenue"), col("c_custkey"))
+      .limit(k)
+  }
+
+  /** TPC-H Q13-shaped order-count distribution: how many customers
+    * placed exactly N orders. A left-outer fact join (zero-order
+    * customers must survive as c_count = 0) feeding two stacked
+    * aggregates — the second groups on the first's OUTPUT (a few dozen
+    * distinct counts), so it is a near-free shuffle regardless of scale.
+    */
+  def orderCountDistribution(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer.select(col("c_custkey"))
+      .join(orders.select(col("o_orderkey"), col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(desc("custdist"), desc("c_count"))
+
+  /** TPC-H Q14-shaped promo share: percentage of a month's revenue from
+    * PROMO-type parts. Same exact-integer share arithmetic as
+    * [[marketShare]]; part is a broadcast dim, lineitem is pre-filtered
+    * by the pushed shipdate range before the join.
+    */
+  def promoShare(lineitem: DataFrame, part: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") >= lit("1996-03-01 00:00:00").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01 00:00:00").cast("timestamp"))
+      .join(broadcast(part.select(col("p_partkey"),
+        (col("p_type") === "PROMO").as("is_promo"))),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        (sum(when(col("is_promo"), discRevenue)
+          .otherwise(lit(0).cast("decimal(18,2)"))) * 10000).cast("long")
+          .as("promo_rev_e4"),
+        (sum(discRevenue) * 10000).cast("long").as("total_rev_e4"))
+      .select(
+        expr("(promo_rev_e4 * 1000000) div total_rev_e4").as("promo_share_e6"),
+        (col("promo_rev_e4").cast("double") / 1e4).as("promo_revenue"),
+        (col("total_rev_e4").cast("double") / 1e4).as("total_revenue"))
+
+  /** TPC-H Q19-shaped disjunctive predicate join: three OR'd
+    * brand/size/quantity branches that mix part-side and lineitem-side
+    * columns. The part side still prunes to its brand set before the
+    * (broadcast) join; the residual OR evaluates post-join inside
+    * codegen. One output row.
+    */
+  def disjunctiveRevenue(lineitem: DataFrame, part: DataFrame): DataFrame =
+    lineitem
+      .join(broadcast(part
+        .filter(col("p_brand").isin("Brand#12", "Brand#23", "Brand#15"))
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))),
+        col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#15" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(20, 30)))
+      .agg(
+        sum(discRevenue).cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+
+  /** TPC-H Q21-shaped waiting suppliers, reformulated for scale:
+    * suppliers who were the ONLY late shipper on a multi-supplier order.
+    * The textbook form is a correlated EXISTS + NOT EXISTS pair (the
+    * oracle runs exactly that); here both subqueries collapse into ONE
+    * per-order aggregate — n_supps and n_late_supps — so the fact table
+    * is shuffled twice on the order key instead of self-joined three
+    * times. "Late" = shipped more than 60 days after the order date.
+    */
+  def waitingSuppliers(
+      lineitem: DataFrame,
+      orders: DataFrame,
+      supplier: DataFrame,
+      k: Int = 20): DataFrame = {
+    val lines = lineitem
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(orders.select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("is_late",
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+    val perSupplierOrder = lines
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(col("is_late")).as("supp_late"),
+        sum(when(col("is_late"), 1L).otherwise(0L)).as("n_late_lines"))
+    val perOrder = perSupplierOrder
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_supps"),
+        sum(when(col("supp_late"), 1L).otherwise(0L)).as("n_late_supps"))
+    perSupplierOrder.filter(col("supp_late"))
+      .join(perOrder.filter(col("n_supps") > 1 && col("n_late_supps") === 1)
+        .select(col("l_orderkey").as("ok")), col("l_orderkey") === col("ok"))
+      .join(broadcast(supplier.select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(sum(col("n_late_lines")).as("numwait"))
+      .orderBy(desc("numwait"), col("s_name"))
+      .limit(k)
+  }
+
+  /** TPC-H Q22-shaped lapsed high-balance customers: above-average
+    * balance, no order since the cutoff — a scalar subquery (1-row
+    * broadcast threshold) plus an anti join against the recent-order key
+    * set, then a per-segment aggregate. The average is EXACT integer
+    * cents (`sum div count`), so the threshold comparison can never
+    * straddle a double ulp between engines.
+    */
+  def lapsedHighBalance(
+      customer: DataFrame,
+      orders: DataFrame,
+      since: String = "2000-01-01 00:00:00"): DataFrame = {
+    val cents = (col("c_acctbal").cast("decimal(18,2)") * 100).cast("long")
+    val avgPosCents = customer.filter(col("c_acctbal") > 0)
+      .agg(sum(cents).as("c"), count(lit(1)).as("n"))
+      .select(expr("c div n").as("avg_cents"))
+    val recent = orders
+      .filter(col("o_orderdate") >= lit(since).cast("timestamp"))
+      .select(col("o_custkey")).distinct()
+    customer
+      .join(broadcast(avgPosCents))
+      .filter(cents > col("avg_cents"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_cust"),
+        sum(money("c_acctbal")).cast("double").as("total_bal"))
+      .orderBy(col("c_mktsegment"))
+  }
 }
