@@ -530,16 +530,19 @@ object Relational {
   /** TPC-H Q21-shaped waiting suppliers, reformulated for scale:
     * suppliers who were the ONLY late shipper on a multi-supplier order.
     * The textbook form is a correlated EXISTS + NOT EXISTS pair (the
-    * oracle runs exactly that); here both subqueries collapse into ONE
-    * per-order aggregate — n_supps and n_late_supps — so the fact table
-    * is shuffled twice on the order key instead of self-joined three
-    * times. "Late" = shipped more than 60 days after the order date.
+    * oracle runs exactly that); here both subqueries collapse into a
+    * per-(order, supplier) aggregate followed by an unordered window over
+    * the order key — n_supps and n_late_supps — so the fact table is
+    * scanned ONCE and shuffled twice on the order key, with no self-join
+    * recomputing the lineitem⋈orders branch. "Late" = shipped more than
+    * 60 days after the order date.
     */
   def waitingSuppliers(
       lineitem: DataFrame,
       orders: DataFrame,
       supplier: DataFrame,
       k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val lines = lineitem
       .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
       .join(orders.select(col("o_orderkey"), col("o_orderdate")),
@@ -550,13 +553,13 @@ object Relational {
       .groupBy(col("l_orderkey"), col("l_suppkey"))
       .agg(max(col("is_late")).as("supp_late"),
         sum(when(col("is_late"), 1L).otherwise(0L)).as("n_late_lines"))
-    val perOrder = perSupplierOrder
-      .groupBy(col("l_orderkey"))
-      .agg(count(lit(1)).as("n_supps"),
-        sum(when(col("supp_late"), 1L).otherwise(0L)).as("n_late_supps"))
-    perSupplierOrder.filter(col("supp_late"))
-      .join(perOrder.filter(col("n_supps") > 1 && col("n_late_supps") === 1)
-        .select(col("l_orderkey").as("ok")), col("l_orderkey") === col("ok"))
+    val wOrder = Window.partitionBy(col("l_orderkey"))
+    perSupplierOrder
+      .withColumn("n_supps", count(lit(1)).over(wOrder))
+      .withColumn("n_late_supps",
+        sum(when(col("supp_late"), 1L).otherwise(0L)).over(wOrder))
+      .filter(col("supp_late") && col("n_supps") > 1 &&
+        col("n_late_supps") === 1)
       .join(broadcast(supplier.select(col("s_suppkey"), col("s_name"))),
         col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("s_name"))

@@ -116,49 +116,66 @@ object Similarity {
     * centroid L2 shift drops below `shiftEpsilon`. The model is
     * nCells × dim floats — it lives on the driver between iterations
     * (the standard IVF "train" step, NOT a data collect); each iteration
-    * is one narrow assignment plus one aggregate over the corpus. Cells
-    * that lose all members keep their previous centroid.
+    * is one narrow assignment plus one aggregate over the training set.
+    * Cells that lose all members keep their previous centroid.
+    *
+    * `trainSampleMod` > 1 trains on the deterministic 1/mod id-sample of
+    * the corpus (`vec_id % mod == 0`) — the standard IVF practice (FAISS
+    * trains its quantizer on a sample): centroid quality needs only a
+    * representative sample, and at 100 TB a full-corpus Lloyd pass per
+    * iteration is the dominant index-build cost. The sample is persisted
+    * across iterations so the loop re-scans a cached projection, not the
+    * source files.
     */
   private[graft] def trainCentroids(
       corpus: DataFrame,
       nCells: Int,
       maxIters: Int = 5,
       shiftEpsilon: Double = 1e-3,
-      dim: Int = 64): DataFrame = {
+      dim: Int = 64,
+      trainSampleMod: Int = 1): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     def toDf(cs: Seq[(Long, Seq[Float])]): DataFrame =
       cs.toDF("cell", "centroid")
-    var cents: Seq[(Long, Seq[Float])] = corpus.orderBy(col("vec_id"))
-      .limit(nCells)
+    val train = (if (trainSampleMod > 1)
+        corpus.filter(pmod(col("vec_id"), lit(trainSampleMod.toLong)) === 0L)
+      else corpus)
       .select(col("vec_id"), col("embedding"))
-      .as[(Long, Seq[Float])].collect().toSeq
-    if (cents.isEmpty) return toDf(cents) // empty corpus: nothing to train
-    var iter = 0
-    var shift = Double.MaxValue
-    while (iter < maxIters && shift > shiftEpsilon) {
-      val means = assignToCell(corpus, toDf(cents))
-        .groupBy(col("cell"))
-        .agg(array((0 until dim).map(j =>
-          avg(element_at(col("embedding"), j + 1).cast("double")).cast("float")): _*)
-          .as("centroid"))
-        .as[(Long, Seq[Float])].collect().toMap
-      val next = cents.map { case (cell, old) =>
-        cell -> means.getOrElse(cell, old) }
-      shift = cents.zip(next).map { case ((_, o), (_, n)) =>
-        math.sqrt(o.zip(n).map { case (a, b) =>
-          val d = a.toDouble - b.toDouble; d * d }.sum) }.max
-      cents = next
-      iter += 1
-    }
-    toDf(cents)
+      .persist()
+    try {
+      var cents: Seq[(Long, Seq[Float])] = train.orderBy(col("vec_id"))
+        .limit(nCells)
+        .as[(Long, Seq[Float])].collect().toSeq
+      if (cents.isEmpty) return toDf(cents) // empty corpus: nothing to train
+      var iter = 0
+      var shift = Double.MaxValue
+      while (iter < maxIters && shift > shiftEpsilon) {
+        val means = assignToCell(train, toDf(cents))
+          .groupBy(col("cell"))
+          .agg(array((0 until dim).map(j =>
+            avg(element_at(col("embedding"), j + 1).cast("double")).cast("float")): _*)
+            .as("centroid"))
+          .as[(Long, Seq[Float])].collect().toMap
+        val next = cents.map { case (cell, old) =>
+          cell -> means.getOrElse(cell, old) }
+        shift = cents.zip(next).map { case ((_, o), (_, n)) =>
+          math.sqrt(o.zip(n).map { case (a, b) =>
+            val d = a.toDouble - b.toDouble; d * d }.sum) }.max
+        cents = next
+        iter += 1
+      }
+      toDf(cents)
+    } finally train.unpersist()
   }
 
   /** IVF (inverted-file) ANN top-k — the 100 TB scale path.
     *
     * Train: [[trainCentroids]] — seeded Lloyd iterations to convergence
-    * (bounded by maxIters / shiftEpsilon). The centroid model is tiny
-    * (nCells × dim) and broadcast everywhere.
+    * (bounded by maxIters / shiftEpsilon), on the deterministic 1/4
+    * id-sample of the corpus by default (`trainSampleMod`): quantizer
+    * quality needs a representative sample, not every vector. The
+    * centroid model is tiny (nCells × dim) and broadcast everywhere.
     *
     * Search: every corpus vector is assigned to its nearest centroid
     * (broadcast join — narrow); each query probes its nProbe nearest
@@ -179,9 +196,11 @@ object Similarity {
       nCells: Int = 10,
       nProbe: Int = 3,
       maxIters: Int = 5,
-      shiftEpsilon: Double = 1e-3): DataFrame =
+      shiftEpsilon: Double = 1e-3,
+      trainSampleMod: Int = 4): DataFrame =
     ivfSearch(corpus, queries,
-      trainCentroids(corpus, nCells, maxIters, shiftEpsilon), k, nProbe)
+      trainCentroids(corpus, nCells, maxIters, shiftEpsilon,
+        trainSampleMod = trainSampleMod), k, nProbe)
 
   /** Search phase against a PRE-TRAINED centroid model — split out so a
     * recall sweep over nProbe reuses one training run (retraining per
