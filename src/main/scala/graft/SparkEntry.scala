@@ -159,6 +159,7 @@ object SparkEntry {
         Relational.table(s, d, "customer"), Relational.table(s, d, "orders"))),
     "q_distinct_profile" -> ((s, d) => Analytics.distinctProfile(Analytics.events(s, d))),
     "q_event_gaps" -> ((s, d) => Analytics.eventGaps(Analytics.events(s, d))),
+    "q_user_sessions" -> ((s, d) => Analytics.userSessions(Analytics.events(s, d))),
     "q_rolling_revenue" -> ((s, d) =>
       Relational.rollingRevenue(Relational.table(s, d, "orders"))),
     "q_user_value_ranks" -> ((s, d) => Analytics.userValueRanks(Analytics.events(s, d))),
@@ -234,6 +235,32 @@ object SparkEntry {
     "q_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(TextAnalysis.documents(s, d))),
     "q_rolling_fingerprint" -> ((s, d) =>
       TextAnalysis.rollingFingerprints(TextAnalysis.documents(s, d))),
+    "q_repetition_signals" -> ((s, d) =>
+      TextAnalysis.repetitionSignals(TextAnalysis.documents(s, d))),
+    "q_doc_chunks" -> ((s, d) =>
+      TextAnalysis.chunkDocuments(TextAnalysis.documents(s, d))),
+    "q_pii_redact" -> ((s, d) => {
+      // the corpus is digit-free word-soup, so the query PLANTS
+      // deterministic PII per doc_id (the oracle plants the identical
+      // strings) before running the redaction operator end to end
+      val docs = TextAnalysis.documents(s, d)
+      val planted = docs.select(col("doc_id"), concat(
+        col("text"),
+        when(pmod(col("doc_id"), lit(2)) === 0,
+          concat(lit(" contact a"), col("doc_id").cast("string"),
+            lit("@mail.example.com"))).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(lit(" call +1-555-"),
+            lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(lit(" from 10.0."), pmod(col("doc_id"), lit(256)).cast("string"),
+            lit(".7"))).otherwise(lit(""))).as("text"))
+      TextAnalysis.redactPii(planted)
+        .select(col("doc_id"), col("n_emails"), col("n_phones"), col("n_ips"),
+          md5(col("redacted")).as("redacted_md5"))
+        .orderBy(col("doc_id"))
+    }),
     // ---- end-to-end corpus curation (capstone: §7.4 composed) ----
     "q_corpus_curation" -> ((s, d) => Corpus.curate(TextAnalysis.documents(s, d))),
     "q_corpus_curation_neardup" -> ((s, d) =>
@@ -699,6 +726,23 @@ object SparkEntry {
         |  (sum(gap_us) // count(*))::BIGINT AS avg_gap_us
         |FROM g WHERE gap_us IS NOT NULL
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_user_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+        |f AS (
+        |  SELECT user_id, event_id, ts_us,
+        |    CASE WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) < 21600000000
+        |         THEN 0 ELSE 1 END AS new_session
+        |  FROM e),
+        |s AS (
+        |  SELECT user_id, ts_us,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |  FROM f)
+        |SELECT user_id, session_idx::BIGINT AS session_idx,
+        |  min(ts_us) AS session_start_us, max(ts_us) AS session_end_us,
+        |  count(*) AS n_events
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_rolling_revenue" ->
       """WITH daily AS (
         |  SELECT date_diff('day', DATE '1970-01-01', o_orderdate::DATE)::BIGINT AS day_num,
@@ -827,6 +871,59 @@ object SparkEntry {
         |    len(list_distinct(toks))::DOUBLE / len(toks) AS diversity
         |  FROM (SELECT doc_id, n_chars, regexp_split_to_array(lower(text), '\s+') AS toks FROM documents))
         |ORDER BY doc_id""".stripMargin,
+    "q_repetition_signals" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t FROM documents),
+        |tc AS (
+        |  SELECT doc_id, term, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(t) AS term FROM toks) GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT doc_id, sum(c)::BIGINT AS n_tokens,
+        |    count(*) AS n_distinct_tokens, max(c) AS top_word_count
+        |  FROM tc GROUP BY 1),
+        |rl AS (
+        |  SELECT doc_id,
+        |    len(list_distinct(list_transform(range(1, len(t)),
+        |      i -> t[i] || ' ' || t[i+1])))::BIGINT AS n_distinct_2grams
+        |  FROM toks)
+        |SELECT a.doc_id, n_tokens, n_distinct_tokens, top_word_count,
+        |  ((n_tokens - n_distinct_tokens) * 10000 // n_tokens)::BIGINT AS dup_word_frac_e4,
+        |  CASE WHEN n_tokens >= 2
+        |       THEN ((n_tokens - 1 - n_distinct_2grams) * 10000 // (n_tokens - 1))::BIGINT
+        |       ELSE 0 END AS dup_2gram_frac_e4,
+        |  (top_word_count * 10000 // n_tokens)::BIGINT AS top_word_share_e4
+        |FROM agg a JOIN rl USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "q_doc_chunks" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t FROM documents),
+        |st AS (
+        |  SELECT doc_id, t, unnest(generate_series(1, len(t), 24)) AS s FROM toks)
+        |SELECT doc_id, ((s - 1) // 24)::BIGINT AS chunk_idx,
+        |  least(32, len(t) - s + 1)::BIGINT AS n_chunk_tokens,
+        |  array_to_string(t[s : s + 31], ' ') AS chunk_text
+        |FROM st ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q_pii_redact" ->
+      """WITH planted AS (
+        |  SELECT doc_id, text
+        |    || CASE WHEN doc_id % 2 = 0
+        |            THEN ' contact a' || doc_id::VARCHAR || '@mail.example.com'
+        |            ELSE '' END
+        |    || CASE WHEN doc_id % 3 = 0
+        |            THEN ' call +1-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+        |            ELSE '' END
+        |    || CASE WHEN doc_id % 5 = 0
+        |            THEN ' from 10.0.' || (doc_id % 256)::VARCHAR || '.7'
+        |            ELSE '' END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}'))::BIGINT AS n_emails,
+        |  len(regexp_extract_all(text, '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}'))::BIGINT AS n_phones,
+        |  len(regexp_extract_all(text, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}'))::BIGINT AS n_ips,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+        |    '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+        |    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g')) AS redacted_md5
+        |FROM planted ORDER BY doc_id""".stripMargin,
     "q_tfidf_top_terms" ->
       """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS term FROM documents),
         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),

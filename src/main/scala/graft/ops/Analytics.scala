@@ -273,6 +273,35 @@ object Analytics {
       .orderBy(col("user_id"))
   }
 
+  /** Batch sessionization — the gaps-and-islands pattern: an event opens
+    * a new session when it is the user's first or arrives ≥ `gapUs` after
+    * the previous one; the running sum of the new-session flags numbers
+    * the sessions (1-based). Both window frames share one
+    * (user_id)-partitioned sort, and the final per-session aggregate
+    * needs NO further exchange — hash-partitioning on user_id already
+    * clusters the (user_id, session_idx) group keys. The streaming twin
+    * is `session_window` ([[sessionWindows]]); this is the replayable
+    * batch formulation over the sink table.
+    */
+  def userSessions(df: DataFrame, gapUs: Long = 21600000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("new_session",
+        when(col("ts_us") - lag(col("ts_us"), 1).over(w) < gapUs, 0L)
+          .otherwise(1L)) // NULL lag (first event) falls to otherwise → 1
+      .withColumn("session_idx", sum(col("new_session")).over(wRun))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        min(col("ts_us")).as("session_start_us"),
+        max(col("ts_us")).as("session_end_us"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"), col("session_idx"))
+  }
+
   /** Pivot: hour-of-day × event_type value sums (wide layout). Explicit
     * pivot values keep the schema static — never data-driven at plan
     * time (a full-scan hazard at 100 TB).

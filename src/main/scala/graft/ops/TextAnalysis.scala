@@ -227,4 +227,97 @@ object TextAnalysis {
   def rollingFingerprints(df: DataFrame): DataFrame =
     df.select(col("doc_id"), rollingFingerprint(col("text")).as("rolling_fp"))
       .orderBy(col("doc_id"))
+
+  /** PII patterns for training-data scrubbing: (name, regex, replacement).
+    * The regexes stay inside the portable RE2 ∩ java.util.regex subset
+    * (no backrefs, no \b) so the DuckDB oracle runs the identical pattern
+    * strings.
+    */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}", "<EMAIL>"),
+    ("phone", "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}", "<PHONE>"),
+    ("ip", "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}", "<IP>"))
+
+  /** PII redaction — the scrub step every LLM training pipeline runs
+    * before anything else. Counts matches per category on the ORIGINAL
+    * text, then rewrites all of them (email → phone → ip; the patterns
+    * are mutually non-overlapping on realistic text, and replacement
+    * tokens contain no digits so later passes cannot re-match earlier
+    * rewrites). Pure row-local regex Column algebra: codegen'd,
+    * shuffle-free, linear at 100 TB.
+    */
+  def redactPii(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val counted = piiPatterns.foldLeft(df) { case (d, (name, pat, _)) =>
+      d.withColumn(s"n_${name}s",
+        size(regexp_extract_all(col(textCol), lit(pat), lit(0))).cast("long"))
+    }
+    val redacted = piiPatterns.foldLeft(col(textCol)) { case (c, (_, pat, repl)) =>
+      regexp_replace(c, pat, repl)
+    }
+    counted.withColumn("redacted", redacted)
+  }
+
+  /** Gopher-style repetition signals — the standard filters for
+    * boilerplate/spam in web-scale corpora: duplicate-word fraction,
+    * duplicate-2-gram fraction, and the most-frequent-word share. All
+    * ratios are exact e4 integers (`(x*10000) div y`) so no engine pair
+    * can disagree in a rounded decimal.
+    *
+    * Shape at scale: per-term counts are one (doc, term) hash aggregate
+    * re-aggregated per doc; the 2-gram distinct count rides row-local on
+    * the native [[graft.functions.WordShingles]] (distinct shingles, one
+    * pass, no lambda re-evaluation); the two doc-level frames join on the
+    * doc key. Nothing corpus-sized is broadcast or collected.
+    */
+  def repetitionSignals(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val rowLocal = docs.select(
+      col("doc_id"),
+      size(graft.functions.ShingleFunctions.wordShingles(toks, 2))
+        .cast("long").as("n_distinct_2grams"))
+    val termCounts = docs
+      .select(col("doc_id"), explode(toks).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("c"))
+    val perDoc = termCounts.groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct_tokens"),
+        max(col("c")).as("top_word_count"))
+    perDoc.join(rowLocal, "doc_id")
+      .select(
+        col("doc_id"), col("n_tokens"), col("n_distinct_tokens"),
+        col("top_word_count"),
+        expr("((n_tokens - n_distinct_tokens) * 10000) div n_tokens")
+          .as("dup_word_frac_e4"),
+        when(col("n_tokens") >= 2,
+          expr("((n_tokens - 1 - n_distinct_2grams) * 10000) div (n_tokens - 1)"))
+          .otherwise(0L).as("dup_2gram_frac_e4"),
+        expr("(top_word_count * 10000) div n_tokens").as("top_word_share_e4"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Overlapping token-window chunking — how long documents become
+    * context-window-sized training samples. Chunk c covers tokens
+    * [c·stride+1, c·stride+chunkSize]; starts walk the token array at
+    * `stride`, so consecutive chunks overlap by chunkSize − stride
+    * tokens and every token lands in ≥1 chunk. The explode is over chunk
+    * STARTS (⌈n/stride⌉ per doc, not per token), and the slice happens
+    * after the explode as plain per-row projection — no array lambda, so
+    * the tokenization is never re-evaluated per element.
+    */
+  def chunkDocuments(docs: DataFrame, chunkSize: Int = 32, stride: Int = 24): DataFrame = {
+    require(chunkSize > 0 && stride > 0, "chunkSize and stride must be positive")
+    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        posexplode(sequence(lit(1), size(col("toks")), lit(stride))))
+      .select(
+        col("doc_id"),
+        col("pos").cast("long").as("chunk_idx"),
+        least(lit(chunkSize), size(col("toks")) - col("col") + 1)
+          .cast("long").as("n_chunk_tokens"),
+        array_join(slice(col("toks"), col("col"), lit(chunkSize)), " ")
+          .as("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
 }

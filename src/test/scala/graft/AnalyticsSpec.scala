@@ -1,0 +1,32 @@
+package graft
+
+import java.sql.Timestamp
+import graft.ops.Analytics
+
+/** Batch ops over the events sink table that have no other unit home —
+  * the DuckDB oracle is the primary gate; these pin exact boundary
+  * semantics oracles can silently agree past.
+  */
+class AnalyticsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(us: Long) = new Timestamp(us / 1000) // µs → ms precision
+
+  test("userSessions: gap == threshold opens a new session; gap below merges") {
+    val gapUs = 1000000L // 1 s threshold for the test
+    val events = Seq(
+      // user 1: events at 0s, 0.5s (merge), 1.5s (gap exactly 1s → NEW)
+      (1L, 10L, ts(0L)), (2L, 10L, ts(500000L)), (3L, 10L, ts(1500000L)),
+      // user 2: single event → one 1-event session
+      (4L, 20L, ts(42000000L))
+    ).toDF("event_id", "user_id", "ts")
+    val out = Analytics.userSessions(events, gapUs).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_idx"),
+        r.getAs[Long]("session_start_us"), r.getAs[Long]("session_end_us"),
+        r.getAs[Long]("n_events")))
+    assert(out.toSeq == Seq(
+      (10L, 1L, 0L, 500000L, 2L),
+      (10L, 2L, 1500000L, 1500000L, 1L),
+      (20L, 1L, 42000000L, 42000000L, 1L)))
+  }
+}

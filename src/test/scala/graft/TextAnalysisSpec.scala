@@ -63,4 +63,47 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(fps(0) == fps(1))
     assert(fps(0) != fps(2))
   }
+
+  test("redactPii: counts every occurrence and rewrites all categories") {
+    val df = Seq(
+      (1L, "mail a@b.com and c.d+x@e.org, call +1-555-0100, from 192.168.0.1"),
+      (2L, "no pii here at all")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.redactPii(df).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_emails"), r.getAs[Long]("n_phones"),
+          r.getAs[Long]("n_ips"), r.getAs[String]("redacted"))).toMap
+    assert(out(1L)._1 == 2 && out(1L)._2 == 1 && out(1L)._3 == 1)
+    assert(out(1L)._4 ==
+      "mail <EMAIL> and <EMAIL>, call <PHONE>, from <IP>")
+    assert(out(2L) == ((0L, 0L, 0L, "no pii here at all")))
+  }
+
+  test("repetitionSignals: known duplicate words and 2-grams") {
+    // tokens: a b a b c → 5 tokens, 3 distinct, top count 2 (a and b)
+    // 2-grams: "a b","b a","a b","b c" → 4 total, 3 distinct
+    val df = Seq((1L, "a b a b c")).toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionSignals(df).head()
+    assert(r.getAs[Long]("n_tokens") == 5)
+    assert(r.getAs[Long]("n_distinct_tokens") == 3)
+    assert(r.getAs[Long]("top_word_count") == 2)
+    assert(r.getAs[Long]("dup_word_frac_e4") == 4000)  // 2/5
+    assert(r.getAs[Long]("dup_2gram_frac_e4") == 2500) // 1/4
+    assert(r.getAs[Long]("top_word_share_e4") == 4000) // 2/5
+  }
+
+  test("chunkDocuments: overlap, trailing short chunk, sub-chunk doc") {
+    val words = (1 to 10).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, words), (2L, "tiny doc")).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkDocuments(df, chunkSize = 6, stride = 4).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_idx"),
+        r.getAs[Long]("n_chunk_tokens"), r.getAs[String]("chunk_text")))
+    // doc 1: starts 1,5,9 → [w1..w6], [w5..w10], [w9 w10]
+    assert(out.filter(_._1 == 1L).toSeq == Seq(
+      (1L, 0L, 6L, "w1 w2 w3 w4 w5 w6"),
+      (1L, 1L, 6L, "w5 w6 w7 w8 w9 w10"),
+      (1L, 2L, 2L, "w9 w10")))
+    // overlap: chunk 0 and 1 share w5 w6 (chunkSize − stride = 2 tokens)
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0L, 2L, "tiny doc")))
+  }
 }
