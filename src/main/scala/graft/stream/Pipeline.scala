@@ -366,6 +366,91 @@ object Pipeline {
     if (eligible.isEmpty) None else Some(eligible.max)
   }
 
+  /** Per-bucket maintenance stats for an upsert table: the bucket's
+    * current committed version plus file count and bytes in it — the
+    * signal a compaction scheduler watches (every micro-batch merge adds
+    * part files; scan cost goes metadata-bound long before it goes
+    * IO-bound). Filesystem metadata only — no data is read.
+    */
+  final case class UpsertBucketStats(
+      bucket: Int, version: Long, nFiles: Int, bytes: Long)
+
+  def upsertTableStats(
+      spark: SparkSession,
+      path: String,
+      nBuckets: Int = 16): Seq[UpsertBucketStats] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    (0 until nBuckets).flatMap { b =>
+      latestBucketVersion(fs, path, b, below = None).map { v =>
+        val files = fs.listStatus(
+            new org.apache.hadoop.fs.Path(s"$path/v-$v/bucket-$b"))
+          .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+        UpsertBucketStats(b, v, files.length, files.map(_.getLen).sum)
+      }
+    }
+  }
+
+  final case class UpsertCompaction(
+      bucket: Int, version: Long, filesBefore: Int, filesAfter: Int)
+
+  /** Compact every bucket's current version down to `targetFiles` part
+    * files — the streaming-table OPTIMIZE step: micro-batch merges
+    * accrete small files, compaction rewrites them without changing
+    * content or version. Per bucket: write the coalesced data aside as
+    * `bucket-<b>.compact`, delete the original directory, rename the
+    * compacted one in. `coalesce` (not repartition) keeps it
+    * shuffle-free. Crash-safe by construction:
+    *  - a reader racing the delete→rename instant falls back to the
+    *    bucket's previous committed version (stale but consistent);
+    *  - a crash BEFORE the delete leaves a stale `.compact` that the
+    *    next run overwrites;
+    *  - a crash BETWEEN delete and rename leaves an orphan `.compact`
+    *    with no original — healed by the recovery sweep at the start of
+    *    the next run (rename completes the interrupted swap).
+    * Buckets already at ≤ targetFiles are skipped. Returns what was
+    * rewritten.
+    */
+  def compactUpsertTable(
+      spark: SparkSession,
+      path: String,
+      nBuckets: Int = 16,
+      targetFiles: Int = 1): Seq[UpsertCompaction] = {
+    require(targetFiles > 0)
+    import org.apache.hadoop.fs.Path
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    // recovery sweep: finish any interrupted swap (committed .compact
+    // whose original is gone) before looking at current state
+    val root = new Path(path)
+    if (fs.exists(root)) fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v-"))
+      .foreach { vDir =>
+        fs.listStatus(vDir.getPath).toSeq
+          .filter(_.getPath.getName.endsWith(".compact"))
+          .foreach { tmp =>
+            val orig = new Path(vDir.getPath,
+              tmp.getPath.getName.stripSuffix(".compact"))
+            val committed = fs.exists(new Path(tmp.getPath, "_SUCCESS"))
+            if (committed && !fs.exists(orig)) fs.rename(tmp.getPath, orig)
+          }
+      }
+    upsertTableStats(spark, path, nBuckets)
+      .filter(_.nFiles > targetFiles)
+      .map { st =>
+        val orig = s"$path/v-${st.version}/bucket-${st.bucket}"
+        val tmp = new Path(s"$orig.compact")
+        if (fs.exists(tmp)) fs.delete(tmp, true) // stale pre-delete attempt
+        spark.read.parquet(orig).coalesce(targetFiles)
+          .write.parquet(tmp.toString)
+        fs.delete(new Path(orig), true)
+        fs.rename(tmp, new Path(orig))
+        val after = fs.listStatus(new Path(orig))
+          .count(f => f.isFile && f.getPath.getName.startsWith("part-"))
+        UpsertCompaction(st.bucket, st.version, st.nFiles, after)
+      }
+  }
+
   /** Streaming exact dedup (§7.4-1 in streaming form): drop events whose
     * `id` was already seen, with state bounded by the watermark —
     * duplicates arriving within the watermark window are suppressed,

@@ -70,6 +70,43 @@ class SkewSpec extends SparkTestBase {
     }
   }
 
+  test("runtime bloom filter prunes the fact side of a selective dim join") {
+    // The third 100 TB shuffle mitigation next to AQE skew-split and
+    // bucketing: when a shuffle join's build side carries a selective
+    // filter, Spark injects a bloom-filter semi-filter on the probe side
+    // so non-matching fact rows drop BEFORE the exchange. Pin that the
+    // rewrite engages (might_contain in the optimized plan) and that it
+    // never changes results. File-backed sides on purpose: a local
+    // relation would constant-fold the selective Filter away and the
+    // inject rule would find nothing to hang the bloom filter on (same
+    // trap as the DPP pin in PlanShapeSpec).
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      def joined() = {
+        val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        val part = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+          .filter($"p_brand" === "Brand#12")
+        li.join(part, $"l_partkey" === $"p_partkey")
+          .agg(sum($"l_quantity").as("q"), count(lit(1)).as("n"))
+      }
+      val withBloom = joined()
+      val plan = withBloom.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"runtime bloom filter did not engage:\n$plan")
+      val bloomRows = withBloom.collect().toSeq
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      assert(joined().collect().toSeq == bloomRows)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("bucketed tables join with zero exchanges") {
     val docs = spark.range(1000).select($"id".as("doc_id"),
       concat(lit("text"), $"id").as("text"))

@@ -482,6 +482,50 @@ class StreamingSpec extends SparkTestBase {
     assert(ex.getMessage.contains("checkpoint"), ex.getMessage)
   }
 
+  test("upsert compaction: one file per bucket, same rows, self-healing swap") {
+    import org.apache.spark.sql.functions.timestamp_micros
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val table = s"$dir/table"
+    def batch(rows: (Long, String, Double, Long)*) =
+      rows.toDF("id", "name", "value", "ts_us")
+        .withColumn("timestamp", timestamp_micros($"ts_us")).drop("ts_us")
+    // three merges over 8 keys / 2 buckets: existing ∪ incoming unions
+    // accrete part files per bucket
+    Pipeline.upsertBatch(batch((1L, "a", 1.0, 100L), (2L, "b", 2.0, 100L),
+      (3L, "c", 3.0, 100L), (4L, "d", 4.0, 100L)), "id", table, 0L, nBuckets = 2)
+    Pipeline.upsertBatch(batch((5L, "e", 5.0, 200L), (6L, "f", 6.0, 200L)),
+      "id", table, 1L, nBuckets = 2)
+    Pipeline.upsertBatch(batch((1L, "a2", 1.5, 300L), (7L, "g", 7.0, 300L),
+      (8L, "h", 8.0, 300L)), "id", table, 2L, nBuckets = 2)
+    def contents() = Pipeline.readUpsertTable(spark, table, nBuckets = 2)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("name"),
+        r.getAs[Double]("value"))).toSet
+    val before = contents()
+    assert(before.size == 8 && before.contains((1L, "a2", 1.5)))
+    val statsBefore = Pipeline.upsertTableStats(spark, table, nBuckets = 2)
+    assert(statsBefore.map(_.nFiles).sum > 2,
+      s"expected accreted small files, got $statsBefore")
+    val done = Pipeline.compactUpsertTable(spark, table, nBuckets = 2)
+    assert(done.nonEmpty && done.forall(_.filesAfter == 1))
+    val statsAfter = Pipeline.upsertTableStats(spark, table, nBuckets = 2)
+    assert(statsAfter.forall(_.nFiles == 1), statsAfter.toString)
+    assert(contents() == before)
+    // compaction is content-idempotent: nothing left to rewrite
+    assert(Pipeline.compactUpsertTable(spark, table, nBuckets = 2).isEmpty)
+    // crash between delete and rename = orphan .compact, no original:
+    // the recovery sweep at the start of the next run completes the swap
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(table), spark.sparkContext.hadoopConfiguration)
+    val st = statsAfter.head
+    val orig = new org.apache.hadoop.fs.Path(
+      s"$table/v-${st.version}/bucket-${st.bucket}")
+    fs.rename(orig, new org.apache.hadoop.fs.Path(s"$orig.compact"))
+    assert(!fs.exists(orig))
+    Pipeline.compactUpsertTable(spark, table, nBuckets = 2)
+    assert(fs.exists(orig))
+    assert(contents() == before)
+  }
+
   test("checkpoint restart is exactly-once: no duplicates, new data picked up") {
     // K1 reliability semantics: the file sink's manifest + the source's
     // checkpointed offsets make stop/restart idempotent — re-running from
