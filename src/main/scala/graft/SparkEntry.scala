@@ -70,6 +70,7 @@ object SparkEntry {
     "q_tumbling_counts" -> ((s, d) => Analytics.tumblingCounts(Analytics.events(s, d))),
     "q_sliding_counts" -> ((s, d) => Analytics.slidingCounts(Analytics.events(s, d))),
     "q_set_ops" -> ((s, d) => Analytics.setOps(Analytics.events(s, d))),
+    "q_multiset_ops" -> ((s, d) => Analytics.multisetOps(Analytics.events(s, d))),
     "q_value_stats" -> ((s, d) => Analytics.valueStats(Analytics.events(s, d))),
     "q_value_percentiles" -> ((s, d) => Analytics.valuePercentiles(Analytics.events(s, d))),
     "q_hourly_type_pivot" -> ((s, d) => Analytics.hourlyTypePivot(Analytics.events(s, d))),
@@ -460,6 +461,19 @@ object SparkEntry {
         |INTERSECT
         |SELECT user_id FROM events WHERE event_type = 'error'
         |ORDER BY user_id""".stripMargin,
+    "q_multiset_ops" ->
+      """SELECT 'except_all' AS op, event_type, count(*) AS n FROM (
+        |  SELECT event_type FROM events WHERE user_id < 75
+        |  EXCEPT ALL
+        |  SELECT event_type FROM events WHERE user_id >= 75)
+        |GROUP BY 2
+        |UNION ALL
+        |SELECT 'intersect_all' AS op, event_type, count(*) AS n FROM (
+        |  SELECT event_type FROM events WHERE user_id < 75
+        |  INTERSECT ALL
+        |  SELECT event_type FROM events WHERE user_id >= 75)
+        |GROUP BY 2
+        |ORDER BY op, event_type""".stripMargin,
     "q_value_stats" ->
       """SELECT event_type, count(*) AS n,
         |  round(stddev_samp(value), 4) AS stddev_value,

@@ -208,6 +208,24 @@ object Analytics {
     purchasers.intersect(erroring).orderBy(col("user_id"))
   }
 
+  /** Multiset (ALL) variants of the set operators — `intersect`/`except`
+    * dedup; `intersectAll`/`exceptAll` keep multiplicities, which is what
+    * duplicate-sensitive reconciliation (e.g. "how many MORE purchases
+    * than errors per type") actually needs. Both branches aggregate to
+    * (op, event_type, n) so the result stays compact at any scale —
+    * ALL-op row counts are otherwise input-sized.
+    */
+  def multisetOps(df: DataFrame): DataFrame = {
+    val early = df.filter(col("user_id") < 75).select(col("event_type"))
+    val late = df.filter(col("user_id") >= 75).select(col("event_type"))
+    def counted(op: String, d: DataFrame) =
+      d.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        .select(lit(op).as("op"), col("event_type"), col("n"))
+    counted("except_all", early.exceptAll(late))
+      .unionByName(counted("intersect_all", early.intersectAll(late)))
+      .orderBy(col("op"), col("event_type"))
+  }
+
   /** §2.5 absent-in-reference aggregates, provided as engine surface:
     * dispersion + exact median per event type.
     */

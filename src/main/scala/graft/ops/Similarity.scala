@@ -212,12 +212,25 @@ object Similarity {
       queries: DataFrame,
       centroids: DataFrame,
       k: Int,
-      nProbe: Int): DataFrame = {
-    // -- index: nearest centroid per corpus vector --
-    val assignment = assignToCell(corpus, centroids)
+      nProbe: Int): DataFrame =
+    searchAssigned(assignToCell(corpus, centroids), queries, centroids, k, nProbe)
 
-    // -- search: probe nProbe cells per query, exact cosine within --
-    // norms precomputed per side: one dot per (query, candidate) pair
+  /** Search over an ALREADY cell-assigned corpus — shared by the
+    * in-memory path ([[ivfSearch]]) and the persisted index
+    * ([[ivfSearchIndexed]]). Probes nProbe cells per query, exact cosine
+    * within. Norms precomputed per side: one dot per (query, candidate)
+    * pair. The probe side is cast to the assignment's `cell` dtype (a
+    * persisted index reads `cell` back as a hive-partition INT) so the
+    * join never puts a cast on the partitioned side — that would break
+    * dynamic partition pruning.
+    */
+  private def searchAssigned(
+      assignment: DataFrame,
+      queries: DataFrame,
+      centroids: DataFrame,
+      k: Int,
+      nProbe: Int): DataFrame = {
+    val cellType = assignment.schema("cell").dataType
     val q = queries.select(col("vec_id").as("query_id"),
       col("embedding").as("q_emb"), Dedup.vecNorm(col("embedding")).as("q_norm"))
     val probeW = Window.partitionBy(col("query_id"))
@@ -226,7 +239,8 @@ object Similarity {
       .withColumn("cdot", Dedup.cosine(col("q_emb"), col("centroid")))
       .withColumn("prnk", row_number().over(probeW))
       .filter(col("prnk") <= nProbe)
-      .select(col("query_id"), col("q_emb"), col("q_norm"), col("cell"))
+      .select(col("query_id"), col("q_emb"), col("q_norm"),
+        col("cell").cast(cellType).as("cell"))
 
     val w = Window.partitionBy(col("query_id"))
       .orderBy(desc("cos"), col("vec_id"))
@@ -241,6 +255,44 @@ object Similarity {
       .select(col("query_id"), col("rnk"), col("vec_id").as("neighbor_id"))
       .orderBy(col("query_id"), col("rnk"))
   }
+
+  /** Materialize the IVF index: the trained centroid model plus the
+    * corpus assignment written as parquet PARTITIONED BY cell. This is
+    * the real 100 TB serving shape the in-line [[ivfTopK]] only
+    * simulates: build once (train + one narrow assignment pass), then
+    * every search reads ONLY the probed cells' directories — dynamic
+    * partition pruning turns the probe join into directory pruning, so
+    * search IO is ~nProbe/nCells of the corpus regardless of corpus
+    * size. Returns the centroid model for callers that probe manually.
+    */
+  def buildIvfIndex(
+      corpus: DataFrame,
+      path: String,
+      nCells: Int = 10,
+      maxIters: Int = 5,
+      shiftEpsilon: Double = 1e-3,
+      trainSampleMod: Int = 4): DataFrame = {
+    val centroids =
+      trainCentroids(corpus, nCells, maxIters, shiftEpsilon,
+        trainSampleMod = trainSampleMod)
+    centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    assignToCell(corpus, centroids)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+    centroids
+  }
+
+  /** ANN top-k against a [[buildIvfIndex]]-materialized index. */
+  def ivfSearchIndexed(
+      spark: SparkSession,
+      path: String,
+      queries: DataFrame,
+      k: Int = 10,
+      nProbe: Int = 3): DataFrame =
+    searchAssigned(
+      spark.read.parquet(s"$path/cells"),
+      queries,
+      spark.read.parquet(s"$path/centroids"),
+      k, nProbe)
 
   /** Nearest-centroid assignment, genuinely narrow on the corpus side:
     * the centroid table collapses to ONE row holding an array of

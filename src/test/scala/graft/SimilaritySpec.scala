@@ -56,6 +56,29 @@ class SimilaritySpec extends SparkTestBase {
     assert(recalls.head._2 > 0.0, "nProbe=1 found nothing")
   }
 
+  test("persisted IVF index: search parity with in-memory path, DPP prunes cells") {
+    val e = graft.ops.Similarity.embeddings(spark, "/root/testdata/sf0.001")
+    val q = e.filter($"vec_id" < 10)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    val centroids = Similarity.buildIvfIndex(e, dir, nCells = 10)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rnk"),
+        r.getAs[Long]("neighbor_id"))).toSeq
+    // parity against the in-memory search with the SAME trained model
+    // (retraining would let float-mean aggregation order perturb cells)
+    val inMem = pairs(Similarity.ivfSearch(e, q, centroids, k = 10, nProbe = 3))
+    val indexed = Similarity.ivfSearchIndexed(spark, dir, q, k = 10, nProbe = 3)
+    val rows = indexed.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rnk"),
+        r.getAs[Long]("neighbor_id"))).toSeq
+    assert(rows == inMem)
+    // the scale claim: probing must prune to the probed cells'
+    // DIRECTORIES, not scan the whole assignment table
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"cell-partitioned search did not plan dynamic partition pruning:\n$plan")
+  }
+
   test("label centroid norms: unit cluster → norm 1") {
     val e = Seq(
       (1L, Array.fill(64)(0.0f).updated(0, 1.0f), 0),
