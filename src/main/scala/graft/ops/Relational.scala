@@ -560,7 +560,9 @@ object Relational {
         sum(when(col("supp_late"), 1L).otherwise(0L)).over(wOrder))
       .filter(col("supp_late") && col("n_supps") > 1 &&
         col("n_late_supps") === 1)
-      .join(broadcast(supplier.select(col("s_suppkey"), col("s_name"))),
+      // supplier scales with the fact data (TPC-H 10k × sf): size-gate the
+      // broadcast hint like every other fact-scaling side
+      .join(broadcastIfSmall(supplier.select(col("s_suppkey"), col("s_name"))),
         col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("s_name"))
       .agg(sum(col("n_late_lines")).as("numwait"))
