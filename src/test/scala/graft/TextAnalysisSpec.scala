@@ -79,6 +79,41 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(out(2L) == ((0L, 0L, 0L, "no pii here at all")))
   }
 
+  test("redactPii property: no pattern matches its own redaction output") {
+    // seeded random text with PII planted at random positions/counts —
+    // the invariant the oracle's md5 can't express: redaction is total
+    // (re-scanning the redacted text finds nothing) and count-faithful
+    val rnd = new scala.util.Random(42)
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon")
+    def pii(): (String, Int, Int, Int) = rnd.nextInt(3) match {
+      case 0 => (s"u${rnd.nextInt(99)}@host${rnd.nextInt(9)}.example.org", 1, 0, 0)
+      case 1 => (f"+${rnd.nextInt(89) + 10}%d-${rnd.nextInt(899) + 100}%d-${rnd.nextInt(8999) + 1000}%d", 0, 1, 0)
+      case 2 => (s"${rnd.nextInt(255)}.${rnd.nextInt(255)}.${rnd.nextInt(255)}.${rnd.nextInt(255)}", 0, 0, 1)
+    }
+    val rows = (1 to 200).map { i =>
+      val parts = (0 until rnd.nextInt(6)).map(_ =>
+        if (rnd.nextBoolean()) (words(rnd.nextInt(words.size)), 0, 0, 0) else pii())
+      (i.toLong, parts.map(_._1).mkString(" "),
+        parts.map(_._2).sum.toLong, parts.map(_._3).sum.toLong,
+        parts.map(_._4).sum.toLong)
+    }
+    val out = TextAnalysis.redactPii(
+        rows.map(r => (r._1, r._2)).toDF("doc_id", "text"))
+      .withColumn("residual",
+        TextAnalysis.piiPatterns.map { case (_, pat, _) =>
+          size(regexp_extract_all($"redacted", lit(pat), lit(0)))
+        }.reduce(_ + _))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_emails"), r.getAs[Long]("n_phones"),
+          r.getAs[Long]("n_ips"), r.getAs[Int]("residual"))).toMap
+    rows.foreach { case (id, text, e, p, ip) =>
+      val (ge, gp, gip, residual) = out(id)
+      assert(residual == 0, s"doc $id: redacted text still matches PII")
+      assert((ge, gp, gip) == ((e, p, ip)),
+        s"doc $id '$text': expected ($e,$p,$ip) got ($ge,$gp,$gip)")
+    }
+  }
+
   test("repetitionSignals: known duplicate words and 2-grams") {
     // tokens: a b a b c → 5 tokens, 3 distinct, top count 2 (a and b)
     // 2-grams: "a b","b a","a b","b c" → 4 total, 3 distinct
