@@ -138,15 +138,24 @@ object Similarity {
     import spark.implicits._
     def toDf(cs: Seq[(Long, Seq[Float])]): DataFrame =
       cs.toDF("cell", "centroid")
-    val train = (if (trainSampleMod > 1)
+    def seedsOf(df: DataFrame): Seq[(Long, Seq[Float])] =
+      df.orderBy(col("vec_id")).limit(nCells)
+        .as[(Long, Seq[Float])].collect().toSeq
+    var train = (if (trainSampleMod > 1)
         corpus.filter(pmod(col("vec_id"), lit(trainSampleMod.toLong)) === 0L)
       else corpus)
       .select(col("vec_id"), col("embedding"))
       .persist()
     try {
-      var cents: Seq[(Long, Seq[Float])] = train.orderBy(col("vec_id"))
-        .limit(nCells)
-        .as[(Long, Seq[Float])].collect().toSeq
+      var cents: Seq[(Long, Seq[Float])] = seedsOf(train)
+      if (trainSampleMod > 1 && cents.size < nCells) {
+        // degenerate id-sample (e.g. no vec_id divisible by mod after an
+        // upstream filter): fall back to full-corpus training rather than
+        // silently searching with an empty/undersized quantizer
+        train.unpersist()
+        train = corpus.select(col("vec_id"), col("embedding")).persist()
+        cents = seedsOf(train)
+      }
       if (cents.isEmpty) return toDf(cents) // empty corpus: nothing to train
       var iter = 0
       var shift = Double.MaxValue

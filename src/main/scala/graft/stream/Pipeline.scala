@@ -274,6 +274,10 @@ object Pipeline {
         .collect().map(_.getInt(0)).sorted
       val fs = org.apache.hadoop.fs.FileSystem.get(
         new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+      // resolve interrupted-compaction leftovers FIRST: an orphan .compact
+      // hides its version from latestBucketVersion, and merging from the
+      // version below it would silently drop that batch's rows
+      healInterruptedCompactions(fs, path)
       // batchIds must move forward: a committed version ABOVE this batch
       // means the query was restarted against an existing table with a
       // FRESH checkpoint (batchId reset to 0) — merging from below would
@@ -300,10 +304,12 @@ object Pipeline {
         }
         merged.write.mode("overwrite").parquet(s"$path/v-$batchId/bucket-$b")
         // retention: anything below the merge source can no longer be a
-        // retry's source — drop it
+        // retry's source — drop it (and any compaction aside it left)
         source.foreach { v =>
           bucketVersions(fs, path, b).filter(_ < v).foreach { old =>
             fs.delete(new org.apache.hadoop.fs.Path(s"$path/v-$old/bucket-$b"), true)
+            fs.delete(new org.apache.hadoop.fs.Path(
+              s"$path/v-$old/bucket-$b.compact"), true)
           }
         }
       }
@@ -318,6 +324,7 @@ object Pipeline {
   def readUpsertTable(spark: SparkSession, path: String, nBuckets: Int = 16): DataFrame = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    healInterruptedCompactions(fs, path)
     val dirs = (0 until nBuckets).flatMap(b =>
       latestBucketVersion(fs, path, b, below = None).map(v => s"$path/v-$v/bucket-$b"))
     if (dirs.isEmpty)
@@ -381,6 +388,7 @@ object Pipeline {
       nBuckets: Int = 16): Seq[UpsertBucketStats] = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    healInterruptedCompactions(fs, path)
     (0 until nBuckets).flatMap { b =>
       latestBucketVersion(fs, path, b, below = None).map { v =>
         val files = fs.listStatus(
@@ -389,6 +397,53 @@ object Pipeline {
         UpsertBucketStats(b, v, files.length, files.map(_.getLen).sum)
       }
     }
+  }
+
+  /** Finish or discard leftovers of an interrupted [[compactUpsertTable]]
+    * run. Runs at EVERY table entry point (upsert, read, stats) — not just
+    * the next compaction — because an orphan `.compact` hides its version
+    * from `latestBucketVersion`: an upsert racing ahead of the heal would
+    * merge from an older version and silently drop the hidden rows. Rules
+    * per `v-<v>/bucket-<b>.compact`:
+    *  - original dir present → the original is authoritative; the aside
+    *    is a stale pre-delete attempt: delete it (also stops retention
+    *    from ever leaving a deletable sibling behind);
+    *  - orphan, committed, and v is still ≥ the bucket's latest committed
+    *    version → crash hit between delete and rename: finish the swap;
+    *  - orphan but superseded (bucket committed a newer version since) →
+    *    delete; renaming would resurrect a version retention already
+    *    pruned;
+    *  - orphan, uncommitted → crashed mid-write garbage: delete.
+    */
+  private def healInterruptedCompactions(
+      fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    if (!fs.exists(root)) return
+    fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v-"))
+      .foreach { vDir =>
+        val v = vDir.getPath.getName.stripPrefix("v-").toLongOption
+        fs.listStatus(vDir.getPath).toSeq
+          .filter(_.getPath.getName.endsWith(".compact"))
+          .foreach { tmp =>
+            val bucketName = tmp.getPath.getName.stripSuffix(".compact")
+            val orig = new Path(vDir.getPath, bucketName)
+            val bucket = bucketName.stripPrefix("bucket-").toIntOption
+            val committed = fs.exists(new Path(tmp.getPath, "_SUCCESS"))
+            val latest = bucket.flatMap(b =>
+              latestBucketVersion(fs, path, b, below = None))
+            val isCurrent = (v, latest) match {
+              case (Some(tv), Some(lv)) => tv >= lv
+              case (Some(_), None) => true
+              case _ => false
+            }
+            if (fs.exists(orig) || !committed || !isCurrent)
+              fs.delete(tmp.getPath, true)
+            else fs.rename(tmp.getPath, orig)
+          }
+      }
   }
 
   final case class UpsertCompaction(
@@ -404,10 +459,12 @@ object Pipeline {
     *  - a reader racing the delete→rename instant falls back to the
     *    bucket's previous committed version (stale but consistent);
     *  - a crash BEFORE the delete leaves a stale `.compact` that the
-    *    next run overwrites;
+    *    heal sweep deletes (the original stays authoritative);
     *  - a crash BETWEEN delete and rename leaves an orphan `.compact`
-    *    with no original — healed by the recovery sweep at the start of
-    *    the next run (rename completes the interrupted swap).
+    *    with no original — [[healInterruptedCompactions]] completes the
+    *    swap, and it runs at EVERY table entry point (upsert, read,
+    *    stats), so a following upsertBatch can never merge from the
+    *    version below the hidden one and drop its rows.
     * Buckets already at ≤ targetFiles are skipped. Returns what was
     * rewritten.
     */
@@ -420,21 +477,9 @@ object Pipeline {
     import org.apache.hadoop.fs.Path
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
-    // recovery sweep: finish any interrupted swap (committed .compact
-    // whose original is gone) before looking at current state
-    val root = new Path(path)
-    if (fs.exists(root)) fs.listStatus(root).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v-"))
-      .foreach { vDir =>
-        fs.listStatus(vDir.getPath).toSeq
-          .filter(_.getPath.getName.endsWith(".compact"))
-          .foreach { tmp =>
-            val orig = new Path(vDir.getPath,
-              tmp.getPath.getName.stripSuffix(".compact"))
-            val committed = fs.exists(new Path(tmp.getPath, "_SUCCESS"))
-            if (committed && !fs.exists(orig)) fs.rename(tmp.getPath, orig)
-          }
-      }
+    // upsertTableStats starts with the healInterruptedCompactions sweep,
+    // so stale/orphan .compact leftovers are resolved before we look at
+    // current state
     upsertTableStats(spark, path, nBuckets)
       .filter(_.nFiles > targetFiles)
       .map { st =>

@@ -68,15 +68,24 @@ class SimilaritySpec extends SparkTestBase {
     // (retraining would let float-mean aggregation order perturb cells)
     val inMem = pairs(Similarity.ivfSearch(e, q, centroids, k = 10, nProbe = 3))
     val indexed = Similarity.ivfSearchIndexed(spark, dir, q, k = 10, nProbe = 3)
-    val rows = indexed.collect()
-      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rnk"),
-        r.getAs[Long]("neighbor_id"))).toSeq
-    assert(rows == inMem)
+    assert(pairs(indexed) == inMem)
     // the scale claim: probing must prune to the probed cells'
     // DIRECTORIES, not scan the whole assignment table
     val plan = indexed.queryExecution.executedPlan.toString
     assert(plan.contains("dynamicpruning"),
       s"cell-partitioned search did not plan dynamic partition pruning:\n$plan")
+  }
+
+  test("sampled IVF training falls back to the full corpus on a degenerate id-sample") {
+    // odd-only vec_ids: the default 1/4 id-sample (vec_id % 4 == 0) is
+    // EMPTY — search must still work, not silently return nothing
+    // (dim 64 per the embeddings-table contract the Lloyd mean assumes)
+    val e = (1 to 40 by 2).map { i =>
+      (i.toLong, Array.tabulate(64)(j => if (j == i % 4) 1.0f else 0.01f * i))
+    }.toDF("vec_id", "embedding")
+    val q = e.filter($"vec_id" === 1)
+    val out = Similarity.ivfTopK(e, q, k = 5, nCells = 4, nProbe = 2)
+    assert(out.count() == 5, "fallback training produced no search results")
   }
 
   test("label centroid norms: unit cluster → norm 1") {

@@ -524,6 +524,28 @@ class StreamingSpec extends SparkTestBase {
     Pipeline.compactUpsertTable(spark, table, nBuckets = 2)
     assert(fs.exists(orig))
     assert(contents() == before)
+    // the dangerous interleaving: crash-window orphan followed by an
+    // UPSERT (not a compaction) — the entry-point heal must restore the
+    // hidden version before the merge picks its source, or the orphaned
+    // rows silently vanish from the new version
+    fs.rename(orig, new org.apache.hadoop.fs.Path(s"$orig.compact"))
+    // four fresh keys so BOTH buckets are (deterministically) touched and
+    // the orphaned bucket's merge path actually runs
+    Pipeline.upsertBatch(batch((9L, "i", 9.0, 400L), (10L, "j", 10.0, 400L),
+      (11L, "k", 11.0, 400L), (12L, "l", 12.0, 400L)), "id", table, 3L, nBuckets = 2)
+    val healed = contents()
+    assert(healed == before ++ Set((9L, "i", 9.0), (10L, "j", 10.0),
+      (11L, "k", 11.0), (12L, "l", 12.0)), healed.toString)
+    // a stale .compact left at a SUPERSEDED version must be discarded by
+    // the sweep, not renamed in — resurrecting it would undo retention
+    val vOld = st.version
+    val staleDir = s"$table/v-$vOld/bucket-${st.bucket}.compact"
+    fs.mkdirs(new org.apache.hadoop.fs.Path(staleDir))
+    fs.create(new org.apache.hadoop.fs.Path(s"$staleDir/_SUCCESS")).close()
+    Pipeline.compactUpsertTable(spark, table, nBuckets = 2)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(staleDir)),
+      "superseded .compact was not discarded")
+    assert(contents() == healed)
   }
 
   test("checkpoint restart is exactly-once: no duplicates, new data picked up") {
