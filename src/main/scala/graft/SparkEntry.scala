@@ -268,6 +268,29 @@ object SparkEntry {
       Corpus.curateNearDup(TextAnalysis.documents(s, d))),
     "q_curation_funnel" -> ((s, d) =>
       Corpus.curationFunnel(TextAnalysis.documents(s, d))),
+    "q_contamination" -> ((s, d) => {
+      // the corpus shares no natural 8-grams across docs, so the query
+      // PLANTS contamination deterministically (the oracle plants the
+      // identical spans): every block of 50 doc_ids treats its leader
+      // (doc_id % 50 == 0) as the benchmark doc, and docs with
+      // doc_id % 10 == 3 get the leader's first 16 tokens appended —
+      // 9 shared 8-gram shingles per planted doc
+      val docs = TextAnalysis.documents(s, d)
+      val toks = TextAnalysis.tokens(col("text"))
+      val leaders = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
+        .select(col("doc_id").as("bench_id"),
+          array_join(slice(toks, 1, 16), " ").as("snippet"))
+      val planted = docs
+        .withColumn("bench_id", expr("(doc_id div 50) * 50"))
+        .join(leaders, "bench_id")
+        .withColumn("text",
+          when(pmod(col("doc_id"), lit(10)) === 3,
+            concat(col("text"), lit(" "), col("snippet")))
+            .otherwise(col("text")))
+        .select(col("doc_id"), col("text"))
+      Corpus.contaminationCheck(planted,
+        pmod(col("doc_id"), lit(50)) === 0, n = 8, minOverlapE4 = 500)
+    }),
     // ---- dedup (§7.4-1) ----
     "q_exact_dedup" -> ((s, d) => Dedup.exactDedup(TextAnalysis.documents(s, d))),
     "q_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(TextAnalysis.documents(s, d), 0.05)),
@@ -977,6 +1000,37 @@ object SparkEntry {
         |FROM scored s JOIN keepers k ON s.fp = k.fp AND s.doc_id = k.keep_id
         |WHERE s.quality >= 0.5 AND s.n_tokens BETWEEN 30 AND 120
         |ORDER BY s.doc_id""".stripMargin,
+    "q_contamination" ->
+      """WITH toks AS (
+        |  SELECT doc_id, text, regexp_split_to_array(lower(text), '\s+') AS t
+        |  FROM documents),
+        |leaders AS (
+        |  SELECT doc_id AS bench_id, array_to_string(t[1:16], ' ') AS snippet
+        |  FROM toks WHERE doc_id % 50 = 0),
+        |planted AS (
+        |  SELECT d.doc_id,
+        |    CASE WHEN d.doc_id % 10 = 3 THEN d.text || ' ' || l.snippet
+        |         ELSE d.text END AS text
+        |  FROM documents d
+        |  JOIN leaders l ON ((d.doc_id // 50) * 50)::BIGINT = l.bench_id),
+        |ptoks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t FROM planted),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 6),
+        |    i -> array_to_string(t[i : i + 7], ' '))) AS shingles
+        |  FROM ptoks WHERE len(t) >= 8),
+        |corpus AS (
+        |  SELECT doc_id, len(shingles)::BIGINT AS n_shingles,
+        |    unnest(shingles) AS shingle
+        |  FROM sh WHERE doc_id % 50 <> 0),
+        |bench AS (
+        |  SELECT DISTINCT unnest(shingles) AS shingle FROM sh WHERE doc_id % 50 = 0)
+        |SELECT doc_id, n_shingles, count(*)::BIGINT AS n_overlap,
+        |  (count(*) * 10000 // n_shingles)::BIGINT AS overlap_frac_e4
+        |FROM corpus JOIN bench USING (shingle)
+        |GROUP BY 1, 2
+        |HAVING (count(*) * 10000 // n_shingles)::BIGINT >= 500
+        |ORDER BY doc_id""".stripMargin,
     "q_curation_funnel" ->
       """WITH scored AS (
         |  SELECT doc_id,

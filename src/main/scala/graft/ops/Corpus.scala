@@ -134,4 +134,53 @@ object Corpus {
       .select(col("r.stage").as("stage"), col("r.n_docs").as("n_docs"))
       .orderBy(col("stage"))
   }
+
+  /** Benchmark decontamination — the check every LLM training pipeline
+    * runs before a corpus ships: flag training documents that share
+    * n-gram spans with an evaluation/benchmark set. Standard practice is
+    * long shingles (n = 8..13) exactly because chance collisions vanish:
+    * any hit is a real contamination span, not vocabulary coincidence.
+    *
+    * `benchmarkPred` partitions the input into benchmark (true) and
+    * corpus (false) rows. A corpus doc is reported when ≥
+    * `minOverlapE4`/1e4 of its distinct n-gram shingles appear anywhere
+    * in the benchmark set. Exact integer e4 fraction — no float rounding
+    * to disagree across engines.
+    *
+    * Shape at 100 TB: shingling is row-local (native [[graft.functions
+    * .WordShingles]], distinct within doc); the overlap is an equi-join
+    * on the shingle key between the exploded corpus and the DISTINCT
+    * benchmark shingle set, then one per-doc aggregate — all
+    * hash-partitioned on shingle/doc keys, nothing corpus-sized on the
+    * driver or broadcast. At petabyte scale the join key would be
+    * `poly_hash(shingle)` (8-gram strings → 8-byte keys, same
+    * cross-engine-replicable PolyHash used by q_simhash_pairs); the
+    * string key is kept here so the oracle pairing stays readable.
+    */
+  def contaminationCheck(
+      docs: DataFrame,
+      benchmarkPred: Column,
+      n: Int = 8,
+      minOverlapE4: Long = 500): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    val shingled = docs
+      .select(col("doc_id"), benchmarkPred.as("is_bench"),
+        graft.functions.ShingleFunctions.wordShingles(toks, n).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+    val corpus = shingled.filter(!col("is_bench"))
+      .select(col("doc_id"),
+        size(col("shingles")).cast("long").as("n_shingles"),
+        explode(col("shingles")).as("shingle"))
+    val bench = shingled.filter(col("is_bench"))
+      .select(explode(col("shingles")).as("shingle"))
+      .distinct()
+    corpus.join(bench, "shingle")
+      .groupBy(col("doc_id"), col("n_shingles"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .withColumn("overlap_frac_e4", expr("(n_overlap * 10000) div n_shingles"))
+      .filter(col("overlap_frac_e4") >= minOverlapE4)
+      .select(col("doc_id"), col("n_shingles"), col("n_overlap"),
+        col("overlap_frac_e4"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -39,4 +39,31 @@ class CorpusSpec extends SparkTestBase {
     assert(funnel("kept") + funnel("dropped") == funnel("input"))
     assert(funnel("kept") > 0)
   }
+
+  test("contaminationCheck: exact overlap fractions, threshold gates, clean docs absent") {
+    import org.apache.spark.sql.functions._
+    val bench = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (0L, bench),                                  // the benchmark doc
+      // contains bench tokens 1..8 as a span → shingles: 10 total
+      // ("w1 w2 alpha..theta" = 10 tokens → 3 shingles; overlap = 1)
+      (1L, "w1 w2 alpha beta gamma delta epsilon zeta eta theta"),
+      // fully copied benchmark text +2 tokens: 12 tokens → 5 shingles,
+      // 3 of them are benchmark shingles (bench itself has 3)
+      (2L, s"$bench tail1 tail2"),
+      (3L, "clean words only nothing shared with anything here at all")
+    ).toDF("doc_id", "text")
+    val out = Corpus.contaminationCheck(docs, col("doc_id") === 0, n = 8,
+        minOverlapE4 = 0).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_shingles"), r.getAs[Long]("n_overlap"),
+          r.getAs[Long]("overlap_frac_e4"))).toMap
+    assert(out(1L) == ((3L, 1L, 3333L)))
+    assert(out(2L) == ((5L, 3L, 6000L)))
+    assert(!out.contains(3L), "clean doc must not be reported")
+    // threshold gate: at 50% only the full copy survives
+    val gated = Corpus.contaminationCheck(docs, col("doc_id") === 0, n = 8,
+        minOverlapE4 = 5000).collect().map(_.getAs[Long]("doc_id")).toSeq
+    assert(gated == Seq(2L))
+  }
 }
