@@ -268,6 +268,18 @@ object SparkEntry {
       Corpus.curateNearDup(TextAnalysis.documents(s, d))),
     "q_curation_funnel" -> ((s, d) =>
       Corpus.curationFunnel(TextAnalysis.documents(s, d))),
+    "q_stratified_sample" -> ((s, d) => {
+      val docs = TextAnalysis.documents(s, d)
+      val kept = Corpus.stratifiedSample(docs,
+          Map("en" -> 5000L, "es" -> 2500L, "zh" -> 1000L))
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
+      docs.groupBy(col("lang")).agg(count(lit(1)).as("n_input"))
+        .join(kept, Seq("lang"), "left")
+        .select(col("lang"), col("n_input"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+        .withColumn("kept_rate_e4", expr("(n_kept * 10000) div n_input"))
+        .orderBy(col("lang"))
+    }),
     "q_contamination" -> ((s, d) => {
       // the corpus shares no natural 8-grams across docs, so the query
       // PLANTS contamination deterministically (the oracle plants the
@@ -1000,6 +1012,22 @@ object SparkEntry {
         |FROM scored s JOIN keepers k ON s.fp = k.fp AND s.doc_id = k.keep_id
         |WHERE s.quality >= 0.5 AND s.n_tokens BETWEEN 30 AND 120
         |ORDER BY s.doc_id""".stripMargin,
+    "q_stratified_sample" ->
+      """WITH fp AS (
+        |  SELECT lang,
+        |    list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(string_split(text, ''), c -> ord(c)::BIGINT)),
+        |      (a, b) -> (a * 31 + b) % 1000000007) % 10000 AS h
+        |  FROM documents),
+        |kept AS (
+        |  SELECT lang, count(*) AS n_kept FROM fp
+        |  WHERE h < CASE lang WHEN 'en' THEN 5000 WHEN 'es' THEN 2500
+        |                      WHEN 'zh' THEN 1000 ELSE 10000 END
+        |  GROUP BY 1),
+        |input AS (SELECT lang, count(*) AS n_input FROM documents GROUP BY 1)
+        |SELECT i.lang, n_input, coalesce(n_kept, 0)::BIGINT AS n_kept,
+        |  (coalesce(n_kept, 0) * 10000 // n_input)::BIGINT AS kept_rate_e4
+        |FROM input i LEFT JOIN kept USING (lang) ORDER BY lang""".stripMargin,
     "q_contamination" ->
       """WITH toks AS (
         |  SELECT doc_id, text, regexp_split_to_array(lower(text), '\s+') AS t

@@ -157,6 +157,28 @@ object Corpus {
     * cross-engine-replicable PolyHash used by q_simhash_pairs); the
     * string key is kept here so the oracle pairing stays readable.
     */
+  /** Deterministic stratified downsampling — corpus rebalancing (cap the
+    * over-represented languages/sources) without `rand()`: a document is
+    * kept iff `rolling_content_hash mod 1e4 < rateE4(lang)`. The decision
+    * is content-addressed, so it is identical on every run, every
+    * cluster, and in the DuckDB oracle (the rolling polynomial hash is
+    * engine-replicable — same recurrence as q_rolling_fingerprint).
+    * Row-local filter: no shuffle, no state, linear at 100 TB.
+    */
+  def stratifiedSample(
+      docs: DataFrame,
+      ratesE4: Map[String, Long],
+      defaultRateE4: Long = 10000L): DataFrame = {
+    require((ratesE4.values ++ Seq(defaultRateE4)).forall(r => r >= 0 && r <= 10000),
+      "sampling rates are e4 fractions in [0, 10000]")
+    val rate = ratesE4.toSeq.sortBy(_._1)
+      .foldLeft(lit(defaultRateE4): Column) { case (els, (lang, r)) =>
+        when(col("lang") === lang, lit(r)).otherwise(els)
+      }
+    docs.filter(
+      pmod(TextAnalysis.rollingFingerprint(col("text")), lit(10000L)) < rate)
+  }
+
   def contaminationCheck(
       docs: DataFrame,
       benchmarkPred: Column,

@@ -40,6 +40,23 @@ class CorpusSpec extends SparkTestBase {
     assert(funnel("kept") > 0)
   }
 
+  test("stratifiedSample: rate 0 drops all, rate 1e4 keeps all, deterministic") {
+    import org.apache.spark.sql.functions._
+    val docs = (1 to 50).map(i => (i.toLong, s"doc number $i text", if (i % 2 == 0) "en" else "de"))
+      .toDF("doc_id", "text", "lang")
+    val kept = Corpus.stratifiedSample(docs, Map("en" -> 0L), defaultRateE4 = 10000L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == (1 to 50 by 2).map(_.toLong).toSet,
+      "rate 0 must drop every en doc, default 1e4 must keep every de doc")
+    // content-addressed: a second evaluation makes identical decisions
+    val kept2 = Corpus.stratifiedSample(docs, Map("en" -> 0L), defaultRateE4 = 10000L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept2 == kept)
+    intercept[IllegalArgumentException] {
+      Corpus.stratifiedSample(docs, Map("en" -> 20000L))
+    }
+  }
+
   test("contaminationCheck: exact overlap fractions, threshold gates, clean docs absent") {
     import org.apache.spark.sql.functions._
     val bench = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
