@@ -200,4 +200,17 @@ class PlanShapeSpec extends SparkTestBase {
     // the whole per-record chain is one narrow stage: no exchange at all
     assert(!p.contains("Exchange"), p)
   }
+
+  test("sessionization: lag + running sum + session aggregate = ONE data exchange") {
+    // both window frames must share the (user_id) sort, and the
+    // per-(user_id, session_idx) aggregate must reuse the user_id hash
+    // partitioning — a second data exchange means the group-key
+    // clustering subsumption was lost. (The only other allowed exchange
+    // is the final presentation orderBy's range partitioning.)
+    val p = plan(Analytics.userSessions(Analytics.events(spark, sf)))
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashExchanges == 1, s"expected 1 hash exchange, got $hashExchanges:\n$p")
+    assert(p.indexOf("Window") >= 0 && p.indexOf("Window") != p.lastIndexOf("Window"),
+      s"expected two Window operators sharing one sort:\n$p")
+  }
 }
