@@ -135,28 +135,6 @@ object Corpus {
       .orderBy(col("stage"))
   }
 
-  /** Benchmark decontamination — the check every LLM training pipeline
-    * runs before a corpus ships: flag training documents that share
-    * n-gram spans with an evaluation/benchmark set. Standard practice is
-    * long shingles (n = 8..13) exactly because chance collisions vanish:
-    * any hit is a real contamination span, not vocabulary coincidence.
-    *
-    * `benchmarkPred` partitions the input into benchmark (true) and
-    * corpus (false) rows. A corpus doc is reported when ≥
-    * `minOverlapE4`/1e4 of its distinct n-gram shingles appear anywhere
-    * in the benchmark set. Exact integer e4 fraction — no float rounding
-    * to disagree across engines.
-    *
-    * Shape at 100 TB: shingling is row-local (native [[graft.functions
-    * .WordShingles]], distinct within doc); the overlap is an equi-join
-    * on the shingle key between the exploded corpus and the DISTINCT
-    * benchmark shingle set, then one per-doc aggregate — all
-    * hash-partitioned on shingle/doc keys, nothing corpus-sized on the
-    * driver or broadcast. At petabyte scale the join key would be
-    * `poly_hash(shingle)` (8-gram strings → 8-byte keys, same
-    * cross-engine-replicable PolyHash used by q_simhash_pairs); the
-    * string key is kept here so the oracle pairing stays readable.
-    */
   /** Deterministic stratified downsampling — corpus rebalancing (cap the
     * over-represented languages/sources) without `rand()`: a document is
     * kept iff `rolling_content_hash mod 1e4 < rateE4(lang)`. The decision
@@ -179,6 +157,37 @@ object Corpus {
       pmod(TextAnalysis.rollingFingerprint(col("text")), lit(10000L)) < rate)
   }
 
+  /** Benchmark decontamination — the check every LLM training pipeline
+    * runs before a corpus ships: flag training documents that share
+    * n-gram spans with an evaluation/benchmark set. Standard practice is
+    * long shingles (n = 8..13) exactly because chance collisions vanish:
+    * any hit is a real contamination span, not vocabulary coincidence.
+    *
+    * `benchmarkPred` partitions the input into benchmark (true) and
+    * corpus (false) rows. A corpus doc is reported when ≥
+    * `minOverlapE4`/1e4 of its distinct n-gram shingles appear anywhere
+    * in the benchmark set. Exact integer e4 fraction — no float rounding
+    * to disagree across engines. Docs shorter than n tokens produce no
+    * shingles and simply never explode a row — no explicit guard needed.
+    * The shingle column sits behind an [[graft.functions
+    * .OptimizerBarrier]]: `InferFiltersFromGenerate` derives
+    * `size(shingles) > 0` predicates from the explodes, and without the
+    * barrier predicate pushdown substitutes the WHOLE
+    * tokenize-and-shingle expression into join conditions (~4 extra
+    * evaluations per row — same class of bug as EventPipeline's
+    * round-1 from_json duplication). Behind the barrier the inferred
+    * filters stay cheap attribute tests next to each Generate.
+    *
+    * Shape at 100 TB: shingling is row-local (native [[graft.functions
+    * .WordShingles]], distinct within doc); the overlap is an equi-join
+    * on the shingle key between the exploded corpus and the DISTINCT
+    * benchmark shingle set, then one per-doc aggregate — all
+    * hash-partitioned on shingle/doc keys, nothing corpus-sized on the
+    * driver or broadcast. At petabyte scale the join key would be
+    * `poly_hash(shingle)` (8-gram strings → 8-byte keys, same
+    * cross-engine-replicable PolyHash used by q_simhash_pairs); the
+    * string key is kept here so the oracle pairing stays readable.
+    */
   def contaminationCheck(
       docs: DataFrame,
       benchmarkPred: Column,
@@ -187,8 +196,8 @@ object Corpus {
     val toks = TextAnalysis.tokens(col("text"))
     val shingled = docs
       .select(col("doc_id"), benchmarkPred.as("is_bench"),
-        graft.functions.ShingleFunctions.wordShingles(toks, n).as("shingles"))
-      .filter(size(col("shingles")) > 0)
+        graft.functions.BarrierFunctions.barrier(
+          graft.functions.ShingleFunctions.wordShingles(toks, n)).as("shingles"))
     val corpus = shingled.filter(!col("is_bench"))
       .select(col("doc_id"),
         size(col("shingles")).cast("long").as("n_shingles"),

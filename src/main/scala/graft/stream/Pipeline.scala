@@ -324,7 +324,7 @@ object Pipeline {
   def readUpsertTable(spark: SparkSession, path: String, nBuckets: Int = 16): DataFrame = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
-    healInterruptedCompactions(fs, path)
+    healInterruptedCompactions(fs, path, bestEffort = true)
     val dirs = (0 until nBuckets).flatMap(b =>
       latestBucketVersion(fs, path, b, below = None).map(v => s"$path/v-$v/bucket-$b"))
     if (dirs.isEmpty)
@@ -388,7 +388,7 @@ object Pipeline {
       nBuckets: Int = 16): Seq[UpsertBucketStats] = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
-    healInterruptedCompactions(fs, path)
+    healInterruptedCompactions(fs, path, bestEffort = true)
     (0 until nBuckets).flatMap { b =>
       latestBucketVersion(fs, path, b, below = None).map { v =>
         val files = fs.listStatus(
@@ -405,19 +405,35 @@ object Pipeline {
     * from `latestBucketVersion`: an upsert racing ahead of the heal would
     * merge from an older version and silently drop the hidden rows. Rules
     * per `v-<v>/bucket-<b>.compact`:
-    *  - original dir present → the original is authoritative; the aside
-    *    is a stale pre-delete attempt: delete it (also stops retention
-    *    from ever leaving a deletable sibling behind);
+    *  - original dir present → NO-OP. The aside may belong to a LIVE
+    *    compaction sitting between write-aside and delete — deleting it
+    *    here would make the compactor's delete→rename lose the version.
+    *    Stale asides with a surviving original are cleaned by the actors
+    *    that can tell them apart: the next compaction of that bucket
+    *    (pre-write delete) or retention (sibling delete). This also
+    *    makes the common healthy-table case mutation-free, so read-path
+    *    healing normally touches nothing.
     *  - orphan, committed, and v is still ≥ the bucket's latest committed
-    *    version → crash hit between delete and rename: finish the swap;
+    *    version → crash hit between delete and rename: finish the swap.
+    *    (A reader healing this while the crashed-then-restarted compactor
+    *    retries its own rename is still safe: whichever rename runs
+    *    second finds the destination present and fails without effect.)
     *  - orphan but superseded (bucket committed a newer version since) →
     *    delete; renaming would resurrect a version retention already
     *    pruned;
     *  - orphan, uncommitted → crashed mid-write garbage: delete.
+    *
+    * `bestEffort = true` (read paths) swallows per-aside IO failures — a
+    * read-only caller that cannot rename simply keeps serving the
+    * bucket's previous committed version (stale but consistent) until a
+    * writer heals the table. Write paths pass `false`: merging ahead of
+    * an unhealed orphan would lose rows, so there the failure must
+    * propagate.
     */
   private def healInterruptedCompactions(
       fs: org.apache.hadoop.fs.FileSystem,
-      path: String): Unit = {
+      path: String,
+      bestEffort: Boolean = false): Unit = {
     import org.apache.hadoop.fs.Path
     val root = new Path(path)
     if (!fs.exists(root)) return
@@ -431,17 +447,22 @@ object Pipeline {
             val bucketName = tmp.getPath.getName.stripSuffix(".compact")
             val orig = new Path(vDir.getPath, bucketName)
             val bucket = bucketName.stripPrefix("bucket-").toIntOption
-            val committed = fs.exists(new Path(tmp.getPath, "_SUCCESS"))
-            val latest = bucket.flatMap(b =>
-              latestBucketVersion(fs, path, b, below = None))
-            val isCurrent = (v, latest) match {
-              case (Some(tv), Some(lv)) => tv >= lv
-              case (Some(_), None) => true
-              case _ => false
+            try {
+              if (!fs.exists(orig)) {
+                val committed = fs.exists(new Path(tmp.getPath, "_SUCCESS"))
+                val latest = bucket.flatMap(b =>
+                  latestBucketVersion(fs, path, b, below = None))
+                val isCurrent = (v, latest) match {
+                  case (Some(tv), Some(lv)) => tv >= lv
+                  case (Some(_), None) => true
+                  case _ => false
+                }
+                if (committed && isCurrent) fs.rename(tmp.getPath, orig)
+                else fs.delete(tmp.getPath, true)
+              }
+            } catch {
+              case scala.util.control.NonFatal(e) if bestEffort => // see scaladoc
             }
-            if (fs.exists(orig) || !committed || !isCurrent)
-              fs.delete(tmp.getPath, true)
-            else fs.rename(tmp.getPath, orig)
           }
       }
   }

@@ -536,16 +536,34 @@ class StreamingSpec extends SparkTestBase {
     val healed = contents()
     assert(healed == before ++ Set((9L, "i", 9.0), (10L, "j", 10.0),
       (11L, "k", 11.0), (12L, "l", 12.0)), healed.toString)
-    // a stale .compact left at a SUPERSEDED version must be discarded by
-    // the sweep, not renamed in — resurrecting it would undo retention
-    val vOld = st.version
-    val staleDir = s"$table/v-$vOld/bucket-${st.bucket}.compact"
-    fs.mkdirs(new org.apache.hadoop.fs.Path(staleDir))
-    fs.create(new org.apache.hadoop.fs.Path(s"$staleDir/_SUCCESS")).close()
+    // an ORPHAN committed .compact at a SUPERSEDED version (no original
+    // dir — the state left if retention is interrupted between its two
+    // deletes) must be discarded by the sweep, not renamed in:
+    // resurrecting it would undo retention. Version 0 is strictly below
+    // every bucket's current committed version here.
+    val statsNow = Pipeline.upsertTableStats(spark, table, nBuckets = 2)
+    val b = statsNow.head.bucket
+    assert(statsNow.head.version > 0L)
+    val staleDir = new org.apache.hadoop.fs.Path(s"$table/v-0/bucket-$b.compact")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$table/v-0/bucket-$b"), true)
+    fs.mkdirs(staleDir)
+    fs.create(new org.apache.hadoop.fs.Path(staleDir, "_SUCCESS")).close()
     Pipeline.compactUpsertTable(spark, table, nBuckets = 2)
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(staleDir)),
-      "superseded .compact was not discarded")
+    assert(!fs.exists(staleDir), "superseded orphan .compact was not discarded")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$table/v-0/bucket-$b")),
+      "superseded orphan .compact must not be resurrected as a bucket dir")
     assert(contents() == healed)
+    // and a stale aside WITH a surviving original is left for the owning
+    // compactor/retention (live-compaction race safety), then ignored by
+    // reads
+    val cur = Pipeline.upsertTableStats(spark, table, nBuckets = 2).head
+    val curOrig = s"$table/v-${cur.version}/bucket-${cur.bucket}"
+    val curAside = new org.apache.hadoop.fs.Path(s"$curOrig.compact")
+    fs.mkdirs(curAside)
+    fs.create(new org.apache.hadoop.fs.Path(curAside, "_SUCCESS")).close()
+    assert(contents() == healed) // read path: no-op on orig-present asides
+    assert(fs.exists(curAside), "orig-present aside must NOT be deleted by heal")
+    fs.delete(curAside, true)
   }
 
   test("checkpoint restart is exactly-once: no duplicates, new data picked up") {
