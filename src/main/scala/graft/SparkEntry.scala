@@ -262,6 +262,27 @@ object SparkEntry {
           md5(col("redacted")).as("redacted_md5"))
         .orderBy(col("doc_id"))
     }),
+    "q_unigram_logprob" -> ((s, d) =>
+      TextAnalysis.unigramLogProb(TextAnalysis.documents(s, d))),
+    "q_line_dedup" -> ((s, d) => {
+      // corpus texts are single-line and (nearly) unique, so the query
+      // PLANTS boilerplate lines deterministically (the oracle plants
+      // the identical strings): evens get a newsletter banner, multiples
+      // of 3 a rights footer, and every doc a unique trailing ref line
+      // that must SURVIVE the dedup
+      val docs = TextAnalysis.documents(s, d)
+      val planted = docs.select(col("doc_id"), concat(
+        col("text"),
+        when(pmod(col("doc_id"), lit(2)) === 0,
+          lit("\nsubscribe to the newsletter for updates")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          lit("\nall rights reserved by the publisher")).otherwise(lit("")),
+        concat(lit("\nref "), col("doc_id").cast("string"))).as("text"))
+      Corpus.lineDedup(planted, minDf = 50L)
+        .select(col("doc_id"), col("n_lines"), col("n_lines_kept"),
+          md5(col("kept_text")).as("kept_md5"))
+        .orderBy(col("doc_id"))
+    }),
     // ---- end-to-end corpus curation (capstone: §7.4 composed) ----
     "q_corpus_curation" -> ((s, d) => Corpus.curate(TextAnalysis.documents(s, d))),
     "q_corpus_curation_neardup" -> ((s, d) =>
@@ -993,6 +1014,39 @@ object SparkEntry {
         |  list_reduce(list_prepend(0::BIGINT, list_transform(string_split(text, ''), c -> ord(c)::BIGINT)),
         |              (a, b) -> (a * 31 + b) % 1000000007)::BIGINT AS rolling_fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_unigram_logprob" ->
+      """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS term FROM documents),
+        |cnt AS (SELECT term, count(*) AS c FROM tok GROUP BY 1),
+        |tot AS (SELECT sum(c)::DOUBLE AS total FROM cnt),
+        |model AS (SELECT term, ln(c::DOUBLE / total) AS logp FROM cnt CROSS JOIN tot)
+        |SELECT doc_id, count(*)::BIGINT AS n_tokens, round(avg(logp), 4) AS avg_logprob
+        |FROM tok JOIN model USING (term)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_line_dedup" ->
+      """WITH planted AS (
+        |  SELECT doc_id, text
+        |    || CASE WHEN doc_id % 2 = 0
+        |            THEN chr(10) || 'subscribe to the newsletter for updates' ELSE '' END
+        |    || CASE WHEN doc_id % 3 = 0
+        |            THEN chr(10) || 'all rights reserved by the publisher' ELSE '' END
+        |    || chr(10) || 'ref ' || doc_id::VARCHAR AS text
+        |  FROM documents),
+        |lines AS (
+        |  SELECT doc_id, unnest(ls) AS line, generate_subscripts(ls, 1) AS pos
+        |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM planted)),
+        |freq AS (
+        |  SELECT line FROM lines GROUP BY line HAVING count(DISTINCT doc_id) >= 50),
+        |kept AS (
+        |  SELECT l.* FROM lines l ANTI JOIN freq f ON l.line = f.line),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_kept,
+        |         string_agg(line, chr(10) ORDER BY pos) AS kept_text
+        |  FROM kept GROUP BY doc_id)
+        |SELECT p.doc_id, len(string_split(p.text, chr(10)))::BIGINT AS n_lines,
+        |  coalesce(a.n_kept, 0)::BIGINT AS n_lines_kept,
+        |  md5(coalesce(a.kept_text, '')) AS kept_md5
+        |FROM planted p LEFT JOIN agg a USING (doc_id)
+        |ORDER BY p.doc_id""".stripMargin,
     "q_corpus_curation" ->
       """WITH scored AS (
         |  SELECT doc_id, lang,

@@ -157,6 +157,54 @@ object Corpus {
       pmod(TextAnalysis.rollingFingerprint(col("text")), lit(10000L)) < rate)
   }
 
+  /** Line-level corpus dedup (CCNet/RefinedWeb-style): drop every line
+    * that appears in ≥ `minDf` distinct documents — navigation chrome,
+    * cookie banners, boilerplate footers — while keeping each document's
+    * remaining lines in their original order.
+    *
+    * Shape at 100 TB: the line document-frequency is one hash-partitioned
+    * aggregate on the line key; the frequent-line set is the corpus's
+    * heavy hitters (df ≥ minDf), which by construction is orders of
+    * magnitude smaller than the line table, so the anti-join's build side
+    * is small and AQE picks a broadcast at runtime — no unconditional
+    * hint (the set's size is data-dependent; see the round-2 verdict on
+    * hard-coded broadcasts). Reassembly is one per-doc aggregate sorting
+    * the surviving (pos, line) pairs row-locally. At petabyte scale the
+    * line key would be a PolyHash of the line (8-byte keys instead of
+    * line strings riding two shuffles); the string key is kept so the
+    * DuckDB oracle pairing stays readable.
+    *
+    * Output: one row per input document — `doc_id, n_lines,
+    * n_lines_kept, kept_text` (empty string when every line was
+    * boilerplate, so downstream gates see the doc rather than losing it).
+    */
+  def lineDedup(docs: DataFrame, minDf: Long = 50L): DataFrame = {
+    require(minDf >= 2, "minDf < 2 would delete every line in the corpus")
+    val lines = docs.select(col("doc_id"),
+      posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
+    val frequent = lines.groupBy(col("line"))
+      .agg(count_distinct(col("doc_id")).as("line_df"))
+      .filter(col("line_df") >= minDf)
+      .select(col("line"))
+    val keptPerDoc = lines.join(frequent, Seq("line"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_lines_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("line")))),
+            s => s.getField("line")),
+          "\n").as("kept_text"))
+    docs
+      .select(col("doc_id"),
+        size(split(col("text"), "\n")).cast("long").as("n_lines"))
+      .join(keptPerDoc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_lines"),
+        coalesce(col("n_lines_kept"), lit(0L)).as("n_lines_kept"),
+        coalesce(col("kept_text"), lit("")).as("kept_text"))
+  }
+
   /** Benchmark decontamination — the check every LLM training pipeline
     * runs before a corpus ships: flag training documents that share
     * n-gram spans with an evaluation/benchmark set. Standard practice is

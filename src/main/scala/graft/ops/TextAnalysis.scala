@@ -297,6 +297,40 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Unigram language-model scoring — the perplexity-lite quality
+    * feature (KenLM-style pipelines use a real LM; the unigram model is
+    * the deterministic, self-contained stand-in): train P(t) =
+    * count(t)/total on the corpus itself, then score each document by
+    * its mean token log-probability. Common words → high (less
+    * negative) scores; rare-token gibberish → low.
+    *
+    * Shape at 100 TB: the model is a (term) hash aggregate — vocabulary-
+    * sized, not corpus-sized; the only broadcast is the 1-row total; the
+    * scoring join shuffles tokens and model on the term key (both sides
+    * hash-partitioned — stopword heavy hitters are exactly the skew AQE's
+    * skew-join split handles, see [[graft.ops.Skew]]); the final per-doc
+    * aggregate is partial+final. Nothing corpus-sized on the driver.
+    *
+    * avg() over doubles follows the q_event_summary precedent: rounded
+    * to 4 decimals, where partial-aggregation order cannot surface.
+    */
+  def unigramLogProb(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(tokens(col("text"))).as("term"))
+    val counts = toks.groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum(col("c")).as("total"))
+    val model = counts.crossJoin(broadcast(total))
+      .select(col("term"),
+        log(col("c").cast("double") / col("total").cast("double"))
+          .as("logp"))
+    toks.join(model, "term")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        round(avg(col("logp")), 4).as("avg_logprob"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Overlapping token-window chunking — how long documents become
     * context-window-sized training samples. Chunk c covers tokens
     * [c·stride+1, c·stride+chunkSize]; starts walk the token array at

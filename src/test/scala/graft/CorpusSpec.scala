@@ -57,6 +57,30 @@ class CorpusSpec extends SparkTestBase {
     }
   }
 
+  test("lineDedup: frequent lines drop, order survives, all-boilerplate docs stay") {
+    val boiler = "subscribe now"
+    val docs = Seq(
+      (1L, s"unique alpha\n$boiler\nunique omega"),
+      (2L, s"$boiler\nsecond doc line"),
+      (3L, boiler), // every line boilerplate → empty but present
+      (4L, "untouched standalone text")
+    ).toDF("doc_id", "text")
+    val out = Corpus.lineDedup(docs, minDf = 3L).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_lines"), r.getAs[Long]("n_lines_kept"),
+          r.getAs[String]("kept_text"))).toMap
+    assert(out(1L) == ((3L, 2L, "unique alpha\nunique omega")),
+      "kept lines must preserve original order")
+    assert(out(2L) == ((2L, 1L, "second doc line")))
+    assert(out(3L) == ((1L, 0L, "")),
+      "doc whose every line is boilerplate must survive as an empty row")
+    assert(out(4L) == ((1L, 1L, "untouched standalone text")))
+    // below the df threshold nothing is deleted
+    val none = Corpus.lineDedup(docs, minDf = 4L).collect()
+    assert(none.forall(r => r.getAs[Long]("n_lines_kept") == r.getAs[Long]("n_lines")))
+    intercept[IllegalArgumentException] { Corpus.lineDedup(docs, minDf = 1L) }
+  }
+
   test("contaminationCheck: exact overlap fractions, threshold gates, clean docs absent") {
     import org.apache.spark.sql.functions._
     val bench = "alpha beta gamma delta epsilon zeta eta theta iota kappa"

@@ -127,6 +127,20 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(r.getAs[Long]("top_word_share_e4") == 4000) // 2/5
   }
 
+  test("unigramLogProb: hand-computed model probabilities") {
+    // corpus: "a a b" + "a c" → counts a:3 b:1 c:1, total 5
+    val df = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramLogProb(df).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Double]("avg_logprob"))).toMap
+    def r4(x: Double) = math.rint(x * 1e4) / 1e4
+    val (la, lb) = (math.log(3.0 / 5), math.log(1.0 / 5))
+    assert(out(1L) == ((3L, r4((la + la + lb) / 3))))
+    assert(out(2L) == ((2L, r4((la + lb) / 2))))
+    // the common-word doc scores higher than the rare-word doc
+    assert(out(1L)._2 > out(2L)._2)
+  }
+
   test("chunkDocuments: overlap, trailing short chunk, sub-chunk doc") {
     val words = (1 to 10).map(i => s"w$i").mkString(" ")
     val df = Seq((1L, words), (2L, "tiny doc")).toDF("doc_id", "text")
