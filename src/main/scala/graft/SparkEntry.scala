@@ -262,6 +262,12 @@ object SparkEntry {
           md5(col("redacted")).as("redacted_md5"))
         .orderBy(col("doc_id"))
     }),
+    // 31-term synthetic vocabulary → top-20 cutoff leaves real OOV mass
+    // and exercises the deterministic (count desc, term asc) tie-break
+    "q_vocab_oov" -> ((s, d) =>
+      TextAnalysis.vocabOovRate(TextAnalysis.documents(s, d), vocabSize = 20)),
+    "q_source_mixture" -> ((s, d) =>
+      Corpus.sourceMixture(TextAnalysis.documents(s, d))),
     "q_unigram_logprob" -> ((s, d) =>
       TextAnalysis.unigramLogProb(TextAnalysis.documents(s, d))),
     "q_line_dedup" -> ((s, d) => {
@@ -1014,6 +1020,28 @@ object SparkEntry {
         |  list_reduce(list_prepend(0::BIGINT, list_transform(string_split(text, ''), c -> ord(c)::BIGINT)),
         |              (a, b) -> (a * 31 + b) % 1000000007)::BIGINT AS rolling_fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_vocab_oov" ->
+      """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS term FROM documents),
+        |cnt AS (SELECT term, count(*) AS c FROM tok GROUP BY 1),
+        |vocab AS (SELECT term FROM cnt ORDER BY c DESC, term LIMIT 20)
+        |SELECT doc_id, count(*)::BIGINT AS n_tokens,
+        |  sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+        |  (sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) * 10000
+        |     // count(*))::BIGINT AS oov_rate_e4
+        |FROM tok t LEFT JOIN vocab v ON t.term = v.term
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_source_mixture" ->
+      """WITH ps AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    sum(len(regexp_split_to_array(lower(text), '\s+')))::BIGINT AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT sum(n_tokens)::BIGINT AS total_tokens,
+        |               sum(sqrt(n_tokens::DOUBLE)) AS sum_sqrt FROM ps)
+        |SELECT source, n_docs, n_tokens,
+        |  (n_tokens * 10000 // total_tokens)::BIGINT AS share_e4,
+        |  round(sqrt(n_tokens::DOUBLE) / sum_sqrt, 4) AS weight,
+        |  round(sqrt(n_tokens::DOUBLE) / sum_sqrt * 1000000, 0)::BIGINT AS target_tokens
+        |FROM ps CROSS JOIN tot ORDER BY source""".stripMargin,
     "q_unigram_logprob" ->
       """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS term FROM documents),
         |cnt AS (SELECT term, count(*) AS c FROM tok GROUP BY 1),

@@ -157,6 +157,39 @@ object Corpus {
       pmod(TextAnalysis.rollingFingerprint(col("text")), lit(10000L)) < rate)
   }
 
+  /** Temperature-based source mixture — how multi-source training
+    * corpora are weighted: raw token shares are flattened with
+    * temperature τ=2 (weight_i ∝ share_i^(1/2)), up-weighting small
+    * high-quality sources relative to proportional sampling. The
+    * exponent is fixed at 1/2 because IEEE-754 REQUIRES sqrt to be
+    * correctly rounded — a general pow(x, 1/τ) is only faithfully
+    * rounded, so the oracle engine could disagree in the last ulp;
+    * sqrt cannot.
+    *
+    * Output per source: doc/token counts, the exact e4 proportional
+    * share, the temperature weight, and the token draw for
+    * `tokenBudget`. Shape at 100 TB: one source-keyed aggregate
+    * (sources are a dimension — dozens, not corpus-scaled) + a 1-row
+    * broadcast of the totals.
+    */
+  def sourceMixture(docs: DataFrame, tokenBudget: Long = 1000000L): DataFrame = {
+    val perSource = docs.groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(TextAnalysis.tokens(col("text"))).cast("long")).as("n_tokens"))
+    val totals = perSource.agg(
+      sum(col("n_tokens")).as("total_tokens"),
+      sum(sqrt(col("n_tokens").cast("double"))).as("sum_sqrt"))
+    val w = sqrt(col("n_tokens").cast("double")) / col("sum_sqrt")
+    perSource.crossJoin(broadcast(totals))
+      .select(
+        col("source"), col("n_docs"), col("n_tokens"),
+        expr("(n_tokens * 10000) div total_tokens").as("share_e4"),
+        round(w, 4).as("weight"),
+        round(w * tokenBudget, 0).cast("long").as("target_tokens"))
+      .orderBy(col("source"))
+  }
+
   /** Line-level corpus dedup (CCNet/RefinedWeb-style): drop every line
     * that appears in ≥ `minDf` distinct documents — navigation chrome,
     * cookie banners, boilerplate footers — while keeping each document's

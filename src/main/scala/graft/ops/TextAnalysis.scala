@@ -318,7 +318,12 @@ object TextAnalysis {
     val toks = docs.select(col("doc_id"),
       explode(tokens(col("text"))).as("term"))
     val counts = toks.groupBy(col("term")).agg(count(lit(1)).as("c"))
-    val total = counts.agg(sum(col("c")).as("total"))
+    // total token count = sum of row-local token-array sizes: the same
+    // value as sum(c) over the model, WITHOUT re-running the explode +
+    // term aggregate a second time (subplans are not shared across the
+    // scalar branch, so deriving it from `counts` would recompute them)
+    val total = docs.agg(
+      sum(size(tokens(col("text"))).cast("long")).as("total"))
     val model = counts.crossJoin(broadcast(total))
       .select(col("term"),
         log(col("c").cast("double") / col("total").cast("double"))
@@ -328,6 +333,35 @@ object TextAnalysis {
       .agg(
         count(lit(1)).as("n_tokens"),
         round(avg(col("logp")), 4).as("avg_logprob"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Top-N vocabulary + per-document out-of-vocabulary rate — the
+    * tokenizer-coverage check a training pipeline runs before committing
+    * to a vocab: rank terms by corpus frequency (ties by term asc, so
+    * the cutoff is deterministic and engine-independent), then measure
+    * the fraction of each document's tokens outside the top
+    * `vocabSize`.
+    *
+    * Shape at 100 TB: term counts are one vocabulary-sized hash
+    * aggregate; the top-N is TakeOrderedAndProject (per-partition heaps,
+    * N rows to the driver — N is the vocab size, not the corpus); the
+    * membership join broadcasts those N terms; the per-doc aggregate is
+    * partial+final. The corpus never shuffles for the join.
+    */
+  def vocabOovRate(docs: DataFrame, vocabSize: Int = 1000): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(tokens(col("text"))).as("term"))
+    val vocab = toks.groupBy(col("term")).agg(count(lit(1)).as("c"))
+      .orderBy(desc("c"), col("term"))
+      .limit(vocabSize)
+      .select(col("term"), lit(1).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate_e4", expr("(n_oov * 10000) div n_tokens"))
       .orderBy(col("doc_id"))
   }
 

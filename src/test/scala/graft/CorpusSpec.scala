@@ -57,6 +57,22 @@ class CorpusSpec extends SparkTestBase {
     }
   }
 
+  test("sourceMixture: sqrt flattening up-weights the small source") {
+    // tokens: big source 9, small source 1 → proportional shares 90/10,
+    // sqrt weights 3/(3+1)=0.75 and 1/(3+1)=0.25
+    val docs = Seq(
+      (1L, "w w w w w w w w w", "big"),
+      (2L, "w", "small")
+    ).toDF("doc_id", "text", "source")
+    val out = Corpus.sourceMixture(docs, tokenBudget = 1000L).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("share_e4"),
+          r.getAs[Double]("weight"), r.getAs[Long]("target_tokens"))).toMap
+    assert(out("big") == ((9L, 9000L, 0.75, 750L)))
+    assert(out("small") == ((1L, 1000L, 0.25, 250L)),
+      "temperature must lift the small source above its 10% share")
+  }
+
   test("lineDedup: frequent lines drop, order survives, all-boilerplate docs stay") {
     val boiler = "subscribe now"
     val docs = Seq(

@@ -141,6 +141,18 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(out(1L)._2 > out(2L)._2)
   }
 
+  test("vocabOovRate: cutoff tie-break by term, exact OOV fractions") {
+    // counts: b:3 a:2 c:2 d:1 → top-2 vocab must be {b, a} (count desc,
+    // term asc breaks the a/c tie in favor of a)
+    val df = Seq((1L, "b b a c"), (2L, "b a c d")).toDF("doc_id", "text")
+    val out = TextAnalysis.vocabOovRate(df, vocabSize = 2).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_oov"),
+          r.getAs[Long]("oov_rate_e4"))).toMap
+    assert(out(1L) == ((4L, 1L, 2500L)), "doc 1: only c is OOV")
+    assert(out(2L) == ((4L, 2L, 5000L)), "doc 2: c and d are OOV")
+  }
+
   test("chunkDocuments: overlap, trailing short chunk, sub-chunk doc") {
     val words = (1 to 10).map(i => s"w$i").mkString(" ")
     val df = Seq((1L, words), (2L, "tiny doc")).toDF("doc_id", "text")
