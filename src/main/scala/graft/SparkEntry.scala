@@ -392,7 +392,9 @@ object SparkEntry {
       val e = Similarity.embeddings(s, d)
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 10))
     }),
-    "q_centroid_norms" -> ((s, d) => Similarity.labelCentroidNorms(Similarity.embeddings(s, d)))
+    "q_centroid_norms" -> ((s, d) => Similarity.labelCentroidNorms(Similarity.embeddings(s, d))),
+    "q_quantize_embeddings" -> ((s, d) =>
+      Similarity.quantizeEmbeddings(Similarity.embeddings(s, d)))
   )
 
   /** DuckDB twins. Omitted (→ driver rows-only check): q_ann_lsh,
@@ -1314,6 +1316,20 @@ object SparkEntry {
         |SELECT cnt.label::BIGINT AS label, cnt.n AS n_vectors,
         |  round(sqrt(sum((s / cnt.n) * (s / cnt.n))), 4) AS centroid_norm
         |FROM sums JOIN cnt ON sums.label = cnt.label
-        |GROUP BY cnt.label, cnt.n ORDER BY label""".stripMargin
+        |GROUP BY cnt.label, cnt.n ORDER BY label""".stripMargin,
+    "q_quantize_embeddings" ->
+      """WITH r AS (
+        |  SELECT vec_id, embedding,
+        |    list_min(embedding)::DOUBLE AS mn, list_max(embedding)::DOUBLE AS mx
+        |  FROM embeddings),
+        |c AS (
+        |  SELECT vec_id, len(embedding)::BIGINT AS n_dims,
+        |    list_transform(embedding, x -> CASE WHEN mx > mn
+        |      THEN floor((x::DOUBLE - mn) * 255.0 / (mx - mn))::BIGINT
+        |      ELSE 0 END) AS codes
+        |  FROM r)
+        |SELECT vec_id, n_dims, list_sum(codes)::BIGINT AS code_sum,
+        |  list_min(codes)::BIGINT AS code_min, list_max(codes)::BIGINT AS code_max
+        |FROM c ORDER BY vec_id""".stripMargin
   )
 }

@@ -127,6 +127,35 @@ object Similarity {
     * across iterations so the loop re-scans a cached projection, not the
     * source files.
     */
+  /** Per-vector int8 scalar quantization — the compression step before
+    * an ANN index ships at scale (4× smaller than float32, SIMD-friendly
+    * codes). Each vector maps to uint8 codes 0..255 over its own
+    * [min, max] range; a constant vector degenerates to all-zero codes.
+    *
+    * Row-local Column algebra: no shuffle, linear at 100 TB. The audit
+    * columns are chosen for ENGINE-INDEPENDENT verification: code_sum /
+    * code_min / code_max are exact integers, and every float enters the
+    * arithmetic through an exact float→double cast with the expression
+    * tree mirrored verbatim in the oracle SQL, so IEEE-754 determinism
+    * makes both engines floor identical doubles.
+    */
+  def quantizeEmbeddings(emb: DataFrame): DataFrame = {
+    val v = col("embedding")
+    val mn = array_min(v).cast("double")
+    val mx = array_max(v).cast("double")
+    val codes = transform(v, x =>
+      when(mx > mn,
+        floor((x.cast("double") - mn) * 255.0 / (mx - mn)).cast("long"))
+        .otherwise(lit(0L)))
+    emb.select(
+        col("vec_id"),
+        size(v).cast("long").as("n_dims"),
+        aggregate(codes, lit(0L), (a, b) => a + b).as("code_sum"),
+        array_min(codes).as("code_min"),
+        array_max(codes).as("code_max"))
+      .orderBy(col("vec_id"))
+  }
+
   private[graft] def trainCentroids(
       corpus: DataFrame,
       nCells: Int,

@@ -88,6 +88,20 @@ class SimilaritySpec extends SparkTestBase {
     assert(out.count() == 5, "fallback training produced no search results")
   }
 
+  test("quantizeEmbeddings: endpoints map to 0/255, constant vector to zeros") {
+    val e = Seq(
+      // range [0,2]: codes floor(x*255/2) → 0, 127 (floor 127.5), 255
+      (1L, Array(0.0f, 1.0f, 2.0f)),
+      (2L, Array.fill(4)(3.5f)) // constant → all-zero codes
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.quantizeEmbeddings(e).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("n_dims"), r.getAs[Long]("code_sum"),
+          r.getAs[Long]("code_min"), r.getAs[Long]("code_max"))).toMap
+    assert(out(1L) == ((3L, 382L, 0L, 255L)))
+    assert(out(2L) == ((4L, 0L, 0L, 0L)))
+  }
+
   test("label centroid norms: unit cluster → norm 1") {
     val e = Seq(
       (1L, Array.fill(64)(0.0f).updated(0, 1.0f), 0),
