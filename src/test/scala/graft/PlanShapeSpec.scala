@@ -213,4 +213,20 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.indexOf("Window") >= 0 && p.indexOf("Window") != p.lastIndexOf("Window"),
       s"expected two Window operators sharing one sort:\n$p")
   }
+
+  test("vocab membership join broadcasts the N-term vocab; tokens never shuffle for it") {
+    import graft.ops.TextAnalysis
+    val docs = TextAnalysis.documents(spark, sf)
+    val p = plan(TextAnalysis.vocabOovRate(docs, vocabSize = 20))
+    assert(p.contains("BroadcastHashJoin"), s"vocab join must be broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus tokens must not sort-merge against a 20-row vocab:\n$p")
+  }
+
+  test("embedding quantization is row-local: no hash exchange, only the final sort") {
+    val p = plan(Similarity.quantizeEmbeddings(Similarity.embeddings(spark, sf)))
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashExchanges == 0,
+      s"quantization must not shuffle (row-local transform):\n$p")
+  }
 }
