@@ -97,6 +97,32 @@ class CorpusSpec extends SparkTestBase {
     intercept[IllegalArgumentException] { Corpus.lineDedup(docs, minDf = 1L) }
   }
 
+  test("lineDedup invariants on a seeded random corpus") {
+    val rnd = new scala.util.Random(42)
+    val pool = Vector("alpha", "beta", "gamma", "delta", "epsilon")
+    val docs = (1 to 60).map { i =>
+      val n = 1 + rnd.nextInt(5)
+      (i.toLong, Seq.fill(n)(pool(rnd.nextInt(pool.size))).mkString("\n"))
+    }.toDF("doc_id", "text")
+    val originals = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // minDf above the doc count → identity on every document
+    val id = Corpus.lineDedup(docs, minDf = 1000L).collect()
+    id.foreach { r =>
+      assert(r.getAs[String]("kept_text") == originals(r.getAs[Long]("doc_id")))
+    }
+    assert(id.length == 60)
+    // real threshold → per-doc survivors are exactly the original lines
+    // minus the globally-frequent ones, in original order
+    val freq = originals.values.flatMap(_.split("\n").distinct)
+      .groupBy(identity).collect { case (l, os) if os.size >= 10 => l }.toSet
+    Corpus.lineDedup(docs, minDf = 10L).collect().foreach { r =>
+      val expect = originals(r.getAs[Long]("doc_id")).split("\n")
+        .filterNot(freq).mkString("\n")
+      assert(r.getAs[String]("kept_text") == expect,
+        s"doc ${r.getLong(0)}: survivors diverge from reference filter")
+    }
+  }
+
   test("contaminationCheck: exact overlap fractions, threshold gates, clean docs absent") {
     import org.apache.spark.sql.functions._
     val bench = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
