@@ -264,6 +264,14 @@ object SparkEntry {
     }),
     // 31-term synthetic vocabulary → top-20 cutoff leaves real OOV mass
     // and exercises the deterministic (count desc, term asc) tie-break
+    // natural 3-grams repeat across docs (31-word vocabulary), so no
+    // planting is needed for the phrase-mining report
+    "q_boilerplate_phrases" -> ((s, d) =>
+      Corpus.boilerplatePhrases(TextAnalysis.documents(s, d))),
+    "q_cross_source_dups" -> ((s, d) => {
+      val docs = TextAnalysis.documents(s, d)
+      Corpus.crossSourceDupReport(docs, Dedup.minHashLsh(docs, 0.5, bands = 32))
+    }),
     "q_vocab_oov" -> ((s, d) =>
       TextAnalysis.vocabOovRate(TextAnalysis.documents(s, d), vocabSize = 20)),
     "q_source_mixture" -> ((s, d) =>
@@ -1022,6 +1030,33 @@ object SparkEntry {
         |  list_reduce(list_prepend(0::BIGINT, list_transform(string_split(text, ''), c -> ord(c)::BIGINT)),
         |              (a, b) -> (a * 31 + b) % 1000000007)::BIGINT AS rolling_fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_boilerplate_phrases" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+        |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+        |       FROM t WHERE len(toks) >= 3),
+        |d AS (SELECT shingle, count(*)::BIGINT AS df FROM sh GROUP BY 1 HAVING count(*) >= 5)
+        |SELECT row_number() OVER (ORDER BY df DESC, shingle)::BIGINT AS rnk, shingle, df
+        |FROM d ORDER BY df DESC, shingle LIMIT 20""".stripMargin,
+    "q_cross_source_dups" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+        |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+        |       FROM t WHERE len(toks) >= 3),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_a, doc_b
+        |  FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+        |  WHERE round(i::DOUBLE / (sa.sz + sb.sz - i), 4) >= 0.5)
+        |SELECT count(*)::BIGINT AS n_pairs,
+        |  coalesce(sum(CASE WHEN da.source = db.source THEN 1 ELSE 0 END), 0)::BIGINT AS n_same_source,
+        |  coalesce(sum(CASE WHEN da.source <> db.source THEN 1 ELSE 0 END), 0)::BIGINT AS n_cross_source
+        |FROM pairs
+        |JOIN documents da ON doc_a = da.doc_id
+        |JOIN documents db ON doc_b = db.doc_id""".stripMargin,
     "q_vocab_oov" ->
       """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS term FROM documents),
         |cnt AS (SELECT term, count(*) AS c FROM tok GROUP BY 1),

@@ -238,6 +238,62 @@ object Corpus {
         coalesce(col("kept_text"), lit("")).as("kept_text"))
   }
 
+  /** Boilerplate phrase mining — the corpus-level report feeding a
+    * line/phrase blocklist: the top-k n-gram shingles by document
+    * frequency. Deterministic ordering (df desc, shingle asc) so the
+    * cutoff is engine-independent.
+    *
+    * Shape at 100 TB: shingling is row-local and distinct-within-doc
+    * (native [[graft.functions.WordShingles]], so count(*) per shingle
+    * IS the document frequency — no count-distinct pass); the df
+    * aggregate hash-partitions on the shingle key; top-k is a global
+    * TakeOrdered of k rows. Nothing corpus-sized moves to the driver.
+    */
+  def boilerplatePhrases(
+      docs: DataFrame,
+      n: Int = 3,
+      minDf: Long = 5L,
+      k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = TextAnalysis.tokens(col("text"))
+    docs
+      .select(col("doc_id"),
+        explode(graft.functions.ShingleFunctions.wordShingles(toks, n))
+          .as("shingle"))
+      .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .orderBy(desc("df"), col("shingle"))
+      .limit(k)
+      .withColumn("rnk",
+        row_number().over(Window.orderBy(desc("df"), col("shingle"))).cast("long"))
+      .select(col("rnk"), col("shingle"), col("df"))
+      .orderBy(col("rnk"))
+  }
+
+  /** Cross-source duplicate audit — where a corpus's near-duplicates
+    * come from: the verified near-dup pair set ([[Dedup.minHashLsh]] at
+    * its recall-(1-ε) operating point) joined back to each endpoint's
+    * source, reduced to one row of within- vs cross-source counts. A
+    * high cross-source count means mirrors/syndication between feeds; a
+    * high within-source count means a feed re-crawling itself.
+    *
+    * Shape at 100 TB: the pair set is duplicate-graph-sized (≪ corpus);
+    * the two enrichment joins shuffle on the doc key with the pair side
+    * small — AQE picks broadcast when it fits, nothing is hint-forced.
+    */
+  def crossSourceDupReport(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val src = docs.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.toDF("doc_a", "source_a"), "doc_a")
+      .join(src.toDF("doc_b", "source_b"), "doc_b")
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        coalesce(sum(when(col("source_a") === col("source_b"), 1L)
+          .otherwise(0L)), lit(0L)).as("n_same_source"),
+        coalesce(sum(when(col("source_a") =!= col("source_b"), 1L)
+          .otherwise(0L)), lit(0L)).as("n_cross_source"))
+  }
+
   /** Benchmark decontamination — the check every LLM training pipeline
     * runs before a corpus ships: flag training documents that share
     * n-gram spans with an evaluation/benchmark set. Standard practice is

@@ -97,6 +97,34 @@ class CorpusSpec extends SparkTestBase {
     intercept[IllegalArgumentException] { Corpus.lineDedup(docs, minDf = 1L) }
   }
 
+  test("boilerplatePhrases: df counts, threshold, deterministic rank") {
+    // "a b c" appears in 3 docs, "x y z" in 2, "p q r" in 1
+    val docs = Seq(
+      (1L, "a b c tail one"), (2L, "a b c tail two"), (3L, "a b c"),
+      (4L, "x y z"), (5L, "x y z"), (6L, "p q r")
+    ).toDF("doc_id", "text")
+    val out = Corpus.boilerplatePhrases(docs, n = 3, minDf = 2L, k = 10)
+      .collect().map(r => (r.getAs[Long]("rnk"), r.getAs[String]("shingle"),
+        r.getAs[Long]("df")))
+    assert(out.head == ((1L, "a b c", 3L)))
+    assert(out.map(_._2).contains("x y z") && !out.map(_._2).contains("p q r"))
+  }
+
+  test("crossSourceDupReport: within- vs cross-source pair counts") {
+    val docs = Seq(
+      (1L, "srcA"), (2L, "srcA"), (3L, "srcB")
+    ).toDF("doc_id", "source")
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val r = Corpus.crossSourceDupReport(docs, pairs).head()
+    assert(r.getAs[Long]("n_pairs") == 3)
+    assert(r.getAs[Long]("n_same_source") == 1)
+    assert(r.getAs[Long]("n_cross_source") == 2)
+    // empty pair set still reports a zero row, not an empty frame
+    val empty = Corpus.crossSourceDupReport(docs,
+      pairs.filter($"doc_a" < 0)).head()
+    assert(empty.getAs[Long]("n_pairs") == 0)
+  }
+
   test("lineDedup invariants on a seeded random corpus") {
     val rnd = new scala.util.Random(42)
     val pool = Vector("alpha", "beta", "gamma", "delta", "epsilon")
