@@ -231,6 +231,7 @@ object SparkEntry {
     "q_token_counts" -> ((s, d) => TextAnalysis.tokenCounts(TextAnalysis.documents(s, d))),
     "q_lang_id" -> ((s, d) => TextAnalysis.langId(TextAnalysis.documents(s, d))),
     "q_lang_id_ngram" -> ((s, d) => TextAnalysis.langIdCharNgram(TextAnalysis.documents(s, d))),
+    "q_lang_confusion" -> ((s, d) => TextAnalysis.langConfusion(TextAnalysis.documents(s, d))),
     "q_text_quality" -> ((s, d) => TextAnalysis.qualityScore(TextAnalysis.documents(s, d))),
     "q_tfidf_top_terms" -> ((s, d) => TextAnalysis.tfidfTopTerms(TextAnalysis.documents(s, d))),
     "q_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(TextAnalysis.documents(s, d))),
@@ -918,6 +919,27 @@ object SparkEntry {
         |      len(list_filter(toks, t -> t IN ('的','是','了','在','我')))::BIGINT AS hits_zh
         |    FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks FROM documents)))
         |ORDER BY doc_id""".stripMargin,
+    "q_lang_confusion" ->
+      """SELECT lang,
+        |  CASE WHEN hits_en = mx AND mx > 0 THEN 'en'
+        |       WHEN hits_de = mx AND mx > 0 THEN 'de'
+        |       WHEN hits_es = mx AND mx > 0 THEN 'es'
+        |       WHEN hits_fr = mx AND mx > 0 THEN 'fr'
+        |       WHEN hits_zh = mx AND mx > 0 THEN 'zh'
+        |       ELSE 'und' END AS predicted_lang,
+        |  count(*)::BIGINT AS n_docs
+        |FROM (
+        |  SELECT lang, hits_en, hits_de, hits_es, hits_fr, hits_zh,
+        |    greatest(hits_en, hits_de, hits_es, hits_fr, hits_zh) AS mx
+        |  FROM (
+        |    SELECT lang,
+        |      len(list_filter(toks, t -> t IN ('the','a','of','and','to')))::BIGINT AS hits_en,
+        |      len(list_filter(toks, t -> t IN ('der','die','das','und','ist')))::BIGINT AS hits_de,
+        |      len(list_filter(toks, t -> t IN ('el','la','los','de','que')))::BIGINT AS hits_es,
+        |      len(list_filter(toks, t -> t IN ('le','la','les','et','est')))::BIGINT AS hits_fr,
+        |      len(list_filter(toks, t -> t IN ('的','是','了','在','我')))::BIGINT AS hits_zh
+        |    FROM (SELECT lang, regexp_split_to_array(lower(text), '\s+') AS toks FROM documents)))
+        |GROUP BY 1, 2 ORDER BY lang, predicted_lang""".stripMargin,
     "q_lang_id_ngram" ->
       """SELECT doc_id,
         |  CASE WHEN c_en = mx AND mx > 0 THEN 'en'

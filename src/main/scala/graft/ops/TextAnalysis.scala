@@ -74,10 +74,11 @@ object TextAnalysis {
   private def markerHits(toks: Column, markers: Seq[String]): Column =
     size(filter(toks, t => t.isInCollection(markers))).cast("long")
 
-  /** Predict language = argmax marker-hit count, ties broken by language
-    * code order, all-zero → "und" (undetermined).
+  /** Row-local language prediction: appends `predicted_lang` +
+    * `marker_hits` to the input (all original columns kept, no shuffle)
+    * — the shared core of [[langId]] and [[langConfusion]].
     */
-  def langId(df: DataFrame): DataFrame = {
+  private def withLangPrediction(df: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
     val scored = df.withColumn("toks", toks)
     val withScores = langMarkers.foldLeft(scored) { case (d, (code, ms)) =>
@@ -97,11 +98,29 @@ object TextAnalysis {
       when(hits === maxHits && maxHits > 0, code).otherwise(els)
     }
     withScores
-      .select(col("doc_id"),
-        firstArgmax.as("predicted_lang"),
-        maxHits.as("marker_hits"))
-      .orderBy(col("doc_id"))
+      .withColumn("predicted_lang", firstArgmax)
+      .withColumn("marker_hits", maxHits)
   }
+
+  /** Predict language = argmax marker-hit count, ties broken by language
+    * code order, all-zero → "und" (undetermined).
+    */
+  def langId(df: DataFrame): DataFrame =
+    withLangPrediction(df)
+      .select(col("doc_id"), col("predicted_lang"), col("marker_hits"))
+      .orderBy(col("doc_id"))
+
+  /** Label-noise audit: confusion matrix of the DECLARED `lang` column
+    * against the marker-based prediction — the check that catches a
+    * mislabeled feed before it skews per-language sampling rates. One
+    * row-local prediction pass + one (lang, predicted_lang) aggregate;
+    * no join, nothing corpus-sized anywhere.
+    */
+  def langConfusion(df: DataFrame): DataFrame =
+    withLangPrediction(df)
+      .groupBy(col("lang"), col("predicted_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("predicted_lang"))
 
   /** Character trigrams of the lowercased text (positions 1..len-2).
     * `text` is a plain attribute inside the lambda, so there is no

@@ -127,6 +127,19 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(r.getAs[Long]("top_word_share_e4") == 4000) // 2/5
   }
 
+  test("langConfusion: declared-vs-predicted cells, und bucket") {
+    val df = Seq(
+      (1L, "the cat and the dog", "en"),   // predicted en — agreement
+      (2L, "der hund und die katze", "en"), // predicted de — mislabel cell
+      (3L, "zzz qqq xxx", "fr")             // no markers — und bucket
+    ).toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.langConfusion(df).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("predicted_lang")) ->
+        r.getAs[Long]("n_docs")).toMap
+    assert(out == Map(
+      ("en", "en") -> 1L, ("en", "de") -> 1L, ("fr", "und") -> 1L))
+  }
+
   test("unigramLogProb: hand-computed model probabilities") {
     // corpus: "a a b" + "a c" → counts a:3 b:1 c:1, total 5
     val df = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
