@@ -20,12 +20,18 @@ object Analytics {
     * Spark's vectorized reader rejects by default. We read it as a long
     * (nanos since epoch) via the legacy flag and convert with integer
     * division — `ts / 1000` through double would lose precision at 1.7e18.
+    *
+    * SESSION REQUIREMENT: `spark.sql.legacy.parquet.nanosAsLong=true`
+    * must be set on the session (it is a SQLConf the parquet schema
+    * converter reads — not a per-read option). Every entry point that
+    * reaches this reader (Verify, Bench, DumpPlans, TimeQuery, the test
+    * harness) sets it at session build; a LIBRARY function silently
+    * flipping session state mid-query would surprise co-resident
+    * workloads (round-5 review), so this reader no longer does.
     */
-  def events(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def events(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/events.parquet")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-  }
 
   /** Time-bounded events scan with the predicate applied to the RAW nanos
     * column — a filter on the converted `timestamp_micros(...)` expression
@@ -35,7 +41,7 @@ object Analytics {
     * scanning an hour and scanning the table.
     */
   def eventsSince(spark: SparkSession, sfDir: String, sinceIso: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // session requirement: nanosAsLong — see [[events]]
     val nanos = java.time.Instant.parse(sinceIso).getEpochSecond * 1000000000L
     spark.read.parquet(s"$sfDir/events.parquet")
       .filter(col("ts") >= lit(nanos))

@@ -79,17 +79,27 @@ object Corpus {
     * cluster-wide minimum fails the quality/token gates, the cluster's
     * good content must not vanish with it.
     *
-    * Added cost over [[curate]]: the LSH band join + the label
-    * propagation, both on the pair graph, not the corpus.
+    * `pairs`: a precomputed near-dup pair set (doc_a, doc_b) — pass it
+    * when the run already materialized one (the 100 TB shape: a dedup
+    * run computes the pair set exactly once and threads it through every
+    * consumer — clustering, cross-source audit, curation). When None the
+    * pair set is computed inline at [[Dedup.minHashLsh]]'s `jaccard`
+    * operating point, which re-runs the LSH if a sibling query already
+    * did.
+    *
+    * Added cost over [[curate]]: the LSH band join (zero when `pairs`
+    * is supplied) + the label propagation, both on the pair graph, not
+    * the corpus.
     */
   def curateNearDup(
       docs: DataFrame,
       minQuality: Double = 0.5,
       minTokens: Int = 30,
       maxTokens: Int = 120,
-      jaccard: Double = 0.5): DataFrame = {
+      jaccard: Double = 0.5,
+      pairs: Option[DataFrame] = None): DataFrame = {
     val clusters = Dedup.nearDupClusters(
-      docs, Dedup.minHashLsh(docs, jaccard, bands = 32))
+      docs, pairs.getOrElse(Dedup.minHashLsh(docs, jaccard, bands = 32)))
     val gated = curate(docs, minQuality, minTokens, maxTokens)
       .join(clusters.select(col("doc_id"), col("cluster_id")), "doc_id")
     val keepers = gated.groupBy(col("cluster_id"))
@@ -164,7 +174,13 @@ object Corpus {
     * exponent is fixed at 1/2 because IEEE-754 REQUIRES sqrt to be
     * correctly rounded — a general pow(x, 1/τ) is only faithfully
     * rounded, so the oracle engine could disagree in the last ulp;
-    * sqrt cannot.
+    * sqrt cannot. Residual risk (same class as unigramLogProb's): the
+    * DENOMINATOR sum(sqrt(...)) is a float reduction whose partial-
+    * aggregation merge order differs from a sequential engine's, so
+    * round(weight, 4) could in principle flip at an exact half-ulp
+    * decimal boundary. Sources are a dimension (dozens of summands), the
+    * sqrt terms are well-scaled, and no boundary case exists in the test
+    * corpus — accepted, not eliminated.
     *
     * Output per source: doc/token counts, the exact e4 proportional
     * share, the temperature weight, and the token draw for

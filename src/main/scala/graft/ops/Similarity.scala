@@ -129,8 +129,11 @@ object Similarity {
     */
   /** Per-vector int8 scalar quantization — the compression step before
     * an ANN index ships at scale (4× smaller than float32, SIMD-friendly
-    * codes). Each vector maps to uint8 codes 0..255 over its own
-    * [min, max] range; a constant vector degenerates to all-zero codes.
+    * codes). Each vector maps to uint8 codes in 0..255 over its own
+    * [min, max] range (the top endpoint lands on 255 or — when
+    * (a·255.0)/a rounds just below 255 — on 254; both engines compute the
+    * identical double expression, so the oracle pairing is unaffected);
+    * a constant vector degenerates to all-zero codes.
     *
     * Row-local Column algebra: no shuffle, linear at 100 TB. The audit
     * columns are chosen for ENGINE-INDEPENDENT verification: code_sum /

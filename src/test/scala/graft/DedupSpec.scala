@@ -131,4 +131,19 @@ class DedupSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(out.toSeq == Seq((1L, 3L)))
   }
+
+  test("operating-point guard: oracle corpus keeps a Jaccard gap around 0.5") {
+    // q_minhash_lsh / q_cross_source_dups pair their value oracles on the
+    // banding-recall argument: at the 0.5 / 32×2 operating point recall is
+    // 1-ε only because no exact-Jaccard pair sits NEAR the threshold (the
+    // measured corpus gap: nothing between ~0.15 and 0.8). If the test
+    // corpus is ever regenerated with pairs inside that window, fail HERE,
+    // loudly, instead of surfacing as an inscrutable oracle hash mismatch.
+    val docs = graft.ops.TextAnalysis.documents(spark, "/root/testdata/sf0.01")
+    val inWindow = Dedup.ngramJaccardPairs(docs, threshold = 0.2)
+      .filter(col("jaccard") < 0.75)
+    assert(inWindow.count() == 0,
+      "corpus has exact-Jaccard pairs inside (0.2, 0.75) — the minHashLsh " +
+        "recall-(1-ε) oracle argument no longer holds at threshold 0.5")
+  }
 }

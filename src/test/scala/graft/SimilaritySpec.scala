@@ -88,7 +88,7 @@ class SimilaritySpec extends SparkTestBase {
     assert(out.count() == 5, "fallback training produced no search results")
   }
 
-  test("quantizeEmbeddings: endpoints map to 0/255, constant vector to zeros") {
+  test("quantizeEmbeddings: codes stay in 0..255 (exact 255 on this range), constant vector to zeros") {
     val e = Seq(
       // range [0,2]: codes floor(x*255/2) → 0, 127 (floor 127.5), 255
       (1L, Array(0.0f, 1.0f, 2.0f)),

@@ -14,6 +14,8 @@ object SparkTestBase {
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      // events.parquet is TIMESTAMP(NANOS) — see Analytics.events
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .appName("graft-test")
       .getOrCreate()
