@@ -38,6 +38,44 @@ object SparkEntry {
     nearDupPairsCache.getOrElseUpdate((s, d),
       Dedup.minHashLsh(TextAnalysis.documents(s, d), 0.5, bands = 32).persist())
 
+  /** ANN-oracle planted corpus: the natural embeddings plus 12 IDENTICAL
+    * twins of each query vector (vec_id < 10), at twin ids
+    * 1000000 + query*100 + j. Identical copies make the approximate
+    * paths' recall EXACTLY 1 by construction — a twin's RHP signature
+    * equals the query's, so every LSH band collides, and its IVF cell
+    * assignment equals the query's, whose cell is always the top probe —
+    * while the natural corpus's max pairwise cosine (measured 0.51 at
+    * sf0.01/0.001) keeps every non-twin far below twin similarity. The
+    * true top-10 per query is therefore its 10 lowest-id twins in BOTH
+    * engines (equal cos values tie-break on vec_id), which is what lets
+    * q_ann_lsh / q_ann_ivf carry the exact brute-force DuckDB oracle
+    * instead of a rows-only check. The recall-<1 behavior on continuum
+    * corpora stays measured in SimilaritySpec's recall curves.
+    */
+  private def annPlanted(e: DataFrame): DataFrame = {
+    val base = e.select(col("vec_id"), col("embedding"))
+    base.unionByName(
+      base.filter(col("vec_id") < 10)
+        .select(col("vec_id"), col("embedding"),
+          explode(sequence(lit(0L), lit(11L))).as("j"))
+        .select((lit(1000000L) + col("vec_id") * 100L + col("j")).as("vec_id"),
+          col("embedding")))
+  }
+
+  /** Near-dup-oracle planted corpus: one identical twin (vec_id +
+    * 2000000) for every vec_id % 7 == 0. Same recall-exactly-1 argument
+    * as [[annPlanted]]: identical signatures collide on every band, and
+    * at threshold 0.9 the only qualifying pairs are the planted twins
+    * (natural max cosine 0.51), so the LSH output EQUALS the all-pairs
+    * exact set and pairs with the brute-force oracle.
+    */
+  private def neardupPlanted(e: DataFrame): DataFrame = {
+    val base = e.select(col("vec_id"), col("embedding"))
+    base.unionByName(
+      base.filter(pmod(col("vec_id"), lit(7L)) === 0L)
+        .select((col("vec_id") + 2000000L).as("vec_id"), col("embedding")))
+  }
+
   /** Flagship: 4-way broadcast star join + aggregate on sf=0.001. */
   def entry(spark: SparkSession): DataFrame = {
     val d = "/root/testdata/sf0.001"
@@ -367,7 +405,11 @@ object SparkEntry {
     "q_neardup_clusters" -> ((s, d) =>
       Dedup.nearDupClusters(TextAnalysis.documents(s, d), nearDupPairs(s, d))),
     "q_embedding_neardup" -> ((s, d) => Dedup.embeddingNearDup(Similarity.embeddings(s, d))),
-    "q_embedding_neardup_lsh" -> ((s, d) => Dedup.embeddingNearDupLsh(Similarity.embeddings(s, d))),
+    // planted identical twins at threshold 0.9 → banding recall exactly 1
+    // → full value oracle (see neardupPlanted)
+    "q_embedding_neardup_lsh" -> ((s, d) =>
+      Dedup.embeddingNearDupLsh(neardupPlanted(Similarity.embeddings(s, d)),
+        threshold = 0.9)),
     // ---- producer plane / sinks (S4, W6, K2; §2.11 X12–X14) ----
     "q_generator" -> ((s, d) => Generator.syntheticEvents(s, 10000L)
       .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
@@ -408,28 +450,57 @@ object SparkEntry {
       val e = Similarity.embeddings(s, d)
       Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10))
     }),
+    // planted twin clusters make the true top-10 per query its 10
+    // lowest-id twins, reachable at recall exactly 1 by both approximate
+    // paths → full value oracle (see annPlanted)
     "q_ann_lsh" -> ((s, d) => {
-      val e = Similarity.embeddings(s, d)
-      Similarity.lshTopK(e, e.filter(col("vec_id") < 10))
+      val planted = annPlanted(Similarity.embeddings(s, d))
+      Similarity.lshTopK(planted, planted.filter(col("vec_id") < 10))
     }),
     "q_ann_ivf" -> ((s, d) => {
-      val e = Similarity.embeddings(s, d)
-      Similarity.ivfTopK(e, e.filter(col("vec_id") < 10))
+      val planted = annPlanted(Similarity.embeddings(s, d))
+      Similarity.ivfTopK(planted, planted.filter(col("vec_id") < 10))
     }),
     "q_centroid_norms" -> ((s, d) => Similarity.labelCentroidNorms(Similarity.embeddings(s, d))),
     "q_quantize_embeddings" -> ((s, d) =>
       Similarity.quantizeEmbeddings(Similarity.embeddings(s, d)))
   )
 
-  /** DuckDB twins. Omitted (→ driver rows-only check): q_ann_lsh,
-    * q_ann_ivf, q_embedding_neardup_lsh (recall < 1 by design — the
-    * corpus's cosine distribution is a continuum with no high-similarity
-    * cluster, so no banding gives recall 1 without degenerating to a
-    * cross join), q_health_check_approx (HLL estimates are
-    * engine-specific). q_minhash_lsh pairs with the exact-Jaccard oracle
-    * (recall 1-ε at its 0.5/32×2 operating point); q_simhash_pairs
-    * recomputes the full replicable-hash signature in SQL.
+  /** DuckDB twins. Omitted (→ driver rows-only check): ONLY
+    * q_health_check_approx — HLL estimates are engine-specific by
+    * nature. Every approximate path now carries a value oracle at a
+    * recall-safe operating point: q_minhash_lsh pairs with the
+    * exact-Jaccard oracle (recall 1-ε at its 0.5/32×2 operating point);
+    * q_simhash_pairs recomputes the full replicable-hash signature in
+    * SQL; q_ann_lsh / q_ann_ivf / q_embedding_neardup_lsh run over
+    * planted identical-twin corpora where banding/probing recall is
+    * exactly 1 (see [[annPlanted]] / [[neardupPlanted]]) and pair with
+    * the brute-force oracle.
     */
+  /** Shared by q_ann_lsh and q_ann_ivf: the exact brute-force top-10 over
+    * the [[annPlanted]] corpus — both approximate paths provably return
+    * it (recall exactly 1 at the planted operating point).
+    */
+  private val annPlantedOracleSql: String =
+    """WITH base AS (SELECT vec_id, embedding FROM embeddings),
+      |c AS (SELECT vec_id, embedding FROM base
+      |      UNION ALL
+      |      SELECT 1000000 + b.vec_id * 100 + j AS vec_id, b.embedding
+      |      FROM base b CROSS JOIN generate_series(0, 11) AS t(j)
+      |      WHERE b.vec_id < 10),
+      |q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM base WHERE vec_id < 10),
+      |scored AS (
+      |  SELECT q.query_id, c.vec_id,
+      |    list_sum(list_transform(range(1, len(q.q_emb) + 1), i -> q.q_emb[i]::DOUBLE * c.embedding[i]::DOUBLE))
+      |    / sqrt(list_sum(list_transform(range(1, len(q.q_emb) + 1), i -> q.q_emb[i]::DOUBLE * q.q_emb[i]::DOUBLE)))
+      |    / sqrt(list_sum(list_transform(range(1, len(c.embedding) + 1), i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))) AS cos
+      |  FROM c CROSS JOIN q WHERE c.vec_id <> q.query_id)
+      |SELECT query_id, rnk, neighbor_id FROM (
+      |  SELECT query_id,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk,
+      |    vec_id AS neighbor_id
+      |  FROM scored) WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q_event_pipeline" ->
       """SELECT event_id AS id,
@@ -1368,6 +1439,17 @@ object SparkEntry {
         |      / sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1), i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)))
         |      / sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1), i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))) >= 0.45
         |ORDER BY vec_a, vec_b""".stripMargin,
+    "q_embedding_neardup_lsh" ->
+      """WITH base AS (SELECT vec_id, embedding FROM embeddings),
+        |c AS (SELECT vec_id, embedding FROM base
+        |      UNION ALL
+        |      SELECT vec_id + 2000000, embedding FROM base WHERE vec_id % 7 = 0)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |FROM c a JOIN c b ON a.vec_id < b.vec_id
+        |WHERE list_sum(list_transform(range(1, len(a.embedding) + 1), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+        |      / sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1), i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)))
+        |      / sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1), i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))) >= 0.9
+        |ORDER BY vec_a, vec_b""".stripMargin,
     "q_ann_brute" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
         |scored AS (
@@ -1381,6 +1463,8 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk,
         |    vec_id AS neighbor_id
         |  FROM scored) WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
+    "q_ann_lsh" -> annPlantedOracleSql,
+    "q_ann_ivf" -> annPlantedOracleSql,
     "q_centroid_norms" ->
       """WITH pos AS (SELECT label, generate_subscripts(embedding, 1) AS j, unnest(embedding) AS v FROM embeddings),
         |sums AS (SELECT label, j, sum(v::DOUBLE) AS s FROM pos GROUP BY label, j),
