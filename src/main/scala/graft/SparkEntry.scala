@@ -76,6 +76,28 @@ object SparkEntry {
         .select((col("vec_id") + 2000000L).as("vec_id"), col("embedding")))
   }
 
+  /** Planted multilingual fragments for q_unicode_tokens — chosen to pin
+    * the text path's Unicode semantics where engines COULD diverge, while
+    * avoiding the mappings where they genuinely do:
+    *  - CJK joined by U+3000 (ideographic space): `\s` is ASCII-only in
+    *    BOTH Java regex and RE2, so the pair must stay ONE token;
+    *  - a combining acute (U+0301) sequence: two codepoints in both
+    *    engines' length()/substr();
+    *  - accented Latin / Cyrillic / lowercase Greek: 1:1 simple case
+    *    mappings only — deliberately NO ß/İ/final-sigma, whose full-case
+    *    semantics differ across engines and would test locale tables,
+    *    not our operators.
+    * The SAME Scala strings are interpolated into the oracle SQL, so the
+    * planted bytes are identical on both sides by construction.
+    */
+  private val uniFrags = Seq(
+    "你好世界\u3000机器学习", // U+3000 via source escape: visually blank, not regex \s
+    "日本語のテキスト処理",
+    "Élan Café Naïve Über",
+    "Привет Мир αλφα βητα")
+  // combining acute (e + U+0301), NOT precomposed U+00E9 — two codepoints
+  private val uniTail = "e\u0301toile"
+
   /** Flagship: 4-way broadcast star join + aggregate on sf=0.001. */
   def entry(spark: SparkSession): DataFrame = {
     val d = "/root/testdata/sf0.001"
@@ -296,6 +318,29 @@ object SparkEntry {
       TextAnalysis.repetitionSignals(TextAnalysis.documents(s, d))),
     "q_doc_chunks" -> ((s, d) =>
       TextAnalysis.chunkDocuments(TextAnalysis.documents(s, d))),
+    // Unicode hardening: planted multilingual text (CJK, U+3000, a
+    // combining mark, accented Latin/Cyrillic/Greek) driven through the
+    // SAME tokens/charTrigrams/bpeish operators as the ASCII corpus —
+    // pins split/lower/length/substr codepoint semantics cross-engine
+    // (see uniFrags for what is deliberately in and out of scope)
+    "q_unicode_tokens" -> ((s, d) => {
+      val planted = TextAnalysis.documents(s, d).select(col("doc_id"),
+        concat_ws(" ",
+          element_at(array(uniFrags.map(lit): _*),
+            pmod(col("doc_id"), lit(4)).cast("int") + 1),
+          lit(uniTail), col("doc_id").cast("string")).as("text"))
+      val toks = TextAnalysis.tokens(col("text"))
+      val tris = TextAnalysis.charTrigrams(col("text"))
+      planted.select(
+          col("doc_id"),
+          length(col("text")).cast("long").as("n_chars"),
+          size(toks).cast("long").as("n_tokens"),
+          TextAnalysis.bpeishTokenCount(col("text")).as("n_bpeish"),
+          size(tris).cast("long").as("n_trigrams"),
+          md5(array_join(toks, "|")).as("tokens_md5"),
+          md5(array_join(tris, "|")).as("trigrams_md5"))
+        .orderBy(col("doc_id"))
+    }),
     "q_pii_redact" -> ((s, d) => {
       // the corpus is digit-free word-soup, so the query PLANTS
       // deterministic PII per doc_id (the oracle plants the identical
@@ -1096,6 +1141,29 @@ object SparkEntry {
         |  least(32, len(t) - s + 1)::BIGINT AS n_chunk_tokens,
         |  array_to_string(t[s : s + 31], ' ') AS chunk_text
         |FROM st ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q_unicode_tokens" ->
+      s"""WITH planted AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 4 WHEN 0 THEN '${uniFrags(0)}' WHEN 1 THEN '${uniFrags(1)}'
+        |         WHEN 2 THEN '${uniFrags(2)}' ELSE '${uniFrags(3)}' END
+        |    || ' ' || '$uniTail' || ' ' || doc_id::VARCHAR AS text
+        |  FROM documents),
+        |t AS (
+        |  SELECT doc_id, text, lower(text) AS lt,
+        |    regexp_split_to_array(lower(text), '\\s+') AS toks,
+        |    CASE WHEN length(lower(text)) >= 3
+        |         THEN list_transform(range(1, length(lower(text)) - 1),
+        |                             i -> substr(lower(text), i::INT, 3))
+        |         ELSE [] END AS tris
+        |  FROM planted)
+        |SELECT doc_id,
+        |  length(text)::BIGINT AS n_chars,
+        |  len(toks)::BIGINT AS n_tokens,
+        |  len(regexp_extract_all(lt, '[a-z]+|[0-9]+|[^a-z0-9\\s]'))::BIGINT AS n_bpeish,
+        |  len(tris)::BIGINT AS n_trigrams,
+        |  md5(array_to_string(toks, '|')) AS tokens_md5,
+        |  md5(array_to_string(tris, '|')) AS trigrams_md5
+        |FROM t ORDER BY doc_id""".stripMargin,
     "q_pii_redact" ->
       """WITH planted AS (
         |  SELECT doc_id, text

@@ -180,4 +180,31 @@ class TextAnalysisSpec extends SparkTestBase {
     // overlap: chunk 0 and 1 share w5 w6 (chunkSize − stride = 2 tokens)
     assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0L, 2L, "tiny doc")))
   }
+
+  test("unicode invariants: U+3000 is not \\s, combining marks count, CJK substr") {
+    // the invariants q_unicode_tokens' oracle pairing rests on, pinned
+    // in-repo so an engine/JDK upgrade that shifts them fails HERE first
+    val df = Seq(
+      (1L, "你好世界\u3000机器学习 test"), // U+3000 inside, ASCII space before test inside, ASCII space before test
+      (2L, "e\u0301toile caf\u00e9") // combining acute + precomposed e-acute
+    ).toDF("doc_id", "text")
+    val toks = df.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    // Java regex \s is ASCII-only: the ideographic space does NOT split
+    assert(toks(1L) == Seq("你好世界　机器学习", "test"))
+    assert(toks(2L) == Seq("e\u0301toile", "caf\u00e9")) // combining mark survives lower()
+    val stats = df.select(col("doc_id"),
+        length(col("text")).as("n"),
+        size(TextAnalysis.charTrigrams(col("text"))).as("ntri"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    // length counts CODEPOINTS: 8 CJK + U+3000 + space + 4 = 14;
+    // combining sequence = 2 codepoints: 7 + space + 4 = 12
+    assert(stats(1L) == ((14, 12)))
+    assert(stats(2L) == ((12, 10)))
+    // substr walks codepoints, not bytes: first trigram is 3 CJK chars
+    val tri0 = df.filter(col("doc_id") === 1L)
+      .select(element_at(TextAnalysis.charTrigrams(col("text")), 1))
+      .collect()(0).getString(0)
+    assert(tri0 == "你好世")
+  }
 }
