@@ -335,6 +335,69 @@ object Similarity {
       spark.read.parquet(s"$path/centroids"),
       k, nProbe)
 
+  /** Incremental index maintenance: append a batch of new vectors to a
+    * [[buildIvfIndex]] table WITHOUT retraining — one narrow assign-only
+    * pass against the STORED centroid model, dynamic-partition-appended
+    * into only the cell directories the batch touches. This is the
+    * standard serving-index shape (train once, add forever): at 100 TB
+    * re-running Lloyd per arriving batch is the dominant cost, and
+    * assignment quality for new vectors equals the base build's as long
+    * as the data distribution hasn't drifted. Measure THAT with
+    * [[ivfIndexStaleness]] and retrain when the drift says so, not on a
+    * timer. Existing cells are never read or rewritten.
+    */
+  def appendToIvfIndex(
+      spark: SparkSession,
+      path: String,
+      newVectors: DataFrame): Unit =
+    assignToCell(newVectors, spark.read.parquet(s"$path/centroids"))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
+
+  /** Staleness report for a [[buildIvfIndex]] table — the retrain signal
+    * for [[appendToIvfIndex]]: per cell, the current member count, the
+    * mean cosine distance of members to the STORED centroid, and the
+    * centroid SHIFT (L2 distance between the stored centroid and the
+    * current member mean — exactly the quantity one more Lloyd step
+    * would correct). A freshly converged index reports shift ≈ 0;
+    * appended batches that drift the distribution raise it, cell by
+    * cell. One aggregate over the index, centroids broadcast; the
+    * centroid cast follows the assignment's dtype (a persisted index
+    * reads `cell` back as a hive-partition INT — cast-direction trap
+    * pinned in SimilaritySpec).
+    */
+  def ivfIndexStaleness(
+      spark: SparkSession,
+      path: String,
+      dim: Int = 64): DataFrame = {
+    import graft.functions.VectorFunctions.vecDot
+    val cells = spark.read.parquet(s"$path/cells")
+    val cellType = cells.schema("cell").dataType
+    val cents = spark.read.parquet(s"$path/centroids")
+      .select(col("cell").cast(cellType).as("cell"), col("centroid"),
+        Dedup.vecNorm(col("centroid")).as("cnorm"))
+    cells
+      .join(broadcast(cents), "cell")
+      .withColumn("cosd",
+        lit(1.0) - vecDot(col("embedding"), col("centroid"))
+          / Dedup.vecNorm(col("embedding")) / col("cnorm"))
+      .groupBy(col("cell"))
+      .agg(
+        count(lit(1)).as("n_vectors"),
+        round(avg(col("cosd")), 6).as("mean_cos_dist"),
+        array((0 until dim).map(j =>
+          avg(element_at(col("embedding"), j + 1).cast("double"))): _*)
+          .as("cur_mean"),
+        first(col("centroid")).as("centroid"))
+      .withColumn("centroid_shift",
+        round(sqrt(aggregate(
+          zip_with(col("cur_mean"), col("centroid"),
+            (m, c) => (m - c.cast("double")) * (m - c.cast("double"))),
+          lit(0.0), (acc, v) => acc + v)), 6))
+      .select(col("cell").cast("long").as("cell"), col("n_vectors"),
+        col("mean_cos_dist"), col("centroid_shift"))
+      .orderBy(col("cell"))
+  }
+
   /** Nearest-centroid assignment, genuinely narrow on the corpus side:
     * the centroid table collapses to ONE row holding an array of
     * (cell, centroid, norm) structs, broadcast-nested-loop joined onto the

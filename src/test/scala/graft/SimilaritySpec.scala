@@ -113,4 +113,80 @@ class SimilaritySpec extends SparkTestBase {
     assert(out(0L) == ((2L, 1.0)))
     assert(out(1L) == ((1L, 2.0)))
   }
+
+  test("incremental IVF: assign-only append keeps recall; appended twins are found") {
+    val e = Similarity.embeddings(spark, "/root/testdata/sf0.001")
+    val base = e.filter($"vec_id" < 350).select($"vec_id", $"embedding")
+    val extra = e.filter($"vec_id" >= 350).select($"vec_id", $"embedding")
+    val queries = e.filter($"vec_id" < 5).select($"vec_id", $"embedding")
+    val incDir = java.nio.file.Files.createTempDirectory("ivf_inc").toString
+    val scrDir = java.nio.file.Files.createTempDirectory("ivf_scr").toString
+    Similarity.buildIvfIndex(base, incDir, nCells = 8, trainSampleMod = 1)
+    Similarity.appendToIvfIndex(spark, incDir, extra)
+    Similarity.buildIvfIndex(e.select($"vec_id", $"embedding"), scrDir,
+      nCells = 8, trainSampleMod = 1)
+    assert(spark.read.parquet(s"$incDir/cells").count() == e.count(),
+      "append did not land every new vector in the index")
+
+    def neighborSets(path: String): Map[Long, Set[Long]] =
+      Similarity.ivfSearchIndexed(spark, path, queries, k = 10, nProbe = 3)
+        .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val brute = Similarity.bruteForceTopK(e, queries, k = 10)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def recall(m: Map[Long, Set[Long]]): Double =
+      // keys.toSeq: mapping over the key SET would collapse equal
+      // per-query recalls before the sum
+      brute.keys.toSeq.map(q => (m.getOrElse(q, Set.empty) & brute(q)).size / 10.0)
+        .sum / brute.size
+    val rInc = recall(neighborSets(incDir))
+    val rScr = recall(neighborSets(scrDir))
+    // the incremental index searches base+appended with the BASE-trained
+    // quantizer; its recall must stay within noise of a scratch rebuild
+    // at the same nProbe (and both well above chance)
+    assert(rInc >= rScr - 0.1, s"incremental recall $rInc vs scratch $rScr")
+    assert(rInc > 0.5, s"incremental recall degenerate: $rInc")
+
+    // deterministic completeness: append EXACT copies of the queries —
+    // a twin assigns to its query's argmax cell, which is always the
+    // query's top probe, so it MUST surface as the new top-1
+    Similarity.appendToIvfIndex(spark, incDir,
+      queries.select(($"vec_id" + 100000L).as("vec_id"), $"embedding"))
+    val top1 = Similarity.ivfSearchIndexed(spark, incDir, queries, k = 1, nProbe = 3)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toMap
+    (0L until 5L).foreach(q =>
+      assert(top1(q) == q + 100000L, s"appended twin of $q not found as top-1"))
+  }
+
+  test("ivfIndexStaleness: converged index near zero shift; drifted append raises it") {
+    def unit(j: Int) = Array.tabulate(64)(i => if (i == j) 1.0f else 0.0f)
+    // seeds (two lowest ids) start one per true cluster; identical
+    // members make the Lloyd fixpoint the EXACT cluster mean, so a fresh
+    // index must report shift == 0 on both cells
+    val rows = (0L until 20L).map(i =>
+      (i, if (i % 2 == 0) unit(0) else unit(1)))
+    val dir = java.nio.file.Files.createTempDirectory("ivf_stale").toString
+    Similarity.buildIvfIndex(rows.toDF("vec_id", "embedding"), dir,
+      nCells = 2, maxIters = 10, trainSampleMod = 1)
+    val fresh = Similarity.ivfIndexStaleness(spark, dir).collect()
+      .map(r => r.getAs[Long]("cell") ->
+        (r.getAs[Long]("n_vectors"), r.getAs[Double]("mean_cos_dist"),
+          r.getAs[Double]("centroid_shift"))).toMap
+    assert(fresh.size == 2)
+    fresh.values.foreach { case (n, cosd, shift) =>
+      assert(n == 10L)
+      assert(cosd < 1e-9, s"fresh index mean_cos_dist $cosd")
+      assert(shift < 1e-9, s"fresh index centroid_shift $shift")
+    }
+    // drifted batch near cluster 0 (rotated toward a third axis): its
+    // cell's member mean moves off the stored centroid, the other stays
+    val drifted = (100L until 110L).map(i =>
+      (i, Array.tabulate(64)(j => if (j == 0) 0.8f else if (j == 2) 0.6f else 0.0f)))
+    Similarity.appendToIvfIndex(spark, dir, drifted.toDF("vec_id", "embedding"))
+    val after = Similarity.ivfIndexStaleness(spark, dir).collect()
+      .map(r => r.getAs[Long]("cell") -> r.getAs[Double]("centroid_shift")).toMap
+    assert(after.values.max > 0.01, s"drift not visible in shift: $after")
+    assert(after.values.min < 1e-9, s"untouched cell drifted: $after")
+  }
 }
