@@ -325,10 +325,11 @@ object TextAnalysis {
     *
     * Shape at 100 TB: the model is a (term) hash aggregate — vocabulary-
     * sized, not corpus-sized; the only broadcast is the 1-row total; the
-    * scoring join shuffles tokens and model on the term key (both sides
-    * hash-partitioned — stopword heavy hitters are exactly the skew AQE's
-    * skew-join split handles, see [[graft.ops.Skew]]); the final per-doc
-    * aggregate is partial+final. Nothing corpus-sized on the driver.
+    * scoring join shuffles tokens and model on the term key, and the
+    * stopword heavy hitters land on AQE's skew-join split (pinned in
+    * SkewSpec) — which needs the explicit model-side exchange below; the
+    * final per-doc aggregate is partial+final. Nothing corpus-sized on
+    * the driver.
     *
     * avg() over doubles follows the q_event_summary precedent: rounded
     * to 4 decimals, where partial-aggregation order cannot surface.
@@ -347,7 +348,23 @@ object TextAnalysis {
       .select(col("term"),
         log(col("c").cast("double") / col("total").cast("double"))
           .as("logp"))
-    toks.join(model, "term")
+    // the model must reach the join through a REAL exchange: AQE's
+    // OptimizeSkewedJoin pattern-matches sort-over-shuffle-stage on BOTH
+    // join children, and the model's term-keyed aggregate already
+    // satisfies the join's distribution, so no exchange is planned and
+    // the token side's stopword hot partitions can never be split — at
+    // ANY scale, a structural property of the plan shape, not a sizing
+    // threshold. An explicit .repartition(term) does not help either:
+    // AQE removes it as redundant against the aggregate's partitioning.
+    // The OptimizerBarrier alias is the one thing that works — it hides
+    // the child partitioning from EnsureRequirements, forcing a plain
+    // exchange of the vocabulary-sized model (noise at any scale) and
+    // buying the skew split on the corpus-sized side. All three facts —
+    // split engaging here, the relational baseline, and results being
+    // join-identical — are pinned in SkewSpec.
+    toks.join(model.select(
+        graft.functions.BarrierFunctions.barrier(col("term")).as("term"),
+        col("logp")), "term")
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_tokens"),
