@@ -31,8 +31,24 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // streaming-plane throughput (full parse→validate→enrich→score chain
+    // over generated wire JSON, warm-up then timed) rides in the same
+    // artifact so every round's bench carries the events/s number next to
+    // the query timings; -1 marks a failed measurement
+    val tputEvents = sys.env.getOrElse("SPARK_GRAFT_TPUT_EVENTS", "2000000").toLong
+    val streamEps = try {
+      val wire = graft.ops.Generator.toWire(
+        graft.ops.Generator.randomEvents(spark, tputEvents),
+        Seq("id", "timestamp", "message", "user_id", "event_type", "value"))
+      graft.ops.EventPipeline.fromRawJson(wire).count()
+      val t0 = System.nanoTime()
+      graft.ops.EventPipeline.fromRawJson(wire).count()
+      math.round(tputEvents / ((System.nanoTime() - t0) / 1e9)).toDouble
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] throughput failed: ${e.getMessage}"); -1.0 }
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""stream_events_per_sec":$streamEps,"stream_events":$tputEvents,"sf":"$sfDir"}"""
     // The driver captures a bounded TAIL of stdout; the full single-line
     // JSON can exceed it (round-2/3 artifacts lost the total and the
     // slowest timings). Durability: (a) persist the complete JSON to a
