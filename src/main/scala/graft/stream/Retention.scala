@@ -185,6 +185,20 @@ object Retention {
   private def rewriteManifest(fs: FileSystem, root: Path, plan: SweepPlan): Int = {
     val metaDir = new Path(root, MetadataDir)
     if (!fs.exists(metaDir)) return 0
+    // FIRST resolve log-rewrite tmps from a crashed predecessor: a crash
+    // between writeFileAtomic's delete and rename leaves the rewritten
+    // content ONLY in `<name>.graft-tmp`, and the log listing below
+    // matches numeric names only — without this sweep the log file would
+    // silently vanish from the manifest. Orig missing → finish the swap;
+    // orig present → the tmp is a stale pre-delete copy, drop it (this
+    // pass recomputes it idempotently).
+    fs.listStatus(metaDir).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".graft-tmp"))
+      .foreach { tmp =>
+        val orig = new Path(metaDir, tmp.getPath.getName.stripSuffix(".graft-tmp"))
+        if (!fs.exists(orig)) fs.rename(tmp.getPath, orig)
+        else fs.delete(tmp.getPath, false)
+      }
     val logFiles = fs.listStatus(metaDir).toSeq
       .filter(s => s.isFile && s.getPath.getName.matches("""\d+(\.compact)?"""))
       .map(_.getPath)
@@ -347,13 +361,12 @@ object Retention {
     finally out.close()
   }
 
-  /** tmp → delete → rename, with the delete/rename crash window healed by
-    * construction: callers re-run under the intent journal, and a missing
-    * original with a surviving tmp is completed by the rename below.
+  /** tmp → delete → rename. The delete/rename crash window is healed by
+    * [[rewriteManifest]]'s leading tmp sweep on the next (journal-driven)
+    * replay — by the time this runs, no orphan tmp can exist.
     */
   private def writeFileAtomic(fs: FileSystem, p: Path, lines: Seq[String]): Unit = {
     val tmp = new Path(p.getParent, p.getName + ".graft-tmp")
-    if (!fs.exists(p) && fs.exists(tmp)) { fs.rename(tmp, p); return }
     writeLines(fs, tmp, lines)
     fs.delete(p, false)
     fs.rename(tmp, p)

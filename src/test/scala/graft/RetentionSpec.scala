@@ -117,4 +117,39 @@ class RetentionSpec extends SparkTestBase {
     // healing a healthy table is a no-op
     assert(!Retention.healInterruptedSweep(spark, outDir))
   }
+
+  test("log-rewrite crash window: orphan manifest tmp is restored before the replay") {
+    val dir = Files.createTempDirectory("graft_retention_logtmp").toString
+    val outDir = s"$dir/out"
+    runSink(dir, Seq(
+      Seq(wire("a1", "2024-01-10T10:00:00Z"), wire("b1", "2024-01-20T10:00:00Z")),
+      Seq(wire("b2", "2024-01-20T11:00:00Z"))))
+    val before = spark.read.parquet(outDir)
+      .filter(org.apache.spark.sql.functions.col("event_date") >= "2024-01-15")
+      .collect().map(_.toString).sorted
+
+    // crash state: committed intent + aside (as in the heal test), PLUS a
+    // manifest log file caught mid-rewrite — deleted, its content
+    // surviving only as <name>.graft-tmp (writeFileAtomic's delete/rename
+    // window). The heal must restore the log file before filtering, or
+    // that batch's entries vanish from the manifest.
+    val part = "event_date=2024-01-20"
+    val aside = s"$outDir/$part.compact"
+    spark.read.parquet(s"$outDir/$part").coalesce(1).write.parquet(aside)
+    val files = new java.io.File(aside).listFiles()
+      .filter(f => f.isFile && f.getName.startsWith("part-"))
+    Files.writeString(Paths.get(s"$outDir/_graft_sweep_intent"),
+      (Seq("v1", "expired=event_date=2024-01-10", s"compact=$part") ++
+        files.map(f => s"file=$part|${f.getName}|${f.length}|${f.lastModified}"))
+        .mkString("", "\n", "\n"))
+    val log0 = Paths.get(s"$outDir/_spark_metadata/0")
+    Files.move(log0, Paths.get(s"$outDir/_spark_metadata/0.graft-tmp"))
+
+    assert(Retention.healInterruptedSweep(spark, outDir))
+    assert(!new java.io.File(s"$outDir/_spark_metadata/0.graft-tmp").exists())
+    assert(new java.io.File(s"$outDir/_spark_metadata/0").exists())
+    val after = spark.read.parquet(outDir).collect().map(_.toString).sorted
+    assert(after.toSeq == before.toSeq,
+      "manifest lost a batch's entries across the log-rewrite crash window")
+  }
 }
