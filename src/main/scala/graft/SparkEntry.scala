@@ -396,6 +396,11 @@ object SparkEntry {
           md5(col("kept_text")).as("kept_md5"))
         .orderBy(col("doc_id"))
     }),
+    // budget 512 at this corpus (~60 tokens/doc, ~62 docs/shard) gives
+    // ~7 bins per shard — bin boundaries and straddles actually exercise
+    "q_token_packing" -> ((s, d) =>
+      Corpus.packTokenBudget(TextAnalysis.documents(s, d),
+        budget = 512L, nShards = 8)),
     // ---- end-to-end corpus curation (capstone: §7.4 composed) ----
     "q_corpus_curation" -> ((s, d) => Corpus.curate(TextAnalysis.documents(s, d))),
     "q_corpus_curation_neardup" -> ((s, d) =>
@@ -1288,6 +1293,21 @@ object SparkEntry {
         |  md5(coalesce(a.kept_text, '')) AS kept_md5
         |FROM planted p LEFT JOIN agg a USING (doc_id)
         |ORDER BY p.doc_id""".stripMargin,
+    "q_token_packing" ->
+      """WITH t AS (
+        |  SELECT doc_id, doc_id % 8 AS shard,
+        |    len(regexp_split_to_array(lower(text), '\s+'))::BIGINT AS n_tokens
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS end_offset
+        |  FROM t)
+        |SELECT doc_id, shard, n_tokens,
+        |  (end_offset - n_tokens)::BIGINT AS start_offset,
+        |  ((end_offset - n_tokens) // 512)::BIGINT AS bin_id,
+        |  ((end_offset - n_tokens) % 512)::BIGINT AS bin_offset
+        |FROM w ORDER BY doc_id""".stripMargin,
     "q_corpus_curation" ->
       """WITH scored AS (
         |  SELECT doc_id, lang,

@@ -310,6 +310,45 @@ object Corpus {
           .otherwise(0L)), lit(0L)).as("n_cross_source"))
   }
 
+  /** Sequence packing (concat-and-cut) — the step that turns a curated
+    * corpus into fixed-length training sequences: documents are
+    * concatenated in deterministic order within hash shards and cut into
+    * `budget`-token bins; each document reports the shard-local stream
+    * offset where it starts, the bin that offset falls in, and its
+    * offset inside that bin (a document may straddle into the next bin —
+    * the standard GPT-style packing, chosen over first-fit exactly
+    * because it is a pure running sum: first-fit's bin state is a
+    * sequential recursion no window can express).
+    *
+    * Shape at 100 TB: the ONLY window is partitioned by shard — packing
+    * is embarrassingly parallel across shards, and each shard's sort is
+    * a partition-local sort, never a global order funneling the corpus
+    * through one task (which is also how real packers run: one packer
+    * per output shard). Everything is exact integer arithmetic —
+    * engine-independent by construction.
+    */
+  def packTokenBudget(
+      docs: DataFrame,
+      budget: Long = 2048L,
+      nShards: Int = 8): DataFrame = {
+    require(budget > 0, "token budget must be positive")
+    require(nShards > 0, "shard count must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col("doc_id"),
+        pmod(col("doc_id"), lit(nShards.toLong)).as("shard"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("end_offset", sum(col("n_tokens")).over(w))
+      .withColumn("start_offset", col("end_offset") - col("n_tokens"))
+      .withColumn("bin_id", expr(s"start_offset div $budget"))
+      .withColumn("bin_offset", pmod(col("start_offset"), lit(budget)))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        col("start_offset"), col("bin_id"), col("bin_offset"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Benchmark decontamination — the check every LLM training pipeline
     * runs before a corpus ships: flag training documents that share
     * n-gram spans with an evaluation/benchmark set. Standard practice is

@@ -177,4 +177,36 @@ class CorpusSpec extends SparkTestBase {
         minOverlapE4 = 5000).collect().map(_.getAs[Long]("doc_id")).toSeq
     assert(gated == Seq(2L))
   }
+
+  test("packTokenBudget: hand-computed bins, straddles, shard-local invariants") {
+    // one shard (nShards=1), budget 5; token counts 3,4,2,6 ->
+    // starts 0,3,7,9 -> bins 0,0,1,1; offsets 0,3,2,4 (doc 2 straddles
+    // bins 0->1, doc 4 straddles 1->2 -- concat-and-cut semantics)
+    val docs = Seq(
+      (1L, "a b c"), (2L, "d e f g"), (3L, "h i"), (4L, "j k l m n o")
+    ).toDF("doc_id", "text")
+    val out = Corpus.packTokenBudget(docs, budget = 5L, nShards = 1).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("start_offset"), r.getAs[Long]("bin_id"),
+          r.getAs[Long]("bin_offset"))).toMap
+    assert(out(1L) == ((0L, 0L, 0L)))
+    assert(out(2L) == ((3L, 0L, 3L)))
+    assert(out(3L) == ((7L, 1L, 2L)))
+    assert(out(4L) == ((9L, 1L, 4L)))
+
+    // sharded invariants on the real corpus: offsets contiguous within
+    // each shard in doc_id order, bin_offset always under budget
+    val corpus = graft.ops.TextAnalysis.documents(spark, "/root/testdata/sf0.001")
+    val packed = Corpus.packTokenBudget(corpus, budget = 512L, nShards = 8).collect()
+    assert(packed.forall(r => r.getAs[Long]("bin_offset") < 512L))
+    packed.groupBy(_.getAs[Long]("shard")).foreach { case (_, rows) =>
+      val inOrder = rows.sortBy(_.getAs[Long]("doc_id"))
+      inOrder.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("start_offset") + a.getAs[Long]("n_tokens") ==
+            b.getAs[Long]("start_offset"), "shard token stream has a gap")
+        case _ =>
+      }
+    }
+  }
 }
