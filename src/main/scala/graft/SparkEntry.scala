@@ -377,6 +377,8 @@ object SparkEntry {
       Corpus.sourceMixture(TextAnalysis.documents(s, d))),
     "q_unigram_logprob" -> ((s, d) =>
       TextAnalysis.unigramLogProb(TextAnalysis.documents(s, d))),
+    "q_logprob_buckets" -> ((s, d) =>
+      TextAnalysis.logProbBuckets(TextAnalysis.documents(s, d))),
     "q_line_dedup" -> ((s, d) => {
       // corpus texts are single-line and (nearly) unique, so the query
       // PLANTS boilerplate lines deterministically (the oracle plants
@@ -1268,6 +1270,17 @@ object SparkEntry {
         |SELECT doc_id, count(*)::BIGINT AS n_tokens, round(avg(logp), 4) AS avg_logprob
         |FROM tok JOIN model USING (term)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_logprob_buckets" ->
+      """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS term FROM documents),
+        |cnt AS (SELECT term, count(*) AS c FROM tok GROUP BY 1),
+        |tot AS (SELECT sum(c)::DOUBLE AS total FROM cnt),
+        |model AS (SELECT term, ln(c::DOUBLE / total) AS logp FROM cnt CROSS JOIN tot),
+        |perdoc AS (
+        |  SELECT doc_id, count(*)::BIGINT AS n_tokens, round(avg(logp), 4) AS avg_logprob
+        |  FROM tok JOIN model USING (term) GROUP BY doc_id)
+        |SELECT floor(avg_logprob * 10.0)::BIGINT AS bucket,
+        |  count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS n_tokens
+        |FROM perdoc GROUP BY 1 ORDER BY bucket""".stripMargin,
     "q_line_dedup" ->
       """WITH planted AS (
         |  SELECT doc_id, text

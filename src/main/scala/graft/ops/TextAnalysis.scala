@@ -372,6 +372,26 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Corpus quality histogram over the LM score — the perplexity-bucket
+    * report a curation run reads before choosing its quality cutoffs:
+    * documents bucketed by floor(10 × mean token log-prob) — deci-nat
+    * buckets, fine enough that a natural corpus (whose scores cluster
+    * within ~1 nat) spreads over several — with doc and token mass per
+    * bucket. Composes [[unigramLogProb]]; the bucket key is the floor
+    * of a product of the already-4dp-rounded score with an exact small
+    * constant, so both engines floor bit-identical doubles
+    * (engine-independent by the same argument as the underlying query's
+    * hash pairing). One extra dimension-sized aggregate over the
+    * per-doc scores.
+    */
+  def logProbBuckets(docs: DataFrame): DataFrame =
+    unigramLogProb(docs)
+      .select(col("n_tokens"),
+        floor(col("avg_logprob") * 10.0).cast("long").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      .orderBy(col("bucket"))
+
   /** Top-N vocabulary + per-document out-of-vocabulary rate — the
     * tokenizer-coverage check a training pipeline runs before committing
     * to a vocab: rank terms by corpus frequency (ties by term asc, so

@@ -154,6 +154,16 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(out(1L)._2 > out(2L)._2)
   }
 
+  test("logProbBuckets: floors of the hand-computed scores, token mass per bucket") {
+    // same corpus as above: scores -0.877 ("a a b") and -1.0601
+    // ("a c") -> deci-buckets floor(-8.77) = -9 and floor(-10.601) = -11
+    val df = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    val out = TextAnalysis.logProbBuckets(df).collect()
+      .map(r => r.getAs[Long]("bucket") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"))).toMap
+    assert(out == Map(-9L -> ((1L, 3L)), -11L -> ((1L, 2L))))
+  }
+
   test("vocabOovRate: cutoff tie-break by term, exact OOV fractions") {
     // counts: b:3 a:2 c:2 d:1 → top-2 vocab must be {b, a} (count desc,
     // term asc breaks the a/c tie in favor of a)
