@@ -375,6 +375,9 @@ object SparkEntry {
       TextAnalysis.vocabOovRate(TextAnalysis.documents(s, d), vocabSize = 20)),
     "q_source_mixture" -> ((s, d) =>
       Corpus.sourceMixture(TextAnalysis.documents(s, d))),
+    // budget 2000 ≪ corpus tokens so the per-source gates actually cut
+    "q_mixture_budget" -> ((s, d) =>
+      Corpus.applyMixtureBudget(TextAnalysis.documents(s, d), tokenBudget = 2000L)),
     "q_unigram_logprob" -> ((s, d) =>
       TextAnalysis.unigramLogProb(TextAnalysis.documents(s, d))),
     "q_logprob_buckets" -> ((s, d) =>
@@ -1262,6 +1265,34 @@ object SparkEntry {
         |  round(sqrt(n_tokens::DOUBLE) / sum_sqrt, 4) AS weight,
         |  round(sqrt(n_tokens::DOUBLE) / sum_sqrt * 1000000, 0)::BIGINT AS target_tokens
         |FROM ps CROSS JOIN tot ORDER BY source""".stripMargin,
+    "q_mixture_budget" ->
+      """WITH ps AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    sum(len(regexp_split_to_array(lower(text), '\s+')))::BIGINT AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT sum(sqrt(n_tokens::DOUBLE)) AS sum_sqrt FROM ps),
+        |targets AS (
+        |  SELECT source,
+        |    round(sqrt(n_tokens::DOUBLE) / sum_sqrt * 2000, 0)::BIGINT AS target_tokens
+        |  FROM ps CROSS JOIN tot),
+        |d AS (
+        |  SELECT doc_id, source,
+        |    len(regexp_split_to_array(lower(text), '\s+'))::BIGINT AS n_tokens
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) - n_tokens AS cum_before
+        |  FROM d),
+        |kept AS (
+        |  SELECT w.source, t.target_tokens, w.n_tokens
+        |  FROM w JOIN targets t USING (source)
+        |  WHERE w.cum_before < t.target_tokens)
+        |SELECT source, target_tokens,
+        |  count(*)::BIGINT AS n_docs_kept,
+        |  sum(n_tokens)::BIGINT AS n_tokens_kept,
+        |  (sum(n_tokens) * 10000 // target_tokens)::BIGINT AS fill_e4
+        |FROM kept GROUP BY 1, 2 ORDER BY source""".stripMargin,
     "q_unigram_logprob" ->
       """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS term FROM documents),
         |cnt AS (SELECT term, count(*) AS c FROM tok GROUP BY 1),

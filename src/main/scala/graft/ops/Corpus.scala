@@ -206,6 +206,42 @@ object Corpus {
       .orderBy(col("source"))
   }
 
+  /** Materialize the [[sourceMixture]] draw — the step between computing
+    * temperature weights and actually emitting a training corpus: per
+    * source, documents are taken in deterministic doc_id order while the
+    * source's running token count has not yet reached its target; the
+    * straddling document is kept, so every source with a nonzero target
+    * contributes at least one document. Reports per source: the target,
+    * what was actually drawn (docs + tokens), and the exact e4 fill
+    * fraction. A source whose target rounds to zero draws nothing and is
+    * absent from the report.
+    *
+    * Shape at 100 TB: the target table is dimension-sized (broadcast);
+    * the only window is source-partitioned — a partition-local running
+    * sum, no global order. Everything after the window is an exact
+    * integer aggregate.
+    */
+  def applyMixtureBudget(docs: DataFrame, tokenBudget: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val targets = sourceMixture(docs, tokenBudget)
+      .select(col("source"), col("target_tokens"))
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col("doc_id"), col("source"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("cum_before", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .join(broadcast(targets), "source")
+      .filter(col("cum_before") < col("target_tokens"))
+      .groupBy(col("source"), col("target_tokens"))
+      .agg(count(lit(1)).as("n_docs_kept"),
+        sum(col("n_tokens")).as("n_tokens_kept"))
+      .select(col("source"), col("target_tokens"), col("n_docs_kept"),
+        col("n_tokens_kept"),
+        expr("(n_tokens_kept * 10000) div target_tokens").as("fill_e4"))
+      .orderBy(col("source"))
+  }
+
   /** Line-level corpus dedup (CCNet/RefinedWeb-style): drop every line
     * that appears in ≥ `minDf` distinct documents — navigation chrome,
     * cookie banners, boilerplate footers — while keeping each document's

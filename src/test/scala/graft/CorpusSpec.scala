@@ -209,4 +209,29 @@ class CorpusSpec extends SparkTestBase {
       }
     }
   }
+  test("applyMixtureBudget: straddling doc kept, zero-target source absent") {
+    // sources: web has 16 tokens (2 docs x 8), tiny has 4 (1 doc);
+    // sqrt weights 4 and 2 -> targets at budget 12: round(12*4/6)=8,
+    // round(12*2/6)=4. web: doc 1 (8 tokens) fills the target exactly
+    // (cum_before 0 < 8), doc 3 (cum_before 8) is cut. tiny: doc 2 kept.
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8", "web"),
+      (3L, "w1 w2 w3 w4 w5 w6 w7 w8", "web"),
+      (2L, "t1 t2 t3 t4", "tiny")
+    ).toDF("doc_id", "text", "source")
+    val out = Corpus.applyMixtureBudget(docs, tokenBudget = 12L).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("target_tokens"), r.getAs[Long]("n_docs_kept"),
+          r.getAs[Long]("n_tokens_kept"), r.getAs[Long]("fill_e4"))).toMap
+    assert(out("web") == ((8L, 1L, 8L, 10000L)))
+    assert(out("tiny") == ((4L, 1L, 4L, 10000L)))
+
+    // straddle semantics: shrink the budget so web's target (3 tokens)
+    // is smaller than its first doc - the straddling doc must be KEPT
+    val small = Corpus.applyMixtureBudget(docs, tokenBudget = 5L).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs_kept"), r.getAs[Long]("n_tokens_kept"))).toMap
+    assert(small("web")._1 == 1L, "straddling doc must be kept")
+    assert(small("web")._2 == 8L)
+  }
 }
