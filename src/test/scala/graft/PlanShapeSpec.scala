@@ -229,4 +229,31 @@ class PlanShapeSpec extends SparkTestBase {
     assert(hashExchanges == 0,
       s"quantization must not shuffle (row-local transform):\n$p")
   }
+
+  test("sequence packing: one shard exchange, window sort is partition-local") {
+    // the 100 TB claim: packing parallelizes across shards — the ONLY
+    // hash exchange is on the shard key, and the window's sort is a
+    // partition-local [shard, doc_id] sort (global=false); the one
+    // global ordering is the oracle-convention output ORDER BY
+    val p = plan(graft.ops.Corpus.packTokenBudget(
+      graft.ops.TextAnalysis.documents(spark, sf), budget = 512L, nShards = 8))
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).toSeq
+    assert(hashExchanges.length == 1, s"packing must shuffle once, on shard:\n$p")
+    assert(p.contains("Exchange hashpartitioning(shard"), p)
+    assert(p.contains("Sort [shard#"), s"window sort missing:\n$p")
+    assert("Sort \\[shard#\\d+L ASC NULLS FIRST, doc_id#\\d+L ASC NULLS FIRST\\], false"
+      .r.findFirstIn(p).isDefined,
+      s"window sort must be partition-local (global=false):\n$p")
+  }
+
+  test("mixture budget: dimension targets broadcast; corpus shuffles only on source") {
+    val p = plan(graft.ops.Corpus.applyMixtureBudget(
+      graft.ops.TextAnalysis.documents(spark, sf), tokenBudget = 2000L))
+    assert(p.contains("BroadcastHashJoin"),
+      s"targets must broadcast onto the corpus stream:\n$p")
+    // corpus-sized data exchanges hash on source only (window + the
+    // dimension-sized aggregates); the doc stream never shuffles on doc_id
+    assert(!p.contains("Exchange hashpartitioning(doc_id"),
+      s"corpus must not shuffle on doc_id:\n$p")
+  }
 }
