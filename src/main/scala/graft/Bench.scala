@@ -37,13 +37,22 @@ object Bench {
     // the query timings; -1 marks a failed measurement
     val tputEvents = sys.env.getOrElse("SPARK_GRAFT_TPUT_EVENTS", "2000000").toLong
     val streamEps = try {
+      // Materialize the wire JSON BEFORE the timed window: without the
+      // persist, every count() re-executes randomEvents + to_json, so the
+      // "throughput" number measured generation+serialization+parse and
+      // under-reported the parse→enrich→score chain it claims to measure
+      // by ~8x (round-6 verdict finding 1).
       val wire = graft.ops.Generator.toWire(
         graft.ops.Generator.randomEvents(spark, tputEvents),
         Seq("id", "timestamp", "message", "user_id", "event_type", "value"))
-      graft.ops.EventPipeline.fromRawJson(wire).count()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      wire.count() // force materialization outside the timed window
+      graft.ops.EventPipeline.fromRawJson(wire).count() // codegen/JIT warm-up
       val t0 = System.nanoTime()
       graft.ops.EventPipeline.fromRawJson(wire).count()
-      math.round(tputEvents / ((System.nanoTime() - t0) / 1e9)).toDouble
+      val eps = math.round(tputEvents / ((System.nanoTime() - t0) / 1e9)).toDouble
+      wire.unpersist(blocking = false)
+      eps
     } catch { case e: Throwable =>
       System.err.println(s"[bench] throughput failed: ${e.getMessage}"); -1.0 }
     val full =

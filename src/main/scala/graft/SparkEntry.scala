@@ -375,9 +375,13 @@ object SparkEntry {
       TextAnalysis.vocabOovRate(TextAnalysis.documents(s, d), vocabSize = 20)),
     "q_source_mixture" -> ((s, d) =>
       Corpus.sourceMixture(TextAnalysis.documents(s, d))),
-    // budget 2000 ≪ corpus tokens so the per-source gates actually cut
+    // budget 2000 ≪ corpus tokens so the per-source gates actually cut;
+    // shardWidth 64 ≪ doc count so the hierarchical prefix sum composes
+    // across many shards while the oracle runs the sequential window —
+    // the hash match proves the decomposition exact
     "q_mixture_budget" -> ((s, d) =>
-      Corpus.applyMixtureBudget(TextAnalysis.documents(s, d), tokenBudget = 2000L)),
+      Corpus.applyMixtureBudget(TextAnalysis.documents(s, d),
+        tokenBudget = 2000L, shardWidth = 64L)),
     "q_unigram_logprob" -> ((s, d) =>
       TextAnalysis.unigramLogProb(TextAnalysis.documents(s, d))),
     "q_logprob_buckets" -> ((s, d) =>

@@ -216,21 +216,50 @@ object Corpus {
     * fraction. A source whose target rounds to zero draws nothing and is
     * absent from the report.
     *
-    * Shape at 100 TB: the target table is dimension-sized (broadcast);
-    * the only window is source-partitioned — a partition-local running
-    * sum, no global order. Everything after the window is an exact
-    * integer aggregate.
+    * Shape at 100 TB: the target table is dimension-sized (broadcast),
+    * and the per-source running sum is computed HIERARCHICALLY, the same
+    * shape [[packTokenBudget]] uses — a window partitioned by source
+    * alone would pull each source's entire slice (terabytes, sources are
+    * dozens) through one task. Instead docs are range-sharded on
+    * `doc_id div shardWidth` (contiguous id ranges, so shard-local
+    * prefix sums compose by addition): the corpus-sized window is
+    * partitioned by (source, shard) — data-parallel across shards — and
+    * the cross-shard carry is a per-(source, shard) total table
+    * (dimension × shard-count rows, tuned by `shardWidth`), prefix-
+    * summed per source over shard rank (tiny) and broadcast back. The
+    * reconstructed `cum_before` is exactly the sequential per-source
+    * running sum — integer arithmetic, so the decomposition is
+    * bit-identical to the single-window formulation the oracle runs.
     */
-  def applyMixtureBudget(docs: DataFrame, tokenBudget: Long = 1000000L): DataFrame = {
+  def applyMixtureBudget(
+      docs: DataFrame,
+      tokenBudget: Long = 1000000L,
+      shardWidth: Long = 65536L): DataFrame = {
+    require(shardWidth > 0, "shard width must be positive")
     import org.apache.spark.sql.expressions.Window
     val targets = sourceMixture(docs, tokenBudget)
       .select(col("source"), col("target_tokens"))
-    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs
+    val d = docs
       .select(col("doc_id"), col("source"),
+        expr(s"doc_id div $shardWidth").as("mix_shard"),
         size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
-      .withColumn("cum_before", sum(col("n_tokens")).over(w) - col("n_tokens"))
+    // shard-local running sum: partition (source, shard), data-parallel
+    val wLocal = Window.partitionBy(col("source"), col("mix_shard"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // cross-shard carry: total tokens of all LOWER shards of the same
+    // source — computed on the (source, shard) total table, which is
+    // dimension-sized, then broadcast onto the doc stream
+    val wCarry = Window.partitionBy(col("source")).orderBy(col("mix_shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val shardOffsets = d.groupBy(col("source"), col("mix_shard"))
+      .agg(sum(col("n_tokens")).as("shard_tokens"))
+      .select(col("source"), col("mix_shard"),
+        coalesce(sum(col("shard_tokens")).over(wCarry), lit(0L)).as("shard_offset"))
+    d
+      .withColumn("cum_in_shard", sum(col("n_tokens")).over(wLocal) - col("n_tokens"))
+      .join(broadcast(shardOffsets), Seq("source", "mix_shard"))
+      .withColumn("cum_before", col("shard_offset") + col("cum_in_shard"))
       .join(broadcast(targets), "source")
       .filter(col("cum_before") < col("target_tokens"))
       .groupBy(col("source"), col("target_tokens"))

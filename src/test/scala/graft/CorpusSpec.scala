@@ -234,4 +234,30 @@ class CorpusSpec extends SparkTestBase {
     assert(small("web")._1 == 1L, "straddling doc must be kept")
     assert(small("web")._2 == 8L)
   }
+
+  test("applyMixtureBudget: sharded prefix sum is exact at every shard width") {
+    // the hierarchical decomposition must be bit-identical to the
+    // sequential per-source running sum regardless of how doc_ids land
+    // in shards: width 1 (every doc its own shard — cum comes ENTIRELY
+    // from the carry table), width 2 (straddles shard boundaries), and
+    // the huge default (single shard — carry table all zeros)
+    val docs = Seq(
+      (0L, "a b c", "web"), (1L, "d e", "web"), (2L, "f g h i", "web"),
+      (3L, "j", "web"), (4L, "k l m", "wiki"), (5L, "n o p q r", "wiki"),
+      (6L, "s t", "wiki")
+    ).toDF("doc_id", "text", "source")
+    val expect = Corpus.applyMixtureBudget(docs, tokenBudget = 10L,
+      shardWidth = Long.MaxValue).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("target_tokens"),
+        r.getAs[Long]("n_docs_kept"), r.getAs[Long]("n_tokens_kept"),
+        r.getAs[Long]("fill_e4"))).toSeq.sorted
+    for (w <- Seq(1L, 2L, 3L)) {
+      val got = Corpus.applyMixtureBudget(docs, tokenBudget = 10L, shardWidth = w)
+        .collect()
+        .map(r => (r.getAs[String]("source"), r.getAs[Long]("target_tokens"),
+          r.getAs[Long]("n_docs_kept"), r.getAs[Long]("n_tokens_kept"),
+          r.getAs[Long]("fill_e4"))).toSeq.sorted
+      assert(got == expect, s"shardWidth=$w diverged from sequential semantics")
+    }
+  }
 }

@@ -246,14 +246,27 @@ class PlanShapeSpec extends SparkTestBase {
       s"window sort must be partition-local (global=false):\n$p")
   }
 
-  test("mixture budget: dimension targets broadcast; corpus shuffles only on source") {
+  test("mixture budget: sharded prefix sum — no single-task-per-source window") {
     val p = plan(graft.ops.Corpus.applyMixtureBudget(
-      graft.ops.TextAnalysis.documents(spark, sf), tokenBudget = 2000L))
+      graft.ops.TextAnalysis.documents(spark, sf),
+      tokenBudget = 2000L, shardWidth = 64L))
     assert(p.contains("BroadcastHashJoin"),
-      s"targets must broadcast onto the corpus stream:\n$p")
-    // corpus-sized data exchanges hash on source only (window + the
-    // dimension-sized aggregates); the doc stream never shuffles on doc_id
+      s"targets + shard offsets must broadcast onto the corpus stream:\n$p")
+    // the doc stream never shuffles on doc_id
     assert(!p.contains("Exchange hashpartitioning(doc_id"),
       s"corpus must not shuffle on doc_id:\n$p")
+    // the corpus-sized running-sum window is partitioned (source, shard):
+    // its sort is a partition-local [source, mix_shard, doc_id] sort
+    assert(
+      "Sort \\[source#\\d+ ASC NULLS FIRST, mix_shard#\\d+L ASC NULLS FIRST, doc_id#\\d+L ASC NULLS FIRST\\], false"
+        .r.findFirstIn(p).isDefined,
+      s"corpus window must sort (source, mix_shard, doc_id) partition-locally:\n$p")
+    // the round-6 scale finding: a window partitioned by source ALONE over
+    // the doc stream funnels a whole source through one task — its
+    // signature sort [source, doc_id] must not appear anywhere
+    assert(
+      "Sort \\[source#\\d+ ASC NULLS FIRST, doc_id#\\d+L ASC NULLS FIRST\\]"
+        .r.findFirstIn(p).isEmpty,
+      s"per-source-only running-sum window must be gone:\n$p")
   }
 }
