@@ -414,6 +414,76 @@ object Corpus {
       .orderBy(col("doc_id"))
   }
 
+  /** Packed-sequence MATERIALIZATION — the emit step on top of
+    * [[packTokenBudget]]'s offsets: per (shard, bin_id), the actual
+    * concatenated token stream a trainer consumes, plus the doc-span
+    * map (`doc_id:start_in_bin:len`, space-joined in stream order)
+    * that lets a loss mask or attention-reset follow document
+    * boundaries inside the packed sequence.
+    *
+    * A straddling document is split at the bin boundary: each bin gets
+    * exactly the token slice whose global offsets fall inside it, so
+    * the bins tile the shard stream with no gap or overlap and every
+    * bin except a shard's last holds exactly `budget` tokens.
+    *
+    * Shape at 100 TB: ONE corpus-sized exchange — the shard-partitioned
+    * running-sum window (same as [[packTokenBudget]]; the token arrays
+    * ride this shuffle once, unavoidable for materialization). Bin
+    * assembly groups on (shard, bin_id) but Catalyst proves
+    * hashpartitioning(shard) already clusters it, so no second data
+    * exchange (pinned in PlanShapeSpec). The bin-overlap explode is
+    * row-local and emits ~1 row per doc (ceil(n_tokens/budget)+1 worst
+    * case); each assembled bin is ≤ budget tokens — row-sized, never
+    * driver-sized. Parallelism is nShards-bounded, a tuning knob: at
+    * 100 TB you run thousands of output shards, not 8.
+    */
+  def packSequences(
+      docs: DataFrame,
+      budget: Long = 2048L,
+      nShards: Int = 8): DataFrame = {
+    require(budget > 0, "token budget must be positive")
+    require(nShards > 0, "shard count must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pieces = docs
+      .select(col("doc_id"),
+        pmod(col("doc_id"), lit(nShards.toLong)).as("shard"),
+        TextAnalysis.tokens(col("text")).as("toks"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("end_offset", sum(col("n_tokens")).over(w))
+      .withColumn("start_offset", col("end_offset") - col("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      // bins this doc overlaps: [start div budget, (end-1) div budget]
+      .withColumn("bin_id", explode(expr(
+        s"sequence(start_offset div $budget, (end_offset - 1) div $budget)")))
+      // the doc's token slice whose global offsets land in this bin
+      .withColumn("piece_from",
+        greatest(col("bin_id") * lit(budget), col("start_offset")))
+      .withColumn("piece_to",
+        least((col("bin_id") + lit(1L)) * lit(budget), col("end_offset")))
+      .withColumn("piece_len", col("piece_to") - col("piece_from"))
+      .withColumn("piece_toks", expr(
+        "slice(toks, cast(piece_from - start_offset + 1 as int), cast(piece_len as int))"))
+      .withColumn("start_in_bin", pmod(col("piece_from"), lit(budget)))
+    pieces
+      .groupBy(col("shard"), col("bin_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("piece_len")).as("n_tokens"),
+        // pieces tile the bin disjointly, so start_in_bin is unique in
+        // the group and the struct sort reconstructs stream order
+        sort_array(collect_list(struct(
+          col("start_in_bin"), col("doc_id"), col("piece_len"),
+          col("piece_toks")))).as("ps"))
+      .select(col("shard"), col("bin_id"), col("n_docs"), col("n_tokens"),
+        expr("concat_ws(' ', transform(ps, p -> concat(" +
+          "cast(p.doc_id as string), ':', cast(p.start_in_bin as string), " +
+          "':', cast(p.piece_len as string))))").as("doc_spans"),
+        flatten(expr("transform(ps, p -> p.piece_toks)")).as("tokens"))
+      .orderBy(col("shard"), col("bin_id"))
+  }
+
   /** Benchmark decontamination — the check every LLM training pipeline
     * runs before a corpus ships: flag training documents that share
     * n-gram spans with an evaluation/benchmark set. Standard practice is

@@ -209,6 +209,46 @@ class CorpusSpec extends SparkTestBase {
       }
     }
   }
+  test("packSequences: bins tile the shard stream, straddles split at the boundary") {
+    // single shard, budget 5: stream = a b c d e | f g h
+    // bin 0 holds docs 0 (3 toks) + the first 2 of doc 1 (straddle);
+    // bin 1 holds doc 1's tail (2) + doc 2 (1)
+    val docs = Seq(
+      (0L, "a b c"), (1L, "d e f g"), (2L, "h")
+    ).toDF("doc_id", "text")
+    val out = Corpus.packSequences(docs, budget = 5L, nShards = 1).collect()
+    assert(out.length == 2)
+    val b0 = out(0); val b1 = out(1)
+    assert(b0.getAs[Long]("bin_id") == 0L && b0.getAs[Long]("n_docs") == 2L)
+    assert(b0.getAs[Long]("n_tokens") == 5L)
+    assert(b0.getAs[collection.Seq[String]]("tokens").toList == List("a", "b", "c", "d", "e"))
+    assert(b0.getAs[String]("doc_spans") == "0:0:3 1:3:2")
+    assert(b1.getAs[Long]("bin_id") == 1L && b1.getAs[Long]("n_docs") == 2L)
+    assert(b1.getAs[Long]("n_tokens") == 3L)
+    assert(b1.getAs[collection.Seq[String]]("tokens").toList == List("f", "g", "h"))
+    assert(b1.getAs[String]("doc_spans") == "1:0:2 2:2:1")
+
+    // real corpus, 8 shards: reassembling each shard's bins in bin order
+    // must reproduce the concatenated doc-order token stream exactly,
+    // and every non-final bin must hold exactly `budget` tokens
+    val corpus = graft.ops.TextAnalysis.documents(spark, "/root/testdata/sf0.001")
+    val bins = Corpus.packSequences(corpus, budget = 512L, nShards = 8).collect()
+    import org.apache.spark.sql.functions.col
+    val docToks = corpus
+      .select(col("doc_id"), graft.ops.TextAnalysis.tokens(col("text")).as("t"))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[collection.Seq[String]]("t").toList).toMap
+    bins.groupBy(_.getAs[Long]("shard")).foreach { case (shard, rows) =>
+      val inOrder = rows.sortBy(_.getAs[Long]("bin_id"))
+      inOrder.init.foreach(r =>
+        assert(r.getAs[Long]("n_tokens") == 512L, "non-final bin must be full"))
+      val reassembled = inOrder.flatMap(_.getAs[collection.Seq[String]]("tokens")).toList
+      val expected = docToks.keys.toSeq.sorted
+        .filter(id => id % 8 == shard).flatMap(docToks)
+      assert(reassembled == expected, s"shard $shard stream mismatch")
+    }
+  }
+
   test("applyMixtureBudget: straddling doc kept, zero-target source absent") {
     // sources: web has 16 tokens (2 docs x 8), tiny has 4 (1 doc);
     // sqrt weights 4 and 2 -> targets at budget 12: round(12*4/6)=8,

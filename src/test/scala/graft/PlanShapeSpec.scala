@@ -246,6 +246,22 @@ class PlanShapeSpec extends SparkTestBase {
       s"window sort must be partition-local (global=false):\n$p")
   }
 
+  test("sequence materialization: ONE corpus exchange — bin assembly reuses shard partitioning") {
+    // emit = offsets window (shard exchange) + bin assembly; Catalyst
+    // proves hashpartitioning(shard) already clusters (shard, bin_id),
+    // so the token arrays cross the wire exactly once — the only other
+    // exchange is the output-convention range sort
+    val p = plan(graft.ops.Corpus.packSequences(
+      graft.ops.TextAnalysis.documents(spark, sf), budget = 512L, nShards = 8))
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).toSeq
+    assert(hashExchanges.length == 1,
+      s"bin assembly must reuse the window's shard partitioning:\n$p")
+    assert(p.contains("Exchange hashpartitioning(shard"), p)
+    assert("Sort \\[shard#\\d+L ASC NULLS FIRST, doc_id#\\d+L ASC NULLS FIRST\\], false"
+      .r.findFirstIn(p).isDefined,
+      s"window sort must be partition-local (global=false):\n$p")
+  }
+
   test("mixture budget: sharded prefix sum — no single-task-per-source window") {
     val p = plan(graft.ops.Corpus.applyMixtureBudget(
       graft.ops.TextAnalysis.documents(spark, sf),
