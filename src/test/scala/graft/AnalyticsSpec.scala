@@ -29,4 +29,22 @@ class AnalyticsSpec extends SparkTestBase {
       (10L, 2L, 1500000L, 1500000L, 1L),
       (20L, 1L, 42000000L, 42000000L, 1L)))
   }
+
+  test("healthCheckApprox: HLL distincts within 5% of exact on real data") {
+    // q_health_check_approx is the one permanently no_oracle row (sketch
+    // estimates differ across engines) — this bound is its regression
+    // guard: exact-agreeing counters, sketch distincts within the
+    // documented HLL error envelope (default rsd 5%)
+    val events = Analytics.events(spark, "/root/testdata/sf0.01")
+    val exact = Analytics.healthCheck(events).head()
+    val approx = Analytics.healthCheckApprox(events).head()
+    assert(approx.getAs[Long]("total_events") == exact.getAs[Long]("total_events"))
+    assert(approx.getAs[Long]("latest_event_us") == exact.getAs[Long]("latest_event_us"))
+    for (c <- Seq("unique_users", "unique_event_types")) {
+      val e = exact.getAs[Long](c).toDouble
+      val a = approx.getAs[Long](c).toDouble
+      assert(math.abs(a - e) / e <= 0.05,
+        s"$c: sketch $a vs exact $e exceeds the 5% HLL envelope")
+    }
+  }
 }
