@@ -283,24 +283,44 @@ object Corpus {
     * is small and AQE picks a broadcast at runtime — no unconditional
     * hint (the set's size is data-dependent; see the round-2 verdict on
     * hard-coded broadcasts). Reassembly is one per-doc aggregate sorting
-    * the surviving (pos, line) pairs row-locally. At petabyte scale the
-    * line key would be a PolyHash of the line (8-byte keys instead of
-    * line strings riding two shuffles); the string key is kept so the
-    * DuckDB oracle pairing stays readable.
+    * the surviving (pos, line) pairs row-locally.
+    *
+    * `hashKeys = true` is the petabyte-scale variant: the frequency
+    * aggregate and the anti-join run on the 60-bit
+    * [[graft.functions.PolyHashArray]] key, so the exchange feeding the
+    * document-frequency aggregate carries an 8-byte long instead of the
+    * line string (pinned in PlanShapeSpec; line strings then ride only
+    * the per-doc reassembly shuffle, which carries the output itself).
+    * Collision risk is the 60-bit birthday bound (~1e9 distinct lines
+    * for even-odds of ONE collision corpus-wide — and a collision
+    * merely over-counts one line's df). Default stays string-keyed so
+    * the DuckDB oracle pairing is readable; CorpusSpec pins both paths
+    * value-identical.
     *
     * Output: one row per input document — `doc_id, n_lines,
     * n_lines_kept, kept_text` (empty string when every line was
     * boilerplate, so downstream gates see the doc rather than losing it).
     */
-  def lineDedup(docs: DataFrame, minDf: Long = 50L): DataFrame = {
+  def lineDedup(
+      docs: DataFrame,
+      minDf: Long = 50L,
+      hashKeys: Boolean = false): DataFrame = {
     require(minDf >= 2, "minDf < 2 would delete every line in the corpus")
-    val lines = docs.select(col("doc_id"),
+    val rawLines = docs.select(col("doc_id"),
       posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
-    val frequent = lines.groupBy(col("line"))
+    val lines =
+      if (hashKeys) rawLines.withColumn("line_k",
+        element_at(graft.functions.HashFunctions.polyHashArray(
+          array(col("line"))), 1))
+      else rawLines.withColumn("line_k", col("line"))
+    // the frequency branch drops the line string BEFORE the aggregate's
+    // exchange — with hashKeys its shuffle rows are (long, long)
+    val frequent = lines.select(col("line_k"), col("doc_id"))
+      .groupBy(col("line_k"))
       .agg(count_distinct(col("doc_id")).as("line_df"))
       .filter(col("line_df") >= minDf)
-      .select(col("line"))
-    val keptPerDoc = lines.join(frequent, Seq("line"), "left_anti")
+      .select(col("line_k"))
+    val keptPerDoc = lines.join(frequent, Seq("line_k"), "left_anti")
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_lines_kept"),
@@ -510,21 +530,33 @@ object Corpus {
     * on the shingle key between the exploded corpus and the DISTINCT
     * benchmark shingle set, then one per-doc aggregate — all
     * hash-partitioned on shingle/doc keys, nothing corpus-sized on the
-    * driver or broadcast. At petabyte scale the join key would be
-    * `poly_hash(shingle)` (8-gram strings → 8-byte keys, same
-    * cross-engine-replicable PolyHash used by q_simhash_pairs); the
-    * string key is kept here so the oracle pairing stays readable.
+    * driver or broadcast.
+    *
+    * `hashKeys = true` is the petabyte-scale variant: BOTH sides of the
+    * overlap join carry `poly_hash_array(shingles)` 60-bit longs — the
+    * output needs no shingle strings at all, so 8-gram strings
+    * (~50-100 bytes each) never ride ANY exchange, an order-of-magnitude
+    * cut in overlap-join shuffle bytes (pinned in PlanShapeSpec). A
+    * collision can only over-count one doc's `n_overlap` by 1 at the
+    * 60-bit birthday bound. The default stays string-keyed so the
+    * DuckDB oracle pairing is readable; CorpusSpec pins both paths
+    * value-identical.
     */
   def contaminationCheck(
       docs: DataFrame,
       benchmarkPred: Column,
       n: Int = 8,
-      minOverlapE4: Long = 500): DataFrame = {
+      minOverlapE4: Long = 500,
+      hashKeys: Boolean = false): DataFrame = {
     val toks = TextAnalysis.tokens(col("text"))
+    val keyed =
+      if (hashKeys)
+        graft.functions.HashFunctions.polyHashArray(
+          graft.functions.ShingleFunctions.wordShingles(toks, n))
+      else graft.functions.ShingleFunctions.wordShingles(toks, n)
     val shingled = docs
       .select(col("doc_id"), benchmarkPred.as("is_bench"),
-        graft.functions.BarrierFunctions.barrier(
-          graft.functions.ShingleFunctions.wordShingles(toks, n)).as("shingles"))
+        graft.functions.BarrierFunctions.barrier(keyed).as("shingles"))
     val corpus = shingled.filter(!col("is_bench"))
       .select(col("doc_id"),
         size(col("shingles")).cast("long").as("n_shingles"),

@@ -178,6 +178,36 @@ class CorpusSpec extends SparkTestBase {
     assert(gated == Seq(2L))
   }
 
+  test("hashKeys variants are value-identical to the string-keyed paths") {
+    import org.apache.spark.sql.functions._
+    // lineDedup on the planted-boilerplate corpus shape q_line_dedup uses
+    val corpus = graft.ops.TextAnalysis.documents(spark, "/root/testdata/sf0.001")
+    val planted = corpus.select(col("doc_id"), concat(col("text"),
+      lit("\nsubscribe to our newsletter"),
+      when(pmod(col("doc_id"), lit(3)) === 0,
+        lit("\nall rights reserved by the publisher")).otherwise(lit("")),
+      concat(lit("\nref "), col("doc_id").cast("string"))).as("text"))
+    def ldRows(hashKeys: Boolean) =
+      Corpus.lineDedup(planted, minDf = 50L, hashKeys = hashKeys)
+        .orderBy(col("doc_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    assert(ldRows(hashKeys = true) == ldRows(hashKeys = false))
+
+    // contaminationCheck on the hand-computed planted case
+    val bench = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (0L, bench),
+      (1L, "w1 w2 alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, s"$bench tail1 tail2"),
+      (3L, "clean words only nothing shared with anything here at all")
+    ).toDF("doc_id", "text")
+    def ccRows(hashKeys: Boolean) =
+      Corpus.contaminationCheck(docs, col("doc_id") === 0, n = 8,
+          minOverlapE4 = 0, hashKeys = hashKeys).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(ccRows(hashKeys = true) == ccRows(hashKeys = false))
+  }
+
   test("packTokenBudget: hand-computed bins, straddles, shard-local invariants") {
     // one shard (nShards=1), budget 5; token counts 3,4,2,6 ->
     // starts 0,3,7,9 -> bins 0,0,1,1; offsets 0,3,2,4 (doc 2 straddles

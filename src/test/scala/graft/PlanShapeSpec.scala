@@ -262,6 +262,40 @@ class PlanShapeSpec extends SparkTestBase {
       s"window sort must be partition-local (global=false):\n$p")
   }
 
+  test("hash-keyed lineDedup/contamination: heavy strings leave the exchanges") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.StringType
+    // AQE wraps the tree in AdaptiveSparkPlanExec, which hides the
+    // exchanges from collect() — disable it for the schema inspection
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val docs = graft.ops.TextAnalysis.documents(spark, sf)
+      // lineDedup: the exchange feeding the line-frequency aggregate
+      // (partitioned on line_k) must carry only fixed-width columns —
+      // the 60-bit PolyHash key, never the line string
+      val ld = graft.ops.Corpus.lineDedup(docs, minDf = 5L, hashKeys = true)
+      val ldEx = ld.queryExecution.executedPlan.collect {
+        case s: ShuffleExchangeExec => s }
+      val freqEx = ldEx.filter(
+        _.outputPartitioning.toString.contains("line_k"))
+      assert(freqEx.nonEmpty, "line-frequency exchange not found")
+      freqEx.foreach(s => assert(
+        !s.child.output.exists(_.dataType == StringType),
+        s"line strings must not ride the frequency exchange: ${s.child.output}"))
+      // contamination: the hashed output needs no shingle strings at
+      // all — NO exchange anywhere may carry a string column
+      val cc = graft.ops.Corpus.contaminationCheck(
+        docs, col("doc_id") < 50, n = 8, minOverlapE4 = 0, hashKeys = true)
+      val ccEx = cc.queryExecution.executedPlan.collect {
+        case s: ShuffleExchangeExec => s }
+      assert(ccEx.nonEmpty, "contamination plan has no exchanges to check")
+      ccEx.foreach(s => assert(
+        !s.child.output.exists(_.dataType == StringType),
+        s"shingle strings must not ride any exchange: ${s.child.output}"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("mixture budget: sharded prefix sum — no single-task-per-source window") {
     val p = plan(graft.ops.Corpus.applyMixtureBudget(
       graft.ops.TextAnalysis.documents(spark, sf),
