@@ -77,6 +77,7 @@ object Bench {
     val slowest = results.toSeq.sortBy(-_._2).take(5)
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"slowest":$slowest,"sf":"$sfDir","results_file":"$resultsPath"}""")
+    SparkEntry.clearCaches()
     spark.stop()
   }
 }

@@ -34,9 +34,27 @@ object SparkEntry {
   private val nearDupPairsCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  private def nearDupPairs(s: SparkSession, d: String): DataFrame =
+  private def nearDupPairs(s: SparkSession, d: String): DataFrame = {
+    // drop entries whose session has stopped: a long-lived JVM (test
+    // suite, repeated Verify mains) would otherwise accumulate persisted
+    // frames pinning executor storage and dead-session references
+    nearDupPairsCache.filterInPlace {
+      case ((sess, _), _) => !sess.sparkContext.isStopped
+    }
     nearDupPairsCache.getOrElseUpdate((s, d),
       Dedup.minHashLsh(TextAnalysis.documents(s, d), 0.5, bands = 32).persist())
+  }
+
+  /** Unpersist and forget every cached pair set — entry-point mains
+    * (Verify/Bench) call this before stopping their session so repeated
+    * runs in one JVM never stack persisted storage.
+    */
+  def clearCaches(): Unit = {
+    nearDupPairsCache.foreach { case ((sess, _), df) =>
+      if (!sess.sparkContext.isStopped) df.unpersist(blocking = false)
+    }
+    nearDupPairsCache.clear()
+  }
 
   /** ANN-oracle planted corpus: the natural embeddings plus 12 IDENTICAL
     * twins of each query vector (vec_id < 10), at twin ids

@@ -44,7 +44,10 @@ import org.apache.spark.sql.SparkSession
   * interrupted predecessor on entry, but it must not race a LIVE writer
   * (the manifest rewrite and a sink batch commit are not mutually
   * atomic) — stop the streaming query first, exactly like OPTIMIZE /
-  * VACUUM on a transactional table.
+  * VACUUM on a transactional table. [[expireAndCompactSink]] enforces
+  * this for writers visible in this session (refuses while an active
+  * query's sink describes this path); cross-session writers remain the
+  * operator's contract.
   */
 object Retention {
 
@@ -82,6 +85,22 @@ object Retention {
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
     val root = new Path(path)
     if (!fs.exists(root)) return SinkSweepReport(Nil, Nil, 0)
+
+    // enforce the maintenance-window contract instead of trusting the
+    // scaladoc: a live FileStreamSink writer on this path would race the
+    // manifest rewrite (batch commit vs log rewrite are not mutually
+    // atomic). Sink identity comes from the progress description
+    // ("FileSink[<path>]"); a query that has not completed its first
+    // batch yet has no progress and slips past this guard — the window
+    // contract still applies.
+    val qualifiedRoot = fs.makeQualified(root).toUri.toString
+    spark.streams.active.foreach { q =>
+      val sinkDesc = Option(q.lastProgress).map(_.sink.description)
+      if (sinkDesc.exists(d => d.contains(path) || d.contains(qualifiedRoot)))
+        throw new IllegalStateException(
+          s"sweep refused: active streaming query ${q.id} writes to $path — " +
+            "stop it before running retention (OPTIMIZE-style maintenance window)")
+    }
 
     // finish a crashed predecessor before looking at current state —
     // its recorded plan may hide files this sweep would otherwise count
@@ -145,7 +164,7 @@ object Retention {
     val intent = new Path(root, IntentName)
     // a stray tmp from a crash BEFORE the commit rename is dead weight
     val tmp = new Path(root, s"$IntentName.tmp")
-    if (fs.exists(tmp)) fs.delete(tmp, false)
+    if (fs.exists(tmp)) deleteOrThrow(fs, tmp, recursive = false)
     if (!fs.exists(intent)) return false
     executePlan(spark, fs, root, readIntent(fs, intent))
     true
@@ -161,19 +180,36 @@ object Retention {
     //                      original still holds the pre-compaction files)
     //  aside only        → crash hit between delete and rename: rename
     //  original only     → already swapped on a previous attempt: no-op
+    // Every rename/delete checks its boolean result (HDFS-style
+    // filesystems report failure by returning false, not throwing): an
+    // incomplete swap must ABORT before the intent journal is removed,
+    // so healInterruptedSweep can still roll the plan forward.
     plan.compactions.keys.toSeq.sorted.foreach { p =>
       val orig = new Path(root, p)
       val aside = new Path(root, s"$p.compact")
       if (fs.exists(aside)) {
-        if (fs.exists(orig)) fs.delete(orig, true)
-        fs.rename(aside, orig)
+        deleteOrThrow(fs, orig, recursive = true)
+        renameOrThrow(fs, aside, orig)
       }
     }
     // phase 5: expired partitions out, then the intent marker
-    plan.expired.foreach(p => fs.delete(new Path(root, p), true))
-    fs.delete(new Path(root, IntentName), false)
+    plan.expired.foreach(p => deleteOrThrow(fs, new Path(root, p), recursive = true))
+    deleteOrThrow(fs, new Path(root, IntentName), recursive = false)
     rewritten
   }
+
+  /** Delete that treats a false return as failure UNLESS the target is
+    * already gone (idempotent-replay case: a healed sweep re-deletes
+    * paths a crashed attempt removed). Throwing here keeps the intent
+    * journal in place for the next heal.
+    */
+  private def deleteOrThrow(fs: FileSystem, p: Path, recursive: Boolean): Unit =
+    if (!fs.delete(p, recursive) && fs.exists(p))
+      throw new java.io.IOException(s"sweep: failed to delete $p")
+
+  private def renameOrThrow(fs: FileSystem, from: Path, to: Path): Unit =
+    if (!fs.rename(from, to))
+      throw new java.io.IOException(s"sweep: failed to rename $from -> $to")
 
   /** Rewrite every `_spark_metadata` log file against the plan: drop
     * entries under expired partitions; under compacted partitions keep
@@ -196,8 +232,8 @@ object Retention {
       .filter(s => s.isFile && s.getPath.getName.endsWith(".graft-tmp"))
       .foreach { tmp =>
         val orig = new Path(metaDir, tmp.getPath.getName.stripSuffix(".graft-tmp"))
-        if (!fs.exists(orig)) fs.rename(tmp.getPath, orig)
-        else fs.delete(tmp.getPath, false)
+        if (!fs.exists(orig)) renameOrThrow(fs, tmp.getPath, orig)
+        else deleteOrThrow(fs, tmp.getPath, recursive = false)
       }
     val logFiles = fs.listStatus(metaDir).toSeq
       .filter(s => s.isFile && s.getPath.getName.matches("""\d+(\.compact)?"""))
@@ -211,15 +247,16 @@ object Retention {
     // an entry line is dropped when its "path" falls in an expired
     // partition, or in a compacted partition without being a recorded
     // replacement file
-    def keepLine(line: String): Boolean = {
-      val p = jsonField(line, "path").getOrElse(return true)
-      partitionAndName(p) match {
-        case Some((part, name)) =>
-          if (plan.expired.contains(part)) false
-          else replacementNames.get(part).forall(_.contains(name))
+    def keepLine(line: String): Boolean =
+      jsonField(line, "path") match {
         case None => true
+        case Some(p) => partitionAndName(p) match {
+          case Some((part, name)) =>
+            if (plan.expired.contains(part)) false
+            else replacementNames.get(part).forall(_.contains(name))
+          case None => true
+        }
       }
-    }
 
     var changed = 0
     logFiles.foreach { lf =>
@@ -258,7 +295,7 @@ object Retention {
       }
     val tmp = new Path(root, s"$IntentName.tmp")
     writeLines(fs, tmp, lines)
-    fs.rename(tmp, new Path(root, IntentName))
+    renameOrThrow(fs, tmp, new Path(root, IntentName))
   }
 
   private def readIntent(fs: FileSystem, intent: Path): SweepPlan = {
@@ -368,7 +405,7 @@ object Retention {
   private def writeFileAtomic(fs: FileSystem, p: Path, lines: Seq[String]): Unit = {
     val tmp = new Path(p.getParent, p.getName + ".graft-tmp")
     writeLines(fs, tmp, lines)
-    fs.delete(p, false)
-    fs.rename(tmp, p)
+    deleteOrThrow(fs, p, recursive = false)
+    renameOrThrow(fs, tmp, p)
   }
 }

@@ -80,6 +80,30 @@ class RetentionSpec extends SparkTestBase {
     assert(again.expiredPartitions.isEmpty && again.compacted.isEmpty)
   }
 
+  test("sweep refuses while a live query writes the sink path") {
+    val dir = Files.createTempDirectory("graft_ret_guard").toString
+    val srcDir = s"$dir/in"; val outDir = s"$dir/out"; val ckpt = s"$dir/ckpt"
+    new java.io.File(srcDir).mkdirs()
+    Files.writeString(Paths.get(s"$srcDir/b0.jsonl"),
+      wire("g1", "2024-01-01T00:00:00Z") + "\n")
+    val q = Pipeline.startSink(
+      Pipeline.process(Pipeline.fromTextDir(spark, srcDir)),
+      outDir, ckpt, trigger = Trigger.ProcessingTime(100))
+    try {
+      // the guard reads the sink identity from query progress — wait
+      // until the first batch has reported
+      val deadline = System.currentTimeMillis() + 60000
+      while (q.lastProgress == null && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      assert(q.lastProgress != null, "sink never produced progress")
+      intercept[IllegalStateException] {
+        Retention.expireAndCompactSink(spark, outDir, "2030-01-01")
+      }
+    } finally if (q.isActive) q.stop()
+    // once the writer is stopped the sweep runs (no-op cutoff is fine)
+    Retention.expireAndCompactSink(spark, outDir, "1970-01-01")
+  }
+
   test("interrupted sweep rolls forward: committed intent + asides heal to the swept state") {
     val dir = Files.createTempDirectory("graft_retention_heal").toString
     val outDir = s"$dir/out"
