@@ -152,6 +152,45 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("state scale: 1M session keys through RocksDB, watermark evicts to bounded state") {
+    implicit val ctx = spark.sqlContext
+    // the 100 TB posture for wide key spaces: a million distinct users'
+    // session state lives in RocksDB, and once the watermark passes
+    // every open session's gap the event-time timeouts EVICT it — state
+    // tracks concurrent activity, not history. Peak and post-expiry
+    // state row counts come from the query's own progress metrics.
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[(String, Long)]
+      val events = input.toDF().toDF("user_id", "ts_us")
+        .withColumn("timestamp",
+          org.apache.spark.sql.functions.timestamp_micros($"ts_us"))
+      val sessions = graft.stream.Sessionize.userSessions(
+        events, gapMinutes = 5, watermark = "10 minutes")
+      val q = sessions.toDF().writeStream.format("noop")
+        .outputMode("append").start()
+      try {
+        val t0 = 1700000000000000L // µs
+        val nKeys = 1000000
+        input.addData((0 until nKeys).map(i => (s"u$i", t0)))
+        q.processAllAvailable()
+        val peak = q.lastProgress.stateOperators(0).numRowsTotal
+        assert(peak == nKeys.toLong, s"expected $nKeys state rows, got $peak")
+        // two more batches: the first carries an event 1 h ahead (its
+        // max event time becomes the NEXT batch's watermark), the second
+        // triggers the batch in which every t0 session times out
+        input.addData(Seq(("late_a", t0 + 3600L * 1000000L)))
+        q.processAllAvailable()
+        input.addData(Seq(("late_b", t0 + 3600L * 1000000L + 1000000L)))
+        q.processAllAvailable()
+        val after = q.lastProgress.stateOperators(0).numRowsTotal
+        assert(after <= 2L,
+          s"watermark must evict the 1M expired sessions, $after rows remain")
+      } finally q.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("sessionization: late event more than gap BEFORE the open session forms its own") {
     implicit val ctx = spark.sqlContext
     def ev(id: String, user: String, tsIso: String) =
