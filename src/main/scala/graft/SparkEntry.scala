@@ -495,6 +495,18 @@ object SparkEntry {
     "q_embedding_neardup_lsh" -> ((s, d) =>
       Dedup.embeddingNearDupLsh(neardupPlanted(Similarity.embeddings(s, d)),
         threshold = 0.9)),
+    // schema introspection (reference README.md:257-263 twin): catalog
+    // metadata, so the driver's rows-only check applies — DuckDB has no
+    // view of the Spark catalog to oracle against
+    "q_schema_introspection" -> ((s, d) => {
+      // external table is metadata-only here (path need not exist) —
+      // the introspection reads the DECLARED 19-column sink schema,
+      // exactly what the reference's troubleshooting query checks
+      Catalog.ensureEventsTable(s, "graft_introspect", "events",
+        s"${System.getProperty("java.io.tmpdir")}/graft_introspect_sink")
+      Catalog.describeColumns(s, "graft_introspect", "events")
+        .orderBy(col("column_name"))
+    }),
     // ---- producer plane / sinks (S4, W6, K2; §2.11 X12–X14) ----
     "q_generator" -> ((s, d) => Generator.syntheticEvents(s, 10000L)
       .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),

@@ -32,4 +32,17 @@ object Catalog {
 
   def readTable(spark: SparkSession, db: String, table: String): DataFrame =
     spark.table(s"$db.$table")
+
+  /** The reference's INFORMATION_SCHEMA.COLUMNS troubleshooting query
+    * (reference README.md:257-263) as a catalog-metadata twin:
+    * `column_name, data_type, is_nullable` for a registered table, in
+    * BigQuery's YES/NO nullability convention. Pure metadata — reads
+    * the catalog's declared StructType, never the data files.
+    */
+  def describeColumns(spark: SparkSession, db: String, table: String): DataFrame = {
+    import spark.implicits._
+    spark.table(s"$db.$table").schema.fields.toSeq
+      .map(f => (f.name, f.dataType.sql, if (f.nullable) "YES" else "NO"))
+      .toDF("column_name", "data_type", "is_nullable")
+  }
 }

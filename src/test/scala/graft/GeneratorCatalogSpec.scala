@@ -62,5 +62,17 @@ class GeneratorCatalogSpec extends SparkTestBase {
     assert(t.count() == 0) // empty until the sink writes
     // idempotent re-create
     Catalog.ensureEventsTable(spark, "graft_test_db", "events_sink", dir)
+
+    // INFORMATION_SCHEMA.COLUMNS twin: one row per declared column, in
+    // BigQuery's (column_name, data_type, is_nullable) convention
+    val cols = Catalog.describeColumns(spark, "graft_test_db", "events_sink")
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(cols.size == graft.schema.EventSchema.sinkSchema.fields.length)
+    assert(cols("id")._1 == "STRING")
+    assert(cols("timestamp")._1 == "TIMESTAMP")
+    assert(cols("value")._1 == "DOUBLE")
+    assert(cols("data_quality_score")._1 == "INT")
+    assert(cols.values.forall(_._2 == "YES"),
+      "file-based tables surface every column as nullable")
   }
 }
