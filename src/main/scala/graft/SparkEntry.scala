@@ -400,6 +400,12 @@ object SparkEntry {
     "q_mixture_budget" -> ((s, d) =>
       Corpus.applyMixtureBudget(TextAnalysis.documents(s, d),
         tokenBudget = 2000L, shardWidth = 64L)),
+    // budget ~2x the corpus so sqrt-flattened small sources get targets
+    // ABOVE their size — full epochs + a straddled partial epoch both
+    // exercise; the repeat plan is exact integer arithmetic
+    "q_mixture_epochs" -> ((s, d) =>
+      Corpus.applyMixtureEpochs(TextAnalysis.documents(s, d),
+        tokenBudget = 60000L, shardWidth = 64L)),
     "q_unigram_logprob" -> ((s, d) =>
       TextAnalysis.unigramLogProb(TextAnalysis.documents(s, d))),
     "q_logprob_buckets" -> ((s, d) =>
@@ -1335,6 +1341,33 @@ object SparkEntry {
         |  sum(n_tokens)::BIGINT AS n_tokens_kept,
         |  (sum(n_tokens) * 10000 // target_tokens)::BIGINT AS fill_e4
         |FROM kept GROUP BY 1, 2 ORDER BY source""".stripMargin,
+    "q_mixture_epochs" ->
+      """WITH ps AS (
+        |  SELECT source,
+        |    sum(len(regexp_split_to_array(lower(text), '\s+')))::BIGINT AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT sum(sqrt(n_tokens::DOUBLE)) AS sum_sqrt FROM ps),
+        |targets AS (
+        |  SELECT source, n_tokens AS source_tokens,
+        |    round(sqrt(n_tokens::DOUBLE) / sum_sqrt * 60000, 0)::BIGINT AS target_tokens
+        |  FROM ps CROSS JOIN tot WHERE n_tokens > 0),
+        |d AS (
+        |  SELECT doc_id, source,
+        |    len(regexp_split_to_array(lower(text), '\s+'))::BIGINT AS n_tokens
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    (sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) - n_tokens)::BIGINT AS cum_before
+        |  FROM d),
+        |plan AS (
+        |  SELECT w.doc_id, w.source, w.n_tokens,
+        |    (t.target_tokens // t.source_tokens
+        |     + CASE WHEN w.cum_before < t.target_tokens % t.source_tokens
+        |            THEN 1 ELSE 0 END)::BIGINT AS n_copies
+        |  FROM w JOIN targets t USING (source))
+        |SELECT doc_id, source, n_tokens, n_copies
+        |FROM plan WHERE n_copies > 0 ORDER BY doc_id""".stripMargin,
     "q_unigram_logprob" ->
       """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS term FROM documents),
         |cnt AS (SELECT term, count(*) AS c FROM tok GROUP BY 1),

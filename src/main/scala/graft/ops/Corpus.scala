@@ -231,14 +231,15 @@ object Corpus {
     * running sum — integer arithmetic, so the decomposition is
     * bit-identical to the single-window formulation the oracle runs.
     */
-  def applyMixtureBudget(
-      docs: DataFrame,
-      tokenBudget: Long = 1000000L,
-      shardWidth: Long = 65536L): DataFrame = {
-    require(shardWidth > 0, "shard width must be positive")
+  /** Per-doc `cum_before` (tokens of all lower-doc_id docs of the same
+    * source) via the hierarchical prefix sum shared by the mixture
+    * draws: shard-local running-sum windows on (source, doc_id div
+    * shardWidth) + a broadcast per-(source, shard) carry table. Exact
+    * integer arithmetic — bit-identical to the sequential per-source
+    * window at every shard width (pinned in CorpusSpec).
+    */
+  private def sourceCumBefore(docs: DataFrame, shardWidth: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val targets = sourceMixture(docs, tokenBudget)
-      .select(col("source"), col("target_tokens"))
     val d = docs
       .select(col("doc_id"), col("source"),
         expr(s"doc_id div $shardWidth").as("mix_shard"),
@@ -260,6 +261,16 @@ object Corpus {
       .withColumn("cum_in_shard", sum(col("n_tokens")).over(wLocal) - col("n_tokens"))
       .join(broadcast(shardOffsets), Seq("source", "mix_shard"))
       .withColumn("cum_before", col("shard_offset") + col("cum_in_shard"))
+  }
+
+  def applyMixtureBudget(
+      docs: DataFrame,
+      tokenBudget: Long = 1000000L,
+      shardWidth: Long = 65536L): DataFrame = {
+    require(shardWidth > 0, "shard width must be positive")
+    val targets = sourceMixture(docs, tokenBudget)
+      .select(col("source"), col("target_tokens"))
+    sourceCumBefore(docs, shardWidth)
       .join(broadcast(targets), "source")
       .filter(col("cum_before") < col("target_tokens"))
       .groupBy(col("source"), col("target_tokens"))
@@ -269,6 +280,47 @@ object Corpus {
         col("n_tokens_kept"),
         expr("(n_tokens_kept * 10000) div target_tokens").as("fill_e4"))
       .orderBy(col("source"))
+  }
+
+  /** Epoch-aware mixture draw — what [[applyMixtureBudget]] cannot do:
+    * when a source's temperature target EXCEEDS its available tokens
+    * (the entire point of sqrt flattening is to over-sample small
+    * sources), the budget draw silently under-fills. Real training
+    * mixtures repeat the source instead: every document is drawn
+    * `target div source_tokens` full epochs, and the remainder
+    * `target mod source_tokens` is a partial epoch drawn in the same
+    * deterministic doc_id order as the budget draw (straddling doc
+    * kept). Emits the per-document repeat plan a sampler consumes —
+    * `doc_id, source, n_tokens, n_copies` for every doc with
+    * n_copies ≥ 1 — exact integer arithmetic throughout, so
+    * `sum(n_tokens * n_copies)` per source lands within one straddling
+    * document of the target.
+    *
+    * Shape at 100 TB: identical to [[applyMixtureBudget]] — the
+    * hierarchical [[sourceCumBefore]] prefix sum (no per-source
+    * single-task window), a broadcast dimension-sized target table,
+    * row-local copy arithmetic. Emitting one row per doc (not per
+    * copy) keeps the output corpus-sized regardless of epoch counts.
+    */
+  def applyMixtureEpochs(
+      docs: DataFrame,
+      tokenBudget: Long = 1000000L,
+      shardWidth: Long = 65536L): DataFrame = {
+    require(shardWidth > 0, "shard width must be positive")
+    val targets = sourceMixture(docs, tokenBudget)
+      .select(col("source"), col("n_tokens").as("source_tokens"),
+        col("target_tokens"))
+      .filter(col("source_tokens") > 0)
+      .withColumn("n_epochs_full", expr("target_tokens div source_tokens"))
+      .withColumn("rem_tokens", expr("target_tokens % source_tokens"))
+    sourceCumBefore(docs, shardWidth)
+      .join(broadcast(targets), "source")
+      .withColumn("n_copies",
+        col("n_epochs_full") +
+          when(col("cum_before") < col("rem_tokens"), 1L).otherwise(0L))
+      .filter(col("n_copies") > 0)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("n_copies"))
+      .orderBy(col("doc_id"))
   }
 
   /** Line-level corpus dedup (CCNet/RefinedWeb-style): drop every line

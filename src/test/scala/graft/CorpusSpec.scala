@@ -305,6 +305,47 @@ class CorpusSpec extends SparkTestBase {
     assert(small("web")._2 == 8L)
   }
 
+  test("applyMixtureEpochs: full epochs + straddled partial, exact copy counts") {
+    // web: 16 tokens (2 docs x 8), tiny: 4 tokens (1 doc); sqrt weights
+    // 4/6 and 2/6. budget 36 -> targets round(24)=24 and round(12)=12.
+    // web: 24 div 16 = 1 full epoch, rem 8 -> doc 1 (cum_before 0 < 8)
+    // gets the extra copy, doc 3 (cum_before 8) does not.
+    // tiny: 12 div 4 = 3 full epochs, rem 0 -> no partial copies.
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8", "web"),
+      (3L, "w1 w2 w3 w4 w5 w6 w7 w8", "web"),
+      (2L, "t1 t2 t3 t4", "tiny")
+    ).toDF("doc_id", "text", "source")
+    val out = Corpus.applyMixtureEpochs(docs, tokenBudget = 36L).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("source"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("n_copies"))).toMap
+    assert(out(1L) == (("web", 8L, 2L)))
+    assert(out(3L) == (("web", 8L, 1L)))
+    assert(out(2L) == (("tiny", 4L, 3L)))
+    // drawn token mass lands within one straddling doc of each target
+    assert(out.values.filter(_._1 == "web").map(v => v._2 * v._3).sum == 24L)
+    assert(out.values.filter(_._1 == "tiny").map(v => v._2 * v._3).sum == 12L)
+
+    // a source whose target rounds below its size still behaves like the
+    // budget draw: zero full epochs, partial epoch only (and a doc with
+    // n_copies 0 is absent)
+    val small = Corpus.applyMixtureEpochs(docs, tokenBudget = 9L).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_copies")).toMap
+    assert(small.get(3L).isEmpty, "past-target doc must not appear")
+
+    // sharded decomposition exact at every width, same as the budget draw
+    val expect = Corpus.applyMixtureEpochs(docs, tokenBudget = 36L,
+      shardWidth = Long.MaxValue).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    for (w <- Seq(1L, 2L, 3L)) {
+      val got = Corpus.applyMixtureEpochs(docs, tokenBudget = 36L, shardWidth = w)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+      assert(got == expect, s"shardWidth=$w diverged")
+    }
+  }
+
   test("applyMixtureBudget: sharded prefix sum is exact at every shard width") {
     // the hierarchical decomposition must be bit-identical to the
     // sequential per-source running sum regardless of how doc_ids land
