@@ -304,7 +304,11 @@ object Pipeline {
         }
         merged.write.mode("overwrite").parquet(s"$path/v-$batchId/bucket-$b")
         // retention: anything below the merge source can no longer be a
-        // retry's source — drop it (and any compaction aside it left)
+        // retry's source — drop it (and any compaction aside it left).
+        // Deliberately UNCHECKED: these are garbage-collection deletes
+        // (correctness never reads below the merge source), and a batch
+        // must not fail over a GC hiccup — a missed delete is retried by
+        // the same rule on the next batch that touches the bucket.
         source.foreach { v =>
           bucketVersions(fs, path, b).filter(_ < v).foreach { old =>
             fs.delete(new org.apache.hadoop.fs.Path(s"$path/v-$old/bucket-$b"), true)
@@ -457,8 +461,8 @@ object Pipeline {
                   case (Some(_), None) => true
                   case _ => false
                 }
-                if (committed && isCurrent) fs.rename(tmp.getPath, orig)
-                else fs.delete(tmp.getPath, true)
+                if (committed && isCurrent) FsOps.renameOrThrow(fs, tmp.getPath, orig)
+                else FsOps.deleteOrThrow(fs, tmp.getPath, recursive = true)
               }
             } catch {
               case scala.util.control.NonFatal(e) if bestEffort => // see scaladoc
@@ -506,11 +510,16 @@ object Pipeline {
       .map { st =>
         val orig = s"$path/v-${st.version}/bucket-${st.bucket}"
         val tmp = new Path(s"$orig.compact")
-        if (fs.exists(tmp)) fs.delete(tmp, true) // stale pre-delete attempt
+        if (fs.exists(tmp)) FsOps.deleteOrThrow(fs, tmp, recursive = true)
         spark.read.parquet(orig).coalesce(targetFiles)
           .write.parquet(tmp.toString)
-        fs.delete(new Path(orig), true)
-        fs.rename(tmp, new Path(orig))
+        // checked: a false-returning delete followed by a rename into
+        // the still-existing dir would NEST the compact dir inside the
+        // bucket (HDFS rename semantics) — fail loudly instead; readers
+        // fall back to the previous committed version and the heal
+        // sweep finishes the swap on the next entry
+        FsOps.deleteOrThrow(fs, new Path(orig), recursive = true)
+        FsOps.renameOrThrow(fs, tmp, new Path(orig))
         val after = fs.listStatus(new Path(orig))
           .count(f => f.isFile && f.getPath.getName.startsWith("part-"))
         UpsertCompaction(st.bucket, st.version, st.nFiles, after)

@@ -198,18 +198,13 @@ object Retention {
     rewritten
   }
 
-  /** Delete that treats a false return as failure UNLESS the target is
-    * already gone (idempotent-replay case: a healed sweep re-deletes
-    * paths a crashed attempt removed). Throwing here keeps the intent
-    * journal in place for the next heal.
-    */
+  // checked mutations shared with Pipeline's upsert maintenance — a
+  // thrown failure leaves the intent journal in place for the next heal
   private def deleteOrThrow(fs: FileSystem, p: Path, recursive: Boolean): Unit =
-    if (!fs.delete(p, recursive) && fs.exists(p))
-      throw new java.io.IOException(s"sweep: failed to delete $p")
+    FsOps.deleteOrThrow(fs, p, recursive)
 
   private def renameOrThrow(fs: FileSystem, from: Path, to: Path): Unit =
-    if (!fs.rename(from, to))
-      throw new java.io.IOException(s"sweep: failed to rename $from -> $to")
+    FsOps.renameOrThrow(fs, from, to)
 
   /** Rewrite every `_spark_metadata` log file against the plan: drop
     * entries under expired partitions; under compacted partitions keep
