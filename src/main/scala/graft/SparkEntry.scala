@@ -442,6 +442,14 @@ object SparkEntry {
         .select(col("shard"), col("bin_id"), col("n_docs"), col("n_tokens"),
           col("doc_spans"), md5(concat_ws(" ", col("tokens"))).as("bin_md5"))
         .orderBy(col("shard"), col("bin_id"))),
+    // epoch-shuffled packing: the deterministic pseudo-random re-deal;
+    // the oracle replays the replicable PolyHash order in SQL
+    "q_pack_shuffled" -> ((s, d) =>
+      Corpus.packSequencesShuffled(TextAnalysis.documents(s, d),
+        budget = 512L, nShards = 8, epoch = 3L)
+        .select(col("shard"), col("bin_id"), col("n_docs"), col("n_tokens"),
+          col("doc_spans"), md5(concat_ws(" ", col("tokens"))).as("bin_md5"))
+        .orderBy(col("shard"), col("bin_id"))),
     // ---- end-to-end corpus curation (capstone: §7.4 composed) ----
     "q_corpus_curation" -> ((s, d) => Corpus.curate(TextAnalysis.documents(s, d))),
     "q_corpus_curation_neardup" -> ((s, d) =>
@@ -1435,6 +1443,43 @@ object SparkEntry {
         |  FROM documents),
         |w AS (
         |  SELECT *, sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING)::BIGINT AS end_offset
+        |  FROM t),
+        |pieces AS (
+        |  SELECT shard, doc_id, toks,
+        |    (end_offset - n_tokens) AS start_offset, end_offset,
+        |    unnest(generate_series(((end_offset - n_tokens) // 512)::BIGINT,
+        |                           ((end_offset - 1) // 512)::BIGINT)) AS bin_id
+        |  FROM w WHERE n_tokens > 0),
+        |cut AS (
+        |  SELECT shard, bin_id, doc_id,
+        |    greatest(bin_id * 512, start_offset) AS piece_from,
+        |    least((bin_id + 1) * 512, end_offset) AS piece_to,
+        |    (piece_to - piece_from) AS piece_len,
+        |    (piece_from % 512) AS start_in_bin,
+        |    array_to_string(list_slice(toks,
+        |      (piece_from - start_offset + 1)::INT,
+        |      (piece_to - start_offset)::INT), ' ') AS piece_text
+        |  FROM pieces)
+        |SELECT shard::BIGINT AS shard, bin_id::BIGINT AS bin_id,
+        |  count(*)::BIGINT AS n_docs, sum(piece_len)::BIGINT AS n_tokens,
+        |  string_agg(doc_id::VARCHAR || ':' || start_in_bin::VARCHAR || ':'
+        |    || piece_len::VARCHAR, ' ' ORDER BY start_in_bin) AS doc_spans,
+        |  md5(string_agg(piece_text, ' ' ORDER BY start_in_bin)) AS bin_md5
+        |FROM cut GROUP BY shard, bin_id ORDER BY shard, bin_id""".stripMargin,
+    "q_pack_shuffled" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(string_split(doc_id::VARCHAR || ':3', ''),
+        |        c -> ord(c)::BIGINT)),
+        |      (a, b) -> (a * 31 + b) % 1000000007) AS h,
+        |    regexp_split_to_array(lower(text), '\s+') AS toks,
+        |    len(regexp_split_to_array(lower(text), '\s+'))::BIGINT AS n_tokens
+        |  FROM documents),
+        |w AS (
+        |  SELECT *, (h % 8) AS shard,
+        |    sum(n_tokens) OVER (PARTITION BY h % 8 ORDER BY h, doc_id
         |      ROWS UNBOUNDED PRECEDING)::BIGINT AS end_offset
         |  FROM t),
         |pieces AS (

@@ -512,16 +512,57 @@ object Corpus {
   def packSequences(
       docs: DataFrame,
       budget: Long = 2048L,
-      nShards: Int = 8): DataFrame = {
+      nShards: Int = 8): DataFrame =
+    packSequencesImpl(docs, budget, nShards, shuffleEpoch = None)
+
+  /** Epoch-shuffled packing — the missing link in the trainer chain
+    * (curate → mixture → SHUFFLE → pack): training runs re-draw the
+    * document order every epoch so batches decorrelate from crawl
+    * order, and the shuffle must be DETERMINISTIC (resumable, and
+    * reproducible across engines) rather than a `rand()` sort. The
+    * order key is the replicable PolyHash (base 31, mod 1e9+7 — the
+    * q_rolling_fingerprint family) of `"<doc_id>:<epoch>"`: shard
+    * assignment and within-shard order both follow the hash, so each
+    * epoch re-deals docs across shards and re-orders them inside,
+    * while any (doc, epoch) pair maps to one fixed position. Ties on
+    * the hash break by doc_id — total order, engine-independent.
+    *
+    * Same output schema and scale shape as [[packSequences]].
+    */
+  def packSequencesShuffled(
+      docs: DataFrame,
+      budget: Long = 2048L,
+      nShards: Int = 8,
+      epoch: Long = 0L): DataFrame =
+    packSequencesImpl(docs, budget, nShards, shuffleEpoch = Some(epoch))
+
+  private def packSequencesImpl(
+      docs: DataFrame,
+      budget: Long,
+      nShards: Int,
+      shuffleEpoch: Option[Long]): DataFrame = {
     require(budget > 0, "token budget must be positive")
     require(nShards > 0, "shard count must be positive")
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+    // identity order: key IS doc_id, so shard/order match the
+    // sequential packSequences contract exactly (no extra sort column)
+    val orderKey = shuffleEpoch match {
+      case Some(e) => graft.functions.HashFunctions.polyHash(
+        concat(col("doc_id").cast("string"), lit(s":$e")), 31L, 1000000007L)
+      case None => col("doc_id")
+    }
+    // identity path orders by doc_id alone (ord_key IS doc_id — a
+    // second sort column would be redundant); shuffled path needs the
+    // doc_id tiebreak for a total order under hash collisions
+    val orderCols =
+      if (shuffleEpoch.isDefined) Seq(col("ord_key"), col("doc_id"))
+      else Seq(col("doc_id"))
+    val w = Window.partitionBy(col("shard")).orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val pieces = docs
-      .select(col("doc_id"),
-        pmod(col("doc_id"), lit(nShards.toLong)).as("shard"),
+      .select(col("doc_id"), orderKey.as("ord_key"),
         TextAnalysis.tokens(col("text")).as("toks"))
+      .withColumn("shard", pmod(col("ord_key"), lit(nShards.toLong)))
       .withColumn("n_tokens", size(col("toks")).cast("long"))
       .withColumn("end_offset", sum(col("n_tokens")).over(w))
       .withColumn("start_offset", col("end_offset") - col("n_tokens"))

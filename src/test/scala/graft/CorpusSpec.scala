@@ -178,6 +178,34 @@ class CorpusSpec extends SparkTestBase {
     assert(gated == Seq(2L))
   }
 
+  test("packSequencesShuffled: deterministic per epoch, re-deals across epochs, tiles exactly") {
+    import org.apache.spark.sql.functions.col
+    val corpus = graft.ops.TextAnalysis.documents(spark, "/root/testdata/sf0.001")
+    def spans(epoch: Long) =
+      Corpus.packSequencesShuffled(corpus, budget = 512L, nShards = 8, epoch = epoch)
+        .orderBy(col("shard"), col("bin_id")).collect()
+        .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("bin_id"),
+          r.getAs[String]("doc_spans"))).toSeq
+    // same epoch → byte-identical plan; different epoch → different deal
+    val e1 = spans(1L)
+    assert(e1 == spans(1L), "same-epoch shuffle must be deterministic")
+    assert(e1 != spans(2L), "different epochs must re-deal the corpus")
+
+    // every doc's full token mass appears exactly once regardless of order
+    val bins = Corpus.packSequencesShuffled(corpus, budget = 512L,
+      nShards = 8, epoch = 1L).collect()
+    val totalPacked = bins.map(_.getAs[Long]("n_tokens")).sum
+    val totalCorpus = corpus
+      .select(org.apache.spark.sql.functions.size(
+        graft.ops.TextAnalysis.tokens(col("text"))).cast("long").as("n"))
+      .agg(org.apache.spark.sql.functions.sum(col("n"))).head().getLong(0)
+    assert(totalPacked == totalCorpus, "shuffled bins must tile the corpus exactly")
+    bins.groupBy(_.getAs[Long]("shard")).foreach { case (_, rows) =>
+      rows.sortBy(_.getAs[Long]("bin_id")).init.foreach(r =>
+        assert(r.getAs[Long]("n_tokens") == 512L, "non-final bin must be full"))
+    }
+  }
+
   test("hashKeys variants are value-identical to the string-keyed paths") {
     import org.apache.spark.sql.functions._
     // lineDedup on the planted-boilerplate corpus shape q_line_dedup uses
