@@ -572,6 +572,13 @@ object SparkEntry {
       val planted = annPlanted(Similarity.embeddings(s, d))
       Similarity.ivfTopK(planted, planted.filter(col("vec_id") < 10))
     }),
+    // IVF-PQ: twin codes equal the query's own encoding, so every twin
+    // tops the ADC shortlist and the exact re-rank reproduces brute
+    // force — same planted oracle as the LSH/IVF rows
+    "q_ann_ivfpq" -> ((s, d) => {
+      val planted = annPlanted(Similarity.embeddings(s, d))
+      Similarity.ivfPqTopK(planted, planted.filter(col("vec_id") < 10))
+    }),
     "q_centroid_norms" -> ((s, d) => Similarity.labelCentroidNorms(Similarity.embeddings(s, d))),
     "q_quantize_embeddings" -> ((s, d) =>
       Similarity.quantizeEmbeddings(Similarity.embeddings(s, d)))
@@ -1749,6 +1756,7 @@ object SparkEntry {
         |  FROM scored) WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
     "q_ann_lsh" -> annPlantedOracleSql,
     "q_ann_ivf" -> annPlantedOracleSql,
+    "q_ann_ivfpq" -> annPlantedOracleSql,
     "q_centroid_norms" ->
       """WITH pos AS (SELECT label, generate_subscripts(embedding, 1) AS j, unnest(embedding) AS v FROM embeddings),
         |sums AS (SELECT label, j, sum(v::DOUBLE) AS s FROM pos GROUP BY label, j),

@@ -434,6 +434,156 @@ object Similarity {
       .select(col("vec_id"), col("embedding"), (-col("best.neg_cell")).as("cell"))
   }
 
+  /** Per-subspace product-quantization codebooks: the embedding is cut
+    * into `m` contiguous `dim/m`-dim subvectors and each subspace gets
+    * its own `pqK`-centroid Lloyd quantizer (trained by the same
+    * [[trainCentroids]] loop on the sliced corpus, deterministic seeds).
+    * The whole model is m × pqK × (dim/m) floats — KILOBYTES (8×16×8 =
+    * 1024 floats at the defaults), broadcast everywhere like the IVF
+    * coarse centroids. Returns (subspace, code, centroid).
+    */
+  private[graft] def trainPqCodebooks(
+      corpus: DataFrame,
+      m: Int,
+      pqK: Int,
+      dim: Int = 64,
+      maxIters: Int = 5,
+      shiftEpsilon: Double = 1e-3,
+      trainSampleMod: Int = 4): DataFrame = {
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val dsub = dim / m
+    val raw = (0 until m).map { mi =>
+      val sub = corpus.select(col("vec_id"),
+        slice(col("embedding"), mi * dsub + 1, dsub).as("embedding"))
+      trainCentroids(sub, pqK, maxIters, shiftEpsilon, dim = dsub,
+        trainSampleMod = trainSampleMod)
+        .select(lit(mi).as("subspace"), col("cell"), col("centroid"))
+    }.reduce(_.unionByName(_))
+    // trainCentroids labels cells by SEED vec_id — renumber to dense
+    // 0..pqK-1 per subspace so codes index positionally into the sorted
+    // pack (entry = subspace*pqK + code); assumes each subspace trained
+    // its full pqK centroids (corpus ≥ pqK rows)
+    val wCode = Window.partitionBy(col("subspace")).orderBy(col("cell"))
+    raw.withColumn("code", (row_number().over(wCode) - 1).cast("long"))
+      .select(col("subspace"), col("code"), col("centroid"))
+  }
+
+  /** IVF-PQ ANN top-k — the memory-bounded 100 TB serving shape: coarse
+    * IVF cells prune the scan to ~nProbe/nCells of the corpus, and
+    * inside the probed cells candidates are compared by their PRODUCT-
+    * QUANTIZED codes (m bytes per vector vs dim×4 — a 32× memory cut at
+    * the defaults), so the candidate scan never touches raw vectors.
+    * The ADC (asymmetric distance) pass ranks candidates by summed
+    * per-subspace L2² table lookups — each query computes its m×pqK
+    * distance table ONCE, row-locally, against the broadcast codebooks —
+    * and only the `shortlist` best per query are re-ranked with exact
+    * cosine against their true embeddings (an id-join on the tiny
+    * shortlist), which is how production IVF-PQ serves: approximate
+    * scan, exact tail.
+    *
+    * Scale shape: both models (coarse centroids, PQ codebooks) are
+    * kilobyte broadcasts; encoding and the per-query distance table are
+    * row-local Column algebra (at 100 TB the per-row HOF would graduate
+    * to a codegen'd Expression like FloatVecDot — same contract);
+    * candidates carry (vec_id, cell, codes) only — the corpus's raw
+    * embeddings cross the wire just once, for the shortlist re-rank
+    * join. PQ is trained on raw vectors (not residuals) — the residual
+    * refinement is a documented follow-up, not a semantic change.
+    *
+    * Exactness on the planted-twin oracle corpus: a twin's codes equal
+    * the query's own encoding, so its ADC distance is the global
+    * minimum and every twin tops the shortlist; the exact re-rank then
+    * reproduces brute force, which is what lets q_ann_ivfpq carry the
+    * same exact DuckDB oracle as q_ann_lsh/q_ann_ivf. Continuum recall
+    * is measured in SimilaritySpec instead.
+    */
+  def ivfPqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int = 10,
+      nCells: Int = 10,
+      nProbe: Int = 3,
+      m: Int = 8,
+      pqK: Int = 16,
+      shortlist: Int = 50,
+      dim: Int = 64,
+      maxIters: Int = 5,
+      shiftEpsilon: Double = 1e-3,
+      trainSampleMod: Int = 4): DataFrame = {
+    require(shortlist >= k, "shortlist must cover the final top-k")
+    val dsub = dim / m
+    val coarse = trainCentroids(corpus, nCells, maxIters, shiftEpsilon,
+      trainSampleMod = trainSampleMod)
+    val books = trainPqCodebooks(corpus, m, pqK, dim, maxIters,
+      shiftEpsilon, trainSampleMod)
+    // one-row broadcast pack, sorted (subspace, code) so positional
+    // lookups below are well-defined: entry index = subspace*pqK + code
+    val packed = books.agg(sort_array(collect_list(struct(
+      col("subspace"), col("code"), col("centroid")))).as("pq"))
+
+    def l2sq(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) =>
+        (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+        lit(0.0), (acc, v) => acc + v)
+    // codes: per subspace, argmin-L2 codebook entry (code tiebreak via
+    // the struct sort) — row-local against the broadcast pack
+    def encode(emb: Column): Column =
+      transform(sequence(lit(0), lit(m - 1)), mi =>
+        array_min(transform(
+          slice(col("pq"), mi * pqK + 1, lit(pqK)), p =>
+            struct(l2sq(slice(emb, mi * dsub + 1, lit(dsub)), p.getField("centroid"))
+              .as("d"), p.getField("code").as("code"))))
+          .getField("code"))
+
+    val assigned = assignToCell(corpus, coarse)
+    val coded = assigned.crossJoin(broadcast(packed))
+      .select(col("vec_id"), col("cell"), encode(col("embedding")).as("codes"))
+
+    // probes: nProbe best coarse cells per query (same rule as IVF) +
+    // the per-query ADC table dt[subspace*pqK + code] = L2²(q_sub, c)
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cdot"), col("cell"))
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"), Dedup.vecNorm(col("embedding")).as("q_norm"))
+    val probes = q.crossJoin(broadcast(coarse))
+      .withColumn("cdot", Dedup.cosine(col("q_emb"), col("centroid")))
+      .withColumn("prnk", row_number().over(probeW))
+      .filter(col("prnk") <= nProbe)
+      .crossJoin(broadcast(packed))
+      .select(col("query_id"), col("cell"), col("q_emb"), col("q_norm"),
+        transform(col("pq"), p =>
+          l2sq(slice(col("q_emb"),
+            p.getField("subspace") * dsub + 1, lit(dsub)), p.getField("centroid")))
+          .as("dt"))
+
+    // ADC scan over probed cells: codes only, no raw vectors
+    val adcW = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc"), col("vec_id"))
+    val short = coded.join(broadcast(probes.drop("q_emb", "q_norm")), "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("adc", aggregate(
+        zip_with(col("codes"), sequence(lit(0), lit(m - 1)), (c, mi) =>
+          element_at(col("dt"), (mi * pqK + c + 1).cast("int"))),
+        lit(0.0), (acc, v) => acc + v))
+      .withColumn("srnk", row_number().over(adcW))
+      .filter(col("srnk") <= shortlist)
+      .select(col("query_id"), col("vec_id"))
+
+    // exact re-rank of the tiny shortlist against true embeddings
+    val rankW = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cos"), col("vec_id"))
+    corpus.select(col("vec_id"), col("embedding"))
+      .join(broadcast(short), "vec_id")
+      .join(broadcast(q), "query_id")
+      .withColumn("cos",
+        graft.functions.VectorFunctions.vecDot(col("q_emb"), col("embedding"))
+          / col("q_norm") / Dedup.vecNorm(col("embedding")))
+      .withColumn("rnk", row_number().over(rankW).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("vec_id").as("neighbor_id"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   /** Centroid stats per label — the IVF-style partition profile: shows how
     * the corpus would shard into coarse cells (here the given labels) for
     * inverted-file ANN.

@@ -56,6 +56,39 @@ class SimilaritySpec extends SparkTestBase {
     assert(recalls.head._2 > 0.0, "nProbe=1 found nothing")
   }
 
+  test("IVF-PQ: continuum recall tracks plain IVF; widening the shortlist never hurts") {
+    val e = graft.ops.Similarity.embeddings(spark, "/root/testdata/sf0.001")
+    val q = e.filter($"vec_id" < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val brute = pairs(Similarity.bruteForceTopK(e, q, k = 10))
+    def recallAt(shortlist: Int) = {
+      val pq = pairs(Similarity.ivfPqTopK(e, q, k = 10, nProbe = 5,
+        shortlist = shortlist))
+      (brute & pq).size.toDouble / brute.size
+    }
+    val r50 = recallAt(50)
+    val r200 = recallAt(200)
+    info(f"IVF-PQ recall@10 (nProbe=5): shortlist=50:$r50%.3f  shortlist=200:$r200%.3f")
+    // the exact re-rank can only improve as the ADC shortlist widens
+    // (both searches share deterministic seeds, so the probed cells
+    // agree); and the PQ scan must not collapse below the useful range
+    assert(r200 >= r50 - 1e-9, "wider shortlist must not lose neighbors")
+    assert(r50 >= 0.4, s"IVF-PQ recall@10 too low: $r50")
+  }
+
+  test("PQ codebooks: dense per-subspace codes, encode maps a centroid to itself") {
+    val e = graft.ops.Similarity.embeddings(spark, "/root/testdata/sf0.001")
+    val books = Similarity.trainPqCodebooks(e, m = 8, pqK = 16).collect()
+    assert(books.length == 8 * 16)
+    books.groupBy(_.getAs[Int]("subspace")).foreach { case (_, rows) =>
+      assert(rows.map(_.getAs[Long]("code")).sorted.toSeq == (0L until 16L),
+        "codes must be dense 0..pqK-1 per subspace")
+      rows.foreach(r =>
+        assert(r.getAs[collection.Seq[Float]]("centroid").length == 8))
+    }
+  }
+
   test("persisted IVF index: search parity with in-memory path, DPP prunes cells") {
     val e = graft.ops.Similarity.embeddings(spark, "/root/testdata/sf0.001")
     val q = e.filter($"vec_id" < 10)
