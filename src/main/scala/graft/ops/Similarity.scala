@@ -451,21 +451,76 @@ object Similarity {
       shiftEpsilon: Double = 1e-3,
       trainSampleMod: Int = 4): DataFrame = {
     require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val dsub = dim / m
-    val raw = (0 until m).map { mi =>
-      val sub = corpus.select(col("vec_id"),
-        slice(col("embedding"), mi * dsub + 1, dsub).as("embedding"))
-      trainCentroids(sub, pqK, maxIters, shiftEpsilon, dim = dsub,
-        trainSampleMod = trainSampleMod)
-        .select(lit(mi).as("subspace"), col("cell"), col("centroid"))
-    }.reduce(_.unionByName(_))
-    // trainCentroids labels cells by SEED vec_id — renumber to dense
-    // 0..pqK-1 per subspace so codes index positionally into the sorted
-    // pack (entry = subspace*pqK + code); assumes each subspace trained
-    // its full pqK centroids (corpus ≥ pqK rows)
-    val wCode = Window.partitionBy(col("subspace")).orderBy(col("cell"))
-    raw.withColumn("code", (row_number().over(wCode) - 1).cast("long"))
-      .select(col("subspace"), col("code"), col("centroid"))
+    // ALL m subspace quantizers train in ONE Lloyd loop — m separate
+    // trainCentroids chains would run m× the Spark jobs per iteration
+    // (measured: the 8-chain form cost ~10 s of q_ann_ivfpq's ~14 s).
+    // Each iteration: explode the sample ×m (mi, subvector), assign each
+    // row to its subspace's nearest current centroid, average per
+    // (subspace, code) — one job, then a model-sized collect.
+    var train = (if (trainSampleMod > 1)
+        corpus.filter(pmod(col("vec_id"), lit(trainSampleMod.toLong)) === 0L)
+      else corpus)
+      .select(col("vec_id"), col("embedding"))
+      .persist()
+    try {
+      var seeds = train.orderBy(col("vec_id")).limit(pqK)
+        .select(col("embedding")).as[Seq[Float]].collect().toSeq
+      if (trainSampleMod > 1 && seeds.size < pqK) {
+        // degenerate id-sample: fall back to the full corpus (same rule
+        // as trainCentroids)
+        train.unpersist()
+        train = corpus.select(col("vec_id"), col("embedding")).persist()
+        seeds = train.orderBy(col("vec_id")).limit(pqK)
+          .select(col("embedding")).as[Seq[Float]].collect().toSeq
+      }
+      // cents keyed (subspace, code) with codes dense 0..seeds-1 so the
+      // encoder's positional pack lookup (subspace*pqK + code) holds
+      var cents: Map[(Int, Long), Seq[Float]] = (for {
+        (emb, ci) <- seeds.zipWithIndex
+        mi <- 0 until m
+      } yield (mi, ci.toLong) -> emb.slice(mi * dsub, mi * dsub + dsub)).toMap
+      def toDf(cs: Map[(Int, Long), Seq[Float]]): DataFrame =
+        cs.toSeq.map { case ((mi, c), v) => (mi, c, v) }.sortBy(t => (t._1, t._2))
+          .toDF("subspace", "code", "centroid")
+      if (cents.isEmpty) return toDf(cents)
+      var iter = 0
+      var shift = Double.MaxValue
+      while (iter < maxIters && shift > shiftEpsilon) {
+        val packed = toDf(cents).agg(sort_array(collect_list(struct(
+          col("subspace"), col("code"), col("centroid")))).as("pq"))
+        val means = train
+          .select(col("embedding"),
+            explode(sequence(lit(0), lit(m - 1))).as("mi"))
+          .withColumn("sub", expr(s"slice(embedding, mi * $dsub + 1, $dsub)"))
+          .crossJoin(broadcast(packed))
+          .withColumn("code", array_min(transform(
+            slice(col("pq"), col("mi") * pqK + 1, lit(pqK)), p =>
+              struct(aggregate(zip_with(col("sub"), p.getField("centroid"),
+                (x, y) => (x.cast("double") - y.cast("double"))
+                  * (x.cast("double") - y.cast("double"))),
+                lit(0.0), (acc, v) => acc + v).as("d"),
+                p.getField("code").as("code")))).getField("code"))
+          .groupBy(col("mi"), col("code"))
+          .agg(array((0 until dsub).map(j =>
+            avg(element_at(col("sub"), j + 1).cast("double")).cast("float")): _*)
+            .as("centroid"))
+          .as[(Int, Long, Seq[Float])].collect()
+          .map { case (mi, c, v) => (mi, c) -> v }.toMap
+        val next = cents.map { case (key, old) =>
+          key -> means.getOrElse(key, old) } // empty cells keep centroids
+        shift = cents.map { case (key, o) =>
+          val n = next(key)
+          math.sqrt(o.zip(n).map { case (a, b) =>
+            val d = a.toDouble - b.toDouble; d * d }.sum)
+        }.max
+        cents = next
+        iter += 1
+      }
+      toDf(cents)
+    } finally train.unpersist()
   }
 
   /** IVF-PQ ANN top-k — the memory-bounded 100 TB serving shape: coarse
@@ -508,13 +563,18 @@ object Similarity {
       shortlist: Int = 50,
       dim: Int = 64,
       maxIters: Int = 5,
+      pqMaxIters: Int = 3,
       shiftEpsilon: Double = 1e-3,
       trainSampleMod: Int = 4): DataFrame = {
     require(shortlist >= k, "shortlist must cover the final top-k")
     val dsub = dim / m
     val coarse = trainCentroids(corpus, nCells, maxIters, shiftEpsilon,
       trainSampleMod = trainSampleMod)
-    val books = trainPqCodebooks(corpus, m, pqK, dim, maxIters,
+    // PQ codebooks get a LOOSER iteration budget than the coarse
+    // quantizer: sub-quantizer error is absorbed by the exact re-rank
+    // (only the shortlist ordering depends on it), where coarse-cell
+    // quality decides which candidates exist at all
+    val books = trainPqCodebooks(corpus, m, pqK, dim, pqMaxIters,
       shiftEpsilon, trainSampleMod)
     // one-row broadcast pack, sorted (subspace, code) so positional
     // lookups below are well-defined: entry index = subspace*pqK + code
