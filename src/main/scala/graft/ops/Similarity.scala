@@ -566,8 +566,6 @@ object Similarity {
       pqMaxIters: Int = 3,
       shiftEpsilon: Double = 1e-3,
       trainSampleMod: Int = 4): DataFrame = {
-    require(shortlist >= k, "shortlist must cover the final top-k")
-    val dsub = dim / m
     val coarse = trainCentroids(corpus, nCells, maxIters, shiftEpsilon,
       trainSampleMod = trainSampleMod)
     // PQ codebooks get a LOOSER iteration budget than the coarse
@@ -576,29 +574,57 @@ object Similarity {
     // quality decides which candidates exist at all
     val books = trainPqCodebooks(corpus, m, pqK, dim, pqMaxIters,
       shiftEpsilon, trainSampleMod)
-    // one-row broadcast pack, sorted (subspace, code) so positional
-    // lookups below are well-defined: entry index = subspace*pqK + code
-    val packed = books.agg(sort_array(collect_list(struct(
+    val packed = packBooks(books)
+    val coded = assignToCell(corpus, coarse).crossJoin(broadcast(packed))
+      .select(col("vec_id"), col("cell"),
+        pqEncodeExpr(col("embedding"), m, pqK, dim / m).as("codes"))
+    pqSearch(coded, coarse, packed, corpus, queries, k, nProbe, m, pqK,
+      dim / m, shortlist)
+  }
+
+  /** One-row broadcast pack of the codebooks, sorted (subspace, code)
+    * so positional lookups are well-defined: entry = subspace*pqK+code.
+    */
+  private def packBooks(books: DataFrame): DataFrame =
+    books.agg(sort_array(collect_list(struct(
       col("subspace"), col("code"), col("centroid")))).as("pq"))
 
-    def l2sq(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) =>
-        (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
-        lit(0.0), (acc, v) => acc + v)
-    // codes: per subspace, argmin-L2 codebook entry (code tiebreak via
-    // the struct sort) — row-local against the broadcast pack
-    def encode(emb: Column): Column =
-      transform(sequence(lit(0), lit(m - 1)), mi =>
-        array_min(transform(
-          slice(col("pq"), mi * pqK + 1, lit(pqK)), p =>
-            struct(l2sq(slice(emb, mi * dsub + 1, lit(dsub)), p.getField("centroid"))
-              .as("d"), p.getField("code").as("code"))))
-          .getField("code"))
+  private def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) =>
+      (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
 
-    val assigned = assignToCell(corpus, coarse)
-    val coded = assigned.crossJoin(broadcast(packed))
-      .select(col("vec_id"), col("cell"), encode(col("embedding")).as("codes"))
+  /** Per-subspace argmin-L2 codebook entry (code tiebreak via the
+    * struct sort) — row-local against the broadcast `pq` pack.
+    */
+  private def pqEncodeExpr(emb: Column, m: Int, pqK: Int, dsub: Int): Column =
+    transform(sequence(lit(0), lit(m - 1)), mi =>
+      array_min(transform(
+        slice(col("pq"), mi * pqK + 1, lit(pqK)), p =>
+          struct(l2sq(slice(emb, mi * dsub + 1, lit(dsub)), p.getField("centroid"))
+            .as("d"), p.getField("code").as("code"))))
+        .getField("code"))
 
+  /** ADC scan + exact re-rank against a codes-only candidate table —
+    * shared by the in-memory path ([[ivfPqTopK]]) and the persisted
+    * index ([[ivfPqSearchIndexed]]). The probe side casts `cell` to the
+    * candidate table's dtype (a persisted index reads it back as a
+    * hive-partition INT) — same DPP-preserving rule as searchAssigned.
+    */
+  private def pqSearch(
+      coded: DataFrame,
+      coarse: DataFrame,
+      packed: DataFrame,
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nProbe: Int,
+      m: Int,
+      pqK: Int,
+      dsub: Int,
+      shortlist: Int): DataFrame = {
+    require(shortlist >= k, "shortlist must cover the final top-k")
+    val cellType = coded.schema("cell").dataType
     // probes: nProbe best coarse cells per query (same rule as IVF) +
     // the per-query ADC table dt[subspace*pqK + code] = L2²(q_sub, c)
     val probeW = Window.partitionBy(col("query_id"))
@@ -610,7 +636,7 @@ object Similarity {
       .withColumn("prnk", row_number().over(probeW))
       .filter(col("prnk") <= nProbe)
       .crossJoin(broadcast(packed))
-      .select(col("query_id"), col("cell"), col("q_emb"), col("q_norm"),
+      .select(col("query_id"), col("cell").cast(cellType).as("cell"),
         transform(col("pq"), p =>
           l2sq(slice(col("q_emb"),
             p.getField("subspace") * dsub + 1, lit(dsub)), p.getField("centroid")))
@@ -619,7 +645,7 @@ object Similarity {
     // ADC scan over probed cells: codes only, no raw vectors
     val adcW = Window.partitionBy(col("query_id"))
       .orderBy(col("adc"), col("vec_id"))
-    val short = coded.join(broadcast(probes.drop("q_emb", "q_norm")), "cell")
+    val short = coded.join(broadcast(probes), "cell")
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("adc", aggregate(
         zip_with(col("codes"), sequence(lit(0), lit(m - 1)), (c, mi) =>
@@ -629,7 +655,9 @@ object Similarity {
       .filter(col("srnk") <= shortlist)
       .select(col("query_id"), col("vec_id"))
 
-    // exact re-rank of the tiny shortlist against true embeddings
+    // exact re-rank of the tiny shortlist against true embeddings: the
+    // raw vectors come from the row store (the corpus table) via an
+    // id-join on the shortlist — the index itself never stores floats
     val rankW = Window.partitionBy(col("query_id"))
       .orderBy(desc("cos"), col("vec_id"))
     corpus.select(col("vec_id"), col("embedding"))
@@ -643,6 +671,59 @@ object Similarity {
       .select(col("query_id"), col("rnk"), col("vec_id").as("neighbor_id"))
       .orderBy(col("query_id"), col("rnk"))
   }
+
+  /** Materialize the IVF-PQ index: coarse centroids + codebooks +
+    * the CODES-ONLY candidate table partitioned by cell. This is the
+    * serving memory story made durable — the index holds m bytes per
+    * vector (32× under raw float32 at the defaults) and searches read
+    * only the probed cells' directories (dynamic partition pruning,
+    * same as [[buildIvfIndex]]); raw vectors stay in the source table
+    * and are touched only by the shortlist re-rank id-join.
+    */
+  def buildIvfPqIndex(
+      corpus: DataFrame,
+      path: String,
+      nCells: Int = 10,
+      m: Int = 8,
+      pqK: Int = 16,
+      dim: Int = 64,
+      maxIters: Int = 5,
+      pqMaxIters: Int = 3,
+      shiftEpsilon: Double = 1e-3,
+      trainSampleMod: Int = 4): Unit = {
+    val coarse = trainCentroids(corpus, nCells, maxIters, shiftEpsilon,
+      trainSampleMod = trainSampleMod)
+    val books = trainPqCodebooks(corpus, m, pqK, dim, pqMaxIters,
+      shiftEpsilon, trainSampleMod)
+    coarse.write.mode("overwrite").parquet(s"$path/centroids")
+    books.write.mode("overwrite").parquet(s"$path/codebooks")
+    assignToCell(corpus, coarse).crossJoin(broadcast(packBooks(books)))
+      .select(col("vec_id"),
+        pqEncodeExpr(col("embedding"), m, pqK, dim / m).as("codes"), col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
+  }
+
+  /** ANN top-k against a [[buildIvfPqIndex]]-materialized index.
+    * `corpus` is the row store the shortlist re-rank joins for true
+    * embeddings; m/pqK/dim must match the build (the codebook table
+    * carries them implicitly — sizes are validated by the pack).
+    */
+  def ivfPqSearchIndexed(
+      spark: SparkSession,
+      path: String,
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int = 10,
+      nProbe: Int = 3,
+      m: Int = 8,
+      pqK: Int = 16,
+      dim: Int = 64,
+      shortlist: Int = 50): DataFrame =
+    pqSearch(
+      spark.read.parquet(s"$path/codes"),
+      spark.read.parquet(s"$path/centroids"),
+      packBooks(spark.read.parquet(s"$path/codebooks")),
+      corpus, queries, k, nProbe, m, pqK, dim / m, shortlist)
 
   /** Centroid stats per label — the IVF-style partition profile: shows how
     * the corpus would shard into coarse cells (here the given labels) for

@@ -296,6 +296,32 @@ class PlanShapeSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("IVF-PQ: the ADC candidate scan carries codes, never raw embeddings") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    // the memory claim behind PQ: candidates cross the wire as 8-byte
+    // code arrays; float embeddings appear only in the shortlist
+    // re-rank join. Inspect the physical exchanges directly (AQE off,
+    // same technique as the hash-keyed dedup pin): any exchange whose
+    // rows include the ADC distance must not also carry float vectors.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val e = graft.ops.Similarity.embeddings(spark, sf)
+      val df = graft.ops.Similarity.ivfPqTopK(
+        e, e.filter(org.apache.spark.sql.functions.col("vec_id") < 10))
+      val exchanges = df.queryExecution.executedPlan.collect {
+        case s: ShuffleExchangeExec => s }
+      assert(exchanges.nonEmpty)
+      val adcExchanges = exchanges.filter(
+        _.child.output.exists(_.name.startsWith("adc")))
+      assert(adcExchanges.nonEmpty, "ADC shortlist exchange not found")
+      adcExchanges.foreach(s => assert(
+        !s.child.output.exists(_.dataType == ArrayType(FloatType, true)) &&
+          !s.child.output.exists(_.dataType == ArrayType(FloatType, false)),
+        s"raw float vectors must not ride the ADC scan: ${s.child.output}"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("mixture budget: sharded prefix sum — no single-task-per-source window") {
     val p = plan(graft.ops.Corpus.applyMixtureBudget(
       graft.ops.TextAnalysis.documents(spark, sf),

@@ -109,6 +109,39 @@ class SimilaritySpec extends SparkTestBase {
       s"cell-partitioned search did not plan dynamic partition pruning:\n$plan")
   }
 
+  test("persisted IVF-PQ index: codes-only on disk, DPP prunes, recall matches in-memory class") {
+    val e = graft.ops.Similarity.embeddings(spark, "/root/testdata/sf0.001")
+    val q = e.filter($"vec_id" < 10)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
+    Similarity.buildIvfPqIndex(e, dir)
+    // the durable memory claim: the index stores (vec_id, codes) only —
+    // no float vectors on disk
+    val codes = spark.read.parquet(s"$dir/codes")
+    assert(codes.schema.fieldNames.sorted.toSeq == Seq("cell", "codes", "vec_id"))
+    assert(!codes.schema.fields.exists(_.dataType ==
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, true)))
+    codes.head(3).foreach { r =>
+      val cs = r.getAs[collection.Seq[Long]]("codes")
+      assert(cs.length == 8 && cs.forall(c => c >= 0 && c < 16))
+    }
+    val indexed = Similarity.ivfPqSearchIndexed(spark, dir, e, q,
+      nProbe = 5, shortlist = 200)
+    // DPP: probing reads only the probed cells' directories
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"cell-partitioned PQ search did not plan dynamic partition pruning:\n$plan")
+    // recall sanity vs brute force (the exact parity claim lives with
+    // the in-memory path's oracle; the index path retrains, so compare
+    // recall class, not row identity)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val brute = pairs(Similarity.bruteForceTopK(e, q, k = 10))
+    val got = pairs(indexed)
+    val recall = (brute & got).size.toDouble / brute.size
+    info(f"persisted IVF-PQ recall@10 (nProbe=5, shortlist=200): $recall%.3f")
+    assert(recall >= 0.5, s"indexed IVF-PQ recall too low: $recall")
+  }
+
   test("sampled IVF training falls back to the full corpus on a degenerate id-sample") {
     // odd-only vec_ids: the default 1/4 id-sample (vec_id % 4 == 0) is
     // EMPTY — search must still work, not silently return nothing
