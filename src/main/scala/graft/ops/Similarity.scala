@@ -703,6 +703,27 @@ object Similarity {
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
   }
 
+  /** Incremental IVF-PQ maintenance — [[appendToIvfIndex]]'s twin for
+    * the codes-only index: assign + encode new vectors against the
+    * STORED models (no retraining of either quantizer), dynamic-
+    * partition-appended into only the touched cell directories. Drift
+    * still reports through [[ivfIndexStaleness]] on the coarse level —
+    * PQ codebooks drift strictly slower than the coarse cells they
+    * subdivide, so the coarse signal is the retrain trigger for both.
+    */
+  def appendToIvfPqIndex(
+      spark: SparkSession,
+      path: String,
+      newVectors: DataFrame,
+      m: Int = 8,
+      pqK: Int = 16,
+      dim: Int = 64): Unit =
+    assignToCell(newVectors, spark.read.parquet(s"$path/centroids"))
+      .crossJoin(broadcast(packBooks(spark.read.parquet(s"$path/codebooks"))))
+      .select(col("vec_id"),
+        pqEncodeExpr(col("embedding"), m, pqK, dim / m).as("codes"), col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
+
   /** ANN top-k against a [[buildIvfPqIndex]]-materialized index.
     * `corpus` is the row store the shortlist re-rank joins for true
     * embeddings; m/pqK/dim must match the build (the codebook table

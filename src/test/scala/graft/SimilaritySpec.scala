@@ -180,6 +180,29 @@ class SimilaritySpec extends SparkTestBase {
     assert(out(1L) == ((1L, 2.0)))
   }
 
+  test("incremental IVF-PQ: encode-only append lands twins that top the ADC shortlist") {
+    val e = Similarity.embeddings(spark, "/root/testdata/sf0.001")
+    val base = e.filter($"vec_id" >= 10).select($"vec_id", $"embedding")
+    val queries = e.filter($"vec_id" < 5).select($"vec_id", $"embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_inc").toString
+    Similarity.buildIvfPqIndex(base, dir, trainSampleMod = 1)
+    // append exact twins of the queries at fresh ids: encoded with the
+    // STORED codebooks a twin's codes equal the query's own encoding,
+    // so its ADC distance is minimal and the search must surface it
+    val twins = queries.select(($"vec_id" + 5000000L).as("vec_id"), $"embedding")
+    Similarity.appendToIvfPqIndex(spark, dir, twins)
+    assert(spark.read.parquet(s"$dir/codes").count() == base.count() + 5)
+    val rowStore = base.unionByName(twins)
+    val got = Similarity.ivfPqSearchIndexed(spark, dir, rowStore, queries,
+      k = 1, nProbe = 3)
+      .collect().map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id"))
+      .toMap
+    (0L until 5L).foreach { qid =>
+      assert(got(qid) == 5000000L + qid,
+        s"appended twin of query $qid not found (got ${got(qid)})")
+    }
+  }
+
   test("incremental IVF: assign-only append keeps recall; appended twins are found") {
     val e = Similarity.embeddings(spark, "/root/testdata/sf0.001")
     val base = e.filter($"vec_id" < 350).select($"vec_id", $"embedding")
