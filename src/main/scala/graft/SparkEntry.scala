@@ -94,6 +94,24 @@ object SparkEntry {
         .select((col("vec_id") + 2000000L).as("vec_id"), col("embedding")))
   }
 
+  /** Semantic-dedup planted corpus: one HALF-SCALED twin (vec_id +
+    * 2000000, embedding × 0.5f) for every vec_id % 7 == 0. Cosine is
+    * scale-invariant, so each twin pairs with its original at cos ≈ 1
+    * while exact/byte-hash dedup would MISS it — the case semantic dedup
+    * exists for. The ×0.5f is a power of two: exact in float on both
+    * engines (Spark `x * 0.5f`, DuckDB `(x * 0.5)::FLOAT`), and the
+    * angular cell assignment is bit-invariant under it, so twins co-cell
+    * with their originals and the cell-local pair set EQUALS the
+    * all-pairs oracle set (natural max cosine 0.51 < 0.9 threshold).
+    */
+  private def semanticPlanted(e: DataFrame): DataFrame = {
+    val base = e.select(col("vec_id"), col("embedding"))
+    base.unionByName(
+      base.filter(pmod(col("vec_id"), lit(7L)) === 0L)
+        .select((col("vec_id") + 2000000L).as("vec_id"),
+          transform(col("embedding"), x => x * lit(0.5f)).as("embedding")))
+  }
+
   /** Planted multilingual fragments for q_unicode_tokens — chosen to pin
     * the text path's Unicode semantics where engines COULD diverge, while
     * avoiding the mappings where they genuinely do:
@@ -164,6 +182,9 @@ object SparkEntry {
     "q_props_extract" -> ((s, d) => Analytics.propsExtract(Analytics.events(s, d))),
     "q_tumbling_counts" -> ((s, d) => Analytics.tumblingCounts(Analytics.events(s, d))),
     "q_sliding_counts" -> ((s, d) => Analytics.slidingCounts(Analytics.events(s, d))),
+    // dense hourly resample with forward fill — the pre-model resample
+    // step; spine is (types × hours), metadata-sized at any corpus scale
+    "q_gap_fill" -> ((s, d) => Analytics.gapFillHourly(Analytics.events(s, d))),
     "q_set_ops" -> ((s, d) => Analytics.setOps(Analytics.events(s, d))),
     "q_multiset_ops" -> ((s, d) => Analytics.multisetOps(Analytics.events(s, d))),
     "q_value_stats" -> ((s, d) => Analytics.valueStats(Analytics.events(s, d))),
@@ -509,6 +530,12 @@ object SparkEntry {
     "q_embedding_neardup_lsh" -> ((s, d) =>
       Dedup.embeddingNearDupLsh(neardupPlanted(Similarity.embeddings(s, d)),
         threshold = 0.9)),
+    // SemDeDup: IVF-cell-local pairs + exact-cosine verify + CC keepers;
+    // half-scaled twins pair at cos≈1 but would evade exact-hash dedup
+    // (see semanticPlanted for the recall-exactly-1 argument)
+    "q_semantic_dedup" -> ((s, d) =>
+      Similarity.semanticDedup(semanticPlanted(Similarity.embeddings(s, d)),
+        threshold = 0.9)),
     // schema introspection (reference README.md:257-263 twin): catalog
     // metadata, so the driver's rows-only check applies — DuckDB has no
     // view of the Spark catalog to oracle against
@@ -733,6 +760,23 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT (epoch_us(ts) // 1800000000) * 1800000000 - 1800000000 FROM events
         |) GROUP BY 1 ORDER BY window_start_us""".stripMargin,
+    "q_gap_fill" ->
+      """WITH agg AS (
+        |  SELECT event_type, epoch_us(date_trunc('hour', ts)) AS hour_us,
+        |    count(*) AS n,
+        |    sum(CAST(value AS DECIMAL(12,2)))::DOUBLE AS sv
+        |  FROM events GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT event_type, unnest(range(lo, hi + 1, 3600000000)) AS hour_us
+        |  FROM (SELECT event_type, min(hour_us) AS lo, max(hour_us) AS hi
+        |        FROM agg GROUP BY 1))
+        |SELECT s.event_type, s.hour_us,
+        |  coalesce(a.n, 0) AS n,
+        |  last_value(a.sv IGNORE NULLS) OVER (
+        |    PARTITION BY s.event_type ORDER BY s.hour_us
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+        |FROM spine s LEFT JOIN agg a USING (event_type, hour_us)
+        |ORDER BY event_type, hour_us""".stripMargin,
     "q_set_ops" ->
       """SELECT user_id FROM events WHERE event_type = 'purchase'
         |INTERSECT
@@ -1741,6 +1785,30 @@ object SparkEntry {
         |      / sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1), i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)))
         |      / sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1), i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))) >= 0.9
         |ORDER BY vec_a, vec_b""".stripMargin,
+    "q_semantic_dedup" ->
+      """WITH RECURSIVE
+        |base AS (SELECT vec_id, embedding FROM embeddings),
+        |c AS (SELECT vec_id, embedding FROM base
+        |      UNION ALL
+        |      SELECT vec_id + 2000000, list_transform(embedding, x -> (x * 0.5)::FLOAT)
+        |      FROM base WHERE vec_id % 7 = 0),
+        |p AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+        |      FROM c a JOIN c b ON a.vec_id < b.vec_id
+        |      WHERE list_sum(list_transform(range(1, len(a.embedding) + 1), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+        |            / sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1), i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)))
+        |            / sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1), i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))) >= 0.9),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM p
+        |          UNION ALL SELECT doc_b, doc_a FROM p),
+        |reach AS (
+        |  SELECT vec_id AS doc_id, vec_id AS other FROM c
+        |  UNION
+        |  SELECT reach.doc_id, e.b FROM reach JOIN edges e ON reach.other = e.a),
+        |lab AS (SELECT doc_id, min(other) AS cluster_id FROM reach GROUP BY doc_id),
+        |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY 1)
+        |SELECT l.doc_id AS vec_id, l.cluster_id, s.cluster_size,
+        |  l.doc_id = l.cluster_id AS keeper
+        |FROM lab l JOIN sz s USING (cluster_id)
+        |ORDER BY vec_id""".stripMargin,
     "q_ann_brute" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
         |scored AS (

@@ -188,6 +188,45 @@ object Analytics {
       .select(unix_micros(col("window.start")).as("window_start_us"), col("n"))
       .orderBy(col("window_start_us"))
 
+  /** Time-series gap fill (absent in reference — the resample step a
+    * metrics/feature pipeline runs before model input): a DENSE hourly
+    * spine per event_type across that type's observed [min, max] hour
+    * range — empty hours appear with n = 0 and the hourly value sum
+    * forward-filled from the last observed hour (the first spine hour
+    * always has data, so the fill never reads an empty history).
+    *
+    * Scale shape: one hash aggregate to hourly grain, a tiny per-type
+    * bounds aggregate, and a spine EXPLODE that is (types × hours) —
+    * time ranges are bounded, so the spine is metadata-sized next to the
+    * events scan no matter the corpus size. The forward fill is one
+    * running window per type over the already-aggregated series, never
+    * over raw events. Sum runs in DECIMAL (exact) and converts once.
+    */
+  def gapFillHourly(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourUs = 3600L * 1000000L
+    val agg = df
+      .groupBy(col("event_type"),
+        unix_micros(date_trunc("hour", col("ts"))).as("hour_us"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("sv"))
+    val spine = agg
+      .groupBy(col("event_type"))
+      .agg(min(col("hour_us")).as("lo"), max(col("hour_us")).as("hi"))
+      .select(col("event_type"),
+        explode(sequence(col("lo"), col("hi"), lit(hourUs))).as("hour_us"))
+    spine.join(agg, Seq("event_type", "hour_us"), "left")
+      .select(
+        col("event_type"), col("hour_us"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        last(col("sv"), ignoreNulls = true).over(
+          Window.partitionBy(col("event_type")).orderBy(col("hour_us"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("filled_value"))
+      .orderBy(col("event_type"), col("hour_us"))
+  }
+
   /** W4 stretch (absent in reference — SURVEY §2.10): session windows.
     * Events within `gap` of each other merge into one session per user;
     * works identically in batch and (with a watermark) streaming. Oracle

@@ -746,6 +746,63 @@ object Similarity {
       packBooks(spark.read.parquet(s"$path/codebooks")),
       corpus, queries, k, nProbe, m, pqK, dim / m, shortlist)
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space with the IVF coarse
+    * quantizer ([[trainCentroids]]), generate candidate pairs ONLY within
+    * a cell, verify each candidate with exact cosine ≥ `threshold`, then
+    * resolve transitive duplicate groups with min-label connected
+    * components ([[Dedup.nearDupClusters]]). Keeper = the min-id member
+    * of each group; a training pipeline keeps `keeper` rows and drops
+    * the rest. Catches semantic duplicates exact-hash dedup misses
+    * (e.g. rescaled embeddings: cosine is scale-invariant).
+    *
+    * Scale shape: training is sample-based Lloyd with a driver-held
+    * nCells×dim model; assignment is the narrow broadcast map of
+    * [[assignToCell]] (angular argmax — positively-scaled copies of a
+    * vector land in the SAME cell, bit-deterministically, since a
+    * power-of-two scale commutes exactly with IEEE rounding through the
+    * dot, the division and the argmax). Pairing is one equi-join on the
+    * cell key, O(Σ cellᵢ²) not O(N²); at 100 TB nCells grows ~√N so
+    * cells stay bounded and the join key cardinality keeps every
+    * partition busy. The CC step runs on the duplicate graph only
+    * (≪ corpus). Recall vs the all-pairs baseline is < 1 exactly when a
+    * qualifying pair straddles cells — at near-dup thresholds (≥ 0.9)
+    * duplicates are near-collinear and co-assign; the spec measures
+    * recall against [[Dedup.embeddingNearDup]].
+    */
+  def semanticDedup(
+      embeddings: DataFrame,
+      threshold: Double = 0.9,
+      nCells: Int = 10,
+      maxIters: Int = 5,
+      trainSampleMod: Int = 1): DataFrame = {
+    import graft.functions.VectorFunctions.vecDot
+    val cents = trainCentroids(embeddings, nCells, maxIters,
+      trainSampleMod = trainSampleMod)
+    val e = assignToCell(embeddings, cents)
+      .select(col("cell"), col("vec_id"), col("embedding"),
+        Dedup.vecNorm(col("embedding")).as("norm"))
+      .persist()
+    try {
+      val pairs = e.as("a")
+        .join(e.as("b"),
+          col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+        .withColumn("cos",
+          vecDot(col("a.embedding"), col("b.embedding")) /
+            col("a.norm") / col("b.norm"))
+        .filter(col("cos") >= threshold)
+        .select(col("a.vec_id").as("doc_a"), col("b.vec_id").as("doc_b"))
+      // nearDupClusters eagerly checkpoints the edge set, so the persisted
+      // assignment is consumed before the finally-unpersist
+      Dedup.nearDupClusters(
+        embeddings.select(col("vec_id").as("doc_id")), pairs)
+        .select(col("doc_id").as("vec_id"), col("cluster_id"),
+          col("cluster_size"),
+          (col("doc_id") === col("cluster_id")).as("keeper"))
+        .orderBy(col("vec_id"))
+    } finally e.unpersist()
+  }
+
   /** Centroid stats per label — the IVF-style partition profile: shows how
     * the corpus would shard into coarse cells (here the given labels) for
     * inverted-file ANN.

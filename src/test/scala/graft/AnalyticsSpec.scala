@@ -47,4 +47,24 @@ class AnalyticsSpec extends SparkTestBase {
         s"$c: sketch $a vs exact $e exceeds the 5% HLL envelope")
     }
   }
+
+  test("gapFillHourly: empty hours appear with n=0 and the last sum carried forward") {
+    val hour = 3600L * 1000000L
+    val events = Seq(
+      // type "a": hours 0 and 3 observed — hours 1, 2 must be filled
+      (1L, ts(0L), "a", 10.0), (2L, ts(1000L), "a", 2.5),
+      (3L, ts(3 * hour + 5L), "a", 7.0),
+      // type "b": a single hour — no gaps, spine of one
+      (4L, ts(2 * hour), "b", 1.0)
+    ).toDF("event_id", "ts", "event_type", "value")
+    val out = Analytics.gapFillHourly(events).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("hour_us"),
+        r.getAs[Long]("n"), r.getAs[Double]("filled_value")))
+    assert(out.toSeq == Seq(
+      ("a", 0L, 2L, 12.5),
+      ("a", hour, 0L, 12.5),     // filled: no events, carries hour-0 sum
+      ("a", 2 * hour, 0L, 12.5), // filled
+      ("a", 3 * hour, 1L, 7.0),
+      ("b", 2 * hour, 1L, 1.0)))
+  }
 }

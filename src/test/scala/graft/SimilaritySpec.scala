@@ -278,4 +278,32 @@ class SimilaritySpec extends SparkTestBase {
     assert(after.values.max > 0.01, s"drift not visible in shift: $after")
     assert(after.values.min < 1e-9, s"untouched cell drifted: $after")
   }
+
+  test("semantic dedup: scaled twins cluster with their originals; cell-local = all-pairs") {
+    val e = graft.ops.Similarity.embeddings(spark, "/root/testdata/sf0.001")
+    // half-scaled twins: cosine-identical, byte-distinct — the duplicate
+    // class exact-hash dedup misses (mirrors SparkEntry.semanticPlanted)
+    val planted = e.select($"vec_id", $"embedding").unionByName(
+      e.filter(pmod($"vec_id", lit(7L)) === 0L)
+        .select(($"vec_id" + 2000000L).as("vec_id"),
+          transform($"embedding", x => x * lit(0.5f)).as("embedding")))
+    val out = Similarity.semanticDedup(planted, threshold = 0.9).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("cluster_id"), r.getAs[Long]("cluster_size"),
+          r.getAs[Boolean]("keeper"))).toMap
+    val twinned = e.select($"vec_id").as[Long].collect().filter(_ % 7 == 0)
+    assert(twinned.nonEmpty)
+    twinned.foreach { v =>
+      assert(out(v) == ((v, 2L, true)), s"original $v: ${out(v)}")
+      assert(out(v + 2000000L) == ((v, 2L, false)), s"twin of $v: ${out(v + 2000000L)}")
+    }
+    // every non-twinned vector is its own singleton keeper (natural max
+    // cosine 0.51 < 0.9), so cell-local pairing lost nothing vs all-pairs
+    out.filterNot { case (v, _) => twinned.contains(v % 2000000L) }
+      .foreach { case (v, lab) => assert(lab == ((v, 1L, true)), s"$v: $lab") }
+    // recall vs the all-pairs exact baseline is EXACTLY 1 on this corpus
+    val brute = graft.ops.Dedup.embeddingNearDup(planted, threshold = 0.9)
+      .collect().map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    assert(brute == twinned.map(v => (v, v + 2000000L)).toSet)
+  }
 }
