@@ -775,7 +775,11 @@ object Similarity {
       threshold: Double = 0.9,
       nCells: Int = 10,
       maxIters: Int = 5,
-      trainSampleMod: Int = 1): DataFrame = {
+      trainSampleMod: Int = 4): DataFrame = {
+    // sample-trained like ivfTopK: the keeper OUTPUT is invariant to the
+    // centroid model (duplicates co-cell under ANY centroids by the
+    // scale-invariance argument above; non-duplicates are cosine-gated),
+    // so training cost buys only cell balance — sample it
     import graft.functions.VectorFunctions.vecDot
     val cents = trainCentroids(embeddings, nCells, maxIters,
       trainSampleMod = trainSampleMod)
