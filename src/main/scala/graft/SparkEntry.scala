@@ -341,6 +341,10 @@ object SparkEntry {
         .agg(count(lit(1)).as("line_count"),
           sum(col("l_quantity")).cast("double").as("sum_qty"))
         .orderBy(col("p_brand"))),
+    // Z-order layout profile: per-tile spans of BOTH key columns — the
+    // data-skipping property a Morton-clustered file layout buys
+    "q_zorder_layout" -> ((s, d) =>
+      Layout.zorderLayout(Relational.table(s, d, "lineitem"))),
     // ---- text analysis (§7.4-2) ----
     "q_doc_stats" -> ((s, d) => TextAnalysis.docStats(TextAnalysis.documents(s, d))),
     "q_lang_stats" -> ((s, d) => TextAnalysis.langStats(TextAnalysis.documents(s, d))),
@@ -646,6 +650,19 @@ object SparkEntry {
       |    vec_id AS neighbor_id
       |  FROM scored) WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
 
+  /** Unrolled Morton bit-interleave as DuckDB SQL — the oracle twin of
+    * [[graft.ops.Layout.zValue2]]: integer bit algebra is engine-exact,
+    * so the z-layout query pairs with a full value oracle.
+    */
+  private def zSqlExpr(a: String, b: String, bits: Int): String = {
+    val mask = (1L << bits) - 1L
+    val am = s"($a & $mask)"
+    val bm = s"($b & $mask)"
+    (0 until bits).flatMap(i => Seq(
+      s"((($am >> $i) & 1) << ${2 * i})",
+      s"((($bm >> $i) & 1) << ${2 * i + 1})")).mkString(" | ")
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q_event_pipeline" ->
       """SELECT event_id AS id,
@@ -910,6 +927,14 @@ object SparkEntry {
       """SELECT p_brand, count(*) AS line_count, sum(l_quantity) AS sum_qty
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q_zorder_layout" ->
+      s"""WITH z AS (SELECT l_partkey, l_suppkey,
+         |  (${zSqlExpr("l_partkey", "l_suppkey", 20)}) AS zval
+         |  FROM lineitem)
+         |SELECT zval >> 12 AS bucket, count(*) AS n,
+         |  min(l_partkey) AS part_lo, max(l_partkey) AS part_hi,
+         |  min(l_suppkey) AS supp_lo, max(l_suppkey) AS supp_hi
+         |FROM z GROUP BY 1 ORDER BY bucket""".stripMargin,
     "q_order_cube" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
         |  sum(CAST(o_totalprice AS DECIMAL(18,2)))::DOUBLE AS total

@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multi-dimensional data layout: Z-order (Morton, 1966) clustering —
+  * the file-layout optimization a 100 TB fact table needs for
+  * data-skipping on MORE than the leading sort column (the technique
+  * lakehouse table formats expose as `OPTIMIZE ... ZORDER BY`).
+  *
+  * A table sorted by `(a, b)` prunes scans on `a` only: parquet
+  * row-group min/max footers for `b` span the whole domain in every
+  * file. Sorting by the bit-interleaved Morton key of `(a, b)` instead
+  * makes every contiguous key range a small axis-aligned tile of the
+  * 2-D value space — footers stay narrow in BOTH dimensions, so
+  * predicates on either column (or both) skip files.
+  *
+  * Everything here is pure integer Column algebra — no UDFs, stays
+  * inside whole-stage codegen, and the z-key computation is a narrow
+  * map: no shuffle beyond the one `repartitionByRange` that the final
+  * layout genuinely requires (that range exchange IS the clustering).
+  */
+object Layout {
+
+  /** Bit-interleaved Morton key of two non-negative integer columns,
+    * `bits` low bits each (values are masked — map keys into range
+    * first if they can exceed 2^bits, or raise `bits`; 20 bits cover
+    * 1M distinct values per dimension and the interleaved key still
+    * fits a BIGINT up to bits = 31).
+    */
+  def zValue2(a: Column, b: Column, bits: Int = 20): Column = {
+    require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
+    val mask = (1L << bits) - 1L
+    val am = a.cast("long").bitwiseAND(lit(mask))
+    val bm = b.cast("long").bitwiseAND(lit(mask))
+    (0 until bits).foldLeft(lit(0L): Column) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftrightunsigned(am, i).bitwiseAND(lit(1L)), 2 * i))
+        .bitwiseOR(shiftleft(shiftrightunsigned(bm, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+  }
+
+  /** The write-side operator: range-partition by the Morton key (each
+    * output file owns one contiguous z range = one bounded 2-D tile)
+    * and sort within partitions so row groups inside a file tile even
+    * tighter. `df.write.parquet(...)` after this yields the z-clustered
+    * layout; rewriting is only ever needed per-partition (e.g. per
+    * ingest day), never table-wide.
+    */
+  def clusterByZ(
+      df: DataFrame,
+      a: String,
+      b: String,
+      nFiles: Int,
+      bits: Int = 20): DataFrame = {
+    val z = zValue2(col(a), col(b), bits)
+    df.withColumn("zval", z)
+      .repartitionByRange(nFiles, col("zval"))
+      .sortWithinPartitions(col("zval"))
+  }
+
+  /** Layout profile over lineitem's (l_partkey, l_suppkey): bucket rows
+    * by `zval >> tileShift` — each bucket is by construction an
+    * axis-aligned 2^(tileShift/2) × 2^(tileShift/2) tile of the key
+    * space — and report per-bucket row counts and min/max spans of both
+    * dimensions. The spans are what parquet footers would store: their
+    * narrowness in BOTH columns (≤ 63 here, vs domain-wide in a
+    * single-column sort) is the data-skipping win, made visible as a
+    * verifiable query. Scale shape: one narrow map + one hash
+    * aggregate; output is bounded by the occupied tile count.
+    */
+  def zorderLayout(
+      lineitem: DataFrame,
+      bits: Int = 20,
+      tileShift: Int = 12): DataFrame = {
+    require(tileShift % 2 == 0, "tileShift must be even (square tiles)")
+    val z = zValue2(col("l_partkey"), col("l_suppkey"), bits)
+    lineitem
+      .withColumn("bucket", shiftrightunsigned(z, tileShift))
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("l_partkey")).as("part_lo"),
+        max(col("l_partkey")).as("part_hi"),
+        min(col("l_suppkey")).as("supp_lo"),
+        max(col("l_suppkey")).as("supp_hi"))
+      .orderBy(col("bucket"))
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Layout
+
+class LayoutSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("zValue2 interleaves bits: known Morton codes and order-preservation on tiles") {
+    val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (7L, 0L), (0L, 7L), (5L, 3L))
+      .toDF("a", "b")
+      .withColumn("z", Layout.zValue2(col("a"), col("b"), bits = 4))
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("z")).toMap
+    // hand-computed Morton codes: a takes even bit positions, b odd
+    assert(got((0L, 0L)) == 0L)
+    assert(got((1L, 0L)) == 1L)
+    assert(got((0L, 1L)) == 2L)
+    assert(got((1L, 1L)) == 3L)
+    assert(got((7L, 0L)) == 21L)  // 0b010101
+    assert(got((0L, 7L)) == 42L)  // 0b101010
+    assert(got((5L, 3L)) == 27L)  // interleave(101, 011) = 0b011011
+  }
+
+  test("zorderLayout buckets are tight 64x64 tiles on lineitem") {
+    val li = graft.ops.Relational.table(spark, "/root/testdata/sf0.001", "lineitem")
+    val rows = Layout.zorderLayout(li).collect()
+    assert(rows.nonEmpty)
+    // zval >> 12 buckets own a 2^6 x 2^6 axis-aligned tile: both spans < 64.
+    // In a plain (l_partkey, l_suppkey) sort the suppkey span would be
+    // domain-wide in every partkey run — this narrowness IS the z-order win.
+    rows.foreach { r =>
+      val pSpan = r.getAs[Long]("part_hi") - r.getAs[Long]("part_lo")
+      val sSpan = r.getAs[Long]("supp_hi") - r.getAs[Long]("supp_lo")
+      assert(pSpan >= 0 && pSpan < 64, s"bucket ${r.get(0)}: part span $pSpan")
+      assert(sSpan >= 0 && sSpan < 64, s"bucket ${r.get(0)}: supp span $sSpan")
+    }
+    // tiles must partition the rows: total count equals the scan count
+    assert(rows.map(_.getAs[Long]("n")).sum == li.count())
+  }
+
+  test("clusterByZ range-partitions by the Morton key with in-partition sort") {
+    val li = graft.ops.Relational.table(spark, "/root/testdata/sf0.001", "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"))
+    val out = Layout.clusterByZ(li, "l_partkey", "l_suppkey", nFiles = 8)
+    // each output partition holds a contiguous, internally sorted z range
+    val perPart = out.select(spark_partition_id().as("pid"), col("zval"))
+      .groupBy("pid").agg(min("zval").as("lo"), max("zval").as("hi"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getAs[Int]("pid"), r.getAs[Long]("lo"), r.getAs[Long]("hi")))
+      .sortBy(_._1)
+    assert(perPart.length > 1)
+    // ranges are disjoint and ordered across partition ids
+    perPart.sliding(2).foreach {
+      case Array((_, _, hi1), (_, lo2, _)) => assert(hi1 <= lo2, s"overlap: $hi1 > $lo2")
+      case _ =>
+    }
+    // within a partition rows are sorted by zval
+    val sortedWithin = out.mapPartitions { it =>
+      val zs = it.map(_.getAs[Long]("zval")).toArray
+      Iterator.single(zs.sameElements(zs.sorted))
+    }(org.apache.spark.sql.Encoders.scalaBoolean).collect()
+    assert(sortedWithin.forall(identity))
+  }
+}
