@@ -112,6 +112,28 @@ object SparkEntry {
           transform(col("embedding"), x => x * lit(0.5f)).as("embedding")))
   }
 
+  /** Planted ingest batch for q_incremental_dedup — the corpus has no
+    * exact duplicates (near-dups are Jaccard-level only), so the batch
+    * manufactures each status arm with engine-exact string ops:
+    *  - % 10 == 0: whitespace-padded copies — fp-invariant under the
+    *    trim/collapse normalization → `dup_of_corpus`;
+    *  - % 10 == 1: the same corpus-new text under TWO batch ids →
+    *    first `kept`, second `dup_in_batch`;
+    *  - % 10 == 2: unique corpus-new text → `kept` singleton.
+    * Pure ASCII concat (no case mapping), so Spark and DuckDB agree
+    * byte-for-byte.
+    */
+  private def incrementalBatch(d: DataFrame): DataFrame = {
+    val base = d.select(col("doc_id"), col("text"))
+    def arm(m: Int, offset: Long, text: org.apache.spark.sql.Column): DataFrame =
+      base.filter(pmod(col("doc_id"), lit(10L)) === m)
+        .select((col("doc_id") + offset).as("doc_id"), text.as("text"))
+    arm(0, 1000000L, concat(lit(" "), col("text"), lit("  ")))
+      .unionByName(arm(1, 2000000L, concat(col("text"), lit(" batchnew"))))
+      .unionByName(arm(1, 3000000L, concat(col("text"), lit(" batchnew"))))
+      .unionByName(arm(2, 4000000L, concat(col("text"), lit(" solo"))))
+  }
+
   /** Planted multilingual fragments for q_unicode_tokens — chosen to pin
     * the text path's Unicode semantics where engines COULD diverge, while
     * avoiding the mappings where they genuinely do:
@@ -519,6 +541,13 @@ object SparkEntry {
     }),
     // ---- dedup (§7.4-1) ----
     "q_exact_dedup" -> ((s, d) => Dedup.exactDedup(TextAnalysis.documents(s, d))),
+    // ingest-time incremental dedup against the full corpus; the batch is
+    // planted (see incrementalBatch) so all three status arms fire: the
+    // corpus itself has no exact duplicates, only Jaccard-level near-dups
+    "q_incremental_dedup" -> ((s, d) => {
+      val docs = TextAnalysis.documents(s, d)
+      Dedup.incrementalDedup(docs, incrementalBatch(docs))
+    }),
     "q_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(TextAnalysis.documents(s, d), 0.05)),
     // threshold 0.5, 32×2 banding: recall is 1-ε (ε ≈ 7e-15 at the
     // corpus's J≥0.8 near-dup pairs), so the exact-Jaccard oracle applies;
@@ -1722,6 +1751,30 @@ object SparkEntry {
       """SELECT min(doc_id) AS keep_id, count(*) AS dup_count
         |FROM documents GROUP BY md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
         |ORDER BY keep_id""".stripMargin,
+    "q_incremental_dedup" ->
+      """WITH d AS (SELECT doc_id, text FROM documents),
+        |batch AS (
+        |  SELECT doc_id + 1000000 AS doc_id, ' ' || text || '  ' AS text
+        |  FROM d WHERE doc_id % 10 = 0
+        |  UNION ALL SELECT doc_id + 2000000, text || ' batchnew'
+        |  FROM d WHERE doc_id % 10 = 1
+        |  UNION ALL SELECT doc_id + 3000000, text || ' batchnew'
+        |  FROM d WHERE doc_id % 10 = 1
+        |  UNION ALL SELECT doc_id + 4000000, text || ' solo'
+        |  FROM d WHERE doc_id % 10 = 2),
+        |c AS (SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+        |        min(doc_id) AS corpus_keeper FROM d GROUP BY 1),
+        |b AS (SELECT doc_id,
+        |        md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+        |      FROM batch),
+        |bk AS (SELECT fp, min(doc_id) AS batch_keeper FROM b GROUP BY 1)
+        |SELECT b.doc_id,
+        |  CASE WHEN c.corpus_keeper IS NOT NULL THEN 'dup_of_corpus'
+        |       WHEN b.doc_id = bk.batch_keeper THEN 'kept'
+        |       ELSE 'dup_in_batch' END AS status,
+        |  coalesce(c.corpus_keeper, bk.batch_keeper) AS keeper_id
+        |FROM b LEFT JOIN c USING (fp) JOIN bk USING (fp)
+        |ORDER BY b.doc_id""".stripMargin,
     "q_ngram_jaccard" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks FROM documents),
         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),

@@ -37,6 +37,46 @@ object Dedup {
       .select(col("keep_id"), col("dup_count"))
       .orderBy(col("keep_id"))
 
+  /** Incremental exact dedup — the ingest-time shape: annotate a NEW
+    * batch against an EXISTING corpus without re-deduplicating the
+    * corpus. Each batch doc gets a status:
+    *  - `dup_of_corpus`: its normalized text already exists in the
+    *    corpus (keeper = the corpus's min doc_id for that text);
+    *  - `kept`: first occurrence within the batch of a corpus-new text
+    *    (keeper = itself) — these are the rows to append;
+    *  - `dup_in_batch`: a later in-batch occurrence of a kept text
+    *    (keeper = the batch's min doc_id).
+    *
+    * Scale shape: the corpus rides the join as (16-byte fp, 8-byte id)
+    * only — text never leaves its scan. At petabyte scale the corpus
+    * fingerprint index is the artifact you PERSIST (bucketed by fp, à
+    * la [[graft.stream.Pipeline]]'s bucketed upsert), so each daily
+    * batch joins against it shuffle-free on the corpus side and the
+    * index update is just the `kept` rows' fingerprints appended. The
+    * batch side is two partial-agg'd exchanges on fp, both batch-sized,
+    * corpus-size-independent.
+    */
+  def incrementalDedup(corpus: DataFrame, batch: DataFrame): DataFrame = {
+    def fp(text: Column): Column =
+      md5(regexp_replace(trim(lower(text)), "\\s+", " "))
+    val corpusIdx = corpus
+      .select(fp(col("text")).as("fp"), col("doc_id"))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("corpus_keeper"))
+    val b = batch.select(col("doc_id"), fp(col("text")).as("fp"))
+    val batchKeeper = b.groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("batch_keeper"))
+    b.join(corpusIdx, Seq("fp"), "left")
+      .join(batchKeeper, Seq("fp"))
+      .select(
+        col("doc_id"),
+        when(col("corpus_keeper").isNotNull, lit("dup_of_corpus"))
+          .when(col("doc_id") === col("batch_keeper"), lit("kept"))
+          .otherwise(lit("dup_in_batch")).as("status"),
+        coalesce(col("corpus_keeper"), col("batch_keeper")).as("keeper_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** All-pairs n-gram Jaccard ≥ threshold (oracle baseline; O(n²) —
     * small-data only, the scale path is [[minHashLsh]]). Pairs are built
     * by an equi-join on exploded shingles, so only pairs sharing ≥1

@@ -132,6 +132,24 @@ class DedupSpec extends SparkTestBase {
     assert(out.toSeq == Seq((1L, 3L)))
   }
 
+  test("incrementalDedup: corpus dups, in-batch dups, and keepers all labeled") {
+    val corpus = Seq((1L, "hello world"), (2L, "unique corpus doc"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "Hello   WORLD"),   // normalizes to a corpus text → dup_of_corpus
+      (11L, "brand new doc"),   // corpus-new, first in batch → kept
+      (12L, "brand  new doc"),  // same normalized text, later id → dup_in_batch
+      (13L, "another fresh one") // singleton → kept
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalDedup(corpus, batch).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out == Map(
+      10L -> (("dup_of_corpus", 1L)),
+      11L -> (("kept", 11L)),
+      12L -> (("dup_in_batch", 11L)),
+      13L -> (("kept", 13L))))
+  }
+
   test("operating-point guard: oracle corpus keeps a Jaccard gap around 0.5") {
     // q_minhash_lsh / q_cross_source_dups pair their value oracles on the
     // banding-recall argument: at the 0.5 / 32×2 operating point recall is
