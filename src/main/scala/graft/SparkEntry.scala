@@ -553,6 +553,17 @@ object SparkEntry {
     // corpus's J≥0.8 near-dup pairs), so the exact-Jaccard oracle applies;
     // the pair set is the shared nearDupPairs materialization
     "q_minhash_lsh" -> ((s, d) => nearDupPairs(s, d)),
+    // ingest-time near-dup: planted batch (doc_id % 5 == 0, one appended
+    // token → J = (n-1)/n vs the original) against the full corpus at
+    // q_minhash_lsh's 0.5 / 32-band operating point (recall 1-ε: every
+    // true cross pair sits at J ≥ ~0.72 where P(miss) < 1e-10)
+    "q_incremental_lsh" -> ((s, d) => {
+      val docs = TextAnalysis.documents(s, d)
+      val batch = docs.filter(pmod(col("doc_id"), lit(5L)) === 0L)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" batchdup")).as("text"))
+      Dedup.incrementalMinHashLsh(docs, batch, threshold = 0.5, bands = 32)
+    }),
     "q_simhash_pairs" -> ((s, d) => Dedup.simHashPairs(TextAnalysis.documents(s, d))),
     // connected components over the (recall 1-ε, exact-verified) pair set
     "q_neardup_clusters" -> ((s, d) =>
@@ -1788,6 +1799,26 @@ object SparkEntry {
         |FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
         |WHERE round(i::DOUBLE / (sa.sz + sb.sz - i), 4) >= 0.05
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_incremental_lsh" ->
+      """WITH corp AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks FROM documents),
+        |bat AS (SELECT doc_id + 1000000 AS doc_id,
+        |        regexp_split_to_array(lower(text || ' batchdup'), '\s+') AS toks
+        |        FROM documents WHERE doc_id % 5 = 0),
+        |shc AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+        |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+        |        FROM corp WHERE len(toks) >= 3),
+        |shb AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+        |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+        |        FROM bat WHERE len(toks) >= 3),
+        |szc AS (SELECT doc_id, count(*) AS sz FROM shc GROUP BY 1),
+        |szb AS (SELECT doc_id, count(*) AS sz FROM shb GROUP BY 1),
+        |inter AS (SELECT c.doc_id AS corpus_id, b.doc_id AS batch_id, count(*) AS i
+        |          FROM shc c JOIN shb b ON c.shingle = b.shingle GROUP BY 1, 2)
+        |SELECT corpus_id, batch_id,
+        |  round(i::DOUBLE / (sc.sz + sb.sz - i), 4) AS jaccard
+        |FROM inter JOIN szc sc ON corpus_id = sc.doc_id JOIN szb sb ON batch_id = sb.doc_id
+        |WHERE round(i::DOUBLE / (sc.sz + sb.sz - i), 4) >= 0.5
+        |ORDER BY corpus_id, batch_id""".stripMargin,
     "q_minhash_lsh" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks FROM documents),
         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),

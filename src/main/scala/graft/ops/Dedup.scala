@@ -214,6 +214,70 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Incremental MinHash-LSH: near-dup pairs between a NEW batch and an
+    * EXISTING corpus — the ingest-time twin of [[minHashLsh]] (which is
+    * within-one-dataset). Returns (corpus_id, batch_id, jaccard) for
+    * every cross pair with exact Jaccard ≥ threshold; batch docs that
+    * appear in no pair are genuinely new material. In-batch near-dups
+    * are [[minHashLsh]] on the batch alone — kept separate so each run
+    * stays batch-sized.
+    *
+    * Scale shape: the corpus band table (band, band_key, doc_id — three
+    * longs per doc per band) is the PERSISTED INDEX of a 100 TB corpus;
+    * here it is recomputed because the test corpus is small, but the
+    * frame is exactly what you'd `bucketBy(band_key).saveAsTable` once
+    * and reuse every ingest. The candidate join then shuffles only the
+    * batch side (batch bands are re-bucketed to the index's layout), the
+    * verification join touches corpus shingles for candidate ids only,
+    * and nothing corpus-sized moves per batch. Recall follows
+    * [[minHashLsh]]'s banding argument — at the caller's operating point
+    * the output equals the exact cross-pair set and is value-oracle-able.
+    */
+  def incrementalMinHashLsh(
+      corpus: DataFrame,
+      batch: DataFrame,
+      threshold: Double = 0.8,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleSize: Int = 3): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
+
+    def shingled(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), shingles(col("text"), shingleSize).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .persist()
+    def banded(sh: DataFrame): DataFrame = {
+      val sig = minHashSignature(col("sh"), numHashes)
+      val bandKeys = array((0 until bands).map(b =>
+        hash(slice(sig, b * rowsPerBand + 1, rowsPerBand), lit(b))): _*)
+      sh.select(col("doc_id"), posexplode(bandKeys))
+        .withColumnRenamed("pos", "band")
+        .withColumnRenamed("col", "band_key")
+    }
+
+    // lazy persist like minHashLsh: the shingle frames are read by the
+    // band branch and the verification join; released with the session
+    val shC = shingled(corpus)
+    val shB = shingled(batch)
+    val candidates = banded(shC).as("c")
+      .join(banded(shB).as("b"),
+        col("c.band") === col("b.band") &&
+          col("c.band_key") === col("b.band_key"))
+      .select(col("c.doc_id").as("corpus_id"), col("b.doc_id").as("batch_id"))
+      .dropDuplicates("corpus_id", "batch_id")
+    candidates
+      .join(shC.select(col("doc_id").as("corpus_id"), col("sh").as("sh_c")), "corpus_id")
+      .join(shB.select(col("doc_id").as("batch_id"), col("sh").as("sh_b")), "batch_id")
+      .withColumn("inter", size(array_intersect(col("sh_c"), col("sh_b"))))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") /
+          (size(col("sh_c")) + size(col("sh_b")) - col("inter")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("corpus_id"), col("batch_id"), col("jaccard"))
+      .orderBy(col("corpus_id"), col("batch_id"))
+  }
+
   /** 64-bit SimHash over shingles: bit j of the signature is the majority
     * vote of shingle-hash bit j — one hash pass + one codegen'd majority
     * loop ([[graft.functions.SimHash64]]). Row-local.

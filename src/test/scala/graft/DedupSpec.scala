@@ -150,6 +150,31 @@ class DedupSpec extends SparkTestBase {
       13L -> (("kept", 13L))))
   }
 
+  test("incrementalMinHashLsh equals the exact cross-pair set on a planted batch") {
+    val docs = graft.ops.TextAnalysis.documents(spark, "/root/testdata/sf0.001")
+    val batch = docs.filter(pmod(col("doc_id"), lit(5L)) === 0L)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" batchdup")).as("text"))
+    val got = graft.ops.Dedup
+      .incrementalMinHashLsh(docs, batch, threshold = 0.5, bands = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // exact baseline: all-pairs Jaccard on the union, restricted to
+    // corpus × batch (batch ids are offset, so doc_a < doc_b splits sides)
+    val exact = graft.ops.Dedup
+      .ngramJaccardPairs(
+        docs.select(col("doc_id"), col("text")).unionByName(batch),
+        threshold = 0.5)
+      .filter(col("doc_a") < 1000000L && col("doc_b") >= 1000000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == exact, s"lsh=${got.size} exact=${exact.size}")
+    // every planted twin found its original
+    val originals = docs.filter(pmod(col("doc_id"), lit(5L)) === 0L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val matched = got.collect { case (c, b, _) if b == c + 1000000L => c }
+    assert(originals.subsetOf(matched.toSet),
+      s"missing self-pairs: ${originals -- matched}")
+  }
+
   test("operating-point guard: oracle corpus keeps a Jaccard gap around 0.5") {
     // q_minhash_lsh / q_cross_source_dups pair their value oracles on the
     // banding-recall argument: at the 0.5 / 32×2 operating point recall is
