@@ -499,6 +499,9 @@ object SparkEntry {
         .orderBy(col("shard"), col("bin_id"))),
     // ---- end-to-end corpus curation (capstone: §7.4 composed) ----
     "q_corpus_curation" -> ((s, d) => Corpus.curate(TextAnalysis.documents(s, d))),
+    // per-source over-representation cap: top-10 by quality per source
+    // (WindowGroupLimit keeps the shuffle at sources × k — see CorpusSpec)
+    "q_domain_cap" -> ((s, d) => Corpus.domainCap(TextAnalysis.documents(s, d))),
     "q_corpus_curation_neardup" -> ((s, d) =>
       Corpus.curateNearDup(TextAnalysis.documents(s, d),
         pairs = Some(nearDupPairs(s, d)))),
@@ -1639,6 +1642,25 @@ object SparkEntry {
         |FROM scored s JOIN keepers k ON s.fp = k.fp AND s.doc_id = k.keep_id
         |WHERE s.quality >= 0.5 AND s.n_tokens BETWEEN 30 AND 120
         |ORDER BY s.doc_id""".stripMargin,
+    "q_domain_cap" ->
+      """WITH scored AS (
+        |  SELECT doc_id, source,
+        |    round((
+        |      CASE WHEN n_chars BETWEEN 100 AND 450 THEN 1.0
+        |           WHEN n_chars < 100 THEN n_chars / 100.0
+        |           ELSE 450.0 / n_chars END
+        |      + least(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in')))::DOUBLE / len(toks) * 10.0, 1.0)
+        |      + len(list_distinct(toks))::DOUBLE / len(toks)
+        |    ) / 3.0, 4) AS quality
+        |  FROM (SELECT doc_id, source, n_chars,
+        |          regexp_split_to_array(lower(text), '\s+') AS toks FROM documents)),
+        |ranked AS (
+        |  SELECT source,
+        |    row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS rk,
+        |    doc_id, quality
+        |  FROM scored)
+        |SELECT source, rk, doc_id, quality FROM ranked
+        |WHERE rk <= 10 ORDER BY source, rk""".stripMargin,
     "q_stratified_sample" ->
       """WITH fp AS (
         |  SELECT lang,

@@ -37,10 +37,38 @@ object Corpus {
     val quality = round((lenScore + stopScore + diversity) / 3.0, 4)
 
     docs.select(
-      col("doc_id"), col("lang"),
+      col("doc_id"), col("lang"), col("source"),
       md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")).as("fp"),
       nTok.as("n_tokens"),
       quality.as("quality"))
+  }
+
+  /** Per-source cap — the over-representation guard: keep at most
+    * `maxPerSource` docs per source, best quality first (ties broken by
+    * doc_id, so the result is deterministic on the 4-dp-rounded score).
+    * Without a cap, one crawled domain's boilerplate can dominate a
+    * mixture; with it, every source contributes a bounded, quality-ranked
+    * slice.
+    *
+    * Scale shape: rank-≤-k over a row_number window triggers Spark's
+    * WindowGroupLimit rewrite — each map partition keeps only its local
+    * top-k per source BEFORE the exchange (pinned in PlanShapeSpec), so
+    * the shuffle carries O(sources × k), not the corpus; a hot source
+    * costs k rows per upstream partition, never its full row count.
+    */
+  def domainCap(docs: DataFrame, maxPerSource: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    scoreAndFingerprint(docs)
+      .withColumn("rk",
+        row_number().over(Window.partitionBy(col("source"))
+          .orderBy(col("quality").desc, col("doc_id"))))
+      .filter(col("rk") <= maxPerSource)
+      // BIGINT like the oracle's row_number (the driver compare is
+      // dtype-sensitive); cast AFTER the filter so the rewrite still
+      // sees the raw row_number() <= k pattern
+      .select(col("source"), col("rk").cast("long").as("rk"),
+        col("doc_id"), col("quality"))
+      .orderBy(col("source"), col("rk"))
   }
 
   /** Survivors of the curation gauntlet with their audit columns. */

@@ -399,4 +399,24 @@ class CorpusSpec extends SparkTestBase {
       assert(got == expect, s"shardWidth=$w diverged from sequential semantics")
     }
   }
+
+  test("domainCap keeps exactly k best-quality docs per source, map-side limited") {
+    val docs = graft.ops.TextAnalysis.documents(spark, "/root/testdata/sf0.01")
+    val out = Corpus.domainCap(docs, maxPerSource = 10).collect()
+    val bySource = out.groupBy(_.getAs[String]("source"))
+    assert(bySource.size == 20 && bySource.values.forall(_.length == 10))
+    // within a source: rk is 1..10 and quality non-increasing
+    bySource.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getAs[Long]("rk"))
+      assert(sorted.map(_.getAs[Long]("rk")).toSeq == (1L to 10L))
+      val qs = sorted.map(_.getAs[Double]("quality")).toSeq
+      assert(qs.zip(qs.tail).forall { case (a, b) => a >= b }, qs)
+    }
+    // scale pin: the rank filter must stay in the WindowGroupLimit
+    // rewrite (partial before the exchange + final after) so a hot
+    // source ships k rows per upstream partition, not its full count
+    val p = Corpus.domainCap(docs, maxPerSource = 10)
+      .queryExecution.executedPlan.toString
+    assert("WindowGroupLimit".r.findAllIn(p).length == 2, p)
+  }
 }
