@@ -56,14 +56,29 @@ object Dedup {
     * batch side is two partial-agg'd exchanges on fp, both batch-sized,
     * corpus-size-independent.
     */
-  def incrementalDedup(corpus: DataFrame, batch: DataFrame): DataFrame = {
-    def fp(text: Column): Column =
-      md5(regexp_replace(trim(lower(text)), "\\s+", " "))
-    val corpusIdx = corpus
-      .select(fp(col("text")).as("fp"), col("doc_id"))
-      .groupBy(col("fp"))
-      .agg(min(col("doc_id")).as("corpus_keeper"))
-    val b = batch.select(col("doc_id"), fp(col("text")).as("fp"))
+  /** The normalized content fingerprint every exact-dedup surface keys
+    * on: md5 of the lowercased, whitespace-collapsed text.
+    */
+  def contentFingerprint(text: Column): Column =
+    md5(regexp_replace(trim(lower(text)), "\\s+", " "))
+
+  def incrementalDedup(corpus: DataFrame, batch: DataFrame): DataFrame =
+    incrementalDedupAgainstIndex(
+      corpus
+        .select(contentFingerprint(col("text")).as("fp"), col("doc_id"))
+        .groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("corpus_keeper")),
+      batch)
+
+  /** [[incrementalDedup]] against a PRE-BUILT fingerprint index
+    * (fp, corpus_keeper) — the entry point when the index is a persisted
+    * table maintained across ingests (see [[graft.stream.IngestDedup]])
+    * rather than recomputed from corpus text each run.
+    */
+  def incrementalDedupAgainstIndex(
+      corpusIdx: DataFrame,
+      batch: DataFrame): DataFrame = {
+    val b = batch.select(col("doc_id"), contentFingerprint(col("text")).as("fp"))
     val batchKeeper = b.groupBy(col("fp"))
       .agg(min(col("doc_id")).as("batch_keeper"))
     b.join(corpusIdx, Seq("fp"), "left")

@@ -630,4 +630,39 @@ class StreamingSpec extends SparkTestBase {
     val ids = spark.read.parquet(outDir).select($"id").as[String].collect().sorted
     assert(ids.toSeq == Seq("test-dag-001", "test-dag-002"), ids.mkString(","))
   }
+
+  test("deduplicated ingest: cross-batch and in-batch dups dropped, replay idempotent") {
+    import graft.stream.IngestDedup
+    implicit val ctx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("ingest").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ingest-ckpt").toString
+    val input = MemoryStream[(Long, String)]
+    val q = IngestDedup.startIngest(
+      input.toDF().toDF("doc_id", "text"), root, ckpt)
+    try {
+      input.addData((1L, "alpha doc"), (2L, "beta doc"))
+      q.processAllAvailable()
+      // batch 2: a re-crawl of doc 1 (case/whitespace variant), an
+      // in-batch duplicated new text, and a genuinely new doc
+      input.addData(
+        (10L, "  Alpha   DOC "), (11L, "gamma doc"),
+        (12L, "gamma doc"), (13L, "delta doc"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val corpus = IngestDedup.corpus(spark, root)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(corpus == Seq(1L, 2L, 11L, 13L),
+      s"corpus must hold one doc per normalized text: $corpus")
+    val idx = IngestDedup.readIndex(spark, root).collect()
+    assert(idx.length == 4 && idx.map(_.getString(0)).distinct.length == 4)
+    // at-least-once replay of the last batch must converge, not duplicate:
+    // recomputes against index versions < 1 and overwrites its own dirs
+    val replay = Seq(
+      (10L, "  Alpha   DOC "), (11L, "gamma doc"),
+      (12L, "gamma doc"), (13L, "delta doc")).toDF("doc_id", "text")
+    IngestDedup.ingestBatch(replay, root, batchId = 1L)
+    val after = IngestDedup.corpus(spark, root)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(after == corpus, s"replay changed the corpus: $after")
+  }
 }
