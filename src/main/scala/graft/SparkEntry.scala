@@ -635,6 +635,13 @@ object SparkEntry {
       val e = Similarity.embeddings(s, d)
       Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10))
     }),
+    // filtered vector search: exact top-k restricted to one label's rows
+    // (~1/10 of the corpus) — the predicate reaches the corpus scan
+    "q_ann_filtered" -> ((s, d) => {
+      val e = Similarity.embeddings(s, d)
+      Similarity.bruteForceTopKFiltered(
+        e, e.filter(col("vec_id") < 10), col("label") === 3)
+    }),
     // planted twin clusters make the true top-10 per query its 10
     // lowest-id twins, reachable at recall exactly 1 by both approximate
     // paths → full value oracle (see annPlanted)
@@ -1948,6 +1955,20 @@ object SparkEntry {
         |    / sqrt(list_sum(list_transform(range(1, len(q.q_emb) + 1), i -> q.q_emb[i]::DOUBLE * q.q_emb[i]::DOUBLE)))
         |    / sqrt(list_sum(list_transform(range(1, len(c.embedding) + 1), i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))) AS cos
         |  FROM embeddings c CROSS JOIN q WHERE c.vec_id <> q.query_id)
+        |SELECT query_id, rnk, neighbor_id FROM (
+        |  SELECT query_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk,
+        |    vec_id AS neighbor_id
+        |  FROM scored) WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
+    "q_ann_filtered" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.query_id, c.vec_id,
+        |    list_sum(list_transform(range(1, len(q.q_emb) + 1), i -> q.q_emb[i]::DOUBLE * c.embedding[i]::DOUBLE))
+        |    / sqrt(list_sum(list_transform(range(1, len(q.q_emb) + 1), i -> q.q_emb[i]::DOUBLE * q.q_emb[i]::DOUBLE)))
+        |    / sqrt(list_sum(list_transform(range(1, len(c.embedding) + 1), i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))) AS cos
+        |  FROM embeddings c CROSS JOIN q
+        |  WHERE c.label = 3 AND c.vec_id <> q.query_id)
         |SELECT query_id, rnk, neighbor_id FROM (
         |  SELECT query_id,
         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk,

@@ -42,6 +42,49 @@ object Similarity {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** Metadata-filtered exact top-k: neighbors restricted to corpus rows
+    * satisfying `pred` — the "filtered vector search" shape (top-k
+    * within one language / source / label). PRE-filtering: the predicate
+    * lands on the corpus scan (parquet footer pruning; on a
+    * label-partitioned layout, directory pruning), scoring touches only
+    * qualifying rows, and k results are guaranteed. The alternative —
+    * post-filtering an unfiltered top-k — returns < k rows the moment
+    * the filter is selective, which is exactly when filtering matters.
+    */
+  def bruteForceTopKFiltered(
+      corpus: DataFrame,
+      queries: DataFrame,
+      pred: Column,
+      k: Int = 10): DataFrame =
+    bruteForceTopK(corpus.filter(pred), queries, k)
+
+  /** Filtered IVF search: centroids are trained on (a sample of) the
+    * FULL corpus — the index is built once, filters vary per query — and
+    * the predicate prunes candidates before cell assignment. Assignment
+    * is row-local, so filtering first is plan-equivalent to filtering
+    * within probed cells but lets the predicate reach the scan. A
+    * selective predicate thins every cell, so hold recall by raising
+    * `nProbe` (the spec measures recall vs [[bruteForceTopKFiltered]] as
+    * selectivity drops). On the persisted index
+    * ([[ivfSearchIndexed]]), the same predicate simply composes with the
+    * DPP-pruned per-cell directories.
+    */
+  def ivfTopKFiltered(
+      corpus: DataFrame,
+      queries: DataFrame,
+      pred: Column,
+      k: Int = 10,
+      nCells: Int = 10,
+      nProbe: Int = 3,
+      maxIters: Int = 5,
+      shiftEpsilon: Double = 1e-3,
+      trainSampleMod: Int = 4): DataFrame = {
+    val cents = trainCentroids(corpus, nCells, maxIters, shiftEpsilon,
+      trainSampleMod = trainSampleMod)
+    searchAssigned(assignToCell(corpus.filter(pred), cents), queries, cents,
+      k, nProbe)
+  }
+
   /** nBits-bit random-hyperplane signature, packed into a long bitmask —
     * a single codegen'd loop ([[graft.functions.RhpSig]]); bands become
     * bit-shift extractions. Row-local, no stored model.

@@ -56,6 +56,30 @@ class SimilaritySpec extends SparkTestBase {
     assert(recalls.head._2 > 0.0, "nProbe=1 found nothing")
   }
 
+  test("filtered ANN: brute respects the predicate; filtered IVF holds recall with more probes") {
+    val e = graft.ops.Similarity.embeddings(spark, "/root/testdata/sf0.001")
+    val q = e.filter($"vec_id" < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val pred = $"label" === 3
+    val allowed = e.filter(pred).select($"vec_id").as[Long].collect().toSet
+    val brute = pairs(Similarity.bruteForceTopKFiltered(e, q, pred, k = 10))
+    assert(brute.nonEmpty && brute.forall { case (_, n) => allowed.contains(n) },
+      "every filtered neighbor must satisfy the predicate")
+    // filtered IVF: same predicate, centroids trained on the full corpus;
+    // a 1/10-selective filter thins every cell, so probe wider
+    val ivf = pairs(Similarity.ivfTopKFiltered(e, q, pred, k = 10, nProbe = 5))
+    assert(ivf.forall { case (_, n) => allowed.contains(n) })
+    val recall = (brute & ivf).size.toDouble / brute.size
+    info(f"filtered IVF recall@10 at nProbe=5: $recall%.3f")
+    assert(recall >= 0.5, s"filtered recall too low: $recall")
+    // the filter must reach the corpus scan, not hang above the join
+    val plan = Similarity.bruteForceTopKFiltered(e, q, pred, k = 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(label), EqualTo(label,3)")
+      || plan.contains("EqualTo(label,3)"), plan)
+  }
+
   test("IVF-PQ: continuum recall tracks plain IVF; widening the shortlist never hurts") {
     val e = graft.ops.Similarity.embeddings(spark, "/root/testdata/sf0.001")
     val q = e.filter($"vec_id" < 10)
