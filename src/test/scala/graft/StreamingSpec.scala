@@ -665,4 +665,45 @@ class StreamingSpec extends SparkTestBase {
       .select($"doc_id").as[Long].collect().sorted.toSeq
     assert(after == corpus, s"replay changed the corpus: $after")
   }
+
+  test("ingest index compaction folds history below max; interrupted swap heals") {
+    import graft.stream.IngestDedup
+    val root = java.nio.file.Files.createTempDirectory("ingest-c").toString
+    for (b <- 0L to 3L)
+      IngestDedup.ingestBatch(
+        Seq((b * 10, s"doc number $b")).toDF("doc_id", "text"), root, b)
+    val before = IngestDedup.readIndex(spark, root).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(before.size == 4)
+    // folds v-0..v-2 into v-2, leaves v-3 (replay-eligible) alone
+    assert(IngestDedup.compactIndex(spark, root) == 2)
+    val dirs = new java.io.File(s"$root/fp-index").listFiles()
+      .map(_.getName).filter(_.startsWith("v-")).sorted.toSeq
+    assert(dirs == Seq("v-2", "v-3"), dirs.mkString(","))
+    assert(IngestDedup.readIndex(spark, root).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet == before)
+    // a replay of the max batch still sees the full prior state
+    IngestDedup.ingestBatch(
+      Seq((30L, "doc number 3")).toDF("doc_id", "text"), root, 3L)
+    assert(IngestDedup.readIndex(spark, root).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet == before)
+    // simulate a crash between park and swap-in: live target missing,
+    // committed staging + parked copy present → heal must roll FORWARD
+    val fpDir = s"$root/fp-index"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(fpDir), spark.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$fpDir/v-2"),
+      new org.apache.hadoop.fs.Path(s"$fpDir/.old-v-2"))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$fpDir/.compact-v-2"))
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(s"$fpDir/.old-v-2"), fs,
+      new org.apache.hadoop.fs.Path(s"$fpDir/.compact-v-2"),
+      false, true, spark.sparkContext.hadoopConfiguration)
+    val healed = IngestDedup.readIndex(spark, root).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(healed == before, s"heal lost rows: ${before -- healed}")
+    assert(new java.io.File(s"$fpDir/v-2").exists)
+    assert(!new java.io.File(s"$fpDir/.old-v-2").exists)
+    assert(!new java.io.File(s"$fpDir/.compact-v-2").exists)
+  }
 }
