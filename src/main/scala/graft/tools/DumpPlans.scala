@@ -42,7 +42,13 @@ object DumpPlans {
       "q_token_packing" -> "sequence packing: ONE shard exchange, partition-local window sort — packing parallelizes across shards, no global order",
       "q_mixture_budget" -> "mixture draw: targets + shard-carry table broadcast; running sum sharded (source, doc_id div width) — no per-source single-task window, corpus never shuffles on doc_id",
       "q_pack_sequences" -> "packed-sequence emit: ONE corpus exchange — bin assembly reuses the offsets window's shard partitioning (hash(shard) already clusters (shard, bin)); bins are row-sized, never driver-sized",
-      "q_ann_ivfpq" -> "IVF-PQ: kilobyte codebook broadcasts, row-local encode + per-query ADC tables, candidates carry 8-byte codes only; raw embeddings cross the wire once, for the shortlist re-rank id-join")
+      "q_ann_ivfpq" -> "IVF-PQ: kilobyte codebook broadcasts, row-local encode + per-query ADC tables, candidates carry 8-byte codes only; raw embeddings cross the wire once, for the shortlist re-rank id-join",
+      "q_semantic_dedup" -> "SemDeDup: sample-trained coarse quantizer (driver holds centroids only), row-local cell assignment, cell-key equi-join for candidates (O(Σ cellᵢ²), never all-pairs), CC on the duplicate graph only",
+      "q_zorder_layout" -> "Z-order: pure integer bit-interleave in one codegen'd narrow map + one hash aggregate over tile ids — the layout query; clusterByZ itself is one range exchange (the clustering) + in-partition sort",
+      "q_incremental_dedup" -> "incremental ingest dedup: corpus rides the join as (16-byte fp, id) only — text never leaves its scan; batch-sized aggregates, corpus-size-independent per batch",
+      "q_incremental_lsh" -> "incremental near-dup: batch bands equi-join the corpus band table (the persisted-index frame, ids+keys only); exact-Jaccard verify re-joins shingles by id for candidates only",
+      "q_domain_cap" -> "per-source cap: WindowGroupLimit partial (map-side top-k per source BEFORE the exchange) + final — shuffle carries O(sources × k), never the corpus",
+      "q_ann_filtered" -> "filtered vector search: label predicate pushed to the corpus scan (PushedFilters), broadcast query side, k guaranteed — pre-filter beats post-filter exactly when the filter is selective")
 
     val sb = new StringBuilder
     sb.append("# PLANS — explain(\"formatted\") for headline queries\n\n")
