@@ -36,11 +36,14 @@ object Corpus {
     val stopScore = least(stopHits / nTok.cast("double") * 10.0, lit(1.0))
     val quality = round((lenScore + stopScore + diversity) / 3.0, 4)
 
-    docs.select(
-      col("doc_id"), col("lang"), col("source"),
+    // `source` rides through only when the input has it: curate callers
+    // legitimately score frames without one; domainCap requires it
+    val srcCol =
+      if (docs.columns.contains("source")) Seq(col("source")) else Seq.empty
+    docs.select(Seq(col("doc_id"), col("lang")) ++ srcCol ++ Seq(
       md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")).as("fp"),
       nTok.as("n_tokens"),
-      quality.as("quality"))
+      quality.as("quality")): _*)
   }
 
   /** Per-source cap — the over-representation guard: keep at most
