@@ -248,6 +248,31 @@ object Dedup {
     * [[minHashLsh]]'s banding argument — at the caller's operating point
     * the output equals the exact cross-pair set and is value-oracle-able.
     */
+  /** (doc_id, sh): distinct word shingles per doc, empty docs dropped —
+    * the frame every signature/verification path starts from.
+    */
+  private[graft] def shingleFrame(docs: DataFrame, shingleSize: Int): DataFrame =
+    docs
+      .select(col("doc_id"), shingles(col("text"), shingleSize).as("sh"))
+      .filter(size(col("sh")) > 0)
+
+  /** (doc_id, band, band_key): the ids-only banded LSH frame — exactly
+    * what a deployment persists as the corpus band index.
+    */
+  private[graft] def bandFrame(
+      sh: DataFrame,
+      numHashes: Int,
+      bands: Int): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
+    val sig = minHashSignature(col("sh"), numHashes)
+    val bandKeys = array((0 until bands).map(b =>
+      hash(slice(sig, b * rowsPerBand + 1, rowsPerBand), lit(b))): _*)
+    sh.select(col("doc_id"), posexplode(bandKeys))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_key")
+  }
+
   def incrementalMinHashLsh(
       corpus: DataFrame,
       batch: DataFrame,
@@ -255,28 +280,12 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 16,
       shingleSize: Int = 3): DataFrame = {
-    val rowsPerBand = numHashes / bands
-    require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
-
-    def shingled(df: DataFrame): DataFrame = df
-      .select(col("doc_id"), shingles(col("text"), shingleSize).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .persist()
-    def banded(sh: DataFrame): DataFrame = {
-      val sig = minHashSignature(col("sh"), numHashes)
-      val bandKeys = array((0 until bands).map(b =>
-        hash(slice(sig, b * rowsPerBand + 1, rowsPerBand), lit(b))): _*)
-      sh.select(col("doc_id"), posexplode(bandKeys))
-        .withColumnRenamed("pos", "band")
-        .withColumnRenamed("col", "band_key")
-    }
-
     // lazy persist like minHashLsh: the shingle frames are read by the
     // band branch and the verification join; released with the session
-    val shC = shingled(corpus)
-    val shB = shingled(batch)
-    val candidates = banded(shC).as("c")
-      .join(banded(shB).as("b"),
+    val shC = shingleFrame(corpus, shingleSize).persist()
+    val shB = shingleFrame(batch, shingleSize).persist()
+    val candidates = bandFrame(shC, numHashes, bands).as("c")
+      .join(bandFrame(shB, numHashes, bands).as("b"),
         col("c.band") === col("b.band") &&
           col("c.band_key") === col("b.band_key"))
       .select(col("c.doc_id").as("corpus_id"), col("b.doc_id").as("batch_id"))

@@ -55,6 +55,108 @@ object IngestDedup {
     } finally kept.unpersist(blocking = false)
   }
 
+  /** Near-dup-aware ingest step — [[ingestBatch]] plus an LSH stage over
+    * a PERSISTED band index (`band-index/v-*`, the ids-only
+    * (doc_id, band, band_key) frame):
+    *  1. exact stage: drop batch docs whose fingerprint is already
+    *     indexed, keep first-in-batch per fp;
+    *  2. corpus near-dup stage: batch bands join the band index;
+    *     candidates verify with exact shingle Jaccard against the
+    *     candidate corpus docs' text (fetched BY ID from the doc store —
+    *     the row-store lookup of a real deployment), drops on
+    *     jaccard ≥ threshold;
+    *  3. in-batch near-dup stage: LSH within the remaining docs, one
+    *     min-id representative per connected cluster.
+    * Survivors append docs + fingerprints + bands. Thresholded
+    * similarity is not transitive, so a doc whose only near-dup was
+    * itself dropped in stage 2 survives — same greedy semantics as the
+    * batch curation capstone. Deterministic given prior state, so the
+    * version-dir replay discipline of [[ingestBatch]] carries over
+    * unchanged.
+    */
+  def ingestBatchNearDup(
+      batch: DataFrame,
+      root: String,
+      batchId: Long,
+      threshold: Double = 0.8,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleSize: Int = 3): Unit = {
+    val spark = batch.sparkSession
+    val index = readIndex(spark, root, below = Some(batchId))
+    val exactKept = batch.join(
+      Dedup.incrementalDedupAgainstIndex(index, batch)
+        .filter(col("status") === "kept")
+        .select(col("doc_id")),
+      Seq("doc_id"))
+      .persist()
+    val shB = Dedup.shingleFrame(exactKept, shingleSize).persist()
+    try {
+      val corpusBands = readVersions(spark, s"$root/band-index",
+        below = Some(batchId))
+      val corpusDup =
+        if (corpusBands.columns.isEmpty) exactKept.limit(0).select(col("doc_id"))
+        else {
+          val candidates = corpusBands.as("c")
+            .join(Dedup.bandFrame(shB, numHashes, bands).as("b"),
+              col("c.band") === col("b.band") &&
+                col("c.band_key") === col("b.band_key"))
+            .select(col("c.doc_id").as("corpus_id"), col("b.doc_id").as("batch_id"))
+            .dropDuplicates("corpus_id", "batch_id")
+          val shCand = Dedup.shingleFrame(
+            corpus(spark, root).join(
+              candidates.select(col("corpus_id").as("doc_id")).distinct(),
+              Seq("doc_id")),
+            shingleSize)
+          candidates
+            .join(shCand.select(col("doc_id").as("corpus_id"), col("sh").as("sh_c")),
+              "corpus_id")
+            .join(shB.select(col("doc_id").as("batch_id"), col("sh").as("sh_b")),
+              "batch_id")
+            .withColumn("inter", size(array_intersect(col("sh_c"), col("sh_b"))))
+            .filter(col("inter").cast("double") /
+              (size(col("sh_c")) + size(col("sh_b")) - col("inter")) >= threshold)
+            .select(col("batch_id").as("doc_id")).distinct()
+        }
+      val afterCorpus = exactKept.join(corpusDup, Seq("doc_id"), "left_anti")
+      // in-batch pairs from the SAME persisted shingle frame (calling
+      // minHashLsh here would persist a fresh copy per micro-batch and
+      // pin storage for the stream's lifetime)
+      val shIn = shB.join(afterCorpus.select(col("doc_id")), Seq("doc_id"))
+      val bandsIn = Dedup.bandFrame(shIn, numHashes, bands)
+      val inPairs = bandsIn.as("a")
+        .join(bandsIn.as("b"),
+          col("a.band") === col("b.band") &&
+            col("a.band_key") === col("b.band_key") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .dropDuplicates("doc_a", "doc_b")
+        .join(shIn.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+        .join(shIn.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+        .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+        .filter(col("inter").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("inter")) >= threshold)
+        .select(col("doc_a"), col("doc_b"))
+      val keepers = Dedup
+        .nearDupClusters(afterCorpus.select(col("doc_id")), inPairs)
+        .filter(col("doc_id") === col("cluster_id"))
+        .select(col("doc_id"))
+      val survivors = afterCorpus.join(keepers, Seq("doc_id")).persist()
+      try {
+        survivors.write.mode("overwrite").parquet(s"$root/docs/v-$batchId")
+        survivors.select(
+          Dedup.contentFingerprint(col("text")).as("fp"), col("doc_id"))
+          .write.mode("overwrite").parquet(s"$root/fp-index/v-$batchId")
+        Dedup.bandFrame(
+          Dedup.shingleFrame(survivors, shingleSize), numHashes, bands)
+          .write.mode("overwrite").parquet(s"$root/band-index/v-$batchId")
+      } finally survivors.unpersist(blocking = false)
+    } finally {
+      shB.unpersist(blocking = false)
+      exactKept.unpersist(blocking = false)
+    }
+  }
+
   /** Start the streaming ingest over a stream of (doc_id, text, ...) rows. */
   def startIngest(
       docs: DataFrame,
@@ -64,6 +166,21 @@ object IngestDedup {
     docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         ingestBatch(batch, root, batchId)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+
+  /** [[startIngest]] with the near-dup LSH stage ([[ingestBatchNearDup]]). */
+  def startIngestNearDup(
+      docs: DataFrame,
+      root: String,
+      checkpoint: String,
+      threshold: Double = 0.8,
+      trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestBatchNearDup(batch, root, batchId, threshold)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
@@ -117,8 +234,11 @@ object IngestDedup {
     * invisible, and the next compaction sweeps the leftovers. Returns
     * the number of versions folded away.
     */
-  def compactIndex(spark: SparkSession, root: String): Int = {
-    val path = s"$root/fp-index"
+  def compactIndex(spark: SparkSession, root: String): Int =
+    compactVersioned(spark, s"$root/fp-index") +
+      compactVersioned(spark, s"$root/band-index")
+
+  private def compactVersioned(spark: SparkSession, path: String): Int = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
     healIndexCompaction(fs, path)
@@ -127,13 +247,14 @@ object IngestDedup {
     val maxV = versions.max
     val folded = versions.filter(_ < maxV)
     val target = folded.max
-    val merged = readIndex(spark, root, below = Some(maxV))
+    // plain-union fold: post-crash duplicate rows survive the merge and
+    // stay harmless — readIndex collapses fps, candidate joins dedup
+    val merged = spark.read.parquet(folded.sorted.map(v => s"$path/v-$v"): _*)
     // stage → park the live target → swap in → clean up; every window
     // between these steps is rolled forward/back by healIndexCompaction
     val staging = new org.apache.hadoop.fs.Path(s"$path/.compact-v-$target")
     FsOps.deleteOrThrow(fs, staging, recursive = true)
-    merged.select(col("fp"), col("corpus_keeper").as("doc_id"))
-      .write.mode("overwrite").parquet(staging.toString)
+    merged.write.mode("overwrite").parquet(staging.toString)
     val live = new org.apache.hadoop.fs.Path(s"$path/v-$target")
     val parked = new org.apache.hadoop.fs.Path(s"$path/.old-v-$target")
     FsOps.renameOrThrow(fs, live, parked)
@@ -208,7 +329,7 @@ object IngestDedup {
       below: Option[Long]): DataFrame = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
-    if (path.endsWith("/fp-index")) healIndexCompaction(fs, path)
+    if (path.endsWith("-index")) healIndexCompaction(fs, path)
     val versions = committedVersions(fs, path, below)
     if (versions.isEmpty) spark.emptyDataFrame
     else spark.read.parquet(versions.sorted.map(v => s"$path/v-$v"): _*)

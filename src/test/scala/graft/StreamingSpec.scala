@@ -666,6 +666,48 @@ class StreamingSpec extends SparkTestBase {
     assert(after == corpus, s"replay changed the corpus: $after")
   }
 
+  test("near-dup ingest: corpus near-dups dropped via the band index, in-batch clustered, replay idempotent") {
+    import graft.stream.IngestDedup
+    implicit val ctx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("ingest-nd").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ingest-nd-ckpt").toString
+    val base = "the quick brown fox jumps over the lazy dog near the river bank"
+    val other = "completely different words about spark catalyst plans and shuffles everywhere"
+    val fresh = "novel training corpus sentences mention embeddings tokens and quality signals"
+    val input = MemoryStream[(Long, String)]
+    val q = IngestDedup.startIngestNearDup(
+      input.toDF().toDF("doc_id", "text"), root, ckpt, threshold = 0.5)
+    try {
+      input.addData((1L, base), (2L, other))
+      q.processAllAvailable()
+      // batch 2: near-dup of corpus doc 1 (one appended token), an exact
+      // dup of doc 2, an in-batch near-dup pair of a NEW text, and a
+      // genuinely new doc
+      input.addData(
+        (10L, base + " extra"), (11L, other),
+        (12L, fresh), (13L, fresh + " appended"),
+        (14L, "tiny doc"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val corpus = IngestDedup.corpus(spark, root)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(corpus == Seq(1L, 2L, 12L, 14L),
+      s"expected corpus-near-dup 10, exact-dup 11 and in-batch-near-dup 13 dropped: $corpus")
+    // band index covers every survivor with shingles (14 is sub-shingle)
+    val bandDocs = spark.read
+      .parquet(s"$root/band-index/v-0", s"$root/band-index/v-1")
+      .select($"doc_id").distinct().as[Long].collect().sorted.toSeq
+    assert(bandDocs == Seq(1L, 2L, 12L))
+    // replay converges
+    IngestDedup.ingestBatchNearDup(
+      Seq((10L, base + " extra"), (11L, other), (12L, fresh),
+        (13L, fresh + " appended"), (14L, "tiny doc")).toDF("doc_id", "text"),
+      root, batchId = 1L, threshold = 0.5)
+    val after = IngestDedup.corpus(spark, root)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(after == corpus, s"replay changed the corpus: $after")
+  }
+
   test("ingest index compaction folds history below max; interrupted swap heals") {
     import graft.stream.IngestDedup
     val root = java.nio.file.Files.createTempDirectory("ingest-c").toString
