@@ -568,6 +568,11 @@ object SparkEntry {
       Dedup.incrementalMinHashLsh(docs, batch, threshold = 0.5, bands = 32)
     }),
     "q_simhash_pairs" -> ((s, d) => Dedup.simHashPairs(TextAnalysis.documents(s, d))),
+    // exact-substring detection at word granularity: maximal spans whose
+    // 8-gram windows recur in ≥2 docs (replicable PolyHash → full oracle)
+    "q_repeated_spans" -> ((s, d) => Dedup.repeatedSpans(TextAnalysis.documents(s, d))),
+    // the cut half: drop all-but-first occurrences, rebuild normalized text
+    "q_span_cut" -> ((s, d) => Dedup.cutRepeatedSpans(TextAnalysis.documents(s, d))),
     // connected components over the (recall 1-ε, exact-verified) pair set
     "q_neardup_clusters" -> ((s, d) =>
       Dedup.nearDupClusters(TextAnalysis.documents(s, d), nearDupPairs(s, d))),
@@ -1904,6 +1909,51 @@ object SparkEntry {
         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.sig, b.sig)) <= 7
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_repeated_spans" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks FROM documents),
+        |pos AS (SELECT doc_id, unnest(range(0, len(toks) - 8 + 1)) AS p, toks
+        |        FROM t WHERE len(toks) >= 8),
+        |gs AS (SELECT doc_id, p, array_to_string(toks[p+1:p+8], ' ') AS gram FROM pos),
+        |hv AS (SELECT doc_id, p,
+        |         list_reduce(list_prepend(0::BIGINT, list_transform(string_split(gram, ''), c -> ord(c)::BIGINT)),
+        |                     (a, b) -> (a * 31 + b) % 1000000007)
+        |       + list_reduce(list_prepend(0::BIGINT, list_transform(string_split(gram, ''), c -> ord(c)::BIGINT)),
+        |                     (a, b) -> (a * 131 + b) % 1000000009) * 1073741824 AS h
+        |       FROM gs),
+        |dup AS (SELECT h FROM hv GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+        |m AS (SELECT doc_id, p FROM hv JOIN dup USING (h)),
+        |isl AS (SELECT doc_id, p, p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp FROM m)
+        |SELECT doc_id, min(p)::BIGINT AS span_start, (max(p) + 7)::BIGINT AS span_end,
+        |  (max(p) - min(p) + 8)::BIGINT AS span_tokens, count(*)::BIGINT AS n_grams
+        |FROM isl GROUP BY doc_id, grp
+        |ORDER BY doc_id, span_start""".stripMargin,
+    "q_span_cut" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks FROM documents),
+        |pos AS (SELECT doc_id, unnest(range(0, len(toks) - 8 + 1)) AS p, toks
+        |        FROM t WHERE len(toks) >= 8),
+        |gs AS (SELECT doc_id, p, array_to_string(toks[p+1:p+8], ' ') AS gram FROM pos),
+        |hv AS (SELECT doc_id, p,
+        |         list_reduce(list_prepend(0::BIGINT, list_transform(string_split(gram, ''), c -> ord(c)::BIGINT)),
+        |                     (a, b) -> (a * 31 + b) % 1000000007)
+        |       + list_reduce(list_prepend(0::BIGINT, list_transform(string_split(gram, ''), c -> ord(c)::BIGINT)),
+        |                     (a, b) -> (a * 131 + b) % 1000000009) * 1073741824 AS h
+        |       FROM gs),
+        |dup AS (SELECT h FROM hv GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+        |occ AS (SELECT doc_id, p, h,
+        |          row_number() OVER (PARTITION BY h ORDER BY doc_id, p) AS rn
+        |        FROM hv JOIN dup USING (h)),
+        |rem AS (SELECT DISTINCT doc_id, ti
+        |        FROM (SELECT doc_id, unnest(range(p, p + 8)) AS ti FROM occ WHERE rn > 1)),
+        |tok AS (SELECT doc_id, unnest(range(0, len(toks))) AS ti, toks FROM t),
+        |kept AS (SELECT tk.doc_id, tk.ti, tk.toks[tk.ti + 1] AS tok
+        |         FROM tok tk LEFT JOIN rem r ON tk.doc_id = r.doc_id AND tk.ti = r.ti
+        |         WHERE r.doc_id IS NULL),
+        |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY ti) AS clean_text FROM kept GROUP BY doc_id),
+        |remcnt AS (SELECT doc_id, count(*) AS n_removed FROM rem GROUP BY doc_id)
+        |SELECT t.doc_id, coalesce(a.clean_text, '') AS clean_text,
+        |  len(t.toks)::BIGINT AS n_tokens, coalesce(r.n_removed, 0)::BIGINT AS n_removed
+        |FROM t LEFT JOIN agg a USING (doc_id) LEFT JOIN remcnt r USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "q_embedding_neardup" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings)
         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b

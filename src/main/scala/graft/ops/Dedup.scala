@@ -422,6 +422,124 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Repeated-substring spans — the exact-substring dedup family
+    * (ExactSubstr in the deduplicate-training-data literature),
+    * approximated at word granularity: find every MAXIMAL token span
+    * whose k-gram windows all occur in ≥ `minDocs` distinct documents.
+    * A downstream cut step removes all-but-one occurrence; this
+    * operator is the detection half, emitting per-doc
+    * (span_start, span_end) in 0-based token offsets plus the window
+    * count inside the span.
+    *
+    * Shape: per position p, the k-gram `toks[p..p+k-1]` hashes through
+    * the replicable 60-bit PolyHash pack (same family as
+    * [[simHashPairs]] — every step a DuckDB `list_reduce` can replay,
+    * so the query carries a full value-level oracle). Gram STRINGS are
+    * transient row-local values — only (doc_id, pos, hash) = ~20 B per
+    * token position ever reaches an exchange. Cross-doc frequency is
+    * one partial-agg'd groupBy on the 8-byte hash (count_distinct
+    * partial-deduplicates map-side, so a boilerplate gram present in
+    * every doc does not funnel raw rows to one reducer); marked
+    * positions come back via a co-partitioned hash join (both sides
+    * already exchanged on `h`), and adjacent positions fold to maximal
+    * spans with a per-doc gaps-and-islands window — hash-partitioned
+    * on doc_id, never global. The exploded frame is persisted lazily
+    * because frequency and mark-back both read it; released with the
+    * session like [[minHashLsh]]'s shingle frames.
+    */
+  def repeatedSpans(docs: DataFrame, k: Int = 8, minDocs: Int = 2): DataFrame = {
+    require(k >= 2, "a 1-gram span is just token frequency; use k >= 2")
+    require(minDocs >= 2, "minDocs < 2 would flag every position")
+    val gramHashes = graft.functions.HashFunctions.polyHashArray(
+      transform(
+        sequence(lit(0), size(col("toks")) - k),
+        i => array_join(slice(col("toks"), i + lit(1), lit(k)), " ")))
+    val exploded = docs
+      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= k)
+      .select(col("doc_id"), posexplode(gramHashes))
+      .withColumnRenamed("pos", "p")
+      .withColumnRenamed("col", "h")
+      .persist()
+    val dupHashes = exploded.groupBy(col("h"))
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("h"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("p"))
+    exploded.join(dupHashes, "h")
+      .select(col("doc_id"), col("p"))
+      .withColumn("grp", col("p") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(
+        min(col("p")).cast("long").as("span_start"),
+        (max(col("p")) + lit(k - 1)).cast("long").as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1L).as("span_tokens"),
+        col("n_grams"))
+      .orderBy(col("doc_id"), col("span_start"))
+  }
+
+  /** The cut half of exact-substring dedup: remove every occurrence of a
+    * cross-doc-repeated k-gram window EXCEPT the corpus-first one
+    * (minimum (doc_id, position)), and rebuild each document's text from
+    * the surviving tokens. Output text is token-normalized (lowercased,
+    * single-spaced) — the cut operates on the same token stream the
+    * detection hashes.
+    *
+    * Scale shape: shares [[repeatedSpans]]'s exploded (doc_id, pos,
+    * hash) frame and dup-hash aggregate. The keeper per hash is a
+    * `min(struct(doc_id, p))` AGGREGATE, not a row_number window — the
+    * partial-agg handles a boilerplate gram present in billions of docs
+    * without funneling its occurrence list through one reducer. Removed
+    * windows expand to per-doc token-index sets (bounded by doc length,
+    * collected per doc_id), and the rebuild is a row-local indexed
+    * filter over the token array — no further shuffle.
+    */
+  def cutRepeatedSpans(docs: DataFrame, k: Int = 8, minDocs: Int = 2): DataFrame = {
+    require(k >= 2, "a 1-gram span is just token frequency; use k >= 2")
+    require(minDocs >= 2, "minDocs < 2 would flag every position")
+    val gramHashes = graft.functions.HashFunctions.polyHashArray(
+      transform(
+        sequence(lit(0), size(col("toks")) - k),
+        i => array_join(slice(col("toks"), i + lit(1), lit(k)), " ")))
+    val tokenized = docs
+      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
+      .persist()
+    val exploded = tokenized
+      .filter(size(col("toks")) >= k)
+      .select(col("doc_id"), posexplode(gramHashes))
+      .withColumnRenamed("pos", "p")
+      .withColumnRenamed("col", "h")
+      .persist()
+    val keepers = exploded.groupBy(col("h"))
+      .agg(
+        count_distinct(col("doc_id")).as("nd"),
+        min(struct(col("doc_id"), col("p"))).as("keep"))
+      .filter(col("nd") >= minDocs)
+      .select(col("h"), col("keep.doc_id").as("kd"), col("keep.p").as("kp"))
+    val removalSets = exploded.join(keepers, "h")
+      .filter(!(col("doc_id") === col("kd") && col("p") === col("kp")))
+      .select(col("doc_id"), explode(sequence(col("p"), col("p") + lit(k - 1))).as("ti"))
+      .distinct()
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("ti")).as("rem"))
+    tokenized.join(removalSets, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("toks"),
+        coalesce(col("rem"), array().cast("array<int>")).as("rem"))
+      .select(
+        col("doc_id"),
+        array_join(
+          filter(col("toks"), (_, i) => !array_contains(col("rem"), i)),
+          " ").as("clean_text"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(col("rem")).cast("long").as("n_removed"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Cosine similarity of two float-array columns, computed in double with
     * a fixed left-to-right summation order (deterministic, oracle-stable —
     * bit-identical to the `aggregate(zip_with(...))` formulation, but a

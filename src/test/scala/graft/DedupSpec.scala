@@ -189,4 +189,51 @@ class DedupSpec extends SparkTestBase {
       "corpus has exact-Jaccard pairs inside (0.2, 0.75) — the minHashLsh " +
         "recall-(1-ε) oracle argument no longer holds at threshold 0.5")
   }
+
+  test("repeatedSpans: maximal cross-doc spans, disjoint islands, within-doc repeats ignored") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "xx alpha beta gamma delta yy zz"),
+      // the 3-gram "solo tokens repeat" recurs only WITHIN this doc
+      (3L, "solo tokens repeat repeat tokens solo solo tokens repeat"),
+      // shares d1's head gram and d1's tail gram — two disjoint islands
+      (4L, "alpha beta gamma qq rr ss tt uu delta epsilon zeta ww")
+    ).toDF("doc_id", "text")
+    val out = Dedup.repeatedSpans(corpus, k = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    assert(out == Seq(
+      (1L, 0L, 3L, 4L, 2L),  // "alpha beta gamma delta" vs d2/d4
+      (1L, 3L, 5L, 3L, 1L),  // "delta epsilon zeta" vs d4
+      (2L, 1L, 4L, 4L, 2L),
+      (4L, 0L, 2L, 3L, 1L),
+      (4L, 8L, 10L, 3L, 1L)
+    ), s"got: $out")
+    intercept[IllegalArgumentException](Dedup.repeatedSpans(corpus, k = 1))
+    intercept[IllegalArgumentException](Dedup.repeatedSpans(corpus, minDocs = 1))
+  }
+
+  test("cutRepeatedSpans: keeps corpus-first occurrence, cuts the rest, rebuilds text") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "xx alpha beta gamma delta yy zz"),
+      (3L, "solo tokens repeat repeat tokens solo solo tokens repeat"),
+      (4L, "alpha beta gamma qq rr ss tt uu delta epsilon zeta ww")
+    ).toDF("doc_id", "text")
+    val out = Dedup.cutRepeatedSpans(corpus, k = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(out == Seq(
+      // doc 1 holds every keeper occurrence — untouched
+      (1L, "alpha beta gamma delta epsilon zeta", 6L, 0L),
+      // overlapping windows p1/p2 union to token indices 1-4
+      (2L, "xx yy zz", 7L, 4L),
+      // within-doc-only repeats are not cross-doc dups — untouched
+      (3L, "solo tokens repeat repeat tokens solo solo tokens repeat", 9L, 0L),
+      // two disjoint cut windows, middle survives
+      (4L, "qq rr ss tt uu ww", 12L, 6L)
+    ), s"got: $out")
+  }
 }

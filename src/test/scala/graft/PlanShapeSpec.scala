@@ -296,6 +296,36 @@ class PlanShapeSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("repeatedSpans: gram strings are row-local — no exchange carries text") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val docs = graft.ops.TextAnalysis.documents(spark, sf)
+      // detection: every exchange is ids + 4/8-byte ints (the k-gram
+      // strings hash before posexplode and never leave their row)
+      val spans = graft.ops.Dedup.repeatedSpans(docs)
+      val ex = spans.queryExecution.executedPlan.collect {
+        case s: ShuffleExchangeExec => s }
+      assert(ex.nonEmpty, "span plan has no exchanges to check")
+      ex.foreach(s => assert(
+        !s.child.output.exists(a => a.dataType == StringType ||
+          a.dataType == ArrayType(StringType)),
+        s"gram/token strings must not ride any detection exchange: ${s.child.output}"))
+      // cut: the h-keyed exchanges (frequency + keeper mark-back) stay
+      // fixed-width; only the final per-doc rebuild join moves tokens
+      val cut = graft.ops.Dedup.cutRepeatedSpans(docs)
+      val hEx = cut.queryExecution.executedPlan.collect {
+        case s: ShuffleExchangeExec
+          if s.outputPartitioning.toString.contains("h#") => s }
+      assert(hEx.nonEmpty, "cut plan has no h-keyed exchanges to check")
+      hEx.foreach(s => assert(
+        !s.child.output.exists(a => a.dataType == StringType ||
+          a.dataType == ArrayType(StringType)),
+        s"strings must not ride the h-keyed exchanges: ${s.child.output}"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("IVF-PQ: the ADC candidate scan carries codes, never raw embeddings") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.types.{ArrayType, FloatType}
