@@ -635,6 +635,18 @@ object SparkEntry {
         .select(col("asset_id"), col("media_type"), col("width"),
           col("height"), col("n_bytes_out"))
         .orderBy("asset_id")),
+    // perceptual near-dup on planted byte-identical twins (id % 7): the
+    // stub decode is content-avalanched, so the ≤3-bit pair set is
+    // exactly the twins at hamming 0 — an exact oracle
+    "q_media_neardup" -> ((s, d) => {
+      import s.implicits._
+      val base = Multimodal.syntheticAssets(s, 1000L)
+      val twins = base.filter(_.asset_id % 7 == 0)
+        .map(a => a.copy(asset_id = a.asset_id + 10000L))
+      Multimodal.mediaNearDup(
+        Multimodal.extractFeatures(base.union(twins), dim = 64).toDF()
+          .select(col("asset_id"), col("embedding")))
+    }),
     // ---- similarity search (§7.4-3) ----
     "q_ann_brute" -> ((s, d) => {
       val e = Similarity.embeddings(s, d)
@@ -781,6 +793,9 @@ object SparkEntry {
         |  CASE WHEN media_type = 'audio' THEN n_in
         |       ELSE greatest(16, (((w * scale) // 1000) * ((h * scale) // 1000)) // 64) END::BIGINT AS n_bytes_out
         |FROM s ORDER BY asset_id""".stripMargin,
+    "q_media_neardup" ->
+      """SELECT i::BIGINT AS asset_a, (i + 10000)::BIGINT AS asset_b, 0::BIGINT AS hamming
+        |FROM generate_series(0, 999) AS t(i) WHERE i % 7 = 0 ORDER BY asset_a""".stripMargin,
     "q_event_summary" ->
       """SELECT event_type, count(*) AS event_count,
         |  round(sum(CAST(value AS DECIMAL(12,2)))::DOUBLE / count(*), 4) AS avg_value,

@@ -323,7 +323,6 @@ object Dedup {
     * query carry a full value-level oracle instead of a rows-only check.
     */
   def simHashPairs(docs: DataFrame, maxDist: Int = 7): DataFrame = {
-    require(maxDist <= 7, "8-chunk blocking guarantees recall only to distance 7")
     // persist (lazy): both sides of the chunk self-join read the same
     // signature table — cached once at first action, halving the
     // shingle+hash compute, without running jobs at construction time
@@ -332,12 +331,27 @@ object Dedup {
       .filter(size(col("sh")) > 0)
       .withColumn("sig",
         simhash64(graft.functions.HashFunctions.polyHashArray(col("sh"))))
-      .select(col("doc_id"), col("sig"))
+      .select(col("doc_id").as("id"), col("sig"))
       .persist()
+    hammingPairs(sigDf, maxDist)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
 
+  /** All (id_a, id_b, hamming) pairs with Hamming distance ≤ maxDist over
+    * a 64-bit signature frame (id, sig) — the pigeonhole-complete 8-bit
+    * chunk equi-join shared by [[simHashPairs]] (text SimHash) and
+    * [[Multimodal.mediaNearDup]] (perceptual hash): any pair within
+    * distance 7 agrees on ≥ 1 of 8 chunks, so candidates never need a
+    * cross join, and exact bit_count verification makes the output the
+    * complete ≤ maxDist pair set. Only (id, sig, chunk byte) rides the
+    * ×8 exchange.
+    */
+  private[graft] def hammingPairs(sigDf: DataFrame, maxDist: Int): DataFrame = {
+    require(maxDist <= 7, "8-chunk blocking guarantees recall only to distance 7")
     val chunks = array((0 until 8).map(c =>
       shiftright(col("sig"), c * 8).bitwiseAND(lit(255L))): _*)
-    val chunked = sigDf.select(col("doc_id"), col("sig"), posexplode(chunks))
+    val chunked = sigDf.select(col("id"), col("sig"), posexplode(chunks))
       .withColumnRenamed("pos", "chunk")
       .withColumnRenamed("col", "chunk_val")
 
@@ -345,16 +359,15 @@ object Dedup {
       .join(chunked.as("b"),
         col("a.chunk") === col("b.chunk") &&
           col("a.chunk_val") === col("b.chunk_val") &&
-          col("a.doc_id") < col("b.doc_id"))
+          col("a.id") < col("b.id"))
       .select(
-        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
-      .dropDuplicates("doc_a", "doc_b")
+      .dropDuplicates("id_a", "id_b")
       .withColumn("hamming",
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
       .filter(col("hamming") <= maxDist)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
-      .orderBy(col("doc_a"), col("doc_b"))
+      .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
   /** Connected components over near-dup pairs — the step a dedup pipeline

@@ -182,4 +182,32 @@ object Multimodal {
       .orderBy(desc("cos"), col("asset_id"))
       .limit(k)
   }
+
+  /** Perceptual near-dup over media: sign-bit hash of the decoded
+    * feature vector (one bit per dim, first 63 dims — the top bit stays
+    * zero so the ANSI-checked `acc * 2` fold can never overflow, same
+    * constant-zero-high-bits shape as the 60-bit text SimHash), then the
+    * pigeonhole-complete Hamming chunk join shared with text SimHash
+    * ([[Dedup.hammingPairs]]). With a real perceptual decoder, visually
+    * near-identical assets land within a few bits (classic pHash); with
+    * this container's deterministic stub the embedding is
+    * content-avalanched, so only byte-identical payloads collide — which
+    * is what makes the planted-twin query exactly oracle-able. The sig
+    * is row-local Column algebra (fold over the array, no UDF); the
+    * pair join moves (id, sig, chunk byte) only, never embeddings.
+    */
+  def mediaNearDup(features: DataFrame, maxDist: Int = 3): DataFrame = {
+    // fold dims high→low: acc*2 + sign bit, so bit j = (embedding[j] > 0)
+    val sig = aggregate(
+      sequence(least(size(col("embedding")), lit(63)) - 1, lit(0), lit(-1)),
+      lit(0L),
+      (acc, j) => acc * 2 +
+        when(element_at(col("embedding"), j + 1) > 0f, 1L).otherwise(0L))
+    val sigDf = features
+      .select(col("asset_id").as("id"), sig.as("sig"))
+      .persist()
+    Dedup.hammingPairs(sigDf, maxDist)
+      .select(col("id_a").as("asset_a"), col("id_b").as("asset_b"), col("hamming"))
+      .orderBy(col("asset_a"), col("asset_b"))
+  }
 }

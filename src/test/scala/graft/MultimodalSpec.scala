@@ -52,6 +52,20 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("mediaNearDup: byte-identical twins at hamming 0, distinct payloads unpaired") {
+    val base = Multimodal.syntheticAssets(spark, 200L)
+    val twins = base.filter(_.asset_id % 7 == 0)
+      .map(a => a.copy(asset_id = a.asset_id + 10000L))
+    val feats = Multimodal.extractFeatures(base.union(twins), dim = 64).toDF()
+      .select(col("asset_id"), col("embedding"))
+    val pairs = Multimodal.mediaNearDup(feats)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    val planted = (0L until 200L by 7L).map(i => (i, i + 10000L, 0L))
+    assert(pairs == planted, s"got: $pairs")
+  }
+
   test("metadata-only profile never reads the content bytes (column pruning)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_media").toString
     Multimodal.syntheticAssets(spark, 100L).toDF()
