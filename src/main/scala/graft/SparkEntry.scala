@@ -551,6 +551,16 @@ object SparkEntry {
       val docs = TextAnalysis.documents(s, d)
       Dedup.incrementalDedup(docs, incrementalBatch(docs))
     }),
+    // the Bloom-pre-filtered ingest shape: bloom-negative batch rows never
+    // reach the corpus join; false positives die in the inner index join,
+    // so the result (and oracle SQL) is exactly q_incremental_dedup's
+    "q_bloom_dedup" -> ((s, d) => {
+      val docs = TextAnalysis.documents(s, d)
+      val idx = docs
+        .select(Dedup.contentFingerprint(col("text")).as("fp"), col("doc_id"))
+        .groupBy(col("fp")).agg(min(col("doc_id")).as("corpus_keeper"))
+      Dedup.bloomIncrementalDedup(idx, incrementalBatch(docs), expectedItems = 4096L)
+    }),
     "q_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(TextAnalysis.documents(s, d), 0.05)),
     // threshold 0.5, 32×2 banding: recall is 1-ε (ε ≈ 7e-15 at the
     // corpus's J≥0.8 near-dup pairs), so the exact-Jaccard oracle applies;
@@ -1812,6 +1822,31 @@ object SparkEntry {
         |FROM documents GROUP BY md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
         |ORDER BY keep_id""".stripMargin,
     "q_incremental_dedup" ->
+      """WITH d AS (SELECT doc_id, text FROM documents),
+        |batch AS (
+        |  SELECT doc_id + 1000000 AS doc_id, ' ' || text || '  ' AS text
+        |  FROM d WHERE doc_id % 10 = 0
+        |  UNION ALL SELECT doc_id + 2000000, text || ' batchnew'
+        |  FROM d WHERE doc_id % 10 = 1
+        |  UNION ALL SELECT doc_id + 3000000, text || ' batchnew'
+        |  FROM d WHERE doc_id % 10 = 1
+        |  UNION ALL SELECT doc_id + 4000000, text || ' solo'
+        |  FROM d WHERE doc_id % 10 = 2),
+        |c AS (SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+        |        min(doc_id) AS corpus_keeper FROM d GROUP BY 1),
+        |b AS (SELECT doc_id,
+        |        md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+        |      FROM batch),
+        |bk AS (SELECT fp, min(doc_id) AS batch_keeper FROM b GROUP BY 1)
+        |SELECT b.doc_id,
+        |  CASE WHEN c.corpus_keeper IS NOT NULL THEN 'dup_of_corpus'
+        |       WHEN b.doc_id = bk.batch_keeper THEN 'kept'
+        |       ELSE 'dup_in_batch' END AS status,
+        |  coalesce(c.corpus_keeper, bk.batch_keeper) AS keeper_id
+        |FROM b LEFT JOIN c USING (fp) JOIN bk USING (fp)
+        |ORDER BY b.doc_id""".stripMargin,
+    // bloom pre-filter changes the PLAN, not the semantics — same oracle
+    "q_bloom_dedup" ->
       """WITH d AS (SELECT doc_id, text FROM documents),
         |batch AS (
         |  SELECT doc_id + 1000000 AS doc_id, ' ' || text || '  ' AS text

@@ -92,6 +92,58 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** [[incrementalDedupAgainstIndex]] with a Bloom pre-filter on the
+    * corpus probe — the shape that keeps a mostly-new daily batch off
+    * the corpus join entirely. The filter is built over the index's
+    * fingerprints with Spark's own `BloomFilterAggregate` (the sketch
+    * behind runtime row-level filtering) and rides the batch scan as a
+    * literal: a batch row whose fp misses the bloom CANNOT be in the
+    * corpus (no false negatives), so only bloom-positive fps — true
+    * dups plus an fpp-bounded trickle of false positives — ever reach
+    * the index join. False positives cost a join probe, never
+    * correctness: the inner join against the real index discards them,
+    * so the output is exactly [[incrementalDedupAgainstIndex]]'s (the
+    * verified query shares q_incremental_dedup's oracle SQL).
+    *
+    * Scale: the bloom is a driver-held model, not data — ~1.2 MB per
+    * 1M index entries at fpp 0.01, the same bounded-collect budget as
+    * the IVF centroid tables. At petabyte scale you persist it beside
+    * the fingerprint index and rebuild it on compaction; each ingest
+    * then reads the full index only for the bloom-positive slice.
+    * An empty index yields no bloom — fall straight through to the
+    * plain path (everything is corpus-new).
+    */
+  def bloomIncrementalDedup(
+      corpusIdx: DataFrame,
+      batch: DataFrame,
+      expectedItems: Long = 1L << 20,
+      fpp: Double = 0.01): DataFrame = {
+    require(fpp > 0.0 && fpp < 1.0, "fpp must be in (0, 1)")
+    require(expectedItems > 0, "expectedItems must be positive")
+    import org.apache.spark.sql.graft.Bridge
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val numBits = math.max(64L,
+      (-expectedItems.toDouble * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    val bloomAgg = Bridge.column(
+      new BloomFilterAggregate(
+        Bridge.expression(xxhash64(col("fp"))),
+        Bridge.expression(lit(expectedItems)),
+        Bridge.expression(lit(numBits))).toAggregateExpression())
+    val bloom = corpusIdx.select(bloomAgg.as("bf")).head().getAs[Array[Byte]](0)
+    if (bloom == null) incrementalDedupAgainstIndex(corpusIdx, batch)
+    else {
+      val mightBeCorpus = Bridge.column(BloomFilterMightContain(
+        Bridge.expression(lit(bloom)),
+        Bridge.expression(xxhash64(col("fp")))))
+      val prunedFps = batch
+        .select(contentFingerprint(col("text")).as("fp"))
+        .filter(mightBeCorpus)
+        .distinct()
+      incrementalDedupAgainstIndex(corpusIdx.join(prunedFps, Seq("fp")), batch)
+    }
+  }
+
   /** All-pairs n-gram Jaccard ≥ threshold (oracle baseline; O(n²) —
     * small-data only, the scale path is [[minHashLsh]]). Pairs are built
     * by an equi-join on exploded shingles, so only pairs sharing ≥1

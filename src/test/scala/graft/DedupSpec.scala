@@ -150,6 +150,34 @@ class DedupSpec extends SparkTestBase {
       13L -> (("kept", 13L))))
   }
 
+  test("bloomIncrementalDedup: identical labels, bloom prunes the corpus probe, empty index falls through") {
+    val corpus = Seq((1L, "hello world"), (2L, "unique corpus doc"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "Hello   WORLD"),
+      (11L, "brand new doc"),
+      (12L, "brand  new doc"),
+      (13L, "another fresh one")
+    ).toDF("doc_id", "text")
+    val idx = corpus
+      .select(Dedup.contentFingerprint($"text").as("fp"), $"doc_id")
+      .groupBy($"fp").agg(min($"doc_id").as("corpus_keeper"))
+    val bloomed = Dedup.bloomIncrementalDedup(idx, batch, expectedItems = 64L)
+    assert(bloomed.collect().map(_.toSeq).toSeq ==
+      Dedup.incrementalDedupAgainstIndex(idx, batch).collect().map(_.toSeq).toSeq)
+    // the pre-filter is in the plan: the corpus probe is gated by
+    // might_contain over a literal bloom (analyzed plan — the optimizer
+    // constant-folds the filter away on this LocalRelation fixture)
+    assert(bloomed.queryExecution.analyzed.toString.contains("might_contain"),
+      bloomed.queryExecution.analyzed.toString)
+    // empty index → null bloom → plain path, everything corpus-new
+    val emptyIdx = idx.filter(lit(false))
+    val out = Dedup.bloomIncrementalDedup(emptyIdx, batch).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(10L -> "kept", 11L -> "kept",
+      12L -> "dup_in_batch", 13L -> "kept"))
+  }
+
   test("incrementalMinHashLsh equals the exact cross-pair set on a planted batch") {
     val docs = graft.ops.TextAnalysis.documents(spark, "/root/testdata/sf0.001")
     val batch = docs.filter(pmod(col("doc_id"), lit(5L)) === 0L)
