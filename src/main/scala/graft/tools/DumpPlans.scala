@@ -48,7 +48,11 @@ object DumpPlans {
       "q_incremental_dedup" -> "incremental ingest dedup: corpus rides the join as (16-byte fp, id) only — text never leaves its scan; batch-sized aggregates, corpus-size-independent per batch",
       "q_incremental_lsh" -> "incremental near-dup: batch bands equi-join the corpus band table (the persisted-index frame, ids+keys only); exact-Jaccard verify re-joins shingles by id for candidates only",
       "q_domain_cap" -> "per-source cap: WindowGroupLimit partial (map-side top-k per source BEFORE the exchange) + final — shuffle carries O(sources × k), never the corpus",
-      "q_ann_filtered" -> "filtered vector search: label predicate pushed to the corpus scan (PushedFilters), broadcast query side, k guaranteed — pre-filter beats post-filter exactly when the filter is selective")
+      "q_ann_filtered" -> "filtered vector search: label predicate pushed to the corpus scan (PushedFilters), broadcast query side, k guaranteed — pre-filter beats post-filter exactly when the filter is selective",
+      "q_repeated_spans" -> "exact-substring detection: grams hash row-locally (PolyHash before posexplode), one partial-agg'd frequency groupBy on the 8-byte hash + co-partitioned mark-back join, per-doc islands window — no string ever rides an exchange",
+      "q_span_cut" -> "span cut: min-struct keeper AGGREGATE (no per-hash window — boilerplate grams cannot skew a reducer), per-doc removal sets, row-local indexed token-filter rebuild",
+      "q_bloom_dedup" -> "bloom-gated ingest dedup: driver-held BloomFilterAggregate literal gates the corpus probe (might_contain) — bloom-negative batch rows never reach the index join",
+      "q_media_neardup" -> "media pHash: row-local sign-bit fold over decoded features, shared pigeonhole Hamming chunk join — (id, sig, chunk byte) only on the pair exchange")
 
     val sb = new StringBuilder
     sb.append("# PLANS — explain(\"formatted\") for headline queries\n\n")
