@@ -562,6 +562,9 @@ object SparkEntry {
       Dedup.bloomIncrementalDedup(idx, incrementalBatch(docs), expectedItems = 4096L)
     }),
     "q_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(TextAnalysis.documents(s, d), 0.05)),
+    // BM25 topical-document mining; e4-integer scores (order-independent)
+    "q_bm25_search" -> ((s, d) =>
+      TextAnalysis.bm25Search(TextAnalysis.documents(s, d), Seq("spark", "join", "window"))),
     // threshold 0.5, 32×2 banding: recall is 1-ε (ε ≈ 7e-15 at the
     // corpus's J≥0.8 near-dup pairs), so the exact-Jaccard oracle applies;
     // the pair set is the shared nearDupPairs materialization
@@ -1423,6 +1426,22 @@ object SparkEntry {
     "q_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // constants written as (1.2 + 1.0)/(1.0 - 0.75) so both engines run the
+    // same IEEE ops the Scala side computes in lit(k1 + 1.0)/lit(1.0 - b)
+    "q_bm25_search" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks FROM documents),
+        |d AS (SELECT doc_id, len(toks)::DOUBLE AS dl, toks FROM t),
+        |s AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM d),
+        |tf AS (SELECT doc_id, dl, term, count(*)::DOUBLE AS tf
+        |       FROM (SELECT doc_id, dl, unnest(toks) AS term FROM d)
+        |       WHERE term IN ('spark', 'join', 'window') GROUP BY doc_id, dl, term),
+        |df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+        |sc AS (SELECT doc_id,
+        |         round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * tf * (1.2 + 1.0)
+        |               / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl)) * 10000.0, 0)::BIGINT AS score_e4
+        |       FROM tf JOIN df USING (term) CROSS JOIN s)
+        |SELECT doc_id, sum(score_e4)::BIGINT AS score_e4 FROM sc GROUP BY doc_id
+        |ORDER BY score_e4 DESC, doc_id LIMIT 20""".stripMargin,
     "q_rolling_fingerprint" ->
       """SELECT doc_id,
         |  list_reduce(list_prepend(0::BIGINT, list_transform(string_split(text, ''), c -> ord(c)::BIGINT)),

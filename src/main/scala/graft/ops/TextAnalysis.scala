@@ -237,6 +237,53 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("rnk"))
   }
 
+  /** BM25 retrieval over the corpus — the mining step a training
+    * pipeline runs to pull topical documents (Robertson idf,
+    * `ln((N - df + ½)/(df + ½) + 1)`, k1/b normalization). Scores are
+    * emitted as exact e4 integers: each per-term score rounds to 4
+    * decimals as `round(x·10⁴)` BIGINT BEFORE the per-doc sum, so the
+    * aggregate is integer (order-independent — a raw double sum would
+    * drift by addition order across engines and partitionings).
+    *
+    * Scale shape: the query-term filter lands directly on the exploded
+    * token stream, so the tf aggregate sees only matching tokens; doc
+    * length is computed row-locally from the token array (no second
+    * corpus aggregate); df (≤ |query| rows) and the 1-row (N, avgdl)
+    * stats broadcast; final top-k is TakeOrderedAndProject. avgdl stays
+    * deterministic because token counts are integer-valued doubles —
+    * their sum is exact in any order.
+    */
+  def bm25Search(
+      docs: DataFrame,
+      queryTerms: Seq[String],
+      k: Int = 20,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "BM25 needs at least one query term")
+    val withDl = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("dl", size(col("toks")).cast("double"))
+    val stats = withDl.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val tf = withDl
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val df_ = tf.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+    val idf = log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+    val termScore = idf * col("tf") * lit(k1 + 1.0) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+    tf.join(broadcast(df_), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("score_e4", round(termScore * 10000.0, 0).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("score_e4")).as("score_e4"))
+      .orderBy(desc("score_e4"), col("doc_id"))
+      .limit(k)
+  }
+
   def rollingFingerprint(text: Column, mod: Long = 1000000007L): Column =
     aggregate(
       transform(split(text, ""), c => ascii(c).cast("long")),

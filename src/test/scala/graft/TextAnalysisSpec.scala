@@ -217,4 +217,20 @@ class TextAnalysisSpec extends SparkTestBase {
       .collect()(0).getString(0)
     assert(tri0 == "你好世")
   }
+
+  test("bm25Search: term-bearing docs only, tf and coverage dominate, deterministic order") {
+    val docs = Seq(
+      (1L, "spark join window spark"),    // both terms, tf(spark)=2
+      (2L, "spark alone text here"),      // one term once
+      (3L, "nothing relevant at all"),    // no query term → absent
+      (4L, "spark join")                  // both terms, shorter doc
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25Search(docs, Seq("spark", "join"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.map(_._1).toSeq == Seq(4L, 1L, 2L),
+      s"got: ${out.toSeq}") // 4 beats 1: same coverage, half the length
+    assert(out.forall(_._2 > 0L))
+    intercept[IllegalArgumentException](
+      TextAnalysis.bm25Search(docs, Seq.empty))
+  }
 }
