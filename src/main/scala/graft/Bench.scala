@@ -51,6 +51,18 @@ object Bench {
     // the steady-state cost); the timed second run measures engine
     // throughput, which is the quantity comparable across engines.
     val results = SparkEntry.queries.map { case (name, fn) =>
+      // Per-query cache isolation: the library persists frames lazily
+      // and leaves them for the session, so across a 100+-query suite
+      // the unified pool fills with other queries' blocks and later
+      // iterative queries read 3x slower (q_ann_ivf measured 10.1 s
+      // in-suite vs 3.2 s fresh — pool pressure, not plan cost; same
+      // mechanism as the round-6 throughput finding). Evict BEFORE the
+      // warm-up: whatever a query persists for itself is rebuilt warm
+      // and still serves its timed pass, so within-query reuse — the
+      // shape being measured — is preserved while cross-query
+      // interference is not measured as operator cost.
+      spark.catalog.clearCache()
+      SparkEntry.clearCaches()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       // reclaim garbage from the warm-up / previous queries outside the
       // timed window so one query's allocation debt doesn't tax the next

@@ -507,6 +507,14 @@ object SparkEntry {
         pairs = Some(nearDupPairs(s, d)))),
     "q_curation_funnel" -> ((s, d) =>
       Corpus.curationFunnel(TextAnalysis.documents(s, d))),
+    // content-addressed split: identical text → identical split, any run
+    "q_corpus_split" -> ((s, d) =>
+      Corpus.splitByContent(TextAnalysis.documents(s, d))),
+    // length curriculum: 4 quantile phases from the token-count histogram
+    "q_curriculum" -> ((s, d) => {
+      val docs = TextAnalysis.documents(s, d)
+      Corpus.curriculumPhases(docs, size(TextAnalysis.tokens(col("text"))))
+    }),
     "q_stratified_sample" -> ((s, d) => {
       val docs = TextAnalysis.documents(s, d)
       val kept = Corpus.stratifiedSample(docs,
@@ -1717,6 +1725,28 @@ object SparkEntry {
         |  FROM scored)
         |SELECT source, rk, doc_id, quality FROM ranked
         |WHERE rk <= 10 ORDER BY source, rk""".stripMargin,
+    "q_corpus_split" ->
+      """WITH fp AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(string_split(text, ''), c -> ord(c)::BIGINT)),
+        |      (a, b) -> (a * 31 + b) % 1000000007) % 10000 AS h
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN h < 9000 THEN 'train' WHEN h < 9500 THEN 'validation'
+        |       ELSE 'test' END AS split
+        |FROM fp ORDER BY doc_id""".stripMargin,
+    "q_curriculum" ->
+      """WITH s AS (SELECT doc_id,
+        |    len(regexp_split_to_array(lower(text), '\s+'))::BIGINT AS score
+        |  FROM documents),
+        |h AS (SELECT score, count(*) AS n FROM s GROUP BY score),
+        |c AS (SELECT score, sum(n) OVER (ORDER BY score) - n AS cum_before FROM h),
+        |t AS (SELECT count(*) AS total FROM s),
+        |p AS (SELECT score, least((cum_before * 4) // total, 3)::BIGINT AS phase
+        |      FROM c CROSS JOIN t)
+        |SELECT s.doc_id, s.score, p.phase FROM s JOIN p USING (score)
+        |ORDER BY doc_id""".stripMargin,
     "q_stratified_sample" ->
       """WITH fp AS (
         |  SELECT lang,

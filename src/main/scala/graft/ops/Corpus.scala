@@ -184,6 +184,70 @@ object Corpus {
     * engine-replicable — same recurrence as q_rolling_fingerprint).
     * Row-local filter: no shuffle, no state, linear at 100 TB.
     */
+  /** Deterministic content-addressed train/validation/test split — the
+    * leakage-guard shape: the bucket is a hash of the TEXT (same
+    * replicable rolling hash as [[stratifiedSample]]), so byte-identical
+    * documents land in the same split no matter which shard, ingest
+    * batch, or re-run produced them, and re-splitting after corpus
+    * growth never moves an existing doc across the boundary. Splits are
+    * e4 fractions over the 10000-bucket space, assigned by cumulative
+    * upper bound in the given order. Row-local: no shuffle, no state,
+    * linear at 100 TB. (Near-duplicate leakage is the near-dup
+    * pipeline's job — run the split AFTER dedup.)
+    */
+  def splitByContent(
+      docs: DataFrame,
+      splitsE4: Seq[(String, Long)] =
+        Seq("train" -> 9000L, "validation" -> 500L, "test" -> 500L)): DataFrame = {
+    require(splitsE4.nonEmpty && splitsE4.forall(_._2 > 0),
+      "each split needs a positive e4 weight")
+    require(splitsE4.map(_._2).sum == 10000L, "split weights must sum to 10000 (e4)")
+    val bucket = pmod(TextAnalysis.rollingFingerprint(col("text")), lit(10000L))
+    val uppers = splitsE4.map(_._2).scanLeft(0L)(_ + _).tail
+    val label = splitsE4.zip(uppers).init
+      .foldRight(lit(splitsE4.last._1): Column) {
+        case (((name, _), ub), els) => when(bucket < ub, lit(name)).otherwise(els)
+      }
+    docs.select(col("doc_id"), label.as("split")).orderBy(col("doc_id"))
+  }
+
+  /** Curriculum phase assignment over an INTEGER difficulty score
+    * (token count, quality score, perplexity bucket — anything already
+    * integer-valued): docs are ranked into `nPhases` quantile phases
+    * (phase 0 = easiest) so training can feed them easy→hard.
+    *
+    * Quantiles come from the score HISTOGRAM, not a global sort: one
+    * dimension-sized aggregate (score classes, not docs), a running sum
+    * over that tiny frame, and a broadcast join back — the corpus never
+    * sorts globally and never shuffles beyond the score aggregate. A
+    * whole score class lands in one phase (the phase of its first
+    * member), so boundary docs are never split arbitrarily by id and
+    * the assignment is engine-replicable integer arithmetic.
+    */
+  def curriculumPhases(
+      docs: DataFrame,
+      scoreCol: Column,
+      nPhases: Int = 4): DataFrame = {
+    require(nPhases >= 2, "a curriculum needs at least 2 phases")
+    import org.apache.spark.sql.expressions.Window
+    val scored = docs.select(col("doc_id"), scoreCol.cast("long").as("score"))
+    val hist = scored.groupBy(col("score")).agg(count(lit(1)).as("n"))
+    // single-partition window is fine HERE: it runs over score classes
+    // (a dimension), never over documents
+    val w = Window.orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val total = scored.agg(count(lit(1)).as("total"))
+    val phased = hist
+      .withColumn("cum_before", sum(col("n")).over(w) - col("n"))
+      .crossJoin(broadcast(total))
+      .withColumn("phase",
+        least(expr(s"(cum_before * $nPhases) div total"), lit((nPhases - 1).toLong)))
+      .select(col("score"), col("phase"))
+    scored.join(broadcast(phased), "score")
+      .select(col("doc_id"), col("score"), col("phase"))
+      .orderBy(col("doc_id"))
+  }
+
   def stratifiedSample(
       docs: DataFrame,
       ratesE4: Map[String, Long],

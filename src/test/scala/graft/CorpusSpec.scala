@@ -40,6 +40,42 @@ class CorpusSpec extends SparkTestBase {
     assert(funnel("kept") > 0)
   }
 
+  test("splitByContent: identical text → identical split, weights validated, all docs covered") {
+    val text = "some shared training document body with enough words"
+    val docs = Seq(
+      (1L, text), (2L, text),            // byte-identical → same split
+      (3L, "a different document entirely"),
+      (4L, "yet another body of text here")
+    ).toDF("doc_id", "text")
+    val out = Corpus.splitByContent(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L))
+    assert(out(1L) == out(2L), "identical text must share a split")
+    assert(out.values.forall(Set("train", "validation", "test")))
+    intercept[IllegalArgumentException](
+      Corpus.splitByContent(docs, Seq("train" -> 9999L))) // doesn't sum to 1e4
+    intercept[IllegalArgumentException](
+      Corpus.splitByContent(docs, Seq("train" -> 10000L, "test" -> 0L)))
+  }
+
+  test("curriculumPhases: histogram quantiles, score classes stay whole, hand-computed phases") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, 1L), (2L, 1L), (3L, 2L), (4L, 3L),
+      (5L, 4L), (6L, 5L), (7L, 6L), (8L, 7L)
+    ).toDF("doc_id", "s")
+    val out = Corpus.curriculumPhases(docs, col("s"), nPhases = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // cum_before per score: 1→0, 2→2, 3→3, 4→4, 5→5, 6→6, 7→7 of 8 docs
+    assert(out == Map(
+      1L -> 0L, 2L -> 0L, // the whole score-1 class shares phase 0
+      3L -> 1L, 4L -> 1L,
+      5L -> 2L, 6L -> 2L,
+      7L -> 3L, 8L -> 3L), s"got: $out")
+    intercept[IllegalArgumentException](
+      Corpus.curriculumPhases(docs, col("s"), nPhases = 1))
+  }
+
   test("stratifiedSample: rate 0 drops all, rate 1e4 keeps all, deterministic") {
     import org.apache.spark.sql.functions._
     val docs = (1 to 50).map(i => (i.toLong, s"doc number $i text", if (i % 2 == 0) "en" else "de"))
