@@ -52,7 +52,9 @@ object DumpPlans {
       "q_repeated_spans" -> "exact-substring detection: grams hash row-locally (PolyHash before posexplode), one partial-agg'd frequency groupBy on the 8-byte hash + co-partitioned mark-back join, per-doc islands window — no string ever rides an exchange",
       "q_span_cut" -> "span cut: min-struct keeper AGGREGATE (no per-hash window — boilerplate grams cannot skew a reducer), per-doc removal sets, row-local indexed token-filter rebuild",
       "q_bloom_dedup" -> "bloom-gated ingest dedup: driver-held BloomFilterAggregate literal gates the corpus probe (might_contain) — bloom-negative batch rows never reach the index join",
-      "q_media_neardup" -> "media pHash: row-local sign-bit fold over decoded features, shared pigeonhole Hamming chunk join — (id, sig, chunk byte) only on the pair exchange")
+      "q_media_neardup" -> "media pHash: row-local sign-bit fold over decoded features, shared pigeonhole Hamming chunk join — (id, sig, chunk byte) only on the pair exchange",
+      "q_bm25_search" -> "BM25 mining: query-term filter on the exploded token stream before the tf aggregate, row-local doc length, broadcast df + 1-row stats, e4-integer scores, TakeOrderedAndProject top-k",
+      "q_curriculum" -> "curriculum phases: ONE score-histogram aggregate + dimension-sized running sum + broadcast phase map — the corpus never globally sorts")
 
     val sb = new StringBuilder
     sb.append("# PLANS — explain(\"formatted\") for headline queries\n\n")
