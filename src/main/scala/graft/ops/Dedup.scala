@@ -118,30 +118,60 @@ object Dedup {
       batch: DataFrame,
       expectedItems: Long = 1L << 20,
       fpp: Double = 0.01): DataFrame = {
+    val bloom = buildFpBloom(corpusIdx, expectedItems, fpp)
+    if (bloom == null) incrementalDedupAgainstIndex(corpusIdx, batch)
+    else incrementalDedupWithBloom(corpusIdx, batch, bloom)
+  }
+
+  /** Distributed Bloom build over a frame's `fp` column (keys are
+    * `xxhash64(fp)` longs — [[incrementalDedupWithBloom]] probes with
+    * the same hash). Returns the serialized sketch
+    * (`BloomFilter.writeTo` format, ~1.2 MB per 1M items at fpp 0.01)
+    * or null for an empty frame. Sketches built with the SAME
+    * (expectedItems, fpp) are mergeable — the persisted-per-batch
+    * layout [[graft.stream.IngestDedup]] uses.
+    */
+  private[graft] def buildFpBloom(
+      fps: DataFrame,
+      expectedItems: Long,
+      fpp: Double): Array[Byte] = {
     require(fpp > 0.0 && fpp < 1.0, "fpp must be in (0, 1)")
     require(expectedItems > 0, "expectedItems must be positive")
     import org.apache.spark.sql.graft.Bridge
-    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-    val numBits = math.max(64L,
-      (-expectedItems.toDouble * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
     val bloomAgg = Bridge.column(
       new BloomFilterAggregate(
         Bridge.expression(xxhash64(col("fp"))),
         Bridge.expression(lit(expectedItems)),
-        Bridge.expression(lit(numBits))).toAggregateExpression())
-    val bloom = corpusIdx.select(bloomAgg.as("bf")).head().getAs[Array[Byte]](0)
-    if (bloom == null) incrementalDedupAgainstIndex(corpusIdx, batch)
-    else {
-      val mightBeCorpus = Bridge.column(BloomFilterMightContain(
-        Bridge.expression(lit(bloom)),
-        Bridge.expression(xxhash64(col("fp")))))
-      val prunedFps = batch
-        .select(contentFingerprint(col("text")).as("fp"))
-        .filter(mightBeCorpus)
-        .distinct()
-      incrementalDedupAgainstIndex(corpusIdx.join(prunedFps, Seq("fp")), batch)
-    }
+        Bridge.expression(lit(optimalNumBits(expectedItems, fpp)))).toAggregateExpression())
+    fps.select(bloomAgg.as("bf")).head().getAs[Array[Byte]](0)
+  }
+
+  private[graft] def optimalNumBits(expectedItems: Long, fpp: Double): Long =
+    math.max(64L,
+      (-expectedItems.toDouble * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+
+  /** The gate half of [[bloomIncrementalDedup]], for callers holding a
+    * PREBUILT serialized bloom (e.g. the streaming ingest's persisted
+    * per-batch sketches, merged at read): only bloom-positive batch
+    * fingerprints join the index; the inner join discards the fpp
+    * false-positive trickle, so output equals
+    * [[incrementalDedupAgainstIndex]] exactly.
+    */
+  private[graft] def incrementalDedupWithBloom(
+      corpusIdx: DataFrame,
+      batch: DataFrame,
+      bloom: Array[Byte]): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    val mightBeCorpus = Bridge.column(BloomFilterMightContain(
+      Bridge.expression(lit(bloom)),
+      Bridge.expression(xxhash64(col("fp")))))
+    val prunedFps = batch
+      .select(contentFingerprint(col("text")).as("fp"))
+      .filter(mightBeCorpus)
+      .distinct()
+    incrementalDedupAgainstIndex(corpusIdx.join(prunedFps, Seq("fp")), batch)
   }
 
   /** All-pairs n-gram Jaccard ≥ threshold (oracle baseline; O(n²) —

@@ -157,6 +157,146 @@ object IngestDedup {
     }
   }
 
+  /** [[ingestBatch]] with a PERSISTED Bloom gate — the shape that keeps
+    * a mostly-new batch off the fingerprint-index join entirely. Each
+    * batch writes `bloom-index/v-<batchId>.bloom`, the serialized
+    * sketch of ITS OWN kept fingerprints; the next batch merges all
+    * committed sketches below its id on the driver (sketches are
+    * ~1.2 MB per 1M fps — model-sized, bounded by corpus growth not
+    * corpus size) and gates the batch before the index join
+    * ([[Dedup.incrementalDedupWithBloom]]; no false negatives, false
+    * positives die in the inner join, so the kept set is byte-identical
+    * to [[ingestBatch]]'s).
+    *
+    * All sketches of one store MUST share (expectedItems, fpp) —
+    * `mergeInPlace` requires equal bit width; both are fixed per store
+    * by the caller. Version commit is a temp-file + atomic-rename per
+    * sketch, replay overwrites its own version (same discipline as the
+    * parquet dirs), and index compaction leaves blooms untouched — a
+    * merged read over v-files is already cheap.
+    */
+  def ingestBatchBloom(
+      batch: DataFrame,
+      root: String,
+      batchId: Long,
+      expectedItems: Long = 1L << 20,
+      fpp: Double = 0.01): Unit = {
+    val spark = batch.sparkSession
+    val index = readIndex(spark, root, below = Some(batchId))
+    // Coverage guard: the gate is only sound if EVERY committed fp-index
+    // version is covered by a sketch (a bloom-less version — pre-bloom
+    // history, a lost file — would turn the gate's "definitely new"
+    // into a false negative and admit duplicates). Uncovered → fall
+    // back to the plain join, which is always correct. Compaction keeps
+    // this monotone: folded fp versions renumber onto an existing
+    // covered version, and stale sketches merely over-cover (safe).
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    val fpVersions =
+      committedVersions(fs, s"$root/fp-index", below = Some(batchId)).toSet
+    val merged = readMergedBloom(spark, root, below = Some(batchId))
+      .filter(_ => fpVersions.subsetOf(bloomVersions(spark, root, Some(batchId))))
+    val labeled = merged match {
+      case Some(bytes) => Dedup.incrementalDedupWithBloom(index, batch, bytes)
+      case None => Dedup.incrementalDedupAgainstIndex(index, batch)
+    }
+    val kept = batch.join(
+      labeled.filter(col("status") === "kept").select(col("doc_id")),
+      Seq("doc_id"))
+      .persist()
+    try {
+      kept.write.mode("overwrite").parquet(s"$root/docs/v-$batchId")
+      val keptFps = kept.select(
+        Dedup.contentFingerprint(col("text")).as("fp"), col("doc_id"))
+      keptFps.write.mode("overwrite").parquet(s"$root/fp-index/v-$batchId")
+      val bloomBytes = Dedup.buildFpBloom(
+        keptFps.select(col("fp")), expectedItems, fpp)
+      if (bloomBytes != null) writeBloomVersion(spark, root, batchId, bloomBytes)
+    } finally kept.unpersist(blocking = false)
+  }
+
+  /** [[startIngest]] with the persisted-Bloom gate ([[ingestBatchBloom]]). */
+  def startIngestBloom(
+      docs: DataFrame,
+      root: String,
+      checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestBatchBloom(batch, root, batchId)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+
+  /** Merge every committed bloom sketch below `below` on the driver.
+    * None when no sketch exists (fresh store or pre-bloom history).
+    */
+  private def listBloomFiles(
+      spark: SparkSession,
+      root: String,
+      below: Option[Long]): Seq[(Long, org.apache.hadoop.fs.Path)] = {
+    val path = s"$root/bloom-index"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val dir = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith("v-") &&
+        s.getPath.getName.endsWith(".bloom"))
+      .flatMap(s => s.getPath.getName
+        .stripPrefix("v-").stripSuffix(".bloom").toLongOption.map(_ -> s.getPath))
+      .filter { case (v, _) => below.forall(v < _) }
+      .sortBy(_._1)
+  }
+
+  private def bloomVersions(
+      spark: SparkSession,
+      root: String,
+      below: Option[Long]): Set[Long] =
+    listBloomFiles(spark, root, below).map(_._1).toSet
+
+  private def readMergedBloom(
+      spark: SparkSession,
+      root: String,
+      below: Option[Long]): Option[Array[Byte]] = {
+    import org.apache.spark.util.sketch.BloomFilter
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    val versions = listBloomFiles(spark, root, below)
+    if (versions.isEmpty) None
+    else {
+      val merged = versions.map { case (_, p) =>
+        val in = fs.open(p)
+        try BloomFilter.readFrom(in) finally in.close()
+      }.reduce { (a, b) => a.mergeInPlace(b); a }
+      val bos = new java.io.ByteArrayOutputStream()
+      merged.writeTo(bos)
+      Some(bos.toByteArray)
+    }
+  }
+
+  /** Atomic per-version sketch commit: write to a dot-temp (invisible to
+    * the version listing), fsync-close, rename over the target. Replay
+    * overwrites its own version with identical bytes.
+    */
+  private def writeBloomVersion(
+      spark: SparkSession,
+      root: String,
+      batchId: Long,
+      bytes: Array[Byte]): Unit = {
+    val path = s"$root/bloom-index"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val target = new org.apache.hadoop.fs.Path(s"$path/v-$batchId.bloom")
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/.v-$batchId.bloom.tmp")
+    FsOps.deleteOrThrow(fs, tmp, recursive = false)
+    val out = fs.create(tmp, true)
+    try out.write(bytes) finally out.close()
+    FsOps.deleteOrThrow(fs, target, recursive = false)
+    FsOps.renameOrThrow(fs, tmp, target)
+  }
+
   /** Start the streaming ingest over a stream of (doc_id, text, ...) rows. */
   def startIngest(
       docs: DataFrame,

@@ -708,6 +708,50 @@ class StreamingSpec extends SparkTestBase {
     assert(after == corpus, s"replay changed the corpus: $after")
   }
 
+  test("bloom-gated ingest: same corpus as plain ingest, per-batch sketches, replay idempotent, uncovered history falls back") {
+    import graft.stream.IngestDedup
+    implicit val ctx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("ingest-bl").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ingest-bl-ckpt").toString
+    val input = MemoryStream[(Long, String)]
+    val q = IngestDedup.startIngestBloom(
+      input.toDF().toDF("doc_id", "text"), root, ckpt)
+    try {
+      input.addData((1L, "first unique doc"), (2L, "second unique doc"))
+      q.processAllAvailable()
+      input.addData(
+        (10L, "First   UNIQUE doc"),   // normalizes to doc 1 → dropped
+        (11L, "a genuinely new doc"),
+        (12L, "a  genuinely new doc")) // in-batch dup of 11 → dropped
+      q.processAllAvailable()
+    } finally q.stop()
+    val corpus = IngestDedup.corpus(spark, root)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(corpus == Seq(1L, 2L, 11L), s"got: $corpus")
+    // one sketch per batch with kept docs
+    val blooms = new java.io.File(s"$root/bloom-index").listFiles()
+      .map(_.getName).filter(_.endsWith(".bloom")).sorted.toSeq
+    assert(blooms == Seq("v-0.bloom", "v-1.bloom"))
+    // replay converges (overwrites its own version dirs + sketch)
+    IngestDedup.ingestBatchBloom(
+      Seq((10L, "First   UNIQUE doc"), (11L, "a genuinely new doc"),
+        (12L, "a  genuinely new doc")).toDF("doc_id", "text"),
+      root, batchId = 1L)
+    val after = IngestDedup.corpus(spark, root)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(after == corpus, s"replay changed the corpus: $after")
+    // lost sketch → coverage guard falls back to the plain join and
+    // still refuses a duplicate of covered-by-index-only history
+    assert(new java.io.File(s"$root/bloom-index/v-0.bloom").delete())
+    IngestDedup.ingestBatchBloom(
+      Seq((20L, "FIRST unique  doc"), (21L, "brand new third doc"))
+        .toDF("doc_id", "text"),
+      root, batchId = 2L)
+    val guarded = IngestDedup.corpus(spark, root)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(guarded == Seq(1L, 2L, 11L, 21L), s"got: $guarded")
+  }
+
   test("ingest index compaction folds history below max; interrupted swap heals") {
     import graft.stream.IngestDedup
     val root = java.nio.file.Files.createTempDirectory("ingest-c").toString
