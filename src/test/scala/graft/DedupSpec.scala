@@ -242,6 +242,54 @@ class DedupSpec extends SparkTestBase {
     intercept[IllegalArgumentException](Dedup.repeatedSpans(corpus, minDocs = 1))
   }
 
+  test("repeatedSpans/cutRepeatedSpans agree with a brute-force reference on seeded random corpora") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee") // tiny → dense collisions
+    val k = 3
+    for (_ <- 1 to 5) {
+      val docs = (1L to 12L).map(i =>
+        (i, Seq.fill(3 + rnd.nextInt(15))(vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+      val toks = docs.map { case (id, t) => id -> t.split("\\s+").toSeq }.toMap
+      val grams = for {
+        (id, ts) <- toks.toSeq; p <- 0 to ts.length - k
+      } yield (id, p, ts.slice(p, p + k).mkString(" "))
+      val byGram = grams.groupBy(_._3)
+      val dup = byGram.filter(_._2.map(_._1).distinct.size >= 2).keySet
+      // reference spans: gaps-and-islands over marked positions
+      val expSpans = (for {
+        (id, occ) <- grams.filter(g => dup(g._3)).groupBy(_._1).toSeq
+        island <- occ.map(_._2).sorted
+          .foldLeft(List.empty[List[Int]]) {
+            case ((h @ (last :: _)) :: t, p) if p == last + 1 => (p :: h) :: t
+            case (acc, p) => List(p) :: acc
+          }.map(_.reverse).reverse
+      } yield (id, island.head.toLong, (island.last + k - 1).toLong,
+        (island.last - island.head + k).toLong, island.size.toLong)).sorted
+      // reference cut: keep the global min (doc, pos) occurrence per gram
+      val removed = dup.toSeq.flatMap { g =>
+        byGram(g).map(x => (x._1, x._2)).sorted.tail
+          .flatMap { case (id, p) => (p until p + k).map(id -> _) }
+      }.toSet
+      val expClean = docs.map { case (id, _) =>
+        val ts = toks(id)
+        (id,
+          ts.zipWithIndex.collect { case (t, i) if !removed((id, i)) => t }
+            .mkString(" "),
+          ts.length.toLong,
+          ts.indices.count(i => removed((id, i))).toLong)
+      }.sortBy(_._1)
+      val df = docs.toDF("doc_id", "text")
+      val gotSpans = Dedup.repeatedSpans(df, k).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSeq.sorted
+      assert(gotSpans == expSpans, s"spans diverge:\n got $gotSpans\n exp $expSpans")
+      val gotClean = Dedup.cutRepeatedSpans(df, k).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSeq.sortBy(_._1)
+      assert(gotClean == expClean, s"cut diverges:\n got $gotClean\n exp $expClean")
+    }
+  }
+
   test("cutRepeatedSpans: keeps corpus-first occurrence, cuts the rest, rebuilds text") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),
