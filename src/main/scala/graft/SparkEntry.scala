@@ -510,6 +510,8 @@ object SparkEntry {
     // content-addressed split: identical text → identical split, any run
     "q_corpus_split" -> ((s, d) =>
       Corpus.splitByContent(TextAnalysis.documents(s, d))),
+    // release report: volumes, dup load, shares — all exact integers
+    "q_datacard" -> ((s, d) => Corpus.dataCard(TextAnalysis.documents(s, d))),
     // length curriculum: 4 quantile phases from the token-count histogram
     "q_curriculum" -> ((s, d) => {
       val docs = TextAnalysis.documents(s, d)
@@ -1736,6 +1738,24 @@ object SparkEntry {
         |  CASE WHEN h < 9000 THEN 'train' WHEN h < 9500 THEN 'validation'
         |       ELSE 'test' END AS split
         |FROM fp ORDER BY doc_id""".stripMargin,
+    "q_datacard" ->
+      """WITH e AS (SELECT source, lang,
+        |    len(regexp_split_to_array(lower(text), '\s+'))::BIGINT AS n_toks,
+        |    length(text)::BIGINT AS doc_chars,
+        |    md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents),
+        |t AS (SELECT count(*)::BIGINT AS total_docs FROM documents)
+        |SELECT source, lang,
+        |  count(*)::BIGINT AS n_docs,
+        |  sum(n_toks)::BIGINT AS n_tokens,
+        |  sum(doc_chars)::BIGINT AS n_chars,
+        |  count(DISTINCT fp)::BIGINT AS distinct_texts,
+        |  (count(*) - count(DISTINCT fp))::BIGINT AS dup_docs,
+        |  (sum(n_toks) * 100 // count(*))::BIGINT AS avg_tokens_e2,
+        |  (count(*) * 10000 // total_docs)::BIGINT AS share_e4
+        |FROM e CROSS JOIN t
+        |GROUP BY source, lang, total_docs
+        |ORDER BY source, lang""".stripMargin,
     "q_curriculum" ->
       """WITH s AS (SELECT doc_id,
         |    len(regexp_split_to_array(lower(text), '\s+'))::BIGINT AS score

@@ -184,6 +184,37 @@ object Corpus {
     * engine-replicable — same recurrence as q_rolling_fingerprint).
     * Row-local filter: no shuffle, no state, linear at 100 TB.
     */
+  /** The data card — the per-(source, lang) release report every corpus
+    * ships with: volumes (docs, tokens, chars), exact-duplicate load
+    * (docs minus distinct normalized fingerprints), and corpus shares.
+    * Every column is exact integer arithmetic (averages and shares as
+    * e2/e4 integer divisions), so the report is bit-stable across
+    * engines and partitionings. One hash-partitioned aggregate over
+    * (source, lang) — a dimension — plus a 1-row broadcast total.
+    */
+  def dataCard(docs: DataFrame): DataFrame = {
+    val enriched = docs.select(
+      col("source"), col("lang"),
+      size(TextAnalysis.tokens(col("text"))).cast("long").as("n_toks"),
+      length(col("text")).cast("long").as("doc_chars"),
+      graft.ops.Dedup.contentFingerprint(col("text")).as("fp"))
+    val total = docs.agg(count(lit(1)).as("total_docs"))
+    enriched.groupBy(col("source"), col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        sum(col("doc_chars")).as("n_chars"),
+        count_distinct(col("fp")).as("distinct_texts"))
+      .crossJoin(broadcast(total))
+      .select(
+        col("source"), col("lang"), col("n_docs"), col("n_tokens"),
+        col("n_chars"), col("distinct_texts"),
+        (col("n_docs") - col("distinct_texts")).as("dup_docs"),
+        expr("(n_tokens * 100) div n_docs").as("avg_tokens_e2"),
+        expr("(n_docs * 10000) div total_docs").as("share_e4"))
+      .orderBy(col("source"), col("lang"))
+  }
+
   /** Deterministic content-addressed train/validation/test split — the
     * leakage-guard shape: the bucket is a hash of the TEXT (same
     * replicable rolling hash as [[stratifiedSample]]), so byte-identical

@@ -40,6 +40,23 @@ class CorpusSpec extends SparkTestBase {
     assert(funnel("kept") > 0)
   }
 
+  test("dataCard: volumes, dup load, integer shares — hand-computed") {
+    val docs = Seq(
+      (1L, "one two three", "en", "web"),
+      (2L, "ONE  two THREE", "en", "web"),  // exact dup of 1 after normalize
+      (3L, "four five", "en", "web"),
+      (4L, "six seven eight nine", "es", "books")
+    ).toDF("doc_id", "text", "lang", "source")
+    val out = Corpus.dataCard(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8))).toSeq
+    assert(out == Seq(
+      // (source, lang, n_docs, n_tokens, distinct, dup, avg_e2, share_e4)
+      ("books", "es", 1L, 4L, 1L, 0L, 400L, 2500L),
+      ("web", "en", 3L, 8L, 2L, 1L, 266L, 7500L)
+    ), s"got: $out")
+  }
+
   test("splitByContent: identical text → identical split, weights validated, all docs covered") {
     val text = "some shared training document body with enough words"
     val docs = Seq(
