@@ -512,6 +512,9 @@ object SparkEntry {
       Corpus.splitByContent(TextAnalysis.documents(s, d))),
     // release report: volumes, dup load, shares — all exact integers
     "q_datacard" -> ((s, d) => Corpus.dataCard(TextAnalysis.documents(s, d))),
+    // near-dup pairs straddling splits (shares the materialized pair set)
+    "q_split_leakage" -> ((s, d) => Corpus.splitLeakage(
+      Corpus.splitByContent(TextAnalysis.documents(s, d)), nearDupPairs(s, d))),
     // length curriculum: 4 quantile phases from the token-count histogram
     "q_curriculum" -> ((s, d) => {
       val docs = TextAnalysis.documents(s, d)
@@ -1738,6 +1741,32 @@ object SparkEntry {
         |  CASE WHEN h < 9000 THEN 'train' WHEN h < 9500 THEN 'validation'
         |       ELSE 'test' END AS split
         |FROM fp ORDER BY doc_id""".stripMargin,
+    "q_split_leakage" ->
+      """WITH t AS (SELECT doc_id, text, regexp_split_to_array(lower(text), '\s+') AS toks FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+        |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+        |       FROM t WHERE len(toks) >= 3),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |p AS (SELECT doc_a, doc_b
+        |      FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+        |      WHERE round(i::DOUBLE / (sa.sz + sb.sz - i), 4) >= 0.5),
+        |f AS (SELECT doc_id,
+        |        CASE WHEN h < 9000 THEN 'train' WHEN h < 9500 THEN 'validation'
+        |             ELSE 'test' END AS split
+        |      FROM (SELECT doc_id,
+        |              list_reduce(list_prepend(0::BIGINT,
+        |                list_transform(string_split(text, ''), c -> ord(c)::BIGINT)),
+        |                (a, b) -> (a * 31 + b) % 1000000007) % 10000 AS h
+        |            FROM t)),
+        |j AS (SELECT least(fa.split, fb.split) AS split_lo,
+        |             greatest(fa.split, fb.split) AS split_hi
+        |      FROM p JOIN f fa ON p.doc_a = fa.doc_id JOIN f fb ON p.doc_b = fb.doc_id)
+        |SELECT split_lo, split_hi, count(*)::BIGINT AS n_pairs,
+        |  split_lo <> split_hi AS cross_split
+        |FROM j GROUP BY split_lo, split_hi ORDER BY split_lo, split_hi""".stripMargin,
     "q_datacard" ->
       """WITH e AS (SELECT source, lang,
         |    len(regexp_split_to_array(lower(text), '\s+'))::BIGINT AS n_toks,

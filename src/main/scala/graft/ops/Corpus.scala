@@ -215,6 +215,29 @@ object Corpus {
       .orderBy(col("source"), col("lang"))
   }
 
+  /** Split-leakage report — the release check that pairs the split with
+    * the near-dup pipeline: how many near-duplicate pairs STRADDLE
+    * splits (a train/test straddle means the model effectively sees
+    * test data). Buckets are order-insensitive (least/greatest), so
+    * (train, test) and (test, train) count as one leak class. Shape:
+    * two id-keyed broadcast-or-hash joins against the (doc_id, split)
+    * frame + a 9-row-max aggregate — pair-graph-sized, never
+    * corpus-sized. Exact dups can't leak under [[splitByContent]]
+    * (identical text → identical bucket); near-dups can, which is
+    * precisely what this measures.
+    */
+  def splitLeakage(splits: DataFrame, pairs: DataFrame): DataFrame =
+    pairs
+      .join(splits.select(col("doc_id").as("doc_a"), col("split").as("split_a")), "doc_a")
+      .join(splits.select(col("doc_id").as("doc_b"), col("split").as("split_b")), "doc_b")
+      .select(
+        least(col("split_a"), col("split_b")).as("split_lo"),
+        greatest(col("split_a"), col("split_b")).as("split_hi"))
+      .groupBy(col("split_lo"), col("split_hi"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("cross_split", col("split_lo") =!= col("split_hi"))
+      .orderBy(col("split_lo"), col("split_hi"))
+
   /** Deterministic content-addressed train/validation/test split — the
     * leakage-guard shape: the bucket is a hash of the TEXT (same
     * replicable rolling hash as [[stratifiedSample]]), so byte-identical

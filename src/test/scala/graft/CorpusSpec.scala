@@ -40,6 +40,20 @@ class CorpusSpec extends SparkTestBase {
     assert(funnel("kept") > 0)
   }
 
+  test("splitLeakage: order-insensitive buckets, cross-split flagged") {
+    val splits = Seq(
+      (1L, "train"), (2L, "test"), (3L, "train"), (4L, "train")
+    ).toDF("doc_id", "split")
+    val pairs = Seq((1L, 2L), (3L, 4L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val out = Corpus.splitLeakage(splits, pairs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getBoolean(3)))
+      .toSeq
+    assert(out == Seq(
+      ("test", "train", 2L, true),  // (1,2) and (2,3) fold to one bucket
+      ("train", "train", 1L, false)
+    ), s"got: $out")
+  }
+
   test("dataCard: volumes, dup load, integer shares — hand-computed") {
     val docs = Seq(
       (1L, "one two three", "en", "web"),
