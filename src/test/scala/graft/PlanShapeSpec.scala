@@ -296,6 +296,17 @@ class PlanShapeSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("bm25: query-term filter precedes the tf aggregate; top-k pushes down") {
+    val docs = graft.ops.TextAnalysis.documents(spark, sf)
+    val p = plan(graft.ops.TextAnalysis.bm25Search(docs, Seq("spark", "join")))
+    // top-k never globally sorts — per-partition heaps + final merge
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // the IN-set filter lands on the exploded token stream, so the tf
+    // aggregate's exchange only ever carries matching terms
+    assert("Filter .*term.* IN ".r.findFirstIn(p).isDefined
+      || p.contains("term#") && p.contains(" INSET "), p)
+  }
+
   test("repeatedSpans: gram strings are row-local — no exchange carries text") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.types.{ArrayType, StringType}
