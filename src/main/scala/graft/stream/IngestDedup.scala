@@ -265,7 +265,7 @@ object IngestDedup {
       new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
     val versions = listBloomFiles(spark, root, below)
     if (versions.isEmpty) None
-    else {
+    else try {
       val merged = versions.map { case (_, p) =>
         val in = fs.open(p)
         try BloomFilter.readFrom(in) finally in.close()
@@ -273,6 +273,15 @@ object IngestDedup {
       val bos = new java.io.ByteArrayOutputStream()
       merged.writeTo(bos)
       Some(bos.toByteArray)
+    } catch {
+      // incompatible sketch widths (a caller changed expectedItems/fpp
+      // mid-store) or a torn file: disable the gate for this batch —
+      // the plain index join is always correct, the gate only ever
+      // saves work
+      case e: Exception =>
+        System.err.println(
+          s"[ingest] bloom gate disabled for this batch: ${e.getMessage}")
+        None
     }
   }
 

@@ -740,16 +740,28 @@ class StreamingSpec extends SparkTestBase {
     val after = IngestDedup.corpus(spark, root)
       .select($"doc_id").as[Long].collect().sorted.toSeq
     assert(after == corpus, s"replay changed the corpus: $after")
+    // corrupt sketch → merge fails → gate disabled, plain join still
+    // refuses the duplicate
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$root/bloom-index/v-0.bloom"),
+      Array[Byte](1, 2, 3))
+    IngestDedup.ingestBatchBloom(
+      Seq((30L, "SECOND unique doc"), (31L, "a fourth new doc"))
+        .toDF("doc_id", "text"),
+      root, batchId = 2L)
+    val afterTorn = IngestDedup.corpus(spark, root)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(afterTorn == Seq(1L, 2L, 11L, 31L), s"got: $afterTorn")
     // lost sketch → coverage guard falls back to the plain join and
     // still refuses a duplicate of covered-by-index-only history
     assert(new java.io.File(s"$root/bloom-index/v-0.bloom").delete())
     IngestDedup.ingestBatchBloom(
       Seq((20L, "FIRST unique  doc"), (21L, "brand new third doc"))
         .toDF("doc_id", "text"),
-      root, batchId = 2L)
+      root, batchId = 3L)
     val guarded = IngestDedup.corpus(spark, root)
       .select($"doc_id").as[Long].collect().sorted.toSeq
-    assert(guarded == Seq(1L, 2L, 11L, 21L), s"got: $guarded")
+    assert(guarded == Seq(1L, 2L, 11L, 21L, 31L), s"got: $guarded")
   }
 
   test("ingest index compaction folds history below max; interrupted swap heals") {
