@@ -515,6 +515,9 @@ object SparkEntry {
     // near-dup pairs straddling splits (shares the materialized pair set)
     "q_split_leakage" -> ((s, d) => Corpus.splitLeakage(
       Corpus.splitByContent(TextAnalysis.documents(s, d)), nearDupPairs(s, d))),
+    // content-keyed exact-k eval sample per source (unbiased domainCap twin)
+    "q_sample_k" -> ((s, d) =>
+      Corpus.sampleKPerGroup(TextAnalysis.documents(s, d), "source", 5)),
     // length curriculum: 4 quantile phases from the token-count histogram
     "q_curriculum" -> ((s, d) => {
       val docs = TextAnalysis.documents(s, d)
@@ -1741,6 +1744,17 @@ object SparkEntry {
         |  CASE WHEN h < 9000 THEN 'train' WHEN h < 9500 THEN 'validation'
         |       ELSE 'test' END AS split
         |FROM fp ORDER BY doc_id""".stripMargin,
+    "q_sample_k" ->
+      """WITH h AS (SELECT doc_id, source,
+        |    list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(string_split(text, ''), c -> ord(c)::BIGINT)),
+        |      (a, b) -> (a * 31 + b) % 1000000007) AS hkey
+        |  FROM documents),
+        |r AS (SELECT doc_id, source,
+        |        row_number() OVER (PARTITION BY source ORDER BY hkey, doc_id) AS rnk
+        |      FROM h)
+        |SELECT doc_id, source, rnk::BIGINT AS rnk FROM r
+        |WHERE rnk <= 5 ORDER BY source, rnk""".stripMargin,
     "q_split_leakage" ->
       """WITH t AS (SELECT doc_id, text, regexp_split_to_array(lower(text), '\s+') AS toks FROM documents),
         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),

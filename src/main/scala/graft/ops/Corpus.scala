@@ -215,6 +215,31 @@ object Corpus {
       .orderBy(col("source"), col("lang"))
   }
 
+  /** Exactly-k-per-group deterministic sample — eval-set construction:
+    * order each group by the replicable content hash (doc_id tiebreak)
+    * and keep the first k. Content-addressed like [[splitByContent]],
+    * so the same corpus yields the same sample on any cluster or
+    * re-run, with no quality bias (the unbiased counterpart to
+    * [[domainCap]]'s quality-ordered cap). Stays in Spark's
+    * WindowGroupLimit rewrite: map-side per-group top-k BEFORE the
+    * exchange, so the shuffle carries O(groups × k), never the corpus.
+    */
+  def sampleKPerGroup(
+      docs: DataFrame,
+      groupCol: String = "source",
+      k: Int = 5): DataFrame = {
+    require(k >= 1, "k must be at least 1")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("hkey"), col("doc_id"))
+    docs.select(col("doc_id"), col(groupCol),
+        TextAnalysis.rollingFingerprint(col("text")).as("hkey"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col(groupCol), col("rnk"))
+      .orderBy(col(groupCol), col("rnk"))
+  }
+
   /** Split-leakage report — the release check that pairs the split with
     * the near-dup pipeline: how many near-duplicate pairs STRADDLE
     * splits (a train/test straddle means the model effectively sees

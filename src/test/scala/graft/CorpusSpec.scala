@@ -40,6 +40,22 @@ class CorpusSpec extends SparkTestBase {
     assert(funnel("kept") > 0)
   }
 
+  test("sampleKPerGroup: exact k, deterministic across partitionings, WindowGroupLimit stays") {
+    import org.apache.spark.sql.functions.col
+    val docs = (1L to 40L).map(i =>
+      (i, s"document number $i with its own words", if (i % 2 == 0) "web" else "books"))
+      .toDF("doc_id", "text", "source")
+    val a = Corpus.sampleKPerGroup(docs, "source", 3).collect().map(_.toSeq).toSeq
+    val b = Corpus.sampleKPerGroup(docs.repartition(7), "source", 3)
+      .collect().map(_.toSeq).toSeq
+    assert(a == b, "sample must not depend on partitioning")
+    assert(a.count(_(1) == "web") == 3 && a.count(_(1) == "books") == 3)
+    // the rank-filter rewrite pre-limits each group map-side
+    val p = Corpus.sampleKPerGroup(docs, "source", 3)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("splitLeakage: order-insensitive buckets, cross-split flagged") {
     val splits = Seq(
       (1L, "train"), (2L, "test"), (3L, "train"), (4L, "train")
