@@ -457,6 +457,8 @@ object SparkEntry {
       TextAnalysis.unigramLogProb(TextAnalysis.documents(s, d))),
     "q_logprob_buckets" -> ((s, d) =>
       TextAnalysis.logProbBuckets(TextAnalysis.documents(s, d))),
+    "q_bigram_logprob" -> ((s, d) =>
+      TextAnalysis.bigramLogProb(TextAnalysis.documents(s, d))),
     "q_line_dedup" -> ((s, d) => {
       // corpus texts are single-line and (nearly) unique, so the query
       // PLANTS boilerplate lines deterministically (the oracle plants
@@ -1574,6 +1576,25 @@ object SparkEntry {
         |model AS (SELECT term, ln(c::DOUBLE / total) AS logp FROM cnt CROSS JOIN tot)
         |SELECT doc_id, count(*)::BIGINT AS n_tokens, round(avg(logp), 4) AS avg_logprob
         |FROM tok JOIN model USING (term)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_bigram_logprob" ->
+      """WITH tok AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS ts FROM documents),
+        |pos AS (SELECT doc_id, unnest(ts) AS w, generate_subscripts(ts, 1) AS i FROM tok),
+        |big AS (
+        |  SELECT a.doc_id, a.w AS w1, b.w AS w2
+        |  FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+        |bi AS (SELECT w1, w2, count(*) AS c_bi FROM big GROUP BY 1, 2),
+        |ctx AS (SELECT w1, sum(c_bi) AS c_ctx FROM bi GROUP BY 1),
+        |uni AS (SELECT w AS w2, count(*) AS c_uni FROM pos GROUP BY 1),
+        |tot AS (SELECT count(*)::DOUBLE AS total FROM pos),
+        |model AS (
+        |  SELECT bi.w1, bi.w2,
+        |    ln(0.8 * (c_bi::DOUBLE / c_ctx::DOUBLE)
+        |       + 0.2 * (c_uni::DOUBLE / total)) AS logp
+        |  FROM bi JOIN ctx USING (w1) JOIN uni USING (w2) CROSS JOIN tot)
+        |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+        |  round(avg(logp), 4) AS avg_logprob
+        |FROM big JOIN model USING (w1, w2)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_logprob_buckets" ->
       """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS term FROM documents),

@@ -439,6 +439,75 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
       .orderBy(col("bucket"))
 
+  /** Jelinek-Mercer interpolated bigram language model — the standard
+    * step up from [[unigramLogProb]] for perplexity-based quality
+    * filtering: per token at positions 2..n the score is
+    * ln(0.8 · c(w1 w2)/c(w1 ·) + 0.2 · c(w2)/N), i.e. the bigram MLE
+    * backed off into the unigram distribution, averaged per document.
+    * Documents with fewer than two tokens have no bigram and are absent
+    * from the output (inner-join semantics, engine-independent).
+    *
+    * The mixture weights are SPELLED 0.8/0.2 (not λ and 1−λ computed at
+    * runtime): 1.0−0.8 in IEEE doubles is 0.19999999999999996, a
+    * different double from the literal 0.2 the oracle SQL parses, and
+    * the hash pairing needs both engines to evaluate the identical
+    * expression. Rounded to 4 decimals like every avg-of-doubles row
+    * (q_event_summary precedent).
+    *
+    * Shape at 100 TB: bigram extraction is ROW-LOCAL (a transform over
+    * the token array — no per-doc window, no positional self-join, no
+    * shuffle); the three model aggregates (bigram, history, unigram
+    * counts) are observed-vocabulary-sized; model assembly joins are
+    * model-sized, co-partitioned on w1 / w2. The one corpus-sized
+    * exchange is the scoring join on (w1, w2), which reuses the
+    * OptimizerBarrier skew pattern pinned in SkewSpec: the barrier hides
+    * the model aggregate's partitioning so EnsureRequirements plans a
+    * real exchange, and AQE's skew split stays armed for stopword-pair
+    * hot partitions ("of the", "in the").
+    */
+  def bigramLogProb(docs: DataFrame): DataFrame = {
+    // row-local bigram structs: toks[i], toks[i+1] for i in 1..n-1.
+    // sequence(1, n-1) DESCENDS when n = 1 (Spark generates [1, 0]), so
+    // short docs are gated to an empty array explicitly.
+    val bigramsCol = expr(
+      """transform(
+        |  case when size(toks) < 2 then array()
+        |       else sequence(1, size(toks) - 1) end,
+        |  i -> struct(element_at(toks, i) as w1, element_at(toks, i + 1) as w2))
+        |""".stripMargin)
+    val bigrams = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(bigramsCol).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val biCounts = bigrams.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c_bi"))
+    // history counts: occurrences of w1 as a bigram left side (= unigram
+    // count minus doc-final positions) — the bigram MLE denominator.
+    // Derived from biCounts (model-sized), not by re-exploding the corpus.
+    val ctxCounts = biCounts.groupBy(col("w1")).agg(sum(col("c_bi")).as("c_ctx"))
+    val uniCounts = docs
+      .select(explode(tokens(col("text"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("c_uni"))
+    val total = docs.agg(
+      sum(size(tokens(col("text"))).cast("long")).as("total"))
+    val model = biCounts
+      .join(ctxCounts, "w1")
+      .join(uniCounts.withColumnRenamed("term", "w2"), "w2")
+      .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"),
+        log(lit(0.8) * (col("c_bi").cast("double") / col("c_ctx").cast("double"))
+          + lit(0.2) * (col("c_uni").cast("double") / col("total").cast("double")))
+          .as("logp"))
+    bigrams.join(model.select(
+        graft.functions.BarrierFunctions.barrier(col("w1")).as("w1"),
+        col("w2"), col("logp")), Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        round(avg(col("logp")), 4).as("avg_logprob"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Top-N vocabulary + per-document out-of-vocabulary rate — the
     * tokenizer-coverage check a training pipeline runs before committing
     * to a vocab: rank terms by corpus frequency (ties by term asc, so

@@ -154,6 +154,22 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(out(1L)._2 > out(2L)._2)
   }
 
+  test("bigramLogProb: hand-computed interpolated model, short docs absent") {
+    // corpus: "a b a" + "a b" + "c" → bigrams (a,b):2 (b,a):1;
+    // histories a:2 b:1; unigrams a:3 b:2 c:1, total 6.
+    // "c" has one token → no bigram → absent from output.
+    val df = Seq((1L, "a b a"), (2L, "a b"), (3L, "c")).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLogProb(df).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Double]("avg_logprob"))).toMap
+    def r4(x: Double) = math.rint(x * 1e4) / 1e4
+    val lab = math.log(0.8 * (2.0 / 2.0) + 0.2 * (2.0 / 6.0)) // P(b|a)
+    val lba = math.log(0.8 * (1.0 / 1.0) + 0.2 * (3.0 / 6.0)) // P(a|b)
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(1L) == ((2L, r4((lab + lba) / 2))))
+    assert(out(2L) == ((1L, r4(lab))))
+  }
+
   test("logProbBuckets: floors of the hand-computed scores, token mass per bucket") {
     // same corpus as above: scores -0.877 ("a a b") and -1.0601
     // ("a c") -> deci-buckets floor(-8.77) = -9 and floor(-10.601) = -11
