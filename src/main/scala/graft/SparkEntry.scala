@@ -459,6 +459,10 @@ object SparkEntry {
       TextAnalysis.logProbBuckets(TextAnalysis.documents(s, d))),
     "q_bigram_logprob" -> ((s, d) =>
       TextAnalysis.bigramLogProb(TextAnalysis.documents(s, d))),
+    // BPE merge induction: the vocabulary a tokenizer ships; exact
+    // integer/string output, deterministic argmax per step
+    "q_bpe_merges" -> ((s, d) =>
+      Tokenizer.bpeMerges(TextAnalysis.documents(s, d), steps = 8)),
     "q_line_dedup" -> ((s, d) => {
       // corpus texts are single-line and (nearly) unique, so the query
       // PLANTS boilerplate lines deterministically (the oracle plants
@@ -1596,6 +1600,7 @@ object SparkEntry {
         |  round(avg(logp), 4) AS avg_logprob
         |FROM big JOIN model USING (w1, w2)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_bpe_merges" -> Tokenizer.bpeOracleSql(steps = 8),
     "q_logprob_buckets" ->
       """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS term FROM documents),
         |cnt AS (SELECT term, count(*) AS c FROM tok GROUP BY 1),

@@ -1,0 +1,139 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Tokenizer induction over the corpus — the step a training pipeline
+  * runs once to fix its vocabulary before token counting, packing, and
+  * LM scoring (which [[TextAnalysis]] and [[Corpus]] already provide
+  * downstream).
+  *
+  * The only corpus-scale operation is the word-frequency aggregate;
+  * everything after runs on the VOCABULARY-sized table, which is the
+  * real-world shape of byte-pair-encoding training (a 100 TB corpus has
+  * a few tens of millions of distinct words — executor-trivial), so the
+  * merge loop costs per-step job overhead, not data volume.
+  */
+object Tokenizer {
+
+  /** Symbol delimiter inside a word's working sequence: U+241F, chosen
+    * so it cannot collide with corpus text (defensively filtered out on
+    * both engines; a production byte-level BPE would sidestep the
+    * sentinel entirely by working on bytes).
+    */
+  val Sep = "␟"
+
+  /** Byte-pair-encoding merge induction (Sennrich et al. 2016, the
+    * public BPE algorithm): start from character symbols per word,
+    * repeatedly take the corpus-weighted most frequent adjacent symbol
+    * pair (ties broken by (w1, w2) ascending — deterministic and
+    * engine-independent under binary collation) and fuse it everywhere.
+    * Greedy left-to-right non-overlapping application — the semantics of
+    * `replace` on the delimited sequence in both Spark and the oracle
+    * engine, so "aaa" under merge (a,a) becomes ["aa", "a"].
+    *
+    * Returns the merge table (step, w1, w2, merged, pair_count) — the
+    * artifact a tokenizer ships. Exact integers and strings, so the
+    * oracle pairing is float-free.
+    *
+    * Shape at 100 TB: one corpus-sized explode + hash aggregate builds
+    * the word table; each of the `steps` iterations is a vocabulary-
+    * sized row-local pair explode + hash aggregate, a 1-row
+    * TakeOrdered, a broadcast of that single row, and a row-local
+    * `replace` — materialized per step via eager localCheckpoint so the
+    * corpus aggregate runs ONCE (without it each step references its
+    * predecessor twice and the lineage re-executes the scan 2^steps
+    * times). No driver-side data beyond the per-step winning pair.
+    */
+  def bpeMerges(docs: DataFrame, steps: Int = 8): DataFrame = {
+    require(steps > 0, "steps must be positive")
+    val words = docs
+      .select(explode(TextAnalysis.tokens(col("text"))).as("word"))
+      .filter(!col("word").contains(Sep) && col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("c"))
+      .select(col("word"), col("c"),
+        regexp_replace(col("word"), "(.)", Sep + "$1").as("seq"))
+    var vocab = words.localCheckpoint(true)
+    var merges: Option[DataFrame] = None
+    var step = 1
+    var exhausted = false
+    while (step <= steps && !exhausted) {
+      val pairs = vocab
+        .select(col("c"),
+          expr(s"filter(split(seq, '$Sep'), x -> x <> '')").as("s"))
+        .select(col("c"), explode(expr(
+          """case when size(s) < 2 then array()
+            |     else transform(sequence(1, size(s) - 1),
+            |            i -> struct(element_at(s, i) as w1,
+            |                        element_at(s, i + 1) as w2)) end
+            |""".stripMargin)).as("p"))
+        .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .agg(sum(col("c")).as("pair_count"))
+      val best = pairs
+        .orderBy(desc("pair_count"), col("w1"), col("w2"))
+        .limit(1)
+        .withColumn("step", lit(step.toLong))
+        .localCheckpoint(true)
+      if (best.isEmpty) {
+        // tiny corpora can run out of pairs before `steps`; the merge
+        // table just ends early (a real corpus never hits this)
+        exhausted = true
+      } else {
+        merges = Some(merges.fold(best)(_.unionAll(best)))
+        vocab = vocab
+          .crossJoin(broadcast(
+            best.select(col("w1").as("bw1"), col("w2").as("bw2"))))
+          .select(col("word"), col("c"),
+            expr(s"replace(seq, '$Sep' || bw1 || '$Sep' || bw2," +
+              s" '$Sep' || bw1 || bw2)").as("seq"))
+          .localCheckpoint(true)
+        step += 1
+      }
+    }
+    merges.getOrElse(docs.sparkSession.emptyDataFrame)
+      .select(col("step"), col("w1"), col("w2"),
+        concat(col("w1"), col("w2")).as("merged"), col("pair_count"))
+      .orderBy(col("step"))
+  }
+
+  /** The chained-CTE ANSI twin of [[bpeMerges]] for the DuckDB oracle:
+    * each step re-derives pair counts from the previous vocabulary CTE,
+    * picks the same deterministically-tie-broken argmax, and applies the
+    * same left-to-right `replace`. Generated programmatically because
+    * the step count is a parameter — SQL has no bounded-iteration
+    * construct that both engines share.
+    */
+  def bpeOracleSql(steps: Int = 8): String = {
+    val S = Sep
+    val head =
+      s"""WITH tok AS (
+         |  SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS word
+         |  FROM documents),
+         |v0 AS MATERIALIZED (
+         |  SELECT word, count(*)::BIGINT AS c,
+         |    regexp_replace(word, '(.)', '$S\\1', 'g') AS seq
+         |  FROM tok WHERE word NOT LIKE '%$S%' AND word <> '' GROUP BY 1)""".stripMargin
+    val stepCtes = (1 to steps).map { t =>
+      s"""y$t AS MATERIALIZED (
+         |  SELECT word, c, unnest(s) AS sym, generate_subscripts(s, 1) AS i
+         |  FROM (SELECT word, c,
+         |          list_filter(string_split(seq, '$S'), x -> x <> '') AS s
+         |        FROM v${t - 1})),
+         |b$t AS MATERIALIZED (
+         |  SELECT ${t}::BIGINT AS step, w1, w2, cnt FROM (
+         |    SELECT a.sym AS w1, b.sym AS w2, sum(a.c)::BIGINT AS cnt
+         |    FROM y$t a JOIN y$t b ON a.word = b.word AND b.i = a.i + 1
+         |    GROUP BY 1, 2)
+         |  ORDER BY cnt DESC, w1, w2 LIMIT 1),
+         |v$t AS MATERIALIZED (
+         |  SELECT word, c,
+         |    replace(seq, '$S' || b.w1 || '$S' || b.w2, '$S' || b.w1 || b.w2) AS seq
+         |  FROM v${t - 1} CROSS JOIN b$t b)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to steps).map(t => s"SELECT * FROM b$t").mkString(" UNION ALL ")
+    s"""$head,
+       |$stepCtes
+       |SELECT step, w1, w2, w1 || w2 AS merged, cnt AS pair_count
+       |FROM ($union) ORDER BY step""".stripMargin
+  }
+}

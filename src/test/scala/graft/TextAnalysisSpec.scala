@@ -170,6 +170,31 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(out(2L) == ((1L, r4(lab))))
   }
 
+  test("bpeMerges: hand-computed merges, deterministic tie-break, early exhaustion") {
+    // corpus: "low low lower" ×1 doc + "lowest" ×1 doc
+    //   words: low:2 lower:1 lowest:1
+    //   step 1 pairs: (l,o):4 (o,w):4 (w,e):2 (e,r):1 (e,s):1 (s,t):1
+    //     → tie 4/4 broken by w1 asc: (l,o) wins → "lo"
+    //   step 2: (lo,w):4 (w,e):2 ... → (lo,w) → "low"
+    //   step 3: (low,e):2 (e,r):1 (e,s):1 (s,t):1 → (low,e) → "lowe"
+    val df = Seq((1L, "low low lower"), (2L, "lowest")).toDF("doc_id", "text")
+    val out = graft.ops.Tokenizer.bpeMerges(df, steps = 3).collect()
+      .map(r => (r.getAs[Long]("step"), r.getAs[String]("w1"),
+        r.getAs[String]("w2"), r.getAs[String]("merged"),
+        r.getAs[Long]("pair_count")))
+    assert(out.toSeq == Seq(
+      (1L, "l", "o", "lo", 4L),
+      (2L, "lo", "w", "low", 4L),
+      (3L, "low", "e", "lowe", 2L)))
+    // exhaustion: a single 2-char word has exactly 1 possible merge;
+    // asking for 5 steps must end the table early, not loop or fail
+    // ("ab" → "ab" merged; the fused word has one symbol, no pairs left)
+    val tiny = Seq((1L, "ab")).toDF("doc_id", "text")
+    val t = graft.ops.Tokenizer.bpeMerges(tiny, steps = 5).collect()
+    assert(t.map(r => (r.getAs[String]("merged"), r.getAs[Long]("pair_count")))
+      .toSeq == Seq(("ab", 1L)))
+  }
+
   test("logProbBuckets: floors of the hand-computed scores, token mass per bucket") {
     // same corpus as above: scores -0.877 ("a a b") and -1.0601
     // ("a c") -> deci-buckets floor(-8.77) = -9 and floor(-10.601) = -11
