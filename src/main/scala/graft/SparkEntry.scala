@@ -213,6 +213,9 @@ object SparkEntry {
     "q_value_percentiles" -> ((s, d) => Analytics.valuePercentiles(Analytics.events(s, d))),
     "q_hourly_type_pivot" -> ((s, d) => Analytics.hourlyTypePivot(Analytics.events(s, d))),
     "q_user_event_sets" -> ((s, d) => Analytics.userEventSets(Analytics.events(s, d))),
+    // fixed-point weighted PageRank over the user↔type interaction
+    // graph: 10 exact integer power iterations, engine-independent
+    "q_pagerank" -> ((s, d) => Graph.pageRank(Analytics.events(s, d), iters = 10)),
     "q_first_event_per_user" -> ((s, d) => Analytics.firstEventPerUser(Analytics.events(s, d))),
     "q_dedup_events" -> ((s, d) => Analytics.dedupExactEvents(Analytics.events(s, d))),
     // batch twin of the stream-stream interval join (Pipeline.viewPurchaseJoin)
@@ -941,6 +944,7 @@ object SparkEntry {
     "q_user_event_sets" ->
       """SELECT user_id, array_to_string(list_sort(list_distinct(list(event_type))), ',') AS event_types
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_pagerank" -> Graph.pageRankOracleSql(iters = 10),
     "q_first_event_per_user" ->
       """SELECT DISTINCT ON (user_id) user_id,
         |  epoch_us(ts) AS first_ts_us,

@@ -1,0 +1,49 @@
+package graft
+
+import java.sql.Timestamp
+import graft.ops.Graph
+
+class GraphSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ev(user: Long, tpe: String) =
+    (1L, new Timestamp(0L), user, tpe, 0.0, "{}")
+
+  test("pageRank: hand-computed fixed-point iteration on a 3-node graph") {
+    // events: user 1 ×2 type a, user 2 ×1 type a
+    // nodes u:1, u:2, t:a (N=3, init = 1e9 div 3 = 333333333)
+    // out_w: u:1→2, u:2→1, t:a→3; base = (15·333333333) div 100 = 49999999
+    // contribs: t:a ← 333333333·2 div 2 + 333333333·1 div 1 = 666666666
+    //           u:1 ← 333333333·2 div 3 = 222222222
+    //           u:2 ← 333333333·1 div 3 = 111111111
+    // rank₁:   t:a = 49999999 + (85·666666666) div 100 = 616666665
+    //           u:1 = 49999999 + (85·222222222) div 100 = 238888887
+    //           u:2 = 49999999 + (85·111111111) div 100 = 144444443
+    val events = Seq(ev(1L, "a"), ev(1L, "a"), ev(2L, "a"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r1 = Graph.pageRank(events, iters = 1).collect()
+      .map(r => r.getAs[String]("node") -> r.getAs[Long]("rank")).toMap
+    assert(r1 == Map(
+      "t:a" -> 616666665L, "u:1" -> 238888887L, "u:2" -> 144444443L))
+  }
+
+  test("pageRank: mass is conserved up to floor loss and runs are identical") {
+    val events = Seq(
+      ev(1L, "a"), ev(1L, "b"), ev(2L, "a"), ev(3L, "b"),
+      ev(3L, "b"), ev(3L, "c"), ev(4L, "c"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Graph.pageRank(events, iters = 10).collect()
+    val total = out.map(_.getAs[Long]("rank")).sum
+    // every floor division only LOSES rank units; 10 iterations over a
+    // 7-node graph cannot lose more than a few hundred of the 1e9 scale
+    assert(total <= Graph.RankScale && total > Graft.RankScaleLow)
+    val again = Graph.pageRank(events, iters = 10).collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      again.map(r => (r.getString(0), r.getLong(1))).toSeq)
+  }
+}
+
+private object Graft {
+  // generous lower bound: fixed-point floors shed < 0.1% of the mass
+  val RankScaleLow: Long = (Graph.RankScale * 0.999).toLong
+}
