@@ -716,6 +716,10 @@ object SparkEntry {
       Similarity.ivfPqTopK(planted, planted.filter(col("vec_id") < 10))
     }),
     "q_centroid_norms" -> ((s, d) => Similarity.labelCentroidNorms(Similarity.embeddings(s, d))),
+    // cluster-balanced draw: cosine cells from deterministic seed
+    // centroids, exact per-cell content-addressed sample
+    "q_cluster_sample" -> ((s, d) =>
+      Similarity.clusterBalancedSample(Similarity.embeddings(s, d))),
     "q_quantize_embeddings" -> ((s, d) =>
       Similarity.quantizeEmbeddings(Similarity.embeddings(s, d)))
   )
@@ -2218,6 +2222,28 @@ object SparkEntry {
         |  FROM scored) WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
     "q_ann_lsh" -> annPlantedOracleSql,
     "q_ann_ivf" -> annPlantedOracleSql,
+    "q_cluster_sample" ->
+      """WITH cents AS MATERIALIZED (
+        |  SELECT vec_id AS cell, embedding AS cent,
+        |    sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+        |      i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS cnorm
+        |  FROM embeddings ORDER BY vec_id LIMIT 8),
+        |scored AS MATERIALIZED (
+        |  SELECT e.vec_id, c.cell,
+        |    list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |      i -> e.embedding[i]::DOUBLE * c.cent[i]::DOUBLE)) / c.cnorm AS cos
+        |  FROM embeddings e CROSS JOIN cents c),
+        |asg AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell) AS rn
+        |    FROM scored) WHERE rn = 1),
+        |keyed AS (
+        |  SELECT cell, vec_id, (vec_id * 2654435761) % 2147483648 AS skey FROM asg)
+        |SELECT cell, rnk, vec_id FROM (
+        |  SELECT cell, vec_id,
+        |    row_number() OVER (PARTITION BY cell ORDER BY skey, vec_id)::BIGINT AS rnk
+        |  FROM keyed) WHERE rnk <= 25 ORDER BY cell, rnk""".stripMargin,
     "q_ann_ivfpq" -> annPlantedOracleSql,
     "q_centroid_norms" ->
       """WITH pos AS (SELECT label, generate_subscripts(embedding, 1) AS j, unnest(embedding) AS v FROM embeddings),

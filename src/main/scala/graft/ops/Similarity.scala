@@ -873,4 +873,46 @@ object Similarity {
         col("n_vectors"), col("centroid_norm"))
       .orderBy(col("label"))
   }
+
+  /** Cluster-balanced sampling — the embedding-space twin of
+    * [[Corpus.stratifiedSample]]: partition the corpus into `k` cosine
+    * cells and keep an exact `perCluster`-size deterministic sample per
+    * cell, so the drawn subset covers embedding space instead of
+    * over-representing the densest mode (the DCLM/"topic-balanced"
+    * curation shape).
+    *
+    * Centroids are the `k` LOWEST-vec_id embeddings — the deterministic
+    * seed step of k-means|| — so the oracle can replay the assignment
+    * verbatim; a production run would hand the seeds to
+    * [[trainCentroids]] first, which changes centroid VALUES but not any
+    * plan shape. Assignment reuses [[assignToCell]] (broadcast packed
+    * centroids, row-local argmax of dot/‖c‖ with ties to the lowest
+    * cell). The per-cell draw orders by a multiplicative-hash spread key
+    * ((vec_id · 2654435761) mod 2³¹ — Knuth's constant, exact integer
+    * math on both engines) so the sample is content-addressed, not a
+    * prefix of the id space.
+    *
+    * Shape at 100 TB: centroids are a broadcast k-row model; assignment
+    * never shuffles; the per-cell limit is a rank window over k cells,
+    * which WindowGroupLimit pre-filters map-side (the q_domain_cap
+    * precedent pinned in CorpusSpec) — every map task emits ≤ k·perCluster
+    * rows, so the k-key exchange carries samples, not the corpus.
+    */
+  def clusterBalancedSample(
+      embeddings: DataFrame, k: Int = 8, perCluster: Int = 25): DataFrame = {
+    require(k > 0 && perCluster > 0, "k and perCluster must be positive")
+    val centroids = embeddings.orderBy(col("vec_id")).limit(k)
+      .select(col("vec_id").as("cell"), col("embedding").as("centroid"))
+    val assigned = assignToCell(
+      embeddings.select(col("vec_id"), col("embedding")), centroids)
+    val w = Window.partitionBy(col("cell"))
+      .orderBy(col("skey"), col("vec_id"))
+    assigned
+      .select(col("cell"), col("vec_id"),
+        expr("(vec_id * 2654435761L) % 2147483648L").as("skey"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= perCluster)
+      .select(col("cell"), col("rnk"), col("vec_id"))
+      .orderBy(col("cell"), col("rnk"))
+  }
 }

@@ -23,6 +23,26 @@ class SimilaritySpec extends SparkTestBase {
     assert(out.toSeq == Seq((1L, 5L), (2L, 2L), (3L, 3L), (4L, 4L)))
   }
 
+  test("clusterBalancedSample: seed-cell assignment, exact per-cell quota, spread-key order") {
+    // k=2 → centroids are v1 ([1,0,0,0], cell 1) and v2 ([.9,.1,0,0], cell 2)
+    // assignment by dot/‖c‖: v1→1 (1.0 vs .994), v2→2 (.9 vs .82/.906=.905?
+    //  dot(v2,c1)=0.9, dot(v2,c2)=0.82/.90554=0.9055 → cell 2), v3→2
+    // (0 vs .1/.90554=.1104), v4 ties at 0 → lowest cell 1, v5→1 like v1
+    val out = Similarity.clusterBalancedSample(corpus, k = 2, perCluster = 10)
+      .collect().map(r => (r.getAs[Long]("cell"), r.getAs[Long]("rnk"),
+        r.getAs[Long]("vec_id")))
+    val byCell = out.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    assert(byCell(1L) == Set(1L, 4L, 5L))
+    assert(byCell(2L) == Set(2L, 3L))
+    // quota: perCluster=1 keeps exactly one per cell, chosen by the
+    // multiplicative spread key, not the lowest vec_id
+    def skey(id: Long) = (id * 2654435761L) % 2147483648L
+    val one = Similarity.clusterBalancedSample(corpus, k = 2, perCluster = 1)
+      .collect().map(r => (r.getAs[Long]("cell"), r.getAs[Long]("vec_id"))).toMap
+    assert(one(1L) == Seq(1L, 4L, 5L).minBy(skey))
+    assert(one(2L) == Seq(2L, 3L).minBy(skey))
+  }
+
   test("LSH top-k always finds an identical vector (same signature)") {
     val q = corpus.filter($"vec_id" === 1)
     val out = Similarity.lshTopK(corpus, q, k = 3).collect()
