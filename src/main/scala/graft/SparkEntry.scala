@@ -466,6 +466,9 @@ object SparkEntry {
     // integer/string output, deterministic argmax per step
     "q_bpe_merges" -> ((s, d) =>
       Tokenizer.bpeMerges(TextAnalysis.documents(s, d), steps = 8)),
+    // SymSpell deletion-blocked edit-distance-1 vocabulary pairs
+    "q_typo_pairs" -> ((s, d) =>
+      Tokenizer.typoPairs(TextAnalysis.documents(s, d))),
     "q_line_dedup" -> ((s, d) => {
       // corpus texts are single-line and (nearly) unique, so the query
       // PLANTS boilerplate lines deterministically (the oracle plants
@@ -1609,6 +1612,26 @@ object SparkEntry {
         |FROM big JOIN model USING (w1, w2)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_bpe_merges" -> Tokenizer.bpeOracleSql(steps = 8),
+    "q_typo_pairs" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS w0
+        |  FROM documents),
+        |w AS MATERIALIZED (
+        |  SELECT word, count(*)::BIGINT AS c
+        |  FROM (SELECT CASE WHEN doc_id % 5 = 0 AND len(w0) > 3
+        |               THEN substr(w0, 1, len(w0) - 1) ELSE w0 END AS word
+        |        FROM tok)
+        |  WHERE word <> '' GROUP BY 1),
+        |k AS MATERIALIZED (
+        |  SELECT word, c,
+        |    unnest(list_prepend(word, list_transform(range(1, len(word) + 1),
+        |      i -> substr(word, 1, i - 1) || substr(word, i + 1)))) AS key
+        |  FROM w)
+        |SELECT w1, w2, c1, c2 FROM (
+        |  SELECT a.word AS w1, b.word AS w2, a.c AS c1, b.c AS c2
+        |  FROM k a JOIN k b ON a.key = b.key AND a.word < b.word
+        |  GROUP BY 1, 2, 3, 4)
+        |WHERE levenshtein(w1, w2) = 1 ORDER BY w1, w2""".stripMargin,
     "q_logprob_buckets" ->
       """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS term FROM documents),
         |cnt AS (SELECT term, count(*) AS c FROM tok GROUP BY 1),

@@ -96,6 +96,55 @@ object Tokenizer {
       .orderBy(col("step"))
   }
 
+  /** Typo-candidate pairs in the corpus vocabulary — the normalization
+    * signal an OCR/web-scrape cleaning stage mines before deciding on
+    * spelling corrections: every pair of distinct words at Levenshtein
+    * distance exactly 1, with both corpus frequencies (the canonical
+    * spelling is usually the frequent side).
+    *
+    * The synthetic corpus draws from a fixed ~30-word vocabulary with
+    * no natural distance-1 pairs, so (like the planted boilerplate in
+    * lineDedup) the query PLANTS typos deterministically: documents
+    * with doc_id % 5 == 0 lose the final character of every token
+    * longer than 3 chars — the same corruption an OCR pass introduces —
+    * and the oracle plants identically.
+    *
+    * Candidate generation is the public SymSpell/FastSS deletion trick:
+    * each word emits itself plus all single-character-deletion variants
+    * as join keys; two words within edit distance 1 ALWAYS share a key
+    * (delete the edited position from the longer/changed side), so the
+    * blocked join has recall 1 and the output equals the all-pairs
+    * truth — the exact `levenshtein` filter then removes the false
+    * candidates the shared keys admit.
+    *
+    * Shape at 100 TB: the corpus appears only in the word-frequency
+    * aggregate; keys are vocabulary × (word length + 1) rows, the
+    * equi-join is hash-partitioned on the deletion key, and the
+    * candidate distinct + filter are pair-set-sized. No all-pairs
+    * product anywhere.
+    */
+  def typoPairs(docs: DataFrame): DataFrame = {
+    val words = docs
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("w0"))
+      .select(when(col("doc_id") % 5 === 0 && length(col("w0")) > 3,
+          col("w0").substr(lit(1), length(col("w0")) - 1))
+        .otherwise(col("w0")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("c"))
+    val keys = words.select(col("word"), col("c"), explode(expr(
+      """concat(array(word),
+        |  transform(sequence(1, length(word)),
+        |    i -> concat(substring(word, 1, i - 1), substring(word, i + 1))))
+        |""".stripMargin)).as("key"))
+    keys.as("a")
+      .join(keys.as("b"),
+        col("a.key") === col("b.key") && col("a.word") < col("b.word"))
+      .groupBy(col("a.word").as("w1"), col("b.word").as("w2"))
+      .agg(first(col("a.c")).as("c1"), first(col("b.c")).as("c2"))
+      .filter(levenshtein(col("w1"), col("w2")) === 1)
+      .orderBy(col("w1"), col("w2"))
+  }
+
   /** The chained-CTE ANSI twin of [[bpeMerges]] for the DuckDB oracle:
     * each step re-derives pair counts from the previous vocabulary CTE,
     * picks the same deterministically-tie-broken argmax, and applies the

@@ -195,6 +195,24 @@ class TextAnalysisSpec extends SparkTestBase {
       .toSeq == Seq(("ab", 1L)))
   }
 
+  test("typoPairs: deletion-key recall for substitutions, distance-2 rejected, planting") {
+    // doc 5 is planted (doc_id % 5 == 0): "table value" → "tabl valu".
+    // hash/hxsh share deletion key "hsh" (substitution recall);
+    // abcd/abdc share key "abd" but levenshtein = 2 → must be filtered.
+    val df = Seq(
+      (1L, "table value table"),
+      (2L, "hash hxsh abcd"),
+      (3L, "abdc"),
+      (5L, "table value")).toDF("doc_id", "text")
+    val out = graft.ops.Tokenizer.typoPairs(df).collect()
+      .map(r => (r.getAs[String]("w1"), r.getAs[String]("w2"),
+        r.getAs[Long]("c1"), r.getAs[Long]("c2")))
+    assert(out.toSeq == Seq(
+      ("hash", "hxsh", 1L, 1L),
+      ("tabl", "table", 1L, 2L),
+      ("valu", "value", 1L, 1L)))
+  }
+
   test("logProbBuckets: floors of the hand-computed scores, token mass per bucket") {
     // same corpus as above: scores -0.877 ("a a b") and -1.0601
     // ("a c") -> deci-buckets floor(-8.77) = -9 and floor(-10.601) = -11
