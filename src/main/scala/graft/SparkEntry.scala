@@ -469,6 +469,12 @@ object SparkEntry {
     // SymSpell deletion-blocked edit-distance-1 vocabulary pairs
     "q_typo_pairs" -> ((s, d) =>
       Tokenizer.typoPairs(TextAnalysis.documents(s, d))),
+    // apply the induced merges: corpus subword histogram
+    "q_bpe_encode" -> ((s, d) =>
+      Tokenizer.bpeEncode(TextAnalysis.documents(s, d), steps = 8)),
+    // per-source tokenizer fertility (subwords per word)
+    "q_bpe_fertility" -> ((s, d) =>
+      Tokenizer.bpeFertility(TextAnalysis.documents(s, d), steps = 8)),
     "q_line_dedup" -> ((s, d) => {
       // corpus texts are single-line and (nearly) unique, so the query
       // PLANTS boilerplate lines deterministically (the oracle plants
@@ -1612,6 +1618,8 @@ object SparkEntry {
         |FROM big JOIN model USING (w1, w2)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_bpe_merges" -> Tokenizer.bpeOracleSql(steps = 8),
+    "q_bpe_encode" -> Tokenizer.bpeEncodeOracleSql(steps = 8),
+    "q_bpe_fertility" -> Tokenizer.bpeFertilityOracleSql(steps = 8),
     "q_typo_pairs" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS w0

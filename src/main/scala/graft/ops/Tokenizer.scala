@@ -45,7 +45,21 @@ object Tokenizer {
     * predecessor twice and the lineage re-executes the scan 2^steps
     * times). No driver-side data beyond the per-step winning pair.
     */
-  def bpeMerges(docs: DataFrame, steps: Int = 8): DataFrame = {
+  def bpeMerges(docs: DataFrame, steps: Int = 8): DataFrame =
+    mergeLoop(docs, steps)._1
+      .getOrElse(docs.sparkSession.emptyDataFrame)
+      .select(col("step"), col("w1"), col("w2"),
+        concat(col("w1"), col("w2")).as("merged"), col("pair_count"))
+      .orderBy(col("step"))
+
+  /** The shared merge loop: returns (merge table option, final vocabulary
+    * with each word's fully-merged symbol `seq`). [[bpeMerges]] ships the
+    * first; [[bpeEncode]] and [[bpeFertility]] consume the second — the
+    * induce→apply halves of a tokenizer build read one loop so they can
+    * never drift.
+    */
+  private def mergeLoop(
+      docs: DataFrame, steps: Int): (Option[DataFrame], DataFrame) = {
     require(steps > 0, "steps must be positive")
     val words = docs
       .select(explode(TextAnalysis.tokens(col("text"))).as("word"))
@@ -90,10 +104,56 @@ object Tokenizer {
         step += 1
       }
     }
-    merges.getOrElse(docs.sparkSession.emptyDataFrame)
-      .select(col("step"), col("w1"), col("w2"),
-        concat(col("w1"), col("w2")).as("merged"), col("pair_count"))
-      .orderBy(col("step"))
+    (merges, vocab)
+  }
+
+  /** Apply the induced merge table: the corpus subword histogram after
+    * `steps` BPE merges — (subword, token_count, n_words), the vocabulary
+    * a tokenizer build would ship plus its corpus token mass. Exact
+    * integers, so the chained-CTE oracle pairs with no float boundary.
+    *
+    * Shape at 100 TB: identical to [[bpeMerges]] (the loop IS shared) —
+    * one corpus aggregate, then vocabulary-sized per-step work; the final
+    * histogram is a row-local explode + hash aggregate of the vocabulary.
+    */
+  def bpeEncode(docs: DataFrame, steps: Int = 8): DataFrame = {
+    val (_, vocab) = mergeLoop(docs, steps)
+    vocab
+      .select(col("word"), col("c"),
+        explode(expr(s"filter(split(seq, '$Sep'), x -> x <> '')")).as("subword"))
+      .groupBy(col("subword"))
+      .agg(sum(col("c")).as("token_count"),
+        countDistinct(col("word")).as("n_words"))
+      .orderBy(col("subword"))
+  }
+
+  /** Tokenizer fertility per source — subwords emitted per word after
+    * `steps` merges, the standard "which corpus does this tokenizer fit"
+    * data-card row (fertility near 1 = the merges captured the source's
+    * vocabulary; high fertility = the source fragments).
+    *
+    * Shape at 100 TB: one corpus-scale (source, word) aggregate joined to
+    * the vocabulary-sized per-word subword count — the join key is the
+    * word, so the exchange carries the per-source vocabulary, not the
+    * corpus.
+    */
+  def bpeFertility(docs: DataFrame, steps: Int = 8): DataFrame = {
+    val (_, vocab) = mergeLoop(docs, steps)
+    val nSub = vocab.select(col("word"),
+      size(expr(s"filter(split(seq, '$Sep'), x -> x <> '')"))
+        .cast("long").as("n_sub"))
+    docs
+      .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("word"))
+      .filter(!col("word").contains(Sep) && col("word") =!= "")
+      .groupBy(col("source"), col("word")).agg(count(lit(1)).as("cs"))
+      .join(nSub, "word")
+      .groupBy(col("source"))
+      .agg(sum(col("cs")).as("n_words"),
+        sum(col("cs") * col("n_sub")).as("n_subwords"))
+      .select(col("source"), col("n_words"), col("n_subwords"),
+        round(col("n_subwords").cast("double") / col("n_words"), 4)
+          .as("fertility"))
+      .orderBy(col("source"))
   }
 
   /** Typo-candidate pairs in the corpus vocabulary — the normalization
@@ -153,6 +213,19 @@ object Tokenizer {
     * construct that both engines share.
     */
   def bpeOracleSql(steps: Int = 8): String = {
+    val union = (1 to steps).map(t => s"SELECT * FROM b$t").mkString(" UNION ALL ")
+    s"""${mergeCtes(steps)}
+       |SELECT step, w1, w2, w1 || w2 AS merged, cnt AS pair_count
+       |FROM ($union) ORDER BY step""".stripMargin
+  }
+
+  /** Shared chained-CTE prefix: tok, v0, then (y_t, b_t, v_t) per step.
+    * v_t joins its winning pair with LEFT JOIN ON TRUE + coalesce to a
+    * no-op replace, so a pair-exhausted step carries the vocabulary
+    * forward unchanged — matching [[mergeLoop]]'s early-exhaustion
+    * behavior — instead of cross-joining it away to an empty table.
+    */
+  private def mergeCtes(steps: Int): String = {
     val S = Sep
     val head =
       s"""WITH tok AS (
@@ -176,13 +249,47 @@ object Tokenizer {
          |  ORDER BY cnt DESC, w1, w2 LIMIT 1),
          |v$t AS MATERIALIZED (
          |  SELECT word, c,
-         |    replace(seq, '$S' || b.w1 || '$S' || b.w2, '$S' || b.w1 || b.w2) AS seq
-         |  FROM v${t - 1} CROSS JOIN b$t b)""".stripMargin
+         |    replace(seq, coalesce('$S' || b.w1 || '$S' || b.w2, '$S'),
+         |            coalesce('$S' || b.w1 || b.w2, '$S')) AS seq
+         |  FROM v${t - 1} LEFT JOIN b$t b ON TRUE)""".stripMargin
     }.mkString(",\n")
-    val union = (1 to steps).map(t => s"SELECT * FROM b$t").mkString(" UNION ALL ")
-    s"""$head,
-       |$stepCtes
-       |SELECT step, w1, w2, w1 || w2 AS merged, cnt AS pair_count
-       |FROM ($union) ORDER BY step""".stripMargin
+    s"$head,\n$stepCtes"
+  }
+
+  /** Oracle twin of [[bpeEncode]]: histogram of the step-`steps`
+    * vocabulary's symbols.
+    */
+  def bpeEncodeOracleSql(steps: Int = 8): String = {
+    val S = Sep
+    s"""${mergeCtes(steps)}
+       |SELECT sym AS subword, sum(c)::BIGINT AS token_count,
+       |       count(DISTINCT word)::BIGINT AS n_words
+       |FROM (SELECT word, c,
+       |        unnest(list_filter(string_split(seq, '$S'), x -> x <> '')) AS sym
+       |      FROM v$steps)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** Oracle twin of [[bpeFertility]]: per-source word counts joined to
+    * the final vocabulary's per-word symbol count.
+    */
+  def bpeFertilityOracleSql(steps: Int = 8): String = {
+    val S = Sep
+    s"""${mergeCtes(steps)},
+       |nsub AS (
+       |  SELECT word,
+       |    len(list_filter(string_split(seq, '$S'), x -> x <> ''))::BIGINT AS n_sub
+       |  FROM v$steps),
+       |srcw AS (
+       |  SELECT source, word, count(*)::BIGINT AS cs
+       |  FROM (SELECT source,
+       |          unnest(regexp_split_to_array(lower(text), '\\s+')) AS word
+       |        FROM documents)
+       |  WHERE word <> '' AND word NOT LIKE '%$S%' GROUP BY 1, 2)
+       |SELECT source, sum(cs)::BIGINT AS n_words,
+       |       sum(cs * n_sub)::BIGINT AS n_subwords,
+       |       round(sum(cs * n_sub)::DOUBLE / sum(cs), 4) AS fertility
+       |FROM srcw JOIN nsub USING (word)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 }

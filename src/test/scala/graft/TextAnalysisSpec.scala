@@ -195,6 +195,25 @@ class TextAnalysisSpec extends SparkTestBase {
       .toSeq == Seq(("ab", 1L)))
   }
 
+  test("bpeEncode/bpeFertility: hand-applied merges over the bpeMerges corpus") {
+    // same corpus as the bpeMerges test; after 3 merges (lo, low, lowe):
+    //   low:2    → [low]          lower:1 → [lowe, r]
+    //   lowest:1 → [lowe, s, t]
+    val df = Seq((1L, "low low lower", "a"), (2L, "lowest", "b"))
+      .toDF("doc_id", "text", "source")
+    val enc = graft.ops.Tokenizer.bpeEncode(df, steps = 3).collect()
+      .map(r => (r.getAs[String]("subword"), r.getAs[Long]("token_count"),
+        r.getAs[Long]("n_words")))
+    assert(enc.toSeq == Seq(
+      ("low", 2L, 1L), ("lowe", 2L, 2L), ("r", 1L, 1L),
+      ("s", 1L, 1L), ("t", 1L, 1L)))
+    // source a: low×2 (1 subword) + lower×1 (2) → 4/3; source b: lowest → 3/1
+    val fert = graft.ops.Tokenizer.bpeFertility(df, steps = 3).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_words"),
+        r.getAs[Long]("n_subwords"), r.getAs[Double]("fertility")))
+    assert(fert.toSeq == Seq(("a", 3L, 4L, 1.3333), ("b", 1L, 3L, 3.0)))
+  }
+
   test("typoPairs: deletion-key recall for substitutions, distance-2 rejected, planting") {
     // doc 5 is planted (doc_id % 5 == 0): "table value" → "tabl valu".
     // hash/hxsh share deletion key "hsh" (substitution recall);
