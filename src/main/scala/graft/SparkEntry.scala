@@ -475,6 +475,9 @@ object SparkEntry {
     // per-source tokenizer fertility (subwords per word)
     "q_bpe_fertility" -> ((s, d) =>
       Tokenizer.bpeFertility(TextAnalysis.documents(s, d), steps = 8)),
+    // DSIR hashed-unigram importance weights vs the first source as target
+    "q_dsir_weights" -> ((s, d) =>
+      TextAnalysis.dsirWeights(TextAnalysis.documents(s, d))),
     "q_line_dedup" -> ((s, d) => {
       // corpus texts are single-line and (nearly) unique, so the query
       // PLANTS boilerplate lines deterministically (the oracle plants
@@ -1620,6 +1623,34 @@ object SparkEntry {
     "q_bpe_merges" -> Tokenizer.bpeOracleSql(steps = 8),
     "q_bpe_encode" -> Tokenizer.bpeEncodeOracleSql(steps = 8),
     "q_bpe_fertility" -> Tokenizer.bpeFertilityOracleSql(steps = 8),
+    "q_dsir_weights" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source,
+        |    list_reduce(list_prepend(0::BIGINT,
+        |        list_transform(string_split(word, ''), c -> ord(c)::BIGINT)),
+        |      (a, b) -> (a * 31 + b) % 1000000007) % 1024 AS b
+        |  FROM (SELECT doc_id, source,
+        |          unnest(regexp_split_to_array(lower(text), '\s+')) AS word
+        |        FROM documents)
+        |  WHERE word <> ''),
+        |db AS MATERIALIZED (
+        |  SELECT doc_id, source, b, count(*)::BIGINT AS cnt
+        |  FROM tok GROUP BY 1, 2, 3),
+        |tgt AS (SELECT min(source) AS s FROM documents),
+        |q AS (SELECT b, sum(cnt)::BIGINT AS qc FROM db GROUP BY 1),
+        |t AS (SELECT b, sum(cnt)::BIGINT AS tc
+        |      FROM db, tgt WHERE source = tgt.s GROUP BY 1),
+        |tot AS (SELECT (SELECT sum(cnt) FROM db) AS qt,
+        |               (SELECT sum(cnt) FROM db, tgt WHERE source = tgt.s) AS tt),
+        |model AS (
+        |  SELECT q.b,
+        |    ln(((coalesce(t.tc, 0) + 1) * (tot.qt + 1024))::DOUBLE /
+        |       ((q.qc + 1) * (tot.tt + 1024))::DOUBLE) AS w
+        |  FROM q LEFT JOIN t USING (b), tot)
+        |SELECT doc_id, sum(cnt)::BIGINT AS n_tokens,
+        |       sum(round(cnt * w * 10000)::BIGINT)::BIGINT AS dsir_e4
+        |FROM db JOIN model USING (b)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_typo_pairs" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS w0

@@ -284,6 +284,63 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling" — the public
+    * hashed-n-gram variant): fit bag-of-hashed-unigram models over a
+    * TARGET slice (here the lexicographically-first source, a
+    * deterministic stand-in for "the high-quality domain") and the full
+    * corpus as proposal, then weight every document by
+    * `Σ_b cnt_b(doc) · ln(p̂_target(b) / q̂_proposal(b))` with add-1
+    * smoothing over the `buckets` hash cells. High weight = the
+    * document looks like the target domain; resampling by these weights
+    * is the selection step.
+    *
+    * Buckets come from the replicable PolyHash ([[rollingFingerprint]])
+    * mod `buckets`, so the DuckDB oracle replays the identical hash.
+    * Per-(doc, bucket) contributions quantize to e4 BIGINT BEFORE the
+    * per-doc sum (order-independent integer aggregation, the
+    * [[bm25Search]] pattern).
+    *
+    * Shape at 100 TB: ONE corpus-scale explode reduced immediately to
+    * per-(doc, source, bucket) counts (map-side combinable), which is
+    * localCheckpointed and feeds everything else: the two bucket models
+    * are `buckets`-sized aggregates of it, the totals are 1-row, and the
+    * scoring join is against a broadcast `buckets`-row model. No second
+    * corpus pass, no corpus-scale shuffle beyond the one aggregate.
+    */
+  def dsirWeights(docs: DataFrame, buckets: Int = 1024): DataFrame = {
+    require(buckets > 0)
+    val docBucket = docs
+      .select(col("doc_id"), col("source"),
+        explode(tokens(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+      .withColumn("b", pmod(rollingFingerprint(col("word")), lit(buckets.toLong)))
+      .groupBy(col("doc_id"), col("source"), col("b"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+    val tgt = docs.agg(min(col("source")).as("tgt_source"))
+    val inTarget = docBucket.crossJoin(broadcast(tgt))
+      .filter(col("source") === col("tgt_source"))
+    val qCounts = docBucket.groupBy(col("b")).agg(sum(col("cnt")).as("qc"))
+    val tCounts = inTarget.groupBy(col("b")).agg(sum(col("cnt")).as("tc"))
+    val totals = docBucket.agg(sum(col("cnt")).as("q_total"))
+      .crossJoin(inTarget.agg(sum(col("cnt")).as("t_total")))
+    val model = qCounts
+      .join(tCounts, Seq("b"), "left")
+      .na.fill(0L, Seq("tc"))
+      .crossJoin(broadcast(totals))
+      .select(col("b"), log(
+        ((col("tc") + 1L) * (col("q_total") + buckets.toLong)).cast("double") /
+          ((col("qc") + 1L) * (col("t_total") + buckets.toLong)).cast("double"))
+        .as("w"))
+    docBucket
+      .join(broadcast(model), "b")
+      .withColumn("score_e4", round(col("cnt") * col("w") * 10000.0, 0).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_tokens"), sum(col("score_e4")).as("dsir_e4"))
+      .orderBy(col("doc_id"))
+  }
+
   def rollingFingerprint(text: Column, mod: Long = 1000000007L): Column =
     aggregate(
       transform(split(text, ""), c => ascii(c).cast("long")),

@@ -195,6 +195,25 @@ class TextAnalysisSpec extends SparkTestBase {
       .toSeq == Seq(("ab", 1L)))
   }
 
+  test("dsirWeights: hand-computed smoothed log-ratios, target = min source") {
+    // buckets=8: 'x'→120%8=0, 'y'→121%8=1, 'z'→122%8=2 (single-char words:
+    // PolyHash is just the codepoint). target = source "a" (min).
+    // q: b0:2 b1:2 b2:1 (qt=5); t: b0:2 b1:1 (tt=3)
+    val df = Seq((1L, "x x y", "a"), (2L, "y z", "b"))
+      .toDF("doc_id", "text", "source")
+    def w(tc: Long, qc: Long) =
+      math.log((tc + 1.0) * (5 + 8) / ((qc + 1.0) * (3 + 8)))
+    def e4(x: Double) = math.rint(x * 1e4).toLong
+    val out = TextAnalysis.dsirWeights(df, buckets = 8).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("dsir_e4")))
+    assert(out.toSeq == Seq(
+      (1L, 3L, e4(2 * w(2, 2)) + e4(w(1, 2))),
+      (2L, 2L, e4(w(1, 2)) + e4(w(0, 1)))))
+    // the target-source doc must out-weigh the off-target doc
+    assert(out(0)._3 > out(1)._3)
+  }
+
   test("bpeEncode/bpeFertility: hand-applied merges over the bpeMerges corpus") {
     // same corpus as the bpeMerges test; after 3 merges (lo, low, lowe):
     //   low:2    → [low]          lower:1 → [lowe, r]
