@@ -27,6 +27,22 @@ def norm(df):
 
 fail = 0
 names = sorted(d for d in os.listdir(outdir) if os.path.isdir(os.path.join(outdir, d)))
+
+# Completeness gate (round-8 lesson: 34 throwing queries silently vanished
+# from the correctness file for two rounds). Verify dumps _queries.json
+# (every selected query name) and _failures.json (name -> error); any
+# query with neither an output dir nor a failure record — or with a
+# failure record — is a hard fail here.
+failures = {}
+if os.path.exists(f"{outdir}/_failures.json"):
+    failures = json.load(open(f"{outdir}/_failures.json"))
+for name, msg in sorted(failures.items()):
+    print(f"✗ {name}: THREW IN VERIFY: {msg[:200]}"); fail += 1
+if os.path.exists(f"{outdir}/_queries.json"):
+    expected = set(json.load(open(f"{outdir}/_queries.json")))
+    missing = expected - set(names) - set(failures)
+    for name in sorted(missing):
+        print(f"✗ {name}: NO OUTPUT AND NO FAILURE RECORD"); fail += 1
 for name in names:
     files = glob.glob(f"{outdir}/{name}/*.parquet")
     spark_df = con.execute(f"SELECT * FROM read_parquet({files})").df()

@@ -7,8 +7,10 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      // events.parquet is TIMESTAMP(NANOS) — see Analytics.events
+      // events.parquet ts drift — see Analytics.events
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -21,7 +23,13 @@ object Bench {
     // partially spills, and the identical plan measures 4-5x slower —
     // that is heap state, not engine throughput (standalone probe
     // graft.tools.Throughput confirms the fresh-session number).
-    val tputEvents = sys.env.getOrElse("SPARK_GRAFT_TPUT_EVENTS", "2000000").toLong
+    // 1M default (was 2M): the probe must be robust under the driver's
+    // default 8 GiB heap — at 2M the cached wire frame plus parse-chain
+    // allocation pressure spilled and GC'd, and the artifact recorded
+    // 51k-203k ev/s for an engine that measures 2.6M+ fresh at 32 GiB
+    // (round-8 verdict, perf item 5). heap/cpus ride in the artifact so
+    // an environment-caused collapse is attributable.
+    val tputEvents = sys.env.getOrElse("SPARK_GRAFT_TPUT_EVENTS", "1000000").toLong
     val streamEps = try {
       // Materialize the wire JSON BEFORE the timed window: without the
       // persist, every count() re-executes randomEvents + to_json, so the
@@ -76,9 +84,18 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    // the -1.0 failure sentinels must NOT ride the headline sum (round-8
+    // verdict defect 2: 34 sentinels flattered 71.9 s down to 37.9 s) —
+    // total covers completed queries only, failures are counted and named
+    val failed = results.collect { case (k, v) if v < 0 => k }.toSeq
+    val total = results.values.filter(_ >= 0).sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val heapGb = Runtime.getRuntime.maxMemory / (1024.0 * 1024 * 1024)
+    val env = s""""heap_gb":${f"$heapGb%.1f"},"cpus":$cpus,""" +
+      s""""host_cpus":${Runtime.getRuntime.availableProcessors}"""
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s"""{"metric":"total","value":$total,"unit":"sec","n_ok":${results.size - failed.size},""" +
+        s""""n_failed":${failed.size},"failed":$failedJson,$env,"queries":$qs,""" +
         s""""stream_events_per_sec":$streamEps,"stream_events":$tputEvents,"sf":"$sfDir"}"""
     // The driver captures a bounded TAIL of stdout; the full single-line
     // JSON can exceed it (round-2/3 artifacts lost the total and the
@@ -98,7 +115,7 @@ object Bench {
     println(full)
     val slowest = results.toSeq.sortBy(-_._2).take(5)
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"slowest":$slowest,"sf":"$sfDir","results_file":"$resultsPath"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"slowest":$slowest,"sf":"$sfDir","results_file":"$resultsPath"}""")
     SparkEntry.clearCaches()
     spark.stop()
   }

@@ -15,19 +15,31 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      // events.parquet is TIMESTAMP(NANOS) — see Analytics.events
+      // events.parquet ts has drifted across environments — see
+      // Analytics.events: nanosAsLong covers the TIMESTAMP(NANOS) shape,
+      // inferTimestampNTZ=false reads timestamp[us] directly as TIMESTAMP
+      // (UTC session) so time predicates push to the scan natively
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
+    // A thrown query must be LOUD: round 7/8 lost 34 queries invisibly
+    // because failures went only to stderr and the correctness file just
+    // shrank. Record every failure (name → message) and the full selected
+    // query list so scripts/check_oracle.py can prove
+    // queries == dumped dirs ∪ failures and exit 1 otherwise.
+    val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
+    val failures = scala.collection.mutable.LinkedHashMap[String, String]()
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+        System.err.println(s"[verify] $name failed: $msg")
+        failures(name) = msg.take(500)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -45,6 +57,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(Paths.get(s"$outDir/_failures.json"),
+      failures.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
+    Files.writeString(Paths.get(s"$outDir/_queries.json"),
+      selected.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
+    println(s"[verify] ${selected.size - failures.size}/${selected.size} queries dumped" +
+      (if (failures.nonEmpty) s"; FAILED: ${failures.keys.mkString(", ")}" else ""))
     SparkEntry.clearCaches()
     spark.stop()
   }

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** The reference's query plane (SURVEY.md §2.5–2.6, §2.10-W2), re-anchored
   * onto the driver's `events` table
@@ -16,36 +17,66 @@ import org.apache.spark.sql.functions._
   */
 object Analytics {
 
-  /** The events table stores `ts` as parquet TIMESTAMP(NANOS), which
-    * Spark's vectorized reader rejects by default. We read it as a long
-    * (nanos since epoch) via the legacy flag and convert with integer
-    * division — `ts / 1000` through double would lose precision at 1.7e18.
+  /** Schema-adaptive events reader. The testdata `ts` column has drifted
+    * across environments — parquet TIMESTAMP(NANOS) in rounds ≤7, parquet
+    * `timestamp[us]` (isAdjustedToUTC=false) since round 8 — and a reader
+    * hard-wired to either shape silently breaks every downstream query
+    * when the other shows up (the round-8 red round). So: inspect the type
+    * Spark actually inferred and normalize to TimestampType with
+    * micros-since-epoch-UTC semantics, which under the UTC session the
+    * whole repo runs in is value-identical to DuckDB's `epoch_us(ts)`.
     *
-    * SESSION REQUIREMENT: `spark.sql.legacy.parquet.nanosAsLong=true`
-    * must be set on the session (it is a SQLConf the parquet schema
-    * converter reads — not a per-read option). Every entry point that
-    * reaches this reader (Verify, Bench, DumpPlans, TimeQuery, the test
-    * harness) sets it at session build; a LIBRARY function silently
-    * flipping session state mid-query would surprise co-resident
-    * workloads (round-5 review), so this reader no longer does.
+    *  - LongType — TIMESTAMP(NANOS) read via the session conf
+    *    `spark.sql.legacy.parquet.nanosAsLong=true` (a SQLConf the parquet
+    *    schema converter reads, not a per-read option; entry points set
+    *    it at session build — a LIBRARY function silently flipping session
+    *    state mid-query would surprise co-resident workloads, round-5
+    *    review). Convert with integer division: `ts / 1000` through
+    *    double would lose precision at 1.7e18.
+    *  - TimestampNTZType — `timestamp[us]` under the Spark 4 default
+    *    `spark.sql.parquet.inferTimestampNTZ.enabled=true`. Cast to
+    *    TimestampType (identity on the stored micros under the UTC
+    *    session).
+    *  - TimestampType — same file read with inferTimestampNTZ disabled
+    *    (what our entry points now set): already the target type, no
+    *    conversion node in the plan at all, and time predicates push to
+    *    the parquet scan natively.
     */
-  def events(spark: SparkSession, sfDir: String): DataFrame =
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => raw
+      case other => throw new IllegalStateException(
+        s"events.ts: unsupported parquet-inferred type $other " +
+          "(expected LongType via nanosAsLong, TimestampNTZType, or TimestampType)")
+    }
+  }
 
-  /** Time-bounded events scan with the predicate applied to the RAW nanos
-    * column — a filter on the converted `timestamp_micros(...)` expression
-    * cannot reach the parquet reader, but `ts >= <nanos literal>` becomes
-    * a pushed filter with row-group min/max pruning. At 100 TB (where the
+  /** Time-bounded events scan with the predicate applied to the RAW column
+    * at its storage type — a filter on a converted expression cannot reach
+    * the parquet reader, but a literal of the scan's own type becomes a
+    * pushed filter with row-group min/max pruning. At 100 TB (where the
     * sink is additionally date-partitioned) this is the difference between
     * scanning an hour and scanning the table.
     */
   def eventsSince(spark: SparkSession, sfDir: String, sinceIso: String): DataFrame = {
-    // session requirement: nanosAsLong — see [[events]]
-    val nanos = java.time.Instant.parse(sinceIso).getEpochSecond * 1000000000L
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .filter(col("ts") >= lit(nanos))
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val instant = java.time.Instant.parse(sinceIso)
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    raw.schema("ts").dataType match {
+      case LongType => // nanos-as-long: compare raw nanos, then convert
+        raw.filter(col("ts") >= lit(instant.getEpochSecond * 1000000000L))
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => // NTZ literal pushes; cast after the filter
+        raw.filter(col("ts") >=
+            lit(java.time.LocalDateTime.ofInstant(instant, java.time.ZoneOffset.UTC)))
+          .withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => // native timestamp literal pushes as-is
+        raw.filter(col("ts") >= lit(instant))
+      case other => throw new IllegalStateException(
+        s"events.ts: unsupported parquet-inferred type $other")
+    }
   }
 
   /** F4-analog: "last hour" → last day of the dataset. */

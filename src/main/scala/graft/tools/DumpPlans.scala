@@ -12,15 +12,16 @@ object DumpPlans {
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
-      // events.parquet is TIMESTAMP(NANOS) — see Analytics.events
+      // events.parquet ts drift — see Analytics.events
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     val headline = Seq(
       "q_event_pipeline" -> "scan → parse → enrich → filter: one codegen'd narrow stage, zero exchanges",
-      "q_event_summary" -> "raw-nanos pushed filter + partial/final hash aggregate",
+      "q_event_summary" -> "pushed timestamp filter + partial/final hash aggregate",
       "q_pricing_summary" -> "pushed date filter, decimal-exact partial+final aggregation",
       "q_revenue_by_nation" -> "all dimension sides broadcast; fact table never shuffles for the join",
       "q_top_orders" -> "TakeOrderedAndProject (per-partition heap top-k, no global sort)",

@@ -14,6 +14,7 @@ object Inspect {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     val tables = Seq("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "events", "documents", "embeddings")
     tables.foreach { t =>
@@ -23,8 +24,7 @@ object Inspect {
       df.show(3, truncate = 60)
     }
     import org.apache.spark.sql.functions._
-    val ev = spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val ev = graft.ops.Analytics.events(spark, sfDir)
     ev.select(min("ts"), max("ts")).show(truncate = false)
     spark.stop()
   }

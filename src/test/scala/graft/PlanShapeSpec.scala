@@ -17,7 +17,14 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
   }
 
-  test("events time filter pushes as a raw-nanos comparison") {
+  test("events time filter reaches the parquet scan whatever ts's storage type") {
+    // F4/F5 at 100 TB: the range predicate must land in PushedFilters
+    // (row-group min/max pruning). eventsSince compares the RAW column at
+    // its inferred type — a raw-nanos BIGINT, a TIMESTAMP_NTZ literal, or
+    // a native timestamp literal all push; a filter on a converted
+    // expression would not. This pin is reader-path-agnostic on purpose:
+    // it held for the nanos shape (rounds ≤7) and must keep holding for
+    // the timestamp[us] shape (round 8+).
     val p = plan(Analytics.eventSummary(
       Analytics.eventsSince(spark, sf, "2024-01-30T00:00:00Z")))
     assert(p.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts"), p)
