@@ -456,6 +456,22 @@ object SparkEntry {
     "q_mixture_epochs" -> ((s, d) =>
       Corpus.applyMixtureEpochs(TextAnalysis.documents(s, d),
         tokenBudget = 60000L, shardWidth = 64L)),
+    // k=200 positions over the corpus token mass; shardWidth 64 forces
+    // the hierarchical global prefix sum across many shards while the
+    // oracle runs ONE sequential window — the hash match proves the
+    // decomposition exact; Σ n_copies == k is pinned in CorpusSpec
+    "q_systematic_sample" -> ((s, d) =>
+      Corpus.systematicSample(TextAnalysis.documents(s, d),
+        k = 200L, shardWidth = 64L)),
+    // blocklist terms chosen to actually occur in the synthetic corpus
+    // ("slow"/"dup") plus never-occurring ones (zero-hit path)
+    "q_blocklist_stats" -> ((s, d) =>
+      TextAnalysis.blocklistStats(TextAnalysis.documents(s, d))),
+    // vocab 20 of 31 synthetic terms: the cutoff exercises the
+    // deterministic (count desc, term asc) tie-break AND leaves real
+    // out-of-vocab mass so per-source n_vocab_tokens < n_tokens
+    "q_source_similarity" -> ((s, d) =>
+      TextAnalysis.sourceSimilarity(TextAnalysis.documents(s, d), vocabSize = 20)),
     "q_unigram_logprob" -> ((s, d) =>
       TextAnalysis.unigramLogProb(TextAnalysis.documents(s, d))),
     "q_logprob_buckets" -> ((s, d) =>
@@ -1526,6 +1542,60 @@ object SparkEntry {
         |     // count(*))::BIGINT AS oov_rate_e4
         |FROM tok t LEFT JOIN vocab v ON t.term = v.term
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_systematic_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    len(regexp_split_to_array(lower(text), '\s+'))::BIGINT AS n_tokens
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) - n_tokens AS cum_before
+        |  FROM d),
+        |tot AS (SELECT sum(n_tokens)::BIGINT AS w_total FROM d)
+        |SELECT doc_id, source, n_tokens,
+        |  ((cum_before + n_tokens)::HUGEINT * 200 // w_total
+        |    - cum_before::HUGEINT * 200 // w_total)::BIGINT AS n_copies
+        |FROM w CROSS JOIN tot
+        |WHERE (cum_before + n_tokens)::HUGEINT * 200 // w_total
+        |    - cum_before::HUGEINT * 200 // w_total >= 1
+        |ORDER BY doc_id""".stripMargin,
+    "q_blocklist_stats" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    regexp_split_to_array(lower(text), '\s+') AS toks
+        |  FROM documents)
+        |SELECT doc_id, source,
+        |  len(toks)::BIGINT AS n_tokens,
+        |  len(list_filter(toks,
+        |    t -> list_contains(['slow','dup','corrupt','spam'], t)))::BIGINT AS n_hits,
+        |  CASE WHEN len(toks) > 0 THEN
+        |    (len(list_filter(toks,
+        |       t -> list_contains(['slow','dup','corrupt','spam'], t))) * 10000
+        |      // len(toks))::BIGINT ELSE 0 END AS hit_ratio_e4,
+        |  len(list_filter(toks,
+        |    t -> list_contains(['slow','dup','corrupt','spam'], t))) = 0 AS kept
+        |FROM d ORDER BY doc_id""".stripMargin,
+    "q_source_similarity" ->
+      """WITH st AS (
+        |  SELECT source, unnest(regexp_split_to_array(lower(text), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT source, term, count(*)::BIGINT AS tf FROM st GROUP BY 1, 2),
+        |corpus AS (
+        |  SELECT term, sum(tf)::BIGINT AS ctf FROM tf GROUP BY 1
+        |  ORDER BY ctf DESC, term LIMIT 20),
+        |cn AS (SELECT sum(ctf::HUGEINT * ctf) AS c_sq FROM corpus),
+        |ps AS (
+        |  SELECT tf.source,
+        |    count(*)::BIGINT AS n_vocab_terms,
+        |    sum(tf.tf)::BIGINT AS n_vocab_tokens,
+        |    sum(tf.tf::HUGEINT * c.ctf) AS dot,
+        |    sum(tf.tf::HUGEINT * tf.tf) AS s_sq
+        |  FROM tf JOIN corpus c USING (term) GROUP BY 1)
+        |SELECT source, n_vocab_terms, n_vocab_tokens,
+        |  round(dot::DOUBLE / (sqrt(s_sq::DOUBLE) * sqrt(c_sq::DOUBLE)), 6)
+        |    AS cos_vs_corpus
+        |FROM ps CROSS JOIN cn ORDER BY source""".stripMargin,
     "q_source_mixture" ->
       """WITH ps AS (
         |  SELECT source, count(*) AS n_docs,

@@ -840,4 +840,82 @@ object Corpus {
         col("overlap_frac_e4"))
       .orderBy(col("doc_id"))
   }
+
+  /** Per-doc GLOBAL `cum_before` (tokens of all lower-doc_id docs,
+    * corpus-wide) — the global-order sibling of [[sourceCumBefore]], same
+    * hierarchical decomposition: shard-local running-sum windows on
+    * `doc_id div shardWidth` (contiguous id ranges, so shard prefixes
+    * compose by addition) + a prefix-summed per-shard carry table
+    * (shard-count rows) broadcast back onto the doc stream. A single
+    * window ordered by doc_id alone would pull the ENTIRE corpus through
+    * one task; this shape is data-parallel across shards and
+    * integer-exact, bit-identical to the sequential window the oracle
+    * runs (pinned in CorpusSpec at widths 1/3/64).
+    */
+  private def globalCumBefore(docs: DataFrame, shardWidth: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs
+      .select(col("doc_id"), col("source"),
+        expr(s"doc_id div $shardWidth").as("samp_shard"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+    val wLocal = Window.partitionBy(col("samp_shard"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // carry over LOWER shards: computed on the shard-total table (one row
+    // per shard — dimension-sized however big the corpus), then broadcast
+    val wCarry = Window.orderBy(col("samp_shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val shardOffsets = d.groupBy(col("samp_shard"))
+      .agg(sum(col("n_tokens")).as("shard_tokens"))
+      .select(col("samp_shard"),
+        coalesce(sum(col("shard_tokens")).over(wCarry), lit(0L)).as("shard_offset"))
+    d
+      .withColumn("cum_in_shard", sum(col("n_tokens")).over(wLocal) - col("n_tokens"))
+      .join(broadcast(shardOffsets), Seq("samp_shard"))
+      .withColumn("cum_before", col("shard_offset") + col("cum_in_shard"))
+  }
+
+  /** Systematic (low-discrepancy) token-weighted sampling: place `k`
+    * equally-spaced sampling positions over the corpus's total token mass
+    * `W` and give each document one copy per position falling inside its
+    * token interval `[cum_before, cum_before + n_tokens)`:
+    *
+    *   n_copies = ⌊cum_after·k/W⌋ − ⌊cum_before·k/W⌋
+    *
+    * This is the deterministic counterpart of weighted reservoir
+    * sampling (Efraimidis–Spirakis): inclusion is exactly proportional
+    * to token count (a doc with ≥ W/k tokens is ALWAYS drawn, possibly
+    * multiple times — that's epoching, not a bug), the draw is exactly
+    * `k` copies total (the floors telescope to ⌊W·k/W⌋ = k, pinned in
+    * CorpusSpec), and — unlike u^(1/w) keys, whose pow() is not
+    * IEEE-correctly-rounded and can differ across engines in the last
+    * ulp — every step is integer arithmetic the oracle reproduces
+    * bit-identically.
+    *
+    * Shape at 100 TB: the prefix sum is the hierarchical
+    * [[globalCumBefore]] (data-parallel across id shards, no global
+    * sort, no corpus-through-one-task window); the total `W` is a 1-row
+    * broadcast; the copy arithmetic is row-local, widened to
+    * DECIMAL(38,0) so `cum·k` cannot overflow at petabyte token counts
+    * (BIGINT dies at W·k > 9.2e18 — e.g. 1e13 tokens × 1e6 samples).
+    * Emits one row per drawn doc (`n_copies ≥ 1`), never one per copy.
+    */
+  def systematicSample(
+      docs: DataFrame,
+      k: Long = 200L,
+      shardWidth: Long = 65536L): DataFrame = {
+    require(k > 0, "sample size must be positive")
+    require(shardWidth > 0, "shard width must be positive")
+    val total = docs
+      .select(size(TextAnalysis.tokens(col("text"))).cast("long").as("n"))
+      .agg(sum(col("n")).as("w_total"))
+    globalCumBefore(docs, shardWidth)
+      .crossJoin(broadcast(total))
+      .withColumn("n_copies",
+        expr(s"CAST(cum_before + n_tokens AS DECIMAL(38,0)) * $k DIV w_total") -
+          expr(s"CAST(cum_before AS DECIMAL(38,0)) * $k DIV w_total"))
+      .filter(col("n_copies") >= 1)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("n_copies"))
+      .orderBy(col("doc_id"))
+  }
 }

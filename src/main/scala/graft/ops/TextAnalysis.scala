@@ -594,6 +594,80 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** C4-style blocklist quality gate: per document, how many tokens hit
+    * a (small, fixed) blocklist, the e4 hit ratio, and the hard-drop
+    * verdict (`kept` = zero hits — C4 drops a page on ANY badword). The
+    * doc is reported either way so the filter funnel stays visible.
+    *
+    * Shape at 100 TB: the blocklist is list-sized (hundreds of terms) and
+    * rides into the plan as a literal array — the scan → count → verdict
+    * chain is entirely row-local inside one codegen stage, ZERO
+    * exchanges except the presentation sort (pinned in PlanShapeSpec).
+    * This is the degenerate-broadcast end of the dim-join spectrum: a
+    * dimension small enough to constant-fold never needs a join at all.
+    */
+  def blocklistStats(
+      docs: DataFrame,
+      blocklist: Seq[String] = Seq("slow", "dup", "corrupt", "spam")): DataFrame = {
+    require(blocklist.nonEmpty, "blocklist must not be empty")
+    val toks = tokens(col("text"))
+    docs.select(col("doc_id"), col("source"),
+        size(toks).cast("long").as("n_tokens"),
+        size(filter(toks, t => t.isInCollection(blocklist)))
+          .cast("long").as("n_hits"))
+      .withColumn("hit_ratio_e4",
+        when(col("n_tokens") > 0, expr("(n_hits * 10000) div n_tokens"))
+          .otherwise(lit(0L)))
+      .withColumn("kept", col("n_hits") === 0L)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-source distributional drift: cosine similarity between each
+    * source's term-frequency vector and the corpus-wide vector, over the
+    * top-`vocabSize` corpus terms (deterministic selection: count desc,
+    * term asc). The mixture-health readout — a source whose cosine sags
+    * is lexically off-distribution and a candidate for re-weighting or
+    * inspection before it trains.
+    *
+    * Determinism across engines, by construction: dot products and
+    * squared norms are EXACT integer sums (widened to DECIMAL(38,0) so
+    * tf² survives petabyte counts); sqrt is IEEE-754 correctly-rounded
+    * everywhere (same trick as [[Corpus.sourceMixture]]'s τ=2); one
+    * multiply and one divide of exact doubles close the cosine — no
+    * pow/ln anywhere, so the oracle agrees to the last bit before the
+    * presentation rounding.
+    *
+    * Shape at 100 TB: (source, term) counts are one partial+final hash
+    * aggregate (vocab × sources rows); the corpus vector derives from
+    * that same aggregate (vocab rows — never a second corpus scan); the
+    * top-N vocab is TakeOrderedAndProject; everything after the first
+    * aggregate is dimension-sized.
+    */
+  def sourceSimilarity(docs: DataFrame, vocabSize: Int = 500): DataFrame = {
+    val st = docs
+      .select(col("source"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val corpus = st.groupBy(col("term")).agg(sum(col("tf")).as("ctf"))
+      .orderBy(desc("ctf"), col("term"))
+      .limit(vocabSize)
+    val corpusNorm = corpus
+      .agg(sum(expr("CAST(ctf AS DECIMAL(38,0)) * ctf")).as("c_sq"))
+    st.join(broadcast(corpus), "term")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_vocab_terms"),
+        sum(col("tf")).as("n_vocab_tokens"),
+        sum(expr("CAST(tf AS DECIMAL(38,0)) * ctf")).as("dot"),
+        sum(expr("CAST(tf AS DECIMAL(38,0)) * tf")).as("s_sq"))
+      .crossJoin(broadcast(corpusNorm))
+      .select(col("source"), col("n_vocab_terms"), col("n_vocab_tokens"),
+        round(col("dot").cast("double") /
+          (sqrt(col("s_sq").cast("double")) * sqrt(col("c_sq").cast("double"))), 6)
+          .as("cos_vs_corpus"))
+      .orderBy(col("source"))
+  }
+
   /** Overlapping token-window chunking — how long documents become
     * context-window-sized training samples. Chunk c covers tokens
     * [c·stride+1, c·stride+chunkSize]; starts walk the token array at

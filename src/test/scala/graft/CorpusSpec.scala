@@ -483,6 +483,42 @@ class CorpusSpec extends SparkTestBase {
     }
   }
 
+  test("systematicSample: draws exactly k copies, proportional, shard-width-invariant") {
+    // 7 docs, 20 tokens total; k = 5 positions over the token mass
+    val docs = Seq(
+      (0L, "a b c", "web"), (1L, "d e", "web"), (2L, "f g h i", "web"),
+      (3L, "j", "web"), (4L, "k l m", "wiki"), (5L, "n o p q r", "wiki"),
+      (6L, "s t", "wiki")
+    ).toDF("doc_id", "text", "source")
+    def draw(w: Long) = Corpus.systematicSample(docs, k = 5L, shardWidth = w)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_copies"))).toSeq
+    val expect = draw(Long.MaxValue) // single shard = the sequential window
+    // floors telescope: the draw is EXACTLY k copies, always
+    assert(expect.map(_._3).sum == 5L, expect)
+    // proportionality: every doc with ≥ W/k = 4 tokens must be drawn
+    assert(expect.exists(_._1 == 2L), s"4-token doc 2 missed: $expect")
+    assert(expect.exists(_._1 == 5L), s"5-token doc 5 missed: $expect")
+    // a doc can never receive more copies than ⌊n·k/W⌋ + 1 positions
+    expect.foreach { case (id, n, c) =>
+      assert(c <= n * 5L / 20L + 1L, s"doc $id over-drawn: $c copies for $n tokens")
+    }
+    // the hierarchical decomposition is bit-identical at every width:
+    // width 1 (cum entirely from the carry table), 2/3 (straddling)
+    for (w <- Seq(1L, 2L, 3L))
+      assert(draw(w) == expect, s"shardWidth=$w diverged from sequential semantics")
+  }
+
+  test("systematicSample: exact-k invariant holds on real data across k") {
+    val docs = graft.ops.TextAnalysis.documents(spark, "/root/testdata/sf0.001")
+    for (k <- Seq(1L, 7L, 200L, 5000L)) {
+      val total = Corpus.systematicSample(docs, k = k, shardWidth = 64L)
+        .agg(org.apache.spark.sql.functions.sum("n_copies")).head().getLong(0)
+      assert(total == k, s"k=$k drew $total copies")
+    }
+  }
+
   test("domainCap keeps exactly k best-quality docs per source, map-side limited") {
     val docs = graft.ops.TextAnalysis.documents(spark, "/root/testdata/sf0.01")
     val out = Corpus.domainCap(docs, maxPerSource = 10).collect()

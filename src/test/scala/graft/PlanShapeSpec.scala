@@ -370,6 +370,34 @@ class PlanShapeSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("blocklist gate is row-local: literal list, zero hash exchanges") {
+    // the blocklist is a constant-folded literal array — the count/verdict
+    // chain must stay inside one narrow codegen stage; the only exchange
+    // allowed is the presentation orderBy's range partitioning
+    val p = plan(graft.ops.TextAnalysis.blocklistStats(
+      graft.ops.TextAnalysis.documents(spark, sf)))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 0,
+      s"blocklist filtering must not shuffle:\n$p")
+  }
+
+  test("systematic sample: sharded global prefix sum — corpus never sorts globally") {
+    // the corpus-sized running-sum window is partitioned by the id shard:
+    // its sort is partition-local [samp_shard, doc_id]; the carry table
+    // and the 1-row total broadcast onto the stream; a corpus-wide
+    // single-task window (sort [doc_id] with no shard prefix, global or
+    // not, ahead of the output orderBy) must not exist
+    val p = plan(graft.ops.Corpus.systematicSample(
+      graft.ops.TextAnalysis.documents(spark, sf), k = 200L, shardWidth = 64L))
+    assert(
+      "Sort \\[samp_shard#\\d+L ASC NULLS FIRST, doc_id#\\d+L ASC NULLS FIRST\\], false"
+        .r.findFirstIn(p).isDefined,
+      s"corpus window must sort (samp_shard, doc_id) partition-locally:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 1,
+      s"carry table must broadcast onto the corpus stream:\n$p")
+    assert(!p.contains("Exchange hashpartitioning(doc_id"),
+      s"corpus must not shuffle on doc_id:\n$p")
+  }
+
   test("mixture budget: sharded prefix sum — no single-task-per-source window") {
     val p = plan(graft.ops.Corpus.applyMixtureBudget(
       graft.ops.TextAnalysis.documents(spark, sf),

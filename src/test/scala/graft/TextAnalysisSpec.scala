@@ -330,4 +330,39 @@ class TextAnalysisSpec extends SparkTestBase {
     intercept[IllegalArgumentException](
       TextAnalysis.bm25Search(docs, Seq.empty))
   }
+
+  test("blocklistStats: exact hit counts, e4 ratio, C4 any-hit drop") {
+    val docs = Seq(
+      (1L, "clean text only here", "web"),          // 0 hits → kept
+      (2L, "slow query slow scan", "web"),          // 2 hits of 4 → dropped
+      (3L, "dup", "wiki"),                          // 1 hit of 1 → dropped
+      (4L, "slowly duplicated", "wiki")             // substrings ≠ tokens → kept
+    ).toDF("doc_id", "text", "source")
+    val out = TextAnalysis.blocklistStats(docs).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_hits"),
+        r.getAs[Long]("hit_ratio_e4"), r.getAs[Boolean]("kept")))
+    assert(out.toSeq == Seq(
+      (1L, 0L, 0L, true),
+      (2L, 2L, 5000L, false),
+      (3L, 1L, 10000L, false),
+      (4L, 0L, 0L, true))) // token-exact match: "slowly" is not "slow"
+  }
+
+  test("sourceSimilarity: hand-computed cosines over the top-N vocab, identical sources tie") {
+    // corpus counts: x=5 (2+2+1), y=2, z=5 → top-2 vocab (count desc,
+    // term asc) = {x, z}; corpus vector (x,z) = (5,5), ‖c‖² = 50.
+    //   a = b = (2, 0): cos = 10 / (√4·√50)  = 0.70710678… → 0.707107
+    //   c     = (1, 5): cos = 30 / (√26·√50) = 0.83205029… → 0.832050
+    // identical sources must land on the SAME double (integer dots +
+    // correctly-rounded sqrt — no summation-order drift to split them)
+    val docs = Seq(
+      (1L, "x x y", "a"), (2L, "x x y", "b"), (3L, "x z z z z z", "c")
+    ).toDF("doc_id", "text", "source")
+    val out = TextAnalysis.sourceSimilarity(docs, vocabSize = 2).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Double]("cos_vs_corpus")))
+      .toMap
+    assert(out("a") == out("b"), s"identical sources must tie: $out")
+    assert(out("a") == 0.707107, s"got ${out("a")}")
+    assert(out("c") == 0.83205, s"got ${out("c")}")
+  }
 }
