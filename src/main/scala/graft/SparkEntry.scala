@@ -472,6 +472,12 @@ object SparkEntry {
     // out-of-vocab mass so per-source n_vocab_tokens < n_tokens
     "q_source_similarity" -> ((s, d) =>
       TextAnalysis.sourceSimilarity(TextAnalysis.documents(s, d), vocabSize = 20)),
+    // sizes straddle the ~31-term synthetic vocabulary: 30 under-runs it
+    // (n_terms_used = 30), 40 over-runs (n_terms_used = full vocab) —
+    // both arms of the size-vs-vocab boundary in one result
+    "q_vocab_coverage" -> ((s, d) =>
+      TextAnalysis.vocabCoverage(TextAnalysis.documents(s, d),
+        sizes = Seq(5, 10, 20, 30, 40))),
     "q_unigram_logprob" -> ((s, d) =>
       TextAnalysis.unigramLogProb(TextAnalysis.documents(s, d))),
     "q_logprob_buckets" -> ((s, d) =>
@@ -724,6 +730,13 @@ object SparkEntry {
       val e = Similarity.embeddings(s, d)
       Similarity.bruteForceTopKFiltered(
         e, e.filter(col("vec_id") < 10), col("label") === 3)
+    }),
+    // hard negatives: top-k most-similar vectors of a DIFFERENT label
+    // per query — the contrastive-training mining shape; the label
+    // exclusion rides the broadcast-join predicate, so k is guaranteed
+    "q_hard_negatives" -> ((s, d) => {
+      val e = Similarity.embeddings(s, d)
+      Similarity.hardNegatives(e, e.filter(col("vec_id") < 10))
     }),
     // planted twin clusters make the true top-10 per query its 10
     // lowest-id twins, reachable at recall exactly 1 by both approximate
@@ -1596,6 +1609,25 @@ object SparkEntry {
         |  round(dot::DOUBLE / (sqrt(s_sq::DOUBLE) * sqrt(c_sq::DOUBLE)), 6)
         |    AS cos_vs_corpus
         |FROM ps CROSS JOIN cn ORDER BY source""".stripMargin,
+    "q_vocab_coverage" ->
+      """WITH cnt AS (
+        |  SELECT term, count(*)::BIGINT AS c FROM (
+        |    SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS term
+        |    FROM documents) GROUP BY 1),
+        |tot AS (SELECT sum(c)::BIGINT AS total_tokens FROM cnt),
+        |ranked AS (
+        |  SELECT c,
+        |    row_number() OVER (ORDER BY c DESC, term) AS rank,
+        |    sum(c) OVER (ORDER BY c DESC, term ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM cnt),
+        |sizes AS (SELECT unnest([5, 10, 20, 30, 40])::BIGINT AS vocab_size)
+        |SELECT vocab_size,
+        |  max(cum)::BIGINT AS covered_tokens,
+        |  max(rank)::BIGINT AS n_terms_used,
+        |  total_tokens,
+        |  (max(cum) * 10000 // total_tokens)::BIGINT AS coverage_e4
+        |FROM ranked JOIN sizes ON rank <= vocab_size CROSS JOIN tot
+        |GROUP BY vocab_size, total_tokens ORDER BY vocab_size""".stripMargin,
     "q_source_mixture" ->
       """WITH ps AS (
         |  SELECT source, count(*) AS n_docs,
@@ -2337,6 +2369,20 @@ object SparkEntry {
         |  SELECT query_id,
         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk,
         |    vec_id AS neighbor_id
+        |  FROM scored) WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
+    "q_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS query_id, label AS q_label, embedding AS q_emb
+        |  FROM embeddings WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.query_id, c.vec_id, c.label,
+        |    list_sum(list_transform(range(1, len(q.q_emb) + 1), i -> q.q_emb[i]::DOUBLE * c.embedding[i]::DOUBLE))
+        |    / sqrt(list_sum(list_transform(range(1, len(q.q_emb) + 1), i -> q.q_emb[i]::DOUBLE * q.q_emb[i]::DOUBLE)))
+        |    / sqrt(list_sum(list_transform(range(1, len(c.embedding) + 1), i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))) AS cos
+        |  FROM embeddings c CROSS JOIN q WHERE c.label <> q.q_label)
+        |SELECT query_id, rnk, neighbor_id, neighbor_label FROM (
+        |  SELECT query_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk,
+        |    vec_id AS neighbor_id, label AS neighbor_label
         |  FROM scored) WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
     "q_ann_filtered" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),

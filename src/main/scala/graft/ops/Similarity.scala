@@ -58,6 +58,40 @@ object Similarity {
       k: Int = 10): DataFrame =
     bruteForceTopK(corpus.filter(pred), queries, k)
 
+  /** Hard-negative mining for contrastive training: per query, the k
+    * most-similar corpus vectors with a DIFFERENT label — lexically
+    * "near but wrong", exactly the examples a contrastive loss needs.
+    * The cross-label condition rides the broadcast join predicate
+    * itself (never a post-rank filter, which would under-fill k the
+    * moment a query's own class dominates its neighborhood).
+    *
+    * Shape at 100 TB: identical to [[bruteForceTopK]] — the query batch
+    * broadcasts, the corpus streams through one narrow scoring stage,
+    * per-query rank caps the exchange at queries × k rows. The same
+    * label-mismatch predicate composes with [[ivfTopKFiltered]]'s
+    * per-query probed cells when the corpus side outgrows brute force.
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int = 10): DataFrame = {
+    import graft.functions.VectorFunctions.vecDot
+    val q = queries.select(
+      col("vec_id").as("query_id"), col("label").as("q_label"),
+      col("embedding").as("q_emb"),
+      Dedup.vecNorm(col("embedding")).as("q_norm"))
+    val scored = corpus
+      .withColumn("c_norm", Dedup.vecNorm(col("embedding")))
+      .join(broadcast(q), col("label") =!= col("q_label"))
+      .withColumn("cos",
+        vecDot(col("q_emb"), col("embedding")) / col("q_norm") / col("c_norm"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cos"), col("vec_id"))
+    scored
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("vec_id").as("neighbor_id"),
+        col("label").as("neighbor_label"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   /** Filtered IVF search: centroids are trained on (a sample of) the
     * FULL corpus — the index is built once, filters vary per query — and
     * the predicate prunes candidates before cell assignment. Assignment

@@ -668,6 +668,47 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** Vocabulary coverage curve: for each candidate vocab size N, what
+    * fraction of ALL corpus tokens the top-N terms (count desc, term asc
+    * — the same deterministic cutoff as [[vocabOovRate]]) would cover.
+    * The tokenizer-budgeting readout: where this curve flattens is where
+    * growing the vocab stops paying.
+    *
+    * Shape at 100 TB: one partial+final term aggregate (vocab-sized),
+    * top-max(N) via TakeOrderedAndProject (per-partition heaps — the
+    * corpus never sorts), then rank/prefix-sum windows over THAT bounded
+    * table (max(N) rows — dimension-sized by construction, so the
+    * unpartitioned window is a deliberate non-issue), a broadcast join
+    * against the requested sizes, and a 1-row total.
+    */
+  def vocabCoverage(
+      docs: DataFrame,
+      sizes: Seq[Int] = Seq(5, 10, 20, 30)): DataFrame = {
+    require(sizes.nonEmpty && sizes.forall(_ > 0), "vocab sizes must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val cnt = docs
+      .select(explode(tokens(col("text"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val total = cnt.agg(sum(col("c")).as("total_tokens"))
+    val top = cnt.orderBy(desc("c"), col("term")).limit(sizes.max)
+    val ord = Window.orderBy(desc("c"), col("term"))
+    val ranked = top
+      .withColumn("rank", row_number().over(ord).cast("long"))
+      .withColumn("cum",
+        sum(col("c")).over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sizesDf = sizes.map(_.toLong).toDF("vocab_size")
+    ranked.join(broadcast(sizesDf), col("rank") <= col("vocab_size"))
+      .groupBy(col("vocab_size"))
+      .agg(max(col("cum")).as("covered_tokens"),
+        max(col("rank")).as("n_terms_used"))
+      .crossJoin(broadcast(total))
+      .withColumn("coverage_e4",
+        expr("(covered_tokens * 10000) div total_tokens"))
+      .orderBy(col("vocab_size"))
+  }
+
   /** Overlapping token-window chunking — how long documents become
     * context-window-sized training samples. Chunk c covers tokens
     * [c·stride+1, c·stride+chunkSize]; starts walk the token array at

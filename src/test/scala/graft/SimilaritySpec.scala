@@ -23,6 +23,26 @@ class SimilaritySpec extends SparkTestBase {
     assert(out.toSeq == Seq((1L, 5L), (2L, 2L), (3L, 3L), (4L, 4L)))
   }
 
+  test("hardNegatives: cross-label only, nearest wrong-label first, k guaranteed") {
+    // query 1 (label 0) sits on the x axis; its OWN label also owns the
+    // near-identical vec 2 — which must be excluded — while the nearest
+    // wrong-label vector is the x-adjacent vec 6 (label 1)
+    val labeled = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),
+      (2L, Array(0.99f, 0.01f, 0.0f, 0.0f), 0), // same label: never returned
+      (6L, Array(0.9f, 0.1f, 0.0f, 0.0f), 1),
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f), 1),
+      (4L, Array(0.0f, 0.0f, 1.0f, 0.0f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val q = labeled.filter($"vec_id" === 1)
+    val out = Similarity.hardNegatives(labeled, q, k = 3).collect()
+      .map(r => (r.getAs[Long]("rnk"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Int]("neighbor_label")))
+    assert(out.forall(_._3 != 0), s"own-label neighbor leaked: ${out.toSeq}")
+    // k=3 wrong-label rows exist and all are returned, nearest first
+    assert(out.toSeq == Seq((1L, 6L, 1), (2L, 3L, 1), (3L, 4L, 2)), out.toSeq)
+  }
+
   test("clusterBalancedSample: seed-cell assignment, exact per-cell quota, spread-key order") {
     // k=2 → centroids are v1 ([1,0,0,0], cell 1) and v2 ([.9,.1,0,0], cell 2)
     // assignment by dot/‖c‖: v1→1 (1.0 vs .994), v2→2 (.9 vs .82/.906=.905?

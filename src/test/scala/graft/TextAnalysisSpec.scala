@@ -348,6 +348,20 @@ class TextAnalysisSpec extends SparkTestBase {
       (4L, 0L, 0L, true))) // token-exact match: "slowly" is not "slow"
   }
 
+  test("vocabCoverage: hand-computed curve, size overrunning the vocab saturates") {
+    // counts: a=4, b=2, c=1 → total 7; curve (size → covered):
+    //   1 → 4 (rank 1 only), 2 → 6, 5 → 7 with only 3 terms used
+    val docs = Seq((1L, "a a b c"), (2L, "a a b")).toDF("doc_id", "text")
+    val out = TextAnalysis.vocabCoverage(docs, sizes = Seq(1, 2, 5)).collect()
+      .map(r => (r.getAs[Long]("vocab_size"), r.getAs[Long]("covered_tokens"),
+        r.getAs[Long]("n_terms_used"), r.getAs[Long]("total_tokens"),
+        r.getAs[Long]("coverage_e4")))
+    assert(out.toSeq == Seq(
+      (1L, 4L, 1L, 7L, 5714L),
+      (2L, 6L, 2L, 7L, 8571L),
+      (5L, 7L, 3L, 7L, 10000L)))
+  }
+
   test("sourceSimilarity: hand-computed cosines over the top-N vocab, identical sources tie") {
     // corpus counts: x=5 (2+2+1), y=2, z=5 → top-2 vocab (count desc,
     // term asc) = {x, z}; corpus vector (x,z) = (5,5), ‖c‖² = 50.
