@@ -217,6 +217,12 @@ object SparkEntry {
     // graph: 10 exact integer power iterations, engine-independent
     "q_pagerank" -> ((s, d) => Graph.pageRank(Analytics.events(s, d), iters = 10)),
     "q_first_event_per_user" -> ((s, d) => Analytics.firstEventPerUser(Analytics.events(s, d))),
+    // ordered min-after funnel signup → view → purchase; each stage
+    // joins the shrinking frontier back to the type-pruned stream
+    "q_step_funnel" -> ((s, d) => Analytics.stepFunnel(Analytics.events(s, d))),
+    // sparse triangular retention matrix, UTC-day cohorts
+    "q_retention_cohorts" -> ((s, d) =>
+      Analytics.retentionCohorts(Analytics.events(s, d))),
     "q_dedup_events" -> ((s, d) => Analytics.dedupExactEvents(Analytics.events(s, d))),
     // batch twin of the stream-stream interval join (Pipeline.viewPurchaseJoin)
     "q_purchase_attribution" -> ((s, d) =>
@@ -996,6 +1002,41 @@ object SparkEntry {
         |  event_id AS first_event_id,
         |  event_type AS first_event_type
         |FROM events ORDER BY user_id, ts, event_id""".stripMargin,
+    "q_step_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t
+        |  FROM events e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'view' AND e.ts > s1.t GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t
+        |  FROM events e JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1),
+        |f AS (
+        |  SELECT 1::BIGINT AS step_idx, 'signup' AS step, count(*)::BIGINT AS n_users FROM s1
+        |  UNION ALL
+        |  SELECT 2::BIGINT, 'view', count(*)::BIGINT FROM s2
+        |  UNION ALL
+        |  SELECT 3::BIGINT, 'purchase', count(*)::BIGINT FROM s3)
+        |SELECT step_idx, step, n_users,
+        |  CASE WHEN lag(n_users) OVER (ORDER BY step_idx) > 0
+        |    THEN (n_users * 10000 // lag(n_users) OVER (ORDER BY step_idx))::BIGINT
+        |    ELSE NULL END AS conv_vs_prev_e4,
+        |  CASE WHEN first_value(n_users) OVER (ORDER BY step_idx) > 0
+        |    THEN (n_users * 10000 // first_value(n_users) OVER (ORDER BY step_idx))::BIGINT
+        |    ELSE NULL END AS conv_vs_first_e4
+        |FROM f ORDER BY step_idx""".stripMargin,
+    "q_retention_cohorts" ->
+      """WITH fd AS (
+        |  SELECT user_id, date_trunc('day', min(ts))::DATE AS cohort_day
+        |  FROM events GROUP BY 1)
+        |SELECT epoch_us(cohort_day::TIMESTAMP) AS cohort_day_us,
+        |  date_diff('day', cohort_day, ts::DATE)::BIGINT AS day_offset,
+        |  count(DISTINCT e.user_id)::BIGINT AS n_active
+        |FROM events e JOIN fd ON e.user_id = fd.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_dedup_events" ->
       """SELECT user_id, event_type, min(event_id) AS keep_id, count(*) AS dup_count
         |FROM events GROUP BY user_id, event_type ORDER BY user_id, event_type""".stripMargin,

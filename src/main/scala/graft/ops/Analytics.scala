@@ -431,6 +431,84 @@ object Analytics {
         col("f.event_type").as("first_event_type"))
       .orderBy(col("user_id"))
 
+  /** Ordered step funnel — the event-analytics staple the reference's
+    * dashboard plane gestures at: how many users performed `steps` IN
+    * ORDER (each step strictly after the user's first completion of the
+    * previous one, the min-after semantics every funnel tool uses).
+    * Emits one row per step: users reaching it, conversion vs the
+    * previous step, and vs the funnel entry (e4 integers).
+    *
+    * Shape at 100 TB: stage i is a user-keyed equi-join between the
+    * (type-pruned) event stream and the (user, t_reach) frontier — the
+    * frontier only shrinks, every join and aggregate hashes on user_id
+    * so Catalyst reuses one partitioning across all k−1 stages, and the
+    * per-type event scans carry a pushed event_type filter. The final
+    * assembly is k one-row aggregates unioned — driver-sized by
+    * construction. No windows over the raw stream, no per-user arrays.
+    */
+  def stepFunnel(
+      df: DataFrame,
+      steps: Seq[String] = Seq("signup", "view", "purchase")): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val ev = df.select(col("user_id"), col("event_type"), col("ts"))
+    val frontiers = steps.tail.scanLeft(
+      ev.filter(col("event_type") === steps.head)
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_reach"))) {
+      (reached, step) =>
+        ev.filter(col("event_type") === step)
+          .join(reached, "user_id")
+          .filter(col("ts") > col("t_reach"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t_reach"))
+    }
+    val counts = frontiers.zip(steps).zipWithIndex.map {
+      case ((frontier, step), i) =>
+        frontier.agg(count(lit(1)).as("n_users"))
+          .select(lit(i + 1L).as("step_idx"), lit(step).as("step"),
+            col("n_users"))
+    }.reduce(_.unionAll(_))
+    // conversion ratios over the k-row funnel table (driver-sized)
+    import org.apache.spark.sql.expressions.Window
+    val ord = Window.orderBy(col("step_idx"))
+    counts
+      .withColumn("conv_vs_prev_e4",
+        when(lag(col("n_users"), 1).over(ord) > 0,
+          expr("(n_users * 10000) div lag(n_users, 1) OVER (ORDER BY step_idx)"))
+          .otherwise(lit(null).cast("long")))
+      .withColumn("conv_vs_first_e4",
+        when(first(col("n_users")).over(ord) > 0,
+          expr("(n_users * 10000) div first_value(n_users) OVER (ORDER BY step_idx)"))
+          .otherwise(lit(null).cast("long")))
+      .orderBy(col("step_idx"))
+  }
+
+  /** Daily retention cohorts — the other dashboard staple: users
+    * cohorted by the UTC day of their first event; for each (cohort day,
+    * day offset ≥ 0) the number of distinct cohort users active that
+    * day. The classic triangular retention matrix, emitted sparse.
+    *
+    * Shape at 100 TB: first-touch is one user-keyed aggregate; the join
+    * back to the stream is user-keyed (partitioning reused); the matrix
+    * aggregate's distinct runs on (cohort, offset, user) — already
+    * clustered by the join's partitioning. With a date-partitioned sink
+    * (D6), the activity day derives from the partition column and the
+    * first-touch frame is the incremental ingest-dedup index shape.
+    */
+  def retentionCohorts(df: DataFrame): DataFrame = {
+    val firstDay = df.groupBy(col("user_id"))
+      .agg(min(col("ts")).as("first_ts"))
+      .select(col("user_id"), to_date(col("first_ts")).as("cohort_day"))
+    df.select(col("user_id"), to_date(col("ts")).as("active_day"))
+      .join(firstDay, "user_id")
+      .groupBy(col("cohort_day"),
+        datediff(col("active_day"), col("cohort_day")).cast("long")
+          .as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .select(
+        unix_micros(col("cohort_day").cast("timestamp")).as("cohort_day_us"),
+        col("day_offset"), col("n_active"))
+      .orderBy(col("cohort_day_us"), col("day_offset"))
+  }
+
   /** §2.8 EXCEPT counterpart to [[setOps]]: users who viewed but never
     * purchased (EXCEPT → left-anti under the hood).
     */

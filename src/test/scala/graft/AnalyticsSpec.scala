@@ -48,6 +48,47 @@ class AnalyticsSpec extends SparkTestBase {
     }
   }
 
+  test("stepFunnel: strict min-after ordering — pre-step events never count") {
+    val events = Seq(
+      // user 1: signup(1s) → view(2s) → purchase(3s): full funnel
+      (1L, 10L, "signup", ts(1000000L)), (2L, 10L, "view", ts(2000000L)),
+      (3L, 10L, "purchase", ts(3000000L)),
+      // user 2: view BEFORE signup, purchase after — view must not count
+      // (funnel is ordered), so user 2 stops at step 1
+      (4L, 20L, "view", ts(1000000L)), (5L, 20L, "signup", ts(2000000L)),
+      (6L, 20L, "purchase", ts(3000000L)),
+      // user 3: view AT exactly the signup instant — strict '>' rejects it
+      (7L, 30L, "signup", ts(5000000L)), (8L, 30L, "view", ts(5000000L)),
+      // user 4: never signed up — enters no step
+      (9L, 40L, "view", ts(1000000L)), (10L, 40L, "purchase", ts(2000000L))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = Analytics.stepFunnel(events).collect()
+      .map(r => (r.getAs[Long]("step_idx"), r.getAs[String]("step"),
+        r.getAs[Long]("n_users"), r.getAs[Long]("conv_vs_first_e4")))
+    assert(out.toSeq == Seq(
+      (1L, "signup", 3L, 10000L),   // users 1, 2, 3
+      (2L, "view", 1L, 3333L),      // only user 1 viewed after signup
+      (3L, "purchase", 1L, 3333L))) // and completed
+  }
+
+  test("retentionCohorts: UTC-day cohort, sparse offsets, distinct users per cell") {
+    val day = 86400L * 1000000L
+    val events = Seq(
+      // cohort day 0: users 10, 20; user 10 returns day 2 (twice — still 1)
+      (1L, 10L, ts(1000L)), (2L, 20L, ts(2000L)),
+      (3L, 10L, ts(2 * day + 1000L)), (4L, 10L, ts(2 * day + 5000L)),
+      // cohort day 1: user 30, active again day 1 only
+      (5L, 30L, ts(day + 1000L)), (6L, 30L, ts(day + 9000L))
+    ).toDF("event_id", "user_id", "ts")
+    val out = Analytics.retentionCohorts(events).collect()
+      .map(r => (r.getAs[Long]("cohort_day_us"), r.getAs[Long]("day_offset"),
+        r.getAs[Long]("n_active")))
+    assert(out.toSeq == Seq(
+      (0L, 0L, 2L),       // both day-0 users active on their cohort day
+      (0L, 2L, 1L),       // user 10 back on day 2 — counted once
+      (day, 0L, 1L)))     // day-1 cohort
+  }
+
   test("gapFillHourly: empty hours appear with n=0 and the last sum carried forward") {
     val hour = 3600L * 1000000L
     val events = Seq(
