@@ -199,6 +199,10 @@ object SparkEntry {
       Analytics.healthCheckApprox(Analytics.eventsSince(s, d, "2024-01-15T00:00:00Z"))),
     "q_type_counts" -> ((s, d) => Analytics.typeCounts(Analytics.events(s, d))),
     "q_hourly_counts" -> ((s, d) => Analytics.hourlyCounts(Analytics.events(s, d))),
+    // trailing-24h z-score per (type, hour) — integer moment sums, one
+    // double division + correctly-rounded sqrt → oracle-exact
+    "q_hourly_anomalies" -> ((s, d) =>
+      Analytics.hourlyAnomalies(Analytics.events(s, d))),
     "q_dashboard_metrics" -> ((s, d) => Analytics.dashboardMetrics(Analytics.events(s, d))),
     "q_recent_events" -> ((s, d) => Analytics.recentEvents(Analytics.events(s, d))),
     "q_props_extract" -> ((s, d) => Analytics.propsExtract(Analytics.events(s, d))),
@@ -915,6 +919,29 @@ object SparkEntry {
     "q_hourly_counts" ->
       """SELECT EXTRACT(hour FROM ts)::BIGINT AS hour_of_day, count(*) AS n
         |FROM events GROUP BY 1 ORDER BY hour_of_day""".stripMargin,
+    "q_hourly_anomalies" ->
+      """WITH h AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hour, count(*)::BIGINT AS c
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT event_type, hour, c,
+        |    count(c) OVER tw AS n,
+        |    sum(c::HUGEINT) OVER tw AS s1,
+        |    sum(c::HUGEINT * c) OVER tw AS s2
+        |  FROM h
+        |  WINDOW tw AS (PARTITION BY event_type ORDER BY hour
+        |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, epoch_us(hour) AS hour_us, c, n::BIGINT AS n,
+        |  round(
+        |    ((c * n - s1)::DOUBLE / n::DOUBLE)
+        |      / sqrt((n * s2 - s1 * s1)::DOUBLE / (n * n)::DOUBLE)
+        |    * 10000, 0)::BIGINT AS z_e4,
+        |  abs(round(
+        |    ((c * n - s1)::DOUBLE / n::DOUBLE)
+        |      / sqrt((n * s2 - s1 * s1)::DOUBLE / (n * n)::DOUBLE)
+        |    * 10000, 0)::BIGINT) >= 30000 AS is_anomaly
+        |FROM w WHERE n >= 12 AND n * s2 - s1 * s1 > 0
+        |ORDER BY event_type, hour_us""".stripMargin,
     "q_dashboard_metrics" ->
       """SELECT count(*) AS total_events,
         |  sum(CASE WHEN ts >= TIMESTAMP '2024-01-30 00:00:00' THEN 1 ELSE 0 END)::BIGINT AS recent_events,

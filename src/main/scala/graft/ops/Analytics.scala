@@ -164,6 +164,55 @@ object Analytics {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("hour_of_day"))
 
+  /** Hourly volume anomaly score — the monitoring readout a pipeline
+    * operator watches: per (event_type, hour) count z-scored against the
+    * trailing `trailing` observed hours (current hour excluded). A
+    * traffic spike or drought shows as |z| ≥ 3 (`is_anomaly`).
+    *
+    * Exactness across engines, by construction: the trailing moment sums
+    * (n, Σc, Σc²) are INTEGER window aggregates widened to DECIMAL(38,0)
+    * (c² survives petabyte hourly counts); variance = (n·Σc² − (Σc)²)/n²
+    * closes with exact integer numerators, one double division, and a
+    * correctly-rounded sqrt — the same no-pow/no-ln discipline as
+    * [[graft.ops.TextAnalysis.sourceSimilarity]], so the DuckDB oracle
+    * matches bit-for-bit before the e4 rounding.
+    *
+    * Shape at 100 TB: the corpus collapses FIRST to the (type, hour)
+    * table — one partial+final hash aggregate; the trailing windows then
+    * run on that dimension-sized frame (a year of hours × types is
+    * ~10⁵ rows), so the per-type window partition is trivially small.
+    * Scoring never touches raw events twice.
+    */
+  def hourlyAnomalies(
+      df: DataFrame, trailing: Int = 24, minObs: Int = 12): DataFrame = {
+    require(trailing > 0 && minObs > 0 && minObs <= trailing,
+      "need 0 < minObs <= trailing")
+    import org.apache.spark.sql.expressions.Window
+    val hourly = df
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("c"))
+    val tw = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+      .rowsBetween(-trailing, -1)
+    hourly
+      .select(col("event_type"), unix_micros(col("hour")).as("hour_us"),
+        col("c"),
+        count(col("c")).over(tw).as("n"),
+        sum(expr("CAST(c AS DECIMAL(38,0))")).over(tw).as("s1"),
+        sum(expr("CAST(c AS DECIMAL(38,0)) * c")).over(tw).as("s2"))
+      .filter(col("n") >= minObs)
+      .withColumn("var_num", expr("n * s2 - s1 * s1"))
+      .filter(col("var_num") > 0)
+      .withColumn("z_e4",
+        expr("""CAST(round(
+          (CAST(c * n - s1 AS DOUBLE) / CAST(n AS DOUBLE))
+            / sqrt(CAST(var_num AS DOUBLE) / CAST(n * n AS DOUBLE))
+          * 10000, 0) AS BIGINT)"""))
+      .withColumn("is_anomaly", abs(col("z_e4")) >= 30000L)
+      .select(col("event_type"), col("hour_us"), col("c"), col("n"),
+        col("z_e4"), col("is_anomaly"))
+      .orderBy(col("event_type"), col("hour_us"))
+  }
+
   /** A7+A8+A9 (web-application.py:309-322): dashboard metrics — total
     * count, recent count, global mean — in one pass (conditional agg
     * instead of three scans).

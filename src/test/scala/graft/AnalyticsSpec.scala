@@ -89,6 +89,28 @@ class AnalyticsSpec extends SparkTestBase {
       (day, 0L, 1L)))     // day-1 cohort
   }
 
+  test("hourlyAnomalies: planted spike scores a hand-computed z; flat history filtered") {
+    val hourUs = 3600L * 1000000L
+    // hours 0..23 alternate 9/11 events (mean 10, variance exactly 1);
+    // hour 24 spikes to 30 → z = (30−10)/1 = 20 → z_e4 = 200000
+    val rows = (0 until 24).flatMap { h =>
+      val c = if (h % 2 == 0) 9 else 11
+      (0 until c).map(i => (h * 100L + i, ts(h * hourUs + i * 1000000L), "click", 1.0))
+    } ++ (0 until 30).map(i => (9000L + i, ts(24 * hourUs + i * 1000000L), "click", 1.0))
+    val events = rows.toDF("event_id", "ts", "event_type", "value")
+    val out = Analytics.hourlyAnomalies(events).collect()
+      .map(r => (r.getAs[Long]("hour_us") / hourUs, r.getAs[Long]("c"),
+        r.getAs[Long]("n"), r.getAs[Long]("z_e4"), r.getAs[Boolean]("is_anomaly")))
+    // only hours with ≥12 trailing observations score: hours 12..24
+    assert(out.map(_._1).toSeq == (12L to 24L), out.toSeq)
+    val spike = out.last
+    assert(spike == (24L, 30L, 24L, 200000L, true), spike)
+    // an ordinary 11-count hour (23 trailing obs: s1=229, s2=2303):
+    // z = (11·23−229)/23 / √(528/529) = 1.04446… → 10445, not anomalous
+    val h23 = out.find(_._1 == 23L).get
+    assert(h23._4 == 10445L && !h23._5, h23)
+  }
+
   test("gapFillHourly: empty hours appear with n=0 and the last sum carried forward") {
     val hour = 3600L * 1000000L
     val events = Seq(

@@ -152,6 +152,47 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming funnel: late signup retro-unlocks depth; same-instant step rejected") {
+    implicit val ctx = spark.sqlContext
+    def ev(id: String, user: String, typ: String, tsIso: String) =
+      s"""{"id":"$id","timestamp":"$tsIso","message":"m","user_id":"$user","event_type":"$typ","value":1.0}"""
+    val input = MemoryStream[String]
+    val reached = graft.stream.Funnel.stepCompletions(
+      Pipeline.process(input.toDF()), watermark = "60 minutes")
+    val q = reached.toDF()
+      .writeStream.format("memory").queryName("funnel_sink")
+      .outputMode("update").start()
+    try {
+      // batch 1: u1 has view+purchase but NO signup yet → depth 0, no rows;
+      // u2 signup and view at the SAME instant → strict '>' stops at 1
+      input.addData(
+        ev("a", "u1", "view", "2024-01-15T10:01:00Z"),
+        ev("b", "u1", "purchase", "2024-01-15T10:02:00Z"),
+        ev("c", "u2", "signup", "2024-01-15T10:00:00Z"),
+        ev("d", "u2", "view", "2024-01-15T10:00:00Z"))
+      q.processAllAvailable()
+      val after1 = spark.table("funnel_sink").collect()
+        .map(r => (r.getAs[String]("user_id"), r.getAs[Long]("step_idx")))
+      assert(!after1.exists(_._1 == "u1"), s"u1 has no signup yet: ${after1.toSeq}")
+      assert(after1.filter(_._1 == "u2").map(_._2).toSeq == Seq(1L),
+        s"u2 must stop at step 1: ${after1.toSeq}")
+      // batch 2: u1's signup arrives LATE (inside the watermark) and
+      // earlier than the buffered view/purchase — depth jumps 0 → 3 in
+      // one batch, with the original event times as reach times
+      input.addData(ev("e", "u1", "signup", "2024-01-15T10:00:00Z"))
+      q.processAllAvailable()
+      val u1 = spark.table("funnel_sink").collect()
+        .filter(_.getAs[String]("user_id") == "u1")
+        .map(r => (r.getAs[Long]("step_idx"), r.getAs[String]("step"),
+          r.getAs[Timestamp]("reach_ts").getTime)).sortBy(_._1)
+      val base = java.time.Instant.parse("2024-01-15T10:00:00Z").toEpochMilli
+      assert(u1.toSeq == Seq(
+        (1L, "signup", base),
+        (2L, "view", base + 60000L),
+        (3L, "purchase", base + 120000L)), u1.toSeq)
+    } finally q.stop()
+  }
+
   test("state scale: 1M session keys through RocksDB, watermark evicts to bounded state") {
     implicit val ctx = spark.sqlContext
     // the 100 TB posture for wide key spaces: a million distinct users'
