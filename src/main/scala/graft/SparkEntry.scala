@@ -311,6 +311,9 @@ object SparkEntry {
         Relational.table(s, d, "customer"), Relational.table(s, d, "orders"))),
     "q_distinct_profile" -> ((s, d) => Analytics.distinctProfile(Analytics.events(s, d))),
     "q_event_gaps" -> ((s, d) => Analytics.eventGaps(Analytics.events(s, d))),
+    // first-order Markov transition counts + e4 conditional probability
+    "q_event_transitions" -> ((s, d) =>
+      Analytics.eventTransitions(Analytics.events(s, d))),
     "q_user_sessions" -> ((s, d) => Analytics.userSessions(Analytics.events(s, d))),
     "q_rolling_revenue" -> ((s, d) =>
       Relational.rollingRevenue(Relational.table(s, d, "orders"))),
@@ -1308,6 +1311,18 @@ object SparkEntry {
         |  (sum(gap_us) // count(*))::BIGINT AS avg_gap_us
         |FROM g WHERE gap_us IS NOT NULL
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_event_transitions" ->
+      """WITH t AS (
+        |  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS from_type,
+        |    event_type AS to_type
+        |  FROM events),
+        |c AS (
+        |  SELECT from_type, to_type, count(*)::BIGINT AS n
+        |  FROM t WHERE from_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  (n * 10000 // sum(n) OVER (PARTITION BY from_type))::BIGINT AS p_e4
+        |FROM c ORDER BY from_type, to_type""".stripMargin,
     "q_user_sessions" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),

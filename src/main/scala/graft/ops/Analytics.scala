@@ -397,6 +397,32 @@ object Analytics {
     * one hash shuffle on user_id, per-partition sort, narrow everywhere
     * else. Deterministic tie order via (ts, event_id).
     */
+  /** Per-user event-type transition matrix (first-order Markov counts):
+    * for each consecutive (prev → next) pair in a user's (ts, event_id)
+    * ordered stream, the transition count and the e4 row-conditional
+    * probability — sequence statistics for next-event models and the
+    * behavioral readout behind "what do users do after X".
+    *
+    * Shape at 100 TB: ONE user-keyed window (the same hash partitioning
+    * every per-user operator here shares) produces the lagged pairs;
+    * the transition aggregate is partial+final onto a type² table
+    * (dozens of rows), and the row-probability normalization is a
+    * window over THAT — dimension-sized by construction.
+    */
+  def eventTransitions(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    df.withColumn("from_type", lag(col("event_type"), 1).over(w))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p_e4",
+        expr("(n * 10000) div sum(n) OVER (PARTITION BY from_type)"))
+      .select(col("from_type"), col("to_type"), col("n"), col("p_e4"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
   def eventGaps(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("user_id"))

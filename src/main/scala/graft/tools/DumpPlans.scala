@@ -55,7 +55,12 @@ object DumpPlans {
       "q_bloom_dedup" -> "bloom-gated ingest dedup: driver-held BloomFilterAggregate literal gates the corpus probe (might_contain) — bloom-negative batch rows never reach the index join",
       "q_media_neardup" -> "media pHash: row-local sign-bit fold over decoded features, shared pigeonhole Hamming chunk join — (id, sig, chunk byte) only on the pair exchange",
       "q_bm25_search" -> "BM25 mining: query-term filter on the exploded token stream before the tf aggregate, row-local doc length, broadcast df + 1-row stats, e4-integer scores, TakeOrderedAndProject top-k",
-      "q_curriculum" -> "curriculum phases: ONE score-histogram aggregate + dimension-sized running sum + broadcast phase map — the corpus never globally sorts")
+      "q_curriculum" -> "curriculum phases: ONE score-histogram aggregate + dimension-sized running sum + broadcast phase map — the corpus never globally sorts",
+      "q_systematic_sample" -> "systematic weighted sampling: hierarchical global prefix sum (shard-local windows + broadcast carry), DECIMAL(38,0) position arithmetic — exactly k copies, no corpus global sort",
+      "q_step_funnel" -> "ordered funnel: k−1 frontier joins all reusing ONE user_id hash partitioning; type-pruned scans; k one-row aggregates unioned",
+      "q_hourly_anomalies" -> "trailing z-score: corpus collapses to the (type, hour) table FIRST; moment windows run dimension-sized; integer moments + one division + sqrt = oracle-exact",
+      "q_hard_negatives" -> "hard-negative mining: broadcast query batch with the label-exclusion predicate IN the join, rank-capped exchange",
+      "q_event_transitions" -> "Markov transitions: one user-keyed lag window, partial+final aggregate onto a type² table, probability window on that")
 
     val sb = new StringBuilder
     sb.append("# PLANS — explain(\"formatted\") for headline queries\n\n")
