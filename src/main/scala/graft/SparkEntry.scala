@@ -744,6 +744,11 @@ object SparkEntry {
       Similarity.bruteForceTopKFiltered(
         e, e.filter(col("vec_id") < 10), col("label") === 3)
     }),
+    // hybrid retrieval: BM25 ∪ cosine candidates fused by e9-integer RRF
+    "q_hybrid_search" -> ((s, d) =>
+      Similarity.hybridSearch(
+        TextAnalysis.documents(s, d), Similarity.embeddings(s, d),
+        queryTerms = Seq("spark", "join", "window"))),
     // hard negatives: top-k most-similar vectors of a DIFFERENT label
     // per query — the contrastive-training mining shape; the label
     // exclusion rides the broadcast-join predicate, so k is guaranteed
@@ -2453,6 +2458,40 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk,
         |    vec_id AS neighbor_id
         |  FROM scored) WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
+    "q_hybrid_search" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks FROM documents),
+        |d AS (SELECT doc_id, len(toks)::DOUBLE AS dl, toks FROM t),
+        |s AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM d),
+        |tf AS (SELECT doc_id, dl, term, count(*)::DOUBLE AS tf
+        |       FROM (SELECT doc_id, dl, unnest(toks) AS term FROM d)
+        |       WHERE term IN ('spark', 'join', 'window') GROUP BY doc_id, dl, term),
+        |df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+        |sc AS (SELECT doc_id,
+        |         round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * tf * (1.2 + 1.0)
+        |               / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl)) * 10000.0, 0)::BIGINT AS score_e4
+        |       FROM tf JOIN df USING (term) CROSS JOIN s),
+        |bm AS (SELECT doc_id, sum(score_e4)::BIGINT AS score_e4 FROM sc GROUP BY doc_id
+        |       ORDER BY score_e4 DESC, doc_id LIMIT 20),
+        |lex AS (SELECT doc_id,
+        |          row_number() OVER (ORDER BY score_e4 DESC, doc_id)::BIGINT AS lex_rank
+        |        FROM bm),
+        |cv AS (SELECT e.vec_id, e.embedding FROM embeddings e
+        |       JOIN documents dd ON e.vec_id = dd.doc_id),
+        |q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+        |scored AS (
+        |  SELECT c.vec_id,
+        |    list_sum(list_transform(range(1, len(q.q_emb) + 1), i -> q.q_emb[i]::DOUBLE * c.embedding[i]::DOUBLE))
+        |    / sqrt(list_sum(list_transform(range(1, len(q.q_emb) + 1), i -> q.q_emb[i]::DOUBLE * q.q_emb[i]::DOUBLE)))
+        |    / sqrt(list_sum(list_transform(range(1, len(c.embedding) + 1), i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))) AS cos
+        |  FROM cv c CROSS JOIN q WHERE c.vec_id <> q.query_id),
+        |sem AS (SELECT vec_id AS doc_id, rnk AS sem_rank FROM (
+        |  SELECT vec_id, row_number() OVER (ORDER BY cos DESC, vec_id)::BIGINT AS rnk
+        |  FROM scored) WHERE rnk <= 20)
+        |SELECT doc_id, lex_rank, sem_rank,
+        |  (coalesce(round(1000000000.0 / (60 + lex_rank), 0)::BIGINT, 0)
+        |   + coalesce(round(1000000000.0 / (60 + sem_rank), 0)::BIGINT, 0)) AS rrf_e9
+        |FROM lex FULL OUTER JOIN sem USING (doc_id)
+        |ORDER BY rrf_e9 DESC, doc_id LIMIT 10""".stripMargin,
     "q_hard_negatives" ->
       """WITH q AS (SELECT vec_id AS query_id, label AS q_label, embedding AS q_emb
         |  FROM embeddings WHERE vec_id < 10),

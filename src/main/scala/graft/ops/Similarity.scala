@@ -58,6 +58,53 @@ object Similarity {
       k: Int = 10): DataFrame =
     bruteForceTopK(corpus.filter(pred), queries, k)
 
+  /** Hybrid retrieval: BM25 lexical candidates and brute-force cosine
+    * semantic candidates over the SAME document corpus (documents whose
+    * doc_id has an embedding row), fused by reciprocal-rank fusion
+    * RRF(d) = Σ_systems 1/(rrfK + rank_system(d)) — the
+    * industry-standard fusion that needs no score calibration between
+    * systems. Per-system contributions quantize to e9 BIGINT before the
+    * sum (one IEEE division + round each — order-independent exact
+    * integer fusion, the [[TextAnalysis.bm25Search]] discipline), so
+    * the fused ranking is oracle-exact.
+    *
+    * Shape at 100 TB: each retriever keeps its own at-scale shape
+    * (BM25: pre-agg term filter + broadcast df stats + top-k heaps;
+    * semantic: broadcast 1-row query, narrow scoring, rank-capped
+    * exchange — or the IVF index path when brute-force outgrows);
+    * fusion then runs on two ≤ kEach-row frames — driver-sized by
+    * construction.
+    */
+  def hybridSearch(
+      docs: DataFrame,
+      embs: DataFrame,
+      queryTerms: Seq[String],
+      queryVecId: Long = 0L,
+      k: Int = 10,
+      kEach: Int = 20,
+      rrfK: Int = 60): DataFrame = {
+    require(queryTerms.nonEmpty, "hybrid search needs query terms")
+    require(k > 0 && kEach >= k, "need 0 < k <= kEach")
+    // the hybrid store: only embedded documents are semantically visible
+    val corpusVecs = embs.join(
+      docs.select(col("doc_id").as("vec_id")), "vec_id")
+    val query = embs.filter(col("vec_id") === queryVecId)
+      .select(col("vec_id"), col("embedding"))
+    val sem = bruteForceTopK(corpusVecs, query, kEach)
+      .select(col("neighbor_id").as("doc_id"), col("rnk").as("sem_rank"))
+    val wl = Window.orderBy(desc("score_e4"), col("doc_id"))
+    val lex = TextAnalysis.bm25Search(docs, queryTerms, kEach)
+      .withColumn("lex_rank", row_number().over(wl).cast("long"))
+      .select(col("doc_id"), col("lex_rank"))
+    lex.join(sem, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_e9",
+        coalesce(expr(s"CAST(round(1000000000.0 / ($rrfK + lex_rank), 0) AS BIGINT)"), lit(0L)) +
+          coalesce(expr(s"CAST(round(1000000000.0 / ($rrfK + sem_rank), 0) AS BIGINT)"), lit(0L)))
+      .orderBy(desc("rrf_e9"), col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("lex_rank"), col("sem_rank"), col("rrf_e9"))
+  }
+
   /** Hard-negative mining for contrastive training: per query, the k
     * most-similar corpus vectors with a DIFFERENT label — lexically
     * "near but wrong", exactly the examples a contrastive loss needs.

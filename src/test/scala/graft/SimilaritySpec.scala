@@ -23,6 +23,39 @@ class SimilaritySpec extends SparkTestBase {
     assert(out.toSeq == Seq((1L, 5L), (2L, 2L), (3L, 3L), (4L, 4L)))
   }
 
+  test("hybridSearch: RRF fusion is exact e9 arithmetic; both-lists doc tops a single-list doc") {
+    // doc 3 is the only embedded document (semantic rank 1 guaranteed)
+    // and also carries a query term, so its two RRF contributions beat
+    // doc 1's single best-possible lexical contribution 1/(60+1)
+    val docs = Seq(
+      (1L, "spark spark spark spark"), // lexically dominant, no embedding
+      (2L, "join join"),
+      (3L, "spark filler words here"),
+      (4L, "nothing relevant")
+    ).toDF("doc_id", "text")
+    val embs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0), // the query vector
+      (3L, Array(1.0f, 0.0f, 0.0f, 0.0f), 1)  // identical → cos 1
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.hybridSearch(docs, embs,
+      queryTerms = Seq("spark", "join"), queryVecId = 0L, k = 3, kEach = 3)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), Option(r.getAs[Any]("lex_rank")),
+        Option(r.getAs[Any]("sem_rank")), r.getAs[Long]("rrf_e9")))
+    def contrib(r: Option[Any]): Long =
+      r.map(v => math.round(1e9 / (60 + v.asInstanceOf[Long]))).getOrElse(0L)
+    // fusion arithmetic is exactly the e9 contributions, row by row
+    out.foreach { case (id, lex, sem, rrf) =>
+      assert(rrf == contrib(lex) + contrib(sem), s"doc $id: $lex $sem $rrf")
+    }
+    // doc 3 (both lists) outranks doc 1 (single list, even at rank 1)
+    assert(out.head._1 == 3L, s"both-lists doc must fuse on top: ${out.toSeq}")
+    assert(out.head._3.contains(1L)) // semantic rank 1
+    // descending fused order
+    val rrfs = out.map(_._4).toSeq
+    assert(rrfs == rrfs.sorted.reverse, rrfs)
+  }
+
   test("hardNegatives: cross-label only, nearest wrong-label first, k guaranteed") {
     // query 1 (label 0) sits on the x axis; its OWN label also owns the
     // near-identical vec 2 — which must be excluded — while the nearest
