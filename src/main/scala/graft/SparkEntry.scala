@@ -227,6 +227,9 @@ object SparkEntry {
     // sparse triangular retention matrix, UTC-day cohorts
     "q_retention_cohorts" -> ((s, d) =>
       Analytics.retentionCohorts(Analytics.events(s, d))),
+    // DAU/WAU/MAU: trailing distinct actives per observed day
+    "q_active_users" -> ((s, d) =>
+      Analytics.activeUsers(Analytics.events(s, d))),
     "q_dedup_events" -> ((s, d) => Analytics.dedupExactEvents(Analytics.events(s, d))),
     // batch twin of the stream-stream interval join (Pipeline.viewPurchaseJoin)
     "q_purchase_attribution" -> ((s, d) =>
@@ -1063,6 +1066,18 @@ object SparkEntry {
         |    THEN (n_users * 10000 // first_value(n_users) OVER (ORDER BY step_idx))::BIGINT
         |    ELSE NULL END AS conv_vs_first_e4
         |FROM f ORDER BY step_idx""".stripMargin,
+    "q_active_users" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, date_trunc('day', ts)::DATE AS day FROM events),
+        |days AS (SELECT DISTINCT day AS report_day FROM ud),
+        |w AS (SELECT unnest([1, 7, 30])::BIGINT AS window_days)
+        |SELECT epoch_us(d.report_day::TIMESTAMP) AS day_us,
+        |  w.window_days,
+        |  count(DISTINCT u.user_id)::BIGINT AS n_active
+        |FROM days d CROSS JOIN w JOIN ud u
+        |  ON u.day <= d.report_day
+        |  AND u.day > d.report_day - w.window_days::INTEGER
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_retention_cohorts" ->
       """WITH fd AS (
         |  SELECT user_id, date_trunc('day', min(ts))::DATE AS cohort_day

@@ -397,6 +397,43 @@ object Analytics {
     * one hash shuffle on user_id, per-partition sort, narrow everywhere
     * else. Deterministic tie order via (ts, event_id).
     */
+  /** Trailing active-user counts (DAU/WAU/MAU generalized): for every
+    * observed UTC day and window length w, the distinct users active in
+    * the trailing w days `(day−w, day]` — the dashboard staple next to
+    * [[retentionCohorts]].
+    *
+    * Shape at 100 TB: the stream collapses FIRST to the distinct
+    * (user, day) table (one hash aggregate — user-days are orders of
+    * magnitude smaller than events); each user-day then contributes to
+    * at most Σw report days via a row-local `sequence` explode (≤38
+    * rows per user-day for 1/7/30), and the per-(day, window) distinct
+    * runs on that — an equi-join shape, never a range join of the
+    * stream against a day spine. The exact distinct is the oracle
+    * contract; `approx_count_distinct` is the documented at-scale swap
+    * when user-days themselves are huge.
+    */
+  def activeUsers(
+      df: DataFrame, windows: Seq[Int] = Seq(1, 7, 30)): DataFrame = {
+    require(windows.nonEmpty && windows.forall(_ > 0), "windows must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val userDays = df
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val observed = userDays.select(col("day").as("report_day")).distinct()
+    val winDf = windows.map(_.toLong).toDF("window_days")
+    userDays.crossJoin(broadcast(winDf))
+      .select(col("user_id"), col("window_days"),
+        explode(expr("sequence(day, date_add(day, CAST(window_days AS INT) - 1))"))
+          .as("report_day"))
+      .join(broadcast(observed), Seq("report_day"))
+      .groupBy(col("report_day"), col("window_days"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .select(
+        unix_micros(col("report_day").cast("timestamp")).as("day_us"),
+        col("window_days"), col("n_active"))
+      .orderBy(col("day_us"), col("window_days"))
+  }
+
   /** Per-user event-type transition matrix (first-order Markov counts):
     * for each consecutive (prev → next) pair in a user's (ts, event_id)
     * ordered stream, the transition count and the e4 row-conditional

@@ -89,6 +89,24 @@ class AnalyticsSpec extends SparkTestBase {
       (day, 0L, 1L)))     // day-1 cohort
   }
 
+  test("activeUsers: trailing windows count distinct actives on observed days only") {
+    val day = 86400L * 1000000L
+    val events = Seq(
+      // user 10 active on days 0 (twice) and 8; user 20 on day 0 only
+      (1L, 10L, ts(1000L)), (2L, 10L, ts(2000L)), (3L, 20L, ts(5000L)),
+      (4L, 10L, ts(8 * day + 1000L))
+    ).toDF("event_id", "user_id", "ts")
+    val out = Analytics.activeUsers(events, windows = Seq(1, 7)).collect()
+      .map(r => (r.getAs[Long]("day_us") / day, r.getAs[Long]("window_days"),
+        r.getAs[Long]("n_active")))
+    // day 8 is outside day 0's 7-day trail (days 0..6 carry it, none
+    // observed besides day 0 itself), so day 8 counts only user 10;
+    // double activity on day 0 still counts each user once
+    assert(out.toSeq == Seq(
+      (0L, 1L, 2L), (0L, 7L, 2L),
+      (8L, 1L, 1L), (8L, 7L, 1L)))
+  }
+
   test("hourlyAnomalies: planted spike scores a hand-computed z; flat history filtered") {
     val hourUs = 3600L * 1000000L
     // hours 0..23 alternate 9/11 events (mean 10, variance exactly 1);
