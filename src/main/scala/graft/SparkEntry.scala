@@ -224,6 +224,12 @@ object SparkEntry {
     // ordered min-after funnel signup → view → purchase; each stage
     // joins the shrinking frontier back to the type-pruned stream
     "q_step_funnel" -> ((s, d) => Analytics.stepFunnel(Analytics.events(s, d))),
+    // first-touch funnel with a 6 h per-step deadline
+    "q_step_funnel_windowed" -> ((s, d) => Analytics.stepFunnel(
+      Analytics.events(s, d), stepWithinUs = Some(21600000000L))),
+    // hot-key diagnostics: share of the heaviest key + Gini over the
+    // key frequency distribution, per candidate shuffle dimension
+    "q_key_skew" -> ((s, d) => Analytics.keySkew(Analytics.events(s, d))),
     // sparse triangular retention matrix, UTC-day cohorts
     "q_retention_cohorts" -> ((s, d) =>
       Analytics.retentionCohorts(Analytics.events(s, d))),
@@ -1078,6 +1084,50 @@ object SparkEntry {
         |  ON u.day <= d.report_day
         |  AND u.day > d.report_day - w.window_days::INTEGER
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_step_funnel_windowed" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t
+        |  FROM events e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'view' AND e.ts > s1.t
+        |    AND epoch_us(e.ts) <= epoch_us(s1.t) + 21600000000 GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t
+        |  FROM events e JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t
+        |    AND epoch_us(e.ts) <= epoch_us(s2.t) + 21600000000 GROUP BY 1),
+        |f AS (
+        |  SELECT 1::BIGINT AS step_idx, 'signup' AS step, count(*)::BIGINT AS n_users FROM s1
+        |  UNION ALL
+        |  SELECT 2::BIGINT, 'view', count(*)::BIGINT FROM s2
+        |  UNION ALL
+        |  SELECT 3::BIGINT, 'purchase', count(*)::BIGINT FROM s3)
+        |SELECT step_idx, step, n_users,
+        |  CASE WHEN lag(n_users) OVER (ORDER BY step_idx) > 0
+        |    THEN (n_users * 10000 // lag(n_users) OVER (ORDER BY step_idx))::BIGINT
+        |    ELSE NULL END AS conv_vs_prev_e4,
+        |  CASE WHEN first_value(n_users) OVER (ORDER BY step_idx) > 0
+        |    THEN (n_users * 10000 // first_value(n_users) OVER (ORDER BY step_idx))::BIGINT
+        |    ELSE NULL END AS conv_vs_first_e4
+        |FROM f ORDER BY step_idx""".stripMargin,
+    "q_key_skew" ->
+      """WITH dims AS (
+        |  SELECT 'user_id' AS dim, user_id::VARCHAR AS key FROM events
+        |  UNION ALL
+        |  SELECT 'event_type', event_type FROM events),
+        |c AS (SELECT dim, key, count(*)::BIGINT AS c FROM dims GROUP BY 1, 2),
+        |r AS (SELECT dim, c,
+        |        row_number() OVER (PARTITION BY dim ORDER BY c, key)::BIGINT AS i
+        |      FROM c)
+        |SELECT dim,
+        |  count(*)::BIGINT AS n_keys,
+        |  sum(c)::BIGINT AS n_rows,
+        |  (max(c) * 10000 // sum(c))::BIGINT AS top_share_e4,
+        |  ((sum((2 * i - 1) * c) - count(*) * sum(c)) * 10000
+        |    // (count(*) * sum(c)))::BIGINT AS gini_e4
+        |FROM r GROUP BY dim ORDER BY dim""".stripMargin,
     "q_retention_cohorts" ->
       """WITH fd AS (
         |  SELECT user_id, date_trunc('day', min(ts))::DATE AS cohort_day

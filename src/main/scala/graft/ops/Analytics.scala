@@ -397,6 +397,49 @@ object Analytics {
     * one hash shuffle on user_id, per-partition sort, narrow everywhere
     * else. Deterministic tie order via (ts, event_id).
     */
+  /** Shuffle-key skew diagnostics — the operational readout behind the
+    * salting/AQE machinery in [[graft.ops.Skew]]: for each candidate
+    * shuffle dimension, the key cardinality, the heaviest key's e4
+    * share, and the Gini coefficient of the key frequency distribution
+    * (0 = uniform, →1 = one key owns the table). A dimension whose
+    * top_share or gini spikes is the one that needs salting or an AQE
+    * skew split BEFORE the job falls over at scale.
+    *
+    * Gini is exact integer arithmetic end to end: with counts c₁≤…≤cₙ
+    * (ties broken by key for a deterministic rank),
+    * G = Σ(2i−n−1)·cᵢ / (n·Σc) — the numerator and denominator are
+    * exact BIGINTs and only the final e4 quotient divides.
+    *
+    * Shape at 100 TB: one partial+final count per dimension collapses
+    * the stream to its key table; ranking and the Gini sums then run on
+    * key-cardinality frames. Dimensions are evaluated independently and
+    * unioned — each is one aggregate plus dimension-sized windows.
+    */
+  def keySkew(
+      df: DataFrame,
+      dims: Seq[String] = Seq("user_id", "event_type")): DataFrame = {
+    require(dims.nonEmpty, "need at least one dimension")
+    import org.apache.spark.sql.expressions.Window
+    dims.map { dim =>
+      val counts = df.groupBy(col(dim).cast("string").as("key"))
+        .agg(count(lit(1)).as("c"))
+      val ord = Window.orderBy(col("c"), col("key"))
+      counts
+        .withColumn("i", row_number().over(ord).cast("long"))
+        .agg(
+          count(lit(1)).as("n_keys"),
+          sum(col("c")).as("n_rows"),
+          max(col("c")).as("top_count"),
+          sum(expr("(2 * i - 1) * c")).as("gini_num_part"))
+        .select(
+          lit(dim).as("dim"), col("n_keys"), col("n_rows"),
+          expr("(top_count * 10000) div n_rows").as("top_share_e4"),
+          // Σ(2i−n−1)c = Σ(2i−1)c − n·Σc, all BIGINT
+          expr("((gini_num_part - n_keys * n_rows) * 10000) div (n_keys * n_rows)")
+            .as("gini_e4"))
+    }.reduce(_.unionAll(_)).orderBy(col("dim"))
+  }
+
   /** Trailing active-user counts (DAU/WAU/MAU generalized): for every
     * observed UTC day and window length w, the distinct users active in
     * the trailing w days `(day−w, day]` — the dashboard staple next to
@@ -560,16 +603,31 @@ object Analytics {
     */
   def stepFunnel(
       df: DataFrame,
-      steps: Seq[String] = Seq("signup", "view", "purchase")): DataFrame = {
+      steps: Seq[String] = Seq("signup", "view", "purchase"),
+      stepWithinUs: Option[Long] = None): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
+    require(stepWithinUs.forall(_ > 0), "step window must be positive")
     val ev = df.select(col("user_id"), col("event_type"), col("ts"))
+    // optional per-step deadline (real funnels are time-bound: "purchase
+    // within an hour of the view"): step i counts only in
+    // (t_prev, t_prev + stepWithinUs]. Semantics are FIRST-TOUCH: the
+    // chain anchors on each user's earliest completion of every step,
+    // so a user whose first signup "expires" is not re-anchored on a
+    // later signup (any-sequence funnels need per-user candidate sets —
+    // the streaming twin's state — not a single frontier). First-touch
+    // is the attribution mode the conversion ratios here describe.
+    def inWindow: Column = stepWithinUs match {
+      case Some(us) => col("ts") > col("t_reach") &&
+        unix_micros(col("ts")) <= unix_micros(col("t_reach")) + us
+      case None => col("ts") > col("t_reach")
+    }
     val frontiers = steps.tail.scanLeft(
       ev.filter(col("event_type") === steps.head)
         .groupBy(col("user_id")).agg(min(col("ts")).as("t_reach"))) {
       (reached, step) =>
         ev.filter(col("event_type") === step)
           .join(reached, "user_id")
-          .filter(col("ts") > col("t_reach"))
+          .filter(inWindow)
           .groupBy(col("user_id")).agg(min(col("ts")).as("t_reach"))
     }
     val counts = frontiers.zip(steps).zipWithIndex.map {

@@ -89,6 +89,38 @@ class AnalyticsSpec extends SparkTestBase {
       (day, 0L, 1L)))     // day-1 cohort
   }
 
+  test("stepFunnel windowed: first-touch anchoring — an expired chain is not re-anchored") {
+    val hour = 3600L * 1000000L
+    val events = Seq(
+      // user 1: signup@0 → view@0.5h (inside 1 h) → depth 2
+      (1L, 10L, "signup", ts(0L)), (2L, 10L, "view", ts(hour / 2)),
+      // user 2: signups at 0 and 2h, view at 2.5h. FIRST-TOUCH anchors
+      // the 0h signup, whose 1 h window expires before the view — the
+      // later signup would qualify but must NOT re-anchor → depth 1
+      (3L, 20L, "signup", ts(0L)), (4L, 20L, "signup", ts(2 * hour)),
+      (5L, 20L, "view", ts(2 * hour + hour / 2))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = Analytics.stepFunnel(events, stepWithinUs = Some(hour)).collect()
+      .map(r => (r.getAs[Long]("step_idx"), r.getAs[Long]("n_users")))
+    assert(out.toSeq == Seq((1L, 2L), (2L, 1L), (3L, 0L)), out.toSeq)
+  }
+
+  test("keySkew: hand-computed Gini — skewed keys score, uniform keys score zero") {
+    val events = Seq(
+      // user_id counts: u1→2, u2→1, u3→1 (sorted 1,1,2 → gini 1666)
+      // event_type counts: a→2, b→2 (uniform → gini 0)
+      (1L, 1L, "a", ts(0L)), (2L, 1L, "b", ts(1L)),
+      (3L, 2L, "a", ts(2L)), (4L, 3L, "b", ts(3L))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val rows = Analytics.keySkew(events).collect()
+      .map(r => (r.getAs[String]("dim"), r.getAs[Long]("n_keys"),
+        r.getAs[Long]("top_share_e4"), r.getAs[Long]("gini_e4")))
+    assert(rows.toSeq == Seq(
+      ("event_type", 2L, 5000L, 0L),
+      // Σ(2i−1)c over (1,1,2) = 14; (14 − 3·4)·10⁴ ÷ 12 = 1666
+      ("user_id", 3L, 5000L, 1666L)))
+  }
+
   test("activeUsers: trailing windows count distinct actives on observed days only") {
     val day = 86400L * 1000000L
     val events = Seq(
