@@ -230,6 +230,23 @@ object SparkEntry {
     // hot-key diagnostics: share of the heaviest key + Gini over the
     // key frequency distribution, per candidate shuffle dimension
     "q_key_skew" -> ((s, d) => Analytics.keySkew(Analytics.events(s, d))),
+    // invariant report: row-local rules share one scan; id uniqueness
+    // is the one keyed rule
+    "q_data_contract" -> ((s, d) => Analytics.dataContract(Analytics.events(s, d))),
+    // decile membership counts of value within each type — ntile joins
+    // the rank/lag/lead §2.9 family
+    "q_value_ntiles" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value"), col("event_id"))
+      Analytics.events(s, d)
+        .withColumn("decile", ntile(10).over(w).cast("long"))
+        .groupBy(col("event_type"), col("decile"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value").cast("decimal(12,2)")).cast("double"), 2)
+            .as("bucket_value"))
+        .orderBy(col("event_type"), col("decile"))
+    }),
     // sparse triangular retention matrix, UTC-day cohorts
     "q_retention_cohorts" -> ((s, d) =>
       Analytics.retentionCohorts(Analytics.events(s, d))),
@@ -1112,6 +1129,39 @@ object SparkEntry {
         |    THEN (n_users * 10000 // first_value(n_users) OVER (ORDER BY step_idx))::BIGINT
         |    ELSE NULL END AS conv_vs_first_e4
         |FROM f ORDER BY step_idx""".stripMargin,
+    "q_data_contract" ->
+      """WITH r AS (
+        |  SELECT 'event_id_not_null' AS rule,
+        |    sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_violations
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'user_id_not_null',
+        |    sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)::BIGINT FROM events
+        |  UNION ALL
+        |  SELECT 'ts_in_sensible_range',
+        |    sum(CASE WHEN ts NOT BETWEEN TIMESTAMP '2000-01-01 00:00:00'
+        |      AND TIMESTAMP '2100-01-01 00:00:00' THEN 1 ELSE 0 END)::BIGINT FROM events
+        |  UNION ALL
+        |  SELECT 'value_non_negative',
+        |    sum(CASE WHEN value < 0 THEN 1 ELSE 0 END)::BIGINT FROM events
+        |  UNION ALL
+        |  SELECT 'event_type_in_enum',
+        |    sum(CASE WHEN event_type NOT IN ('view','click','purchase','signup','error')
+        |      THEN 1 ELSE 0 END)::BIGINT FROM events
+        |  UNION ALL
+        |  SELECT 'event_id_unique',
+        |    (SELECT count(*) FROM (
+        |       SELECT event_id FROM events GROUP BY 1 HAVING count(*) > 1))::BIGINT)
+        |SELECT rule, n_violations FROM r ORDER BY rule""".stripMargin,
+    "q_value_ntiles" ->
+      """SELECT event_type, decile, count(*)::BIGINT AS n,
+        |  round(sum(CAST(value AS DECIMAL(12,2)))::DOUBLE, 2) AS bucket_value
+        |FROM (
+        |  SELECT event_type, value,
+        |    ntile(10) OVER (PARTITION BY event_type
+        |      ORDER BY value, event_id)::BIGINT AS decile
+        |  FROM events)
+        |GROUP BY 1, 2 ORDER BY event_type, decile""".stripMargin,
     "q_key_skew" ->
       """WITH dims AS (
         |  SELECT 'user_id' AS dim, user_id::VARCHAR AS key FROM events

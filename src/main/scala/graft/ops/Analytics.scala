@@ -397,6 +397,46 @@ object Analytics {
     * one hash shuffle on user_id, per-partition sort, narrow everywhere
     * else. Deterministic tie order via (ts, event_id).
     */
+  /** Data-contract validation — the batch twin of the pipeline's inline
+    * validators (§2.3 P2/P5): evaluate each named invariant over the
+    * sink table and report how many rows violate it, plus the one
+    * non-row-local contract (event_id uniqueness) as the number of ids
+    * holding more than one row. A monitoring job alerts when any
+    * n_violations leaves zero; the report shape stays rule-count-sized
+    * no matter the table.
+    *
+    * Shape at 100 TB: the row-local rules share ONE scan (conditional
+    * aggregation — one partial+final aggregate, no per-rule passes);
+    * uniqueness is one hash aggregate on the id. Unioned into the
+    * rule-sized report frame.
+    */
+  def dataContract(df: DataFrame): DataFrame = {
+    val rowRules: Seq[(String, Column)] = Seq(
+      "event_id_not_null" -> col("event_id").isNull,
+      "user_id_not_null" -> col("user_id").isNull,
+      "ts_in_sensible_range" ->
+        !col("ts").between(
+          lit("2000-01-01 00:00:00").cast("timestamp"),
+          lit("2100-01-01 00:00:00").cast("timestamp")),
+      "value_non_negative" -> (col("value") < 0),
+      "event_type_in_enum" ->
+        !col("event_type").isInCollection(
+          Seq("view", "click", "purchase", "signup", "error")))
+    val rowReport = df.agg(
+      count(lit(1)).as("_n"),
+      rowRules.map { case (name, bad) =>
+        sum(when(bad, 1L).otherwise(0L)).as(name)
+      }: _*)
+    val long = rowRules.map { case (name, _) =>
+      rowReport.select(lit(name).as("rule"), col(name).as("n_violations"))
+    }.reduce(_.unionAll(_))
+    val dupIds = df.groupBy(col("event_id"))
+      .agg(count(lit(1)).as("c")).filter(col("c") > 1)
+      .agg(count(lit(1)).as("n_violations"))
+      .select(lit("event_id_unique").as("rule"), col("n_violations"))
+    long.unionAll(dupIds).orderBy(col("rule"))
+  }
+
   /** Shuffle-key skew diagnostics — the operational readout behind the
     * salting/AQE machinery in [[graft.ops.Skew]]: for each candidate
     * shuffle dimension, the key cardinality, the heaviest key's e4

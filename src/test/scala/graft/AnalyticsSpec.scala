@@ -121,6 +121,29 @@ class AnalyticsSpec extends SparkTestBase {
       ("user_id", 3L, 5000L, 1666L)))
   }
 
+  test("dataContract: planted violations land on the right rules, clean rows on none") {
+    val events = Seq(
+      // clean row
+      (1L, Some(10L), "view", 5.0, ts(1000L)),
+      // null user_id
+      (2L, None, "click", 1.0, ts(2000L)),
+      // negative value AND unknown type (one row, two rule hits)
+      (3L, Some(11L), "mystery", -2.0, ts(3000L)),
+      // duplicate event_id pair
+      (4L, Some(12L), "purchase", 9.0, ts(4000L)),
+      (4L, Some(13L), "purchase", 9.0, ts(5000L))
+    ).toDF("event_id", "user_id", "event_type", "value", "ts")
+    val out = Analytics.dataContract(events).collect()
+      .map(r => (r.getAs[String]("rule"), r.getAs[Long]("n_violations"))).toMap
+    assert(out == Map(
+      "event_id_not_null" -> 0L,
+      "user_id_not_null" -> 1L,
+      "ts_in_sensible_range" -> 5L, // epoch-1970 test stamps are out of range
+      "value_non_negative" -> 1L,
+      "event_type_in_enum" -> 1L,
+      "event_id_unique" -> 1L), out)
+  }
+
   test("activeUsers: trailing windows count distinct actives on observed days only") {
     val day = 86400L * 1000000L
     val events = Seq(
