@@ -398,6 +398,38 @@ class PlanShapeSpec extends SparkTestBase {
       s"corpus must not shuffle on doc_id:\n$p")
   }
 
+  test("hourly anomalies: corpus collapses before any window; scan prunes to (type, ts)") {
+    val df = Analytics.hourlyAnomalies(Analytics.events(spark, sf))
+    val p = plan(df)
+    // the raw stream feeds exactly ONE aggregate exchange (the hourly
+    // collapse); the trailing-moment window exchanges operate on the
+    // already-dimension-sized hourly table
+    val readSchema = p.split("ReadSchema: ")(1).split("\n")(0)
+    assert(readSchema.contains("event_type") && readSchema.contains("ts"),
+      readSchema)
+    assert(!readSchema.contains("props") && !readSchema.contains("user_id"),
+      s"anomaly scoring must not read unused columns: $readSchema")
+    // Window must sit ABOVE the HashAggregate pair in the plan tree
+    assert(p.contains("Window"), p)
+    assert(p.indexOf("Window") < p.indexOf("HashAggregate"),
+      s"window must consume the aggregate's output, not raw events:\n$p")
+  }
+
+  test("active users: events collapse to distinct user-days before the window explode") {
+    val df = Analytics.activeUsers(Analytics.events(spark, sf))
+    val p = plan(df)
+    val readSchema = p.split("ReadSchema: ")(1).split("\n")(0)
+    assert(readSchema.contains("user_id") && readSchema.contains("ts"), readSchema)
+    assert(!readSchema.contains("event_type") && !readSchema.contains("value"),
+      s"active-user counting must scan only (user_id, ts): $readSchema")
+    // the ≤Σw-wide explode must run above the user-day dedup aggregate,
+    // never on the raw stream (Generate above HashAggregate in the tree)
+    val gen = p.indexOf("Generate explode")
+    assert(gen >= 0, s"sequence explode missing:\n$p")
+    assert(p.indexOf("HashAggregate", gen) > gen,
+      s"explode must consume the distinct user-day table, not raw events:\n$p")
+  }
+
   test("mixture budget: sharded prefix sum — no single-task-per-source window") {
     val p = plan(graft.ops.Corpus.applyMixtureBudget(
       graft.ops.TextAnalysis.documents(spark, sf),
