@@ -422,10 +422,13 @@ object Analytics {
       "event_type_in_enum" ->
         !col("event_type").isInCollection(
           Seq("view", "click", "purchase", "signup", "error")))
+    // coalesce: sum() over an EMPTY table is NULL — the contract report
+    // must say 0 violations on empty input, not NULL (same bug class as
+    // curationFunnel's zero-group sums)
     val rowReport = df.agg(
       count(lit(1)).as("_n"),
       rowRules.map { case (name, bad) =>
-        sum(when(bad, 1L).otherwise(0L)).as(name)
+        coalesce(sum(when(bad, 1L).otherwise(0L)), lit(0L)).as(name)
       }: _*)
     val long = rowRules.map { case (name, _) =>
       rowReport.select(lit(name).as("rule"), col(name).as("n_violations"))

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.ops.{Analytics, Corpus, Dedup, TextAnalysis}
+
+/** Empty-input sweep: every operator must return a well-formed (usually
+  * empty) frame on a zero-row input, never throw and never emit NULL
+  * aggregates where the contract says counts (the curationFunnel
+  * sum-over-zero-groups bug class). Deletion pipelines meet empty
+  * partitions constantly at 100 TB — an operator that NPEs on one is
+  * not deployable.
+  */
+class EmptyInputSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val noDocs: DataFrame =
+    Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  private lazy val noEvents: DataFrame =
+    Seq.empty[(Long, Long, String, Double, java.sql.Timestamp)]
+      .toDF("event_id", "user_id", "event_type", "value", "ts")
+
+  test("document operators survive an empty corpus") {
+    assert(TextAnalysis.blocklistStats(noDocs).count() == 0)
+    assert(TextAnalysis.sourceSimilarity(noDocs).count() == 0)
+    assert(TextAnalysis.vocabCoverage(noDocs).count() == 0)
+    assert(TextAnalysis.docStats(noDocs).count() == 0)
+    assert(TextAnalysis.langId(noDocs).count() == 0)
+    assert(Corpus.systematicSample(noDocs).count() == 0)
+    assert(Corpus.dataCard(noDocs).count() == 0)
+    assert(Corpus.domainCap(noDocs).count() == 0)
+    assert(Dedup.exactDedup(noDocs).count() == 0)
+    // the funnel REPORT is defined on empty input: a 0/0/0 funnel
+    val funnel = Corpus.curationFunnel(noDocs).collect()
+      .map(r => (r.getAs[String]("stage"), r.getAs[Long]("n_docs"))).toMap
+    assert(funnel == Map("input" -> 0L, "kept" -> 0L, "dropped" -> 0L))
+  }
+
+  test("event operators survive an empty stream") {
+    assert(Analytics.eventSummary(noEvents).count() == 0)
+    assert(Analytics.typeCounts(noEvents).count() == 0)
+    assert(Analytics.hourlyAnomalies(noEvents).count() == 0)
+    assert(Analytics.retentionCohorts(noEvents).count() == 0)
+    assert(Analytics.activeUsers(noEvents).count() == 0)
+    assert(Analytics.eventTransitions(noEvents).count() == 0)
+    assert(Analytics.userSessions(noEvents).count() == 0)
+    // funnel and contract REPORTS stay rule/step-sized with zero counts
+    val f = Analytics.stepFunnel(noEvents).collect()
+      .map(r => (r.getAs[Long]("step_idx"), r.getAs[Long]("n_users")))
+    assert(f.toSeq == Seq((1L, 0L), (2L, 0L), (3L, 0L)))
+    // null-strict: getAs[Long] silently unboxes NULL to 0, so assert
+    // non-null explicitly — the report must carry real zeros
+    val cRows = Analytics.dataContract(noEvents).collect()
+    assert(cRows.length == 6)
+    cRows.foreach { r =>
+      assert(!r.isNullAt(r.fieldIndex("n_violations")),
+        s"NULL violation count for ${r.getAs[String]("rule")}")
+      assert(r.getAs[Long]("n_violations") == 0L)
+    }
+    val skew = Analytics.keySkew(noEvents).count()
+    assert(skew == 0 || skew == 2) // per-dim rows may vanish or report n_keys=0
+  }
+}
