@@ -152,6 +152,35 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming daily actives: closed day emits sketch count matching exact at small N") {
+    implicit val ctx = spark.sqlContext
+    def ev(id: String, user: String, tsIso: String) =
+      s"""{"id":"$id","timestamp":"$tsIso","message":"m","user_id":"$user","event_type":"click","value":1.0}"""
+    val input = MemoryStream[String]
+    val actives = graft.stream.Actives.dailyActives(
+      Pipeline.process(input.toDF()), watermark = "1 hour")
+    val q = actives
+      .writeStream.format("memory").queryName("dau_sink")
+      .outputMode("append").start()
+    try {
+      // day 1: three distinct users, one repeated — DAU 3
+      input.addData(
+        ev("a", "u1", "2024-01-15T10:00:00Z"),
+        ev("b", "u2", "2024-01-15T11:00:00Z"),
+        ev("c", "u1", "2024-01-15T12:00:00Z"),
+        ev("d", "u3", "2024-01-15T13:00:00Z"))
+      q.processAllAvailable()
+      // advance the watermark past day 1 + 1 h → the daily window closes
+      input.addData(ev("e", "u9", "2024-01-16T02:00:00Z"))
+      q.processAllAvailable()
+      val rows = spark.table("dau_sink").collect()
+        .map(r => (r.getAs[Long]("day_us"), r.getAs[Long]("n_active_approx")))
+      val day1 = java.time.Instant.parse("2024-01-15T00:00:00Z").toEpochMilli * 1000L
+      // HLL++ is exact at cardinalities this small
+      assert(rows.toSeq == Seq((day1, 3L)), rows.toSeq)
+    } finally q.stop()
+  }
+
   test("streaming funnel: late signup retro-unlocks depth; same-instant step rejected") {
     implicit val ctx = spark.sqlContext
     def ev(id: String, user: String, typ: String, tsIso: String) =
