@@ -341,6 +341,8 @@ object SparkEntry {
     "q_event_transitions" -> ((s, d) =>
       Analytics.eventTransitions(Analytics.events(s, d))),
     "q_user_sessions" -> ((s, d) => Analytics.userSessions(Analytics.events(s, d))),
+    // one summary row over the session table (exact integer means)
+    "q_session_stats" -> ((s, d) => Analytics.sessionStats(Analytics.events(s, d))),
     "q_rolling_revenue" -> ((s, d) =>
       Relational.rollingRevenue(Relational.table(s, d, "orders"))),
     "q_user_value_ranks" -> ((s, d) => Analytics.userValueRanks(Analytics.events(s, d))),
@@ -1443,6 +1445,31 @@ object SparkEntry {
         |SELECT from_type, to_type, n,
         |  (n * 10000 // sum(n) OVER (PARTITION BY from_type))::BIGINT AS p_e4
         |FROM c ORDER BY from_type, to_type""".stripMargin,
+    "q_session_stats" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+        |f AS (
+        |  SELECT user_id, event_id, ts_us,
+        |    CASE WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) < 21600000000
+        |         THEN 0 ELSE 1 END AS new_session
+        |  FROM e),
+        |s AS (
+        |  SELECT user_id, ts_us,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |  FROM f),
+        |sess AS (
+        |  SELECT user_id, session_idx,
+        |    max(ts_us) - min(ts_us) AS dur_us, count(*)::BIGINT AS n_events
+        |  FROM s GROUP BY 1, 2)
+        |SELECT count(*)::BIGINT AS n_sessions,
+        |  count(DISTINCT user_id)::BIGINT AS n_users,
+        |  (sum(n_events) // count(*))::BIGINT AS avg_events_per_session,
+        |  (sum(dur_us) // count(*))::BIGINT AS avg_duration_us,
+        |  max(dur_us)::BIGINT AS max_duration_us,
+        |  (sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 10000 // count(*))::BIGINT
+        |    AS single_event_share_e4
+        |FROM sess""".stripMargin,
     "q_user_sessions" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),

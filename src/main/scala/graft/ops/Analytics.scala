@@ -594,6 +594,26 @@ object Analytics {
       .orderBy(col("user_id"), col("session_idx"))
   }
 
+  /** Session-level summary over [[userSessions]] — the dashboard row
+    * next to the per-session table: session count, distinct sessioned
+    * users, exact-integer mean events/duration per session (floor
+    * division of exact sums — the [[eventGaps]] discipline), the longest
+    * session, and the single-event-session share. One extra aggregate
+    * over the session table (≪ events); everything upstream reuses the
+    * sessionization's one user-keyed exchange.
+    */
+  def sessionStats(df: DataFrame, gapUs: Long = 21600000000L): DataFrame =
+    userSessions(df, gapUs)
+      .withColumn("dur_us", col("session_end_us") - col("session_start_us"))
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        countDistinct(col("user_id")).as("n_users"),
+        expr("sum(n_events) div count(1)").as("avg_events_per_session"),
+        expr("sum(dur_us) div count(1)").as("avg_duration_us"),
+        max(col("dur_us")).as("max_duration_us"),
+        expr("(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 10000) div count(1)")
+          .as("single_event_share_e4"))
+
   /** Pivot: hour-of-day × event_type value sums (wide layout). Explicit
     * pivot values keep the schema static — never data-driven at plan
     * time (a full-scan hazard at 100 TB).
