@@ -60,7 +60,9 @@ object DumpPlans {
       "q_step_funnel" -> "ordered funnel: k−1 frontier joins all reusing ONE user_id hash partitioning; type-pruned scans; k one-row aggregates unioned",
       "q_hourly_anomalies" -> "trailing z-score: corpus collapses to the (type, hour) table FIRST; moment windows run dimension-sized; integer moments + one division + sqrt = oracle-exact",
       "q_hard_negatives" -> "hard-negative mining: broadcast query batch with the label-exclusion predicate IN the join, rank-capped exchange",
-      "q_event_transitions" -> "Markov transitions: one user-keyed lag window, partial+final aggregate onto a type² table, probability window on that")
+      "q_event_transitions" -> "Markov transitions: one user-keyed lag window, partial+final aggregate onto a type² table, probability window on that",
+      "q_hybrid_search" -> "hybrid retrieval: each retriever keeps its own at-scale shape (BM25 heaps + broadcast stats; broadcast query vector); e9-integer RRF fusion on two kEach-row frames",
+      "q_active_users" -> "DAU/WAU/MAU: distinct user-days FIRST (one aggregate), ≤Σw row-local explode on that, equi-join vs observed days — never a stream×spine range join")
 
     val sb = new StringBuilder
     sb.append("# PLANS — explain(\"formatted\") for headline queries\n\n")
