@@ -808,7 +808,27 @@ object SparkEntry {
     "q_cluster_sample" -> ((s, d) =>
       Similarity.clusterBalancedSample(Similarity.embeddings(s, d))),
     "q_quantize_embeddings" -> ((s, d) =>
-      Similarity.quantizeEmbeddings(Similarity.embeddings(s, d)))
+      Similarity.quantizeEmbeddings(Similarity.embeddings(s, d))),
+    // k-NN weak labeling: every 25th vector is the "unlabeled" batch,
+    // majority label of its 5 nearest labeled neighbors wins
+    "q_knn_classify" -> ((s, d) => {
+      val e = Similarity.embeddings(s, d)
+      Similarity.knnClassify(
+        e.filter(col("vec_id") % 25 =!= 0), e.filter(col("vec_id") % 25 === 0))
+    }),
+    // embedding-health report: per-dimension mean/variance + variance share
+    "q_pca_variance" -> ((s, d) => Similarity.pcaVariance(Similarity.embeddings(s, d))),
+    // Gram-matrix covariance pass (one typed-Aggregator aggregate);
+    // oracle checks the 8×8 leading block entry-for-entry
+    "q_embedding_cov" -> ((s, d) =>
+      Similarity.covarianceMatrix(Similarity.embeddings(s, d))
+        .filter(col("dim_i") < 8 && col("dim_j") < 8)),
+    // per-source trigram diversity + type/token ratio (template detector)
+    "q_ngram_diversity" -> ((s, d) => TextAnalysis.ngramDiversity(TextAnalysis.documents(s, d))),
+    // Zipf-law least-squares fit over each source's top-100 terms
+    "q_zipf_slope" -> ((s, d) => TextAnalysis.zipfSlope(TextAnalysis.documents(s, d))),
+    // per-source token Shannon entropy (normalized by ln vocab)
+    "q_token_entropy" -> ((s, d) => TextAnalysis.tokenEntropy(TextAnalysis.documents(s, d)))
   )
 
   /** DuckDB twins. Omitted (→ driver rows-only check): ONLY
@@ -2708,6 +2728,80 @@ object SparkEntry {
         |  FROM r)
         |SELECT vec_id, n_dims, list_sum(codes)::BIGINT AS code_sum,
         |  list_min(codes)::BIGINT AS code_min, list_max(codes)::BIGINT AS code_max
-        |FROM c ORDER BY vec_id""".stripMargin
+        |FROM c ORDER BY vec_id""".stripMargin,
+    "q_knn_classify" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id % 25 = 0),
+        |c AS (SELECT * FROM embeddings WHERE vec_id % 25 <> 0),
+        |scored AS (
+        |  SELECT q.query_id, c.vec_id, c.label,
+        |    list_sum(list_transform(range(1, len(q.q_emb) + 1), i -> q.q_emb[i]::DOUBLE * c.embedding[i]::DOUBLE))
+        |    / sqrt(list_sum(list_transform(range(1, len(q.q_emb) + 1), i -> q.q_emb[i]::DOUBLE * q.q_emb[i]::DOUBLE)))
+        |    / sqrt(list_sum(list_transform(range(1, len(c.embedding) + 1), i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))) AS cos
+        |  FROM c CROSS JOIN q WHERE c.vec_id <> q.query_id),
+        |nb AS (SELECT query_id, label, rnk FROM (
+        |  SELECT query_id, label,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
+        |  FROM scored) WHERE rnk <= 5),
+        |votes AS (SELECT query_id, label, count(*) AS votes, min(rnk) AS best_rnk
+        |          FROM nb GROUP BY 1, 2)
+        |SELECT query_id, predicted_label, votes, best_rnk FROM (
+        |  SELECT query_id, label::BIGINT AS predicted_label, votes, best_rnk,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, best_rnk, label) AS pos
+        |  FROM votes) WHERE pos = 1 ORDER BY query_id""".stripMargin,
+    "q_pca_variance" ->
+      """WITH x AS (SELECT t.d - 1 AS dim, e.embedding[t.d]::DOUBLE AS v
+        |           FROM embeddings e, range(1, 65) t(d)),
+        |s AS (SELECT dim, avg(v) AS mean, var_pop(v) AS variance FROM x GROUP BY dim)
+        |SELECT dim, round(mean, 6) AS mean, round(variance, 6) AS variance,
+        |  round(variance / sum(variance) OVER (), 6) AS var_share
+        |FROM s ORDER BY dim""".stripMargin,
+    "q_embedding_cov" ->
+      """SELECT i.d - 1 AS dim_i, j.d - 1 AS dim_j,
+        |  round(covar_pop(e.embedding[i.d]::DOUBLE, e.embedding[j.d]::DOUBLE), 6) AS cov
+        |FROM embeddings e, range(1, 9) i(d), range(1, 9) j(d)
+        |WHERE i.d <= j.d
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_ngram_diversity" ->
+      """WITH t AS (SELECT source, regexp_split_to_array(lower(text), '\s+') AS toks FROM documents),
+        |sh AS (SELECT source, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+        |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+        |       FROM t WHERE len(toks) >= 3),
+        |g AS (SELECT source, count(*) AS total_trigrams,
+        |        count(DISTINCT shingle) AS distinct_trigrams FROM sh GROUP BY 1),
+        |tk AS (SELECT source, unnest(toks) AS tok FROM t),
+        |g2 AS (SELECT source, count(*) AS total_tokens,
+        |         count(DISTINCT tok) AS distinct_tokens FROM tk GROUP BY 1)
+        |SELECT source, total_trigrams, distinct_trigrams,
+        |  (distinct_trigrams * 10000) // total_trigrams AS diversity_e4,
+        |  total_tokens, distinct_tokens,
+        |  (distinct_tokens * 10000) // total_tokens AS ttr_e4
+        |FROM g JOIN g2 USING (source) ORDER BY source""".stripMargin,
+    "q_zipf_slope" ->
+      """WITH tk AS (SELECT source, unnest(regexp_split_to_array(lower(text), '\s+')) AS term
+        |            FROM documents),
+        |c AS (SELECT source, term, count(*) AS cnt FROM tk GROUP BY 1, 2),
+        |r AS (SELECT source, ln(rnk::DOUBLE) AS x, ln(cnt::DOUBLE) AS y FROM (
+        |  SELECT source, cnt,
+        |    row_number() OVER (PARTITION BY source ORDER BY cnt DESC, term) AS rnk
+        |  FROM c) WHERE rnk <= 100),
+        |a AS (SELECT source, count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
+        |        sum(x * y) AS sxy, sum(x * x) AS sxx FROM r GROUP BY 1)
+        |SELECT source, n::BIGINT AS n_terms,
+        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS zipf_slope,
+        |  round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 4) AS intercept
+        |FROM a ORDER BY source""".stripMargin,
+    "q_token_entropy" ->
+      """WITH tk AS (SELECT source, unnest(regexp_split_to_array(lower(text), '\s+')) AS term
+        |            FROM documents),
+        |c AS (SELECT source, term, count(*) AS cnt FROM tk GROUP BY 1, 2),
+        |a AS (SELECT source, count(*) AS vocab_size, sum(cnt) AS total_tokens,
+        |        sum(cnt::DOUBLE * ln(cnt::DOUBLE)) AS sclogc FROM c GROUP BY 1)
+        |SELECT source, vocab_size, total_tokens,
+        |  round(ln(total_tokens::DOUBLE) - sclogc / total_tokens::DOUBLE, 4) AS entropy,
+        |  CASE WHEN vocab_size > 1
+        |    THEN round((ln(total_tokens::DOUBLE) - sclogc / total_tokens::DOUBLE)
+        |               / ln(vocab_size::DOUBLE), 4)
+        |    ELSE 0.0 END AS norm_entropy
+        |FROM a ORDER BY source""".stripMargin
   )
 }

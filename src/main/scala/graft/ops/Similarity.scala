@@ -996,4 +996,143 @@ object Similarity {
       .select(col("cell"), col("rnk"), col("vec_id"))
       .orderBy(col("cell"), col("rnk"))
   }
+
+  /** k-NN label classification (weak labeling / label propagation): for
+    * each unlabeled query vector, the majority label among its `k`
+    * nearest labeled corpus vectors by cosine — the standard cheap
+    * labeler a curation pipeline uses to extend a small seed taxonomy
+    * over a large corpus (quality tiers, topic buckets, language
+    * families).
+    *
+    * Winner selection is fully deterministic: votes desc, then the
+    * label whose best (lowest-rank) neighbor is nearest, then label
+    * asc — every key an integer, so the oracle pairing is exact even
+    * though the underlying cosines are floats (ranks inherit
+    * [[bruteForceTopK]]'s `(cos desc, vec_id)` tie-break).
+    *
+    * Shape at 100 TB: identical to [[bruteForceTopK]] — query batch
+    * broadcasts, corpus streams through one narrow scoring stage, the
+    * per-query rank cap bounds the exchange at queries × k rows, and
+    * the vote/winner stages run on that queries × k frame (map-side
+    * partial counts on (query, label), then a queries-keyed window).
+    * When the corpus outgrows brute force, swap the neighbor stage for
+    * [[ivfSearchIndexed]] — the voting tail is unchanged.
+    */
+  def knnClassify(corpus: DataFrame, queries: DataFrame, k: Int = 5): DataFrame = {
+    import graft.functions.VectorFunctions.vecDot
+    val q = queries.select(
+      col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+      Dedup.vecNorm(col("embedding")).as("q_norm"))
+    val scored = corpus
+      .withColumn("c_norm", Dedup.vecNorm(col("embedding")))
+      .join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cos",
+        vecDot(col("q_emb"), col("embedding")) / col("q_norm") / col("c_norm"))
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cos"), col("vec_id"))
+    val neighbors = scored
+      .withColumn("rnk", row_number().over(wRank).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("label"), col("rnk"))
+    val votes = neighbors
+      .groupBy(col("query_id"), col("label"))
+      .agg(count(lit(1)).as("votes"), min(col("rnk")).as("best_rnk"))
+    val wWin = Window.partitionBy(col("query_id"))
+      .orderBy(desc("votes"), col("best_rnk"), col("label"))
+    votes
+      .withColumn("pos", row_number().over(wWin))
+      .filter(col("pos") === 1)
+      .select(col("query_id"),
+        col("label").cast("long").as("predicted_label"),
+        col("votes"), col("best_rnk"))
+      .orderBy(col("query_id"))
+  }
+
+  /** Per-dimension embedding statistics — the diagonal of the
+    * distributed-PCA covariance pass: mean, population variance, and
+    * each dimension's share of total variance. The standard
+    * embedding-health report (dead dimensions, anisotropy, whether a
+    * whitening step is warranted) and the exact aggregate a PCA /
+    * whitening fit starts from.
+    *
+    * Shape at 100 TB: posexplode is row-local (64 narrow rows per
+    * vector), the aggregate partial-combines map-side onto 64 keys, and
+    * the variance-share window runs over a 64-row frame — corpus never
+    * shuffles more than its per-partition partial sums.
+    */
+  def pcaVariance(embeddings: DataFrame): DataFrame = {
+    val exploded = embeddings.select(
+      posexplode(col("embedding")).as(Seq("dim", "v")))
+    val stats = exploded
+      .groupBy(col("dim").cast("long").as("dim"))
+      .agg(
+        avg(col("v").cast("double")).as("mean"),
+        var_pop(col("v").cast("double")).as("variance"))
+    stats
+      .withColumn("var_share",
+        round(col("variance") / sum(col("variance")).over(Window.partitionBy()), 6))
+      .select(col("dim"), round(col("mean"), 6).as("mean"),
+        round(col("variance"), 6).as("variance"), col("var_share"))
+      .orderBy(col("dim"))
+  }
+
+  /** Full covariance matrix of the embedding distribution via ONE
+    * typed-Aggregator pass: each partition accumulates (n, Σx — d
+    * doubles, Σxxᵀ upper triangle — d(d+1)/2 doubles), partials merge
+    * associatively, and cov(i,j) = Σxᵢxⱼ/n − x̄ᵢx̄ⱼ comes out of the
+    * final buffer — the Gram-matrix formulation every distributed PCA
+    * (MLlib's `RowMatrix.computeCovariance` included) reduces to.
+    * Returns the upper triangle as (dim_i, dim_j, cov) rows.
+    *
+    * Shape at 100 TB: the buffer is a fixed ~17 KB double array per
+    * partition regardless of row count; the corpus is read once with no
+    * shuffle at all (partial aggregation to a single 1-row final). The
+    * driver never sees vectors — only the d×d model, which is what a
+    * downstream eigen-solve ([[pcaTopComponent]]) needs anyway.
+    */
+  def covarianceMatrix(embeddings: DataFrame, dim: Int = 64): DataFrame = {
+    import embeddings.sparkSession.implicits._
+    val agg = new graft.functions.CovarianceAggregator(dim)
+    val buf = embeddings.select(col("embedding"))
+      .as[Seq[Float]]
+      .select(agg.toColumn.name("buf"))
+    // buf: (n, sums[d], prods[d(d+1)/2]) -> upper-triangle rows
+    buf.select(explode(col("buf")).as("entry"))
+      .select(
+        col("entry.i").cast("long").as("dim_i"),
+        col("entry.j").cast("long").as("dim_j"),
+        round(col("entry.cov"), 6).as("cov"))
+      .orderBy(col("dim_i"), col("dim_j"))
+  }
+
+  /** Top principal component by power iteration on the [[covarianceMatrix]]
+    * model: the d×d matrix collects to the driver (d=64 → 32 KB — a
+    * model, not data), iterate v ← Cv/‖Cv‖ from a deterministic start
+    * until the Rayleigh quotient stabilizes. Returns (eigenvalue,
+    * eigenvector) — the whitening/projection direction. Corpus cost is
+    * exactly the one covariance pass; the eigen-solve is O(d²·iters)
+    * driver arithmetic.
+    */
+  def pcaTopComponent(embeddings: DataFrame, dim: Int = 64,
+      iters: Int = 50): (Double, Array[Double]) = {
+    val entries = covarianceMatrix(embeddings, dim)
+      .collect()
+      .map(r => ((r.getLong(0).toInt, r.getLong(1).toInt), r.getDouble(2)))
+      .toMap
+    val c = Array.tabulate(dim, dim) { (i, j) =>
+      entries.getOrElse((math.min(i, j), math.max(i, j)), 0.0)
+    }
+    var v = Array.tabulate(dim)(i => 1.0 / math.sqrt(dim.toDouble))
+    var lambda = 0.0
+    var it = 0
+    while (it < iters) {
+      val cv = Array.tabulate(dim)(i =>
+        (0 until dim).map(j => c(i)(j) * v(j)).sum)
+      val norm = math.sqrt(cv.map(x => x * x).sum)
+      v = cv.map(_ / norm)
+      lambda = norm
+      it += 1
+    }
+    (lambda, v)
+  }
 }

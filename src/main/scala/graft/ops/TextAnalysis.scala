@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a training-data pipeline, over the
@@ -731,5 +732,116 @@ object TextAnalysis {
         array_join(slice(col("toks"), col("col"), lit(chunkSize)), " ")
           .as("chunk_text"))
       .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  /** Per-source n-gram diversity: the fraction of a source's trigram
+    * mass that is unique across the source — the standard template /
+    * boilerplate detector at corpus granularity (a crawl dump whose
+    * pages share headers scores low; diverse prose scores high). Also
+    * reports token-level type/token ratio for the same read.
+    *
+    * `diversity_e4` = ⌊distinct_trigrams · 10⁴ / total_trigrams⌋ — the
+    * repo's exact-integer-quantization discipline, so the oracle cannot
+    * disagree in a float ulp.
+    *
+    * Shape at 100 TB: trigrams come from the row-local
+    * [[Dedup.shingles]] expression; both aggregates partial-combine
+    * map-side (per-source counts, then (source, shingle)-keyed distinct
+    * with source-count final) — the only exchange carries (source,
+    * shingle) partial rows, never document text.
+    */
+  def ngramDiversity(docs: DataFrame): DataFrame = {
+    val sh = docs.select(col("source"),
+      explode(Dedup.shingles(col("text"))).as("shingle"))
+    val perSource = sh.groupBy(col("source")).agg(
+      count(lit(1)).as("total_trigrams"),
+      countDistinct(col("shingle")).as("distinct_trigrams"))
+    val toks = docs.select(col("source"), explode(tokens(col("text"))).as("tok"))
+    val tokStats = toks.groupBy(col("source")).agg(
+      count(lit(1)).as("total_tokens"),
+      countDistinct(col("tok")).as("distinct_tokens"))
+    perSource.join(tokStats, "source")
+      .select(col("source"),
+        col("total_trigrams"), col("distinct_trigrams"),
+        expr("(distinct_trigrams * 10000) div total_trigrams").as("diversity_e4"),
+        col("total_tokens"), col("distinct_tokens"),
+        expr("(distinct_tokens * 10000) div total_tokens").as("ttr_e4"))
+      .orderBy(col("source"))
+  }
+
+  /** Zipf-law fit per source: least-squares slope and intercept of
+    * ln(count) against ln(rank) over the source's top-`topN` terms —
+    * the classic sanity check that a text source is natural language
+    * (slope ≈ −1) rather than templated or synthetic output (flat or
+    * cliff-shaped rank curves). Ranks are deterministic: count desc,
+    * term asc.
+    *
+    * The regression is written as the explicit closed form
+    * (n·Σxy − Σx·Σy) / (n·Σxx − Σx²) with x = ln(rank), y = ln(count)
+    * — the same expression tree the oracle evaluates, summed over only
+    * `topN` values, so double rounding at the 4th decimal is stable.
+    *
+    * Shape at 100 TB: term counts partial-combine onto the vocabulary
+    * (bounded, not corpus-sized); the rank window runs per source over
+    * vocabulary-sized groups, and WindowGroupLimit prunes each map task
+    * to its local top-`topN` before the exchange; the regression itself
+    * aggregates sources × topN rows — driver-free throughout.
+    */
+  /** Per-source token Shannon entropy: H = −Σ (c/N)·ln(c/N) over the
+    * source's term distribution, plus the normalized form H/ln(V) in
+    * [0,1] — the information-theoretic twin of [[ngramDiversity]]
+    * (low entropy = a few templated terms dominate; ≈1 normalized =
+    * uniformly diverse vocabulary). A standard corpus-mixture health
+    * feature next to [[zipfSlope]].
+    *
+    * Shape at 100 TB: one vocabulary-keyed count aggregate (map-side
+    * partial combine), then a source-keyed sum over vocabulary-sized
+    * rows — the corpus text never reaches an exchange.
+    */
+  def tokenEntropy(docs: DataFrame): DataFrame = {
+    val counts = docs
+      .select(col("source"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("cnt"))
+    counts.groupBy(col("source"))
+      .agg(count(lit(1)).as("vocab_size"),
+        sum(col("cnt")).as("total_tokens"),
+        sum(col("cnt").cast("double") * log(col("cnt").cast("double"))).as("sclogc"))
+      // H = ln N − (Σ c·ln c)/N: one pass, no second join against N
+      .select(col("source"), col("vocab_size"), col("total_tokens"),
+        round(log(col("total_tokens").cast("double")) -
+          col("sclogc") / col("total_tokens").cast("double"), 4).as("entropy"),
+        when(col("vocab_size") > 1,
+          round((log(col("total_tokens").cast("double")) -
+            col("sclogc") / col("total_tokens").cast("double")) /
+            log(col("vocab_size").cast("double")), 4))
+          .otherwise(lit(0.0)).as("norm_entropy"))
+      .orderBy(col("source"))
+  }
+
+  def zipfSlope(docs: DataFrame, topN: Int = 100): DataFrame = {
+    require(topN > 1, "need at least 2 ranks to fit a slope")
+    val counts = docs
+      .select(col("source"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(desc("cnt"), col("term"))
+    val ranked = counts
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= topN)
+      .select(col("source"),
+        log(col("rnk").cast("double")).as("x"),
+        log(col("cnt").cast("double")).as("y"))
+    ranked.groupBy(col("source"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("source"), col("n").cast("long").as("n_terms"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")), 4).as("zipf_slope"),
+        round((col("sy") - ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx"))) * col("sx")) / col("n"), 4)
+          .as("intercept"))
+      .orderBy(col("source"))
   }
 }
