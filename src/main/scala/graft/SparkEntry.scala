@@ -2794,7 +2794,7 @@ object SparkEntry {
       """WITH tk AS (SELECT source, unnest(regexp_split_to_array(lower(text), '\s+')) AS term
         |            FROM documents),
         |c AS (SELECT source, term, count(*) AS cnt FROM tk GROUP BY 1, 2),
-        |a AS (SELECT source, count(*) AS vocab_size, sum(cnt) AS total_tokens,
+        |a AS (SELECT source, count(*) AS vocab_size, sum(cnt)::BIGINT AS total_tokens,
         |        sum(cnt::DOUBLE * ln(cnt::DOUBLE)) AS sclogc FROM c GROUP BY 1)
         |SELECT source, vocab_size, total_tokens,
         |  round(ln(total_tokens::DOUBLE) - sclogc / total_tokens::DOUBLE, 4) AS entropy,
