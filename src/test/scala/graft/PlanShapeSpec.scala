@@ -453,4 +453,50 @@ class PlanShapeSpec extends SparkTestBase {
         .r.findFirstIn(p).isEmpty,
       s"per-source-only running-sum window must be gone:\n$p")
   }
+
+  test("knnClassify: query batch broadcasts; vote/winner stages run on the rank-capped frame") {
+    val e = Similarity.embeddings(spark, sf)
+    val p = plan(Similarity.knnClassify(
+      e.filter(org.apache.spark.sql.functions.col("vec_id") % 25 =!= 0),
+      e.filter(org.apache.spark.sql.functions.col("vec_id") % 25 === 0)))
+    // non-equi join predicate + broadcast hint → nested-loop broadcast of
+    // the (small) query side; the corpus must never be the broadcast side
+    assert(p.contains("BroadcastNestedLoopJoin BuildRight"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("covarianceMatrix: one ObjectHashAggregate pass, single-partition final — corpus never hash-shuffles") {
+    val p = plan(Similarity.covarianceMatrix(Similarity.embeddings(spark, sf)))
+    // the typed Aggregator plans as partial+final ObjectHashAggregate
+    assert(p.contains("ObjectHashAggregate"), p)
+    // only per-partition buffers cross the wire: the sole exchange is the
+    // SinglePartition gather of ~17 KB buffers (plus the final 2080-row
+    // sort) — a hashpartitioning exchange would mean vectors shuffled
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"covariance pass must not hash-shuffle the corpus:\n$p")
+    assert(p.contains("Exchange SinglePartition"), p)
+  }
+
+  test("zipfSlope: top-N rank filter prunes map-side via WindowGroupLimit") {
+    val p = plan(graft.ops.TextAnalysis.zipfSlope(
+      graft.ops.TextAnalysis.documents(spark, sf)))
+    // rnk <= topN must push into a WindowGroupLimit so each map task
+    // ships at most topN terms per source, not its whole vocabulary
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("tokenEntropy and ngramDiversity: exchanges carry hashed/keyed rows, text stays in the scan stage") {
+    for (df <- Seq(
+        graft.ops.TextAnalysis.tokenEntropy(graft.ops.TextAnalysis.documents(spark, sf)),
+        graft.ops.TextAnalysis.ngramDiversity(graft.ops.TextAnalysis.documents(spark, sf)))) {
+      val p = plan(df)
+      // partial aggregation must collapse (source, term) counts map-side
+      // before the exchange — no raw document rows on the wire
+      assert(p.contains("HashAggregate"), p)
+      assert(!p.contains("Exchange hashpartitioning(doc_id"),
+        s"nothing should shuffle on doc_id:\n$p")
+      assert(!p.contains("Exchange hashpartitioning(text"),
+        s"document text must never be an exchange key:\n$p")
+    }
+  }
 }
