@@ -828,7 +828,13 @@ object SparkEntry {
     // Zipf-law least-squares fit over each source's top-100 terms
     "q_zipf_slope" -> ((s, d) => TextAnalysis.zipfSlope(TextAnalysis.documents(s, d))),
     // per-source token Shannon entropy (normalized by ln vocab)
-    "q_token_entropy" -> ((s, d) => TextAnalysis.tokenEntropy(TextAnalysis.documents(s, d)))
+    "q_token_entropy" -> ((s, d) => TextAnalysis.tokenEntropy(TextAnalysis.documents(s, d))),
+    // frozen-weights logistic quality model (model-as-literal scoring)
+    "q_quality_classifier" -> ((s, d) =>
+      TextAnalysis.logisticQuality(TextAnalysis.documents(s, d))),
+    // top-50 adjacent-pair collocations by e4-quantized PMI
+    "q_pmi_collocations" -> ((s, d) =>
+      TextAnalysis.pmiCollocations(TextAnalysis.documents(s, d)))
   )
 
   /** DuckDB twins. Omitted (→ driver rows-only check): ONLY
@@ -2802,6 +2808,37 @@ object SparkEntry {
         |    THEN round((ln(total_tokens::DOUBLE) - sclogc / total_tokens::DOUBLE)
         |               / ln(vocab_size::DOUBLE), 4)
         |    ELSE 0.0 END AS norm_entropy
-        |FROM a ORDER BY source""".stripMargin
+        |FROM a ORDER BY source""".stripMargin,
+    "q_quality_classifier" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    1.0 AS x0,
+        |    ln(1.0 + len(toks)::DOUBLE) AS x1,
+        |    len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE AS x2,
+        |    len(list_filter(toks, t -> t IN ('the','a','of','and','to','in')))::DOUBLE
+        |      / len(toks)::DOUBLE AS x3,
+        |    length(text)::DOUBLE / len(toks)::DOUBLE AS x4
+        |  FROM (SELECT doc_id, text, regexp_split_to_array(lower(text), '\s+') AS toks
+        |        FROM documents))
+        |SELECT doc_id,
+        |  round((1.0 / (1.0 + exp(-((x0 * -3.0) + (x1 * 0.6) + (x2 * 2.0)
+        |    + (x3 * 3.0) + (x4 * 0.1))))) * 10000, 0)::BIGINT AS score_e4,
+        |  round((1.0 / (1.0 + exp(-((x0 * -3.0) + (x1 * 0.6) + (x2 * 2.0)
+        |    + (x3 * 3.0) + (x4 * 0.1))))) * 10000, 0)::BIGINT >= 5000 AS keep
+        |FROM f ORDER BY doc_id""".stripMargin,
+    "q_pmi_collocations" ->
+      """WITH t AS (SELECT regexp_split_to_array(lower(text), '\s+') AS toks FROM documents),
+        |p AS (SELECT unnest(list_transform(range(2, len(toks) + 1),
+        |        i -> {'x': toks[i-1], 'y': toks[i]})) AS pr
+        |      FROM t WHERE len(toks) >= 2),
+        |bg AS (SELECT pr.x AS x, pr.y AS y, count(*) AS c_xy
+        |       FROM p GROUP BY 1, 2 HAVING count(*) >= 5),
+        |u AS (SELECT unnest(toks) AS term FROM t),
+        |uc AS (SELECT term, count(*) AS c FROM u GROUP BY 1),
+        |n AS (SELECT count(*)::DOUBLE AS nn FROM u)
+        |SELECT x, y, c_xy,
+        |  round(ln(nn * c_xy / (ux.c::DOUBLE * uy.c::DOUBLE)) * 10000, 0)::BIGINT AS pmi_e4
+        |FROM bg JOIN uc ux ON bg.x = ux.term JOIN uc uy ON bg.y = uy.term CROSS JOIN n
+        |ORDER BY pmi_e4 DESC, x, y LIMIT 50""".stripMargin
   )
 }

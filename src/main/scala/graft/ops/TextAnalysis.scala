@@ -192,6 +192,94 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** The logistic-classifier feature vector: (1, ln(1+n_tokens),
+    * type/token ratio, stopword ratio, mean token chars) — the cheap
+    * row-local features a fastText-style quality model consumes. Shared
+    * by scoring and training so the two can never skew.
+    */
+  private def classifierFeatures(df: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    df.select(col("doc_id"), col("text"), toks.as("toks"))
+      .select(col("doc_id"),
+        lit(1.0).as("x0"),
+        log(lit(1.0) + size(col("toks")).cast("double")).as("x1"),
+        (size(array_distinct(col("toks"))).cast("double") /
+          size(col("toks")).cast("double")).as("x2"),
+        (size(filter(col("toks"), t => t.isInCollection(
+          Seq("the", "a", "of", "and", "to", "in")))).cast("double") /
+          size(col("toks")).cast("double")).as("x3"),
+        (length(col("text")).cast("double") /
+          size(col("toks")).cast("double")).as("x4"))
+  }
+
+  /** Model-based quality scoring with FROZEN weights — the production
+    * shape of a learned quality filter (CCNet / GPT-style "looks like
+    * reference text" classifiers): the model is a literal broadcast into
+    * the expression tree, scoring is one codegen'd row-local pass, and
+    * the score quantizes to e4 BIGINT before any comparison so the
+    * oracle agrees exactly. Weights default to [[defaultQualityWeights]]
+    * (hand-set to reward length + diversity + stopword naturality);
+    * [[trainQualityWeights]] produces refreshed weights from labeled
+    * data — frozen here as literals exactly like a deployed model.
+    *
+    * Shape at 100 TB: zero shuffles before the final order — features,
+    * dot product, and sigmoid are all row-local.
+    */
+  val defaultQualityWeights: Seq[Double] = Seq(-3.0, 0.6, 2.0, 3.0, 0.1)
+
+  def logisticQuality(df: DataFrame,
+      weights: Seq[Double] = defaultQualityWeights): DataFrame = {
+    require(weights.length == 5, "model has 5 weights (bias + 4 features)")
+    classifierFeatures(df)
+      .select(col("doc_id"),
+        expr(s"CAST(round((1.0 / (1.0 + exp(-(${zSql(weights)})))) * 10000, 0) AS BIGINT)")
+          .as("score_e4"))
+      .withColumn("keep", (col("score_e4") >= 5000L).cast("boolean"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def zSql(w: Seq[Double]): String =
+    Seq("x0", "x1", "x2", "x3", "x4").zip(w)
+      .map { case (c, wi) => s"($c * $wi)" }.mkString(" + ")
+
+  /** Distributed logistic-regression training by full-batch gradient
+    * descent: each iteration is ONE aggregate over the corpus computing
+    * the 5-component gradient Σ (σ(w·x) − y)·x (map-side partial sums,
+    * 5 doubles per partition on the wire), the driver applies the step,
+    * and the updated weights ride back into the next iteration's
+    * expression tree as literals — the same model-is-a-broadcast,
+    * data-never-moves loop as [[Similarity.trainCentroids]]. Labels come
+    * from a caller-supplied predicate (e.g. "is reference text").
+    *
+    * Returns the weight vector; callers freeze it into
+    * [[logisticQuality]]. Driver state is 5 doubles — nothing
+    * corpus-sized ever leaves the executors.
+    */
+  def trainQualityWeights(df: DataFrame, labelCol: Column,
+      iters: Int = 30, lr: Double = 0.5): Seq[Double] = {
+    val withY = df.select(col("doc_id"), col("text"),
+      labelCol.cast("double").as("y"))
+    val feats = classifierFeatures(withY)
+      .join(withY.select(col("doc_id"), col("y")), "doc_id")
+      .select(col("x0"), col("x1"), col("x2"), col("x3"), col("x4"), col("y"))
+      .persist()
+    val n = feats.count().toDouble
+    var w = Seq(0.0, 0.0, 0.0, 0.0, 0.0)
+    var it = 0
+    while (it < iters) {
+      val z = Seq("x0", "x1", "x2", "x3", "x4").zip(w)
+        .map { case (c, wi) => col(c) * lit(wi) }.reduce(_ + _)
+      val err = lit(1.0) / (lit(1.0) + exp(-z)) - col("y")
+      val g = feats.agg(
+        sum(err * col("x0")), sum(err * col("x1")), sum(err * col("x2")),
+        sum(err * col("x3")), sum(err * col("x4"))).head()
+      w = w.zipWithIndex.map { case (wi, i) => wi - lr * g.getDouble(i) / n }
+      it += 1
+    }
+    feats.unpersist()
+    w
+  }
+
   /** Document fingerprint: MD5 over whitespace-normalized lowercase text.
     * Content-addressed identity for exact dedup across shards — hash is
     * engine-independent (oracle: DuckDB md5()).
@@ -787,6 +875,45 @@ object TextAnalysis {
     * to its local top-`topN` before the exchange; the regression itself
     * aggregates sources × topN rows — driver-free throughout.
     */
+  /** PMI collocation mining: the corpus's top-k adjacent-token pairs by
+    * pointwise mutual information ln(N·c(x,y) / (c(x)·c(y))) with a
+    * minimum pair count — the classic multi-word-expression detector
+    * (tokenizer vocab candidates, boilerplate phrase seeds). PMI
+    * quantizes to e4 BIGINT before ranking so the oracle ordering is
+    * exact; ties break lexicographically.
+    *
+    * Shape at 100 TB: pairs are row-local (one transform over the token
+    * array); both count aggregates partial-combine onto vocabulary /
+    * bigram keys; the unigram join is term-keyed (never broadcast — the
+    * vocabulary can be large); the final top-k is a
+    * TakeOrderedAndProject heap over the minCount-thinned bigram table.
+    */
+  def pmiCollocations(docs: DataFrame, minCount: Long = 5, k: Int = 50): DataFrame = {
+    val toksDf = docs.select(tokens(col("text")).as("toks"))
+    val pairs = toksDf
+      .filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(toks) - 1), i -> struct(toks[i-1] AS x, toks[i] AS y))"))
+        .as("p"))
+      .select(col("p.x").as("x"), col("p.y").as("y"))
+    val bigrams = pairs.groupBy(col("x"), col("y"))
+      .agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= minCount)
+    val uni = toksDf.select(explode(col("toks")).as("term"))
+    val uc = uni.groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val n = uni.agg(count(lit(1)).cast("double").as("nn"))
+    bigrams
+      .join(uc.select(col("term").as("x"), col("c").as("c_x")), "x")
+      .join(uc.select(col("term").as("y"), col("c").as("c_y")), "y")
+      .crossJoin(broadcast(n))
+      .select(col("x"), col("y"), col("c_xy"),
+        round(log(col("nn") * col("c_xy") /
+          (col("c_x").cast("double") * col("c_y").cast("double"))) * 10000, 0)
+          .cast("long").as("pmi_e4"))
+      .orderBy(desc("pmi_e4"), col("x"), col("y"))
+      .limit(k)
+  }
+
   /** Per-source token Shannon entropy: H = −Σ (c/N)·ln(c/N) over the
     * source's term distribution, plus the normalized form H/ln(V) in
     * [0,1] — the information-theoretic twin of [[ngramDiversity]]

@@ -108,6 +108,48 @@ class PcaKnnSpec extends SparkTestBase {
     assert(r.getAs[Double]("norm_entropy") == 1.0)
   }
 
+  test("logisticQuality: diverse stopword-bearing prose outscores a repeated token") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over a lazy dog of the meadow and then rests", "en", "A"),
+      (2L, "spam spam spam spam spam spam spam spam spam spam spam spam", "en", "A")
+    ).toDF("doc_id", "text", "lang", "source")
+    val out = TextAnalysis.logisticQuality(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("score_e4")).toMap
+    assert(out(1L) > out(2L), out.toString)
+  }
+
+  test("trainQualityWeights: distributed GD separates planted classes") {
+    // positives: diverse 12-token prose; negatives: one token repeated
+    val docs = (0 until 20).map { i =>
+      (i.toLong, s"alpha$i beta$i gamma$i delta$i epsilon$i zeta$i eta$i theta$i iota$i kappa$i lambda$i mu$i", "en", "A")
+    } ++ (20 until 40).map { i =>
+      (i.toLong, Seq.fill(12)(s"dup$i dup$i").mkString(" "), "en", "A")
+    }
+    val df = docs.toDF("doc_id", "text", "lang", "source")
+    val w = TextAnalysis.trainQualityWeights(df, col("doc_id") < 20, iters = 40)
+    val scored = TextAnalysis.logisticQuality(df, w).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("score_e4")).toMap
+    val posMin = (0 until 20).map(i => scored(i.toLong)).min
+    val negMax = (20 until 40).map(i => scored(i.toLong)).max
+    assert(posMin > negMax,
+      s"trained model fails to separate: posMin=$posMin negMax=$negMax w=$w")
+  }
+
+  test("pmiCollocations: an exclusive pair tops independent co-occurrences") {
+    // "new york" appears 6 times and its tokens appear nowhere else;
+    // "of the" also appears 6 times but both tokens are everywhere
+    val filler = "of the kind of the sort of the way"
+    val docs = (0 until 6).map(i =>
+      (i.toLong, s"new york $filler trip$i", "en", "A"))
+    val out = TextAnalysis.pmiCollocations(
+      docs.toDF("doc_id", "text", "lang", "source"), minCount = 5, k = 10).collect()
+    val top = out.head
+    assert((top.getAs[String]("x"), top.getAs[String]("y")) == (("new", "york")))
+    assert(top.getAs[Long]("c_xy") == 6L)
+    // every returned pair met the count floor
+    assert(out.forall(_.getAs[Long]("c_xy") >= 5L))
+  }
+
   test("zipfSlope: counts ∝ 1/rank fit slope −1 exactly") {
     // counts 12, 6, 4, 3 at ranks 1..4 → ln(cnt) = ln 12 − ln(rank)
     val text = (Seq.fill(12)("a") ++ Seq.fill(6)("b") ++
