@@ -874,4 +874,43 @@ class StreamingSpec extends SparkTestBase {
     assert(!new java.io.File(s"$fpDir/.old-v-2").exists)
     assert(!new java.io.File(s"$fpDir/.compact-v-2").exists)
   }
+
+  test("space-saving heavy hitters: hot keys exact across batches, capacity bounds state") {
+    implicit val ctx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[String]
+      val stream = input.toDF().toDF("event_type")
+      // one bucket + capacity 3 exercises the displacement path hard
+      val hh = graft.stream.HeavyHitters.topK(
+        stream, keyCol = "event_type", capacity = 3, nBuckets = 1, emitK = 3)
+      val q = hh.toDF().writeStream.format("memory").queryName("hh_sink")
+        .outputMode("update").start()
+      try {
+        // batch 1: hot=5, warm=3, then 4 distinct cold keys fight over
+        // the third counter
+        input.addData(Seq.fill(5)("hot") ++ Seq.fill(3)("warm") ++
+          Seq("c1", "c2", "c3", "c4"): _*)
+        q.processAllAvailable()
+        // batch 2: hot keeps flowing — its count must carry over exactly
+        input.addData(Seq.fill(4)("hot"): _*)
+        q.processAllAvailable()
+        val rows = spark.table("hh_sink").collect()
+          .map(r => (r.getLong(2 /* count is field 2 after bucket,key */),
+            r.getString(1), r.getLong(3)))
+        // counts are monotone per key, so max-per-key = the final summary
+        val lastBatch = spark.table("hh_sink").collect()
+          .map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+          .groupBy(_._1).map { case (k, v) => k -> v.maxBy(_._2) }
+        // hot was tracked from its first row: exact 9, zero overestimate
+        assert(lastBatch("hot") == (("hot", 9L, 0L)), lastBatch.toString)
+        // warm was tracked from its first row too (slot 2): exact 3
+        assert(lastBatch("warm")._2 == 3L && lastBatch("warm")._3 == 0L)
+        // every emitted counter respects the space-saving invariant:
+        // overestimate < count, and per batch at most capacity rows
+        assert(rows.forall { case (c, _, o) => o < c })
+      } finally q.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
 }
