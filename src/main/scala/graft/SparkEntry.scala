@@ -834,7 +834,10 @@ object SparkEntry {
       TextAnalysis.logisticQuality(TextAnalysis.documents(s, d))),
     // top-50 adjacent-pair collocations by e4-quantized PMI
     "q_pmi_collocations" -> ((s, d) =>
-      TextAnalysis.pmiCollocations(TextAnalysis.documents(s, d)))
+      TextAnalysis.pmiCollocations(TextAnalysis.documents(s, d))),
+    // per-label simplified silhouette (label coherence report)
+    "q_label_silhouette" -> ((s, d) =>
+      Similarity.labelSilhouette(Similarity.embeddings(s, d)))
   )
 
   /** DuckDB twins. Omitted (→ driver rows-only check): ONLY
@@ -2839,6 +2842,26 @@ object SparkEntry {
         |SELECT x, y, c_xy,
         |  round(ln(nn * c_xy / (ux.c::DOUBLE * uy.c::DOUBLE)) * 10000, 0)::BIGINT AS pmi_e4
         |FROM bg JOIN uc ux ON bg.x = ux.term JOIN uc uy ON bg.y = uy.term CROSS JOIN n
-        |ORDER BY pmi_e4 DESC, x, y LIMIT 50""".stripMargin
+        |ORDER BY pmi_e4 DESC, x, y LIMIT 50""".stripMargin,
+    "q_label_silhouette" ->
+      """WITH pos AS (SELECT label, vec_id, generate_subscripts(embedding, 1) AS j,
+        |               unnest(embedding) AS v FROM embeddings),
+        |cent AS (SELECT label, j, sum(v::DOUBLE) / count(*) AS m FROM pos GROUP BY label, j),
+        |cl AS (SELECT label, array_agg(m ORDER BY j) AS centroid FROM cent GROUP BY label),
+        |d AS (SELECT e.vec_id, e.label, c.label AS clabel,
+        |        list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |          i -> (e.embedding[i]::DOUBLE - c.centroid[i])
+        |             * (e.embedding[i]::DOUBLE - c.centroid[i]))) AS dist2
+        |      FROM embeddings e CROSS JOIN cl c),
+        |agg AS (SELECT vec_id, label,
+        |          min(CASE WHEN label = clabel THEN dist2 END) AS own,
+        |          min(CASE WHEN label <> clabel THEN dist2 END) AS other
+        |        FROM d GROUP BY 1, 2),
+        |s AS (SELECT label,
+        |        (sqrt(other) - sqrt(own)) / greatest(sqrt(other), sqrt(own)) AS sil
+        |      FROM agg)
+        |SELECT label::BIGINT AS label, count(*) AS n_vectors,
+        |  round(avg(sil), 4) AS mean_silhouette
+        |FROM s GROUP BY 1 ORDER BY label""".stripMargin
   )
 }

@@ -997,6 +997,51 @@ object Similarity {
       .orderBy(col("cell"), col("rnk"))
   }
 
+  /** Per-label simplified-silhouette report — the standard cluster-
+    * coherence check before trusting labels for stratified sampling or
+    * contrastive training: for each vector, a = L2 distance to its own
+    * label centroid, b = distance to the nearest OTHER label centroid,
+    * silhouette = (b − a)/max(a, b) ∈ [−1, 1]; the report is each
+    * label's mean (≈1 tight and separated, ≈0 overlapping, <0
+    * misassigned).
+    *
+    * Shape at 100 TB: centroids are ONE label-keyed aggregate (partial
+    * map-side sums, labels × dim doubles on the wire); the per-vector
+    * scoring crossJoins a single broadcast row packing all centroids
+    * (labels × dim doubles — kilobytes) and is otherwise row-local; the
+    * final mean is a labels-keyed aggregate. The corpus is read twice
+    * and never shuffled beyond label keys.
+    */
+  def labelSilhouette(embeddings: DataFrame, dim: Int = 64): DataFrame = {
+    val cents = embeddings
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        array((0 until dim).map(j =>
+          (sum(element_at(col("embedding"), j + 1).cast("double")) / count(lit(1)))
+            .as(s"m$j")): _*).as("centroid"))
+    val packed = cents.agg(
+      sort_array(collect_list(struct(col("label"), col("centroid")))).as("cents"))
+    val d2 = (c: Column) => aggregate(
+      zip_with(col("embedding"), c, (x, m) => (x.cast("double") - m) * (x.cast("double") - m)),
+      lit(0.0), (acc, v) => acc + v)
+    val scored = embeddings
+      .crossJoin(broadcast(packed))
+      .withColumn("own",
+        d2(element_at(filter(col("cents"),
+          c => c.getField("label") === col("label")), 1).getField("centroid")))
+      .withColumn("other",
+        array_min(transform(filter(col("cents"),
+            c => c.getField("label") =!= col("label")),
+          c => d2(c.getField("centroid")))))
+      .withColumn("sil",
+        (sqrt(col("other")) - sqrt(col("own"))) /
+          greatest(sqrt(col("other")), sqrt(col("own"))))
+    scored.groupBy(col("label").cast("long").as("label"))
+      .agg(count(lit(1)).as("n_vectors"),
+        round(avg(col("sil")), 4).as("mean_silhouette"))
+      .orderBy(col("label"))
+  }
+
   /** k-NN label classification (weak labeling / label propagation): for
     * each unlabeled query vector, the majority label among its `k`
     * nearest labeled corpus vectors by cosine — the standard cheap

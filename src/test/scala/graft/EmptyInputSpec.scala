@@ -37,6 +37,22 @@ class EmptyInputSpec extends SparkTestBase {
     assert(funnel == Map("input" -> 0L, "kept" -> 0L, "dropped" -> 0L))
   }
 
+  test("round-9 text/embedding additions survive empty inputs") {
+    assert(TextAnalysis.ngramDiversity(noDocs).count() == 0)
+    assert(TextAnalysis.zipfSlope(noDocs).count() == 0)
+    assert(TextAnalysis.tokenEntropy(noDocs).count() == 0)
+    assert(TextAnalysis.logisticQuality(noDocs).count() == 0)
+    assert(TextAnalysis.pmiCollocations(noDocs).count() == 0)
+    val noVecs = Seq.empty[(Long, Array[Float], Int)]
+      .toDF("vec_id", "embedding", "label")
+    assert(graft.ops.Similarity.pcaVariance(noVecs).count() == 0)
+    // global typed aggregate yields one buffer row that unrolls to zero
+    // covariance entries (the n==0 guard)
+    assert(graft.ops.Similarity.covarianceMatrix(noVecs).count() == 0)
+    assert(graft.ops.Similarity.knnClassify(noVecs, noVecs).count() == 0)
+    assert(graft.ops.Similarity.labelSilhouette(noVecs).count() == 0)
+  }
+
   test("event operators survive an empty stream") {
     assert(Analytics.eventSummary(noEvents).count() == 0)
     assert(Analytics.typeCounts(noEvents).count() == 0)

@@ -108,6 +108,21 @@ class PcaKnnSpec extends SparkTestBase {
     assert(r.getAs[Double]("norm_entropy") == 1.0)
   }
 
+  test("labelSilhouette: separated clusters score near 1, a straddling label scores lower") {
+    import graft.ops.Similarity
+    val vecs = Seq(
+      // label 0: tight cluster on +x      label 1: tight cluster on +y
+      (1L, Array(1.0f, 0.0f), 0), (2L, Array(1.1f, 0.0f), 0),
+      (3L, Array(0.0f, 1.0f), 1), (4L, Array(0.0f, 1.1f), 1),
+      // label 2 straddles both clusters → poor coherence
+      (5L, Array(0.9f, 0.1f), 2), (6L, Array(0.1f, 0.9f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelSilhouette(vecs, dim = 2).collect()
+      .map(r => r.getAs[Long]("label") -> r.getAs[Double]("mean_silhouette")).toMap
+    assert(out(0L) > 0.5 && out(1L) > 0.5, out.toString)
+    assert(out(2L) < out(0L) && out(2L) < out(1L), out.toString)
+  }
+
   test("logisticQuality: diverse stopword-bearing prose outscores a repeated token") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over a lazy dog of the meadow and then rests", "en", "A"),
