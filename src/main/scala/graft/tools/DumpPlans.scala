@@ -62,7 +62,12 @@ object DumpPlans {
       "q_hard_negatives" -> "hard-negative mining: broadcast query batch with the label-exclusion predicate IN the join, rank-capped exchange",
       "q_event_transitions" -> "Markov transitions: one user-keyed lag window, partial+final aggregate onto a type² table, probability window on that",
       "q_hybrid_search" -> "hybrid retrieval: each retriever keeps its own at-scale shape (BM25 heaps + broadcast stats; broadcast query vector); e9-integer RRF fusion on two kEach-row frames",
-      "q_active_users" -> "DAU/WAU/MAU: distinct user-days FIRST (one aggregate), ≤Σw row-local explode on that, equi-join vs observed days — never a stream×spine range join")
+      "q_active_users" -> "DAU/WAU/MAU: distinct user-days FIRST (one aggregate), ≤Σw row-local explode on that, equi-join vs observed days — never a stream×spine range join",
+      "q_knn_classify" -> "k-NN weak labeling: broadcast query batch (nested-loop on the non-equi self-exclusion), rank-capped neighbor frame, vote + winner stages on queries × k rows",
+      "q_embedding_cov" -> "Gram-matrix covariance: ONE ObjectHashAggregate pass with a fixed ~17 KB buffer per partition, SinglePartition gather of buffers — the corpus never hash-shuffles",
+      "q_pmi_collocations" -> "PMI collocations: row-local pair transform, vocab/bigram-keyed partial aggregates, term-keyed unigram joins, TakeOrderedAndProject top-k on the minCount-thinned table",
+      "q_zipf_slope" -> "Zipf fit: vocab-keyed counts, WindowGroupLimit map-side top-N per source, regression as a sources-keyed aggregate over sources × topN rows",
+      "q_label_silhouette" -> "label silhouette: one label-keyed centroid aggregate, kilobyte packed-centroid broadcast, row-local own/other distances, labels-keyed mean")
 
     val sb = new StringBuilder
     sb.append("# PLANS — explain(\"formatted\") for headline queries\n\n")
