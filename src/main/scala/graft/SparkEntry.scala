@@ -259,6 +259,13 @@ object SparkEntry {
       Analytics.purchaseAttribution(Analytics.events(s, d))),
     // AS-OF join: union + one shuffle + running last() — not a pair join
     "q_asof_last_view" -> ((s, d) => Analytics.asofLastView(Analytics.events(s, d))),
+    // PURE non-equi interval join, bucketed into an equi-join on the hour
+    // (the general range-join rewrite; no shared key with the points)
+    "q_interval_join" -> ((s, d) =>
+      Analytics.campaignWindowJoin(Analytics.events(s, d))),
+    // SCD2 change capture: per-user type-change versions with
+    // [valid_from, valid_to) — one shuffle serves LAG, LEAD and version
+    "q_scd2_history" -> ((s, d) => Analytics.changeCapture(Analytics.events(s, d))),
     // SQL-text surface: the same query plane through the PARSER, over a
     // registered view, using a graft SQL-registered native function
     "q_sql_quality_histogram" -> ((s, d) => {
@@ -335,6 +342,14 @@ object SparkEntry {
     "q_lapsed_high_balance" -> ((s, d) =>
       Relational.lapsedHighBalance(
         Relational.table(s, d, "customer"), Relational.table(s, d, "orders"))),
+    // market-basket pair mining: self-equi-join on the order key (cost
+    // bounded by basket size), broadcast part counts, integer-exact lift
+    "q_basket_pairs" -> ((s, d) =>
+      Relational.basketPairs(Relational.table(s, d, "lineitem"))),
+    // RFM segmentation by exact quartile BOUNDARIES (broadcast cutpoints,
+    // row-local binning) — no global ntile sort over the customer dim
+    "q_rfm_segments" -> ((s, d) =>
+      Relational.rfmSegments(Relational.table(s, d, "orders"))),
     "q_distinct_profile" -> ((s, d) => Analytics.distinctProfile(Analytics.events(s, d))),
     "q_event_gaps" -> ((s, d) => Analytics.eventGaps(Analytics.events(s, d))),
     // first-order Markov transition counts + e4 conditional probability
@@ -1236,6 +1251,41 @@ object SparkEntry {
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
         |  ON p.user_id = v.user_id AND v.ts <= p.ts
         |ORDER BY purchase_id""".stripMargin,
+    // the oracle runs the interval join NAIVELY (DuckDB's IEJoin handles
+    // the non-equi predicate); the Spark side is the bucketed equi-join —
+    // same semantics, different physical shape, which is the point
+    "q_interval_join" ->
+      """WITH hourly AS (
+        |  SELECT date_trunc('hour', ts) AS h, count(*) AS n,
+        |    arg_max(ts, event_id) AS anchor
+        |  FROM events GROUP BY 1),
+        |win AS (
+        |  SELECT row_number() OVER (ORDER BY n DESC, h) AS window_id,
+        |    anchor - INTERVAL 45 MINUTE AS w_start,
+        |    anchor + INTERVAL 45 MINUTE AS w_end
+        |  FROM hourly ORDER BY n DESC, h LIMIT 10)
+        |SELECT window_id::BIGINT AS window_id, count(*)::BIGINT AS n_events,
+        |  count(DISTINCT e.user_id)::BIGINT AS n_users,
+        |  sum(floor(e.value * 10000)::BIGINT)::BIGINT AS value_e4
+        |FROM win JOIN events e ON e.ts >= w_start AND e.ts < w_end
+        |GROUP BY 1 ORDER BY window_id""".stripMargin,
+    "q_scd2_history" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev_type
+        |  FROM events WHERE user_id % 3 = 0),
+        |v AS (
+        |  SELECT user_id, event_type, ts, event_id FROM c
+        |  WHERE prev_type IS NULL OR prev_type <> event_type)
+        |SELECT user_id,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)::BIGINT
+        |    AS version,
+        |  event_type,
+        |  epoch_us(ts) AS valid_from_us,
+        |  lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    AS valid_to_us
+        |FROM v ORDER BY user_id, version""".stripMargin,
     "q_sql_quality_histogram" ->
       """SELECT event_type,
         |  (CASE WHEN user_id IS NOT NULL AND CAST(user_id AS VARCHAR) <> '' AND CAST(user_id AS VARCHAR) <> 'unknown' THEN 25 ELSE 0 END
@@ -1447,6 +1497,55 @@ object SparkEntry {
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_basket_pairs" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |pairs AS (
+        |  SELECT a.pk AS part_a, b.pk AS part_b, count(*)::BIGINT AS support
+        |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |counts AS (SELECT pk, count(*)::BIGINT AS cnt FROM items GROUP BY 1),
+        |total AS (SELECT count(DISTINCT ok)::BIGINT AS n_orders FROM items)
+        |SELECT part_a, part_b, support, ca.cnt AS cnt_a, cb.cnt AS cnt_b,
+        |  floor(10000.0 * support * n_orders / (ca.cnt * cb.cnt))::BIGINT
+        |    AS lift_e4
+        |FROM pairs
+        |JOIN counts ca ON ca.pk = part_a
+        |JOIN counts cb ON cb.pk = part_b
+        |CROSS JOIN total
+        |ORDER BY support DESC, part_a, part_b LIMIT 100""".stripMargin,
+    "q_rfm_segments" ->
+      """WITH per AS (
+        |  SELECT o_custkey,
+        |    max(o_orderdate) AS last_order,
+        |    count(*)::BIGINT AS frequency,
+        |    sum((CAST(o_totalprice AS DECIMAL(18,2)) * 100)::BIGINT)::BIGINT
+        |      AS monetary_cents
+        |  FROM orders GROUP BY 1),
+        |r AS (
+        |  SELECT *, date_diff('day', last_order,
+        |      (SELECT max(o_orderdate) FROM orders))::BIGINT AS recency_days
+        |  FROM per),
+        |b AS (
+        |  SELECT
+        |    quantile_cont(recency_days, [0.25, 0.5, 0.75]) AS rb,
+        |    quantile_cont(frequency, [0.25, 0.5, 0.75]) AS fb,
+        |    quantile_cont(monetary_cents, [0.25, 0.5, 0.75]) AS mb
+        |  FROM r),
+        |scored AS (
+        |  SELECT monetary_cents,
+        |    1 + (recency_days > rb[1])::INT + (recency_days > rb[2])::INT
+        |      + (recency_days > rb[3])::INT AS r_s,
+        |    4 - (frequency > fb[1])::INT - (frequency > fb[2])::INT
+        |      - (frequency > fb[3])::INT AS f_s,
+        |    4 - (monetary_cents > mb[1])::INT - (monetary_cents > mb[2])::INT
+        |      - (monetary_cents > mb[3])::INT AS m_s
+        |  FROM r CROSS JOIN b)
+        |SELECT r_s::VARCHAR || f_s::VARCHAR || m_s::VARCHAR AS segment,
+        |  count(*)::BIGINT AS n_customers,
+        |  sum(monetary_cents)::BIGINT AS total_cents,
+        |  (sum(monetary_cents) // count(*))::BIGINT AS avg_cents
+        |FROM scored GROUP BY 1 ORDER BY segment""".stripMargin,
     "q_distinct_profile" ->
       """SELECT event_type,
         |  count(DISTINCT user_id) AS n_users,

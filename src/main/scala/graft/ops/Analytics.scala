@@ -849,4 +849,96 @@ object Analytics {
         min(col("event_id")).as("keep_id"),
         count(lit(1)).as("dup_count"))
       .orderBy(col("user_id"), col("event_type"))
+
+  /** PURE non-equi interval join — the operator class the equi-keyed
+    * attribution join ([[purchaseAttribution]]) and the as-of union-scan
+    * ([[asofLastView]]) both sidestep: points (all events) joined into
+    * overlapping time intervals that share NO equi key with them.
+    *
+    * The intervals are the top-`topK` "campaign windows": for each of the
+    * busiest hours, ±`halfWindowMin` minutes around that hour's anchor
+    * event (its max-event_id row — unique ids make the anchor, and hence
+    * the window bounds, deterministic). Windows are NOT bucket-aligned
+    * and may overlap — a genuine range-join input.
+    *
+    * Shape at 100 TB: a naive range join is a BroadcastNestedLoopJoin —
+    * O(|events| × |windows|) comparisons and a single-threaded broadcast
+    * side at best. Bucketing turns it into an EQUI-join: each interval is
+    * exploded to the hour buckets it covers (an interval of width w costs
+    * ceil(w/1h)+1 rows, here ≤ 2 — cost scales with interval width, not
+    * corpus size), each point computes its single bucket row-locally, the
+    * join runs on `bucket` with the exact [start, end) predicate left as
+    * a residual. A point's bucket is unique per interval, so no
+    * post-join dedup is needed. The exploded window table stays
+    * dimension-sized (topK × ≤2 rows) and broadcasts; at larger window
+    * counts the same plan becomes a hash shuffle on `bucket` — still an
+    * equi-join, never a nested loop. This is the standard range-join
+    * optimization (Databricks runtime does the same rewrite internally).
+    *
+    * Determinism for the oracle: per-row e4-floored values are summed as
+    * integers (addition order cannot matter); counts are exact.
+    */
+  def campaignWindowJoin(
+      df: DataFrame, topK: Int = 10, halfWindowMin: Int = 45): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = df
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"), max_by(col("ts"), col("event_id")).as("anchor"))
+    // top-K busiest hours: TakeOrdered on the hour-dimension table, then
+    // a row_number over ≤ topK rows (single tiny partition — fine)
+    val win = hourly
+      .orderBy(col("n").desc, col("h"))
+      .limit(topK)
+      .withColumn("window_id",
+        row_number().over(Window.orderBy(col("n").desc, col("h"))).cast("long"))
+      .select(col("window_id"),
+        (col("anchor") - expr(s"INTERVAL $halfWindowMin MINUTES")).as("w_start"),
+        (col("anchor") + expr(s"INTERVAL $halfWindowMin MINUTES")).as("w_end"))
+    val buckets = win.select(col("window_id"), col("w_start"), col("w_end"),
+      explode(sequence(
+        date_trunc("hour", col("w_start")),
+        date_trunc("hour", col("w_end")),
+        expr("INTERVAL 1 HOUR"))).as("bucket"))
+    df.select(col("user_id"), col("value"), col("ts"),
+        date_trunc("hour", col("ts")).as("bucket"))
+      .join(broadcast(buckets), Seq("bucket"))
+      .filter(col("ts") >= col("w_start") && col("ts") < col("w_end"))
+      .groupBy(col("window_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(floor(col("value") * lit(10000.0)).cast("long")).as("value_e4"))
+      .orderBy(col("window_id"))
+  }
+
+  /** SCD2 change capture: compress each user's event stream to the rows
+    * where `event_type` CHANGED, with [valid_from, valid_to) validity
+    * intervals — the slowly-changing-dimension type-2 build every
+    * warehouse pipeline runs over a mutation feed. The open (current)
+    * version carries a null valid_to.
+    *
+    * Shape: one hash shuffle on user_id serves both windows — the LAG
+    * that detects changes and, after the filter, the LEAD that closes
+    * each version (Filter preserves the child's partitioning AND sort
+    * order, so the second WindowExec adds no exchange and no re-sort).
+    * Per-user partitions are bounded; nothing global.
+    *
+    * `userMod` samples a deterministic user slice for the correctness
+    * gate (1/userMod of users) so the dumped version table stays
+    * comparison-sized; the operator itself is corpus-wide at userMod=1.
+    */
+  def changeCapture(df: DataFrame, userMod: Long = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    df.filter(pmod(col("user_id"), lit(userMod)) === 0)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("valid_from_us", unix_micros(col("ts")))
+      .withColumn("valid_to_us", lead(unix_micros(col("ts")), 1).over(w))
+      .select(col("user_id"), col("version"), col("event_type"),
+        col("valid_from_us"), col("valid_to_us"))
+      .orderBy(col("user_id"), col("version"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Relational capability demos over the star schema — joins, window
@@ -596,5 +596,105 @@ object Relational {
       .agg(count(lit(1)).as("n_cust"),
         sum(money("c_acctbal")).cast("double").as("total_bal"))
       .orderBy(col("c_mktsegment"))
+  }
+
+  /** Market-basket pair mining: co-occurring part pairs within an order
+    * (the A-priori first rung every recommendation pipeline computes),
+    * with support, per-part order counts, and lift.
+    *
+    * Shape at 100 TB: the pair explosion is a SELF-equi-join on
+    * l_orderkey — cost is Σ per-order C(k,2), linear in the fact table
+    * when basket sizes are bounded (TPC-H orders hold ≤ 7 lines; a
+    * pathological mega-basket would need a per-key cap upstream, which
+    * [[graft.ops.Skew]]'s salting diagnostics would surface). The pair
+    * aggregate combines map-side; the per-part count table is
+    * part-dimension-sized and size-gated for broadcast; the global order
+    * count rides a 1-row broadcast. Top-k via TakeOrderedAndProject,
+    * never a global sort.
+    *
+    * Lift determinism: support·n_orders·1e4 and cnt_a·cnt_b are exact
+    * integers well under 2^53 at any SF this repo runs (widen both to
+    * DECIMAL(38,0) before the division at warehouse scale); ONE double
+    * division + floor is IEEE-identical on both engines.
+    */
+  def basketPairs(
+      lineitem: DataFrame, minSupport: Long = 2, k: Int = 100): DataFrame = {
+    val items = lineitem
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val pairs = items.as("a")
+      .join(items.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("part_a"), col("b.pk").as("part_b"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+    val counts = items.groupBy(col("pk")).agg(count(lit(1)).as("cnt"))
+    val nOrders = items.agg(countDistinct(col("ok")).as("n_orders"))
+    pairs
+      .join(broadcastIfSmall(counts.select(col("pk").as("part_a"), col("cnt").as("cnt_a"))), "part_a")
+      .join(broadcastIfSmall(counts.select(col("pk").as("part_b"), col("cnt").as("cnt_b"))), "part_b")
+      .join(broadcast(nOrders))
+      .withColumn("lift_e4",
+        floor(lit(10000.0) * col("support") * col("n_orders") /
+          (col("cnt_a") * col("cnt_b"))).cast("long"))
+      .select(col("part_a"), col("part_b"), col("support"),
+        col("cnt_a"), col("cnt_b"), col("lift_e4"))
+      .orderBy(col("support").desc, col("part_a"), col("part_b"))
+      .limit(k)
+  }
+
+  /** RFM customer segmentation (recency / frequency / monetary), the
+    * classic CRM cut — binned by EXACT quartile boundaries instead of a
+    * global ntile: ntile over the customer dimension is a
+    * single-partition sort (the shape [[Analytics.userValueRanks]]'s doc
+    * warns about), while boundary binning is one customer-keyed
+    * aggregate, a 1-row broadcast of the nine cutpoints, and a row-local
+    * assignment — fully parallel at a 10^9-customer dimension. (At that
+    * scale swap `percentile` for `approx_percentile`; the binning stays
+    * identical.)
+    *
+    * Boundary determinism: the metrics are exact integers (days, counts,
+    * summed cents) and the interpolation fractions are .25/.5/.75 —
+    * dyadic rationals, so `a + frac·(b−a)` is EXACT in binary floating
+    * point (no rounding anywhere) and Spark's `percentile` equals
+    * DuckDB's `quantile_cont` bit-for-bit. Bucket rule: strictly-greater
+    * than each boundary, ties stay in the lower bucket — recency scores
+    * ascend (1 = most recent), frequency/monetary descend (1 = heaviest).
+    */
+  def rfmSegments(orders: DataFrame): DataFrame = {
+    val per = orders.groupBy(col("o_custkey"))
+      .agg(
+        max(col("o_orderdate")).as("last_order"),
+        count(lit(1)).as("frequency"),
+        sum((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+          .as("monetary_cents"))
+    val refDate = orders.agg(max(col("o_orderdate")).as("ref_date"))
+    val withR = per.join(broadcast(refDate))
+      .withColumn("recency_days", datediff(col("ref_date"), col("last_order")).cast("long"))
+    val bounds = withR.agg(
+      expr("percentile(recency_days, array(0.25D, 0.5D, 0.75D))").as("rb"),
+      expr("percentile(frequency, array(0.25D, 0.5D, 0.75D))").as("fb"),
+      expr("percentile(monetary_cents, array(0.25D, 0.5D, 0.75D))").as("mb"))
+    def above(m: Column, b: Column, i: Int): Column =
+      (m.cast("double") > element_at(b, i)).cast("int")
+    withR.join(broadcast(bounds))
+      .withColumn("r",
+        lit(1) + above(col("recency_days"), col("rb"), 1) +
+          above(col("recency_days"), col("rb"), 2) +
+          above(col("recency_days"), col("rb"), 3))
+      .withColumn("f",
+        lit(4) - above(col("frequency"), col("fb"), 1) -
+          above(col("frequency"), col("fb"), 2) -
+          above(col("frequency"), col("fb"), 3))
+      .withColumn("m",
+        lit(4) - above(col("monetary_cents"), col("mb"), 1) -
+          above(col("monetary_cents"), col("mb"), 2) -
+          above(col("monetary_cents"), col("mb"), 3))
+      .groupBy(concat(col("r").cast("string"), col("f").cast("string"),
+        col("m").cast("string")).as("segment"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        sum(col("monetary_cents")).as("total_cents"),
+        expr("sum(monetary_cents) div count(1)").as("avg_cents"))
+      .orderBy(col("segment"))
   }
 }

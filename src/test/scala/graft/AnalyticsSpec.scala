@@ -203,4 +203,51 @@ class AnalyticsSpec extends SparkTestBase {
       ("a", 3 * hour, 1L, 7.0),
       ("b", 2 * hour, 1L, 1.0)))
   }
+
+  test("campaignWindowJoin: bucket-crossing and overlapping windows match hand counts") {
+    val min = 60L * 1000000L
+    val h10 = 600L * min // 10:00 as µs offset into the (UTC) epoch day
+    val events = Seq(
+      // hour 10 — 3 events, anchor = max event_id (3) at 10:50 →
+      // window 1 = [10:05, 11:35): CROSSES the 11:00 bucket boundary
+      (1L, 100L, ts(h10 + 10 * min), 1.5),
+      (2L, 101L, ts(h10 + 20 * min), 1.5),
+      (3L, 100L, ts(h10 + 50 * min), 1.5),
+      // hour 11 — 2 events, anchor = id 5 at 11:40 →
+      // window 2 = [10:55, 12:25): OVERLAPS window 1 (both hold id 4)
+      (4L, 102L, ts(h10 + 90 * min), 1.5),
+      (5L, 103L, ts(h10 + 100 * min), 1.5),
+      // hour 20 — 1 event, below the top-2 cut
+      (6L, 104L, ts(h10 + 600 * min), 1.5)
+    ).toDF("event_id", "user_id", "ts", "value")
+    val out = Analytics.campaignWindowJoin(events, topK = 2).collect()
+      .map(r => (r.getAs[Long]("window_id"), r.getAs[Long]("n_events"),
+        r.getAs[Long]("n_users"), r.getAs[Long]("value_e4")))
+    assert(out.toSeq == Seq(
+      // window 1: ids 1,2,3 (hour 10) + id 4 (11:30 < 11:35, next bucket)
+      (1L, 4L, 3L, 60000L),
+      // window 2: ids 4,5 only — id 3 at 10:50 is before 10:55
+      (2L, 2L, 2L, 30000L)))
+  }
+
+  test("changeCapture: only type changes survive, versions tile [from, to) with an open tail") {
+    val events = Seq(
+      // user 3: A, A (suppressed), B, A — three versions
+      (1L, 3L, ts(1000000L), "A"), (2L, 3L, ts(2000000L), "A"),
+      (3L, 3L, ts(3000000L), "B"), (4L, 3L, ts(4000000L), "A"),
+      // user 6: single event → one open version
+      (5L, 6L, ts(9000000L), "C"),
+      // user 7: NOT divisible by userMod=3 → excluded entirely
+      (6L, 7L, ts(1000000L), "D")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val out = Analytics.changeCapture(events, userMod = 3).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("version"),
+        r.getAs[String]("event_type"), r.getAs[Long]("valid_from_us"),
+        Option(r.getAs[java.lang.Long]("valid_to_us")).map(_.toLong)))
+    assert(out.toSeq == Seq(
+      (3L, 1L, "A", 1000000L, Some(3000000L)),
+      (3L, 2L, "B", 3000000L, Some(4000000L)),
+      (3L, 3L, "A", 4000000L, None),
+      (6L, 1L, "C", 9000000L, None)))
+  }
 }

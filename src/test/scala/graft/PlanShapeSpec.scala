@@ -499,4 +499,45 @@ class PlanShapeSpec extends SparkTestBase {
         s"document text must never be an exchange key:\n$p")
     }
   }
+
+  test("campaignWindowJoin: the range join runs as a bucketed equi-join, never a nested loop") {
+    val p = plan(Analytics.campaignWindowJoin(Analytics.events(spark, sf)))
+    // the whole point of the hour-bucket rewrite: a broadcast HASH join
+    // on the bucket key with the interval predicate as residual — a
+    // BroadcastNestedLoopJoin here means the rewrite regressed to
+    // O(|events| × |windows|)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"range join must not plan as a nested loop:\n$p")
+  }
+
+  test("changeCapture: one user_id exchange serves LAG, the filter, LEAD and version") {
+    // AdaptiveSparkPlanExec is a leaf to collect(), so count exchanges in
+    // the printed plan like the other pins do
+    val p = plan(Analytics.changeCapture(Analytics.events(spark, sf)))
+    // Filter preserves partitioning AND sort order, so the post-filter
+    // window must reuse the pre-filter exchange — two hash exchanges
+    // would mean the SCD2 build shuffles the fact table twice (the final
+    // rangepartitioning for ORDER BY is expected and not counted)
+    val n = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(n == 1, s"expected exactly one hash exchange, got $n:\n$p")
+  }
+
+  test("basketPairs: top-k is TakeOrderedAndProject, count sides stay broadcast") {
+    val p = plan(Relational.basketPairs(Relational.table(spark, sf, "lineitem")))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // part-count and n_orders sides are dimension-sized at sf0.001 —
+    // the size gate must broadcast them rather than shuffling pairs
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("rfmSegments: boundary binning plans with no window operator at all") {
+    val p = plan(Relational.rfmSegments(Relational.table(spark, sf, "orders")))
+    // quartile assignment must be broadcast-cutpoints + row-local
+    // comparisons; a WindowExec would mean an ntile crept back in and
+    // serialized the customer dimension through one partition
+    assert(!p.contains("Window"), s"no window operator expected:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"cutpoints must ride a broadcast:\n$p")
+  }
 }

@@ -66,4 +66,45 @@ class RelationalSpec extends SparkTestBase {
     assert(r.getAs[Double]("sum_disc_price") == 90.0 + 200.0)
     assert(r.getAs[Long]("count_order") == 2)
   }
+
+  test("basketPairs: duplicate lines dedup, support threshold, hand-computed lift") {
+    // o1 {p1,p2,p3} (p1 twice — distinct must collapse it), o2/o3 {p1,p2},
+    // o4 {p3}: pair (p1,p2) support 3; (p1,p3)/(p2,p3) support 1 → cut
+    val li = Seq(
+      (1L, 1L), (1L, 1L), (1L, 2L), (1L, 3L),
+      (2L, 1L), (2L, 2L),
+      (3L, 1L), (3L, 2L),
+      (4L, 3L)
+    ).toDF("l_orderkey", "l_partkey")
+    val out = Relational.basketPairs(li, minSupport = 2, k = 10).collect()
+      .map(r => (r.getAs[Long]("part_a"), r.getAs[Long]("part_b"),
+        r.getAs[Long]("support"), r.getAs[Long]("cnt_a"),
+        r.getAs[Long]("cnt_b"), r.getAs[Long]("lift_e4")))
+    // lift = support·n_orders / (cnt_a·cnt_b) = 3·4/(3·3) → 13333 at e4
+    assert(out.toSeq == Seq((1L, 2L, 3L, 3L, 3L, 13333L)))
+  }
+
+  test("rfmSegments: boundary binning lands each hand-placed customer in its quartile") {
+    // recency [0,5,10,20] → rb [3.75, 7.5, 12.5]; frequency [1..4] →
+    // fb [1.75, 2.5, 3.25]; monetary cents [1e4,4e4,9e4,16e4] →
+    // mb [32500, 65000, 107500] — every metric exact-dyadic, see impl doc
+    val o = Seq(
+      (1L, 1L, 100.0, ts("2024-01-10 00:00:00")),
+      (2L, 2L, 150.0, ts("2024-01-15 00:00:00")),
+      (3L, 2L, 250.0, ts("2024-01-20 00:00:00")),
+      (4L, 3L, 300.0, ts("2024-01-21 00:00:00")),
+      (5L, 3L, 300.0, ts("2024-01-23 00:00:00")),
+      (6L, 3L, 300.0, ts("2024-01-25 00:00:00")),
+      (7L, 4L, 400.0, ts("2024-01-27 00:00:00")),
+      (8L, 4L, 400.0, ts("2024-01-28 00:00:00")),
+      (9L, 4L, 400.0, ts("2024-01-29 00:00:00")),
+      (10L, 4L, 400.0, ts("2024-01-30 00:00:00"))
+    ).toDF("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    val out = Relational.rfmSegments(o).collect()
+      .map(r => (r.getAs[String]("segment"), r.getAs[Long]("n_customers"),
+        r.getAs[Long]("total_cents")))
+    assert(out.toSeq == Seq(
+      ("111", 1L, 160000L), ("222", 1L, 90000L),
+      ("333", 1L, 40000L), ("444", 1L, 10000L)))
+  }
 }
