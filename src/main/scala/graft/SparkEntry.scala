@@ -220,6 +220,16 @@ object SparkEntry {
     // fixed-point weighted PageRank over the user↔type interaction
     // graph: 10 exact integer power iterations, engine-independent
     "q_pagerank" -> ((s, d) => Graph.pageRank(Analytics.events(s, d), iters = 10)),
+    // triangle census of the part co-purchase graph: degree-ordered wedge
+    // enumeration (O(|E|^1.5) bound), equi-joins only
+    "q_triangles" -> ((s, d) =>
+      Graph.triangleCount(Relational.table(s, d, "lineitem"))),
+    // chi-square independence of event_type × day-of-week: contingency
+    // collapse first, exact integer contributions
+    "q_chi_square" -> ((s, d) => Analytics.chiSquare(Analytics.events(s, d))),
+    // week-over-week growth: collapse to the week dimension before the LAG
+    "q_revenue_growth" -> ((s, d) =>
+      Relational.revenueGrowth(Relational.table(s, d, "orders"))),
     "q_first_event_per_user" -> ((s, d) => Analytics.firstEventPerUser(Analytics.events(s, d))),
     // ordered min-after funnel signup → view → purchase; each stage
     // joins the shrinking frontier back to the type-pruned stream
@@ -1103,6 +1113,60 @@ object SparkEntry {
       """SELECT user_id, array_to_string(list_sort(list_distinct(list(event_type))), ',') AS event_types
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_pagerank" -> Graph.pageRankOracleSql(iters = 10),
+    // triangle count is orientation-invariant: the oracle counts the
+    // canonical a<b<c form, pinning the degree-ordered plan's result
+    "q_triangles" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |p AS MATERIALIZED (
+        |  SELECT a.pk AS u, b.pk AS v
+        |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |deg AS (
+        |  SELECT n, count(*)::BIGINT AS d FROM (
+        |    SELECT u AS n FROM p UNION ALL SELECT v FROM p) GROUP BY 1),
+        |tri AS (
+        |  SELECT count(*)::BIGINT AS n_triangles
+        |  FROM p e1 JOIN p e2 ON e2.u = e1.u AND e2.v > e1.v
+        |       JOIN p e3 ON e3.u = e1.v AND e3.v = e2.v)
+        |SELECT count(*)::BIGINT AS n_nodes,
+        |  (sum(d) // 2)::BIGINT AS n_edges,
+        |  sum(d * (d - 1) // 2)::BIGINT AS n_wedges,
+        |  any_value(n_triangles) AS n_triangles,
+        |  CASE WHEN sum(d * (d - 1) // 2) = 0 THEN 0
+        |       ELSE 3 * any_value(n_triangles) * 10000 // sum(d * (d - 1) // 2)
+        |  END::BIGINT AS clustering_e4
+        |FROM deg CROSS JOIN tri""".stripMargin,
+    "q_chi_square" ->
+      """WITH cells AS (
+        |  SELECT event_type, (dayofweek(ts) + 1)::BIGINT AS dow,
+        |    count(*)::BIGINT AS o
+        |  FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT event_type, dow, o,
+        |    sum(o) OVER (PARTITION BY event_type) AS rt,
+        |    sum(o) OVER (PARTITION BY dow) AS ct,
+        |    sum(o) OVER () AS n
+        |  FROM cells)
+        |SELECT event_type, dow, o AS observed,
+        |  ((rt::HUGEINT * ct * 10000) // n)::BIGINT AS expected_e4,
+        |  (((o::HUGEINT * n - rt::HUGEINT * ct)
+        |    * (o::HUGEINT * n - rt::HUGEINT * ct) * 1000000)
+        |   // (n::HUGEINT * rt * ct))::BIGINT AS contrib_e6
+        |FROM m ORDER BY event_type, dow""".stripMargin,
+    "q_revenue_growth" ->
+      """WITH weekly AS (
+        |  SELECT date_trunc('week', o_orderdate) AS week,
+        |    sum((CAST(o_totalprice AS DECIMAL(18,2)) * 100)::BIGINT)::BIGINT
+        |      AS revenue_cents
+        |  FROM orders GROUP BY 1)
+        |SELECT epoch_us(week) AS week_us, revenue_cents,
+        |  CASE WHEN lag(revenue_cents) OVER (ORDER BY week) IS NULL
+        |         OR lag(revenue_cents) OVER (ORDER BY week) = 0 THEN NULL
+        |       ELSE (revenue_cents - lag(revenue_cents) OVER (ORDER BY week))
+        |            * 10000 // lag(revenue_cents) OVER (ORDER BY week)
+        |  END::BIGINT AS growth_e4
+        |FROM weekly ORDER BY week_us""".stripMargin,
     "q_first_event_per_user" ->
       """SELECT DISTINCT ON (user_id) user_id,
         |  epoch_us(ts) AS first_ts_us,

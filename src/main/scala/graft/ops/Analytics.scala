@@ -850,6 +850,45 @@ object Analytics {
         count(lit(1)).as("dup_count"))
       .orderBy(col("user_id"), col("event_type"))
 
+  /** Chi-square test of independence between event_type and UTC
+    * day-of-week — the statistical-testing capability (is traffic mix
+    * time-of-week dependent?) next to the descriptive aggregates. Emits
+    * the full contingency table with each cell's observed count, expected
+    * count (e4), and chi-square contribution (e6); the statistic is the
+    * contribution sum.
+    *
+    * Shape: one partial+final aggregate collapses the fact table to the
+    * (type × dow) contingency table — ≤ |types|·7 cells — and every
+    * derived quantity is arithmetic on that dimension-sized frame (the
+    * margins ride tiny windows over it).
+    *
+    * Exactness: with o the cell count, rt/ct the margins, N the total,
+    * the contribution (o − rt·ct/N)²/(rt·ct/N) rearranges to
+    * (o·N − rt·ct)² / (N·rt·ct) — an integer ratio. Both numerator
+    * (≤ ~10²⁶ at sf0.1 after the 10⁶ scale-up) and denominator are exact
+    * in DECIMAL(38,0); one integer division each for expected_e4 and
+    * contrib_e6 makes every output column a BIGINT no float ever
+    * touched. The DuckDB twin widens through HUGEINT.
+    */
+  def chiSquare(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = df
+      .groupBy(col("event_type"), dayofweek(col("ts")).cast("long").as("dow"))
+      .agg(count(lit(1)).as("o"))
+    cells
+      .withColumn("rt", sum(col("o")).over(Window.partitionBy(col("event_type"))))
+      .withColumn("ct", sum(col("o")).over(Window.partitionBy(col("dow"))))
+      .withColumn("n", sum(col("o")).over(Window.partitionBy()))
+      .select(col("event_type"), col("dow"), col("o").as("observed"),
+        expr("(CAST(rt AS DECIMAL(38,0)) * ct * 10000) div n").as("expected_e4"),
+        expr("""(CAST(o AS DECIMAL(38,0)) * n - CAST(rt AS DECIMAL(38,0)) * ct)
+               |  * (CAST(o AS DECIMAL(38,0)) * n - CAST(rt AS DECIMAL(38,0)) * ct)
+               |  * 1000000
+               |  div (CAST(n AS DECIMAL(38,0)) * rt * ct)""".stripMargin)
+          .as("contrib_e6"))
+      .orderBy(col("event_type"), col("dow"))
+  }
+
   /** PURE non-equi interval join — the operator class the equi-keyed
     * attribution join ([[purchaseAttribution]]) and the as-of union-scan
     * ([[asofLastView]]) both sidestep: points (all events) joined into

@@ -697,4 +697,34 @@ object Relational {
         expr("sum(monetary_cents) div count(1)").as("avg_cents"))
       .orderBy(col("segment"))
   }
+
+  /** Week-over-week revenue growth — the trend readout every revenue
+    * dashboard carries next to the absolute series. Collapse-first: the
+    * fact table folds to one row per ISO week (exact integer cents)
+    * BEFORE any window; the LAG then runs on the week-dimension table —
+    * a few hundred rows however large the fact side is (the same
+    * collapse-then-window discipline as hourlyAnomalies). The single-
+    * partition window is over that dimension table only.
+    *
+    * growth_e4 = (rev − prev)·10⁴ div prev: pure integer arithmetic, and
+    * both engines' integer division truncates toward zero (Spark `div`,
+    * DuckDB `//` — verified on negatives), so a down week is exact too.
+    */
+  def revenueGrowth(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val weekly = orders
+      .groupBy(date_trunc("week", col("o_orderdate")).as("week"))
+      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+        .as("revenue_cents"))
+    val w = Window.orderBy(col("week"))
+    weekly
+      .withColumn("prev_cents", lag(col("revenue_cents"), 1).over(w))
+      .select(
+        unix_micros(col("week")).as("week_us"),
+        col("revenue_cents"),
+        expr("CASE WHEN prev_cents IS NULL OR prev_cents = 0 THEN NULL " +
+          "ELSE (revenue_cents - prev_cents) * 10000 div prev_cents END")
+          .as("growth_e4"))
+      .orderBy(col("week_us"))
+  }
 }

@@ -250,4 +250,21 @@ class AnalyticsSpec extends SparkTestBase {
       (3L, 3L, "A", 4000000L, None),
       (6L, 1L, "C", 9000000L, None)))
   }
+
+  test("chiSquare: 2×2 hand table — uniform margins, exact contributions") {
+    // A: 3 on Sunday, 1 on Monday; B mirrored → N=8, all margins 4,
+    // every expected cell 2 (e4 20000), every contribution
+    // (o·8 − 16)²·10⁶ div 128 = 500000 (χ² = 2.0)
+    def t(day: String) = java.sql.Timestamp.valueOf(s"2024-01-0$day")
+    val events = (Seq.fill(3)(("A", t("7 10:00:00"))) ++ Seq(("A", t("8 10:00:00"))) ++
+      Seq(("B", t("7 10:00:00"))) ++ Seq.fill(3)(("B", t("8 10:00:00"))))
+      .toDF("event_type", "ts")
+    val out = Analytics.chiSquare(events).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("dow"),
+        r.getAs[Long]("observed"), r.getAs[Long]("expected_e4"),
+        r.getAs[Long]("contrib_e6")))
+    assert(out.toSeq == Seq(
+      ("A", 1L, 3L, 20000L, 500000L), ("A", 2L, 1L, 20000L, 500000L),
+      ("B", 1L, 1L, 20000L, 500000L), ("B", 2L, 3L, 20000L, 500000L)))
+  }
 }

@@ -41,6 +41,27 @@ class GraphSpec extends SparkTestBase {
     assert(out.map(r => (r.getString(0), r.getLong(1))).toSeq ==
       again.map(r => (r.getString(0), r.getLong(1))).toSeq)
   }
+
+  test("triangleCount: hand-built triangle-plus-pendant graph census") {
+    import spark.implicits._
+    // each edge backed by TWO orders (minSupport=2): triangle 1-2-3 plus
+    // pendant edge 1-4 → degrees 1:3, 2:2, 3:2, 4:1; wedges 3+1+1+0=5;
+    // one triangle; clustering 3·1·10⁴ div 5 = 6000
+    val li = Seq(
+      (1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L),
+      (3L, 1L), (3L, 3L), (4L, 1L), (4L, 3L),
+      (5L, 2L), (5L, 3L), (6L, 2L), (6L, 3L),
+      (7L, 1L), (7L, 4L), (8L, 1L), (8L, 4L),
+      // a once-only pair must be cut by the support threshold
+      (9L, 2L), (9L, 4L)
+    ).toDF("l_orderkey", "l_partkey")
+    val r = graft.ops.Graph.triangleCount(li, minSupport = 2).head()
+    assert(r.getAs[Long]("n_nodes") == 4L)
+    assert(r.getAs[Long]("n_edges") == 4L)
+    assert(r.getAs[Long]("n_wedges") == 5L)
+    assert(r.getAs[Long]("n_triangles") == 1L)
+    assert(r.getAs[Long]("clustering_e4") == 6000L)
+  }
 }
 
 private object Graft {

@@ -107,4 +107,19 @@ class RelationalSpec extends SparkTestBase {
       ("111", 1L, 160000L), ("222", 1L, 90000L),
       ("333", 1L, 40000L), ("444", 1L, 10000L)))
   }
+
+  test("revenueGrowth: up and down weeks both exact under truncating division") {
+    // Mondays: 100.00 → 200.00 (+100% = 10000 e4) → 50.00 (−7500 e4,
+    // truncation toward zero must match the oracle's // semantics)
+    val o = Seq(
+      (1L, 1L, 100.0, ts("2024-01-01 12:00:00")),
+      (2L, 1L, 200.0, ts("2024-01-09 12:00:00")),
+      (3L, 2L, 50.0, ts("2024-01-17 12:00:00"))
+    ).toDF("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    val out = Relational.revenueGrowth(o).collect()
+      .map(r => (r.getAs[Long]("revenue_cents"),
+        Option(r.getAs[java.lang.Long]("growth_e4")).map(_.toLong)))
+    assert(out.toSeq == Seq(
+      (10000L, None), (20000L, Some(10000L)), (5000L, Some(-7500L))))
+  }
 }

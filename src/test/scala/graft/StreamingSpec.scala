@@ -913,4 +913,60 @@ class StreamingSpec extends SparkTestBase {
       } finally q.stop()
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
+
+  test("change capture stream: intra-batch disorder sorts out, versions match the batch twin") {
+    implicit val ctx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[(Long, Timestamp, Long, String)]
+      val stream = input.toDF().toDF("user_id", "ts", "event_id", "event_type")
+      val cc = graft.stream.ChangeCapture.changes(stream)
+      val q = cc.toDF().writeStream.format("memory").queryName("cc_sink")
+        .outputMode("append").start()
+      // instants from epoch millis — TZ-proof (Timestamp.valueOf would
+      // parse in the JVM's local zone and skew the *_us assertions)
+      val base = 1704067200000L // 2024-01-01T00:00:00Z
+      def t(sec: Int) = new Timestamp(base + sec * 1000L)
+      try {
+        // batch 1 arrives OUT of order: B@t3 first, then A@t1, A@t2 —
+        // sorted application must yield A(v1)@t1, B(v2)@t3 and no
+        // spurious version from the disorder
+        input.addData(
+          (3L, t(3), 13L, "B"),
+          (3L, t(1), 11L, "A"),
+          (3L, t(2), 12L, "A"))
+        q.processAllAvailable()
+        // batch 2: same-type row suppressed, C opens v3, and a LATE row
+        // older than the open version must not retract anything
+        input.addData(
+          (3L, t(4), 14L, "B"),
+          (3L, t(5), 15L, "C"),
+          (3L, t(0), 10L, "Z"))
+        q.processAllAvailable()
+        val rows = spark.table("cc_sink").collect()
+          .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("version"),
+            r.getAs[String]("event_type"), r.getAs[Long]("valid_from_us")))
+          .sortBy(r => (r._1, r._2))
+        assert(rows.toSeq == Seq(
+          (3L, 1L, "A", 1704067201000000L),
+          (3L, 2L, "B", 1704067203000000L),
+          (3L, 3L, "C", 1704067205000000L)))
+        // parity with the batch twin on the SAME rows (late Z excluded by
+        // the stream's no-retraction contract; the batch replay sees it)
+        val batchIn = Seq(
+          (11L, 3L, t(1), "A"),
+          (12L, 3L, t(2), "A"),
+          (13L, 3L, t(3), "B"),
+          (14L, 3L, t(4), "B"),
+          (15L, 3L, t(5), "C")
+        ).toDF("event_id", "user_id", "ts", "event_type")
+        val batch = graft.ops.Analytics.changeCapture(batchIn, userMod = 1)
+          .collect()
+          .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("version"),
+            r.getAs[String]("event_type"), r.getAs[Long]("valid_from_us")))
+        assert(batch.toSeq == rows.toSeq)
+      } finally q.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
 }
