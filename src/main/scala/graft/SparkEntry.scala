@@ -230,6 +230,12 @@ object SparkEntry {
     // week-over-week growth: collapse to the week dimension before the LAG
     "q_revenue_growth" -> ((s, d) =>
       Relational.revenueGrowth(Relational.table(s, d, "orders"))),
+    // Lorenz curve at octile resolution: broadcast dyadic boundaries,
+    // row-local banding — no global rank over the part dimension
+    "q_revenue_concentration" -> ((s, d) =>
+      Relational.revenueConcentration(Relational.table(s, d, "lineitem"))),
+    // robust means: rank-exact trim/winsorize per type, integer outputs
+    "q_trimmed_stats" -> ((s, d) => Analytics.trimmedStats(Analytics.events(s, d))),
     "q_first_event_per_user" -> ((s, d) => Analytics.firstEventPerUser(Analytics.events(s, d))),
     // ordered min-after funnel signup → view → purchase; each stage
     // joins the shrinking frontier back to the type-pruned stream
@@ -1167,6 +1173,45 @@ object SparkEntry {
         |            * 10000 // lag(revenue_cents) OVER (ORDER BY week)
         |  END::BIGINT AS growth_e4
         |FROM weekly ORDER BY week_us""".stripMargin,
+    "q_revenue_concentration" ->
+      """WITH per AS (
+        |  SELECT l_partkey,
+        |    (sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |         * (1.00 - CAST(l_discount AS DECIMAL(4,2)))) * 10000)::BIGINT
+        |      AS rev_e4
+        |  FROM lineitem GROUP BY 1),
+        |b AS (
+        |  SELECT quantile_cont(rev_e4,
+        |    [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS bs FROM per),
+        |banded AS (
+        |  SELECT (8 - (rev_e4 > bs[1])::INT - (rev_e4 > bs[2])::INT
+        |            - (rev_e4 > bs[3])::INT - (rev_e4 > bs[4])::INT
+        |            - (rev_e4 > bs[5])::INT - (rev_e4 > bs[6])::INT
+        |            - (rev_e4 > bs[7])::INT)::BIGINT AS band, rev_e4
+        |  FROM per CROSS JOIN b),
+        |g AS (
+        |  SELECT band, count(*)::BIGINT AS n_parts,
+        |    sum(rev_e4)::BIGINT AS revenue_e4
+        |  FROM banded GROUP BY 1)
+        |SELECT band, n_parts, revenue_e4,
+        |  (sum(revenue_e4) OVER (ORDER BY band ROWS UNBOUNDED PRECEDING)
+        |   * 10000 // sum(revenue_e4) OVER ())::BIGINT AS cum_share_e4
+        |FROM g ORDER BY band""".stripMargin,
+    "q_trimmed_stats" ->
+      """WITH v AS (
+        |  SELECT event_type, floor(value * 10000)::BIGINT AS v_e4,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value, event_id) AS rnk,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events),
+        |f AS (SELECT *, (n * 5 // 100)::BIGINT AS t FROM v),
+        |k AS (SELECT * FROM f WHERE rnk > t AND rnk <= n - t)
+        |SELECT event_type, max(n)::BIGINT AS n,
+        |  max(t)::BIGINT AS n_trimmed_each,
+        |  (sum(v_e4) // count(*))::BIGINT AS trimmed_mean_e4,
+        |  ((sum(v_e4) + max(t) * (min(v_e4) + max(v_e4))) // max(n))::BIGINT
+        |    AS winsorized_mean_e4
+        |FROM k GROUP BY 1 ORDER BY event_type""".stripMargin,
     "q_first_event_per_user" ->
       """SELECT DISTINCT ON (user_id) user_id,
         |  epoch_us(ts) AS first_ts_us,

@@ -850,6 +850,46 @@ object Analytics {
         count(lit(1)).as("dup_count"))
       .orderBy(col("user_id"), col("event_type"))
 
+  /** Robust per-type value statistics: `trimPct`%-trimmed and winsorized
+    * means — the outlier-resistant twins of the plain averages in
+    * [[eventSummary]] (one fat-fingered 10⁶ "value" should not move the
+    * dashboard). Rank-exact: per type, the t = n·trimPct div 100 lowest
+    * and highest rows (ties broken by event_id) are dropped (trimmed) or
+    * clamped to the kept extremes (winsorized).
+    *
+    * Shape: per-type window partitions — bounded like every other
+    * events window here; all outputs are exact integers (per-row
+    * e4-floored values, integer division), so the oracle pairing is
+    * order-independent. Both window functions and the count ride ONE
+    * hash exchange on event_type.
+    */
+  def trimmedStats(df: DataFrame, trimPct: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(trimPct >= 0 && trimPct < 50, "trimPct must be in [0, 50)")
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value"), col("event_id"))
+    df.select(col("event_type"), col("event_id"), col("value"),
+        floor(col("value") * lit(10000.0)).cast("long").as("v_e4"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      .withColumn("t", expr(s"n * $trimPct div 100"))
+      .filter(col("rnk") > col("t") && col("rnk") <= col("n") - col("t"))
+      .groupBy(col("event_type"))
+      .agg(
+        max(col("n")).as("n"),
+        max(col("t")).as("n_trimmed_each"),
+        count(lit(1)).as("n_kept"),
+        expr("sum(v_e4) div count(1)").as("trimmed_mean_e4"),
+        min(col("v_e4")).as("lo_e4"),
+        max(col("v_e4")).as("hi_e4"),
+        sum(col("v_e4")).as("sum_e4"))
+      .select(col("event_type"), col("n"), col("n_trimmed_each"),
+        col("trimmed_mean_e4"),
+        expr("(sum_e4 + n_trimmed_each * (lo_e4 + hi_e4)) div n")
+          .as("winsorized_mean_e4"))
+      .orderBy(col("event_type"))
+  }
+
   /** Chi-square test of independence between event_type and UTC
     * day-of-week — the statistical-testing capability (is traffic mix
     * time-of-week dependent?) next to the descriptive aggregates. Emits

@@ -698,6 +698,49 @@ object Relational {
       .orderBy(col("segment"))
   }
 
+  /** Revenue-concentration (Lorenz) curve over the part catalog at OCTILE
+    * resolution: how much of total revenue the top 12.5% / 25% / … of
+    * parts hold — the Pareto readout behind "do a few SKUs carry the
+    * business" (and, on a corpus, "do a few domains carry the tokens").
+    *
+    * Shape: collapse the fact table to per-part revenue (exact e4
+    * integers through DECIMAL scale-4), then bin by BROADCAST octile
+    * boundaries exactly like [[rfmSegments]] — no global rank over the
+    * part dimension, which at warehouse scale is itself huge. The
+    * cumulative share then rides a window over the EIGHT band rows.
+    *
+    * Octiles, not deciles, on purpose: 1/8-step fractions are dyadic, so
+    * the percentile interpolation `a + g·(b−a)` is EXACT in binary
+    * floating point and Spark/DuckDB cannot disagree at the last ulp the
+    * way 0.1-step interpolation can (g = 0.3 is not representable; g =
+    * 3/8 is). Band membership comparisons are therefore deterministic.
+    */
+  def revenueConcentration(li: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perPart = li.groupBy(col("l_partkey"))
+      .agg((sum(money("l_extendedprice") *
+        (lit(1.0).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)")))
+        * 10000).cast("long").as("rev_e4"))
+    val bounds = perPart.agg(
+      expr("percentile(rev_e4, array(0.125D, 0.25D, 0.375D, 0.5D, " +
+        "0.625D, 0.75D, 0.875D))").as("bs"))
+    val banded = perPart.join(broadcast(bounds))
+      .withColumn("band",
+        (lit(8) - (1 to 7).map(i =>
+          (col("rev_e4").cast("double") > element_at(col("bs"), i)).cast("int"))
+          .reduce(_ + _)).cast("long"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_parts"), sum(col("rev_e4")).as("revenue_e4"))
+    banded
+      .withColumn("cum_e4",
+        sum(col("revenue_e4")).over(Window.orderBy(col("band"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("total_e4", sum(col("revenue_e4")).over(Window.partitionBy()))
+      .select(col("band"), col("n_parts"), col("revenue_e4"),
+        expr("cum_e4 * 10000 div total_e4").as("cum_share_e4"))
+      .orderBy(col("band"))
+  }
+
   /** Week-over-week revenue growth — the trend readout every revenue
     * dashboard carries next to the absolute series. Collapse-first: the
     * fact table folds to one row per ISO week (exact integer cents)

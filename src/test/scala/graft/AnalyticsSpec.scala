@@ -267,4 +267,19 @@ class AnalyticsSpec extends SparkTestBase {
       ("A", 1L, 3L, 20000L, 500000L), ("A", 2L, 1L, 20000L, 500000L),
       ("B", 1L, 1L, 20000L, 500000L), ("B", 2L, 3L, 20000L, 500000L)))
   }
+
+  test("trimmedStats: outliers dropped by the trim, clamped by the winsorize") {
+    // 20 values: -50, 2..18, 60, 999 → t = 1 each side; kept 2..18 and 60
+    // trimmed mean = 230e4 div 18 = 127777; winsorized clamps the
+    // dropped extremes to (2, 60): (230e4 + 2e4 + 60e4) div 20 = 146000
+    val vals = Seq(-50.0) ++ (2 to 18).map(_.toDouble) ++ Seq(60.0, 999.0)
+    val events = vals.zipWithIndex
+      .map { case (v, i) => (i.toLong, "A", v) }
+      .toDF("event_id", "event_type", "value")
+    val r = Analytics.trimmedStats(events).head()
+    assert(r.getAs[Long]("n") == 20L)
+    assert(r.getAs[Long]("n_trimmed_each") == 1L)
+    assert(r.getAs[Long]("trimmed_mean_e4") == 127777L)
+    assert(r.getAs[Long]("winsorized_mean_e4") == 146000L)
+  }
 }

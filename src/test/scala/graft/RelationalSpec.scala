@@ -122,4 +122,20 @@ class RelationalSpec extends SparkTestBase {
     assert(out.toSeq == Seq(
       (10000L, None), (20000L, Some(10000L)), (5000L, Some(-7500L))))
   }
+
+  test("revenueConcentration: eight hand-placed parts land one per octile band") {
+    // parts 1..8 with revenue i dollars: octile boundaries interpolate
+    // between consecutive revenues, so each part gets its own band —
+    // band 1 (top) holds 80000 e4, band 8 holds 10000 e4
+    val li = (1 to 8).map(i => (i.toLong, i.toLong, i.toDouble, 0.0))
+      .toDF("l_orderkey", "l_partkey", "l_extendedprice", "l_discount")
+    val out = Relational.revenueConcentration(li).collect()
+      .map(r => (r.getAs[Long]("band"), r.getAs[Long]("n_parts"),
+        r.getAs[Long]("revenue_e4"), r.getAs[Long]("cum_share_e4")))
+    assert(out.map(t => (t._1, t._2, t._3)).toSeq ==
+      (1 to 8).map(b => (b.toLong, 1L, (9 - b) * 10000L)))
+    // cumulative shares of 80/150/210/260/300/330/350/360 over 360
+    assert(out.map(_._4).toSeq ==
+      Seq(2222L, 4166L, 5833L, 7222L, 8333L, 9166L, 9722L, 10000L))
+  }
 }

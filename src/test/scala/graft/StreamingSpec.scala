@@ -969,4 +969,45 @@ class StreamingSpec extends SparkTestBase {
       } finally q.stop()
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
+
+  test("bottom-k sample stream: order-scrambled batches converge to the batch sample") {
+    implicit val ctx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val docs = (1 to 12).map(i =>
+        (i.toLong, s"doc body number $i", if (i % 2 == 0) "web" else "book"))
+      val input = MemoryStream[(Long, String, String)]
+      val stream = input.toDF().toDF("doc_id", "text", "source")
+      val bk = graft.stream.BottomKSample.perGroup(stream, "source", k = 3)
+      val q = bk.toDF().writeStream.format("memory").queryName("bk_sink")
+        .outputMode("update").start()
+      try {
+        // adversarial split: later half first, plus a duplicate doc that
+        // must not occupy two sample slots
+        input.addData(docs.drop(6): _*)
+        q.processAllAvailable()
+        input.addData(docs.take(6) :+ docs(7): _*)
+        q.processAllAvailable()
+        val all = spark.table("bk_sink").collect()
+          .map(r => (r.getAs[String]("group"), r.getAs[Long]("gen"),
+            r.getAs[Long]("rnk"), r.getAs[Long]("doc_id")))
+        // current sample = each group's max-gen emission
+        val maxGen = all.groupBy(_._1).map { case (g, v) => g -> v.map(_._2).max }
+        val streamed = all
+          .filter { case (g, gen, _, _) => gen == maxGen(g) }
+          .map { case (g, _, rnk, id) => (g, rnk, id) }.sortBy(identity)
+        // batch twin over the SAME corpus (duplicate included — set
+        // semantics must collapse it there too via distinct doc_id rows)
+        val batchDf = (docs ++ Seq(docs(7)))
+          .toDF("doc_id", "text", "source")
+        val batch = graft.ops.Corpus
+          .sampleKPerGroup(batchDf.dropDuplicates("doc_id"), "source", k = 3)
+          .collect()
+          .map(r => (r.getAs[String]("source"), r.getAs[Long]("rnk"),
+            r.getAs[Long]("doc_id"))).sortBy(identity)
+        assert(streamed.toSeq == batch.toSeq)
+      } finally q.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
 }
