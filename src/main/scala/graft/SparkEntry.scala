@@ -236,6 +236,12 @@ object SparkEntry {
       Relational.revenueConcentration(Relational.table(s, d, "lineitem"))),
     // robust means: rank-exact trim/winsorize per type, integer outputs
     "q_trimmed_stats" -> ((s, d) => Analytics.trimmedStats(Analytics.events(s, d))),
+    // grid-quantized two-sample KS per type vs rest: CDFs as running sums
+    // over the e2 grid dimension, exact integer statistic
+    "q_ks_test" -> ((s, d) => Analytics.ksTest(Analytics.events(s, d))),
+    // learned-filter eval: midrank AUC + P/R/acc at the 0.5 cut, per source
+    "q_classifier_eval" -> ((s, d) =>
+      TextAnalysis.classifierEval(TextAnalysis.documents(s, d))),
     "q_first_event_per_user" -> ((s, d) => Analytics.firstEventPerUser(Analytics.events(s, d))),
     // ordered min-after funnel signup → view → purchase; each stage
     // joins the shrinking frontier back to the type-pruned stream
@@ -1197,6 +1203,69 @@ object SparkEntry {
         |  (sum(revenue_e4) OVER (ORDER BY band ROWS UNBOUNDED PRECEDING)
         |   * 10000 // sum(revenue_e4) OVER ())::BIGINT AS cum_share_e4
         |FROM g ORDER BY band""".stripMargin,
+    "q_ks_test" ->
+      """WITH pts AS (
+        |  SELECT event_type, floor(value * 100)::BIGINT AS g FROM events),
+        |bt AS (SELECT event_type, g, count(*)::BIGINT AS c FROM pts GROUP BY 1, 2),
+        |grid AS (SELECT g, sum(c)::BIGINT AS c_all FROM bt GROUP BY 1),
+        |ty AS (SELECT DISTINCT event_type FROM bt),
+        |dense AS (
+        |  SELECT ty.event_type, grid.g, grid.c_all, coalesce(bt.c, 0) AS c
+        |  FROM ty CROSS JOIN grid
+        |  LEFT JOIN bt ON bt.event_type = ty.event_type AND bt.g = grid.g),
+        |cums AS (
+        |  SELECT event_type,
+        |    sum(c) OVER (PARTITION BY event_type ORDER BY g
+        |      ROWS UNBOUNDED PRECEDING) AS cum_t,
+        |    sum(c_all) OVER (PARTITION BY event_type ORDER BY g
+        |      ROWS UNBOUNDED PRECEDING) AS cum_all,
+        |    sum(c) OVER (PARTITION BY event_type) AS n_t,
+        |    sum(c_all) OVER (PARTITION BY event_type) AS n
+        |  FROM dense)
+        |SELECT event_type, n_t::BIGINT AS n_t, (n - n_t)::BIGINT AS n_rest,
+        |  (CASE WHEN n_t = 0 OR n = n_t THEN NULL
+        |        ELSE max(abs(cum_t * (n - n_t) - (cum_all - cum_t) * n_t))
+        |             * 10000 // (n_t * (n - n_t)) END)::BIGINT AS ks_e4
+        |FROM cums GROUP BY event_type, n_t, n ORDER BY event_type""".stripMargin,
+    "q_classifier_eval" ->
+      """WITH f AS (
+        |  SELECT doc_id, source, (lang = 'en')::INT AS y,
+        |    1.0 AS x0,
+        |    ln(1.0 + len(toks)::DOUBLE) AS x1,
+        |    len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE AS x2,
+        |    len(list_filter(toks, t -> t IN ('the','a','of','and','to','in')))::DOUBLE
+        |      / len(toks)::DOUBLE AS x3,
+        |    length(text)::DOUBLE / len(toks)::DOUBLE AS x4
+        |  FROM (SELECT doc_id, source, lang, text,
+        |          regexp_split_to_array(lower(text), '\s+') AS toks
+        |        FROM documents)),
+        |s AS (
+        |  SELECT doc_id, source, y,
+        |    round((1.0 / (1.0 + exp(-((x0 * -3.0) + (x1 * 0.6) + (x2 * 2.0)
+        |      + (x3 * 3.0) + (x4 * 0.1))))) * 10000, 0)::BIGINT AS score_e4
+        |  FROM f),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY source
+        |    ORDER BY score_e4, doc_id) AS rnk FROM s),
+        |m AS (
+        |  SELECT *, min(rnk) OVER (PARTITION BY source, score_e4)
+        |           + max(rnk) OVER (PARTITION BY source, score_e4) AS mid2
+        |  FROM r)
+        |SELECT source, count(*)::BIGINT AS n, sum(y)::BIGINT AS n_pos,
+        |  (CASE WHEN sum(y) = 0 OR sum(y) = count(*) THEN NULL
+        |        ELSE (sum(CASE WHEN y = 1 THEN mid2 ELSE 0 END)
+        |              - sum(y) * (sum(y) + 1)) * 10000
+        |             // (2 * sum(y) * (count(*) - sum(y))) END)::BIGINT AS auc_e4,
+        |  (CASE WHEN sum((score_e4 >= 5000)::INT) = 0 THEN NULL
+        |        ELSE sum((y = 1 AND score_e4 >= 5000)::INT) * 10000
+        |             // sum((score_e4 >= 5000)::INT) END)::BIGINT AS precision_e4,
+        |  (CASE WHEN sum(y) = 0 THEN NULL
+        |        ELSE sum((y = 1 AND score_e4 >= 5000)::INT) * 10000
+        |             // sum(y) END)::BIGINT AS recall_e4,
+        |  ((count(*) - sum((y = 0 AND score_e4 >= 5000)::INT)
+        |    - sum((y = 1 AND score_e4 < 5000)::INT)) * 10000
+        |   // count(*))::BIGINT AS accuracy_e4
+        |FROM m GROUP BY source ORDER BY source""".stripMargin,
     "q_trimmed_stats" ->
       """WITH v AS (
         |  SELECT event_type, floor(value * 10000)::BIGINT AS v_e4,

@@ -850,6 +850,57 @@ object Analytics {
         count(lit(1)).as("dup_count"))
       .orderBy(col("user_id"), col("event_type"))
 
+  /** Two-sample Kolmogorov–Smirnov distance of each event type's value
+    * distribution against the REST of the traffic — the
+    * distribution-shift readout (does "purchase" draw values like
+    * everything else?) complementing [[chiSquare]]'s categorical test.
+    *
+    * Grid-quantized on purpose: the textbook KS ranks both samples
+    * jointly (a corpus-sized sort); quantizing values to an e2 grid
+    * FIRST collapses the fact table to (type, grid-point) counts, after
+    * which every CDF is a running sum over the grid DIMENSION — windows
+    * over grid-sized frames, never the raw stream. On a grid the
+    * statistic is exactly sup|F_t − F_rest| evaluated at grid points,
+    * which equals the un-quantized KS of the rounded values — the
+    * resolution is explicit (cents) rather than a sampling artifact.
+    *
+    * Integer-exact: with cum counts c_t(g), c_r(g) and totals n_t, n_r,
+    *   D = max_g |c_t(g)·n_r − c_r(g)·n_t|,  ks_e4 = D·10⁴ div (n_t·n_r)
+    * (n_t·n_r·10⁴ ≤ ~10¹⁴ at sf0.1 — widen to DECIMAL at warehouse
+    * scale).
+    */
+  def ksTest(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pts = df.select(col("event_type"),
+      floor(col("value") * lit(100.0)).cast("long").as("g"))
+    val byType = pts.groupBy(col("event_type"), col("g"))
+      .agg(count(lit(1)).as("c"))
+    val grid = byType.groupBy(col("g")).agg(sum(col("c")).as("c_all"))
+    val types = byType.select(col("event_type")).distinct()
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("g"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // the dense frame repeats every grid row once per type, so the global
+    // CDF must ALSO accumulate within each type's copy of the grid — an
+    // unpartitioned cum here would count each grid point |types| times
+    val wAll = wCum
+    val dense = types.crossJoin(grid)
+      .join(byType, Seq("event_type", "g"), "left")
+      .na.fill(0L, Seq("c"))
+      .withColumn("cum_t", sum(col("c")).over(wCum))
+      .withColumn("cum_all", sum(col("c_all")).over(wAll))
+      .withColumn("n_t", sum(col("c")).over(Window.partitionBy(col("event_type"))))
+      .withColumn("n", max(col("cum_all")).over(Window.partitionBy()))
+      .withColumn("d_num", abs(col("cum_t") * (col("n") - col("n_t"))
+        - (col("cum_all") - col("cum_t")) * col("n_t")))
+    dense.groupBy(col("event_type"))
+      .agg(max(col("n_t")).as("n_t"), max(col("n")).as("n"),
+        max(col("d_num")).as("d_num"))
+      .select(col("event_type"), col("n_t"), (col("n") - col("n_t")).as("n_rest"),
+        expr("CASE WHEN n_t = 0 OR n = n_t THEN NULL " +
+          "ELSE d_num * 10000 div (n_t * (n - n_t)) END").as("ks_e4"))
+      .orderBy(col("event_type"))
+  }
+
   /** Robust per-type value statistics: `trimPct`%-trimmed and winsorized
     * means — the outlier-resistant twins of the plain averages in
     * [[eventSummary]] (one fat-fingered 10⁶ "value" should not move the

@@ -242,6 +242,73 @@ object TextAnalysis {
     Seq("x0", "x1", "x2", "x3", "x4").zip(w)
       .map { case (c, wi) => s"($c * $wi)" }.mkString(" + ")
 
+  /** Classifier evaluation report — the missing half of the learned-
+    * filter loop ([[trainQualityWeights]] → [[logisticQuality]] → THIS):
+    * per source, rank-exact ROC-AUC plus precision/recall/accuracy of
+    * the frozen model at its 0.5 operating point, against a caller-
+    * supplied label (default: `lang = 'en'`, the "looks like reference
+    * text" proxy a CCNet-style filter is actually trained for).
+    *
+    * AUC is the Mann–Whitney rank statistic computed with MIDRANKS, so
+    * tied e4 scores contribute the canonical ½ and the number is
+    * order-independent: with 2·midrank = min_rnk + max_rnk (integers),
+    *   auc_e4 = (Σ_pos(min+max) − n_pos(n_pos+1)) · 10⁴
+    *            div (2 · n_pos · n_neg)
+    * — every term exact, no float anywhere. Ranks ride per-source window
+    * partitions (bounded like every per-group window here); at a corpus
+    * where one source dwarfs memory, the sharded prefix-sum of
+    * [[Corpus.applyMixtureBudget]] is the drop-in rank substitute.
+    */
+  def classifierEval(
+      df: DataFrame,
+      labelCol: Column = col("lang") === "en",
+      weights: Seq[Double] = defaultQualityWeights): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(weights.length == 5, "model has 5 weights (bias + 4 features)")
+    val toks = tokens(col("text"))
+    val scored = df
+      .select(col("doc_id"), col("source"), labelCol.cast("int").as("y"),
+        col("text"), toks.as("toks"))
+      .select(col("doc_id"), col("source"), col("y"),
+        lit(1.0).as("x0"),
+        log(lit(1.0) + size(col("toks")).cast("double")).as("x1"),
+        (size(array_distinct(col("toks"))).cast("double") /
+          size(col("toks")).cast("double")).as("x2"),
+        (size(filter(col("toks"), t => t.isInCollection(
+          Seq("the", "a", "of", "and", "to", "in")))).cast("double") /
+          size(col("toks")).cast("double")).as("x3"),
+        (length(col("text")).cast("double") /
+          size(col("toks")).cast("double")).as("x4"))
+      .select(col("doc_id"), col("source"), col("y"),
+        expr(s"CAST(round((1.0 / (1.0 + exp(-(${zSql(weights)})))) * 10000, 0) AS BIGINT)")
+          .as("score_e4"))
+    val wRank = Window.partitionBy(col("source"))
+      .orderBy(col("score_e4"), col("doc_id"))
+    val wTie = Window.partitionBy(col("source"), col("score_e4"))
+    val ranked = scored
+      .withColumn("rnk", row_number().over(wRank).cast("long"))
+      .withColumn("mid2", min(col("rnk")).over(wTie) + max(col("rnk")).over(wTie))
+    ranked.groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("y")).as("n_pos"),
+        sum(when(col("y") === 1, col("mid2")).otherwise(0L)).as("s2"),
+        sum(when(col("y") === 1 && col("score_e4") >= 5000, 1L).otherwise(0L)).as("tp"),
+        sum(when(col("y") === 0 && col("score_e4") >= 5000, 1L).otherwise(0L)).as("fp"),
+        sum(when(col("y") === 1 && col("score_e4") < 5000, 1L).otherwise(0L)).as("fn"))
+      .select(col("source"), col("n"), col("n_pos"),
+        expr("""CASE WHEN n_pos = 0 OR n_pos = n THEN NULL
+               |  ELSE (s2 - n_pos * (n_pos + 1)) * 10000
+               |       div (2 * n_pos * (n - n_pos)) END""".stripMargin)
+          .as("auc_e4"),
+        expr("CASE WHEN tp + fp = 0 THEN NULL " +
+          "ELSE tp * 10000 div (tp + fp) END").as("precision_e4"),
+        expr("CASE WHEN tp + fn = 0 THEN NULL " +
+          "ELSE tp * 10000 div (tp + fn) END").as("recall_e4"),
+        expr("(n - fp - fn) * 10000 div n").as("accuracy_e4"))
+      .orderBy(col("source"))
+  }
+
   /** Distributed logistic-regression training by full-batch gradient
     * descent: each iteration is ONE aggregate over the corpus computing
     * the 5-component gradient Σ (σ(w·x) − y)·x (map-side partial sums,

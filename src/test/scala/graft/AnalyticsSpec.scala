@@ -282,4 +282,17 @@ class AnalyticsSpec extends SparkTestBase {
     assert(r.getAs[Long]("trimmed_mean_e4") == 127777L)
     assert(r.getAs[Long]("winsorized_mean_e4") == 146000L)
   }
+
+  test("ksTest: disjoint supports hit the maximum, identical distributions score zero") {
+    def run(rows: Seq[(String, Double)]) =
+      Analytics.ksTest(rows.toDF("event_type", "value")).collect()
+        .map(r => r.getAs[String]("event_type") ->
+          Option(r.getAs[java.lang.Long]("ks_e4")).map(_.toLong)).toMap
+    // A on {1,2}, B on {3,4}: CDFs never overlap → D = 1.0 both ways
+    val disjoint = run(Seq(("A", 1.0), ("A", 2.0), ("B", 3.0), ("B", 4.0)))
+    assert(disjoint == Map("A" -> Some(10000L), "B" -> Some(10000L)))
+    // identical value multisets → every CDF gap is zero
+    val same = run(Seq(("A", 1.0), ("A", 2.0), ("B", 1.0), ("B", 2.0)))
+    assert(same == Map("A" -> Some(0L), "B" -> Some(0L)))
+  }
 }

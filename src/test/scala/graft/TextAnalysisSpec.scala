@@ -379,4 +379,27 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(out("a") == 0.707107, s"got ${out("a")}")
     assert(out("c") == 0.83205, s"got ${out("c")}")
   }
+
+  test("classifierEval: perfect separation scores AUC 1, full ties score exactly ½") {
+    // "mono": score strictly increases with token count (ln-length term;
+    // 2-char distinct words keep chars/token monotone too) and the label
+    // flips exactly at the top half → perfect ranking, midrank AUC 10000
+    val words = Seq("aa", "bb", "cc", "dd", "ee", "ff")
+    val mono = (1 to 6).map(i =>
+      (i.toLong, words.take(i).mkString(" "), if (i >= 4) "en" else "xx", "mono"))
+    // "tied": identical text → identical scores; mixed labels must land
+    // on the canonical tied value 5000, NOT an order-dependent number
+    val tied = (11 to 14).map(i =>
+      (i.toLong, "same text here", if (i % 2 == 0) "en" else "xx", "tied"))
+    // "onelabel": degenerate — AUC undefined, must be null not a crash
+    val one = (21 to 22).map(i => (i.toLong, "only positives", "en", "onelabel"))
+    val docs = (mono ++ tied ++ one).toDF("doc_id", "text", "lang", "source")
+    val out = TextAnalysis.classifierEval(docs).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("n_pos"),
+          Option(r.getAs[java.lang.Long]("auc_e4")).map(_.toLong)))).toMap
+    assert(out("mono") == ((6L, 3L, Some(10000L))), out.toString)
+    assert(out("tied") == ((4L, 2L, Some(5000L))), out.toString)
+    assert(out("onelabel") == ((2L, 2L, None)), out.toString)
+  }
 }
