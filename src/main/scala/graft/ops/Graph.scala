@@ -141,14 +141,8 @@ object Graph {
     * integers.
     */
   def triangleCount(lineitem: DataFrame, minSupport: Long = 2): DataFrame = {
-    val items = lineitem
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-    val pairs = items.as("a")
-      .join(items.as("b"),
-        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
-      .agg(count(lit(1)).as("w"))
-      .filter(col("w") >= minSupport)
+    // single-exchange pair build shared with the basket-pair miner
+    val pairs = Relational.partPairCounts(lineitem, minSupport)
       .select(col("u"), col("v"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val deg = pairs.select(col("u").as("n"))
