@@ -239,6 +239,9 @@ object SparkEntry {
     // grid-quantized two-sample KS per type vs rest: CDFs as running sums
     // over the e2 grid dimension, exact integer statistic
     "q_ks_test" -> ((s, d) => Analytics.ksTest(Analytics.events(s, d))),
+    // PSI drift: first vs second half of the timeline per type, per-bin
+    // e4-rounded contributions summed as integers
+    "q_psi_drift" -> ((s, d) => Analytics.psiDrift(Analytics.events(s, d))),
     // learned-filter eval: midrank AUC + P/R/acc at the 0.5 cut, per source
     "q_classifier_eval" -> ((s, d) =>
       TextAnalysis.classifierEval(TextAnalysis.documents(s, d))),
@@ -1227,6 +1230,42 @@ object SparkEntry {
         |        ELSE max(abs(cum_t * (n - n_t) - (cum_all - cum_t) * n_t))
         |             * 10000 // (n_t * (n - n_t)) END)::BIGINT AS ks_e4
         |FROM cums GROUP BY event_type, n_t, n ORDER BY event_type""".stripMargin,
+    "q_psi_drift" ->
+      """WITH mm AS (SELECT min(value) AS vmin, max(value) AS vmax FROM events),
+        |b AS (
+        |  SELECT event_type,
+        |    CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 0 ELSE 1 END
+        |      AS period,
+        |    (CASE WHEN vmax = vmin THEN 0
+        |          ELSE least(15, floor((value - vmin) * 16 / (vmax - vmin)))
+        |     END)::BIGINT AS bin
+        |  FROM events CROSS JOIN mm),
+        |c AS (SELECT event_type, period, bin, count(*)::BIGINT AS c
+        |      FROM b GROUP BY 1, 2, 3),
+        |ty AS (SELECT DISTINCT event_type FROM c),
+        |bins AS (SELECT range AS bin FROM range(16)),
+        |wide AS (
+        |  SELECT ty.event_type, bins.bin,
+        |    coalesce(c0.c, 0) AS c0, coalesce(c1.c, 0) AS c1
+        |  FROM ty CROSS JOIN bins
+        |  LEFT JOIN c c0 ON c0.event_type = ty.event_type
+        |    AND c0.bin = bins.bin AND c0.period = 0
+        |  LEFT JOIN c c1 ON c1.event_type = ty.event_type
+        |    AND c1.bin = bins.bin AND c1.period = 1),
+        |sm AS (
+        |  SELECT event_type, c0, c1,
+        |    sum(c0) OVER (PARTITION BY event_type) AS n0,
+        |    sum(c1) OVER (PARTITION BY event_type) AS n1
+        |  FROM wide),
+        |k AS (
+        |  SELECT event_type, n0, n1,
+        |    (c0 + 1)::DOUBLE / (n0 + 16) AS p,
+        |    (c1 + 1)::DOUBLE / (n1 + 16) AS q
+        |  FROM sm)
+        |SELECT event_type, max(n0)::BIGINT AS n_expected,
+        |  max(n1)::BIGINT AS n_actual,
+        |  sum(round((p - q) * ln(p / q) * 10000, 0))::BIGINT AS psi_e4
+        |FROM k GROUP BY 1 ORDER BY event_type""".stripMargin,
     "q_classifier_eval" ->
       """WITH f AS (
         |  SELECT doc_id, source, (lang = 'en')::INT AS y,

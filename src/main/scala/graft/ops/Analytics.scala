@@ -850,6 +850,67 @@ object Analytics {
         count(lit(1)).as("dup_count"))
       .orderBy(col("user_id"), col("event_type"))
 
+  /** Population Stability Index — THE production drift metric (credit-
+    * scoring heritage, now the default "did my feature distribution
+    * move" monitor): per event type, the value distribution of the
+    * first half of the timeline (expected) vs the second half (actual)
+    * over `nBins` equal-width bins, add-one smoothed.
+    *
+    * Shape: two corpus collapses share one scan — the global [min, max]
+    * (1-row broadcast) and the (type, period, bin) counts — then
+    * everything runs on a types × bins dimension frame. PSI per type is
+    * the sum of PER-BIN contributions ROUNDED at e4 before summing:
+    * per-bin rounding is the determinism contract (the same pattern as
+    * [[chiSquare]]'s cells) — each contribution is one ln of an exact
+    * rational, which both engines evaluate identically in practice (the
+    * PMI/Zipf rows pin the same assumption), and summing already-rounded
+    * integers cannot reorder-drift. Conventional read: < 0.10 stable,
+    * 0.10–0.25 moderate shift, > 0.25 population change.
+    */
+  def psiDrift(
+      df: DataFrame,
+      splitTs: String = "2024-01-16 00:00:00",
+      nBins: Int = 16): DataFrame = {
+    val mm = df.agg(min(col("value")).as("vmin"), max(col("value")).as("vmax"))
+    val binned = df
+      .join(broadcast(mm))
+      .select(col("event_type"),
+        when(col("ts") < lit(splitTs).cast("timestamp"), lit(0))
+          .otherwise(lit(1)).as("period"),
+        when(col("vmax") === col("vmin"), lit(0L))
+          .otherwise(least(lit(nBins - 1L),
+            floor((col("value") - col("vmin")) * nBins /
+              (col("vmax") - col("vmin"))))).as("bin"))
+      .groupBy(col("event_type"), col("period"), col("bin"))
+      .agg(count(lit(1)).as("c"))
+    // dense (type × bin) grid so empty bins still get their smoothed mass
+    val grid = binned.select(col("event_type")).distinct()
+      .crossJoin(df.sparkSession.range(nBins).select(col("id").as("bin")))
+    val wide = grid
+      .join(binned.filter(col("period") === 0)
+        .select(col("event_type"), col("bin"), col("c").as("c0")),
+        Seq("event_type", "bin"), "left")
+      .join(binned.filter(col("period") === 1)
+        .select(col("event_type"), col("bin"), col("c").as("c1")),
+        Seq("event_type", "bin"), "left")
+      .na.fill(0L, Seq("c0", "c1"))
+      .withColumn("n0", sum(col("c0")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))))
+      .withColumn("n1", sum(col("c1")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))))
+      // add-one smoothing keeps empty bins finite; p/q are exact
+      // rationals evaluated in one double expression
+      .withColumn("p", (col("c0") + 1).cast("double") / (col("n0") + nBins))
+      .withColumn("q", (col("c1") + 1).cast("double") / (col("n1") + nBins))
+      .withColumn("contrib_e4",
+        round((col("p") - col("q")) * log(col("p") / col("q")) * 10000, 0)
+          .cast("long"))
+    wide.groupBy(col("event_type"))
+      .agg(max(col("n0")).as("n_expected"), max(col("n1")).as("n_actual"),
+        sum(col("contrib_e4")).as("psi_e4"))
+      .orderBy(col("event_type"))
+  }
+
   /** Two-sample Kolmogorov–Smirnov distance of each event type's value
     * distribution against the REST of the traffic — the
     * distribution-shift readout (does "purchase" draw values like

@@ -295,4 +295,29 @@ class AnalyticsSpec extends SparkTestBase {
     val same = run(Seq(("A", 1.0), ("A", 2.0), ("B", 1.0), ("B", 2.0)))
     assert(same == Map("A" -> Some(0L), "B" -> Some(0L)))
   }
+
+  test("psiDrift: identical halves read zero, a full shift reads the hand formula") {
+    def mk(rows: Seq[(String, Double, Int)]) = rows.zipWithIndex.map {
+      case ((t, v, p), i) =>
+        (i.toLong, t, v, ts(if (p == 0) 1000000L else 20L * 86400000000L))
+    }.toDF("event_id", "event_type", "value", "ts")
+    // test timestamps are epoch-1970-based, so split mid-January 1970
+    val cut = "1970-01-10 00:00:00"
+    // identical distributions in both periods → every bin contributes 0
+    val stable = Analytics.psiDrift(mk(
+      Seq(("A", 1.0, 0), ("A", 9.0, 0), ("A", 1.0, 1), ("A", 9.0, 1))), cut).head()
+    assert(stable.getAs[Long]("psi_e4") == 0L)
+    // full shift: P0 all at vmin (bin 0), P1 all at vmax (bin 15);
+    // expected = Σ round((p−q)·ln(p/q)·1e4) computed independently here
+    val shifted = Analytics.psiDrift(mk(
+      Seq.fill(8)(("A", 0.0, 0)) ++ Seq.fill(8)(("A", 16.0, 1))), cut).head()
+    def side(c0: Long, c1: Long) = {
+      val p = (c0 + 1).toDouble / 24; val q = (c1 + 1).toDouble / 24
+      math.round((p - q) * math.log(p / q) * 10000)
+    }
+    val expected = side(8, 0) + side(0, 8) + 14 * side(0, 0)
+    assert(shifted.getAs[Long]("psi_e4") == expected,
+      s"got ${shifted.getAs[Long]("psi_e4")}, want $expected")
+    assert(shifted.getAs[Long]("psi_e4") > 2500L) // well past the 0.25 alarm
+  }
 }

@@ -1010,4 +1010,42 @@ class StreamingSpec extends SparkTestBase {
       } finally q.stop()
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
+
+  test("drift monitor: reference-like traffic reads ~0, shifted traffic alarms, unknown type flags") {
+    implicit val ctx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // reference trained on a batch frame: A uniform over bins 0 and 15
+      val refDf = (Seq.fill(8)(("A", 0.0)) ++ Seq.fill(8)(("A", 16.0)))
+        .toDF("event_type", "value")
+      val refs = graft.stream.DriftMonitor.referenceHistograms(refDf)
+      assert(refs("A").counts.sum == 16L)
+      val input = MemoryStream[(String, Double)]
+      val stream = input.toDF().toDF("event_type", "value")
+      val dm = graft.stream.DriftMonitor.monitor(stream, refs)
+      val q = dm.toDF().writeStream.format("memory").queryName("dm_sink")
+        .outputMode("update").start()
+      try {
+        // batch 1: same mixture as the reference → near-zero PSI
+        input.addData(Seq.fill(4)(("A", 0.0)) ++ Seq.fill(4)(("A", 16.0)): _*)
+        q.processAllAvailable()
+        // batch 2: everything piles into the top bin → cumulative drift;
+        // plus a type the reference never saw → sentinel row
+        input.addData(Seq.fill(24)(("A", 16.0)) :+ (("Z", 1.0)): _*)
+        q.processAllAvailable()
+        val rows = spark.table("dm_sink").collect()
+          .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("gen"),
+            r.getAs[Long]("n_seen"), r.getAs[Long]("psi_e4")))
+        val a = rows.filter(_._1 == "A").sortBy(_._2)
+        // gen 1: balanced 4+4 sample of a balanced reference — PSI is not
+        // exactly 0 (smoothing over 14 empty bins) but far below alarm
+        assert(a(0)._3 == 8L && a(0)._4 < 1000L, a.toString)
+        // gen 2: cumulative 4 vs 28 split against a 8/8 reference → alarm
+        assert(a(1)._3 == 32L && a(1)._4 > 2500L, a.toString)
+        val z = rows.filter(_._1 == "Z")
+        assert(z.toSeq == Seq(("Z", -1L, 0L, Long.MaxValue)), z.toString)
+      } finally q.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
 }
