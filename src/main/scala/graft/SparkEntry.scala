@@ -242,6 +242,16 @@ object SparkEntry {
     // PSI drift: first vs second half of the timeline per type, per-bin
     // e4-rounded contributions summed as integers
     "q_psi_drift" -> ((s, d) => Analytics.psiDrift(Analytics.events(s, d))),
+    // incremental materialized-rollup maintenance: algebraic merge of the
+    // historical rollup with the delta ≡ flat re-aggregation (the oracle)
+    "q_incremental_rollup" -> ((s, d) =>
+      Analytics.incrementalRollup(Analytics.events(s, d))),
+    // degree assortativity of the co-purchase graph: three integer sums
+    "q_assortativity" -> ((s, d) =>
+      Graph.assortativity(Relational.table(s, d, "lineitem"))),
+    // reliability curve: integer-division score bins, observed vs predicted
+    "q_calibration_curve" -> ((s, d) =>
+      TextAnalysis.calibrationCurve(TextAnalysis.documents(s, d))),
     // learned-filter eval: midrank AUC + P/R/acc at the 0.5 cut, per source
     "q_classifier_eval" -> ((s, d) =>
       TextAnalysis.classifierEval(TextAnalysis.documents(s, d))),
@@ -1230,6 +1240,61 @@ object SparkEntry {
         |        ELSE max(abs(cum_t * (n - n_t) - (cum_all - cum_t) * n_t))
         |             * 10000 // (n_t * (n - n_t)) END)::BIGINT AS ks_e4
         |FROM cums GROUP BY event_type, n_t, n ORDER BY event_type""".stripMargin,
+    // the oracle aggregates FLAT — matching it proves the two-branch
+    // merge is exactly the full rollup
+    "q_incremental_rollup" ->
+      """SELECT event_type, epoch_us(date_trunc('day', ts)) AS day_us,
+        |  count(*)::BIGINT AS n,
+        |  sum(floor(value * 10000)::BIGINT)::BIGINT AS sum_e4,
+        |  (sum(floor(value * 10000)::BIGINT) // count(*))::BIGINT AS avg_e4,
+        |  epoch_us(max(ts)) AS latest_us
+        |FROM events GROUP BY 1, 2 ORDER BY event_type, day_us""".stripMargin,
+    "q_assortativity" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |p AS MATERIALIZED (
+        |  SELECT a.pk AS u, b.pk AS v
+        |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |deg AS (
+        |  SELECT n, count(*)::BIGINT AS d FROM (
+        |    SELECT u AS n FROM p UNION ALL SELECT v FROM p) GROUP BY 1),
+        |ends AS (
+        |  SELECT du.d AS du, dv.d AS dv
+        |  FROM p JOIN deg du ON du.n = p.u JOIN deg dv ON dv.n = p.v),
+        |sym AS (
+        |  SELECT du, dv FROM ends UNION ALL SELECT dv, du FROM ends),
+        |s AS (
+        |  SELECT count(*)::BIGINT AS m, sum(du)::BIGINT AS s,
+        |    sum(du * dv)::BIGINT AS sxy, sum(du * du)::BIGINT AS sxx
+        |  FROM sym)
+        |SELECT (m // 2)::BIGINT AS n_edges,
+        |  (CASE WHEN m * sxx - s * s = 0 THEN NULL
+        |        ELSE (m * sxy - s * s) * 10000 // (m * sxx - s * s)
+        |   END)::BIGINT AS assortativity_e4
+        |FROM s""".stripMargin,
+    "q_calibration_curve" ->
+      """WITH f AS (
+        |  SELECT (lang = 'en')::BIGINT AS y,
+        |    1.0 AS x0,
+        |    ln(1.0 + len(toks)::DOUBLE) AS x1,
+        |    len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE AS x2,
+        |    len(list_filter(toks, t -> t IN ('the','a','of','and','to','in')))::DOUBLE
+        |      / len(toks)::DOUBLE AS x3,
+        |    length(text)::DOUBLE / len(toks)::DOUBLE AS x4
+        |  FROM (SELECT lang, text,
+        |          regexp_split_to_array(lower(text), '\s+') AS toks
+        |        FROM documents)),
+        |s AS (
+        |  SELECT y,
+        |    round((1.0 / (1.0 + exp(-((x0 * -3.0) + (x1 * 0.6) + (x2 * 2.0)
+        |      + (x3 * 3.0) + (x4 * 0.1))))) * 10000, 0)::BIGINT AS score_e4
+        |  FROM f)
+        |SELECT least(7, score_e4 // 1250)::BIGINT AS bin,
+        |  count(*)::BIGINT AS n,
+        |  (sum(score_e4) // count(*))::BIGINT AS mean_score_e4,
+        |  (sum(y) * 10000 // count(*))::BIGINT AS frac_pos_e4
+        |FROM s GROUP BY 1 ORDER BY bin""".stripMargin,
     "q_psi_drift" ->
       """WITH mm AS (SELECT min(value) AS vmin, max(value) AS vmax FROM events),
         |b AS (

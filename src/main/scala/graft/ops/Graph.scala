@@ -180,4 +180,42 @@ object Graph {
         expr("CASE WHEN n_wedges = 0 THEN 0L " +
           "ELSE 3 * n_triangles * 10000 div n_wedges END").as("clustering_e4"))
   }
+
+  /** Degree assortativity of the co-purchase graph — do high-degree
+    * parts co-occur with other hubs (r > 0) or with leaves (r < 0)?
+    * Computed as the Pearson correlation of end-point degrees over the
+    * DIRECTED edge set (both orientations of each undirected edge, the
+    * standard convention), which makes the marginals symmetric and the
+    * whole statistic collapse to THREE integer sums over edges:
+    *   r = (M·Σdudv − S²) div-scaled by (M·Σdu² − S²),   S = Σdu, M = 2|E|
+    * No float touches the pipeline — r_e4 is exact integer division
+    * (truncation identical on both engines, negatives included).
+    *
+    * Shape: degrees are an edge-end aggregate; the per-edge (du, dv)
+    * attach is two id-keyed joins against the degree table; the final
+    * statistic is a 1-row aggregate. Nothing beyond the pair build is
+    * fact-sized.
+    */
+  def assortativity(lineitem: DataFrame, minSupport: Long = 2): DataFrame = {
+    val pairs = Relational.partPairCounts(lineitem, minSupport)
+      .select(col("u"), col("v"))
+    val deg = pairs.select(col("u").as("n"))
+      .unionAll(pairs.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val ends = pairs
+      .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
+      // both orientations: symmetric marginals
+      .select(col("du"), col("dv"))
+    val sym = ends.unionAll(ends.select(col("dv").as("du"), col("du").as("dv")))
+    sym.agg(
+        count(lit(1)).as("m"),
+        sum(col("du")).as("s"),
+        sum(col("du") * col("dv")).as("sxy"),
+        sum(col("du") * col("du")).as("sxx"))
+      .select((col("m") / 2).cast("long").as("n_edges"),
+        expr("""CASE WHEN m * sxx - s * s = 0 THEN NULL
+               |  ELSE (m * sxy - s * s) * 10000 div (m * sxx - s * s)
+               |END""".stripMargin).as("assortativity_e4"))
+  }
 }

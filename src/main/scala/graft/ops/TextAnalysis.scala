@@ -309,6 +309,45 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** Calibration (reliability) curve for the frozen quality model — the
+    * companion readout to [[classifierEval]]'s AUC: ranking quality says
+    * nothing about whether "score 0.8" MEANS 80%, which is what a
+    * pipeline thresholding on the score actually assumes. Scores land in
+    * 8 fixed-width e4 bins by INTEGER division (no boundary float ever),
+    * each reporting observed positive rate vs mean predicted score —
+    * a calibrated model tracks the diagonal.
+    *
+    * Shape: row-local scoring + one 8-row aggregate; every output column
+    * is exact integer arithmetic.
+    */
+  def calibrationCurve(
+      df: DataFrame,
+      labelCol: Column = col("lang") === "en",
+      weights: Seq[Double] = defaultQualityWeights): DataFrame = {
+    require(weights.length == 5, "model has 5 weights (bias + 4 features)")
+    val toks = tokens(col("text"))
+    df.select(col("doc_id"), labelCol.cast("long").as("y"),
+        col("text"), toks.as("toks"))
+      .select(col("y"),
+        lit(1.0).as("x0"),
+        log(lit(1.0) + size(col("toks")).cast("double")).as("x1"),
+        (size(array_distinct(col("toks"))).cast("double") /
+          size(col("toks")).cast("double")).as("x2"),
+        (size(filter(col("toks"), t => t.isInCollection(
+          Seq("the", "a", "of", "and", "to", "in")))).cast("double") /
+          size(col("toks")).cast("double")).as("x3"),
+        (length(col("text")).cast("double") /
+          size(col("toks")).cast("double")).as("x4"))
+      .select(col("y"),
+        expr(s"CAST(round((1.0 / (1.0 + exp(-(${zSql(weights)})))) * 10000, 0) AS BIGINT)")
+          .as("score_e4"))
+      .groupBy(expr("least(7L, score_e4 div 1250)").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        expr("sum(score_e4) div count(1)").as("mean_score_e4"),
+        expr("sum(y) * 10000 div count(1)").as("frac_pos_e4"))
+      .orderBy(col("bin"))
+  }
+
   /** Distributed logistic-regression training by full-batch gradient
     * descent: each iteration is ONE aggregate over the corpus computing
     * the 5-component gradient Σ (σ(w·x) − y)·x (map-side partial sums,

@@ -320,4 +320,22 @@ class AnalyticsSpec extends SparkTestBase {
       s"got ${shifted.getAs[Long]("psi_e4")}, want $expected")
     assert(shifted.getAs[Long]("psi_e4") > 2500L) // well past the 0.25 alarm
   }
+
+  test("incrementalRollup: a group straddling the cut merges to the flat aggregate") {
+    val hour = 3600L * 1000000L
+    // one (type, day) group with rows on BOTH sides of a mid-day cut —
+    // the algebraic merge must recombine them exactly
+    val events = Seq(
+      (1L, "a", 1.5, ts(2 * hour)), (2L, "a", 2.5, ts(10 * hour)),
+      (3L, "a", 4.0, ts(14 * hour)), (4L, "b", 1.0, ts(20 * hour))
+    ).toDF("event_id", "event_type", "value", "ts")
+    val out = Analytics.incrementalRollup(events, "1970-01-01 12:00:00")
+      .collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n"),
+        r.getAs[Long]("sum_e4"), r.getAs[Long]("avg_e4"),
+        r.getAs[Long]("latest_us")))
+    assert(out.toSeq == Seq(
+      ("a", 3L, 80000L, 26666L, 14 * hour),
+      ("b", 1L, 10000L, 10000L, 20 * hour)))
+  }
 }

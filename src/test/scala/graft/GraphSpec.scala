@@ -62,6 +62,20 @@ class GraphSpec extends SparkTestBase {
     assert(r.getAs[Long]("n_triangles") == 1L)
     assert(r.getAs[Long]("clustering_e4") == 6000L)
   }
+
+  test("assortativity: a star graph is perfectly disassortative (−1)") {
+    import spark.implicits._
+    // center part 1 with leaves 2,3,4 (each edge in two orders for the
+    // support cut): every edge joins degree 3 to degree 1 → r = −1
+    val li = Seq(
+      (1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L),
+      (3L, 1L), (3L, 3L), (4L, 1L), (4L, 3L),
+      (5L, 1L), (5L, 4L), (6L, 1L), (6L, 4L)
+    ).toDF("l_orderkey", "l_partkey")
+    val r = graft.ops.Graph.assortativity(li, minSupport = 2).head()
+    assert(r.getAs[Long]("n_edges") == 3L)
+    assert(r.getAs[Long]("assortativity_e4") == -10000L)
+  }
 }
 
 private object Graft {

@@ -402,4 +402,21 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(out("tied") == ((4L, 2L, Some(5000L))), out.toString)
     assert(out("onelabel") == ((2L, 2L, None)), out.toString)
   }
+
+  test("calibrationCurve: identical docs collapse to one bin whose rate is the label mix") {
+    // four byte-identical docs → identical scores → a single bin; the
+    // observed positive rate is exactly the 2/4 label mix and the mean
+    // predicted score is the common score itself
+    val docs = Seq(
+      (1L, "same words here", "en"), (2L, "same words here", "en"),
+      (3L, "same words here", "xx"), (4L, "same words here", "xx")
+    ).toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.calibrationCurve(docs).collect()
+    assert(out.length == 1, out.mkString(";"))
+    val r = out.head
+    assert(r.getAs[Long]("n") == 4L)
+    assert(r.getAs[Long]("frac_pos_e4") == 5000L)
+    assert(r.getAs[Long]("bin") ==
+      math.min(7L, r.getAs[Long]("mean_score_e4") / 1250L))
+  }
 }
