@@ -246,6 +246,11 @@ object SparkEntry {
     // historical rollup with the delta ≡ flat re-aggregation (the oracle)
     "q_incremental_rollup" -> ((s, d) =>
       Analytics.incrementalRollup(Analytics.events(s, d))),
+    // Jaccard affinity of type pairs by user overlap: per-user set
+    // collapse (one exchange), row-local pair explode, type² aggregate
+    "q_type_affinity" -> ((s, d) => Analytics.typeAffinity(Analytics.events(s, d))),
+    // third-order journey n-grams: two LEADs on one user window
+    "q_event_trigrams" -> ((s, d) => Analytics.eventTrigrams(Analytics.events(s, d))),
     // degree assortativity of the co-purchase graph: three integer sums
     "q_assortativity" -> ((s, d) =>
       Graph.assortativity(Relational.table(s, d, "lineitem"))),
@@ -1240,6 +1245,35 @@ object SparkEntry {
         |        ELSE max(abs(cum_t * (n - n_t) - (cum_all - cum_t) * n_t))
         |             * 10000 // (n_t * (n - n_t)) END)::BIGINT AS ks_e4
         |FROM cums GROUP BY event_type, n_t, n ORDER BY event_type""".stripMargin,
+    "q_type_affinity" ->
+      """WITH tu AS (
+        |  SELECT DISTINCT event_type, user_id FROM events),
+        |sizes AS (SELECT event_type, count(*)::BIGINT AS n FROM tu GROUP BY 1),
+        |inter AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    count(*)::BIGINT AS n_both
+        |  FROM tu a JOIN tu b ON a.user_id = b.user_id
+        |    AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT type_a, type_b, sa.n AS n_a, sb.n AS n_b, n_both,
+        |  (n_both * 10000 // (sa.n + sb.n - n_both))::BIGINT AS jaccard_e4
+        |FROM inter
+        |JOIN sizes sa ON sa.event_type = type_a
+        |JOIN sizes sb ON sb.event_type = type_b
+        |ORDER BY type_a, type_b""".stripMargin,
+    "q_event_trigrams" ->
+      """WITH t AS (
+        |  SELECT event_type AS t1,
+        |    lead(event_type, 1) OVER w AS t2,
+        |    lead(event_type, 2) OVER w AS t3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |c AS (
+        |  SELECT t1, t2, t3, count(*)::BIGINT AS n
+        |  FROM t WHERE t3 IS NOT NULL GROUP BY 1, 2, 3)
+        |SELECT t1, t2, t3, n,
+        |  (n * 10000 // sum(n) OVER ())::BIGINT AS share_e4
+        |FROM c ORDER BY t1, t2, t3""".stripMargin,
     // the oracle aggregates FLAT — matching it proves the two-branch
     // merge is exactly the full rollup
     "q_incremental_rollup" ->

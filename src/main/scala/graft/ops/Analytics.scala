@@ -850,6 +850,60 @@ object Analytics {
         count(lit(1)).as("dup_count"))
       .orderBy(col("user_id"), col("event_type"))
 
+  /** Event-type affinity matrix: Jaccard overlap of each type pair's
+    * USER sets — "do viewers also purchase?" as a number per pair, the
+    * product-analytics counterpart of [[graft.ops.Relational.basketPairs]]
+    * (co-occurrence by actor instead of by order).
+    *
+    * Shape: the same single-exchange set trick as the basket miner —
+    * collapse to per-user sorted type sets (ONE user exchange; sets are
+    * alphabet-bounded), explode pairs row-locally, aggregate onto the
+    * type² dimension. Union sizes come from |A∪B| = |A|+|B|−|A∩B| —
+    * exact integers, no second pass over users.
+    */
+  def typeAffinity(df: DataFrame): DataFrame = {
+    val sets = df.groupBy(col("user_id"))
+      .agg(sort_array(collect_set(col("event_type"))).as("ts_set"))
+    val pairs = sets.select(explode(expr(
+      """flatten(transform(ts_set, (x, i) ->
+        |  transform(slice(ts_set, i + 2, size(ts_set)), y -> struct(x AS a, y AS b))))"""
+        .stripMargin)).as("p"))
+      .groupBy(col("p.a").as("type_a"), col("p.b").as("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+    val sizes = sets.select(explode(col("ts_set")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("n"))
+    pairs
+      .join(broadcast(sizes.select(col("t").as("type_a"), col("n").as("n_a"))),
+        Seq("type_a"))
+      .join(broadcast(sizes.select(col("t").as("type_b"), col("n").as("n_b"))),
+        Seq("type_b"))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"), col("n_both"),
+        expr("n_both * 10000 div (n_a + n_b - n_both)").as("jaccard_e4"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  /** Third-order event sequences (the step past [[eventTransitions]]'
+    * first-order Markov pairs): per-user consecutive type TRIPLES with
+    * counts and share — the n-gram mining every journey-analysis tool
+    * runs. One user-keyed window (two LEADs share it), then an aggregate
+    * onto the ≤ |types|³ dimension.
+    */
+  def eventTrigrams(df: DataFrame, minCount: Long = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    df.select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("t1"))
+      .withColumn("t2", lead(col("t1"), 1).over(w))
+      .withColumn("t3", lead(col("t1"), 2).over(w))
+      .filter(col("t3").isNotNull)
+      .groupBy(col("t1"), col("t2"), col("t3"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+      .withColumn("share_e4", expr(
+        "n * 10000 div sum(n) over ()"))
+      .orderBy(col("t1"), col("t2"), col("t3"))
+  }
+
   /** Incremental materialized-rollup maintenance — the warehouse pattern
     * that makes a 100 TB daily dashboard affordable: instead of
     * re-aggregating history every refresh, keep the (type, day) rollup

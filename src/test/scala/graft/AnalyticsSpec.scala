@@ -338,4 +338,30 @@ class AnalyticsSpec extends SparkTestBase {
       ("a", 3L, 80000L, 26666L, 14 * hour),
       ("b", 1L, 10000L, 10000L, 20 * hour)))
   }
+
+  test("typeAffinity: hand-computed Jaccard over user sets") {
+    // users 10, 20 do both A and B; user 30 only A → J = 2/(3+2−2)
+    val events = Seq(
+      (1L, 10L, "A"), (2L, 10L, "B"), (3L, 20L, "A"),
+      (4L, 20L, "B"), (5L, 30L, "A"), (6L, 10L, "A") // repeat collapses
+    ).toDF("event_id", "user_id", "event_type")
+    val out = Analytics.typeAffinity(events).collect()
+      .map(r => (r.getAs[String]("type_a"), r.getAs[String]("type_b"),
+        r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+        r.getAs[Long]("n_both"), r.getAs[Long]("jaccard_e4")))
+    assert(out.toSeq == Seq(("A", "B", 3L, 2L, 2L, 6666L)))
+  }
+
+  test("eventTrigrams: per-user consecutive triples only, global share") {
+    val events = Seq(
+      (1L, 10L, ts(1000000L), "A"), (2L, 10L, ts(2000000L), "B"),
+      (3L, 10L, ts(3000000L), "A"), (4L, 10L, ts(4000000L), "B"),
+      (5L, 20L, ts(1000000L), "C") // too short for any triple
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val out = Analytics.eventTrigrams(events).collect()
+      .map(r => (r.getAs[String]("t1"), r.getAs[String]("t2"),
+        r.getAs[String]("t3"), r.getAs[Long]("n"), r.getAs[Long]("share_e4")))
+    assert(out.toSeq == Seq(
+      ("A", "B", "A", 1L, 5000L), ("B", "A", "B", 1L, 5000L)))
+  }
 }

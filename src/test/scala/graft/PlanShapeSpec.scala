@@ -500,6 +500,36 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("runtime bloom filter prunes the fact side of a selective shuffle join") {
+    // the 100 TB semi-join reduction path: when a fact⋈fact join's build
+    // side is filtered selectively, Spark's runtime-filter rule should
+    // inject bloom_filter_agg → might_contain so lineitem rows that can
+    // never match die at the scan stage instead of riding the exchange.
+    // Pin it with the thresholds a large cluster would trip naturally.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1")
+      import org.apache.spark.sql.functions._
+      val orders = Relational.table(spark, sf, "orders")
+        .filter(col("o_totalprice") > 400000.0)
+      val li = Relational.table(spark, sf, "lineitem")
+      val p = plan(li.join(orders, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority")).agg(sum(col("l_quantity")).as("q")))
+      assert(p.contains("might_contain"), s"no runtime bloom filter:\n$p")
+      assert(p.contains("bloom_filter_agg"), p)
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("campaignWindowJoin: the range join runs as a bucketed equi-join, never a nested loop") {
     val p = plan(Analytics.campaignWindowJoin(Analytics.events(spark, sf)))
     // the whole point of the hour-bucket rewrite: a broadcast HASH join
