@@ -249,6 +249,8 @@ object SparkEntry {
     // Jaccard affinity of type pairs by user overlap: per-user set
     // collapse (one exchange), row-local pair explode, type² aggregate
     "q_type_affinity" -> ((s, d) => Analytics.typeAffinity(Analytics.events(s, d))),
+    // hourly-volume ACF: hour-arithmetic equi-join lags, exact sums
+    "q_volume_acf" -> ((s, d) => Analytics.volumeAcf(Analytics.events(s, d))),
     // third-order journey n-grams: two LEADs on one user window
     "q_event_trigrams" -> ((s, d) => Analytics.eventTrigrams(Analytics.events(s, d))),
     // degree assortativity of the co-purchase graph: three integer sums
@@ -1245,6 +1247,28 @@ object SparkEntry {
         |        ELSE max(abs(cum_t * (n - n_t) - (cum_all - cum_t) * n_t))
         |             * 10000 // (n_t * (n - n_t)) END)::BIGINT AS ks_e4
         |FROM cums GROUP BY event_type, n_t, n ORDER BY event_type""".stripMargin,
+    "q_volume_acf" ->
+      """WITH hourly AS (
+        |  SELECT date_trunc('hour', ts) AS hour, count(*)::BIGINT AS c
+        |  FROM events GROUP BY 1),
+        |lags AS (SELECT range AS lag FROM range(1, 25)),
+        |pairs AS (
+        |  SELECT l.lag, a.c AS x, b.c AS y
+        |  FROM hourly a CROSS JOIN lags l
+        |  JOIN hourly b ON b.hour = a.hour + l.lag * INTERVAL 1 HOUR),
+        |s AS (
+        |  SELECT lag, count(*)::BIGINT AS n,
+        |    sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+        |    sum(x * y)::BIGINT AS sxy, sum(x * x)::BIGINT AS sxx,
+        |    sum(y * y)::BIGINT AS syy
+        |  FROM pairs GROUP BY 1)
+        |SELECT lag::BIGINT AS lag, n,
+        |  (CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN NULL
+        |        ELSE round((n * sxy - sx * sy)::DOUBLE
+        |          / sqrt((n * sxx - sx * sx)::DOUBLE
+        |                 * (n * syy - sy * sy)::DOUBLE) * 10000, 0)
+        |   END)::BIGINT AS r_e4
+        |FROM s ORDER BY lag""".stripMargin,
     "q_type_affinity" ->
       """WITH tu AS (
         |  SELECT DISTINCT event_type, user_id FROM events),

@@ -850,6 +850,44 @@ object Analytics {
         count(lit(1)).as("dup_count"))
       .orderBy(col("user_id"), col("event_type"))
 
+  /** Autocorrelation (ACF) of hourly event volume at lags 1..`maxLag` —
+    * the seasonality readout (a daily cycle shows as a lag-24 peak) that
+    * tells a capacity planner whether yesterday's shape predicts today.
+    *
+    * Shape: the fact table collapses to the hour dimension once; lagged
+    * pairs come from an EQUI-join of that dimension against itself on
+    * `hour + k` (a lag × hour frame — still dimension-sized), NOT a
+    * row-position lead, so missing hours leave holes instead of silently
+    * misaligning the series. Pearson r per lag is exact integer sums +
+    * one correctly-rounded sqrt/divide (the [[hourlyAnomalies]] float
+    * discipline).
+    */
+  def volumeAcf(df: DataFrame, maxLag: Int = 24): DataFrame = {
+    require(maxLag >= 1, "maxLag must be at least 1")
+    val hourly = df
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("c"))
+    val lags = df.sparkSession.range(1, maxLag + 1).select(col("id").as("lag"))
+    val pairs = hourly.crossJoin(broadcast(lags))
+      .withColumn("target", expr("timestampadd(HOUR, CAST(lag AS INT), hour)"))
+      .join(hourly.select(col("hour").as("target"), col("c").as("y")), "target")
+      .select(col("lag"), col("c").as("x"), col("y"))
+    pairs.groupBy(col("lag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("lag"), col("n"),
+        expr("""CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
+               |  THEN NULL
+               |  ELSE CAST(round(CAST(n * sxy - sx * sy AS DOUBLE)
+               |    / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+               |           * CAST(n * syy - sy * sy AS DOUBLE)) * 10000, 0)
+               |    AS BIGINT) END""".stripMargin).as("r_e4"))
+      .orderBy(col("lag"))
+  }
+
   /** Event-type affinity matrix: Jaccard overlap of each type pair's
     * USER sets — "do viewers also purchase?" as a number per pair, the
     * product-analytics counterpart of [[graft.ops.Relational.basketPairs]]

@@ -364,4 +364,19 @@ class AnalyticsSpec extends SparkTestBase {
     assert(out.toSeq == Seq(
       ("A", "B", "A", 1L, 5000L), ("B", "A", "B", 1L, 5000L)))
   }
+
+  test("volumeAcf: an alternating series reads −1 at lag 1 and +1 at lag 2") {
+    val hour = 3600L * 1000000L
+    // hourly counts 1,2,1,2,1,2 → perfect anti-phase at lag 1, perfect
+    // phase at lag 2
+    val events = (0 until 6).flatMap { h =>
+      (0 until (if (h % 2 == 0) 1 else 2)).map(i =>
+        ((h * 10 + i).toLong, ts(h * hour + i * 1000000L)))
+    }.toDF("event_id", "ts")
+    val out = Analytics.volumeAcf(events, maxLag = 2).collect()
+      .map(r => (r.getAs[Long]("lag"), r.getAs[Long]("n"),
+        Option(r.getAs[java.lang.Long]("r_e4")).map(_.toLong)))
+    assert(out.toSeq == Seq(
+      (1L, 5L, Some(-10000L)), (2L, 4L, Some(10000L))))
+  }
 }
