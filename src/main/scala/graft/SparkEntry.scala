@@ -251,6 +251,12 @@ object SparkEntry {
     "q_type_affinity" -> ((s, d) => Analytics.typeAffinity(Analytics.events(s, d))),
     // hourly-volume ACF: hour-arithmetic equi-join lags, exact sums
     "q_volume_acf" -> ((s, d) => Analytics.volumeAcf(Analytics.events(s, d))),
+    // conversion latency: first-view collapse + user equi-join residual
+    "q_conversion_latency" -> ((s, d) =>
+      Analytics.conversionLatency(Analytics.events(s, d))),
+    // frame-sampling plan: bounded row-local explode, exact byte tiling
+    "q_media_frames" -> ((s, d) =>
+      Multimodal.sampleFrames(Multimodal.syntheticAssets(s))),
     // third-order journey n-grams: two LEADs on one user window
     "q_event_trigrams" -> ((s, d) => Analytics.eventTrigrams(Analytics.events(s, d))),
     // degree assortativity of the co-purchase graph: three integer sums
@@ -1247,6 +1253,50 @@ object SparkEntry {
         |        ELSE max(abs(cum_t * (n - n_t) - (cum_all - cum_t) * n_t))
         |             * 10000 // (n_t * (n - n_t)) END)::BIGINT AS ks_e4
         |FROM cums GROUP BY event_type, n_t, n ORDER BY event_type""".stripMargin,
+    "q_conversion_latency" ->
+      """WITH fv AS (
+        |  SELECT user_id, min(ts) AS first_view FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |conv AS (
+        |  SELECT fv.user_id,
+        |    epoch_us(min(p.ts)) - epoch_us(fv.first_view) AS delta_us
+        |  FROM fv JOIN events p ON p.user_id = fv.user_id
+        |    AND p.event_type = 'purchase' AND p.ts >= fv.first_view
+        |  GROUP BY fv.user_id, fv.first_view),
+        |s AS (
+        |  SELECT count(*)::BIGINT AS n_converted,
+        |    quantile_cont(delta_us, [0.5, 0.75]) AS ps,
+        |    max(delta_us)::BIGINT AS max_us
+        |  FROM conv)
+        |SELECT (SELECT count(*) FROM fv)::BIGINT AS n_viewers, n_converted,
+        |  (n_converted * 10000 // (SELECT count(*) FROM fv))::BIGINT
+        |    AS conversion_e4,
+        |  floor(ps[1])::BIGINT AS p50_us, floor(ps[2])::BIGINT AS p75_us,
+        |  max_us
+        |FROM s""".stripMargin,
+    "q_media_frames" ->
+      """WITH a AS (
+        |  SELECT i,
+        |    CASE WHEN i % 3 = 0 THEN 'image' WHEN i % 3 = 1 THEN 'audio'
+        |         ELSE 'video' END AS media_type,
+        |    (64 + (i * 31) % 192)::BIGINT AS n_bytes,
+        |    CASE WHEN i % 3 = 0 THEN 0 ELSE 1000 + (i * 97) % 9000 END AS dur
+        |  FROM generate_series(0, 999) AS t(i)),
+        |f AS (
+        |  SELECT i, media_type, n_bytes,
+        |    CASE WHEN media_type = 'image' THEN 1
+        |         ELSE least(16, greatest(1, dur // 1000)) END AS nf
+        |  FROM a),
+        |x AS (
+        |  SELECT i, media_type, n_bytes, nf,
+        |    unnest(range(0, nf)) AS fr
+        |  FROM f)
+        |SELECT i AS asset_id, media_type, fr::BIGINT AS frame_idx,
+        |  (fr * 1000)::BIGINT AS offset_ms,
+        |  (fr * n_bytes // nf)::BIGINT AS byte_offset,
+        |  ((fr + 1) * n_bytes // nf - fr * n_bytes // nf)::BIGINT
+        |    AS frame_bytes
+        |FROM x ORDER BY asset_id, frame_idx""".stripMargin,
     "q_volume_acf" ->
       """WITH hourly AS (
         |  SELECT date_trunc('hour', ts) AS hour, count(*)::BIGINT AS c

@@ -850,6 +850,44 @@ object Analytics {
         count(lit(1)).as("dup_count"))
       .orderBy(col("user_id"), col("event_type"))
 
+  /** Conversion latency: one summary row — how many viewers ever
+    * purchase after their first view, and how long that takes (dyadic
+    * p50/p75 so the percentile interpolation is float-exact, plus max).
+    * The funnel queries count WHO converts; this measures HOW FAST,
+    * which is what an SLA on recommendation freshness actually needs.
+    *
+    * Shape: first-view collapse (user-keyed aggregate), then an
+    * equi-join on user with a one-sided time residual against the
+    * purchase fact — the [[purchaseAttribution]] partition discipline —
+    * then a min per user and a single summary aggregate. Deltas are
+    * integer micros end to end.
+    */
+  def conversionLatency(df: DataFrame): DataFrame = {
+    val firstView = df.filter(col("event_type") === "view")
+      .groupBy(col("user_id"))
+      .agg(min(col("ts")).as("first_view"))
+    val purchases = df.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val conv = firstView
+      .join(purchases,
+        col("user_id") === col("p_user") && col("p_ts") >= col("first_view"))
+      .groupBy(col("user_id"), col("first_view"))
+      .agg(min(col("p_ts")).as("first_purchase"))
+      .select((unix_micros(col("first_purchase"))
+        - unix_micros(col("first_view"))).as("delta_us"))
+    val stats = conv.agg(
+      count(lit(1)).as("n_converted"),
+      expr("percentile(delta_us, array(0.5D, 0.75D))").as("ps"),
+      max(col("delta_us")).as("max_us"))
+    firstView.agg(count(lit(1)).as("n_viewers"))
+      .crossJoin(broadcast(stats))
+      .select(col("n_viewers"), col("n_converted"),
+        expr("n_converted * 10000 div n_viewers").as("conversion_e4"),
+        floor(element_at(col("ps"), 1)).cast("long").as("p50_us"),
+        floor(element_at(col("ps"), 2)).cast("long").as("p75_us"),
+        col("max_us"))
+  }
+
   /** Autocorrelation (ACF) of hourly event volume at lags 1..`maxLag` —
     * the seasonality readout (a daily cycle shows as a lag-24 peak) that
     * tells a capacity planner whether yesterday's shape predicts today.

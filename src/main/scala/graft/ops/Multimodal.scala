@@ -110,6 +110,44 @@ object Multimodal {
     }
   }
 
+  /** Frame-sampling PLAN: expand each temporal asset into the frame rows
+    * a decoder would extract — one row per sampled frame with its time
+    * offset and the byte slice [byte_offset, byte_offset + frame_bytes)
+    * of the payload it would decode. Images contribute their single
+    * frame. This is the fan-out stage in front of any frame-level model
+    * (CLIP-style embedding, OCR, ASR windows); the decode itself stays
+    * the documented codec stub.
+    *
+    * Shape: row-local `sequence` explode with a hard `cap` — fan-out is
+    * bounded per asset by construction, so the expansion scales linearly
+    * and can never replay the pathological long-video blowup. Byte
+    * slices use floor-division endpoints ((i·n) div f), which tile the
+    * payload EXACTLY — no remainder bytes lost, no overlap — and are
+    * SQL-replicable for the oracle.
+    */
+  def sampleFrames(
+      assets: Dataset[MediaAsset],
+      everyMs: Long = 1000L,
+      cap: Int = 16): DataFrame = {
+    require(everyMs > 0 && cap >= 1)
+    assets.toDF()
+      .select(col("asset_id"), col("media_type"), col("duration_ms"),
+        length(col("content")).cast("long").as("n_bytes"))
+      .withColumn("nf",
+        when(col("media_type") === "image", lit(1L))
+          .otherwise(least(lit(cap.toLong),
+            greatest(lit(1L), expr(s"duration_ms div $everyMs")))))
+      .select(col("asset_id"), col("media_type"), col("n_bytes"), col("nf"),
+        explode(expr("sequence(0L, nf - 1)")).as("frame_idx"))
+      .select(col("asset_id"), col("media_type"),
+        col("frame_idx").cast("long").as("frame_idx"),
+        (col("frame_idx") * everyMs).cast("long").as("offset_ms"),
+        expr("frame_idx * n_bytes div nf").as("byte_offset"),
+        expr("(frame_idx + 1) * n_bytes div nf - frame_idx * n_bytes div nf")
+          .as("frame_bytes"))
+      .orderBy(col("asset_id"), col("frame_idx"))
+  }
+
   final case class ResizedAsset(
       asset_id: Long,
       media_type: String,

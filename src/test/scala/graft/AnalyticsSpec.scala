@@ -379,4 +379,22 @@ class AnalyticsSpec extends SparkTestBase {
     assert(out.toSeq == Seq(
       (1L, 5L, Some(-10000L)), (2L, 4L, Some(10000L))))
   }
+
+  test("conversionLatency: earliest post-view purchase counts; pre-view purchases never do") {
+    val events = Seq(
+      // u10: view at 0, purchases at 10 s and 5 s → latency = 5 s
+      (1L, 10L, "view", ts(0L)), (2L, 10L, "purchase", ts(10000000L)),
+      (3L, 10L, "purchase", ts(5000000L)),
+      // u20: views, never buys
+      (4L, 20L, "view", ts(0L)),
+      // u30: bought BEFORE its first view — must not convert
+      (5L, 30L, "purchase", ts(1000000L)), (6L, 30L, "view", ts(2000000L))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val r = Analytics.conversionLatency(events).head()
+    assert(r.getAs[Long]("n_viewers") == 3L)
+    assert(r.getAs[Long]("n_converted") == 1L)
+    assert(r.getAs[Long]("conversion_e4") == 3333L)
+    assert(r.getAs[Long]("p50_us") == 5000000L)
+    assert(r.getAs[Long]("max_us") == 5000000L)
+  }
 }

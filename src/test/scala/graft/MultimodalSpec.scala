@@ -87,4 +87,32 @@ class MultimodalSpec extends SparkTestBase {
     assert(nn.length == 3)
     assert(nn.forall(_.getAs[Long]("asset_id") != 0L))
   }
+
+  test("sampleFrames: byte slices tile the payload exactly; hand case splits 10 into 3|3|4") {
+    import spark.implicits._
+    // invariant over the synthetic corpus: per asset, frame_bytes sum to
+    // n_bytes, offsets are the running sum (no gap, no overlap)
+    val frames = Multimodal.sampleFrames(Multimodal.syntheticAssets(spark, 60L))
+      .collect()
+      .map(r => (r.getAs[Long]("asset_id"), r.getAs[Long]("frame_idx"),
+        r.getAs[Long]("byte_offset"), r.getAs[Long]("frame_bytes")))
+    val byAsset = frames.groupBy(_._1)
+    val lens = Multimodal.syntheticAssets(spark, 60L).collect()
+      .map(a => a.asset_id -> a.content.length.toLong).toMap
+    byAsset.foreach { case (id, fs) =>
+      val sorted = fs.sortBy(_._2)
+      assert(sorted.map(_._4).sum == lens(id), s"asset $id lost bytes")
+      sorted.foldLeft(0L) { case (off, (_, _, bo, fb)) =>
+        assert(bo == off, s"asset $id frame gap at $bo != $off"); off + fb
+      }
+    }
+    // hand case: 3500 ms video, 10 bytes → frames of 3, 3, 4 bytes
+    val one = Seq(Multimodal.MediaAsset(7L, "video", "opus", 64, 64, 3500L,
+      Array.tabulate[Byte](10)(_.toByte))).toDS()
+    val out = Multimodal.sampleFrames(one).collect()
+      .map(r => (r.getAs[Long]("frame_idx"), r.getAs[Long]("offset_ms"),
+        r.getAs[Long]("byte_offset"), r.getAs[Long]("frame_bytes")))
+    assert(out.toSeq == Seq((0L, 0L, 0L, 3L), (1L, 1000L, 3L, 3L),
+      (2L, 2000L, 6L, 4L)))
+  }
 }
