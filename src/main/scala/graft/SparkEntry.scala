@@ -254,6 +254,9 @@ object SparkEntry {
     // conversion latency: first-view collapse + user equi-join residual
     "q_conversion_latency" -> ((s, d) =>
       Analytics.conversionLatency(Analytics.events(s, d))),
+    // Benford first-digit screen: string-head digit, frozen e6 expecteds
+    "q_benford" -> ((s, d) =>
+      Relational.benfordDigits(Relational.table(s, d, "orders"))),
     // frame-sampling plan: bounded row-local explode, exact byte tiling
     "q_media_frames" -> ((s, d) =>
       Multimodal.sampleFrames(Multimodal.syntheticAssets(s))),
@@ -1253,6 +1256,22 @@ object SparkEntry {
         |        ELSE max(abs(cum_t * (n - n_t) - (cum_all - cum_t) * n_t))
         |             * 10000 // (n_t * (n - n_t)) END)::BIGINT AS ks_e4
         |FROM cums GROUP BY event_type, n_t, n ORDER BY event_type""".stripMargin,
+    "q_benford" ->
+      """WITH d AS (
+        |  SELECT CAST(substr(CAST(floor(o_totalprice)::BIGINT AS VARCHAR), 1, 1)
+        |    AS BIGINT) AS digit
+        |  FROM orders WHERE o_totalprice >= 1.0),
+        |c AS (SELECT digit, count(*)::BIGINT AS n FROM d GROUP BY 1),
+        |s AS (
+        |  SELECT digit, n,
+        |    (n * 1000000 // sum(n) OVER ())::BIGINT AS share_e6
+        |  FROM c)
+        |SELECT digit, n, share_e6,
+        |  ([301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153,
+        |    45757])[digit]::BIGINT AS benford_e6,
+        |  (share_e6 - ([301030, 176091, 124939, 96910, 79181, 66947, 57992,
+        |    51153, 45757])[digit])::BIGINT AS dev_e6
+        |FROM s ORDER BY digit""".stripMargin,
     "q_conversion_latency" ->
       """WITH fv AS (
         |  SELECT user_id, min(ts) AS first_view FROM events

@@ -902,9 +902,13 @@ object Analytics {
     */
   def volumeAcf(df: DataFrame, maxLag: Int = 24): DataFrame = {
     require(maxLag >= 1, "maxLag must be at least 1")
+    // both join sides consume hourly but with different residual filters,
+    // which defeats ReuseExchange — a lazy persist of the (tiny) hour
+    // dimension keeps the fact scan single-pass
     val hourly = df
       .groupBy(date_trunc("hour", col("ts")).as("hour"))
       .agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val lags = df.sparkSession.range(1, maxLag + 1).select(col("id").as("lag"))
     val pairs = hourly.crossJoin(broadcast(lags))
       .withColumn("target", expr("timestampadd(HOUR, CAST(lag AS INT), hour)"))

@@ -773,6 +773,36 @@ object Relational {
       .orderBy(col("band"))
   }
 
+  /** Benford first-digit conformance of order totals — the classic
+    * anomaly screen on financial facts (organically-generated amounts
+    * follow log₁₀(1+1/d); fabricated ones rarely do). The digit comes
+    * from the INTEGER part's leading character (string head of a floored
+    * BIGINT — no float log in the hot path), and the expected shares are
+    * frozen e6 literals of log₁₀(1+1/d), so every output column is exact
+    * integer arithmetic with signed deviations.
+    *
+    * Shape: one row-local digit projection + a 9-row aggregate.
+    */
+  def benfordDigits(orders: DataFrame): DataFrame = {
+    // log10(1 + 1/d) rounded at e6, d = 1..9
+    val benfordE6 = Seq(301030L, 176091L, 124939L, 96910L, 79181L,
+      66947L, 57992L, 51153L, 45757L)
+    orders
+      .filter(col("o_totalprice") >= 1.0)
+      .select(substring(floor(col("o_totalprice")).cast("long").cast("string"),
+        1, 1).cast("long").as("digit"))
+      .groupBy(col("digit"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("share_e6", expr(
+        "n * 1000000 div sum(n) over ()"))
+      .withColumn("benford_e6",
+        element_at(array(benfordE6.map(lit): _*), col("digit").cast("int")))
+      .withColumn("dev_e6", col("share_e6") - col("benford_e6"))
+      .select(col("digit"), col("n"), col("share_e6"), col("benford_e6"),
+        col("dev_e6"))
+      .orderBy(col("digit"))
+  }
+
   /** Week-over-week revenue growth — the trend readout every revenue
     * dashboard carries next to the absolute series. Collapse-first: the
     * fact table folds to one row per ISO week (exact integer cents)

@@ -500,6 +500,28 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("SQL BROADCAST hint through the parser forces the small side broadcast") {
+    // the user-facing escape hatch when the size estimate is wrong:
+    // a /*+ BROADCAST */ hint in SQL text must survive the parser and
+    // override a disabled auto-broadcast threshold
+    val conf = spark.conf
+    val saved = conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      Relational.table(spark, sf, "customer").createOrReplaceTempView("cust_h")
+      Relational.table(spark, sf, "orders").createOrReplaceTempView("ord_h")
+      val p = plan(spark.sql(
+        """SELECT /*+ BROADCAST(c) */ c.c_mktsegment, count(*) AS n
+          |FROM ord_h o JOIN cust_h c ON o.o_custkey = c.c_custkey
+          |GROUP BY 1""".stripMargin))
+      assert(p.contains("BroadcastHashJoin"), s"hint lost:\n$p")
+      assert(!p.contains("SortMergeJoin"), p)
+    } finally saved match {
+      case Some(v) => conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+      case None => conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("runtime bloom filter prunes the fact side of a selective shuffle join") {
     // the 100 TB semi-join reduction path: when a fact⋈fact join's build
     // side is filtered selectively, Spark's runtime-filter rule should

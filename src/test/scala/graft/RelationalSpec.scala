@@ -138,4 +138,18 @@ class RelationalSpec extends SparkTestBase {
     assert(out.map(_._4).toSeq ==
       Seq(2222L, 4166L, 5833L, 7222L, 8333L, 9166L, 9722L, 10000L))
   }
+
+  test("benfordDigits: string-head digits, exact shares and signed deviations") {
+    // totals 1.5, 19, 25, 111 → digits 1,1,2,1: d1 share 750000 (dev
+    // +448970 vs 301030), d2 share 250000 (dev +73909 vs 176091)
+    val o = Seq((1L, 1.5), (2L, 19.0), (3L, 25.0), (4L, 111.0))
+      .toDF("o_orderkey", "o_totalprice")
+    val out = Relational.benfordDigits(o).collect()
+      .map(r => (r.getAs[Long]("digit"), r.getAs[Long]("n"),
+        r.getAs[Long]("share_e6"), r.getAs[Long]("benford_e6"),
+        r.getAs[Long]("dev_e6")))
+    assert(out.toSeq == Seq(
+      (1L, 3L, 750000L, 301030L, 448970L),
+      (2L, 1L, 250000L, 176091L, 73909L)))
+  }
 }
