@@ -67,7 +67,13 @@ object DumpPlans {
       "q_embedding_cov" -> "Gram-matrix covariance: ONE ObjectHashAggregate pass with a fixed ~17 KB buffer per partition, SinglePartition gather of buffers — the corpus never hash-shuffles",
       "q_pmi_collocations" -> "PMI collocations: row-local pair transform, vocab/bigram-keyed partial aggregates, term-keyed unigram joins, TakeOrderedAndProject top-k on the minCount-thinned table",
       "q_zipf_slope" -> "Zipf fit: vocab-keyed counts, WindowGroupLimit map-side top-N per source, regression as a sources-keyed aggregate over sources × topN rows",
-      "q_label_silhouette" -> "label silhouette: one label-keyed centroid aggregate, kilobyte packed-centroid broadcast, row-local own/other distances, labels-keyed mean")
+      "q_label_silhouette" -> "label silhouette: one label-keyed centroid aggregate, kilobyte packed-centroid broadcast, row-local own/other distances, labels-keyed mean",
+      "q_interval_join" -> "pure non-equi interval join rewritten as an hour-bucketed EQUI-join (broadcast exploded windows, range predicate as residual) — never a BroadcastNestedLoopJoin",
+      "q_scd2_history" -> "SCD2 change capture: LAG + change filter + LEAD + version all on ONE user_id exchange (Filter preserves partitioning and order)",
+      "q_triangles" -> "triangle census: single-exchange per-order set collapse → row-local pair explode; degree-ordered wedge enumeration bounds the join O(|E|^1.5)",
+      "q_rfm_segments" -> "RFM: exact quartile cutpoints as a 1-row broadcast, row-local binning — NO window operator over the customer dimension",
+      "q_psi_drift" -> "PSI drift: (type, period, bin) collapse first; per-bin e4-rounded contributions summed as integers on a types × bins frame",
+      "q_volume_acf" -> "hourly ACF: persisted hour dimension joined on hour+k arithmetic — missing hours leave holes instead of misaligning a row-lead")
 
     val sb = new StringBuilder
     sb.append("# PLANS — explain(\"formatted\") for headline queries\n\n")
