@@ -257,6 +257,9 @@ object SparkEntry {
     // Benford first-digit screen: string-head digit, frozen e6 expecteds
     "q_benford" -> ((s, d) =>
       Relational.benfordDigits(Relational.table(s, d, "orders"))),
+    // log-binned degree distribution: binary-string width, no float log
+    "q_degree_distribution" -> ((s, d) =>
+      Graph.degreeDistribution(Relational.table(s, d, "lineitem"))),
     // frame-sampling plan: bounded row-local explode, exact byte tiling
     "q_media_frames" -> ((s, d) =>
       Multimodal.sampleFrames(Multimodal.syntheticAssets(s))),
@@ -1256,6 +1259,24 @@ object SparkEntry {
         |        ELSE max(abs(cum_t * (n - n_t) - (cum_all - cum_t) * n_t))
         |             * 10000 // (n_t * (n - n_t)) END)::BIGINT AS ks_e4
         |FROM cums GROUP BY event_type, n_t, n ORDER BY event_type""".stripMargin,
+    "q_degree_distribution" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |p AS MATERIALIZED (
+        |  SELECT a.pk AS u, b.pk AS v
+        |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |deg AS (
+        |  SELECT n, count(*)::BIGINT AS d FROM (
+        |    SELECT u AS n FROM p UNION ALL SELECT v FROM p) GROUP BY 1),
+        |b AS (
+        |  SELECT length(printf('%b', d))::BIGINT AS bin_width,
+        |    count(*)::BIGINT AS n_nodes,
+        |    min(d)::BIGINT AS min_degree, max(d)::BIGINT AS max_degree
+        |  FROM deg GROUP BY 1)
+        |SELECT bin_width, n_nodes, min_degree, max_degree,
+        |  (n_nodes * 10000 // sum(n_nodes) OVER ())::BIGINT AS share_e4
+        |FROM b ORDER BY bin_width""".stripMargin,
     "q_benford" ->
       """WITH d AS (
         |  SELECT CAST(substr(CAST(floor(o_totalprice)::BIGINT AS VARCHAR), 1, 1)

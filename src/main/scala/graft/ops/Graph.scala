@@ -181,6 +181,30 @@ object Graph {
           "ELSE 3 * n_triangles * 10000 div n_wedges END").as("clustering_e4"))
   }
 
+  /** Log-binned degree distribution of the co-purchase graph — the
+    * heavy-tail readout (is this a power-law hub graph or a bounded
+    * lattice?) that decides whether degree-ordered algorithms like
+    * [[triangleCount]]'s orientation are worth their plumbing. Binning
+    * is INTEGER-exact: a node of degree d lands in bin
+    * `width = len(binary(d))` (i.e. floor(log₂ d) + 1) computed from the
+    * binary-string length on both engines — no float log at any degree,
+    * including the exact powers of two where libm log₂ rounding is
+    * engine-lore.
+    *
+    * Shape: degree aggregate (node-dimension) + a ≤64-row bin aggregate.
+    */
+  def degreeDistribution(lineitem: DataFrame, minSupport: Long = 2): DataFrame = {
+    val pairs = Relational.partPairCounts(lineitem, minSupport)
+    val deg = pairs.select(col("u").as("n"))
+      .unionAll(pairs.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    deg.groupBy(length(bin(col("d"))).cast("long").as("bin_width"))
+      .agg(count(lit(1)).as("n_nodes"),
+        min(col("d")).as("min_degree"), max(col("d")).as("max_degree"))
+      .withColumn("share_e4", expr("n_nodes * 10000 div sum(n_nodes) over ()"))
+      .orderBy(col("bin_width"))
+  }
+
   /** Degree assortativity of the co-purchase graph — do high-degree
     * parts co-occur with other hubs (r > 0) or with leaves (r < 0)?
     * Computed as the Pearson correlation of end-point degrees over the

@@ -76,6 +76,22 @@ class GraphSpec extends SparkTestBase {
     assert(r.getAs[Long]("n_edges") == 3L)
     assert(r.getAs[Long]("assortativity_e4") == -10000L)
   }
+
+  test("degreeDistribution: binary-width bins split the star's hub from its leaves") {
+    import spark.implicits._
+    val li = Seq( // same star: center 1 (degree 3), leaves 2,3,4 (degree 1)
+      (1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L),
+      (3L, 1L), (3L, 3L), (4L, 1L), (4L, 3L),
+      (5L, 1L), (5L, 4L), (6L, 1L), (6L, 4L)
+    ).toDF("l_orderkey", "l_partkey")
+    val out = graft.ops.Graph.degreeDistribution(li, minSupport = 2).collect()
+      .map(r => (r.getAs[Long]("bin_width"), r.getAs[Long]("n_nodes"),
+        r.getAs[Long]("min_degree"), r.getAs[Long]("max_degree"),
+        r.getAs[Long]("share_e4")))
+    assert(out.toSeq == Seq(
+      (1L, 3L, 1L, 1L, 7500L), // degree 1 → binary "1", width 1
+      (2L, 1L, 3L, 3L, 2500L))) // degree 3 → binary "11", width 2
+  }
 }
 
 private object Graft {

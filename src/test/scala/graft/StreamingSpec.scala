@@ -1048,4 +1048,39 @@ class StreamingSpec extends SparkTestBase {
       } finally q.stop()
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
+
+  test("quantile monitor: one-bin-width error bound holds across batches; clips counted") {
+    implicit val ctx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[(String, Double)]
+      val stream = input.toDF().toDF("event_type", "value")
+      // unit-width bins over [0, 128): estimate = exact upper bin edge
+      val qm = graft.stream.Quantiles.monitor(stream, lo = 0.0, hi = 128.0,
+        nBins = 128)
+      val q = qm.toDF().writeStream.format("memory").queryName("qm_sink")
+        .outputMode("update").start()
+      try {
+        // values 1..100 split across two unordered batches + one clip
+        val vals = (1 to 100).map(_.toDouble)
+        val (b2, b1) = vals.partition(_ % 3 == 0)
+        input.addData(b1.map(("A", _)): _*)
+        q.processAllAvailable()
+        input.addData((b2.map(("A", _)) :+ (("A", 999.0))): _*)
+        q.processAllAvailable()
+        val last = spark.table("qm_sink").collect()
+          .map(r => (r.getAs[Long]("n"), r.getAs[Long]("n_clipped"),
+            r.getAs[Double]("p50"), r.getAs[Double]("p95"),
+            r.getAs[Double]("p99"))).maxBy(_._1)
+        // v ∈ [i, i+1) → bin i; cum hits ⌈q·100⌉ at bin q·100 → edge +1
+        assert(last == ((100L, 1L, 51.0, 96.0, 100.0)), last.toString)
+        // exact percentiles of 1..100 are 50.5 / 95.05 / 99.01 — each
+        // estimate sits within one bin width, the documented bound
+        assert(math.abs(last._3 - 50.5) <= 1.0)
+        assert(math.abs(last._4 - 95.05) <= 1.0)
+        assert(math.abs(last._5 - 99.01) <= 1.0)
+      } finally q.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
 }
