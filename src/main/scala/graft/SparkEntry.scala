@@ -260,6 +260,27 @@ object SparkEntry {
     // log-binned degree distribution: binary-string width, no float log
     "q_degree_distribution" -> ((s, d) =>
       Graph.degreeDistribution(Relational.table(s, d, "lineitem"))),
+    // WITH RECURSIVE through the parser (new in Spark 4): BFS hop counts
+    // from the smallest part over co-purchase edges, depth-bounded so the
+    // path fan-out stays finite; min(depth) collapses path multiplicity
+    "q_sql_reachability" -> ((s, d) => {
+      Relational.table(s, d, "lineitem").createOrReplaceTempView("li_rec")
+      s.sql(
+        """WITH RECURSIVE
+          |items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM li_rec),
+          |p AS (SELECT a.pk AS u, b.pk AS v FROM items a JOIN items b
+          |        ON a.ok = b.ok AND a.pk < b.pk
+          |      GROUP BY 1, 2 HAVING count(*) >= 2),
+          |e AS (SELECT u, v FROM p UNION ALL SELECT v AS u, u AS v FROM p),
+          |seed AS (SELECT min(u) AS s FROM e),
+          |reach(pk, depth) AS (
+          |  SELECT s, 0 FROM seed
+          |  UNION ALL
+          |  SELECT e.v, r.depth + 1 FROM reach r JOIN e ON e.u = r.pk
+          |  WHERE r.depth < 3)
+          |SELECT pk, CAST(min(depth) AS BIGINT) AS hops FROM reach GROUP BY pk
+          |ORDER BY pk""".stripMargin)
+    }),
     // frame-sampling plan: bounded row-local explode, exact byte tiling
     "q_media_frames" -> ((s, d) =>
       Multimodal.sampleFrames(Multimodal.syntheticAssets(s))),
@@ -1259,6 +1280,21 @@ object SparkEntry {
         |        ELSE max(abs(cum_t * (n - n_t) - (cum_all - cum_t) * n_t))
         |             * 10000 // (n_t * (n - n_t)) END)::BIGINT AS ks_e4
         |FROM cums GROUP BY event_type, n_t, n ORDER BY event_type""".stripMargin,
+    "q_sql_reachability" ->
+      """WITH RECURSIVE
+        |items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |p AS (SELECT a.pk AS u, b.pk AS v FROM items a JOIN items b
+        |        ON a.ok = b.ok AND a.pk < b.pk
+        |      GROUP BY 1, 2 HAVING count(*) >= 2),
+        |e AS (SELECT u, v FROM p UNION ALL SELECT v AS u, u AS v FROM p),
+        |seed AS (SELECT min(u) AS s FROM e),
+        |reach(pk, depth) AS (
+        |  SELECT s, 0 FROM seed
+        |  UNION ALL
+        |  SELECT e.v, r.depth + 1 FROM reach r JOIN e ON e.u = r.pk
+        |  WHERE r.depth < 3)
+        |SELECT pk, min(depth)::BIGINT AS hops FROM reach GROUP BY pk
+        |ORDER BY pk""".stripMargin,
     "q_degree_distribution" ->
       """WITH items AS (
         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),

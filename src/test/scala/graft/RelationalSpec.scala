@@ -152,4 +152,32 @@ class RelationalSpec extends SparkTestBase {
       (1L, 3L, 750000L, 301030L, 448970L),
       (2L, 1L, 250000L, 176091L, 73909L)))
   }
+
+  test("recursive CTE reachability: BFS hop counts on a hand path graph") {
+    // path 1—2—3 (each edge ×2 orders for the support cut), isolated 9—10:
+    // from seed 1: hops 0, 1, 2; parts 9/10 unreachable and absent
+    val li = Seq(
+      (1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L),
+      (3L, 2L), (3L, 3L), (4L, 2L), (4L, 3L),
+      (5L, 9L), (5L, 10L), (6L, 9L), (6L, 10L)
+    ).toDF("l_orderkey", "l_partkey")
+    li.createOrReplaceTempView("li_rec")
+    val out = spark.sql(
+      """WITH RECURSIVE
+        |items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM li_rec),
+        |p AS (SELECT a.pk AS u, b.pk AS v FROM items a JOIN items b
+        |        ON a.ok = b.ok AND a.pk < b.pk
+        |      GROUP BY 1, 2 HAVING count(*) >= 2),
+        |e AS (SELECT u, v FROM p UNION ALL SELECT v AS u, u AS v FROM p),
+        |seed AS (SELECT min(u) AS s FROM e),
+        |reach(pk, depth) AS (
+        |  SELECT s, 0 FROM seed
+        |  UNION ALL
+        |  SELECT e.v, r.depth + 1 FROM reach r JOIN e ON e.u = r.pk
+        |  WHERE r.depth < 3)
+        |SELECT pk, CAST(min(depth) AS BIGINT) AS hops FROM reach GROUP BY pk
+        |ORDER BY pk""".stripMargin)
+      .as[(Long, Long)].collect()
+    assert(out.toSeq == Seq((1L, 0L), (2L, 1L), (3L, 2L)))
+  }
 }
