@@ -260,6 +260,32 @@ object SparkEntry {
     // log-binned degree distribution: binary-string width, no float log
     "q_degree_distribution" -> ((s, d) =>
       Graph.degreeDistribution(Relational.table(s, d, "lineitem"))),
+    // VARIANT (Spark 4's semi-structured type) end to end: props JSON →
+    // parse_json → typed variant_get paths → per-type aggregate. The
+    // open-schema path a pipeline takes BEFORE columns are promoted —
+    // at scale the same query reads shredded variant subcolumns
+    "q_variant_props" -> ((s, d) => {
+      Analytics.events(s, d).createOrReplaceTempView("events_var")
+      s.sql(
+        """SELECT event_type,
+          |  count(variant_get(parse_json(props), '$.k', 'long')) AS n_with_k,
+          |  sum(variant_get(parse_json(props), '$.k', 'long')) AS sum_k,
+          |  min(variant_get(parse_json(props), '$.k', 'long')) AS min_k,
+          |  max(variant_get(parse_json(props), '$.k', 'long')) AS max_k
+          |FROM events_var GROUP BY event_type ORDER BY event_type""".stripMargin)
+    }),
+    // SQL pipe syntax (Spark 4): the same relational algebra, dataflow
+    // order — parser surface a migrating user will reach for
+    "q_sql_pipe" -> ((s, d) => {
+      Analytics.events(s, d).createOrReplaceTempView("events_pipe")
+      s.sql(
+        """FROM events_pipe
+          ||> WHERE value > 0
+          ||> AGGREGATE count(*) AS n,
+          |     sum(CAST(floor(value * 10000) AS BIGINT)) AS value_e4
+          |     GROUP BY event_type
+          ||> ORDER BY event_type""".stripMargin)
+    }),
     // WITH RECURSIVE through the parser (new in Spark 4): BFS hop counts
     // from the smallest part over co-purchase edges, depth-bounded so the
     // path fan-out stays finite; min(depth) collapses path multiplicity
@@ -1280,6 +1306,18 @@ object SparkEntry {
         |        ELSE max(abs(cum_t * (n - n_t) - (cum_all - cum_t) * n_t))
         |             * 10000 // (n_t * (n - n_t)) END)::BIGINT AS ks_e4
         |FROM cums GROUP BY event_type, n_t, n ORDER BY event_type""".stripMargin,
+    "q_variant_props" ->
+      """SELECT event_type,
+        |  count(json_extract(props, '$.k'))::BIGINT AS n_with_k,
+        |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS sum_k,
+        |  min(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS min_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_sql_pipe" ->
+      """SELECT event_type, count(*)::BIGINT AS n,
+        |  sum(floor(value * 10000)::BIGINT)::BIGINT AS value_e4
+        |FROM events WHERE value > 0
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_sql_reachability" ->
       """WITH RECURSIVE
         |items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),

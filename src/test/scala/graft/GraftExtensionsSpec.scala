@@ -63,4 +63,16 @@ class GraftExtensionsSpec extends SparkTestBase {
       SparkSession.setActiveSession(prev)
     }
   }
+
+  test("collated comparison and grouping fold case (Spark 4 collation surface)") {
+    // the engine-surface pin for COLLATE: UTF8_LCASE equality and
+    // grouping treat 'Web'/'WEB'/'web' as one key without lower() calls
+    val out = spark.sql(
+      """SELECT src COLLATE UTF8_LCASE AS k, count(*) AS n
+        |FROM VALUES ('Web'), ('WEB'), ('web'), ('Books') AS t(src)
+        |GROUP BY k ORDER BY n DESC""".stripMargin).collect()
+      .map(r => (r.getString(0).toLowerCase, r.getLong(1)))
+    assert(out.toSeq == Seq(("web", 3L), ("books", 1L)))
+    assert(spark.sql("SELECT 'AbC' COLLATE UTF8_LCASE = 'abc'").head().getBoolean(0))
+  }
 }
