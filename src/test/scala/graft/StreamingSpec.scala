@@ -1049,6 +1049,31 @@ class StreamingSpec extends SparkTestBase {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("state store reader: a stopped query's aggregation state is queryable offline") {
+    // the operational debugging surface: when a stateful stream
+    // misbehaves in production, you read its checkpointed state AS A
+    // DATAFRAME instead of guessing — here a keyed count's state is
+    // inspected after the query stops and must equal what the sink saw
+    implicit val ctx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_state_rd").toString
+    val input = MemoryStream[String]
+    val counts = input.toDF().toDF("event_type")
+      .groupBy($"event_type").count()
+    val q = counts.writeStream.format("memory").queryName("ssr_sink")
+      .option("checkpointLocation", ckpt)
+      .outputMode("update").start()
+    try {
+      input.addData("a", "a", "b")
+      q.processAllAvailable()
+      input.addData("a", "c")
+      q.processAllAvailable()
+    } finally q.stop()
+    val state = spark.read.format("statestore").load(ckpt)
+      .selectExpr("key.event_type", "value.count")
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    assert(state.toSeq == Seq(("a", 3L), ("b", 1L), ("c", 1L)), state.mkString(","))
+  }
+
   test("quantile monitor: one-bin-width error bound holds across batches; clips counted") {
     implicit val ctx = spark.sqlContext
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
