@@ -882,7 +882,8 @@ object Analytics {
     firstView.agg(count(lit(1)).as("n_viewers"))
       .crossJoin(broadcast(stats))
       .select(col("n_viewers"), col("n_converted"),
-        expr("n_converted * 10000 div n_viewers").as("conversion_e4"),
+        expr("CASE WHEN n_viewers = 0 THEN NULL " +
+          "ELSE n_converted * 10000 div n_viewers END").as("conversion_e4"),
         floor(element_at(col("ps"), 1)).cast("long").as("p50_us"),
         floor(element_at(col("ps"), 2)).cast("long").as("p75_us"),
         col("max_us"))

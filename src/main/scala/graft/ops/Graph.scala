@@ -168,10 +168,11 @@ object Graph {
     val tri = wedges
       .join(oriented.select(col("s").as("t1"), col("t").as("t2")), Seq("t1", "t2"))
       .agg(count(lit(1)).as("n_triangles"))
+    // coalesce: an empty graph reports REAL zeros, not NULL sums
     val sums = deg.agg(
       count(lit(1)).as("n_nodes"),
-      expr("sum(d) div 2").as("n_edges"),
-      sum(expr("d * (d - 1) div 2")).as("n_wedges"))
+      expr("coalesce(sum(d) div 2, 0L)").as("n_edges"),
+      expr("coalesce(sum(d * (d - 1) div 2), 0L)").as("n_wedges"))
     // pairs stays a lazy persist (three consumers: degrees + both wedge
     // legs); construction runs no jobs and Bench/Verify clear the pool
     sums.crossJoin(broadcast(tri))

@@ -77,4 +77,36 @@ class EmptyInputSpec extends SparkTestBase {
     val skew = Analytics.keySkew(noEvents).count()
     assert(skew == 0 || skew == 2) // per-dim rows may vanish or report n_keys=0
   }
+
+  test("third-session operators survive empty inputs") {
+    assert(Analytics.campaignWindowJoin(noEvents).count() == 0)
+    assert(Analytics.changeCapture(noEvents).count() == 0)
+    assert(Analytics.chiSquare(noEvents).count() == 0)
+    assert(Analytics.ksTest(noEvents).count() == 0)
+    assert(Analytics.psiDrift(noEvents).count() == 0)
+    assert(Analytics.trimmedStats(noEvents).count() == 0)
+    assert(Analytics.typeAffinity(noEvents).count() == 0)
+    assert(Analytics.eventTrigrams(noEvents).count() == 0)
+    assert(Analytics.volumeAcf(noEvents).count() == 0)
+    assert(Analytics.incrementalRollup(noEvents).count() == 0)
+    // summary-row reports are DEFINED on empty input: real zero counters,
+    // null latency stats (nothing converted from nothing)
+    val cl = Analytics.conversionLatency(noEvents).head()
+    assert(cl.getAs[Long]("n_viewers") == 0L &&
+      cl.getAs[Long]("n_converted") == 0L)
+    val noLi = Seq.empty[(Long, Long, Double, Double)]
+      .toDF("l_orderkey", "l_partkey", "l_extendedprice", "l_discount")
+    assert(graft.ops.Relational.basketPairs(noLi).count() == 0)
+    assert(graft.ops.Relational.revenueConcentration(noLi).count() == 0)
+    assert(graft.ops.Graph.degreeDistribution(noLi).count() == 0)
+    val tri = graft.ops.Graph.triangleCount(noLi).head()
+    assert(tri.getAs[Long]("n_nodes") == 0L &&
+      tri.getAs[Long]("n_triangles") == 0L &&
+      tri.getAs[Long]("clustering_e4") == 0L)
+    val noOrders = Seq.empty[(Long, Long, Double, java.sql.Timestamp)]
+      .toDF("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    assert(graft.ops.Relational.rfmSegments(noOrders).count() == 0)
+    assert(graft.ops.Relational.revenueGrowth(noOrders).count() == 0)
+    assert(graft.ops.Relational.benfordDigits(noOrders).count() == 0)
+  }
 }
