@@ -257,6 +257,23 @@ object SparkEntry {
     // Benford first-digit screen: string-head digit, frozen e6 expecteds
     "q_benford" -> ((s, d) =>
       Relational.benfordDigits(Relational.table(s, d, "orders"))),
+    // TPC-H Q17 shape: correlated per-part average threshold, decorrelated
+    // to an aggregate + self-key join, exact integer comparison
+    "q_small_quantity_revenue" -> ((s, d) =>
+      Relational.smallQuantityRevenue(
+        Relational.table(s, d, "lineitem"), Relational.table(s, d, "part"))),
+    // UNPIVOT through the parser: wide per-type measures → long form
+    "q_sql_unpivot" -> ((s, d) => {
+      Analytics.events(s, d).createOrReplaceTempView("events_unp")
+      s.sql(
+        """SELECT event_type, metric, metric_value FROM (
+          |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+          |    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+          |    sum(CAST(floor(value * 10000) AS BIGINT)) AS value_e4
+          |  FROM events_unp GROUP BY event_type)
+          |UNPIVOT (metric_value FOR metric IN (n_events, n_users, value_e4))
+          |ORDER BY event_type, metric""".stripMargin)
+    }),
     // log-binned degree distribution: binary-string width, no float log
     "q_degree_distribution" -> ((s, d) =>
       Graph.degreeDistribution(Relational.table(s, d, "lineitem"))),
@@ -1351,6 +1368,35 @@ object SparkEntry {
         |SELECT bin_width, n_nodes, min_degree, max_degree,
         |  (n_nodes * 10000 // sum(n_nodes) OVER ())::BIGINT AS share_e4
         |FROM b ORDER BY bin_width""".stripMargin,
+    "q_small_quantity_revenue" ->
+      """WITH bl AS (
+        |  SELECT l_partkey, l_quantity, l_extendedprice
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand LIKE 'Brand#1%'),
+        |pp AS (
+        |  SELECT l_partkey AS pk,
+        |    sum((CAST(l_quantity AS DECIMAL(12,2)) * 100)::BIGINT)::BIGINT
+        |      AS sum_q_e2,
+        |    count(*)::BIGINT AS n_lines
+        |  FROM bl GROUP BY 1)
+        |SELECT count(*)::BIGINT AS n_small_lines,
+        |  sum((CAST(l_extendedprice AS DECIMAL(18,2)) * 100)::BIGINT)::DOUBLE
+        |    / 100.0 / 7.0 AS avg_yearly
+        |FROM bl JOIN pp ON l_partkey = pk
+        |WHERE (CAST(l_quantity AS DECIMAL(12,2)) * 100)::BIGINT
+        |      * n_lines * 100 < sum_q_e2 * 20""".stripMargin,
+    "q_sql_unpivot" ->
+      """WITH a AS (
+        |  SELECT event_type, count(*)::BIGINT AS n_events,
+        |    count(DISTINCT user_id)::BIGINT AS n_users,
+        |    sum(floor(value * 10000)::BIGINT)::BIGINT AS value_e4
+        |  FROM events GROUP BY event_type)
+        |SELECT event_type, 'n_events' AS metric, n_events AS metric_value FROM a
+        |UNION ALL
+        |SELECT event_type, 'n_users', n_users FROM a
+        |UNION ALL
+        |SELECT event_type, 'value_e4', value_e4 FROM a
+        |ORDER BY event_type, metric""".stripMargin,
     "q_benford" ->
       """WITH d AS (
         |  SELECT CAST(substr(CAST(floor(o_totalprice)::BIGINT AS VARCHAR), 1, 1)

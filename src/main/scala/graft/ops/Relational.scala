@@ -773,6 +773,39 @@ object Relational {
       .orderBy(col("band"))
   }
 
+  /** TPC-H Q17-shaped small-quantity revenue: lines whose quantity is
+    * below 20% of their PART's average quantity — the correlated-
+    * aggregate threshold join (the remaining classic correlation shape
+    * next to the min-cost scalar subquery). Catalyst decorrelates this
+    * to a per-part average aggregate joined back on the part key; the
+    * threshold is exact integer e2 arithmetic (avg as sum·20 div
+    * count·... routed through cents, one integer comparison per line —
+    * never a float boundary).
+    *
+    * Shape: ONE extra aggregate over lineitem (part-keyed, partial+
+    * final) + a part-key equi-join back to the fact — both sides share
+    * the l_partkey exchange. Output is a single summary row
+    * (yearly-equivalent revenue in exact cents→double at the end).
+    */
+  def smallQuantityRevenue(
+      li: DataFrame, part: DataFrame, brandPrefix: String = "Brand#1"): DataFrame = {
+    val cents = (money("l_extendedprice") * 100).cast("long")
+    // 0.2 · avg(qty) > qty  ⇔  qty_e2·count·100 < sum(qty_e2)·20, all long
+    val qtyE2 = (col("l_quantity").cast("decimal(12,2)") * 100).cast("long")
+    val brandLines = li.join(
+      broadcast(part.filter(col("p_brand").startsWith(brandPrefix))
+        .select(col("p_partkey"))),
+      col("l_partkey") === col("p_partkey"))
+    val perPart = brandLines
+      .groupBy(col("l_partkey").as("pk"))
+      .agg(sum(qtyE2).as("sum_q_e2"), count(lit(1)).as("n_lines"))
+    brandLines.join(perPart, col("l_partkey") === col("pk"))
+      .filter(qtyE2 * col("n_lines") * 100 < col("sum_q_e2") * 20)
+      .agg(
+        count(lit(1)).as("n_small_lines"),
+        (sum(cents).cast("double") / 100.0 / 7.0).as("avg_yearly"))
+  }
+
   /** Benford first-digit conformance of order totals — the classic
     * anomaly screen on financial facts (organically-generated amounts
     * follow log₁₀(1+1/d); fabricated ones rarely do). The digit comes

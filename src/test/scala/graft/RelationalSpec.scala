@@ -153,6 +153,30 @@ class RelationalSpec extends SparkTestBase {
       (2L, 1L, 250000L, 176091L, 73909L)))
   }
 
+  test("smallQuantityRevenue: integer threshold picks exactly the below-20%-of-avg line") {
+    // part 1 (Brand#11): quantities 1, 10, 10 → avg 7, cutoff 1.4 → only
+    // the qty-1 line (price 70) counts → avg_yearly = 70/7 = 10.0;
+    // part 2 wears another brand and must be excluded entirely
+    val li = Seq(
+      (1L, 1L, 1.0, 70.0), (2L, 1L, 10.0, 500.0), (3L, 1L, 10.0, 500.0),
+      (4L, 2L, 1.0, 999.0)
+    ).toDF("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+    val part = Seq((1L, "Brand#11"), (2L, "Brand#22")).toDF("p_partkey", "p_brand")
+    val r = Relational.smallQuantityRevenue(li, part).head()
+    assert(r.getAs[Long]("n_small_lines") == 1L)
+    assert(r.getAs[Double]("avg_yearly") == 10.0)
+  }
+
+  test("ANSI is on: division by zero throws, the try_ family degrades to null") {
+    // Spark 4 defaults to ANSI semantics — the engine must FAIL loudly
+    // on bad arithmetic unless the pipeline opts into try_* degradation
+    assert(spark.conf.get("spark.sql.ansi.enabled") == "true")
+    intercept[Exception] { spark.sql("SELECT 1/0").collect() }
+    val r = spark.sql(
+      "SELECT try_divide(1, 0) AS d, try_cast('oops' AS INT) AS c").head()
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
   test("recursive CTE reachability: BFS hop counts on a hand path graph") {
     // path 1—2—3 (each edge ×2 orders for the support cut), isolated 9—10:
     // from seed 1: hops 0, 1, 2; parts 9/10 unreachable and absent
