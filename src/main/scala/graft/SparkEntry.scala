@@ -257,6 +257,32 @@ object SparkEntry {
     // Benford first-digit screen: string-head digit, frozen e6 expecteds
     "q_benford" -> ((s, d) =>
       Relational.benfordDigits(Relational.table(s, d, "orders"))),
+    // supply-concentration outliers: collapse-first, integer share test
+    "q_supplier_concentration" -> ((s, d) =>
+      Relational.supplierConcentration(Relational.table(s, d, "lineitem"))),
+    // TPC-H Q15 shape: quarter revenue per supplier, decimal-exact max
+    // kept as a broadcast scalar join (ties preserved)
+    "q_top_supplier" -> ((s, d) =>
+      Relational.topSupplier(
+        Relational.table(s, d, "lineitem"), Relational.table(s, d, "supplier"))),
+    // interval concurrency WITHOUT a range join: sweep-line ±1 deltas
+    // aggregated onto the day dimension, running sum there only
+    "q_order_backlog" -> ((s, d) =>
+      Relational.orderBacklog(
+        Relational.table(s, d, "orders"), Relational.table(s, d, "lineitem"))),
+    // SCD2 point-in-time lookup: user-keyed equi-join, validity residual
+    "q_scd2_lookup" -> ((s, d) => Analytics.scd2Lookup(Analytics.events(s, d))),
+    // time-weighted average: per-user LEAD holds, decimal×micros exact
+    "q_twap" -> ((s, d) => Analytics.timeWeightedValue(Analytics.events(s, d))),
+    // median/MAD robust outlier screen: integer cents, dyadic medians,
+    // exact k·MAD boundary
+    "q_mad_outliers" -> ((s, d) => Analytics.madOutliers(Analytics.events(s, d))),
+    // first→last journey endpoints in ONE user aggregate (struct argmin)
+    "q_entry_exit_flows" -> ((s, d) =>
+      Analytics.entryExitFlows(Analytics.events(s, d))),
+    // cohort LTV: first-touch spine + purchase join, cumulative cents on
+    // the triangular cohort×offset dimension
+    "q_cohort_ltv" -> ((s, d) => Analytics.cohortLtv(Analytics.events(s, d))),
     // TPC-H Q17 shape: correlated per-part average threshold, decorrelated
     // to an aggregate + self-key join, exact integer comparison
     "q_small_quantity_revenue" -> ((s, d) =>
@@ -1836,6 +1862,151 @@ object SparkEntry {
         |  lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
         |    AS valid_to_us
         |FROM v ORDER BY user_id, version""".stripMargin,
+    "q_scd2_lookup" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev_type
+        |  FROM events WHERE user_id % 3 = 0),
+        |v AS (
+        |  SELECT user_id, event_type, ts, event_id FROM c
+        |  WHERE prev_type IS NULL OR prev_type <> event_type),
+        |h AS (
+        |  SELECT user_id,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)::BIGINT
+        |      AS version,
+        |    event_type AS state_type,
+        |    epoch_us(ts) AS valid_from_us,
+        |    lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS valid_to_us
+        |  FROM v),
+        |p AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+        |  WHERE event_type = 'purchase' AND user_id % 3 = 0)
+        |SELECT p.event_id, p.user_id, p.ts_us, h.version, h.state_type
+        |FROM p JOIN h ON p.user_id = h.user_id
+        |  AND h.valid_from_us <= p.ts_us
+        |  AND (h.valid_to_us IS NULL OR p.ts_us < h.valid_to_us)
+        |ORDER BY p.event_id""".stripMargin,
+    "q_twap" ->
+      """WITH h AS (
+        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+        |    lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      - epoch_us(ts) AS hold_us
+        |  FROM events)
+        |SELECT event_type, count(*)::BIGINT AS n_holds,
+        |  sum(hold_us)::BIGINT AS total_hold_us,
+        |  round(sum(cents * hold_us)::DOUBLE / sum(hold_us) / 100.0, 6)
+        |    AS twap_value,
+        |  round(sum(cents)::DOUBLE / count(*) / 100.0, 6) AS plain_avg
+        |FROM h WHERE hold_us IS NOT NULL
+        |GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "q_mad_outliers" ->
+      """WITH c AS (
+        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |m AS (
+        |  SELECT event_type,
+        |    CAST(round(quantile_cont(cents, 0.5) * 2) AS BIGINT) AS med2x
+        |  FROM c GROUP BY 1),
+        |d AS (
+        |  SELECT c.event_type, m.med2x,
+        |    abs(c.cents * 2 - m.med2x)::DOUBLE AS dev2x
+        |  FROM c JOIN m USING (event_type)),
+        |md AS (
+        |  SELECT event_type,
+        |    CAST(round(quantile_cont(dev2x, 0.5) * 2) AS BIGINT) AS mad4x
+        |  FROM d GROUP BY 1)
+        |SELECT d.event_type, count(*)::BIGINT AS n,
+        |  round(max(d.med2x) / 200.0, 4) AS median_value,
+        |  round(max(md.mad4x) / 400.0, 4) AS mad_value,
+        |  sum(CASE WHEN d.dev2x * 2 > 3 * md.mad4x THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_outliers
+        |FROM d JOIN md USING (event_type)
+        |GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "q_entry_exit_flows" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS rn_a,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC,
+        |      event_id DESC) AS rn_d
+        |  FROM events)
+        |SELECT f.event_type AS entry_type, l.event_type AS exit_type,
+        |  count(*)::BIGINT AS n_users
+        |FROM (SELECT user_id, event_type FROM r WHERE rn_a = 1) f
+        |JOIN (SELECT user_id, event_type FROM r WHERE rn_d = 1) l
+        |  USING (user_id)
+        |GROUP BY 1, 2 ORDER BY entry_type, exit_type""".stripMargin,
+    "q_cohort_ltv" ->
+      """WITH fd AS (
+        |  SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day
+        |  FROM events GROUP BY 1),
+        |p AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS active_day,
+        |    (CAST(value AS DECIMAL(12,2)) * 100)::BIGINT AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |cell AS (
+        |  SELECT fd.cohort_day,
+        |    (p.active_day - fd.cohort_day)::BIGINT AS day_offset,
+        |    sum(p.cents)::BIGINT AS revenue_cents,
+        |    count(DISTINCT p.user_id)::BIGINT AS n_buyers
+        |  FROM p JOIN fd USING (user_id) GROUP BY 1, 2)
+        |SELECT epoch_us(cohort_day::TIMESTAMP) AS cohort_day_us, day_offset,
+        |  n_buyers, revenue_cents,
+        |  sum(revenue_cents) OVER (PARTITION BY cohort_day ORDER BY day_offset
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+        |    AS cum_revenue_cents
+        |FROM cell ORDER BY cohort_day_us, day_offset""".stripMargin,
+    "q_supplier_concentration" ->
+      """WITH ps AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    sum(CAST(l_quantity AS DECIMAL(12,2)))::BIGINT AS supp_qty
+        |  FROM lineitem GROUP BY 1, 2),
+        |t AS (
+        |  SELECT l_partkey, l_suppkey, supp_qty,
+        |    sum(supp_qty) OVER (PARTITION BY l_partkey)::BIGINT AS part_qty,
+        |    count(*) OVER (PARTITION BY l_partkey)::BIGINT AS n_suppliers
+        |  FROM ps)
+        |SELECT l_partkey, l_suppkey, supp_qty, part_qty, n_suppliers,
+        |  (supp_qty * 10000 // part_qty)::BIGINT AS share_e4
+        |FROM t WHERE supp_qty * n_suppliers > 3 * part_qty
+        |ORDER BY l_partkey, l_suppkey""".stripMargin,
+    "q_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |        * (CAST(1.0 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+        |      AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, total_revenue::DOUBLE AS total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q_order_backlog" ->
+      """WITH ls AS (
+        |  SELECT l_orderkey, max(CAST(l_shipdate AS DATE)) AS last_ship_day
+        |  FROM lineitem GROUP BY 1),
+        |iv AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS start_day, last_ship_day
+        |  FROM orders JOIN ls ON o_orderkey = l_orderkey),
+        |deltas AS (
+        |  SELECT start_day AS day, 1::BIGINT AS opened, 0::BIGINT AS closed
+        |  FROM iv
+        |  UNION ALL
+        |  SELECT last_ship_day + 1, 0::BIGINT, 1::BIGINT FROM iv),
+        |daily AS (
+        |  SELECT day, sum(opened)::BIGINT AS n_opened,
+        |    sum(closed)::BIGINT AS n_closed
+        |  FROM deltas GROUP BY 1)
+        |SELECT epoch_us(day::TIMESTAMP) AS day_us, n_opened, n_closed,
+        |  sum(n_opened - n_closed) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+        |    AS open_orders
+        |FROM daily ORDER BY day_us""".stripMargin,
     "q_sql_quality_histogram" ->
       """SELECT event_type,
         |  (CASE WHEN user_id IS NOT NULL AND CAST(user_id AS VARCHAR) <> '' AND CAST(user_id AS VARCHAR) <> 'unknown' THEN 25 ELSE 0 END

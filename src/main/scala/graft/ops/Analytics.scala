@@ -1304,4 +1304,196 @@ object Analytics {
         col("valid_from_us"), col("valid_to_us"))
       .orderBy(col("user_id"), col("version"))
   }
+
+  /** Point-in-time (temporal) lookup against the [[changeCapture]] SCD2
+    * history: each purchase resolved to the state version that was valid
+    * AT its timestamp — `valid_from ≤ ts < valid_to` with the open
+    * version unbounded. The read side of the slowly-changing-dimension
+    * loop: changeCapture writes the history, this query answers "what
+    * state was the user in when they bought".
+    *
+    * Shape at 100 TB: an equi-join on user_id with the validity range as
+    * a RESIDUAL predicate — both sides hash-partition on the user key
+    * once and the range prunes inside each partition (the
+    * purchaseAttribution shape). Never a point-in-interval range join;
+    * the SCD2 tiling guarantees exactly one match per purchase, so the
+    * join cannot amplify.
+    */
+  def scd2Lookup(df: DataFrame, userMod: Long = 3): DataFrame = {
+    val history = changeCapture(df, userMod)
+      .select(col("user_id").as("h_user_id"), col("version"),
+        col("event_type").as("state_type"),
+        col("valid_from_us"), col("valid_to_us"))
+    val purchases = df
+      .filter(col("event_type") === "purchase" &&
+        pmod(col("user_id"), lit(userMod)) === 0)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
+    purchases.join(history,
+        col("user_id") === col("h_user_id") &&
+          col("valid_from_us") <= col("ts_us") &&
+          (col("valid_to_us").isNull || col("ts_us") < col("valid_to_us")))
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("version"), col("state_type"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Time-weighted average value per event type — each event's value
+    * holds until the SAME user's next event (a per-user step function),
+    * so a value that persisted for an hour weighs 3600× one that was
+    * superseded in a second. The metric behind "average concurrent
+    * price/level" readouts, where the plain [[valueStats]] average is
+    * arrival-biased.
+    *
+    * Exactness: value is 2-decimal → DECIMAL(12,2); hold duration is
+    * integer micros from a LEAD; their product and sums stay decimal/
+    * integer end-to-end, with ONE double division (exact inputs → both
+    * engines hit the same double) rounded at e6. Each user's last event
+    * has no successor and drops out (no duration).
+    *
+    * Shape at 100 TB: one user-keyed exchange for the LEAD window, then
+    * a type-dimension aggregate. The window is per-user (bounded);
+    * nothing global sorts.
+    */
+  def timeWeightedValue(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    df.select(col("user_id"), col("event_type"), col("ts"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("hold_us", lead(unix_micros(col("ts")), 1).over(w) -
+        unix_micros(col("ts")))
+      .filter(col("hold_us").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_holds"),
+        sum(col("hold_us")).as("total_hold_us"),
+        // cents·micros products fit a long (≤ ~1.2e17); their SUM does
+        // not → widen to DECIMAL(38,0) (≡ DuckDB's HUGEINT sum) so the
+        // weighted mass is exact however long the holds run
+        sum((col("cents") * col("hold_us")).cast("decimal(38,0)")).as("wsum"),
+        sum(col("cents")).as("csum"))
+      .select(
+        col("event_type"), col("n_holds"), col("total_hold_us"),
+        round(col("wsum").cast("double") / col("total_hold_us") / 100.0, 6)
+          .as("twap_value"),
+        round(col("csum").cast("double") / col("n_holds") / 100.0, 6)
+          .as("plain_avg"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Robust outlier screen per event type: median + MAD (median absolute
+    * deviation) instead of mean + stddev, so the screen itself is not
+    * dragged by the outliers it hunts (the breakdown-point argument;
+    * Hampel's robust-statistics identifier). Flags values with
+    * |x − median| > k·MAD.
+    *
+    * Exactness: values become integer CENTS; a median of integers is
+    * either an integer or a half-integer — dyadic, so both engines'
+    * interpolation (`lo + 0.5·(hi−lo)` vs `(lo+hi)/2`) lands on the SAME
+    * exact double. Deviations are computed on DOUBLED cents so they stay
+    * integers, the MAD is again dyadic, and the k·MAD comparison is
+    * exact — no ulp coin-flips at the outlier boundary (the reason
+    * [[valuePercentiles]] has to round: raw-double interpolation
+    * differs across engines at the ulp).
+    *
+    * Shape at 100 TB: two type-keyed aggregates (median, then MAD of
+    * deviations) with the kilobyte per-type median table broadcast back
+    * between them; the flag count rides the second aggregate. Exact
+    * per-group medians are sort-based within the group — at extreme
+    * group sizes swap in approx_percentile (mergeable t-digest), which
+    * is deliberately NOT the verified query (sketches are
+    * engine-specific).
+    */
+  def madOutliers(df: DataFrame, k: Int = 3): DataFrame = {
+    val cents = df.select(col("event_type"),
+      round(col("value") * 100).cast("long").as("cents"))
+    val med = cents.groupBy(col("event_type"))
+      .agg(expr("percentile(cents, 0.5)").as("med_half"))
+      // doubled median: integer-exact (median is integer or half-integer)
+      .select(col("event_type").as("m_type"),
+        round(col("med_half") * 2).cast("long").as("med2x"))
+    val dev = cents.join(broadcast(med), col("event_type") === col("m_type"))
+      .withColumn("dev2x", (col("cents") * 2 - col("med2x")).cast("double"))
+      .withColumn("dev2x", abs(col("dev2x")))
+    // doubled-again MAD so k·MAD stays integer-exact (MAD of integer
+    // deviations is integer or half-integer)
+    val mad = dev.groupBy(col("event_type"))
+      .agg(expr("percentile(dev2x, 0.5)").as("mad_half"))
+      .select(col("event_type").as("d_type"),
+        round(col("mad_half") * 2).cast("long").as("mad4x"))
+    dev.join(broadcast(mad), col("event_type") === col("d_type"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        max(col("med2x")).as("med2x"),
+        max(col("mad4x")).as("mad4x"),
+        // |x−med|·4 > k·MAD·4, all integers → exact boundary
+        sum(when(col("dev2x") * 2 > lit(k.toLong) * col("mad4x"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .select(
+        col("event_type"), col("n"),
+        round(col("med2x") / 200.0, 4).as("median_value"),
+        round(col("mad4x") / 400.0, 4).as("mad_value"),
+        col("n_outliers"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Entry→exit flow matrix: for each user, the FIRST and LAST event
+    * type of their history (deterministic (ts, event_id) order), counted
+    * into a type×type matrix — the "how do journeys start vs end"
+    * readout next to [[eventTransitions]]'s step-level Markov matrix.
+    *
+    * Shape at 100 TB: ONE user-keyed aggregate computes both endpoints
+    * as min/max over (ts, event_id, type) structs — no window, no
+    * second exchange on the raw stream; the matrix aggregate runs on the
+    * user-dimension-sized frame. Struct min/max is a partial-aggregable
+    * argmin/argmax (lexicographic on the unique (ts, event_id) prefix,
+    * so the carried type is deterministic).
+    */
+  def entryExitFlows(df: DataFrame): DataFrame =
+    df.groupBy(col("user_id"))
+      .agg(
+        min(struct(col("ts"), col("event_id"), col("event_type")))
+          .getField("event_type").as("entry_type"),
+        max(struct(col("ts"), col("event_id"), col("event_type")))
+          .getField("event_type").as("exit_type"))
+      .groupBy(col("entry_type"), col("exit_type"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("entry_type"), col("exit_type"))
+
+  /** Cohort lifetime value: cumulative purchase revenue per first-touch
+    * cohort as the cohort ages — the money companion to
+    * [[retentionCohorts]]'s activity matrix (same first-touch spine).
+    * Revenue is integer cents end-to-end; the cumulative sum runs per
+    * cohort over day offsets.
+    *
+    * Shape at 100 TB: first-touch is one user-keyed aggregate reused
+    * from the retention build; the purchase stream joins it user-keyed;
+    * the (cohort × offset) matrix is triangular-dimension-sized and the
+    * running-sum window runs only there (partitioned by cohort — never
+    * a single global partition).
+    */
+  def cohortLtv(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val firstDay = df.groupBy(col("user_id"))
+      .agg(min(col("ts")).as("first_ts"))
+      .select(col("user_id"), to_date(col("first_ts")).as("cohort_day"))
+    val cell = df.filter(col("event_type") === "purchase")
+      .select(col("user_id"), to_date(col("ts")).as("active_day"),
+        (col("value").cast("decimal(12,2)") * 100).cast("long").as("cents"))
+      .join(firstDay, "user_id")
+      .groupBy(col("cohort_day"),
+        datediff(col("active_day"), col("cohort_day")).cast("long")
+          .as("day_offset"))
+      .agg(sum(col("cents")).as("revenue_cents"),
+        countDistinct(col("user_id")).as("n_buyers"))
+    val w = Window.partitionBy(col("cohort_day")).orderBy(col("day_offset"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cell
+      .withColumn("cum_revenue_cents", sum(col("revenue_cents")).over(w))
+      .select(
+        unix_micros(col("cohort_day").cast("timestamp")).as("cohort_day_us"),
+        col("day_offset"), col("n_buyers"), col("revenue_cents"),
+        col("cum_revenue_cents"))
+      .orderBy(col("cohort_day_us"), col("day_offset"))
+  }
 }

@@ -865,4 +865,105 @@ object Relational {
           .as("growth_e4"))
       .orderBy(col("week_us"))
   }
+
+  /** Supply-concentration outliers: (part, supplier) pairs where the
+    * supplier ships more than `mult`× its fair share of that part's total
+    * quantity (fair share = total/n_suppliers). The procurement twin of
+    * [[graft.ops.Analytics.keySkew]] — the readout that flags
+    * single-source risk and, at the engine level, the hot keys a
+    * part-keyed join would need salting for.
+    *
+    * Shape at 100 TB: lineitem collapses FIRST to one row per
+    * (part, supplier) — the only fact-sized exchange; the per-part
+    * total+count then rides a window over that collapsed frame (second
+    * exchange is on the already part-clustered, part-dimension-sized
+    * table). The share test `qty·n_suppliers > mult·total` is pure
+    * integer arithmetic — no float shares anywhere near the comparison.
+    */
+  def supplierConcentration(li: DataFrame, mult: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perPartSupp = li
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity").cast("decimal(12,2)")).cast("long").as("supp_qty"))
+    val w = Window.partitionBy(col("l_partkey"))
+    perPartSupp
+      .withColumn("part_qty", sum(col("supp_qty")).over(w))
+      .withColumn("n_suppliers", count(lit(1)).over(w))
+      .filter(col("supp_qty") * col("n_suppliers") > lit(mult.toLong) * col("part_qty"))
+      .withColumn("share_e4",
+        expr("supp_qty * 10000 div part_qty"))
+      .select(col("l_partkey"), col("l_suppkey"), col("supp_qty"),
+        col("part_qty"), col("n_suppliers"), col("share_e4"))
+      .orderBy(col("l_partkey"), col("l_suppkey"))
+  }
+
+  /** TPC-H Q15-shaped top supplier: revenue per supplier over a fixed
+    * quarter, keeping EVERY supplier tied at the maximum (the original
+    * query's view+scalar-subquery semantics). Revenue stays
+    * DECIMAL(18,2)-exact through the max comparison, so ties are real
+    * ties, not float near-misses.
+    *
+    * Shape: one supplier-keyed aggregate of the date-pruned scan (the
+    * quarter predicate pushes to parquet row-group stats); the global max
+    * is a 1-row aggregate of the supplier-dimension-sized frame, joined
+    * back as a broadcast scalar — the `aboveAvgOrders` pattern, never a
+    * sort of the whole dimension for one row.
+    */
+  def topSupplier(li: DataFrame, supplier: DataFrame): DataFrame = {
+    val rev = li
+      .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01 00:00:00").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(money("l_extendedprice") *
+          (lit(1.0).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)")))
+        .as("total_revenue"))
+    val maxRev = rev.agg(max(col("total_revenue")).as("max_revenue"))
+    rev.join(broadcast(maxRev), col("total_revenue") === col("max_revenue"))
+      .join(broadcast(supplier.select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("total_revenue").cast("double").as("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** Open-order backlog over time — how many orders are in flight on each
+    * day, where an order is open from `o_orderdate` through its last
+    * line's ship date (inclusive). The classic interval-concurrency
+    * question, answered WITHOUT a range join: sweep-line.
+    *
+    * Shape at 100 TB: lineitem collapses to per-order last-ship
+    * (orderkey exchange #1), joins orders on the same key (exchange
+    * reused by AQE since both sides hash on orderkey), then each
+    * interval becomes two ±1 deltas that aggregate onto the DAY
+    * dimension (~thousands of rows for decades of data). Only that
+    * dimension table rides the single-partition running-sum window —
+    * the fact tables never meet a sort or a range predicate. This is
+    * the shape that replaces an O(|orders|·|days|) point-in-interval
+    * join at any scale.
+    */
+  def orderBacklog(orders: DataFrame, li: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lastShip = li.groupBy(col("l_orderkey"))
+      .agg(max(to_date(col("l_shipdate"))).as("last_ship_day"))
+    val intervals = orders
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("start_day"))
+      .join(lastShip, col("o_orderkey") === col("l_orderkey"))
+    // +1 the day the order opens; -1 the day AFTER its last ship day
+    // (closing day stays counted open). Orders with no lines never join.
+    val deltas = intervals
+      .select(col("start_day").as("day"), lit(1L).as("opened"), lit(0L).as("closed"))
+      .unionAll(intervals.select(
+        date_add(col("last_ship_day"), 1).as("day"),
+        lit(0L).as("opened"), lit(1L).as("closed")))
+    val daily = deltas.groupBy(col("day"))
+      .agg(sum(col("opened")).as("n_opened"), sum(col("closed")).as("n_closed"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("open_orders",
+        sum(col("n_opened") - col("n_closed")).over(w))
+      .select(unix_micros(col("day").cast("timestamp")).as("day_us"),
+        col("n_opened"), col("n_closed"), col("open_orders"))
+      .orderBy(col("day_us"))
+  }
 }

@@ -1,0 +1,189 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.ops.{Analytics, Relational}
+
+/** Wave-9.4 operators: sweep-line backlog, Q15 top supplier, supply
+  * concentration, SCD2 point-in-time lookup, time-weighted averages,
+  * median/MAD outliers, entry→exit flows, cohort LTV. Each test pins the
+  * semantic corner the oracle pairing can't isolate (boundary rows, tie
+  * handling, dropped tails).
+  */
+class TemporalOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def ev(id: Long, t: String, uid: Long, typ: String, v: Double) =
+    (id, ts(t), uid, typ, v, "{}")
+
+  private def events(rows: (Long, Timestamp, Long, String, Double, String)*) =
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+  // ---- orderBacklog -------------------------------------------------------
+
+  test("orderBacklog: closing day stays open, day after closes; lineless orders never enter") {
+    val orders = Seq(
+      (1L, 10L, "O", 100.0, ts("2024-01-01 00:00:00"), "1-URGENT"),
+      (2L, 10L, "O", 100.0, ts("2024-01-02 00:00:00"), "1-URGENT"),
+      (3L, 20L, "O", 100.0, ts("2024-01-05 00:00:00"), "1-URGENT") // no lines
+    ).toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+    val li = Seq(
+      (1L, ts("2024-01-03 00:00:00")), // order 1 open Jan 1–3
+      (2L, ts("2024-01-02 00:00:00")), // order 2 open Jan 2 only
+      (1L, ts("2024-01-01 00:00:00"))
+    ).toDF("l_orderkey", "l_shipdate")
+    val out = Relational.orderBacklog(orders, li)
+      .select(from_unixtime(col("day_us") / 1000000).cast("date").cast("string"),
+        col("open_orders"))
+      .as[(String, Long)].collect().toMap
+    assert(out("2024-01-01") == 1) // order 1 opened
+    assert(out("2024-01-02") == 2) // both open
+    assert(out("2024-01-03") == 1) // order 2 closed after its ship day; 1 still open
+    assert(out("2024-01-04") == 0) // order 1's close lands the day after last ship
+    assert(!out.contains("2024-01-05")) // lineless order contributes nothing
+  }
+
+  // ---- topSupplier --------------------------------------------------------
+
+  test("topSupplier keeps every supplier tied at the exact decimal max") {
+    val li = Seq(
+      // suppliers 1 and 2 tie at revenue 190.00; supplier 3 lower; row
+      // outside the quarter ignored
+      (1L, 1L, 1L, 1, 1.0, 200.0, 0.05, 0.0, "N", "O", ts("1996-02-01 00:00:00")),
+      (2L, 1L, 2L, 1, 1.0, 100.0, 0.05, 0.0, "N", "O", ts("1996-02-01 00:00:00")),
+      (3L, 1L, 2L, 1, 1.0, 100.0, 0.05, 0.0, "N", "O", ts("1996-03-31 00:00:00")),
+      (4L, 1L, 3L, 1, 1.0, 100.0, 0.50, 0.0, "N", "O", ts("1996-02-01 00:00:00")),
+      (5L, 1L, 3L, 1, 1.0, 900.0, 0.00, 0.0, "N", "O", ts("1996-04-01 00:00:00"))
+    ).toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+      "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+      "l_shipdate")
+    val supplier = Seq((1L, "S1", 0, 0.0), (2L, "S2", 0, 0.0), (3L, "S3", 0, 0.0))
+      .toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+    val out = Relational.topSupplier(li, supplier)
+      .as[(Long, String, Double)].collect().toSeq
+    assert(out == Seq((1L, "S1", 190.0), (2L, "S2", 190.0)))
+  }
+
+  // ---- supplierConcentration ---------------------------------------------
+
+  test("supplierConcentration: strict integer boundary at mult× fair share") {
+    val mk = (ok: Long, pk: Long, sk: Long, qty: Double) =>
+      (ok, pk, sk, 1, qty, 1.0, 0.0, 0.0, "N", "O", ts("1996-01-01 00:00:00"))
+    val li = Seq(
+      // part 1: supplier 1 ships 60 of 100 across 4 suppliers → share·n =
+      // 240 > 2·100 at mult=2 (strict pass); supplier 2 ships exactly
+      // 50 of 100 → 200 = 2·100 → strict > fails
+      mk(1L, 1L, 1L, 60.0), mk(2L, 1L, 2L, 20.0),
+      mk(3L, 1L, 3L, 10.0), mk(4L, 1L, 4L, 10.0),
+      mk(5L, 2L, 1L, 50.0), mk(6L, 2L, 2L, 50.0)
+    ).toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+      "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+      "l_shipdate")
+    val out = Relational.supplierConcentration(li, mult = 2)
+      .select(col("l_partkey"), col("l_suppkey"), col("share_e4"))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 1L, 6000L))) // 60/100 → 0.6 → 6000 e4
+  }
+
+  // ---- scd2Lookup ---------------------------------------------------------
+
+  test("scd2Lookup resolves each purchase to its tiling version (boundary inclusive at valid_from)") {
+    val df = events(
+      ev(1, "2024-01-01 00:00:00", 3, "view", 1.0),
+      ev(2, "2024-01-01 01:00:00", 3, "purchase", 5.0), // starts version 2
+      ev(3, "2024-01-01 02:00:00", 3, "view", 1.0),
+      ev(4, "2024-01-01 03:00:00", 3, "purchase", 7.0)  // version 4 starts here
+    )
+    val out = Analytics.scd2Lookup(df)
+      .select(col("event_id"), col("version"), col("state_type"))
+      .as[(Long, Long, String)].collect().toSeq
+    // purchase 2 AT its own valid_from → version 2 ("purchase");
+    // purchase 4 likewise starts version 4
+    assert(out == Seq((2L, 2L, "purchase"), (4L, 4L, "purchase")))
+  }
+
+  // ---- timeWeightedValue --------------------------------------------------
+
+  test("twap: value holds until next event; each user's last event drops") {
+    val df = events(
+      // user 1: 10.00 held 3600 s, then 30.00 held 1800 s, last drops
+      ev(1, "2024-01-01 00:00:00", 1, "click", 10.0),
+      ev(2, "2024-01-01 01:00:00", 1, "click", 30.0),
+      ev(3, "2024-01-01 01:30:00", 1, "click", 99.0),
+      // user 2: single event → no holds at all
+      ev(4, "2024-01-01 00:00:00", 2, "click", 50.0)
+    )
+    val out = Analytics.timeWeightedValue(df)
+      .as[(String, Long, Long, Double, Double)].collect()
+    assert(out.length == 1)
+    val (typ, n, total, twap, avg) = out.head
+    assert(typ == "click" && n == 2 && total == 5400L * 1000000)
+    // (10·3600 + 30·1800) / 5400 = 90000/5400 = 16.666667
+    assert(twap == 16.666667)
+    assert(avg == 20.0)
+  }
+
+  // ---- madOutliers --------------------------------------------------------
+
+  test("madOutliers: dyadic median/MAD, strict k·MAD boundary") {
+    // values 1,2,3,4,100 → median 3, deviations 2,1,0,1,97 → MAD 1
+    // k=3: flagged iff |x−3| > 3 → only 100
+    val df = events(
+      ev(1, "2024-01-01 00:00:00", 1, "click", 1.0),
+      ev(2, "2024-01-01 00:01:00", 1, "click", 2.0),
+      ev(3, "2024-01-01 00:02:00", 1, "click", 3.0),
+      ev(4, "2024-01-01 00:03:00", 1, "click", 4.0),
+      ev(5, "2024-01-01 00:04:00", 1, "click", 100.0)
+    )
+    val out = Analytics.madOutliers(df)
+      .as[(String, Long, Double, Double, Long)].collect().head
+    assert(out == (("click", 5L, 3.0, 1.0, 1L)))
+    // boundary strictness: values 1,2,3 → median 2, MAD 1; |3−2| = 1·k at
+    // k=1 is NOT an outlier (strict >)
+    val b = events(
+      ev(1, "2024-01-01 00:00:00", 1, "e", 1.0),
+      ev(2, "2024-01-01 00:01:00", 1, "e", 2.0),
+      ev(3, "2024-01-01 00:02:00", 1, "e", 3.0)
+    )
+    val bo = Analytics.madOutliers(b, k = 1)
+      .as[(String, Long, Double, Double, Long)].collect().head
+    assert(bo._5 == 0L)
+  }
+
+  // ---- entryExitFlows -----------------------------------------------------
+
+  test("entryExitFlows: single-event users land on the diagonal; ties break by event_id") {
+    val df = events(
+      ev(1, "2024-01-01 00:00:00", 1, "view", 1.0),
+      ev(2, "2024-01-01 01:00:00", 1, "purchase", 1.0),
+      ev(3, "2024-01-01 00:00:00", 2, "click", 1.0), // lone event
+      // user 3: two events at the SAME ts — event_id orders them
+      ev(4, "2024-01-02 00:00:00", 3, "error", 1.0),
+      ev(5, "2024-01-02 00:00:00", 3, "view", 1.0)
+    )
+    val out = Analytics.entryExitFlows(df)
+      .as[(String, String, Long)].collect().toSet
+    assert(out == Set(("view", "purchase", 1L), ("click", "click", 1L),
+      ("error", "view", 1L)))
+  }
+
+  // ---- cohortLtv ----------------------------------------------------------
+
+  test("cohortLtv: first-touch cohorts, cumulative cents per offset") {
+    val df = events(
+      ev(1, "2024-01-01 00:00:00", 1, "view", 0.0),      // cohort day 1
+      ev(2, "2024-01-01 12:00:00", 1, "purchase", 10.50),
+      ev(3, "2024-01-03 00:00:00", 1, "purchase", 5.25), // offset 2
+      ev(4, "2024-01-03 00:00:00", 2, "purchase", 1.00)  // cohort day 3
+    )
+    val out = Analytics.cohortLtv(df)
+      .select(col("day_offset"), col("n_buyers"), col("revenue_cents"),
+        col("cum_revenue_cents"))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((0L, 1L, 1050L, 1050L), (2L, 1L, 525L, 1575L),
+      (0L, 1L, 100L, 100L)))
+  }
+}
