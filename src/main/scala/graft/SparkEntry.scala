@@ -283,6 +283,15 @@ object SparkEntry {
     // cohort LTV: first-touch spine + purchase join, cumulative cents on
     // the triangular cohort×offset dimension
     "q_cohort_ltv" -> ((s, d) => Analytics.cohortLtv(Analytics.events(s, d))),
+    // linear attribution: integer cents split with remainder-to-recency,
+    // telescoping exactly to each purchase amount
+    "q_attribution_split" -> ((s, d) =>
+      Analytics.attributionSplit(Analytics.events(s, d))),
+    // peak 5-min burst per user, histogrammed (tumbling bucket = row-local)
+    "q_user_bursts" -> ((s, d) => Analytics.userBursts(Analytics.events(s, d))),
+    // RANGE-frame window: trailing-hour event count at each purchase
+    "q_rolling_hour" -> ((s, d) =>
+      Analytics.rollingHourCount(Analytics.events(s, d))),
     // TPC-H Q17 shape: correlated per-part average threshold, decorrelated
     // to an aggregate + self-key join, exact integer comparison
     "q_small_quantity_revenue" -> ((s, d) =>
@@ -1958,6 +1967,44 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
         |    AS cum_revenue_cents
         |FROM cell ORDER BY cohort_day_us, day_offset""".stripMargin,
+    "q_attribution_split" ->
+      """WITH p AS (
+        |  SELECT event_id AS purchase_id, user_id, ts AS p_ts,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |v AS (
+        |  SELECT user_id AS v_user_id, ts AS v_ts, event_id AS view_id
+        |  FROM events WHERE event_type = 'view'),
+        |j AS (
+        |  SELECT purchase_id, cents, v_ts, view_id,
+        |    row_number() OVER (PARTITION BY purchase_id
+        |      ORDER BY v_ts DESC, view_id DESC) AS r,
+        |    count(*) OVER (PARTITION BY purchase_id) AS n
+        |  FROM p JOIN v ON p.user_id = v.v_user_id
+        |    AND v.v_ts <= p.p_ts
+        |    AND v.v_ts >= p.p_ts - INTERVAL 60 MINUTES)
+        |SELECT epoch_us(CAST(CAST(v_ts AS DATE) AS TIMESTAMP)) AS view_day_us,
+        |  count(*)::BIGINT AS n_credited_views,
+        |  sum(cents // n + CASE WHEN r <= cents % n THEN 1 ELSE 0 END)::BIGINT
+        |    AS credited_cents
+        |FROM j GROUP BY 1 ORDER BY view_day_us""".stripMargin,
+    "q_user_bursts" ->
+      """WITH b AS (
+        |  SELECT user_id, epoch_us(ts) // 300000000 AS bucket,
+        |    count(*)::BIGINT AS n
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT user_id, max(n) AS max_burst FROM b GROUP BY 1)
+        |SELECT max_burst, count(*)::BIGINT AS n_users
+        |FROM m GROUP BY 1 ORDER BY max_burst""".stripMargin,
+    "q_rolling_hour" ->
+      """WITH w AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+        |    count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)::BIGINT
+        |      AS n_last_hour
+        |  FROM events)
+        |SELECT event_id, user_id, ts_us, n_last_hour FROM w
+        |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
     "q_supplier_concentration" ->
       """WITH ps AS (
         |  SELECT l_partkey, l_suppkey,

@@ -1496,4 +1496,94 @@ object Analytics {
         col("cum_revenue_cents"))
       .orderBy(col("cohort_day_us"), col("day_offset"))
   }
+
+  /** Linear multi-touch attribution: each purchase's revenue split in
+    * EQUAL INTEGER cents across the same user's views in the preceding
+    * `gapMinutes` (the [[purchaseAttribution]] join), remainder cents
+    * going to the most recent views — so the per-purchase credits
+    * telescope to EXACTLY the purchase amount (cents div n + 1 for the
+    * first `cents mod n` views by recency; no float shares that drift a
+    * cent when re-summed). Credited cents then aggregate by view day:
+    * "which day's browsing earned the money".
+    *
+    * Shape at 100 TB: the user-keyed equi-join with a time residual is
+    * the attribution join; the rank window partitions by purchase_id —
+    * groups are views-per-hour-per-user sized, never unbounded. One
+    * user exchange + one purchase-keyed exchange + a day-dimension
+    * aggregate.
+    */
+  def attributionSplit(df: DataFrame, gapMinutes: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = df.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val v = df.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user_id"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"))
+    val w = Window.partitionBy(col("purchase_id"))
+    val wr = w.orderBy(col("v_ts").desc, col("view_id").desc)
+    p.join(v,
+        col("user_id") === col("v_user_id") &&
+          col("v_ts") <= col("p_ts") &&
+          col("v_ts") >= col("p_ts") - expr(s"INTERVAL $gapMinutes MINUTES"))
+      .withColumn("r", row_number().over(wr).cast("long"))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("credit_cents",
+        expr("cents div n + CASE WHEN r <= cents % n THEN 1 ELSE 0 END"))
+      .groupBy(to_date(col("v_ts")).as("view_day"))
+      .agg(count(lit(1)).as("n_credited_views"),
+        sum(col("credit_cents")).as("credited_cents"))
+      .select(unix_micros(col("view_day").cast("timestamp")).as("view_day_us"),
+        col("n_credited_views"), col("credited_cents"))
+      .orderBy(col("view_day_us"))
+  }
+
+  /** Peak activity bursts: each user's maximum event count in any 5-minute
+    * TUMBLING bucket, histogrammed across users — the readout that sizes
+    * rate limits and separates scripted bursts from human pacing. Tumbling
+    * (not sliding) keeps the bucket assignment a row-local integer
+    * `ts_us div 300e6`; a true sliding max costs a second self-join for a
+    * ≤2× tighter bound and is deliberately not the verified query.
+    *
+    * Shape at 100 TB: (user, bucket) aggregate → per-user max →
+    * burst-size histogram; everything after the first aggregate is
+    * user-dimension sized.
+    */
+  def userBursts(df: DataFrame, bucketSeconds: Long = 300): DataFrame =
+    df.select(col("user_id"),
+        (unix_micros(col("ts")).divide(lit(bucketSeconds * 1000000L)))
+          .cast("long").as("bucket"))
+      .groupBy(col("user_id"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("user_id"))
+      .agg(max(col("n")).as("max_burst"))
+      .groupBy(col("max_burst"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("max_burst"))
+
+  /** Trailing-hour activity at each purchase: a RANGE-frame window
+    * (micros ordering, `RANGE 3600e6 PRECEDING`) counting the same
+    * user's events in the hour up to and including the purchase — the
+    * real-valued-frame window surface ([[tumblingCounts]] bins; this
+    * frame SLIDES per row). RANGE semantics make peers (equal
+    * timestamps) frame-identical, so ties can't flip counts across
+    * engines.
+    *
+    * Shape at 100 TB: one user-keyed exchange; frames are bounded by
+    * events-per-user-per-hour. The filter to purchases happens AFTER the
+    * window (a frame must see all events) but the projection is pruned
+    * to the window's inputs before the exchange.
+    */
+  def rollingHourCount(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      .rangeBetween(-3600000000L, 0L)
+    df.select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("n_last_hour", count(lit(1)).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("n_last_hour"))
+      .orderBy(col("event_id"))
+  }
 }

@@ -170,6 +170,117 @@ class TemporalOpsSpec extends SparkTestBase {
       ("error", "view", 1L)))
   }
 
+  // ---- attributionSplit ---------------------------------------------------
+
+  test("attributionSplit: integer credits telescope to the purchase; remainder goes to recency") {
+    val df = events(
+      // purchase of 1.00 (100 cents) with 3 views in the window:
+      // 100 div 3 = 33, rem 1 → most recent view gets 34
+      ev(1, "2024-01-01 10:00:00", 1, "view", 0.0),
+      ev(2, "2024-01-01 10:20:00", 1, "view", 0.0),
+      ev(3, "2024-01-01 10:40:00", 1, "view", 0.0),
+      ev(4, "2024-01-01 10:50:00", 1, "purchase", 1.00),
+      // view OUTSIDE the 60-min window never credited
+      ev(5, "2024-01-02 00:00:00", 2, "view", 0.0),
+      ev(6, "2024-01-02 02:00:00", 2, "purchase", 9.99)
+    )
+    val out = Analytics.attributionSplit(df)
+      .as[(Long, Long, Long)].collect().toSeq
+    // all credits land on Jan 1; purchase 6 has no in-window views
+    assert(out == Seq((1704067200000000L, 3L, 100L)))
+    // and per-view split is 33/33/34 — check via a 2-view purchase with
+    // odd cents: 5 cents over 2 views → 2 + 3
+    val odd = events(
+      ev(1, "2024-01-01 10:00:00", 1, "view", 0.0),
+      ev(2, "2024-01-01 10:30:00", 1, "view", 0.0),
+      ev(3, "2024-01-01 10:45:00", 1, "purchase", 0.05)
+    )
+    val o = Analytics.attributionSplit(odd).as[(Long, Long, Long)].collect()
+    assert(o.head._3 == 5L)
+  }
+
+  // ---- userBursts ---------------------------------------------------------
+
+  test("userBursts: tumbling 5-min buckets, per-user max, histogram") {
+    val df = events(
+      // user 1: 3 events inside one bucket, 1 in the next → max 3
+      ev(1, "2024-01-01 00:00:10", 1, "click", 0.0),
+      ev(2, "2024-01-01 00:01:00", 1, "click", 0.0),
+      ev(3, "2024-01-01 00:04:59", 1, "click", 0.0),
+      ev(4, "2024-01-01 00:05:00", 1, "click", 0.0), // next bucket
+      // user 2: singleton
+      ev(5, "2024-01-01 00:00:00", 2, "click", 0.0)
+    )
+    val out = Analytics.userBursts(df).as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 1L), (3L, 1L)))
+  }
+
+  // ---- rollingHourCount ---------------------------------------------------
+
+  test("rollingHourCount: RANGE frame includes the boundary hour and peers") {
+    val df = events(
+      ev(1, "2024-01-01 09:00:00", 1, "view", 0.0),  // exactly 1 h before
+      ev(2, "2024-01-01 09:30:00", 1, "view", 0.0),
+      ev(3, "2024-01-01 10:00:00", 1, "purchase", 1.0), // counts 1,2,itself,4
+      ev(4, "2024-01-01 10:00:00", 1, "view", 0.0),     // peer timestamp
+      ev(5, "2024-01-01 08:00:00", 1, "view", 0.0)      // outside the hour
+    )
+    val out = Analytics.rollingHourCount(df)
+      .select(col("event_id"), col("n_last_hour"))
+      .as[(Long, Long)].collect().toSeq
+    assert(out == Seq((3L, 4L)))
+  }
+
+  // ---- streaming TWAP twin ------------------------------------------------
+
+  test("streaming twap: emitted holds converge to the batch twin; late rows never retract") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
+      val stream = input.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+          col("value"))
+      val holds = graft.stream.Twap.holds(stream)
+      val q = holds.toDF().writeStream.format("memory").queryName("twap_sink")
+        .outputMode("append").start()
+      val base = 1704067200000L // 2024-01-01T00:00:00Z
+      def t(sec: Int) = new Timestamp(base + sec * 1000L)
+      try {
+        // batch 1 out of order WITHIN the batch: sorted application
+        input.addData(
+          (2L, t(60), 1L, "click", 30.0),
+          (1L, t(0), 1L, "click", 10.0))
+        q.processAllAvailable()
+        // batch 2: closes the 30.0 hold; adds a LATE row older than the
+        // open hold (dropped, counted, never retracts emitted mass)
+        input.addData(
+          (3L, t(90), 1L, "view", 99.0),
+          (9L, t(10), 1L, "error", 1000.0))
+        q.processAllAvailable()
+        val rows = spark.table("twap_sink").collect()
+          .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("hold_us"),
+            r.getAs[Long]("wcents")))
+          .sortBy(_._2)
+        assert(rows.toSeq == Seq(
+          ("click", 60000000L, 1000L * 60000000L),
+          ("click", 30000000L, 3000L * 30000000L)).sortBy(_._2))
+        // parity: batch twin over the SAME applied rows (late row excluded)
+        val batchIn = events(
+          ev(1, "2024-01-01 00:00:00", 1, "click", 10.0),
+          ev(2, "2024-01-01 00:01:00", 1, "click", 30.0),
+          ev(3, "2024-01-01 00:01:30", 1, "view", 99.0))
+        val batch = Analytics.timeWeightedValue(batchIn)
+          .as[(String, Long, Long, Double, Double)].collect().head
+        val streamedByType = rows.groupBy(_._1).view.mapValues(h =>
+          (h.length.toLong, h.map(_._2).sum)).toMap
+        assert(streamedByType("click") == ((batch._2, batch._3)))
+      } finally q.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   // ---- cohortLtv ----------------------------------------------------------
 
   test("cohortLtv: first-touch cohorts, cumulative cents per offset") {
