@@ -292,6 +292,15 @@ object SparkEntry {
     // RANGE-frame window: trailing-hour event count at each purchase
     "q_rolling_hour" -> ((s, d) =>
       Analytics.rollingHourCount(Analytics.events(s, d))),
+    // TPC-H Q21 shape: EXISTS + NOT EXISTS decorrelated to per-order
+    // aggregates reusing the orderkey clustering
+    "q_sole_blame_suppliers" -> ((s, d) =>
+      Relational.soleBlameSuppliers(
+        Relational.table(s, d, "lineitem"), Relational.table(s, d, "orders"),
+        Relational.table(s, d, "supplier"))),
+    // throttle/debounce: first event per (user, type, 10-min bucket) via
+    // one struct-argmin hash aggregate
+    "q_throttle" -> ((s, d) => Analytics.throttle(Analytics.events(s, d))),
     // TPC-H Q17 shape: correlated per-part average threshold, decorrelated
     // to an aggregate + self-key join, exact integer comparison
     "q_small_quantity_revenue" -> ((s, d) =>
@@ -1967,6 +1976,38 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
         |    AS cum_revenue_cents
         |FROM cell ORDER BY cohort_day_us, day_offset""".stripMargin,
+    "q_sole_blame_suppliers" ->
+      """WITH j AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |    (l_shipdate > o_orderdate + INTERVAL 90 DAYS) AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |pos AS (
+        |  SELECT l_orderkey, l_suppkey, max(late) AS supp_late
+        |  FROM j GROUP BY 1, 2),
+        |po AS (
+        |  SELECT l_orderkey, count(*)::BIGINT AS n_supp,
+        |    sum(CASE WHEN supp_late THEN 1 ELSE 0 END)::BIGINT AS n_late_supp
+        |  FROM pos GROUP BY 1)
+        |SELECT s_suppkey, s_name, count(*)::BIGINT AS n_blame_orders
+        |FROM pos
+        |JOIN po USING (l_orderkey)
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE pos.supp_late AND po.n_supp > 1 AND po.n_late_supp = 1
+        |GROUP BY 1, 2
+        |ORDER BY n_blame_orders DESC, s_suppkey LIMIT 50""".stripMargin,
+    "q_throttle" ->
+      """WITH r AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+        |    row_number() OVER (
+        |      PARTITION BY user_id, event_type, epoch_us(ts) // 600000000
+        |      ORDER BY ts, event_id) AS rn,
+        |    count(*) OVER (
+        |      PARTITION BY user_id, event_type, epoch_us(ts) // 600000000)
+        |      AS n
+        |  FROM events)
+        |SELECT event_id, user_id, ts_us, (n - 1)::BIGINT AS n_suppressed
+        |FROM r WHERE rn = 1 AND event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin,
     "q_attribution_split" ->
       """WITH p AS (
         |  SELECT event_id AS purchase_id, user_id, ts AS p_ts,

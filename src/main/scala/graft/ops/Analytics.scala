@@ -1562,6 +1562,33 @@ object Analytics {
       .agg(count(lit(1)).as("n_users"))
       .orderBy(col("max_burst"))
 
+  /** Throttle / debounce dedup: keep only the FIRST event per
+    * (user, type, `bucketSeconds` tumbling bucket) — the alert-dedup /
+    * notification-rate-limit operator (at-most-one-per-key-per-window).
+    * "First" is deterministic via the (ts, event_id) struct argmin.
+    * Emitted here for purchases so the verified frame stays
+    * result-sized; the operator itself is type-agnostic.
+    *
+    * Shape at 100 TB: bucket assignment is row-local integer division;
+    * ONE hash aggregate on (user, type, bucket) does the keep — no
+    * window, no sort, no join. The streaming twin is watermarked
+    * `dropDuplicates` over the same key ([[graft.stream.IngestDedup]]
+    * territory).
+    */
+  def throttle(df: DataFrame, bucketSeconds: Long = 600): DataFrame =
+    df.select(col("user_id"), col("event_type"),
+        (unix_micros(col("ts")).divide(lit(bucketSeconds * 1000000L)))
+          .cast("long").as("bucket"),
+        unix_micros(col("ts")).as("ts_us"), col("event_id"))
+      .groupBy(col("user_id"), col("event_type"), col("bucket"))
+      .agg(min(struct(col("ts_us"), col("event_id"))).as("first"),
+        count(lit(1)).as("n_suppressed_plus_one"))
+      .filter(col("event_type") === "purchase")
+      .select(col("first.event_id").as("event_id"), col("user_id"),
+        col("first.ts_us").as("ts_us"),
+        (col("n_suppressed_plus_one") - 1).as("n_suppressed"))
+      .orderBy(col("event_id"))
+
   /** Trailing-hour activity at each purchase: a RANGE-frame window
     * (micros ordering, `RANGE 3600e6 PRECEDING`) counting the same
     * user's events in the hour up to and including the purchase — the

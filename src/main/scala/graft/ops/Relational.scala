@@ -926,6 +926,52 @@ object Relational {
       .orderBy(col("s_suppkey"))
   }
 
+  /** TPC-H Q21-shaped sole-blame suppliers: suppliers that were the ONLY
+    * late supplier on a multi-supplier order (late = shipped more than
+    * `lateDays` after the order date; the testdata carries no
+    * commit/receipt dates, so the deadline derives from o_orderdate).
+    * The reference query's EXISTS (another supplier participated) +
+    * NOT EXISTS (another supplier was late) pair, decorrelated into
+    * aggregates — the multi-correlated-subquery shape every engine's
+    * optimizer is judged on.
+    *
+    * Shape at 100 TB: ONE fact⋈fact shuffle (lineitem⋈orders on the
+    * order key) to attach the deadline, then everything collapses:
+    * per-(order, supplier) lateness, per-order supplier/late counts, and
+    * the blame filter are all aggregates over frames that shrink at each
+    * step and REUSE the orderkey clustering; the supplier name attaches
+    * by broadcast at the very end, on the supplier-dimension-sized
+    * result. No correlated re-scan of lineitem per subquery — the
+    * decorrelation IS the two aggregates.
+    */
+  def soleBlameSuppliers(
+      li: DataFrame,
+      orders: DataFrame,
+      supplier: DataFrame,
+      lateDays: Int = 90,
+      k: Int = 50): DataFrame = {
+    val j = li.select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(orders.select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("late",
+        col("l_shipdate") > col("o_orderdate") + expr(s"INTERVAL $lateDays DAYS"))
+    val perOrderSupp = j.groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(col("late")).as("supp_late"))
+    val perOrder = perOrderSupp.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_supp"),
+        sum(col("supp_late").cast("long")).as("n_late_supp"))
+    perOrderSupp.filter(col("supp_late"))
+      .join(perOrder.filter(col("n_supp") > 1 && col("n_late_supp") === 1),
+        "l_orderkey")
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_blame_orders"))
+      .join(broadcast(supplier.select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_blame_orders"))
+      .orderBy(desc("n_blame_orders"), col("s_suppkey"))
+      .limit(k)
+  }
+
   /** Open-order backlog over time — how many orders are in flight on each
     * day, where an order is open from `o_orderdate` through its last
     * line's ship date (inclusive). The classic interval-concurrency

@@ -592,4 +592,47 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       s"cutpoints must ride a broadcast:\n$p")
   }
+
+  test("orderBacklog: sweep-line — interval concurrency with NO range join") {
+    // the whole point of the ±1-delta rewrite: no nested-loop/cartesian
+    // point-in-interval join anywhere; the running sum is a window over
+    // the day-dimension aggregate
+    val p = plan(Relational.orderBacklog(
+      Relational.table(spark, sf, "orders"), Relational.table(spark, sf, "lineitem")))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"sweep-line must not plan a range join:\n$p")
+    assert(p.contains("Window"), p)
+  }
+
+  test("rollingHourCount: the RANGE frame rides ONE user exchange") {
+    val p = plan(Analytics.rollingHourCount(Analytics.events(spark, sf)))
+    val n = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(n == 1, s"expected exactly one hash exchange, got $n:\n$p")
+  }
+
+  test("entryExitFlows: endpoints in one struct-argmin pass — two hash exchanges total") {
+    // exchange 1: the user-keyed endpoint aggregate; exchange 2: the
+    // type×type matrix aggregate. A window-based first/last would add a
+    // sort and a third exchange.
+    val p = plan(Analytics.entryExitFlows(Analytics.events(spark, sf)))
+    val n = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(n == 2, s"expected two hash exchanges, got $n:\n$p")
+    assert(!p.contains("Window"), s"struct argmin, not a window:\n$p")
+  }
+
+  test("throttle: one hash aggregate, no window, no join") {
+    val p = plan(Analytics.throttle(Analytics.events(spark, sf)))
+    val n = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(n == 1, s"expected one hash exchange, got $n:\n$p")
+    assert(!p.contains("Window") && !p.contains("Join"), p)
+  }
+
+  test("soleBlameSuppliers: decorrelated EXISTS pair — no correlated re-scan, supplier by broadcast") {
+    val p = plan(Relational.soleBlameSuppliers(
+      Relational.table(spark, sf, "lineitem"), Relational.table(spark, sf, "orders"),
+      Relational.table(spark, sf, "supplier")))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), s"supplier dim must broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k must push:\n$p")
+  }
 }

@@ -231,6 +231,55 @@ class TemporalOpsSpec extends SparkTestBase {
     assert(out == Seq((3L, 4L)))
   }
 
+  // ---- soleBlameSuppliers -------------------------------------------------
+
+  test("soleBlameSuppliers: only sole-late suppliers on multi-supplier orders take blame") {
+    val mk = (ok: Long, sk: Long, ship: String) =>
+      (ok, 1L, sk, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", ts(ship))
+    val li = Seq(
+      // order 1: suppliers 1 (late) and 2 (on time) → supplier 1 blamed
+      mk(1L, 1L, "1996-06-01 00:00:00"), mk(1L, 2L, "1996-01-15 00:00:00"),
+      // order 2: both late → nobody blamed (n_late_supp = 2)
+      mk(2L, 1L, "1996-06-01 00:00:00"), mk(2L, 2L, "1996-06-01 00:00:00"),
+      // order 3: single-supplier late → not blamed (n_supp = 1)
+      mk(3L, 1L, "1996-06-01 00:00:00"),
+      // order 4: supplier 2 late on one line, on time on another — max()
+      // makes the supplier late for the order; supplier 3 on time
+      mk(4L, 2L, "1996-06-01 00:00:00"), mk(4L, 2L, "1996-01-10 00:00:00"),
+      mk(4L, 3L, "1996-01-10 00:00:00")
+    ).toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+      "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+      "l_shipdate")
+    val orders = (1L to 4L).map(k =>
+      (k, 10L, "O", 1.0, ts("1996-01-01 00:00:00"), "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val supplier = Seq((1L, "S1", 0, 0.0), (2L, "S2", 0, 0.0), (3L, "S3", 0, 0.0))
+      .toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+    val out = Relational.soleBlameSuppliers(li, orders, supplier)
+      .as[(Long, String, Long)].collect().toSeq
+    assert(out == Seq((1L, "S1", 1L), (2L, "S2", 1L)))
+  }
+
+  // ---- throttle -----------------------------------------------------------
+
+  test("throttle keeps the deterministic first per (user, type, bucket) and counts suppressions") {
+    val df = events(
+      // same bucket (10 min): 3 purchases → keep earliest, 2 suppressed
+      ev(3, "2024-01-01 00:00:00", 1, "purchase", 1.0),
+      ev(1, "2024-01-01 00:05:00", 1, "purchase", 1.0),
+      ev(2, "2024-01-01 00:09:59", 1, "purchase", 1.0),
+      // next bucket boundary: kept
+      ev(4, "2024-01-01 00:10:00", 1, "purchase", 1.0),
+      // other type never leaks into the purchase output
+      ev(5, "2024-01-01 00:01:00", 1, "view", 1.0)
+    )
+    val out = Analytics.throttle(df)
+      .select(col("event_id"), col("n_suppressed"))
+      .as[(Long, Long)].collect().toSeq
+    assert(out == Seq((3L, 2L), (4L, 0L)))
+  }
+
   // ---- streaming TWAP twin ------------------------------------------------
 
   test("streaming twap: emitted holds converge to the batch twin; late rows never retract") {
