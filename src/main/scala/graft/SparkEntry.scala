@@ -655,6 +655,10 @@ object SparkEntry {
       Corpus.boilerplatePhrases(TextAnalysis.documents(s, d))),
     "q_cross_source_dups" -> ((s, d) =>
       Corpus.crossSourceDupReport(TextAnalysis.documents(s, d), nearDupPairs(s, d))),
+    // source×source n-gram containment: per-shingle source sets first,
+    // row-local pair explode after — never an all-pairs shingle self-join
+    "q_source_ngram_overlap" -> ((s, d) =>
+      Corpus.sourceNgramOverlap(TextAnalysis.documents(s, d))),
     // 31-term synthetic vocabulary → top-20 cutoff leaves real OOV mass
     // and exercises the deterministic (count desc, term asc) tie-break
     "q_vocab_oov" -> ((s, d) =>
@@ -2693,6 +2697,28 @@ object SparkEntry {
         |d AS (SELECT shingle, count(*)::BIGINT AS df FROM sh GROUP BY 1 HAVING count(*) >= 5)
         |SELECT row_number() OVER (ORDER BY df DESC, shingle)::BIGINT AS rnk, shingle, df
         |FROM d ORDER BY df DESC, shingle LIMIT 20""".stripMargin,
+    "q_source_ngram_overlap" ->
+      """WITH t AS (
+        |  SELECT source, regexp_split_to_array(lower(text), '\s+') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT source,
+        |    unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+        |  FROM t WHERE len(toks) >= 3),
+        |sizes AS (SELECT source, count(*)::BIGINT AS sz FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.source AS src_a, b.source AS src_b, count(*)::BIGINT
+        |    AS n_shared
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT src_a, src_b, n_shared,
+        |  (n_shared * 10000 // sa.sz)::BIGINT AS containment_a_e4,
+        |  (n_shared * 10000 // sb.sz)::BIGINT AS containment_b_e4
+        |FROM inter
+        |JOIN sizes sa ON src_a = sa.source
+        |JOIN sizes sb ON src_b = sb.source
+        |ORDER BY src_a, src_b""".stripMargin,
     "q_cross_source_dups" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks FROM documents),
         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),

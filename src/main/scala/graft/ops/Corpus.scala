@@ -918,4 +918,50 @@ object Corpus {
       .select(col("doc_id"), col("source"), col("n_tokens"), col("n_copies"))
       .orderBy(col("doc_id"))
   }
+
+  /** Source×source n-gram containment matrix — the FINE-grained leakage
+    * audit next to [[crossSourceDupReport]]'s doc-level counts: for each
+    * source pair, how many distinct word `n`-grams they share, and what
+    * fraction of EACH side's shingle vocabulary that overlap is
+    * (containment is asymmetric — a small feed mirrored inside a big one
+    * shows near-10⁴ e4 on its own side and near-zero on the other's).
+    * The readout that catches syndication and template reuse BEFORE
+    * doc-level dedup ever fires.
+    *
+    * Shape at 100 TB: shingles explode row-locally (native
+    * [[graft.functions.WordShingles]], per-doc distinct); ONE hash
+    * exchange on the shingle key builds the per-shingle source set
+    * (bounded by #sources, a few hundred at worst); pairs explode
+    * row-locally from each sorted set; the pair aggregate and the two
+    * size joins run on the source²-dimension frame. The corpus never
+    * self-joins on raw shingles (the all-pairs trap) — sets first, pairs
+    * after.
+    */
+  def sourceNgramOverlap(docs: DataFrame, n: Int = 3): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    val sh = docs.select(col("source"),
+      explode(graft.functions.ShingleFunctions.wordShingles(toks, n))
+        .as("shingle"))
+    val sizes = sh.groupBy(col("source"))
+      .agg(countDistinct(col("shingle")).as("sz"))
+    val pairs = sh.groupBy(col("shingle"))
+      .agg(sort_array(collect_set(col("source"))).as("srcs"))
+      .filter(size(col("srcs")) > 1)
+      // row-local ordered-pair explode from the sorted set: (a, b), a < b
+      .select(explode(expr(
+        "flatten(transform(srcs, (a, i) -> " +
+          "transform(slice(srcs, i + 2, size(srcs)), " +
+          "b -> struct(a AS src_a, b AS src_b))))")).as("p"))
+      .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(broadcast(sizes.select(col("source").as("src_a"), col("sz").as("sz_a"))),
+        "src_a")
+      .join(broadcast(sizes.select(col("source").as("src_b"), col("sz").as("sz_b"))),
+        "src_b")
+      .select(col("src_a"), col("src_b"), col("n_shared"),
+        expr("n_shared * 10000 div sz_a").as("containment_a_e4"),
+        expr("n_shared * 10000 div sz_b").as("containment_b_e4"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
 }

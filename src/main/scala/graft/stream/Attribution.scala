@@ -1,0 +1,100 @@
+package graft.stream
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig}
+
+/** Streaming twin of [[graft.ops.Analytics.attributionSplit]]: live
+  * linear multi-touch attribution. Views accumulate in per-user state;
+  * each arriving purchase splits its integer cents across the views in
+  * its trailing `gapMinutes` window — `cents div n` each, remainder to
+  * the most recent — and emits one Credit row per credited view, so the
+  * per-purchase credits telescope to EXACTLY the purchase amount, same
+  * as the batch build.
+  *
+  * Ordering contract (same as [[ChangeCapture]]/[[Twap]]): rows apply in
+  * (ts, event_id) order WITHIN each micro-batch. View state is pruned to
+  * the attribution window behind the newest timestamp seen per user, so
+  * state is bounded by views-per-hour-per-user; a purchase arriving
+  * MORE than the window late could find its views already pruned — it is
+  * counted in `n_late` semantics (credits what remains) and the batch
+  * twin over the sink table is the replay path (lambda posture).
+  *
+  * State per user: a ListState of (view_ts_us, view_id) pairs within the
+  * trailing window — bounded, RocksDB-backed.
+  */
+object Attribution {
+
+  final case class Credit(
+      user_id: Long, purchase_id: Long, view_id: Long,
+      view_ts_us: Long, credit_cents: Long)
+
+  private class Processor(gapUs: Long)
+      extends StatefulProcessor[Long, (Long, Long, Long, String, Long), Credit] {
+    @transient private var views: ListState[(Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      views = getHandle.getListState[(Long, Long)](
+        "views", Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong),
+        TTLConfig.NONE)
+
+    override def handleInputRows(
+        user: Long,
+        inputRows: Iterator[(Long, Long, Long, String, Long)],
+        timerValues: TimerValues): Iterator[Credit] = {
+      val rows = inputRows.toArray.sortBy { case (_, tsUs, id, _, _) => (tsUs, id) }
+      var buf = {
+        val it = views.get()
+        val b = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+        while (it.hasNext) b += it.next()
+        b
+      }
+      var maxTs = if (buf.nonEmpty) buf.map(_._1).max else Long.MinValue
+      val out = scala.collection.mutable.ArrayBuffer[Credit]()
+      rows.foreach { case (_, tsUs, id, tpe, cents) =>
+        if (tsUs > maxTs) maxTs = tsUs
+        tpe match {
+          case "view" =>
+            buf += ((tsUs, id))
+          case "purchase" =>
+            // credited views: within [p_ts - gap, p_ts], most recent first
+            // (ties by id, matching the batch build's (v_ts, view_id) DESC)
+            val win = buf.filter { case (vTs, _) =>
+              vTs <= tsUs && vTs >= tsUs - gapUs }.sortBy { case (vTs, vId) =>
+              (-vTs, -vId) }
+            val n = win.length
+            if (n > 0) {
+              val base = cents / n
+              val rem = cents % n
+              win.zipWithIndex.foreach { case ((vTs, vId), i) =>
+                out += Credit(user, id, vId, vTs,
+                  base + (if (i < rem) 1L else 0L))
+              }
+            }
+          case _ => ()
+        }
+        // prune views that can no longer be credited by any in-order
+        // purchase (older than the window behind the newest seen ts)
+        buf = buf.filter { case (vTs, _) => vTs >= maxTs - gapUs }
+      }
+      views.put(buf.toArray)
+      out.iterator
+    }
+  }
+
+  /** Credit stream over the enriched events frame (needs user_id, ts,
+    * event_id, event_type, value). Append mode: a credit is final.
+    */
+  def credits(events: DataFrame, gapMinutes: Int = 60): Dataset[Credit] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id").cast("long"), unix_micros(col("ts")),
+        col("event_id").cast("long"), col("event_type").cast("string"),
+        round(col("value") * 100).cast("long"))
+      .as[(Long, Long, Long, String, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new Processor(gapMinutes * 60000000L),
+        TimeMode.None(), OutputMode.Append())
+  }
+}

@@ -330,6 +330,72 @@ class TemporalOpsSpec extends SparkTestBase {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  // ---- sourceNgramOverlap -------------------------------------------------
+
+  test("sourceNgramOverlap: asymmetric containment, shared-trigram counting") {
+    val docs = Seq(
+      // src A vocabulary: trigrams {a b c, b c d} (one doc)
+      (1L, "a b c d", "en", "A", 7L),
+      // src B: {a b c} only → shares 1 trigram with A
+      (2L, "a b c", "en", "B", 5L),
+      // src C: no overlap
+      (3L, "x y z w", "en", "C", 7L),
+      // a 2-token doc contributes no trigrams at all
+      (4L, "a b", "en", "B", 3L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = graft.ops.Corpus.sourceNgramOverlap(docs)
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    // A∩B = {a b c}: containment A-side 1/2 → 5000 e4, B-side 1/1 → 10000
+    assert(out == Seq(("A", "B", 1L, 5000L, 10000L)))
+  }
+
+  // ---- streaming attribution twin -----------------------------------------
+
+  test("streaming attribution: credits telescope per purchase and match the batch split") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
+      val stream = input.toDF()
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+          col("value"))
+      val credits = graft.stream.Attribution.credits(stream)
+      val q = credits.toDF().writeStream.format("memory").queryName("attr_sink")
+        .outputMode("append").start()
+      val base = 1704067200000L // 2024-01-01T00:00:00Z
+      def t(min: Int) = new Timestamp(base + min * 60000L)
+      try {
+        // batch 1: three views (one out of order in the batch)
+        input.addData(
+          (2L, t(20), 1L, "view", 0.0),
+          (1L, t(0), 1L, "view", 0.0),
+          (3L, t(40), 1L, "view", 0.0))
+        q.processAllAvailable()
+        // batch 2: purchase of 1.00 at t50 → 100 cents over 3 views:
+        // 33 each, remainder 1 to the most recent (view 3)
+        input.addData((4L, t(50), 1L, "purchase", 1.00))
+        q.processAllAvailable()
+        val rows = spark.table("attr_sink").collect()
+          .map(r => (r.getAs[Long]("view_id"), r.getAs[Long]("credit_cents")))
+          .sortBy(_._1)
+        assert(rows.toSeq == Seq((1L, 33L), (2L, 33L), (3L, 34L)))
+        // batch parity on the same rows: per-day credited cents agree
+        val batchIn = events(
+          ev(1, "2024-01-01 00:00:00", 1, "view", 0.0),
+          ev(2, "2024-01-01 00:20:00", 1, "view", 0.0),
+          ev(3, "2024-01-01 00:40:00", 1, "view", 0.0),
+          ev(4, "2024-01-01 00:50:00", 1, "purchase", 1.00))
+        val batch = Analytics.attributionSplit(batchIn)
+          .as[(Long, Long, Long)].collect().head
+        assert(batch == ((1704067200000000L, 3L, 100L)))
+        assert(rows.map(_._2).sum == batch._3)
+      } finally q.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   // ---- cohortLtv ----------------------------------------------------------
 
   test("cohortLtv: first-touch cohorts, cumulative cents per offset") {
