@@ -301,6 +301,30 @@ object SparkEntry {
     // throttle/debounce: first event per (user, type, 10-min bucket) via
     // one struct-argmin hash aggregate
     "q_throttle" -> ((s, d) => Analytics.throttle(Analytics.events(s, d))),
+    // SLA latency by priority: order→first/last-ship days, dyadic p50
+    "q_order_latency" -> ((s, d) =>
+      Relational.orderLatency(
+        Relational.table(s, d, "orders"), Relational.table(s, d, "lineitem"))),
+    // quality yield curve: collapse to the e2 score dimension, cumulate there
+    "q_quality_yield" -> ((s, d) =>
+      TextAnalysis.qualityYieldCurve(TextAnalysis.documents(s, d))),
+    // LATERAL correlated subquery through the parser: Catalyst
+    // decorrelates the per-order top-1 into WindowGroupLimit + ONE
+    // equi-join (rank pushed below the exchange) — never a per-row rescan
+    "q_sql_lateral" -> ((s, d) => {
+      Relational.table(s, d, "orders").createOrReplaceTempView("orders_lat")
+      Relational.table(s, d, "lineitem").createOrReplaceTempView("lineitem_lat")
+      s.sql(
+        """SELECT o.o_orderkey, o.o_totalprice, t.l_partkey,
+          |  t.l_extendedprice AS top_line_price
+          |FROM orders_lat o,
+          |LATERAL (
+          |  SELECT l_partkey, l_extendedprice FROM lineitem_lat
+          |  WHERE l_orderkey = o.o_orderkey
+          |  ORDER BY l_extendedprice DESC, l_partkey LIMIT 1) t
+          |WHERE o.o_totalprice >= 490000
+          |ORDER BY o.o_orderkey""".stripMargin)
+    }),
     // TPC-H Q17 shape: correlated per-part average threshold, decorrelated
     // to an aggregate + self-key join, exact integer comparison
     "q_small_quantity_revenue" -> ((s, d) =>
@@ -349,16 +373,24 @@ object SparkEntry {
     }),
     // WITH RECURSIVE through the parser (new in Spark 4): BFS hop counts
     // from the smallest part over co-purchase edges, depth-bounded so the
-    // path fan-out stays finite; min(depth) collapses path multiplicity
+    // path fan-out stays finite; min(depth) collapses path multiplicity.
+    // The edge build feeds the recursion through a PERSISTED temp view:
+    // Spark's UnionLoop re-executes every CTE the recursive leg
+    // references on EACH iteration, so an inline pair build (a fact-table
+    // self-join) would run depth+1 times — 9+ s at sf0.1 vs ~1 s with
+    // the cached edge frame (the same single-exchange pair build the
+    // basket/triangle family shares). The DuckDB oracle keeps the whole
+    // thing as one SQL text — its MATERIALIZED CTEs do natively what the
+    // persist does here.
     "q_sql_reachability" -> ((s, d) => {
-      Relational.table(s, d, "lineitem").createOrReplaceTempView("li_rec")
+      Relational.partPairCounts(Relational.table(s, d, "lineitem"), 2)
+        .select(col("u"), col("v"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .createOrReplaceTempView("edges_rec")
       s.sql(
         """WITH RECURSIVE
-          |items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM li_rec),
-          |p AS (SELECT a.pk AS u, b.pk AS v FROM items a JOIN items b
-          |        ON a.ok = b.ok AND a.pk < b.pk
-          |      GROUP BY 1, 2 HAVING count(*) >= 2),
-          |e AS (SELECT u, v FROM p UNION ALL SELECT v AS u, u AS v FROM p),
+          |e AS (SELECT u, v FROM edges_rec
+          |      UNION ALL SELECT v AS u, u AS v FROM edges_rec),
           |seed AS (SELECT min(u) AS s FROM e),
           |reach(pk, depth) AS (
           |  SELECT s, 0 FROM seed
@@ -1980,6 +2012,62 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
         |    AS cum_revenue_cents
         |FROM cell ORDER BY cohort_day_us, day_offset""".stripMargin,
+    "q_order_latency" ->
+      """WITH ship AS (
+        |  SELECT l_orderkey, min(CAST(l_shipdate AS DATE)) AS first_ship,
+        |    max(CAST(l_shipdate AS DATE)) AS last_ship
+        |  FROM lineitem GROUP BY 1),
+        |lat AS (
+        |  SELECT o_orderpriority,
+        |    (first_ship - CAST(o_orderdate AS DATE))::BIGINT AS first_days,
+        |    (last_ship - CAST(o_orderdate AS DATE))::BIGINT AS full_days
+        |  FROM orders JOIN ship ON o_orderkey = l_orderkey)
+        |SELECT o_orderpriority, count(*)::BIGINT AS n_orders,
+        |  quantile_cont(first_days, 0.5) AS p50_first,
+        |  round(quantile_cont(first_days, 0.9), 4) AS p90_first,
+        |  (sum(first_days) * 10000 // count(*))::BIGINT AS mean_first_e4,
+        |  quantile_cont(full_days, 0.5) AS p50_full
+        |FROM lat GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+    "q_quality_yield" ->
+      """WITH q AS (
+        |  SELECT doc_id,
+        |    round((CASE WHEN n_chars BETWEEN 100 AND 450 THEN 1.0
+        |           WHEN n_chars < 100 THEN n_chars / 100.0
+        |           ELSE 450.0 / n_chars END
+        |      + least(len(list_filter(toks,
+        |          t -> t IN ('the','a','of','and','to','in')))::DOUBLE
+        |          / len(toks) * 10.0, 1.0)
+        |      + len(list_distinct(toks))::DOUBLE / len(toks)) / 3.0, 4)
+        |      AS quality,
+        |    len(toks)::BIGINT AS n_tokens
+        |  FROM (SELECT doc_id, n_chars,
+        |          regexp_split_to_array(lower(text), '\s+') AS toks
+        |        FROM documents)),
+        |b AS (
+        |  SELECT floor(quality * 100)::BIGINT AS score_e2,
+        |    count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS tokens
+        |  FROM q GROUP BY 1)
+        |SELECT score_e2, n_docs, tokens,
+        |  sum(n_docs) OVER (ORDER BY score_e2 DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+        |    AS cum_docs,
+        |  sum(tokens) OVER (ORDER BY score_e2 DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+        |    AS cum_tokens,
+        |  ((sum(tokens) OVER (ORDER BY score_e2 DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |    * 10000 // sum(tokens) OVER ())::BIGINT AS cum_token_share_e4
+        |FROM b ORDER BY score_e2 DESC""".stripMargin,
+    "q_sql_lateral" ->
+      """SELECT o.o_orderkey, o.o_totalprice, t.l_partkey,
+        |  t.l_extendedprice AS top_line_price
+        |FROM orders o,
+        |LATERAL (
+        |  SELECT l_partkey, l_extendedprice FROM lineitem
+        |  WHERE l_orderkey = o.o_orderkey
+        |  ORDER BY l_extendedprice DESC, l_partkey LIMIT 1) t
+        |WHERE o.o_totalprice >= 490000
+        |ORDER BY o.o_orderkey""".stripMargin,
     "q_sole_blame_suppliers" ->
       """WITH j AS (
         |  SELECT l_orderkey, l_suppkey,

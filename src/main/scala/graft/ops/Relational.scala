@@ -926,6 +926,40 @@ object Relational {
       .orderBy(col("s_suppkey"))
   }
 
+  /** Fulfillment latency by order priority: days from order date to the
+    * FIRST and LAST line shipment, summarized per priority class — the
+    * SLA readout (does URGENT actually ship faster?). Integer day
+    * latencies make the p50 dyadic-exact; p90 interpolates and is
+    * presentation-rounded like [[graft.ops.Analytics.valuePercentiles]];
+    * the mean is exact integer e4.
+    *
+    * Shape at 100 TB: lineitem collapses per order (the same orderkey
+    * exchange the backlog build uses), joins orders on that key, and the
+    * summary is a priority-dimension aggregate. Exact per-group
+    * percentiles sort within the group; at extreme group sizes the
+    * mergeable approx_percentile is the swap-in.
+    */
+  def orderLatency(orders: DataFrame, li: DataFrame): DataFrame = {
+    val ship = li.groupBy(col("l_orderkey"))
+      .agg(min(to_date(col("l_shipdate"))).as("first_ship"),
+        max(to_date(col("l_shipdate"))).as("last_ship"))
+    orders
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        to_date(col("o_orderdate")).as("od"))
+      .join(ship, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderpriority"),
+        datediff(col("first_ship"), col("od")).cast("long").as("first_days"),
+        datediff(col("last_ship"), col("od")).cast("long").as("full_days"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        expr("percentile(first_days, 0.5)").as("p50_first"),
+        round(expr("percentile(first_days, 0.9)"), 4).as("p90_first"),
+        expr("sum(first_days) * 10000 div count(1)").as("mean_first_e4"),
+        expr("percentile(full_days, 0.5)").as("p50_full"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** TPC-H Q21-shaped sole-blame suppliers: suppliers that were the ONLY
     * late supplier on a multi-supplier order (late = shipped more than
     * `lateDays` after the order date; the testdata carries no

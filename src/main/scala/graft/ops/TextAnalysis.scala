@@ -192,6 +192,40 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Quality yield curve: what fraction of the corpus's DOCUMENTS and
+    * TOKENS survives each quality cutoff — the threshold-picking readout
+    * a curation run reads before freezing its [[qualityScore]] gate
+    * (cut at 0.8 and keep 12% of tokens, or at 0.6 and keep 55%?).
+    * Buckets are e2 floors of the score; the cumulative columns read
+    * top-down: a row's cum_* is the corpus surviving a cut at that
+    * bucket's score.
+    *
+    * Shape at 100 TB: per-doc scoring is row-local; ONE aggregate onto
+    * the ≤101-row score-bucket dimension; the cumulative window runs
+    * only there (single partition of a hundred rows, not a corpus
+    * sort — the collapse-then-window discipline).
+    */
+  def qualityYieldCurve(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = qualityScore(df).select(col("doc_id"), col("quality"))
+    val mass = df.select(col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"))
+    val w = Window.orderBy(col("score_e2").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    q.join(mass, "doc_id")
+      .select(floor(col("quality") * 100).cast("long").as("score_e2"),
+        col("n_tokens"))
+      .groupBy(col("score_e2"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens"))
+      .withColumn("cum_docs", sum(col("n_docs")).over(w))
+      .withColumn("cum_tokens", sum(col("tokens")).over(w))
+      .withColumn("cum_token_share_e4",
+        expr("cum_tokens * 10000 div sum(tokens) over ()"))
+      .select(col("score_e2"), col("n_docs"), col("tokens"), col("cum_docs"),
+        col("cum_tokens"), col("cum_token_share_e4"))
+      .orderBy(col("score_e2").desc)
+  }
+
   /** The logistic-classifier feature vector: (1, ln(1+n_tokens),
     * type/token ratio, stopword ratio, mean token chars) — the cheap
     * row-local features a fastText-style quality model consumes. Shared

@@ -627,6 +627,15 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("Window") && !p.contains("Join"), p)
   }
 
+  test("SQL LATERAL top-1: decorrelated to WindowGroupLimit + equi-join, never a per-row rescan") {
+    // the registered query itself (projecting the ORDER BY column keeps
+    // the rank ordered; a projection that drops it loses the
+    // WindowGroupLimit rewrite — which is why the pin runs the real text)
+    val p = plan(SparkEntry.queries("q_sql_lateral")(spark, sf))
+    assert(p.contains("WindowGroupLimit"), s"rank-limit must push down:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("soleBlameSuppliers: decorrelated EXISTS pair — no correlated re-scan, supplier by broadcast") {
     val p = plan(Relational.soleBlameSuppliers(
       Relational.table(spark, sf, "lineitem"), Relational.table(spark, sf, "orders"),

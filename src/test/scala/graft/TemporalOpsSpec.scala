@@ -330,6 +330,46 @@ class TemporalOpsSpec extends SparkTestBase {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  // ---- orderLatency -------------------------------------------------------
+
+  test("orderLatency: first/last ship days per priority, dyadic p50") {
+    val orders = Seq(
+      (1L, 10L, "O", 1.0, ts("1996-01-01 00:00:00"), "1-URGENT"),
+      (2L, 10L, "O", 1.0, ts("1996-01-01 00:00:00"), "1-URGENT")
+    ).toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+    val li = Seq(
+      (1L, ts("1996-01-03 00:00:00")), (1L, ts("1996-01-11 00:00:00")),
+      (2L, ts("1996-01-05 00:00:00"))
+    ).toDF("l_orderkey", "l_shipdate")
+    val out = Relational.orderLatency(orders, li).collect().head
+    // first_days: order1 → 2, order2 → 4; p50 = 3.0 (dyadic midpoint);
+    // mean_e4 = 6*10000 div 2 = 30000; full_days: 10 and 4 → p50 7.0
+    assert(out.getAs[Long]("n_orders") == 2)
+    assert(out.getAs[Double]("p50_first") == 3.0)
+    assert(out.getAs[Long]("mean_first_e4") == 30000L)
+    assert(out.getAs[Double]("p50_full") == 7.0)
+  }
+
+  // ---- qualityYieldCurve --------------------------------------------------
+
+  test("qualityYieldCurve: cumulative survival reads top-down and closes at the full corpus") {
+    val docs = Seq(
+      (1L, "the a of and to in the a of and", "en", "A", 30L), // high stop ratio
+      (2L, "x y z", "en", "A", 5L),
+      (3L, "p q r s t u v w", "en", "B", 15L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = graft.ops.TextAnalysis.qualityYieldCurve(docs)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // rows are score-desc; the last row's cumulative cols cover everything
+    val last = out.last
+    assert(last._4 == 3L) // cum_docs
+    assert(last._5 == out.map(_._3).sum) // cum_tokens = Σ tokens
+    assert(last._6 == 10000L) // full corpus share
+    // cum_docs strictly non-decreasing top-down
+    assert(out.map(_._4) == out.map(_._4).sorted)
+  }
+
   // ---- sourceNgramOverlap -------------------------------------------------
 
   test("sourceNgramOverlap: asymmetric containment, shared-trigram counting") {
