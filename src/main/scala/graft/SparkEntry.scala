@@ -301,6 +301,10 @@ object SparkEntry {
     // throttle/debounce: first event per (user, type, 10-min bucket) via
     // one struct-argmin hash aggregate
     "q_throttle" -> ((s, d) => Analytics.throttle(Analytics.events(s, d))),
+    // per-brand 2-D skyline via two running maxima — no NOT-EXISTS
+    // self-join, one window pass per brand partition
+    "q_pareto_parts" -> ((s, d) =>
+      Relational.paretoFrontier(Relational.table(s, d, "part"))),
     // SLA latency by priority: order→first/last-ship days, dyadic p50
     "q_order_latency" -> ((s, d) =>
       Relational.orderLatency(
@@ -2012,6 +2016,27 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
         |    AS cum_revenue_cents
         |FROM cell ORDER BY cohort_day_us, day_offset""".stripMargin,
+    "q_pareto_parts" ->
+      """WITH p AS (
+        |  SELECT p_brand, p_partkey,
+        |    (CAST(p_retailprice AS DECIMAL(18,2)) * 100)::BIGINT
+        |      AS price_cents,
+        |    p_size::BIGINT AS size
+        |  FROM part),
+        |w AS (
+        |  SELECT p_brand, p_partkey, price_cents, size,
+        |    max(size) OVER (PARTITION BY p_brand ORDER BY price_cents
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS max_cheaper,
+        |    max(size) OVER (PARTITION BY p_brand ORDER BY price_cents
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS max_upto
+        |  FROM p)
+        |SELECT p_brand, p_partkey, price_cents, size
+        |FROM w
+        |WHERE (max_cheaper IS NULL OR max_cheaper < size)
+        |  AND max_upto = size
+        |ORDER BY p_brand, price_cents, p_partkey""".stripMargin,
     "q_order_latency" ->
       """WITH ship AS (
         |  SELECT l_orderkey, min(CAST(l_shipdate AS DATE)) AS first_ship,

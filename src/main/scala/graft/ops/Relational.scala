@@ -926,6 +926,41 @@ object Relational {
       .orderBy(col("s_suppkey"))
   }
 
+  /** Per-brand Pareto frontier (skyline) of the part catalog: parts not
+    * dominated within their brand, where part d dominates p if d is no
+    * pricier AND no smaller with at least one strict — the "best value
+    * at every size point" readout. The classic skyline operator, done
+    * WITHOUT the quadratic NOT-EXISTS self-join: sort each brand by
+    * price and take two running maxima of size —
+    *   A = max size among STRICTLY cheaper rows (RANGE … 1 PRECEDING),
+    *   B = max size among cheaper-or-peer rows (RANGE … CURRENT ROW) —
+    * p survives iff (A < size or no cheaper row) and B == size. Prices
+    * compare as integer CENTS so the RANGE offset is exact.
+    *
+    * Shape at 100 TB: one window pass per brand partition (the brand
+    * dimension bounds each sort); no self-join, no cartesian. The same
+    * two-maxima rewrite handles any 2-D skyline; higher dimensions
+    * need the divide-and-conquer variant.
+    */
+  def paretoFrontier(part: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Window.partitionBy(col("p_brand"))
+      .orderBy(col("price_cents"))
+    val strictlyCheaper = base.rangeBetween(Window.unboundedPreceding, -1)
+    val uptoPeers = base.rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    part
+      .select(col("p_brand"), col("p_partkey"),
+        (col("p_retailprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("price_cents"),
+        col("p_size").cast("long").as("size"))
+      .withColumn("max_cheaper", max(col("size")).over(strictlyCheaper))
+      .withColumn("max_upto", max(col("size")).over(uptoPeers))
+      .filter((col("max_cheaper").isNull || col("max_cheaper") < col("size")) &&
+        col("max_upto") === col("size"))
+      .select(col("p_brand"), col("p_partkey"), col("price_cents"), col("size"))
+      .orderBy(col("p_brand"), col("price_cents"), col("p_partkey"))
+  }
+
   /** Fulfillment latency by order priority: days from order date to the
     * FIRST and LAST line shipment, summarized per priority class — the
     * SLA readout (does URGENT actually ship faster?). Integer day

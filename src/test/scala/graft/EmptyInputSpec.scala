@@ -109,4 +109,40 @@ class EmptyInputSpec extends SparkTestBase {
     assert(graft.ops.Relational.revenueGrowth(noOrders).count() == 0)
     assert(graft.ops.Relational.benfordDigits(noOrders).count() == 0)
   }
+
+  test("fourth-session operators survive empty inputs") {
+    val noEventsFull = Seq.empty[(Long, java.sql.Timestamp, Long, String, Double, String)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    assert(Analytics.timeWeightedValue(noEventsFull).count() == 0)
+    assert(Analytics.madOutliers(noEventsFull).count() == 0)
+    assert(Analytics.entryExitFlows(noEventsFull).count() == 0)
+    assert(Analytics.cohortLtv(noEventsFull).count() == 0)
+    assert(Analytics.scd2Lookup(noEventsFull).count() == 0)
+    assert(Analytics.attributionSplit(noEventsFull).count() == 0)
+    assert(Analytics.userBursts(noEventsFull).count() == 0)
+    assert(Analytics.rollingHourCount(noEventsFull).count() == 0)
+    assert(Analytics.throttle(noEventsFull).count() == 0)
+    val noLiFull = Seq.empty[(Long, Long, Long, Int, Double, Double, Double,
+        Double, String, String, java.sql.Timestamp)]
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+    val noOrders = Seq.empty[(Long, Long, String, Double, java.sql.Timestamp, String)]
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val noSupp = Seq.empty[(Long, String, Int, Double)]
+      .toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+    assert(graft.ops.Relational.orderBacklog(noOrders, noLiFull).count() == 0)
+    assert(graft.ops.Relational.topSupplier(noLiFull, noSupp).count() == 0)
+    assert(graft.ops.Relational.supplierConcentration(noLiFull).count() == 0)
+    assert(graft.ops.Relational.soleBlameSuppliers(noLiFull, noOrders, noSupp)
+      .count() == 0)
+    assert(graft.ops.Relational.orderLatency(noOrders, noLiFull).count() == 0)
+    val noParts = Seq.empty[(Long, String, String, String, Int, Double)]
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size",
+        "p_retailprice")
+    assert(graft.ops.Relational.paretoFrontier(noParts).count() == 0)
+    assert(TextAnalysis.qualityYieldCurve(noDocs).count() == 0)
+    assert(Corpus.sourceNgramOverlap(noDocs).count() == 0)
+  }
 }

@@ -280,6 +280,72 @@ class TemporalOpsSpec extends SparkTestBase {
     assert(out == Seq((3L, 2L), (4L, 0L)))
   }
 
+  // ---- paretoFrontier -----------------------------------------------------
+
+  test("paretoFrontier: strict-domination semantics, per-brand isolation, tied pairs both survive") {
+    val parts = Seq(
+      // brand A: (100, 10) and (200, 20) on the frontier; (150, 5)
+      // dominated by (100, 10); (200, 10) dominated by (100, 10)
+      (1L, "p", "A", "t", 10, 100.0),
+      (2L, "p", "A", "t", 20, 200.0),
+      (3L, "p", "A", "t", 5, 150.0),
+      (4L, "p", "A", "t", 10, 200.0),
+      // brand B: identical (price, size) twins — neither dominates the
+      // other (domination needs one strict edge), both survive
+      (5L, "p", "B", "t", 7, 50.0),
+      (6L, "p", "B", "t", 7, 50.0),
+      // pricier but bigger → frontier; also proves brand isolation
+      // (A's (100, 10) must not shadow B's rows)
+      (7L, "p", "B", "t", 30, 60.0)
+    ).toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size",
+      "p_retailprice")
+    val out = Relational.paretoFrontier(parts)
+      .select(col("p_brand"), col("p_partkey"))
+      .as[(String, Long)].collect().toSeq
+    assert(out == Seq(("A", 1L), ("A", 2L), ("B", 5L), ("B", 6L), ("B", 7L)))
+  }
+
+  // ---- streaming throttle twin --------------------------------------------
+
+  test("streaming throttle: in-order arrival matches the batch keep set; state is watermark-bounded") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
+      val stream = input.toDF()
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+      val th = graft.stream.Throttle.throttled(stream, bucketSeconds = 600)
+      val q = th.writeStream.format("memory").queryName("thr_sink")
+        .outputMode("append").start()
+      val base = 1704067200000L
+      def t(sec: Int) = new Timestamp(base + sec * 1000L)
+      try {
+        input.addData(
+          (3L, t(0), 1L, "purchase", 1.0),
+          (1L, t(300), 1L, "purchase", 1.0)) // same 10-min bucket: dropped
+        q.processAllAvailable()
+        input.addData(
+          (4L, t(600), 1L, "purchase", 1.0), // next bucket: kept
+          (5L, t(60), 1L, "view", 1.0))      // other type: kept
+        q.processAllAvailable()
+        val kept = spark.table("thr_sink").collect()
+          .map(_.getAs[Long]("event_id")).sorted
+        assert(kept.toSeq == Seq(3L, 4L, 5L))
+        // batch parity on the purchase plane (in-order arrival)
+        val batchIn = events(
+          ev(3, "2024-01-01 00:00:00", 1, "purchase", 1.0),
+          ev(1, "2024-01-01 00:05:00", 1, "purchase", 1.0),
+          ev(4, "2024-01-01 00:10:00", 1, "purchase", 1.0),
+          ev(5, "2024-01-01 00:01:00", 1, "view", 1.0))
+        val batchKept = Analytics.throttle(batchIn)
+          .select(col("event_id")).as[Long].collect().sorted
+        assert(batchKept.toSeq == kept.filter(_ != 5L).toSeq)
+      } finally q.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   // ---- streaming TWAP twin ------------------------------------------------
 
   test("streaming twap: emitted holds converge to the batch twin; late rows never retract") {
