@@ -73,7 +73,16 @@ object DumpPlans {
       "q_triangles" -> "triangle census: single-exchange per-order set collapse → row-local pair explode; degree-ordered wedge enumeration bounds the join O(|E|^1.5)",
       "q_rfm_segments" -> "RFM: exact quartile cutpoints as a 1-row broadcast, row-local binning — NO window operator over the customer dimension",
       "q_psi_drift" -> "PSI drift: (type, period, bin) collapse first; per-bin e4-rounded contributions summed as integers on a types × bins frame",
-      "q_volume_acf" -> "hourly ACF: persisted hour dimension joined on hour+k arithmetic — missing hours leave holes instead of misaligning a row-lead")
+      "q_volume_acf" -> "hourly ACF: persisted hour dimension joined on hour+k arithmetic — missing hours leave holes instead of misaligning a row-lead",
+      "q_order_backlog" -> "interval concurrency by sweep-line: per-order collapse + orderkey join, ±1 deltas aggregate onto the DAY dimension, running sum windows there only — no range join at any scale",
+      "q_sole_blame_suppliers" -> "Q21 EXISTS + NOT EXISTS decorrelated: per-(order,supplier) lateness + per-order counts reuse the orderkey clustering; supplier dim broadcast; top-k pushed",
+      "q_attribution_split" -> "linear attribution: user-keyed interval join, purchase-keyed rank window (views-per-hour bounded groups), integer credit split, day-dimension aggregate",
+      "q_twap" -> "time-weighted value: per-user LEAD on one user exchange, DECIMAL(38,0) cents·micros mass, type-dimension aggregate",
+      "q_entry_exit_flows" -> "journey endpoints: min/max struct argmin in ONE user aggregate (no window), type² matrix aggregate — two exchanges total",
+      "q_source_ngram_overlap" -> "source containment: per-shingle source sets on ONE shingle exchange, ordered pairs exploded row-locally from sorted sets — never an all-pairs shingle self-join",
+      "q_pareto_parts" -> "2-D skyline: two running maxima over an integer-cents RANGE window per brand partition — replaces the quadratic NOT-EXISTS self-join",
+      "q_sql_lateral" -> "LATERAL correlated top-1 through the parser: Catalyst decorrelates to WindowGroupLimit (partial rank below the exchange) + ONE equi-join — never a per-row rescan",
+      "q_sql_reachability" -> "recursive BFS: edge frame persisted behind a temp view (UnionLoop re-evaluates referenced CTEs per iteration — inline build would re-run the pair join every hop)")
 
     val sb = new StringBuilder
     sb.append("# PLANS — explain(\"formatted\") for headline queries\n\n")
