@@ -292,6 +292,12 @@ object SparkEntry {
     // RANGE-frame window: trailing-hour event count at each purchase
     "q_rolling_hour" -> ((s, d) =>
       Analytics.rollingHourCount(Analytics.events(s, d))),
+    // classical decomposition on the day dimension: day-arithmetic MA,
+    // truncating-integer weekday indices, integer residuals
+    "q_seasonal_decomp" -> ((s, d) =>
+      Analytics.seasonalDecompose(Analytics.events(s, d))),
+    // acquisition curve: first-touch per day + dimension-sized cumsum
+    "q_user_growth" -> ((s, d) => Analytics.userGrowth(Analytics.events(s, d))),
     // TPC-H Q21 shape: EXISTS + NOT EXISTS decorrelated to per-order
     // aggregates reusing the orderkey clustering
     "q_sole_blame_suppliers" -> ((s, d) =>
@@ -2016,6 +2022,45 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
         |    AS cum_revenue_cents
         |FROM cell ORDER BY cohort_day_us, day_offset""".stripMargin,
+    "q_seasonal_decomp" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, count(*)::BIGINT AS n
+        |  FROM events GROUP BY 1),
+        |d2 AS (
+        |  SELECT day, n,
+        |    (day - DATE '1970-01-01')::BIGINT AS day_num,
+        |    dayofweek(day)::BIGINT + 1 AS dow
+        |  FROM daily),
+        |t AS (
+        |  SELECT day, dow, n,
+        |    CASE WHEN count(*) OVER w7 = 7
+        |      THEN (sum(n) OVER w7) * 10000 // 7 END::BIGINT AS trend_e4
+        |  FROM d2
+        |  WINDOW w7 AS (ORDER BY day_num RANGE BETWEEN 3 PRECEDING
+        |    AND 3 FOLLOWING)),
+        |dt AS (
+        |  SELECT day, dow, n, trend_e4,
+        |    CASE WHEN trend_e4 IS NOT NULL
+        |      THEN n * 10000 - trend_e4 END AS detrended_e4
+        |  FROM t),
+        |s AS (
+        |  SELECT dow, (sum(detrended_e4) // count(*))::BIGINT AS seasonal_e4
+        |  FROM dt WHERE detrended_e4 IS NOT NULL GROUP BY 1)
+        |SELECT epoch_us(day::TIMESTAMP) AS day_us, dt.dow, n, trend_e4,
+        |  s.seasonal_e4,
+        |  (dt.detrended_e4 - s.seasonal_e4)::BIGINT AS residual_e4
+        |FROM dt LEFT JOIN s ON dt.dow = s.dow
+        |ORDER BY day_us""".stripMargin,
+    "q_user_growth" ->
+      """WITH f AS (
+        |  SELECT user_id, CAST(min(ts) AS DATE) AS day FROM events
+        |  GROUP BY 1),
+        |d AS (SELECT day, count(*)::BIGINT AS n_new FROM f GROUP BY 1)
+        |SELECT epoch_us(day::TIMESTAMP) AS day_us, n_new,
+        |  sum(n_new) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+        |    AS cum_users
+        |FROM d ORDER BY day_us""".stripMargin,
     "q_pareto_parts" ->
       """WITH p AS (
         |  SELECT p_brand, p_partkey,

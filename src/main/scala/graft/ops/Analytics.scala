@@ -1562,6 +1562,69 @@ object Analytics {
       .agg(count(lit(1)).as("n_users"))
       .orderBy(col("max_burst"))
 
+  /** Additive seasonal decomposition of daily event volume — the
+    * classical-decomposition first pass (trend by centered 7-day moving
+    * average, weekday seasonal index from the detrended series,
+    * residual as what's left) that turns "traffic dropped" into "traffic
+    * dropped BEYOND the usual Sunday dip". All integer arithmetic at e4
+    * scale: the MA divides by exactly 7 only where the centered window
+    * is COMPLETE (day-ARITHMETIC RANGE frame, so a missing day yields a
+    * null trend instead of a misaligned average — the volumeAcf lesson),
+    * and seasonal indices are truncating integer means.
+    *
+    * Shape at 100 TB: the stream collapses to the DAY dimension first;
+    * every window and the 7-row weekday join run on that
+    * dimension-sized table.
+    */
+  def seasonalDecompose(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = df.groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("day_num", datediff(col("day"), lit("1970-01-01").cast("date"))
+        .cast("long"))
+      // ISO weekday 1–7 — identical on both engines
+      .withColumn("dow", dayofweek(col("day")).cast("long"))
+    val w7 = Window.orderBy(col("day_num")).rangeBetween(-3L, 3L)
+    val trended = daily
+      .withColumn("win_n", count(lit(1)).over(w7))
+      .withColumn("trend_e4",
+        when(col("win_n") === 7, expr("sum(n) over " +
+          "(order by day_num range between 3 preceding and 3 following) " +
+          "* 10000 div 7")))
+      .withColumn("detrended_e4",
+        when(col("trend_e4").isNotNull, col("n") * 10000 - col("trend_e4")))
+    val seasonal = trended.filter(col("detrended_e4").isNotNull)
+      .groupBy(col("dow"))
+      .agg(expr("sum(detrended_e4) div count(1)").as("seasonal_e4"))
+    trended
+      .join(broadcast(seasonal), Seq("dow"), "left")
+      .select(
+        unix_micros(col("day").cast("timestamp")).as("day_us"),
+        col("dow"), col("n"), col("trend_e4"), col("seasonal_e4"),
+        (col("detrended_e4") - col("seasonal_e4")).as("residual_e4"))
+      .orderBy(col("day_us"))
+  }
+
+  /** Cumulative user growth: new users (first-touch) per day and the
+    * running total — the acquisition curve next to [[activeUsers]]'s
+    * activity windows. Distinct growth equals the sum of first-touches,
+    * so the cumulative needs no running distinct — one user aggregate,
+    * one day-dimension aggregate, one dimension-sized window.
+    */
+  def userGrowth(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.groupBy(col("user_id"))
+      .agg(min(col("ts")).as("first_ts"))
+      .groupBy(to_date(col("first_ts")).as("day"))
+      .agg(count(lit(1)).as("n_new"))
+      .withColumn("cum_users", sum(col("n_new")).over(w))
+      .select(unix_micros(col("day").cast("timestamp")).as("day_us"),
+        col("n_new"), col("cum_users"))
+      .orderBy(col("day_us"))
+  }
+
   /** Throttle / debounce dedup: keep only the FIRST event per
     * (user, type, `bucketSeconds` tumbling bucket) — the alert-dedup /
     * notification-rate-limit operator (at-most-one-per-key-per-window).

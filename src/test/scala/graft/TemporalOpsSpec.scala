@@ -280,6 +280,46 @@ class TemporalOpsSpec extends SparkTestBase {
     assert(out == Seq((3L, 2L), (4L, 0L)))
   }
 
+  // ---- seasonalDecompose / userGrowth -------------------------------------
+
+  test("seasonalDecompose: constant series → flat trend, zero seasonal/residual; edges null") {
+    // 10 days × 2 events/day, perfectly flat
+    val rows = (0 until 10).flatMap { d =>
+      val day = f"2024-01-${d + 1}%02d"
+      Seq(ev(d * 2 + 1L, s"$day 08:00:00", 1, "click", 1.0),
+        ev(d * 2 + 2L, s"$day 16:00:00", 1, "click", 1.0))
+    }
+    val out = Analytics.seasonalDecompose(events(rows: _*))
+      .select(col("trend_e4"), col("seasonal_e4"), col("residual_e4"))
+      .collect()
+    assert(out.length == 10)
+    // first/last 3 days: incomplete centered window → null trend+residual
+    val (edge, mid) = (out.take(3) ++ out.takeRight(3), out.slice(3, 7))
+    edge.foreach { r => assert(r.isNullAt(0) && r.isNullAt(2)) }
+    mid.foreach { r =>
+      assert(r.getAs[Long]("trend_e4") == 20000L)
+      assert(r.getAs[Long]("seasonal_e4") == 0L)
+      assert(r.getAs[Long]("residual_e4") == 0L)
+    }
+    // identity holds wherever trend is defined: n·10⁴ = trend + seasonal + residual
+    val full = Analytics.seasonalDecompose(events(rows: _*)).collect()
+    full.filter(r => !r.isNullAt(r.fieldIndex("trend_e4"))).foreach { r =>
+      assert(r.getAs[Long]("n") * 10000 ==
+        r.getAs[Long]("trend_e4") + r.getAs[Long]("seasonal_e4") +
+          r.getAs[Long]("residual_e4"))
+    }
+  }
+
+  test("userGrowth: first-touch per day, cumulative total hits the distinct user count") {
+    val df = events(
+      ev(1, "2024-01-01 00:00:00", 1, "view", 0.0),
+      ev(2, "2024-01-01 05:00:00", 2, "view", 0.0),
+      ev(3, "2024-01-02 00:00:00", 1, "view", 0.0), // returning, not new
+      ev(4, "2024-01-03 00:00:00", 3, "view", 0.0))
+    val out = Analytics.userGrowth(df).as[(Long, Long, Long)].collect().toSeq
+    assert(out.map(r => (r._2, r._3)) == Seq((2L, 2L), (1L, 3L)))
+  }
+
   // ---- paretoFrontier -----------------------------------------------------
 
   test("paretoFrontier: strict-domination semantics, per-brand isolation, tied pairs both survive") {
