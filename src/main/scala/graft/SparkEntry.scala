@@ -292,6 +292,22 @@ object SparkEntry {
     // RANGE-frame window: trailing-hour event count at each purchase
     "q_rolling_hour" -> ((s, d) =>
       Analytics.rollingHourCount(Analytics.events(s, d))),
+    // session variables + EXECUTE IMMEDIATE with a positional parameter
+    // marker (Spark 4 scripting surface) — the plan under it is the
+    // ordinary aggregate, so the oracle is the same SQL with the
+    // threshold inlined
+    "q_sql_execute_immediate" -> ((s, d) => {
+      Analytics.events(s, d).createOrReplaceTempView("events_ei")
+      s.sql("DECLARE OR REPLACE min_events BIGINT")
+      s.sql("SET VAR min_events = 100")
+      s.sql(
+        """EXECUTE IMMEDIATE
+          |'SELECT user_id, count(*) AS n,
+          |   sum(CAST(round(value * 100) AS BIGINT)) AS cents
+          | FROM events_ei GROUP BY user_id HAVING count(*) >= ?
+          | ORDER BY user_id'
+          |USING min_events""".stripMargin)
+    }),
     // classical decomposition on the day dimension: day-arithmetic MA,
     // truncating-integer weekday indices, integer residuals
     "q_seasonal_decomp" -> ((s, d) =>
@@ -2022,6 +2038,11 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
         |    AS cum_revenue_cents
         |FROM cell ORDER BY cohort_day_us, day_offset""".stripMargin,
+    "q_sql_execute_immediate" ->
+      """SELECT user_id, count(*)::BIGINT AS n,
+        |  sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS cents
+        |FROM events GROUP BY user_id HAVING count(*) >= 100
+        |ORDER BY user_id""".stripMargin,
     "q_seasonal_decomp" ->
       """WITH daily AS (
         |  SELECT CAST(ts AS DATE) AS day, count(*)::BIGINT AS n
