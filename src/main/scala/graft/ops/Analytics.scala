@@ -1411,9 +1411,13 @@ object Analytics {
       // doubled median: integer-exact (median is integer or half-integer)
       .select(col("event_type").as("m_type"),
         round(col("med_half") * 2).cast("long").as("med2x"))
+    // dev feeds BOTH the MAD aggregate and the outlier count — persist
+    // so the events scan and the per-type percentile don't run twice
+    // (basketPairs pattern; Bench/Verify clear the pool)
     val dev = cents.join(broadcast(med), col("event_type") === col("m_type"))
       .withColumn("dev2x", (col("cents") * 2 - col("med2x")).cast("double"))
       .withColumn("dev2x", abs(col("dev2x")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // doubled-again MAD so k·MAD stays integer-exact (MAD of integer
     // deviations is integer or half-integer)
     val mad = dev.groupBy(col("event_type"))
@@ -1552,8 +1556,11 @@ object Analytics {
     */
   def userBursts(df: DataFrame, bucketSeconds: Long = 300): DataFrame =
     df.select(col("user_id"),
-        (unix_micros(col("ts")).divide(lit(bucketSeconds * 1000000L)))
-          .cast("long").as("bucket"))
+        // INTEGER division — a double quotient cast long matches the
+        // oracle's `//` only while micros sit away from bucket
+        // boundaries at double precision; div is exact at any epoch
+        expr(s"unix_micros(ts) div ${bucketSeconds * 1000000L}")
+          .as("bucket"))
       .groupBy(col("user_id"), col("bucket"))
       .agg(count(lit(1)).as("n"))
       .groupBy(col("user_id"))
@@ -1582,7 +1589,8 @@ object Analytics {
       .agg(count(lit(1)).as("n"))
       .withColumn("day_num", datediff(col("day"), lit("1970-01-01").cast("date"))
         .cast("long"))
-      // ISO weekday 1–7 — identical on both engines
+      // Spark dayofweek: 1=Sunday … 7=Saturday (NOT ISO; DuckDB's
+      // 0=Sunday is +1-compensated on the oracle side)
       .withColumn("dow", dayofweek(col("day")).cast("long"))
     val w7 = Window.orderBy(col("day_num")).rangeBetween(-3L, 3L)
     val trended = daily
@@ -1640,8 +1648,8 @@ object Analytics {
     */
   def throttle(df: DataFrame, bucketSeconds: Long = 600): DataFrame =
     df.select(col("user_id"), col("event_type"),
-        (unix_micros(col("ts")).divide(lit(bucketSeconds * 1000000L)))
-          .cast("long").as("bucket"),
+        // integer div, not a double quotient — see userBursts
+        expr(s"unix_micros(ts) div ${bucketSeconds * 1000000L}").as("bucket"),
         unix_micros(col("ts")).as("ts_us"), col("event_id"))
       .groupBy(col("user_id"), col("event_type"), col("bucket"))
       .agg(min(struct(col("ts_us"), col("event_id"))).as("first"),

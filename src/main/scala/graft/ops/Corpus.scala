@@ -939,9 +939,13 @@ object Corpus {
     */
   def sourceNgramOverlap(docs: DataFrame, n: Int = 3): DataFrame = {
     val toks = TextAnalysis.tokens(col("text"))
+    // two consumers (pair sets + per-source sizes) share the one
+    // tokenize+shingle explosion via a lazy persist — the basketPairs
+    // pattern; Bench/Verify clear the pool
     val sh = docs.select(col("source"),
       explode(graft.functions.ShingleFunctions.wordShingles(toks, n))
         .as("shingle"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy(col("source"))
       .agg(countDistinct(col("shingle")).as("sz"))
     val pairs = sh.groupBy(col("shingle"))

@@ -173,7 +173,11 @@ object TextAnalysis {
     * lexical diversity — the standard cheap pre-filter for training data.
     * Pure arithmetic on exact integer counts → deterministic.
     */
-  def qualityScore(df: DataFrame): DataFrame = {
+  /** The three row-local quality signals over (text, n_chars) — shared
+    * by the per-doc report and the yield curve so neither pays a second
+    * tokenizing scan.
+    */
+  private def qualityScoreSignals: (Column, Column, Column) = {
     val toks = tokens(col("text"))
     val nTok = size(toks).cast("double")
     val stopHits = markerHits(toks, Seq("the", "a", "of", "and", "to", "in"))
@@ -183,6 +187,11 @@ object TextAnalysis {
       .when(col("n_chars") < 100, col("n_chars").cast("double") / 100.0)
       .otherwise(lit(450.0) / col("n_chars").cast("double"))
     val stopScore = least(stopHits / nTok * 10.0, lit(1.0))
+    (lenScore, stopScore, diversity)
+  }
+
+  def qualityScore(df: DataFrame): DataFrame = {
+    val (lenScore, stopScore, diversity) = qualityScoreSignals
     df.select(
         col("doc_id"),
         round(lenScore, 4).as("len_score"),
@@ -207,14 +216,17 @@ object TextAnalysis {
     */
   def qualityYieldCurve(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val q = qualityScore(df).select(col("doc_id"), col("quality"))
-    val mass = df.select(col("doc_id"),
-      size(tokens(col("text"))).cast("long").as("n_tokens"))
+    val (lenScore, stopScore, diversity) = qualityScoreSignals
     val w = Window.orderBy(col("score_e2").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    q.join(mass, "doc_id")
-      .select(floor(col("quality") * 100).cast("long").as("score_e2"),
-        col("n_tokens"))
+    // quality and token mass are functions of the SAME row: one
+    // projection, no join of two corpus scans (round-4-then-floor is
+    // identical to qualityScore's published score, so the curve buckets
+    // exactly what the per-doc report shows)
+    df.select(
+        floor(round((lenScore + stopScore + diversity) / 3.0, 4) * 100)
+          .cast("long").as("score_e2"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
       .groupBy(col("score_e2"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens"))
       .withColumn("cum_docs", sum(col("n_docs")).over(w))

@@ -2,7 +2,7 @@ package graft.stream
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig}
+import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** Streaming twin of [[graft.ops.Analytics.attributionSplit]]: live
   * linear multi-touch attribution. Views accumulate in per-user state;
@@ -12,12 +12,16 @@ import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor,
   * per-purchase credits telescope to EXACTLY the purchase amount, same
   * as the batch build.
   *
-  * Ordering contract (same as [[ChangeCapture]]/[[Twap]]): rows apply in
-  * (ts, event_id) order WITHIN each micro-batch. View state is pruned to
-  * the attribution window behind the newest timestamp seen per user, so
-  * state is bounded by views-per-hour-per-user; a purchase arriving
-  * MORE than the window late could find its views already pruned — it is
-  * counted in `n_late` semantics (credits what remains) and the batch
+  * Ordering contract ([[ChangeCapture]]/[[Twap]] plus one refinement):
+  * rows apply in (ts, KIND, event_id) order WITHIN each micro-batch,
+  * views before purchases at EQUAL timestamps — the batch join's
+  * `v_ts <= p_ts` credits a same-instant view whatever its event_id,
+  * so the stream must too. View state is pruned to the attribution
+  * window behind the newest timestamp seen per user, so state is
+  * bounded by views-per-hour-per-user; a purchase arriving MORE than
+  * the window late could find its views already pruned — it credits
+  * what remains and increments the per-user `late` ValueState (read it
+  * offline via the state-store reader, as with [[Twap]]); the batch
   * twin over the sink table is the replay path (lambda posture).
   *
   * State per user: a ListState of (view_ts_us, view_id) pairs within the
@@ -32,17 +36,27 @@ object Attribution {
   private class Processor(gapUs: Long)
       extends StatefulProcessor[Long, (Long, Long, Long, String, Long), Credit] {
     @transient private var views: ListState[(Long, Long)] = _
+    @transient private var late: ValueState[Long] = _
 
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       views = getHandle.getListState[(Long, Long)](
         "views", Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong),
         TTLConfig.NONE)
+      late = getHandle.getValueState[Long]("late", Encoders.scalaLong,
+        TTLConfig.NONE)
+    }
 
     override def handleInputRows(
         user: Long,
         inputRows: Iterator[(Long, Long, Long, String, Long)],
         timerValues: TimerValues): Iterator[Credit] = {
-      val rows = inputRows.toArray.sortBy { case (_, tsUs, id, _, _) => (tsUs, id) }
+      // batch-window ordering (ts, KIND, event_id): at EQUAL timestamps
+      // views apply before purchases, because the batch join's
+      // `v_ts <= p_ts` credits a same-instant view regardless of which
+      // event_id is larger — sorting by id alone would silently
+      // under-credit such purchases (parity-pinned in the spec)
+      val rows = inputRows.toArray.sortBy { case (_, tsUs, id, tpe, _) =>
+        (tsUs, if (tpe == "view") 0 else 1, id) }
       var buf = {
         val it = views.get()
         val b = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
@@ -50,8 +64,14 @@ object Attribution {
         b
       }
       var maxTs = if (buf.nonEmpty) buf.map(_._1).max else Long.MinValue
+      var nLate = late.get()
       val out = scala.collection.mutable.ArrayBuffer[Credit]()
       rows.foreach { case (_, tsUs, id, tpe, cents) =>
+        // a purchase older than the prune horizon may have lost views —
+        // count it so the lambda posture's monitoring signal is REAL
+        // (readable offline via the state-store reader, like Twap's)
+        if (tpe == "purchase" && maxTs != Long.MinValue && tsUs < maxTs - gapUs)
+          nLate += 1
         if (tsUs > maxTs) maxTs = tsUs
         tpe match {
           case "view" =>
@@ -78,6 +98,7 @@ object Attribution {
         buf = buf.filter { case (vTs, _) => vTs >= maxTs - gapUs }
       }
       views.put(buf.toArray)
+      late.update(nLate)
       out.iterator
     }
   }

@@ -27,9 +27,9 @@ object Throttle {
       watermarkDelay: String = "30 minutes"): DataFrame =
     events
       .withWatermark("ts", watermarkDelay)
+      // integer div, not a double quotient — see Analytics.userBursts
       .withColumn("bucket",
-        (unix_micros(col("ts")).divide(lit(bucketSeconds * 1000000L)))
-          .cast("long"))
+        expr(s"unix_micros(ts) div ${bucketSeconds * 1000000L}"))
       .dropDuplicatesWithinWatermark("user_id", "event_type", "bucket")
       .drop("bucket")
 }

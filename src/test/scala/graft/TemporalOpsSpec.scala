@@ -524,10 +524,21 @@ class TemporalOpsSpec extends SparkTestBase {
         // 33 each, remainder 1 to the most recent (view 3)
         input.addData((4L, t(50), 1L, "purchase", 1.00))
         q.processAllAvailable()
-        val rows = spark.table("attr_sink").collect()
-          .map(r => (r.getAs[Long]("view_id"), r.getAs[Long]("credit_cents")))
-          .sortBy(_._1)
+        // batch 3, a DIFFERENT user: view and purchase at the SAME
+        // timestamp with the view's event_id LARGER — the batch join's
+        // v_ts <= p_ts credits it, so the stream must apply the view
+        // first (kind-ordered sort) and emit the full credit
+        input.addData(
+          (5L, t(100), 2L, "purchase", 0.50),
+          (9L, t(100), 2L, "view", 0.0))
+        q.processAllAvailable()
+        val all = spark.table("attr_sink").collect()
+          .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("view_id"),
+            r.getAs[Long]("credit_cents")))
+        val rows = all.filter(_._1 == 1L).map(r => (r._2, r._3)).sortBy(_._1)
         assert(rows.toSeq == Seq((1L, 33L), (2L, 33L), (3L, 34L)))
+        assert(all.filter(_._1 == 2L).map(r => (r._2, r._3)).toSeq ==
+          Seq((9L, 50L)))
         // batch parity on the same rows: per-day credited cents agree
         val batchIn = events(
           ev(1, "2024-01-01 00:00:00", 1, "view", 0.0),
