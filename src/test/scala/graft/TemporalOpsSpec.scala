@@ -386,6 +386,90 @@ class TemporalOpsSpec extends SparkTestBase {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  // ---- streaming new-user twin --------------------------------------------
+
+  test("streaming new users: one emission per user ever, parity with the batch growth curve") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[(Long, Timestamp, Long)]
+      val stream = input.toDF().toDF("event_id", "ts", "user_id")
+      val nu = graft.stream.NewUsers.firstTouches(stream)
+      val q = nu.toDF().writeStream.format("memory").queryName("nu_sink")
+        .outputMode("append").start()
+      val base = 1704067200000L
+      def t(sec: Int) = new Timestamp(base + sec * 1000L)
+      try {
+        input.addData((2L, t(60), 1L), (1L, t(0), 1L), (3L, t(0), 2L))
+        q.processAllAvailable()
+        input.addData((4L, t(120), 1L), (5L, t(200), 3L)) // 1 known, 3 new
+        q.processAllAvailable()
+        val rows = spark.table("nu_sink").collect()
+          .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("first_ts_us")))
+          .sortBy(_._1)
+        // user 1's first touch is the batch-1 minimum despite disorder
+        assert(rows.toSeq == Seq(
+          (1L, 1704067200000000L), (2L, 1704067200000000L),
+          (3L, 1704067400000000L)))
+        // day-bucketed count of emissions == batch userGrowth on the
+        // same rows
+        val batchIn = events(
+          ev(1, "2024-01-01 00:00:00", 1, "view", 0.0),
+          ev(2, "2024-01-01 00:01:00", 1, "view", 0.0),
+          ev(3, "2024-01-01 00:00:00", 2, "view", 0.0),
+          ev(4, "2024-01-01 00:02:00", 1, "view", 0.0),
+          ev(5, "2024-01-01 00:03:20", 3, "view", 0.0))
+        val batch = Analytics.userGrowth(batchIn)
+          .as[(Long, Long, Long)].collect().head
+        assert(batch._2 == 3L && rows.length == 3)
+      } finally q.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
+  // ---- checkpoint restart for the session's stateful twins ----------------
+
+  test("twap stream restart: a hold spanning the stop/start boundary is emitted exactly once") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val dir = java.nio.file.Files.createTempDirectory("twap_rs").toString
+    val ckpt = s"$dir/ckpt"; val out = s"$dir/out"
+    try {
+      val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
+      val stream = input.toDF()
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+      // memory sinks can't recover a checkpoint — restart semantics need
+      // the durable file sink, same as the pipeline's exactly-once test
+      def start() = graft.stream.Twap.holds(stream).toDF()
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      val base = 1704067200000L
+      def t(sec: Int) = new Timestamp(base + sec * 1000L)
+      val q1 = start()
+      try {
+        input.addData((1L, t(0), 1L, "click", 10.0))
+        q1.processAllAvailable()
+      } finally q1.stop()
+      // the open hold lives ONLY in checkpointed state; data arriving
+      // while the query is down must close it after restart
+      input.addData((2L, t(45), 1L, "view", 5.0))
+      val q2 = start()
+      try {
+        q2.processAllAvailable()
+        val rows = spark.read.parquet(out).collect()
+          .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("hold_us"),
+            r.getAs[Long]("wcents")))
+        // exactly one hold: the 45 s click-hold at 1000 cents — no
+        // duplicate from batch-1 replay, no lost state
+        assert(rows.toSeq == Seq(("click", 45000000L, 1000L * 45000000L)))
+      } finally q2.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   // ---- streaming TWAP twin ------------------------------------------------
 
   test("streaming twap: emitted holds converge to the batch twin; late rows never retract") {
