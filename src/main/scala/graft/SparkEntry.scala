@@ -429,6 +429,10 @@ object SparkEntry {
     // frame-sampling plan: bounded row-local explode, exact byte tiling
     "q_media_frames" -> ((s, d) =>
       Multimodal.sampleFrames(Multimodal.syntheticAssets(s))),
+    // WebDataset shard layout: hierarchical prefix sum (block windows +
+    // broadcast carry), cum div C assignment, shard-dimension report
+    "q_media_shards" -> ((s, d) =>
+      Multimodal.shardPlan(Multimodal.syntheticAssets(s).toDF())),
     // third-order journey n-grams: two LEADs on one user window
     "q_event_trigrams" -> ((s, d) => Analytics.eventTrigrams(Analytics.events(s, d))),
     // degree assortativity of the co-purchase graph: three integer sums
@@ -1169,6 +1173,22 @@ object SparkEntry {
         |  round(avg((64 + (i * 37) % 64) * (64 + (i * 53) % 64)), 4) AS avg_pixels,
         |  sum(CASE WHEN i % 3 = 0 THEN 0 ELSE 1000 + (i * 97) % 9000 END)::BIGINT AS total_duration_ms
         |FROM generate_series(0, 999) AS t(i) GROUP BY 1 ORDER BY media_type""".stripMargin,
+    "q_media_shards" ->
+      """WITH a AS (
+        |  SELECT i AS asset_id, (64 + (i * 31) % 192)::BIGINT AS n_bytes
+        |  FROM generate_series(0, 999) AS t(i)),
+        |c AS (
+        |  SELECT asset_id, n_bytes,
+        |    coalesce(sum(n_bytes) OVER (ORDER BY asset_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cum_before
+        |  FROM a)
+        |SELECT (cum_before // 4096)::BIGINT AS shard_id,
+        |  count(*)::BIGINT AS n_assets, sum(n_bytes)::BIGINT AS shard_bytes,
+        |  min(asset_id)::BIGINT AS first_asset,
+        |  max(asset_id)::BIGINT AS last_asset,
+        |  (sum(n_bytes) * 10000 // 4096)::BIGINT AS fill_e4
+        |FROM c GROUP BY 1 ORDER BY shard_id""".stripMargin,
     "q_media_features" ->
       """SELECT i AS asset_id,
         |  CASE WHEN i % 3 = 0 THEN 'image' WHEN i % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,

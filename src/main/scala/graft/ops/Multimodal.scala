@@ -234,6 +234,55 @@ object Multimodal {
     * is row-local Column algebra (fold over the array, no UDF); the
     * pair join moves (id, sig, chunk byte) only, never embeddings.
     */
+  /** WebDataset-style shard planning: assign assets, in id order, to
+    * fixed-capacity output shards by CUMULATIVE byte position — the
+    * layout step that turns a blob column into the tar-shard files a
+    * multimodal training loader streams. `shard = cum_before div C`
+    * keeps every shard ≤ one asset over capacity with zero
+    * bin-packing search, and id-ordered assignment keeps the plan
+    * deterministic and append-friendly (new assets only ever extend the
+    * tail shard).
+    *
+    * Shape at 100 TB: the prefix sum is HIERARCHICAL — block-local
+    * windows (asset_id div blockWidth) plus a broadcast carry of
+    * block totals — the [[graft.ops.Corpus]] `globalCumBefore`
+    * discipline; the asset table never rides a single-partition window.
+    * The report aggregates onto the shard dimension.
+    */
+  def shardPlan(
+      assets: DataFrame,
+      shardCapacityBytes: Long = 4096L,
+      blockWidth: Long = 256L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sized = assets.select(col("asset_id"),
+      length(col("content")).cast("long").as("n_bytes"),
+      expr(s"asset_id div $blockWidth").as("block"))
+    val wLocal = Window.partitionBy(col("block")).orderBy(col("asset_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wBlocks = Window.orderBy(col("block"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = sized.groupBy(col("block"))
+      .agg(sum(col("n_bytes")).as("block_bytes"))
+      .withColumn("carry_before",
+        coalesce(sum(col("block_bytes")).over(wBlocks), lit(0L)))
+      .select(col("block").as("c_block"), col("carry_before"))
+    sized
+      .withColumn("local_cum", sum(col("n_bytes")).over(wLocal) - col("n_bytes"))
+      .join(broadcast(carry), col("block") === col("c_block"))
+      .withColumn("cum_before", col("carry_before") + col("local_cum"))
+      .withColumn("shard_id",
+        expr(s"cum_before div $shardCapacityBytes"))
+      .groupBy(col("shard_id"))
+      .agg(
+        count(lit(1)).as("n_assets"),
+        sum(col("n_bytes")).as("shard_bytes"),
+        min(col("asset_id")).as("first_asset"),
+        max(col("asset_id")).as("last_asset"))
+      .withColumn("fill_e4",
+        expr(s"shard_bytes * 10000 div $shardCapacityBytes"))
+      .orderBy(col("shard_id"))
+  }
+
   def mediaNearDup(features: DataFrame, maxDist: Int = 3): DataFrame = {
     // fold dims high→low: acc*2 + sign bit, so bit j = (embedding[j] > 0)
     val sig = aggregate(

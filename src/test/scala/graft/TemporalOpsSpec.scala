@@ -386,6 +386,34 @@ class TemporalOpsSpec extends SparkTestBase {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  // ---- media shard planning -----------------------------------------------
+
+  test("shardPlan: every asset exactly once, contiguous id ranges, block decomposition exact") {
+    val assets = graft.ops.Multimodal.syntheticAssets(spark).toDF()
+    // blockWidth intentionally misaligned with the data to stress the
+    // carry join (1000 ids / 7-wide blocks)
+    val plan = graft.ops.Multimodal.shardPlan(assets, blockWidth = 7L)
+      .collect()
+    assert(plan.map(_.getAs[Long]("n_assets")).sum == 1000L)
+    // shards tile the id space contiguously in order
+    val ranges = plan.map(r =>
+      (r.getAs[Long]("first_asset"), r.getAs[Long]("last_asset")))
+    assert(ranges.head._1 == 0L && ranges.last._2 == 999L)
+    ranges.sliding(2).foreach { case Array((_, lastA), (firstB, _)) =>
+      assert(firstB == lastA + 1)
+    case _ => }
+    // capacity respected up to the one-asset overhang the div rule allows
+    val maxAsset = 64 + 190 // byte-length formula ceiling
+    plan.foreach { r =>
+      assert(r.getAs[Long]("shard_bytes") <= 4096L + maxAsset)
+    }
+    // decomposition is width-invariant: a different block width yields
+    // the IDENTICAL plan (the hierarchical sum is exact, not approximate)
+    val alt = graft.ops.Multimodal.shardPlan(assets, blockWidth = 256L)
+      .collect()
+    assert(plan.map(_.toSeq).toSeq == alt.map(_.toSeq).toSeq)
+  }
+
   // ---- streaming new-user twin --------------------------------------------
 
   test("streaming new users: one emission per user ever, parity with the batch growth curve") {
