@@ -579,6 +579,14 @@ object SparkEntry {
     // first-order Markov transition counts + e4 conditional probability
     "q_event_transitions" -> ((s, d) =>
       Analytics.eventTransitions(Analytics.events(s, d))),
+    // held-out top-1 accuracy of the argmax-successor Markov model
+    "q_markov_eval" -> ((s, d) => Analytics.markovEval(Analytics.events(s, d))),
+    // watermark-lag audit: hierarchical running event-time max over
+    // arrival order, per-type late shares at 1s/1m/10m thresholds
+    "q_disorder_profile" -> ((s, d) =>
+      Analytics.disorderProfile(Analytics.events(s, d))),
+    // k-anonymity / l-diversity release gate on the (type, day, hour) QI
+    "q_kanon" -> ((s, d) => Privacy.kAnonymity(Analytics.events(s, d))),
     "q_user_sessions" -> ((s, d) => Analytics.userSessions(Analytics.events(s, d))),
     // one summary row over the session table (exact integer means)
     "q_session_stats" -> ((s, d) => Analytics.sessionStats(Analytics.events(s, d))),
@@ -2585,6 +2593,74 @@ object SparkEntry {
         |SELECT from_type, to_type, n,
         |  (n * 10000 // sum(n) OVER (PARTITION BY from_type))::BIGINT AS p_e4
         |FROM c ORDER BY from_type, to_type""".stripMargin,
+    "q_markov_eval" ->
+      """WITH p AS (
+        |  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS from_type,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_ts,
+        |    event_type AS to_type, ts
+        |  FROM events),
+        |c AS (
+        |  SELECT from_type, to_type,
+        |    sum(CASE WHEN from_ts < TIMESTAMP '2024-01-15 00:00:00'
+        |              AND ts < TIMESTAMP '2024-01-15 00:00:00'
+        |             THEN 1 ELSE 0 END)::BIGINT AS n_train,
+        |    sum(CASE WHEN from_ts >= TIMESTAMP '2024-01-15 00:00:00'
+        |             THEN 1 ELSE 0 END)::BIGINT AS n_eval
+        |  FROM p WHERE from_type IS NOT NULL GROUP BY 1, 2),
+        |m AS (
+        |  SELECT from_type, to_type AS predicted, n_train AS n_train_top
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY from_type
+        |          ORDER BY n_train DESC, to_type) AS rk
+        |        FROM c WHERE n_train > 0) WHERE rk = 1)
+        |SELECT c.from_type, max(m.predicted) AS predicted,
+        |  coalesce(max(m.n_train_top), 0)::BIGINT AS n_train_top,
+        |  sum(c.n_eval)::BIGINT AS n_eval,
+        |  sum(CASE WHEN c.to_type = m.predicted THEN c.n_eval ELSE 0 END)::BIGINT
+        |    AS n_hits,
+        |  (sum(CASE WHEN c.to_type = m.predicted THEN c.n_eval ELSE 0 END)
+        |    * 10000 // sum(c.n_eval))::BIGINT AS acc_e4
+        |FROM c LEFT JOIN m USING (from_type)
+        |WHERE c.n_eval > 0 GROUP BY 1 ORDER BY c.from_type""".stripMargin,
+    "q_disorder_profile" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |l AS (
+        |  SELECT event_type,
+        |    CASE WHEN wm_before IS NULL THEN 0
+        |         ELSE greatest(0, wm_before - ts_us) END AS late_us
+        |  FROM (SELECT event_type, ts_us,
+        |          max(ts_us) OVER (ORDER BY event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm_before
+        |        FROM e))
+        |SELECT event_type, count(*)::BIGINT AS n_events,
+        |  sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END)::BIGINT AS n_late,
+        |  sum(CASE WHEN late_us > 1000000 THEN 1 ELSE 0 END)::BIGINT AS n_late_1s,
+        |  sum(CASE WHEN late_us > 60000000 THEN 1 ELSE 0 END)::BIGINT AS n_late_1m,
+        |  sum(CASE WHEN late_us > 600000000 THEN 1 ELSE 0 END)::BIGINT AS n_late_10m,
+        |  max(late_us)::BIGINT AS max_late_us,
+        |  (sum(late_us) // count(*))::BIGINT AS avg_late_us,
+        |  (sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) * 10000 // count(*))::BIGINT
+        |    AS late_share_e4
+        |FROM l GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "q_kanon" ->
+      """WITH cells AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, hour(ts) AS hr,
+        |    count(*)::BIGINT AS n_rows,
+        |    count(DISTINCT user_id)::BIGINT AS n_users
+        |  FROM events GROUP BY 1, 2, 3),
+        |grid AS (SELECT * FROM (VALUES (2), (5), (10), (20)) t(k))
+        |SELECT k::BIGINT AS k, count(*)::BIGINT AS n_cells,
+        |  sum(n_rows)::BIGINT AS n_rows_total,
+        |  sum(CASE WHEN n_rows < k THEN 1 ELSE 0 END)::BIGINT AS risky_cells,
+        |  sum(CASE WHEN n_rows < k THEN n_rows ELSE 0 END)::BIGINT AS risky_rows,
+        |  sum(CASE WHEN n_users < k THEN 1 ELSE 0 END)::BIGINT AS lowdiv_cells,
+        |  sum(CASE WHEN n_users < k THEN n_rows ELSE 0 END)::BIGINT AS lowdiv_rows,
+        |  (sum(CASE WHEN n_rows < k THEN n_rows ELSE 0 END) * 10000
+        |    // sum(n_rows))::BIGINT AS risky_share_e4,
+        |  (sum(CASE WHEN n_users < k THEN n_rows ELSE 0 END) * 10000
+        |    // sum(n_rows))::BIGINT AS lowdiv_share_e4
+        |FROM cells CROSS JOIN grid GROUP BY k ORDER BY k""".stripMargin,
     "q_session_stats" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),

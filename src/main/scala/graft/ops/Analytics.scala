@@ -1684,4 +1684,107 @@ object Analytics {
       .select(col("event_id"), col("user_id"), col("ts_us"), col("n_last_hour"))
       .orderBy(col("event_id"))
   }
+
+  /** Next-event prediction accuracy of the first-order Markov model the
+    * transition matrix ([[eventTransitions]]) implies: train the
+    * argmax-successor per type on the first half of the timeline,
+    * evaluate top-1 accuracy on the second half — the held-out check
+    * that tells you whether journey n-grams carry signal before anyone
+    * trains a sequence model on them.
+    *
+    * One user-keyed window produces every consecutive pair exactly once;
+    * each pair is then classified train (both sides before the split) /
+    * eval (predecessor at-or-after the split) / dropped (spans the
+    * boundary), so a single scan feeds both phases. Everything after the
+    * pair count is dimension-sized (|types|² rows): the model argmax
+    * (ties broken to the lexicographically smallest successor — pinned,
+    * not engine luck) ranks that tiny table, and the eval join is a
+    * broadcast. Accuracy is integer e4 (hits·10⁴ div total) — exact on
+    * both engines.
+    */
+  def markovEval(
+      df: DataFrame,
+      splitIso: String = "2024-01-15 00:00:00"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val split = lit(splitIso).cast("timestamp")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = df
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("from_type", lag(col("event_type"), 1).over(w))
+      .withColumn("from_ts", lag(col("ts"), 1).over(w))
+      .filter(col("from_type").isNotNull)
+    val counts = pairs
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(
+        sum(when(col("from_ts") < split && col("ts") < split, 1L)
+          .otherwise(0L)).as("n_train"),
+        // ordering within a user makes from_ts >= split imply ts >= split
+        sum(when(col("from_ts") >= split, 1L).otherwise(0L)).as("n_eval"))
+    val wRank = Window.partitionBy(col("from_type"))
+      .orderBy(desc("n_train"), col("to_type"))
+    val model = counts.filter(col("n_train") > 0)
+      .withColumn("rk", row_number().over(wRank))
+      .filter(col("rk") === 1)
+      .select(col("from_type"), col("to_type").as("predicted"),
+        col("n_train").as("n_train_top"))
+    counts.filter(col("n_eval") > 0)
+      .join(broadcast(model), Seq("from_type"), "left")
+      .groupBy(col("from_type"))
+      .agg(
+        max(col("predicted")).as("predicted"),
+        coalesce(max(col("n_train_top")), lit(0L)).as("n_train_top"),
+        sum(col("n_eval")).as("n_eval"),
+        sum(when(col("to_type") === col("predicted"), col("n_eval"))
+          .otherwise(0L)).as("n_hits"))
+      .withColumn("acc_e4", expr("n_hits * 10000 div n_eval"))
+      .orderBy(col("from_type"))
+  }
+
+  /** Event-time disorder profile — the audit that picks a streaming
+    * watermark. Arrival order is the monotone `event_id`; each event's
+    * lateness is how far its event time sits behind the running maximum
+    * event time over all STRICTLY PRIOR arrivals (exactly the quantity a
+    * `withWatermark` delay must exceed for the event to survive).
+    * Reported per type: late shares at 0/1 s/1 min/10 min thresholds
+    * (integer e4), max and exact integer-division mean lateness.
+    *
+    * The running max is HIERARCHICAL, the same discipline as the corpus
+    * prefix sums: block-local running maxima (event_id div blockWidth)
+    * plus a broadcast carry of per-block maxima — the raw stream never
+    * rides a single-partition global window. max is associative, so the
+    * decomposition is exact, not approximate.
+    */
+  def disorderProfile(df: DataFrame, blockWidth: Long = 65536L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = df.select(col("event_id"), col("event_type"),
+      unix_micros(col("ts")).as("ts_us"),
+      expr(s"event_id div $blockWidth").as("block"))
+    val wLocal = Window.partitionBy(col("block")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wBlocks = Window.orderBy(col("block"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = e.groupBy(col("block"))
+      .agg(max(col("ts_us")).as("block_max"))
+      .withColumn("carry_max", max(col("block_max")).over(wBlocks))
+      .select(col("block").as("c_block"), col("carry_max"))
+    e.withColumn("local_max", max(col("ts_us")).over(wLocal))
+      .join(broadcast(carry), col("block") === col("c_block"))
+      // greatest() skips nulls (returns null only when BOTH are — the
+      // very first arrival, which by definition cannot be late)
+      .withColumn("wm_before", greatest(col("local_max"), col("carry_max")))
+      .withColumn("late_us",
+        when(col("wm_before").isNull, lit(0L))
+          .otherwise(greatest(lit(0L), col("wm_before") - col("ts_us"))))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("late_us") > 0L, 1L).otherwise(0L)).as("n_late"),
+        sum(when(col("late_us") > 1000000L, 1L).otherwise(0L)).as("n_late_1s"),
+        sum(when(col("late_us") > 60000000L, 1L).otherwise(0L)).as("n_late_1m"),
+        sum(when(col("late_us") > 600000000L, 1L).otherwise(0L)).as("n_late_10m"),
+        max(col("late_us")).as("max_late_us"),
+        expr("sum(late_us) div count(1)").as("avg_late_us"))
+      .withColumn("late_share_e4", expr("n_late * 10000 div n_events"))
+      .orderBy(col("event_type"))
+  }
 }

@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Privacy / re-identification auditing for training-data releases — the
+  * governance readout a pipeline runs BEFORE events or documents leave the
+  * boundary. Not in the reference's surface (its pipeline publishes raw
+  * events); this is part of the large-scale-training-data plane the brief
+  * mandates alongside dedup/curation.
+  */
+object Privacy {
+
+  /** k-anonymity / l-diversity risk audit over the canonical
+    * quasi-identifier tuple (event_type, UTC day, hour-of-day): a row is
+    * re-identifiable when its QI cell holds fewer than k rows, and a cell
+    * is low-diversity when fewer than l distinct users share it (here
+    * l = k — one sweep reports both). Output: one row per threshold with
+    * cell/row counts and the integer-e4 share of rows at risk — the
+    * number a release gate compares against policy.
+    *
+    * Shape at 100 TB: the raw table collapses once onto the QI-cell
+    * dimension (count + exact distinct users — two-level partial
+    * aggregation); everything after runs on that kilobyte-scale cell
+    * table crossed with a literal threshold grid. No window, no second
+    * pass over the data.
+    */
+  def kAnonymity(df: DataFrame, ks: Seq[Int] = Seq(2, 5, 10, 20)): DataFrame = {
+    val cells = df.groupBy(
+        col("event_type"),
+        to_date(col("ts")).as("day"),
+        hour(col("ts")).as("hr"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("user_id")).as("n_users"))
+    val grid = df.sparkSession.createDataFrame(
+      ks.sorted.map(k => Tuple1(k.toLong))).toDF("k")
+    cells.crossJoin(broadcast(grid))
+      .groupBy(col("k"))
+      .agg(
+        count(lit(1)).as("n_cells"),
+        sum(col("n_rows")).as("n_rows_total"),
+        sum(when(col("n_rows") < col("k"), 1L).otherwise(0L)).as("risky_cells"),
+        sum(when(col("n_rows") < col("k"), col("n_rows")).otherwise(0L))
+          .as("risky_rows"),
+        sum(when(col("n_users") < col("k"), 1L).otherwise(0L)).as("lowdiv_cells"),
+        sum(when(col("n_users") < col("k"), col("n_rows")).otherwise(0L))
+          .as("lowdiv_rows"))
+      .withColumn("risky_share_e4", expr("risky_rows * 10000 div n_rows_total"))
+      .withColumn("lowdiv_share_e4", expr("lowdiv_rows * 10000 div n_rows_total"))
+      .orderBy(col("k"))
+  }
+}

@@ -397,4 +397,74 @@ class AnalyticsSpec extends SparkTestBase {
     assert(r.getAs[Long]("p50_us") == 5000000L)
     assert(r.getAs[Long]("max_us") == 5000000L)
   }
+
+  test("markovEval: lexicographic tie-break, boundary pairs dropped, unseen from_type scores 0") {
+    val sec = 1000000L
+    val events = Seq(
+      // user 10 train (< 10 s): A→B, B→A, A→C  (from A: B and C tie → B)
+      (1L, 10L, "A", ts(0L)), (2L, 10L, "B", ts(1 * sec)),
+      (3L, 10L, "A", ts(2 * sec)), (4L, 10L, "C", ts(3 * sec)),
+      // boundary pair C@3s → A@11s spans the split: in NEITHER phase
+      (5L, 10L, "A", ts(11 * sec)), (6L, 10L, "B", ts(12 * sec)),
+      (7L, 10L, "A", ts(13 * sec)), (8L, 10L, "C", ts(14 * sec)),
+      // user 20 eval-only: D unseen in train → no prediction, 0 hits
+      (9L, 20L, "D", ts(20 * sec)), (10L, 20L, "A", ts(21 * sec))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = Analytics.markovEval(events, "1970-01-01 00:00:10").collect()
+      .map(r => (r.getAs[String]("from_type"), r.getAs[String]("predicted"),
+        r.getAs[Long]("n_train_top"), r.getAs[Long]("n_eval"),
+        r.getAs[Long]("n_hits"), r.getAs[Long]("acc_e4"))).toSeq
+    assert(out == Seq(
+      // eval pairs from A: A→B (hit) and A→C (miss)
+      ("A", "B", 1L, 2L, 1L, 5000L),
+      ("B", "A", 1L, 1L, 1L, 10000L),
+      ("D", null, 0L, 1L, 0L, 0L)))
+  }
+
+  test("disorderProfile: lateness vs the strictly-prior running max, block-width invariant") {
+    val sec = 1000000L
+    val events = Seq(
+      (1L, 1L, "x", ts(100 * sec)), // first arrival: never late
+      (2L, 1L, "x", ts(50 * sec)),  // 50 s behind wm=100 s
+      (3L, 1L, "x", ts(200 * sec)),
+      (4L, 1L, "x", ts(199 * sec + 500000L)), // 0.5 s late (≤ 1 s bucket)
+      (5L, 1L, "x", ts(90 * sec)),  // 110 s behind wm=200 s (> 1 m)
+      (6L, 1L, "y", ts(300 * sec))  // ahead of wm → on time
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = graft.ops.Analytics.disorderProfile(events, blockWidth = 2L)
+      .collect()
+    val x = out.find(_.getAs[String]("event_type") == "x").get
+    assert(x.getAs[Long]("n_events") == 5L)
+    assert(x.getAs[Long]("n_late") == 3L)
+    assert(x.getAs[Long]("n_late_1s") == 2L)
+    assert(x.getAs[Long]("n_late_1m") == 1L)
+    assert(x.getAs[Long]("n_late_10m") == 0L)
+    assert(x.getAs[Long]("max_late_us") == 110 * sec)
+    assert(x.getAs[Long]("avg_late_us") == (50 * sec + 500000L + 110 * sec) / 5)
+    assert(x.getAs[Long]("late_share_e4") == 6000L)
+    val y = out.find(_.getAs[String]("event_type") == "y").get
+    assert(y.getAs[Long]("n_late") == 0L && y.getAs[Long]("max_late_us") == 0L)
+    // the hierarchical decomposition is exact: any block width, same answer
+    val alt = graft.ops.Analytics.disorderProfile(events, blockWidth = 1000L)
+      .collect()
+    assert(out.map(_.toSeq).toSeq == alt.map(_.toSeq).toSeq)
+  }
+
+  test("kAnonymity: cell risk and user diversity counted per threshold") {
+    val events = Seq(
+      // cell (a, day 0, hour 0): 3 rows, 2 distinct users
+      (1L, 1L, "a", ts(0L)), (2L, 1L, "a", ts(1000000L)),
+      (3L, 2L, "a", ts(2000000L)),
+      // cell (b, day 0, hour 1): singleton
+      (4L, 5L, "b", ts(3600L * 1000000L))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = graft.ops.Privacy.kAnonymity(events, Seq(2, 5)).collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[Long]("n_cells"),
+        r.getAs[Long]("risky_cells"), r.getAs[Long]("risky_rows"),
+        r.getAs[Long]("lowdiv_cells"), r.getAs[Long]("lowdiv_rows"),
+        r.getAs[Long]("risky_share_e4"))).toSeq
+    assert(out == Seq(
+      (2L, 2L, 1L, 1L, 1L, 1L, 2500L),
+      (5L, 2L, 2L, 4L, 2L, 4L, 10000L)))
+  }
 }
