@@ -246,6 +246,11 @@ object SparkEntry {
     // historical rollup with the delta ≡ flat re-aggregation (the oracle)
     "q_incremental_rollup" -> ((s, d) =>
       Analytics.incrementalRollup(Analytics.events(s, d))),
+    // delta-join view maintenance: V = A₀⋈B₀ ∪ ΔA⋈B₀ ∪ A₀⋈ΔB ∪ ΔA⋈ΔB,
+    // merged totals ≡ the flat join (oracle); per-term counts pin it
+    "q_incremental_join" -> ((s, d) =>
+      Relational.incrementalJoinView(Relational.table(s, d, "orders"),
+        Relational.table(s, d, "customer"))),
     // Jaccard affinity of type pairs by user overlap: per-user set
     // collapse (one exchange), row-local pair explode, type² aggregate
     "q_type_affinity" -> ((s, d) => Analytics.typeAffinity(Analytics.events(s, d))),
@@ -853,6 +858,9 @@ object SparkEntry {
     // content-keyed exact-k eval sample per source (unbiased domainCap twin)
     "q_sample_k" -> ((s, d) =>
       Corpus.sampleKPerGroup(TextAnalysis.documents(s, d), "source", 5)),
+    // sequential-Poisson token-weighted bottom-k (integer priorities)
+    "q_weighted_sample" -> ((s, d) =>
+      Corpus.weightedSample(TextAnalysis.documents(s, d), k = 100)),
     // length curriculum: 4 quantile phases from the token-count histogram
     "q_curriculum" -> ((s, d) => {
       val docs = TextAnalysis.documents(s, d)
@@ -3410,6 +3418,33 @@ object SparkEntry {
         |  CASE WHEN h < 9000 THEN 'train' WHEN h < 9500 THEN 'validation'
         |       ELSE 'test' END AS split
         |FROM fp ORDER BY doc_id""".stripMargin,
+    "q_incremental_join" ->
+      """SELECT c_nationkey,
+        |  count(*)::BIGINT AS n_orders,
+        |  sum((CAST(o_totalprice AS DECIMAL(18,2)) * 100)::BIGINT)::BIGINT
+        |    AS revenue_cents,
+        |  sum(CASE WHEN o_orderdate < TIMESTAMP '1997-01-01' AND c_custkey <= 750
+        |           THEN 1 ELSE 0 END)::BIGINT AS n_old,
+        |  sum(CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01' AND c_custkey <= 750
+        |           THEN 1 ELSE 0 END)::BIGINT AS n_delta_orders,
+        |  sum(CASE WHEN o_orderdate < TIMESTAMP '1997-01-01' AND c_custkey > 750
+        |           THEN 1 ELSE 0 END)::BIGINT AS n_delta_cust,
+        |  sum(CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01' AND c_custkey > 750
+        |           THEN 1 ELSE 0 END)::BIGINT AS n_delta_both
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY c_nationkey""".stripMargin,
+    "q_weighted_sample" ->
+      """WITH h AS (SELECT doc_id,
+        |    list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(string_split(text, ''), c -> ord(c)::BIGINT)),
+        |      (a, b) -> (a * 31 + b) % 1000000007) AS hkey,
+        |    len(regexp_split_to_array(lower(text), '\s+'))::BIGINT AS n_tokens
+        |  FROM documents),
+        |p AS (SELECT doc_id, n_tokens,
+        |        (hkey * 1000000 // n_tokens)::BIGINT AS priority FROM h)
+        |SELECT row_number() OVER (ORDER BY priority, doc_id)::BIGINT AS rnk,
+        |  doc_id, n_tokens, priority
+        |FROM p ORDER BY priority, doc_id LIMIT 100""".stripMargin,
     "q_sample_k" ->
       """WITH h AS (SELECT doc_id, source,
         |    list_reduce(list_prepend(0::BIGINT,

@@ -240,6 +240,40 @@ object Corpus {
       .orderBy(col(groupCol), col("rnk"))
   }
 
+  /** Token-weighted document sample — sequential Poisson sampling
+    * (Ohlsson): each doc draws a deterministic content-hash "uniform"
+    * and competes on priority = u div weight; the GLOBAL bottom-k then
+    * includes docs with probability ≈ proportional to token count. The
+    * weighted counterpart to [[sampleKPerGroup]]'s uniform draw and the
+    * fixed-stride [[systematicSample]]: one pass, no prefix sum, and a
+    * new doc only ever displaces one incumbent — replay-stable.
+    *
+    * Arithmetic is integer end to end (hash·10⁶ div tokens — the e6
+    * scale keeps distinct priorities across the hash range), so the
+    * selection is bit-identical on any engine; ties (same priority)
+    * break by doc_id. Shape at 100 TB: priorities are row-local, the
+    * bottom-k is TakeOrderedAndProject (per-partition top-k, k-row
+    * merge on the driver) — the corpus is never globally sorted.
+    */
+  def weightedSample(docs: DataFrame, k: Int = 100): DataFrame = {
+    require(k >= 1, "k must be at least 1")
+    import org.apache.spark.sql.expressions.Window
+    val picked = docs.select(
+        col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"),
+        TextAnalysis.rollingFingerprint(col("text")).as("hkey"))
+      .withColumn("priority", expr("hkey * 1000000 div n_tokens"))
+      .orderBy(col("priority"), col("doc_id"))
+      .limit(k)
+    // rank window runs on the k-row result, not the corpus
+    picked
+      .withColumn("rnk",
+        row_number().over(Window.orderBy(col("priority"), col("doc_id")))
+          .cast("long"))
+      .select(col("rnk"), col("doc_id"), col("n_tokens"), col("priority"))
+      .orderBy(col("rnk"))
+  }
+
   /** Split-leakage report — the release check that pairs the split with
     * the near-dup pipeline: how many near-duplicate pairs STRADDLE
     * splits (a train/test straddle means the model effectively sees

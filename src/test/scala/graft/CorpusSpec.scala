@@ -538,4 +538,31 @@ class CorpusSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert("WindowGroupLimit".r.findAllIn(p).length == 2, p)
   }
+
+  test("weightedSample: exact-k, dense ranks, integer priority = hash*1e6 div tokens") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, size, split, lower}
+    val docs = (1L to 40L)
+      .map(i => (i, ("tok " * (i.toInt % 7 + 1)).trim + s" doc$i"))
+      .toDF("doc_id", "text")
+    val out = Corpus.weightedSample(docs, k = 10).collect()
+    assert(out.length == 10)
+    assert(out.map(_.getAs[Long]("rnk")).toSeq == (1L to 10L))
+    // priorities non-decreasing in rank order; doc_ids distinct
+    val pr = out.map(_.getAs[Long]("priority")).toSeq
+    assert(pr.zip(pr.tail).forall { case (a, b) => a <= b })
+    assert(out.map(_.getAs[Long]("doc_id")).distinct.length == 10)
+    // the priority column is exactly hash·10⁶ div token-count (recomputed
+    // independently), so the oracle's arithmetic twin can't drift
+    val expect = docs.select(col("doc_id"),
+        graft.ops.TextAnalysis.rollingFingerprint(col("text")).as("h"),
+        size(split(lower(col("text")), "\\s+")).cast("long").as("n"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("h") * 1000000L / r.getAs[Long]("n"))).toMap
+    out.foreach { r =>
+      assert(r.getAs[Long]("priority") == expect(r.getAs[Long]("doc_id")))
+    }
+    // k ≥ corpus → every doc sampled (the bottom-k is a total order)
+    assert(Corpus.weightedSample(docs, k = 100).count() == 40L)
+  }
 }

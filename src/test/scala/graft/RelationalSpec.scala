@@ -204,4 +204,28 @@ class RelationalSpec extends SparkTestBase {
       .as[(Long, Long)].collect()
     assert(out.toSeq == Seq((1L, 0L), (2L, 1L), (3L, 2L)))
   }
+
+  test("incrementalJoinView: four delta terms partition the join and merge to the flat totals") {
+    import spark.implicits._
+    def day(d: Int) = new Timestamp(d * 86400000L)
+    val orders = Seq(
+      (1L, day(1), 10.0),  // old order, old customer
+      (1L, day(20), 20.0), // delta order, old customer
+      (3L, day(1), 30.0),  // old order, delta customer
+      (3L, day(20), 40.0)  // delta order, delta customer
+    ).toDF("o_custkey", "o_orderdate", "o_totalprice")
+    val customer = Seq((1L, 100L), (3L, 100L), (9L, 200L))
+      .toDF("c_custkey", "c_nationkey")
+    val out = Relational.incrementalJoinView(orders, customer,
+      splitDateIso = "1970-01-10 00:00:00", custSplit = 2L).collect()
+    assert(out.length == 1) // customer 9 has no orders → inner join drops it
+    val r = out.head
+    assert(r.getAs[Long]("c_nationkey") == 100L)
+    assert(r.getAs[Long]("n_orders") == 4L)
+    assert(r.getAs[Long]("revenue_cents") == 10000L)
+    assert(r.getAs[Long]("n_old") == 1L)
+    assert(r.getAs[Long]("n_delta_orders") == 1L)
+    assert(r.getAs[Long]("n_delta_cust") == 1L)
+    assert(r.getAs[Long]("n_delta_both") == 1L)
+  }
 }
