@@ -1713,6 +1713,9 @@ object Analytics {
       .withColumn("from_type", lag(col("event_type"), 1).over(w))
       .withColumn("from_ts", lag(col("ts"), 1).over(w))
       .filter(col("from_type").isNotNull)
+    // model and eval both read this |types|²-row table — persist (lazily,
+    // the house pattern for shared frames; SparkEntry.clearCaches drops
+    // it) so the corpus window + pair count run ONCE, not per branch
     val counts = pairs
       .groupBy(col("from_type"), col("event_type").as("to_type"))
       .agg(
@@ -1720,6 +1723,7 @@ object Analytics {
           .otherwise(0L)).as("n_train"),
         // ordering within a user makes from_ts >= split imply ts >= split
         sum(when(col("from_ts") >= split, 1L).otherwise(0L)).as("n_eval"))
+      .persist()
     val wRank = Window.partitionBy(col("from_type"))
       .orderBy(desc("n_train"), col("to_type"))
     val model = counts.filter(col("n_train") > 0)

@@ -644,4 +644,80 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin"), s"supplier dim must broadcast:\n$p")
     assert(p.contains("TakeOrderedAndProject"), s"top-k must push:\n$p")
   }
+
+  test("disorderProfile: raw-event windows stay block-partitioned, carry joins by broadcast") {
+    val p = plan(Analytics.disorderProfile(Analytics.events(spark, sf)))
+    // every WindowExec over the event stream must carry partition keys;
+    // the only global-ordered window is the one on the block-totals
+    // dimension feeding the broadcast carry
+    assert(p.contains("BroadcastHashJoin"), s"carry must broadcast:\n$p")
+    assert(p.contains("block#"), s"hierarchical block decomposition missing:\n$p")
+  }
+
+  test("markovEval: model joins by broadcast; the shared pair-count table is cached, not recomputed") {
+    val p = plan(Analytics.markovEval(Analytics.events(spark, sf)))
+    assert(p.contains("BroadcastHashJoin"), s"model join must broadcast:\n$p")
+    // both branches (model argmax, eval join) must read the persisted
+    // |types|² count table — if the cache node disappears, the corpus
+    // window and pair count silently run twice
+    assert(p.contains("InMemoryTableScan"), s"shared counts must be cached:\n$p")
+  }
+
+  test("kAnonymity: collapse-first — no window, threshold grid by broadcast nested loop on 4 rows") {
+    val p = plan(graft.ops.Privacy.kAnonymity(Analytics.events(spark, sf)))
+    assert(!p.contains("Window"), s"cell collapse must be window-free:\n$p")
+    // the cross join runs AFTER the cell collapse, against the literal
+    // threshold grid — the only acceptable nested-loop in the repo
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("weightedSample: global bottom-k is TakeOrderedAndProject, never a global sort") {
+    val p = plan(graft.ops.Corpus.weightedSample(
+      graft.ops.TextAnalysis.documents(spark, sf), k = 100))
+    assert(p.contains("TakeOrderedAndProject"), s"bottom-k must push:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"corpus must not globally sort:\n$p")
+  }
+
+  test("incrementalJoinView: every delta term joins its customer slice by broadcast") {
+    val p = plan(Relational.incrementalJoinView(
+      Relational.table(spark, sf, "orders"), Relational.table(spark, sf, "customer")))
+    assert(!p.contains("SortMergeJoin"), s"dim side must broadcast:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).length == 4, p)
+  }
+
+  test("ANALYZE TABLE feeds the optimizer: rowCount and column stats land in the catalog") {
+    // the cost-based-optimization input surface: at 100 TB the difference
+    // between a broadcast and a sort-merge join is often whether ANALYZE
+    // ran — pin that computed stats actually reach the plan's estimates
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_stats_db")
+    spark.sql("DROP TABLE IF EXISTS graft_stats_db.cust_stats")
+    try {
+      Relational.table(spark, sf, "customer")
+        .write.mode("overwrite").saveAsTable("graft_stats_db.cust_stats")
+      spark.sql("ANALYZE TABLE graft_stats_db.cust_stats COMPUTE STATISTICS " +
+        "FOR COLUMNS c_custkey, c_nationkey")
+      // row counts reach plan estimates only under the CBO flag — the
+      // production setting this pin documents
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      val stats = spark.table("graft_stats_db.cust_stats")
+        .queryExecution.optimizedPlan.stats
+      assert(stats.rowCount.exists(_ > 0), s"rowCount missing: $stats")
+      val colDesc = spark
+        .sql("DESCRIBE EXTENDED graft_stats_db.cust_stats c_custkey")
+        .collect().map(r => (r.getString(0), r.getString(1))).toMap
+      assert(colDesc.get("distinct_count").exists(_.toLong > 0), colDesc.toString)
+      assert(colDesc.get("max").exists(_ != "NULL"), colDesc.toString)
+    } finally {
+      spark.conf.unset("spark.sql.cbo.enabled")
+      spark.sql("DROP TABLE IF EXISTS graft_stats_db.cust_stats")
+    }
+  }
+
+  test("shardPlan: asset windows are block-partitioned; the carry is a broadcast join") {
+    val p = plan(graft.ops.Multimodal.shardPlan(
+      graft.ops.Multimodal.syntheticAssets(spark).toDF()))
+    assert(p.contains("BroadcastHashJoin"), s"carry must broadcast:\n$p")
+    assert(p.contains("block#"), s"hierarchical block decomposition missing:\n$p")
+  }
 }
