@@ -592,6 +592,12 @@ object SparkEntry {
       Analytics.disorderProfile(Analytics.events(s, d))),
     // k-anonymity / l-diversity release gate on the (type, day, hour) QI
     "q_kanon" -> ((s, d) => Privacy.kAnonymity(Analytics.events(s, d))),
+    // right-to-be-forgotten dry run: one broadcast tombstone join, semi
+    // and anti populations from the same null flag
+    "q_forget" -> ((s, d) => Privacy.forgetAudit(Analytics.events(s, d))),
+    // row-group skip audit: arrival vs date layout × three predicates
+    "q_rowgroup_prune" -> ((s, d) =>
+      Layout.pruneEffectiveness(Analytics.events(s, d))),
     "q_user_sessions" -> ((s, d) => Analytics.userSessions(Analytics.events(s, d))),
     // one summary row over the session table (exact integer means)
     "q_session_stats" -> ((s, d) => Analytics.sessionStats(Analytics.events(s, d))),
@@ -2651,6 +2657,57 @@ object SparkEntry {
         |  (sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) * 10000 // count(*))::BIGINT
         |    AS late_share_e4
         |FROM l GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "q_forget" ->
+      """WITH tomb AS (
+        |  SELECT DISTINCT user_id FROM events WHERE user_id % 97 = 0),
+        |j AS (
+        |  SELECT e.event_type, e.user_id,
+        |    CASE WHEN t.user_id IS NOT NULL THEN 1 ELSE 0 END AS gone
+        |  FROM events e LEFT JOIN tomb t ON e.user_id = t.user_id)
+        |SELECT event_type, count(*)::BIGINT AS n_total,
+        |  sum(gone)::BIGINT AS n_dropped,
+        |  sum(1 - gone)::BIGINT AS n_left,
+        |  count(DISTINCT CASE WHEN gone = 1 THEN user_id END)::BIGINT
+        |    AS n_users_dropped,
+        |  (sum(gone) * 10000 // count(*))::BIGINT AS dropped_share_e4
+        |FROM j GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "q_rowgroup_prune" ->
+      """WITH base AS (
+        |  SELECT event_id, epoch_us(ts) AS ts_us,
+        |    dayofyear(CAST(ts AS DATE))::BIGINT AS doy
+        |  FROM events),
+        |blocks AS (
+        |  SELECT 'arrival' AS layout, event_id // 8192 AS block,
+        |    count(*)::BIGINT AS n, min(ts_us) AS min_us, max(ts_us) AS max_us
+        |  FROM base GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'by_day' AS layout, doy AS block,
+        |    count(*)::BIGINT AS n, min(ts_us) AS min_us, max(ts_us) AS max_us
+        |  FROM base GROUP BY 2),
+        |grid AS (SELECT * FROM (VALUES
+        |  ('last_day', 1706572800000000, 9223372036854775807),
+        |  ('last_half', 1705276800000000, 9223372036854775807),
+        |  ('one_day', 1704844800000000, 1704931200000000)) t(pred, lo_us, hi_us)),
+        |m AS (
+        |  SELECT pred, count(*)::BIGINT AS rows_matched
+        |  FROM base JOIN grid ON ts_us >= lo_us AND ts_us < hi_us
+        |  GROUP BY 1),
+        |r AS (
+        |  SELECT layout, pred,
+        |    count(*)::BIGINT AS n_blocks,
+        |    sum(CASE WHEN max_us >= lo_us AND min_us < hi_us THEN 1 ELSE 0 END)::BIGINT
+        |      AS blocks_read,
+        |    sum(CASE WHEN max_us >= lo_us AND min_us < hi_us THEN n ELSE 0 END)::BIGINT
+        |      AS rows_read
+        |  FROM blocks CROSS JOIN grid GROUP BY 1, 2)
+        |SELECT r.layout, r.pred, r.n_blocks, r.blocks_read, r.rows_read,
+        |  coalesce(m.rows_matched, 0)::BIGINT AS rows_matched,
+        |  ((r.n_blocks - r.blocks_read) * 10000 // r.n_blocks)::BIGINT AS skip_e4,
+        |  CASE WHEN r.rows_read = 0 THEN 0
+        |       ELSE (r.rows_read - coalesce(m.rows_matched, 0)) * 10000 // r.rows_read
+        |  END::BIGINT AS waste_e4
+        |FROM r LEFT JOIN m USING (pred)
+        |ORDER BY r.layout, r.pred""".stripMargin,
     "q_kanon" ->
       """WITH cells AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day, hour(ts) AS hr,

@@ -69,6 +69,64 @@ object Layout {
     * verifiable query. Scale shape: one narrow map + one hash
     * aggregate; output is bounded by the occupied tile count.
     */
+  /** Data-skipping effectiveness audit: for each (layout, predicate)
+    * pair, how many simulated row groups would a scan have to read, and
+    * what fraction of the rows it reads are waste? Row groups are
+    * modeled as fixed-size blocks with min/max footers — exactly the
+    * parquet metadata the scan planner consults — under two layouts:
+    * `arrival` (insertion order: event_id div blockRows) and `by_day`
+    * (a date-partitioned sink). The readout quantifies the claim behind
+    * [[zorderLayout]] and the date-partitioned sink: at 100 TB, layout
+    * IS the scan cost, and this is the audit that justifies a re-layout
+    * before anyone pays for it.
+    *
+    * Shape: each layout collapses once onto its block dimension
+    * (min/max/count per block), predicates live in a literal broadcast
+    * grid, and exact per-predicate match counts come from one shared
+    * scan — block tables are the only joined frames. skip/waste are
+    * integer e4.
+    */
+  def pruneEffectiveness(
+      events: DataFrame, blockRows: Long = 8192L): DataFrame = {
+    val preds = Seq(
+      // (name, lo_us, hi_us) — UTC micros; hi exclusive
+      ("last_day", 1706572800000000L, Long.MaxValue), // 2024-01-30 →
+      ("last_half", 1705276800000000L, Long.MaxValue), // 2024-01-15 →
+      ("one_day", 1704844800000000L, 1704931200000000L)) // [01-10, 01-11)
+    val grid = events.sparkSession.createDataFrame(preds)
+      .toDF("pred", "lo_us", "hi_us")
+    val base = events.select(col("event_id"),
+      unix_micros(col("ts")).as("ts_us"),
+      to_date(col("ts")).as("day"))
+    def blocks(layout: String, blockCol: Column) = base
+      .groupBy(blockCol.as("block"))
+      .agg(count(lit(1)).as("n"),
+        min(col("ts_us")).as("min_us"), max(col("ts_us")).as("max_us"))
+      .withColumn("layout", lit(layout))
+    val blockStats = blocks("arrival", expr(s"event_id div $blockRows"))
+      .unionByName(blocks("by_day", dayofyear(col("day")).cast("long")))
+    // exact selectivity per predicate — layout-independent, one pass
+    val matched = base.join(broadcast(grid),
+        col("ts_us") >= col("lo_us") && col("ts_us") < col("hi_us"))
+      .groupBy(col("pred")).agg(count(lit(1)).as("rows_matched"))
+    blockStats.crossJoin(broadcast(grid))
+      .withColumn("read",
+        col("max_us") >= col("lo_us") && col("min_us") < col("hi_us"))
+      .groupBy(col("layout"), col("pred"))
+      .agg(
+        count(lit(1)).as("n_blocks"),
+        sum(when(col("read"), 1L).otherwise(0L)).as("blocks_read"),
+        sum(when(col("read"), col("n")).otherwise(0L)).as("rows_read"))
+      .join(broadcast(matched), Seq("pred"), "left")
+      .withColumn("rows_matched", coalesce(col("rows_matched"), lit(0L)))
+      .withColumn("skip_e4",
+        expr("(n_blocks - blocks_read) * 10000 div n_blocks"))
+      .withColumn("waste_e4",
+        when(col("rows_read") === 0L, lit(0L))
+          .otherwise(expr("(rows_read - rows_matched) * 10000 div rows_read")))
+      .orderBy(col("layout"), col("pred"))
+  }
+
   def zorderLayout(
       lineitem: DataFrame,
       bits: Int = 20,

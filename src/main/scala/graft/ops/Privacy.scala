@@ -50,4 +50,31 @@ object Privacy {
       .withColumn("lowdiv_share_e4", expr("lowdiv_rows * 10000 div n_rows_total"))
       .orderBy(col("k"))
   }
+
+  /** Right-to-be-forgotten propagation audit: given a tombstone set of
+    * user ids (here derived by predicate — in production a deletion-
+    * request table), report per event type how many rows the purge
+    * removes, how many survive, and how many distinct users disappear.
+    * The dry-run a deletion job publishes BEFORE rewriting 100 TB of
+    * partitions — and the reconciliation check after (dropped + left
+    * must equal total, pinned by the spec).
+    *
+    * Shape: ONE scan — the tombstone set is a broadcast left join and
+    * both the semi (dropped) and anti (survivor) populations fall out
+    * of the same null flag; no second pass, no anti-join re-shuffle.
+    */
+  def forgetAudit(df: DataFrame, modulus: Long = 97L): DataFrame = {
+    val tomb = df.filter(col("user_id") % modulus === 0L)
+      .select(col("user_id")).distinct()
+      .withColumn("gone", lit(true))
+    df.join(broadcast(tomb), Seq("user_id"), "left")
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("gone"), 1L).otherwise(0L)).as("n_dropped"),
+        sum(when(col("gone").isNull, 1L).otherwise(0L)).as("n_left"),
+        countDistinct(when(col("gone"), col("user_id"))).as("n_users_dropped"))
+      .withColumn("dropped_share_e4", expr("n_dropped * 10000 div n_total"))
+      .orderBy(col("event_type"))
+  }
 }

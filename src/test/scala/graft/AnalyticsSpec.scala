@@ -467,4 +467,42 @@ class AnalyticsSpec extends SparkTestBase {
       (2L, 2L, 1L, 1L, 1L, 1L, 2500L),
       (5L, 2L, 2L, 4L, 2L, 4L, 10000L)))
   }
+
+  test("forgetAudit: dropped + left reconciles to total; distinct users counted once") {
+    val events = Seq(
+      (1L, 2L, "a", ts(0L)), (2L, 2L, "a", ts(1000000L)), // user 2: purged
+      (3L, 3L, "a", ts(2000000L)),
+      (4L, 4L, "b", ts(3000000L)), // user 4: purged
+      (5L, 5L, "b", ts(4000000L))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = graft.ops.Privacy.forgetAudit(events, modulus = 2L).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n_total"),
+        r.getAs[Long]("n_dropped"), r.getAs[Long]("n_left"),
+        r.getAs[Long]("n_users_dropped"), r.getAs[Long]("dropped_share_e4")))
+      .toSeq
+    assert(out == Seq(("a", 3L, 2L, 1L, 1L, 6666L), ("b", 2L, 1L, 1L, 1L, 5000L)))
+  }
+
+  test("pruneEffectiveness: date layout reads exactly the matching day; single arrival block reads everything") {
+    val day10 = 1704844800000000L // 2024-01-10 in µs
+    val day15 = 1705276800000000L
+    val day30 = 1706572800000000L
+    val events = Seq(
+      (1L, 1L, "a", ts(day10)), (2L, 1L, "a", ts(day10 + 1000000L)),
+      (3L, 1L, "a", ts(day15)), (4L, 1L, "a", ts(day30))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = graft.ops.Layout.pruneEffectiveness(events, blockRows = 1000L)
+      .collect()
+      .map(r => ((r.getAs[String]("layout"), r.getAs[String]("pred")),
+        (r.getAs[Long]("n_blocks"), r.getAs[Long]("blocks_read"),
+          r.getAs[Long]("rows_read"), r.getAs[Long]("rows_matched"),
+          r.getAs[Long]("waste_e4")))).toMap
+    // by_day + one_day: reads only the 2-row Jan-10 partition, zero waste
+    assert(out(("by_day", "one_day")) == (3L, 1L, 2L, 2L, 0L))
+    // arrival with one giant block: every predicate reads all 4 rows
+    assert(out(("arrival", "one_day")) == (1L, 1L, 4L, 2L, 5000L))
+    assert(out(("arrival", "last_day")) == (1L, 1L, 4L, 1L, 7500L))
+    // by_day + last_half: Jan-15 and Jan-30 partitions only
+    assert(out(("by_day", "last_half")) == (3L, 2L, 2L, 2L, 0L))
+  }
 }

@@ -1049,6 +1049,42 @@ class StreamingSpec extends SparkTestBase {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("disorder monitor: cumulative lateness counters match the batch audit on per-type traffic") {
+    implicit val ctx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val sec = 1000000L
+      val input = MemoryStream[(Long, String, Long)]
+      val stream = input.toDF().toDF("event_id", "event_type", "ts_us")
+        .selectExpr("event_id", "event_type", "timestamp_micros(ts_us) AS ts")
+      val q = graft.stream.DisorderMonitor.monitor(stream).toDF()
+        .writeStream.format("memory").queryName("dis_sink")
+        .outputMode("update").start()
+      try {
+        // batch 1 (ids 1-4): on-time, 50 s late, fresh max, 0.5 s late
+        input.addData((1L, "x", 100 * sec), (2L, "x", 50 * sec),
+          (3L, "x", 200 * sec), (4L, "x", 199 * sec + 500000L))
+        q.processAllAvailable()
+        // batch 2 (ids 5-6): 110 s late vs the CARRIED max; second type
+        input.addData((5L, "x", 90 * sec), (6L, "y", 300 * sec))
+        q.processAllAvailable()
+      } finally q.stop()
+      val last = spark.table("dis_sink").collect()
+        .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n_events"),
+          r.getAs[Long]("n_late"), r.getAs[Long]("n_late_1s"),
+          r.getAs[Long]("n_late_1m"), r.getAs[Long]("max_late_us"),
+          r.getAs[Long]("avg_late_us"), r.getAs[Long]("late_share_e4")))
+        .groupBy(_._1).map { case (t, rs) => rs.maxBy(_._2) }.toSeq.sortBy(_._1)
+      // same numbers the batch disorderProfile computes for type x alone
+      // (per-type traffic ⇒ per-type and global running max coincide)
+      assert(last == Seq(
+        ("x", 5L, 3L, 2L, 1L, 110 * sec,
+          (50 * sec + 500000L + 110 * sec) / 5, 6000L),
+        ("y", 1L, 0L, 0L, 0L, 0L, 0L, 0L)), last.toString)
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("state store reader: a stopped query's aggregation state is queryable offline") {
     // the operational debugging surface: when a stateful stream
     // misbehaves in production, you read its checkpointed state AS A
