@@ -586,6 +586,13 @@ object SparkEntry {
       Analytics.eventTransitions(Analytics.events(s, d))),
     // held-out top-1 accuracy of the argmax-successor Markov model
     "q_markov_eval" -> ((s, d) => Analytics.markovEval(Analytics.events(s, d))),
+    // CUPED variance-reduced A/B readout: exact integer moments, one
+    // double conversion per statistic
+    "q_cuped" -> ((s, d) => Analytics.cupedLift(Analytics.events(s, d))),
+    // per-bucket histogram join-size estimate vs the actual join count
+    "q_join_cardinality" -> ((s, d) =>
+      Relational.joinCardinalityEstimate(Relational.table(s, d, "orders"),
+        Relational.table(s, d, "customer"))),
     // watermark-lag audit: hierarchical running event-time max over
     // arrival order, per-type late shares at 1s/1m/10m thresholds
     "q_disorder_profile" -> ((s, d) =>
@@ -2607,6 +2614,64 @@ object SparkEntry {
         |SELECT from_type, to_type, n,
         |  (n * 10000 // sum(n) OVER (PARTITION BY from_type))::BIGINT AS p_e4
         |FROM c ORDER BY from_type, to_type""".stripMargin,
+    "q_cuped" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    sum(CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00'
+        |             THEN (value::DECIMAL(12,2) * 100)::BIGINT ELSE 0 END)
+        |      AS pre,
+        |    sum(CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00'
+        |             THEN (value::DECIMAL(12,2) * 100)::BIGINT ELSE 0 END)
+        |      AS post
+        |  FROM events GROUP BY 1),
+        |m AS (
+        |  SELECT count(*)::BIGINT AS n,
+        |    sum(pre::HUGEINT) AS sx, sum(post::HUGEINT) AS sy,
+        |    sum(pre::HUGEINT * pre::HUGEINT) AS sxx,
+        |    sum(pre::HUGEINT * post::HUGEINT) AS sxy
+        |  FROM u),
+        |a AS (
+        |  SELECT user_id % 2 AS arm, count(*)::BIGINT AS n_users,
+        |    sum(pre::HUGEINT) AS sx_a, sum(post::HUGEINT) AS sy_a
+        |  FROM u GROUP BY 1)
+        |SELECT arm, n_users,
+        |  round(sx_a::DOUBLE / n_users::DOUBLE, 4) AS mean_pre_cents,
+        |  round(sy_a::DOUBLE / n_users::DOUBLE, 4) AS mean_post_cents,
+        |  round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+        |      / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE), 6)
+        |    AS theta,
+        |  round(sy_a::DOUBLE / n_users::DOUBLE
+        |    - ((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+        |       / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE))
+        |      * (sx_a::DOUBLE / n_users::DOUBLE - sx::DOUBLE / n::DOUBLE), 4)
+        |    AS adjusted_mean_cents
+        |FROM a CROSS JOIN m ORDER BY arm""".stripMargin,
+    "q_join_cardinality" ->
+      """WITH o AS (
+        |  SELECT o_custkey // 64 AS bucket, count(*)::BIGINT AS n_orders,
+        |    count(DISTINCT o_custkey)::BIGINT AS ndv_orders
+        |  FROM orders GROUP BY 1),
+        |c AS (
+        |  SELECT c_custkey // 64 AS bucket, count(*)::BIGINT AS n_cust,
+        |    count(DISTINCT c_custkey)::BIGINT AS ndv_cust
+        |  FROM customer GROUP BY 1),
+        |act AS (
+        |  SELECT o_custkey // 64 AS bucket, count(*)::BIGINT AS n_actual
+        |  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1),
+        |f AS (
+        |  SELECT coalesce(o.bucket, c.bucket) AS bucket,
+        |    coalesce(n_orders, 0) AS n_orders,
+        |    coalesce(ndv_orders, 0) AS ndv_orders,
+        |    coalesce(n_cust, 0) AS n_cust, coalesce(ndv_cust, 0) AS ndv_cust
+        |  FROM o FULL JOIN c ON o.bucket = c.bucket)
+        |SELECT f.bucket, n_orders, ndv_orders, n_cust, ndv_cust,
+        |  coalesce(n_actual, 0)::BIGINT AS n_actual,
+        |  (n_orders * n_cust // greatest(ndv_orders, ndv_cust, 1))::BIGINT AS est,
+        |  (abs(n_orders * n_cust // greatest(ndv_orders, ndv_cust, 1)
+        |       - coalesce(n_actual, 0)) * 10000
+        |    // greatest(coalesce(n_actual, 0), 1))::BIGINT AS err_e4
+        |FROM f LEFT JOIN act ON f.bucket = act.bucket
+        |ORDER BY f.bucket""".stripMargin,
     "q_markov_eval" ->
       """WITH p AS (
         |  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)

@@ -1744,6 +1744,66 @@ object Analytics {
       .orderBy(col("from_type"))
   }
 
+  /** CUPED variance-reduced experiment readout (Deng et al., WSDM'13 —
+    * the industry-standard A/B adjustment): users are assigned arms by
+    * id parity, the metric is each user's post-period spend, and the
+    * pre-period spend is the covariate. adjusted = post − θ·(pre −
+    * pooled-mean-pre) with θ = cov(pre, post)/var(pre) removes the
+    * between-user variance the pre-period already explains, so the same
+    * traffic yields tighter intervals — the readout that decides
+    * experiments faster at any scale.
+    *
+    * Exactness discipline: per-user totals in integer cents, pooled
+    * moments as exact DECIMAL(38,0) sums; θ and the arm means are each
+    * ONE correctly-rounded double conversion + IEEE arithmetic, so both
+    * engines produce bit-identical doubles before the 4 dp presentation
+    * round. Shape: one user collapse (partial+final), then arm-sized
+    * frames; the moment aggregate is a broadcast scalar.
+    */
+  def cupedLift(
+      df: DataFrame,
+      splitIso: String = "2024-01-15 00:00:00"): DataFrame = {
+    val split = lit(splitIso).cast("timestamp")
+    val cents = (col("value").cast("decimal(12,2)") * 100).cast("long")
+    val users = df.select(col("user_id"), col("ts"), cents.as("cents"))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("ts") < split, col("cents")).otherwise(0L)).as("pre"),
+        sum(when(col("ts") >= split, col("cents")).otherwise(0L)).as("post"))
+      .withColumn("arm", col("user_id") % 2)
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val m = users.agg(
+      count(lit(1)).as("n"),
+      sum(dec(col("pre"))).as("sx"),
+      sum(dec(col("post"))).as("sy"),
+      sum(dec(col("pre")) * dec(col("pre"))).as("sxx"),
+      sum(dec(col("pre")) * dec(col("post"))).as("sxy"))
+    users
+      .groupBy(col("arm"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        sum(dec(col("pre"))).as("sx_a"),
+        sum(dec(col("post"))).as("sy_a"))
+      .crossJoin(broadcast(m))
+      .withColumn("theta",
+        (col("n").cast("double") * col("sxy").cast("double")
+          - col("sx").cast("double") * col("sy").cast("double")) /
+          (col("n").cast("double") * col("sxx").cast("double")
+            - col("sx").cast("double") * col("sx").cast("double")))
+      .withColumn("mean_pre",
+        col("sx_a").cast("double") / col("n_users").cast("double"))
+      .withColumn("mean_post",
+        col("sy_a").cast("double") / col("n_users").cast("double"))
+      .select(col("arm"), col("n_users"),
+        round(col("mean_pre"), 4).as("mean_pre_cents"),
+        round(col("mean_post"), 4).as("mean_post_cents"),
+        round(col("theta"), 6).as("theta"),
+        round(col("mean_post") - col("theta") *
+          (col("mean_pre") - col("sx").cast("double") / col("n").cast("double")),
+          4).as("adjusted_mean_cents"))
+      .orderBy(col("arm"))
+  }
+
   /** Event-time disorder profile — the audit that picks a streaming
     * watermark. Arrival order is the monotone `event_id`; each event's
     * lateness is how far its event time sits behind the running maximum

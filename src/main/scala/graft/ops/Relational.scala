@@ -1082,6 +1082,47 @@ object Relational {
       .orderBy(col("day_us"))
   }
 
+  /** Histogram join-cardinality estimation — the arithmetic behind the
+    * [[PlanShapeSpec]] ANALYZE/CBO pin, exposed as a query: per
+    * join-key bucket, the textbook equi-width estimate
+    * |A⋈B|ₑ ≈ cntA·cntB ÷ max(ndvA, ndvB) next to the ACTUAL join
+    * count, with an integer-e4 relative error. This is the audit that
+    * tells you where an optimizer's stats would mis-plan (skewed
+    * buckets under-estimated → sort-merge where a shuffle-hash wins,
+    * etc.) before a 100 TB join pays for it.
+    *
+    * Shape: both sides collapse once to bucket stats (count + exact
+    * ndv); only the ACTUAL column needs the real join, which reuses the
+    * customer broadcast. Everything stays integer.
+    */
+  def joinCardinalityEstimate(
+      orders: DataFrame,
+      customer: DataFrame,
+      bucketWidth: Long = 64L): DataFrame = {
+    val oStats = orders
+      .groupBy(expr(s"o_custkey div $bucketWidth").as("bucket"))
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct(col("o_custkey")).as("ndv_orders"))
+    val cStats = customer
+      .groupBy(expr(s"c_custkey div $bucketWidth").as("bucket"))
+      .agg(count(lit(1)).as("n_cust"),
+        countDistinct(col("c_custkey")).as("ndv_cust"))
+    val actual = orders
+      .join(broadcast(customer.select(col("c_custkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(expr(s"o_custkey div $bucketWidth").as("bucket"))
+      .agg(count(lit(1)).as("n_actual"))
+    oStats.join(cStats, Seq("bucket"), "full")
+      .join(actual, Seq("bucket"), "left")
+      .na.fill(0L,
+        Seq("n_orders", "ndv_orders", "n_cust", "ndv_cust", "n_actual"))
+      .withColumn("est",
+        expr("n_orders * n_cust div greatest(ndv_orders, ndv_cust, 1)"))
+      .withColumn("err_e4",
+        expr("abs(est - n_actual) * 10000 div greatest(n_actual, 1)"))
+      .orderBy(col("bucket"))
+  }
+
   /** Incremental maintenance of a JOIN view — the delta-join algebra
     * ([[graft.ops.Analytics.incrementalRollup]] covers the aggregate
     * half): with orders split old/Δ at a date and customers split

@@ -468,6 +468,27 @@ class AnalyticsSpec extends SparkTestBase {
       (5L, 2L, 2L, 4L, 2L, 4L, 10000L)))
   }
 
+  test("cupedLift: theta and adjusted means match the closed form on hand data") {
+    val day = 86400000000L
+    val events = Seq(
+      // (user, pre-cents, post-cents): (0,100,1000) (1,200,1200)
+      // (2,300,1400) (3,400,1800) → theta = 2.6, pooled mean pre = 250
+      (1L, 0L, 1.0, ts(0L)), (2L, 0L, 10.0, ts(2 * day)),
+      (3L, 1L, 2.0, ts(0L)), (4L, 1L, 12.0, ts(2 * day)),
+      (5L, 2L, 3.0, ts(0L)), (6L, 2L, 14.0, ts(2 * day)),
+      (7L, 3L, 4.0, ts(0L)), (8L, 3L, 18.0, ts(2 * day))
+    ).toDF("event_id", "user_id", "value", "ts")
+    val out = Analytics.cupedLift(events, "1970-01-02 00:00:00").collect()
+      .map(r => (r.getAs[Long]("arm"), r.getAs[Long]("n_users"),
+        r.getAs[Double]("mean_pre_cents"), r.getAs[Double]("mean_post_cents"),
+        r.getAs[Double]("theta"), r.getAs[Double]("adjusted_mean_cents")))
+      .toSeq
+    // arm 0: 1200 − 2.6·(200−250) = 1330; arm 1: 1500 − 2.6·50 = 1370
+    assert(out == Seq(
+      (0L, 2L, 200.0, 1200.0, 2.6, 1330.0),
+      (1L, 2L, 300.0, 1500.0, 2.6, 1370.0)))
+  }
+
   test("forgetAudit: dropped + left reconciles to total; distinct users counted once") {
     val events = Seq(
       (1L, 2L, "a", ts(0L)), (2L, 2L, "a", ts(1000000L)), // user 2: purged

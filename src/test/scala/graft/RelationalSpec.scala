@@ -205,6 +205,32 @@ class RelationalSpec extends SparkTestBase {
     assert(out.toSeq == Seq((1L, 0L), (2L, 1L), (3L, 2L)))
   }
 
+  test("joinCardinalityEstimate: FK buckets estimate exactly; dangling keys inflate the estimate") {
+    import spark.implicits._
+    val customer = Seq(1L, 2L, 3L).map((_, 0L)).toDF("c_custkey", "c_nationkey")
+    val orders = Seq(1L, 1L, 2L, 9L).map((_, 0.0)).toDF("o_custkey", "o_totalprice")
+    val out = Relational.joinCardinalityEstimate(orders, customer, bucketWidth = 2L)
+      .collect()
+      .map(r => (r.getAs[Long]("bucket"),
+        (r.getAs[Long]("n_orders"), r.getAs[Long]("ndv_orders"),
+          r.getAs[Long]("n_cust"), r.getAs[Long]("ndv_cust"),
+          r.getAs[Long]("est"), r.getAs[Long]("n_actual"),
+          r.getAs[Long]("err_e4")))).toMap
+    assert(out(0L) == (2L, 1L, 1L, 1L, 2L, 2L, 0L))
+    assert(out(1L) == (1L, 1L, 2L, 2L, 1L, 1L, 0L))
+    // orders bucket with no customers: estimate 0, actual 0
+    assert(out(4L) == (1L, 1L, 0L, 0L, 0L, 0L, 0L))
+    // a dangling FK inside a shared bucket: estimated 2, actual 1
+    val dangling = Relational.joinCardinalityEstimate(
+      Seq(1L, 3L).map((_, 0.0)).toDF("o_custkey", "o_totalprice"),
+      Seq(1L, 2L).map((_, 0L)).toDF("c_custkey", "c_nationkey"),
+      bucketWidth = 4L).collect()
+    assert(dangling.length == 1)
+    val r = dangling.head
+    assert(r.getAs[Long]("est") == 2L && r.getAs[Long]("n_actual") == 1L &&
+      r.getAs[Long]("err_e4") == 10000L)
+  }
+
   test("incrementalJoinView: four delta terms partition the join and merge to the flat totals") {
     import spark.implicits._
     def day(d: Int) = new Timestamp(d * 86400000L)
