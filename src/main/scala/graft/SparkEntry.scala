@@ -449,6 +449,13 @@ object SparkEntry {
     // learned-filter eval: midrank AUC + P/R/acc at the 0.5 cut, per source
     "q_classifier_eval" -> ((s, d) =>
       TextAnalysis.classifierEval(TextAnalysis.documents(s, d))),
+    // PR sweep of the frozen quality model: one corpus scan, e4-score
+    // collapse, broadcast threshold grid; exact-F1 from counts
+    "q_pr_curve" -> ((s, d) =>
+      TextAnalysis.prCurve(TextAnalysis.documents(s, d))),
+    // Matryoshka truncation audit: e6-quantized cosine error per width
+    "q_matryoshka" -> ((s, d) =>
+      Similarity.matryoshkaAudit(Similarity.embeddings(s, d))),
     "q_first_event_per_user" -> ((s, d) => Analytics.firstEventPerUser(Analytics.events(s, d))),
     // ordered min-after funnel signup → view → purchase; each stage
     // joins the shrinking frontier back to the type-pruned stream
@@ -1793,6 +1800,71 @@ object SparkEntry {
         |    - sum((y = 1 AND score_e4 < 5000)::INT)) * 10000
         |   // count(*))::BIGINT AS accuracy_e4
         |FROM m GROUP BY source ORDER BY source""".stripMargin,
+    "q_pr_curve" ->
+      """WITH f AS (
+        |  SELECT doc_id, (lang = 'en')::INT AS y,
+        |    1.0 AS x0,
+        |    ln(1.0 + len(toks)::DOUBLE) AS x1,
+        |    len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE AS x2,
+        |    len(list_filter(toks, t -> t IN ('the','a','of','and','to','in')))::DOUBLE
+        |      / len(toks)::DOUBLE AS x3,
+        |    length(text)::DOUBLE / len(toks)::DOUBLE AS x4
+        |  FROM (SELECT doc_id, lang, text,
+        |          regexp_split_to_array(lower(text), '\s+') AS toks
+        |        FROM documents)),
+        |s AS (
+        |  SELECT y,
+        |    round((1.0 / (1.0 + exp(-((x0 * -3.0) + (x1 * 0.6) + (x2 * 2.0)
+        |      + (x3 * 3.0) + (x4 * 0.1))))) * 10000, 0)::BIGINT AS score_e4
+        |  FROM f),
+        |g AS (SELECT unnest(range(500, 10000, 500))::BIGINT AS t),
+        |c AS (
+        |  SELECT t,
+        |    sum(CASE WHEN score_e4 >= t THEN y ELSE 0 END)::BIGINT AS tp,
+        |    sum(CASE WHEN score_e4 >= t THEN 1 - y ELSE 0 END)::BIGINT AS fp,
+        |    sum(CASE WHEN score_e4 < t THEN y ELSE 0 END)::BIGINT AS fn
+        |  FROM s CROSS JOIN g GROUP BY t)
+        |SELECT t, tp, fp, fn,
+        |  (CASE WHEN tp + fp = 0 THEN NULL
+        |        ELSE tp * 10000 // (tp + fp) END)::BIGINT AS precision_e4,
+        |  (CASE WHEN tp + fn = 0 THEN NULL
+        |        ELSE tp * 10000 // (tp + fn) END)::BIGINT AS recall_e4,
+        |  (CASE WHEN 2 * tp + fp + fn = 0 THEN NULL
+        |        ELSE 2 * tp * 10000 // (2 * tp + fp + fn) END)::BIGINT AS f1_e4
+        |FROM c ORDER BY t""".stripMargin,
+    "q_matryoshka" ->
+      """WITH p AS (
+        |  SELECT a.vec_id AS id_a, a.embedding AS ea, b.embedding AS eb
+        |  FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1),
+        |g AS (SELECT unnest([8, 16, 32, 64])::BIGINT AS d),
+        |c AS (
+        |  SELECT id_a, d,
+        |    list_sum(list_transform(range(1, len(ea) + 1),
+        |      i -> ea[i]::DOUBLE * eb[i]::DOUBLE)) AS fxy,
+        |    sqrt(list_sum(list_transform(range(1, len(ea) + 1),
+        |      i -> ea[i]::DOUBLE * ea[i]::DOUBLE))) AS fx,
+        |    sqrt(list_sum(list_transform(range(1, len(eb) + 1),
+        |      i -> eb[i]::DOUBLE * eb[i]::DOUBLE))) AS fy,
+        |    list_sum(list_transform(range(1, d::INT + 1),
+        |      i -> ea[i]::DOUBLE * eb[i]::DOUBLE)) AS dxy,
+        |    sqrt(list_sum(list_transform(range(1, d::INT + 1),
+        |      i -> ea[i]::DOUBLE * ea[i]::DOUBLE))) AS dx,
+        |    sqrt(list_sum(list_transform(range(1, d::INT + 1),
+        |      i -> eb[i]::DOUBLE * eb[i]::DOUBLE))) AS dy
+        |  FROM p CROSS JOIN g),
+        |e AS (
+        |  SELECT d,
+        |    abs(round(((CASE WHEN fx = 0 OR fy = 0 THEN 0 ELSE fxy / fx / fy END)
+        |      - (CASE WHEN dx = 0 OR dy = 0 THEN 0 ELSE dxy / dx / dy END))
+        |      * 1000000, 0))::BIGINT AS err_e6
+        |  FROM c)
+        |SELECT d, count(*)::BIGINT AS n_pairs,
+        |  (sum(err_e6) // count(*))::BIGINT AS mean_err_e6,
+        |  max(err_e6)::BIGINT AS max_err_e6,
+        |  sum(CASE WHEN err_e6 > 50000 THEN 1 ELSE 0 END)::BIGINT AS n_distorted,
+        |  (sum(CASE WHEN err_e6 > 50000 THEN 1 ELSE 0 END) * 10000
+        |    // count(*))::BIGINT AS distorted_e4
+        |FROM e GROUP BY d ORDER BY d""".stripMargin,
     "q_trimmed_stats" ->
       """WITH v AS (
         |  SELECT event_type, floor(value * 10000)::BIGINT AS v_e4,

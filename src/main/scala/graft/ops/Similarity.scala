@@ -1180,4 +1180,53 @@ object Similarity {
     }
     (lambda, v)
   }
+
+  /** Matryoshka truncation audit (Kusupati et al., NeurIPS'22): how much
+    * cosine structure survives keeping only the first d dimensions of
+    * each embedding? Truncated retrieval (d of 64 floats) cuts ANN index
+    * and shuffle bytes ~8× — IF the similarity it computes still agrees
+    * with the full vectors. Per candidate width: mean/max absolute
+    * cosine error and the share of pairs distorted beyond 0.05, over the
+    * deterministic consecutive-id pair sample.
+    *
+    * Exactness: cosines are IEEE-deterministic (sequential fold in
+    * [[graft.functions.FloatVecDot]], division order pinned dot/‖a‖/‖b‖
+    * mirrored in the oracle), each pair's error is e6-quantized to an
+    * integer BEFORE aggregation, so merge order can't leak in. Shape:
+    * the pair sample is one id-shifted equi-join; widths explode
+    * row-locally (4× fan-out of id pairs, embeddings never duplicated
+    * across the grid); one width-sized aggregate.
+    */
+  def matryoshkaAudit(
+      emb: DataFrame, dims: Seq[Int] = Seq(8, 16, 32, 64)): DataFrame = {
+    import graft.functions.VectorFunctions.vecDot
+    val dimsSql = dims.mkString(",")
+    def cos(a: Column, b: Column): Column = {
+      val nx = sqrt(vecDot(a, a))
+      val ny = sqrt(vecDot(b, b))
+      when(nx === 0.0 || ny === 0.0, lit(0.0))
+        .otherwise(vecDot(a, b) / nx / ny)
+    }
+    val pairs = emb.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
+      .join(emb.select((col("vec_id") - 1).as("id_a"),
+        col("embedding").as("eb")), "id_a")
+    pairs
+      .select(col("id_a"), col("ea"), col("eb"),
+        explode(expr(s"array($dimsSql)")).as("d"))
+      .withColumn("d", col("d").cast("long"))
+      .withColumn("cos_full", cos(col("ea"), col("eb")))
+      .withColumn("cos_d",
+        cos(slice(col("ea"), lit(1), col("d")),
+          slice(col("eb"), lit(1), col("d"))))
+      .withColumn("err_e6",
+        abs(expr("CAST(round((cos_full - cos_d) * 1000000, 0) AS BIGINT)")))
+      .groupBy(col("d"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        expr("sum(err_e6) div count(1)").as("mean_err_e6"),
+        max(col("err_e6")).as("max_err_e6"),
+        sum(when(col("err_e6") > 50000L, 1L).otherwise(0L)).as("n_distorted"))
+      .withColumn("distorted_e4", expr("n_distorted * 10000 div n_pairs"))
+      .orderBy(col("d"))
+  }
 }

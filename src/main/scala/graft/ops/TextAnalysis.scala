@@ -305,15 +305,17 @@ object TextAnalysis {
     * where one source dwarfs memory, the sharded prefix-sum of
     * [[Corpus.applyMixtureBudget]] is the drop-in rank substitute.
     */
-  def classifierEval(
+  /** (doc_id, source, y, score_e4): the frozen logistic quality score
+    * next to a binary label — shared by [[classifierEval]] and
+    * [[prCurve]] so the two readouts can never disagree on the model.
+    */
+  private[ops] def scoredDocs(
       df: DataFrame,
-      labelCol: Column = col("lang") === "en",
-      weights: Seq[Double] = defaultQualityWeights): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+      labelCol: Column,
+      weights: Seq[Double]): DataFrame = {
     require(weights.length == 5, "model has 5 weights (bias + 4 features)")
     val toks = tokens(col("text"))
-    val scored = df
-      .select(col("doc_id"), col("source"), labelCol.cast("int").as("y"),
+    df.select(col("doc_id"), col("source"), labelCol.cast("int").as("y"),
         col("text"), toks.as("toks"))
       .select(col("doc_id"), col("source"), col("y"),
         lit(1.0).as("x0"),
@@ -328,6 +330,14 @@ object TextAnalysis {
       .select(col("doc_id"), col("source"), col("y"),
         expr(s"CAST(round((1.0 / (1.0 + exp(-(${zSql(weights)})))) * 10000, 0) AS BIGINT)")
           .as("score_e4"))
+  }
+
+  def classifierEval(
+      df: DataFrame,
+      labelCol: Column = col("lang") === "en",
+      weights: Seq[Double] = defaultQualityWeights): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = scoredDocs(df, labelCol, weights)
     val wRank = Window.partitionBy(col("source"))
       .orderBy(col("score_e4"), col("doc_id"))
     val wTie = Window.partitionBy(col("source"), col("score_e4"))
@@ -353,6 +363,46 @@ object TextAnalysis {
           "ELSE tp * 10000 div (tp + fn) END").as("recall_e4"),
         expr("(n - fp - fn) * 10000 div n").as("accuracy_e4"))
       .orderBy(col("source"))
+  }
+
+  /** Precision-recall curve of the frozen quality model over a fixed
+    * threshold grid — the tuning readout between [[classifierEval]]'s
+    * single 0.5-cut row and [[calibrationCurve]]'s probability check:
+    * where to actually SET the filter cutoff for a target precision or
+    * recall. F1 is computed as 2·tp ÷ (2·tp + fp + fn) directly from
+    * counts, not from the rounded precision/recall, so it stays exact.
+    *
+    * Shape: scores collapse once onto the ≤10⁴-row e4-score dimension;
+    * the threshold sweep is a broadcast grid over that — the corpus is
+    * scanned once no matter how many cutpoints.
+    */
+  def prCurve(
+      df: DataFrame,
+      labelCol: Column = col("lang") === "en",
+      weights: Seq[Double] = defaultQualityWeights,
+      thresholds: Seq[Long] = 500L to 9500L by 500L): DataFrame = {
+    val cells = scoredDocs(df, labelCol, weights)
+      .groupBy(col("score_e4"))
+      .agg(sum(col("y")).cast("long").as("pos"), count(lit(1)).as("n"))
+    val grid = df.sparkSession
+      .createDataFrame(thresholds.map(Tuple1(_))).toDF("t")
+    cells.crossJoin(broadcast(grid))
+      .groupBy(col("t"))
+      .agg(
+        sum(when(col("score_e4") >= col("t"), col("pos")).otherwise(0L))
+          .as("tp"),
+        sum(when(col("score_e4") >= col("t"), col("n") - col("pos"))
+          .otherwise(0L)).as("fp"),
+        sum(when(col("score_e4") < col("t"), col("pos")).otherwise(0L))
+          .as("fn"))
+      .withColumn("precision_e4", expr(
+        "CASE WHEN tp + fp = 0 THEN NULL ELSE tp * 10000 div (tp + fp) END"))
+      .withColumn("recall_e4", expr(
+        "CASE WHEN tp + fn = 0 THEN NULL ELSE tp * 10000 div (tp + fn) END"))
+      .withColumn("f1_e4", expr(
+        "CASE WHEN 2 * tp + fp + fn = 0 THEN NULL " +
+          "ELSE 2 * tp * 10000 div (2 * tp + fp + fn) END"))
+      .orderBy(col("t"))
   }
 
   /** Calibration (reliability) curve for the frozen quality model — the

@@ -403,4 +403,21 @@ class SimilaritySpec extends SparkTestBase {
       .collect().map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
     assert(brute == twinned.map(v => (v, v + 2000000L)).toSet)
   }
+
+  test("matryoshkaAudit: hand-computable truncation error; zero-norm prefixes read as cos 0") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f)),
+      (2L, Seq(1.0f, 1.0f)),
+      (3L, Seq(0.0f, 0.0f)) // zero vector: guard path
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.matryoshkaAudit(emb, dims = Seq(1, 2)).collect()
+      .map(r => (r.getAs[Long]("d"), (r.getAs[Long]("n_pairs"),
+        r.getAs[Long]("mean_err_e6"), r.getAs[Long]("max_err_e6"),
+        r.getAs[Long]("n_distorted"), r.getAs[Long]("distorted_e4")))).toMap
+    // pair (1,2): cos_full = 1/√2 ≈ 0.707107, cos at d=1 is exactly 1 →
+    // err ≈ 0.292893 → 292893 e6-units; pair (2,3) is 0 under the guard
+    assert(out(1L) == (2L, 146446L, 292893L, 1L, 5000L))
+    assert(out(2L) == (2L, 0L, 0L, 0L, 0L))
+  }
 }

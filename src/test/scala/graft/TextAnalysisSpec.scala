@@ -419,4 +419,23 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(r.getAs[Long]("bin") ==
       math.min(7L, r.getAs[Long]("mean_score_e4") / 1250L))
   }
+
+  test("prCurve: zero weights pin every score at 5000 — counts flip exactly at the threshold") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aa bb", "en", "s"), (2L, "cc dd", "en", "s"), (3L, "ee ff", "de", "s")
+    ).toDF("doc_id", "text", "lang", "source")
+    val out = TextAnalysis.prCurve(docs,
+        weights = Seq(0.0, 0.0, 0.0, 0.0, 0.0),
+        thresholds = Seq(4000L, 5000L, 6000L)).collect()
+      .map(r => (r.getAs[Long]("t"), r.getAs[Long]("tp"), r.getAs[Long]("fp"),
+        r.getAs[Long]("fn"),
+        Option(r.getAs[java.lang.Long]("precision_e4")).map(_.toLong),
+        Option(r.getAs[java.lang.Long]("recall_e4")).map(_.toLong),
+        Option(r.getAs[java.lang.Long]("f1_e4")).map(_.toLong))).toSeq
+    assert(out == Seq(
+      (4000L, 2L, 1L, 0L, Some(6666L), Some(10000L), Some(8000L)),
+      (5000L, 2L, 1L, 0L, Some(6666L), Some(10000L), Some(8000L)),
+      (6000L, 0L, 0L, 2L, None, Some(0L), Some(0L))))
+  }
 }
