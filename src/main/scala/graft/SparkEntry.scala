@@ -600,6 +600,13 @@ object SparkEntry {
     "q_join_cardinality" -> ((s, d) =>
       Relational.joinCardinalityEstimate(Relational.table(s, d, "orders"),
         Relational.table(s, d, "customer"))),
+    // exact equi-depth boundaries by two-pass rank selection — the fact
+    // table is scanned, never range-sorted
+    "q_equidepth_hist" -> ((s, d) =>
+      Relational.equiDepthHistogram(Relational.table(s, d, "orders"))),
+    // delete-one-bucket jackknife SE of the mean order value
+    "q_jackknife" -> ((s, d) =>
+      Relational.jackknifeMean(Relational.table(s, d, "orders"))),
     // watermark-lag audit: hierarchical running event-time max over
     // arrival order, per-type late shares at 1s/1m/10m thresholds
     "q_disorder_profile" -> ((s, d) =>
@@ -2718,6 +2725,36 @@ object SparkEntry {
         |      * (sx_a::DOUBLE / n_users::DOUBLE - sx::DOUBLE / n::DOUBLE), 4)
         |    AS adjusted_mean_cents
         |FROM a CROSS JOIN m ORDER BY arm""".stripMargin,
+    "q_equidepth_hist" ->
+      """WITH v AS (
+        |  SELECT (CAST(o_totalprice AS DECIMAL(18,2)) * 100)::BIGINT AS cents
+        |  FROM orders),
+        |r AS (SELECT cents, row_number() OVER (ORDER BY cents) AS rnk FROM v),
+        |t AS (SELECT count(*)::BIGINT AS n FROM v),
+        |g AS (SELECT unnest(range(1, 16))::BIGINT AS j)
+        |SELECT j, (j * n // 16)::BIGINT AS target_rank,
+        |  cents AS boundary_cents
+        |FROM g CROSS JOIN t JOIN r ON rnk = j * n // 16
+        |ORDER BY j""".stripMargin,
+    "q_jackknife" ->
+      """WITH b AS (
+        |  SELECT o_orderkey % 32 AS g, count(*)::BIGINT AS n_g,
+        |    sum((CAST(o_totalprice AS DECIMAL(18,2)) * 100)::BIGINT)::BIGINT
+        |      AS s_g
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT sum(n_g)::BIGINT AS n, sum(s_g)::BIGINT AS s,
+        |        count(*)::BIGINT AS k FROM b),
+        |l AS (
+        |  SELECT n, s, k,
+        |    round((s - s_g)::DOUBLE / (n - n_g)::DOUBLE * 1000000, 0)::HUGEINT
+        |      AS loo_e6
+        |  FROM b CROSS JOIN t)
+        |SELECT n, round(s::DOUBLE / n::DOUBLE, 4) AS mean_cents,
+        |  round(sqrt((k - 1)::DOUBLE / k::DOUBLE *
+        |    (sum(loo_e6 * loo_e6)::DOUBLE / 1e12
+        |     - (sum(loo_e6)::DOUBLE / 1e6) * (sum(loo_e6)::DOUBLE / 1e6)
+        |       / k::DOUBLE)), 4) AS jackknife_se_cents
+        |FROM l GROUP BY n, s, k""".stripMargin,
     "q_join_cardinality" ->
       """WITH o AS (
         |  SELECT o_custkey // 64 AS bucket, count(*)::BIGINT AS n_orders,

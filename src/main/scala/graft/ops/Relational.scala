@@ -1082,6 +1082,95 @@ object Relational {
       .orderBy(col("day_us"))
   }
 
+  /** Exact equi-depth histogram boundaries WITHOUT a global sort — the
+    * distributed selection algorithm behind ANALYZE-style histograms and
+    * exact quantiles at 100 TB. Boundary j sits at rank ⌊j·n/k⌋; pass 1
+    * collapses values onto a coarse integer-bucket dimension (counts +
+    * prefix sum live there, never on the rows), locates each target
+    * rank's bucket and its within-bucket offset; pass 2 ranks ONLY the
+    * ≤ k−1 boundary buckets (a broadcast semi-join keeps everything
+    * else out) and picks the row at each offset. The fact table is
+    * scanned twice but never range-exchanged; window partitions are
+    * bounded by a coarse-bucket's population.
+    *
+    * Values are integer cents, so selection is exact and tie-stable on
+    * any engine (the boundary VALUE is tie-independent by construction).
+    */
+  def equiDepthHistogram(
+      orders: DataFrame,
+      nBuckets: Int = 16,
+      coarseWidth: Long = 100000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = (money("o_totalprice") * 100).cast("long")
+    val rows = orders.select(cents.as("cents"))
+      .withColumn("cb", expr(s"cents div $coarseWidth"))
+    val wCum = Window.orderBy(col("cb"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // coarse-bucket dimension: counts + prefix sum (dimension-sized)
+    val buckets = rows.groupBy(col("cb")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum_before", coalesce(sum(col("cnt")).over(wCum), lit(0L)))
+    val total = rows.agg(count(lit(1)).as("n"))
+    val grid = orders.sparkSession.createDataFrame(
+      (1 until nBuckets).map(j => Tuple1(j.toLong))).toDF("j")
+    // each target rank lands in exactly one bucket; offset = rank within
+    val spec = grid.crossJoin(broadcast(total))
+      .withColumn("r", expr(s"j * n div $nBuckets"))
+      .join(broadcast(buckets),
+        col("r") > col("cum_before") && col("r") <= col("cum_before") + col("cnt"))
+      .select(col("j"), col("r"), col("cb").as("b_cb"),
+        (col("r") - col("cum_before")).as("offset"))
+    val wIn = Window.partitionBy(col("cb")).orderBy(col("cents"))
+    val selCb = spec.select(col("b_cb").as("sel_cb")).distinct()
+    rows
+      .join(broadcast(selCb), col("cb") === col("sel_cb"))
+      .withColumn("rnk", row_number().over(wIn).cast("long"))
+      .join(broadcast(spec),
+        col("cb") === col("b_cb") && col("rnk") === col("offset"))
+      .select(col("j"), col("r").as("target_rank"),
+        col("cents").as("boundary_cents"))
+      .orderBy(col("j"))
+  }
+
+  /** Delete-one-bucket jackknife standard error of the mean order value —
+    * distribution-free uncertainty for a 100 TB mean where a bootstrap's
+    * resampling passes would be prohibitive: 32 hash-assigned buckets,
+    * each leave-one-out mean derived algebraically from (total − bucket)
+    * sums, SE from the squared deviations. One collapse to the bucket
+    * dimension; everything after is 32-row arithmetic. Integer cents
+    * end to end; the only doubles are the final leave-one-out means and
+    * the closed-form SE, each one conversion + IEEE ops — identical on
+    * both engines before the presentation round.
+    */
+  def jackknifeMean(orders: DataFrame, nBuckets: Int = 32): DataFrame = {
+    val cents = (money("o_totalprice") * 100).cast("long")
+    val b = orders
+      .select(cents.as("cents"), (col("o_orderkey") % nBuckets).as("g"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_g"), sum(col("cents")).as("s_g"))
+    val tot = b.agg(sum(col("n_g")).as("n"), sum(col("s_g")).as("s"),
+      count(lit(1)).as("k"))
+    b.crossJoin(broadcast(tot))
+      // e6-quantize each leave-one-out mean BEFORE summing — summing raw
+      // doubles would make the result depend on partial-agg merge order
+      .withColumn("loo_e6", expr(
+        """CAST(round(CAST(s - s_g AS DOUBLE) / CAST(n - n_g AS DOUBLE)
+          |  * 1000000, 0) AS DECIMAL(38,0))""".stripMargin))
+      .groupBy(col("n"), col("s"), col("k"))
+      .agg(
+        sum(col("loo_e6")).as("loo_sum_e6"),
+        sum(col("loo_e6") * col("loo_e6")).as("loo_sq_e12"))
+      .select(
+        col("n"),
+        round(col("s").cast("double") / col("n").cast("double"), 4)
+          .as("mean_cents"),
+        round(sqrt(
+          ((col("k") - 1).cast("double") / col("k").cast("double")) *
+            (col("loo_sq_e12").cast("double") / lit(1e12) -
+              (col("loo_sum_e6").cast("double") / lit(1e6)) *
+                (col("loo_sum_e6").cast("double") / lit(1e6)) /
+                col("k").cast("double"))), 4).as("jackknife_se_cents"))
+  }
+
   /** Histogram join-cardinality estimation — the arithmetic behind the
     * [[PlanShapeSpec]] ANALYZE/CBO pin, exposed as a query: per
     * join-key bucket, the textbook equi-width estimate

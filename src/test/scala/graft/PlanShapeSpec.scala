@@ -686,6 +686,16 @@ class PlanShapeSpec extends SparkTestBase {
     assert("BroadcastHashJoin".r.findAllIn(p).length == 4, p)
   }
 
+  test("equiDepthHistogram: rank selection never range-exchanges the fact table") {
+    val p = plan(Relational.equiDepthHistogram(
+      Relational.table(spark, sf, "orders")))
+    // the coarse-bucket prefix sum and the boundary-bucket ranking are
+    // the only windows; the row frame must not globally sort
+    assert(!p.contains("Exchange rangepartitioning(cents"),
+      s"fact table must not range-sort:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p)
+  }
+
   test("ANALYZE TABLE feeds the optimizer: rowCount and column stats land in the catalog") {
     // the cost-based-optimization input surface: at 100 TB the difference
     // between a broadcast and a sort-merge join is often whether ANALYZE

@@ -231,6 +231,35 @@ class RelationalSpec extends SparkTestBase {
       r.getAs[Long]("err_e4") == 10000L)
   }
 
+  test("equiDepthHistogram: two-pass rank selection equals the global-sort answer") {
+    import spark.implicits._
+    // values 1.00 .. 100.00 shuffled; quartile boundaries at ranks 25/50/75
+    val orders = scala.util.Random.shuffle((1 to 100).toList)
+      .map(i => (i.toLong, i.toDouble)).toDF("o_orderkey", "o_totalprice")
+    val out = Relational.equiDepthHistogram(orders, nBuckets = 4,
+        coarseWidth = 1000L).collect()
+      .map(r => (r.getAs[Long]("j"), r.getAs[Long]("target_rank"),
+        r.getAs[Long]("boundary_cents"))).toSeq
+    assert(out == Seq((1L, 25L, 2500L), (2L, 50L, 5000L), (3L, 75L, 7500L)))
+    // all-equal values: every boundary is that value, whatever the rank
+    val flat = Seq.fill(40)((1L, 7.0)).zipWithIndex
+      .map { case ((_, v), i) => (i.toLong, v) }
+      .toDF("o_orderkey", "o_totalprice")
+    val fb = Relational.equiDepthHistogram(flat, nBuckets = 4, coarseWidth = 100L)
+      .collect().map(_.getAs[Long]("boundary_cents")).toSeq
+    assert(fb == Seq(700L, 700L, 700L))
+  }
+
+  test("jackknifeMean: closed form on two buckets; SE in cents") {
+    import spark.implicits._
+    val orders = Seq((0L, 10.0), (1L, 30.0)).toDF("o_orderkey", "o_totalprice")
+    val r = Relational.jackknifeMean(orders, nBuckets = 2).head()
+    assert(r.getAs[Long]("n") == 2L)
+    assert(r.getAs[Double]("mean_cents") == 2000.0)
+    // loo means 3000 and 1000 → SE = sqrt((k−1)/k · Σ(x−x̄)²) = 1000
+    assert(r.getAs[Double]("jackknife_se_cents") == 1000.0)
+  }
+
   test("incrementalJoinView: four delta terms partition the join and merge to the flat totals") {
     import spark.implicits._
     def day(d: Int) = new Timestamp(d * 86400000L)
