@@ -619,6 +619,12 @@ object SparkEntry {
     // row-group skip audit: arrival vs date layout × three predicates
     "q_rowgroup_prune" -> ((s, d) =>
       Layout.pruneEffectiveness(Analytics.events(s, d))),
+    // parquet encoding advisor: NDV/width stats + dictionary estimate
+    "q_encoding_advisor" -> ((s, d) =>
+      Layout.encodingAdvisor(Relational.table(s, d, "orders"))),
+    // state-store sizing sweep: concurrent open sessions per gap config
+    "q_state_sizing" -> ((s, d) =>
+      Analytics.stateSizing(Analytics.events(s, d))),
     "q_user_sessions" -> ((s, d) => Analytics.userSessions(Analytics.events(s, d))),
     // one summary row over the session table (exact integer means)
     "q_session_stats" -> ((s, d) => Analytics.sessionStats(Analytics.events(s, d))),
@@ -2882,6 +2888,64 @@ object SparkEntry {
         |  END::BIGINT AS waste_e4
         |FROM r LEFT JOIN m USING (pred)
         |ORDER BY r.layout, r.pred""".stripMargin,
+    "q_encoding_advisor" ->
+      """WITH s AS (
+        |  SELECT 'o_orderstatus' AS col_name, o_orderstatus AS v FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderpriority', o_orderpriority FROM orders
+        |  UNION ALL
+        |  SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderkey', CAST(o_orderkey AS VARCHAR) FROM orders),
+        |a AS (
+        |  SELECT col_name, count(*)::BIGINT AS n_rows,
+        |    count(DISTINCT v)::BIGINT AS ndv,
+        |    sum(length(v))::BIGINT AS raw_bytes
+        |  FROM s GROUP BY 1)
+        |SELECT col_name, n_rows, ndv, raw_bytes,
+        |  (raw_bytes * 100 // n_rows)::BIGINT AS avg_len_e2,
+        |  (n_rows * 4 + ndv * ((raw_bytes * 100 // n_rows) // 100 + 4))::BIGINT
+        |    AS dict_bytes,
+        |  (n_rows * 4 + ndv * ((raw_bytes * 100 // n_rows) // 100 + 4))
+        |    < raw_bytes AS dict_saves,
+        |  (ndv * 10000 // n_rows)::BIGINT AS ndv_share_e4
+        |FROM a ORDER BY col_name""".stripMargin,
+    "q_state_sizing" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+        |gp AS (
+        |  SELECT ts_us,
+        |    ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |      AS prev_gap,
+        |    lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) - ts_us
+        |      AS next_gap
+        |  FROM e),
+        |x AS (
+        |  SELECT ts_us, prev_gap, next_gap,
+        |    unnest([60000000, 600000000, 3600000000])::BIGINT AS g
+        |  FROM gp),
+        |d0 AS (
+        |  SELECT g, ts_us // 60000000 AS minute,
+        |    CASE WHEN prev_gap IS NULL OR prev_gap > g THEN 1 ELSE 0 END AS opens
+        |  FROM x
+        |  UNION ALL
+        |  SELECT g, (ts_us + g) // 60000000 AS minute,
+        |    CASE WHEN next_gap IS NULL OR next_gap > g THEN -1 ELSE 0 END AS opens
+        |  FROM x),
+        |d AS (
+        |  SELECT g, minute, sum(opens)::BIGINT AS delta,
+        |    sum(CASE WHEN opens > 0 THEN 1 ELSE 0 END)::BIGINT AS n_open
+        |  FROM d0 WHERE opens <> 0 GROUP BY 1, 2),
+        |r AS (
+        |  SELECT g, minute, delta, n_open,
+        |    sum(delta) OVER (PARTITION BY g ORDER BY minute
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS open_sessions
+        |  FROM d)
+        |SELECT g, sum(n_open)::BIGINT AS n_sessions,
+        |  max(open_sessions)::BIGINT AS peak_concurrent,
+        |  (max(minute) - min(minute))::BIGINT AS span_minutes,
+        |  (sum(open_sessions * 100) // count(*))::BIGINT AS mean_at_changes_e2
+        |FROM r GROUP BY g ORDER BY g""".stripMargin,
     "q_kanon" ->
       """WITH cells AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day, hour(ts) AS hr,

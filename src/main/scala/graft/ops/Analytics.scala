@@ -1744,6 +1744,64 @@ object Analytics {
       .orderBy(col("from_type"))
   }
 
+  /** Streaming state-store sizing audit: for each candidate session gap,
+    * how many sessions would be OPEN simultaneously — the number that
+    * sizes `flatMapGroupsWithState` state and decides whether a gap
+    * config fits executor memory before anyone deploys it. A session
+    * opens at its first event (previous same-user gap absent or > g) and
+    * expires g after its last event (next gap absent or > g); concurrency
+    * is the sweep-line running sum of ±1 deltas — the [[graft.ops.Relational]]
+    * orderBacklog discipline, so there is never a sessions×time join.
+    *
+    * Shape: ONE user-keyed window (LAG + LEAD gaps serve every candidate
+    * g), deltas explode row-locally per g, aggregate onto the (g, minute)
+    * dimension, and the running sum windows only there. Peak and mean
+    * concurrency are exact integers (mean over the observed span,
+    * e2-scaled).
+    */
+  def stateSizing(
+      df: DataFrame,
+      gapsUs: Seq[Long] = Seq(60000000L, 600000000L, 3600000000L)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val gapsSql = gapsUs.mkString(",")
+    val gapped = df
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+      .withColumn("prev_gap", col("ts_us") - lag(col("ts_us"), 1).over(w))
+      .withColumn("next_gap", lead(col("ts_us"), 1).over(w) - col("ts_us"))
+      .select(col("ts_us"), col("prev_gap"), col("next_gap"),
+        explode(expr(s"array($gapsSql)")).as("g"))
+    // +1 at the session's opening minute, −1 at expiry (last event + g)
+    val deltas = gapped.select(col("g"),
+        expr("ts_us div 60000000").as("minute"),
+        when(col("prev_gap").isNull || col("prev_gap") > col("g"), 1L)
+          .otherwise(0L).as("opens"))
+      .unionByName(gapped.select(col("g"),
+        expr("(ts_us + g) div 60000000").as("minute"),
+        when(col("next_gap").isNull || col("next_gap") > col("g"), lit(-1L))
+          .otherwise(0L).as("opens")))
+      .filter(col("opens") =!= 0L)
+      .groupBy(col("g"), col("minute"))
+      .agg(sum(col("opens")).as("delta"),
+        // opens counted separately — a minute netting opens against
+        // closes must not under-count sessions
+        sum(when(col("opens") > 0L, 1L).otherwise(0L)).as("n_open"))
+    val wRun = Window.partitionBy(col("g")).orderBy(col("minute"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deltas
+      .withColumn("open_sessions", sum(col("delta")).over(wRun))
+      .groupBy(col("g"))
+      .agg(
+        sum(col("n_open")).as("n_sessions"),
+        max(col("open_sessions")).as("peak_concurrent"),
+        (max(col("minute")) - min(col("minute"))).as("span_minutes"),
+        // time-weighted mean needs the inter-minute durations; the
+        // simple mean over CHANGE points is the conservative readout
+        expr("sum(open_sessions * 100) div count(1)").as("mean_at_changes_e2"))
+      .orderBy(col("g"))
+  }
+
   /** CUPED variance-reduced experiment readout (Deng et al., WSDM'13 —
     * the industry-standard A/B adjustment): users are assigned arms by
     * id parity, the metric is each user's post-period spend, and the

@@ -69,6 +69,42 @@ object Layout {
     * verifiable query. Scale shape: one narrow map + one hash
     * aggregate; output is bounded by the occupied tile count.
     */
+  /** Column-encoding advisor: per candidate column, the cardinality and
+    * width statistics that decide parquet encodings — dictionary pays
+    * when NDV ≪ row count (an order-status column) and loses on
+    * key-like columns whose dictionary is as big as the data.
+    * The storage-layout twin of [[pruneEffectiveness]]: one informs the
+    * scan plan, this informs the write side that a 100 TB table pays for
+    * on every rewrite.
+    *
+    * Shape: the candidate columns unpivot row-locally (stack — rows
+    * never join, the 4× fan-out carries only (name, value)), then ONE
+    * collapse to the column dimension with exact NDV. The dictionary
+    * estimate is the standard 4-byte-code + dictionary-page model.
+    */
+  def encodingAdvisor(orders: DataFrame): DataFrame = {
+    val stacked = orders.select(
+        expr("""stack(4,
+          |  'o_orderstatus', o_orderstatus,
+          |  'o_orderpriority', o_orderpriority,
+          |  'o_custkey', CAST(o_custkey AS STRING),
+          |  'o_orderkey', CAST(o_orderkey AS STRING)) AS (col_name, v)""".stripMargin))
+    stacked
+      .groupBy(col("col_name"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("v")).as("ndv"),
+        sum(length(col("v")).cast("long")).as("raw_bytes"))
+      .withColumn("avg_len_e2", expr("raw_bytes * 100 div n_rows"))
+      // dictionary estimate: 4-byte codes + the dictionary page itself
+      .withColumn("dict_bytes",
+        expr("n_rows * 4 + ndv * (avg_len_e2 div 100 + 4)"))
+      .withColumn("dict_saves",
+        (col("dict_bytes") < col("raw_bytes")).cast("boolean"))
+      .withColumn("ndv_share_e4", expr("ndv * 10000 div n_rows"))
+      .orderBy(col("col_name"))
+  }
+
   /** Data-skipping effectiveness audit: for each (layout, predicate)
     * pair, how many simulated row groups would a scan have to read, and
     * what fraction of the rows it reads are waste? Row groups are

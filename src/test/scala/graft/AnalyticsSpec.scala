@@ -489,6 +489,22 @@ class AnalyticsSpec extends SparkTestBase {
       (1L, 2L, 300.0, 1500.0, 2.6, 1370.0)))
   }
 
+  test("stateSizing: sweep-line concurrency per gap candidate, hand-checked") {
+    val sec = 1000000L
+    val events = Seq(
+      (1L, 1L, ts(0L)), (2L, 1L, ts(300 * sec)), (3L, 2L, ts(30 * sec))
+    ).toDF("event_id", "user_id", "ts")
+    val out = Analytics.stateSizing(events,
+        gapsUs = Seq(60 * sec, 600 * sec)).collect()
+      .map(r => (r.getAs[Long]("g"), (r.getAs[Long]("n_sessions"),
+        r.getAs[Long]("peak_concurrent"), r.getAs[Long]("span_minutes"),
+        r.getAs[Long]("mean_at_changes_e2")))).toMap
+    // g=60 s: three 1-event sessions; two overlap in minute 0
+    assert(out(60 * sec) == (3L, 2L, 6L, 75L))
+    // g=600 s: user 1's events merge into one session
+    assert(out(600 * sec) == (2L, 2L, 15L, 100L))
+  }
+
   test("forgetAudit: dropped + left reconciles to total; distinct users counted once") {
     val events = Seq(
       (1L, 2L, "a", ts(0L)), (2L, 2L, "a", ts(1000000L)), // user 2: purged

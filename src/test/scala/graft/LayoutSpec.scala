@@ -60,4 +60,22 @@ class LayoutSpec extends SparkTestBase {
     }(org.apache.spark.sql.Encoders.scalaBoolean).collect()
     assert(sortedWithin.forall(identity))
   }
+
+  test("encodingAdvisor: dictionary wins on wide low-NDV columns, loses on key columns") {
+    val orders = (0 until 100)
+      .map(i => (i.toLong, (i % 10).toLong, "O", "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+    val out = Layout.encodingAdvisor(orders).collect()
+      .map(r => (r.getAs[String]("col_name"), (r.getAs[Long]("n_rows"),
+        r.getAs[Long]("ndv"), r.getAs[Long]("raw_bytes"),
+        r.getAs[Long]("avg_len_e2"), r.getAs[Long]("dict_bytes"),
+        r.getAs[Boolean]("dict_saves")))).toMap
+    // unique key as text: "0".."99" = 10·1 + 90·2 bytes; dictionary is
+    // pure overhead (4-byte codes + the full value set again)
+    assert(out("o_orderkey") == (100L, 100L, 190L, 190L, 900L, false))
+    // 8-char priority with NDV 1: 4-byte codes + a 12-byte dictionary
+    assert(out("o_orderpriority") == (100L, 1L, 800L, 800L, 412L, true))
+    // 1-char status: codes alone exceed the raw bytes — advisor says no
+    assert(out("o_orderstatus")._6 == false)
+  }
 }
