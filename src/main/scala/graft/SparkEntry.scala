@@ -894,6 +894,12 @@ object SparkEntry {
     // sequential-Poisson token-weighted bottom-k (integer priorities)
     "q_weighted_sample" -> ((s, d) =>
       Corpus.weightedSample(TextAnalysis.documents(s, d), k = 100)),
+    // Neyman-shaped budget split with exact largest-remainder rounding
+    "q_sample_allocation" -> ((s, d) =>
+      Corpus.sampleAllocation(TextAnalysis.documents(s, d))),
+    // near-dup cutoff sweep over the materialized exact pair set
+    "q_dedup_threshold_sweep" -> ((s, d) =>
+      Dedup.dedupThresholdSweep(TextAnalysis.documents(s, d))),
     // length curriculum: 4 quantile phases from the token-count histogram
     "q_curriculum" -> ((s, d) => {
       val docs = TextAnalysis.documents(s, d)
@@ -3978,6 +3984,52 @@ object SparkEntry {
         |  coalesce(c.corpus_keeper, bk.batch_keeper) AS keeper_id
         |FROM b LEFT JOIN c USING (fp) JOIN bk USING (fp)
         |ORDER BY b.doc_id""".stripMargin,
+    "q_sample_allocation" ->
+      """WITH s AS (
+        |  SELECT source, count(*)::BIGINT AS n_docs,
+        |    (max(n_chars) - min(n_chars))::BIGINT AS range_chars
+        |  FROM documents GROUP BY 1),
+        |m AS (SELECT *, n_docs * range_chars AS m FROM s),
+        |d AS (SELECT sum(m)::BIGINT AS den FROM m),
+        |b AS (
+        |  SELECT source, n_docs, range_chars,
+        |    (m * 1000) // den AS base, (m * 1000) % den AS rem,
+        |    (m * 10000 // den)::BIGINT AS weight_e4
+        |  FROM m CROSS JOIN d),
+        |x AS (SELECT (1000 - sum(base))::BIGINT AS extras FROM b),
+        |r AS (
+        |  SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk
+        |  FROM b)
+        |SELECT source, n_docs, range_chars, weight_e4,
+        |  (base + CASE WHEN rk <= extras THEN 1 ELSE 0 END)::BIGINT AS alloc
+        |FROM r CROSS JOIN x ORDER BY source""".stripMargin,
+    "q_dedup_threshold_sweep" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+        |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+        |       FROM t WHERE len(toks) >= 3),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |p AS (
+        |  SELECT doc_a, doc_b, round(i::DOUBLE / (sa.sz + sb.sz - i), 4) AS jaccard
+        |  FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+        |              JOIN sizes sb ON doc_b = sb.doc_id
+        |  WHERE round(i::DOUBLE / (sa.sz + sb.sz - i), 4) >= 0.05),
+        |g AS (SELECT unnest([500, 1000, 2000, 3000, 5000, 8000, 9000])::BIGINT
+        |        AS t_e4),
+        |h AS (SELECT t_e4, doc_a, doc_b
+        |      FROM p CROSS JOIN g WHERE jaccard >= t_e4::DOUBLE / 10000.0),
+        |np AS (SELECT t_e4, count(*)::BIGINT AS n_pairs FROM h GROUP BY 1),
+        |nd AS (SELECT t_e4, count(DISTINCT d)::BIGINT AS n_docs_touched
+        |       FROM (SELECT t_e4, unnest([doc_a, doc_b]) AS d FROM h)
+        |       GROUP BY 1)
+        |SELECT g.t_e4, coalesce(np.n_pairs, 0)::BIGINT AS n_pairs,
+        |  coalesce(nd.n_docs_touched, 0)::BIGINT AS n_docs_touched
+        |FROM g LEFT JOIN np ON g.t_e4 = np.t_e4
+        |       LEFT JOIN nd ON g.t_e4 = nd.t_e4
+        |ORDER BY g.t_e4""".stripMargin,
     "q_ngram_jaccard" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks FROM documents),
         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),

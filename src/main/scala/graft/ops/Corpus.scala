@@ -240,6 +240,40 @@ object Corpus {
       .orderBy(col(groupCol), col("rnk"))
   }
 
+  /** Stratified sample-budget allocation (Neyman-shaped): split a fixed
+    * eval budget across sources proportionally to N_h·R_h (stratum size
+    * × value range — the integer-exact stand-in for size × std-dev, so
+    * the whole allocation is engine-exact with no float weight ever).
+    * Rounding is largest-remainder (Hamilton), which by construction
+    * sums EXACTLY to the budget — the property a downstream sampler
+    * actually needs; floors-only or independent rounding would drift.
+    *
+    * Shape: one collapse to the source dimension; the remainder ranking
+    * and the base-sum scalar both live on that ≤|sources| frame.
+    */
+  def sampleAllocation(docs: DataFrame, budget: Long = 1000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        (max(col("n_chars")) - min(col("n_chars"))).as("range_chars"))
+      .withColumn("m", col("n_docs") * col("range_chars"))
+    val den = s.agg(sum(col("m")).as("den"))
+    val based = s.crossJoin(broadcast(den))
+      .withColumn("num", col("m") * budget)
+      .withColumn("base", expr("num div den"))
+      .withColumn("rem", expr("num % den"))
+      .withColumn("weight_e4", expr("m * 10000 div den"))
+    val extras = based.agg((lit(budget) - sum(col("base"))).as("extras"))
+    based.crossJoin(broadcast(extras))
+      .withColumn("rk",
+        row_number().over(Window.orderBy(desc("rem"), col("source"))).cast("long"))
+      .withColumn("alloc",
+        col("base") + when(col("rk") <= col("extras"), 1L).otherwise(0L))
+      .select(col("source"), col("n_docs"), col("range_chars"),
+        col("weight_e4"), col("alloc"))
+      .orderBy(col("source"))
+  }
+
   /** Token-weighted document sample — sequential Poisson sampling
     * (Ohlsson): each doc draws a deterministic content-hash "uniform"
     * and competes on priority = u div weight; the GLOBAL bottom-k then

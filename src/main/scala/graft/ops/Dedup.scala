@@ -231,6 +231,37 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Near-dup threshold sweep — the tuning readout for the dedup plane:
+    * per candidate Jaccard cutoff, how many pairs fire and how many
+    * distinct documents they touch. Dedup thresholds are usually picked
+    * by folklore (0.8, 0.85); this sweep shows the actual knee on YOUR
+    * corpus before a 100 TB dedup run commits to one.
+    *
+    * Shape: the exact pair set materializes ONCE (ngramJaccardPairs at
+    * the permissive floor, shingle frame persisted inside); the sweep is
+    * a broadcast threshold grid over that pair-graph-sized frame —
+    * pairs-per-threshold monotonically shrink by construction.
+    */
+  def dedupThresholdSweep(
+      docs: DataFrame,
+      thresholdsE4: Seq[Long] =
+        Seq(500L, 1000L, 2000L, 3000L, 5000L, 8000L, 9000L)): DataFrame = {
+    val pairs = ngramJaccardPairs(docs, threshold = 0.05)
+    val grid = docs.sparkSession
+      .createDataFrame(thresholdsE4.map(Tuple1(_))).toDF("t_e4")
+    val hit = pairs.crossJoin(broadcast(grid))
+      .filter(col("jaccard") >= col("t_e4").cast("double") / 10000.0)
+    val nPairs = hit.groupBy(col("t_e4")).agg(count(lit(1)).as("n_pairs"))
+    val nDocs = hit
+      .select(col("t_e4"), explode(array(col("doc_a"), col("doc_b"))).as("d"))
+      .groupBy(col("t_e4"))
+      .agg(countDistinct(col("d")).as("n_docs_touched"))
+    grid.join(nPairs, Seq("t_e4"), "left")
+      .join(nDocs, Seq("t_e4"), "left")
+      .na.fill(0L, Seq("n_pairs", "n_docs_touched"))
+      .orderBy(col("t_e4"))
+  }
+
   /** MinHash signature: one xxhash64 pass over the shingles, then k
     * permutation minima in a single codegen'd loop ([[graft.functions.MinHashSig]]).
     * Row-local, no shuffle, no UDF.

@@ -539,6 +539,25 @@ class CorpusSpec extends SparkTestBase {
     assert("WindowGroupLimit".r.findAllIn(p).length == 2, p)
   }
 
+  test("sampleAllocation: largest-remainder sums exactly to budget; weights ∝ N·range") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "A", 10L), (2L, "A", 20L), // m = 2·10 = 20
+      (3L, "B", 30L),                 // zero range → m = 0
+      (4L, "C", 0L), (5L, "C", 5L), (6L, "C", 25L) // m = 3·25 = 75
+    ).toDF("doc_id", "source", "n_chars")
+    val out = Corpus.sampleAllocation(docs, budget = 10L).collect()
+      .map(r => (r.getAs[String]("source"), (r.getAs[Long]("n_docs"),
+        r.getAs[Long]("range_chars"), r.getAs[Long]("weight_e4"),
+        r.getAs[Long]("alloc")))).toMap
+    // den = 95: A floors to 2 (rem 10), C floors to 7 (rem 85), B gets 0;
+    // the single leftover unit goes to the largest remainder (C)
+    assert(out("A") == (2L, 10L, 2105L, 2L))
+    assert(out("B") == (1L, 0L, 0L, 0L))
+    assert(out("C") == (3L, 25L, 7894L, 8L))
+    assert(out.values.map(_._4).sum == 10L)
+  }
+
   test("weightedSample: exact-k, dense ranks, integer priority = hash*1e6 div tokens") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, size, split, lower}

@@ -312,4 +312,19 @@ class DedupSpec extends SparkTestBase {
       (4L, "qq rr ss tt uu ww", 12L, 6L)
     ), s"got: $out")
   }
+
+  test("dedupThresholdSweep: pair and doc counts shrink monotonically past the knee") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f"), (2L, "a b c d e f"), // identical → J = 1.0
+      (3L, "a b c d x y"), // J = 2/6 ≈ 0.3333 against both
+      (4L, "zz qq ww ee rr tt") // no shared shingles
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupThresholdSweep(docs, thresholdsE4 = Seq(3000L, 9000L))
+      .collect()
+      .map(r => (r.getAs[Long]("t_e4"),
+        (r.getAs[Long]("n_pairs"), r.getAs[Long]("n_docs_touched")))).toMap
+    assert(out(3000L) == (3L, 3L)) // (1,2), (1,3), (2,3)
+    assert(out(9000L) == (1L, 2L)) // only the identical pair
+  }
 }
