@@ -625,6 +625,10 @@ object SparkEntry {
     // state-store sizing sweep: concurrent open sessions per gap config
     "q_state_sizing" -> ((s, d) =>
       Analytics.stateSizing(Analytics.events(s, d))),
+    // leak-proof churn training snapshot: one split literal, one collapse
+    "q_churn_labels" -> ((s, d) => Analytics.churnLabels(Analytics.events(s, d))),
+    // Kaplan-Meier view→purchase conversion with right-censoring
+    "q_survival_km" -> ((s, d) => Analytics.survivalCurve(Analytics.events(s, d))),
     "q_user_sessions" -> ((s, d) => Analytics.userSessions(Analytics.events(s, d))),
     // one summary row over the session table (exact integer means)
     "q_session_stats" -> ((s, d) => Analytics.sessionStats(Analytics.events(s, d))),
@@ -2916,6 +2920,60 @@ object SparkEntry {
         |    < raw_bytes AS dict_saves,
         |  (ndv * 10000 // n_rows)::BIGINT AS ndv_share_e4
         |FROM a ORDER BY col_name""".stripMargin,
+    "q_churn_labels" ->
+      """SELECT user_id,
+        |  sum(CASE WHEN ts < TIMESTAMP '2024-01-23 00:00:00' THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_events_feat,
+        |  sum(CASE WHEN ts < TIMESTAMP '2024-01-23 00:00:00'
+        |            AND event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_purchases_feat,
+        |  count(DISTINCT CASE WHEN ts < TIMESTAMP '2024-01-23 00:00:00'
+        |                      THEN CAST(ts AS DATE) END)::BIGINT AS n_days_feat,
+        |  sum(CASE WHEN ts < TIMESTAMP '2024-01-23 00:00:00'
+        |           THEN (value::DECIMAL(12,2) * 100)::BIGINT ELSE 0 END)::BIGINT
+        |    AS value_cents_feat,
+        |  sum(CASE WHEN ts >= TIMESTAMP '2024-01-23 00:00:00' THEN 1 ELSE 0 END) = 0
+        |    AS churned
+        |FROM events GROUP BY user_id
+        |HAVING sum(CASE WHEN ts < TIMESTAMP '2024-01-23 00:00:00' THEN 1 ELSE 0 END) > 0
+        |ORDER BY user_id""".stripMargin,
+    "q_survival_km" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS v_ts FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |p AS (
+        |  SELECT e.user_id, min(e.ts) AS p_ts
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= v.v_ts
+        |  GROUP BY 1),
+        |dur AS (
+        |  SELECT CASE WHEN p.p_ts IS NOT NULL
+        |              THEN datediff('day', CAST(v.v_ts AS DATE), CAST(p.p_ts AS DATE))
+        |              ELSE datediff('day', CAST(v.v_ts AS DATE), DATE '2024-01-31')
+        |         END::BIGINT AS t_days,
+        |    (p.p_ts IS NOT NULL) AS converted
+        |  FROM v LEFT JOIN p ON v.user_id = p.user_id),
+        |days AS (
+        |  SELECT t_days,
+        |    sum(CASE WHEN converted THEN 1 ELSE 0 END)::BIGINT AS d_events,
+        |    sum(CASE WHEN converted THEN 0 ELSE 1 END)::BIGINT AS c_censored
+        |  FROM dur GROUP BY 1),
+        |t AS (SELECT count(*)::BIGINT AS n_total FROM dur),
+        |r AS (
+        |  SELECT t_days, d_events, c_censored,
+        |    n_total - coalesce(sum(d_events + c_censored) OVER (ORDER BY t_days
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+        |  FROM days CROSS JOIN t)
+        |SELECT t_days, n_risk::BIGINT AS n_risk, d_events, c_censored,
+        |  round(CASE WHEN max(CASE WHEN d_events >= n_risk THEN 1 ELSE 0 END)
+        |      OVER (ORDER BY t_days
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1 THEN 0.0
+        |    ELSE exp(sum(CASE WHEN d_events > 0 AND d_events < n_risk
+        |      THEN ln(1.0 - d_events::DOUBLE / n_risk::DOUBLE) ELSE 0.0 END)
+        |      OVER (ORDER BY t_days
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) END
+        |    * 10000, 0)::BIGINT AS km_e4
+        |FROM r ORDER BY t_days""".stripMargin,
     "q_state_sizing" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),

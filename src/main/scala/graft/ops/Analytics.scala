@@ -1744,6 +1744,104 @@ object Analytics {
       .orderBy(col("from_type"))
   }
 
+  /** Churn-label snapshot — the training-set generator for a retention
+    * model: features from the window BEFORE the snapshot date, the label
+    * ("churned") from activity after it. Getting this split wrong (any
+    * feature peeking past the snapshot) is the classic label-leakage
+    * bug; here the split is one timestamp literal used by every
+    * conditional aggregate, so leakage is structurally impossible.
+    * Only users active in the feature window become rows — a user first
+    * seen after the snapshot has no features to train on.
+    *
+    * Shape: ONE user collapse with conditional aggregates (no join
+    * between the windows); value stays integer cents.
+    */
+  def churnLabels(
+      df: DataFrame,
+      snapshotIso: String = "2024-01-23 00:00:00"): DataFrame = {
+    val snap = lit(snapshotIso).cast("timestamp")
+    val feat = col("ts") < snap
+    df.groupBy(col("user_id"))
+      .agg(
+        sum(when(feat, 1L).otherwise(0L)).as("n_events_feat"),
+        sum(when(feat && col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n_purchases_feat"),
+        countDistinct(when(feat, to_date(col("ts")))).as("n_days_feat"),
+        sum(when(feat,
+          (col("value").cast("decimal(12,2)") * 100).cast("long"))
+          .otherwise(0L)).as("value_cents_feat"),
+        sum(when(!feat, 1L).otherwise(0L)).as("n_events_after"))
+      .filter(col("n_events_feat") > 0)
+      .withColumn("churned", (col("n_events_after") === 0L).cast("boolean"))
+      .select(col("user_id"), col("n_events_feat"), col("n_purchases_feat"),
+        col("n_days_feat"), col("value_cents_feat"), col("churned"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Kaplan-Meier survival curve for view→purchase conversion with
+    * right-censoring at the dataset end — the estimator that answers
+    * "how long until conversion" HONESTLY when many users haven't
+    * converted yet (naive averages over converters only are biased
+    * fast). Convention: risk set at day t counts everyone with neither
+    * event nor censoring strictly before t (same-day censoring stays at
+    * risk, the standard KM tie rule); S(t) multiplies (1 − dᵢ/nᵢ) over
+    * event days ≤ t.
+    *
+    * Shape: first-view/first-purchase collapse to one row per viewer
+    * (the [[conversionLatency]] join shape), then everything lives on
+    * the ≤30-row duration-day dimension — the cumulative risk set and
+    * the product (as exp∘Σln, sequential over the ordered dimension, so
+    * both engines fold identically) never touch the event stream.
+    */
+  def survivalCurve(
+      df: DataFrame,
+      endIso: String = "2024-01-31 00:00:00"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val end = lit(endIso).cast("timestamp")
+    val views = df.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
+    val firstPurchase = df.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"))
+      .join(views, "user_id")
+      .filter(col("ts") >= col("v_ts"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("p_ts"))
+    val durations = views.join(firstPurchase, Seq("user_id"), "left")
+      .select(
+        when(col("p_ts").isNotNull,
+          datediff(to_date(col("p_ts")), to_date(col("v_ts"))))
+          .otherwise(datediff(to_date(end), to_date(col("v_ts"))))
+          .cast("long").as("t_days"),
+        col("p_ts").isNotNull.as("converted"))
+    val days = durations.groupBy(col("t_days"))
+      .agg(
+        sum(when(col("converted"), 1L).otherwise(0L)).as("d_events"),
+        sum(when(!col("converted"), 1L).otherwise(0L)).as("c_censored"))
+    val wCum = Window.orderBy(col("t_days"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val total = durations.agg(count(lit(1)).as("n_total"))
+    days.crossJoin(broadcast(total))
+      .withColumn("n_risk",
+        col("n_total") -
+          coalesce(sum(col("d_events") + col("c_censored")).over(wCum), lit(0L)))
+      // a day where EVERY remaining subject converts sends S to exactly 0
+      // — ln(0) is out of domain on both engines, so the absorbing zero
+      // is carried as an explicit prefix-max flag instead
+      .withColumn("term",
+        when(col("d_events") > 0L && col("d_events") < col("n_risk"),
+          log(lit(1.0) - col("d_events").cast("double") /
+            col("n_risk").cast("double"))).otherwise(lit(0.0)))
+      .withColumn("km_e4",
+        expr("CAST(round(CASE WHEN max(CASE WHEN d_events >= n_risk " +
+          "THEN 1 ELSE 0 END) OVER (ORDER BY t_days " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1 THEN 0.0 " +
+          "ELSE exp(sum(term) OVER (ORDER BY t_days " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) END " +
+          "* 10000, 0) AS BIGINT)"))
+      .select(col("t_days"), col("n_risk"), col("d_events"),
+        col("c_censored"), col("km_e4"))
+      .orderBy(col("t_days"))
+  }
+
   /** Streaming state-store sizing audit: for each candidate session gap,
     * how many sessions would be OPEN simultaneously — the number that
     * sizes `flatMapGroupsWithState` state and decides whether a gap

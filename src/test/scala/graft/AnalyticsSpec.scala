@@ -489,6 +489,48 @@ class AnalyticsSpec extends SparkTestBase {
       (1L, 2L, 300.0, 1500.0, 2.6, 1370.0)))
   }
 
+  test("churnLabels: features strictly before the snapshot; post-only users excluded") {
+    val day = 86400000000L
+    val events = Seq(
+      (1L, 1L, "view", 1.0, ts(0L)), (2L, 1L, "purchase", 2.0, ts(day / 2)),
+      (3L, 1L, "view", 9.0, ts(2 * day)), // after snapshot → not churned
+      (4L, 2L, "view", 5.0, ts(0L)),      // nothing after → churned
+      (5L, 3L, "view", 7.0, ts(3 * day))  // first seen after snapshot → no row
+    ).toDF("event_id", "user_id", "event_type", "value", "ts")
+    val out = Analytics.churnLabels(events, "1970-01-02 00:00:00").collect()
+      .map(r => (r.getAs[Long]("user_id"), (r.getAs[Long]("n_events_feat"),
+        r.getAs[Long]("n_purchases_feat"), r.getAs[Long]("n_days_feat"),
+        r.getAs[Long]("value_cents_feat"), r.getAs[Boolean]("churned")))).toMap
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(1L) == (2L, 1L, 1L, 300L, false))
+    assert(out(2L) == (1L, 0L, 1L, 500L, true))
+  }
+
+  test("survivalCurve: textbook KM on hand data; all-convert day absorbs to zero") {
+    val day = 86400000000L
+    val events = Seq(
+      (1L, 1L, "view", ts(0L)), (2L, 1L, "purchase", ts(1 * day)),
+      (3L, 2L, "view", ts(0L)), (4L, 2L, "purchase", ts(1 * day)),
+      (5L, 3L, "view", ts(0L)), (6L, 3L, "purchase", ts(3 * day)),
+      (7L, 4L, "view", ts(0L)) // never converts → censored at day 4
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = Analytics.survivalCurve(events, "1970-01-05 00:00:00").collect()
+      .map(r => (r.getAs[Long]("t_days"), r.getAs[Long]("n_risk"),
+        r.getAs[Long]("d_events"), r.getAs[Long]("c_censored"),
+        r.getAs[Long]("km_e4"))).toSeq
+    // S(1) = 1·(1−2/4) = 0.5; S(3) = 0.5·(1−1/2) = 0.25; censor holds S
+    assert(out == Seq((1L, 4L, 2L, 0L, 5000L), (3L, 2L, 1L, 0L, 2500L),
+      (4L, 1L, 0L, 1L, 2500L)))
+    // everyone converts on one day → the curve hits EXACTLY zero
+    val all = Seq(
+      (1L, 1L, "view", ts(0L)), (2L, 1L, "purchase", ts(2 * day)),
+      (3L, 2L, "view", ts(0L)), (4L, 2L, "purchase", ts(2 * day))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val z = Analytics.survivalCurve(all, "1970-01-05 00:00:00").collect()
+    assert(z.map(r => (r.getAs[Long]("t_days"), r.getAs[Long]("km_e4"))).toSeq
+      == Seq((2L, 0L)))
+  }
+
   test("stateSizing: sweep-line concurrency per gap candidate, hand-checked") {
     val sec = 1000000L
     val events = Seq(
