@@ -456,6 +456,11 @@ object SparkEntry {
     // Matryoshka truncation audit: e6-quantized cosine error per width
     "q_matryoshka" -> ((s, d) =>
       Similarity.matryoshkaAudit(Similarity.embeddings(s, d))),
+    // encoder-drift audit: per-dim mean shift between id-parity cohorts
+    "q_embedding_drift" -> ((s, d) =>
+      Similarity.embeddingDrift(Similarity.embeddings(s, d))),
+    // sample-ratio-mismatch gate ahead of the CUPED readout
+    "q_ab_srm" -> ((s, d) => Analytics.srmCheck(Analytics.events(s, d))),
     "q_first_event_per_user" -> ((s, d) => Analytics.firstEventPerUser(Analytics.events(s, d))),
     // ordered min-after funnel signup → view → purchase; each stage
     // joins the shrinking frontier back to the type-pruned stream
@@ -1855,6 +1860,34 @@ object SparkEntry {
         |  (CASE WHEN 2 * tp + fp + fn = 0 THEN NULL
         |        ELSE 2 * tp * 10000 // (2 * tp + fp + fn) END)::BIGINT AS f1_e4
         |FROM c ORDER BY t""".stripMargin,
+    "q_ab_srm" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |c AS (SELECT user_id % 2 AS arm, count(*)::BIGINT AS n_units
+        |      FROM u GROUP BY 1),
+        |t AS (SELECT count(*)::BIGINT AS n_total FROM u)
+        |SELECT arm, n_units, n_total,
+        |  ((2 * n_units - n_total) * (2 * n_units - n_total) * 1000000
+        |    // n_total)::BIGINT AS chi2_e6,
+        |  ((2 * n_units - n_total) * (2 * n_units - n_total) * 1000000
+        |    // n_total) > 3841459 AS srm_flag
+        |FROM c CROSS JOIN t ORDER BY arm""".stripMargin,
+    "q_embedding_drift" ->
+      """WITH q AS (
+        |  SELECT vec_id % 2 AS cohort, (t.i - 1)::BIGINT AS dim,
+        |    round(embedding[t.i]::DOUBLE * 1000000, 0)::BIGINT AS v_e6
+        |  FROM embeddings,
+        |    LATERAL unnest(range(1, len(embedding) + 1)) AS t(i)),
+        |a AS (
+        |  SELECT dim,
+        |    sum(CASE WHEN cohort = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+        |    sum(CASE WHEN cohort = 1 THEN 1 ELSE 0 END)::BIGINT AS n_b,
+        |    sum(CASE WHEN cohort = 0 THEN v_e6 ELSE 0 END)::BIGINT AS s_a,
+        |    sum(CASE WHEN cohort = 1 THEN v_e6 ELSE 0 END)::BIGINT AS s_b
+        |  FROM q GROUP BY 1)
+        |SELECT dim, n_a, n_b,
+        |  (s_a // n_a)::BIGINT AS mean_a_e6, (s_b // n_b)::BIGINT AS mean_b_e6,
+        |  abs(s_a // n_a - s_b // n_b)::BIGINT AS delta_e6
+        |FROM a ORDER BY dim""".stripMargin,
     "q_matryoshka" ->
       """WITH p AS (
         |  SELECT a.vec_id AS id_a, a.embedding AS ea, b.embedding AS eb

@@ -1744,6 +1744,35 @@ object Analytics {
       .orderBy(col("from_type"))
   }
 
+  /** Sample-ratio-mismatch (SRM) gate — the sanity check that must pass
+    * BEFORE anyone reads [[cupedLift]]'s lift: if the arm split isn't
+    * the designed 50/50 at the unit level, the assignment mechanism is
+    * broken and every downstream number is garbage. One-degree-of-
+    * freedom chi-square against the expected split, e6-scaled through
+    * exact integer arithmetic (obs·2 − total)²·10⁶ ÷ (4·total·…) —
+    * flagged against the conventional 3.84 (p < 0.05) cut.
+    *
+    * Shape: one user collapse (arm = first assignment), then 2-row
+    * arithmetic.
+    */
+  def srmCheck(df: DataFrame): DataFrame = {
+    val users = df.select(col("user_id")).distinct()
+      .withColumn("arm", col("user_id") % 2)
+    val counts = users.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n_units"))
+    counts
+      .crossJoin(broadcast(users.agg(count(lit(1)).as("n_total"))))
+      // chi² for a 2-cell 50/50 design: Σ (o−e)²/e = (2o−n)²/n summed
+      // over both cells = 2·(2o−n)²/(2n) per symmetry → compute once
+      .withColumn("chi2_e6",
+        expr("(2 * n_units - n_total) * (2 * n_units - n_total) " +
+          "* 1000000 div n_total"))
+      .withColumn("srm_flag", col("chi2_e6") > lit(3841459L))
+      .select(col("arm"), col("n_units"), col("n_total"),
+        col("chi2_e6"), col("srm_flag"))
+      .orderBy(col("arm"))
+  }
+
   /** Churn-label snapshot — the training-set generator for a retention
     * model: features from the window BEFORE the snapshot date, the label
     * ("churned") from activity after it. Getting this split wrong (any

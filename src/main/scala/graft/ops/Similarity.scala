@@ -1181,6 +1181,37 @@ object Similarity {
     (lambda, v)
   }
 
+  /** Per-dimension embedding drift between two cohorts (split by id
+    * parity here; in production, by snapshot): the audit that catches a
+    * re-trained or silently-updated encoder before mixed-vintage vectors
+    * poison an ANN index — mean shift per dimension, largest first.
+    *
+    * Exactness: each float is e6-quantized to an integer AT THE ROW
+    * level, so the per-dimension sums are exact and merge-order-free;
+    * means are integer divisions. Shape: posexplode fans each vector
+    * into (dim, value) — the standard reduce for per-dim stats — and
+    * everything aggregates onto the 64-row dimension axis.
+    */
+  def embeddingDrift(emb: DataFrame): DataFrame = {
+    val q = emb
+      .select((col("vec_id") % 2).as("cohort"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("cohort"), col("dim").cast("long").as("dim"),
+        expr("CAST(round(CAST(v AS DOUBLE) * 1000000, 0) AS BIGINT)").as("v_e6"))
+    q.groupBy(col("dim"))
+      .agg(
+        sum(when(col("cohort") === 0L, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("cohort") === 1L, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("cohort") === 0L, col("v_e6")).otherwise(0L)).as("s_a"),
+        sum(when(col("cohort") === 1L, col("v_e6")).otherwise(0L)).as("s_b"))
+      .withColumn("mean_a_e6", expr("s_a div n_a"))
+      .withColumn("mean_b_e6", expr("s_b div n_b"))
+      .withColumn("delta_e6", abs(col("mean_a_e6") - col("mean_b_e6")))
+      .select(col("dim"), col("n_a"), col("n_b"),
+        col("mean_a_e6"), col("mean_b_e6"), col("delta_e6"))
+      .orderBy(col("dim"))
+  }
+
   /** Matryoshka truncation audit (Kusupati et al., NeurIPS'22): how much
     * cosine structure survives keeping only the first d dimensions of
     * each embedding? Truncated retrieval (d of 64 floats) cuts ANN index

@@ -489,6 +489,19 @@ class AnalyticsSpec extends SparkTestBase {
       (1L, 2L, 300.0, 1500.0, 2.6, 1370.0)))
   }
 
+  test("srmCheck: balanced split passes, lopsided split flags") {
+    val mk = (ids: Seq[Long]) => ids.zipWithIndex
+      .map { case (u, i) => (i.toLong, u, ts(i * 1000000L)) }
+      .toDF("event_id", "user_id", "ts")
+    val ok = Analytics.srmCheck(mk(Seq(2L, 4L, 6L, 1L))).collect()
+    // 3 even vs 1 odd of 4: chi² = (2·3−4)²/4 = 1.0 → below the 3.84 cut
+    assert(ok.forall(r => r.getAs[Long]("chi2_e6") == 1000000L &&
+      !r.getAs[Boolean]("srm_flag")))
+    val bad = Analytics.srmCheck(mk((1L to 10L).map(_ * 2))).collect()
+    // 10 even vs 0 odd: chi² = 10 → hard SRM flag
+    assert(bad.length == 1 && bad.head.getAs[Boolean]("srm_flag"))
+  }
+
   test("churnLabels: features strictly before the snapshot; post-only users excluded") {
     val day = 86400000000L
     val events = Seq(

@@ -404,6 +404,20 @@ class SimilaritySpec extends SparkTestBase {
     assert(brute == twinned.map(v => (v, v + 2000000L)).toSet)
   }
 
+  test("embeddingDrift: per-dim cohort means from e6-quantized values, exact") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Seq(1.0f, -1.0f)), (2L, Seq(3.0f, 1.0f)), // cohort 0
+      (1L, Seq(0.5f, 0.0f)) // cohort 1
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.embeddingDrift(emb).collect()
+      .map(r => (r.getAs[Long]("dim"), (r.getAs[Long]("n_a"),
+        r.getAs[Long]("n_b"), r.getAs[Long]("mean_a_e6"),
+        r.getAs[Long]("mean_b_e6"), r.getAs[Long]("delta_e6")))).toMap
+    assert(out(0L) == (2L, 1L, 2000000L, 500000L, 1500000L))
+    assert(out(1L) == (2L, 1L, 0L, 0L, 0L))
+  }
+
   test("matryoshkaAudit: hand-computable truncation error; zero-norm prefixes read as cos 0") {
     import spark.implicits._
     val emb = Seq(
