@@ -145,4 +145,43 @@ class EmptyInputSpec extends SparkTestBase {
     assert(TextAnalysis.qualityYieldCurve(noDocs).count() == 0)
     assert(Corpus.sourceNgramOverlap(noDocs).count() == 0)
   }
+
+  test("fifth-session additions survive empty inputs") {
+    val noEventsFull =
+      Seq.empty[(Long, Long, String, Double, java.sql.Timestamp)]
+        .toDF("event_id", "user_id", "event_type", "value", "ts")
+    assert(Analytics.markovEval(noEventsFull).count() == 0)
+    assert(Analytics.disorderProfile(noEventsFull).count() == 0)
+    assert(Analytics.cupedLift(noEventsFull).count() == 0)
+    assert(Analytics.stateSizing(noEventsFull).count() == 0)
+    assert(Analytics.churnLabels(noEventsFull).count() == 0)
+    assert(Analytics.survivalCurve(noEventsFull).count() == 0)
+    assert(Analytics.srmCheck(noEventsFull).count() == 0)
+    assert(graft.ops.Privacy.kAnonymity(noEventsFull).count() == 0)
+    assert(graft.ops.Privacy.forgetAudit(noEventsFull).count() == 0)
+    // skip-audit grid rows exist only where blocks exist → empty
+    assert(graft.ops.Layout.pruneEffectiveness(noEventsFull).count() == 0)
+    assert(Corpus.weightedSample(noDocs).count() == 0)
+    assert(Corpus.sampleAllocation(noDocs).count() == 0)
+    assert(Dedup.dedupThresholdSweep(noDocs).collect()
+      .forall(_.getAs[Long]("n_pairs") == 0L)) // grid rows, zero counts
+    assert(TextAnalysis.prCurve(noDocs).collect()
+      .forall(_.getAs[Long]("tp") == 0L))
+    val noVecs = Seq.empty[(Long, Array[Float], Int)]
+      .toDF("vec_id", "embedding", "label")
+    assert(graft.ops.Similarity.matryoshkaAudit(noVecs).count() == 0)
+    assert(graft.ops.Similarity.embeddingDrift(noVecs).count() == 0)
+    val noOrders2 = Seq.empty[(Long, Long, String, Double, java.sql.Timestamp, String)]
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val noCust = Seq.empty[(Long, String, Long)]
+      .toDF("c_custkey", "c_name", "c_nationkey")
+    assert(graft.ops.Relational.incrementalJoinView(noOrders2, noCust).count() == 0)
+    assert(graft.ops.Relational.joinCardinalityEstimate(noOrders2, noCust).count() == 0)
+    assert(graft.ops.Relational.equiDepthHistogram(noOrders2).count() == 0)
+    assert(graft.ops.Relational.jackknifeMean(noOrders2).count() == 0)
+    assert(graft.ops.Layout.encodingAdvisor(noOrders2).count() == 0)
+    assert(graft.ops.Multimodal.shardPlan(
+      Seq.empty[(Long, Array[Byte])].toDF("asset_id", "content")).count() == 0)
+  }
 }
