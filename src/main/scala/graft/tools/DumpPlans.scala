@@ -82,7 +82,15 @@ object DumpPlans {
       "q_source_ngram_overlap" -> "source containment: per-shingle source sets on ONE shingle exchange, ordered pairs exploded row-locally from sorted sets — never an all-pairs shingle self-join",
       "q_pareto_parts" -> "2-D skyline: two running maxima over an integer-cents RANGE window per brand partition — replaces the quadratic NOT-EXISTS self-join",
       "q_sql_lateral" -> "LATERAL correlated top-1 through the parser: Catalyst decorrelates to WindowGroupLimit (partial rank below the exchange) + ONE equi-join — never a per-row rescan",
-      "q_sql_reachability" -> "recursive BFS: edge frame persisted behind a temp view (UnionLoop re-evaluates referenced CTEs per iteration — inline build would re-run the pair join every hop)")
+      "q_sql_reachability" -> "recursive BFS: edge frame persisted behind a temp view (UnionLoop re-evaluates referenced CTEs per iteration — inline build would re-run the pair join every hop)",
+      "q_disorder_profile" -> "watermark-lag audit: hierarchical running max (block-local windows + broadcast carry) — the raw stream never rides a single-partition global window",
+      "q_equidepth_hist" -> "exact quantile boundaries by two-pass rank selection: coarse-bucket prefix sum locates each rank, only boundary buckets are ranked behind a broadcast semi-join — the fact table never range-sorts",
+      "q_media_shards" -> "WebDataset shard layout: hierarchical byte prefix sum, cum div C assignment, shard-dimension report",
+      "q_state_sizing" -> "state-store sizing: ONE user LAG/LEAD window serves every gap candidate, ±1 deltas aggregate onto the (gap, minute) dimension, running sum windows there",
+      "q_kanon" -> "k-anonymity gate: one QI-cell collapse (count + exact distinct users), broadcast threshold grid — no window, no second scan",
+      "q_incremental_join" -> "delta-join view maintenance: four disjoint terms, each aggregated before the merge, customer slices broadcast — the algebra that replaces a full join recompute per refresh",
+      "q_weighted_sample" -> "sequential-Poisson weighted sample: row-local integer priorities, global bottom-k as TakeOrderedAndProject — no corpus sort",
+      "q_markov_eval" -> "held-out Markov eval: one user window feeds train AND eval counts; model argmax + broadcast join run on the persisted |types|² table")
 
     val sb = new StringBuilder
     sb.append("# PLANS — explain(\"formatted\") for headline queries\n\n")
