@@ -621,6 +621,21 @@ object SparkEntry {
     // right-to-be-forgotten dry run: one broadcast tombstone join, semi
     // and anti populations from the same null flag
     "q_forget" -> ((s, d) => Privacy.forgetAudit(Analytics.events(s, d))),
+    // DP contribution bounding: one (type, day, user) collapse, broadcast
+    // cap grid — clipped rows and the L1-sensitivity/utility frontier
+    "q_dp_contribution" -> ((s, d) =>
+      Privacy.contributionBound(Analytics.events(s, d))),
+    // KMV bottom-k distinct sketch vs exact truth, two-pass rank selection
+    // (no per-group full-sort window)
+    "q_kmv_distinct" -> ((s, d) => Sketch.kmvDistinct(Analytics.events(s, d))),
+    // deterministic Poisson bootstrap SE of the mean order value — the
+    // shardable resampling twin of q_jackknife
+    "q_poisson_bootstrap" -> ((s, d) =>
+      Relational.poissonBootstrapSE(Relational.table(s, d, "orders"))),
+    // greedy k-center diverse subset over embeddings: k one-pass rounds,
+    // newest center broadcast, argmax via 1-row TakeOrdered
+    "q_kcenter_select" -> ((s, d) =>
+      Similarity.kCenterSelect(Similarity.embeddings(s, d))),
     // row-group skip audit: arrival vs date layout × three predicates
     "q_rowgroup_prune" -> ((s, d) =>
       Layout.pruneEffectiveness(Analytics.events(s, d))),
@@ -909,6 +924,10 @@ object SparkEntry {
     // near-dup cutoff sweep over the materialized exact pair set
     "q_dedup_threshold_sweep" -> ((s, d) =>
       Dedup.dedupThresholdSweep(TextAnalysis.documents(s, d))),
+    // LSH banding tuner: S-curve scored against the corpus's own
+    // similarity histogram, collapsed to the 4-dp Jaccard dimension
+    "q_lsh_tuning" -> ((s, d) =>
+      Dedup.lshTuningSweep(TextAnalysis.documents(s, d))),
     // length curriculum: 4 quantile phases from the token-count histogram
     "q_curriculum" -> ((s, d) => {
       val docs = TextAnalysis.documents(s, d)
@@ -3061,6 +3080,20 @@ object SparkEntry {
         |  (sum(CASE WHEN n_users < k THEN n_rows ELSE 0 END) * 10000
         |    // sum(n_rows))::BIGINT AS lowdiv_share_e4
         |FROM cells CROSS JOIN grid GROUP BY k ORDER BY k""".stripMargin,
+    "q_dp_contribution" ->
+      """WITH c AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, user_id,
+        |    count(*)::BIGINT AS c
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2, 3),
+        |g AS (SELECT unnest([1, 2, 4, 8, 16])::BIGINT AS cap)
+        |SELECT cap, count(*)::BIGINT AS n_user_cells,
+        |  sum(c)::BIGINT AS raw_rows,
+        |  sum(least(c, cap))::BIGINT AS kept_rows,
+        |  sum(CASE WHEN c > cap THEN 1 ELSE 0 END)::BIGINT AS clipped_user_cells,
+        |  max(c)::BIGINT AS max_contrib,
+        |  ((sum(c) - sum(least(c, cap))) * 10000 // sum(c))::BIGINT
+        |    AS dropped_share_e4
+        |FROM c CROSS JOIN g GROUP BY cap ORDER BY cap""".stripMargin,
     "q_session_stats" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
@@ -4121,6 +4154,48 @@ object SparkEntry {
         |FROM g LEFT JOIN np ON g.t_e4 = np.t_e4
         |       LEFT JOIN nd ON g.t_e4 = nd.t_e4
         |ORDER BY g.t_e4""".stripMargin,
+    "q_lsh_tuning" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+        |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+        |       FROM t WHERE len(toks) >= 3),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |p AS (
+        |  SELECT round(i::DOUBLE / (sa.sz + sb.sz - i), 4) AS jaccard
+        |  FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+        |              JOIN sizes sb ON doc_b = sb.doc_id
+        |  WHERE round(i::DOUBLE / (sa.sz + sb.sz - i), 4) >= 0.05),
+        |hist AS (SELECT CAST(round(jaccard * 10000, 0) AS BIGINT) AS j_e4,
+        |           count(*)::BIGINT AS n_pairs
+        |         FROM p GROUP BY 1),
+        |g AS (SELECT (128 // r)::BIGINT AS bands, r::BIGINT AS rows_per_band
+        |      FROM (SELECT unnest([1, 2, 4, 8, 16, 32, 64, 128]) AS r)),
+        |sc AS (SELECT bands, rows_per_band, j_e4, n_pairs,
+        |         CAST(round((1.0 - pow(1.0 - pow(j_e4::DOUBLE / 10000.0,
+        |           rows_per_band::DOUBLE), bands::DOUBLE)) * 1000000, 0)
+        |           AS BIGINT) AS p_e6
+        |       FROM hist CROSS JOIN g),
+        |agg AS (SELECT bands, rows_per_band,
+        |          sum(n_pairs)::BIGINT AS n_pairs_total,
+        |          sum(n_pairs * p_e6)::BIGINT AS exp_caught_e6,
+        |          sum(CASE WHEN j_e4 >= 8000 THEN n_pairs * (1000000 - p_e6)
+        |              ELSE 0 END)::BIGINT AS exp_missed_high_e6,
+        |          sum(CASE WHEN j_e4 < 5000 THEN n_pairs * p_e6
+        |              ELSE 0 END)::BIGINT AS exp_fp_e6
+        |        FROM sc GROUP BY 1, 2)
+        |SELECT g.bands, g.rows_per_band,
+        |  coalesce(a.n_pairs_total, 0)::BIGINT AS n_pairs_total,
+        |  coalesce(a.exp_caught_e6, 0)::BIGINT AS exp_caught_e6,
+        |  coalesce(a.exp_missed_high_e6, 0)::BIGINT AS exp_missed_high_e6,
+        |  coalesce(a.exp_fp_e6, 0)::BIGINT AS exp_fp_e6
+        |FROM g LEFT JOIN agg a USING (bands, rows_per_band)
+        |ORDER BY g.rows_per_band""".stripMargin,
+    "q_kmv_distinct" -> Sketch.kmvDistinctOracleSql(),
+    "q_poisson_bootstrap" -> Relational.poissonBootstrapOracleSql(),
+    "q_kcenter_select" -> Similarity.kCenterOracleSql(),
     "q_ngram_jaccard" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks FROM documents),
         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),

@@ -750,4 +750,57 @@ object Dedup {
       .select(col("vec_a"), col("vec_b"))
       .orderBy(col("vec_a"), col("vec_b"))
   }
+
+  /** LSH parameter tuning on YOUR corpus — the S-curve made data-driven.
+    * For every (bands b, rows-per-band r) split of a fixed hash budget
+    * b·r = totalHashes, a pair with Jaccard s is caught with probability
+    * p = 1 − (1 − sʳ)ᵇ. Folklore picks (16, 8); this sweep scores every
+    * split against the corpus's OWN similarity histogram: expected pairs
+    * caught, expected misses among true near-dups (s ≥ 0.8), expected
+    * false-positive candidates (s < 0.5) — the recall/verify-cost frontier
+    * a 100 TB dedup run should pick its banding from. Companion to
+    * [[dedupThresholdSweep]] (which tunes the cutoff; this tunes the index).
+    *
+    * Exactness: pair similarities collapse FIRST onto the 4-dp Jaccard
+    * dimension (≤ 10⁴ distinct values) with integer pair counts; the
+    * S-curve evaluates once per (j_e4, config) cell — e6-quantized to an
+    * integer before the count-weighted sums, so no raw double is ever
+    * aggregated. Shape: the exact pair set materializes once
+    * ([[ngramJaccardPairs]] at the permissive floor, shingle frame
+    * persisted inside); everything downstream runs on the collapsed
+    * histogram crossed with an 8-row broadcast grid.
+    */
+  def lshTuningSweep(
+      docs: DataFrame,
+      totalHashes: Int = 128): DataFrame = {
+    require(totalHashes > 0, "totalHashes must be positive")
+    val configs = (0 to 30)
+      .map(1 << _).takeWhile(_ <= totalHashes)
+      .filter(totalHashes % _ == 0)
+      .map(r => (totalHashes / r, r.toLong))
+      .map { case (b, r) => (b.toLong, r) }
+    val spark = docs.sparkSession
+    val grid = spark.createDataFrame(configs).toDF("bands", "rows_per_band")
+    val hist = ngramJaccardPairs(docs, threshold = 0.05)
+      .select(expr("CAST(round(jaccard * 10000, 0) AS BIGINT)").as("j_e4"))
+      .groupBy(col("j_e4")).agg(count(lit(1)).as("n_pairs"))
+    val scored = hist.crossJoin(broadcast(grid))
+      .withColumn("p_e6", expr(
+        """CAST(round((1.0 - pow(1.0 - pow(CAST(j_e4 AS DOUBLE) / 10000.0,
+          |  CAST(rows_per_band AS DOUBLE)), CAST(bands AS DOUBLE)))
+          |  * 1000000, 0) AS BIGINT)""".stripMargin))
+      .groupBy(col("bands"), col("rows_per_band"))
+      .agg(
+        sum(col("n_pairs")).as("n_pairs_total"),
+        sum(col("n_pairs") * col("p_e6")).as("exp_caught_e6"),
+        sum(when(col("j_e4") >= 8000L,
+          col("n_pairs") * (lit(1000000L) - col("p_e6"))).otherwise(0L))
+          .as("exp_missed_high_e6"),
+        sum(when(col("j_e4") < 5000L, col("n_pairs") * col("p_e6"))
+          .otherwise(0L)).as("exp_fp_e6"))
+    grid.join(scored, Seq("bands", "rows_per_band"), "left")
+      .na.fill(0L, Seq("n_pairs_total", "exp_caught_e6",
+        "exp_missed_high_e6", "exp_fp_e6"))
+      .orderBy(col("rows_per_band"))
+  }
 }

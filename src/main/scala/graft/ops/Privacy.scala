@@ -77,4 +77,42 @@ object Privacy {
       .withColumn("dropped_share_e4", expr("n_dropped * 10000 div n_total"))
       .orderBy(col("event_type"))
   }
+
+  /** Differential-privacy contribution bounding audit. Every DP release
+    * over user data first CLIPS each user to at most c rows per
+    * statistic cell — that cap IS the L1 sensitivity the noise scale
+    * divides by — and the utility question is how much real data the
+    * clip discards. Per candidate cap: cells, raw vs kept rows, how many
+    * (user, cell) contributions were clipped, the observed max
+    * contribution, and the integer-e4 share of rows lost. The readout a
+    * pipeline checks before committing a (cap, ε) pair to a 100 TB
+    * aggregation. (Wilson et al., VLDB'20 — "Differentially private SQL
+    * with bounded user contribution".)
+    *
+    * Shape: one collapse of the raw table onto the (event_type, UTC day,
+    * user) contribution dimension; the cap sweep is a broadcast grid
+    * crossed with that kilobyte-scale frame. No second scan, no window.
+    */
+  def contributionBound(
+      df: DataFrame,
+      caps: Seq[Int] = Seq(1, 2, 4, 8, 16)): DataFrame = {
+    val contribs = df
+      .filter(col("user_id").isNotNull)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"), col("user_id"))
+      .agg(count(lit(1)).as("c"))
+    val grid = df.sparkSession.createDataFrame(
+      caps.sorted.map(c => Tuple1(c.toLong))).toDF("cap")
+    contribs.crossJoin(broadcast(grid))
+      .groupBy(col("cap"))
+      .agg(
+        count(lit(1)).as("n_user_cells"),
+        sum(col("c")).as("raw_rows"),
+        sum(least(col("c"), col("cap"))).as("kept_rows"),
+        sum(when(col("c") > col("cap"), 1L).otherwise(0L))
+          .as("clipped_user_cells"),
+        max(col("c")).as("max_contrib"))
+      .withColumn("dropped_share_e4",
+        expr("(raw_rows - kept_rows) * 10000 div raw_rows"))
+      .orderBy(col("cap"))
+  }
 }

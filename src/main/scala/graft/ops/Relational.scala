@@ -1263,4 +1263,116 @@ object Relational {
           .as("n_delta_both"))
       .orderBy(col("c_nationkey"))
   }
+
+  /** Cumulative Poisson(1) CDF thresholds scaled onto the [0, M) hash
+    * space, M = 1e9+7. Computed ONCE from literal doubles and embedded as
+    * BIGINT constants in both the Spark expression and the generated
+    * oracle SQL — neither engine evaluates exp/factorial at query time,
+    * so there is no libm to disagree about.
+    */
+  private val BootModulus = 1000000007L
+  private val BootCdf: Seq[Double] = {
+    val pmf = (0 to 6).scanLeft(math.exp(-1.0)) { case (p, k) => p / (k + 1) }
+    pmf.take(7).scanLeft(0.0)(_ + _).drop(1)
+  }
+  private val BootThresholds: Seq[Long] =
+    BootCdf.map(c => math.round(c * BootModulus))
+
+  private def bootWeightCase(h: String): String =
+    BootThresholds.zipWithIndex
+      .map { case (t, i) => s"WHEN $h < ${t}L THEN ${i}L" }
+      .mkString("CASE ", " ", " ELSE 7L END")
+
+  private def bootWeightCaseDuck(h: String): String =
+    BootThresholds.zipWithIndex
+      .map { case (t, i) => s"WHEN $h < $t THEN $i" }
+      .mkString("CASE ", " ", " ELSE 7 END")
+
+  /** Poisson bootstrap standard error of the mean order value — the
+    * resampling twin of [[jackknifeMean]]. The classical bootstrap
+    * resamples n-of-n WITH replacement, which is unshardable (a global
+    * multinomial draw); the Poisson bootstrap (Chamandy et al., 2012 —
+    * "Estimating uncertainty for massive data streams") replaces each
+    * replica's multiplicity with an independent Poisson(1) weight per
+    * row, making every replica a ROW-LOCAL map over the shards — the only
+    * bootstrap that works at 100 TB.
+    *
+    * Determinism: the Poisson draw is inverse-CDF over a portable integer
+    * hash of (order, replica) — no RNG state, no partition dependence;
+    * re-running on any cluster layout draws the same weights. Replica
+    * means are exact integer cents (BIGINT sums, one integer division);
+    * the across-replica variance is exact integer arithmetic and the
+    * final sqrt is IEEE-exact, so the SE is bit-identical everywhere.
+    * Shape: one fan-out of the orders scan by B broadcast replica ids,
+    * one partial+final aggregation onto the B-row replica dimension.
+    */
+  def poissonBootstrapSE(orders: DataFrame, nReplicas: Int = 32): DataFrame = {
+    require(nReplicas > 1, "need at least 2 replicas")
+    val spark = orders.sparkSession
+    val reps = spark.createDataFrame(
+      (0 until nReplicas).map(r => Tuple1(r.toLong))).toDF("rep")
+    val base = orders.select(col("o_orderkey"),
+      (money("o_totalprice") * 100).cast("long").as("cents"))
+    val weighted = base.crossJoin(broadcast(reps))
+      .withColumn("h", expr(
+        s"(o_orderkey * 1103515245L + rep * 2654435761L + 98765L) % ${BootModulus}L"))
+      .withColumn("w", expr(bootWeightCase("h")))
+    val repMeans = weighted.groupBy(col("rep"))
+      .agg(sum(col("w") * col("cents")).as("num"), sum(col("w")).as("den"))
+      // a replica whose every weight drew 0 has no mean; excluded exactly
+      // as the oracle excludes it (P ≈ e^{-n}, impossible beyond toy n)
+      .filter(col("den") > 0L)
+      .withColumn("m", expr("num div den"))
+    val overall = base.agg(
+      count(lit(1)).as("n_orders"),
+      // guarded: ANSI div by a zero count must not throw on empty input
+      expr("CASE WHEN count(1) > 0 THEN sum(cents) div count(1) END")
+        .as("mean_cents"))
+    val se = repMeans.agg(
+      count(lit(1)).as("n_replicas"),
+      sum(col("m")).as("sm"),
+      sum(col("m") * col("m")).as("smm"),
+      min(col("m")).as("rep_mean_min_cents"),
+      max(col("m")).as("rep_mean_max_cents"))
+    overall.crossJoin(se)
+      .withColumn("boot_se_cents", expr(
+        """CASE WHEN n_replicas >= 2 THEN
+          |  CAST(round(sqrt(CAST((n_replicas * smm - sm * sm)
+          |    div (n_replicas * (n_replicas - 1)) AS DOUBLE)), 0) AS BIGINT)
+          |END""".stripMargin))
+      .select(col("n_orders"), col("mean_cents"), col("n_replicas"),
+        col("boot_se_cents"), col("rep_mean_min_cents"),
+        col("rep_mean_max_cents"))
+  }
+
+  /** DuckDB oracle for [[poissonBootstrapSE]] — same hash, same CASE
+    * ladder (constants generated from the same Scala values), same
+    * integer arithmetic.
+    */
+  def poissonBootstrapOracleSql(nReplicas: Int = 32): String =
+    s"""WITH base AS (
+       |  SELECT o_orderkey,
+       |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+       |  FROM orders),
+       |w AS (
+       |  SELECT r.rep, cents,
+       |    ${bootWeightCaseDuck(s"(o_orderkey * 1103515245 + r.rep * 2654435761 + 98765) % $BootModulus")} AS w
+       |  FROM base CROSS JOIN (SELECT unnest(range(0, $nReplicas)) AS rep) r),
+       |rm AS (
+       |  SELECT rep, sum(w * cents) // sum(w) AS m
+       |  FROM w GROUP BY rep HAVING sum(w) > 0),
+       |o AS (SELECT count(*)::BIGINT AS n_orders,
+       |        (CASE WHEN count(*) > 0 THEN sum(cents) // count(*) END)::BIGINT
+       |          AS mean_cents FROM base),
+       |s AS (SELECT count(*)::BIGINT AS n_replicas,
+       |        sum(m)::BIGINT AS sm, sum(m * m)::BIGINT AS smm,
+       |        min(m)::BIGINT AS rep_mean_min_cents,
+       |        max(m)::BIGINT AS rep_mean_max_cents FROM rm)
+       |SELECT n_orders, mean_cents, n_replicas,
+       |  (CASE WHEN n_replicas >= 2 THEN
+       |    CAST(round(sqrt(((n_replicas * smm - sm * sm)
+       |      // (n_replicas * (n_replicas - 1)))::DOUBLE), 0) AS BIGINT)
+       |  END) AS boot_se_cents,
+       |  rep_mean_min_cents, rep_mean_max_cents
+       |FROM o CROSS JOIN s""".stripMargin
 }

@@ -1260,4 +1260,130 @@ object Similarity {
       .withColumn("distorted_e4", expr("n_distorted * 10000 div n_pairs"))
       .orderBy(col("d"))
   }
+
+  /** Greedy k-center (farthest-point traversal) diverse subset selection —
+    * the coreset primitive of data curation: pick the k embeddings that
+    * COVER the corpus, i.e. minimize (2-approximately, Gonzalez 1985) the
+    * maximum distance of any point to its nearest selected center. Used to
+    * seed diverse fine-tuning subsets, pick eval exemplars, and initialize
+    * k-means++-style clustering without the randomness.
+    *
+    * Algorithm: seed with the minimum vec_id; then k−1 rounds of "select
+    * the point farthest from everything selected so far". Each round is
+    * ONE pass: the newest center (a kilobyte broadcast) updates a running
+    * per-point min-distance, and the argmax is a 1-row TakeOrdered — the
+    * canonical distributed shape for farthest-point (k passes total; k is
+    * small by definition). State is localCheckpoint'd per round so round
+    * t does not replay rounds 1..t−1's lineage.
+    *
+    * Determinism: distances are e6-quantized integers (cosine distance,
+    * the [[matryoshkaAudit]] IEEE discipline: sequential-fold dot,
+    * division order pinned, mirrored in the oracle); argmax ties break on
+    * minimum vec_id; selected ids are excluded explicitly so zero-distance
+    * duplicates can never re-win. Output: selection order, id, and the
+    * covering radius at selection time (−1 for the seed) — the radius
+    * column is the coverage curve a curator reads k off of.
+    */
+  def kCenterSelect(emb: DataFrame, k: Int = 8): DataFrame = {
+    import graft.functions.VectorFunctions.vecDot
+    require(k >= 1, "k must be at least 1")
+    val spark = emb.sparkSession
+    def finish(rows: Seq[(Long, Long, Long)]): DataFrame =
+      spark.createDataFrame(rows).toDF("rnk", "vec_id", "min_dist_e6")
+        .orderBy(col("rnk"))
+    val base = emb.select(col("vec_id"), col("embedding"),
+      sqrt(vecDot(col("embedding"), col("embedding"))).as("nrm"))
+      .persist()
+    val seed = base.orderBy(col("vec_id")).limit(1)
+      .select(col("vec_id")).collect()
+    if (seed.isEmpty) { base.unpersist(); return finish(Nil) }
+    val distE6 = expr(
+      """CAST(1000000 - round((CASE WHEN nrm = 0.0 OR w_nrm = 0.0 THEN 0.0
+        |  ELSE dot / nrm / w_nrm END) * 1000000, 0) AS BIGINT)""".stripMargin)
+    def updated(state: DataFrame, wid: Long): DataFrame = {
+      val w = base.filter(col("vec_id") === wid)
+        .select(col("embedding").as("w_emb"), col("nrm").as("w_nrm"))
+      state.crossJoin(broadcast(w))
+        .withColumn("dot", vecDot(col("embedding"), col("w_emb")))
+        .withColumn("d", distE6)
+        .withColumn("mind",
+          if (state.columns.contains("mind")) least(col("mind"), col("d"))
+          else col("d"))
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("mind"))
+        .localCheckpoint(true)
+    }
+    val chosen = scala.collection.mutable.ListBuffer(
+      (1L, seed.head.getLong(0), -1L))
+    var state = updated(base, chosen.head._2)
+    var step = 2
+    var exhausted = false
+    while (step <= k && !exhausted) {
+      val ids = chosen.map(_._2).toSeq
+      val win = state.filter(!col("vec_id").isInCollection(ids))
+        .orderBy(col("mind").desc, col("vec_id")).limit(1)
+        .select(col("vec_id"), col("mind")).collect()
+      if (win.isEmpty) exhausted = true
+      else {
+        val wid = win.head.getLong(0)
+        chosen += ((step.toLong, wid, win.head.getLong(1)))
+        if (step < k) state = updated(state, wid)
+        step += 1
+      }
+    }
+    base.unpersist()
+    finish(chosen.toSeq)
+  }
+
+  /** DuckDB oracle for [[kCenterSelect]] — the greedy rounds unrolled as a
+    * CTE chain (the [[Graph.pageRankOracleSql]] pattern), with the dot
+    * product, division order, and e6 quantization mirroring the Spark
+    * side element-for-element.
+    */
+  def kCenterOracleSql(k: Int = 8): String = {
+    def dist(p: String, w: String): String =
+      s"""(1000000 - round((CASE WHEN $p.nrm = 0 OR $w.nrm = 0 THEN 0
+         |  ELSE list_sum(list_transform(range(1, len($p.e) + 1),
+         |         i -> $p.e[i] * $w.e[i])) / $p.nrm / $w.nrm END)
+         |  * 1000000, 0))::BIGINT""".stripMargin
+    def exclusion(upTo: Int): String =
+      (1 to upTo).map(t => s"SELECT wid FROM sel$t").mkString(" UNION ALL ")
+    val head =
+      s"""WITH e AS MATERIALIZED (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> x::DOUBLE) AS e,
+         |    sqrt(list_sum(list_transform(embedding,
+         |      x -> x::DOUBLE * x::DOUBLE))) AS nrm
+         |  FROM embeddings),
+         |sel1 AS MATERIALIZED (
+         |  SELECT 1::BIGINT AS rnk, vec_id AS wid, (-1)::BIGINT AS mind
+         |  FROM e ORDER BY vec_id LIMIT 1),
+         |s1 AS MATERIALIZED (
+         |  SELECT p.vec_id, ${dist("p", "w")} AS mind
+         |  FROM e p CROSS JOIN
+         |    (SELECT ee.e, ee.nrm FROM e ee JOIN sel1 ON ee.vec_id = sel1.wid) w)"""
+        .stripMargin
+    val steps = (2 to k).map { t =>
+      val sel =
+        s"""sel$t AS MATERIALIZED (
+           |  SELECT ${t}::BIGINT AS rnk, s.vec_id AS wid, s.mind
+           |  FROM s${t - 1} s
+           |  WHERE s.vec_id NOT IN (${exclusion(t - 1)})
+           |  ORDER BY s.mind DESC, s.vec_id LIMIT 1)""".stripMargin
+      val st = if (t < k)
+        s""",
+           |s$t AS MATERIALIZED (
+           |  SELECT s.vec_id, least(s.mind, ${dist("p", "w")}) AS mind
+           |  FROM s${t - 1} s JOIN e p ON p.vec_id = s.vec_id
+           |  CROSS JOIN
+           |    (SELECT ee.e, ee.nrm FROM e ee JOIN sel$t ON ee.vec_id = sel$t.wid) w)"""
+          .stripMargin
+      else ""
+      sel + st
+    }.mkString(",\n")
+    val union = (1 to k).map(t => s"SELECT * FROM sel$t").mkString(" UNION ALL ")
+    s"""$head,
+       |$steps
+       |SELECT rnk, wid AS vec_id, mind AS min_dist_e6
+       |FROM ($union) ORDER BY rnk""".stripMargin
+  }
 }

@@ -1,0 +1,115 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Mergeable distinct-count sketching — the KMV (k-minimum-values /
+  * bottom-k) estimator next to its exact ground truth. The reference's
+  * health check counts distinct users exactly (Streamingdag.py:440-448);
+  * at 100 TB a dashboard refreshing that number wants a kilobyte sketch
+  * whose bottom-k sets merge associatively across partitions, executors,
+  * and days. This operator publishes the sketch AND its observed error so
+  * the cutover from exact to approximate is a measured decision, not
+  * folklore. (Bar-Yossef et al., RANDOM'02 — "Counting distinct elements
+  * in a data stream".)
+  */
+object Sketch {
+
+  /** Hash space modulus. The hash must be portable — computed identically
+    * by any engine that reads the sketch — so it is plain modular integer
+    * arithmetic, not an engine-private hash: h(u) = (u·a + c) mod M with
+    * M = 1e9+7. BIGINT-exact everywhere for user ids below ~8.3e9.
+    */
+  val KmvModulus: Long = 1000000007L
+  val KmvMulA: Long = 1103515245L
+  val KmvAddC: Long = 12345L
+
+  /** Per event type: the bottom-k hash sketch of the distinct-user set,
+    * the (k-1)·M/h_k estimate it implies, and the e4 relative error vs
+    * the exact distinct count.
+    *
+    * Shape at 100 TB: the k smallest hashes per group is a rank-k
+    * selection, and a naive per-group window sorts EVERY distinct hash
+    * through one partition per group (billions of rows per event type).
+    * Instead the same two-pass trick as the equi-depth histogram: the
+    * distinct (type, hash) collapse — partial-agg friendly — lands on a
+    * coarse bucket dimension (≤ nBuckets rows per type), a prefix sum
+    * over that kilobyte table locates the bucket holding the k-th rank,
+    * and only hashes at-or-below that bucket (expected ~k + one bucket
+    * width of survivors) pay the row_number. The exact countDistinct
+    * rides the same collapsed frame, so truth costs no extra scan.
+    */
+  def kmvDistinct(
+      events: DataFrame,
+      k: Int = 64,
+      nBuckets: Int = 1024): DataFrame = {
+    require(k > 1, "k must exceed 1")
+    val bucketWidth = KmvModulus / nBuckets + 1
+    val hashes = events
+      .filter(col("user_id").isNotNull)
+      .select(col("event_type"),
+        ((col("user_id") * KmvMulA + KmvAddC) % KmvModulus).as("h"))
+      .distinct()
+      .persist()
+    val bucketed = hashes.withColumn("bkt", expr(s"h div $bucketWidth"))
+    val cum = bucketed
+      .groupBy(col("event_type"), col("bkt"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.partitionBy(col("event_type")).orderBy(col("bkt"))))
+    // first bucket whose cumulative distinct-hash count reaches k; a type
+    // with fewer than k distinct hashes gets no row (keep-all via left join)
+    val bstar = cum.filter(col("cum") >= k)
+      .groupBy(col("event_type")).agg(min(col("bkt")).as("bstar"))
+    val kept = bucketed
+      .join(broadcast(bstar), Seq("event_type"), "left")
+      .filter(col("bstar").isNull || col("bkt") <= col("bstar"))
+    val ranked = kept
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(col("h"))))
+      .filter(col("rn") <= k)
+    val sketch = ranked.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_kept"), max(col("h")).as("kth_hash"))
+    // u → (u·a + c) mod M is a bijection on [0, M) for prime M ∤ a, so
+    // counting distinct hashes IS the exact distinct-user count for ids
+    // below M (at ≥1e9 ids you'd widen M before the sketch, not after)
+    val truth = hashes.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("true_distinct"))
+    sketch.join(truth, Seq("event_type"))
+      .withColumn("est_distinct",
+        when(col("n_kept") < k, col("n_kept"))
+          .otherwise(expr(s"(${k - 1}L * $KmvModulus) div kth_hash")))
+      .withColumn("err_e4",
+        expr("abs(est_distinct - true_distinct) * 10000 div true_distinct"))
+      .select(col("event_type"), col("n_kept"), col("kth_hash"),
+        col("est_distinct"), col("true_distinct"), col("err_e4"))
+      .orderBy(col("event_type"))
+  }
+
+  /** DuckDB oracle for [[kmvDistinct]] — the straightforward one-window
+    * formulation (the oracle need not be scale-shaped).
+    */
+  def kmvDistinctOracleSql(k: Int = 64): String =
+    s"""WITH h AS (
+       |  SELECT DISTINCT event_type,
+       |    (user_id * $KmvMulA + $KmvAddC) % $KmvModulus AS h
+       |  FROM events WHERE user_id IS NOT NULL),
+       |r AS (SELECT event_type, h,
+       |        row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+       |      FROM h),
+       |sk AS (SELECT event_type, count(*)::BIGINT AS n_kept,
+       |         max(h)::BIGINT AS kth_hash
+       |       FROM r WHERE rn <= $k GROUP BY 1),
+       |t AS (SELECT event_type, count(*)::BIGINT AS true_distinct
+       |      FROM h GROUP BY 1),
+       |e AS (SELECT event_type, n_kept, kth_hash, true_distinct,
+       |        CASE WHEN n_kept < $k THEN n_kept
+       |             ELSE (${k - 1}::BIGINT * $KmvModulus) // kth_hash
+       |        END::BIGINT AS est_distinct
+       |      FROM sk JOIN t USING (event_type))
+       |SELECT event_type, n_kept, kth_hash, est_distinct, true_distinct,
+       |  (abs(est_distinct - true_distinct) * 10000 // true_distinct)::BIGINT
+       |    AS err_e4
+       |FROM e ORDER BY event_type""".stripMargin
+}

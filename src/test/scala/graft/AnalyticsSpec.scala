@@ -597,4 +597,44 @@ class AnalyticsSpec extends SparkTestBase {
     // by_day + last_half: Jan-15 and Jan-30 partitions only
     assert(out(("by_day", "last_half")) == (3L, 2L, 2L, 2L, 0L))
   }
+
+  test("kmvDistinct: bottom-k sketch matches an independent recomputation and truth is exact") {
+    import graft.ops.Sketch
+    val events = (
+      (1 to 100).map(u => (u.toLong, u.toLong, "a", ts(u * 1000000L))) ++
+      (1 to 30).map(u => (u.toLong + 200L, u.toLong, "b", ts(u * 1000000L)))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = Sketch.kmvDistinct(events, k = 16).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_kept"), r.getAs[Long]("kth_hash"),
+          r.getAs[Long]("est_distinct"), r.getAs[Long]("true_distinct"))).toMap
+    def h(u: Long) =
+      (u * Sketch.KmvMulA + Sketch.KmvAddC) % Sketch.KmvModulus
+    def expected(users: Range) = {
+      val bottom = users.map(u => h(u.toLong)).sorted.take(16)
+      (16L, bottom.last, 15L * Sketch.KmvModulus / bottom.last,
+        users.size.toLong)
+    }
+    assert(out("a") == expected(1 to 100))
+    assert(out("b") == expected(1 to 30))
+    // estimator sanity: within 3/sqrt(k-1) relative of truth on uniform ids
+    val (_, _, est, truth) = out("a")
+    assert(math.abs(est - truth).toDouble / truth < 3.0 / math.sqrt(15.0))
+  }
+
+  test("contributionBound: clipping arithmetic is exact per cap") {
+    val events = (
+      (1 to 5).map(i => (i.toLong, 1L, "a", ts(i * 1000L))) :+
+      (6L, 2L, "a", ts(6000L))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = graft.ops.Privacy.contributionBound(events, Seq(1, 2)).collect()
+      .map(r => r.getAs[Long]("cap") ->
+        (r.getAs[Long]("n_user_cells"), r.getAs[Long]("raw_rows"),
+          r.getAs[Long]("kept_rows"), r.getAs[Long]("clipped_user_cells"),
+          r.getAs[Long]("max_contrib"), r.getAs[Long]("dropped_share_e4")))
+      .toMap
+    // user 1 contributes 5 rows to cell (a, day); user 2 contributes 1
+    assert(out(1L) == (2L, 6L, 2L, 1L, 5L, 6666L))
+    assert(out(2L) == (2L, 6L, 3L, 1L, 5L, 5000L))
+  }
 }

@@ -327,4 +327,40 @@ class DedupSpec extends SparkTestBase {
     assert(out(3000L) == (3L, 3L)) // (1,2), (1,3), (2,3)
     assert(out(9000L) == (1L, 2L)) // only the identical pair
   }
+
+  test("lshTuningSweep: an identical pair is caught with certainty in every banding") {
+    // two identical docs (one Jaccard-1.0 pair), one unrelated doc that
+    // shares no shingle — pow(1,r)=1 and pow(0,b)=0 are IEEE-exact, so
+    // every config must report p = 1e6, zero expected misses, zero FPs
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),
+      (3L, "zeta eta theta iota kappa")
+    ).toDF("doc_id", "text")
+    val out = graft.ops.Dedup.lshTuningSweep(docs, totalHashes = 128).collect()
+    assert(out.length == 8)
+    assert(out.map(_.getAs[Long]("bands")).toSet ==
+      Set(1L, 2L, 4L, 8L, 16L, 32L, 64L, 128L))
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_pairs_total") == 1L, r)
+      assert(r.getAs[Long]("exp_caught_e6") == 1000000L, r)
+      assert(r.getAs[Long]("exp_missed_high_e6") == 0L, r)
+      assert(r.getAs[Long]("exp_fp_e6") == 0L, r)
+    }
+  }
+
+  test("lshTuningSweep: more rows per band lowers catch probability of a mid-similarity pair") {
+    // overlap engineered to land between the FP and near-dup cutoffs:
+    // catch probability must be monotonically non-increasing in r
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d e f g h x y")
+    ).toDF("doc_id", "text")
+    val rows = graft.ops.Dedup.lshTuningSweep(docs, totalHashes = 128)
+      .collect()
+      .sortBy(_.getAs[Long]("rows_per_band"))
+      .map(_.getAs[Long]("exp_caught_e6")).toSeq
+    assert(rows == rows.sorted.reverse, rows)
+    assert(rows.head > rows.last, rows)
+  }
 }

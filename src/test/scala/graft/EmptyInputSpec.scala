@@ -184,4 +184,26 @@ class EmptyInputSpec extends SparkTestBase {
     assert(graft.ops.Multimodal.shardPlan(
       Seq.empty[(Long, Array[Byte])].toDF("asset_id", "content")).count() == 0)
   }
+
+  test("sixth-session operators survive empty inputs") {
+    val noEventsFull =
+      Seq.empty[(Long, Long, String, Double, java.sql.Timestamp)]
+        .toDF("event_id", "user_id", "event_type", "value", "ts")
+    assert(graft.ops.Sketch.kmvDistinct(noEventsFull).count() == 0)
+    assert(graft.ops.Privacy.contributionBound(noEventsFull).count() == 0)
+    // grid-preserving sweep: 8 config rows, all-zero expectations
+    assert(graft.ops.Dedup.lshTuningSweep(noDocs).collect()
+      .forall(r => r.getAs[Long]("n_pairs_total") == 0L &&
+        r.getAs[Long]("exp_caught_e6") == 0L))
+    val noVecs = Seq.empty[(Long, Array[Float], Int)]
+      .toDF("vec_id", "embedding", "label")
+    assert(graft.ops.Similarity.kCenterSelect(noVecs).count() == 0)
+    // a global statistic row is defined on empty input: zero orders, no
+    // replicas survive, null mean/SE rather than a division error
+    val noOrders3 = Seq.empty[(Long, Double)].toDF("o_orderkey", "o_totalprice")
+    val boot = graft.ops.Relational.poissonBootstrapSE(noOrders3).collect()
+    assert(boot.length == 1)
+    assert(boot.head.getAs[Long]("n_orders") == 0L)
+    assert(boot.head.isNullAt(boot.head.fieldIndex("boot_se_cents")))
+  }
 }

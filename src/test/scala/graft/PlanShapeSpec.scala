@@ -730,4 +730,40 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin"), s"carry must broadcast:\n$p")
     assert(p.contains("block#"), s"hierarchical block decomposition missing:\n$p")
   }
+
+  test("kmvDistinct: rank selection prunes via the broadcast bucket threshold before the window") {
+    val p = plan(graft.ops.Sketch.kmvDistinct(Analytics.events(spark, sf)))
+    // the b* cutoff joins back as a broadcast (LeftOuter against the
+    // per-type threshold), so the row_number window ranks only the
+    // surviving ~k-per-group hashes, never a group's full distinct-hash
+    // set — and Spark further pushes a partial per-partition top-k
+    // (WindowGroupLimit) under the exchange
+    assert(p.contains("LeftOuter, BuildRight"), s"b* must broadcast:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"rank filter must push a partial group limit:\n$p")
+    // the only range partitioning is the final presentation orderBy
+    assert(p.indexOf("Exchange rangepartitioning") ==
+      p.lastIndexOf("Exchange rangepartitioning"),
+      s"hash selection must not range-sort:\n$p")
+  }
+
+  test("lshTuningSweep: the S-curve evaluates on the collapsed Jaccard histogram, not per pair") {
+    val p = plan(graft.ops.Dedup.lshTuningSweep(
+      graft.ops.TextAnalysis.documents(spark, sf)))
+    // pair rows collapse to j_e4 counts BEFORE the 8-row config grid
+    // fans them out — the POWER expressions must sit above an aggregate
+    // of the pair frame, with the grid as a broadcast nested loop
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    val aggIdx = p.indexOf("HashAggregate(keys=[j_e4")
+    val gridIdx = p.indexOf("BroadcastNestedLoopJoin")
+    assert(aggIdx >= 0 && gridIdx >= 0, s"histogram collapse missing:\n$p")
+    assert(gridIdx < aggIdx, s"grid must join the collapsed histogram:\n$p")
+  }
+
+  test("poissonBootstrapSE: one scan fans out through the broadcast replica dimension") {
+    val p = plan(graft.ops.Relational.poissonBootstrapSE(
+      Relational.table(spark, sf, "orders")))
+    assert(p.contains("BroadcastNestedLoopJoin"), s"replica fan-out must broadcast:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"), s"no global sort:\n$p")
+  }
 }

@@ -283,4 +283,26 @@ class RelationalSpec extends SparkTestBase {
     assert(r.getAs[Long]("n_delta_cust") == 1L)
     assert(r.getAs[Long]("n_delta_both") == 1L)
   }
+
+  test("poissonBootstrapSE: constant values give zero SE; spread values a positive one") {
+    import spark.implicits._
+    def orders(prices: Seq[Double]) = prices.zipWithIndex
+      .map { case (p, i) => (i.toLong + 1L, p) }
+      .toDF("o_orderkey", "o_totalprice")
+    val flat = Relational.poissonBootstrapSE(orders(Seq.fill(50)(100.0)))
+      .collect().head
+    // every replica resamples a constant, so every replica mean is 10000
+    // cents exactly and the across-replica variance is exactly zero
+    assert(flat.getAs[Long]("n_orders") == 50L)
+    assert(flat.getAs[Long]("mean_cents") == 10000L)
+    assert(flat.getAs[Long]("boot_se_cents") == 0L)
+    assert(flat.getAs[Long]("rep_mean_min_cents") == 10000L)
+    assert(flat.getAs[Long]("rep_mean_max_cents") == 10000L)
+    assert(flat.getAs[Long]("n_replicas") == 32L)
+    val spread = Relational.poissonBootstrapSE(
+      orders((1 to 50).map(_ * 100.0))).collect().head
+    assert(spread.getAs[Long]("boot_se_cents") > 0L)
+    assert(spread.getAs[Long]("rep_mean_min_cents") <
+      spread.getAs[Long]("rep_mean_max_cents"))
+  }
 }

@@ -434,4 +434,27 @@ class SimilaritySpec extends SparkTestBase {
     assert(out(1L) == (2L, 146446L, 292893L, 1L, 5000L))
     assert(out(2L) == (2L, 0L, 0L, 0L, 0L))
   }
+
+  test("kCenterSelect: picks one representative per orthogonal direction, ties on min id") {
+    // three near-duplicates along axis 0, one point each on axes 1 and 2:
+    // the greedy traversal must pick the seed (min id, axis 0), then the
+    // two orthogonal points (distance e6 exactly 10^6), never a duplicate
+    val emb = Seq(
+      (1L, Array(1f, 0f, 0f)), (2L, Array(0.99f, 0.01f, 0f)),
+      (3L, Array(0.98f, 0.02f, 0f)),
+      (4L, Array(0f, 1f, 0f)), (5L, Array(0f, 0f, 1f))
+    ).toDF("vec_id", "embedding")
+    val out = graft.ops.Similarity.kCenterSelect(emb, k = 3).collect()
+      .map(r => (r.getAs[Long]("rnk"), r.getAs[Long]("vec_id"),
+        r.getAs[Long]("min_dist_e6"))).toSeq
+    assert(out == Seq((1L, 1L, -1L), (2L, 4L, 1000000L), (3L, 5L, 1000000L)))
+  }
+
+  test("kCenterSelect: k beyond the corpus size stops at the corpus") {
+    val emb = Seq((1L, Array(1f, 0f)), (2L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val out = graft.ops.Similarity.kCenterSelect(emb, k = 10).collect()
+    assert(out.length == 2)
+    assert(out.map(_.getAs[Long]("vec_id")).toSeq == Seq(1L, 2L))
+  }
 }
