@@ -628,6 +628,14 @@ object SparkEntry {
     // KMV bottom-k distinct sketch vs exact truth, two-pass rank selection
     // (no per-group full-sort window)
     "q_kmv_distinct" -> ((s, d) => Sketch.kmvDistinct(Analytics.events(s, d))),
+    // KMV mergeability: per-cohort sketches combined from k-sized state
+    // alone; merged estimate vs the exact union cardinality
+    "q_kmv_union" -> ((s, d) => Sketch.kmvUnion(Analytics.events(s, d))),
+    // Markov removal-effect attribution: absorbing-chain conversion drop
+    // per removed channel, exact integer e9 fixed-point on the collapsed
+    // transition table
+    "q_removal_effect" -> ((s, d) =>
+      Analytics.removalEffect(Analytics.events(s, d))),
     // deterministic Poisson bootstrap SE of the mean order value — the
     // shardable resampling twin of q_jackknife
     "q_poisson_bootstrap" -> ((s, d) =>
@@ -4194,6 +4202,8 @@ object SparkEntry {
         |FROM g LEFT JOIN agg a USING (bands, rows_per_band)
         |ORDER BY g.rows_per_band""".stripMargin,
     "q_kmv_distinct" -> Sketch.kmvDistinctOracleSql(),
+    "q_kmv_union" -> Sketch.kmvUnionOracleSql(),
+    "q_removal_effect" -> Analytics.removalEffectOracleSql(),
     "q_poisson_bootstrap" -> Relational.poissonBootstrapOracleSql(),
     "q_kcenter_select" -> Similarity.kCenterOracleSql(),
     "q_ngram_jaccard" ->

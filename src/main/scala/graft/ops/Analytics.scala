@@ -2036,4 +2036,170 @@ object Analytics {
       .withColumn("late_share_e4", expr("n_late * 10000 div n_events"))
       .orderBy(col("event_type"))
   }
+
+  /** Markov removal-effect attribution (Anderl et al. 2016) — the
+    * principled successor to the positional splits ([[attributionSplit]],
+    * [[purchaseAttribution]]): model user journeys as a first-order Markov
+    * chain over event types with absorbing CONV (purchase) and NULL
+    * (journey abandoned) states, and credit each channel by how much the
+    * chain's conversion probability DROPS when that channel is removed
+    * (its transitions redirected to NULL). Channels that merely appear
+    * near conversions get positional credit; channels whose removal
+    * leaves conversion intact get none here — that is the point.
+    *
+    * Journeys: each user's events in (ts, event_id) order up to and
+    * including the FIRST purchase; non-converting journeys absorb into
+    * NULL after their last event. Shape at 100 TB: the scan collapses to
+    * a (src, dst, count) transition table of at most (|types|+1)² rows —
+    * the only distributed work; the absorbing-chain solve runs on that
+    * model-sized table ([[Similarity.kCenterSelect]] precedent) as
+    * `iters` rounds of exact integer e9 fixed-point (v ← P·v with
+    * v(CONV)=10⁹), identically unrolled in the DuckDB oracle, so every
+    * digit matches by construction rather than by float luck.
+    */
+  def removalEffect(df: DataFrame, iters: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val S = 1000000000L
+    val spark = df.sparkSession
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val kept = df.filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        when(col("event_type") === "purchase", "CONV")
+          .otherwise(col("event_type")).as("state"))
+      .withColumn("pb", count(when(col("state") === "CONV", 1))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .filter(col("pb") === 0)
+    val steps = kept
+      .withColumn("src", lag(col("state"), 1, "START").over(w))
+      .select(col("src"), col("state").as("dst"))
+    val lastNonConv = kept
+      .withColumn("rnd", row_number().over(Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)))
+      .filter(col("rnd") === 1 && col("state") =!= "CONV")
+      .select(col("state").as("src"), lit("NULL").as("dst"))
+    val counts = steps.unionByName(lastNonConv)
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("cnt"))
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    // absorbing-chain conversion probability (e9) from START under a
+    // transition multiset — exact integer fixed-point, `iters` rounds
+    def conv(cnts: Map[(String, String), Long]): Long = {
+      val bySrc = cnts.toSeq
+        .map { case ((s, d), n) => (s, d, n) }
+        .groupBy(_._1)
+        .map { case (s, xs) => s -> xs.map(x => (x._2, x._3)) }
+      val out = bySrc.map { case (s, xs) => s -> xs.map(_._2).sum }
+      var v = Map.empty[String, Long]
+      for (_ <- 1 to iters) {
+        val nv = bySrc.map { case (s, xs) =>
+          val num = xs.map { case (d, n) =>
+            n * (if (d == "CONV") S
+                 else if (d == "NULL") 0L
+                 else v.getOrElse(d, 0L))
+          }.sum
+          s -> num / out(s)
+        }
+        v = nv
+      }
+      v.getOrElse("START", 0L)
+    }
+    def removed(c: String): Map[(String, String), Long] = counts.toSeq
+      .collect { case ((s, d), n) if s != c =>
+        ((s, if (d == c) "NULL" else d), n) }
+      .groupMapReduce(_._1)(_._2)(_ + _)
+    val channels = counts.keys.map(_._2)
+      .filter(d => d != "CONV" && d != "NULL").toSeq.distinct.sorted
+    val base = if (channels.nonEmpty) conv(counts) else 0L
+    val raw = channels.map { c =>
+      val rem = conv(removed(c))
+      val touch = counts.collect { case ((_, d), n) if d == c => n }.sum
+      (c, touch, base, rem, base - rem)
+    }
+    val tot = raw.map(r => math.max(r._5, 0L)).sum
+    val rows = raw.map { case (c, touch, b, rem, eff) =>
+      (c, touch, b, rem, eff,
+        if (tot > 0) Some(math.max(eff, 0L) * 10000L / tot) else None)
+    }
+    spark.createDataFrame(rows)
+      .toDF("channel", "n_touch", "base_conv_e9", "removed_conv_e9",
+        "effect_e9", "share_e4")
+      .orderBy(col("channel"))
+  }
+
+  /** DuckDB oracle for [[removalEffect]] — journey construction in SQL,
+    * scenarios (base + one per removed channel) fanned out as a column,
+    * and the integer fixed-point unrolled [[Graph.pageRankOracleSql]]-
+    * style so both engines run the same arithmetic.
+    */
+  def removalEffectOracleSql(iters: Int = 30): String = {
+    val head =
+      """WITH seqd AS MATERIALIZED (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN event_type = 'purchase' THEN 'CONV' ELSE event_type END
+        |      AS state,
+        |    count(CASE WHEN event_type = 'purchase' THEN 1 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pb
+        |  FROM events WHERE user_id IS NOT NULL),
+        |kept AS MATERIALIZED (
+        |  SELECT user_id, ts, event_id, state FROM seqd WHERE pb = 0),
+        |tr1 AS (
+        |  SELECT coalesce(lag(state)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id), 'START')
+        |      AS src, state AS dst
+        |  FROM kept),
+        |lastr AS (
+        |  SELECT state AS src, 'NULL' AS dst
+        |  FROM (SELECT state, row_number() OVER (PARTITION BY user_id
+        |          ORDER BY ts DESC, event_id DESC) AS rn FROM kept)
+        |  WHERE rn = 1 AND state <> 'CONV'),
+        |trans AS MATERIALIZED (
+        |  SELECT src, dst, count(*)::BIGINT AS cnt
+        |  FROM (SELECT * FROM tr1 UNION ALL SELECT * FROM lastr)
+        |  GROUP BY 1, 2),
+        |chs AS (SELECT DISTINCT dst AS ch FROM trans
+        |        WHERE dst NOT IN ('CONV', 'NULL')),
+        |scen AS (SELECT 'base' AS scen, NULL AS rem
+        |         UNION ALL SELECT ch, ch FROM chs),
+        |strans AS MATERIALIZED (
+        |  SELECT s.scen, t.src,
+        |    CASE WHEN t.dst = s.rem THEN 'NULL' ELSE t.dst END AS dst,
+        |    sum(t.cnt)::BIGINT AS cnt
+        |  FROM trans t CROSS JOIN scen s
+        |  WHERE t.src IS DISTINCT FROM s.rem
+        |  GROUP BY 1, 2, 3),
+        |outd AS MATERIALIZED (
+        |  SELECT scen, src, sum(cnt)::BIGINT AS outc FROM strans GROUP BY 1, 2),
+        |v0 AS (SELECT scen, src AS state, 0::BIGINT AS v FROM outd)"""
+        .stripMargin
+    val iterCtes = (1 to iters).map { t =>
+      s"""v$t AS MATERIALIZED (
+         |  SELECT o.scen, o.src AS state,
+         |    (sum(t.cnt * (CASE WHEN t.dst = 'CONV' THEN 1000000000
+         |                       WHEN t.dst = 'NULL' THEN 0
+         |                       ELSE coalesce(p.v, 0) END)) // o.outc)::BIGINT
+         |      AS v
+         |  FROM strans t JOIN outd o ON t.scen = o.scen AND t.src = o.src
+         |  LEFT JOIN v${t - 1} p ON p.scen = t.scen AND p.state = t.dst
+         |  GROUP BY o.scen, o.src, o.outc)""".stripMargin
+    }.mkString(",\n")
+    s"""$head,
+       |$iterCtes,
+       |basev AS (SELECT v AS base_conv_e9 FROM v$iters
+       |          WHERE scen = 'base' AND state = 'START'),
+       |remv AS (SELECT scen AS channel, v AS removed_conv_e9 FROM v$iters
+       |         WHERE scen <> 'base' AND state = 'START'),
+       |touch AS (SELECT dst AS channel, sum(cnt)::BIGINT AS n_touch
+       |          FROM trans WHERE dst NOT IN ('CONV', 'NULL') GROUP BY 1),
+       |eff AS (SELECT channel, n_touch, base_conv_e9, removed_conv_e9,
+       |          (base_conv_e9 - removed_conv_e9)::BIGINT AS effect_e9
+       |        FROM remv JOIN touch USING (channel) CROSS JOIN basev),
+       |tot AS (SELECT sum(CASE WHEN effect_e9 > 0 THEN effect_e9 ELSE 0 END)
+       |          ::BIGINT AS t FROM eff)
+       |SELECT channel, n_touch, base_conv_e9, removed_conv_e9, effect_e9,
+       |  (CASE WHEN t > 0 THEN
+       |    (CASE WHEN effect_e9 > 0 THEN effect_e9 ELSE 0 END) * 10000 // t
+       |  END)::BIGINT AS share_e4
+       |FROM eff CROSS JOIN tot ORDER BY channel""".stripMargin
+  }
 }

@@ -40,51 +40,122 @@ object Sketch {
     * width of survivors) pay the row_number. The exact countDistinct
     * rides the same collapsed frame, so truth costs no extra scan.
     */
+  /** Portable hash column over `user_id`. */
+  private def userHash = ((col("user_id") * KmvMulA + KmvAddC) % KmvModulus)
+
+  /** Bottom-k per group over a distinct `(group, h)` frame → one row per
+    * group with (n_kept, kth_hash). The two-pass rank-selection core
+    * shared by [[kmvDistinct]] and [[kmvUnion]] — see [[kmvDistinct]]'s
+    * scale note.
+    */
+  private def bottomKMembers(
+      hashes: DataFrame, group: String, k: Int, nBuckets: Int): DataFrame = {
+    val bucketWidth = KmvModulus / nBuckets + 1
+    val bucketed = hashes.withColumn("bkt", expr(s"h div $bucketWidth"))
+    val cum = bucketed
+      .groupBy(col(group), col("bkt"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.partitionBy(col(group)).orderBy(col("bkt"))))
+    // first bucket whose cumulative distinct-hash count reaches k; a group
+    // with fewer than k distinct hashes gets no row (keep-all via left join)
+    val bstar = cum.filter(col("cum") >= k)
+      .groupBy(col(group)).agg(min(col("bkt")).as("bstar"))
+    bucketed
+      .join(broadcast(bstar), Seq(group), "left")
+      .filter(col("bstar").isNull || col("bkt") <= col("bstar"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col(group)).orderBy(col("h"))))
+      .filter(col("rn") <= k)
+      .select(col(group), col("h"))
+  }
+
+  private def bottomK(
+      hashes: DataFrame, group: String, k: Int, nBuckets: Int): DataFrame =
+    bottomKMembers(hashes, group, k, nBuckets)
+      .groupBy(col(group))
+      .agg(count(lit(1)).as("n_kept"), max(col("h")).as("kth_hash"))
+
+  /** Estimate + error columns from a (n_kept, kth_hash, true_distinct)
+    * frame — the (k−1)·M/h_k estimator with the small-set exact branch.
+    */
+  private def withEstimate(df: DataFrame, k: Int): DataFrame = df
+    .withColumn("est_distinct",
+      when(col("n_kept") < k, col("n_kept"))
+        .otherwise(expr(s"(${k - 1}L * $KmvModulus) div kth_hash")))
+    .withColumn("err_e4",
+      expr("abs(est_distinct - true_distinct) * 10000 div true_distinct"))
+
   def kmvDistinct(
       events: DataFrame,
       k: Int = 64,
       nBuckets: Int = 1024): DataFrame = {
     require(k > 1, "k must exceed 1")
-    val bucketWidth = KmvModulus / nBuckets + 1
     val hashes = events
       .filter(col("user_id").isNotNull)
-      .select(col("event_type"),
-        ((col("user_id") * KmvMulA + KmvAddC) % KmvModulus).as("h"))
+      .select(col("event_type"), userHash.as("h"))
       .distinct()
       .persist()
-    val bucketed = hashes.withColumn("bkt", expr(s"h div $bucketWidth"))
-    val cum = bucketed
-      .groupBy(col("event_type"), col("bkt"))
-      .agg(count(lit(1)).as("cnt"))
-      .withColumn("cum", sum(col("cnt")).over(
-        Window.partitionBy(col("event_type")).orderBy(col("bkt"))))
-    // first bucket whose cumulative distinct-hash count reaches k; a type
-    // with fewer than k distinct hashes gets no row (keep-all via left join)
-    val bstar = cum.filter(col("cum") >= k)
-      .groupBy(col("event_type")).agg(min(col("bkt")).as("bstar"))
-    val kept = bucketed
-      .join(broadcast(bstar), Seq("event_type"), "left")
-      .filter(col("bstar").isNull || col("bkt") <= col("bstar"))
-    val ranked = kept
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("event_type")).orderBy(col("h"))))
-      .filter(col("rn") <= k)
-    val sketch = ranked.groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n_kept"), max(col("h")).as("kth_hash"))
+    val sketch = bottomK(hashes, "event_type", k, nBuckets)
     // u → (u·a + c) mod M is a bijection on [0, M) for prime M ∤ a, so
     // counting distinct hashes IS the exact distinct-user count for ids
     // below M (at ≥1e9 ids you'd widen M before the sketch, not after)
     val truth = hashes.groupBy(col("event_type"))
       .agg(count(lit(1)).as("true_distinct"))
-    sketch.join(truth, Seq("event_type"))
-      .withColumn("est_distinct",
-        when(col("n_kept") < k, col("n_kept"))
-          .otherwise(expr(s"(${k - 1}L * $KmvModulus) div kth_hash")))
-      .withColumn("err_e4",
-        expr("abs(est_distinct - true_distinct) * 10000 div true_distinct"))
+    withEstimate(sketch.join(truth, Seq("event_type")), k)
       .select(col("event_type"), col("n_kept"), col("kth_hash"),
         col("est_distinct"), col("true_distinct"), col("err_e4"))
       .orderBy(col("event_type"))
+  }
+
+  /** KMV mergeability, demonstrated: sketch two overlapping cohorts
+    * (even/odd day-of-month — users active in both appear in both)
+    * independently, then estimate the UNION's cardinality from the two
+    * k-sized sketches ALONE. bottom-k(bottom-k(A) ∪ bottom-k(B)) =
+    * bottom-k(A ∪ B) identically — the associative-merge property that
+    * lets a 1000-executor job (or 30 daily jobs) sketch shards
+    * independently and combine kilobytes instead of re-scanning 100 TB;
+    * the spec pins the merged sketch equal to a direct whole-corpus
+    * sketch. Output: one row per cohort plus the merged row, each with
+    * the estimate and its exact truth.
+    *
+    * Shape: one distinct collapse onto (cohort, hash); per-cohort
+    * bottom-k via the same two-pass selection; the merge ranks ≤ 2k
+    * surviving hashes. The union truth is a distinct-count of the same
+    * collapsed frame — no extra scan of the raw table.
+    */
+  def kmvUnion(
+      events: DataFrame,
+      k: Int = 64,
+      nBuckets: Int = 1024): DataFrame = {
+    require(k > 1, "k must exceed 1")
+    val hashes = events
+      .filter(col("user_id").isNotNull)
+      .select(
+        when(dayofmonth(col("ts")) % 2 === 0, "a").otherwise("b").as("part"),
+        userHash.as("h"))
+      .distinct()
+      .persist()
+    val parts = bottomK(hashes, "part", k, nBuckets)
+      .join(hashes.groupBy(col("part"))
+        .agg(count(lit(1)).as("true_distinct")), Seq("part"))
+    // the merged sketch sees ONLY the two sketches' member hashes (≤ 2k
+    // rows), exactly what a combiner would receive
+    val members = bottomKMembers(hashes, "part", k, nBuckets).select(col("h"))
+    val merged = members.distinct()
+      .withColumn("part", lit("merged"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("part")).orderBy(col("h"))))
+      .filter(col("rn") <= k)
+      .groupBy(col("part"))
+      .agg(count(lit(1)).as("n_kept"), max(col("h")).as("kth_hash"))
+      .join(hashes.select(col("h")).distinct()
+        .agg(count(lit(1)).as("true_distinct"))
+        .withColumn("part", lit("merged")), Seq("part"))
+    withEstimate(parts.unionByName(merged), k)
+      .select(col("part"), col("n_kept"), col("kth_hash"),
+        col("est_distinct"), col("true_distinct"), col("err_e4"))
+      .orderBy(col("part"))
   }
 
   /** DuckDB oracle for [[kmvDistinct]] — the straightforward one-window
@@ -112,4 +183,40 @@ object Sketch {
        |  (abs(est_distinct - true_distinct) * 10000 // true_distinct)::BIGINT
        |    AS err_e4
        |FROM e ORDER BY event_type""".stripMargin
+
+  /** DuckDB oracle for [[kmvUnion]]. */
+  def kmvUnionOracleSql(k: Int = 64): String =
+    s"""WITH h AS (
+       |  SELECT DISTINCT
+       |    CASE WHEN day(ts) % 2 = 0 THEN 'a' ELSE 'b' END AS part,
+       |    (user_id * $KmvMulA + $KmvAddC) % $KmvModulus AS h
+       |  FROM events WHERE user_id IS NOT NULL),
+       |r AS (SELECT part, h,
+       |        row_number() OVER (PARTITION BY part ORDER BY h) AS rn
+       |      FROM h),
+       |psk AS (SELECT part, count(*)::BIGINT AS n_kept,
+       |          max(h)::BIGINT AS kth_hash
+       |        FROM r WHERE rn <= $k GROUP BY 1),
+       |ptr AS (SELECT part, count(*)::BIGINT AS true_distinct FROM h GROUP BY 1),
+       |mh AS (SELECT DISTINCT h FROM r WHERE rn <= $k),
+       |mr AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM mh),
+       |msk AS (SELECT 'merged' AS part, count(*)::BIGINT AS n_kept,
+       |          max(h)::BIGINT AS kth_hash
+       |        FROM mr WHERE rn <= $k HAVING count(*) > 0),
+       |mtr AS (SELECT 'merged' AS part, count(DISTINCT h)::BIGINT AS true_distinct
+       |        FROM h),
+       |allr AS (SELECT part, n_kept, kth_hash, true_distinct
+       |         FROM psk JOIN ptr USING (part)
+       |         UNION ALL
+       |         SELECT part, n_kept, kth_hash, true_distinct
+       |         FROM msk JOIN mtr USING (part)),
+       |e AS (SELECT part, n_kept, kth_hash, true_distinct,
+       |        CASE WHEN n_kept < $k THEN n_kept
+       |             ELSE (${k - 1}::BIGINT * $KmvModulus) // kth_hash
+       |        END::BIGINT AS est_distinct
+       |      FROM allr)
+       |SELECT part, n_kept, kth_hash, est_distinct, true_distinct,
+       |  (abs(est_distinct - true_distinct) * 10000 // true_distinct)::BIGINT
+       |    AS err_e4
+       |FROM e ORDER BY part""".stripMargin
 }

@@ -622,6 +622,59 @@ class AnalyticsSpec extends SparkTestBase {
     assert(math.abs(est - truth).toDouble / truth < 3.0 / math.sqrt(15.0))
   }
 
+  test("removalEffect: hand-solved three-journey chain, exact e9 fixed point") {
+    // u1: view→purchase; u2: view→click→purchase; u3: click (abandons)
+    val events = Seq(
+      (1L, 1L, "view", ts(1000000L)), (2L, 1L, "purchase", ts(2000000L)),
+      (3L, 2L, "view", ts(1000000L)), (4L, 2L, "click", ts(2000000L)),
+      (5L, 2L, "purchase", ts(3000000L)),
+      (6L, 3L, "click", ts(1000000L))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = graft.ops.Analytics.removalEffect(events).collect()
+      .map(r => (r.getAs[String]("channel"), r.getAs[Long]("n_touch"),
+        r.getAs[Long]("base_conv_e9"), r.getAs[Long]("removed_conv_e9"),
+        r.getAs[Long]("effect_e9"), r.getAs[Long]("share_e4"))).toSeq
+    // base: P(conv|START) = (2·P(view) + P(click))/3 with P(view) =
+    // (1 + P(click))/2 = 3/4, P(click) = 1/2 → 2/3 → 666666666 e9.
+    // remove view → START funnels 2/3 to NULL → 1/6; remove click →
+    // only the view→CONV leg survives → 1/3.
+    assert(out == Seq(
+      ("click", 2L, 666666666L, 333333333L, 333333333L, 3999L),
+      ("view", 2L, 666666666L, 166666666L, 500000000L, 6000L)))
+  }
+
+  test("kmvUnion: merged cohort sketches equal a direct whole-population sketch") {
+    import graft.ops.Sketch
+    val day2 = 1704153600000000L // 2024-01-02 (even day → cohort a)
+    val day3 = 1704240000000000L // 2024-01-03 (odd day → cohort b)
+    val events = (
+      (1 to 50).map(u => (u.toLong, u.toLong, "e", ts(day2))) ++
+      (26 to 75).map(u => (u.toLong + 100L, u.toLong, "e", ts(day3)))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = Sketch.kmvUnion(events, k = 16).collect()
+      .map(r => r.getAs[String]("part") ->
+        (r.getAs[Long]("n_kept"), r.getAs[Long]("kth_hash"),
+          r.getAs[Long]("est_distinct"), r.getAs[Long]("true_distinct")))
+      .toMap
+    def h(u: Long) = (u * Sketch.KmvMulA + Sketch.KmvAddC) % Sketch.KmvModulus
+    def bottom(users: Seq[Long]) = users.map(h).distinct.sorted.take(16)
+    def row(users: Seq[Long]) = {
+      val b = bottom(users)
+      (16L, b.last, 15L * Sketch.KmvModulus / b.last, users.size.toLong)
+    }
+    assert(out("a") == row((1 to 50).map(_.toLong)))
+    assert(out("b") == row((26 to 75).map(_.toLong)))
+    // merge identity: bottom-k of the two sketches' union == bottom-k of
+    // the full population — the associativity the operator demonstrates
+    val mergedExpected = {
+      val b = (bottom((1 to 50).map(_.toLong)) ++
+        bottom((26 to 75).map(_.toLong))).distinct.sorted.take(16)
+      (16L, b.last, 15L * Sketch.KmvModulus / b.last, 75L)
+    }
+    assert(out("merged") == mergedExpected)
+    assert(mergedExpected._2 == bottom((1 to 75).map(_.toLong)).last)
+  }
+
   test("contributionBound: clipping arithmetic is exact per cap") {
     val events = (
       (1 to 5).map(i => (i.toLong, 1L, "a", ts(i * 1000L))) :+

@@ -190,6 +190,8 @@ class EmptyInputSpec extends SparkTestBase {
       Seq.empty[(Long, Long, String, Double, java.sql.Timestamp)]
         .toDF("event_id", "user_id", "event_type", "value", "ts")
     assert(graft.ops.Sketch.kmvDistinct(noEventsFull).count() == 0)
+    assert(graft.ops.Sketch.kmvUnion(noEventsFull).count() == 0)
+    assert(graft.ops.Analytics.removalEffect(noEventsFull).count() == 0)
     assert(graft.ops.Privacy.contributionBound(noEventsFull).count() == 0)
     // grid-preserving sweep: 8 config rows, all-zero expectations
     assert(graft.ops.Dedup.lshTuningSweep(noDocs).collect()

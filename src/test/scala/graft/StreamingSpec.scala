@@ -1085,6 +1085,45 @@ class StreamingSpec extends SparkTestBase {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("distinct monitor: replayed KMV state matches the batch sketch exactly") {
+    implicit val ctx = spark.sqlContext
+    import graft.ops.Sketch
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[(String, Long)]
+      val stream = input.toDF().toDF("event_type", "user_id")
+      val q = graft.stream.DistinctMonitor.monitor(stream, k = 4).toDF()
+        .writeStream.format("memory").queryName("kmv_sink")
+        .outputMode("update").start()
+      try {
+        input.addData((1 to 6).map(u => ("x", u.toLong)): _*)
+        q.processAllAvailable()
+        // second batch: duplicates plus new users, and a small type
+        input.addData(((4 to 10).map(u => ("x", u.toLong)) ++
+          Seq(("y", 1L), ("y", 2L), ("y", 3L))): _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      // latest reading per type = smallest k-th hash (the sketch only
+      // tightens as users fold in; a tie means identical readings)
+      val last = spark.table("kmv_sink").collect()
+        .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n_kept"),
+          r.getAs[Long]("kth_hash"), r.getAs[Long]("est_distinct")))
+        .groupBy(_._1)
+        .map { case (_, rs) => rs.maxBy(x => (x._2, -x._3)) }.toSeq.sortBy(_._1)
+      // the batch sketch over the same replayed frame — identical columns
+      val batch = Sketch.kmvDistinct(
+        ((1 to 10).map(u => (1L, u.toLong, "x", 0.0)) ++
+          (1 to 3).map(u => (1L, u.toLong, "y", 0.0)))
+          .toDF("event_id", "user_id", "event_type", "value"), k = 4)
+        .collect()
+        .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n_kept"),
+          r.getAs[Long]("kth_hash"), r.getAs[Long]("est_distinct")))
+        .toSeq.sortBy(_._1)
+      assert(last == batch, s"stream=$last batch=$batch")
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("state store reader: a stopped query's aggregation state is queryable offline") {
     // the operational debugging surface: when a stateful stream
     // misbehaves in production, you read its checkpointed state AS A
