@@ -636,6 +636,12 @@ object SparkEntry {
     // transition table
     "q_removal_effect" -> ((s, d) =>
       Analytics.removalEffect(Analytics.events(s, d))),
+    // MATCH_RECOGNIZE-class CEP: per-user journey strings, regex motif
+    // count — one shuffle onto user_id, row-local regex
+    "q_cep_pattern" -> ((s, d) => Analytics.cepPattern(Analytics.events(s, d))),
+    // CUSUM drift monitor on the day dimension via the prefix-min closed
+    // form — integer arithmetic end to end
+    "q_cusum" -> ((s, d) => Analytics.cusum(Analytics.events(s, d))),
     // deterministic Poisson bootstrap SE of the mean order value — the
     // shardable resampling twin of q_jackknife
     "q_poisson_bootstrap" -> ((s, d) =>
@@ -4204,6 +4210,8 @@ object SparkEntry {
     "q_kmv_distinct" -> Sketch.kmvDistinctOracleSql(),
     "q_kmv_union" -> Sketch.kmvUnionOracleSql(),
     "q_removal_effect" -> Analytics.removalEffectOracleSql(),
+    "q_cep_pattern" -> Analytics.cepPatternOracleSql(),
+    "q_cusum" -> Analytics.cusumOracleSql(),
     "q_poisson_bootstrap" -> Relational.poissonBootstrapOracleSql(),
     "q_kcenter_select" -> Similarity.kCenterOracleSql(),
     "q_ngram_jaccard" ->

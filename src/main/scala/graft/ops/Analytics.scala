@@ -2037,6 +2037,125 @@ object Analytics {
       .orderBy(col("event_type"))
   }
 
+  /** Complex-event-processing pattern detection — the MATCH_RECOGNIZE
+    * capability class, expressed Spark-first. Each user's journey
+    * serializes to a string of event-type initials in (ts, event_id)
+    * order (the five types have distinct initials); a regular expression
+    * over that string finds behavioral motifs — here the browse-to-buy
+    * run `v[vc]*p` (a view, any browsing, ending in purchase),
+    * non-overlapping leftmost matches, the same semantics in Java regex
+    * and RE2. Output: per matching user, journey length and match count.
+    *
+    * Shape at 100 TB: journeys assemble with ONE shuffle onto user_id
+    * (collect_list + array_sort — per-user payload is journey-sized, the
+    * same bound every sessionizer in this repo carries); the regex is
+    * row-local codegen'd string work. No self-join, no window, no
+    * cross-user state — the CEP engines' NFA-over-stream here becomes an
+    * embarrassingly parallel per-key scan.
+    */
+  def cepPattern(df: DataFrame, pattern: String = "v[vc]*p"): DataFrame = {
+    val journeys = df.filter(col("user_id").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("ts"), col("event_id"),
+            substring(col("event_type"), 1, 1).as("ini")))),
+          x => x.getField("ini")), "").as("journey"))
+    journeys
+      .withColumn("journey_len", length(col("journey")).cast("long"))
+      .withColumn("n_matches",
+        size(expr(s"regexp_extract_all(journey, '$pattern', 0)")).cast("long"))
+      .filter(col("n_matches") >= 1L)
+      .select(col("user_id"), col("journey_len"), col("n_matches"))
+      .orderBy(col("user_id"))
+  }
+
+  /** DuckDB oracle for [[cepPattern]]. */
+  def cepPatternOracleSql(pattern: String = "v[vc]*p"): String =
+    s"""WITH j AS (
+       |  SELECT user_id,
+       |    string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+       |      AS journey
+       |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id)
+       |SELECT user_id, length(journey)::BIGINT AS journey_len,
+       |  len(regexp_extract_all(journey, '$pattern'))::BIGINT AS n_matches
+       |FROM j WHERE len(regexp_extract_all(journey, '$pattern')) >= 1
+       |ORDER BY user_id""".stripMargin
+
+  /** CUSUM changepoint monitor over the daily event-count series — the
+    * drift detector that catches a slow ramp the per-cell z-score
+    * ([[hourlyAnomalies]]) never accumulates. Classical recursive form
+    * S⁺_t = max(0, S⁺_{t-1} + x_t − μ − s) is not a window function, but
+    * its closed form IS: S⁺_t = C_t − min(0, min_{i≤t} C_i) with
+    * C = Σ(x − μ − s) — two prefix windows over the ~30-row day
+    * dimension, exact integer arithmetic throughout (μ and the slack are
+    * integer divisions of global counts). Both directions reported;
+    * flags fire where the statistic exceeds h = μ·hNum/hDen.
+    *
+    * Shape: the scan collapses onto the day dimension; every window runs
+    * on that kilobyte table under a single partition-1 sort that AQE
+    * won't even exchange for. The 100 TB cost is the first collapse.
+    */
+  def cusum(
+      df: DataFrame,
+      slackDen: Long = 20L,
+      hNum: Long = 1L,
+      hDen: Long = 2L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = df.groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val tot = daily.agg(count(lit(1)).as("n_days"), sum(col("x")).as("n_total"))
+    val wcum = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.crossJoin(broadcast(tot))
+      .withColumn("mu", expr("n_total div n_days"))
+      .withColumn("slack", expr(s"mu div $slackDen"))
+      .withColumn("h", expr(s"mu * $hNum div $hDen"))
+      .withColumn("c_up", sum(expr("x - mu - slack")).over(wcum))
+      .withColumn("c_dn", sum(expr("mu - slack - x")).over(wcum))
+      .withColumn("s_up", expr("c_up - least(0L, min(c_up) over " +
+        "(order by day rows between unbounded preceding and current row))"))
+      .withColumn("s_dn", expr("c_dn - least(0L, min(c_dn) over " +
+        "(order by day rows between unbounded preceding and current row))"))
+      .withColumn("flag_up", (col("s_up") > col("h")).cast("boolean"))
+      .withColumn("flag_down", (col("s_dn") > col("h")).cast("boolean"))
+      .select(col("day"), col("x"), col("mu"), col("s_up"), col("s_dn"),
+        col("flag_up"), col("flag_down"))
+      .orderBy(col("day"))
+  }
+
+  /** DuckDB oracle for [[cusum]]. */
+  def cusumOracleSql(
+      slackDen: Long = 20L,
+      hNum: Long = 1L,
+      hDen: Long = 2L): String =
+    s"""WITH daily AS (
+       |  SELECT CAST(ts AS DATE) AS day, count(*)::BIGINT AS x
+       |  FROM events GROUP BY 1),
+       |tot AS (SELECT count(*)::BIGINT AS n_days, sum(x)::BIGINT AS n_total
+       |        FROM daily),
+       |p AS (SELECT day, x, (n_total // n_days)::BIGINT AS mu,
+       |        ((n_total // n_days) // $slackDen)::BIGINT AS slack,
+       |        ((n_total // n_days) * $hNum // $hDen)::BIGINT AS h
+       |      FROM daily CROSS JOIN tot),
+       |c AS (SELECT day, x, mu, h,
+       |        sum(x - mu - slack) OVER (ORDER BY day
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c_up,
+       |        sum(mu - slack - x) OVER (ORDER BY day
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c_dn
+       |      FROM p),
+       |s AS (SELECT day, x, mu, h,
+       |        (c_up - least(0, min(c_up) OVER (ORDER BY day
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)))::BIGINT
+       |          AS s_up,
+       |        (c_dn - least(0, min(c_dn) OVER (ORDER BY day
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)))::BIGINT
+       |          AS s_dn
+       |      FROM c)
+       |SELECT day, x, mu, s_up, s_dn,
+       |  (s_up > h) AS flag_up, (s_dn > h) AS flag_down
+       |FROM s ORDER BY day""".stripMargin
+
   /** Markov removal-effect attribution (Anderl et al. 2016) — the
     * principled successor to the positional splits ([[attributionSplit]],
     * [[purchaseAttribution]]): model user journeys as a first-order Markov

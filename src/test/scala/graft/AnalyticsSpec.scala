@@ -643,6 +643,49 @@ class AnalyticsSpec extends SparkTestBase {
       ("view", 2L, 666666666L, 166666666L, 500000000L, 6000L)))
   }
 
+  test("cepPattern: browse-to-buy regex counts non-overlapping runs per user") {
+    val events = Seq(
+      // u1: vcvp → one greedy run; u2: vpvp → two runs
+      (1L, 1L, "view", ts(1000000L)), (2L, 1L, "click", ts(2000000L)),
+      (3L, 1L, "view", ts(3000000L)), (4L, 1L, "purchase", ts(4000000L)),
+      (5L, 2L, "view", ts(1000000L)), (6L, 2L, "purchase", ts(2000000L)),
+      (7L, 2L, "view", ts(3000000L)), (8L, 2L, "purchase", ts(4000000L)),
+      // u3 never buys, u4 buys before viewing — both filtered out
+      (9L, 3L, "click", ts(1000000L)), (10L, 3L, "click", ts(2000000L)),
+      (11L, 4L, "purchase", ts(1000000L)), (12L, 4L, "view", ts(2000000L))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = graft.ops.Analytics.cepPattern(events).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("journey_len"),
+        r.getAs[Long]("n_matches"))).toSeq
+    assert(out == Seq((1L, 4L, 1L), (2L, 4L, 2L)))
+  }
+
+  test("cusum: prefix-min closed form reproduces the recursive statistic on a step series") {
+    val day0 = 1704067200000000L // 2024-01-01
+    val us = 86400000000L
+    // 10 days at 10 events, then 5 days at 30: μ = 250 div 15 = 16,
+    // slack = 0, h = 8
+    val events = (
+      (0 until 10).flatMap(d => (0 until 10).map(j =>
+        (d * 100L + j, 1L, "a", ts(day0 + d * us + j * 1000000L)))) ++
+      (10 until 15).flatMap(d => (0 until 30).map(j =>
+        (d * 100L + j, 1L, "a", ts(day0 + d * us + j * 1000000L))))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = graft.ops.Analytics.cusum(events).collect()
+      .map(r => (r.getAs[java.sql.Date]("day").toString,
+        (r.getAs[Long]("x"), r.getAs[Long]("mu"), r.getAs[Long]("s_up"),
+          r.getAs[Long]("s_dn"), r.getAs[Boolean]("flag_up"),
+          r.getAs[Boolean]("flag_down")))).toMap
+    assert(out.size == 15)
+    // low phase: up-statistic pinned at 0, down-statistic ramps 6/day
+    assert(out("2024-01-01") == (10L, 16L, 0L, 6L, false, false))
+    assert(out("2024-01-02") == (10L, 16L, 0L, 12L, false, true))
+    assert(out("2024-01-10") == (10L, 16L, 0L, 60L, false, true))
+    // step up: S⁺ ramps 14/day and fires immediately; S⁻ drains 14/day
+    assert(out("2024-01-11") == (30L, 16L, 14L, 46L, true, true))
+    assert(out("2024-01-15") == (30L, 16L, 70L, 0L, true, false))
+  }
+
   test("kmvUnion: merged cohort sketches equal a direct whole-population sketch") {
     import graft.ops.Sketch
     val day2 = 1704153600000000L // 2024-01-02 (even day → cohort a)

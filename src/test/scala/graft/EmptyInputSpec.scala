@@ -192,6 +192,8 @@ class EmptyInputSpec extends SparkTestBase {
     assert(graft.ops.Sketch.kmvDistinct(noEventsFull).count() == 0)
     assert(graft.ops.Sketch.kmvUnion(noEventsFull).count() == 0)
     assert(graft.ops.Analytics.removalEffect(noEventsFull).count() == 0)
+    assert(graft.ops.Analytics.cepPattern(noEventsFull).count() == 0)
+    assert(graft.ops.Analytics.cusum(noEventsFull).count() == 0)
     assert(graft.ops.Privacy.contributionBound(noEventsFull).count() == 0)
     // grid-preserving sweep: 8 config rows, all-zero expectations
     assert(graft.ops.Dedup.lshTuningSweep(noDocs).collect()

@@ -760,6 +760,13 @@ class PlanShapeSpec extends SparkTestBase {
     assert(gridIdx < aggIdx, s"grid must join the collapsed histogram:\n$p")
   }
 
+  test("cepPattern: one shuffle onto user_id, row-local regex — no window, no join") {
+    val p = plan(Analytics.cepPattern(Analytics.events(spark, sf)))
+    assert(p.contains("Exchange hashpartitioning(user_id"), p)
+    assert(!p.contains("Window"), s"journey assembly must be agg, not window:\n$p")
+    assert(!p.contains("Join"), s"no join in the CEP path:\n$p")
+  }
+
   test("poissonBootstrapSE: one scan fans out through the broadcast replica dimension") {
     val p = plan(graft.ops.Relational.poissonBootstrapSE(
       Relational.table(spark, sf, "orders")))
