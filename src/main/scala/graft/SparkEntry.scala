@@ -642,6 +642,9 @@ object SparkEntry {
     // CUSUM drift monitor on the day dimension via the prefix-min closed
     // form — integer arithmetic end to end
     "q_cusum" -> ((s, d) => Analytics.cusum(Analytics.events(s, d))),
+    // A/B power analysis: users-per-arm per candidate MDE from the
+    // observed revenue-per-user mean/variance, exact integer ceiling
+    "q_ab_power" -> ((s, d) => Analytics.abPower(Analytics.events(s, d))),
     // deterministic Poisson bootstrap SE of the mean order value — the
     // shardable resampling twin of q_jackknife
     "q_poisson_bootstrap" -> ((s, d) =>
@@ -4212,6 +4215,7 @@ object SparkEntry {
     "q_removal_effect" -> Analytics.removalEffectOracleSql(),
     "q_cep_pattern" -> Analytics.cepPatternOracleSql(),
     "q_cusum" -> Analytics.cusumOracleSql(),
+    "q_ab_power" -> Analytics.abPowerOracleSql(),
     "q_poisson_bootstrap" -> Relational.poissonBootstrapOracleSql(),
     "q_kcenter_select" -> Similarity.kCenterOracleSql(),
     "q_ngram_jaccard" ->

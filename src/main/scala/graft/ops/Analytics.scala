@@ -2037,6 +2037,104 @@ object Analytics {
       .orderBy(col("event_type"))
   }
 
+  /** (z_{α/2} + z_β)² for α = 0.05 two-sided, power = 0.80, as an exact
+    * e6 integer — computed once from literal doubles and embedded in the
+    * generated oracle, so neither engine touches a normal quantile at
+    * query time ([[Relational.poissonBootstrapSE]] constant discipline).
+    */
+  private val PowerZ2E6: Long =
+    math.round(math.pow(1.959964 + 0.841621, 2) * 1e6)
+
+  /** A/B power analysis from observed data — the reading that comes
+    * BEFORE [[srmCheck]] and [[cupedLift]] in an experiment's life: given
+    * THIS population's revenue-per-user mean and variance, how many users
+    * per arm does each candidate minimum-detectable-effect need?
+    * n = ⌈(z_{α/2}+z_β)²·2σ²/δ²⌉ with δ = μ·MDE. Metric: per-user
+    * purchase revenue in integer cents, zeros included (every observed
+    * user is in the universe — revenue-per-user, not revenue-per-buyer).
+    *
+    * Exactness: per-user totals are integer cents; μ and the unbiased σ²
+    * come from BIGINT Σx/Σx² through DECIMAL(38,0) intermediates (the
+    * [[cupedLift]] discipline); each grid row is pure integer arithmetic
+    * with ceiling division. Shape: one collapse onto the user dimension,
+    * one 2-level aggregate, a literal MDE grid crossed against a 1-row
+    * stats frame.
+    */
+  def abPower(
+      df: DataFrame,
+      mdeE4: Seq[Long] = Seq(100L, 200L, 500L, 1000L)): DataFrame = {
+    val spark = df.sparkSession
+    val users = df.filter(col("user_id").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase",
+        expr("CAST(round(value * 100, 0) AS BIGINT)")).otherwise(0L))
+        .as("cents"))
+    val stats = users.agg(
+      count(lit(1)).as("n_users"),
+      sum(col("cents")).as("sx"),
+      sum(expr("CAST(cents AS DECIMAL(38,0)) * cents")).as("sxx"))
+      .withColumn("mean_cents", expr("CASE WHEN n_users > 0 THEN sx div n_users END"))
+      .withColumn("var_c2", expr(
+        """CASE WHEN n_users > 1 THEN CAST(
+          |  (n_users * sxx - CAST(sx AS DECIMAL(38,0)) * sx)
+          |    div (CAST(n_users AS DECIMAL(38,0)) * (n_users - 1)) AS BIGINT)
+          |END""".stripMargin))
+    val grid = spark.createDataFrame(mdeE4.sorted.map(Tuple1(_)))
+      .toDF("rel_mde_e4")
+    stats.crossJoin(broadcast(grid))
+      .withColumn("delta_cents", expr("mean_cents * rel_mde_e4 div 10000"))
+      .withColumn("n_per_arm", expr(
+        s"""CASE WHEN delta_cents > 0 THEN
+           |  CAST((2 * $PowerZ2E6 * CAST(var_c2 AS DECIMAL(38,0))
+           |        + 1000000 * CAST(delta_cents AS DECIMAL(38,0)) * delta_cents - 1)
+           |    div (1000000 * CAST(delta_cents AS DECIMAL(38,0)) * delta_cents)
+           |    AS BIGINT)
+           |END""".stripMargin))
+      .withColumn("n_total", expr("2 * n_per_arm"))
+      .select(col("rel_mde_e4"), col("n_users"), col("mean_cents"),
+        col("var_c2"), col("delta_cents"), col("n_per_arm"), col("n_total"))
+      .orderBy(col("rel_mde_e4"))
+  }
+
+  /** DuckDB oracle for [[abPower]] — HUGEINT stands in for the
+    * DECIMAL(38,0) intermediates; same constants, same ceiling division.
+    */
+  def abPowerOracleSql(mdeE4: Seq[Long] = Seq(100L, 200L, 500L, 1000L)): String =
+    s"""WITH u AS (
+       |  SELECT user_id,
+       |    sum(CASE WHEN event_type = 'purchase'
+       |        THEN CAST(round(value * 100, 0) AS BIGINT) ELSE 0 END)
+       |      AS cents
+       |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+       |s AS (SELECT count(*)::BIGINT AS n_users, sum(cents)::BIGINT AS sx,
+       |        sum(cents::HUGEINT * cents)::HUGEINT AS sxx
+       |      FROM u),
+       |m AS (SELECT n_users,
+       |        CASE WHEN n_users > 0 THEN sx // n_users END::BIGINT
+       |          AS mean_cents,
+       |        CASE WHEN n_users > 1 THEN
+       |          ((n_users * sxx - sx::HUGEINT * sx)
+       |            // (n_users::HUGEINT * (n_users - 1)))::BIGINT
+       |        END AS var_c2
+       |      FROM s),
+       |g AS (SELECT unnest([${mdeE4.sorted.mkString(", ")}])::BIGINT
+       |        AS rel_mde_e4),
+       |r AS (SELECT rel_mde_e4, n_users, mean_cents, var_c2,
+       |        (mean_cents * rel_mde_e4 // 10000)::BIGINT AS delta_cents
+       |      FROM m CROSS JOIN g)
+       |SELECT rel_mde_e4, n_users, mean_cents, var_c2, delta_cents,
+       |  (CASE WHEN delta_cents > 0 THEN
+       |    ((2 * $PowerZ2E6 * var_c2::HUGEINT
+       |      + 1000000 * delta_cents::HUGEINT * delta_cents - 1)
+       |     // (1000000 * delta_cents::HUGEINT * delta_cents))
+       |  END)::BIGINT AS n_per_arm,
+       |  (CASE WHEN delta_cents > 0 THEN
+       |    2 * ((2 * $PowerZ2E6 * var_c2::HUGEINT
+       |      + 1000000 * delta_cents::HUGEINT * delta_cents - 1)
+       |     // (1000000 * delta_cents::HUGEINT * delta_cents))
+       |  END)::BIGINT AS n_total
+       |FROM r ORDER BY rel_mde_e4""".stripMargin
+
   /** Complex-event-processing pattern detection — the MATCH_RECOGNIZE
     * capability class, expressed Spark-first. Each user's journey
     * serializes to a string of event-type initials in (ts, event_id)

@@ -686,6 +686,27 @@ class AnalyticsSpec extends SparkTestBase {
     assert(out("2024-01-15") == (30L, 16L, 70L, 0L, true, false))
   }
 
+  test("abPower: sample size from exact mean/variance matches the closed form") {
+    val events = Seq(
+      (1L, 1L, "purchase", 1.0, ts(1000000L)),
+      (2L, 2L, "purchase", 2.0, ts(1000000L)),
+      (3L, 3L, "purchase", 3.0, ts(1000000L)),
+      (4L, 4L, "purchase", 4.0, ts(1000000L)),
+      (5L, 5L, "view", 9.0, ts(1000000L)) // revenue 0 — still in the universe
+    ).toDF("event_id", "user_id", "event_type", "value", "ts")
+    val out = graft.ops.Analytics.abPower(events, Seq(1000L)).collect().head
+    // cents = {100, 200, 300, 400, 0}: n=5, μ=200, σ² = (5·300000 − 10⁶)/20
+    assert(out.getAs[Long]("n_users") == 5L)
+    assert(out.getAs[Long]("mean_cents") == 200L)
+    assert(out.getAs[Long]("var_c2") == 25000L)
+    assert(out.getAs[Long]("delta_cents") == 20L)
+    val z2 = math.round(math.pow(1.959964 + 0.841621, 2) * 1e6)
+    val den = 1000000L * 20L * 20L
+    val expected = (2L * z2 * 25000L + den - 1L) / den
+    assert(out.getAs[Long]("n_per_arm") == expected)
+    assert(out.getAs[Long]("n_total") == 2L * expected)
+  }
+
   test("kmvUnion: merged cohort sketches equal a direct whole-population sketch") {
     import graft.ops.Sketch
     val day2 = 1704153600000000L // 2024-01-02 (even day → cohort a)

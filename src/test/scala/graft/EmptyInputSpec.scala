@@ -194,6 +194,11 @@ class EmptyInputSpec extends SparkTestBase {
     assert(graft.ops.Analytics.removalEffect(noEventsFull).count() == 0)
     assert(graft.ops.Analytics.cepPattern(noEventsFull).count() == 0)
     assert(graft.ops.Analytics.cusum(noEventsFull).count() == 0)
+    // grid-preserving: one row per MDE with null sizes, n_users = 0
+    val pw = graft.ops.Analytics.abPower(noEventsFull).collect()
+    assert(pw.length == 4)
+    assert(pw.forall(r => r.getAs[Long]("n_users") == 0L &&
+      r.isNullAt(r.fieldIndex("n_per_arm"))))
     assert(graft.ops.Privacy.contributionBound(noEventsFull).count() == 0)
     // grid-preserving sweep: 8 config rows, all-zero expectations
     assert(graft.ops.Dedup.lshTuningSweep(noDocs).collect()

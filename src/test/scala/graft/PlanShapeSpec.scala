@@ -760,6 +760,35 @@ class PlanShapeSpec extends SparkTestBase {
     assert(gridIdx < aggIdx, s"grid must join the collapsed histogram:\n$p")
   }
 
+  test("runtime bloom filter: a selective dimension filter prunes the fact scan's shuffle") {
+    // the optimizer surface a 100 TB shuffle join leans on: when the
+    // small side carries a selective predicate and the join cannot
+    // broadcast, Spark injects a bloom filter on the fact side so
+    // non-matching rows die before the exchange
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+    spark.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    try {
+      val orders = Relational.table(spark, sf, "orders")
+      val cust = Relational.table(spark, sf, "customer")
+        .filter(org.apache.spark.sql.functions.col("c_nationkey") === 3)
+      val p = plan(orders.join(cust,
+        orders("o_custkey") === cust("c_custkey")))
+      assert(p.contains("might_contain"), s"bloom runtime filter missing:\n$p")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.enabled")
+      spark.conf.unset(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
+      spark.conf.unset(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    }
+  }
+
   test("cepPattern: one shuffle onto user_id, row-local regex — no window, no join") {
     val p = plan(Analytics.cepPattern(Analytics.events(spark, sf)))
     assert(p.contains("Exchange hashpartitioning(user_id"), p)

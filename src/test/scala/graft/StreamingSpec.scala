@@ -1124,6 +1124,48 @@ class StreamingSpec extends SparkTestBase {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("cep monitor: NFA match counts equal the batch regex across batch cuts") {
+    implicit val ctx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // journeys exercising the equivalence edges: greedy run (vcvp),
+      // back-to-back runs (vpvp), failure mid-run (vvevp), never-buys
+      val journeys = Map(
+        1L -> "vcvp", 2L -> "vpvp", 3L -> "vvevp", 4L -> "cc", 5L -> "pv")
+      val types = Map('v' -> "view", 'c' -> "click", 'p' -> "purchase",
+        'e' -> "error")
+      val rows = journeys.toSeq.flatMap { case (u, j) =>
+        j.zipWithIndex.map { case (ch, i) =>
+          (u * 100L + i, u, types(ch)) }
+      }.sortBy(_._1)
+      val input = MemoryStream[(Long, Long, String)]
+      val stream = input.toDF().toDF("event_id", "user_id", "event_type")
+      val q = graft.stream.CepMonitor.monitor(stream).toDF()
+        .writeStream.format("memory").queryName("cep_sink")
+        .outputMode("update").start()
+      try {
+        // split MID-JOURNEY so runs straddle the state boundary
+        val (b1, b2) = rows.splitAt(rows.length / 2)
+        input.addData(b1: _*); q.processAllAvailable()
+        input.addData(b2: _*); q.processAllAvailable()
+      } finally q.stop()
+      val last = spark.table("cep_sink").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("journey_len"),
+          r.getAs[Long]("n_matches")))
+        .groupBy(_._1).map { case (_, rs) => rs.maxBy(_._2) }
+        .filter(_._3 >= 1).toSeq.sortBy(_._1)
+      val batch = graft.ops.Analytics.cepPattern(
+        rows.map { case (eid, u, t) =>
+          (eid, u, t, new java.sql.Timestamp(eid)) }
+          .toDF("event_id", "user_id", "event_type", "ts")).collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("journey_len"),
+          r.getAs[Long]("n_matches"))).toSeq.sortBy(_._1)
+      assert(last == batch, s"stream=$last batch=$batch")
+      assert(batch.map(x => (x._1, x._3)) == Seq((1L, 1L), (2L, 2L), (3L, 1L)))
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("state store reader: a stopped query's aggregation state is queryable offline") {
     // the operational debugging surface: when a stateful stream
     // misbehaves in production, you read its checkpointed state AS A
