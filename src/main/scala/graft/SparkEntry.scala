@@ -645,6 +645,13 @@ object SparkEntry {
     // A/B power analysis: users-per-arm per candidate MDE from the
     // observed revenue-per-user mean/variance, exact integer ceiling
     "q_ab_power" -> ((s, d) => Analytics.abPower(Analytics.events(s, d))),
+    // Theil-Sen robust trend: median pairwise slope on the collapsed day
+    // dimension, e6-quantized rational ranking
+    "q_theilsen" -> ((s, d) => Analytics.theilSen(Analytics.events(s, d))),
+    // hashing-trick sizing: collision share per 2^bits table over the
+    // once-collapsed vocabulary
+    "q_feature_hash" -> ((s, d) =>
+      TextAnalysis.featureHashAudit(TextAnalysis.documents(s, d))),
     // deterministic Poisson bootstrap SE of the mean order value — the
     // shardable resampling twin of q_jackknife
     "q_poisson_bootstrap" -> ((s, d) =>
@@ -4216,6 +4223,8 @@ object SparkEntry {
     "q_cep_pattern" -> Analytics.cepPatternOracleSql(),
     "q_cusum" -> Analytics.cusumOracleSql(),
     "q_ab_power" -> Analytics.abPowerOracleSql(),
+    "q_theilsen" -> Analytics.theilSenOracleSql,
+    "q_feature_hash" -> TextAnalysis.featureHashAuditOracleSql(),
     "q_poisson_bootstrap" -> Relational.poissonBootstrapOracleSql(),
     "q_kcenter_select" -> Similarity.kCenterOracleSql(),
     "q_ngram_jaccard" ->

@@ -2037,6 +2037,88 @@ object Analytics {
       .orderBy(col("event_type"))
   }
 
+  /** Theil–Sen robust trend over the daily event-count series — the
+    * outlier-immune twin of an OLS slope ([[seasonalDecompose]]'s trend
+    * line): the median of all pairwise slopes (y_j−y_i)/(x_j−x_i),
+    * breakdown point 29%, so one bad ingest day cannot bend the trend a
+    * capacity plan extrapolates from. Slopes are e6-quantized rationals
+    * (dy·10⁶ div dx — dx is a positive day gap) BEFORE ranking, so the
+    * median is an integer selection, not a float compare; the intercept
+    * is the median residual y − slope·x at the same quantization. Ties
+    * rank by (slope, day_i, day_j) — fully deterministic.
+    *
+    * Shape: the scan collapses onto the ~30-row day dimension; the
+    * pairwise O(days²) self-join and both median selections run on that
+    * kilobyte frame. At 100 TB the first collapse is the entire cost —
+    * the series length is calendar-bounded, not data-bounded.
+    */
+  def theilSen(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = df.groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("y"))
+      .withColumn("x", datediff(col("day"), lit("2024-01-01").cast("date"))
+        .cast("long"))
+      .persist()
+    // FLOOR(double division), not integer `div`: dy can be negative and
+    // Spark's div truncates toward zero while DuckDB's // floors. The
+    // double path is exact here: dy·10⁶ and dx are < 2⁵³, and a non-
+    // integer quotient with denominator dx ≤ series length sits ≥ 1/dx
+    // from any integer — far beyond one ulp — so FLOOR agrees with exact
+    // rational floor in both engines.
+    val pairs = daily.as("a").join(daily.as("b"), col("b.x") > col("a.x"))
+      .select(col("a.x").as("xi"), col("b.x").as("xj"),
+        expr("CAST(FLOOR((b.y - a.y) * 1000000.0 / (b.x - a.x)) AS BIGINT)")
+          .as("slope_e6"))
+    val n = pairs.count()
+    if (n == 0) {
+      return daily.sparkSession.createDataFrame(
+        Seq.empty[(Long, Long, Long, Long)])
+        .toDF("n_days", "n_pairs", "slope_e6", "intercept_e6")
+    }
+    val slope = pairs
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("slope_e6"), col("xi"), col("xj"))))
+      .filter(col("rn") === (n + 1) / 2)
+      .select(col("slope_e6"))
+    val nd = daily.count()
+    val intercept = daily.crossJoin(broadcast(slope))
+      .withColumn("resid_e6", expr("y * 1000000L - slope_e6 * x"))
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("resid_e6"), col("day"))))
+      .filter(col("rn") === (nd + 1) / 2)
+      .select(col("resid_e6").as("intercept_e6"))
+    slope.crossJoin(intercept)
+      .select(lit(nd).as("n_days"), lit(n).as("n_pairs"),
+        col("slope_e6"), col("intercept_e6"))
+  }
+
+  /** DuckDB oracle for [[theilSen]]. */
+  def theilSenOracleSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS day, count(*)::BIGINT AS y
+      |  FROM events GROUP BY 1),
+      |d AS (SELECT day, y,
+      |        date_diff('day', DATE '2024-01-01', day)::BIGINT AS x
+      |      FROM daily),
+      |p AS (SELECT a.x AS xi, b.x AS xj,
+      |        CAST(FLOOR((b.y - a.y) * 1000000.0 / (b.x - a.x)) AS BIGINT)
+      |          AS slope_e6
+      |      FROM d a JOIN d b ON b.x > a.x),
+      |np AS (SELECT count(*)::BIGINT AS n FROM p),
+      |sl AS (SELECT slope_e6 FROM (
+      |         SELECT slope_e6, row_number() OVER
+      |           (ORDER BY slope_e6, xi, xj) AS rn FROM p)
+      |       CROSS JOIN np WHERE rn = (n + 1) // 2),
+      |ndd AS (SELECT count(*)::BIGINT AS nd FROM d),
+      |ic AS (SELECT resid_e6 AS intercept_e6 FROM (
+      |         SELECT (y * 1000000 - slope_e6 * x)::BIGINT AS resid_e6, day,
+      |           row_number() OVER (ORDER BY (y * 1000000 - slope_e6 * x), day)
+      |             AS rn
+      |         FROM d CROSS JOIN sl)
+      |       CROSS JOIN ndd WHERE rn = (nd + 1) // 2)
+      |SELECT nd AS n_days, n AS n_pairs, slope_e6, intercept_e6
+      |FROM sl CROSS JOIN ic CROSS JOIN np CROSS JOIN ndd""".stripMargin
+
   /** (z_{α/2} + z_β)² for α = 0.05 two-sided, power = 0.80, as an exact
     * e6 integer — computed once from literal doubles and embedded in the
     * generated oracle, so neither engine touches a normal quantile at

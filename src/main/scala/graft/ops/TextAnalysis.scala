@@ -632,6 +632,58 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Feature-hashing collision audit — the sizing study behind the
+    * hashing trick ([[dsirWeights]] commits to 1024 buckets; this is the
+    * evidence for that choice). For each candidate table size 2^bits:
+    * how many of the corpus's distinct tokens survive as distinct
+    * buckets, and what share collide? Collisions alias features — a
+    * hashed classifier trades memory against exactly this rate, so the
+    * audit is run once per corpus before fixing the width everywhere.
+    *
+    * Shape: ONE vocabulary collapse (distinct tokens — partial-agg
+    * friendly), hashed once with the replicable PolyHash; the size grid
+    * is a broadcast fan-out of that vocab-sized frame with a distinct
+    * count per cell. No second corpus pass.
+    */
+  def featureHashAudit(
+      docs: DataFrame, bits: Seq[Int] = Seq(8, 10, 12, 14)): DataFrame = {
+    val vocab = docs.select(explode(tokens(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+      .distinct()
+      .withColumn("h", rollingFingerprint(col("word")))
+    val grid = docs.sparkSession.createDataFrame(
+      bits.sorted.map(b => (b.toLong, 1L << b))).toDF("bits", "n_buckets")
+    vocab.crossJoin(broadcast(grid))
+      .groupBy(col("bits"), col("n_buckets"))
+      .agg(count(lit(1)).as("vocab_size"),
+        countDistinct(col("h") % col("n_buckets")).as("occupied"))
+      .withColumn("collision_share_e4",
+        expr("(vocab_size - occupied) * 10000 div vocab_size"))
+      .orderBy(col("bits"))
+  }
+
+  /** DuckDB oracle for [[featureHashAudit]]. */
+  def featureHashAuditOracleSql(bits: Seq[Int] = Seq(8, 10, 12, 14)): String = {
+    val gridRows = bits.sorted
+      .map(b => s"($b, ${1L << b})").mkString(", ")
+    s"""WITH w AS (
+       |  SELECT DISTINCT unnest(regexp_split_to_array(lower(text), '\\s+'))
+       |    AS word
+       |  FROM documents),
+       |v AS (SELECT word,
+       |        list_reduce(list_prepend(0::BIGINT,
+       |          list_transform(string_split(word, ''), c -> ord(c)::BIGINT)),
+       |          (a, b) -> (a * 31 + b) % 1000000007) AS h
+       |      FROM w WHERE word <> ''),
+       |g AS (SELECT * FROM (VALUES $gridRows) t(bits, n_buckets))
+       |SELECT bits::BIGINT AS bits, n_buckets::BIGINT AS n_buckets,
+       |  count(*)::BIGINT AS vocab_size,
+       |  count(DISTINCT h % n_buckets)::BIGINT AS occupied,
+       |  ((count(*) - count(DISTINCT h % n_buckets)) * 10000
+       |    // count(*))::BIGINT AS collision_share_e4
+       |FROM v CROSS JOIN g GROUP BY 1, 2 ORDER BY bits""".stripMargin
+  }
+
   def rollingFingerprint(text: Column, mod: Long = 1000000007L): Column =
     aggregate(
       transform(split(text, ""), c => ascii(c).cast("long")),

@@ -686,6 +686,24 @@ class AnalyticsSpec extends SparkTestBase {
     assert(out("2024-01-15") == (30L, 16L, 70L, 0L, true, false))
   }
 
+  test("theilSen: median pairwise slope shrugs off a single outlier day") {
+    val day0 = 1704067200000000L // 2024-01-01
+    val us = 86400000000L
+    // days 0..5 ramp by exactly 2/day; day 6 is a 100-event outlier —
+    // 15 of 21 pairwise slopes are exactly 2, so the median stays 2
+    val ys = Seq(10, 12, 14, 16, 18, 20, 100)
+    val events = ys.zipWithIndex.flatMap { case (y, d) =>
+      (0 until y).map(j => (d * 1000L + j, 1L, "a",
+        ts(day0 + d * us + j * 1000000L)))
+    }.toDF("event_id", "user_id", "event_type", "ts")
+    val out = graft.ops.Analytics.theilSen(events).collect().head
+    assert(out.getAs[Long]("n_days") == 7L)
+    assert(out.getAs[Long]("n_pairs") == 21L)
+    assert(out.getAs[Long]("slope_e6") == 2000000L)
+    // median residual y − 2x: six days at exactly 10, the outlier at 88
+    assert(out.getAs[Long]("intercept_e6") == 10000000L)
+  }
+
   test("abPower: sample size from exact mean/variance matches the closed form") {
     val events = Seq(
       (1L, 1L, "purchase", 1.0, ts(1000000L)),

@@ -194,6 +194,8 @@ class EmptyInputSpec extends SparkTestBase {
     assert(graft.ops.Analytics.removalEffect(noEventsFull).count() == 0)
     assert(graft.ops.Analytics.cepPattern(noEventsFull).count() == 0)
     assert(graft.ops.Analytics.cusum(noEventsFull).count() == 0)
+    assert(graft.ops.Analytics.theilSen(noEventsFull).count() == 0)
+    assert(graft.ops.TextAnalysis.featureHashAudit(noDocs).count() == 0)
     // grid-preserving: one row per MDE with null sizes, n_users = 0
     val pw = graft.ops.Analytics.abPower(noEventsFull).collect()
     assert(pw.length == 4)

@@ -438,4 +438,18 @@ class TextAnalysisSpec extends SparkTestBase {
       (5000L, 2L, 1L, 0L, Some(6666L), Some(10000L), Some(8000L)),
       (6000L, 0L, 0L, 2L, None, Some(0L), Some(0L))))
   }
+
+  test("featureHashAudit: single-char vocab collides exactly by ASCII residue") {
+    import spark.implicits._
+    // vocab {a,b,c,d}: PolyHash of one char is its code point, so the
+    // 2-bucket table folds to parity (2 collisions) and the 4-bucket
+    // table separates all four residues (0 collisions)
+    val docs = Seq((1L, "a b c"), (2L, "b c d")).toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.featureHashAudit(docs, Seq(1, 2))
+      .collect()
+      .map(r => (r.getAs[Long]("bits"), r.getAs[Long]("n_buckets"),
+        r.getAs[Long]("vocab_size"), r.getAs[Long]("occupied"),
+        r.getAs[Long]("collision_share_e4"))).toSeq
+    assert(out == Seq((1L, 2L, 4L, 2L, 5000L), (2L, 4L, 4L, 4L, 0L)))
+  }
 }
