@@ -648,6 +648,13 @@ object SparkEntry {
     // Theil-Sen robust trend: median pairwise slope on the collapsed day
     // dimension, e6-quantized rational ranking
     "q_theilsen" -> ((s, d) => Analytics.theilSen(Analytics.events(s, d))),
+    // Spark's native session_window operator vs a gaps-and-islands oracle
+    "q_native_session_window" -> ((s, d) =>
+      Analytics.nativeSessionWindow(Analytics.events(s, d))),
+    // Mann-Whitney rank test between user-parity arms, integer 2x ranks
+    // on the collapsed value histogram
+    "q_mann_whitney" -> ((s, d) =>
+      Analytics.mannWhitney(Analytics.events(s, d))),
     // hashing-trick sizing: collision share per 2^bits table over the
     // once-collapsed vocabulary
     "q_feature_hash" -> ((s, d) =>
@@ -4224,6 +4231,8 @@ object SparkEntry {
     "q_cusum" -> Analytics.cusumOracleSql(),
     "q_ab_power" -> Analytics.abPowerOracleSql(),
     "q_theilsen" -> Analytics.theilSenOracleSql,
+    "q_native_session_window" -> Analytics.nativeSessionWindowOracleSql(),
+    "q_mann_whitney" -> Analytics.mannWhitneyOracleSql,
     "q_feature_hash" -> TextAnalysis.featureHashAuditOracleSql(),
     "q_poisson_bootstrap" -> Relational.poissonBootstrapOracleSql(),
     "q_kcenter_select" -> Similarity.kCenterOracleSql(),

@@ -2037,6 +2037,131 @@ object Analytics {
       .orderBy(col("event_type"))
   }
 
+  /** Spark's NATIVE session_window aggregation, pinned against a
+    * first-principles oracle. [[stream.Sessionize]] implements sessions
+    * as custom state; this query runs the built-in operator —
+    * `groupBy(user, session_window(ts, gap))` — whose semantics (an
+    * event extends a session iff its timestamp lands inside the CLOSED
+    * interval [start, last + gap]; an exact boundary hit MERGES — the
+    * edge the unit test pins, invisible on continuous-timestamp data) the
+    * DuckDB side re-derives as a classic gaps-and-islands window, so a
+    * user can swap the custom sessionizer for the native operator
+    * knowing the two agree to the microsecond.
+    *
+    * Shape: one shuffle onto user_id; the session merge is Spark's own
+    * UpdatingSessionsExec machinery — the point of going native is
+    * inheriting its spill-safe implementation at 100 TB.
+    */
+  def nativeSessionWindow(df: DataFrame, gapMinutes: Int = 10): DataFrame = {
+    df.filter(col("user_id").isNotNull)
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapMinutes minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("w.start")).as("start_us"),
+        unix_micros(col("w.end")).as("end_us"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("start_us"))
+  }
+
+  /** DuckDB oracle for [[nativeSessionWindow]] — gaps-and-islands with
+    * Spark's inclusive boundary rule (diff > gap breaks; an exact
+    * gap-width hit merges) and end = last + gap.
+    */
+  def nativeSessionWindowOracleSql(gapMinutes: Int = 10): String = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    s"""WITH e AS (
+       |  SELECT user_id, epoch_us(ts) AS us
+       |  FROM events WHERE user_id IS NOT NULL),
+       |m AS (SELECT user_id, us,
+       |        CASE WHEN lag(us) OVER w IS NULL
+       |               OR us - lag(us) OVER w > $gapUs
+       |             THEN 1 ELSE 0 END AS brk
+       |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+       |s AS (SELECT user_id, us,
+       |        sum(brk) OVER (PARTITION BY user_id ORDER BY us
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+       |      FROM m)
+       |SELECT user_id, min(us)::BIGINT AS start_us,
+       |  (max(us) + $gapUs)::BIGINT AS end_us, count(*)::BIGINT AS n_events
+       |FROM s GROUP BY user_id, sid
+       |ORDER BY user_id, start_us""".stripMargin
+  }
+
+  /** Mann–Whitney U — the rank-sum arm comparison that completes the
+    * nonparametric test family ([[Relational]]'s KS and chi-square):
+    * does arm A's purchase-value distribution stochastically dominate
+    * arm B's, with no normality assumption on the heavy-tailed values?
+    * Arms are the deterministic user-parity split ([[srmCheck]]'s
+    * assignment); ties take mid-ranks, carried ×2 so every rank is an
+    * integer; U, its mean and the rank sums are exact integers, and
+    * only the final z-score normalization touches a double (one
+    * correctly-rounded sqrt + one division, e4-rounded — the
+    * [[Relational.poissonBootstrapSE]] discipline; no tie-correction
+    * term, values are cents with few ties).
+    *
+    * Shape: the scan collapses onto the distinct-cents dimension with
+    * per-arm counts; ranks come from one prefix window over that
+    * value-histogram-sized frame — the raw rows are never ranked.
+    */
+  def mannWhitney(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vals = df.filter(col("user_id").isNotNull &&
+        col("event_type") === "purchase")
+      .select((col("user_id") % 2).as("arm"),
+        expr("CAST(round(value * 100, 0) AS BIGINT)").as("cents"))
+    val hist = vals.groupBy(col("cents"))
+      .agg(count(lit(1)).as("c_total"),
+        sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("c_a"))
+    val ranked = hist
+      .withColumn("cum", sum(col("c_total")).over(
+        Window.orderBy(col("cents"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      // ×2 mid-rank of a tied block: (first rank) + (last rank) =
+      // 2(cum − c_total) + c_total + 1
+      .withColumn("r2mid", expr("2 * (cum - c_total) + c_total + 1"))
+    val agg = ranked.agg(
+      coalesce(sum(col("c_a")), lit(0L)).as("n_a"),
+      coalesce(sum(col("c_total") - col("c_a")), lit(0L)).as("n_b"),
+      coalesce(sum(col("c_a") * col("r2mid")), lit(0L)).as("r_a_x2"))
+    agg
+      .withColumn("u_a_x2", expr("r_a_x2 - n_a * (n_a + 1)"))
+      .withColumn("z_e4", expr(
+        """CASE WHEN n_a > 0 AND n_b > 0 THEN
+          |  CAST(round((u_a_x2 - n_a * n_b) * 10000.0 /
+          |    sqrt(CAST(n_a * n_b * (n_a + n_b + 1) AS DOUBLE) / 3.0), 0)
+          |    AS BIGINT)
+          |END""".stripMargin))
+      .select(col("n_a"), col("n_b"), col("r_a_x2"), col("u_a_x2"),
+        col("z_e4"))
+  }
+
+  /** DuckDB oracle for [[mannWhitney]]. */
+  def mannWhitneyOracleSql: String =
+    """WITH v AS (
+      |  SELECT user_id % 2 AS arm, CAST(round(value * 100, 0) AS BIGINT)
+      |    AS cents
+      |  FROM events WHERE user_id IS NOT NULL AND event_type = 'purchase'),
+      |h AS (SELECT cents, count(*)::BIGINT AS c_total,
+      |        sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS c_a
+      |      FROM v GROUP BY cents),
+      |r AS (SELECT cents, c_total, c_a,
+      |        sum(c_total) OVER (ORDER BY cents
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |      FROM h),
+      |a AS (SELECT coalesce(sum(c_a), 0)::BIGINT AS n_a,
+      |        coalesce(sum(c_total - c_a), 0)::BIGINT AS n_b,
+      |        coalesce(sum(c_a * (2 * (cum - c_total) + c_total + 1)), 0)
+      |          ::BIGINT AS r_a_x2
+      |      FROM r)
+      |SELECT n_a, n_b, r_a_x2,
+      |  (r_a_x2 - n_a * (n_a + 1))::BIGINT AS u_a_x2,
+      |  (CASE WHEN n_a > 0 AND n_b > 0 THEN
+      |    CAST(round((r_a_x2 - n_a * (n_a + 1) - n_a * n_b) * 10000.0 /
+      |      sqrt((n_a * n_b * (n_a + n_b + 1))::DOUBLE / 3.0), 0) AS BIGINT)
+      |  END) AS z_e4
+      |FROM a""".stripMargin
+
   /** Theil–Sen robust trend over the daily event-count series — the
     * outlier-immune twin of an OLS slope ([[seasonalDecompose]]'s trend
     * line): the median of all pairwise slopes (y_j−y_i)/(x_j−x_i),

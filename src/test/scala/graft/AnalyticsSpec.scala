@@ -686,6 +686,46 @@ class AnalyticsSpec extends SparkTestBase {
     assert(out("2024-01-15") == (30L, 16L, 70L, 0L, true, false))
   }
 
+  test("nativeSessionWindow: an exact gap-boundary hit merges; end = last + gap") {
+    val gap = 600000000L // 10 min in µs
+    val events = Seq(
+      (1L, 1L, "a", ts(0L)), (2L, 1L, "a", ts(gap - 1L)), // strictly inside
+      (3L, 1L, "a", ts(3L * gap)),                        // far out: new
+      (4L, 2L, "a", ts(0L)), (5L, 2L, "a", ts(gap)),      // boundary: MERGES
+      (6L, 2L, "a", ts(2L * gap + 1000L))                 // one µs-tick past
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = graft.ops.Analytics.nativeSessionWindow(events).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("start_us"),
+        r.getAs[Long]("end_us"), r.getAs[Long]("n_events"))).toSeq
+    // µs truncation: ts() stores ms precision, so gap−1 µs floors to
+    // gap−1000 µs — still strictly inside the first window. Spark's
+    // session interval is CLOSED on the right: the event AT start+gap
+    // extends the session (the oracle's islands rule mirrors diff > gap)
+    assert(out == Seq(
+      (1L, 0L, gap - 1000L + gap, 2L),
+      (1L, 3L * gap, 4L * gap, 1L),
+      (2L, 0L, 2L * gap, 2L),
+      (2L, 2L * gap + 1000L, 3L * gap + 1000L, 1L)))
+  }
+
+  test("mannWhitney: mid-ranks double to integers; hand-checked U and z") {
+    // arm 0 = even users. purchases: arm0 {100, 200, 300}, arm1 {200, 400}
+    val events = Seq(
+      (1L, 2L, "purchase", 1.0, ts(0L)), (2L, 6L, "purchase", 2.0, ts(0L)),
+      (3L, 4L, "purchase", 3.0, ts(0L)),
+      (4L, 1L, "purchase", 2.0, ts(0L)), (5L, 3L, "purchase", 4.0, ts(0L)),
+      (6L, 1L, "view", 9.0, ts(0L)) // not a purchase — excluded
+    ).toDF("event_id", "user_id", "event_type", "value", "ts")
+    val out = graft.ops.Analytics.mannWhitney(events).collect().head
+    // ranks 1, 2.5 (tie), 4 for arm0 → R×2 = 15, U×2 = 15 − 12 = 3;
+    // z = (1.5 − 3)/√(3·2·6/12) = −3/√12 → −8660 e4
+    assert(out.getAs[Long]("n_a") == 3L)
+    assert(out.getAs[Long]("n_b") == 2L)
+    assert(out.getAs[Long]("r_a_x2") == 15L)
+    assert(out.getAs[Long]("u_a_x2") == 3L)
+    assert(out.getAs[Long]("z_e4") == -8660L)
+  }
+
   test("theilSen: median pairwise slope shrugs off a single outlier day") {
     val day0 = 1704067200000000L // 2024-01-01
     val us = 86400000000L

@@ -195,6 +195,10 @@ class EmptyInputSpec extends SparkTestBase {
     assert(graft.ops.Analytics.cepPattern(noEventsFull).count() == 0)
     assert(graft.ops.Analytics.cusum(noEventsFull).count() == 0)
     assert(graft.ops.Analytics.theilSen(noEventsFull).count() == 0)
+    assert(graft.ops.Analytics.nativeSessionWindow(noEventsFull).count() == 0)
+    val mw = graft.ops.Analytics.mannWhitney(noEventsFull).collect().head
+    assert(mw.getAs[Long]("n_a") == 0L && mw.getAs[Long]("n_b") == 0L &&
+      mw.isNullAt(mw.fieldIndex("z_e4")))
     assert(graft.ops.TextAnalysis.featureHashAudit(noDocs).count() == 0)
     // grid-preserving: one row per MDE with null sizes, n_users = 0
     val pw = graft.ops.Analytics.abPower(noEventsFull).collect()
