@@ -659,6 +659,11 @@ object SparkEntry {
     // once-collapsed vocabulary
     "q_feature_hash" -> ((s, d) =>
       TextAnalysis.featureHashAudit(TextAnalysis.documents(s, d))),
+    // nDCG@10 of the BM25 ranking against graded term-coverage relevance
+    "q_ndcg" -> ((s, d) => TextAnalysis.ndcgEval(TextAnalysis.documents(s, d))),
+    // top-p nucleus of each source's unigram distribution
+    "q_nucleus_vocab" -> ((s, d) =>
+      TextAnalysis.nucleusVocab(TextAnalysis.documents(s, d))),
     // deterministic Poisson bootstrap SE of the mean order value — the
     // shardable resampling twin of q_jackknife
     "q_poisson_bootstrap" -> ((s, d) =>
@@ -4234,6 +4239,8 @@ object SparkEntry {
     "q_native_session_window" -> Analytics.nativeSessionWindowOracleSql(),
     "q_mann_whitney" -> Analytics.mannWhitneyOracleSql,
     "q_feature_hash" -> TextAnalysis.featureHashAuditOracleSql(),
+    "q_ndcg" -> TextAnalysis.ndcgEvalOracleSql(),
+    "q_nucleus_vocab" -> TextAnalysis.nucleusVocabOracleSql(),
     "q_poisson_bootstrap" -> Relational.poissonBootstrapOracleSql(),
     "q_kcenter_select" -> Similarity.kCenterOracleSql(),
     "q_ngram_jaccard" ->

@@ -632,6 +632,161 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** 10⁹/log₂(i+1) for ranks 1..k — the DCG discounts as exact integer
+    * constants computed once and embedded in both engines (the
+    * [[graft.ops.Relational.poissonBootstrapSE]] constant discipline).
+    */
+  private def ndcgDiscE9(k: Int): Seq[Long] =
+    (1 to k).map(i => math.round(1e9 * math.log(2.0) / math.log(i + 1.0)))
+
+  /** nDCG@k of the BM25 ranking — the retrieval-quality eval that closes
+    * the search loop ([[bm25Search]] ranks; this grades the ranking).
+    * Relevance is the graded count of distinct query terms a document
+    * contains (0..|terms|) — a deterministic stand-in for editorial
+    * judgments; the ideal ordering is relevance-descending. DCG sums
+    * rel·disc with e9 integer discounts, so DCG, IDCG and the final e4
+    * ratio are exact integers.
+    *
+    * Shape: the BM25 ranking is the existing top-k pipeline; relevance
+    * is one term-filtered collapse; both DCG sums are k-row broadcast
+    * joins. Nothing beyond the BM25 scan touches the corpus.
+    */
+  def ndcgEval(
+      docs: DataFrame,
+      queryTerms: Seq[String] = Seq("spark", "join", "window"),
+      k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    val disc = spark.createDataFrame(
+      ndcgDiscE9(k).zipWithIndex.map { case (d, i) => (i + 1L, d) })
+      .toDF("pos", "disc_e9")
+    val rel = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("term")).as("rel"))
+    val ranked = bm25Search(docs, queryTerms, k)
+      .withColumn("pos", row_number().over(
+        Window.orderBy(desc("score_e4"), col("doc_id"))).cast("long"))
+    val dcg = ranked
+      .join(rel, Seq("doc_id"), "left").na.fill(0L, Seq("rel"))
+      .join(broadcast(disc), "pos")
+      .agg(coalesce(sum(col("rel") * col("disc_e9")), lit(0L)).as("dcg_e9"))
+    val idcg = rel
+      .withColumn("pos", row_number().over(
+        Window.orderBy(desc("rel"), col("doc_id"))).cast("long"))
+      .filter(col("pos") <= k)
+      .join(broadcast(disc), "pos")
+      .agg(coalesce(sum(col("rel") * col("disc_e9")), lit(0L)).as("idcg_e9"))
+    dcg.crossJoin(idcg)
+      .select(lit(k.toLong).as("k"), col("dcg_e9"), col("idcg_e9"),
+        expr("CASE WHEN idcg_e9 > 0 THEN dcg_e9 * 10000 div idcg_e9 END")
+          .as("ndcg_e4"))
+  }
+
+  /** DuckDB oracle for [[ndcgEval]] — the q_bm25_search pipeline plus
+    * the same embedded discount constants.
+    */
+  def ndcgEvalOracleSql(
+      queryTerms: Seq[String] = Seq("spark", "join", "window"),
+      k: Int = 10): String = {
+    val termList = queryTerms.map(t => s"'$t'").mkString(", ")
+    val discRows = ndcgDiscE9(k).zipWithIndex
+      .map { case (d, i) => s"(${i + 1}, $d)" }.mkString(", ")
+    s"""WITH t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks FROM documents),
+       |d AS (SELECT doc_id, len(toks)::DOUBLE AS dl, toks FROM t),
+       |s AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM d),
+       |tf AS (SELECT doc_id, dl, term, count(*)::DOUBLE AS tf
+       |       FROM (SELECT doc_id, dl, unnest(toks) AS term FROM d)
+       |       WHERE term IN ($termList) GROUP BY doc_id, dl, term),
+       |df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+       |sc AS (SELECT doc_id,
+       |         round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * tf * (1.2 + 1.0)
+       |               / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl)) * 10000.0, 0)::BIGINT AS score_e4
+       |       FROM tf JOIN df USING (term) CROSS JOIN s),
+       |top AS (SELECT doc_id, sum(score_e4)::BIGINT AS score_e4
+       |        FROM sc GROUP BY doc_id
+       |        ORDER BY score_e4 DESC, doc_id LIMIT $k),
+       |ranked AS (SELECT doc_id,
+       |             row_number() OVER (ORDER BY score_e4 DESC, doc_id) AS pos
+       |           FROM top),
+       |rel AS (SELECT doc_id, count(DISTINCT term)::BIGINT AS rel
+       |        FROM (SELECT doc_id, unnest(toks) AS term FROM t)
+       |        WHERE term IN ($termList) GROUP BY doc_id),
+       |disc AS (SELECT * FROM (VALUES $discRows) x(pos, disc_e9)),
+       |dcg AS (SELECT coalesce(sum(coalesce(rel, 0) * disc_e9), 0)::BIGINT
+       |          AS dcg_e9
+       |        FROM ranked LEFT JOIN rel USING (doc_id)
+       |        JOIN disc USING (pos)),
+       |ideal AS (SELECT doc_id, rel,
+       |            row_number() OVER (ORDER BY rel DESC, doc_id) AS pos
+       |          FROM rel),
+       |idcg AS (SELECT coalesce(sum(rel * disc_e9), 0)::BIGINT AS idcg_e9
+       |         FROM ideal JOIN disc USING (pos) WHERE ideal.pos <= $k)
+       |SELECT $k::BIGINT AS k, dcg_e9, idcg_e9,
+       |  (CASE WHEN idcg_e9 > 0 THEN dcg_e9 * 10000 // idcg_e9 END)::BIGINT
+       |    AS ndcg_e4
+       |FROM dcg CROSS JOIN idcg""".stripMargin
+  }
+
+  /** Nucleus-vocabulary coverage — per source, how many distinct tokens
+    * cover p of the token mass (the top-p "nucleus" of the unigram
+    * distribution)? A tight nucleus means boilerplate-dominated text; a
+    * wide one, diverse prose — the corpus-health twin of [[zipfSlope]],
+    * and the same cumulative-mass cut LLM nucleus sampling applies at
+    * inference. Integer threshold comparison (cum_before·10⁴ < p·total),
+    * deterministic (count desc, token) ordering.
+    *
+    * Shape: one (source, token) collapse; the prefix window runs per
+    * source over its vocab-sized frequency table, never over raw tokens.
+    */
+  def nucleusVocab(docs: DataFrame, pE4: Long = 9000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val freq = docs
+      .select(col("source"), explode(tokens(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("source"), col("word"))
+      .agg(count(lit(1)).as("cnt"))
+    val tot = freq.groupBy(col("source"))
+      .agg(count(lit(1)).as("vocab_size"), sum(col("cnt")).as("total_tokens"))
+    freq
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.partitionBy(col("source"))
+          .orderBy(desc("cnt"), col("word"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(tot, Seq("source"))
+      .filter((col("cum") - col("cnt")) * 10000L < lit(pE4) * col("total_tokens"))
+      .groupBy(col("source"), col("vocab_size"), col("total_tokens"))
+      .agg(count(lit(1)).as("nucleus_size"))
+      .withColumn("nucleus_share_e4",
+        expr("nucleus_size * 10000 div vocab_size"))
+      .select(col("source"), col("vocab_size"), col("total_tokens"),
+        col("nucleus_size"), col("nucleus_share_e4"))
+      .orderBy(col("source"))
+  }
+
+  /** DuckDB oracle for [[nucleusVocab]]. */
+  def nucleusVocabOracleSql(pE4: Long = 9000L): String =
+    s"""WITH f AS (
+       |  SELECT source, w AS word, count(*)::BIGINT AS cnt
+       |  FROM (SELECT source,
+       |          unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+       |        FROM documents)
+       |  WHERE w <> '' GROUP BY 1, 2),
+       |t AS (SELECT source, count(*)::BIGINT AS vocab_size,
+       |        sum(cnt)::BIGINT AS total_tokens
+       |      FROM f GROUP BY 1),
+       |c AS (SELECT source, cnt,
+       |        sum(cnt) OVER (PARTITION BY source ORDER BY cnt DESC, word
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |      FROM f)
+       |SELECT c.source, vocab_size, total_tokens,
+       |  count(*)::BIGINT AS nucleus_size,
+       |  (count(*) * 10000 // vocab_size)::BIGINT AS nucleus_share_e4
+       |FROM c JOIN t ON c.source = t.source
+       |WHERE (cum - cnt) * 10000 < $pE4 * total_tokens
+       |GROUP BY 1, 2, 3 ORDER BY c.source""".stripMargin
+
   /** Feature-hashing collision audit — the sizing study behind the
     * hashing trick ([[dsirWeights]] commits to 1024 buckets; this is the
     * evidence for that choice). For each candidate table size 2^bits:

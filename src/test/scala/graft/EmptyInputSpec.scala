@@ -200,6 +200,11 @@ class EmptyInputSpec extends SparkTestBase {
     assert(mw.getAs[Long]("n_a") == 0L && mw.getAs[Long]("n_b") == 0L &&
       mw.isNullAt(mw.fieldIndex("z_e4")))
     assert(graft.ops.TextAnalysis.featureHashAudit(noDocs).count() == 0)
+    assert(graft.ops.TextAnalysis.nucleusVocab(noDocs).count() == 0)
+    // defined on empty: a 0/0 report with a null ratio, never a throw
+    val ng = graft.ops.TextAnalysis.ndcgEval(noDocs).collect().head
+    assert(ng.getAs[Long]("dcg_e9") == 0L &&
+      ng.isNullAt(ng.fieldIndex("ndcg_e4")))
     // grid-preserving: one row per MDE with null sizes, n_users = 0
     val pw = graft.ops.Analytics.abPower(noEventsFull).collect()
     assert(pw.length == 4)

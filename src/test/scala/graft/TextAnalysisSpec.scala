@@ -439,6 +439,36 @@ class TextAnalysisSpec extends SparkTestBase {
       (6000L, 0L, 0L, 2L, None, Some(0L), Some(0L))))
   }
 
+  test("ndcgEval: a ranking that matches the ideal order scores exactly 10000") {
+    import spark.implicits._
+    // BM25 orders doc1 > doc2 > doc3 (strictly more matching terms at
+    // equal length), which IS the relevance order → nDCG = 1
+    val docs = Seq(
+      (1L, "spark join window x"), (2L, "spark join a b"),
+      (3L, "spark c d e"), (4L, "f g h i")
+    ).toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.ndcgEval(docs).collect().head
+    def disc(i: Int) = math.round(1e9 * math.log(2.0) / math.log(i + 1.0))
+    val idcg = 3L * disc(1) + 2L * disc(2) + 1L * disc(3)
+    assert(out.getAs[Long]("k") == 10L)
+    assert(out.getAs[Long]("idcg_e9") == idcg)
+    assert(out.getAs[Long]("dcg_e9") == idcg)
+    assert(out.getAs[Long]("ndcg_e4") == 10000L)
+  }
+
+  test("nucleusVocab: the 90% mass cut lands between head and tail") {
+    import spark.implicits._
+    // counts 8/1/1: 'a' and 'b' reach 90% of the 10-token mass; 'c'
+    // starts exactly AT the threshold and is excluded
+    val docs = Seq((1L, "a a a a a a a a b c", "s1"))
+      .toDF("doc_id", "text", "source")
+    val out = graft.ops.TextAnalysis.nucleusVocab(docs).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("vocab_size"),
+        r.getAs[Long]("total_tokens"), r.getAs[Long]("nucleus_size"),
+        r.getAs[Long]("nucleus_share_e4"))).toSeq
+    assert(out == Seq(("s1", 3L, 10L, 2L, 6666L)))
+  }
+
   test("featureHashAudit: single-char vocab collides exactly by ASCII residue") {
     import spark.implicits._
     // vocab {a,b,c,d}: PolyHash of one char is its code point, so the
