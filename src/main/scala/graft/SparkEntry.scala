@@ -664,6 +664,12 @@ object SparkEntry {
     // top-p nucleus of each source's unigram distribution
     "q_nucleus_vocab" -> ((s, d) =>
       TextAnalysis.nucleusVocab(TextAnalysis.documents(s, d))),
+    // chance-corrected agreement between the two shipped quality filters
+    "q_cohen_kappa" -> ((s, d) =>
+      TextAnalysis.cohenKappa(TextAnalysis.documents(s, d))),
+    // Bloom gate capacity table at the corpus's exact key count
+    "q_bloom_sizing" -> ((s, d) =>
+      Dedup.bloomSizing(TextAnalysis.documents(s, d))),
     // deterministic Poisson bootstrap SE of the mean order value — the
     // shardable resampling twin of q_jackknife
     "q_poisson_bootstrap" -> ((s, d) =>
@@ -4241,6 +4247,8 @@ object SparkEntry {
     "q_feature_hash" -> TextAnalysis.featureHashAuditOracleSql(),
     "q_ndcg" -> TextAnalysis.ndcgEvalOracleSql(),
     "q_nucleus_vocab" -> TextAnalysis.nucleusVocabOracleSql(),
+    "q_cohen_kappa" -> TextAnalysis.cohenKappaOracleSql(),
+    "q_bloom_sizing" -> Dedup.bloomSizingOracleSql(),
     "q_poisson_bootstrap" -> Relational.poissonBootstrapOracleSql(),
     "q_kcenter_select" -> Similarity.kCenterOracleSql(),
     "q_ngram_jaccard" ->

@@ -770,6 +770,64 @@ object Dedup {
     * persisted inside); everything downstream runs on the collapsed
     * histogram crossed with an 8-row broadcast grid.
     */
+  /** Bloom-filter sizing audit — the capacity study behind
+    * [[bloomGatedDedup]]'s driver-held filter: for each (bits m, hashes
+    * k) candidate, the expected false-positive probability at THIS
+    * corpus's actual key count, fpp = (1 − (1 − 1/m)^{kn})^k, plus
+    * bits-per-key. A 100 TB incremental dedup sizes its gate from this
+    * table, not from a guessed n. Companion to [[lshTuningSweep]]
+    * (banding) and [[graft.ops.TextAnalysis.featureHashAudit]] (hash
+    * tables) in the sizing-audit family.
+    *
+    * Exactness: n is the exact distinct-fingerprint count; fpp
+    * evaluates once per 12-cell grid with both engines running the
+    * same literal pow expression, e9-quantized ([[lshTuningSweep]]
+    * pow precedent). Shape: one distinct collapse, a broadcast grid
+    * over a 1-row stats frame.
+    */
+  def bloomSizing(
+      docs: DataFrame,
+      bitSizes: Seq[Long] = Seq(1L << 16, 1L << 18, 1L << 20),
+      hashCounts: Seq[Long] = Seq(1L, 3L, 5L, 7L)): DataFrame = {
+    val n = docs
+      .select(md5(regexp_replace(trim(lower(col("text"))), "\\s+", " "))
+        .as("fp"))
+      .agg(countDistinct(col("fp")).as("n_keys"))
+    val grid = docs.sparkSession.createDataFrame(
+      for (m <- bitSizes.sorted; k <- hashCounts.sorted) yield (m, k))
+      .toDF("m_bits", "k_hashes")
+    n.crossJoin(broadcast(grid))
+      .withColumn("bpk_e2", expr(
+        "CASE WHEN n_keys > 0 THEN m_bits * 100 div n_keys END"))
+      .withColumn("fpp_e9", expr(
+        """CAST(round(pow(1.0 - pow(1.0 - 1.0 / CAST(m_bits AS DOUBLE),
+          |  CAST(k_hashes * n_keys AS DOUBLE)), CAST(k_hashes AS DOUBLE))
+          |  * 1000000000, 0) AS BIGINT)""".stripMargin))
+      .select(col("m_bits"), col("k_hashes"), col("n_keys"), col("bpk_e2"),
+        col("fpp_e9"))
+      .orderBy(col("m_bits"), col("k_hashes"))
+  }
+
+  /** DuckDB oracle for [[bloomSizing]]. */
+  def bloomSizingOracleSql(
+      bitSizes: Seq[Long] = Seq(1L << 16, 1L << 18, 1L << 20),
+      hashCounts: Seq[Long] = Seq(1L, 3L, 5L, 7L)): String = {
+    val gridRows = (for (m <- bitSizes.sorted; k <- hashCounts.sorted)
+      yield s"($m, $k)").mkString(", ")
+    s"""WITH n AS (
+       |  SELECT count(DISTINCT md5(regexp_replace(trim(lower(text)),
+       |    '\\s+', ' ', 'g')))::BIGINT AS n_keys
+       |  FROM documents),
+       |g AS (SELECT * FROM (VALUES $gridRows) t(m_bits, k_hashes))
+       |SELECT m_bits::BIGINT AS m_bits, k_hashes::BIGINT AS k_hashes, n_keys,
+       |  (CASE WHEN n_keys > 0 THEN m_bits * 100 // n_keys END)::BIGINT
+       |    AS bpk_e2,
+       |  CAST(round(pow(1.0 - pow(1.0 - 1.0 / m_bits::DOUBLE,
+       |    (k_hashes * n_keys)::DOUBLE), k_hashes::DOUBLE)
+       |    * 1000000000, 0) AS BIGINT) AS fpp_e9
+       |FROM n CROSS JOIN g ORDER BY m_bits, k_hashes""".stripMargin
+  }
+
   def lshTuningSweep(
       docs: DataFrame,
       totalHashes: Int = 128): DataFrame = {

@@ -632,6 +632,87 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Cohen's κ between the two shipped quality filters — the heuristic
+    * gate ([[qualityScore]] ≥ 0.6) and the logistic model
+    * ([[logisticQuality]] keep). Raw agreement flatters any pair of
+    * filters that mostly say "keep"; κ subtracts the agreement their
+    * marginals would produce by chance, which is the number that tells
+    * you whether running BOTH filters adds information or redundancy.
+    * All four confusion cells and both κ terms are exact integers; the
+    * single division goes through FLOOR of a double quotient (κ can be
+    * negative, and Spark's `div` truncates while DuckDB's `//` floors —
+    * the [[graft.ops.Analytics.theilSen]] alignment; exactness holds
+    * because numerator·10⁴ < 2⁵³ and a non-integer quotient sits ≥ 1/den
+    * from any integer, far beyond one ulp).
+    *
+    * Shape: both labels are row-local projections joined on doc_id and
+    * collapsed to one confusion row; a production run would fuse them
+    * into one scan — the join is doc_id-equi and spark collapses the
+    * common scan under exchange reuse.
+    */
+  def cohenKappa(docs: DataFrame, cutE4: Long = 6000L): DataFrame = {
+    val a = qualityScore(docs).select(col("doc_id"),
+      (expr("CAST(round(quality * 10000, 0) AS BIGINT)") >= cutE4).as("la"))
+    val b = logisticQuality(docs).select(col("doc_id"), col("keep").as("lb"))
+    val pe = "((n_kk + n_kd) * (n_kk + n_dk) + (n_dk + n_dd) * (n_kd + n_dd))"
+    a.join(b, "doc_id")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("la") && col("lb"), 1L).otherwise(0L)).as("n_kk"),
+        sum(when(col("la") && !col("lb"), 1L).otherwise(0L)).as("n_kd"),
+        sum(when(!col("la") && col("lb"), 1L).otherwise(0L)).as("n_dk"),
+        sum(when(!col("la") && !col("lb"), 1L).otherwise(0L)).as("n_dd"))
+      .withColumn("agree_e4",
+        expr("CASE WHEN n > 0 THEN (n_kk + n_dd) * 10000 div n END"))
+      .withColumn("kappa_e4", expr(
+        s"""CASE WHEN n > 0 AND n * n - $pe <> 0 THEN
+           |  CAST(FLOOR((n * (n_kk + n_dd) - $pe) * 10000.0
+           |    / (n * n - $pe)) AS BIGINT)
+           |END""".stripMargin))
+  }
+
+  /** DuckDB oracle for [[cohenKappa]] — both labelers' SQL joined, same
+    * FLOOR semantics.
+    */
+  def cohenKappaOracleSql(cutE4: Long = 6000L): String = {
+    val pe = "((n_kk + n_kd) * (n_kk + n_dk) + (n_dk + n_dd) * (n_kd + n_dd))"
+    s"""WITH t AS (SELECT doc_id, text, n_chars,
+       |             regexp_split_to_array(lower(text), '\\s+') AS toks
+       |           FROM documents),
+       |qa AS (
+       |  SELECT doc_id,
+       |    round(round((CASE WHEN n_chars BETWEEN 100 AND 450 THEN 1.0
+       |           WHEN n_chars < 100 THEN n_chars / 100.0
+       |           ELSE 450.0 / n_chars END
+       |      + least(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in')))::DOUBLE / len(toks) * 10.0, 1.0)
+       |      + len(list_distinct(toks))::DOUBLE / len(toks)) / 3.0, 4)
+       |      * 10000, 0)::BIGINT >= $cutE4 AS la
+       |  FROM t),
+       |qb AS (
+       |  SELECT doc_id,
+       |    round((1.0 / (1.0 + exp(-((1.0 * -3.0)
+       |      + (ln(1.0 + len(toks)::DOUBLE) * 0.6)
+       |      + (len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE * 2.0)
+       |      + (len(list_filter(toks, x -> x IN ('the','a','of','and','to','in')))::DOUBLE / len(toks)::DOUBLE * 3.0)
+       |      + (length(text)::DOUBLE / len(toks)::DOUBLE * 0.1)))))
+       |      * 10000, 0)::BIGINT >= 5000 AS lb
+       |  FROM t),
+       |c AS (SELECT count(*)::BIGINT AS n,
+       |        sum(CASE WHEN la AND lb THEN 1 ELSE 0 END)::BIGINT AS n_kk,
+       |        sum(CASE WHEN la AND NOT lb THEN 1 ELSE 0 END)::BIGINT AS n_kd,
+       |        sum(CASE WHEN NOT la AND lb THEN 1 ELSE 0 END)::BIGINT AS n_dk,
+       |        sum(CASE WHEN NOT la AND NOT lb THEN 1 ELSE 0 END)::BIGINT AS n_dd
+       |      FROM qa JOIN qb USING (doc_id))
+       |SELECT n, n_kk, n_kd, n_dk, n_dd,
+       |  (CASE WHEN n > 0 THEN (n_kk + n_dd) * 10000 // n END)::BIGINT
+       |    AS agree_e4,
+       |  (CASE WHEN n > 0 AND n * n - $pe <> 0 THEN
+       |    CAST(FLOOR((n * (n_kk + n_dd) - $pe) * 10000.0 / (n * n - $pe))
+       |      AS BIGINT)
+       |  END) AS kappa_e4
+       |FROM c""".stripMargin
+  }
+
   /** 10⁹/log₂(i+1) for ranks 1..k — the DCG discounts as exact integer
     * constants computed once and embedded in both engines (the
     * [[graft.ops.Relational.poissonBootstrapSE]] constant discipline).

@@ -349,6 +349,20 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("bloomSizing: fpp at the exact key count matches the closed form") {
+    val docs = Seq(
+      (1L, "alpha beta"), (2L, "alpha beta"), (3L, "gamma delta")
+    ).toDF("doc_id", "text") // 2 distinct fingerprints
+    val out = graft.ops.Dedup.bloomSizing(docs, Seq(65536L), Seq(1L, 2L))
+      .collect()
+      .map(r => (r.getAs[Long]("k_hashes"), r.getAs[Long]("n_keys"),
+        r.getAs[Long]("bpk_e2"), r.getAs[Long]("fpp_e9"))).toSeq
+    def fpp(k: Long) = math.round(math.pow(
+      1.0 - math.pow(1.0 - 1.0 / 65536.0, (k * 2L).toDouble),
+      k.toDouble) * 1e9)
+    assert(out == Seq((1L, 2L, 3276800L, fpp(1L)), (2L, 2L, 3276800L, fpp(2L))))
+  }
+
   test("lshTuningSweep: more rows per band lowers catch probability of a mid-similarity pair") {
     // overlap engineered to land between the FP and near-dup cutoffs:
     // catch probability must be monotonically non-increasing in r

@@ -201,6 +201,12 @@ class EmptyInputSpec extends SparkTestBase {
       mw.isNullAt(mw.fieldIndex("z_e4")))
     assert(graft.ops.TextAnalysis.featureHashAudit(noDocs).count() == 0)
     assert(graft.ops.TextAnalysis.nucleusVocab(noDocs).count() == 0)
+    val ck = graft.ops.TextAnalysis.cohenKappa(noDocs).collect().head
+    assert(ck.getAs[Long]("n") == 0L && ck.isNullAt(ck.fieldIndex("kappa_e4")))
+    val bs = graft.ops.Dedup.bloomSizing(noDocs).collect()
+    assert(bs.length == 12)
+    assert(bs.forall(r => r.getAs[Long]("n_keys") == 0L &&
+      r.isNullAt(r.fieldIndex("bpk_e2")) && r.getAs[Long]("fpp_e9") == 0L))
     // defined on empty: a 0/0 report with a null ratio, never a throw
     val ng = graft.ops.TextAnalysis.ndcgEval(noDocs).collect().head
     assert(ng.getAs[Long]("dcg_e9") == 0L &&

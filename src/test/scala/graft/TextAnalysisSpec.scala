@@ -469,6 +469,33 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(out == Seq(("s1", 3L, 10L, 2L, 6666L)))
   }
 
+  test("cohenKappa: cells reconcile and kappa matches a recomputation; degenerate marginals null out") {
+    import spark.implicits._
+    val docs = (1 to 40).map { i =>
+      val text = if (i % 3 == 0) "the of and to in a " * 8 + s"w$i"
+      else s"x$i y$i z$i"
+      (i.toLong, text, text.length.toLong)
+    }.toDF("doc_id", "text", "n_chars")
+    val r = graft.ops.TextAnalysis.cohenKappa(docs).collect().head
+    val (n, kk, kd, dk, dd) = (r.getAs[Long]("n"), r.getAs[Long]("n_kk"),
+      r.getAs[Long]("n_kd"), r.getAs[Long]("n_dk"), r.getAs[Long]("n_dd"))
+    assert(n == 40L && kk + kd + dk + dd == n)
+    assert(r.getAs[Long]("agree_e4") == (kk + dd) * 10000L / n)
+    val pe = (kk + kd) * (kk + dk) + (dk + dd) * (kd + dd)
+    if (n * n != pe) {
+      val expected =
+        math.floor((n * (kk + dd) - pe) * 10000.0 / (n * n - pe)).toLong
+      assert(r.getAs[Long]("kappa_e4") == expected)
+    }
+    // identical docs → both filters constant → chance agreement is
+    // total agreement → kappa undefined (null), agreement 10000
+    val same = (1 to 5).map(i => (i.toLong, "the of and to in", 16L))
+      .toDF("doc_id", "text", "n_chars")
+    val d = graft.ops.TextAnalysis.cohenKappa(same).collect().head
+    assert(d.getAs[Long]("agree_e4") == 10000L)
+    assert(d.isNullAt(d.fieldIndex("kappa_e4")))
+  }
+
   test("featureHashAudit: single-char vocab collides exactly by ASCII residue") {
     import spark.implicits._
     // vocab {a,b,c,d}: PolyHash of one char is its code point, so the
