@@ -90,7 +90,20 @@ object DumpPlans {
       "q_kanon" -> "k-anonymity gate: one QI-cell collapse (count + exact distinct users), broadcast threshold grid — no window, no second scan",
       "q_incremental_join" -> "delta-join view maintenance: four disjoint terms, each aggregated before the merge, customer slices broadcast — the algebra that replaces a full join recompute per refresh",
       "q_weighted_sample" -> "sequential-Poisson weighted sample: row-local integer priorities, global bottom-k as TakeOrderedAndProject — no corpus sort",
-      "q_markov_eval" -> "held-out Markov eval: one user window feeds train AND eval counts; model argmax + broadcast join run on the persisted |types|² table")
+      "q_markov_eval" -> "held-out Markov eval: one user window feeds train AND eval counts; model argmax + broadcast join run on the persisted |types|² table",
+      "q_kmv_distinct" -> "KMV sketch: distinct (type, hash) collapse, two-pass rank selection (coarse-bucket prefix sum + broadcast b* + WindowGroupLimit partial top-k) — a group's full hash set is never window-sorted",
+      "q_cep_pattern" -> "CEP motif detection: ONE shuffle onto user_id (journeys as array_sort'd collect_list), row-local regex — no window, no join, no cross-user state",
+      "q_cusum" -> "CUSUM drift: scan collapses to the day dimension; the recursive statistic's prefix-min closed form runs as two windows over ~30 rows",
+      "q_native_session_window" -> "built-in session_window aggregation: one user shuffle into Spark's merging-session machinery (the spill-safe native path the custom sessionizer can hand over to)",
+      "q_poisson_bootstrap" -> "Poisson bootstrap: ONE orders scan fanned out by the 32-row broadcast replica grid, hash-deterministic weights row-local, partial+final aggregate onto the replica dimension",
+      "q_mann_whitney" -> "Mann-Whitney: collapse to the distinct-cents histogram with per-arm counts; x2 integer mid-ranks from one prefix window over that value-dimension frame — raw rows are never ranked",
+      "q_ab_power" -> "A/B power: one user collapse, one 2-level moment aggregate, literal MDE grid against a 1-row stats frame — DECIMAL(38,0) exact ceiling",
+      "q_lsh_tuning" -> "LSH banding tuner: exact pair set materializes once, collapses to the 4-dp Jaccard histogram, 8-row config grid broadcast over it — the S-curve never evaluates per pair",
+      "q_ndcg" -> "nDCG@10: the BM25 top-k pipeline plus two k-row broadcast discount joins — grading costs nothing beyond the ranking scan",
+      "q_nucleus_vocab" -> "nucleus coverage: one (source, token) collapse, per-source prefix window over the vocab-sized frequency table, integer mass threshold",
+      "q_dp_contribution" -> "DP contribution bounds: one (type, day, user) collapse, broadcast cap grid, least()/clip arithmetic on the cell frame",
+      "q_feature_hash" -> "feature hashing audit: one vocabulary collapse hashed once, size grid broadcast, distinct-bucket count per cell",
+      "q_cohen_kappa" -> "Cohen's kappa: two row-local label projections joined on doc_id, collapsed to a single confusion row — exact integer cells")
 
     val sb = new StringBuilder
     sb.append("# PLANS — explain(\"formatted\") for headline queries\n\n")
