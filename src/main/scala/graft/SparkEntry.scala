@@ -670,6 +670,10 @@ object SparkEntry {
     // Bloom gate capacity table at the corpus's exact key count
     "q_bloom_sizing" -> ((s, d) =>
       Dedup.bloomSizing(TextAnalysis.documents(s, d))),
+    // epsilon-neighbor spatial self-join: grid-cell equi-join + exact
+    // integer circle residual — never an all-pairs distance join
+    "q_spatial_join" -> ((s, d) =>
+      Spatial.spatialNeighbors(Analytics.events(s, d))),
     // deterministic Poisson bootstrap SE of the mean order value — the
     // shardable resampling twin of q_jackknife
     "q_poisson_bootstrap" -> ((s, d) =>
@@ -4249,6 +4253,7 @@ object SparkEntry {
     "q_nucleus_vocab" -> TextAnalysis.nucleusVocabOracleSql(),
     "q_cohen_kappa" -> TextAnalysis.cohenKappaOracleSql(),
     "q_bloom_sizing" -> Dedup.bloomSizingOracleSql(),
+    "q_spatial_join" -> Spatial.spatialNeighborsOracleSql(),
     "q_poisson_bootstrap" -> Relational.poissonBootstrapOracleSql(),
     "q_kcenter_select" -> Similarity.kCenterOracleSql(),
     "q_ngram_jaccard" ->
