@@ -392,6 +392,17 @@ object SparkEntry {
     }),
     // SQL pipe syntax (Spark 4): the same relational algebra, dataflow
     // order — parser surface a migrating user will reach for
+    // GROUP BY ALL / ORDER BY ALL through the parser (Spark 4 dialect
+    // surface; DuckDB originated the shorthand, so the oracle is native)
+    "q_sql_group_by_all" -> ((s, d) => {
+      Relational.table(s, d, "orders").createOrReplaceTempView("orders_gba")
+      s.sql(
+        """SELECT o_orderpriority, o_orderstatus,
+          |  count(*) AS n_orders,
+          |  sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+          |FROM orders_gba
+          |GROUP BY ALL ORDER BY ALL""".stripMargin)
+    }),
     "q_sql_pipe" -> ((s, d) => {
       Analytics.events(s, d).createOrReplaceTempView("events_pipe")
       s.sql(
@@ -674,6 +685,12 @@ object SparkEntry {
     // integer circle residual — never an all-pairs distance join
     "q_spatial_join" -> ((s, d) =>
       Spatial.spatialNeighbors(Analytics.events(s, d))),
+    // order-statistic (binomial-rank) 95% CI for the median order value
+    "q_median_ci" -> ((s, d) =>
+      Relational.medianCI(Relational.table(s, d, "orders"))),
+    // top entry paths (first 3 steps) with per-path conversion rate
+    "q_journey_prefixes" -> ((s, d) =>
+      Analytics.journeyPrefixes(Analytics.events(s, d))),
     // deterministic Poisson bootstrap SE of the mean order value — the
     // shardable resampling twin of q_jackknife
     "q_poisson_bootstrap" -> ((s, d) =>
@@ -4254,6 +4271,14 @@ object SparkEntry {
     "q_cohen_kappa" -> TextAnalysis.cohenKappaOracleSql(),
     "q_bloom_sizing" -> Dedup.bloomSizingOracleSql(),
     "q_spatial_join" -> Spatial.spatialNeighborsOracleSql(),
+    "q_median_ci" -> Relational.medianCIOracleSql,
+    "q_journey_prefixes" -> Analytics.journeyPrefixesOracleSql(),
+    "q_sql_group_by_all" ->
+      """SELECT o_orderpriority, o_orderstatus,
+        |  count(*)::BIGINT AS n_orders,
+        |  sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))::BIGINT AS cents
+        |FROM orders
+        |GROUP BY ALL ORDER BY ALL""".stripMargin,
     "q_poisson_bootstrap" -> Relational.poissonBootstrapOracleSql(),
     "q_kcenter_select" -> Similarity.kCenterOracleSql(),
     "q_ngram_jaccard" ->

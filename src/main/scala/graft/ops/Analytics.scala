@@ -2037,6 +2037,51 @@ object Analytics {
       .orderBy(col("event_type"))
   }
 
+  /** Entry-path analysis: the top first-three-step journeys and each
+    * path's conversion rate — "how do users who end up buying actually
+    * START?" [[entryExitFlows]] sees only endpoints and [[cepPattern]]
+    * counts one motif; this ranks the actual opening sequences, the
+    * product-analytics view a funnel redesign is argued from.
+    *
+    * Shape: ONE shuffle onto user_id (the [[cepPattern]] deterministic
+    * array_sort assembly, sliced to 3 — per-user payload stays
+    * journey-bounded), then a path-dimension aggregate and a pushed
+    * top-k. Conversion = the user ever purchases, computed in the same
+    * per-user aggregate.
+    */
+  def journeyPrefixes(df: DataFrame, steps: Int = 3, k: Int = 20): DataFrame = {
+    val perUser = df.filter(col("user_id").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(
+        array_join(slice(
+          transform(
+            array_sort(collect_list(struct(col("ts"), col("event_id"),
+              col("event_type").as("t")))),
+            x => x.getField("t")), 1, steps), ">").as("path"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("converted"))
+    perUser.groupBy(col("path"))
+      .agg(count(lit(1)).as("n_users"), sum(col("converted")).as("n_converted"))
+      .withColumn("conv_e4", expr("n_converted * 10000 div n_users"))
+      .orderBy(desc("n_users"), col("path"))
+      .limit(k)
+  }
+
+  /** DuckDB oracle for [[journeyPrefixes]]. */
+  def journeyPrefixesOracleSql(steps: Int = 3, k: Int = 20): String =
+    s"""WITH u AS (
+       |  SELECT user_id,
+       |    array_to_string((array_agg(event_type ORDER BY ts, event_id))
+       |      [1:$steps], '>') AS path,
+       |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+       |      AS converted
+       |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id)
+       |SELECT path, count(*)::BIGINT AS n_users,
+       |  sum(converted)::BIGINT AS n_converted,
+       |  (sum(converted) * 10000 // count(*))::BIGINT AS conv_e4
+       |FROM u GROUP BY path
+       |ORDER BY n_users DESC, path LIMIT $k""".stripMargin
+
   /** Spark's NATIVE session_window aggregation, pinned against a
     * first-principles oracle. [[stream.Sessionize]] implements sessions
     * as custom state; this query runs the built-in operator —

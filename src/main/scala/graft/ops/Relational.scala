@@ -1288,6 +1288,84 @@ object Relational {
       .map { case (t, i) => s"WHEN $h < $t THEN $i" }
       .mkString("CASE ", " ", " ELSE 7 END")
 
+  /** Distribution-free confidence interval for the MEDIAN order value —
+    * the order-statistic (binomial-rank) interval: the values at ranks
+    * ⌊(n − z√n)/2⌋ and ⌈1 + (n + z√n)/2⌉ bracket the true median at
+    * ~95% regardless of the value distribution. [[jackknifeMean]] and
+    * [[poissonBootstrapSE]] quantify the MEAN's uncertainty; heavy-
+    * tailed money data is exactly where the median + this interval is
+    * the honest summary. The median itself is reported as the exact sum
+    * of the two central order statistics (×2 — no halving, the dyadic-
+    * median house rule).
+    *
+    * Shape: the scan collapses to the distinct-cents histogram; every
+    * rank lookup is a conditional min over that value-dimension frame
+    * under one prefix window — the raw rows are never sorted. The rank
+    * arithmetic's one double excursion (z√n) is floor/ceil'd
+    * identically in both engines.
+    */
+  def medianCI(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = orders
+      .select((money("o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy(col("cents")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.orderBy(col("cents"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val stats = hist.agg(coalesce(sum(col("cnt")), lit(0L)).as("n"))
+      .withColumn("rank_lo", expr(
+        """CAST(greatest(1.0, FLOOR((n - 1.959964 * sqrt(CAST(n AS DOUBLE)))
+          |  / 2.0)) AS BIGINT)""".stripMargin))
+      .withColumn("rank_hi", expr(
+        """CAST(least(CAST(n AS DOUBLE), CEIL(1.0
+          |  + (n + 1.959964 * sqrt(CAST(n AS DOUBLE))) / 2.0)) AS BIGINT)"""
+          .stripMargin))
+      .withColumn("m1", expr("(n + 1) div 2"))
+      .withColumn("m2", expr("(n + 2) div 2"))
+    hist.crossJoin(broadcast(stats))
+      .groupBy(col("n"), col("rank_lo"), col("rank_hi"))
+      .agg(
+        (min(when(col("cum") >= col("m1"), col("cents"))) +
+          min(when(col("cum") >= col("m2"), col("cents"))))
+          .as("median_x2_cents"),
+        min(when(col("cum") >= col("rank_lo"), col("cents")))
+          .as("ci_lo_cents"),
+        min(when(col("cum") >= col("rank_hi"), col("cents")))
+          .as("ci_hi_cents"))
+      .select(col("n").as("n_orders"), col("median_x2_cents"),
+        col("ci_lo_cents"), col("ci_hi_cents"), col("rank_lo"),
+        col("rank_hi"))
+  }
+
+  /** DuckDB oracle for [[medianCI]]. */
+  def medianCIOracleSql: String =
+    """WITH h AS (
+      |  SELECT (CAST(o_totalprice AS DECIMAL(18,2)) * 100)::BIGINT AS cents,
+      |    count(*)::BIGINT AS cnt
+      |  FROM orders GROUP BY 1),
+      |c AS (SELECT cents, cnt,
+      |        sum(cnt) OVER (ORDER BY cents
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |      FROM h),
+      |s AS (SELECT coalesce(sum(cnt), 0)::BIGINT AS n FROM h),
+      |r AS (SELECT n,
+      |        CAST(greatest(1.0, FLOOR((n - 1.959964 * sqrt(n::DOUBLE))
+      |          / 2.0)) AS BIGINT) AS rank_lo,
+      |        CAST(least(n::DOUBLE, CEIL(1.0
+      |          + (n + 1.959964 * sqrt(n::DOUBLE)) / 2.0)) AS BIGINT)
+      |          AS rank_hi,
+      |        (n + 1) // 2 AS m1, (n + 2) // 2 AS m2
+      |      FROM s)
+      |SELECT n AS n_orders,
+      |  (min(CASE WHEN cum >= m1 THEN cents END)
+      |    + min(CASE WHEN cum >= m2 THEN cents END))::BIGINT
+      |    AS median_x2_cents,
+      |  min(CASE WHEN cum >= rank_lo THEN cents END)::BIGINT AS ci_lo_cents,
+      |  min(CASE WHEN cum >= rank_hi THEN cents END)::BIGINT AS ci_hi_cents,
+      |  rank_lo, rank_hi
+      |FROM c CROSS JOIN r
+      |GROUP BY n, rank_lo, rank_hi""".stripMargin
+
   /** Poisson bootstrap standard error of the mean order value — the
     * resampling twin of [[jackknifeMean]]. The classical bootstrap
     * resamples n-of-n WITH replacement, which is unshardable (a global

@@ -643,6 +643,22 @@ class AnalyticsSpec extends SparkTestBase {
       ("view", 2L, 666666666L, 166666666L, 500000000L, 6000L)))
   }
 
+  test("journeyPrefixes: opening sequences rank by traffic with exact conversion") {
+    val events = Seq(
+      (1L, 1L, "view", ts(1L)), (2L, 1L, "click", ts(2L)),
+      (3L, 1L, "purchase", ts(3L)),
+      (4L, 2L, "view", ts(1L)), (5L, 2L, "click", ts(2L)),
+      (6L, 3L, "view", ts(1L)), (7L, 3L, "click", ts(2L)),
+      (8L, 3L, "purchase", ts(3L)), (9L, 3L, "error", ts(4L))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = graft.ops.Analytics.journeyPrefixes(events).collect()
+      .map(r => (r.getAs[String]("path"), r.getAs[Long]("n_users"),
+        r.getAs[Long]("n_converted"), r.getAs[Long]("conv_e4"))).toSeq
+    assert(out == Seq(
+      ("view>click>purchase", 2L, 2L, 10000L),
+      ("view>click", 1L, 0L, 0L)))
+  }
+
   test("cepPattern: browse-to-buy regex counts non-overlapping runs per user") {
     val events = Seq(
       // u1: vcvp → one greedy run; u2: vpvp → two runs

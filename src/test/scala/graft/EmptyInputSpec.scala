@@ -196,6 +196,9 @@ class EmptyInputSpec extends SparkTestBase {
     assert(graft.ops.Analytics.cusum(noEventsFull).count() == 0)
     assert(graft.ops.Analytics.theilSen(noEventsFull).count() == 0)
     assert(graft.ops.Analytics.nativeSessionWindow(noEventsFull).count() == 0)
+    assert(graft.ops.Analytics.journeyPrefixes(noEventsFull).count() == 0)
+    val noOrders4 = Seq.empty[(Long, Double)].toDF("o_orderkey", "o_totalprice")
+    assert(graft.ops.Relational.medianCI(noOrders4).count() == 0)
     val mw = graft.ops.Analytics.mannWhitney(noEventsFull).collect().head
     assert(mw.getAs[Long]("n_a") == 0L && mw.getAs[Long]("n_b") == 0L &&
       mw.isNullAt(mw.fieldIndex("z_e4")))

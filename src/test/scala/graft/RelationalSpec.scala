@@ -284,6 +284,20 @@ class RelationalSpec extends SparkTestBase {
     assert(r.getAs[Long]("n_delta_both") == 1L)
   }
 
+  test("medianCI: rank arithmetic and order-statistic selection on five known values") {
+    import spark.implicits._
+    val orders = (1 to 5).map(i => (i.toLong, i * 1.0))
+      .toDF("o_orderkey", "o_totalprice")
+    val r = Relational.medianCI(orders).collect().head
+    // n=5: median ranks 3,3 → 2·300; lo = max(1, ⌊(5−1.96√5)/2⌋) = 1,
+    // hi = min(5, ⌈1+(5+1.96√5)/2⌉) = 5 → full-range CI at tiny n
+    assert(r.getAs[Long]("n_orders") == 5L)
+    assert(r.getAs[Long]("median_x2_cents") == 600L)
+    assert(r.getAs[Long]("rank_lo") == 1L && r.getAs[Long]("rank_hi") == 5L)
+    assert(r.getAs[Long]("ci_lo_cents") == 100L)
+    assert(r.getAs[Long]("ci_hi_cents") == 500L)
+  }
+
   test("poissonBootstrapSE: constant values give zero SE; spread values a positive one") {
     import spark.implicits._
     def orders(prices: Seq[Double]) = prices.zipWithIndex
