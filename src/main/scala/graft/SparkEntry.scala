@@ -691,6 +691,9 @@ object SparkEntry {
     // top entry paths (first 3 steps) with per-path conversion rate
     "q_journey_prefixes" -> ((s, d) =>
       Analytics.journeyPrefixes(Analytics.events(s, d))),
+    // portable order-free table checksum — cross-engine copy validation
+    "q_table_checksum" -> ((s, d) =>
+      Analytics.tableChecksum(Analytics.events(s, d))),
     // deterministic Poisson bootstrap SE of the mean order value — the
     // shardable resampling twin of q_jackknife
     "q_poisson_bootstrap" -> ((s, d) =>
@@ -4273,6 +4276,7 @@ object SparkEntry {
     "q_spatial_join" -> Spatial.spatialNeighborsOracleSql(),
     "q_median_ci" -> Relational.medianCIOracleSql,
     "q_journey_prefixes" -> Analytics.journeyPrefixesOracleSql(),
+    "q_table_checksum" -> Analytics.tableChecksumOracleSql,
     "q_sql_group_by_all" ->
       """SELECT o_orderpriority, o_orderstatus,
         |  count(*)::BIGINT AS n_orders,

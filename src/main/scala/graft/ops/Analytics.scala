@@ -2037,6 +2037,75 @@ object Analytics {
       .orderBy(col("event_type"))
   }
 
+  /** Portable order-free table checksum — the migration-validation
+    * primitive this very project runs on: after copying 100 TB between
+    * engines (or formats, or clouds), prove row-level equality WITHOUT
+    * shipping rows. Each row folds to one integer through plain modular
+    * arithmetic (no engine-private hash — any SQL engine can replay it),
+    * and the per-group SUM of row hashes is order- and partition-free,
+    * so two engines agree iff the multisets of rows agree (mod-M sum
+    * collisions are the usual 1/M caveat). Grouped by event_type so a
+    * mismatch localizes before anyone bisects 100 TB.
+    *
+    * Shape: row-local hashing, one partial+final aggregate onto the
+    * type dimension plus a grand-total row via rollup. Nulls fold as
+    * sentinels, money as exact cents, timestamps as unix micros.
+    */
+  private val ChecksumM = 1000000007L
+
+  /** The five-field fold as expression text, parameterized by each
+    * engine's non-negative-mod form so BOTH run literally the same
+    * arithmetic chain: h = fold over (event_id, user_id, typehash,
+    * cents, ts_us) of pmod(h·p + field, M).
+    */
+  private def checksumChain(pmodOf: String => String, typeHash: String,
+      tsUs: String): String = {
+    val fields = Seq(
+      ("coalesce(event_id, -1)", 1L),
+      ("coalesce(user_id, -1)", 31L),
+      (typeHash, 131L),
+      ("coalesce(CAST(round(value * 100, 0) AS BIGINT), -1)", 31L),
+      (s"coalesce($tsUs, -1)", 131L))
+    fields.foldLeft("0") { case (acc, (f, p)) =>
+      pmodOf(s"($acc) * $p + $f")
+    }
+  }
+
+  def tableChecksum(df: DataFrame): DataFrame = {
+    val h = checksumChain(
+      x => s"pmod($x, ${ChecksumM}L)",
+      // PolyHash via the shared codegen'd expression, registered below
+      "th", "unix_micros(ts)")
+    df.withColumn("th", TextAnalysis.rollingFingerprint(col("event_type")))
+      .withColumn("h", expr(h))
+      .rollup(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr(s"pmod(sum(h), ${ChecksumM}L)").as("checksum"))
+      .withColumn("event_type", coalesce(col("event_type"), lit("TOTAL")))
+      .orderBy(col("event_type"))
+  }
+
+  /** DuckDB oracle for [[tableChecksum]]. */
+  def tableChecksumOracleSql: String = {
+    val typeHash =
+      """list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(string_split(event_type, ''),
+        |        c -> ord(c)::BIGINT)),
+        |      (a, b) -> (a * 31 + b) % 1000000007)""".stripMargin
+    val h = checksumChain(
+      x => s"((($x) % $ChecksumM + $ChecksumM) % $ChecksumM)",
+      typeHash, "epoch_us(ts)")
+    s"""WITH h AS (SELECT event_type, $h AS h FROM events),
+       |g AS (SELECT event_type, count(*)::BIGINT AS n_rows,
+       |        (sum(h) % $ChecksumM)::BIGINT AS checksum
+       |      FROM h GROUP BY event_type),
+       |t AS (SELECT 'TOTAL' AS event_type, count(*)::BIGINT AS n_rows,
+       |        (sum(h) % $ChecksumM)::BIGINT AS checksum
+       |      FROM h HAVING count(*) > 0)
+       |SELECT * FROM g UNION ALL SELECT * FROM t ORDER BY event_type"""
+      .stripMargin
+  }
+
   /** Entry-path analysis: the top first-three-step journeys and each
     * path's conversion rate — "how do users who end up buying actually
     * START?" [[entryExitFlows]] sees only endpoints and [[cepPattern]]

@@ -643,6 +643,31 @@ class AnalyticsSpec extends SparkTestBase {
       ("view", 2L, 666666666L, 166666666L, 500000000L, 6000L)))
   }
 
+  test("tableChecksum: partition-free, and a one-cent mutation flips exactly its type's cell") {
+    val base = Seq(
+      (1L, 1L, "view", 1.0, ts(1000000L)),
+      (2L, 2L, "view", 2.0, ts(2000000L)),
+      (3L, 3L, "click", 3.0, ts(3000000L))
+    ).toDF("event_id", "user_id", "event_type", "value", "ts")
+    def sums(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.Analytics.tableChecksum(df).collect()
+        .map(r => r.getAs[String]("event_type") ->
+          (r.getAs[Long]("n_rows"), r.getAs[Long]("checksum"))).toMap
+    val a = sums(base)
+    // physical layout must not matter: same multiset, same checksum
+    assert(sums(base.repartition(7)) == a)
+    // one-cent change in a view row: view + TOTAL move, click does not
+    val mutated = Seq(
+      (1L, 1L, "view", 1.01, ts(1000000L)),
+      (2L, 2L, "view", 2.0, ts(2000000L)),
+      (3L, 3L, "click", 3.0, ts(3000000L))
+    ).toDF("event_id", "user_id", "event_type", "value", "ts")
+    val b = sums(mutated)
+    assert(a("click") == b("click"))
+    assert(a("view")._1 == b("view")._1 && a("view")._2 != b("view")._2)
+    assert(a("TOTAL")._2 != b("TOTAL")._2)
+  }
+
   test("journeyPrefixes: opening sequences rank by traffic with exact conversion") {
     val events = Seq(
       (1L, 1L, "view", ts(1L)), (2L, 1L, "click", ts(2L)),

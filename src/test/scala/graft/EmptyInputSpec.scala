@@ -197,6 +197,8 @@ class EmptyInputSpec extends SparkTestBase {
     assert(graft.ops.Analytics.theilSen(noEventsFull).count() == 0)
     assert(graft.ops.Analytics.nativeSessionWindow(noEventsFull).count() == 0)
     assert(graft.ops.Analytics.journeyPrefixes(noEventsFull).count() == 0)
+    // rollup over empty input emits nothing — no grand-total row either
+    assert(graft.ops.Analytics.tableChecksum(noEventsFull).count() == 0)
     val noOrders4 = Seq.empty[(Long, Double)].toDF("o_orderkey", "o_totalprice")
     assert(graft.ops.Relational.medianCI(noOrders4).count() == 0)
     val mw = graft.ops.Analytics.mannWhitney(noEventsFull).collect().head
