@@ -103,7 +103,11 @@ object DumpPlans {
       "q_nucleus_vocab" -> "nucleus coverage: one (source, token) collapse, per-source prefix window over the vocab-sized frequency table, integer mass threshold",
       "q_dp_contribution" -> "DP contribution bounds: one (type, day, user) collapse, broadcast cap grid, least()/clip arithmetic on the cell frame",
       "q_feature_hash" -> "feature hashing audit: one vocabulary collapse hashed once, size grid broadcast, distinct-bucket count per cell",
-      "q_cohen_kappa" -> "Cohen's kappa: two row-local label projections joined on doc_id, collapsed to a single confusion row — exact integer cells")
+      "q_cohen_kappa" -> "Cohen's kappa: two row-local label projections joined on doc_id, collapsed to a single confusion row — exact integer cells",
+      "q_spatial_join" -> "ε-neighbor spatial join: points collapse once, LEFT side explodes to its 3×3 cell neighborhood (24-byte rows), cell-key EQUI-join with the exact-BIGINT circle test as residual — never a nested-loop distance join",
+      "q_median_ci" -> "median order-statistic CI: collapse to the distinct-cents histogram, one prefix window, every rank lookup a conditional min — raw rows never sorted",
+      "q_journey_prefixes" -> "entry paths: one user_id shuffle (deterministic array_sort journey assembly), path-dimension aggregate, pushed top-k",
+      "q_table_checksum" -> "table checksum: row-local modular fold, partial+final rollup aggregate — the whole audit is one scan and one kilobyte of output")
 
     val sb = new StringBuilder
     sb.append("# PLANS — explain(\"formatted\") for headline queries\n\n")
