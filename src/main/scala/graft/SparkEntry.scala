@@ -392,6 +392,21 @@ object SparkEntry {
     }),
     // SQL pipe syntax (Spark 4): the same relational algebra, dataflow
     // order — parser surface a migrating user will reach for
+    // SQL-defined scalar function through the parser (Spark 4 SQL UDF:
+    // CREATE FUNCTION ... RETURNS ... RETURN expr) — the oracle inlines
+    // the same expression, proving the mechanism changes nothing
+    "q_sql_udf" -> ((s, d) => {
+      Relational.table(s, d, "orders").createOrReplaceTempView("orders_udf")
+      s.sql(
+        """CREATE OR REPLACE TEMPORARY FUNCTION order_cents(x DOUBLE)
+          |RETURNS BIGINT RETURN CAST(round(x * 100, 0) AS BIGINT)"""
+          .stripMargin)
+      s.sql(
+        """SELECT o_orderpriority, count(*) AS n_orders,
+          |  sum(order_cents(o_totalprice)) AS cents
+          |FROM orders_udf GROUP BY o_orderpriority
+          |ORDER BY o_orderpriority""".stripMargin)
+    }),
     // GROUP BY ALL / ORDER BY ALL through the parser (Spark 4 dialect
     // surface; DuckDB originated the shorthand, so the oracle is native)
     "q_sql_group_by_all" -> ((s, d) => {
@@ -666,6 +681,10 @@ object SparkEntry {
     // on the collapsed value histogram
     "q_mann_whitney" -> ((s, d) =>
       Analytics.mannWhitney(Analytics.events(s, d))),
+    // Welch's unequal-variance t on the same arms — exact moments, one
+    // double excursion for the statistic
+    "q_welch_ttest" -> ((s, d) =>
+      Analytics.welchTTest(Analytics.events(s, d))),
     // hashing-trick sizing: collision share per 2^bits table over the
     // once-collapsed vocabulary
     "q_feature_hash" -> ((s, d) =>
@@ -4268,6 +4287,7 @@ object SparkEntry {
     "q_theilsen" -> Analytics.theilSenOracleSql,
     "q_native_session_window" -> Analytics.nativeSessionWindowOracleSql(),
     "q_mann_whitney" -> Analytics.mannWhitneyOracleSql,
+    "q_welch_ttest" -> Analytics.welchTTestOracleSql,
     "q_feature_hash" -> TextAnalysis.featureHashAuditOracleSql(),
     "q_ndcg" -> TextAnalysis.ndcgEvalOracleSql(),
     "q_nucleus_vocab" -> TextAnalysis.nucleusVocabOracleSql(),
@@ -4277,6 +4297,11 @@ object SparkEntry {
     "q_median_ci" -> Relational.medianCIOracleSql,
     "q_journey_prefixes" -> Analytics.journeyPrefixesOracleSql(),
     "q_table_checksum" -> Analytics.tableChecksumOracleSql,
+    "q_sql_udf" ->
+      """SELECT o_orderpriority, count(*)::BIGINT AS n_orders,
+        |  sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))::BIGINT AS cents
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     "q_sql_group_by_all" ->
       """SELECT o_orderpriority, o_orderstatus,
         |  count(*)::BIGINT AS n_orders,

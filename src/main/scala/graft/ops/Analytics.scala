@@ -2202,6 +2202,76 @@ object Analytics {
        |ORDER BY user_id, start_us""".stripMargin
   }
 
+  /** Welch's unequal-variance t — the parametric sibling of
+    * [[mannWhitney]] on the same user-parity arms: difference of mean
+    * purchase values in units of its standard error, with each arm's own
+    * variance (never pooled — arm sizes and spreads differ by design in
+    * any real rollout). Moments are exact integers (BIGINT Σx,
+    * DECIMAL(38,0) Σx²); the t statistic is the single double excursion
+    * (two exact-integer-sourced divisions, one correctly-rounded sqrt),
+    * e4-rounded — the [[abPower]] constant-free discipline.
+    *
+    * Shape: one partial+final aggregate onto the 2-row arm dimension;
+    * the statistic assembles on that.
+    */
+  def welchTTest(df: DataFrame): DataFrame = {
+    val vals = df.filter(col("user_id").isNotNull &&
+        col("event_type") === "purchase")
+      .select((col("user_id") % 2).as("arm"),
+        expr("CAST(round(value * 100, 0) AS BIGINT)").as("cents"))
+    val arms = vals.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sx"),
+        sum(expr("CAST(cents AS DECIMAL(38,0)) * cents")).as("sxx"))
+      .withColumn("mean_cents", expr("sx div n"))
+      .withColumn("var_c2", expr(
+        """CASE WHEN n > 1 THEN CAST(
+          |  (n * sxx - CAST(sx AS DECIMAL(38,0)) * sx)
+          |    div (CAST(n AS DECIMAL(38,0)) * (n - 1)) AS BIGINT)
+          |END""".stripMargin))
+    val a = arms.filter(col("arm") === 0L)
+      .select(col("n").as("n_a"), col("sx").as("sx_a"),
+        col("var_c2").as("var_a_c2"), col("mean_cents").as("mean_a_cents"))
+    val b = arms.filter(col("arm") === 1L)
+      .select(col("n").as("n_b"), col("sx").as("sx_b"),
+        col("var_c2").as("var_b_c2"), col("mean_cents").as("mean_b_cents"))
+    a.crossJoin(b)
+      .withColumn("t_e4", expr(
+        """CASE WHEN n_a > 1 AND n_b > 1
+          |       AND var_a_c2 * n_b + var_b_c2 * n_a > 0 THEN
+          |  CAST(round((CAST(sx_a AS DOUBLE) / n_a - CAST(sx_b AS DOUBLE) / n_b)
+          |    * 10000.0 / sqrt(CAST(var_a_c2 AS DOUBLE) / n_a
+          |                     + CAST(var_b_c2 AS DOUBLE) / n_b), 0) AS BIGINT)
+          |END""".stripMargin))
+      .select(col("n_a"), col("n_b"), col("mean_a_cents"),
+        col("mean_b_cents"), col("var_a_c2"), col("var_b_c2"), col("t_e4"))
+  }
+
+  /** DuckDB oracle for [[welchTTest]]. */
+  def welchTTestOracleSql: String =
+    """WITH v AS (
+      |  SELECT user_id % 2 AS arm, CAST(round(value * 100, 0) AS BIGINT)
+      |    AS cents
+      |  FROM events WHERE user_id IS NOT NULL AND event_type = 'purchase'),
+      |m AS (SELECT arm, count(*)::BIGINT AS n, sum(cents)::BIGINT AS sx,
+      |        sum(cents::HUGEINT * cents)::HUGEINT AS sxx
+      |      FROM v GROUP BY arm),
+      |w AS (SELECT arm, n, sx, (sx // n)::BIGINT AS mean_cents,
+      |        (CASE WHEN n > 1 THEN
+      |          (n * sxx - sx::HUGEINT * sx)
+      |            // (n::HUGEINT * (n - 1)) END)::BIGINT AS var_c2
+      |      FROM m)
+      |SELECT a.n AS n_a, b.n AS n_b,
+      |  a.mean_cents AS mean_a_cents, b.mean_cents AS mean_b_cents,
+      |  a.var_c2 AS var_a_c2, b.var_c2 AS var_b_c2,
+      |  (CASE WHEN a.n > 1 AND b.n > 1
+      |          AND a.var_c2 * b.n + b.var_c2 * a.n > 0 THEN
+      |    CAST(round((a.sx::DOUBLE / a.n - b.sx::DOUBLE / b.n)
+      |      * 10000.0 / sqrt(a.var_c2::DOUBLE / a.n + b.var_c2::DOUBLE / b.n),
+      |      0) AS BIGINT)
+      |  END) AS t_e4
+      |FROM (SELECT * FROM w WHERE arm = 0) a
+      |CROSS JOIN (SELECT * FROM w WHERE arm = 1) b""".stripMargin
+
   /** Mann–Whitney U — the rank-sum arm comparison that completes the
     * nonparametric test family ([[Relational]]'s KS and chi-square):
     * does arm A's purchase-value distribution stochastically dominate

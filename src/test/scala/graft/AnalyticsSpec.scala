@@ -749,6 +749,25 @@ class AnalyticsSpec extends SparkTestBase {
       (2L, 2L * gap + 1000L, 3L * gap + 1000L, 1L)))
   }
 
+  test("welchTTest: exact moments and a hand-checked statistic") {
+    // arm0 (even users): {100, 300}; arm1: {200, 200, 500} cents
+    val events = Seq(
+      (1L, 2L, "purchase", 1.0, ts(0L)), (2L, 4L, "purchase", 3.0, ts(0L)),
+      (3L, 1L, "purchase", 2.0, ts(0L)), (4L, 3L, "purchase", 2.0, ts(0L)),
+      (5L, 5L, "purchase", 5.0, ts(0L))
+    ).toDF("event_id", "user_id", "event_type", "value", "ts")
+    val r = graft.ops.Analytics.welchTTest(events).collect().head
+    assert(r.getAs[Long]("n_a") == 2L && r.getAs[Long]("n_b") == 3L)
+    assert(r.getAs[Long]("mean_a_cents") == 200L)
+    assert(r.getAs[Long]("mean_b_cents") == 300L)
+    // var_a = ((100−200)²+(300−200)²)/1 = 20000; var_b = (100²+100²+200²)/2
+    assert(r.getAs[Long]("var_a_c2") == 20000L)
+    assert(r.getAs[Long]("var_b_c2") == 30000L)
+    val expected = math.round(
+      (200.0 - 300.0) * 10000.0 / math.sqrt(20000.0 / 2 + 30000.0 / 3))
+    assert(r.getAs[Long]("t_e4") == expected)
+  }
+
   test("mannWhitney: mid-ranks double to integers; hand-checked U and z") {
     // arm 0 = even users. purchases: arm0 {100, 200, 300}, arm1 {200, 400}
     val events = Seq(

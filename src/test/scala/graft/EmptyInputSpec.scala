@@ -201,6 +201,8 @@ class EmptyInputSpec extends SparkTestBase {
     assert(graft.ops.Analytics.tableChecksum(noEventsFull).count() == 0)
     val noOrders4 = Seq.empty[(Long, Double)].toDF("o_orderkey", "o_totalprice")
     assert(graft.ops.Relational.medianCI(noOrders4).count() == 0)
+    // an absent arm collapses the cross join: zero rows, never a throw
+    assert(graft.ops.Analytics.welchTTest(noEventsFull).count() == 0)
     val mw = graft.ops.Analytics.mannWhitney(noEventsFull).collect().head
     assert(mw.getAs[Long]("n_a") == 0L && mw.getAs[Long]("n_b") == 0L &&
       mw.isNullAt(mw.fieldIndex("z_e4")))

@@ -1085,6 +1085,36 @@ class StreamingSpec extends SparkTestBase {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("dropDuplicatesWithinWatermark: native bounded-state dedup emits each id once") {
+    // the built-in sibling of IngestDedup's exact stage: state for an id
+    // is retained only within the watermark horizon, so the dedup is
+    // bounded without a custom processor — the API a user reaches for
+    // before graduating to the persisted-index pipeline
+    implicit val ctx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[(Long, Long)]
+      val stream = input.toDF().toDF("event_id", "ts_us")
+        .selectExpr("event_id", "timestamp_micros(ts_us) AS ts")
+        .withWatermark("ts", "10 seconds")
+        .dropDuplicatesWithinWatermark("event_id")
+      val q = stream.writeStream.format("memory").queryName("ddww_sink")
+        .outputMode("append").start()
+      try {
+        val sec = 1000000L
+        input.addData((1L, 1 * sec), (2L, 2 * sec), (1L, 3 * sec))
+        q.processAllAvailable()
+        // batch 2: a replay of id 2 within the horizon plus a fresh id
+        input.addData((2L, 4 * sec), (3L, 5 * sec))
+        q.processAllAvailable()
+      } finally q.stop()
+      val ids = spark.table("ddww_sink").collect()
+        .map(_.getAs[Long]("event_id")).sorted.toSeq
+      assert(ids == Seq(1L, 2L, 3L), ids.toString)
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("distinct monitor: replayed KMV state matches the batch sketch exactly") {
     implicit val ctx = spark.sqlContext
     import graft.ops.Sketch
