@@ -392,6 +392,22 @@ object SparkEntry {
     }),
     // SQL pipe syntax (Spark 4): the same relational algebra, dataflow
     // order — parser surface a migrating user will reach for
+    // SQL scripting through the parser (Spark 4: BEGIN/DECLARE/WHILE) —
+    // an iterative control-flow block whose last statement is the result;
+    // the oracle computes the same quantity set-wise
+    "q_sql_script" -> ((s, d) => {
+      Analytics.events(s, d).createOrReplaceTempView("events_script")
+      s.sql(
+        """BEGIN
+          |  DECLARE n BIGINT;
+          |  DECLARE t BIGINT DEFAULT 1;
+          |  SET n = (SELECT count(*) FROM events_script);
+          |  WHILE t * 2 <= n DO
+          |    SET t = t * 2;
+          |  END WHILE;
+          |  SELECT n AS n_events, t AS pow2_floor;
+          |END""".stripMargin)
+    }),
     // SQL-defined scalar function through the parser (Spark 4 SQL UDF:
     // CREATE FUNCTION ... RETURNS ... RETURN expr) — the oracle inlines
     // the same expression, proving the mechanism changes nothing
@@ -4297,6 +4313,13 @@ object SparkEntry {
     "q_median_ci" -> Relational.medianCIOracleSql,
     "q_journey_prefixes" -> Analytics.journeyPrefixesOracleSql(),
     "q_table_checksum" -> Analytics.tableChecksumOracleSql,
+    "q_sql_script" ->
+      """WITH n AS (SELECT count(*)::BIGINT AS n_events FROM events),
+        |p AS (SELECT unnest(list_transform(range(0, 40),
+        |        i -> (1::BIGINT << i::INT))) AS pw)
+        |SELECT n_events,
+        |  (SELECT max(pw) FROM p WHERE pw <= n_events)::BIGINT AS pow2_floor
+        |FROM n""".stripMargin,
     "q_sql_udf" ->
       """SELECT o_orderpriority, count(*)::BIGINT AS n_orders,
         |  sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))::BIGINT AS cents
