@@ -2071,13 +2071,16 @@ object Analytics {
     }
   }
 
+  /** The Spark-side row-hash chain (expects a `th` type-hash column in
+    * scope) — shared with [[graft.stream.ChecksumMonitor]] so the live
+    * fingerprint and the batch audit hash identically by construction.
+    */
+  private[graft] def checksumHashExpr: String = checksumChain(
+    x => s"pmod($x, ${ChecksumM}L)", "th", "unix_micros(ts)")
+
   def tableChecksum(df: DataFrame): DataFrame = {
-    val h = checksumChain(
-      x => s"pmod($x, ${ChecksumM}L)",
-      // PolyHash via the shared codegen'd expression, registered below
-      "th", "unix_micros(ts)")
     df.withColumn("th", TextAnalysis.rollingFingerprint(col("event_type")))
-      .withColumn("h", expr(h))
+      .withColumn("h", expr(checksumHashExpr))
       .rollup(col("event_type"))
       .agg(count(lit(1)).as("n_rows"),
         expr(s"pmod(sum(h), ${ChecksumM}L)").as("checksum"))

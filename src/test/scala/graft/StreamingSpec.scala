@@ -1154,6 +1154,42 @@ class StreamingSpec extends SparkTestBase {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("checksum monitor: running fingerprint equals the batch rollup after replay") {
+    implicit val ctx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val rows = (1 to 30).map(i =>
+        (i.toLong, (i % 7).toLong, if (i % 3 == 0) "view" else "click",
+          i * 1.25, i * 1000000L))
+      val input = MemoryStream[(Long, Long, String, Double, Long)]
+      val stream = input.toDF()
+        .toDF("event_id", "user_id", "event_type", "value", "ts_us")
+        .selectExpr("event_id", "user_id", "event_type", "value",
+          "timestamp_micros(ts_us) AS ts")
+      val q = graft.stream.ChecksumMonitor.monitor(stream).toDF()
+        .writeStream.format("memory").queryName("chk_sink")
+        .outputMode("update").start()
+      try {
+        val (b1, b2) = rows.splitAt(17)
+        input.addData(b1: _*); q.processAllAvailable()
+        input.addData(b2: _*); q.processAllAvailable()
+      } finally q.stop()
+      val last = spark.table("chk_sink").collect()
+        .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n_rows"),
+          r.getAs[Long]("checksum")))
+        .groupBy(_._1).map { case (_, rs) => rs.maxBy(_._2) }.toSeq.sortBy(_._1)
+      val batch = graft.ops.Analytics.tableChecksum(
+        rows.toDF("event_id", "user_id", "event_type", "value", "ts_us")
+          .selectExpr("event_id", "user_id", "event_type", "value",
+            "timestamp_micros(ts_us) AS ts")).collect()
+        .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n_rows"),
+          r.getAs[Long]("checksum")))
+        .filter(_._1 != "TOTAL").toSeq.sortBy(_._1)
+      assert(last == batch, s"stream=$last batch=$batch")
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("cep monitor: NFA match counts equal the batch regex across batch cuts") {
     implicit val ctx = spark.sqlContext
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
