@@ -701,6 +701,12 @@ object SparkEntry {
     // double excursion for the statistic
     "q_welch_ttest" -> ((s, d) =>
       Analytics.welchTTest(Analytics.events(s, d))),
+    // leak-free LOO target encoding with the naive-vs-LOO leakage gap
+    "q_target_encoding" -> ((s, d) =>
+      Analytics.targetEncoding(Analytics.events(s, d))),
+    // per-funnel-step two-proportion z between arms
+    "q_funnel_arm_test" -> ((s, d) =>
+      Analytics.funnelArmTest(Analytics.events(s, d))),
     // hashing-trick sizing: collision share per 2^bits table over the
     // once-collapsed vocabulary
     "q_feature_hash" -> ((s, d) =>
@@ -4304,6 +4310,8 @@ object SparkEntry {
     "q_native_session_window" -> Analytics.nativeSessionWindowOracleSql(),
     "q_mann_whitney" -> Analytics.mannWhitneyOracleSql,
     "q_welch_ttest" -> Analytics.welchTTestOracleSql,
+    "q_target_encoding" -> Analytics.targetEncodingOracleSql,
+    "q_funnel_arm_test" -> Analytics.funnelArmTestOracleSql(),
     "q_feature_hash" -> TextAnalysis.featureHashAuditOracleSql(),
     "q_ndcg" -> TextAnalysis.ndcgEvalOracleSql(),
     "q_nucleus_vocab" -> TextAnalysis.nucleusVocabOracleSql(),

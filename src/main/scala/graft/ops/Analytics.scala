@@ -2205,6 +2205,167 @@ object Analytics {
        |ORDER BY user_id, start_us""".stripMargin
   }
 
+  /** Leak-free target encoding audit — the ML featurizer that turns a
+    * category into its target mean, done the only safe way: each row's
+    * encoding excludes the row itself (leave-one-out), because the naive
+    * version leaks the label into the feature and inflates offline
+    * metrics that collapse in production. Per category: the naive
+    * encoding, the LOO encoding's spread (min/max/mean), and the max
+    * |naive − LOO| gap — the number that says how much leakage the
+    * naive feature would smuggle for THIS cardinality.
+    *
+    * Exactness: LOO enc per row is (S_c − x)/(n_c − 1) from exact
+    * integer cents, e4-quantized per row BEFORE aggregation. Shape: one
+    * collapse to per-category (n, S), broadcast back for the row-local
+    * LOO, one aggregate onto the category dimension.
+    */
+  def targetEncoding(df: DataFrame): DataFrame = {
+    val vals = df.filter(col("user_id").isNotNull)
+      .select(col("event_type"),
+        expr("CAST(round(value * 100, 0) AS BIGINT)").as("cents"))
+    val stats = vals.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_c"), sum(col("cents")).as("s_c"))
+    vals.join(broadcast(stats), Seq("event_type"))
+      .filter(col("n_c") > 1L)
+      .withColumn("loo_e4", expr(
+        """CAST(round(CAST(s_c - cents AS DOUBLE) / (n_c - 1) * 10000, 0)
+          |  AS BIGINT)""".stripMargin))
+      .withColumn("naive_e4", expr(
+        "CAST(round(CAST(s_c AS DOUBLE) / n_c * 10000, 0) AS BIGINT)"))
+      .groupBy(col("event_type"), col("n_c"), col("naive_e4"))
+      .agg(
+        min(col("loo_e4")).as("loo_min_e4"),
+        max(col("loo_e4")).as("loo_max_e4"),
+        expr("sum(loo_e4) div count(1)").as("loo_mean_e4"),
+        max(abs(col("loo_e4") - col("naive_e4"))).as("max_leak_gap_e4"))
+      .select(col("event_type"), col("n_c"), col("naive_e4"),
+        col("loo_min_e4"), col("loo_max_e4"), col("loo_mean_e4"),
+        col("max_leak_gap_e4"))
+      .orderBy(col("event_type"))
+  }
+
+  /** DuckDB oracle for [[targetEncoding]]. */
+  def targetEncodingOracleSql: String =
+    """WITH v AS (
+      |  SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS cents
+      |  FROM events WHERE user_id IS NOT NULL),
+      |s AS (SELECT event_type, count(*)::BIGINT AS n_c,
+      |        sum(cents)::BIGINT AS s_c
+      |      FROM v GROUP BY 1),
+      |r AS (SELECT v.event_type, n_c, cents, s_c,
+      |        CAST(round((s_c - cents)::DOUBLE / (n_c - 1) * 10000, 0)
+      |          AS BIGINT) AS loo_e4,
+      |        CAST(round(s_c::DOUBLE / n_c * 10000, 0) AS BIGINT)
+      |          AS naive_e4
+      |      FROM v JOIN s USING (event_type) WHERE n_c > 1)
+      |SELECT event_type, n_c, naive_e4,
+      |  min(loo_e4)::BIGINT AS loo_min_e4,
+      |  max(loo_e4)::BIGINT AS loo_max_e4,
+      |  (sum(loo_e4) // count(*))::BIGINT AS loo_mean_e4,
+      |  max(abs(loo_e4 - naive_e4))::BIGINT AS max_leak_gap_e4
+      |FROM r GROUP BY 1, 2, 3 ORDER BY event_type""".stripMargin
+
+  /** Per-step funnel arm comparison — the intersection of the funnel and
+    * experimentation planes: for each journey transition (view→click,
+    * click→purchase), each arm's user-level conversion and the pooled
+    * two-proportion z. [[stepFunnel]] reports the funnel; this says
+    * whether the ARMS' funnels differ, step by step — where a treatment
+    * moved the needle, not just whether.
+    *
+    * Exactness: reach counts are exact integers from one user collapse;
+    * the z is the single double excursion per step (exact-integer-
+    * sourced pooled rate, one correctly-rounded sqrt), e4-rounded.
+    * Shape: one user aggregate (reach flags as maxes), one 2×steps-cell
+    * aggregate, step-dimension arithmetic.
+    */
+  def funnelArmTest(
+      df: DataFrame,
+      steps: Seq[(String, String)] =
+        Seq(("view", "click"), ("click", "purchase"))): DataFrame = {
+    val spark = df.sparkSession
+    val reach = steps.flatMap(s => Seq(s._1, s._2)).distinct.map(t =>
+      max(when(col("event_type") === t, 1L).otherwise(0L)).as(s"r_$t"))
+    val users = df.filter(col("user_id").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(reach.head, reach.tail: _*)
+      .withColumn("arm", (col("user_id") % 2).cast("long"))
+    val grid = spark.createDataFrame(
+      steps.zipWithIndex.map { case ((a, b), i) => (i.toLong + 1L, a, b) })
+      .toDF("step", "from_type", "to_type")
+    val cells = steps.zipWithIndex.map { case ((a, b), i) =>
+      users.groupBy(col("arm"))
+        .agg(
+          sum(col(s"r_$a")).as("n_from"),
+          sum(when(col(s"r_$a") === 1L && col(s"r_$b") === 1L, 1L)
+            .otherwise(0L)).as("n_to"))
+        .withColumn("step", lit(i.toLong + 1L))
+    }.reduce(_ unionByName _)
+    val wide = cells.groupBy(col("step"))
+      .agg(
+        sum(when(col("arm") === 0L, col("n_from")).otherwise(0L)).as("from_a"),
+        sum(when(col("arm") === 0L, col("n_to")).otherwise(0L)).as("to_a"),
+        sum(when(col("arm") === 1L, col("n_from")).otherwise(0L)).as("from_b"),
+        sum(when(col("arm") === 1L, col("n_to")).otherwise(0L)).as("to_b"))
+    wide.join(broadcast(grid), "step")
+      .withColumn("conv_a_e4",
+        expr("CASE WHEN from_a > 0 THEN to_a * 10000 div from_a END"))
+      .withColumn("conv_b_e4",
+        expr("CASE WHEN from_b > 0 THEN to_b * 10000 div from_b END"))
+      .withColumn("z_e4", expr(
+        """CASE WHEN from_a > 0 AND from_b > 0
+          |       AND (to_a + to_b) > 0 AND (to_a + to_b) < (from_a + from_b)
+          |THEN CAST(round(
+          |  (CAST(to_a AS DOUBLE) / from_a - CAST(to_b AS DOUBLE) / from_b)
+          |  * 10000.0 / sqrt(
+          |    (CAST(to_a + to_b AS DOUBLE) / (from_a + from_b))
+          |    * (1.0 - CAST(to_a + to_b AS DOUBLE) / (from_a + from_b))
+          |    * (1.0 / from_a + 1.0 / from_b)), 0) AS BIGINT)
+          |END""".stripMargin))
+      .select(col("step"), col("from_type"), col("to_type"),
+        col("from_a"), col("to_a"), col("from_b"), col("to_b"),
+        col("conv_a_e4"), col("conv_b_e4"), col("z_e4"))
+      .orderBy(col("step"))
+  }
+
+  /** DuckDB oracle for [[funnelArmTest]]. */
+  def funnelArmTestOracleSql(
+      steps: Seq[(String, String)] =
+        Seq(("view", "click"), ("click", "purchase"))): String = {
+    val types = steps.flatMap(s => Seq(s._1, s._2)).distinct
+    val reachCols = types.map(t =>
+      s"max(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS r_$t")
+      .mkString(",\n      |        ")
+    val stepRows = steps.zipWithIndex.map { case ((a, b), i) =>
+      s"""SELECT ${i + 1}::BIGINT AS step, '$a' AS from_type, '$b' AS to_type,
+         |    sum(CASE WHEN arm = 0 THEN r_$a ELSE 0 END)::BIGINT AS from_a,
+         |    sum(CASE WHEN arm = 0 AND r_$a = 1 AND r_$b = 1 THEN 1 ELSE 0 END)::BIGINT AS to_a,
+         |    sum(CASE WHEN arm = 1 THEN r_$a ELSE 0 END)::BIGINT AS from_b,
+         |    sum(CASE WHEN arm = 1 AND r_$a = 1 AND r_$b = 1 THEN 1 ELSE 0 END)::BIGINT AS to_b
+         |  FROM u""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH u AS (
+       |  SELECT user_id, user_id % 2 AS arm,
+       |        $reachCols
+       |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+       |c AS (
+       |  $stepRows)
+       |SELECT step, from_type, to_type, from_a, to_a, from_b, to_b,
+       |  (CASE WHEN from_a > 0 THEN to_a * 10000 // from_a END)::BIGINT
+       |    AS conv_a_e4,
+       |  (CASE WHEN from_b > 0 THEN to_b * 10000 // from_b END)::BIGINT
+       |    AS conv_b_e4,
+       |  (CASE WHEN from_a > 0 AND from_b > 0
+       |          AND (to_a + to_b) > 0 AND (to_a + to_b) < (from_a + from_b)
+       |   THEN CAST(round(
+       |     (to_a::DOUBLE / from_a - to_b::DOUBLE / from_b)
+       |     * 10000.0 / sqrt(
+       |       ((to_a + to_b)::DOUBLE / (from_a + from_b))
+       |       * (1.0 - (to_a + to_b)::DOUBLE / (from_a + from_b))
+       |       * (1.0 / from_a + 1.0 / from_b)), 0) AS BIGINT)
+       |   END) AS z_e4
+       |FROM c ORDER BY step""".stripMargin
+  }
+
   /** Welch's unequal-variance t — the parametric sibling of
     * [[mannWhitney]] on the same user-parity arms: difference of mean
     * purchase values in units of its standard error, with each arm's own

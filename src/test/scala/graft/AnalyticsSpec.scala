@@ -749,6 +749,46 @@ class AnalyticsSpec extends SparkTestBase {
       (2L, 2L * gap + 1000L, 3L * gap + 1000L, 1L)))
   }
 
+  test("targetEncoding: LOO spread and the naive-vs-LOO leakage gap are exact") {
+    val events = Seq(
+      (1L, 1L, "a", 1.0, ts(0L)), (2L, 2L, "a", 3.0, ts(0L)),
+      (3L, 3L, "b", 9.0, ts(0L)) // singleton category: LOO undefined, dropped
+    ).toDF("event_id", "user_id", "event_type", "value", "ts")
+    val out = graft.ops.Analytics.targetEncoding(events).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[String]("event_type") == "a")
+    // naive = 200·e4/2 rows... mean 200 cents → 2000000 e4; LOO rows are
+    // 300 and 100 cents → 3000000 / 1000000; gap = 1000000
+    assert(r.getAs[Long]("n_c") == 2L)
+    assert(r.getAs[Long]("naive_e4") == 2000000L)
+    assert(r.getAs[Long]("loo_min_e4") == 1000000L)
+    assert(r.getAs[Long]("loo_max_e4") == 3000000L)
+    assert(r.getAs[Long]("loo_mean_e4") == 2000000L)
+    assert(r.getAs[Long]("max_leak_gap_e4") == 1000000L)
+  }
+
+  test("funnelArmTest: per-step reach, conversion, and pooled z are exact") {
+    val events = Seq(
+      // arm0: u2 full journey, u4 view only
+      (1L, 2L, "view", ts(1L)), (2L, 2L, "click", ts(2L)),
+      (3L, 2L, "purchase", ts(3L)), (4L, 4L, "view", ts(1L)),
+      // arm1: u1 view+click, u3 view only
+      (5L, 1L, "view", ts(1L)), (6L, 1L, "click", ts(2L)),
+      (7L, 3L, "view", ts(1L))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = graft.ops.Analytics.funnelArmTest(events).collect()
+      .map(r => (r.getAs[Long]("step"),
+        (r.getAs[Long]("from_a"), r.getAs[Long]("to_a"),
+          r.getAs[Long]("from_b"), r.getAs[Long]("to_b"),
+          r.getAs[Long]("conv_a_e4"), r.getAs[Long]("conv_b_e4"),
+          r.getAs[Long]("z_e4")))).toMap
+    // view→click: both arms 1 of 2 → z = 0 exactly
+    assert(out(1L) == (2L, 1L, 2L, 1L, 5000L, 5000L, 0L))
+    // click→purchase: 1/1 vs 0/1, pooled p = 1/2 → z = 1e4/√0.5 = 14142
+    assert(out(2L) == (1L, 1L, 1L, 0L, 10000L, 0L, 14142L))
+  }
+
   test("welchTTest: exact moments and a hand-checked statistic") {
     // arm0 (even users): {100, 300}; arm1: {200, 200, 500} cents
     val events = Seq(

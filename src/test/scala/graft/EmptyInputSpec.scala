@@ -203,6 +203,8 @@ class EmptyInputSpec extends SparkTestBase {
     assert(graft.ops.Relational.medianCI(noOrders4).count() == 0)
     // an absent arm collapses the cross join: zero rows, never a throw
     assert(graft.ops.Analytics.welchTTest(noEventsFull).count() == 0)
+    assert(graft.ops.Analytics.targetEncoding(noEventsFull).count() == 0)
+    assert(graft.ops.Analytics.funnelArmTest(noEventsFull).count() == 0)
     val mw = graft.ops.Analytics.mannWhitney(noEventsFull).collect().head
     assert(mw.getAs[Long]("n_a") == 0L && mw.getAs[Long]("n_b") == 0L &&
       mw.isNullAt(mw.fieldIndex("z_e4")))
