@@ -707,6 +707,10 @@ object SparkEntry {
     // per-funnel-step two-proportion z between arms
     "q_funnel_arm_test" -> ((s, d) =>
       Analytics.funnelArmTest(Analytics.events(s, d))),
+    // k-fold eval-stability: across-fold spread of the metric a single
+    // split would report
+    "q_fold_stability" -> ((s, d) =>
+      Analytics.foldStability(Analytics.events(s, d))),
     // hashing-trick sizing: collision share per 2^bits table over the
     // once-collapsed vocabulary
     "q_feature_hash" -> ((s, d) =>
@@ -4312,6 +4316,7 @@ object SparkEntry {
     "q_welch_ttest" -> Analytics.welchTTestOracleSql,
     "q_target_encoding" -> Analytics.targetEncodingOracleSql,
     "q_funnel_arm_test" -> Analytics.funnelArmTestOracleSql(),
+    "q_fold_stability" -> Analytics.foldStabilityOracleSql(),
     "q_feature_hash" -> TextAnalysis.featureHashAuditOracleSql(),
     "q_ndcg" -> TextAnalysis.ndcgEvalOracleSql(),
     "q_nucleus_vocab" -> TextAnalysis.nucleusVocabOracleSql(),

@@ -2205,6 +2205,79 @@ object Analytics {
        |ORDER BY user_id, start_us""".stripMargin
   }
 
+  /** Evaluation-stability audit — is a metric read off one eval split
+    * trustworthy, or fold noise? Users hash deterministically into k
+    * folds ([[graft.ops.Corpus]] split discipline); each fold's mean
+    * purchase value is an exact integer; the across-fold spread (exact
+    * integer variance of fold means, IEEE-exact final sqrt) is the
+    * error bar any single-split metric carries. A CV above a few
+    * percent says "your eval split is too small to resolve the deltas
+    * you are reading".
+    *
+    * Shape: one collapse onto the k-row fold dimension, then 1-row
+    * arithmetic — the [[Relational.poissonBootstrapSE]] shape with
+    * folds instead of replicas.
+    */
+  def foldStability(df: DataFrame, k: Int = 8): DataFrame = {
+    require(k > 1, "need at least 2 folds")
+    val folds = df.filter(col("user_id").isNotNull &&
+        col("event_type") === "purchase")
+      .select(
+        expr(s"pmod(user_id * 1103515245L + 12345L, ${1000000007L}L) % ${k}L")
+          .as("fold"),
+        expr("CAST(round(value * 100, 0) AS BIGINT)").as("cents"))
+      .groupBy(col("fold"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sx"))
+      .filter(col("n") > 0L)
+      .withColumn("m", expr("sx div n"))
+    folds.agg(
+      count(lit(1)).as("n_folds"),
+      coalesce(sum(col("n")), lit(0L)).as("n_rows"),
+      sum(col("m")).as("sm"),
+      sum(col("m") * col("m")).as("smm"),
+      min(col("m")).as("fold_mean_min_cents"),
+      max(col("m")).as("fold_mean_max_cents"))
+      .withColumn("fold_sd_cents", expr(
+        """CASE WHEN n_folds >= 2 THEN
+          |  CAST(round(sqrt(CAST((n_folds * smm - sm * sm)
+          |    div (n_folds * (n_folds - 1)) AS DOUBLE)), 0) AS BIGINT)
+          |END""".stripMargin))
+      .withColumn("cv_e4", expr(
+        """CASE WHEN n_folds >= 2 AND sm > 0 THEN
+          |  fold_sd_cents * n_folds * 10000 div sm
+          |END""".stripMargin))
+      .select(col("n_folds"), col("n_rows"), col("fold_mean_min_cents"),
+        col("fold_mean_max_cents"), col("fold_sd_cents"), col("cv_e4"))
+  }
+
+  /** DuckDB oracle for [[foldStability]]. */
+  def foldStabilityOracleSql(k: Int = 8): String =
+    s"""WITH f AS (
+       |  SELECT ((user_id * 1103515245 + 12345) % 1000000007) % $k AS fold,
+       |    count(*)::BIGINT AS n,
+       |    sum(CAST(round(value * 100, 0) AS BIGINT))::BIGINT AS sx
+       |  FROM events
+       |  WHERE user_id IS NOT NULL AND event_type = 'purchase'
+       |  GROUP BY 1),
+       |m AS (SELECT fold, n, sx, (sx // n)::BIGINT AS m FROM f WHERE n > 0),
+       |a AS (SELECT count(*)::BIGINT AS n_folds,
+       |        coalesce(sum(n), 0)::BIGINT AS n_rows,
+       |        sum(m)::BIGINT AS sm, sum(m * m)::BIGINT AS smm,
+       |        min(m)::BIGINT AS fold_mean_min_cents,
+       |        max(m)::BIGINT AS fold_mean_max_cents
+       |      FROM m),
+       |s AS (SELECT *,
+       |        (CASE WHEN n_folds >= 2 THEN
+       |          CAST(round(sqrt(((n_folds * smm - sm * sm)
+       |            // (n_folds * (n_folds - 1)))::DOUBLE), 0) AS BIGINT)
+       |        END) AS fold_sd_cents
+       |      FROM a)
+       |SELECT n_folds, n_rows, fold_mean_min_cents, fold_mean_max_cents,
+       |  fold_sd_cents,
+       |  (CASE WHEN n_folds >= 2 AND sm > 0 THEN
+       |    fold_sd_cents * n_folds * 10000 // sm END)::BIGINT AS cv_e4
+       |FROM s""".stripMargin
+
   /** Leak-free target encoding audit — the ML featurizer that turns a
     * category into its target mean, done the only safe way: each row's
     * encoding excludes the row itself (leave-one-out), because the naive

@@ -2,7 +2,7 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import graft.ops.{Corpus, Dedup, TextAnalysis}
+import graft.ops.{Corpus, Dedup, Similarity, TextAnalysis}
 
 /** End-to-end curation demo — the "switch to this library" walkthrough:
   * one main that takes a testdata dir and runs the full training-data
@@ -66,6 +66,14 @@ object Curate {
     println("== 7. tokenizer readouts ==")
     TextAnalysis.vocabCoverage(docs).show()
     TextAnalysis.sourceSimilarity(docs, vocabSize = 20).show(5, truncate = false)
+
+    println("== 8. index sizing (before committing the dedup gates) ==")
+    Dedup.lshTuningSweep(docs).show(8, truncate = false)
+    Dedup.bloomSizing(docs).show(12, truncate = false)
+
+    println("== 9. diverse exemplar selection (greedy k-center) ==")
+    Similarity.kCenterSelect(
+      Similarity.embeddings(spark, sfDir), k = 8).show(8, truncate = false)
 
     println("curation walkthrough complete")
     spark.stop()

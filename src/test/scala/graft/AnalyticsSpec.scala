@@ -749,6 +749,24 @@ class AnalyticsSpec extends SparkTestBase {
       (2L, 2L * gap + 1000L, 3L * gap + 1000L, 1L)))
   }
 
+  test("foldStability: constant metric has zero spread; varied metric a positive one") {
+    val flat = (1 to 64).map(i =>
+      (i.toLong, i.toLong, "purchase", 2.0, ts(0L)))
+      .toDF("event_id", "user_id", "event_type", "value", "ts")
+    val f = graft.ops.Analytics.foldStability(flat).collect().head
+    assert(f.getAs[Long]("n_rows") == 64L)
+    assert(f.getAs[Long]("fold_sd_cents") == 0L)
+    assert(f.getAs[Long]("cv_e4") == 0L)
+    assert(f.getAs[Long]("fold_mean_min_cents") == 200L)
+    val varied = (1 to 64).map(i =>
+      (i.toLong, i.toLong, "purchase", i * 1.0, ts(0L)))
+      .toDF("event_id", "user_id", "event_type", "value", "ts")
+    val v = graft.ops.Analytics.foldStability(varied).collect().head
+    assert(v.getAs[Long]("fold_sd_cents") > 0L)
+    assert(v.getAs[Long]("fold_mean_min_cents") <
+      v.getAs[Long]("fold_mean_max_cents"))
+  }
+
   test("targetEncoding: LOO spread and the naive-vs-LOO leakage gap are exact") {
     val events = Seq(
       (1L, 1L, "a", 1.0, ts(0L)), (2L, 2L, "a", 3.0, ts(0L)),

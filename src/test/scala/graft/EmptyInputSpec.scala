@@ -205,6 +205,10 @@ class EmptyInputSpec extends SparkTestBase {
     assert(graft.ops.Analytics.welchTTest(noEventsFull).count() == 0)
     assert(graft.ops.Analytics.targetEncoding(noEventsFull).count() == 0)
     assert(graft.ops.Analytics.funnelArmTest(noEventsFull).count() == 0)
+    // global agg row is defined on empty: 0 folds, null spread
+    val fs = graft.ops.Analytics.foldStability(noEventsFull).collect().head
+    assert(fs.getAs[Long]("n_folds") == 0L &&
+      fs.isNullAt(fs.fieldIndex("fold_sd_cents")))
     val mw = graft.ops.Analytics.mannWhitney(noEventsFull).collect().head
     assert(mw.getAs[Long]("n_a") == 0L && mw.getAs[Long]("n_b") == 0L &&
       mw.isNullAt(mw.fieldIndex("z_e4")))
