@@ -711,6 +711,9 @@ object SparkEntry {
     // split would report
     "q_fold_stability" -> ((s, d) =>
       Analytics.foldStability(Analytics.events(s, d))),
+    // uplift per engagement decile — the heterogeneity an ATE hides
+    "q_uplift_deciles" -> ((s, d) =>
+      Analytics.upliftDeciles(Analytics.events(s, d))),
     // hashing-trick sizing: collision share per 2^bits table over the
     // once-collapsed vocabulary
     "q_feature_hash" -> ((s, d) =>
@@ -4317,6 +4320,7 @@ object SparkEntry {
     "q_target_encoding" -> Analytics.targetEncodingOracleSql,
     "q_funnel_arm_test" -> Analytics.funnelArmTestOracleSql(),
     "q_fold_stability" -> Analytics.foldStabilityOracleSql(),
+    "q_uplift_deciles" -> Analytics.upliftDecilesOracleSql(),
     "q_feature_hash" -> TextAnalysis.featureHashAuditOracleSql(),
     "q_ndcg" -> TextAnalysis.ndcgEvalOracleSql(),
     "q_nucleus_vocab" -> TextAnalysis.nucleusVocabOracleSql(),

@@ -2205,6 +2205,83 @@ object Analytics {
        |ORDER BY user_id, start_us""".stripMargin
   }
 
+  /** Uplift-by-decile readout — the heterogeneity view an average
+    * treatment effect hides: rank users by an engagement proxy (view
+    * count), split into deciles, and report the arms' conversion gap
+    * PER DECILE. A treatment that helps heavy browsers and hurts
+    * light ones nets to zero in [[cupedLift]]'s average; this table is
+    * where targeting decisions actually come from (the per-segment
+    * uplift curve behind Qini/uplift-AUC).
+    *
+    * Determinism: deciles come from ntile over the total order
+    * (views desc, user_id) on the USER dimension; all counts exact,
+    * conversion shares integer-e4. Shape: one user collapse, one
+    * user-dimension window, a 10-row aggregate.
+    */
+  def upliftDeciles(df: DataFrame, deciles: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val users = df.filter(col("user_id").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("views"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("converted"))
+      .withColumn("arm", (col("user_id") % 2).cast("long"))
+      .withColumn("decile", ntile(deciles).over(
+        Window.orderBy(desc("views"), col("user_id"))).cast("long"))
+    users.groupBy(col("decile"))
+      .agg(
+        sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("n_t"),
+        sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("n_c"),
+        sum(when(col("arm") === 0L, col("converted")).otherwise(0L))
+          .as("conv_t"),
+        sum(when(col("arm") === 1L, col("converted")).otherwise(0L))
+          .as("conv_c"),
+        min(col("views")).as("views_min"),
+        max(col("views")).as("views_max"))
+      .withColumn("rate_t_e4",
+        expr("CASE WHEN n_t > 0 THEN conv_t * 10000 div n_t END"))
+      .withColumn("rate_c_e4",
+        expr("CASE WHEN n_c > 0 THEN conv_c * 10000 div n_c END"))
+      .withColumn("uplift_e4", col("rate_t_e4") - col("rate_c_e4"))
+      .select(col("decile"), col("n_t"), col("n_c"), col("conv_t"),
+        col("conv_c"), col("views_min"), col("views_max"),
+        col("rate_t_e4"), col("rate_c_e4"), col("uplift_e4"))
+      .orderBy(col("decile"))
+  }
+
+  /** DuckDB oracle for [[upliftDeciles]]. */
+  def upliftDecilesOracleSql(deciles: Int = 10): String =
+    s"""WITH u AS (
+       |  SELECT user_id, user_id % 2 AS arm,
+       |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT
+       |      AS views,
+       |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+       |      AS converted
+       |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+       |d AS (SELECT *, ntile($deciles)
+       |        OVER (ORDER BY views DESC, user_id)::BIGINT AS decile
+       |      FROM u),
+       |g AS (SELECT decile,
+       |        sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS n_t,
+       |        sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS n_c,
+       |        sum(CASE WHEN arm = 0 THEN converted ELSE 0 END)::BIGINT
+       |          AS conv_t,
+       |        sum(CASE WHEN arm = 1 THEN converted ELSE 0 END)::BIGINT
+       |          AS conv_c,
+       |        min(views)::BIGINT AS views_min,
+       |        max(views)::BIGINT AS views_max
+       |      FROM d GROUP BY decile)
+       |SELECT decile, n_t, n_c, conv_t, conv_c, views_min, views_max,
+       |  (CASE WHEN n_t > 0 THEN conv_t * 10000 // n_t END)::BIGINT
+       |    AS rate_t_e4,
+       |  (CASE WHEN n_c > 0 THEN conv_c * 10000 // n_c END)::BIGINT
+       |    AS rate_c_e4,
+       |  ((CASE WHEN n_t > 0 THEN conv_t * 10000 // n_t END)
+       |   - (CASE WHEN n_c > 0 THEN conv_c * 10000 // n_c END))::BIGINT
+       |    AS uplift_e4
+       |FROM g ORDER BY decile""".stripMargin
+
   /** Evaluation-stability audit — is a metric read off one eval split
     * trustworthy, or fold noise? Users hash deterministically into k
     * folds ([[graft.ops.Corpus]] split discipline); each fold's mean

@@ -749,6 +749,29 @@ class AnalyticsSpec extends SparkTestBase {
       (2L, 2L * gap + 1000L, 3L * gap + 1000L, 1L)))
   }
 
+  test("upliftDeciles: planted heterogeneity surfaces per decile, nets near zero on average") {
+    // 20 users in 2 deciles of 10. Heavy browsers (users 1-10, 5 views):
+    // treated (even) all convert, control none → uplift +10000. Light
+    // browsers (11-20, 1 view): control converts, treated doesn't →
+    // −10000. The ATE would read ~0.
+    val events = (1 to 20).flatMap { u =>
+      val views = if (u <= 10) 5 else 1
+      val treats = u % 2 == 0
+      val converts = (u <= 10 && treats) || (u > 10 && !treats)
+      (1 to views).map(v => (u * 100L + v, u.toLong, "view",
+        ts(u * 1000000L + v * 1000L))) ++
+        (if (converts) Seq((u * 100L + 99L, u.toLong, "purchase",
+          ts(u * 1000000L + 999000L))) else Nil)
+    }.toDF("event_id", "user_id", "event_type", "ts")
+    val out = graft.ops.Analytics.upliftDeciles(events, deciles = 2)
+      .collect()
+      .map(r => (r.getAs[Long]("decile"),
+        (r.getAs[Long]("n_t"), r.getAs[Long]("n_c"),
+          r.getAs[Long]("uplift_e4")))).toMap
+    assert(out(1L) == (5L, 5L, 10000L))
+    assert(out(2L) == (5L, 5L, -10000L))
+  }
+
   test("foldStability: constant metric has zero spread; varied metric a positive one") {
     val flat = (1 to 64).map(i =>
       (i.toLong, i.toLong, "purchase", 2.0, ts(0L)))

@@ -205,6 +205,7 @@ class EmptyInputSpec extends SparkTestBase {
     assert(graft.ops.Analytics.welchTTest(noEventsFull).count() == 0)
     assert(graft.ops.Analytics.targetEncoding(noEventsFull).count() == 0)
     assert(graft.ops.Analytics.funnelArmTest(noEventsFull).count() == 0)
+    assert(graft.ops.Analytics.upliftDeciles(noEventsFull).count() == 0)
     // global agg row is defined on empty: 0 folds, null spread
     val fs = graft.ops.Analytics.foldStability(noEventsFull).collect().head
     assert(fs.getAs[Long]("n_folds") == 0L &&
