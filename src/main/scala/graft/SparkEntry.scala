@@ -750,9 +750,21 @@ object SparkEntry {
     // newest center broadcast, argmax via 1-row TakeOrdered
     "q_kcenter_select" -> ((s, d) =>
       Similarity.kCenterSelect(Similarity.embeddings(s, d))),
+    // 100 TB regime: greedy rounds on a bottom-k-hash sample, ONE exact
+    // full-corpus pass for the per-center coverage report
+    "q_kcenter_sampled" -> ((s, d) =>
+      Similarity.kCenterSampled(Similarity.embeddings(s, d))),
     // row-group skip audit: arrival vs date layout × three predicates
     "q_rowgroup_prune" -> ((s, d) =>
       Layout.pruneEffectiveness(Analytics.events(s, d))),
+    // D6 read side: one-day scan through the date-partitioned sink copy —
+    // the event_date equality rides PartitionFilters (PlanShapeSpec pin)
+    "q_partitioned_scan" -> ((s, d) =>
+      Layout.partitionedScan(Analytics.events(s, d), d)),
+    // dynamic partition pruning: day predicate on a broadcast date-dim,
+    // dynamicpruningexpression in the fact scan (PlanShapeSpec pin)
+    "q_partitioned_dim_scan" -> ((s, d) =>
+      Layout.partitionedDimScan(Analytics.events(s, d), d)),
     // parquet encoding advisor: NDV/width stats + dictionary estimate
     "q_encoding_advisor" -> ((s, d) =>
       Layout.encodingAdvisor(Relational.table(s, d, "orders"))),
@@ -1141,9 +1153,9 @@ object SparkEntry {
     "q_semantic_dedup" -> ((s, d) =>
       Similarity.semanticDedup(semanticPlanted(Similarity.embeddings(s, d)),
         threshold = 0.9)),
-    // schema introspection (reference README.md:257-263 twin): catalog
-    // metadata, so the driver's rows-only check applies — DuckDB has no
-    // view of the Spark catalog to oracle against
+    // schema introspection (reference README.md:257-263 twin): paired
+    // against DuckDB's OWN information_schema.columns over a 19-col twin
+    // table, under a VARCHAR→STRING / INTEGER→INT type-name mapping
     "q_schema_introspection" -> ((s, d) => {
       // external table is metadata-only here (path need not exist) —
       // the introspection reads the DECLARED 19-column sink schema,
@@ -1282,7 +1294,9 @@ object SparkEntry {
 
   /** DuckDB twins. Omitted (→ driver rows-only check): ONLY
     * q_health_check_approx — HLL estimates are engine-specific by
-    * nature. Every approximate path now carries a value oracle at a
+    * nature (q_schema_introspection pairs against DuckDB's own
+    * information_schema.columns since round 10). Every approximate path
+    * now carries a value oracle at a
     * recall-safe operating point: q_minhash_lsh pairs with the
     * exact-Jaccard oracle (recall 1-ε at its 0.5/32×2 operating point);
     * q_simhash_pairs recomputes the full replicable-hash signature in
@@ -1329,6 +1343,31 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    // catalog introspection: DuckDB builds the 19-col sink twin and reads
+    // its own information_schema.columns; the CASE maps DuckDB type names
+    // onto Spark's dataType.sql convention (VARCHAR→STRING, INTEGER→INT).
+    // All columns nullable: Spark's catalog RELAXES nullability when
+    // registering an external parquet table (a parquet file can always
+    // hold nulls), so YES-everywhere is the declared schema being
+    // introspected, and the twin mirrors it
+    "q_schema_introspection" ->
+      """CREATE OR REPLACE TEMP TABLE graft_sink_twin(
+        |  id VARCHAR, "timestamp" TIMESTAMP,
+        |  message VARCHAR, user_id VARCHAR, event_type VARCHAR,
+        |  value DOUBLE, processed_at TIMESTAMP,
+        |  source VARCHAR, ip_address VARCHAR, user_agent VARCHAR,
+        |  page VARCHAR, referrer VARCHAR, product_id VARCHAR,
+        |  currency VARCHAR, device_id VARCHAR, location VARCHAR,
+        |  message_length INTEGER, event_hour INTEGER,
+        |  data_quality_score INTEGER);
+        |SELECT column_name,
+        |  CASE data_type WHEN 'VARCHAR' THEN 'STRING'
+        |                 WHEN 'INTEGER' THEN 'INT'
+        |                 ELSE data_type END AS data_type,
+        |  is_nullable
+        |FROM information_schema.columns
+        |WHERE table_name = 'graft_sink_twin'
+        |ORDER BY column_name""".stripMargin,
     "q_event_pipeline" ->
       """SELECT event_id AS id,
         |  EXTRACT(hour FROM ts)::INTEGER AS event_hour,
@@ -3027,6 +3066,22 @@ object SparkEntry {
         |    AS n_users_dropped,
         |  (sum(gone) * 10000 // count(*))::BIGINT AS dropped_share_e4
         |FROM j GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "q_partitioned_scan" ->
+      """SELECT event_type, count(*) AS event_count,
+        |  round(sum(CAST(value AS DECIMAL(12,2)))::DOUBLE / count(*), 4) AS avg_value,
+        |  epoch_us(max(ts)) AS latest_event_us
+        |FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-10'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_partitioned_dim_scan" ->
+      """WITH dim(dim_date, tag) AS (VALUES
+        |  (DATE '2024-01-05', 'keep'),
+        |  (DATE '2024-01-12', 'keep'),
+        |  (DATE '2024-01-20', 'drop'))
+        |SELECT CAST(ts AS DATE) AS event_date, count(*) AS event_count,
+        |  round(sum(CAST(value AS DECIMAL(12,2)))::DOUBLE, 2) AS sum_value
+        |FROM events JOIN dim ON CAST(ts AS DATE) = dim.dim_date
+        |WHERE dim.tag = 'keep'
+        |GROUP BY 1 ORDER BY event_date""".stripMargin,
     "q_rowgroup_prune" ->
       """WITH base AS (
         |  SELECT event_id, epoch_us(ts) AS ts_us,
@@ -4350,6 +4405,7 @@ object SparkEntry {
         |GROUP BY ALL ORDER BY ALL""".stripMargin,
     "q_poisson_bootstrap" -> Relational.poissonBootstrapOracleSql(),
     "q_kcenter_select" -> Similarity.kCenterOracleSql(),
+    "q_kcenter_sampled" -> Similarity.kCenterSampledOracleSql(),
     "q_ngram_jaccard" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks FROM documents),
         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),

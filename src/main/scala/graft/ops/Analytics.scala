@@ -3014,12 +3014,19 @@ object Analytics {
       var v = Map.empty[String, Long]
       for (_ <- 1 to iters) {
         val nv = bySrc.map { case (s, xs) =>
+          // BigInt numerator: n * 1e9 wraps Long silently past ~9.2e9
+          // transitions per (src,dst) — model-sized work, so exactness
+          // costs nothing. The quotient is ≤ 1e9 and fits Long again.
+          // (The DuckDB oracle's BIGINT errors loudly at the same
+          // magnitude instead of wrapping, so a mismatch cannot hide.)
           val num = xs.map { case (d, n) =>
-            n * (if (d == "CONV") S
-                 else if (d == "NULL") 0L
-                 else v.getOrElse(d, 0L))
+            val vd: Long =
+              if (d == "CONV") S
+              else if (d == "NULL") 0L
+              else v.getOrElse(d, 0L)
+            BigInt(n) * BigInt(vd)
           }.sum
-          s -> num / out(s)
+          s -> (num / out(s)).toLong
         }
         v = nv
       }

@@ -751,25 +751,6 @@ object Dedup {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
-  /** LSH parameter tuning on YOUR corpus — the S-curve made data-driven.
-    * For every (bands b, rows-per-band r) split of a fixed hash budget
-    * b·r = totalHashes, a pair with Jaccard s is caught with probability
-    * p = 1 − (1 − sʳ)ᵇ. Folklore picks (16, 8); this sweep scores every
-    * split against the corpus's OWN similarity histogram: expected pairs
-    * caught, expected misses among true near-dups (s ≥ 0.8), expected
-    * false-positive candidates (s < 0.5) — the recall/verify-cost frontier
-    * a 100 TB dedup run should pick its banding from. Companion to
-    * [[dedupThresholdSweep]] (which tunes the cutoff; this tunes the index).
-    *
-    * Exactness: pair similarities collapse FIRST onto the 4-dp Jaccard
-    * dimension (≤ 10⁴ distinct values) with integer pair counts; the
-    * S-curve evaluates once per (j_e4, config) cell — e6-quantized to an
-    * integer before the count-weighted sums, so no raw double is ever
-    * aggregated. Shape: the exact pair set materializes once
-    * ([[ngramJaccardPairs]] at the permissive floor, shingle frame
-    * persisted inside); everything downstream runs on the collapsed
-    * histogram crossed with an 8-row broadcast grid.
-    */
   /** Bloom-filter sizing audit — the capacity study behind
     * [[bloomGatedDedup]]'s driver-held filter: for each (bits m, hashes
     * k) candidate, the expected false-positive probability at THIS
@@ -828,6 +809,25 @@ object Dedup {
        |FROM n CROSS JOIN g ORDER BY m_bits, k_hashes""".stripMargin
   }
 
+  /** LSH parameter tuning on YOUR corpus — the S-curve made data-driven.
+    * For every (bands b, rows-per-band r) split of a fixed hash budget
+    * b·r = totalHashes, a pair with Jaccard s is caught with probability
+    * p = 1 − (1 − sʳ)ᵇ. Folklore picks (16, 8); this sweep scores every
+    * split against the corpus's OWN similarity histogram: expected pairs
+    * caught, expected misses among true near-dups (s ≥ 0.8), expected
+    * false-positive candidates (s < 0.5) — the recall/verify-cost frontier
+    * a 100 TB dedup run should pick its banding from. Companion to
+    * [[dedupThresholdSweep]] (which tunes the cutoff; this tunes the index).
+    *
+    * Exactness: pair similarities collapse FIRST onto the 4-dp Jaccard
+    * dimension (≤ 10⁴ distinct values) with integer pair counts; the
+    * S-curve evaluates once per (j_e4, config) cell — e6-quantized to an
+    * integer before the count-weighted sums, so no raw double is ever
+    * aggregated. Shape: the exact pair set materializes once
+    * ([[ngramJaccardPairs]] at the permissive floor, shingle frame
+    * persisted inside); everything downstream runs on the collapsed
+    * histogram crossed with an 8-row broadcast grid.
+    */
   def lshTuningSweep(
       docs: DataFrame,
       totalHashes: Int = 128): DataFrame = {

@@ -163,6 +163,108 @@ object Layout {
       .orderBy(col("layout"), col("pred"))
   }
 
+  /** D6 READ side (reference README.md:353; write side is
+    * [[graft.stream.Pipeline.startSink]]): materialize a date-partitioned
+    * copy of the events table in the sink's exact layout
+    * (`event_date=YYYY-MM-DD/` hive directories, same columns + the
+    * derived partition column) once per (tmpdir, source-dir), and return
+    * its path. Queries that read it through an `event_date` predicate get
+    * PARTITION pruning — directories outside the predicate are never
+    * listed into the scan, which at 100 TB is the first plan property a
+    * deployment checks (row-group pruning inside a flat file, audited by
+    * [[pruneEffectiveness]], only skips AFTER every footer is read).
+    *
+    * Idempotence: a `_GRAFT_READY` marker gates reuse; the double-checked
+    * lock keeps concurrent callers in one JVM (test suite + Verify) from
+    * racing the write. The copy is tmpdir-scoped scratch, not a managed
+    * table — Catalog DDL owns that surface.
+    */
+  def ensurePartitionedEvents(events: DataFrame, sourceDir: String): String = {
+    val safe = sourceDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_part_events_$safe"
+    val ready = java.nio.file.Paths.get(path, "_GRAFT_READY")
+    if (!java.nio.file.Files.exists(ready)) {
+      partitionedEventsLock.synchronized {
+        if (!java.nio.file.Files.exists(ready)) {
+          events
+            .withColumn("event_date", to_date(col("ts")))
+            .write.mode("overwrite")
+            .partitionBy("event_date")
+            .parquet(path)
+          java.nio.file.Files.write(ready, Array.emptyByteArray)
+        }
+      }
+    }
+    path
+  }
+
+  private val partitionedEventsLock = new Object
+
+  /** One-day scan THROUGH the partition layout: the `event_date`
+    * equality is a partition-directory predicate (plan shows it under
+    * `PartitionFilters`, pinned by PlanShapeSpec), so the scan lists one
+    * day's directory and reads nothing else — the layout doing the work
+    * the F4/F5 row-group path does with footers. Aggregation mirrors A1's
+    * exact-decimal discipline so the flat-file DuckDB oracle pairs
+    * hash-exact.
+    */
+  def partitionedScan(events: DataFrame, sourceDir: String, day: String = "2024-01-10"): DataFrame = {
+    val spark = events.sparkSession
+    spark.read.parquet(ensurePartitionedEvents(events, sourceDir))
+      .filter(col("event_date") === lit(day).cast("date"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("event_count"),
+        round(sum(col("value").cast("decimal(12,2)")).cast("double") /
+          count(lit(1)), 4).as("avg_value"),
+        unix_micros(max(col("ts"))).as("latest_event_us"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Dynamic-partition-pruning variant: the day predicate lives on a
+    * DIMENSION frame (a date-dim with a `tag` attribute), not on the fact
+    * scan — the shape of every "this week's partitions via the calendar
+    * table" query at 100 TB. With the dim filtered and broadcast, Catalyst
+    * plants `dynamicpruningexpression(event_date IN ...)` in the fact
+    * scan's PartitionFilters (PlanShapeSpec pins it), so only the dim's
+    * surviving days are listed — the static-pruning win without a literal
+    * on the fact side.
+    */
+  def partitionedDimScan(events: DataFrame, sourceDir: String): DataFrame = {
+    val spark = events.sparkSession
+    val part = spark.read.parquet(ensurePartitionedEvents(events, sourceDir))
+    // the dim must be FILE-backed: a literal Seq constant-folds to a
+    // LocalRelation, its Filter disappears at optimization, and the DPP
+    // rule no longer sees a selective build-side predicate (same finding
+    // as PlanShapeSpec's synthetic DPP pin) — exactly like production,
+    // where the calendar dim is a table, not a literal
+    val dimPath = s"${System.getProperty("java.io.tmpdir")}/graft_date_dim"
+    val dimReady = java.nio.file.Paths.get(dimPath, "_GRAFT_READY")
+    if (!java.nio.file.Files.exists(dimReady)) {
+      partitionedEventsLock.synchronized {
+        if (!java.nio.file.Files.exists(dimReady)) {
+          spark.createDataFrame(Seq(
+              (java.sql.Date.valueOf("2024-01-05"), "keep"),
+              (java.sql.Date.valueOf("2024-01-12"), "keep"),
+              (java.sql.Date.valueOf("2024-01-20"), "drop")))
+            .toDF("dim_date", "tag")
+            .write.mode("overwrite").parquet(dimPath)
+          java.nio.file.Files.write(dimReady, Array.emptyByteArray)
+        }
+      }
+    }
+    val dim = spark.read.parquet(dimPath)
+    part.join(broadcast(dim.filter(col("tag") === "keep")),
+        col("event_date") === col("dim_date"))
+      .groupBy(col("event_date"))
+      .agg(count(lit(1)).as("event_count"),
+        // cents-scale decimal sum is < 2^53, so the double is exact and
+        // merge-order-independent — same discipline as A1
+        round(sum(col("value").cast("decimal(12,2)")).cast("double"), 2)
+          .as("sum_value"))
+      .orderBy(col("event_date"))
+  }
+
   def zorderLayout(
       lineitem: DataFrame,
       bits: Int = 20,

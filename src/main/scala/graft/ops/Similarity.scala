@@ -1283,6 +1283,15 @@ object Similarity {
     * duplicates can never re-win. Output: selection order, id, and the
     * covering radius at selection time (−1 for the seed) — the radius
     * column is the coverage curve a curator reads k off of.
+    *
+    * COST — k FULL CORPUS SCANS (the [[graft.ops.Dedup.ngramJaccardPairs]]
+    * honesty convention): greedy farthest-point is inherently sequential —
+    * round t's argmax depends on round t−1's center — so the corpus is
+    * re-scanned once per selected center. Bounded and cheap for the small
+    * k the primitive is for (k=8 default; lineage is localCheckpoint-cut
+    * per round), but at 100 TB × large k this is the wrong tool: use
+    * [[kCenterSampled]], which runs the greedy rounds on a bottom-k-hash
+    * sample and pays ONE exact full-corpus pass for the coverage report.
     */
   def kCenterSelect(emb: DataFrame, k: Int = 8): DataFrame = {
     import graft.functions.VectorFunctions.vecDot
@@ -1334,27 +1343,80 @@ object Similarity {
     finish(chosen.toSeq)
   }
 
+  /** The 100 TB regime's k-center: greedy farthest-point over a
+    * deterministic bottom-k-hash SAMPLE (so the k sequential scans touch
+    * `sampleSize` rows, not the corpus), then ONE exact full-corpus pass
+    * for the coverage report — per selected center, how many corpus
+    * points it is nearest to (ties to the lowest selection rank) and the
+    * exact max distance inside its cell. The report is what a curator
+    * actually reads (did the sampled centers still cover the corpus?),
+    * and it is the only part that touches all the data.
+    *
+    * Sample membership is engine-exact: an LCG key
+    * `(vec_id * 2654435761) mod 1000000007` ranked bottom-`sampleSize`
+    * (ties on vec_id) — pure integer arithmetic DuckDB reproduces
+    * digit-for-digit, unlike a hash builtin. Distances reuse
+    * [[kCenterSelect]]'s e6 discipline.
+    */
+  def kCenterSampled(
+      emb: DataFrame, k: Int = 8, sampleSize: Int = 64): DataFrame = {
+    import graft.functions.VectorFunctions.vecDot
+    require(k >= 1 && sampleSize >= 1)
+    val corp = emb.select(col("vec_id"), col("embedding"),
+      sqrt(vecDot(col("embedding"), col("embedding"))).as("nrm"))
+    val sample = corp
+      .withColumn("skey",
+        pmod(col("vec_id") * lit(2654435761L), lit(1000000007L)))
+      .orderBy(col("skey"), col("vec_id")).limit(sampleSize)
+      .select(col("vec_id"), col("embedding"))
+    val centers = kCenterSelect(sample, k).select(col("rnk"), col("vec_id"))
+    // k driver-held rows join their embeddings back and broadcast —
+    // the exact pass is corpus × k, one scan, no shuffle of embeddings
+    val cdat = centers
+      .join(corp.select(col("vec_id"), col("embedding").as("w_emb"),
+        col("nrm").as("w_nrm")), "vec_id")
+      .select(col("rnk").as("c_rnk"), col("w_emb"), col("w_nrm"))
+    val distE6 = expr(
+      """CAST(1000000 - round((CASE WHEN nrm = 0.0 OR w_nrm = 0.0 THEN 0.0
+        |  ELSE dot / nrm / w_nrm END) * 1000000, 0) AS BIGINT)""".stripMargin)
+    val assigned = corp.crossJoin(broadcast(cdat))
+      .withColumn("dot", vecDot(col("embedding"), col("w_emb")))
+      .withColumn("d", distE6)
+      .groupBy(col("vec_id"))
+      // lexicographic struct-min = ORDER BY (d, rnk) LIMIT 1 — ties to
+      // the lowest selection rank, mirrored in the oracle's row_number
+      .agg(min(struct(col("d"), col("c_rnk"))).as("best"))
+      .select(col("best.c_rnk").as("rnk"), col("best.d").as("d"))
+      .groupBy(col("rnk"))
+      .agg(count(lit(1)).as("n_assigned"), max(col("d")).as("radius_e6"))
+    centers.join(assigned, Seq("rnk"), "left")
+      .select(col("rnk"), col("vec_id"),
+        coalesce(col("n_assigned"), lit(0L)).as("n_assigned"),
+        coalesce(col("radius_e6"), lit(-1L)).as("radius_e6"))
+      .orderBy(col("rnk"))
+  }
+
   /** DuckDB oracle for [[kCenterSelect]] — the greedy rounds unrolled as a
     * CTE chain (the [[Graph.pageRankOracleSql]] pattern), with the dot
     * product, division order, and e6 quantization mirroring the Spark
     * side element-for-element.
     */
-  def kCenterOracleSql(k: Int = 8): String = {
-    def dist(p: String, w: String): String =
-      s"""(1000000 - round((CASE WHEN $p.nrm = 0 OR $w.nrm = 0 THEN 0
-         |  ELSE list_sum(list_transform(range(1, len($p.e) + 1),
-         |         i -> $p.e[i] * $w.e[i])) / $p.nrm / $w.nrm END)
-         |  * 1000000, 0))::BIGINT""".stripMargin
+  private def kcDist(p: String, w: String): String =
+    s"""(1000000 - round((CASE WHEN $p.nrm = 0 OR $w.nrm = 0 THEN 0
+       |  ELSE list_sum(list_transform(range(1, len($p.e) + 1),
+       |         i -> $p.e[i] * $w.e[i])) / $p.nrm / $w.nrm END)
+       |  * 1000000, 0))::BIGINT""".stripMargin
+
+  /** The unrolled greedy chain (sel1..selK CTEs, no leading WITH) over a
+    * relation `e(vec_id, e, nrm)` the caller's head CTE defines — shared
+    * by the full and sampled oracles.
+    */
+  private def kCenterChainCtes(k: Int): String = {
+    def dist(p: String, w: String): String = kcDist(p, w)
     def exclusion(upTo: Int): String =
       (1 to upTo).map(t => s"SELECT wid FROM sel$t").mkString(" UNION ALL ")
     val head =
-      s"""WITH e AS MATERIALIZED (
-         |  SELECT vec_id,
-         |    list_transform(embedding, x -> x::DOUBLE) AS e,
-         |    sqrt(list_sum(list_transform(embedding,
-         |      x -> x::DOUBLE * x::DOUBLE))) AS nrm
-         |  FROM embeddings),
-         |sel1 AS MATERIALIZED (
+      s"""sel1 AS MATERIALIZED (
          |  SELECT 1::BIGINT AS rnk, vec_id AS wid, (-1)::BIGINT AS mind
          |  FROM e ORDER BY vec_id LIMIT 1),
          |s1 AS MATERIALIZED (
@@ -1380,10 +1442,55 @@ object Similarity {
       else ""
       sel + st
     }.mkString(",\n")
-    val union = (1 to k).map(t => s"SELECT * FROM sel$t").mkString(" UNION ALL ")
-    s"""$head,
-       |$steps
-       |SELECT rnk, wid AS vec_id, mind AS min_dist_e6
-       |FROM ($union) ORDER BY rnk""".stripMargin
+    s"$head,\n$steps"
   }
+
+  private def kCenterUnion(k: Int): String =
+    (1 to k).map(t => s"SELECT * FROM sel$t").mkString(" UNION ALL ")
+
+  def kCenterOracleSql(k: Int = 8): String =
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> x::DOUBLE) AS e,
+       |    sqrt(list_sum(list_transform(embedding,
+       |      x -> x::DOUBLE * x::DOUBLE))) AS nrm
+       |  FROM embeddings),
+       |${kCenterChainCtes(k)}
+       |SELECT rnk, wid AS vec_id, mind AS min_dist_e6
+       |FROM (${kCenterUnion(k)}) ORDER BY rnk""".stripMargin
+
+  /** DuckDB oracle for [[kCenterSampled]] — the chain runs over the
+    * LCG-ranked sample CTE; the coverage report recomputes assignment
+    * exactly over the full corpus with the same (d, rnk) tie order.
+    */
+  def kCenterSampledOracleSql(k: Int = 8, sampleSize: Int = 64): String =
+    s"""WITH corp AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> x::DOUBLE) AS e,
+       |    sqrt(list_sum(list_transform(embedding,
+       |      x -> x::DOUBLE * x::DOUBLE))) AS nrm
+       |  FROM embeddings),
+       |e AS MATERIALIZED (
+       |  SELECT vec_id, e, nrm FROM corp
+       |  ORDER BY (vec_id * 2654435761) % 1000000007, vec_id
+       |  LIMIT $sampleSize),
+       |${kCenterChainCtes(k)},
+       |cent AS (SELECT rnk, wid FROM (${kCenterUnion(k)})),
+       |cdat AS (SELECT c.rnk, ee.e, ee.nrm
+       |         FROM cent c JOIN corp ee ON ee.vec_id = c.wid),
+       |dists AS (
+       |  SELECT p.vec_id, c.rnk, ${kcDist("p", "c")} AS d
+       |  FROM corp p CROSS JOIN cdat c),
+       |a AS (
+       |  SELECT vec_id, rnk, d,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY d, rnk) AS rn
+       |  FROM dists),
+       |cell AS (
+       |  SELECT rnk, count(*)::BIGINT AS n_assigned, max(d)::BIGINT AS radius_e6
+       |  FROM a WHERE rn = 1 GROUP BY rnk)
+       |SELECT cent.rnk, cent.wid AS vec_id,
+       |  coalesce(cell.n_assigned, 0)::BIGINT AS n_assigned,
+       |  coalesce(cell.radius_e6, -1)::BIGINT AS radius_e6
+       |FROM cent LEFT JOIN cell ON cent.rnk = cell.rnk
+       |ORDER BY cent.rnk""".stripMargin
 }

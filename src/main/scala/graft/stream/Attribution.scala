@@ -18,11 +18,14 @@ import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor,
   * `v_ts <= p_ts` credits a same-instant view whatever its event_id,
   * so the stream must too. View state is pruned to the attribution
   * window behind the newest timestamp seen per user, so state is
-  * bounded by views-per-hour-per-user; a purchase arriving MORE than
-  * the window late could find its views already pruned — it credits
-  * what remains and increments the per-user `late` ValueState (read it
-  * offline via the state-store reader, as with [[Twap]]); the batch
-  * twin over the sink table is the replay path (lambda posture).
+  * bounded by views-per-hour-per-user; an out-of-order purchase whose
+  * window reaches behind the prune horizon could find some views
+  * already pruned — it credits what remains and increments the
+  * per-user `late` ValueState (a conservative may-have-lost-credit
+  * indicator: EVERY purchase behind the per-user max timestamp counts,
+  * whether or not views were actually pruned — read it offline via the
+  * state-store reader, as with [[Twap]]); the batch twin over the sink
+  * table is the replay path (lambda posture).
   *
   * State per user: a ListState of (view_ts_us, view_id) pairs within the
   * trailing window — bounded, RocksDB-backed.
@@ -67,10 +70,13 @@ object Attribution {
       var nLate = late.get()
       val out = scala.collection.mutable.ArrayBuffer[Credit]()
       rows.foreach { case (_, tsUs, id, tpe, cents) =>
-        // a purchase older than the prune horizon may have lost views —
-        // count it so the lambda posture's monitoring signal is REAL
-        // (readable offline via the state-store reader, like Twap's)
-        if (tpe == "purchase" && maxTs != Long.MinValue && tsUs < maxTs - gapUs)
+        // any out-of-order purchase whose window lower bound (p_ts - gap)
+        // precedes the prune horizon (maxTs - gap) — i.e. p_ts < maxTs —
+        // MAY have lost pruned views, not just purchases a full gap
+        // behind: count them all so the lambda posture's monitoring
+        // signal is conservative (a may-have-lost indicator, readable
+        // offline via the state-store reader, like Twap's)
+        if (tpe == "purchase" && maxTs != Long.MinValue && tsUs < maxTs)
           nLate += 1
         if (tsUs > maxTs) maxTs = tsUs
         tpe match {

@@ -19,16 +19,18 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, 
   *
   * State per user: in-run flag, journey length, match count — bounded,
   * TTL-able, and key-partitioned (no cross-user state), so the monitor
-  * shards to any executor count. Intra-batch order is event_id
-  * ([[DisorderMonitor]] contract), so replaying a sink reproduces the
-  * batch journey order.
+  * shards to any executor count. Intra-batch order is (ts_us, event_id)
+  * — the [[Twap]]/[[NewUsers]] contract, and EXACTLY the batch
+  * journey-assembly sort — so replaying a sink reproduces the batch
+  * journey order even when event_id order diverges from event-time
+  * order.
   */
 object CepMonitor {
 
   final case class Reading(user_id: Long, journey_len: Long, n_matches: Long)
 
   private class Processor
-      extends StatefulProcessor[Long, (Long, Long, String), Reading] {
+      extends StatefulProcessor[Long, (Long, Long, Long, String), Reading] {
     @transient private var st: org.apache.spark.sql.streaming.ListState[Long] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
@@ -36,13 +38,13 @@ object CepMonitor {
 
     override def handleInputRows(
         uid: Long,
-        inputRows: Iterator[(Long, Long, String)],
+        inputRows: Iterator[(Long, Long, Long, String)],
         timerValues: TimerValues): Iterator[Reading] = {
       val stored = st.get().toArray
       var inRun = stored.nonEmpty && stored(0) == 1L
       var len = if (stored.nonEmpty) stored(1) else 0L
       var matches = if (stored.nonEmpty) stored(2) else 0L
-      inputRows.toArray.sortBy(_._2).foreach { case (_, _, ini) =>
+      inputRows.toArray.sortBy(r => (r._2, r._3)).foreach { case (_, _, _, ini) =>
         len += 1
         ini match {
           case "v" => inRun = true
@@ -56,17 +58,19 @@ object CepMonitor {
     }
   }
 
-  /** Monitor over an events frame (needs event_id, user_id, event_type).
-    * Update mode: each batch re-emits the touched users' latest counts.
+  /** Monitor over an events frame (needs event_id, ts, user_id,
+    * event_type). Update mode: each batch re-emits the touched users'
+    * latest counts.
     */
   def monitor(events: DataFrame): Dataset[Reading] = {
     val spark = events.sparkSession
     import spark.implicits._
     events
       .filter(col("user_id").isNotNull)
-      .select(col("user_id").cast("long"), col("event_id").cast("long"),
+      .select(col("user_id").cast("long"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id").cast("long"),
         substring(col("event_type"), 1, 1).as("ini"))
-      .as[(Long, Long, String)]
+      .as[(Long, Long, Long, String)]
       .groupByKey(_._1)
       .transformWithState(new Processor, TimeMode.None(), OutputMode.Update())
   }

@@ -107,7 +107,10 @@ object DumpPlans {
       "q_spatial_join" -> "ε-neighbor spatial join: points collapse once, LEFT side explodes to its 3×3 cell neighborhood (24-byte rows), cell-key EQUI-join with the exact-BIGINT circle test as residual — never a nested-loop distance join",
       "q_median_ci" -> "median order-statistic CI: collapse to the distinct-cents histogram, one prefix window, every rank lookup a conditional min — raw rows never sorted",
       "q_journey_prefixes" -> "entry paths: one user_id shuffle (deterministic array_sort journey assembly), path-dimension aggregate, pushed top-k",
-      "q_table_checksum" -> "table checksum: row-local modular fold, partial+final rollup aggregate — the whole audit is one scan and one kilobyte of output")
+      "q_table_checksum" -> "table checksum: row-local modular fold, partial+final rollup aggregate — the whole audit is one scan and one kilobyte of output",
+      "q_partitioned_scan" -> "D6 read side: the event_date equality rides PartitionFilters — one day's DIRECTORY is listed, everything else is never opened (row-group pruning is the flat-file fallback)",
+      "q_partitioned_dim_scan" -> "dynamic partition pruning: the day predicate lives on the broadcast calendar dim; the fact scan carries dynamicpruningexpression(event_date IN subquery) so only surviving days are listed",
+      "q_kcenter_sampled" -> "sampled k-center: greedy rounds on the bottom-k-hash sample (LCG-ranked TakeOrdered), ONE exact corpus pass — k-row broadcast centers, struct-min assignment, center-dimension aggregate")
 
     val sb = new StringBuilder
     sb.append("# PLANS — explain(\"formatted\") for headline queries\n\n")

@@ -796,6 +796,35 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("Join"), s"no join in the CEP path:\n$p")
   }
 
+  test("partitionedScan: the day predicate rides PartitionFilters, not a post-scan filter") {
+    // D6 read side: against the date-partitioned sink layout, an
+    // event_date equality must prune partition DIRECTORIES (only one
+    // day's files are listed) — the first plan property a 100 TB
+    // deployment checks. PushedFilters/row-group pruning is the flat-file
+    // fallback; here the predicate must appear in PartitionFilters.
+    val p = plan(graft.ops.Layout.partitionedScan(
+      Analytics.events(spark, sf), sf))
+    val pf = "PartitionFilters: \\[[^\\]]*\\]".r.findFirstIn(p)
+    assert(pf.exists(_.contains("event_date")),
+      s"day predicate must be a partition filter:\n$p")
+    assert(pf.exists(f => f.contains("=") || f.contains("isnotnull")),
+      s"expected the equality inside PartitionFilters:\n$p")
+  }
+
+  test("partitionedDimScan: DPP plants a dynamic pruning subquery in the fact scan") {
+    // the calendar-dim shape: the day predicate lives on the broadcast
+    // dim, and Catalyst must translate it into
+    // dynamicpruningexpression(event_date IN subquery) on the fact
+    // scan's PartitionFilters — only the dim's surviving days are listed
+    val p = plan(graft.ops.Layout.partitionedDimScan(
+      Analytics.events(spark, sf), sf))
+    assert(p.contains("dynamicpruning"),
+      s"DPP did not engage on the date-partitioned fact:\n$p")
+    val pf = "PartitionFilters: \\[[^\\]]*\\]".r.findAllIn(p).toSeq
+    assert(pf.exists(f => f.contains("event_date") && f.contains("dynamicpruning")),
+      s"dynamic pruning must target event_date in PartitionFilters:\n$p")
+  }
+
   test("poissonBootstrapSE: one scan fans out through the broadcast replica dimension") {
     val p = plan(graft.ops.Relational.poissonBootstrapSE(
       Relational.table(spark, sf, "orders")))

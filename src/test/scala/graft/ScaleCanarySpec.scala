@@ -1,0 +1,119 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicLong
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.tagobjects.Slow
+
+/** 10× scale-stress canary (round-9 verdict item 5): the "plans survive a
+  * scale-up" claim as EVIDENCE instead of prose. Each expensive family
+  * (pagerank, triangles, minhash LSH, ivf-pq search, sessions) runs on a
+  * synthetic frame at size n and 4n under the suite's default heap, and
+  * the canary asserts (a) completion and (b) that total shuffle-write
+  * bytes grow at most ~2× the data ratio — a plan that quietly went
+  * quadratic (a lost pre-aggregation, a join that stopped broadcasting,
+  * a window that globalized) blows the bound immediately, long before it
+  * would OOM a real cluster.
+  *
+  * Inputs are synthesized with spark.range (driver-free, partition-
+  * parallel) and scale EVERY dimension that matters: users grow with the
+  * event count (so per-key state stays bounded), the part domain grows
+  * with lineitem (so the co-occurrence graph grows instead of
+  * saturating), docs/vectors grow row-wise. Streaming state growth is
+  * pinned separately (StreamingSpec's 1M-key RocksDB test).
+  *
+  * Measurement: a TaskEnd listener tallies shuffle-write bytes; the
+  * async listener bus is drained by polling the tally to quiescence.
+  */
+class ScaleCanarySpec extends SparkTestBase {
+
+  private class ShuffleTally extends SparkListener {
+    val bytes = new AtomicLong(0L)
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+      Option(t.taskMetrics).foreach(m =>
+        bytes.addAndGet(m.shuffleWriteMetrics.bytesWritten))
+  }
+
+  /** Run `body`, return shuffle-write bytes its jobs produced. */
+  private def shuffleBytes(body: => Unit): Long = {
+    val tally = new ShuffleTally
+    spark.sparkContext.addSparkListener(tally)
+    try {
+      body
+      var prev = -1L
+      var tries = 0
+      while (prev != tally.bytes.get && tries < 50) {
+        prev = tally.bytes.get; Thread.sleep(100); tries += 1
+      }
+    } finally spark.sparkContext.removeSparkListener(tally)
+    tally.bytes.get
+  }
+
+  /** Completion + growth bound for one family at n and 4n rows. */
+  private def canary(name: String, small: Long, ratio: Long = 4L)(
+      run: Long => DataFrame): Unit = {
+    val large = small * ratio
+    var rowsS = 0L; var rowsL = 0L
+    val bS = shuffleBytes { rowsS = run(small).count() }
+    val bL = shuffleBytes { rowsL = run(large).count() }
+    assert(rowsS > 0 && rowsL > 0, s"$name produced no rows")
+    assert(bS > 0, s"$name small run produced no shuffle to measure")
+    // linear-growth bound with 2x headroom over the data ratio: catches
+    // quadratic blowup (16x) with wide margin while tolerating
+    // partial-agg and constant-factor noise
+    assert(bL <= bS * ratio * 2,
+      s"$name shuffle grew superlinearly: $bS -> $bL bytes at ${ratio}x data")
+    info(f"$name: $bS%,d -> $bL%,d shuffle bytes at ${ratio}x data " +
+      f"(${bL.toDouble / bS}%.1fx)")
+  }
+
+  private def events(n: Long): DataFrame = {
+    val nUsers = math.max(n / 100, 1L)
+    graft.ops.Generator.syntheticEvents(spark, n)
+      .withColumn("user_id",
+        pmod(col("event_id") * lit(2654435761L), lit(nUsers)))
+  }
+
+  test("pagerank: shuffle stays linear as the event log and user graph grow 4x", Slow) {
+    canary("pagerank", 1250000L)(n =>
+      graft.ops.Graph.pageRank(events(n), iters = 5))
+  }
+
+  test("sessions: the one user exchange stays linear at 4x events", Slow) {
+    canary("sessions", 2500000L)(n =>
+      graft.ops.Analytics.userSessions(events(n)))
+  }
+
+  test("triangles: degree-ordered wedge join stays near-linear as orders and parts grow 4x", Slow) {
+    canary("triangles", 500000L) { n =>
+      val li = spark.range(n).select(
+        (col("id") / 5L).cast("long").as("l_orderkey"),
+        pmod(col("id") * lit(2654435761L), lit(n / 250L)).as("l_partkey"))
+      graft.ops.Graph.triangleCount(li)
+    }
+  }
+
+  test("minhash LSH: band exchanges stay linear at 4x docs", Slow) {
+    canary("minhash_lsh", 12500L) { n =>
+      val toks = (0 until 24).map(j =>
+        expr(s"concat('w', pmod(id * ${j * 31 + 7}, ${n / 10}))"))
+      val docs = spark.range(n).select(col("id").as("doc_id"),
+        concat_ws(" ", toks: _*).as("text"))
+      graft.ops.Dedup.minHashLsh(docs, threshold = 0.8)
+    }
+  }
+
+  test("ivf-pq: train + ADC search stays linear at 4x vectors", Slow) {
+    canary("ivf_pq", 12500L) { n =>
+      val emb = spark.range(n).select(col("id").as("vec_id"),
+        // +1 keeps every element positive: ids ≡ 0 (mod 997) would
+        // otherwise synthesize all-zero vectors → zero-norm centroids →
+        // ANSI divide-by-zero inside cosine cell assignment
+        expr("""transform(sequence(0, 63),
+          |  j -> CAST((pmod(id * (j + 17) * 48271, 997) + 1) / 998.0 AS FLOAT))"""
+          .stripMargin).as("embedding"))
+      graft.ops.Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 3L))
+    }
+  }
+}
