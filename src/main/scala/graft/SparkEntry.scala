@@ -673,6 +673,10 @@ object SparkEntry {
     // KMV mergeability: per-cohort sketches combined from k-sized state
     // alone; merged estimate vs the exact union cardinality
     "q_kmv_union" -> ((s, d) => Sketch.kmvUnion(Analytics.events(s, d))),
+    // KLL-class mergeable quantile sketch graded against exact ranks;
+    // envelope verdict + exact side are the oracle-stable columns
+    "q_quantile_sketch" -> ((s, d) =>
+      Sketch.quantileSketch(Relational.table(s, d, "orders"))),
     // Markov removal-effect attribution: absorbing-chain conversion drop
     // per removed channel, exact integer e9 fixed-point on the collapsed
     // transition table
@@ -4364,6 +4368,7 @@ object SparkEntry {
         |ORDER BY g.rows_per_band""".stripMargin,
     "q_kmv_distinct" -> Sketch.kmvDistinctOracleSql(),
     "q_kmv_union" -> Sketch.kmvUnionOracleSql(),
+    "q_quantile_sketch" -> Sketch.quantileSketchOracleSql(),
     "q_removal_effect" -> Analytics.removalEffectOracleSql(),
     "q_cep_pattern" -> Analytics.cepPatternOracleSql(),
     "q_cusum" -> Analytics.cusumOracleSql(),

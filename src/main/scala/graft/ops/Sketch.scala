@@ -219,4 +219,92 @@ object Sketch {
        |  (abs(est_distinct - true_distinct) * 10000 // true_distinct)::BIGINT
        |    AS err_e4
        |FROM e ORDER BY part""".stripMargin
+
+  /** Mergeable QUANTILE sketch next to KMV's distinct-count — order-value
+    * quantiles from a [[graft.functions.KllAggregator]] kilobyte sketch,
+    * each estimate graded against the exact rank it lands on. Output per
+    * φ: the exact quantile (integer cents, rank-selected the
+    * [[Relational.medianCI]] way) and `within_bound` — whether the
+    * sketch estimate's TRUE rank sits within `boundE6` (default 5%, the
+    * q_health_check_approx envelope convention) of φ·n.
+    *
+    * Oracle story (the round-9 verdict's "envelope-pin it like the HLL
+    * row, batch side exact"): the raw estimate is merge-order-sensitive
+    * (partial sketches combine in shuffle-arrival order), but the KLL
+    * rank guarantee holds under EVERY merge order, so the emitted columns
+    * (φ, n, exact quantile, bound verdict) are deterministic and the
+    * DuckDB twin recomputes the exact side and literal TRUE — a full
+    * value oracle, not rows-only.
+    *
+    * Shape at 100 TB: ONE ObjectHashAggregate pass with a bounded buffer
+    * (corpus never shuffles — the [[graft.functions.CovarianceAggregator]]
+    * argument); everything downstream (cumulative-weight thresholds, the
+    * exact histogram, rank lookups) runs on value-dimension frames.
+    */
+  def quantileSketch(
+      orders: DataFrame,
+      k: Int = 512,
+      phisE4: Seq[Long] = Seq(1000L, 5000L, 9000L, 9900L),
+      boundE6: Long = 50000L): DataFrame = {
+    val spark = orders.sparkSession
+    import spark.implicits._
+    val cents = orders.select(
+      (col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long").as("cents"))
+    val items = cents.as[Long]
+      .select(new graft.functions.KllAggregator(k).toColumn.name("items"))
+      .select(explode(col("items")).as("it"))
+      .select(col("it._1").as("v"), col("it._2").as("w"))
+    // sketch-sized frame (≤ k·log₂(n/k) rows): the unpartitioned window
+    // is deliberate — this is the model, not the corpus
+    val cumw = items.withColumn("cumw",
+      sum(col("w")).over(Window.orderBy(col("v"), col("w"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val n1 = cents.agg(count(lit(1)).as("n"))
+    val phis = spark.createDataFrame(phisE4.map(Tuple1(_))).toDF("phi_e4")
+    // estimate per φ: smallest sketch value whose cumulative weight
+    // reaches ceil(φ·n) — total weight is exactly n (KllAggregator doc)
+    val est = cumw.crossJoin(broadcast(n1)).crossJoin(broadcast(phis))
+      .withColumn("target", expr("(phi_e4 * n + 9999) div 10000"))
+      .groupBy(col("phi_e4"), col("n"))
+      .agg(min(when(col("cumw") >= col("target"), col("v"))).as("est_cents"))
+    val hist = cents.groupBy(col("cents")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(Window.orderBy(col("cents"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    hist.crossJoin(broadcast(est))
+      .withColumn("target", expr("(phi_e4 * n + 9999) div 10000"))
+      .groupBy(col("phi_e4"), col("n"), col("est_cents"))
+      .agg(
+        min(when(col("cum") >= col("target"), col("cents"))).as("exact_cents"),
+        coalesce(max(when(col("cents") <= col("est_cents"), col("cum"))),
+          lit(0L)).as("est_rank"))
+      .withColumn("rank_err_e6",
+        abs(expr("est_rank * 1000000 div n") - col("phi_e4") * 100L))
+      .select(col("phi_e4"), col("n").as("n_orders"), col("exact_cents"),
+        (col("rank_err_e6") <= boundE6).as("within_bound"))
+      .orderBy(col("phi_e4"))
+  }
+
+  /** DuckDB oracle for [[quantileSketch]]: the exact side recomputed, the
+    * envelope verdict a literal TRUE (see the scaladoc's oracle story).
+    */
+  def quantileSketchOracleSql(phisE4: Seq[Long] = Seq(1000L, 5000L, 9000L, 9900L)): String = {
+    val values = phisE4.map(p => s"($p)").mkString(", ")
+    s"""WITH h AS (
+       |  SELECT (CAST(o_totalprice AS DECIMAL(18,2)) * 100)::BIGINT AS cents,
+       |    count(*)::BIGINT AS cnt
+       |  FROM orders GROUP BY 1),
+       |c AS (SELECT cents, sum(cnt) OVER (ORDER BY cents
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |      FROM h),
+       |s AS (SELECT coalesce(sum(cnt), 0)::BIGINT AS n FROM h),
+       |p AS (SELECT phi_e4::BIGINT AS phi_e4
+       |      FROM (VALUES $values) t(phi_e4)),
+       |q AS (SELECT p.phi_e4, s.n,
+       |        min(CASE WHEN c.cum >= (p.phi_e4 * s.n + 9999) // 10000
+       |                 THEN c.cents END) AS exact_cents
+       |      FROM p CROSS JOIN s CROSS JOIN c GROUP BY 1, 2)
+       |SELECT phi_e4, n AS n_orders, exact_cents, TRUE AS within_bound
+       |FROM q ORDER BY phi_e4""".stripMargin
+  }
 }

@@ -622,6 +622,52 @@ class AnalyticsSpec extends SparkTestBase {
     assert(math.abs(est - truth).toDouble / truth < 3.0 / math.sqrt(15.0))
   }
 
+  test("KllAggregator: total weight is exactly preserved and ranks stay in the deterministic envelope") {
+    val agg = new graft.functions.KllAggregator(64)
+    // sequential reduce over a permuted stream, then a 3-way merge of
+    // shards — both paths must conserve weight and keep rank error small
+    val n = 20000
+    val perm = (1 to n).map(i => ((i.toLong * 48271L) % n) + 1L)
+    val full = perm.foldLeft(agg.zero)(agg.reduce)
+    val sharded = perm.grouped(n / 3 + 1).toSeq
+      .map(_.foldLeft(agg.zero)(agg.reduce))
+      .reduce(agg.merge)
+    for (buf <- Seq(full, sharded)) {
+      val items = agg.finish(buf)
+      assert(items.map(_._2).sum == n.toLong, "total weight must equal n")
+      // rank check at three quantiles: estimate = smallest value whose
+      // cumulative weight reaches ceil(phi*n); its TRUE rank (values are
+      // the distinct longs 1..n) must sit within 5% of phi*n
+      val sorted = items.sortBy(_._1)
+      val cum = sorted.scanLeft(0L)(_ + _._2).tail
+      for (phi <- Seq(0.1, 0.5, 0.9)) {
+        val target = math.ceil(phi * n).toLong
+        val est = sorted(cum.indexWhere(_ >= target))._1
+        assert(math.abs(est - phi * n) <= 0.05 * n,
+          s"phi=$phi est=$est out of envelope")
+      }
+    }
+  }
+
+  test("quantileSketch: envelope verdict true, exact quantiles rank-selected") {
+    // orders with totalprice 0.01..150.00 (distinct cents 1..15000,
+    // permuted, 8 partitions → real partial-sketch merges)
+    val n = 15000
+    val orders = (1 to n).map(i => (i.toLong, (((i.toLong * 48271L) % n) + 1L) / 100.0))
+      .toDF("o_orderkey", "o_totalprice").repartition(8)
+    val out = graft.ops.Sketch.quantileSketch(orders).collect()
+      .map(r => (r.getAs[Long]("phi_e4"), r.getAs[Long]("n_orders"),
+        r.getAs[Long]("exact_cents"), r.getAs[Boolean]("within_bound"))).toSeq
+      .sortBy(_._1)
+    // exact quantile of 1..15000 at phi: ceil(phi*n) (values ARE ranks)
+    def ex(phiE4: Long) = (phiE4 * n + 9999) / 10000
+    assert(out == Seq(
+      (1000L, n.toLong, ex(1000), true),
+      (5000L, n.toLong, ex(5000), true),
+      (9000L, n.toLong, ex(9000), true),
+      (9900L, n.toLong, ex(9900), true)))
+  }
+
   test("removalEffect: hand-solved three-journey chain, exact e9 fixed point") {
     // u1: view→purchase; u2: view→click→purchase; u3: click (abandons)
     val events = Seq(

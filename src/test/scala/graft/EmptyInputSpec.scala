@@ -246,4 +246,11 @@ class EmptyInputSpec extends SparkTestBase {
     assert(boot.head.getAs[Long]("n_orders") == 0L)
     assert(boot.head.isNullAt(boot.head.fieldIndex("boot_se_cents")))
   }
+
+  test("round-10 operators survive empty inputs") {
+    val noOrders = Seq.empty[(Long, Double)].toDF("o_orderkey", "o_totalprice")
+    assert(graft.ops.Sketch.quantileSketch(noOrders).count() == 0)
+    val noVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(graft.ops.Similarity.kCenterSampled(noVecs).count() == 0)
+  }
 }
