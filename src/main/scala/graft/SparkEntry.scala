@@ -677,6 +677,10 @@ object SparkEntry {
     // envelope verdict + exact side are the oracle-stable columns
     "q_quantile_sketch" -> ((s, d) =>
       Sketch.quantileSketch(Relational.table(s, d, "orders"))),
+    // KMV set-algebra: audience overlap from two cohort sketches alone
+    "q_kmv_intersect" -> ((s, d) => Sketch.kmvIntersect(Analytics.events(s, d))),
+    // count-min frequency sketch: top users' estimates vs exact truth
+    "q_countmin" -> ((s, d) => Sketch.countMin(Analytics.events(s, d))),
     // Markov removal-effect attribution: absorbing-chain conversion drop
     // per removed channel, exact integer e9 fixed-point on the collapsed
     // transition table
@@ -4369,6 +4373,8 @@ object SparkEntry {
     "q_kmv_distinct" -> Sketch.kmvDistinctOracleSql(),
     "q_kmv_union" -> Sketch.kmvUnionOracleSql(),
     "q_quantile_sketch" -> Sketch.quantileSketchOracleSql(),
+    "q_kmv_intersect" -> Sketch.kmvIntersectOracleSql(),
+    "q_countmin" -> Sketch.countMinOracleSql(),
     "q_removal_effect" -> Analytics.removalEffectOracleSql(),
     "q_cep_pattern" -> Analytics.cepPatternOracleSql(),
     "q_cusum" -> Analytics.cusumOracleSql(),

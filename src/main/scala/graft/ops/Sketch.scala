@@ -220,6 +220,204 @@ object Sketch {
        |    AS err_e4
        |FROM e ORDER BY part""".stripMargin
 
+  /** KMV INTERSECTION estimate from the two cohort sketches alone — the
+    * third set-algebra leg next to [[kmvDistinct]] (cardinality) and
+    * [[kmvUnion]] (merge): |A∩B| ≈ ρ · est(|A∪B|) where ρ is the
+    * fraction of the union sketch's members present in BOTH cohort
+    * sketches (Beyer et al., SIGMOD'07 — "On synopses for distinct-value
+    * estimation under multiset operations"). The audience-overlap
+    * question ("how many users hit both surfaces?") answered from two
+    * kilobyte sketches instead of a 100 TB semi-join.
+    *
+    * Everything is modular-integer arithmetic on the SAME portable hash
+    * as the other KMV ops, and the estimator is a pure integer function
+    * of the two member sets — so unlike most sketch queries this one
+    * pairs with a FULL value oracle: DuckDB recomputes the identical
+    * sketch, estimate, and truth digit-for-digit. Truth columns ride
+    * along ([[kmvDistinct]] convention) so the error is measured, not
+    * asserted.
+    *
+    * Shape: one distinct collapse onto (cohort, hash); per-cohort
+    * bottom-k; all estimator work happens on ≤ 2k surviving hashes.
+    */
+  def kmvIntersect(
+      events: DataFrame,
+      k: Int = 64,
+      nBuckets: Int = 1024): DataFrame = {
+    require(k > 1, "k must exceed 1")
+    val hashes = events
+      .filter(col("user_id").isNotNull)
+      .select(
+        when(dayofmonth(col("ts")) % 2 === 0, "a").otherwise("b").as("part"),
+        userHash.as("h"))
+      .distinct()
+      .persist()
+    val members = bottomKMembers(hashes, "part", k, nBuckets)
+      .select(col("part"), col("h"))
+    val mA = members.filter(col("part") === "a").select(col("h"))
+    val mB = members.filter(col("part") === "b").select(col("h"))
+    // union sketch: bottom-k of the ≤2k member hashes (tiny frame — the
+    // unpartitioned rank is over sketch members, never data)
+    val unionK = mA.unionByName(mB).distinct()
+      .withColumn("rn", row_number().over(Window.orderBy(col("h"))))
+      .filter(col("rn") <= k)
+      .join(mA.withColumn("in_a", lit(1L)), Seq("h"), "left")
+      .join(mB.withColumn("in_b", lit(1L)), Seq("h"), "left")
+    val sk = unionK.agg(
+      count(lit(1)).as("n_kept"),
+      max(col("h")).as("kth_hash"),
+      sum(when(col("in_a") === 1L && col("in_b") === 1L, 1L).otherwise(0L))
+        .as("n_both"))
+    val truth = hashes.agg(
+      sum(when(col("part") === "a", 1L).otherwise(0L)).as("true_a"),
+      sum(when(col("part") === "b", 1L).otherwise(0L)).as("true_b"))
+    val trueInter = hashes.groupBy(col("h"))
+      .agg(count(lit(1)).as("np"))
+      .agg(coalesce(sum(when(col("np") === 2L, 1L).otherwise(0L)), lit(0L))
+        .as("true_intersect"))
+    sk.crossJoin(truth).crossJoin(trueInter)
+      .withColumn("est_union", expr(
+        s"CASE WHEN n_kept < $k THEN n_kept " +
+          s"ELSE ${k - 1}L * ${KmvModulus}L div kth_hash END"))
+      .withColumn("est_intersect", expr(
+        "CASE WHEN n_kept > 0 THEN n_both * est_union div n_kept ELSE 0 END"))
+      .withColumn("err_e4", expr(
+        """CASE WHEN true_intersect > 0
+          |  THEN abs(est_intersect - true_intersect) * 10000
+          |    div true_intersect END""".stripMargin))
+      .select(col("true_a"), col("true_b"), col("n_both"),
+        col("est_intersect"), col("true_intersect"), col("err_e4"))
+  }
+
+  /** DuckDB oracle for [[kmvIntersect]] — the identical integer
+    * estimator over the identical portable hash.
+    */
+  def kmvIntersectOracleSql(k: Int = 64): String =
+    s"""WITH h AS (
+       |  SELECT DISTINCT
+       |    CASE WHEN day(ts) % 2 = 0 THEN 'a' ELSE 'b' END AS part,
+       |    (user_id * $KmvMulA + $KmvAddC) % $KmvModulus AS h
+       |  FROM events WHERE user_id IS NOT NULL),
+       |r AS (SELECT part, h,
+       |        row_number() OVER (PARTITION BY part ORDER BY h) AS rn
+       |      FROM h),
+       |m AS (SELECT part, h FROM r WHERE rn <= $k),
+       |u AS (SELECT h, row_number() OVER (ORDER BY h) AS rn
+       |      FROM (SELECT DISTINCT h FROM m)),
+       |uk AS (SELECT h FROM u WHERE rn <= $k),
+       |sk AS (SELECT count(*)::BIGINT AS n_kept,
+       |         max(h)::BIGINT AS kth_hash,
+       |         coalesce(sum(CASE WHEN h IN (SELECT h FROM m WHERE part = 'a')
+       |                   AND h IN (SELECT h FROM m WHERE part = 'b')
+       |                  THEN 1 ELSE 0 END), 0)::BIGINT AS n_both
+       |       FROM uk),
+       |t AS (SELECT
+       |        coalesce(sum(CASE WHEN part = 'a' THEN 1 ELSE 0 END), 0)::BIGINT
+       |          AS true_a,
+       |        coalesce(sum(CASE WHEN part = 'b' THEN 1 ELSE 0 END), 0)::BIGINT
+       |          AS true_b
+       |      FROM h),
+       |ti AS (SELECT count(*)::BIGINT AS true_intersect
+       |       FROM (SELECT h FROM h GROUP BY h HAVING count(*) = 2)),
+       |e AS (SELECT n_kept, n_both,
+       |        CASE WHEN n_kept < $k THEN n_kept
+       |             ELSE ${k - 1}::BIGINT * $KmvModulus // kth_hash
+       |        END::BIGINT AS est_union
+       |      FROM sk),
+       |f AS (SELECT t.true_a, t.true_b, e.n_both,
+       |        (CASE WHEN e.n_kept > 0
+       |              THEN e.n_both * e.est_union // e.n_kept
+       |              ELSE 0 END)::BIGINT AS est_intersect,
+       |        ti.true_intersect
+       |      FROM e CROSS JOIN t CROSS JOIN ti)
+       |SELECT true_a, true_b, n_both, est_intersect, true_intersect,
+       |  (CASE WHEN true_intersect > 0
+       |        THEN abs(est_intersect - true_intersect) * 10000
+       |          // true_intersect END)::BIGINT AS err_e4
+       |FROM f""".stripMargin
+
+  /** Count-min frequency sketch next to KMV (distinct) and
+    * [[quantileSketch]] (quantiles) — the frequency leg of the sketch
+    * plane (Cormode & Muthukrishnan, J.Alg'05). `depth` independent
+    * modular hash rows × `width` counters; a key's estimate is the MIN
+    * of its counters, which can only OVER-count (collisions add, never
+    * subtract) — the one-sided guarantee the spec pins. Readout: the
+    * top-`topK` true-frequency users with their estimates, truth, and
+    * inflation, so the est≥truth invariant and the collision cost are
+    * both measured.
+    *
+    * The hashes are plain modular arithmetic (the [[userHash]] porting
+    * argument), so the whole sketch — counters, estimates, inflation —
+    * is a deterministic integer function of the data: full value oracle,
+    * DuckDB recomputes it digit-for-digit.
+    *
+    * Shape at 100 TB: ONE partial-aggregated pass collapses the corpus
+    * to the depth×width counter table (model-sized, like the Markov
+    * transition matrix); the top-k truth side is a second aggregate with
+    * map-side combine; estimates join the counter model by (row, bucket)
+    * broadcast. Nothing corpus-sized shuffles beyond the two collapses.
+    */
+  def countMin(
+      events: DataFrame,
+      depth: Int = 4,
+      width: Int = 256,
+      topK: Int = 10): DataFrame = {
+    require(depth >= 1 && width >= 2 && topK >= 1)
+    val spark = events.sparkSession
+    val grid = broadcast(
+      spark.createDataFrame((0 until depth).map(Tuple1(_))).toDF("r"))
+    def bucket(u: org.apache.spark.sql.Column, r: org.apache.spark.sql.Column) =
+      (u * (lit(KmvMulA) + r * lit(40503L)) + lit(KmvAddC)) % KmvModulus % width
+    val keyed = events.filter(col("user_id").isNotNull)
+      .select(col("user_id").cast("long").as("u"))
+    val counters = keyed.crossJoin(grid)
+      .groupBy(col("r"), bucket(col("u"), col("r")).as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val top = keyed.groupBy(col("u"))
+      .agg(count(lit(1)).as("true_cnt"))
+      .withColumn("rn", row_number().over(
+        Window.orderBy(desc("true_cnt"), col("u"))))
+      .filter(col("rn") <= topK)
+      .select(col("u"), col("true_cnt"))
+    top.crossJoin(grid)
+      .withColumn("bucket", bucket(col("u"), col("r")))
+      .join(counters, Seq("r", "bucket"))
+      .groupBy(col("u"), col("true_cnt"))
+      .agg(min(col("cnt")).as("cm_est"))
+      .withColumn("overcount_e4",
+        expr("(cm_est - true_cnt) * 10000 div true_cnt"))
+      .select(col("u").as("user_id"), col("true_cnt"), col("cm_est"),
+        col("overcount_e4"))
+      .orderBy(desc("true_cnt"), col("user_id"))
+  }
+
+  /** DuckDB oracle for [[countMin]] — identical modular arithmetic. */
+  def countMinOracleSql(
+      depth: Int = 4, width: Int = 256, topK: Int = 10): String = {
+    val rows = (0 until depth).map(r => s"($r)").mkString(", ")
+    s"""WITH ev AS (
+       |  SELECT user_id::BIGINT AS u FROM events WHERE user_id IS NOT NULL),
+       |g AS (SELECT r::BIGINT AS r FROM (VALUES $rows) t(r)),
+       |cm AS (SELECT g.r,
+       |         ((ev.u * ($KmvMulA + g.r * 40503) + $KmvAddC)
+       |           % $KmvModulus) % $width AS bucket,
+       |         count(*)::BIGINT AS cnt
+       |       FROM ev CROSS JOIN g GROUP BY 1, 2),
+       |t AS (SELECT u, count(*)::BIGINT AS true_cnt FROM ev GROUP BY 1),
+       |top AS (SELECT u, true_cnt,
+       |          row_number() OVER (ORDER BY true_cnt DESC, u) AS rn
+       |        FROM t),
+       |est AS (SELECT top.u, top.true_cnt, min(cm.cnt)::BIGINT AS cm_est
+       |        FROM top JOIN g ON true
+       |        JOIN cm ON cm.r = g.r
+       |          AND cm.bucket = ((top.u * ($KmvMulA + g.r * 40503)
+       |            + $KmvAddC) % $KmvModulus) % $width
+       |        WHERE top.rn <= $topK GROUP BY 1, 2)
+       |SELECT u AS user_id, true_cnt, cm_est,
+       |  ((cm_est - true_cnt) * 10000 // true_cnt)::BIGINT AS overcount_e4
+       |FROM est ORDER BY true_cnt DESC, user_id""".stripMargin
+  }
+
   /** Mergeable QUANTILE sketch next to KMV's distinct-count — order-value
     * quantiles from a [[graft.functions.KllAggregator]] kilobyte sketch,
     * each estimate graded against the exact rank it lands on. Output per

@@ -622,6 +622,46 @@ class AnalyticsSpec extends SparkTestBase {
     assert(math.abs(est - truth).toDouble / truth < 3.0 / math.sqrt(15.0))
   }
 
+  test("kmvIntersect: overlap estimate from member sets alone; exact truth rides along") {
+    import graft.ops.Sketch
+    // cohort a = users 1..80 (even days), cohort b = users 41..120 (odd
+    // days) → true intersection 40
+    val events = (
+      (1 to 80).map(u => (u.toLong, u.toLong, "x", ts(86400000000L * 1))) ++ // Jan 2 (even day)
+      (41 to 120).map(u => (u.toLong + 500L, u.toLong, "x", ts(86400000000L * 2))) // Jan 3 (odd)
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val r = Sketch.kmvIntersect(events, k = 16).collect().head
+    assert(r.getAs[Long]("true_a") == 80L)
+    assert(r.getAs[Long]("true_b") == 80L)
+    assert(r.getAs[Long]("true_intersect") == 40L)
+    // independent recomputation of the estimator from first principles
+    def h(u: Long) = (u * Sketch.KmvMulA + Sketch.KmvAddC) % Sketch.KmvModulus
+    val mA = (1 to 80).map(u => h(u.toLong)).sorted.take(16).toSet
+    val mB = (41 to 120).map(u => h(u.toLong)).sorted.take(16).toSet
+    val uk = (mA ++ mB).toSeq.sorted.take(16)
+    val nBoth = uk.count(x => mA(x) && mB(x)).toLong
+    val estU = 15L * Sketch.KmvModulus / uk.max
+    assert(r.getAs[Long]("n_both") == nBoth)
+    assert(r.getAs[Long]("est_intersect") == nBoth * estU / uk.length)
+  }
+
+  test("countMin: estimates never undercount and are exact without collisions") {
+    // users 1..20 with frequency = user id — wide counter table (width
+    // 256) over 20 keys: collisions possible per row but the MIN over 4
+    // independent rows recovers exactness with high probability; the
+    // invariant est >= truth holds unconditionally
+    val events = (1 to 20).flatMap(u => (1 to u).map(i =>
+      ((u * 100 + i).toLong, u.toLong, "x", ts(i * 1000000L))))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val out = graft.ops.Sketch.countMin(events, topK = 5).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("true_cnt"),
+        r.getAs[Long]("cm_est"))).toSeq
+    assert(out.map(x => (x._1, x._2)) ==
+      Seq((20L, 20L), (19L, 19L), (18L, 18L), (17L, 17L), (16L, 16L)))
+    out.foreach { case (u, t, e) =>
+      assert(e >= t, s"count-min undercounted user $u: $e < $t") }
+  }
+
   test("KllAggregator: total weight is exactly preserved and ranks stay in the deterministic envelope") {
     val agg = new graft.functions.KllAggregator(64)
     // sequential reduce over a permuted stream, then a 3-way merge of

@@ -252,5 +252,13 @@ class EmptyInputSpec extends SparkTestBase {
     assert(graft.ops.Sketch.quantileSketch(noOrders).count() == 0)
     val noVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
     assert(graft.ops.Similarity.kCenterSampled(noVecs).count() == 0)
+    val noEventsFull =
+      Seq.empty[(Long, Long, String, Double, java.sql.Timestamp)]
+        .toDF("event_id", "user_id", "event_type", "value", "ts")
+    // intersect emits its single global-statistic row (all zeros, null
+    // error) on empty input — the poissonBootstrapSE convention
+    val ki = graft.ops.Sketch.kmvIntersect(noEventsFull).collect()
+    assert(ki.length == 1 && ki.head.getAs[Long]("true_intersect") == 0L)
+    assert(graft.ops.Sketch.countMin(noEventsFull).count() == 0)
   }
 }
