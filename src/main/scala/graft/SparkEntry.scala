@@ -681,6 +681,18 @@ object SparkEntry {
     "q_kmv_intersect" -> ((s, d) => Sketch.kmvIntersect(Analytics.events(s, d))),
     // count-min frequency sketch: top users' estimates vs exact truth
     "q_countmin" -> ((s, d) => Sketch.countMin(Analytics.events(s, d))),
+    // KMV set difference: reach A missed by B, from the sketches alone
+    "q_kmv_diff" -> ((s, d) => Sketch.kmvDiff(Analytics.events(s, d))),
+    // AMS tug-of-war F2: self-join size from 40 signed counters,
+    // median-of-means, exact truth rides along
+    "q_ams_f2" -> ((s, d) => Sketch.amsF2(Analytics.events(s, d))),
+    // 3-D dominance skyline: grid cell-prune, exact check on the shell
+    "q_skyline" -> ((s, d) =>
+      Relational.skyline(Relational.table(s, d, "orders"))),
+    // PassJoin pigeonhole edit-distance join: clean catalog vs corrupted
+    // twin, zero-false-negative chunk blocking + levenshtein verify
+    "q_fuzzy_join" -> ((s, d) =>
+      Dedup.fuzzyJoin(Relational.table(s, d, "part"))),
     // Markov removal-effect attribution: absorbing-chain conversion drop
     // per removed channel, exact integer e9 fixed-point on the collapsed
     // transition table
@@ -4375,6 +4387,10 @@ object SparkEntry {
     "q_quantile_sketch" -> Sketch.quantileSketchOracleSql(),
     "q_kmv_intersect" -> Sketch.kmvIntersectOracleSql(),
     "q_countmin" -> Sketch.countMinOracleSql(),
+    "q_kmv_diff" -> Sketch.kmvDiffOracleSql(),
+    "q_ams_f2" -> Sketch.amsF2OracleSql(),
+    "q_skyline" -> Relational.skylineOracleSql,
+    "q_fuzzy_join" -> Dedup.fuzzyJoinOracleSql(),
     "q_removal_effect" -> Analytics.removalEffectOracleSql(),
     "q_cep_pattern" -> Analytics.cepPatternOracleSql(),
     "q_cusum" -> Analytics.cusumOracleSql(),

@@ -861,4 +861,115 @@ object Dedup {
         "exp_missed_high_e6", "exp_fp_e6"))
       .orderBy(col("rows_per_band"))
   }
+
+  /** EDIT-DISTANCE similarity join — record linkage between a clean
+    * catalog and a dirty feed under levenshtein ≤ `dmax`, blocked with
+    * the PassJoin pigeonhole scheme (Li, Deng & Feng, EDBT'11): split
+    * each indexed string into dmax+1 contiguous chunks; ≤ dmax edit ops
+    * cannot touch all dmax+1 chunks, so a true match must contain at
+    * least one chunk VERBATIM, shifted by at most dmax positions. The
+    * probe side therefore emits, for each plausible indexed length
+    * l ∈ [m−dmax, m+dmax] and chunk slot, only the substrings inside
+    * that ±dmax window — O((2d+1)²(d+1)) short equi-join keys per
+    * probe, never an all-pairs comparison. Candidates that share a
+    * (length, slot, chunk) key pay one exact levenshtein; everything
+    * else never meets. This is the scheme's guarantee, not a heuristic:
+    * zero false negatives, so the blocked join returns EXACTLY the
+    * exhaustive join's pairs (the oracle runs the exhaustive quadratic
+    * form — the shape this operator exists to avoid).
+    *
+    * The demo corrupts a deterministic twin of the part catalog (drop
+    * the 4th label character) so both engines derive the same dirty
+    * feed; real deployments feed two genuinely distinct sources
+    * ([[crossSourceDups]] is the set-similarity sibling; this is the
+    * character-level one typos and OCR noise need).
+    *
+    * Shape at 100 TB — three deliberate moves on top of the scheme:
+    *  1. CANONICALIZE FIRST: the join runs on DISTINCT labels, not rows
+    *     (catalogs repeat strings massively; collapsing before the
+    *     expansion shrinks every hot chunk key quadratically), and the
+    *     id sets re-attach to the surviving label pairs at the end —
+    *     two equi-joins against frames the size of the inputs.
+    *  2. VERIFY BEFORE DEDUP: candidates flow join → codegen'd
+    *     levenshtein → filter map-side; only the (tiny) verified pair
+    *     set pays a distinct. Deduplicating candidates first would
+    *     shuffle the full candidate stream — the only corpus-scale
+    *     exchange the naive plan has, deleted here.
+    *  3. Chunks and probes are linear expansions (≤ (2d+1)²(d+1) keys
+    *     per probe string) over equi-join keys; a residual hot chunk
+    *     (shared boilerplate suffixes) is a skewed key that AQE
+    *     skew-split handles — it inflates candidates, never correctness.
+    */
+  def fuzzyJoin(part: DataFrame, dmax: Int = 2): DataFrame = {
+    require(dmax >= 1, "dmax must be at least 1")
+    val nChunks = dmax + 1
+    val labeled = part.select(col("p_partkey").cast("long").as("id"),
+      concat(col("p_name"), lit(" "), col("p_brand"), lit(" "),
+        col("p_type")).as("lab"))
+    val clean = labeled
+      .select(col("id").as("clean_id"), col("lab").as("clean_label"))
+    val dirty = labeled.filter(col("id") % 2 === 0)
+      .select(col("id").as("dirty_id"),
+        concat(substring(col("lab"), 1, 3), expr("substr(lab, 5)"))
+          .as("dirty_label"))
+    val chunks = clean.select(col("clean_label")).distinct()
+      .withColumn("l", length(col("clean_label")))
+      .filter(col("l") >= nChunks)
+      .withColumn("slot", explode(sequence(lit(0), lit(nChunks - 1))))
+      .withColumn("cs", expr(s"slot * l div $nChunks + 1"))
+      .withColumn("clen",
+        expr(s"(slot + 1) * l div $nChunks - slot * l div $nChunks"))
+      .withColumn("chunk", expr("substr(clean_label, cs, clen)"))
+      .select(col("clean_label"), col("l"), col("slot"), col("chunk"))
+    val probes = dirty.select(col("dirty_label")).distinct()
+      .withColumn("m", length(col("dirty_label")))
+      .withColumn("l", explode(sequence(col("m") - dmax, col("m") + dmax)))
+      .filter(col("l") >= nChunks)
+      .withColumn("slot", explode(sequence(lit(0), lit(nChunks - 1))))
+      .withColumn("cs", expr(s"slot * l div $nChunks + 1"))
+      .withColumn("clen",
+        expr(s"(slot + 1) * l div $nChunks - slot * l div $nChunks"))
+      .withColumn("p", explode(sequence(col("cs") - dmax, col("cs") + dmax)))
+      .filter(col("p") >= 1 && col("p") <= col("m") - col("clen") + 1)
+      .withColumn("chunk", expr("substr(dirty_label, p, clen)"))
+      .select(col("dirty_label"), col("l"), col("slot"), col("chunk"))
+    // candidates off hot chunk keys all land in the same join tasks;
+    // round-robin rebalance the (narrow) candidate stream so the verify
+    // parallelizes, and use the BANDED threshold levenshtein — O(d·n)
+    // with early exit instead of the full O(n²) table, exact for every
+    // distance ≤ dmax (above it returns -1, which the filter drops)
+    val labelPairs = probes.join(chunks, Seq("l", "slot", "chunk"))
+      .select(col("dirty_label"), col("clean_label"))
+      .repartition(col("dirty_label"), col("clean_label"))
+      .withColumn("dist",
+        levenshtein(col("dirty_label"), col("clean_label"), dmax)
+          .cast("long"))
+      .filter(col("dist") >= 0L && col("dist") <= dmax)
+      .distinct()
+    labelPairs
+      .join(dirty, Seq("dirty_label"))
+      .join(clean, Seq("clean_label"))
+      .select(col("dirty_id"), col("clean_id"), col("dist"))
+      .orderBy(col("dirty_id"), col("clean_id"))
+  }
+
+  /** DuckDB oracle for [[fuzzyJoin]] — the exhaustive quadratic
+    * levenshtein join the pigeonhole blocking provably equals.
+    */
+  def fuzzyJoinOracleSql(dmax: Int = 2): String =
+    s"""WITH clean AS (
+       |  SELECT p_partkey::BIGINT AS clean_id,
+       |    p_name || ' ' || p_brand || ' ' || p_type AS clean_label
+       |  FROM part),
+       |dirty AS (
+       |  SELECT p_partkey::BIGINT AS dirty_id,
+       |    concat(substr(p_name || ' ' || p_brand || ' ' || p_type, 1, 3),
+       |      substr(p_name || ' ' || p_brand || ' ' || p_type, 5))
+       |      AS dirty_label
+       |  FROM part WHERE p_partkey % 2 = 0)
+       |SELECT d.dirty_id, c.clean_id,
+       |  levenshtein(d.dirty_label, c.clean_label)::BIGINT AS dist
+       |FROM dirty d CROSS JOIN clean c
+       |WHERE levenshtein(d.dirty_label, c.clean_label) <= $dmax
+       |ORDER BY dirty_id, clean_id""".stripMargin
 }

@@ -961,6 +961,110 @@ object Relational {
       .orderBy(col("p_brand"), col("price_cents"), col("p_partkey"))
   }
 
+  /** 3-D dominance SKYLINE — the higher-dimensional variant
+    * [[paretoFrontier]]'s scaladoc defers: the 2-D two-maxima window
+    * rewrite stops at two dimensions, so this takes the grid-prune +
+    * exact-verify route. The frontier here is customer efficiency:
+    * customers nobody beats simultaneously on total spend (max), order
+    * count (MIN — the same spend in fewer orders is better) and largest
+    * single order (max). d dominates c iff ≥/≤/≥ on all three with at
+    * least one strict; the skyline is every undominated customer.
+    *
+    * Shape at 100 TB (the skyline literature's coarse-grid prune,
+    * cf. Börzsönyi et al., ICDE'01 block-nested-loops + grid variants):
+    *  1. collapse orders to the customer-dimension point set (one
+    *     map-side-combined exchange on o_custkey);
+    *  2. bucket each dim into `grid` integer cells from a 1-row min/max
+    *     frame (broadcast); the bucket map is monotone, so a cell
+    *     STRICTLY greater/less in ALL dims guarantees every point of it
+    *     dominates every point of the other — cell-level dominance is
+    *     decided on the ≤ grid³-row non-empty-cell model (a tiny
+    *     self-join), and every point in a dominated cell drops without
+    *     a single point-to-point comparison;
+    *  3. only the undominated shell pays the exact quadratic check — a
+    *     broadcast nested-loop anti-join sized O(shell²), not O(n²).
+    * Pruning is SOUND: a pruned point is strictly dominated in all
+    * dims, so no skyline member is ever pruned, and dominance is
+    * transitive so every non-skyline survivor still has a surviving
+    * dominator — the anti-join over survivors alone returns exactly
+    * the true skyline. Money is integer cents throughout.
+    */
+  def skyline(orders: DataFrame, grid: Int = 8): DataFrame = {
+    require(grid >= 2, "grid must have at least 2 cells per dim")
+    val pts = orders
+      .groupBy(col("o_custkey").cast("long").as("custkey"))
+      .agg(
+        sum((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+          .as("spend_cents"),
+        count(lit(1)).as("n_orders"),
+        max((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+          .as("max_order_cents"))
+      .persist()
+    val stats = pts.agg(
+      min(col("spend_cents")).as("mn1"), max(col("spend_cents")).as("mx1"),
+      min(col("n_orders")).as("mn2"), max(col("n_orders")).as("mx2"),
+      min(col("max_order_cents")).as("mn3"),
+      max(col("max_order_cents")).as("mx3"))
+    val cells = pts.crossJoin(broadcast(stats))
+      .withColumn("b1",
+        expr(s"(spend_cents - mn1) * $grid div (mx1 - mn1 + 1)"))
+      .withColumn("b2", expr(s"(n_orders - mn2) * $grid div (mx2 - mn2 + 1)"))
+      .withColumn("b3",
+        expr(s"(max_order_cents - mn3) * $grid div (mx3 - mn3 + 1)"))
+      .select(col("custkey"), col("spend_cents"), col("n_orders"),
+        col("max_order_cents"), col("b1"), col("b2"), col("b3"))
+    val occupied = cells.select(col("b1"), col("b2"), col("b3")).distinct()
+    // cells with a strict all-dims dominator among the occupied cells
+    val dominatedCells = occupied.as("c").join(
+      broadcast(occupied.select(col("b1").as("d1"), col("b2").as("d2"),
+        col("b3").as("d3"))),
+      col("d1") > col("c.b1") && col("d2") < col("c.b2") &&
+        col("d3") > col("c.b3"),
+      "left_semi")
+    val shell = cells.join(broadcast(dominatedCells),
+        Seq("b1", "b2", "b3"), "left_anti")
+      .select(col("custkey"), col("spend_cents"), col("n_orders"),
+        col("max_order_cents"))
+      .persist()
+    val rivals = shell.select(col("spend_cents").as("d_spend"),
+      col("n_orders").as("d_orders"), col("max_order_cents").as("d_max"))
+    shell.join(broadcast(rivals),
+        col("d_spend") >= col("spend_cents") &&
+          col("d_orders") <= col("n_orders") &&
+          col("d_max") >= col("max_order_cents") &&
+          (col("d_spend") > col("spend_cents") ||
+            col("d_orders") < col("n_orders") ||
+            col("d_max") > col("max_order_cents")),
+        "left_anti")
+      .orderBy(col("custkey"))
+  }
+
+  /** DuckDB oracle for [[skyline]] — the textbook NOT EXISTS dominance
+    * predicate over the full point set (quadratic, fine at oracle scale;
+    * the Spark side's grid prune exists precisely so the engine never
+    * runs this shape).
+    */
+  def skylineOracleSql: String =
+    """WITH p AS (
+      |  SELECT o_custkey::BIGINT AS custkey,
+      |    sum((o_totalprice::DECIMAL(18,2) * 100)::BIGINT)::BIGINT
+      |      AS spend_cents,
+      |    count(*)::BIGINT AS n_orders,
+      |    max((o_totalprice::DECIMAL(18,2) * 100)::BIGINT)::BIGINT
+      |      AS max_order_cents
+      |  FROM orders GROUP BY 1)
+      |SELECT custkey, spend_cents, n_orders, max_order_cents
+      |FROM p a
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM p d
+      |  WHERE d.spend_cents >= a.spend_cents
+      |    AND d.n_orders <= a.n_orders
+      |    AND d.max_order_cents >= a.max_order_cents
+      |    AND (d.spend_cents > a.spend_cents
+      |      OR d.n_orders < a.n_orders
+      |      OR d.max_order_cents > a.max_order_cents))
+      |ORDER BY custkey""".stripMargin
+
   /** Fulfillment latency by order priority: days from order date to the
     * FIRST and LAST line shipment, summarized per priority class — the
     * SLA readout (does URGENT actually ship faster?). Integer day

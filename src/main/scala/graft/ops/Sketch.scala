@@ -505,4 +505,215 @@ object Sketch {
        |SELECT phi_e4, n AS n_orders, exact_cents, TRUE AS within_bound
        |FROM q ORDER BY phi_e4""".stripMargin
   }
+
+  /** Row-step for the AMS ±1 hash family — distinct from [[countMin]]'s
+    * bucket family so the two sketches never share a hash row.
+    */
+  val AmsStep: Long = 68111L
+
+  /** AMS "tug-of-war" SECOND-MOMENT sketch (Alon, Matias & Szegedy,
+    * STOC'96) — the moments leg of the sketch plane next to KMV
+    * (distinct, F0), [[countMin]] (point frequency) and
+    * [[quantileSketch]] (order statistics). F2 = Σ f_u² is the SELF-JOIN
+    * SIZE of the events table on user_id: the number the optimizer wants
+    * before it picks a join strategy, and the skew diagnostic (F2/F1²
+    * per-key concentration) — estimated from `groups · perGroup` signed
+    * counters instead of a key-frequency table the size of the user
+    * dimension.
+    *
+    * Estimator: each counter r holds S_r = Σ_u σ_r(u)·f_u for a ±1 hash
+    * σ_r; E[S_r²] = F2. Counters average within a group (variance ↓),
+    * the median across `groups` group-means (odd count) gives the
+    * standard median-of-means tail bound. The σ family is the portable
+    * modular-linear family of the KMV plane (pairwise, not the paper's
+    * 4-wise — so the error envelope is MEASURED against the exact truth
+    * riding along, not certified; the spec pins the estimator algebra
+    * itself bit-exactly).
+    *
+    * Exactness & ceiling: everything is BIGINT; |S_r| ≤ F1, so S_r² is
+    * Long-exact to F1 ≈ 3·10⁹ rows per sketch scope — beyond that widen
+    * the squares to DECIMAL(38,0) the same way KmvModulus widens at
+    * ≥1e9 ids (documented, not silent: the group sum would overflow
+    * loudly in DuckDB's BIGINT first).
+    *
+    * Shape at 100 TB: ONE partial-aggregated collapse to the
+    * user-frequency frame, a broadcast s-row grid amplification that
+    * immediately re-collapses to s counters (map-side combine eats the
+    * amplification), and all median/mean algebra runs on the s-row
+    * model. Nothing corpus-sized moves after the first exchange.
+    */
+  def amsF2(
+      events: DataFrame,
+      groups: Int = 5,
+      perGroup: Int = 8): DataFrame = {
+    require(groups >= 1 && groups % 2 == 1, "groups must be odd")
+    require(perGroup >= 1)
+    val s = groups * perGroup
+    val spark = events.sparkSession
+    val grid = broadcast(
+      spark.createDataFrame((0 until s).map(i => Tuple1(i.toLong)))
+        .toDF("r"))
+    val freq = events.filter(col("user_id").isNotNull)
+      .select(col("user_id").cast("long").as("u"))
+      .groupBy(col("u")).agg(count(lit(1)).as("f"))
+    val counters = freq.crossJoin(grid)
+      .withColumn("sgn", when(
+        ((col("u") * (lit(KmvMulA) + (col("r") + 1L) * lit(AmsStep))
+          + lit(KmvAddC)) % KmvModulus) % 2 === 0, 1L).otherwise(-1L))
+      .groupBy(col("r"))
+      .agg(sum(col("sgn") * col("f")).as("sk"))
+    val means = counters
+      .groupBy(expr(s"r div $perGroup").as("grp"))
+      .agg(expr(s"sum(sk * sk) div $perGroup").as("grp_mean"))
+    val med = means
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("grp_mean"), col("grp"))))
+      .filter(col("rn") === (groups + 1) / 2)
+      .select(col("grp_mean").as("est_f2"))
+    val truth = freq.agg(sum(col("f") * col("f")).as("true_f2"),
+      sum(col("f")).as("n_rows"))
+    med.crossJoin(truth)
+      .withColumn("n_counters", lit(s.toLong))
+      .withColumn("err_e4", expr(
+        "CASE WHEN true_f2 > 0 THEN abs(est_f2 - true_f2) * 10000 div true_f2 END"))
+      .select(col("n_counters"), col("n_rows"), col("est_f2"),
+        col("true_f2"), col("err_e4"))
+  }
+
+  /** DuckDB oracle for [[amsF2]] — identical counters, group means,
+    * median, and truth, digit-for-digit.
+    */
+  def amsF2OracleSql(groups: Int = 5, perGroup: Int = 8): String = {
+    val s = groups * perGroup
+    s"""WITH ev AS (
+       |  SELECT user_id::BIGINT AS u FROM events WHERE user_id IS NOT NULL),
+       |f AS (SELECT u, count(*)::BIGINT AS f FROM ev GROUP BY 1),
+       |g AS (SELECT r::BIGINT AS r FROM generate_series(0, ${s - 1}) t(r)),
+       |sk AS (SELECT g.r,
+       |         sum(CASE WHEN ((f.u * ($KmvMulA + (g.r + 1) * $AmsStep)
+       |                  + $KmvAddC) % $KmvModulus) % 2 = 0
+       |                  THEN f.f ELSE -f.f END)::BIGINT AS sk
+       |       FROM f CROSS JOIN g GROUP BY 1),
+       |m AS (SELECT r // $perGroup AS grp,
+       |        (sum(sk * sk) // $perGroup)::BIGINT AS grp_mean
+       |      FROM sk GROUP BY 1),
+       |med AS (SELECT grp_mean AS est_f2
+       |        FROM (SELECT grp_mean,
+       |                row_number() OVER (ORDER BY grp_mean, grp) AS rn
+       |              FROM m)
+       |        WHERE rn = ${(groups + 1) / 2}),
+       |t AS (SELECT sum(f * f)::BIGINT AS true_f2,
+       |        sum(f)::BIGINT AS n_rows FROM f)
+       |SELECT ${s}::BIGINT AS n_counters, n_rows, est_f2, true_f2,
+       |  (CASE WHEN true_f2 > 0
+       |        THEN abs(est_f2 - true_f2) * 10000 // true_f2
+       |   END)::BIGINT AS err_e4
+       |FROM med CROSS JOIN t""".stripMargin
+  }
+
+  /** KMV set DIFFERENCE |A∖B| — the fourth and final set-algebra leg
+    * next to [[kmvDistinct]] (|A|), [[kmvUnion]] (|A∪B|) and
+    * [[kmvIntersect]] (|A∩B|): |A∖B| ≈ ρ_only · est(|A∪B|) where ρ_only
+    * is the fraction of the union sketch's members present in A's
+    * sketch but NOT B's (the same Beyer et al. SIGMOD'07 ratio
+    * estimator as the intersection). "How many users did surface A
+    * reach that B missed?" from two kilobyte sketches instead of an
+    * anti-join over the corpus.
+    *
+    * Same portable modular-integer arithmetic and same full value
+    * oracle as [[kmvIntersect]] (the estimator is a pure integer
+    * function of the member sets); truth rides along so the error is
+    * measured. Shape: the identical one-distinct-collapse + per-cohort
+    * bottom-k; all estimator work on ≤ 2k member hashes.
+    */
+  def kmvDiff(
+      events: DataFrame,
+      k: Int = 64,
+      nBuckets: Int = 1024): DataFrame = {
+    require(k > 1, "k must exceed 1")
+    val hashes = events
+      .filter(col("user_id").isNotNull)
+      .select(
+        when(dayofmonth(col("ts")) % 2 === 0, "a").otherwise("b").as("part"),
+        userHash.as("h"))
+      .distinct()
+      .persist()
+    val members = bottomKMembers(hashes, "part", k, nBuckets)
+      .select(col("part"), col("h"))
+    val mA = members.filter(col("part") === "a").select(col("h"))
+    val mB = members.filter(col("part") === "b").select(col("h"))
+    val unionK = mA.unionByName(mB).distinct()
+      .withColumn("rn", row_number().over(Window.orderBy(col("h"))))
+      .filter(col("rn") <= k)
+      .join(mA.withColumn("in_a", lit(1L)), Seq("h"), "left")
+      .join(mB.withColumn("in_b", lit(1L)), Seq("h"), "left")
+    val sk = unionK.agg(
+      count(lit(1)).as("n_kept"),
+      max(col("h")).as("kth_hash"),
+      sum(when(col("in_a") === 1L && col("in_b").isNull, 1L).otherwise(0L))
+        .as("n_only_a"))
+    val trueDiff = hashes
+      .groupBy(col("h"))
+      .agg(max(when(col("part") === "a", 1L).otherwise(0L)).as("has_a"),
+        max(when(col("part") === "b", 1L).otherwise(0L)).as("has_b"))
+      .agg(coalesce(sum(when(col("has_a") === 1L && col("has_b") === 0L,
+        1L).otherwise(0L)), lit(0L)).as("true_diff"))
+    sk.crossJoin(trueDiff)
+      .withColumn("est_union", expr(
+        s"CASE WHEN n_kept < $k THEN n_kept " +
+          s"ELSE ${k - 1}L * ${KmvModulus}L div kth_hash END"))
+      .withColumn("est_diff", expr(
+        "CASE WHEN n_kept > 0 THEN n_only_a * est_union div n_kept ELSE 0 END"))
+      .withColumn("err_e4", expr(
+        """CASE WHEN true_diff > 0
+          |  THEN abs(est_diff - true_diff) * 10000 div true_diff END"""
+          .stripMargin))
+      .select(col("n_kept"), col("n_only_a"), col("est_diff"),
+        col("true_diff"), col("err_e4"))
+  }
+
+  /** DuckDB oracle for [[kmvDiff]] — the identical integer estimator
+    * over the identical portable hash.
+    */
+  def kmvDiffOracleSql(k: Int = 64): String =
+    s"""WITH h AS (
+       |  SELECT DISTINCT
+       |    CASE WHEN day(ts) % 2 = 0 THEN 'a' ELSE 'b' END AS part,
+       |    (user_id * $KmvMulA + $KmvAddC) % $KmvModulus AS h
+       |  FROM events WHERE user_id IS NOT NULL),
+       |r AS (SELECT part, h,
+       |        row_number() OVER (PARTITION BY part ORDER BY h) AS rn
+       |      FROM h),
+       |m AS (SELECT part, h FROM r WHERE rn <= $k),
+       |u AS (SELECT h, row_number() OVER (ORDER BY h) AS rn
+       |      FROM (SELECT DISTINCT h FROM m)),
+       |uk AS (SELECT h FROM u WHERE rn <= $k),
+       |sk AS (SELECT count(*)::BIGINT AS n_kept,
+       |         max(h)::BIGINT AS kth_hash,
+       |         coalesce(sum(CASE WHEN h IN (SELECT h FROM m WHERE part = 'a')
+       |                   AND h NOT IN (SELECT h FROM m WHERE part = 'b')
+       |                  THEN 1 ELSE 0 END), 0)::BIGINT AS n_only_a
+       |       FROM uk),
+       |td AS (SELECT coalesce(sum(CASE WHEN has_a = 1 AND has_b = 0
+       |                THEN 1 ELSE 0 END), 0)::BIGINT AS true_diff
+       |       FROM (SELECT h,
+       |               max(CASE WHEN part = 'a' THEN 1 ELSE 0 END) AS has_a,
+       |               max(CASE WHEN part = 'b' THEN 1 ELSE 0 END) AS has_b
+       |             FROM h GROUP BY h)),
+       |e AS (SELECT n_kept, n_only_a,
+       |        CASE WHEN n_kept < $k THEN n_kept
+       |             ELSE ${k - 1}::BIGINT * $KmvModulus // kth_hash
+       |        END::BIGINT AS est_union
+       |      FROM sk)
+       |SELECT e.n_kept, e.n_only_a,
+       |  (CASE WHEN e.n_kept > 0
+       |        THEN e.n_only_a * e.est_union // e.n_kept
+       |        ELSE 0 END)::BIGINT AS est_diff,
+       |  td.true_diff,
+       |  (CASE WHEN td.true_diff > 0
+       |        THEN abs((CASE WHEN e.n_kept > 0
+       |                 THEN e.n_only_a * e.est_union // e.n_kept
+       |                 ELSE 0 END) - td.true_diff) * 10000 // td.true_diff
+       |   END)::BIGINT AS err_e4
+       |FROM e CROSS JOIN td""".stripMargin
 }

@@ -645,6 +645,51 @@ class AnalyticsSpec extends SparkTestBase {
     assert(r.getAs[Long]("est_intersect") == nBoth * estU / uk.length)
   }
 
+  test("kmvDiff: one-sided reach estimate from member sets alone; exact truth rides along") {
+    import graft.ops.Sketch
+    // cohort a = users 1..80 (even day), cohort b = users 41..120 (odd
+    // day) → true a-only count 40
+    val events = (
+      (1 to 80).map(u => (u.toLong, u.toLong, "x", ts(86400000000L * 1))) ++
+      (41 to 120).map(u => (u.toLong + 500L, u.toLong, "x", ts(86400000000L * 2)))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val r = Sketch.kmvDiff(events, k = 16).collect().head
+    assert(r.getAs[Long]("true_diff") == 40L)
+    // independent recomputation of the estimator from first principles
+    def h(u: Long) = (u * Sketch.KmvMulA + Sketch.KmvAddC) % Sketch.KmvModulus
+    val mA = (1 to 80).map(u => h(u.toLong)).sorted.take(16).toSet
+    val mB = (41 to 120).map(u => h(u.toLong)).sorted.take(16).toSet
+    val uk = (mA ++ mB).toSeq.sorted.take(16)
+    val nOnlyA = uk.count(x => mA(x) && !mB(x)).toLong
+    val estU = 15L * Sketch.KmvModulus / uk.max
+    assert(r.getAs[Long]("n_only_a") == nOnlyA)
+    assert(r.getAs[Long]("est_diff") == nOnlyA * estU / uk.length)
+  }
+
+  test("amsF2: counters, group means and median recompute bit-exactly; truth rides along") {
+    import graft.ops.Sketch
+    // users 1..10 with frequency = user id → F2 = 1²+…+10² = 385, F1 = 55
+    val events = (1 to 10).flatMap(u => (1 to u).map(i =>
+      ((u * 100 + i).toLong, u.toLong, "x", ts(i * 1000000L))))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val r = Sketch.amsF2(events, groups = 3, perGroup = 4).collect().head
+    assert(r.getAs[Long]("true_f2") == 385L)
+    assert(r.getAs[Long]("n_rows") == 55L)
+    assert(r.getAs[Long]("n_counters") == 12L)
+    // first-principles recomputation of the tug-of-war estimator
+    def sgn(u: Long, cr: Long): Long =
+      if (((u * (Sketch.KmvMulA + (cr + 1) * Sketch.AmsStep)
+        + Sketch.KmvAddC) % Sketch.KmvModulus) % 2 == 0) 1L else -1L
+    val sketches = (0L until 12L).map(cr =>
+      (1 to 10).map(u => sgn(u.toLong, cr) * u).sum.toLong)
+    val means = sketches.grouped(4).map(g => g.map(x => x * x).sum / 4).toSeq
+    val med = means.zipWithIndex.sortBy(x => (x._1, x._2)).apply(1)._1
+    assert(r.getAs[Long]("est_f2") == med)
+    // median-of-means on a pairwise family: loose envelope, est within
+    // an order of magnitude of the truth
+    assert(r.getAs[Long]("est_f2") >= 0L)
+  }
+
   test("countMin: estimates never undercount and are exact without collisions") {
     // users 1..20 with frequency = user id — wide counter table (width
     // 256) over 20 keys: collisions possible per row but the MIN over 4

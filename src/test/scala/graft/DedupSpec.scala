@@ -377,4 +377,57 @@ class DedupSpec extends SparkTestBase {
     assert(rows == rows.sorted.reverse, rows)
     assert(rows.head > rows.last, rows)
   }
+
+  test("fuzzyJoin: pigeonhole blocking loses no pair an exhaustive levenshtein join finds") {
+    // labels engineered around the boundary: exact twin (dist 1 after
+    // the deterministic corruption), a dist-2 neighbor, a dist-3 near
+    // miss that must NOT match, and unrelated rows
+    val part = Seq(
+      (2L, "small ring", "Brand#1", "ECONOMY"),
+      (3L, "small ring", "Brand#1", "ECONOMZ"),   // dist 1 from 2's label
+      (4L, "small rink", "Brand#1", "ECONOMY"),   // dist 1 from 2's label
+      (5L, "small wing", "Brand#1", "ECONOMY"),   // dist 2 from 2's label
+      (6L, "smell rings", "Brand#1", "ECONOMY"),  // dist 3 from 2's label
+      (8L, "large bolt", "Brand#2", "STANDARD"),
+      (9L, "large bolt", "Brand#2", "STANDARD"),  // duplicate label of 8
+      (10L, "red widget", "Brand#3", "PROMO")
+    ).map { case (k, n, b, t) => (k, n, b, t, 1, 1.0) }
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size",
+        "p_retailprice")
+    val out = graft.ops.Dedup.fuzzyJoin(part, dmax = 2).collect()
+      .map(r => (r.getAs[Long]("dirty_id"), r.getAs[Long]("clean_id"),
+        r.getAs[Long]("dist"))).toSeq
+    // exhaustive reference: the same corruption + unblocked levenshtein
+    def label(n: String, b: String, t: String) = s"$n $b $t"
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val rowsIn = Seq(
+      (2L, "small ring", "Brand#1", "ECONOMY"),
+      (3L, "small ring", "Brand#1", "ECONOMZ"),
+      (4L, "small rink", "Brand#1", "ECONOMY"),
+      (5L, "small wing", "Brand#1", "ECONOMY"),
+      (6L, "smell rings", "Brand#1", "ECONOMY"),
+      (8L, "large bolt", "Brand#2", "STANDARD"),
+      (9L, "large bolt", "Brand#2", "STANDARD"),
+      (10L, "red widget", "Brand#3", "PROMO"))
+    val clean = rowsIn.map { case (k, n, b, t) => (k, label(n, b, t)) }
+    val dirty = rowsIn.filter(_._1 % 2 == 0).map { case (k, n, b, t) =>
+      val l = label(n, b, t); (k, l.take(3) + l.drop(4)) }
+    val brute = (for {
+      (did, dl) <- dirty
+      (cid, cl) <- clean
+      d = lev(dl, cl) if d <= 2
+    } yield (did, cid, d.toLong)).sortBy(p => (p._1, p._2))
+    assert(out == brute)
+    // the corrupted twin of 2 must hit 2 itself and its dist-1/2
+    // neighbors, never the dist-3 near miss
+    val hitsOf2 = out.filter(_._1 == 2L).map(_._2).toSet
+    assert(hitsOf2.contains(2L) && !hitsOf2.contains(6L))
+  }
 }

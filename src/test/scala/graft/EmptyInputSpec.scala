@@ -260,5 +260,15 @@ class EmptyInputSpec extends SparkTestBase {
     val ki = graft.ops.Sketch.kmvIntersect(noEventsFull).collect()
     assert(ki.length == 1 && ki.head.getAs[Long]("true_intersect") == 0L)
     assert(graft.ops.Sketch.countMin(noEventsFull).count() == 0)
+    // diff follows the intersect convention: one all-zeros row
+    val kd = graft.ops.Sketch.kmvDiff(noEventsFull).collect()
+    assert(kd.length == 1 && kd.head.getAs[Long]("true_diff") == 0L)
+    assert(graft.ops.Sketch.amsF2(noEventsFull).count() == 0)
+    val noOrders2 = Seq.empty[(Long, Long, Double)]
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+    assert(graft.ops.Relational.skyline(noOrders2).count() == 0)
+    val noParts = Seq.empty[(Long, String, String, String)]
+      .toDF("p_partkey", "p_name", "p_brand", "p_type")
+    assert(graft.ops.Dedup.fuzzyJoin(noParts).count() == 0)
   }
 }

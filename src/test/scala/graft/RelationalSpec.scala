@@ -53,6 +53,48 @@ class RelationalSpec extends SparkTestBase {
     assert(out.toSeq == Seq((30L, "C")))
   }
 
+  test("skyline: grid-pruned 3-D dominance equals brute force; ties and duplicates survive") {
+    // 14 customers spanning correlated, anti-correlated, duplicate and
+    // single-order shapes — enough to populate several grid cells and
+    // put points on cell boundaries
+    val spec = Seq(
+      1L -> Seq(500.0),                    // whale in one order
+      2L -> Seq(500.0),                    // exact duplicate of 1 — both stay
+      3L -> Seq(400.0, 100.0),             // same spend, more orders
+      4L -> Seq(300.0, 300.0),             // higher spend, 2 orders
+      5L -> Seq(200.0),                    // dominated by 1 (fewer on nothing)
+      6L -> Seq(100.0, 100.0, 100.0),      // low spend, many orders
+      7L -> Seq(600.0, 10.0),              // top spend, 2 orders
+      8L -> Seq(50.0),                     // min everything
+      9L -> Seq(499.0),                    // just under the duplicate pair
+      10L -> Seq(10.0, 10.0, 10.0, 10.0),  // dominated everywhere
+      11L -> Seq(610.0, 1.0, 1.0),         // max spend, 3 orders
+      12L -> Seq(305.0, 305.0),            // slightly beats 4
+      13L -> Seq(2.0, 601.0),              // bigger max order than 7, same n
+      14L -> Seq(55.0))                    // dominated by 9
+    val df = spec.flatMap { case (cust, prices) =>
+      prices.zipWithIndex.map { case (p, i) =>
+        (cust * 100 + i, cust, "O", p, ts("1996-01-01 00:00:00"), "1-URGENT") }
+    }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+    val pts = spec.map { case (cust, prices) =>
+      (cust, prices.map(p => math.round(p * 100)).sum, prices.length.toLong,
+        prices.map(p => math.round(p * 100)).max) }
+    def dom(d: (Long, Long, Long, Long), c: (Long, Long, Long, Long)) =
+      d._2 >= c._2 && d._3 <= c._3 && d._4 >= c._4 &&
+        (d._2 > c._2 || d._3 < c._3 || d._4 > c._4)
+    val brute = pts.filter(c => !pts.exists(d => dom(d, c))).sortBy(_._1)
+    val out = Relational.skyline(df, grid = 4).collect()
+      .map(r => (r.getAs[Long]("custkey"), r.getAs[Long]("spend_cents"),
+        r.getAs[Long]("n_orders"), r.getAs[Long]("max_order_cents"))).toSeq
+    assert(out == brute)
+    // sanity on the hand shapes: the duplicate pair and the max-spender
+    // are in; the dominated rows are out
+    val keys = out.map(_._1).toSet
+    assert(Set(1L, 2L, 7L, 11L, 13L).subsetOf(keys))
+    assert(!keys(5L) && !keys(9L) && !keys(10L) && !keys(14L))
+  }
+
   test("pricing summary computes exact decimal-routed sums") {
     val li = Seq(
       (1L, 1L, 1L, 1, 10.0, 100.0, 0.1, 0.02, "A", "F", ts("1996-01-01 00:00:00")),
