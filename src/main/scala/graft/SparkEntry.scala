@@ -693,6 +693,11 @@ object SparkEntry {
     // twin, zero-false-negative chunk blocking + levenshtein verify
     "q_fuzzy_join" -> ((s, d) =>
       Dedup.fuzzyJoin(Relational.table(s, d, "part"))),
+    // Benjamini-Hochberg step-up FDR over the per-type test family
+    "q_bh_fdr" -> ((s, d) => Analytics.bhFdr(Analytics.events(s, d))),
+    // binary-segmentation change points on the hourly level, exact CUSUM
+    "q_change_points" -> ((s, d) =>
+      Analytics.changePoints(Analytics.events(s, d))),
     // Markov removal-effect attribution: absorbing-chain conversion drop
     // per removed channel, exact integer e9 fixed-point on the collapsed
     // transition table
@@ -4391,6 +4396,8 @@ object SparkEntry {
     "q_ams_f2" -> Sketch.amsF2OracleSql(),
     "q_skyline" -> Relational.skylineOracleSql,
     "q_fuzzy_join" -> Dedup.fuzzyJoinOracleSql(),
+    "q_bh_fdr" -> Analytics.bhFdrOracleSql(),
+    "q_change_points" -> Analytics.changePointsOracleSql,
     "q_removal_effect" -> Analytics.removalEffectOracleSql(),
     "q_cep_pattern" -> Analytics.cepPatternOracleSql(),
     "q_cusum" -> Analytics.cusumOracleSql(),

@@ -3131,4 +3131,224 @@ object Analytics {
        |  END)::BIGINT AS share_e4
        |FROM eff CROSS JOIN tot ORDER BY channel""".stripMargin
   }
+
+  /** The shared z → two-sided-p expression (Abramowitz & Stegun 7.1.26
+    * erf polynomial, |ε| ≤ 1.5·10⁻⁷), emitted IDENTICALLY into both
+    * engines' SQL so the only cross-engine risk is a last-ulp exp/sqrt
+    * difference — absorbed by the e6 quantization (the
+    * lshTuningSweep/bloomSizing pow precedent). Input: a DOUBLE column
+    * expression for |z|; output: a DOUBLE p in [0, 1].
+    */
+  private def erfcPSql(absZ: String): String = {
+    // x = |z|/√2; erfc(x) = (a1 t + a2 t² + a3 t³ + a4 t⁴ + a5 t⁵)·e^(−x²),
+    // t = 1/(1 + 0.3275911 x)
+    val x = s"(($absZ) / 1.4142135623730951)"
+    val t = s"(1.0 / (1.0 + 0.3275911 * $x))"
+    s"""((0.254829592 * $t - 0.284496736 * $t * $t
+       |  + 1.421413741 * $t * $t * $t
+       |  - 1.453152027 * $t * $t * $t * $t
+       |  + 1.061405429 * $t * $t * $t * $t * $t)
+       |  * exp(-($x) * ($x)))""".stripMargin.replace("\n", " ")
+  }
+
+  /** BENJAMINI–HOCHBERG FDR control over a family of per-type
+    * two-proportion tests — the multiple-testing layer every
+    * experimentation platform needs above its single-test suite
+    * ([[welchTTest]], [[chiSquare]], Mann-Whitney, KS): run one test per
+    * event type (did the type's traffic share shift between the even-day
+    * and odd-day cohorts?), then control the false-discovery rate at
+    * `alphaE6`/1e6 across the whole family. The BH step-up rule: sort
+    * p-values ascending, find the LARGEST rank k with
+    * p_(k) ≤ k·α/m, reject hypotheses 1..k (Benjamini & Hochberg,
+    * JRSS-B'95) — an argmax over a rank window, pure integer comparisons
+    * once p is e6-quantized (p_e6·m ≤ k·α_e6 avoids the division
+    * entirely).
+    *
+    * Per-type test: pooled two-proportion z on (type count, cohort
+    * total); p from the shared A&S erfc polynomial ([[erfcPSql]]) —
+    * identical literal expression in both engines, e6-quantized before
+    * any comparison, so BH's decisions are integer-deterministic.
+    *
+    * Shape at 100 TB: ONE partial-aggregated collapse to the
+    * (cohort × type) table; everything after — margins, z, p, ranks,
+    * the step-up argmax — is window arithmetic on the m-row hypothesis
+    * dimension (m = |event types|). The corpus is touched exactly once.
+    */
+  def bhFdr(df: DataFrame, alphaE6: Long = 50000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = df
+      .select(when(dayofmonth(col("ts")) % 2 === 0, "a").otherwise("b")
+        .as("cohort"), col("event_type"))
+      .groupBy(col("cohort"), col("event_type"))
+      .agg(count(lit(1)).as("o"))
+    val typed = cells
+      .groupBy(col("event_type"))
+      .agg(
+        coalesce(sum(when(col("cohort") === "a", col("o"))), lit(0L))
+          .as("n_a"),
+        coalesce(sum(when(col("cohort") === "b", col("o"))), lit(0L))
+          .as("n_b"))
+      .withColumn("tot_a", sum(col("n_a")).over(Window.partitionBy()))
+      .withColumn("tot_b", sum(col("n_b")).over(Window.partitionBy()))
+    val scored = typed
+      .withColumn("z_num", expr(
+        "CAST(n_a AS DOUBLE) / tot_a - CAST(n_b AS DOUBLE) / tot_b"))
+      .withColumn("pp", expr(
+        "CAST(n_a + n_b AS DOUBLE) / CAST(tot_a + tot_b AS DOUBLE)"))
+      .withColumn("z_den", expr(
+        "sqrt(pp * (1.0 - pp) * (1.0 / tot_a + 1.0 / tot_b))"))
+      .withColumn("abs_z", expr(
+        "CASE WHEN z_den > 0 THEN abs(z_num) / z_den ELSE 0.0 END"))
+      .withColumn("p_e6", expr(
+        s"CAST(round(${erfcPSql("abs_z")} * 1000000, 0) AS BIGINT)"))
+      .withColumn("z_e6",
+        expr("CAST(round(abs_z * 1000000, 0) AS BIGINT)"))
+    val ranked = scored
+      .withColumn("m", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("k", row_number().over(
+        Window.orderBy(col("p_e6"), col("event_type"))).cast("long"))
+      .withColumn("k_max", max(
+        when(col("p_e6") * col("m") <= col("k") * alphaE6, col("k")))
+        .over(Window.partitionBy()))
+    ranked
+      .select(col("event_type"), col("n_a"), col("n_b"), col("z_e6"),
+        col("p_e6"), col("k"),
+        expr(s"k * $alphaE6 div m").as("bh_cutoff_e6"),
+        (col("k_max").isNotNull && col("k") <= col("k_max"))
+          .as("rejected"))
+      .orderBy(col("k"))
+  }
+
+  /** DuckDB oracle for [[bhFdr]] — the identical collapse, polynomial,
+    * quantization, and step-up rule.
+    */
+  def bhFdrOracleSql(alphaE6: Long = 50000L): String =
+    s"""WITH cells AS (
+       |  SELECT CASE WHEN day(ts) % 2 = 0 THEN 'a' ELSE 'b' END AS cohort,
+       |    event_type, count(*)::BIGINT AS o
+       |  FROM events GROUP BY 1, 2),
+       |typed AS (
+       |  SELECT event_type,
+       |    coalesce(sum(CASE WHEN cohort = 'a' THEN o END), 0)::BIGINT AS n_a,
+       |    coalesce(sum(CASE WHEN cohort = 'b' THEN o END), 0)::BIGINT AS n_b
+       |  FROM cells GROUP BY 1),
+       |tots AS (
+       |  SELECT *, sum(n_a) OVER () AS tot_a, sum(n_b) OVER () AS tot_b
+       |  FROM typed),
+       |scored AS (
+       |  SELECT event_type, n_a, n_b,
+       |    CASE WHEN z_den > 0 THEN abs(z_num) / z_den ELSE 0.0 END AS abs_z
+       |  FROM (
+       |    SELECT *,
+       |      n_a::DOUBLE / tot_a - n_b::DOUBLE / tot_b AS z_num,
+       |      sqrt(pp * (1.0 - pp) * (1.0 / tot_a + 1.0 / tot_b)) AS z_den
+       |    FROM (SELECT *,
+       |            (n_a + n_b)::DOUBLE / (tot_a + tot_b)::DOUBLE AS pp
+       |          FROM tots))),
+       |quant AS (
+       |  SELECT event_type, n_a, n_b,
+       |    CAST(round(abs_z * 1000000, 0) AS BIGINT) AS z_e6,
+       |    CAST(round(${erfcPSql("abs_z")} * 1000000, 0) AS BIGINT) AS p_e6
+       |  FROM scored),
+       |ranked AS (
+       |  SELECT *, count(*) OVER () AS m,
+       |    row_number() OVER (ORDER BY p_e6, event_type) AS k
+       |  FROM quant),
+       |cut AS (
+       |  SELECT max(CASE WHEN p_e6 * m <= k * $alphaE6 THEN k END) AS k_max
+       |  FROM ranked)
+       |SELECT event_type, n_a, n_b, z_e6, p_e6, k::BIGINT AS k,
+       |  (k * $alphaE6 // m)::BIGINT AS bh_cutoff_e6,
+       |  (k_max IS NOT NULL AND k <= k_max) AS rejected
+       |FROM ranked CROSS JOIN cut ORDER BY k""".stripMargin
+
+  /** CHANGE-POINT DETECTION by binary segmentation — the offline twin of
+    * the streaming CUSUM monitor ([[graft.stream.CusumMonitor]]): where
+    * did the hourly event level SHIFT? Statistic per candidate boundary
+    * t of an n-hour series with prefix sums S: D_t = |n·S_t − t·S_n| —
+    * the scaled CUSUM deviation from a constant rate, maximized over t
+    * (ties break to the earliest hour). Binary segmentation recurses on
+    * the two sides of the best split (Scott & Knott'74 / the standard
+    * changepoint bootstrap); depth 2 here — one global change point plus
+    * one per side — which is the useful dashboard readout ("level shift
+    * at 14:00; secondary shifts at 06:00 and 19:00").
+    *
+    * Exactness: D_t is BIGINT (n·S ≤ hours × events — no overflow until
+    * ~10¹⁸ event-hours); segment means are e4 integer divisions; the
+    * argmax orders by (D desc, t asc) — fully deterministic, so the
+    * DuckDB twin matches digit-for-digit.
+    *
+    * Shape at 100 TB: ONE partial-aggregated collapse to the hour
+    * dimension (≤ 8760 rows/year); every recursion level is window
+    * arithmetic + a 1-row argmax on that dimension table, and the
+    * segment splits are broadcast 1-row cross joins — the corpus is
+    * scanned exactly once, like [[removalEffect]]'s transition collapse.
+    */
+  def changePoints(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = df
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("cnt"))
+      .persist()
+    // best split of one hour-indexed segment; returns ≤1 row
+    def best(seg: DataFrame, label: String): DataFrame = {
+      val w = Window.orderBy(col("h"))
+      seg
+        .withColumn("t", row_number().over(w).cast("long"))
+        .withColumn("s", sum(col("cnt")).over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+        .withColumn("sn", sum(col("cnt")).over(Window.partitionBy()))
+        .filter(col("t") < col("n"))
+        .withColumn("stat", abs(col("n") * col("s") - col("t") * col("sn")))
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("stat").desc, col("t"))))
+        .filter(col("rn") === 1)
+        .select(lit(label).as("segment"), unix_micros(col("h")).as("cp_hour_us"),
+          col("t").as("t_index"), col("n").as("n_hours"), col("stat"),
+          expr("s * 10000 div t").as("mean_before_e4"),
+          expr("(sn - s) * 10000 div (n - t)").as("mean_after_e4"))
+    }
+    val top = best(hourly, "all").persist()
+    val cut = top.select(col("cp_hour_us").as("cut_us"))
+    val left = hourly.join(broadcast(cut),
+      unix_micros(col("h")) <= col("cut_us")).drop("cut_us")
+    val right = hourly.join(broadcast(cut),
+      unix_micros(col("h")) > col("cut_us")).drop("cut_us")
+    top.unionByName(best(left, "left")).unionByName(best(right, "right"))
+      .orderBy(col("segment"))
+  }
+
+  /** DuckDB oracle for [[changePoints]] — the same three argmaxes. */
+  def changePointsOracleSql: String = {
+    def bestSql(src: String, label: String): String =
+      s"""SELECT '$label' AS segment, epoch_us(h) AS cp_hour_us,
+         |  t::BIGINT AS t_index, n::BIGINT AS n_hours, stat::BIGINT AS stat,
+         |  (s * 10000 // t)::BIGINT AS mean_before_e4,
+         |  ((sn - s) * 10000 // (n - t))::BIGINT AS mean_after_e4
+         |FROM (
+         |  SELECT *, abs(n * s - t * sn) AS stat,
+         |    row_number() OVER (ORDER BY abs(n * s - t * sn) DESC, t) AS rn
+         |  FROM (
+         |    SELECT h, t, s, count(*) OVER () AS n, sum(cnt) OVER () AS sn
+         |    FROM (
+         |      SELECT h, cnt,
+         |        row_number() OVER (ORDER BY h) AS t,
+         |        sum(cnt) OVER (ORDER BY h
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+         |      FROM $src))
+         |  WHERE t < n)
+         |WHERE rn = 1""".stripMargin
+    s"""WITH hourly AS (
+       |  SELECT date_trunc('hour', ts) AS h, count(*)::BIGINT AS cnt
+       |  FROM events GROUP BY 1),
+       |top AS (${bestSql("hourly", "all")}),
+       |lseg AS (SELECT hourly.* FROM hourly CROSS JOIN top
+       |         WHERE epoch_us(h) <= top.cp_hour_us),
+       |rseg AS (SELECT hourly.* FROM hourly CROSS JOIN top
+       |         WHERE epoch_us(h) > top.cp_hour_us)
+       |SELECT * FROM top
+       |UNION ALL ${bestSql("lseg", "left")}
+       |UNION ALL ${bestSql("rseg", "right")}
+       |ORDER BY segment""".stripMargin
+  }
 }

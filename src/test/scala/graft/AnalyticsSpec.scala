@@ -707,6 +707,61 @@ class AnalyticsSpec extends SparkTestBase {
       assert(e >= t, s"count-min undercounted user $u: $e < $t") }
   }
 
+  test("bhFdr: step-up rejects BELOW the largest passing rank even when a smaller p fails its own cutoff") {
+    // hand-built BALANCED cohorts (equal totals, so a type with equal
+    // counts has an exactly-zero z): 'big_shift' and 'filler' move
+    // massively, the null types not at all. Pins: ascending p-ranks,
+    // the rejected set is a PREFIX of the p-ordering (the step-up
+    // shape), and exact-zero-z types are never rejected.
+    def mk(cohortDay: Long, tpe: String, n: Int, base: Long) =
+      (0 until n).map(i =>
+        (base + i, 1000L + i, tpe, ts(cohortDay * 86400000000L + i * 1000000L)))
+    val events = (
+      mk(2, "big_shift", 400, 0) ++ mk(3, "big_shift", 100, 10000) ++
+      mk(2, "mid_even", 230, 20000) ++ mk(3, "mid_even", 230, 30000) ++
+      mk(2, "null_1", 300, 40000) ++ mk(3, "null_1", 300, 50000) ++
+      mk(2, "null_2", 300, 60000) ++ mk(3, "null_2", 300, 70000) ++
+      mk(3, "filler", 300, 80000)
+    ).map { case (id, uid, tpe, t) => (id.toLong, uid, tpe, t) }
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val out = graft.ops.Analytics.bhFdr(events).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("k"),
+        r.getAs[Long]("p_e6"), r.getAs[Boolean]("rejected")))
+    // ranks are ascending in p and the big shift sorts first
+    assert(out.map(_._2).toSeq == (1L to 5L), out.mkString(";"))
+    assert(out.head._1 == "big_shift" && out.head._4)
+    // nulls are never rejected; monotone property: rejected is a prefix
+    val rej = out.map(_._4)
+    assert(!rej.zip(rej.tail).exists { case (a, b) => !a && b },
+      s"rejections must be a prefix of the p-ordering: ${out.mkString(";")}")
+    assert(!out.filter(r => r._1.startsWith("null")).exists(_._4))
+  }
+
+  test("changePoints: the planted level shift is found exactly, then each side's secondary shift") {
+    // 24 hours: level 10/hour for h<8, 40/hour for 8<=h<16, 41 for
+    // h>=16. Global argmax must land at the 10→40 jump boundary (t=8);
+    // right segment's best split lands at the 40→41 boundary.
+    val events = (0 until 24).flatMap { h =>
+      val lvl = if (h < 8) 10 else if (h < 16) 40 else 41
+      (0 until lvl).map(i => ((h * 100 + i).toLong, 1L, "x",
+        ts(h * 3600000000L + i * 1000000L)))
+    }.toDF("event_id", "user_id", "event_type", "ts")
+    val out = graft.ops.Analytics.changePoints(events).collect()
+      .map(r => (r.getAs[String]("segment"), r.getAs[Long]("t_index"),
+        r.getAs[Long]("n_hours"), r.getAs[Long]("mean_before_e4"),
+        r.getAs[Long]("mean_after_e4"))).toSeq.sortBy(_._1)
+    val all = out.find(_._1 == "all").get
+    assert(all._2 == 8L && all._3 == 24L, all)
+    assert(all._4 == 100000L, all)                   // 10.0/hour before
+    assert(all._5 == 405000L, all)                   // (8·40+8·41)/16 = 40.5
+    val right = out.find(_._1 == "right").get
+    assert(right._2 == 8L && right._3 == 16L, right) // 40→41 at its t=8
+    assert(right._4 == 400000L && right._5 == 410000L, right)
+    val left = out.find(_._1 == "left").get
+    assert(left._3 == 8L, left)                      // flat 8-hour segment
+    assert(left._4 == 100000L && left._5 == 100000L, left)
+  }
+
   test("KllAggregator: total weight is exactly preserved and ranks stay in the deterministic envelope") {
     val agg = new graft.functions.KllAggregator(64)
     // sequential reduce over a permuted stream, then a 3-way merge of

@@ -270,5 +270,7 @@ class EmptyInputSpec extends SparkTestBase {
     val noParts = Seq.empty[(Long, String, String, String)]
       .toDF("p_partkey", "p_name", "p_brand", "p_type")
     assert(graft.ops.Dedup.fuzzyJoin(noParts).count() == 0)
+    assert(graft.ops.Analytics.bhFdr(noEventsFull).count() == 0)
+    assert(graft.ops.Analytics.changePoints(noEventsFull).count() == 0)
   }
 }

@@ -831,4 +831,25 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("BroadcastNestedLoopJoin"), s"replica fan-out must broadcast:\n$p")
     assert(!p.contains("Exchange rangepartitioning"), s"no global sort:\n$p")
   }
+
+  test("skyline: no cartesian product — cell prune and shell check both broadcast") {
+    // the quadratic is confined: cell-dominance and the exact shell
+    // check are broadcast joins over model/shell-sized sides; the
+    // corpus-sized point frame never cross-joins itself
+    val p = plan(graft.ops.Relational.skyline(
+      Relational.table(spark, sf, "orders")))
+    assert(!p.contains("CartesianProduct"), s"skyline must never plan a cartesian:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"cell/shell dominance checks must be broadcast joins:\n$p")
+  }
+
+  test("fuzzyJoin: candidates meet on an equi-join; no cartesian, no nested loop") {
+    // the pigeonhole chunks turn an edit-distance theta-join into a
+    // hash-partitioned equi-join; the only joins beyond it are the two
+    // id re-expansions, also equi-joins
+    val p = plan(graft.ops.Dedup.fuzzyJoin(
+      Relational.table(spark, sf, "part")))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"fuzzy join must stay equi-join only:\n$p")
+  }
 }

@@ -116,4 +116,31 @@ class ScaleCanarySpec extends SparkTestBase {
       graft.ops.Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 3L))
     }
   }
+
+  test("fuzzy join: pigeonhole candidates stay near-linear when the label space grows with the catalog", Slow) {
+    // the honest scaling regime: vocabulary grows WITH the catalog (a
+    // fixed vocab would densify every chunk key and the candidate set
+    // would go quadratic by construction, not by plan regression)
+    canary("fuzzy_join", 20000L) { n =>
+      val part = spark.range(n).select(
+        col("id").as("p_partkey"),
+        expr(s"concat('w', pmod(id * 7919, ${n / 100}), " +
+          s"' w', pmod(id * 104729, ${n / 100}))").as("p_name"),
+        expr(s"concat('Brand#', pmod(id * 48271, ${n / 200}))").as("p_brand"),
+        expr("CASE pmod(id, 4) WHEN 0 THEN 'ECONOMY' WHEN 1 THEN 'STANDARD' " +
+          "WHEN 2 THEN 'PROMO' ELSE 'DELUXE' END").as("p_type"))
+      graft.ops.Dedup.fuzzyJoin(part)
+    }
+  }
+
+  test("skyline: the corpus collapse dominates and stays linear; the shell never explodes", Slow) {
+    canary("skyline", 1000000L) { n =>
+      val orders = spark.range(n).select(
+        col("id").as("o_orderkey"),
+        pmod(col("id") * lit(2654435761L), lit(n / 10L)).as("o_custkey"),
+        (pmod(col("id") * lit(48271L), lit(99000L)).cast("double") / 100.0
+          + 10.0).as("o_totalprice"))
+      graft.ops.Relational.skyline(orders)
+    }
+  }
 }
