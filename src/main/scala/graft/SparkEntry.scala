@@ -698,6 +698,9 @@ object SparkEntry {
     // binary-segmentation change points on the hourly level, exact CUSUM
     "q_change_points" -> ((s, d) =>
       Analytics.changePoints(Analytics.events(s, d))),
+    // sliding-window distinct users: first-in-window rewrite, one pass
+    "q_sliding_distinct" -> ((s, d) =>
+      Analytics.slidingDistinct(Analytics.events(s, d))),
     // Markov removal-effect attribution: absorbing-chain conversion drop
     // per removed channel, exact integer e9 fixed-point on the collapsed
     // transition table
@@ -4398,6 +4401,7 @@ object SparkEntry {
     "q_fuzzy_join" -> Dedup.fuzzyJoinOracleSql(),
     "q_bh_fdr" -> Analytics.bhFdrOracleSql(),
     "q_change_points" -> Analytics.changePointsOracleSql,
+    "q_sliding_distinct" -> Analytics.slidingDistinctOracleSql(),
     "q_removal_effect" -> Analytics.removalEffectOracleSql(),
     "q_cep_pattern" -> Analytics.cepPatternOracleSql(),
     "q_cusum" -> Analytics.cusumOracleSql(),

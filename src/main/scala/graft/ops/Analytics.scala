@@ -3262,6 +3262,73 @@ object Analytics {
        |  (k_max IS NOT NULL AND k <= k_max) AS rejected
        |FROM ranked CROSS JOIN cut ORDER BY k""".stripMargin
 
+  /** EXACT DISTINCT-COUNT OVER A SLIDING WINDOW — trailing
+    * `windowHours`-hour active users per hour, the dashboard's "DAU by
+    * hour" with a window that SLIDES instead of tumbling
+    * ([[tumblingCounts]]/[[hourlyCounts]] are the aligned cousins).
+    * COUNT(DISTINCT) over a sliding window is the classic scale trap:
+    * the naive form re-scans the window per readout (24× the corpus per
+    * day) and distinct doesn't decompose over overlapping windows.
+    *
+    * The first-in-window rewrite makes it ONE pass: an event counts for
+    * readout hour b iff it is its user's first event inside (b−W, b] —
+    * equivalently iff the user's immediately-preceding event falls
+    * before the window. With bucket b_e and predecessor bucket b_p,
+    * that holds exactly for readouts b ∈ [max(b_e, b_p+W), b_e+W−1] —
+    * a CONTIGUOUS range, so each event explodes to at most W bucket
+    * rows (usually far fewer: a user active every hour contributes 1)
+    * and a plain SUM per bucket IS the exact distinct count. Every
+    * user is counted exactly once per readout: the first-in-window
+    * event's predecessor is outside by definition; any later event's
+    * predecessor is inside, so its range is empty.
+    *
+    * Shape at 100 TB: one lag over the (user_id, ts) clustering the
+    * sessionization family already pays, a ≤W-row bounded explode
+    * eaten by map-side combine, and the readout joins a dense
+    * hour-dimension frame. No window re-scan, no count-distinct
+    * shuffle per readout. All-integer bucket arithmetic → digit-exact
+    * oracle (whose range-join COUNT(DISTINCT) is the quadratic shape
+    * this operator exists to avoid).
+    */
+  def slidingDistinct(df: DataFrame, windowHours: Int = 24): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(windowHours >= 1)
+    val ev = df.filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        expr("unix_micros(date_trunc('hour', ts)) div 3600000000").as("b"))
+    val contrib = ev
+      .withColumn("b_prev", lag(col("b"), 1).over(
+        Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))))
+      .withColumn("lo",
+        greatest(col("b"), coalesce(col("b_prev") + windowHours, col("b"))))
+      .withColumn("hi", col("b") + (windowHours - 1))
+      .filter(col("lo") <= col("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("rb"))
+      .groupBy(col("rb")).agg(count(lit(1)).as("n_active"))
+    val hours = ev.agg(min(col("b")).as("lo_b"), max(col("b")).as("hi_b"))
+      .select(explode(sequence(col("lo_b"), col("hi_b"))).as("rb"))
+    hours.join(contrib, Seq("rb"), "left")
+      .select((col("rb") * 3600000000L).as("hour_us"),
+        coalesce(col("n_active"), lit(0L)).as("n_active"))
+      .orderBy(col("hour_us"))
+  }
+
+  /** DuckDB oracle for [[slidingDistinct]] — the naive per-readout
+    * range-join COUNT(DISTINCT) the rewrite provably equals.
+    */
+  def slidingDistinctOracleSql(windowHours: Int = 24): String =
+    s"""WITH ev AS (
+       |  SELECT user_id,
+       |    epoch_us(date_trunc('hour', ts)) // 3600000000 AS b
+       |  FROM events WHERE user_id IS NOT NULL),
+       |rng AS (SELECT min(b) AS lo, max(b) AS hi FROM ev),
+       |hrs AS (SELECT unnest(generate_series(lo, hi)) AS rb FROM rng)
+       |SELECT rb * 3600000000 AS hour_us,
+       |  count(DISTINCT e.user_id)::BIGINT AS n_active
+       |FROM hrs LEFT JOIN ev e
+       |  ON e.b BETWEEN hrs.rb - ${windowHours - 1} AND hrs.rb
+       |GROUP BY rb ORDER BY hour_us""".stripMargin
+
   /** CHANGE-POINT DETECTION by binary segmentation — the offline twin of
     * the streaming CUSUM monitor ([[graft.stream.CusumMonitor]]): where
     * did the hourly event level SHIFT? Statistic per candidate boundary

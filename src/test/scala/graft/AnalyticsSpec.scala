@@ -762,6 +762,37 @@ class AnalyticsSpec extends SparkTestBase {
     assert(left._4 == 100000L && left._5 == 100000L, left)
   }
 
+  test("slidingDistinct: first-in-window rewrite equals brute force on a seeded random stream") {
+    val rnd = new scala.util.Random(42)
+    val W = 4 // 4-hour window keeps the brute force readable
+    val events = (0 until 300).map { i =>
+      (i.toLong, (rnd.nextInt(8) + 1).toLong, "x",
+        ts(rnd.nextInt(48) * 3600000000L + rnd.nextInt(3600) * 1000000L))
+    }.toDF("event_id", "user_id", "event_type", "ts")
+    val rows = events.collect().map(r =>
+      (r.getAs[Long]("user_id"), r.getAs[Timestamp]("ts").getTime * 1000 / 3600000000L))
+    val (lo, hi) = (rows.map(_._2).min, rows.map(_._2).max)
+    val brute = (lo to hi).map { b =>
+      (b * 3600000000L,
+        rows.filter(e => e._2 >= b - (W - 1) && e._2 <= b).map(_._1).distinct.length.toLong)
+    }
+    val out = graft.ops.Analytics.slidingDistinct(events, windowHours = W)
+      .collect().map(r => (r.getAs[Long]("hour_us"), r.getAs[Long]("n_active"))).toSeq
+    assert(out == brute)
+    // boundary pins: a user active in consecutive hours is counted once
+    // per readout, and an hour with no events still reads trailing actives
+    val dense = Seq(
+      (1L, 7L, "x", ts(0L)), (2L, 7L, "x", ts(3600000000L)),
+      (3L, 9L, "x", ts(0L)), (4L, 9L, "x", ts(5L * 3600000000L)))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val d = graft.ops.Analytics.slidingDistinct(dense, windowHours = 4)
+      .collect().map(r => (r.getAs[Long]("hour_us") / 3600000000L,
+        r.getAs[Long]("n_active"))).toSeq
+    // h0: {7,9}; h1: {7,9}(7 twice, once counted); h2,h3: both still in
+    // window; h4: only 7 (9's h0 event aged out, 7's h1 alive); h5: 9
+    assert(d == Seq((0L, 2L), (1L, 2L), (2L, 2L), (3L, 2L), (4L, 1L), (5L, 1L)), d)
+  }
+
   test("KllAggregator: total weight is exactly preserved and ranks stay in the deterministic envelope") {
     val agg = new graft.functions.KllAggregator(64)
     // sequential reduce over a permuted stream, then a 3-way merge of

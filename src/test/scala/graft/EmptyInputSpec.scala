@@ -272,5 +272,6 @@ class EmptyInputSpec extends SparkTestBase {
     assert(graft.ops.Dedup.fuzzyJoin(noParts).count() == 0)
     assert(graft.ops.Analytics.bhFdr(noEventsFull).count() == 0)
     assert(graft.ops.Analytics.changePoints(noEventsFull).count() == 0)
+    assert(graft.ops.Analytics.slidingDistinct(noEventsFull).count() == 0)
   }
 }
