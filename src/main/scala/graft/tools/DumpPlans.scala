@@ -110,7 +110,15 @@ object DumpPlans {
       "q_table_checksum" -> "table checksum: row-local modular fold, partial+final rollup aggregate — the whole audit is one scan and one kilobyte of output",
       "q_partitioned_scan" -> "D6 read side: the event_date equality rides PartitionFilters — one day's DIRECTORY is listed, everything else is never opened (row-group pruning is the flat-file fallback)",
       "q_partitioned_dim_scan" -> "dynamic partition pruning: the day predicate lives on the broadcast calendar dim; the fact scan carries dynamicpruningexpression(event_date IN subquery) so only surviving days are listed",
-      "q_kcenter_sampled" -> "sampled k-center: greedy rounds on the bottom-k-hash sample (LCG-ranked TakeOrdered), ONE exact corpus pass — k-row broadcast centers, struct-min assignment, center-dimension aggregate")
+      "q_kcenter_sampled" -> "sampled k-center: greedy rounds on the bottom-k-hash sample (LCG-ranked TakeOrdered), ONE exact corpus pass — k-row broadcast centers, struct-min assignment, center-dimension aggregate",
+      "q_kmv_intersect" -> "KMV set algebra: one distinct (cohort, hash) collapse, per-cohort bottom-k rank selection, all estimator algebra on ≤2k member hashes",
+      "q_countmin" -> "count-min: one partial-agg'd collapse to the depth×width counter model, map-side combine eats the grid amplification, top-k truth joins the model by (row, bucket)",
+      "q_ams_f2" -> "AMS F2: user-frequency collapse, broadcast s-row grid re-collapsed to s signed counters, median-of-means on the counter model — corpus touched once",
+      "q_skyline" -> "3-D skyline: corpus collapses to the customer point set, grid cell-dominance prune on the ≤grid³ cell model, exact quadratic confined to the broadcast shell",
+      "q_fuzzy_join" -> "PassJoin fuzzy join: DISTINCT-label canonicalization, pigeonhole chunk equi-join, banded threshold levenshtein verify BEFORE any dedup (no corpus-scale exchange), id re-expansion last",
+      "q_bh_fdr" -> "BH step-up FDR: one (cohort × type) collapse; z, p-quantization, ranks and the step-up argmax all run on the m-row hypothesis dimension",
+      "q_change_points" -> "binary-segmentation change points: one hour-dimension collapse; each recursion level is window arithmetic + a 1-row argmax; splits broadcast",
+      "q_sliding_distinct" -> "sliding distinct: first-in-window rewrite — one user-keyed lag, ≤W bounded explode under map-side combine, dense hour-dimension join — no per-readout re-scan")
 
     val sb = new StringBuilder
     sb.append("# PLANS — explain(\"formatted\") for headline queries\n\n")
