@@ -701,6 +701,11 @@ object SparkEntry {
     // sliding-window distinct users: first-in-window rewrite, one pass
     "q_sliding_distinct" -> ((s, d) =>
       Analytics.slidingDistinct(Analytics.events(s, d))),
+    // bounded Bellman-Ford SSSP over the co-purchase rarity graph
+    "q_shortest_paths" -> ((s, d) =>
+      Graph.shortestPaths(Relational.table(s, d, "lineitem"))),
+    // GBDT primitive: histogram best-split search, weighted Gini argmin
+    "q_tree_split" -> ((s, d) => Analytics.treeSplit(Analytics.events(s, d))),
     // Markov removal-effect attribution: absorbing-chain conversion drop
     // per removed channel, exact integer e9 fixed-point on the collapsed
     // transition table
@@ -4402,6 +4407,8 @@ object SparkEntry {
     "q_bh_fdr" -> Analytics.bhFdrOracleSql(),
     "q_change_points" -> Analytics.changePointsOracleSql,
     "q_sliding_distinct" -> Analytics.slidingDistinctOracleSql(),
+    "q_shortest_paths" -> Graph.shortestPathsOracleSql(),
+    "q_tree_split" -> Analytics.treeSplitOracleSql(),
     "q_removal_effect" -> Analytics.removalEffectOracleSql(),
     "q_cep_pattern" -> Analytics.cepPatternOracleSql(),
     "q_cusum" -> Analytics.cusumOracleSql(),

@@ -3262,6 +3262,150 @@ object Analytics {
        |  (k_max IS NOT NULL AND k <= k_max) AS rejected
        |FROM ranked CROSS JOIN cut ORDER BY k""".stripMargin
 
+  /** DECISION-STUMP SPLIT FINDER — the histogram-based best-split
+    * search every distributed GBDT/random-forest implementation runs at
+    * each node (XGBoost's approx tree method, LightGBM histograms),
+    * applied to weak supervision over the events corpus: per-user
+    * features (event count, active days, total value cents) against an
+    * error-prone-user label (errors ≥ 20% of the user's events — NOT
+    * derived from any feature, so splits are earned, not leaked); for
+    * every (feature, histogram bin)
+    * boundary, the weighted Gini impurity of the induced split;
+    * the best boundary per feature and the overall winner.
+    *
+    * Mechanics: features unpivot to (feature, x) rows; each feature
+    * bins into `bins` fixed-width integer buckets from its own min/max
+    * (the monotone integer bucketing of [[graft.ops.Relational.skyline]]);
+    * ONE (feature, bin, label) aggregate; prefix sums over the
+    * bin dimension give every candidate split's (n_L, pos_L, n_R,
+    * pos_R); weighted Gini = Σ side n_s − (pos_s² + neg_s²)/n_s,
+    * normalized by n and e9-quantized from exact integer inputs — both
+    * engines evaluate the identical expression, so the argmin
+    * (gini, bin) is deterministic. Integer products pos² stay
+    * Long-exact to ~3·10⁹ users per side ([[graft.ops.Sketch.amsF2]]
+    * ceiling convention).
+    *
+    * Shape at 100 TB: one user collapse (the corpus exchange), a
+    * 3×-row unpivot of the USER dimension, and everything else —
+    * histograms, prefix sums, scores, argmins — runs on the
+    * (features × bins) model frame. This is why GBDT scales: the
+    * corpus is touched once per tree level, not once per candidate.
+    */
+  def treeSplit(df: DataFrame, bins: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(bins >= 2)
+    val users = df.filter(col("user_id").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(to_date(col("ts"))).as("n_days"),
+        coalesce(sum(expr("CAST(floor(value * 100) AS BIGINT)")), lit(0L))
+          .as("value_cents"),
+        when(sum(when(col("event_type") === "error", 5L).otherwise(0L))
+          >= count(lit(1)), 1L).otherwise(0L).as("label"))
+    val feat = users.selectExpr("label",
+      "stack(3, 'n_events', n_events, 'n_days', n_days, " +
+        "'value_cents', value_cents) AS (feature, x)")
+    val rng = feat.groupBy(col("feature"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    val cells = feat.join(broadcast(rng), "feature")
+      .withColumn("b", expr(s"(x - mn) * $bins div (mx - mn + 1)"))
+      .groupBy(col("feature"), col("b"))
+      .agg(count(lit(1)).as("n"), sum(col("label")).as("pos"))
+    val wb = Window.partitionBy(col("feature")).orderBy(col("b"))
+    val wf = Window.partitionBy(col("feature"))
+    val splits = cells
+      .withColumn("n_l", sum(col("n")).over(wb))
+      .withColumn("pos_l", sum(col("pos")).over(wb))
+      .withColumn("n_t", sum(col("n")).over(wf))
+      .withColumn("pos_t", sum(col("pos")).over(wf))
+      .filter(col("n_l") < col("n_t"))
+      .withColumn("n_r", col("n_t") - col("n_l"))
+      .withColumn("pos_r", col("pos_t") - col("pos_l"))
+      .withColumn("gini_e9", expr(
+        """CAST(round(
+          |  ((n_l - (pos_l * pos_l + (n_l - pos_l) * (n_l - pos_l))
+          |     / CAST(n_l AS DOUBLE))
+          |   + (n_r - (pos_r * pos_r + (n_r - pos_r) * (n_r - pos_r))
+          |     / CAST(n_r AS DOUBLE)))
+          |  / n_t * 1000000000, 0) AS BIGINT)""".stripMargin))
+    val best = splits
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("feature"))
+          .orderBy(col("gini_e9"), col("b"))))
+      .filter(col("rn") === 1)
+      .join(broadcast(rng), "feature")
+      .withColumn("split_at", expr(s"mn + (b + 1) * (mx - mn + 1) div $bins"))
+      .withColumn("overall", min(struct(col("gini_e9"), col("feature")))
+        .over(Window.partitionBy()))
+    best.select(col("feature"), col("b").as("split_bin"), col("split_at"),
+        col("n_l").as("n_left"), col("pos_l").as("pos_left"),
+        col("n_r").as("n_right"), col("pos_r").as("pos_right"),
+        col("gini_e9"),
+        (col("overall.gini_e9") === col("gini_e9") &&
+          col("overall.feature") === col("feature")).as("is_best"))
+      .orderBy(col("feature"))
+  }
+
+  /** DuckDB oracle for [[treeSplit]] — identical collapse, binning,
+    * prefix sums, impurity expression, and argmins.
+    */
+  def treeSplitOracleSql(bins: Int = 16): String =
+    s"""WITH users AS (
+       |  SELECT user_id, count(*)::BIGINT AS n_events,
+       |    count(DISTINCT ts::DATE)::BIGINT AS n_days,
+       |    coalesce(sum(CAST(floor(value * 100) AS BIGINT)), 0)::BIGINT
+       |      AS value_cents,
+       |    (CASE WHEN sum(CASE WHEN event_type = 'error' THEN 5 ELSE 0 END)
+       |          >= count(*) THEN 1 ELSE 0 END)::BIGINT AS label
+       |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+       |feat AS (
+       |  SELECT label, 'n_events' AS feature, n_events AS x FROM users
+       |  UNION ALL SELECT label, 'n_days', n_days FROM users
+       |  UNION ALL SELECT label, 'value_cents', value_cents FROM users),
+       |rng AS (SELECT feature, min(x) AS mn, max(x) AS mx
+       |        FROM feat GROUP BY 1),
+       |cells AS (
+       |  SELECT f.feature, (f.x - r.mn) * $bins // (r.mx - r.mn + 1) AS b,
+       |    count(*)::BIGINT AS n, sum(f.label)::BIGINT AS pos
+       |  FROM feat f JOIN rng r USING (feature) GROUP BY 1, 2),
+       |splits AS (
+       |  SELECT *, (n_t - n_l)::BIGINT AS n_r,
+       |    (pos_t - pos_l)::BIGINT AS pos_r
+       |  FROM (
+       |    SELECT feature, b, n, pos,
+       |      sum(n) OVER (PARTITION BY feature ORDER BY b
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_l,
+       |      sum(pos) OVER (PARTITION BY feature ORDER BY b
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pos_l,
+       |      sum(n) OVER (PARTITION BY feature) AS n_t,
+       |      sum(pos) OVER (PARTITION BY feature) AS pos_t
+       |    FROM cells)
+       |  WHERE n_l < n_t),
+       |scored AS (
+       |  SELECT *, CAST(round(
+       |      ((n_l - (pos_l * pos_l + (n_l - pos_l) * (n_l - pos_l))
+       |         / CAST(n_l AS DOUBLE))
+       |       + (n_r - (pos_r * pos_r + (n_r - pos_r) * (n_r - pos_r))
+       |         / CAST(n_r AS DOUBLE)))
+       |      / n_t * 1000000000, 0) AS BIGINT) AS gini_e9
+       |  FROM splits),
+       |best AS (
+       |  SELECT * FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY feature
+       |        ORDER BY gini_e9, b) AS rn
+       |    FROM scored)
+       |  WHERE rn = 1),
+       |ov AS (SELECT gini_e9 AS og, feature AS of
+       |       FROM best ORDER BY gini_e9, feature LIMIT 1)
+       |SELECT b2.feature, b2.b::BIGINT AS split_bin,
+       |  (r.mn + (b2.b + 1) * (r.mx - r.mn + 1) // $bins)::BIGINT AS split_at,
+       |  b2.n_l::BIGINT AS n_left, b2.pos_l::BIGINT AS pos_left,
+       |  b2.n_r::BIGINT AS n_right, b2.pos_r::BIGINT AS pos_right, b2.gini_e9,
+       |  (b2.gini_e9 = ov.og AND b2.feature = ov.of) AS is_best
+       |FROM best b2 JOIN rng r USING (feature) CROSS JOIN ov
+       |ORDER BY feature""".stripMargin
+
   /** EXACT DISTINCT-COUNT OVER A SLIDING WINDOW — trailing
     * `windowHours`-hour active users per hour, the dashboard's "DAU by
     * hour" with a window that SLIDES instead of tumbling

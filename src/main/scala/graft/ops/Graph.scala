@@ -243,4 +243,89 @@ object Graph {
                |  ELSE (m * sxy - s * s) * 10000 div (m * sxx - s * s)
                |END""".stripMargin).as("assortativity_e4"))
   }
+
+  /** WEIGHTED single-source shortest paths by bounded Bellman–Ford —
+    * the iterative-relaxation workload next to [[pageRank]]'s power
+    * iteration (min-plus semiring instead of sum-times): over the
+    * co-purchase graph with rarity distances w = 1e6 div support, the
+    * cheapest association chains from the busiest hub part, within
+    * `maxHops` edges. "Within k hops" is the honest contract —
+    * unbounded SSSP needs diameter-many rounds; curation queries
+    * ("what is 2–4 hops from this anchor?") want the bound anyway.
+    *
+    * Recurrence, exact in BIGINT: dist₀ = {source → 0};
+    * distₖ(v) = min(distₖ₋₁(v), min over edges (u,v) of
+    * distₖ₋₁(u) + w) — after k rounds each node holds the min-weight
+    * path using ≤ k edges; hops ride a lexicographic struct-min
+    * (dist, hops), so ties resolve to the fewest hops and both engines
+    * agree digit-for-digit. Source selection is deterministic: max
+    * degree, ties to the smaller part id.
+    *
+    * Shape at 100 TB: the corpus-scale work is the ONE pair collapse
+    * shared with [[triangleCount]]; the edge frame persists partitioned
+    * once and each round shuffles only the frontier-sized dist frame
+    * (map-side min combine on dst). localCheckpoint per round bounds
+    * lineage — the [[pageRank]] discipline. The ORACLE, by contrast,
+    * enumerates all ≤k-hop paths (exponential) — exactly the shape the
+    * per-round min-aggregate exists to avoid.
+    */
+  def shortestPaths(
+      lineitem: DataFrame,
+      minSupport: Long = 2,
+      maxHops: Int = 4): DataFrame = {
+    require(maxHops >= 1, "maxHops must be at least 1")
+    val pairs = Relational.partPairCounts(lineitem, minSupport)
+      .select(col("u"), col("v"), expr("1000000L div support").as("w"))
+    val edges = pairs
+      .select(col("u").as("src"), col("v").as("dst"), col("w"))
+      .unionAll(pairs.select(col("v").as("src"), col("u").as("dst"), col("w")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val source = edges.groupBy(col("src")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("src")).limit(1)
+      .select(col("src").as("v"), lit(0L).as("dist"), lit(0L).as("hops"))
+    var dist = source.localCheckpoint(true)
+    for (_ <- 1 to maxHops) {
+      val cand = dist
+        .select(col("v").as("cv"), col("dist").as("cd"), col("hops").as("ch"))
+        .join(edges, col("cv") === col("src"))
+        .select(col("dst").as("v"), (col("cd") + col("w")).as("dist"),
+          (col("ch") + 1L).as("hops"))
+      dist = dist.unionByName(cand)
+        .groupBy(col("v"))
+        .agg(min(struct(col("dist"), col("hops"))).as("m"))
+        .select(col("v"), col("m.dist").as("dist"), col("m.hops").as("hops"))
+        .localCheckpoint(true)
+    }
+    dist.select(col("v").as("part_id"), col("dist"), col("hops"))
+      .orderBy(col("dist"), col("part_id"))
+  }
+
+  /** DuckDB oracle for [[shortestPaths]] — recursive ≤k-hop path
+    * enumeration, then the same (min dist, min hops) collapse. Safe only
+    * at oracle scale: the enumeration is exponential in the hop bound.
+    */
+  def shortestPathsOracleSql(minSupport: Long = 2, maxHops: Int = 4): String =
+    s"""WITH RECURSIVE items AS (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |p AS MATERIALIZED (
+       |  SELECT a.pk AS u, b.pk AS v, count(*)::BIGINT AS support
+       |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+       |  GROUP BY 1, 2 HAVING count(*) >= $minSupport),
+       |e AS MATERIALIZED (
+       |  SELECT u AS src, v AS dst, 1000000 // support AS w FROM p
+       |  UNION ALL SELECT v, u, 1000000 // support FROM p),
+       |s AS (SELECT src AS s0 FROM (
+       |        SELECT src, count(*) AS c FROM e GROUP BY 1)
+       |      ORDER BY c DESC, src LIMIT 1),
+       |walk AS (
+       |  SELECT s0 AS v, 0::BIGINT AS dist, 0::BIGINT AS hops FROM s
+       |  UNION ALL
+       |  SELECT e.dst, walk.dist + e.w, walk.hops + 1
+       |  FROM walk JOIN e ON e.src = walk.v
+       |  WHERE walk.hops < $maxHops),
+       |best AS (SELECT v, min(dist)::BIGINT AS bd FROM walk GROUP BY 1)
+       |SELECT best.v AS part_id, best.bd AS dist,
+       |  min(walk.hops)::BIGINT AS hops
+       |FROM best JOIN walk ON walk.v = best.v AND walk.dist = best.bd
+       |GROUP BY 1, 2 ORDER BY dist, part_id""".stripMargin
 }

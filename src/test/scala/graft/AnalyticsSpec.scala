@@ -762,6 +762,30 @@ class AnalyticsSpec extends SparkTestBase {
     assert(left._4 == 100000L && left._5 == 100000L, left)
   }
 
+  test("treeSplit: a perfectly separating feature scores Gini 0; ties break to the feature name") {
+    // users 1-5: one zero-value 'view' (no errors → label 0); users
+    // 6-10: three events, one an 'error' with value 100.0 (5·1 ≥ 3 →
+    // label 1). n_events and value_cents both split perfectly (gini 0);
+    // n_days is constant (no candidate split, no row). The struct
+    // tie-break hands is_best to 'n_events'.
+    val events = (
+      (1 to 5).map(u => (u.toLong, u.toLong, "view", 0.0, ts(0L))) ++
+      (6 to 10).flatMap(u => Seq(
+        (u * 10L, u.toLong, "view", 0.0, ts(0L)),
+        (u * 10L + 1, u.toLong, "error", 100.0, ts(1000000L)),
+        (u * 10L + 2, u.toLong, "click", 0.0, ts(2000000L))))
+    ).toDF("event_id", "user_id", "event_type", "value", "ts")
+    val out = graft.ops.Analytics.treeSplit(events).collect()
+      .map(r => (r.getAs[String]("feature"), r.getAs[Long]("gini_e9"),
+        r.getAs[Long]("n_left"), r.getAs[Long]("pos_left"),
+        r.getAs[Long]("n_right"), r.getAs[Long]("pos_right"),
+        r.getAs[Boolean]("is_best"))).toSeq
+    assert(out.map(_._1) == Seq("n_events", "value_cents"), out.mkString(";"))
+    assert(out.forall(r => r._2 == 0L && r._3 == 5L && r._4 == 0L &&
+      r._5 == 5L && r._6 == 5L), out.mkString(";"))
+    assert(out.map(_._7) == Seq(true, false), out.mkString(";"))
+  }
+
   test("slidingDistinct: first-in-window rewrite equals brute force on a seeded random stream") {
     val rnd = new scala.util.Random(42)
     val W = 4 // 4-hour window keeps the brute force readable

@@ -273,5 +273,9 @@ class EmptyInputSpec extends SparkTestBase {
     assert(graft.ops.Analytics.bhFdr(noEventsFull).count() == 0)
     assert(graft.ops.Analytics.changePoints(noEventsFull).count() == 0)
     assert(graft.ops.Analytics.slidingDistinct(noEventsFull).count() == 0)
+    assert(graft.ops.Analytics.treeSplit(noEventsFull).count() == 0)
+    val noLi = Seq.empty[(Long, Long)].toDF("l_orderkey", "l_partkey")
+    // an empty graph still emits the (empty) source frame: zero rows
+    assert(graft.ops.Graph.shortestPaths(noLi).count() == 0)
   }
 }

@@ -63,6 +63,27 @@ class GraphSpec extends SparkTestBase {
     assert(r.getAs[Long]("clustering_e4") == 6000L)
   }
 
+  test("shortestPaths: a cheap 2-hop chain beats the direct heavy edge; hops ride the tie-break") {
+    // undirected rarity graph (w = 1e6 div support):
+    //   1–2 s=10 (w 100k), 2–3 s=10 (w 100k), 1–3 s=2 (w 500k),
+    //   3–4 s=2 (w 500k), 1–5 s=2 (w 500k), 1–6 s=2 (w 500k)
+    // deg(1)=4 → source; dist(3) must take the 200k 2-hop chain, not
+    // the 500k direct edge; dist(4) rides it to 700k in 3 hops
+    def orders(base: Long, n: Int, pa: Long, pb: Long) =
+      (0 until n).flatMap(i => Seq((base + i, pa), (base + i, pb)))
+    val li = (
+      orders(100, 10, 1L, 2L) ++ orders(200, 10, 2L, 3L) ++
+      orders(300, 2, 1L, 3L) ++ orders(400, 2, 3L, 4L) ++
+      orders(500, 2, 1L, 5L) ++ orders(600, 2, 1L, 6L)
+    ).toDF("l_orderkey", "l_partkey")
+    val out = Graph.shortestPaths(li).collect()
+      .map(r => r.getAs[Long]("part_id") ->
+        (r.getAs[Long]("dist"), r.getAs[Long]("hops"))).toMap
+    assert(out == Map(
+      1L -> (0L, 0L), 2L -> (100000L, 1L), 3L -> (200000L, 2L),
+      5L -> (500000L, 1L), 6L -> (500000L, 1L), 4L -> (700000L, 3L)))
+  }
+
   test("assortativity: a star graph is perfectly disassortative (−1)") {
     import spark.implicits._
     // center part 1 with leaves 2,3,4 (each edge in two orders for the
