@@ -706,6 +706,9 @@ object SparkEntry {
       Graph.shortestPaths(Relational.table(s, d, "lineitem"))),
     // GBDT primitive: histogram best-split search, weighted Gini argmin
     "q_tree_split" -> ((s, d) => Analytics.treeSplit(Analytics.events(s, d))),
+    // positional-index phrase retrieval: generic k-slot intersection
+    "q_phrase_search" -> ((s, d) =>
+      TextAnalysis.phraseSearch(TextAnalysis.documents(s, d))),
     // Markov removal-effect attribution: absorbing-chain conversion drop
     // per removed channel, exact integer e9 fixed-point on the collapsed
     // transition table
@@ -4409,6 +4412,7 @@ object SparkEntry {
     "q_sliding_distinct" -> Analytics.slidingDistinctOracleSql(),
     "q_shortest_paths" -> Graph.shortestPathsOracleSql(),
     "q_tree_split" -> Analytics.treeSplitOracleSql(),
+    "q_phrase_search" -> TextAnalysis.phraseSearchOracleSql(),
     "q_removal_effect" -> Analytics.removalEffectOracleSql(),
     "q_cep_pattern" -> Analytics.cepPatternOracleSql(),
     "q_cusum" -> Analytics.cusumOracleSql(),

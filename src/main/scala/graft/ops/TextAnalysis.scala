@@ -1461,4 +1461,97 @@ object TextAnalysis {
           .as("intercept"))
       .orderBy(col("source"))
   }
+
+  /** POSITIONAL-INDEX PHRASE SEARCH — exact consecutive-token retrieval,
+    * the operator a term-level index ([[bm25Search]]) cannot answer:
+    * "docs containing this exact k-word phrase". The classic inverted-
+    * index-with-positions intersection, as equi-joins:
+    *
+    *  1. postings: one posexplode to (doc, term, pos) — the positional
+    *     index, built once and shared by derivation and search;
+    *  2. query phrases: the corpus's own top-`nPhrases` trigrams by
+    *     occurrence (deterministic: ties break on the phrase string), so
+    *     the demo needs no external query set;
+    *  3. the GENERIC k-slot intersection: phrases unpivot to
+    *     (phrase, slot, term) and join the postings ON TERM; each hit
+    *     proposes start = pos − slot, and a (phrase, doc, start) group
+    *     matching ALL k slots — count(*) = k, since (start, pos) fixes
+    *     the slot — is an occurrence. Works unchanged for any phrase
+    *     length; overlapping occurrences count separately (the LIKE
+    *     trick can't do that — and LIKE scans text per phrase, k× the
+    *     corpus per query batch, which is the shape this index avoids).
+    *
+    * Shape at 100 TB: postings are the one corpus-scale frame; the
+    * phrase-term table is query-batch-sized and BROADCASTS into the
+    * postings scan, so search costs one term-filtered pass + one
+    * (phrase, doc, start)-keyed aggregate — no text ever re-scans per
+    * phrase. A stopword-heavy slot is a hot join key: the term filter
+    * keeps only query terms (pushable), and AQE skew-split covers the
+    * residue.
+    */
+  def phraseSearch(docs: DataFrame, nPhrases: Int = 5): DataFrame = {
+    require(nPhrases >= 1)
+    val postings = docs
+      .select(col("doc_id"),
+        posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos", "term")))
+      .persist()
+    // corpus top trigrams: three position-chained self-joins (the same
+    // intersection the search runs, specialized to adjacent slots)
+    val tri = postings.as("a")
+      .join(postings.as("b"), col("a.doc_id") === col("b.doc_id") &&
+        col("b.pos") === col("a.pos") + 1)
+      .join(postings.as("c"), col("a.doc_id") === col("c.doc_id") &&
+        col("c.pos") === col("a.pos") + 2)
+      .groupBy(concat(col("a.term"), lit(" "), col("b.term"), lit(" "),
+        col("c.term")).as("phrase"))
+      .agg(count(lit(1)).as("occ"))
+    val top = tri
+      .orderBy(col("occ").desc, col("phrase")).limit(nPhrases)
+      .select(col("phrase"))
+    val phraseTerms = top
+      .select(col("phrase"),
+        posexplode(split(col("phrase"), " ")).as(Seq("slot", "term")))
+    val k = 3 // trigram queries; the slot join itself is length-generic
+    val hits = postings
+      .join(broadcast(phraseTerms), Seq("term"))
+      .groupBy(col("phrase"), col("doc_id"),
+        (col("pos") - col("slot")).as("start"))
+      .agg(count(lit(1)).as("n_slots"))
+      .filter(col("n_slots") === k)
+    hits.groupBy(col("phrase"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"))
+      .orderBy(col("phrase"))
+  }
+
+  /** DuckDB oracle for [[phraseSearch]] — the same postings zip, trigram
+    * derivation, and slot-complete occurrence count.
+    */
+  def phraseSearchOracleSql(nPhrases: Int = 5): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(l) AS term,
+       |    unnest(generate_series(0, len(l) - 1)) AS pos
+       |  FROM (SELECT doc_id,
+       |          string_split_regex(trim(text), '\\s+') AS l
+       |        FROM documents)),
+       |tri AS (
+       |  SELECT a.term || ' ' || b.term || ' ' || c.term AS phrase,
+       |    count(*)::BIGINT AS occ
+       |  FROM toks a
+       |  JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+       |  JOIN toks c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+       |  GROUP BY 1),
+       |top AS (SELECT phrase FROM tri
+       |        ORDER BY occ DESC, phrase LIMIT $nPhrases),
+       |pterms AS (
+       |  SELECT phrase, unnest(generate_series(0, 2)) AS slot,
+       |    unnest(string_split(phrase, ' ')) AS term
+       |  FROM top),
+       |hits AS (
+       |  SELECT p.phrase, t.doc_id, t.pos - p.slot AS start
+       |  FROM toks t JOIN pterms p ON p.term = t.term
+       |  GROUP BY 1, 2, 3 HAVING count(*) = 3)
+       |SELECT phrase, count(DISTINCT doc_id)::BIGINT AS n_docs,
+       |  count(*)::BIGINT AS n_occurrences
+       |FROM hits GROUP BY 1 ORDER BY phrase""".stripMargin
 }

@@ -277,5 +277,7 @@ class EmptyInputSpec extends SparkTestBase {
     val noLi = Seq.empty[(Long, Long)].toDF("l_orderkey", "l_partkey")
     // an empty graph still emits the (empty) source frame: zero rows
     assert(graft.ops.Graph.shortestPaths(noLi).count() == 0)
+    val noDocs2 = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(graft.ops.TextAnalysis.phraseSearch(noDocs2).count() == 0)
   }
 }

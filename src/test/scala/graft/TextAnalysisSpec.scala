@@ -509,4 +509,24 @@ class TextAnalysisSpec extends SparkTestBase {
         r.getAs[Long]("collision_share_e4"))).toSeq
     assert(out == Seq((1L, 2L, 4L, 2L, 5000L), (2L, 4L, 4L, 4L, 0L)))
   }
+
+  test("phraseSearch: overlapping occurrences and repeated-token phrases count exactly") {
+    import spark.implicits._
+    // 'a a a a' holds the trigram 'a a a' TWICE (overlap at starts 0,1);
+    // 'x y z' appears in two docs; filler trigrams stay unique so the
+    // top-5 cut is deterministic
+    val docs = Seq(
+      (1L, "a a a a"),
+      (2L, "x y z q x y z"),   // 'x y z' twice in one doc
+      (3L, "x y z"),
+      (4L, "p q r s t")
+    ).toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.phraseSearch(docs, nPhrases = 2)
+      .collect()
+      .map(r => (r.getAs[String]("phrase"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_occurrences"))).toSeq
+    // occurrence counts: 'x y z' ×3 across docs 2,3; 'a a a' ×2 in doc 1
+    // (all other trigrams occur once) → top-2 = those, ordered by phrase
+    assert(out == Seq(("a a a", 1L, 2L), ("x y z", 2L, 3L)), out.mkString(";"))
+  }
 }
