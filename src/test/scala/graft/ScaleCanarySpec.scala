@@ -117,6 +117,20 @@ class ScaleCanarySpec extends SparkTestBase {
     }
   }
 
+  test("sliding distinct: the bounded explode stays linear at 4x events", Slow) {
+    canary("sliding_distinct", 1000000L)(n =>
+      graft.ops.Analytics.slidingDistinct(events(n)))
+  }
+
+  test("shortest paths: per-round frontier shuffles stay linear as the graph grows 4x", Slow) {
+    canary("shortest_paths", 500000L) { n =>
+      val li = spark.range(n).select(
+        (col("id") / 5L).cast("long").as("l_orderkey"),
+        pmod(col("id") * lit(2654435761L), lit(n / 250L)).as("l_partkey"))
+      graft.ops.Graph.shortestPaths(li)
+    }
+  }
+
   test("fuzzy join: pigeonhole candidates stay near-linear when the label space grows with the catalog", Slow) {
     // the honest scaling regime: vocabulary grows WITH the catalog (a
     // fixed vocab would densify every chunk key and the candidate set
