@@ -720,6 +720,27 @@ object SparkEntry {
     // CUSUM drift monitor on the day dimension via the prefix-min closed
     // form — integer arithmetic end to end
     "q_cusum" -> ((s, d) => Analytics.cusum(Analytics.events(s, d))),
+    // merge-overlapping-intervals coverage: prefix-max sweep, no self-join
+    "q_interval_coalesce" -> ((s, d) =>
+      Intervals.intervalCoalesce(Analytics.events(s, d))),
+    // small-file compaction planner: size-sorted cumulative-sum binning
+    // over the (metadata-sized) file inventory
+    "q_compaction_plan" -> ((s, d) =>
+      Layout.compactionPlan(Relational.table(s, d, "orders"))),
+    // two-feature OLS in closed form: one sufficient-statistics pass,
+    // DECIMAL(38,0)-exact sums, e6-quantized Cramer solve
+    "q_ols_multi" -> ((s, d) =>
+      Analytics.olsMulti(Relational.table(s, d, "lineitem"))),
+    // learned multinomial NB language classifier, integer micro-nat
+    // scores, resubstitution confusion matrix
+    "q_nb_langid" -> ((s, d) =>
+      TextAnalysis.naiveBayesLangId(TextAnalysis.documents(s, d))),
+    // grid-accelerated DBSCAN: ε-grid candidate join, core/border/noise
+    // roles, min-label components over core edges
+    "q_dbscan" -> ((s, d) => Spatial.dbscan(Analytics.events(s, d))),
+    // interpolated Kneser-Ney bigram scoring, integer micro-nat totals
+    "q_kneser_ney" -> ((s, d) =>
+      TextAnalysis.kneserNeyScore(TextAnalysis.documents(s, d))),
     // A/B power analysis: users-per-arm per candidate MDE from the
     // observed revenue-per-user mean/variance, exact integer ceiling
     "q_ab_power" -> ((s, d) => Analytics.abPower(Analytics.events(s, d))),
@@ -4416,6 +4437,12 @@ object SparkEntry {
     "q_removal_effect" -> Analytics.removalEffectOracleSql(),
     "q_cep_pattern" -> Analytics.cepPatternOracleSql(),
     "q_cusum" -> Analytics.cusumOracleSql(),
+    "q_interval_coalesce" -> Intervals.intervalCoalesceOracleSql,
+    "q_compaction_plan" -> Layout.compactionPlanOracleSql(),
+    "q_ols_multi" -> Analytics.olsMultiOracleSql,
+    "q_nb_langid" -> TextAnalysis.naiveBayesLangIdOracleSql,
+    "q_dbscan" -> Spatial.dbscanOracleSql(),
+    "q_kneser_ney" -> TextAnalysis.kneserNeyScoreOracleSql,
     "q_ab_power" -> Analytics.abPowerOracleSql(),
     "q_theilsen" -> Analytics.theilSenOracleSql,
     "q_native_session_window" -> Analytics.nativeSessionWindowOracleSql(),

@@ -3562,4 +3562,97 @@ object Analytics {
        |UNION ALL ${bestSql("rseg", "right")}
        |ORDER BY segment""".stripMargin
   }
+
+  /** TWO-FEATURE OLS VIA NORMAL EQUATIONS — the regression the
+    * experimentation plane is missing between [[corrStats]] (one
+    * feature) and [[theilSen]] (robust one-feature): fit
+    * price_cents ~ b0 + b1·quantity + b2·discount_e2 on lineitem in
+    * CLOSED FORM. One pass computes the nine exact sufficient-statistic
+    * sums; the 2×2 centered system solves by Cramer's rule on the
+    * driver-free single result row. This is the MapReduce-textbook
+    * shape for linear models: sufficient statistics are a commutative
+    * monoid, so Spark's partial aggregation does all the work and the
+    * "solve" is arithmetic on one row.
+    *
+    * Exactness discipline: inputs quantize to integers (quantity,
+    * discount·100, price cents); every second-order sum accumulates in
+    * DECIMAL(38,0) (sum of y² at sf0.1 already brushes the BIGINT
+    * ceiling — DuckDB silently promotes to HUGEINT, Spark would wrap,
+    * so the Spark side pays the decimal path to stay exact). The exact
+    * sums then make ONE double excursion through the IDENTICAL literal
+    * Cramer formula both engines parse, rounded at e6/e9 — the
+    * [[welchTTest]] discipline.
+    *
+    * Shape at 100 TB: one partial+final aggregate over the fact table,
+    * nine numbers of state, zero joins, zero windows. Adding features
+    * grows the state quadratically (k² sums) but never adds a pass —
+    * the normal-equation path holds to hundreds of features before a
+    * distributed solver earns its keep.
+    */
+  def olsMulti(lineitem: DataFrame): DataFrame = {
+    val prepped = lineitem.select(
+      expr("CAST(round(l_quantity) AS BIGINT)").as("x1"),
+      expr("CAST(round(l_discount * 100) AS BIGINT)").as("x2"),
+      expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("y"))
+    val sums = prepped.agg(
+      count(lit(1)).as("n"),
+      sum(col("x1")).as("sx1"),
+      sum(col("x2")).as("sx2"),
+      sum(col("y")).as("sy"),
+      sum(expr("CAST(x1 * x1 AS DECIMAL(38,0))")).as("sx1x1"),
+      sum(expr("CAST(x2 * x2 AS DECIMAL(38,0))")).as("sx2x2"),
+      sum(expr("CAST(x1 * x2 AS DECIMAL(38,0))")).as("sx1x2"),
+      sum(expr("CAST(x1 * y AS DECIMAL(38,0))")).as("sx1y"),
+      sum(expr("CAST(x2 * y AS DECIMAL(38,0))")).as("sx2y"),
+      sum(expr("CAST(y * y AS DECIMAL(38,0))")).as("syy"))
+    sums.selectExpr(
+      "n",
+      "CAST(round((" +
+        "(CAST(sx2x2 AS DOUBLE) - CAST(sx2 AS DOUBLE) * CAST(sx2 AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sx1y AS DOUBLE) - CAST(sx1 AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) - " +
+        "(CAST(sx1x2 AS DOUBLE) - CAST(sx1 AS DOUBLE) * CAST(sx2 AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sx2y AS DOUBLE) - CAST(sx2 AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))" +
+        ") / (" +
+        "(CAST(sx1x1 AS DOUBLE) - CAST(sx1 AS DOUBLE) * CAST(sx1 AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sx2x2 AS DOUBLE) - CAST(sx2 AS DOUBLE) * CAST(sx2 AS DOUBLE) / CAST(n AS DOUBLE)) - " +
+        "(CAST(sx1x2 AS DOUBLE) - CAST(sx1 AS DOUBLE) * CAST(sx2 AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sx1x2 AS DOUBLE) - CAST(sx1 AS DOUBLE) * CAST(sx2 AS DOUBLE) / CAST(n AS DOUBLE))" +
+        ") * 1000000) AS BIGINT) AS beta1_e6",
+      "CAST(round((" +
+        "(CAST(sx1x1 AS DOUBLE) - CAST(sx1 AS DOUBLE) * CAST(sx1 AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sx2y AS DOUBLE) - CAST(sx2 AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) - " +
+        "(CAST(sx1x2 AS DOUBLE) - CAST(sx1 AS DOUBLE) * CAST(sx2 AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sx1y AS DOUBLE) - CAST(sx1 AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))" +
+        ") / (" +
+        "(CAST(sx1x1 AS DOUBLE) - CAST(sx1 AS DOUBLE) * CAST(sx1 AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sx2x2 AS DOUBLE) - CAST(sx2 AS DOUBLE) * CAST(sx2 AS DOUBLE) / CAST(n AS DOUBLE)) - " +
+        "(CAST(sx1x2 AS DOUBLE) - CAST(sx1 AS DOUBLE) * CAST(sx2 AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sx1x2 AS DOUBLE) - CAST(sx1 AS DOUBLE) * CAST(sx2 AS DOUBLE) / CAST(n AS DOUBLE))" +
+        ") * 1000000) AS BIGINT) AS beta2_e6")
+      .orderBy(col("n"))
+  }
+
+  /** DuckDB oracle for [[olsMulti]] — the identical sufficient-statistic
+    * sums (HUGEINT-exact by DuckDB's own promotion) pushed through the
+    * character-identical Cramer expressions.
+    */
+  def olsMultiOracleSql: String = {
+    def centered(spp: String, sp: String, sq: String) =
+      s"(CAST($spp AS DOUBLE) - CAST($sp AS DOUBLE) * CAST($sq AS DOUBLE) / CAST(n AS DOUBLE))"
+    val s11 = centered("sx1x1", "sx1", "sx1")
+    val s22 = centered("sx2x2", "sx2", "sx2")
+    val s12 = centered("sx1x2", "sx1", "sx2")
+    val s1y = centered("sx1y", "sx1", "sy")
+    val s2y = centered("sx2y", "sx2", "sy")
+    s"""WITH p AS (
+       |  SELECT round(l_quantity)::BIGINT AS x1,
+       |    round(l_discount * 100)::BIGINT AS x2,
+       |    round(l_extendedprice * 100)::BIGINT AS y
+       |  FROM lineitem),
+       |s AS (
+       |  SELECT count(*) AS n,
+       |    sum(x1) AS sx1, sum(x2) AS sx2, sum(y) AS sy,
+       |    sum(x1 * x1) AS sx1x1, sum(x2 * x2) AS sx2x2,
+       |    sum(x1 * x2) AS sx1x2, sum(x1 * y) AS sx1y,
+       |    sum(x2 * y) AS sx2y, sum(y * y) AS syy
+       |  FROM p)
+       |SELECT n::BIGINT AS n,
+       |  CAST(round(($s22 * $s1y - $s12 * $s2y) /
+       |    ($s11 * $s22 - $s12 * $s12) * 1000000) AS BIGINT) AS beta1_e6,
+       |  CAST(round(($s11 * $s2y - $s12 * $s1y) /
+       |    ($s11 * $s22 - $s12 * $s12) * 1000000) AS BIGINT) AS beta2_e6
+       |FROM s ORDER BY n""".stripMargin
+  }
 }

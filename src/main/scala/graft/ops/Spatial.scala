@@ -75,4 +75,122 @@ object Spatial {
        |WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
        |  <= ${epsE6 * epsE6}
        |ORDER BY uid_a, uid_b""".stripMargin
+
+  /** GRID-ACCELERATED DBSCAN — density clustering over the user point
+    * cloud: a point whose ε-neighborhood holds ≥ `minPts` points
+    * (itself included) is CORE; core points within ε of each other chain
+    * into one cluster; a non-core point within ε of a core is BORDER
+    * (attached to its minimum-id core neighbor's cluster — the
+    * deterministic resolution of DBSCAN's only underspecified choice);
+    * everything else is NOISE. Labels are connected components over the
+    * core-core ε-graph, cluster_id = min uid in the component.
+    *
+    * Shape at 100 TB: candidate pairs come from the same 3×3 ε-grid
+    * cell join as [[spatialNeighbors]] — O(Σ cell density²), never
+    * all-pairs. The component loop is [[Dedup.nearDupClusters]]'s
+    * min-label propagation: it iterates on the CORE-EDGE subgraph only
+    * (density clusters have tiny diameter in grid units), each round one
+    * equi-join + one aggregate, localCheckpoint-bounded lineage,
+    * convergence enforced — non-convergence throws rather than emitting
+    * wrong labels. Border attachment and the role readout are two more
+    * broadcast-scale joins. The oracle replays the same semantics via a
+    * recursive-CTE closure (oracle-scale only).
+    */
+  def dbscan(
+      events: DataFrame,
+      epsE6: Long = 60000L,
+      minPts: Int = 4,
+      maxIters: Int = 50): DataFrame = {
+    require(minPts >= 1, "minPts must be at least 1")
+    val pairs = spatialNeighbors(events, epsE6)
+    // symmetric neighbor lists (pairs are uid_a < uid_b)
+    val nbrs = pairs.select(col("uid_a").as("u"), col("uid_b").as("v"))
+      .unionByName(pairs.select(col("uid_b").as("u"), col("uid_a").as("v")))
+      .localCheckpoint()
+    val degrees = nbrs.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    val pts = events.filter(col("user_id").isNotNull)
+      .select(col("user_id").as("uid")).distinct()
+    val core = pts.join(degrees, pts("uid") === degrees("u"), "left")
+      .filter(coalesce(col("deg"), lit(0L)) + 1L >= minPts)
+      .select(col("uid"))
+      .localCheckpoint()
+    // min-label propagation over core-core edges only
+    val coreEdges = nbrs
+      .join(core.select(col("uid").as("u")), "u")
+      .join(core.select(col("uid").as("v")), "v")
+      .localCheckpoint()
+    var labels = core.select(col("uid"), col("uid").as("cluster_id"))
+      .localCheckpoint()
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIters) {
+      val nmin = coreEdges.join(labels, coreEdges("v") === labels("uid"))
+        .groupBy(col("u")).agg(min(col("cluster_id")).as("nmin"))
+      val updated = labels.as("l")
+        .join(nmin, col("l.uid") === nmin("u"), "left")
+        .select(col("l.uid").as("uid"),
+          least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id")))
+            .as("new_cluster_id"),
+          (coalesce(col("nmin"), col("cluster_id")) < col("cluster_id")).as("chg"))
+        .localCheckpoint()
+      changed = updated.filter(col("chg")).count()
+      labels = updated.select(col("uid"), col("new_cluster_id").as("cluster_id"))
+      i += 1
+    }
+    if (changed > 0) throw new IllegalStateException(
+      s"dbscan label propagation did not converge in $maxIters iterations")
+    // border: non-core with a core neighbor — attach to the min-labeled
+    // core neighbor (ties on label cannot disagree: min is global)
+    val borderLabel = nbrs
+      .join(labels.withColumnRenamed("uid", "v"), "v")
+      .groupBy(col("u")).agg(min(col("cluster_id")).as("b_cluster"))
+    pts
+      .join(labels, Seq("uid"), "left")
+      .join(borderLabel.withColumnRenamed("u", "uid"), Seq("uid"), "left")
+      .select(col("uid"),
+        when(col("cluster_id").isNotNull, "core")
+          .when(col("b_cluster").isNotNull, "border")
+          .otherwise("noise").as("role"),
+        coalesce(col("cluster_id"), col("b_cluster"), lit(-1L)).as("cluster_id"))
+      .orderBy(col("uid"))
+  }
+
+  /** DuckDB oracle for [[dbscan]] — all-pairs neighborhood, recursive
+    * closure over core-core edges, min-id labels.
+    */
+  def dbscanOracleSql(epsE6: Long = 60000L, minPts: Int = 4): String =
+    s"""WITH RECURSIVE p AS (
+       |  SELECT DISTINCT user_id AS uid,
+       |    (user_id * 1103515245 + 12345) % $M % $Range AS x,
+       |    (user_id * 69069 + 1) % $M % $Range AS y
+       |  FROM events WHERE user_id IS NOT NULL),
+       |nbr AS (
+       |  SELECT a.uid AS u, b.uid AS v
+       |  FROM p a JOIN p b ON a.uid <> b.uid
+       |  WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+       |    <= ${epsE6 * epsE6}),
+       |core AS (
+       |  SELECT u AS uid FROM nbr GROUP BY 1
+       |  HAVING count(*) + 1 >= $minPts),
+       |ce AS (
+       |  SELECT n.u, n.v FROM nbr n
+       |  JOIN core c1 ON c1.uid = n.u JOIN core c2 ON c2.uid = n.v),
+       |reach(uid, lab) AS (
+       |  SELECT uid, uid FROM core
+       |  UNION
+       |  SELECT ce.u, reach.lab FROM ce JOIN reach ON reach.uid = ce.v),
+       |labels AS (
+       |  SELECT uid, min(lab) AS cluster_id FROM reach GROUP BY 1),
+       |border AS (
+       |  SELECT n.u AS uid, min(l.cluster_id) AS b_cluster
+       |  FROM nbr n JOIN labels l ON l.uid = n.v
+       |  GROUP BY 1)
+       |SELECT p.uid,
+       |  CASE WHEN l.cluster_id IS NOT NULL THEN 'core'
+       |       WHEN b.b_cluster IS NOT NULL THEN 'border'
+       |       ELSE 'noise' END AS role,
+       |  coalesce(l.cluster_id, b.b_cluster, -1)::BIGINT AS cluster_id
+       |FROM p LEFT JOIN labels l ON l.uid = p.uid
+       |LEFT JOIN border b ON b.uid = p.uid
+       |ORDER BY p.uid""".stripMargin
 }

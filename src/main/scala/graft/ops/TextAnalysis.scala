@@ -1554,4 +1554,193 @@ object TextAnalysis {
        |SELECT phrase, count(DISTINCT doc_id)::BIGINT AS n_docs,
        |  count(*)::BIGINT AS n_occurrences
        |FROM hits GROUP BY 1 ORDER BY phrase""".stripMargin
+
+  /** MULTINOMIAL NAIVE BAYES LANGUAGE CLASSIFIER — the LEARNED
+    * counterpart to [[langConfusion]]'s fixed trigram heuristic: train
+    * add-one-smoothed token likelihoods per language on the corpus, score
+    * every document, and report the resubstitution confusion matrix. This
+    * is the "train a cheap classifier on the corpus itself" primitive
+    * (quality filtering à la fastText, domain classification) at its
+    * smallest honest size.
+    *
+    * Cross-engine log-sum discipline: summing doubles is
+    * accumulation-order-dependent, so per-document Σ log p would never
+    * hash-match across engines. Instead each MODEL CELL quantizes its
+    * log-likelihood to integer micro-nats FIRST —
+    * round(1e6 · ln((c+1)/(N_l+V))) is a per-row scalar both engines
+    * evaluate identically — and the per-document score is an exact BIGINT
+    * sum of those integers: order-free, digit-exact, and still the argmax
+    * of the true model to 1e-6 nat resolution. Ties break to the
+    * lexicographically first language (deterministic row_number).
+    *
+    * Shape at 100 TB: the model is (vocab × n_langs) — model-plane, not
+    * data-plane (explicitly densified so unseen (term, lang) cells score
+    * their smoothing floor). Scoring joins the exploded corpus to the
+    * model on term — the one corpus-sized exchange, partial-aggregated
+    * per (doc, lang) before the argmax. Zero-token documents have no
+    * score rows and drop out (inner-join semantics, engine-independent).
+    */
+  def naiveBayesLangId(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("term"))
+    val vocab = toks.select(col("term")).distinct()
+    val vsize = vocab.agg(count(lit(1)).as("v"))
+    val langs = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs_l"))
+      .crossJoin(broadcast(docs.agg(count(lit(1)).as("n_docs_all"))))
+      .withColumn("prior_lp_e6", expr(
+        "CAST(round(ln(CAST(n_docs_l AS DOUBLE) / CAST(n_docs_all AS DOUBLE)) * 1000000) AS BIGINT)"))
+    val langTokens = toks.groupBy(col("lang")).agg(count(lit(1)).as("n_tok_l"))
+    val counts = toks.groupBy(col("term"), col("lang")).agg(count(lit(1)).as("c"))
+    val model = vocab
+      .crossJoin(broadcast(langTokens.join(langs.select(col("lang"), col("prior_lp_e6")), "lang")))
+      .crossJoin(broadcast(vsize))
+      .join(counts, Seq("term", "lang"), "left")
+      .select(col("term"), col("lang"), col("prior_lp_e6"),
+        expr("CAST(round(ln(CAST(coalesce(c, 0L) + 1 AS DOUBLE) / CAST(n_tok_l + v AS DOUBLE)) * 1000000) AS BIGINT)")
+          .as("lp_e6"))
+    val scores = toks.select(col("doc_id"), col("lang").as("true_lang"), col("term"))
+      .join(model, "term")
+      .groupBy(col("doc_id"), col("true_lang"), col("lang"))
+      .agg((first(col("prior_lp_e6")) + sum(col("lp_e6"))).as("score_e6"))
+    val pred = scores
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("score_e6").desc, col("lang"))))
+      .filter(col("rn") === 1)
+    pred.groupBy(col("true_lang"), col("lang").as("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("true_lang"), col("pred_lang"))
+  }
+
+  /** DuckDB oracle for [[naiveBayesLangId]] — identical densified model,
+    * identical e6 quantization, exact integer score sum.
+    */
+  def naiveBayesLangIdOracleSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, lang,
+      |    unnest(regexp_split_to_array(lower(text), '\s+')) AS term
+      |  FROM documents),
+      |vocab AS (SELECT DISTINCT term FROM toks),
+      |vs AS (SELECT count(*) AS v FROM vocab),
+      |langs AS (
+      |  SELECT lang, count(*) AS n_docs_l FROM documents GROUP BY 1),
+      |alld AS (SELECT count(*) AS n_docs_all FROM documents),
+      |priors AS (
+      |  SELECT lang,
+      |    CAST(round(ln(CAST(n_docs_l AS DOUBLE) / CAST(n_docs_all AS DOUBLE)) * 1000000) AS BIGINT) AS prior_lp_e6
+      |  FROM langs CROSS JOIN alld),
+      |ltok AS (SELECT lang, count(*) AS n_tok_l FROM toks GROUP BY 1),
+      |cnt AS (SELECT term, lang, count(*) AS c FROM toks GROUP BY 1, 2),
+      |model AS (
+      |  SELECT vocab.term, ltok.lang, priors.prior_lp_e6,
+      |    CAST(round(ln(CAST(coalesce(cnt.c, 0) + 1 AS DOUBLE) / CAST(ltok.n_tok_l + vs.v AS DOUBLE)) * 1000000) AS BIGINT) AS lp_e6
+      |  FROM vocab CROSS JOIN ltok CROSS JOIN vs
+      |  JOIN priors ON priors.lang = ltok.lang
+      |  LEFT JOIN cnt ON cnt.term = vocab.term AND cnt.lang = ltok.lang),
+      |scores AS (
+      |  SELECT t.doc_id, t.lang AS true_lang, m.lang,
+      |    any_value(m.prior_lp_e6) + sum(m.lp_e6) AS score_e6
+      |  FROM toks t JOIN model m ON m.term = t.term
+      |  GROUP BY 1, 2, 3),
+      |pred AS (
+      |  SELECT doc_id, true_lang, lang,
+      |    row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY score_e6 DESC, lang) AS rn
+      |  FROM scores)
+      |SELECT true_lang, lang AS pred_lang, count(*)::BIGINT AS n_docs
+      |FROM pred WHERE rn = 1
+      |GROUP BY 1, 2 ORDER BY true_lang, pred_lang""".stripMargin
+
+  /** INTERPOLATED KNESER-NEY BIGRAM SCORING — the modern-smoothing
+    * upgrade of [[bigramLogProb]]'s Jelinek-Mercer mixture, and the LM
+    * quality filter closest to what perplexity-based corpus pruning
+    * actually runs. Absolute discount D = 0.75 (exactly representable in
+    * binary — 3/4 — so both engines hold the identical double) moves
+    * mass from observed bigrams to the CONTINUATION distribution:
+    *
+    *   P(w2|w1) = (c(w1w2) − D)/c(w1·)
+    *            + D·T(w1·)/c(w1·) · T(·w2)/T(··)
+    *
+    * where T(w1·)/T(·w2)/T(··) are distinct-bigram-type counts — the
+    * "how many contexts" statistics that make KN rank "francisco" low
+    * despite its raw frequency. Scored bigrams are observed in training
+    * (resubstitution), so c ≥ 1 and the discounted term stays positive.
+    *
+    * Cross-engine discipline: every model cell quantizes its log to
+    * integer micro-nats (the [[naiveBayesLangId]] rule), per-document
+    * totals are exact BIGINT sums, and the average is integer division —
+    * no double ever crosses an accumulation order.
+    *
+    * Shape at 100 TB: four model-sized aggregates off ONE bigram-count
+    * frame (types-left, types-right, context totals, grand total — all
+    * derived from biCounts, never re-scanning the corpus); scoring is
+    * the same skew-aware (w1, w2) join as [[bigramLogProb]].
+    */
+  def kneserNeyScore(docs: DataFrame): DataFrame = {
+    val bigramsCol = expr(
+      """transform(
+        |  case when size(toks) < 2 then array()
+        |       else sequence(1, size(toks) - 1) end,
+        |  i -> struct(element_at(toks, i) as w1, element_at(toks, i + 1) as w2))
+        |""".stripMargin)
+    val bigrams = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(bigramsCol).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val biCounts = bigrams.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c_bi"))
+      .localCheckpoint()
+    val ctx = biCounts.groupBy(col("w1"))
+      .agg(sum(col("c_bi")).as("c_ctx"), count(lit(1)).as("t_left"))
+    val cont = biCounts.groupBy(col("w2")).agg(count(lit(1)).as("t_right"))
+    val total = biCounts.agg(count(lit(1)).as("t_all"))
+    val model = biCounts
+      .join(ctx, "w1")
+      .join(cont, "w2")
+      .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"),
+        expr("CAST(round(ln((CAST(c_bi AS DOUBLE) - 0.75) / CAST(c_ctx AS DOUBLE) + " +
+          "0.75 * CAST(t_left AS DOUBLE) / CAST(c_ctx AS DOUBLE) * " +
+          "(CAST(t_right AS DOUBLE) / CAST(t_all AS DOUBLE))) * 1000000) AS BIGINT)")
+          .as("lp_e6"))
+    bigrams.join(model.select(
+        graft.functions.BarrierFunctions.barrier(col("w1")).as("w1"),
+        col("w2"), col("lp_e6")), Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(col("lp_e6")).as("sum_lp_e6"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB oracle for [[kneserNeyScore]] — identical type/context
+    * statistics and the character-identical quantized log expression.
+    */
+  def kneserNeyScoreOracleSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS ts
+      |  FROM documents),
+      |pos AS (
+      |  SELECT doc_id, unnest(ts) AS w, generate_subscripts(ts, 1) AS i
+      |  FROM t),
+      |bg AS (
+      |  SELECT a.doc_id, a.w AS w1, b.w AS w2
+      |  FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+      |bi AS (SELECT w1, w2, count(*) AS c_bi FROM bg GROUP BY 1, 2),
+      |ctx AS (
+      |  SELECT w1, sum(c_bi) AS c_ctx, count(*) AS t_left
+      |  FROM bi GROUP BY 1),
+      |cont AS (SELECT w2, count(*) AS t_right FROM bi GROUP BY 1),
+      |tot AS (SELECT count(*) AS t_all FROM bi),
+      |model AS (
+      |  SELECT bi.w1, bi.w2,
+      |    CAST(round(ln((CAST(c_bi AS DOUBLE) - 0.75) / CAST(c_ctx AS DOUBLE) +
+      |      0.75 * CAST(t_left AS DOUBLE) / CAST(c_ctx AS DOUBLE) *
+      |      (CAST(t_right AS DOUBLE) / CAST(t_all AS DOUBLE))) * 1000000) AS BIGINT) AS lp_e6
+      |  FROM bi JOIN ctx USING (w1) JOIN cont USING (w2) CROSS JOIN tot)
+      |SELECT bg.doc_id,
+      |  count(*)::BIGINT AS n_bigrams,
+      |  sum(m.lp_e6)::BIGINT AS sum_lp_e6
+      |FROM bg JOIN model m ON m.w1 = bg.w1 AND m.w2 = bg.w2
+      |GROUP BY 1 ORDER BY bg.doc_id""".stripMargin
 }

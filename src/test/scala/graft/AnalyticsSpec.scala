@@ -1194,4 +1194,19 @@ class AnalyticsSpec extends SparkTestBase {
     assert(out(1L) == (2L, 6L, 2L, 1L, 5L, 6666L))
     assert(out(2L) == (2L, 6L, 3L, 1L, 5L, 5000L))
   }
+
+  test("olsMulti: exact planar data recovers the betas to the e6 digit") {
+    import spark.implicits._
+    // y_cents = 1000 + 2·x1 + 3·x2 exactly, non-collinear features →
+    // zero residual, so the closed form must return 2.000000/3.000000
+    val rows = Seq((1L, 0L), (2L, 10L), (3L, 5L), (4L, 2L), (1L, 7L), (2L, 3L))
+    val li = rows.map { case (x1, x2) =>
+      (x1.toDouble, x2 / 100.0, (1000L + 2 * x1 + 3 * x2) / 100.0) }
+      .toDF("l_quantity", "l_discount", "l_extendedprice")
+    val out = graft.ops.Analytics.olsMulti(li).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("n") == 6L)
+    assert(out.head.getAs[Long]("beta1_e6") == 2000000L)
+    assert(out.head.getAs[Long]("beta2_e6") == 3000000L)
+  }
 }

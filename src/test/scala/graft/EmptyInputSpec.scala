@@ -279,5 +279,19 @@ class EmptyInputSpec extends SparkTestBase {
     assert(graft.ops.Graph.shortestPaths(noLi).count() == 0)
     val noDocs2 = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(graft.ops.TextAnalysis.phraseSearch(noDocs2).count() == 0)
+    assert(graft.ops.Intervals.intervalCoalesce(noEventsFull).count() == 0)
+    val noOrders3 = Seq.empty[(Long, Double, java.sql.Timestamp)]
+      .toDF("o_orderkey", "o_totalprice", "o_orderdate")
+    assert(graft.ops.Layout.compactionPlan(noOrders3).count() == 0)
+    val noLi2 = Seq.empty[(Double, Double, Double)]
+      .toDF("l_quantity", "l_discount", "l_extendedprice")
+    // sufficient-statistic row survives empty input (n = 0, null betas)
+    val ols = graft.ops.Analytics.olsMulti(noLi2).collect()
+    assert(ols.length == 1 && ols.head.getAs[Long]("n") == 0L)
+    val noDocs3 = Seq.empty[(Long, String, String)]
+      .toDF("doc_id", "text", "lang")
+    assert(graft.ops.TextAnalysis.naiveBayesLangId(noDocs3).count() == 0)
+    assert(graft.ops.TextAnalysis.kneserNeyScore(noDocs3).count() == 0)
+    assert(graft.ops.Spatial.dbscan(noEventsFull).count() == 0)
   }
 }

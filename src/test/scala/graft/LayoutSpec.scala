@@ -78,4 +78,21 @@ class LayoutSpec extends SparkTestBase {
     // 1-char status: codes alone exceed the raw bytes — advisor says no
     assert(out("o_orderstatus")._6 == false)
   }
+
+  test("compactionPlan: exclusive-prefix binning conserves files and bytes") {
+    // five "file" days sized 600/500/300/200/100 cents; target 700 →
+    // exclusive prefixes 0/600/1100/1400/1600 → bins 0,0,1,2,2
+    val rows = Seq(
+      (1L, 6.00, "2024-01-01"), (2L, 5.00, "2024-01-02"),
+      (3L, 3.00, "2024-01-03"), (4L, 2.00, "2024-01-04"),
+      (5L, 1.00, "2024-01-05"))
+    val orders = rows.map { case (k, p, d) =>
+      (k, p, java.sql.Timestamp.valueOf(d + " 00:00:00")) }
+      .toDF("o_orderkey", "o_totalprice", "o_orderdate")
+    val out = Layout.compactionPlan(orders, targetBytes = 700L)
+      .select(col("bin_id"), col("n_files"), col("bin_bytes"))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((0L, 2L, 1100L), (1L, 1L, 300L), (2L, 2L, 300L)))
+    assert(out.map(_._2).sum == 5L && out.map(_._3).sum == 1700L)
+  }
 }

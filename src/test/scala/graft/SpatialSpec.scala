@@ -48,4 +48,47 @@ class SpatialSpec extends SparkTestBase {
       .toDF("event_id", "user_id", "event_type", "ts")
     assert(graft.ops.Spatial.spatialNeighbors(none).count() == 0)
   }
+
+  test("dbscan: roles and labels equal a brute-force union-find reference") {
+    val uids = (1L to 200L)
+    val eps = 60000L
+    val minPts = 4
+    val m = 1000000007L
+    def pt(u: Long) =
+      ((u * 1103515245L + 12345L) % m % 1000001L,
+        (u * 69069L + 1L) % m % 1000001L)
+    val nbrs = uids.map { a =>
+      a -> uids.filter { b =>
+        val (xa, ya) = pt(a); val (xb, yb) = pt(b)
+        b != a &&
+          (xa - xb) * (xa - xb) + (ya - yb) * (ya - yb) <= eps * eps
+      }.toSet
+    }.toMap
+    val core = uids.filter(u => nbrs(u).size + 1 >= minPts).toSet
+    // union-find over core-core edges
+    val parent = scala.collection.mutable.Map(core.map(c => c -> c).toSeq: _*)
+    def find(u: Long): Long =
+      if (parent(u) == u) u else { val r = find(parent(u)); parent(u) = r; r }
+    for (a <- core; b <- nbrs(a) if core(b)) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val label = core.map(c => c -> core.filter(d => find(d) == find(c)).min).toMap
+    val expected = uids.map { u =>
+      if (core(u)) (u, "core", label(u))
+      else {
+        val coreNb = nbrs(u).filter(core)
+        if (coreNb.nonEmpty) (u, "border", coreNb.map(label).min)
+        else (u, "noise", -1L)
+      }
+    }
+    val out = graft.ops.Spatial.dbscan(eventsFor(uids), eps, minPts).collect()
+      .map(r => (r.getAs[Long]("uid"), r.getAs[String]("role"),
+        r.getAs[Long]("cluster_id"))).toSeq
+    assert(expected.count(_._2 == "core") > 0 &&
+      expected.count(_._2 == "border") > 0 &&
+      expected.count(_._2 == "noise") > 0,
+      "test geometry must exercise all three roles")
+    assert(out == expected)
+  }
 }

@@ -681,4 +681,27 @@ class TemporalOpsSpec extends SparkTestBase {
     assert(out == Seq((0L, 1L, 1050L, 1050L), (2L, 1L, 525L, 1575L),
       (0L, 1L, 100L, 100L)))
   }
+
+  // ---- intervalCoalesce ---------------------------------------------------
+
+  test("intervalCoalesce: overlap, exact-touch and nesting merge; gaps split") {
+    // durations are 5 + event_id % 120 minutes, so ids pick the length:
+    // id 0 → 5 min, id 5 → 10 min, id 55 → 60 min, id 115 → 120 min,
+    // id 120 → 5 min
+    val df = events(
+      ev(0, "2024-01-01 10:00:00", 1, "view", 0.0),   // [10:00, 10:05)
+      ev(115, "2024-01-01 10:03:00", 1, "view", 0.0), // [10:03, 12:03) overlap
+      ev(120, "2024-01-01 12:03:00", 1, "view", 0.0), // [12:03, 12:08) touch
+      ev(5, "2024-01-01 13:00:00", 1, "view", 0.0),   // [13:00, 13:10) gap
+      ev(55, "2024-01-01 09:00:00", 2, "view", 0.0),  // [09:00, 10:00)
+      ev(121, "2024-01-01 09:10:00", 2, "view", 0.0)  // [09:10, 09:16) nested
+    )
+    val out = graft.ops.Intervals.intervalCoalesce(df)
+      .select(col("user_id"), col("n_blocks"), col("n_intervals"),
+        col("covered_minutes"), col("longest_minutes"))
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // user 1: touch at exactly pmax merges (s_us > pmax starts a block,
+    // equality does not) → one 128-min block + one 10-min block
+    assert(out == Seq((1L, 2L, 4L, 138L, 128L), (2L, 1L, 2L, 60L, 60L)))
+  }
 }

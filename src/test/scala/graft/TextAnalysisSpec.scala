@@ -529,4 +529,52 @@ class TextAnalysisSpec extends SparkTestBase {
     // (all other trigrams occur once) → top-2 = those, ordered by phrase
     assert(out == Seq(("a a a", 1L, 2L), ("x y z", 2L, 3L)), out.mkString(";"))
   }
+
+  test("naiveBayesLangId: separable vocabularies classify perfectly; shared tokens follow the heavier class") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "hund katze hund", "de"),
+      (2L, "katze hund haus", "de"),
+      (3L, "dog cat dog", "en"),
+      (4L, "cat dog house", "en"),
+      // cross-vocabulary doc: resubstitution puts its three 'cat's into
+      // the de counts (c_de=3 + smoothing vs c_en=2), and the de prior
+      // (3/5) helps — so even the all-English-token doc scores de:
+      // de = ln(3/5) + 3·ln(4/15) ≈ −4.48 > en = ln(2/5) + 3·ln(3/12) ≈ −5.08
+      (5L, "cat cat cat", "de")
+    ).toDF("doc_id", "text", "lang")
+    val out = graft.ops.TextAnalysis.naiveBayesLangId(docs).collect()
+      .map(r => (r.getAs[String]("true_lang"), r.getAs[String]("pred_lang"),
+        r.getAs[Long]("n_docs"))).toSeq
+    assert(out == Seq(("de", "de", 3L), ("en", "en", 2L)), out.mkString(";"))
+  }
+
+  test("kneserNeyScore: micro-nat totals match a scalar reference implementation") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "a b a b c"),
+      (2L, "b a b"),
+      (3L, "c a b"))
+    val docs = corpus.toDF("doc_id", "text")
+    // scalar KN reference with the identical expression shape
+    val bigrams = corpus.map { case (id, t) =>
+      id -> t.split("\\s+").toSeq.sliding(2).map(p => (p(0), p(1))).toSeq }
+    val all = bigrams.flatMap(_._2)
+    val cBi = all.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val cCtx = all.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val tLeft = cBi.keys.toSeq.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val tRight = cBi.keys.toSeq.groupBy(_._2).map { case (k, v) => k -> v.size.toLong }
+    val tAll = cBi.size.toLong
+    def lpE6(bg: (String, String)): Long = {
+      val v = math.log((cBi(bg) - 0.75) / cCtx(bg._1) +
+        0.75 * tLeft(bg._1) / cCtx(bg._1) * (tRight(bg._2).toDouble / tAll))
+      BigDecimal(v * 1000000).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    val expected = bigrams.map { case (id, bgs) =>
+      (id, bgs.size.toLong, bgs.map(lpE6).sum) }
+    val out = graft.ops.TextAnalysis.kneserNeyScore(docs).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_bigrams"),
+        r.getAs[Long]("sum_lp_e6"))).toSeq
+    assert(out == expected, s"got ${out.mkString(";")} want ${expected.mkString(";")}")
+  }
 }
