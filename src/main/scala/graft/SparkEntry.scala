@@ -741,6 +741,28 @@ object SparkEntry {
     // interpolated Kneser-Ney bigram scoring, integer micro-nat totals
     "q_kneser_ney" -> ((s, d) =>
       TextAnalysis.kneserNeyScore(TextAnalysis.documents(s, d))),
+    // grouped closed-form OLS: one 5-sum aggregate per nation, solve on
+    // the 25-row result
+    "q_ols_by_group" -> ((s, d) => Modeling.olsByGroup(
+      Relational.table(s, d, "lineitem"),
+      Relational.table(s, d, "supplier"),
+      Relational.table(s, d, "nation"))),
+    // one-pass Pearson correlation matrix: 14 sufficient sums, 6 pair
+    // rows unpivoted from a single aggregate row
+    "q_corr_matrix" -> ((s, d) =>
+      Modeling.corrMatrix(Relational.table(s, d, "lineitem"))),
+    // mutual-information feature ranking over the error-share label,
+    // integer micro-nat terms summed order-free
+    "q_mutual_info" -> ((s, d) => Modeling.mutualInfo(Analytics.events(s, d))),
+    // distributed isotonic calibration via the minimax PAVA closed form
+    "q_isotonic" -> ((s, d) =>
+      Modeling.isotonicCalibration(Analytics.events(s, d))),
+    // multi-key identity stitching: star edges + min-label fixed point
+    "q_entity_resolution" -> ((s, d) =>
+      Identity.entityResolution(Analytics.events(s, d))),
+    // kNN hubness diagnostic: k-occurrence histogram with anti-hub zeros
+    "q_hubness" -> ((s, d) =>
+      Similarity.hubnessHistogram(Similarity.embeddings(s, d))),
     // A/B power analysis: users-per-arm per candidate MDE from the
     // observed revenue-per-user mean/variance, exact integer ceiling
     "q_ab_power" -> ((s, d) => Analytics.abPower(Analytics.events(s, d))),
@@ -4443,6 +4465,12 @@ object SparkEntry {
     "q_nb_langid" -> TextAnalysis.naiveBayesLangIdOracleSql,
     "q_dbscan" -> Spatial.dbscanOracleSql(),
     "q_kneser_ney" -> TextAnalysis.kneserNeyScoreOracleSql,
+    "q_ols_by_group" -> Modeling.olsByGroupOracleSql,
+    "q_corr_matrix" -> Modeling.corrMatrixOracleSql,
+    "q_mutual_info" -> Modeling.mutualInfoOracleSql,
+    "q_isotonic" -> Modeling.isotonicCalibrationOracleSql,
+    "q_entity_resolution" -> Identity.entityResolutionOracleSql,
+    "q_hubness" -> Similarity.hubnessHistogramOracleSql,
     "q_ab_power" -> Analytics.abPowerOracleSql(),
     "q_theilsen" -> Analytics.theilSenOracleSql,
     "q_native_session_window" -> Analytics.nativeSessionWindowOracleSql(),

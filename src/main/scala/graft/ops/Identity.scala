@@ -1,0 +1,142 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multi-key entity resolution: collapse user records that share any
+  * identity key (device, contact hash, …) into canonical entities — the
+  * identity-stitching pass every event warehouse runs before user-level
+  * metrics, and the one the reference's per-`user_id` dashboards
+  * implicitly assume has already happened. The keys here are
+  * deterministic synthetic stand-ins derived from `user_id` (the events
+  * table carries no second identifier); the OPERATOR is generic over any
+  * (record, key) pairs.
+  */
+object Identity {
+
+  /** Entities = connected components of the record–key bipartite graph.
+    *
+    * Scale shape, in order:
+    *  1. KEY → STAR EDGES, never cliques: a key shared by m records
+    *     yields m−1 edges to the key's MIN record (one groupBy + one
+    *     self-join on the key), not m² pairwise edges — the difference
+    *     between linear and quadratic in the hottest key. Components of
+    *     the star graph equal components of the clique graph.
+    *  2. MIN-LABEL PROPAGATION WITH POINTER JUMPING to a fixed point:
+    *     every record starts labeled with itself; each round takes the
+    *     min label over the record's (symmetrized) neighborhood and
+    *     itself, THEN compresses paths by following the label one hop
+    *     (label := label(label)). The compression step is what makes
+    *     this deployable: plain neighbor-min needs component-DIAMETER
+    *     rounds (identity graphs routinely chain hundreds of hops — the
+    *     synthetic keys below already build 40-hop chains), while
+    *     jumping doubles the propagated distance each round →
+    *     O(log diameter) rounds, each one edge-frame shuffle plus one
+    *     label-frame self-join. The loop checks an exact changed-count
+    *     per round (a count on a record-sized frame) and stops at zero,
+    *     with localCheckpoint bounding lineage (the [[Graph.pageRank]] /
+    *     Bellman-Ford discipline); maxRounds is a documented safety
+    *     bound, and overrunning it raises rather than silently emitting
+    *     a half-merged identity table.
+    *  3. The report collapses to one row per entity: canonical id (the
+    *     min member), member count, distinct-key count.
+    */
+  def resolveEntities(recordKeys: DataFrame, maxRounds: Int = 20): DataFrame = {
+    val keyed = recordKeys.select(col("record_id"), col("key")).persist()
+    val starHeads = keyed.groupBy(col("key"))
+      .agg(min(col("record_id")).as("head_id"))
+    val starEdges = keyed
+      .join(starHeads, "key")
+      .filter(col("record_id") =!= col("head_id"))
+      .select(col("record_id").as("a"), col("head_id").as("b"))
+      .distinct()
+    val edges = starEdges
+      .union(starEdges.select(col("b").as("a"), col("a").as("b")))
+      .persist()
+    var labels = keyed.select(col("record_id")).distinct()
+      .select(col("record_id"), col("record_id").as("label"))
+      .localCheckpoint()
+    var round = 0
+    var changed = 1L
+    while (changed > 0 && round < maxRounds) {
+      val neighborMin = edges
+        .join(labels, edges("b") === labels("record_id"))
+        .groupBy(col("a")).agg(min(col("label")).as("nbr_label"))
+      val relaxed = labels
+        .join(neighborMin, labels("record_id") === neighborMin("a"), "left")
+        .select(col("record_id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label")))
+            .as("label"))
+      // pointer jumping: label := label(label). Every label value is
+      // itself a record id (mins of record ids), so the self-join is
+      // total and the lookup never drops a row.
+      val next = relaxed
+        .join(relaxed.select(col("record_id").as("lid"),
+          col("label").as("llabel")), col("label") === col("lid"))
+        .select(col("record_id"), col("llabel").as("label"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("label", "old"), "record_id")
+        .filter(col("label") =!= col("old")).count()
+      labels = next
+      round += 1
+    }
+    require(changed == 0,
+      s"entity resolution did not converge within $maxRounds rounds")
+    val members = labels.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_records"))
+    val keys = keyed.join(labels, "record_id")
+      .groupBy(col("label"))
+      .agg(countDistinct(col("key")).as("n_keys"))
+    members.join(keys, "label")
+      .select(col("label").as("entity_id"), col("n_records"), col("n_keys"))
+      .orderBy(col("entity_id"))
+  }
+
+  /** The synthetic (record, key) pairs for the events table: each user
+    * carries a "device" key (user_id mod 97) and a "contact" key
+    * (7·user_id + 3 mod 101) — moduli chosen coprime so collisions
+    * cross-link users into small multi-record entities.
+    */
+  def eventUserKeys(events: DataFrame): DataFrame = {
+    val users = events.filter(col("user_id").isNotNull)
+      .select(col("user_id")).distinct()
+    users.select(col("user_id").as("record_id"),
+      concat(lit("d"), col("user_id") % 97).as("key"))
+      .union(users.select(col("user_id").as("record_id"),
+        concat(lit("e"), (col("user_id") * 7 + 3) % 101).as("key")))
+  }
+
+  /** End-to-end query: resolve event users into entities. */
+  def entityResolution(events: DataFrame): DataFrame =
+    resolveEntities(eventUserKeys(events))
+
+  /** DuckDB oracle for [[entityResolution]] — identical synthetic keys
+    * and star edges, components via a recursive-CTE transitive closure
+    * (min reachable record = the same canonical label the min-label
+    * fixed point converges to). Closure size is Σ component² — fine at
+    * oracle scale, which is exactly why the Spark side iterates instead.
+    */
+  def entityResolutionOracleSql: String =
+    """WITH RECURSIVE u AS (SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL),
+      |rk AS (
+      |  SELECT user_id AS record_id, 'd' || (user_id % 97) AS key FROM u
+      |  UNION ALL
+      |  SELECT user_id AS record_id, 'e' || ((user_id * 7 + 3) % 101) AS key FROM u),
+      |heads AS (SELECT key, min(record_id) AS head_id FROM rk GROUP BY key),
+      |star AS (
+      |  SELECT DISTINCT rk.record_id AS a, heads.head_id AS b
+      |  FROM rk JOIN heads USING (key) WHERE rk.record_id <> heads.head_id),
+      |edges AS (SELECT a, b FROM star UNION SELECT b, a FROM star),
+      |reach AS (
+      |  SELECT record_id AS src, record_id AS dst FROM (SELECT DISTINCT record_id FROM rk)
+      |  UNION
+      |  SELECT r.src, e.b AS dst FROM reach r JOIN edges e ON r.dst = e.a),
+      |lab AS (SELECT src AS record_id, min(dst) AS label FROM reach GROUP BY src),
+      |mem AS (SELECT label, count(*) AS n_records FROM lab GROUP BY label),
+      |ks AS (
+      |  SELECT lab.label, count(DISTINCT rk.key) AS n_keys
+      |  FROM rk JOIN lab USING (record_id) GROUP BY lab.label)
+      |SELECT mem.label AS entity_id, n_records::BIGINT AS n_records,
+      |  n_keys::BIGINT AS n_keys
+      |FROM mem JOIN ks USING (label) ORDER BY entity_id""".stripMargin
+}

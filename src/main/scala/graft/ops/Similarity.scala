@@ -1493,4 +1493,56 @@ object Similarity {
        |  coalesce(cell.radius_e6, -1)::BIGINT AS radius_e6
        |FROM cent LEFT JOIN cell ON cent.rnk = cell.rnk
        |ORDER BY cent.rnk""".stripMargin
+
+  /** HUBNESS DIAGNOSTIC: the k-occurrence distribution — for every
+    * vector, how many OTHER vectors' exact top-k lists it appears in,
+    * histogrammed. High-dimensional corpora grow "hubs" (vectors that
+    * are everyone's neighbor) and "anti-hubs" (occ = 0, unreachable by
+    * kNN); a skewed k-occurrence histogram is the standard early warning
+    * that cosine retrieval quality will degrade (Radovanović et al.,
+    * JMLR 2010). This is the ANN-plane health check that runs BEFORE
+    * trusting [[bruteForceTopK]]/IVF recall numbers.
+    *
+    * Shape: all-vs-all exact kNN with the corpus itself as the query
+    * side — quadratic BY DEFINITION, so at 100 TB this diagnostic runs
+    * on a deterministic sample (vec_id-hash) sized to the budget, or on
+    * the IVF candidate graph; the histogram collapses everything to
+    * ≤ occ_max rows either way. The anti-hub row (occ = 0) comes from a
+    * right join back to the corpus — vectors appearing in no list are
+    * exactly the ones a count-only pass would silently drop.
+    */
+  def hubnessHistogram(corpus: DataFrame, k: Int = 10): DataFrame = {
+    val occ = bruteForceTopK(corpus, corpus, k)
+      .groupBy(col("neighbor_id"))
+      .agg(count(lit(1)).as("occ"))
+    corpus.select(col("vec_id"))
+      .join(occ, col("vec_id") === col("neighbor_id"), "left")
+      .select(col("vec_id"), coalesce(col("occ"), lit(0L)).as("occ"))
+      .groupBy(col("occ"))
+      .agg(count(lit(1)).as("n_vecs"))
+      .orderBy(col("occ"))
+  }
+
+  /** DuckDB oracle for [[hubnessHistogram]] — the [[bruteForceTopK]]
+    * oracle's scoring with the full corpus as queries, folded to the
+    * same occurrence histogram (anti-hubs restored by the left join).
+    */
+  def hubnessHistogramOracleSql: String =
+    """WITH scored AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id,
+      |    list_sum(list_transform(range(1, len(q.embedding) + 1), i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))
+      |    / sqrt(list_sum(list_transform(range(1, len(q.embedding) + 1), i -> q.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE)))
+      |    / sqrt(list_sum(list_transform(range(1, len(c.embedding) + 1), i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))) AS cos
+      |  FROM embeddings c CROSS JOIN embeddings q WHERE c.vec_id <> q.vec_id),
+      |topk AS (
+      |  SELECT query_id, vec_id AS neighbor_id FROM (
+      |    SELECT query_id, vec_id,
+      |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
+      |    FROM scored) WHERE rnk <= 10),
+      |occ AS (SELECT neighbor_id, count(*) AS occ FROM topk GROUP BY neighbor_id),
+      |per_vec AS (
+      |  SELECT e.vec_id, coalesce(occ.occ, 0) AS occ
+      |  FROM embeddings e LEFT JOIN occ ON e.vec_id = occ.neighbor_id)
+      |SELECT occ::BIGINT AS occ, count(*)::BIGINT AS n_vecs
+      |FROM per_vec GROUP BY occ ORDER BY occ""".stripMargin
 }

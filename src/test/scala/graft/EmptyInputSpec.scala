@@ -293,5 +293,22 @@ class EmptyInputSpec extends SparkTestBase {
     assert(graft.ops.TextAnalysis.naiveBayesLangId(noDocs3).count() == 0)
     assert(graft.ops.TextAnalysis.kneserNeyScore(noDocs3).count() == 0)
     assert(graft.ops.Spatial.dbscan(noEventsFull).count() == 0)
+    val noLi3 = Seq.empty[(Long, Double, Double)]
+      .toDF("l_suppkey", "l_quantity", "l_extendedprice")
+    val noSupp = Seq.empty[(Long, Long)].toDF("s_suppkey", "s_nationkey")
+    val noNat = Seq.empty[(Long, String)].toDF("n_nationkey", "n_name")
+    assert(graft.ops.Modeling.olsByGroup(noLi3, noSupp, noNat).count() == 0)
+    val noLi4 = Seq.empty[(Double, Double, Double, Double)]
+      .toDF("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    // the one-row sufficient-statistics aggregate still unpivots to the
+    // six pair rows (n = 0, null correlations)
+    assert(graft.ops.Modeling.corrMatrix(noLi4).count() == 6)
+    assert(graft.ops.Modeling.mutualInfo(noEventsFull).count() == 3)
+    assert(graft.ops.Modeling.isotonicCalibration(noEventsFull).count() == 0)
+    val noKeys = Seq.empty[(Long, String)].toDF("record_id", "key")
+    assert(graft.ops.Identity.resolveEntities(noKeys).count() == 0)
+    val noVecs2 = Seq.empty[(Long, Array[Float], Int)]
+      .toDF("vec_id", "embedding", "label")
+    assert(graft.ops.Similarity.hubnessHistogram(noVecs2).count() == 0)
   }
 }

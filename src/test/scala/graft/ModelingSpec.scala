@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Identity, Modeling, Similarity}
+
+/** Closed-form modeling plane: grouped OLS, one-pass correlation matrix,
+  * MI feature ranking, isotonic calibration, entity resolution, hubness.
+  * Each spec pins the math on a hand-checkable input — the oracle pins
+  * engine parity, these pin the SEMANTICS.
+  */
+class ModelingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("olsByGroup recovers an exact linear relation per group") {
+    // group A: y = 2x (cents: 200x), group B: y = 3x + 100
+    val li = Seq(
+      (1L, 1.0, 2.0), (1L, 2.0, 4.0), (1L, 3.0, 6.0),
+      (2L, 1.0, 4.0), (2L, 2.0, 7.0), (2L, 3.0, 10.0))
+      .toDF("l_suppkey", "l_quantity", "l_extendedprice")
+    val supp = Seq((1L, 10L), (2L, 20L)).toDF("s_suppkey", "s_nationkey")
+    val nat = Seq((10L, "ALPHA"), (20L, "BETA")).toDF("n_nationkey", "n_name")
+    val out = Modeling.olsByGroup(li, supp, nat).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // slope in cents-per-unit at e6; exact fits → R² = 1
+    assert(out(0) == ("ALPHA", 200000000L, 0L, 1000000L))
+    assert(out(1) == ("BETA", 300000000L, 100000000L, 1000000L))
+  }
+
+  test("corrMatrix emits the six ordered upper-triangle pairs") {
+    val li = Seq(
+      (1.0, 10.0, 0.01, 0.02), (2.0, 20.0, 0.02, 0.01),
+      (3.0, 30.0, 0.03, 0.03), (4.0, 40.0, 0.04, 0.02))
+      .toDF("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val out = Modeling.corrMatrix(li).collect()
+    assert(out.length == 6)
+    assert(out.map(r => (r.getString(0), r.getString(1))).toSeq == Seq(
+      ("discount_e2", "price_cents"), ("discount_e2", "quantity"),
+      ("discount_e2", "tax_e2"), ("price_cents", "quantity"),
+      ("price_cents", "tax_e2"), ("quantity", "tax_e2")))
+    // quantity and price are perfectly correlated; discount tracks both
+    val m = out.map(r => ((r.getString(0), r.getString(1)), r.getLong(3))).toMap
+    assert(m(("price_cents", "quantity")) == 1000000L)
+    assert(m(("discount_e2", "quantity")) == 1000000L)
+    assert(math.abs(m(("quantity", "tax_e2"))) < 1000000L)
+  }
+
+  test("mutualInfo is ~0 for an independent feature and positive for a dependent one") {
+    // 40 users, 4 events each; half the users are all-error (label 1).
+    // value encodes the label (dependent); n_events is constant
+    // (independent — single bin, MI exactly 0).
+    val rows = for {
+      u <- 0L until 40L
+      i <- 0 until 4
+    } yield {
+      val errored = u % 2 == 0
+      (u * 10 + i, u, if (errored) "error" else "click",
+        if (errored) 900.0 else 100.0,
+        java.sql.Timestamp.valueOf("2026-01-01 00:00:00"))
+    }
+    val events = rows.toDF("event_id", "user_id", "event_type", "value", "ts")
+    val out = Modeling.mutualInfo(events).collect()
+      .map(r => (r.getString(0), r.getLong(2))).toMap
+    assert(out("event_volume") == 0L) // one bin → no information
+    assert(out("type_breadth") == 0L) // both cohorts have 1 type → 0
+    // value perfectly separates labels → MI = ln 2: two cells each
+    // contributing round(1e6·0.5·ln 2) = 346574 micro-nats
+    assert(out("value_decile") == 693148L)
+  }
+
+  test("isotonicCalibration output is monotone and averages pools of violators") {
+    // bins 0..2 with purchase rates 0.0, 1.0, 0.5 → PAVA pools bins 1,2
+    // to (1+1)/(2+2)... rates: bin0 0/2, bin1 2/2, bin2 1/2 → pooled
+    // bins 1-2: 3/4 = 0.75
+    val rows =
+      Seq((0.0, "view"), (1.0, "view"),
+        (10.5, "purchase"), (10.7, "purchase"),
+        (20.5, "purchase"), (20.7, "view"))
+    val events = rows.zipWithIndex.map { case ((v, t), i) =>
+      (i.toLong, 1L, t, v, java.sql.Timestamp.valueOf("2026-01-01 00:00:00"))
+    }.toDF("event_id", "user_id", "event_type", "value", "ts")
+    val out = Modeling.isotonicCalibration(events).collect()
+      .map(r => (r.getLong(0), r.getLong(3)))
+    assert(out.toSeq == Seq((0L, 0L), (1L, 750000L), (2L, 750000L)))
+    val fits = out.map(_._2)
+    assert(fits.sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
+  }
+
+  test("resolveEntities stitches chains and leaves singletons alone") {
+    // records 1..6: key x links {1,2}, key y links {2,3} → entity {1,2,3};
+    // key z links {4,5}; record 6 has a private key → singleton
+    val rk = Seq((1L, "x"), (2L, "x"), (2L, "y"), (3L, "y"),
+      (4L, "z"), (5L, "z"), (6L, "w")).toDF("record_id", "key")
+    val out = Identity.resolveEntities(rk).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 3L, 2L), (4L, 2L, 1L), (6L, 1L, 1L)))
+  }
+
+  test("resolveEntities converges on a long chain well inside the round bound") {
+    // a 64-hop chain: keys k0..k62 link i to i+1 — diameter 63, pointer
+    // jumping must close it in ≤ 20 rounds (plain min-label would not)
+    val rk = (0L until 63L).flatMap(i =>
+      Seq((i, s"k$i"), (i + 1, s"k$i"))).toDF("record_id", "key")
+    val out = Identity.resolveEntities(rk, maxRounds = 20).collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(0) == 0L && out.head.getLong(1) == 64L)
+  }
+
+  test("hubnessHistogram counts anti-hubs and conserves mass") {
+    val e = Similarity.embeddings(spark, "/root/testdata/sf0.001")
+    val out = Similarity.hubnessHistogram(e, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nVecs = e.count()
+    // every vector lands in exactly one occ bucket...
+    assert(out.map(_._2).sum == nVecs)
+    // ...and total occurrences = k per query vector
+    assert(out.map { case (occ, n) => occ * n }.sum == 10 * nVecs)
+  }
+}
