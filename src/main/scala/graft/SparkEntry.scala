@@ -763,6 +763,16 @@ object SparkEntry {
     // kNN hubness diagnostic: k-occurrence histogram with anti-hub zeros
     "q_hubness" -> ((s, d) =>
       Similarity.hubnessHistogram(Similarity.embeddings(s, d))),
+    // k-core backbone: iterative peeling to the exact fixed point
+    "q_kcore" -> ((s, d) => Graph.kCore(Relational.table(s, d, "lineitem"))),
+    // density-relative outliers: LOF over e9-quantized cosine distances
+    "q_lof" -> ((s, d) =>
+      Similarity.lofOutliers(Similarity.embeddings(s, d))),
+    // asymmetric near-dup: ordered n-gram containment pairs
+    "q_containment" -> ((s, d) =>
+      Dedup.containmentPairs(TextAnalysis.documents(s, d))),
+    // Wald SPRT per arm: integer micro-nat LLR walk + first crossing
+    "q_sprt" -> ((s, d) => Analytics.sprtTest(Analytics.events(s, d))),
     // A/B power analysis: users-per-arm per candidate MDE from the
     // observed revenue-per-user mean/variance, exact integer ceiling
     "q_ab_power" -> ((s, d) => Analytics.abPower(Analytics.events(s, d))),
@@ -4471,6 +4481,10 @@ object SparkEntry {
     "q_isotonic" -> Modeling.isotonicCalibrationOracleSql,
     "q_entity_resolution" -> Identity.entityResolutionOracleSql,
     "q_hubness" -> Similarity.hubnessHistogramOracleSql,
+    "q_kcore" -> Graph.kCoreOracleSql(),
+    "q_lof" -> Similarity.lofOutliersOracleSql(),
+    "q_containment" -> Dedup.containmentPairsOracleSql(),
+    "q_sprt" -> Analytics.sprtTestOracleSql,
     "q_ab_power" -> Analytics.abPowerOracleSql(),
     "q_theilsen" -> Analytics.theilSenOracleSql,
     "q_native_session_window" -> Analytics.nativeSessionWindowOracleSql(),

@@ -3655,4 +3655,104 @@ object Analytics {
        |    ($s11 * $s22 - $s12 * $s12) * 1000000) AS BIGINT) AS beta2_e6
        |FROM s ORDER BY n""".stripMargin
   }
+
+  // -------------------------------------------------- sequential testing
+
+  /** SPRT micro-nat increments for H1: p=0.6 vs H0: p=0.4, and the
+    * Wald boundary ln((1−β)/α) = ln 19 at α = β = 0.05 — computed once
+    * here and embedded as INTEGER LITERALS in both engines' SQL, the
+    * [[TextAnalysis]] micro-nat discipline (per-observation increments
+    * are constants, so the whole trajectory is exact integer cumsum).
+    */
+  private val SprtPos = math.round(math.log(0.6 / 0.4) * 1e6) // x = 1
+  private val SprtNeg = math.round(math.log(0.4 / 0.6) * 1e6) // x = 0
+  private val SprtBound = math.round(math.log(19.0) * 1e6)
+
+  /** WALD'S SEQUENTIAL PROBABILITY RATIO TEST per experiment arm: walk
+    * the per-user conversion sequence (user-id order — the enrollment
+    * order stand-in), accumulate the log-likelihood ratio for
+    * H1: p = 0.6 against H0: p = 0.4, and report WHERE the trajectory
+    * first crosses a Wald boundary — the "stop the experiment early"
+    * readout a fixed-horizon test ([[abPower]], [[funnelArmTest]])
+    * cannot give. Conversion here is the error-share label
+    * (5·n_errors ≥ n_events); arms split on user_id parity.
+    *
+    * Decision semantics: `reject_h0` when the LLR exits upward (+ln 19),
+    * `accept_h0` downward (−ln 19), `continue` if the sample ends
+    * inside the corridor (n_at_decision = −1). The final LLR column is
+    * closed-form (n_pos·ℓ₊ + n_neg·ℓ₋), pinning the cumsum's endpoint.
+    *
+    * Shape at 100 TB: one user-keyed aggregate collapses events to the
+    * user dimension; the trajectory is a per-arm window cumsum over
+    * that collapsed frame (arms partition it, so no global window), and
+    * the report is a 2-row aggregate. All integer arithmetic.
+    */
+  def sprtTest(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val users = events
+      .filter(col("user_id").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L))
+          .as("n_errors"))
+      .select(col("user_id"), (col("user_id") % 2).as("arm"),
+        when(col("n_errors") * 5 >= col("n_events"), 1L).otherwise(0L)
+          .as("x"))
+    val w = Window.partitionBy(col("arm")).orderBy(col("user_id"))
+    val traj = users
+      .withColumn("idx", row_number().over(w).cast("long"))
+      .withColumn("llr", sum(
+        when(col("x") === 1L, lit(SprtPos)).otherwise(lit(SprtNeg)))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val totals = traj.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n_users"), sum(col("x")).as("n_pos"))
+      .withColumn("llr_final_e6",
+        col("n_pos") * SprtPos + (col("n_users") - col("n_pos")) * SprtNeg)
+    val crossings = traj
+      .filter(col("llr") >= SprtBound || col("llr") <= -SprtBound)
+      .groupBy(col("arm"))
+      .agg(min(col("idx")).as("n_at_decision"),
+        min_by(col("llr"), col("idx")).as("cross_llr"))
+    totals.join(crossings, Seq("arm"), "left")
+      .select(col("arm"), col("n_users"), col("n_pos"), col("llr_final_e6"),
+        coalesce(col("n_at_decision"), lit(-1L)).as("n_at_decision"),
+        when(col("cross_llr").isNull, "continue")
+          .when(col("cross_llr") >= SprtBound, "reject_h0")
+          .otherwise("accept_h0").as("decision"))
+      .orderBy(col("arm"))
+  }
+
+  /** DuckDB oracle for [[sprtTest]] — the identical integer increments
+    * and boundary (same Scala-computed literals on both sides).
+    */
+  def sprtTestOracleSql: String =
+    s"""WITH users AS (
+       |  SELECT user_id, user_id % 2 AS arm,
+       |    CASE WHEN sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) * 5
+       |      >= count(*) THEN 1 ELSE 0 END AS x
+       |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+       |traj AS (
+       |  SELECT arm, x,
+       |    row_number() OVER (PARTITION BY arm ORDER BY user_id) AS idx,
+       |    sum(CASE WHEN x = 1 THEN $SprtPos ELSE $SprtNeg END)
+       |      OVER (PARTITION BY arm ORDER BY user_id
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS llr
+       |  FROM users),
+       |totals AS (
+       |  SELECT arm, count(*)::BIGINT AS n_users, sum(x)::BIGINT AS n_pos
+       |  FROM traj GROUP BY arm),
+       |crossings AS (
+       |  SELECT arm, min(idx)::BIGINT AS n_at_decision,
+       |    min_by(llr, idx) AS cross_llr
+       |  FROM traj WHERE llr >= $SprtBound OR llr <= -$SprtBound
+       |  GROUP BY arm)
+       |SELECT t.arm, t.n_users, t.n_pos,
+       |  (t.n_pos * $SprtPos + (t.n_users - t.n_pos) * $SprtNeg)::BIGINT
+       |    AS llr_final_e6,
+       |  coalesce(c.n_at_decision, -1)::BIGINT AS n_at_decision,
+       |  CASE WHEN c.cross_llr IS NULL THEN 'continue'
+       |       WHEN c.cross_llr >= $SprtBound THEN 'reject_h0'
+       |       ELSE 'accept_h0' END AS decision
+       |FROM totals t LEFT JOIN crossings c ON t.arm = c.arm
+       |ORDER BY t.arm""".stripMargin
 }

@@ -972,4 +972,92 @@ object Dedup {
        |FROM dirty d CROSS JOIN clean c
        |WHERE levenshtein(d.dirty_label, c.clean_label) <= $dmax
        |ORDER BY dirty_id, clean_id""".stripMargin
+
+  /** N-GRAM CONTAINMENT pairs: |A∩B| / |A| per ORDERED document pair —
+    * the ASYMMETRIC near-dup measure Jaccard misses. A short document
+    * quoted whole inside a long one has low Jaccard (the union is huge)
+    * but containment ≈ 1 in the quote direction; CCNet/C4-style
+    * curation keeps the long doc and drops the contained one, so the
+    * direction matters. Emits both directions of every intersecting
+    * unordered pair, thresholded.
+    *
+    * Shape: shares [[ngramJaccardPairs]]'s skeleton — one shingle
+    * explode (persisted, read by sizes and both join sides), a maxDf
+    * hot-shingle guard bounding the self-join's per-key fan-out, and a
+    * single pair aggregate; the only addition is the second (cheap,
+    * pair-frame-sized) projection for the reverse direction.
+    * Containment itself is one rounded division of exact counts.
+    */
+  def containmentPairs(
+      docs: DataFrame,
+      thresholdE6: Long = 400000L,
+      n: Int = 3,
+      maxDf: Int = 100): DataFrame = {
+    val shAll = docs
+      .select(col("doc_id"), explode(shingles(col("text"), n)).as("shingle"))
+      .persist()
+    val keep = shAll.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select(col("shingle"))
+    val sh = shAll.join(keep, "shingle")
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = sh.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("u"), col("b.doc_id").as("v"))
+      .agg(count(lit(1)).as("inter"))
+    val directed = inter
+      .select(col("u").as("src"), col("v").as("dst"), col("inter"))
+      .unionAll(inter.select(col("v").as("src"), col("u").as("dst"),
+        col("inter")))
+    directed
+      .join(sizes.select(col("doc_id").as("src"), col("sz").as("src_sz")),
+        "src")
+      .select(col("src"), col("dst"), col("inter"), col("src_sz"),
+        expr("CAST(round(CAST(inter AS DOUBLE) / CAST(src_sz AS DOUBLE) " +
+          "* 1000000) AS BIGINT)").as("containment_e6"))
+      .filter(col("containment_e6") >= thresholdE6)
+      .orderBy(col("src"), col("dst"))
+  }
+
+  /** The DuckDB row form of [[shingles]] over the documents table:
+    * distinct word 3-grams, one row per (doc_id, shingle) — the same
+    * projection every shingle-based oracle in this file writes inline.
+    */
+  private def shingleRowsSql(n: Int): String = {
+    require(n == 3, "the oracle SQL literal is written for n = 3")
+    """SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+      |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+      |  FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks FROM documents)
+      |  WHERE len(toks) >= 3""".stripMargin
+  }
+
+  /** DuckDB oracle for [[containmentPairs]] — identical shingle rows,
+    * maxDf guard, and rounded division.
+    */
+  def containmentPairsOracleSql(
+      thresholdE6: Long = 400000L,
+      n: Int = 3,
+      maxDf: Int = 100): String =
+    s"""WITH sh_all AS (${shingleRowsSql(n)}),
+       |keep AS (SELECT shingle FROM sh_all GROUP BY shingle HAVING count(*) <= $maxDf),
+       |sh AS (SELECT sh_all.* FROM sh_all JOIN keep USING (shingle)),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS u, b.doc_id AS v, count(*) AS inter
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |directed AS (
+       |  SELECT u AS src, v AS dst, inter FROM inter
+       |  UNION ALL SELECT v, u, inter FROM inter),
+       |scored AS (
+       |  SELECT d.src, d.dst, d.inter, s.sz AS src_sz,
+       |    CAST(round(CAST(d.inter AS DOUBLE) / CAST(s.sz AS DOUBLE) * 1000000) AS BIGINT) AS containment_e6
+       |  FROM directed d JOIN sizes s ON d.src = s.doc_id)
+       |SELECT src, dst, inter::BIGINT AS inter, src_sz::BIGINT AS src_sz,
+       |  containment_e6
+       |FROM scored WHERE containment_e6 >= $thresholdE6
+       |ORDER BY src, dst""".stripMargin
 }

@@ -328,4 +328,89 @@ object Graph {
        |  min(walk.hops)::BIGINT AS hops
        |FROM best JOIN walk ON walk.v = best.v AND walk.dist = best.bd
        |GROUP BY 1, 2 ORDER BY dist, part_id""".stripMargin
+
+  /** k-CORE DECOMPOSITION (the k-core subgraph for one k): iteratively
+    * peel nodes of degree < k until the survivor set is stable — the
+    * standard "dense backbone" extraction that separates structurally
+    * embedded items from peripheral ones (community seeds, spam-ring
+    * candidates, curriculum anchors). Output: each surviving node with
+    * its WITHIN-CORE degree, plus the peeled count rides in the spec.
+    *
+    * Shape at 100 TB: the corpus-scale work is the one
+    * [[Relational.partPairCounts]] pair aggregate; peeling then iterates
+    * on the graph-sized edge frame — each round is one degree aggregate
+    * over edges restricted to live endpoints (two semi-joins against the
+    * node-sized survivor frame) and one filter. Convergence is checked
+    * by an exact survivor count per round (node-sized action) and the
+    * loop stops when the set is stable; localCheckpoint bounds lineage
+    * (the [[pageRank]] discipline). Peeling converges in few rounds in
+    * practice (each round removes a "layer"); `maxRounds` is the
+    * documented safety bound and overrunning it raises rather than
+    * emitting a half-peeled core.
+    */
+  def kCore(
+      lineitem: DataFrame,
+      k: Int = 3,
+      minSupport: Long = 2,
+      maxRounds: Int = 60): DataFrame = {
+    val pairs = Relational.partPairCounts(lineitem, minSupport)
+      .select(col("u"), col("v"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val und = pairs
+      .unionAll(pairs.select(col("v").as("u"), col("u").as("v")))
+    var alive = und.select(col("u").as("n")).distinct().localCheckpoint(true)
+    var nAlive = alive.count()
+    var round = 0
+    var stable = false
+    while (!stable && round < maxRounds) {
+      val deg = und
+        .join(alive.select(col("n").as("u")), "u")
+        .join(alive.select(col("n").as("v")), "v")
+        .groupBy(col("u")).agg(count(lit(1)).as("d"))
+      val next = deg.filter(col("d") >= k).select(col("u").as("n"))
+        .localCheckpoint(true)
+      val nNext = next.count()
+      stable = nNext == nAlive
+      alive = next
+      nAlive = nNext
+      round += 1
+    }
+    require(stable, s"k-core peeling did not stabilize within $maxRounds rounds")
+    und
+      .join(alive.select(col("n").as("u")), "u")
+      .join(alive.select(col("n").as("v")), "v")
+      .groupBy(col("u").as("part_id"))
+      .agg(count(lit(1)).as("core_degree"))
+      .orderBy(col("part_id"))
+  }
+
+  /** DuckDB oracle for [[kCore]] — the same peeling unrolled to `rounds`
+    * CTE layers (layers past the fixed point are idempotent, so any
+    * `rounds` ≥ the actual peel depth yields the identical core;
+    * KCoreSpec pins the sf0.01 depth well under this bound).
+    */
+  def kCoreOracleSql(k: Int = 3, minSupport: Long = 2, rounds: Int = 24): String = {
+    val head =
+      s"""WITH items AS (
+         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         |p AS MATERIALIZED (
+         |  SELECT a.pk AS u, b.pk AS v
+         |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+         |  GROUP BY 1, 2 HAVING count(*) >= $minSupport),
+         |und AS MATERIALIZED (
+         |  SELECT u, v FROM p UNION ALL SELECT v, u FROM p),
+         |a0 AS MATERIALIZED (SELECT DISTINCT u AS n FROM und)""".stripMargin
+    val iters = (1 to rounds).map { r =>
+      s"""a$r AS MATERIALIZED (
+         |  SELECT e.u AS n FROM und e
+         |  JOIN a${r - 1} x ON e.u = x.n JOIN a${r - 1} y ON e.v = y.n
+         |  GROUP BY e.u HAVING count(*) >= $k)""".stripMargin
+    }.mkString(",\n")
+    s"""$head,
+       |$iters
+       |SELECT e.u AS part_id, count(*)::BIGINT AS core_degree
+       |FROM und e
+       |JOIN a$rounds x ON e.u = x.n JOIN a$rounds y ON e.v = y.n
+       |GROUP BY e.u ORDER BY part_id""".stripMargin
+  }
 }

@@ -1545,4 +1545,108 @@ object Similarity {
       |  FROM embeddings e LEFT JOIN occ ON e.vec_id = occ.neighbor_id)
       |SELECT occ::BIGINT AS occ, count(*)::BIGINT AS n_vecs
       |FROM per_vec GROUP BY occ ORDER BY occ""".stripMargin
+
+  /** LOCAL OUTLIER FACTOR (Breunig et al., SIGMOD 2000) over cosine
+    * distance: score each vector by how much sparser its neighborhood is
+    * than its neighbors' neighborhoods — THE density-relative outlier
+    * detector for embedding QA (a global distance cutoff flags whole
+    * sparse clusters; LOF flags only points that are outliers RELATIVE
+    * to their local cluster). Top `topN` scores returned.
+    *
+    * Exactness discipline: distances quantize to integer e9 immediately
+    * (one rounded double per pair); k-distances, reachability distances
+    * (max of two integers) and their per-point sums S_p are then exact
+    * BIGINT arithmetic; the reciprocal 1/S_o quantizes to an integer
+    * per-TERM at e15 before the neighbor sum (order-free, the micro-nat
+    * discipline); the final score makes one double excursion through the
+    * identical literal `S_p · Σ 1/S_o / k²`, rounded at e6.
+    *
+    * Shape at 100 TB: the quadratic candidate pass here is the
+    * correctness baseline — production swaps it for the IVF/LSH
+    * candidate graph ([[ivfTopK]]) and everything downstream is
+    * unchanged: LOF needs only each point's kNN list (k rows/point) and
+    * one id-keyed re-join to pull the neighbors' sums — two k-bounded
+    * shuffles on a kNN-sized frame, never n².
+    */
+  def lofOutliers(corpus: DataFrame, k: Int = 10, topN: Int = 50): DataFrame = {
+    import graft.functions.VectorFunctions.vecDot
+    val q = corpus.select(
+      col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+      Dedup.vecNorm(col("embedding")).as("q_norm"))
+    val dists = corpus
+      .withColumn("c_norm", Dedup.vecNorm(col("embedding")))
+      .join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cos",
+        vecDot(col("q_emb"), col("embedding")) / col("q_norm") / col("c_norm"))
+      .select(col("query_id"), col("vec_id").as("nbr_id"),
+        expr("CAST(round((1.0 - cos) * 1000000000) AS BIGINT)").as("dist_e9"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist_e9"), col("nbr_id"))
+    val knn = dists
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .persist()
+    val kdist = knn.groupBy(col("query_id"))
+      .agg(max(col("dist_e9")).as("kdist_e9"))
+    val reach = knn
+      .join(kdist.select(col("query_id").as("nbr_id"),
+        col("kdist_e9").as("nbr_kdist")), "nbr_id")
+      .select(col("query_id"),
+        greatest(col("dist_e9"), col("nbr_kdist")).as("reach_e9"))
+    // greatest(s, 1): a point whose k neighbors all sit at distance 0
+    // (duplicated vectors) would otherwise divide by zero downstream
+    val sums = reach.groupBy(col("query_id"))
+      .agg(greatest(sum(col("reach_e9")), lit(1L)).as("s"))
+    val terms = knn.select(col("query_id"), col("nbr_id"))
+      .join(sums.select(col("query_id").as("nbr_id"), col("s").as("s_o")),
+        "nbr_id")
+      .select(col("query_id"),
+        expr("CAST(round(1e15 / CAST(s_o AS DOUBLE)) AS BIGINT)")
+          .as("t"))
+      .groupBy(col("query_id")).agg(sum(col("t")).as("tsum"))
+    sums.join(terms, "query_id").join(kdist, "query_id")
+      .select(col("query_id").as("vec_id"),
+        expr(s"CAST(round(CAST(s AS DOUBLE) * CAST(tsum AS DOUBLE) / " +
+          s"(${k * k} * 1e15) * 1000000) AS BIGINT)")
+          .as("lof_e6"),
+        col("kdist_e9"))
+      .orderBy(desc("lof_e6"), col("vec_id"))
+      .limit(topN)
+  }
+
+  /** DuckDB oracle for [[lofOutliers]] — identical e9 distance
+    * quantization, exact integer reach sums, per-term e15 reciprocals,
+    * and the character-identical final score literal.
+    */
+  def lofOutliersOracleSql(k: Int = 10, topN: Int = 50): String =
+    s"""WITH dists AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+       |    CAST(round((1.0 - (
+       |      list_sum(list_transform(range(1, len(q.embedding) + 1), i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))
+       |      / sqrt(list_sum(list_transform(range(1, len(q.embedding) + 1), i -> q.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE)))
+       |      / sqrt(list_sum(list_transform(range(1, len(c.embedding) + 1), i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)))
+       |    )) * 1000000000) AS BIGINT) AS dist_e9
+       |  FROM embeddings c CROSS JOIN embeddings q WHERE c.vec_id <> q.vec_id),
+       |knn AS (
+       |  SELECT query_id, nbr_id, dist_e9 FROM (
+       |    SELECT query_id, nbr_id, dist_e9,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY dist_e9, nbr_id) AS rnk
+       |    FROM dists) WHERE rnk <= $k),
+       |kd AS (SELECT query_id, max(dist_e9) AS kdist_e9 FROM knn GROUP BY query_id),
+       |reach AS (
+       |  SELECT knn.query_id, greatest(knn.dist_e9, nk.kdist_e9) AS reach_e9
+       |  FROM knn JOIN kd nk ON knn.nbr_id = nk.query_id),
+       |sums AS (
+       |  SELECT query_id, greatest(sum(reach_e9), 1)::BIGINT AS s
+       |  FROM reach GROUP BY query_id),
+       |terms AS (
+       |  SELECT knn.query_id,
+       |    sum(CAST(round(1e15 / CAST(so.s AS DOUBLE)) AS BIGINT))::BIGINT AS tsum
+       |  FROM knn JOIN sums so ON knn.nbr_id = so.query_id
+       |  GROUP BY knn.query_id)
+       |SELECT sums.query_id AS vec_id,
+       |  CAST(round(CAST(s AS DOUBLE) * CAST(tsum AS DOUBLE) / (${k * k} * 1e15) * 1000000) AS BIGINT) AS lof_e6,
+       |  kd.kdist_e9
+       |FROM sums JOIN terms USING (query_id) JOIN kd USING (query_id)
+       |ORDER BY lof_e6 DESC, vec_id LIMIT $topN""".stripMargin
 }

@@ -430,4 +430,21 @@ class DedupSpec extends SparkTestBase {
     val hitsOf2 = out.filter(_._1 == 2L).map(_._2).toSet
     assert(hitsOf2.contains(2L) && !hitsOf2.contains(6L))
   }
+
+  test("containmentPairs is asymmetric: the quote scores 1.0, the host does not") {
+    import spark.implicits._
+    // doc 2 contains doc 1 verbatim plus a long tail: every one of doc
+    // 1's shingles appears in doc 2 (containment 1→2 = 1.0) but doc 2
+    // has many shingles doc 1 lacks (containment 2→1 well under 1)
+    val quote = "alpha beta gamma delta epsilon"
+    val host = quote + " zeta eta theta iota kappa lambda mu nu xi"
+    val docs = Seq((1L, quote), (2L, host), (3L, "totally unrelated words here"))
+      .toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(docs, thresholdE6 = 100000L).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(4))).toMap
+    assert(out((1L, 2L)) == 1000000L)
+    // 3 shared shingles of host's 12
+    assert(out((2L, 1L)) == 250000L)
+    assert(!out.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+  }
 }

@@ -310,5 +310,11 @@ class EmptyInputSpec extends SparkTestBase {
     val noVecs2 = Seq.empty[(Long, Array[Float], Int)]
       .toDF("vec_id", "embedding", "label")
     assert(graft.ops.Similarity.hubnessHistogram(noVecs2).count() == 0)
+    val noLi5 = Seq.empty[(Long, Long)].toDF("l_orderkey", "l_partkey")
+    assert(graft.ops.Graph.kCore(noLi5).count() == 0)
+    assert(graft.ops.Similarity.lofOutliers(noVecs2).count() == 0)
+    val noDocs4 = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(graft.ops.Dedup.containmentPairs(noDocs4).count() == 0)
+    assert(graft.ops.Analytics.sprtTest(noEventsFull).count() == 0)
   }
 }

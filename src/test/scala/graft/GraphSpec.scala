@@ -113,6 +113,31 @@ class GraphSpec extends SparkTestBase {
       (1L, 3L, 1L, 1L, 7500L), // degree 1 → binary "1", width 1
       (2L, 1L, 3L, 3L, 2500L))) // degree 3 → binary "11", width 2
   }
+
+  test("kCore keeps the triangle and peels the pendant") {
+    import spark.implicits._
+    // orders 1,2 each hold parts 1,2,3 (triangle, support 2); orders
+    // 3,4 hold parts {1,4} (pendant edge 1–4, support 2)
+    val li = Seq(
+      (1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L), (2L, 2L), (2L, 3L),
+      (3L, 1L), (3L, 4L), (4L, 1L), (4L, 4L)
+    ).toDF("l_orderkey", "l_partkey")
+    val out = graft.ops.Graph.kCore(li, k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 2L), (2L, 2L), (3L, 2L)))
+  }
+
+  test("kCore peeling cascades down a path to the empty core") {
+    import spark.implicits._
+    // path 1–2–3–4 (each adjacent pair co-ordered twice): the 2-core is
+    // empty, but only after peeling unravels the path from both ends —
+    // endpoint removal keeps creating new degree-1 nodes
+    val li = (for {
+      (a, b) <- Seq((1L, 2L), (2L, 3L), (3L, 4L)); rep <- 0 to 1
+    } yield Seq((a * 100 + b * 10 + rep, a), (a * 100 + b * 10 + rep, b)))
+      .flatten.toDF("l_orderkey", "l_partkey")
+    assert(graft.ops.Graph.kCore(li, k = 2).count() == 0)
+  }
 }
 
 private object Graft {

@@ -105,6 +105,37 @@ class ModelingSpec extends SparkTestBase {
     assert(out.head.getLong(0) == 0L && out.head.getLong(1) == 64L)
   }
 
+  test("lofOutliers ranks the density outlier first") {
+    // a tight direction bundle (vectors near (1, ~0)) plus one vector
+    // pointing orthogonally: cosine-distance density flags it
+    val vecs = (0 until 12).map(i =>
+      (i.toLong, Array(1.0f, 0.001f * i), 0)) :+ (99L, Array(0.0f, 1.0f), 0)
+    val e = vecs.toDF("vec_id", "embedding", "label")
+    val out = Similarity.lofOutliers(e, k = 3, topN = 3).collect()
+    assert(out.head.getLong(0) == 99L)
+    assert(out.head.getLong(1) > 1000000L) // LOF > 1: sparser than neighbors
+    // bundle members score ≈ 1
+    assert(out.tail.forall(r => r.getLong(1) < 2000000L))
+  }
+
+  test("sprtTest stops an extreme arm at the Wald boundary") {
+    // even-arm users all convert (all-error), odd-arm users never do:
+    // |LLR| grows ln(1.5) ≈ 0.405465 per user → first crossing of
+    // ln 19 ≈ 2.944439 at user 8 in both arms, opposite decisions
+    val rows = for {
+      u <- 0L until 20L
+      i <- 0 until 4
+    } yield (u * 10 + i, u, if (u % 2 == 0) "error" else "click", 1.0,
+      java.sql.Timestamp.valueOf("2026-01-01 00:00:00"))
+    val events = rows.toDF("event_id", "user_id", "event_type", "value", "ts")
+    val out = graft.ops.Analytics.sprtTest(events).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4),
+        r.getString(5)))
+    assert(out.toSeq == Seq(
+      (0L, 10L, 10L, 8L, "reject_h0"),
+      (1L, 10L, 0L, 8L, "accept_h0")))
+  }
+
   test("hubnessHistogram counts anti-hubs and conserves mass") {
     val e = Similarity.embeddings(spark, "/root/testdata/sf0.001")
     val out = Similarity.hubnessHistogram(e, k = 10).collect()
