@@ -773,6 +773,16 @@ object SparkEntry {
       Dedup.containmentPairs(TextAnalysis.documents(s, d))),
     // Wald SPRT per arm: integer micro-nat LLR walk + first crossing
     "q_sprt" -> ((s, d) => Analytics.sprtTest(Analytics.events(s, d))),
+    // exact weighted quantiles per group: collapse to the value domain,
+    // integer threshold picks — no floating point anywhere
+    "q_weighted_quantiles" -> ((s, d) =>
+      Analytics.weightedQuantiles(Relational.table(s, d, "lineitem"))),
+    // Wasserstein-1 drift between purchase/view value distributions,
+    // per-bin e9 CDF quantization
+    "q_emd_drift" -> ((s, d) => Analytics.emdDrift(Analytics.events(s, d))),
+    // two-round discrete boosting: weighted stump argmin, x2 reweighting
+    "q_boosted_stumps" -> ((s, d) =>
+      Analytics.boostedStumps(Analytics.events(s, d))),
     // A/B power analysis: users-per-arm per candidate MDE from the
     // observed revenue-per-user mean/variance, exact integer ceiling
     "q_ab_power" -> ((s, d) => Analytics.abPower(Analytics.events(s, d))),
@@ -4485,6 +4495,9 @@ object SparkEntry {
     "q_lof" -> Similarity.lofOutliersOracleSql(),
     "q_containment" -> Dedup.containmentPairsOracleSql(),
     "q_sprt" -> Analytics.sprtTestOracleSql,
+    "q_weighted_quantiles" -> Analytics.weightedQuantilesOracleSql,
+    "q_emd_drift" -> Analytics.emdDriftOracleSql(),
+    "q_boosted_stumps" -> Analytics.boostedStumpsOracleSql(),
     "q_ab_power" -> Analytics.abPowerOracleSql(),
     "q_theilsen" -> Analytics.theilSenOracleSql,
     "q_native_session_window" -> Analytics.nativeSessionWindowOracleSql(),

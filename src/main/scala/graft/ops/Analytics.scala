@@ -3755,4 +3755,330 @@ object Analytics {
        |       ELSE 'accept_h0' END AS decision
        |FROM totals t LEFT JOIN crossings c ON t.arm = c.arm
        |ORDER BY t.arm""".stripMargin
+
+  // ------------------------------------------------- weighted quantiles
+
+  /** EXACT WEIGHTED QUANTILES per group: the quantity-weighted p25/
+    * median/p75 of unit price per (returnflag, linestatus) — "half the
+    * VOLUME ships below this price", which an unweighted median (half
+    * the LINES) gets wrong whenever quantity correlates with price.
+    * Lower weighted quantile convention: the smallest value v with
+    * cum_weight(≤ v) ≥ q·W — a pure integer comparison (4·cw ≥ q·4·W),
+    * so the result is exact with NO floating point anywhere.
+    *
+    * Shape at 100 TB: the naive form sorts the fact table per group
+    * (a full-shuffle sort). Instead the fact table first COLLAPSES to
+    * (group, value) with summed weights — value-domain-sized, not
+    * row-sized (prices quantize to cents, so a group holds at most
+    * ~price-range rows regardless of line count) — and the window
+    * cumsum runs on that collapsed frame. One aggregate exchange plus a
+    * model-sized window.
+    */
+  def weightedQuantiles(lineitem: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vals = lineitem
+      .select(col("l_returnflag").as("rf"), col("l_linestatus").as("ls"),
+        expr("CAST(round(l_extendedprice * 100 / l_quantity) AS BIGINT)")
+          .as("unit_cents"),
+        expr("CAST(round(l_quantity) AS BIGINT)").as("w"))
+      .groupBy(col("rf"), col("ls"), col("unit_cents"))
+      .agg(sum(col("w")).as("w"))
+    val wOrd = Window.partitionBy(col("rf"), col("ls"))
+      .orderBy(col("unit_cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("rf"), col("ls"))
+    val cum = vals
+      .withColumn("cw", sum(col("w")).over(wOrd))
+      .withColumn("tw", sum(col("w")).over(wAll))
+    cum.groupBy(col("rf"), col("ls"))
+      .agg(
+        sum(col("w")).as("total_weight"),
+        min(when(col("cw") * 4 >= col("tw"), col("unit_cents")))
+          .as("wp25_cents"),
+        min(when(col("cw") * 2 >= col("tw"), col("unit_cents")))
+          .as("wmedian_cents"),
+        min(when(col("cw") * 4 >= col("tw") * 3, col("unit_cents")))
+          .as("wp75_cents"))
+      .orderBy(col("rf"), col("ls"))
+  }
+
+  /** DuckDB oracle for [[weightedQuantiles]] — identical collapse,
+    * cumulative weights, and integer threshold picks.
+    */
+  def weightedQuantilesOracleSql: String =
+    """WITH vals AS (
+      |  SELECT l_returnflag AS rf, l_linestatus AS ls,
+      |    CAST(round(l_extendedprice * 100 / l_quantity) AS BIGINT) AS unit_cents,
+      |    sum(CAST(round(l_quantity) AS BIGINT)) AS w
+      |  FROM lineitem GROUP BY 1, 2, 3),
+      |cum AS (
+      |  SELECT rf, ls, unit_cents, w,
+      |    sum(w) OVER (PARTITION BY rf, ls ORDER BY unit_cents
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+      |    sum(w) OVER (PARTITION BY rf, ls) AS tw
+      |  FROM vals)
+      |SELECT rf, ls, sum(w)::BIGINT AS total_weight,
+      |  min(CASE WHEN cw * 4 >= tw THEN unit_cents END)::BIGINT AS wp25_cents,
+      |  min(CASE WHEN cw * 2 >= tw THEN unit_cents END)::BIGINT AS wmedian_cents,
+      |  min(CASE WHEN cw * 4 >= tw * 3 THEN unit_cents END)::BIGINT AS wp75_cents
+      |FROM cum GROUP BY rf, ls ORDER BY rf, ls""".stripMargin
+
+  // ---------------------------------------------- earth mover's distance
+
+  /** 1-D EARTH MOVER'S DISTANCE (Wasserstein-1) between the purchase and
+    * view value distributions, on a fixed 50-bin grid: per bin, the
+    * absolute gap between the two empirical CDFs — EMD₁ = Σ|F_a − F_b|·Δ,
+    * the drift measure with actual units (average cents of "work" to
+    * morph one distribution into the other), where PSI ([[psiDrift]])
+    * and KS give only unitless scores. Emits the per-bin CDF walk (the
+    * diagnostic view) with the running EMD as the last row's total.
+    *
+    * Exactness: CDFs quantize per-bin at e9 from exact integer counts
+    * (one division each); the absolute gaps and their running sum are
+    * then integer arithmetic — order-free.
+    *
+    * Shape at 100 TB: one (source, bin) aggregate collapses the corpus
+    * to ≤ 2·50 cells; windows run on the bin dimension only.
+    */
+  def emdDrift(events: DataFrame, bins: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = events
+      .filter(col("event_type").isin("purchase", "view"))
+      .select(col("event_type"),
+        expr(s"LEAST(${bins - 1}, CAST(floor(round(value * 100) / 1000) AS BIGINT))")
+          .as("bin"))
+      .groupBy(col("bin"))
+      .agg(
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("ca"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("cb"))
+    // full bin spine: EMPTY bins still carry CDF gap (mass must travel
+    // across them) — summing only occupied bins would understate EMD
+    val binned = events.sparkSession.range(bins).select(col("id").as("bin"))
+      .join(counts, Seq("bin"), "left")
+      .select(col("bin"), coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    val wOrd = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    // bin-dimension frame (≤ 50 rows): global windows are model-sized
+    binned
+      .withColumn("cum_a", sum(col("ca")).over(wOrd))
+      .withColumn("cum_b", sum(col("cb")).over(wOrd))
+      .withColumn("tot_a", sum(col("ca")).over(wAll))
+      .withColumn("tot_b", sum(col("cb")).over(wAll))
+      .withColumn("cdf_a_e9", expr(
+        "CASE WHEN tot_a = 0 THEN 0 ELSE CAST(round(CAST(cum_a AS DOUBLE) / CAST(tot_a AS DOUBLE) * 1000000000) AS BIGINT) END"))
+      .withColumn("cdf_b_e9", expr(
+        "CASE WHEN tot_b = 0 THEN 0 ELSE CAST(round(CAST(cum_b AS DOUBLE) / CAST(tot_b AS DOUBLE) * 1000000000) AS BIGINT) END"))
+      .withColumn("gap_e9", abs(col("cdf_a_e9") - col("cdf_b_e9")))
+      .withColumn("emd_running_e9", sum(col("gap_e9")).over(wOrd))
+      .select(col("bin"), col("ca"), col("cb"), col("cdf_a_e9"),
+        col("cdf_b_e9"), col("gap_e9"), col("emd_running_e9"))
+      .orderBy(col("bin"))
+  }
+
+  /** DuckDB oracle for [[emdDrift]] — identical binning, e9 CDF
+    * quantization, and running gap sum.
+    */
+  def emdDriftOracleSql(bins: Int = 50): String =
+    s"""WITH counts AS (
+       |  SELECT LEAST(${bins - 1}, CAST(floor(round(value * 100) / 1000) AS BIGINT)) AS bin,
+       |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS ca,
+       |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS cb
+       |  FROM events WHERE event_type IN ('purchase', 'view') GROUP BY 1),
+       |binned AS (
+       |  SELECT s.bin, coalesce(c.ca, 0) AS ca, coalesce(c.cb, 0) AS cb
+       |  FROM (SELECT unnest(range(0, $bins))::BIGINT AS bin) s
+       |  LEFT JOIN counts c ON s.bin = c.bin),
+       |cum AS (
+       |  SELECT bin, ca, cb,
+       |    sum(ca) OVER (ORDER BY bin) AS cum_a,
+       |    sum(cb) OVER (ORDER BY bin) AS cum_b,
+       |    sum(ca) OVER () AS tot_a, sum(cb) OVER () AS tot_b
+       |  FROM binned),
+       |q AS (
+       |  SELECT bin, ca, cb,
+       |    CASE WHEN tot_a = 0 THEN 0 ELSE CAST(round(CAST(cum_a AS DOUBLE) / CAST(tot_a AS DOUBLE) * 1000000000) AS BIGINT) END AS cdf_a_e9,
+       |    CASE WHEN tot_b = 0 THEN 0 ELSE CAST(round(CAST(cum_b AS DOUBLE) / CAST(tot_b AS DOUBLE) * 1000000000) AS BIGINT) END AS cdf_b_e9
+       |  FROM cum)
+       |SELECT bin, ca::BIGINT AS ca, cb::BIGINT AS cb, cdf_a_e9, cdf_b_e9,
+       |  abs(cdf_a_e9 - cdf_b_e9)::BIGINT AS gap_e9,
+       |  sum(abs(cdf_a_e9 - cdf_b_e9))
+       |    OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+       |    AS emd_running_e9
+       |FROM q ORDER BY bin""".stripMargin
+
+  // ------------------------------------------------------ boosted stumps
+
+  /** The weighted best-stump search one boosting round runs: histogram
+    * the weighted (feature, bin, label) mass, prefix-sum the bins, score
+    * every (boundary, polarity) by WEIGHTED 0/1 ERROR (the boosting
+    * criterion — [[treeSplit]] uses Gini because it grows a tree; a
+    * boosting round minimizes weighted error directly), and return the
+    * 1-row argmin. All integer arithmetic; ties break (err, feature, b,
+    * polarity) lexicographically.
+    */
+  private def bestWeightedStump(users: DataFrame, bins: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val feat = users.selectExpr("label", "w",
+      "stack(3, 'n_events', n_events, 'n_days', n_days, " +
+        "'value_cents', value_cents) AS (feature, x)")
+    val rng = feat.groupBy(col("feature"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    val cells = feat.join(broadcast(rng), "feature")
+      .withColumn("b", expr(s"(x - mn) * $bins div (mx - mn + 1)"))
+      .groupBy(col("feature"), col("b"))
+      .agg(sum(col("w")).as("wn"),
+        sum(col("w") * col("label")).as("wpos"))
+    val wb = Window.partitionBy(col("feature")).orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy(col("feature"))
+    val scored = cells
+      .withColumn("w_l", sum(col("wn")).over(wb))
+      .withColumn("wpos_l", sum(col("wpos")).over(wb))
+      .withColumn("w_t", sum(col("wn")).over(wf))
+      .withColumn("wpos_t", sum(col("wpos")).over(wf))
+      .filter(col("w_l") < col("w_t"))
+      .withColumn("err_gt",
+        col("wpos_l") + (col("w_t") - col("w_l"))
+          - (col("wpos_t") - col("wpos_l")))
+      .withColumn("err_le",
+        (col("w_l") - col("wpos_l")) + (col("wpos_t") - col("wpos_l")))
+      .withColumn("werr", least(col("err_gt"), col("err_le")))
+      .withColumn("polarity",
+        when(col("err_gt") <= col("err_le"), "gt").otherwise("le"))
+    // the candidate frame is (features × bins) — model-sized; the global
+    // argmin window is fine here
+    scored
+      .withColumn("rn", row_number().over(Window.partitionBy()
+        .orderBy(col("werr"), col("feature"), col("b"), col("polarity"))))
+      .filter(col("rn") === 1)
+      .join(broadcast(rng), "feature")
+      .select(col("feature"), col("b"), col("mn"), col("mx"),
+        col("polarity"), col("werr"), col("w_t").as("wtot"),
+        expr(s"mn + (b + 1) * (mx - mn + 1) div $bins").as("split_at"))
+  }
+
+  /** TWO-ROUND DISCRETE BOOSTING over the per-user feature frame: round
+    * 1 fits the best weighted stump on unit weights; every misclassified
+    * user's weight then DOUBLES (discrete AdaBoost with a fixed ln 2
+    * learner weight — the integer-exact variant: reweighting is ×2, so
+    * weights stay Long and both engines agree digit-for-digit); round 2
+    * fits the best stump on the reweighted frame — which is forced to
+    * look at the examples round 1 got wrong. The output's two rows show
+    * boosting doing its job: round 2 picks a different boundary (or
+    * feature) and its weighted error is measured against the shifted
+    * mass.
+    *
+    * Shape at 100 TB: each round touches the corpus-collapsed USER frame
+    * once (histogram aggregate); candidate scoring runs on the
+    * (features × bins) model frame — the histogram-boosting layout
+    * (LightGBM/XGBoost-approx): rounds cost one aggregate each, never a
+    * per-candidate scan. Applying the round-1 stump is a 1-row broadcast
+    * against the user frame.
+    */
+  def boostedStumps(df: DataFrame, bins: Int = 16): DataFrame = {
+    val users = df.filter(col("user_id").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(to_date(col("ts"))).as("n_days"),
+        coalesce(sum(expr("CAST(floor(value * 100) AS BIGINT)")), lit(0L))
+          .as("value_cents"),
+        when(sum(when(col("event_type") === "error", 5L).otherwise(0L))
+          >= count(lit(1)), 1L).otherwise(0L).as("label"))
+      .withColumn("w", lit(1L))
+      .persist()
+    val best1 = bestWeightedStump(users, bins)
+    val reweighted = users.crossJoin(broadcast(best1.select(
+        col("feature").as("bf"), col("b").as("bb"), col("mn"), col("mx"),
+        col("polarity").as("bp"))))
+      .withColumn("x", expr(
+        "CASE bf WHEN 'n_events' THEN n_events WHEN 'n_days' THEN n_days " +
+          "ELSE value_cents END"))
+      .withColumn("bx", expr(s"(x - mn) * $bins div (mx - mn + 1)"))
+      .withColumn("pred", expr(
+        "CASE WHEN (bp = 'gt' AND bx > bb) OR (bp = 'le' AND bx <= bb) " +
+          "THEN 1L ELSE 0L END"))
+      .select(col("n_events"), col("n_days"), col("value_cents"),
+        col("label"),
+        when(col("pred") =!= col("label"), 2L).otherwise(1L).as("w"))
+    val best2 = bestWeightedStump(reweighted, bins)
+    best1.withColumn("round", lit(1L))
+      .union(best2.withColumn("round", lit(2L)))
+      .select(col("round"), col("feature"), col("b").as("split_bin"),
+        col("split_at"), col("polarity"), col("werr"), col("wtot"))
+      .orderBy(col("round"))
+  }
+
+  /** The weighted-stump CTE block for the [[boostedStumps]] oracle:
+    * given a users CTE (with label + w columns) named `src`, emit CTEs
+    * `feat$t/rng$t/cells$t/scored$t/best$t` replaying the identical
+    * search (best$t is the 1-row argmin carrying mn/mx for re-binning).
+    */
+  private def stumpRoundSql(src: String, t: Int, bins: Int): String =
+    s"""feat$t AS (
+       |  SELECT label, w, 'n_events' AS feature, n_events AS x FROM $src
+       |  UNION ALL SELECT label, w, 'n_days', n_days FROM $src
+       |  UNION ALL SELECT label, w, 'value_cents', value_cents FROM $src),
+       |rng$t AS (SELECT feature, min(x) AS mn, max(x) AS mx FROM feat$t GROUP BY 1),
+       |cells$t AS (
+       |  SELECT f.feature, (f.x - r.mn) * $bins // (r.mx - r.mn + 1) AS b,
+       |    sum(f.w)::BIGINT AS wn, sum(f.w * f.label)::BIGINT AS wpos
+       |  FROM feat$t f JOIN rng$t r USING (feature) GROUP BY 1, 2),
+       |scored$t AS (
+       |  SELECT *,
+       |    wpos_l + (w_t - w_l) - (wpos_t - wpos_l) AS err_gt,
+       |    (w_l - wpos_l) + (wpos_t - wpos_l) AS err_le
+       |  FROM (
+       |    SELECT feature, b,
+       |      sum(wn) OVER (PARTITION BY feature ORDER BY b
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS w_l,
+       |      sum(wpos) OVER (PARTITION BY feature ORDER BY b
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS wpos_l,
+       |      sum(wn) OVER (PARTITION BY feature) AS w_t,
+       |      sum(wpos) OVER (PARTITION BY feature) AS wpos_t
+       |    FROM cells$t)
+       |  WHERE w_l < w_t),
+       |best$t AS (
+       |  SELECT feature, b, r.mn, r.mx,
+       |    CASE WHEN err_gt <= err_le THEN 'gt' ELSE 'le' END AS polarity,
+       |    least(err_gt, err_le)::BIGINT AS werr, w_t::BIGINT AS wtot,
+       |    (r.mn + (b + 1) * (r.mx - r.mn + 1) // $bins)::BIGINT AS split_at
+       |  FROM scored$t JOIN rng$t r USING (feature)
+       |  ORDER BY least(err_gt, err_le), feature, b,
+       |    CASE WHEN err_gt <= err_le THEN 'gt' ELSE 'le' END
+       |  LIMIT 1)""".stripMargin
+
+  /** DuckDB oracle for [[boostedStumps]] — identical user collapse, two
+    * identical weighted-stump rounds, identical ×2 reweighting.
+    */
+  def boostedStumpsOracleSql(bins: Int = 16): String =
+    s"""WITH users1 AS (
+       |  SELECT user_id, count(*)::BIGINT AS n_events,
+       |    count(DISTINCT ts::DATE)::BIGINT AS n_days,
+       |    coalesce(sum(CAST(floor(value * 100) AS BIGINT)), 0)::BIGINT
+       |      AS value_cents,
+       |    (CASE WHEN sum(CASE WHEN event_type = 'error' THEN 5 ELSE 0 END)
+       |          >= count(*) THEN 1 ELSE 0 END)::BIGINT AS label,
+       |    1::BIGINT AS w
+       |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+       |${stumpRoundSql("users1", 1, bins)},
+       |users2 AS (
+       |  SELECT n_events, n_days, value_cents, label,
+       |    CASE WHEN (CASE WHEN (b1.polarity = 'gt' AND bx > b1.b)
+       |                      OR (b1.polarity = 'le' AND bx <= b1.b)
+       |               THEN 1 ELSE 0 END) <> label THEN 2 ELSE 1 END::BIGINT AS w
+       |  FROM (
+       |    SELECT u.*,
+       |      (CASE b1.feature WHEN 'n_events' THEN u.n_events
+       |        WHEN 'n_days' THEN u.n_days ELSE u.value_cents END - b1.mn)
+       |        * $bins // (b1.mx - b1.mn + 1) AS bx
+       |    FROM users1 u CROSS JOIN best1 b1) x CROSS JOIN best1 b1),
+       |${stumpRoundSql("users2", 2, bins)}
+       |SELECT 1::BIGINT AS round, feature, b::BIGINT AS split_bin, split_at,
+       |  polarity, werr, wtot FROM best1
+       |UNION ALL
+       |SELECT 2, feature, b, split_at, polarity, werr, wtot FROM best2
+       |ORDER BY round""".stripMargin
 }

@@ -316,5 +316,11 @@ class EmptyInputSpec extends SparkTestBase {
     val noDocs4 = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(graft.ops.Dedup.containmentPairs(noDocs4).count() == 0)
     assert(graft.ops.Analytics.sprtTest(noEventsFull).count() == 0)
+    val noLi6 = Seq.empty[(String, String, Double, Double)]
+      .toDF("l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice")
+    assert(graft.ops.Analytics.weightedQuantiles(noLi6).count() == 0)
+    // the bin spine survives an empty stream: 50 all-zero rows
+    assert(graft.ops.Analytics.emdDrift(noEventsFull).count() == 50)
+    assert(graft.ops.Analytics.boostedStumps(noEventsFull).count() == 0)
   }
 }

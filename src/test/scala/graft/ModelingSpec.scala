@@ -136,6 +136,57 @@ class ModelingSpec extends SparkTestBase {
       (1L, 10L, 0L, 8L, "accept_h0")))
   }
 
+  test("weightedQuantiles follows the weight, not the row count") {
+    // unit prices 100/200/900 cents with quantity weights 1/8/1: every
+    // weighted quartile lands on the heavy 200; an unweighted median of
+    // the three VALUES would also say 200, but p25/p75 would not
+    val li = Seq(
+      ("A", "O", 1.0, 1.0), ("A", "O", 8.0, 16.0), ("A", "O", 1.0, 9.0))
+      .toDF("l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice")
+    val out = graft.ops.Analytics.weightedQuantiles(li).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)) ==
+      ((10L, 200L, 200L, 200L)))
+  }
+
+  test("emdDrift charges empty bins between the distributions") {
+    // purchases at bin 0, views at bin 3: the CDF gap is 1e9 across bins
+    // 0..2 (including EMPTY bins 1,2) → running EMD ends at 3e9
+    val rows = Seq((1L, "purchase", 1.0), (2L, "purchase", 2.0),
+      (3L, "view", 30.0), (4L, "view", 31.0))
+    val events = rows.map { case (id, t, v) =>
+      (id, 1L, t, v, java.sql.Timestamp.valueOf("2026-01-01 00:00:00"))
+    }.toDF("event_id", "user_id", "event_type", "value", "ts")
+    val out = graft.ops.Analytics.emdDrift(events).collect()
+    assert(out.length == 50)
+    val byBin = out.map(r => (r.getLong(0), r.getLong(6))).toMap
+    assert(byBin(2L) == 3000000000L) // three full-gap bins accumulated
+    assert(byBin(49L) == 3000000000L) // flat after both CDFs saturate
+  }
+
+  test("boostedStumps doubles misclassified mass into round 2") {
+    // 20 users, separable by value except two label-flipped users →
+    // round 1's best stump errs on exactly those two; their weight
+    // doubles, so round 2 scores against total mass 22
+    val rows = for {
+      u <- 0L until 20L
+      i <- 0 until 4
+    } yield {
+      val noisy = u == 3L || u == 12L
+      val erroring = (u < 10) ^ noisy
+      (u * 10 + i, u, if (erroring) "error" else "click",
+        if (u < 10) 900.0 else 100.0,
+        java.sql.Timestamp.valueOf("2026-01-01 00:00:00"))
+    }
+    val events = rows.toDF("event_id", "user_id", "event_type", "value", "ts")
+    val out = graft.ops.Analytics.boostedStumps(events).collect()
+      .map(r => (r.getLong(0), r.getLong(5), r.getLong(6)))
+    assert(out.length == 2)
+    assert(out(0) == ((1L, 2L, 20L))) // best stump errs on the 2 flips
+    assert(out(1)._1 == 2L && out(1)._3 == 22L) // flipped mass doubled
+  }
+
   test("hubnessHistogram counts anti-hubs and conserves mass") {
     val e = Similarity.embeddings(spark, "/root/testdata/sf0.001")
     val out = Similarity.hubnessHistogram(e, k = 10).collect()
