@@ -783,6 +783,12 @@ object SparkEntry {
     // two-round discrete boosting: weighted stump argmin, x2 reweighting
     "q_boosted_stumps" -> ((s, d) =>
       Analytics.boostedStumps(Analytics.events(s, d))),
+    // greedy max-coverage doc selection: k anti-join rounds, 1-row argmax
+    "q_set_cover" -> ((s, d) =>
+      Corpus.setCoverSelect(TextAnalysis.documents(s, d))),
+    // rendezvous-hash scale-out audit: only new-node keys may move
+    "q_rendezvous" -> ((s, d) =>
+      Layout.rendezvousRebalance(Relational.table(s, d, "part"))),
     // A/B power analysis: users-per-arm per candidate MDE from the
     // observed revenue-per-user mean/variance, exact integer ceiling
     "q_ab_power" -> ((s, d) => Analytics.abPower(Analytics.events(s, d))),
@@ -4498,6 +4504,8 @@ object SparkEntry {
     "q_weighted_quantiles" -> Analytics.weightedQuantilesOracleSql,
     "q_emd_drift" -> Analytics.emdDriftOracleSql(),
     "q_boosted_stumps" -> Analytics.boostedStumpsOracleSql(),
+    "q_set_cover" -> Corpus.setCoverSelectOracleSql(),
+    "q_rendezvous" -> Layout.rendezvousRebalanceOracleSql(),
     "q_ab_power" -> Analytics.abPowerOracleSql(),
     "q_theilsen" -> Analytics.theilSenOracleSql,
     "q_native_session_window" -> Analytics.nativeSessionWindowOracleSql(),

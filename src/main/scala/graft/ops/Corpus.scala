@@ -1036,4 +1036,96 @@ object Corpus {
         expr("n_shared * 10000 div sz_b").as("containment_b_e4"))
       .orderBy(col("src_a"), col("src_b"))
   }
+
+  /** GREEDY MAXIMUM-COVERAGE SELECTION: pick `k` documents that together
+    * cover the most distinct vocabulary, one greedy round at a time —
+    * the classic (1−1/e)-approximate set-cover step behind eval-set
+    * construction, seed-corpus picking, and "smallest demo corpus that
+    * exercises the tokenizer" questions. Each round scores every
+    * remaining document by its MARGINAL gain (terms not yet covered) and
+    * takes the argmax (gain desc, doc_id asc).
+    *
+    * Shape at 100 TB: the term frame materializes once (persisted); a
+    * round is one anti-join against the covered-vocabulary frame
+    * (vocab-sized, NOT corpus-sized) + one per-doc count + a 1-row
+    * argmax (the [[Similarity]] k-center discipline: k model-sized
+    * collects is the greedy algorithm's inherent cost, documented). The
+    * covered frame is localCheckpoint'ed per round so lineage stays flat.
+    * k rounds ⇒ k passes over the TERM frame — greedy set cover cannot
+    * do better without sketching; this is the exact baseline.
+    */
+  def setCoverSelect(docs: DataFrame, k: Int = 5): DataFrame = {
+    require(k >= 1)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // cover word TRIGRAMS, not unigrams: the unigram vocabulary of a
+    // template-generated corpus fits inside one long document and the
+    // greedy loop would stop after one pick; trigram coverage keeps the
+    // marginal-gain structure non-trivial
+    val terms = docs
+      .select(col("doc_id"),
+        explode(Dedup.shingles(col("text"), 3)).as("term"))
+      .distinct()
+      .persist()
+    var covered = terms.select(col("term")).limit(0).localCheckpoint(true)
+    val picks = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    var rnk = 1L
+    var exhausted = false
+    while (rnk <= k && !exhausted) {
+      val gains = terms
+        .join(covered, Seq("term"), "left_anti")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("gain"))
+        .orderBy(desc("gain"), col("doc_id"))
+        .limit(1)
+        .collect() // 1-row argmax: the greedy step's inherent sync point
+      if (gains.isEmpty) exhausted = true
+      else {
+        val row = gains.head
+        val docId = row.getLong(0)
+        covered = covered
+          .union(terms.filter(col("doc_id") === docId).select(col("term")))
+          .distinct()
+          .localCheckpoint(true)
+        picks += ((rnk, docId, row.getLong(1), covered.count()))
+        rnk += 1
+      }
+    }
+    picks.toSeq.toDF("rnk", "doc_id", "gain", "covered_total")
+      .orderBy(col("rnk"))
+  }
+
+  /** DuckDB oracle for [[setCoverSelect]] — the greedy chain unrolled to
+    * k CTE layers (gains → 1-row argmax → covered union), identical
+    * tie-breaks.
+    */
+  def setCoverSelectOracleSql(k: Int = 5): String = {
+    require(k >= 1)
+    val head =
+      """WITH terms AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS term
+        |  FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks FROM documents)
+        |  WHERE len(toks) >= 3),
+        |cov0 AS MATERIALIZED (SELECT term FROM terms WHERE 1 = 0)""".stripMargin
+    val rounds = (1 to k).map { t =>
+      s"""sel$t AS MATERIALIZED (
+         |  SELECT ${t}::BIGINT AS rnk, doc_id, count(*)::BIGINT AS gain
+         |  FROM terms WHERE term NOT IN (SELECT term FROM cov${t - 1})
+         |  GROUP BY doc_id ORDER BY gain DESC, doc_id LIMIT 1),
+         |cov$t AS MATERIALIZED (
+         |  SELECT term FROM cov${t - 1}
+         |  UNION
+         |  SELECT term FROM terms JOIN sel$t USING (doc_id))""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to k).map { t =>
+      s"""SELECT rnk, doc_id, gain,
+         |  (SELECT count(*) FROM cov$t)::BIGINT AS covered_total
+         |FROM sel$t""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""$head,
+       |$rounds
+       |$out
+       |ORDER BY rnk""".stripMargin
+  }
 }

@@ -349,4 +349,81 @@ object Layout {
        |  min(file_bytes)::BIGINT AS smallest_file,
        |  sum(n_rows)::BIGINT AS bin_rows
        |FROM planned GROUP BY 1 ORDER BY bin_id""".stripMargin
+
+  /** The shared rendezvous score literal: a Knuth-style multiplicative
+    * mix of (key, node) reduced mod a prime — pure positive-Long
+    * arithmetic, so Spark `%` and DuckDB `%` agree exactly. Products
+    * stay far under Long overflow for any TPC-H part key.
+    */
+  private val RendezvousScore =
+    "(pk * 2654435761 + node * 40503 + 12289) % 104729"
+
+  /** RENDEZVOUS (highest-random-weight) HASHING rebalance audit: assign
+    * every part key to the node maximizing a deterministic (key, node)
+    * score, for an `n`-node ring and again for `n+1` nodes, and report
+    * the movement — the shard-rebalancing question every stateful
+    * service asks before scaling out. Rendezvous hashing's guarantee is
+    * that ONLY keys whose argmax becomes the new node move (expected
+    * 1/(n+1) of them); any key observed moving between two OLD nodes
+    * would be a correctness bug, and the report proves there are none
+    * (`moved_between_old` per node, spec-pinned zero).
+    *
+    * Shape at 100 TB: ownership is a pure map-side function of the key —
+    * the key frame crosses a broadcast ≤(n+1)-row node grid, the argmax
+    * is a per-key packed-Long max aggregate (map-side combinable), and the
+    * only exchange is the final per-node count. Rebalancing state for a
+    * trillion keys is one scan, no shuffle of the data itself.
+    */
+  def rendezvousRebalance(part: DataFrame, n: Int = 8): DataFrame = {
+    require(n >= 1)
+    val spark = part.sparkSession
+    import spark.implicits._
+    val keys = part.select(col("p_partkey").as("pk"))
+    val grid = (0L until (n + 1).toLong).map(Tuple1(_)).toDF("node")
+    val scored = keys.crossJoin(broadcast(grid))
+      .withColumn("score", expr(RendezvousScore))
+    // argmax with a deterministic tie-break, packed into ONE Long so a
+    // plain max() carries it on both engines: score*16 + (15 - node)
+    // prefers the higher score, then the LOWER node id (node < 16)
+    def owner(ring: DataFrame, name: String): DataFrame = ring
+      .groupBy(col("pk"))
+      .agg(max(col("score") * 16 + (lit(15L) - col("node"))).as("v"))
+      .select(col("pk"), (lit(15L) - col("v") % 16).as(name))
+    val before = owner(scored.filter(col("node") < n), "owner_before")
+    val after = owner(scored, "owner_after")
+    before.join(after, "pk")
+      .groupBy(col("owner_after").as("node"))
+      .agg(
+        sum(when(col("owner_before") === col("owner_after"), 1L)
+          .otherwise(0L)).as("kept"),
+        sum(when(col("owner_before") =!= col("owner_after"), 1L)
+          .otherwise(0L)).as("gained"),
+        sum(when(col("owner_before") =!= col("owner_after") &&
+          col("owner_after") =!= n, 1L).otherwise(0L))
+          .as("moved_between_old"))
+      .orderBy(col("node"))
+  }
+
+  /** DuckDB oracle for [[rendezvousRebalance]] — identical score
+    * literal, argmin-struct tie-breaks, and movement accounting.
+    */
+  def rendezvousRebalanceOracleSql(n: Int = 8): String =
+    s"""WITH keys AS (SELECT p_partkey AS pk FROM part),
+       |grid AS (SELECT unnest(range(0, ${n + 1}))::BIGINT AS node),
+       |scored AS (
+       |  SELECT pk, node, $RendezvousScore AS score
+       |  FROM keys CROSS JOIN grid),
+       |bef AS (
+       |  SELECT pk, 15 - max(score * 16 + (15 - node)) % 16 AS owner_before
+       |  FROM scored WHERE node < $n GROUP BY pk),
+       |aft AS (
+       |  SELECT pk, 15 - max(score * 16 + (15 - node)) % 16 AS owner_after
+       |  FROM scored GROUP BY pk)
+       |SELECT owner_after AS node,
+       |  sum(CASE WHEN owner_before = owner_after THEN 1 ELSE 0 END)::BIGINT AS kept,
+       |  sum(CASE WHEN owner_before <> owner_after THEN 1 ELSE 0 END)::BIGINT AS gained,
+       |  sum(CASE WHEN owner_before <> owner_after AND owner_after <> $n
+       |      THEN 1 ELSE 0 END)::BIGINT AS moved_between_old
+       |FROM bef JOIN aft USING (pk)
+       |GROUP BY owner_after ORDER BY node""".stripMargin
 }

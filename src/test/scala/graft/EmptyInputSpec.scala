@@ -322,5 +322,9 @@ class EmptyInputSpec extends SparkTestBase {
     // the bin spine survives an empty stream: 50 all-zero rows
     assert(graft.ops.Analytics.emdDrift(noEventsFull).count() == 50)
     assert(graft.ops.Analytics.boostedStumps(noEventsFull).count() == 0)
+    val noDocs5 = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(graft.ops.Corpus.setCoverSelect(noDocs5).count() == 0)
+    val noParts2 = Seq.empty[Tuple1[Long]].toDF("p_partkey")
+    assert(graft.ops.Layout.rendezvousRebalance(noParts2).count() == 0)
   }
 }

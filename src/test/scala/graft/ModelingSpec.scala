@@ -187,6 +187,38 @@ class ModelingSpec extends SparkTestBase {
     assert(out(1)._1 == 2L && out(1)._3 == 22L) // flipped mass doubled
   }
 
+  test("setCoverSelect picks greedily by marginal gain, not raw size") {
+    // doc 1 covers trigrams {abc..e}, doc 2 overlaps doc 1 heavily, doc
+    // 3 is small but disjoint: greedy takes 1 (gain 3), then 3 (gain 1
+    // beats 2's marginal 1... doc 2 adds 'c d e'? construct precisely:
+    // d1: "a b c d e" → trigrams {abc, bcd, cde} (gain 3)
+    // d2: "b c d e f" → {bcd, cde, def}: marginal 1 after d1
+    // d3: "x y z w"   → {xyz, yzw}: marginal 2 → picked SECOND
+    val docs = Seq((1L, "a b c d e"), (2L, "b c d e f"), (3L, "x y z w"))
+      .toDF("doc_id", "text")
+    val out = graft.ops.Corpus.setCoverSelect(docs, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, 1L, 3L, 3L), (2L, 3L, 2L, 5L), (3L, 2L, 1L, 6L)))
+  }
+
+  test("rendezvous rebalance moves keys ONLY to the new node") {
+    val part = (1L to 500L).map(Tuple1(_)).toDF("p_partkey")
+    val out = graft.ops.Layout.rendezvousRebalance(part, n = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.length == 9)
+    // the rendezvous invariant: no key moves between two OLD nodes
+    assert(out.forall(_._4 == 0L))
+    // everything the new node holds is inflow; old nodes only kept keys
+    val newNode = out.find(_._1 == 8L).get
+    assert(newNode._2 == 0L && newNode._3 > 0L)
+    assert(out.filter(_._1 != 8L).forall(_._3 == 0L))
+    // mass conservation
+    assert(out.map(r => r._2 + r._3).sum == 500L)
+    // expected movement ≈ 1/9 of keys; allow a generous band
+    assert(newNode._3 > 20L && newNode._3 < 120L)
+  }
+
   test("hubnessHistogram counts anti-hubs and conserves mass") {
     val e = Similarity.embeddings(spark, "/root/testdata/sf0.001")
     val out = Similarity.hubnessHistogram(e, k = 10).collect()
