@@ -118,7 +118,27 @@ object DumpPlans {
       "q_fuzzy_join" -> "PassJoin fuzzy join: DISTINCT-label canonicalization, pigeonhole chunk equi-join, banded threshold levenshtein verify BEFORE any dedup (no corpus-scale exchange), id re-expansion last",
       "q_bh_fdr" -> "BH step-up FDR: one (cohort × type) collapse; z, p-quantization, ranks and the step-up argmax all run on the m-row hypothesis dimension",
       "q_change_points" -> "binary-segmentation change points: one hour-dimension collapse; each recursion level is window arithmetic + a 1-row argmax; splits broadcast",
-      "q_sliding_distinct" -> "sliding distinct: first-in-window rewrite — one user-keyed lag, ≤W bounded explode under map-side combine, dense hour-dimension join — no per-readout re-scan")
+      "q_sliding_distinct" -> "sliding distinct: first-in-window rewrite — one user-keyed lag, ≤W bounded explode under map-side combine, dense hour-dimension join — no per-readout re-scan",
+      "q_interval_coalesce" -> "interval coalescing: ONE user_id shuffle, streaming prefix-max + block-id windows (O(1) state per row), two-level aggregate — no self-join, no explode",
+      "q_compaction_plan" -> "compaction planner: size-sorted cumulative binning over the METADATA-sized file inventory; the data files themselves are never read",
+      "q_dbscan" -> "grid DBSCAN: ε-grid cell keys row-local, 3×3 neighborhood equi-join for candidates (never all-pairs), exact distance residual, min-label components on core edges only",
+      "q_nb_langid" -> "NB language ID: (lang, term) likelihood aggregate → model-sized broadcast, row-local integer micro-nat scoring, confusion collapse",
+      "q_kneser_ney" -> "Kneser-Ney: bigram/continuation tables are vocab-sized aggregates; scoring joins the model by term key — corpus scanned once",
+      "q_ols_by_group" -> "grouped OLS: broadcast supplier→nation chain on the fact scan, ONE 5-sum partial+final aggregate, Cramer solve on the 25-row result",
+      "q_corr_matrix" -> "correlation matrix: k(k+1)/2 cross-sums in ONE aggregate (14 numbers of state), pair rows unpivoted from a single row — one scan at k=4 and still one at k=100",
+      "q_mutual_info" -> "MI ranking: one user collapse shared by all features; marginals are windows over ≤20-row joint histograms; micro-nat terms sum order-free",
+      "q_isotonic" -> "isotonic fit: corpus → 50 bins in one aggregate; the minimax (PAVA) refinement is a B³ join on the bin DIMENSION — no sequential pool loop anywhere",
+      "q_entity_resolution" -> "entity resolution: star edges per key (never in-key cliques), min-label propagation WITH pointer jumping — O(log diameter) rounds, each one edge shuffle + one label self-join",
+      "q_hubness" -> "hubness: k-occurrence histogram over the exact kNN graph; anti-hubs restored by a left join; at scale the candidate graph comes from IVF, the histogram stays ≤k·n rows",
+      "q_lof" -> "LOF: e9-quantized distances, k-bounded kNN frame, two id-keyed re-joins for neighbor sums — integer reach arithmetic, one double excursion at the end",
+      "q_kcore" -> "k-core: each peel round is two semi-joins of the edge frame against the node-sized survivor set + one degree aggregate; exact fixed point, localCheckpoint-flat lineage",
+      "q_containment" -> "containment pairs: one shingle explode (persisted, read by sizes and both self-join sides), maxDf hot-key guard, pair aggregate + cheap reverse projection",
+      "q_sprt" -> "SPRT: user collapse, per-arm integer LLR cumsum windows (arms partition — no global window), 2-row crossing report",
+      "q_weighted_quantiles" -> "weighted quantiles: collapse to the VALUE DOMAIN first (prices quantize to cents), window cumsum on the collapsed frame, integer threshold picks",
+      "q_emd_drift" -> "EMD drift: (source, bin) collapse + full 50-bin spine join; CDFs, gaps and the running sum all live on the bin dimension",
+      "q_boosted_stumps" -> "boosted stumps: per round ONE weighted histogram aggregate over the user frame + model-sized argmin; the round-1 stump re-applies as a 1-row broadcast",
+      "q_set_cover" -> "set cover: k anti-join rounds against the vocab-sized covered frame, 1-row argmax per round, term frame persisted once",
+      "q_rendezvous" -> "rendezvous rebalance: broadcast node grid over the key scan, packed-Long argmax aggregate — ownership is map-side, only the per-node count shuffles")
 
     val sb = new StringBuilder
     sb.append("# PLANS — explain(\"formatted\") for headline queries\n\n")

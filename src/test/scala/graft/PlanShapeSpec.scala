@@ -852,4 +852,45 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"fuzzy join must stay equi-join only:\n$p")
   }
+
+  test("corrMatrix: one aggregation pass — no join, a single hash exchange") {
+    // the k(k+1)/2 cross-sums ride ONE partial+final aggregate; pair
+    // rows unpivot from the 1-row result. A plan with a join or a
+    // second fact exchange means someone reintroduced per-pair corr()
+    val p = plan(graft.ops.Modeling.corrMatrix(
+      Relational.table(spark, sf, "lineitem")))
+    assert(!p.contains("Join"), s"corr matrix must not join:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 0 &&
+      "Exchange SinglePartition".r.findAllIn(p).size <= 1,
+      s"corr matrix must be one global aggregate:\n$p")
+  }
+
+  test("olsByGroup: dimension chain broadcasts; fact shuffles only for the 5-sum aggregate") {
+    val p = plan(graft.ops.Modeling.olsByGroup(
+      Relational.table(spark, sf, "lineitem"),
+      Relational.table(spark, sf, "supplier"),
+      Relational.table(spark, sf, "nation")))
+    assert(p.contains("BroadcastHashJoin"), s"supplier→nation must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"fact must not shuffle for the join:\n$p")
+  }
+
+  test("weightedQuantiles: value-domain collapse BEFORE the window (two hash exchanges)") {
+    // exchange 1: the collapse onto (group, value); exchange 2: the
+    // window's (group) clustering, which the final aggregate then
+    // reuses. A third hash exchange means the collapse was lost and the
+    // window is sorting raw fact rows
+    val p = plan(graft.ops.Analytics.weightedQuantiles(
+      Relational.table(spark, sf, "lineitem")))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+      s"weighted quantiles must window the collapsed frame only:\n$p")
+    assert(p.contains("Window"), p)
+  }
+
+  test("rendezvousRebalance: ownership is map-side — broadcast grid, no pre-aggregate shuffle of keys") {
+    val p = plan(graft.ops.Layout.rendezvousRebalance(
+      Relational.table(spark, sf, "part")))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"node grid must broadcast across the key scan:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
 }
