@@ -789,6 +789,26 @@ object SparkEntry {
     // rendezvous-hash scale-out audit: only new-node keys may move
     "q_rendezvous" -> ((s, d) =>
       Layout.rendezvousRebalance(Relational.table(s, d, "part"))),
+    // difference-in-differences on the data-anchored midpoint split
+    "q_did" -> ((s, d) => Analytics.didEstimate(Analytics.events(s, d))),
+    // delta-method SE for the revenue-per-event ratio metric, per arm
+    "q_ratio_delta" -> ((s, d) =>
+      Analytics.ratioMetricDelta(Analytics.events(s, d))),
+    // variance-to-mean overdispersion QA on hourly arrival counts
+    "q_dispersion" -> ((s, d) =>
+      Analytics.dispersionIndex(Analytics.events(s, d))),
+    // bucketed co-located fact join: layout paid once, no join exchange
+    "q_bucketed_join" -> ((s, d) => Layout.bucketedJoin(s,
+      Relational.table(s, d, "lineitem"), Relational.table(s, d, "orders"))),
+    // A/A false-positive calibration: 16 hash-seeded null splits
+    "q_aa_calibration" -> ((s, d) =>
+      Analytics.aaCalibration(Analytics.events(s, d))),
+    // bivariate Mahalanobis outliers: closed-form 2x2 inverse, top-20
+    "q_mahalanobis" -> ((s, d) =>
+      Analytics.mahalanobisOutliers(Analytics.events(s, d))),
+    // Heaps' law: all checkpoints from one first-seen collapse + slope
+    "q_heaps_law" -> ((s, d) =>
+      TextAnalysis.heapsLaw(TextAnalysis.documents(s, d))),
     // A/B power analysis: users-per-arm per candidate MDE from the
     // observed revenue-per-user mean/variance, exact integer ceiling
     "q_ab_power" -> ((s, d) => Analytics.abPower(Analytics.events(s, d))),
@@ -4506,6 +4526,13 @@ object SparkEntry {
     "q_boosted_stumps" -> Analytics.boostedStumpsOracleSql(),
     "q_set_cover" -> Corpus.setCoverSelectOracleSql(),
     "q_rendezvous" -> Layout.rendezvousRebalanceOracleSql(),
+    "q_did" -> Analytics.didEstimateOracleSql,
+    "q_ratio_delta" -> Analytics.ratioMetricDeltaOracleSql,
+    "q_dispersion" -> Analytics.dispersionIndexOracleSql,
+    "q_bucketed_join" -> Layout.bucketedJoinOracleSql,
+    "q_aa_calibration" -> Analytics.aaCalibrationOracleSql(),
+    "q_mahalanobis" -> Analytics.mahalanobisOutliersOracleSql(),
+    "q_heaps_law" -> TextAnalysis.heapsLawOracleSql(),
     "q_ab_power" -> Analytics.abPowerOracleSql(),
     "q_theilsen" -> Analytics.theilSenOracleSql,
     "q_native_session_window" -> Analytics.nativeSessionWindowOracleSql(),

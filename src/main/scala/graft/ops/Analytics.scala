@@ -4011,6 +4011,349 @@ object Analytics {
       .orderBy(col("round"))
   }
 
+  // -------------------------------------------- difference-in-differences
+
+  /** DIFFERENCE-IN-DIFFERENCES over the event panel: treatment = user-id
+    * parity, periods split at the panel's temporal midpoint, outcome =
+    * event value in cents. DiD = (T̄₁−T̄₀) − (C̄₁−C̄₀) — the workhorse
+    * quasi-experimental estimator when randomization is impossible (the
+    * parallel-trends design). Output: the four cell means plus the
+    * effect, one row.
+    *
+    * The midpoint is DERIVED (min+max)/2 in integer micros from a 1-row
+    * aggregate broadcast into the cell assignment — no wall-clock
+    * literal, so the query is deterministic on any snapshot (the
+    * [[dashboardMetrics]] data-anchored-time discipline).
+    *
+    * Exactness: cell sums are exact BIGINT; each mean makes one double
+    * excursion (identical literal), e6-rounded; the DiD combines the
+    * four quantized means in integer arithmetic — order-free.
+    *
+    * Shape at 100 TB: one 1-row min/max aggregate, one (treat, period)
+    * aggregate — two scans total (the min/max pass is unavoidable for a
+    * data-anchored split), everything downstream on a 4-row frame.
+    */
+  def didEstimate(events: DataFrame): DataFrame = {
+    val bounds = events.agg(
+      min(unix_micros(col("ts"))).as("mn_us"),
+      max(unix_micros(col("ts"))).as("mx_us"))
+    val cells = events
+      .filter(col("user_id").isNotNull)
+      .crossJoin(broadcast(bounds))
+      .select(
+        (col("user_id") % 2).as("treat"),
+        when(unix_micros(col("ts")) * 2 >= col("mn_us") + col("mx_us"), 1L)
+          .otherwise(0L).as("period"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .groupBy(col("treat"), col("period"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"))
+      .withColumn("mean_e6", expr(
+        "CAST(round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) * 1000000) AS BIGINT)"))
+    val pivot = cells.groupBy()
+      .agg(
+        sum(when(col("treat") === 1 && col("period") === 0, col("mean_e6"))).as("t0"),
+        sum(when(col("treat") === 1 && col("period") === 1, col("mean_e6"))).as("t1"),
+        sum(when(col("treat") === 0 && col("period") === 0, col("mean_e6"))).as("c0"),
+        sum(when(col("treat") === 0 && col("period") === 1, col("mean_e6"))).as("c1"),
+        coalesce(sum(col("n")), lit(0L)).as("n_events"))
+    pivot.select(col("n_events"),
+        col("t0").as("treat_pre_e6"), col("t1").as("treat_post_e6"),
+        col("c0").as("control_pre_e6"), col("c1").as("control_post_e6"),
+        ((col("t1") - col("t0")) - (col("c1") - col("c0"))).as("did_e6"))
+      .orderBy(col("n_events"))
+  }
+
+  /** DuckDB oracle for [[didEstimate]] — identical midpoint rule, cell
+    * means, and quantized-mean arithmetic.
+    */
+  def didEstimateOracleSql: String =
+    """WITH bounds AS (
+      |  SELECT min(epoch_us(ts)) AS mn_us, max(epoch_us(ts)) AS mx_us
+      |  FROM events),
+      |cells AS (
+      |  SELECT user_id % 2 AS treat,
+      |    CASE WHEN epoch_us(ts) * 2 >= mn_us + mx_us THEN 1 ELSE 0 END AS period,
+      |    count(*) AS n, sum(CAST(round(value * 100) AS BIGINT)) AS s
+      |  FROM events CROSS JOIN bounds WHERE user_id IS NOT NULL
+      |  GROUP BY 1, 2),
+      |m AS (
+      |  SELECT treat, period, n,
+      |    CAST(round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) * 1000000) AS BIGINT) AS mean_e6
+      |  FROM cells),
+      |p AS (
+      |  SELECT
+      |    sum(CASE WHEN treat = 1 AND period = 0 THEN mean_e6 END) AS t0,
+      |    sum(CASE WHEN treat = 1 AND period = 1 THEN mean_e6 END) AS t1,
+      |    sum(CASE WHEN treat = 0 AND period = 0 THEN mean_e6 END) AS c0,
+      |    sum(CASE WHEN treat = 0 AND period = 1 THEN mean_e6 END) AS c1,
+      |    coalesce(sum(n), 0) AS n_events
+      |  FROM m)
+      |SELECT n_events::BIGINT AS n_events,
+      |  t0::BIGINT AS treat_pre_e6, t1::BIGINT AS treat_post_e6,
+      |  c0::BIGINT AS control_pre_e6, c1::BIGINT AS control_post_e6,
+      |  ((t1 - t0) - (c1 - c0))::BIGINT AS did_e6
+      |FROM p ORDER BY n_events""".stripMargin
+
+  // ------------------------------------------------- ratio-metric delta
+
+  private val RatioSeExpr =
+    "CAST(round(sqrt(GREATEST(0.0, " +
+      "((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) " +
+      "- 2.0 * (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE)) * (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) " +
+      "+ (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE)) * (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE)) * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))) " +
+      "/ (CAST(n AS DOUBLE) - 1.0)) / CAST(n AS DOUBLE)) " +
+      "/ (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000000) AS BIGINT)"
+
+  /** RATIO-METRIC VARIANCE VIA THE DELTA METHOD, per experiment arm: the
+    * metric is revenue-per-event R = Σx/Σy over USER-level (x, y) pairs
+    * — the ubiquitous "ratio of sums" whose naive per-event variance is
+    * wrong because users, not events, are the randomization unit
+    * (Deng et al., KDD 2018 lesson). SE(R) ≈ sqrt((S_xx − 2R·S_xy +
+    * R²·S_yy)/(n−1)/n) / ȳ — entirely from one pass of exact per-arm
+    * sufficient statistics.
+    *
+    * Shape at 100 TB: one user collapse, one 6-sum per-arm aggregate
+    * (map-side combined), arithmetic on a 2-row frame. Exactness: sums
+    * are BIGINT/DECIMAL-exact; ratio and SE each make one double
+    * excursion through character-identical literals (e6/e9).
+    */
+  def ratioMetricDelta(events: DataFrame): DataFrame = {
+    val users = events
+      .filter(col("user_id").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(
+        sum(expr("CAST(round(value * 100) AS BIGINT)")).as("x"),
+        count(lit(1)).as("y"))
+      .select((col("user_id") % 2).as("arm"), col("x"), col("y"))
+    users.groupBy(col("arm"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(expr("CAST(x * x AS DECIMAL(38,0))")).as("sxx"),
+        sum(expr("CAST(y * y AS DECIMAL(38,0))")).as("syy"),
+        sum(expr("CAST(x * y AS DECIMAL(38,0))")).as("sxy"))
+      .selectExpr("arm", "n",
+        "CAST(round(CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE) * 1000000) AS BIGINT) AS ratio_e6",
+        s"$RatioSeExpr AS se_e9")
+      .orderBy(col("arm"))
+  }
+
+  /** DuckDB oracle for [[ratioMetricDelta]] — identical sums and the
+    * character-identical delta-method literal.
+    */
+  def ratioMetricDeltaOracleSql: String =
+    s"""WITH users AS (
+       |  SELECT user_id, user_id % 2 AS arm,
+       |    sum(CAST(round(value * 100) AS BIGINT)) AS x,
+       |    count(*) AS y
+       |  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
+       |g AS (
+       |  SELECT arm, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+       |    sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+       |  FROM users GROUP BY arm)
+       |SELECT arm, n::BIGINT AS n,
+       |  CAST(round(CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE) * 1000000) AS BIGINT) AS ratio_e6,
+       |  $RatioSeExpr AS se_e9
+       |FROM g ORDER BY arm""".stripMargin
+
+  // ----------------------------------------------------- dispersion index
+
+  /** INDEX-OF-DISPERSION QA for count data: per event type, the
+    * variance-to-mean ratio of hourly arrival counts — D ≈ 1 for a
+    * Poisson process; D ≫ 1 (overdispersion: bursts, bots, retry storms)
+    * is the signal that Poisson-based alerting thresholds
+    * ([[hourlyAnomalies]]) will false-negative. Statistics run over the
+    * OBSERVED-hour frame (documented: silent hours are a separate
+    * gap-detection concern — [[gapFill]]).
+    *
+    * Shape at 100 TB: one (type, hour) collapse, one 3-sum aggregate per
+    * type, arithmetic on a 5-row frame.
+    */
+  def dispersionIndex(events: DataFrame): DataFrame = {
+    val hourly = events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("c"))
+    hourly.groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_hours"),
+        sum(col("c")).as("s"),
+        sum(expr("CAST(c * c AS DECIMAL(38,0))")).as("ss"))
+      .filter(col("n_hours") > 1)
+      .selectExpr("event_type", "n_hours",
+        "CAST(round(CAST(s AS DOUBLE) / CAST(n_hours AS DOUBLE) * 1000000) AS BIGINT) AS mean_e6",
+        "CAST(round(((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n_hours AS DOUBLE)) / (CAST(n_hours AS DOUBLE) - 1.0)) / (CAST(s AS DOUBLE) / CAST(n_hours AS DOUBLE)) * 1000000) AS BIGINT) AS dispersion_e6")
+      .withColumn("overdispersed", col("dispersion_e6") > 1500000L)
+      .orderBy(col("event_type"))
+  }
+
+  /** DuckDB oracle for [[dispersionIndex]] — identical collapse and
+    * variance-to-mean literal.
+    */
+  def dispersionIndexOracleSql: String =
+    """WITH hourly AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |g AS (
+      |  SELECT event_type, count(*) AS n_hours, sum(c) AS s, sum(c * c) AS ss
+      |  FROM hourly GROUP BY 1)
+      |SELECT event_type, n_hours::BIGINT AS n_hours,
+      |  CAST(round(CAST(s AS DOUBLE) / CAST(n_hours AS DOUBLE) * 1000000) AS BIGINT) AS mean_e6,
+      |  CAST(round(((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n_hours AS DOUBLE)) / (CAST(n_hours AS DOUBLE) - 1.0)) / (CAST(s AS DOUBLE) / CAST(n_hours AS DOUBLE)) * 1000000) AS BIGINT) AS dispersion_e6,
+      |  (CAST(round(((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n_hours AS DOUBLE)) / (CAST(n_hours AS DOUBLE) - 1.0)) / (CAST(s AS DOUBLE) / CAST(n_hours AS DOUBLE)) * 1000000) AS BIGINT) > 1500000) AS overdispersed
+      |FROM g WHERE n_hours > 1 ORDER BY event_type""".stripMargin
+
+  // ----------------------------------------------------- A/A calibration
+
+  /** The shared Welch-z literal over per-(split, arm) sufficient sums
+    * s0/n0 (control) and s1/n1 (treatment), with ss0/ss1 the exact
+    * second moments: z = (m1 − m0)/sqrt(v1/n1 + v0/n0).
+    */
+  private val AaZExpr = {
+    def m(s: String, n: String) = s"(CAST($s AS DOUBLE) / CAST($n AS DOUBLE))"
+    def v(ss: String, s: String, n: String) =
+      s"((CAST($ss AS DOUBLE) - CAST($s AS DOUBLE) * CAST($s AS DOUBLE) / CAST($n AS DOUBLE)) / (CAST($n AS DOUBLE) - 1.0))"
+    s"CAST(round((${m("s1", "n1")} - ${m("s0", "n0")}) / " +
+      s"sqrt(${v("ss1", "s1", "n1")} / CAST(n1 AS DOUBLE) + " +
+      s"${v("ss0", "s0", "n0")} / CAST(n0 AS DOUBLE)) * 1000000) AS BIGINT)"
+  }
+
+  /** A/A CALIBRATION SWEEP: run the Welch test on `k` DETERMINISTIC
+    * null splits of the user population (hash-seeded re-randomizations
+    * where no treatment exists) and report each split's z — the
+    * false-positive calibration every experimentation platform runs
+    * before trusting its A/B machinery. If materially more than α of
+    * the A/A splits reject, the unit of randomization, the variance
+    * estimator, or the metric is broken (the [[ratioMetricDelta]]
+    * failure mode); the spec pins the empirical rejection count.
+    *
+    * Shape at 100 TB: ONE user collapse, crossed with a broadcast
+    * k-row seed grid (k× amplification of the USER dimension, not the
+    * corpus), one (split, arm) 3-sum aggregate, z arithmetic on a 2k-row
+    * frame. Exact sums; one double excursion per split through the
+    * identical Welch literal.
+    */
+  def aaCalibration(events: DataFrame, k: Int = 16): DataFrame = {
+    require(k >= 1)
+    val spark = events.sparkSession
+    import spark.implicits._
+    val users = events
+      .filter(col("user_id").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+    val seeds = (0L until k.toLong).map(Tuple1(_)).toDF("split_id")
+    users.crossJoin(broadcast(seeds))
+      .withColumn("arm", expr(
+        "((user_id * 2654435761 + split_id * 40503 + 12289) % 104729) % 2"))
+      .groupBy(col("split_id"))
+      .agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("arm") === 0, col("cents")).otherwise(0L)).as("s0"),
+        sum(when(col("arm") === 1, col("cents")).otherwise(0L)).as("s1"),
+        sum(when(col("arm") === 0,
+          expr("CAST(cents * cents AS DECIMAL(38,0))"))).as("ss0"),
+        sum(when(col("arm") === 1,
+          expr("CAST(cents * cents AS DECIMAL(38,0))"))).as("ss1"))
+      .selectExpr("split_id", "n0", "n1", s"$AaZExpr AS z_e6")
+      .withColumn("rejected", abs(col("z_e6")) > 1959964L)
+      .orderBy(col("split_id"))
+  }
+
+  /** DuckDB oracle for [[aaCalibration]] — identical hash splits, sums,
+    * and Welch literal.
+    */
+  def aaCalibrationOracleSql(k: Int = 16): String =
+    s"""WITH users AS (
+       |  SELECT user_id, sum(CAST(round(value * 100) AS BIGINT)) AS cents
+       |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+       |seeds AS (SELECT unnest(range(0, $k))::BIGINT AS split_id),
+       |armed AS (
+       |  SELECT split_id, cents,
+       |    ((user_id * 2654435761 + split_id * 40503 + 12289) % 104729) % 2 AS arm
+       |  FROM users CROSS JOIN seeds),
+       |g AS (
+       |  SELECT split_id,
+       |    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n0,
+       |    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n1,
+       |    sum(CASE WHEN arm = 0 THEN cents ELSE 0 END) AS s0,
+       |    sum(CASE WHEN arm = 1 THEN cents ELSE 0 END) AS s1,
+       |    sum(CASE WHEN arm = 0 THEN cents * cents END) AS ss0,
+       |    sum(CASE WHEN arm = 1 THEN cents * cents END) AS ss1
+       |  FROM armed GROUP BY 1)
+       |SELECT split_id, n0::BIGINT AS n0, n1::BIGINT AS n1,
+       |  $AaZExpr AS z_e6,
+       |  (abs($AaZExpr) > 1959964) AS rejected
+       |FROM g ORDER BY split_id""".stripMargin
+
+  // --------------------------------------------------- Mahalanobis audit
+
+  /** MAHALANOBIS OUTLIERS in the (events-per-user, cents-per-user)
+    * plane: distance accounting for the covariance between activity and
+    * spend — the bivariate outlier [[madOutliers]] (one dimension at a
+    * time) structurally misses: a user whose volume and spend are both
+    * unusual-but-correlated is normal here, while a low-volume/high-
+    * spend user lights up. d²(u) = (u−μ)ᵀ Σ⁻¹ (u−μ) with the 2×2 inverse
+    * in closed form from ONE pass of exact sufficient sums.
+    *
+    * Exactness: the five covariance terms derive from exact integer
+    * sums; d² makes one double excursion per user through the identical
+    * literal (the centered form multiplies by n² to stay in exact-sum
+    * space: d²·det·n = n·(vy·dx² − 2·vxy·dx·dy + vx·dy²) with
+    * dx = n·x − sx), e6-rounded. Top 20 by (d² desc, user_id).
+    *
+    * Shape at 100 TB: one user collapse, one 1-row moment aggregate
+    * broadcast back, row-local scoring, TakeOrderedAndProject top-k.
+    */
+  def mahalanobisOutliers(events: DataFrame, topN: Int = 20): DataFrame = {
+    val users = events
+      .filter(col("user_id").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("x"),
+        sum(expr("CAST(round(value * 100) AS BIGINT)")).as("y"))
+    val stats = users.agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(expr("CAST(x * x AS DECIMAL(38,0))")).as("sxx"),
+      sum(expr("CAST(y * y AS DECIMAL(38,0))")).as("syy"),
+      sum(expr("CAST(x * y AS DECIMAL(38,0))")).as("sxy"))
+    val d2 =
+      "CAST(round((" +
+        "(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) * (CAST(n AS DOUBLE) * CAST(x AS DOUBLE) - CAST(sx AS DOUBLE)) * (CAST(n AS DOUBLE) * CAST(x AS DOUBLE) - CAST(sx AS DOUBLE)) " +
+        "- 2.0 * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) * (CAST(n AS DOUBLE) * CAST(x AS DOUBLE) - CAST(sx AS DOUBLE)) * (CAST(n AS DOUBLE) * CAST(y AS DOUBLE) - CAST(sy AS DOUBLE)) " +
+        "+ (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * (CAST(n AS DOUBLE) * CAST(y AS DOUBLE) - CAST(sy AS DOUBLE)) * (CAST(n AS DOUBLE) * CAST(y AS DOUBLE) - CAST(sy AS DOUBLE))" +
+        ") / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))) " +
+        "* (CAST(n AS DOUBLE) - 1.0) / CAST(n AS DOUBLE) * 1000000) AS BIGINT)"
+    users.crossJoin(broadcast(stats))
+      .selectExpr("user_id", "x AS n_events", "y AS cents", s"$d2 AS d2_e6")
+      .orderBy(desc("d2_e6"), col("user_id"))
+      .limit(topN)
+  }
+
+  /** DuckDB oracle for [[mahalanobisOutliers]] — identical sums and the
+    * character-identical closed-form d² literal.
+    */
+  def mahalanobisOutliersOracleSql(topN: Int = 20): String = {
+    val d2 =
+      "CAST(round((" +
+        "(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) * (CAST(n AS DOUBLE) * CAST(x AS DOUBLE) - CAST(sx AS DOUBLE)) * (CAST(n AS DOUBLE) * CAST(x AS DOUBLE) - CAST(sx AS DOUBLE)) " +
+        "- 2.0 * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) * (CAST(n AS DOUBLE) * CAST(x AS DOUBLE) - CAST(sx AS DOUBLE)) * (CAST(n AS DOUBLE) * CAST(y AS DOUBLE) - CAST(sy AS DOUBLE)) " +
+        "+ (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * (CAST(n AS DOUBLE) * CAST(y AS DOUBLE) - CAST(sy AS DOUBLE)) * (CAST(n AS DOUBLE) * CAST(y AS DOUBLE) - CAST(sy AS DOUBLE))" +
+        ") / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))) " +
+        "* (CAST(n AS DOUBLE) - 1.0) / CAST(n AS DOUBLE) * 1000000) AS BIGINT)"
+    s"""WITH users AS (
+       |  SELECT user_id, count(*) AS x,
+       |    sum(CAST(round(value * 100) AS BIGINT)) AS y
+       |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+       |stats AS (
+       |  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+       |    sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+       |  FROM users)
+       |SELECT user_id, x::BIGINT AS n_events, y::BIGINT AS cents, $d2 AS d2_e6
+       |FROM users CROSS JOIN stats
+       |ORDER BY d2_e6 DESC, user_id LIMIT $topN""".stripMargin
+  }
+
   /** The weighted-stump CTE block for the [[boostedStumps]] oracle:
     * given a users CTE (with label + w columns) named `src`, emit CTEs
     * `feat$t/rng$t/cells$t/scored$t/best$t` replaying the identical

@@ -404,6 +404,85 @@ object Layout {
       .orderBy(col("node"))
   }
 
+  /** BUCKETED CO-LOCATED JOIN — the D6-for-joins layout play: write both
+    * fact tables bucketed (and sorted) on the join key, then join the
+    * bucketed reads. Spark's bucketed scan REPORTS hashpartitioning on
+    * the bucket key, so the sort-merge join needs NO exchange on either
+    * side — at 100 TB this converts the cluster's biggest recurring
+    * shuffle (fact⋈fact on the order key, the `shippingPriority` shape)
+    * into a local merge per bucket, paid ONCE at write time and
+    * amortized over every subsequent join. The merge hint pins the SMJ
+    * path so the demonstration (and its PlanShapeSpec exchange-count
+    * pin) doesn't silently degrade to a broadcast at toy scale.
+    *
+    * The query's RESULT is layout-independent (monthly gross revenue
+    * over the join), so the DuckDB oracle is the plain join on the raw
+    * parquet — correctness and plan shape are pinned separately.
+    *
+    * Tables land in the session warehouse (`spark-warehouse/`,
+    * overwritten per run) — the scratch twin of a production bucketed
+    * table DDL.
+    */
+  /** Drop a scratch table AND its warehouse directory: with the
+    * in-memory catalog, a prior session's managed-table location
+    * outlives the catalog entry, and a bare overwrite then throws
+    * LOCATION_ALREADY_EXISTS.
+    */
+  private def resetScratchTable(
+      spark: org.apache.spark.sql.SparkSession, name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val path = new org.apache.hadoop.fs.Path(wh, name)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) fs.delete(path, true)
+  }
+
+  def bucketedJoin(
+      spark: org.apache.spark.sql.SparkSession,
+      lineitem: DataFrame,
+      orders: DataFrame,
+      buckets: Int = 8): DataFrame = {
+    resetScratchTable(spark, "graft_bkt_lineitem")
+    resetScratchTable(spark, "graft_bkt_orders")
+    lineitem.select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("graft_bkt_lineitem")
+    orders.select(col("o_orderkey"), col("o_orderdate"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("graft_bkt_orders")
+    bucketedJoinRead(spark)
+  }
+
+  /** The read+join half of [[bucketedJoin]], reusable against the
+    * already-written bucketed tables (what production does every day
+    * after the one-time layout job).
+    */
+  def bucketedJoinRead(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    val li = spark.table("graft_bkt_lineitem").hint("merge")
+    val ord = spark.table("graft_bkt_orders").hint("merge")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(expr("unix_micros(date_trunc('month', o_orderdate))")
+        .as("month_us"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(expr("CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"))
+          .as("revenue_cents"))
+      .orderBy(col("month_us"))
+  }
+
+  /** DuckDB oracle for [[bucketedJoin]] — the layout-independent result:
+    * the same join and monthly rollup over the raw parquet.
+    */
+  def bucketedJoinOracleSql: String =
+    """SELECT epoch_us(date_trunc('month', o.o_orderdate)) AS month_us,
+      |  count(*)::BIGINT AS n_lines,
+      |  sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT))::BIGINT
+      |    AS revenue_cents
+      |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |GROUP BY 1 ORDER BY month_us""".stripMargin
+
   /** DuckDB oracle for [[rendezvousRebalance]] — identical score
     * literal, argmin-struct tie-breaks, and movement accounting.
     */

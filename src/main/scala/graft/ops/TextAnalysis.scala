@@ -1743,4 +1743,96 @@ object TextAnalysis {
       |  sum(m.lp_e6)::BIGINT AS sum_lp_e6
       |FROM bg JOIN model m ON m.w1 = bg.w1 AND m.w2 = bg.w2
       |GROUP BY 1 ORDER BY bg.doc_id""".stripMargin
+
+  /** HEAPS' LAW vocabulary-growth curve: distinct vocabulary V(m) as a
+    * function of corpus prefix size m, at 8 doc-id-value checkpoints,
+    * plus the fitted log-log slope β (V ≈ K·mᵝ; β ≈ 0.4–0.6 for natural
+    * text, ≈ 0 for template spam, ≈ 1 for random noise) — the companion
+    * diagnostic to [[zipfSlope]] that tells a corpus buyer how much NEW
+    * vocabulary another 10× of this source actually adds.
+    *
+    * The at-scale trick: V(m) for ALL checkpoints from ONE aggregate —
+    * each term collapses to its FIRST-SEEN doc id (min), and V(m) is
+    * then a count over the first-seen frame; no per-checkpoint re-scan,
+    * no global document sort (checkpoints are doc-id VALUE thresholds
+    * from a 1-row min/max aggregate, not ranks). Log points quantize to
+    * e6 integers per checkpoint BEFORE the slope's OLS sums (order-free,
+    * the micro-nat discipline); the slope is one double excursion.
+    */
+  def heapsLaw(docs: DataFrame, checkpoints: Int = 8): DataFrame = {
+    require(checkpoints >= 2)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // trigram vocabulary: the template corpus's UNIGRAM vocabulary fits
+    // in one document (growth curve flat, slope degenerate); trigrams
+    // keep growing the way real open-vocabulary text does
+    val terms = docs
+      .select(col("doc_id"),
+        explode(graft.ops.Dedup.shingles(col("text"), 3)).as("term"))
+      .groupBy(col("term")).agg(min(col("doc_id")).as("first_doc"))
+    val bounds = docs.agg(min(col("doc_id")).as("mn"),
+      max(col("doc_id")).as("mx"))
+    val grid = (1L to checkpoints.toLong).map(Tuple1(_)).toDF("ckpt")
+      .crossJoin(broadcast(bounds))
+      .select(col("ckpt"),
+        expr(s"mn + (mx - mn + 1) * ckpt div $checkpoints - 1").as("cut"))
+    val docCounts = docs.select(col("doc_id")).crossJoin(broadcast(grid))
+      .filter(col("doc_id") <= col("cut"))
+      .groupBy(col("ckpt"), col("cut")).agg(count(lit(1)).as("n_docs"))
+    val vocabCounts = terms.crossJoin(broadcast(grid))
+      .filter(col("first_doc") <= col("cut"))
+      .groupBy(col("ckpt")).agg(count(lit(1)).as("vocab"))
+    val points = docCounts.join(vocabCounts, "ckpt")
+      .select(col("ckpt"), col("n_docs"), col("vocab"),
+        expr("CAST(round(ln(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT)")
+          .as("ln_docs_e6"),
+        expr("CAST(round(ln(CAST(vocab AS DOUBLE)) * 1000000) AS BIGINT)")
+          .as("ln_vocab_e6"))
+    val slope = points.agg(
+      count(lit(1)).as("k"),
+      sum(col("ln_docs_e6")).as("sx"), sum(col("ln_vocab_e6")).as("sy"),
+      sum(expr("CAST(ln_docs_e6 * ln_docs_e6 AS DECIMAL(38,0))")).as("sxx"),
+      sum(expr("CAST(ln_docs_e6 * ln_vocab_e6 AS DECIMAL(38,0))")).as("sxy"))
+      .selectExpr(
+        "CAST(round((CAST(k AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / (CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * 1000000) AS BIGINT) AS beta_e6")
+    points.crossJoin(broadcast(slope)).orderBy(col("ckpt"))
+      .select(col("ckpt"), col("n_docs"), col("vocab"),
+        col("ln_docs_e6"), col("ln_vocab_e6"), col("beta_e6"))
+  }
+
+  /** DuckDB oracle for [[heapsLaw]] — identical first-seen collapse,
+    * value thresholds, per-point quantization, and slope literal.
+    */
+  def heapsLawOracleSql(checkpoints: Int = 8): String =
+    s"""WITH terms AS (
+       |  SELECT term, min(doc_id) AS first_doc FROM (
+       |    SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+       |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS term
+       |    FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks FROM documents)
+       |    WHERE len(toks) >= 3) GROUP BY term),
+       |bounds AS (SELECT min(doc_id) AS mn, max(doc_id) AS mx FROM documents),
+       |grid AS (
+       |  SELECT ckpt, mn + (mx - mn + 1) * ckpt // $checkpoints - 1 AS cut
+       |  FROM (SELECT unnest(range(1, ${checkpoints + 1}))::BIGINT AS ckpt)
+       |  CROSS JOIN bounds),
+       |dc AS (
+       |  SELECT g.ckpt, g.cut, count(*) AS n_docs
+       |  FROM documents d JOIN grid g ON d.doc_id <= g.cut GROUP BY 1, 2),
+       |vc AS (
+       |  SELECT g.ckpt, count(*) AS vocab
+       |  FROM terms t JOIN grid g ON t.first_doc <= g.cut GROUP BY 1),
+       |points AS (
+       |  SELECT ckpt, n_docs, vocab,
+       |    CAST(round(ln(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT) AS ln_docs_e6,
+       |    CAST(round(ln(CAST(vocab AS DOUBLE)) * 1000000) AS BIGINT) AS ln_vocab_e6
+       |  FROM dc JOIN vc USING (ckpt)),
+       |s AS (
+       |  SELECT count(*) AS k, sum(ln_docs_e6) AS sx, sum(ln_vocab_e6) AS sy,
+       |    sum(ln_docs_e6 * ln_docs_e6) AS sxx,
+       |    sum(ln_docs_e6 * ln_vocab_e6) AS sxy
+       |  FROM points)
+       |SELECT ckpt, n_docs::BIGINT AS n_docs, vocab::BIGINT AS vocab,
+       |  ln_docs_e6, ln_vocab_e6,
+       |  CAST(round((CAST(k AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / (CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * 1000000) AS BIGINT) AS beta_e6
+       |FROM points CROSS JOIN s ORDER BY ckpt""".stripMargin
 }

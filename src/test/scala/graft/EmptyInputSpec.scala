@@ -326,5 +326,14 @@ class EmptyInputSpec extends SparkTestBase {
     assert(graft.ops.Corpus.setCoverSelect(noDocs5).count() == 0)
     val noParts2 = Seq.empty[Tuple1[Long]].toDF("p_partkey")
     assert(graft.ops.Layout.rendezvousRebalance(noParts2).count() == 0)
+    // DiD on empty input: the 1-row pivot survives with null means
+    val did = graft.ops.Analytics.didEstimate(noEventsFull).collect()
+    assert(did.length == 1 && did.head.getLong(0) == 0L)
+    assert(graft.ops.Analytics.ratioMetricDelta(noEventsFull).count() == 0)
+    assert(graft.ops.Analytics.dispersionIndex(noEventsFull).count() == 0)
+    assert(graft.ops.Analytics.aaCalibration(noEventsFull).count() == 0)
+    assert(graft.ops.Analytics.mahalanobisOutliers(noEventsFull).count() == 0)
+    val noDocs6 = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(graft.ops.TextAnalysis.heapsLaw(noDocs6).count() == 0)
   }
 }

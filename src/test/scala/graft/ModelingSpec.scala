@@ -219,6 +219,116 @@ class ModelingSpec extends SparkTestBase {
     assert(newNode._3 > 20L && newNode._3 < 120L)
   }
 
+  test("didEstimate recovers a constructed treatment effect") {
+    // control: 100 cents both periods (trend 0); treatment: 100 pre,
+    // 150 post → DiD = +50 cents = 50_000_000 at e6
+    val rows = for {
+      u <- 0L until 8L
+      (hour, period) <- Seq((0, 0), (10, 1))
+    } yield {
+      val treat = u % 2 == 1
+      val v = if (treat && period == 1) 1.5 else 1.0
+      (u * 100 + hour, u, "view", v,
+        java.sql.Timestamp.valueOf(f"2026-01-01 $hour%02d:00:00"))
+    }
+    val events = rows.toDF("event_id", "user_id", "event_type", "value", "ts")
+    val r = graft.ops.Analytics.didEstimate(events).collect().head
+    assert(r.getLong(0) == 16L)
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      ((100000000L, 150000000L, 100000000L, 100000000L)))
+    assert(r.getLong(5) == 50000000L)
+  }
+
+  test("ratioMetricDelta: uniform users have zero delta-method variance") {
+    // every arm-0 user contributes exactly (200 cents, 2 events) → the
+    // ratio is exact and its user-level variance is zero; arm 1 users
+    // vary → positive SE
+    val rows =
+      (0L until 6L).flatMap { u =>
+        val n = if (u % 2 == 0) 2 else (1 + (u % 3)).toInt
+        (0 until n).map(i => (u * 10 + i, u, "view", 1.0,
+          java.sql.Timestamp.valueOf("2026-01-01 00:00:00")))
+      }
+    val events = rows.toDF("event_id", "user_id", "event_type", "value", "ts")
+    val byArm = graft.ops.Analytics.ratioMetricDelta(events).collect()
+      .map(r => (r.getLong(0), (r.getLong(2), r.getLong(3)))).toMap
+    assert(byArm(0L)._1 == 100000000L) // 100 cents/event exactly, at e6
+    assert(byArm(0L)._2 == 0L) // no user-level variation → SE 0
+    assert(byArm(1L)._2 >= 0L)
+  }
+
+  test("dispersionIndex flags a bursty type and clears a uniform one") {
+    // 'steady': 5 events in each of 4 hours (var 0 → D = 0);
+    // 'bursty': counts 1,1,1,17 across 4 hours (mean 5, var 64 → D=12.8)
+    val steady = for (h <- 0 until 4; i <- 0 until 5)
+      yield (h * 100L + i, 1L, "steady", 1.0,
+        java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:00:00"))
+    val bursty = for (h <- 0 until 4; i <- 0 until (if (h == 3) 17 else 1))
+      yield (10000L + h * 100 + i, 1L, "bursty", 1.0,
+        java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:00:00"))
+    val events = (steady ++ bursty)
+      .toDF("event_id", "user_id", "event_type", "value", "ts")
+    val byType = graft.ops.Analytics.dispersionIndex(events).collect()
+      .map(r => (r.getString(0), (r.getLong(3), r.getBoolean(4)))).toMap
+    assert(byType("steady") == ((0L, false)))
+    assert(byType("bursty") == ((12800000L, true)))
+  }
+
+  test("aaCalibration: null splits rarely reject at the 5% level") {
+    val events = graft.ops.Analytics.events(spark, "/root/testdata/sf0.001")
+    val out = graft.ops.Analytics.aaCalibration(events, k = 16).collect()
+    assert(out.length == 16)
+    // arms are near-balanced halves of the user set
+    assert(out.forall(r => math.abs(r.getLong(1) - r.getLong(2)) <=
+      (r.getLong(1) + r.getLong(2)) / 2))
+    // A/A calibration: expected ~0.8 rejections in 16; >5 means the
+    // test machinery itself is broken
+    assert(out.count(_.getBoolean(4)) <= 5)
+  }
+
+  test("bucketedJoin matches the plain join result") {
+    val li = graft.ops.Relational.table(spark, "/root/testdata/sf0.001", "lineitem")
+    val ord = graft.ops.Relational.table(spark, "/root/testdata/sf0.001", "orders")
+    val bucketed = graft.ops.Layout.bucketedJoin(spark, li, ord).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val plain = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(expr("unix_micros(date_trunc('month', o_orderdate))").as("m"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)")).as("rev"))
+      .orderBy(col("m")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(bucketed.toSeq == plain.toSeq)
+  }
+
+  test("mahalanobisOutliers flags the off-correlation user, not the big one") {
+    // users 0..9 sit near the volume∝spend line (including the LARGEST
+    // user); user 99 has tiny volume but huge spend — one-dimensional
+    // z-scores would rank the largest user first, Mahalanobis must not
+    val rows = (0L until 10L).flatMap { u =>
+      (0 to u.toInt).map(i =>
+        (u * 100 + i, u, "view", 1.0 + (u % 3) * 0.01,
+          java.sql.Timestamp.valueOf("2026-01-01 00:00:00")))
+    } ++ Seq((9900L, 99L, "view", 50.0,
+      java.sql.Timestamp.valueOf("2026-01-01 00:00:00")),
+      (9901L, 99L, "view", 50.0,
+        java.sql.Timestamp.valueOf("2026-01-01 00:00:00")))
+    val events = rows.toDF("event_id", "user_id", "event_type", "value", "ts")
+    val out = graft.ops.Analytics.mahalanobisOutliers(events).collect()
+    assert(out.head.getLong(0) == 99L)
+  }
+
+  test("heapsLaw: vocabulary growth is monotone with a positive fitted slope") {
+    val docs = graft.ops.TextAnalysis.documents(spark, "/root/testdata/sf0.001")
+    val out = graft.ops.TextAnalysis.heapsLaw(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(5)))
+    assert(out.length == 8)
+    assert(out.sliding(2).forall(p => p(0)._2 <= p(1)._2 && p(0)._3 <= p(1)._3))
+    assert(out.last._2 > out.head._2) // checkpoints really grow
+    val beta = out.head._4
+    assert(out.forall(_._4 == beta)) // one fitted slope
+    assert(beta > 0L && beta < 1000000L) // sublinear growth: 0 < β < 1
+  }
+
   test("hubnessHistogram counts anti-hubs and conserves mass") {
     val e = Similarity.embeddings(spark, "/root/testdata/sf0.001")
     val out = Similarity.hubnessHistogram(e, k = 10).collect()

@@ -886,6 +886,18 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("Window"), p)
   }
 
+  test("bucketedJoin: the fact-fact join consumes bucket distribution — zero join exchanges") {
+    // write once, join forever without a shuffle: the ONLY hash exchange
+    // in the read plan must belong to the monthly aggregate, not the join
+    graft.ops.Layout.bucketedJoin(spark,
+      Relational.table(spark, sf, "lineitem"),
+      Relational.table(spark, sf, "orders"))
+    val p = plan(graft.ops.Layout.bucketedJoinRead(spark))
+    assert(p.contains("SortMergeJoin"), s"merge hint lost:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+      s"bucketed sides must not re-shuffle for the join:\n$p")
+  }
+
   test("rendezvousRebalance: ownership is map-side — broadcast grid, no pre-aggregate shuffle of keys") {
     val p = plan(graft.ops.Layout.rendezvousRebalance(
       Relational.table(spark, sf, "part")))
