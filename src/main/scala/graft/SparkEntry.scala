@@ -809,6 +809,12 @@ object SparkEntry {
     // Heaps' law: all checkpoints from one first-seen collapse + slope
     "q_heaps_law" -> ((s, d) =>
       TextAnalysis.heapsLaw(TextAnalysis.documents(s, d))),
+    // CSN power-law exponent of the co-purchase degree tail
+    "q_powerlaw_alpha" -> ((s, d) =>
+      Graph.powerLawAlpha(Relational.table(s, d, "lineitem"))),
+    // Simpson's check: pooled vs per-stratum slope with sign-flip flags
+    "q_simpsons" -> ((s, d) =>
+      Modeling.simpsonsCheck(Relational.table(s, d, "lineitem"))),
     // A/B power analysis: users-per-arm per candidate MDE from the
     // observed revenue-per-user mean/variance, exact integer ceiling
     "q_ab_power" -> ((s, d) => Analytics.abPower(Analytics.events(s, d))),
@@ -4533,6 +4539,8 @@ object SparkEntry {
     "q_aa_calibration" -> Analytics.aaCalibrationOracleSql(),
     "q_mahalanobis" -> Analytics.mahalanobisOutliersOracleSql(),
     "q_heaps_law" -> TextAnalysis.heapsLawOracleSql(),
+    "q_powerlaw_alpha" -> Graph.powerLawAlphaOracleSql(),
+    "q_simpsons" -> Modeling.simpsonsCheckOracleSql,
     "q_ab_power" -> Analytics.abPowerOracleSql(),
     "q_theilsen" -> Analytics.theilSenOracleSql,
     "q_native_session_window" -> Analytics.nativeSessionWindowOracleSql(),

@@ -384,6 +384,62 @@ object Graph {
       .orderBy(col("part_id"))
   }
 
+  /** DISCRETE POWER-LAW EXPONENT (Clauset–Shalizi–Newman continuous-MLE
+    * approximation): α ≈ 1 + n / Σ_{d≥dmin} ln(d/(dmin − ½)) over the
+    * co-purchase degree sequence — the single number that says whether
+    * the graph's tail is scale-free (α ≈ 2–3) or truncated, which
+    * decides whether hub-aware shapes (degree-ordered triangles,
+    * [[Skew]] salting) are mandatory at 100 TB or paranoia. Companion
+    * to [[degreeDistribution]]'s binned view.
+    *
+    * Exactness: each node's ln term quantizes to e6 BEFORE the sum
+    * (order-free integer total, the micro-nat discipline); α is one
+    * double excursion. Shape: the degree aggregate is the only
+    * corpus-scale step; the MLE is a 3-column aggregate over the
+    * node-sized degree frame.
+    */
+  def powerLawAlpha(
+      lineitem: DataFrame,
+      dmin: Long = 2,
+      minSupport: Long = 2): DataFrame = {
+    require(dmin >= 1)
+    val pairs = Relational.partPairCounts(lineitem, minSupport)
+    val deg = pairs.select(col("u").as("n"))
+      .unionAll(pairs.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+      .filter(col("d") >= dmin)
+    deg
+      .select(expr(
+        s"CAST(round(ln(CAST(d AS DOUBLE) / (CAST($dmin AS DOUBLE) - 0.5)) * 1000000) AS BIGINT)")
+        .as("t"))
+      .agg(count(lit(1)).as("n_tail"), sum(col("t")).as("sum_ln_e6"))
+      .filter(col("n_tail") > 0)
+      .selectExpr("n_tail", "sum_ln_e6",
+        "CAST(round((1.0 + CAST(n_tail AS DOUBLE) * 1000000.0 / CAST(sum_ln_e6 AS DOUBLE)) * 1000000) AS BIGINT) AS alpha_e6")
+      .orderBy(col("n_tail"))
+  }
+
+  /** DuckDB oracle for [[powerLawAlpha]] — identical degree sequence,
+    * per-term quantization, and MLE literal.
+    */
+  def powerLawAlphaOracleSql(dmin: Long = 2, minSupport: Long = 2): String =
+    s"""WITH items AS (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |p AS (
+       |  SELECT a.pk AS u, b.pk AS v
+       |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+       |  GROUP BY 1, 2 HAVING count(*) >= $minSupport),
+       |deg AS (
+       |  SELECT n, count(*) AS d FROM (
+       |    SELECT u AS n FROM p UNION ALL SELECT v FROM p) GROUP BY 1),
+       |terms AS (
+       |  SELECT CAST(round(ln(CAST(d AS DOUBLE) / (CAST($dmin AS DOUBLE) - 0.5)) * 1000000) AS BIGINT) AS t
+       |  FROM deg WHERE d >= $dmin),
+       |g AS (SELECT count(*) AS n_tail, sum(t) AS sum_ln_e6 FROM terms)
+       |SELECT n_tail::BIGINT AS n_tail, sum_ln_e6::BIGINT AS sum_ln_e6,
+       |  CAST(round((1.0 + CAST(n_tail AS DOUBLE) * 1000000.0 / CAST(sum_ln_e6 AS DOUBLE)) * 1000000) AS BIGINT) AS alpha_e6
+       |FROM g WHERE n_tail > 0 ORDER BY n_tail""".stripMargin
+
   /** DuckDB oracle for [[kCore]] — the same peeling unrolled to `rounds`
     * CTE layers (layers past the fixed point are idempotent, so any
     * `rounds` ≥ the actual peel depth yields the identical core;

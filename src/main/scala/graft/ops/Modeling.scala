@@ -107,6 +107,63 @@ object Modeling {
        |  $r2Expr AS r2_e6
        |FROM g ORDER BY nation""".stripMargin
 
+  /** SIMPSON'S-PARADOX DETECTOR: the discount→quantity slope computed
+    * overall AND within each returnflag stratum, with a per-stratum
+    * sign-flip flag — the aggregation trap every metrics platform should
+    * test for before reporting a pooled trend (a pooled positive slope
+    * with all-negative strata means the pooled number is confounded by
+    * stratum composition, not evidence).
+    *
+    * Shape: the SAME one-pass 5-sum aggregate as [[olsByGroup]], run
+    * once grouped and once global (two aggregates over one projection);
+    * the comparison is a broadcast of the 1-row overall slope. Exact
+    * sums; slope literals identical to the grouped-OLS plane.
+    */
+  def simpsonsCheck(lineitem: DataFrame): DataFrame = {
+    val prepped = lineitem.select(col("l_returnflag").as("segment"),
+      expr("CAST(round(l_discount * 100) AS BIGINT)").as("x"),
+      expr("CAST(round(l_quantity) AS BIGINT)").as("y"))
+    def sums(df: DataFrame, keys: Seq[String]): DataFrame = {
+      val g = if (keys.isEmpty) df.groupBy() else df.groupBy(keys.map(col): _*)
+      g.agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(expr("CAST(x * x AS DECIMAL(38,0))")).as("sxx"),
+        sum(expr("CAST(x * y AS DECIMAL(38,0))")).as("sxy"))
+    }
+    val grouped = sums(prepped, Seq("segment"))
+      .selectExpr("segment", "n", s"$slopeExpr AS slope_e6")
+    val overall = sums(prepped, Seq.empty)
+      .selectExpr(s"$slopeExpr AS overall_slope_e6")
+    grouped.crossJoin(broadcast(overall))
+      .withColumn("sign_flip",
+        (col("slope_e6") > 0) =!= (col("overall_slope_e6") > 0))
+      .orderBy(col("segment"))
+  }
+
+  /** DuckDB oracle for [[simpsonsCheck]] — identical sums and slope
+    * literals, grouped and global.
+    */
+  def simpsonsCheckOracleSql: String =
+    s"""WITH p AS (
+       |  SELECT l_returnflag AS segment,
+       |    CAST(round(l_discount * 100) AS BIGINT) AS x,
+       |    CAST(round(l_quantity) AS BIGINT) AS y
+       |  FROM lineitem),
+       |grouped AS (
+       |  SELECT segment, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+       |    sum(x * x) AS sxx, sum(x * y) AS sxy
+       |  FROM p GROUP BY segment),
+       |overall AS (
+       |  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+       |    sum(x * x) AS sxx, sum(x * y) AS sxy
+       |  FROM p),
+       |gs AS (SELECT segment, n::BIGINT AS n, $slopeExpr AS slope_e6 FROM grouped),
+       |os AS (SELECT $slopeExpr AS overall_slope_e6 FROM overall)
+       |SELECT segment, n, slope_e6, overall_slope_e6,
+       |  ((slope_e6 > 0) <> (overall_slope_e6 > 0)) AS sign_flip
+       |FROM gs CROSS JOIN os ORDER BY segment""".stripMargin
+
   // --------------------------------------------------- correlation matrix
 
   /** The four lineitem measures the matrix covers, as (name, integer

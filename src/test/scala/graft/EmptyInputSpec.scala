@@ -335,5 +335,10 @@ class EmptyInputSpec extends SparkTestBase {
     assert(graft.ops.Analytics.mahalanobisOutliers(noEventsFull).count() == 0)
     val noDocs6 = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(graft.ops.TextAnalysis.heapsLaw(noDocs6).count() == 0)
+    val noLi7 = Seq.empty[(Long, Long)].toDF("l_orderkey", "l_partkey")
+    assert(graft.ops.Graph.powerLawAlpha(noLi7).count() == 0)
+    val noLi8 = Seq.empty[(String, Double, Double)]
+      .toDF("l_returnflag", "l_discount", "l_quantity")
+    assert(graft.ops.Modeling.simpsonsCheck(noLi8).count() == 0)
   }
 }

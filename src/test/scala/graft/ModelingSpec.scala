@@ -329,6 +329,32 @@ class ModelingSpec extends SparkTestBase {
     assert(beta > 0L && beta < 1000000L) // sublinear growth: 0 < β < 1
   }
 
+  test("simpsonsCheck flags a constructed sign reversal") {
+    // within each segment the slope is NEGATIVE (x up → y down), but
+    // segment B sits at both higher x AND higher y, so pooling flips
+    // the sign — the textbook paradox
+    val li = Seq(
+      ("A", 0.01, 20.0), ("A", 0.02, 18.0), ("A", 0.03, 16.0),
+      ("B", 0.20, 50.0), ("B", 0.21, 48.0), ("B", 0.22, 46.0))
+      .toDF("l_returnflag", "l_discount", "l_quantity")
+    val out = graft.ops.Modeling.simpsonsCheck(li).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    assert(out.length == 2)
+    assert(out.forall(_._2 < 0L)) // every stratum trends down
+    assert(out.head._3 > 0L) // the pooled slope trends up
+    assert(out.forall(_._4)) // and every stratum is flagged
+  }
+
+  test("powerLawAlpha: a geometric degree tail yields alpha in the scale-free band") {
+    val li = graft.ops.Relational.table(spark, "/root/testdata/sf0.001", "lineitem")
+    val out = graft.ops.Graph.powerLawAlpha(li).collect()
+    assert(out.length == 1)
+    val alpha = out.head.getLong(2)
+    // co-purchase degree tails land in the broad empirical band; the
+    // exactness is pinned by the oracle — this pins plausibility
+    assert(alpha > 1000000L && alpha < 10000000L)
+  }
+
   test("hubnessHistogram counts anti-hubs and conserves mass") {
     val e = Similarity.embeddings(spark, "/root/testdata/sf0.001")
     val out = Similarity.hubnessHistogram(e, k = 10).collect()
