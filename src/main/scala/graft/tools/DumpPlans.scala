@@ -138,7 +138,15 @@ object DumpPlans {
       "q_emd_drift" -> "EMD drift: (source, bin) collapse + full 50-bin spine join; CDFs, gaps and the running sum all live on the bin dimension",
       "q_boosted_stumps" -> "boosted stumps: per round ONE weighted histogram aggregate over the user frame + model-sized argmin; the round-1 stump re-applies as a 1-row broadcast",
       "q_set_cover" -> "set cover: k anti-join rounds against the vocab-sized covered frame, 1-row argmax per round, term frame persisted once",
-      "q_rendezvous" -> "rendezvous rebalance: broadcast node grid over the key scan, packed-Long argmax aggregate — ownership is map-side, only the per-node count shuffles")
+      "q_rendezvous" -> "rendezvous rebalance: broadcast node grid over the key scan, packed-Long argmax aggregate — ownership is map-side, only the per-node count shuffles",
+      "q_did" -> "difference-in-differences: 1-row min/max broadcast anchors the period split, one (treat, period) aggregate, arithmetic on 4 rows",
+      "q_ratio_delta" -> "ratio-metric delta method: user collapse, per-arm 6-sum aggregate, SE arithmetic on a 2-row frame — randomization-unit-correct variance in two exchanges",
+      "q_aa_calibration" -> "A/A calibration: ONE user collapse crossed with a 16-row broadcast seed grid — k× the USER dimension, never the corpus; Welch z per split on a 2k-row frame",
+      "q_bucketed_join" -> "bucketed fact⋈fact: bucketed scans report hashpartitioning, the merge join consumes it — the ONLY hash exchange belongs to the monthly aggregate",
+      "q_mahalanobis" -> "Mahalanobis outliers: one moment aggregate broadcast back over the user frame, row-local closed-form d², TakeOrderedAndProject top-k",
+      "q_heaps_law" -> "Heaps' law: every checkpoint answered from ONE first-seen-doc collapse of the trigram vocabulary — no per-checkpoint re-scan, no document sort",
+      "q_powerlaw_alpha" -> "power-law alpha: degree aggregate (the only corpus step), e6-quantized ln terms summed order-free, 1-row MLE",
+      "q_simpsons" -> "Simpson's check: the grouped-OLS 5-sum aggregate twice over one shared projection, 1-row pooled slope broadcast into the per-stratum compare")
 
     val sb = new StringBuilder
     sb.append("# PLANS — explain(\"formatted\") for headline queries\n\n")
