@@ -815,6 +815,15 @@ object SparkEntry {
     // Simpson's check: pooled vs per-stratum slope with sign-flip flags
     "q_simpsons" -> ((s, d) =>
       Modeling.simpsonsCheck(Relational.table(s, d, "lineitem"))),
+    // exact P10/P50/P90 ribbon per hour via the value-domain collapse
+    "q_hourly_value_bands" -> ((s, d) =>
+      Analytics.hourlyValueBands(Analytics.events(s, d))),
+    // exponential retention decay: ln-linear fit + half-life
+    "q_retention_halflife" -> ((s, d) =>
+      Analytics.retentionHalflife(Analytics.events(s, d))),
+    // rank-biased overlap between the length and token-count rankings
+    "q_rbo" -> ((s, d) =>
+      TextAnalysis.rankBiasedOverlap(TextAnalysis.documents(s, d))),
     // A/B power analysis: users-per-arm per candidate MDE from the
     // observed revenue-per-user mean/variance, exact integer ceiling
     "q_ab_power" -> ((s, d) => Analytics.abPower(Analytics.events(s, d))),
@@ -4541,6 +4550,9 @@ object SparkEntry {
     "q_heaps_law" -> TextAnalysis.heapsLawOracleSql(),
     "q_powerlaw_alpha" -> Graph.powerLawAlphaOracleSql(),
     "q_simpsons" -> Modeling.simpsonsCheckOracleSql,
+    "q_hourly_value_bands" -> Analytics.hourlyValueBandsOracleSql,
+    "q_retention_halflife" -> Analytics.retentionHalflifeOracleSql(),
+    "q_rbo" -> TextAnalysis.rankBiasedOverlapOracleSql(),
     "q_ab_power" -> Analytics.abPowerOracleSql(),
     "q_theilsen" -> Analytics.theilSenOracleSql,
     "q_native_session_window" -> Analytics.nativeSessionWindowOracleSql(),

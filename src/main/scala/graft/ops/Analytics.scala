@@ -4354,6 +4354,135 @@ object Analytics {
        |ORDER BY d2_e6 DESC, user_id LIMIT $topN""".stripMargin
   }
 
+  // ---------------------------------------------------- hourly value bands
+
+  /** P10/P50/P90 VALUE BANDS per hour-of-day — the percentile ribbon a
+    * latency/spend dashboard draws, computed EXACTLY with the
+    * [[weightedQuantiles]] collapse: one (hour, cents) aggregate (the
+    * value domain per hour is bounded by the cents range, not the row
+    * count), a prefix window over that collapsed frame, and integer
+    * rank-threshold picks (10·cw ≥ k·tw) — lower-quantile convention,
+    * no floating point anywhere.
+    */
+  def hourlyValueBands(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vals = events
+      .select(hour(col("ts")).cast("long").as("hr"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .groupBy(col("hr"), col("cents"))
+      .agg(count(lit(1)).as("w"))
+    val wOrd = Window.partitionBy(col("hr")).orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("hr"))
+    vals
+      .withColumn("cw", sum(col("w")).over(wOrd))
+      .withColumn("tw", sum(col("w")).over(wAll))
+      .groupBy(col("hr"))
+      .agg(
+        sum(col("w")).as("n"),
+        min(when(col("cw") * 10 >= col("tw"), col("cents"))).as("p10_cents"),
+        min(when(col("cw") * 2 >= col("tw"), col("cents"))).as("p50_cents"),
+        min(when(col("cw") * 10 >= col("tw") * 9, col("cents"))).as("p90_cents"))
+      .orderBy(col("hr"))
+  }
+
+  /** DuckDB oracle for [[hourlyValueBands]] — identical collapse and
+    * integer threshold picks.
+    */
+  def hourlyValueBandsOracleSql: String =
+    """WITH vals AS (
+      |  SELECT CAST(hour(ts) AS BIGINT) AS hr,
+      |    CAST(round(value * 100) AS BIGINT) AS cents, count(*) AS w
+      |  FROM events GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT hr, cents, w,
+      |    sum(w) OVER (PARTITION BY hr ORDER BY cents
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+      |    sum(w) OVER (PARTITION BY hr) AS tw
+      |  FROM vals)
+      |SELECT hr, sum(w)::BIGINT AS n,
+      |  min(CASE WHEN cw * 10 >= tw THEN cents END)::BIGINT AS p10_cents,
+      |  min(CASE WHEN cw * 2 >= tw THEN cents END)::BIGINT AS p50_cents,
+      |  min(CASE WHEN cw * 10 >= tw * 9 THEN cents END)::BIGINT AS p90_cents
+      |FROM cum GROUP BY hr ORDER BY hr""".stripMargin
+
+  // ---------------------------------------------------- retention half-life
+
+  /** RETENTION HALF-LIFE: fit ln(active share) ~ day offset over the
+    * first 14 offsets of the cohort-pooled activity decay curve and
+    * report the exponential half-life −ln2/slope — the single business
+    * number the triangular [[retentionCohorts]] matrix buries. Offset-d
+    * activity = distinct users with any event d days after their first
+    * day (pooled over cohorts). Share points quantize per offset
+    * (micro-nat ln of an integer ratio), the OLS runs on exact integer
+    * sums, and slope and half-life are each one double excursion.
+    *
+    * Shape at 100 TB: one (user, date) collapse, one min-date window...
+    * no — a groupBy-derived first day (no window), one (offset) distinct
+    * aggregate, the fit on a ≤14-row frame.
+    */
+  def retentionHalflife(events: DataFrame, maxOffset: Int = 13): DataFrame = {
+    val userDays = events
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val firstDay = userDays.groupBy(col("user_id"))
+      .agg(min(col("day")).as("first_day"))
+    val offsets = userDays.join(firstDay, "user_id")
+      .select(col("user_id"), datediff(col("day"), col("first_day"))
+        .cast("long").as("off"))
+      .filter(col("off") <= maxOffset)
+      .groupBy(col("off"))
+      .agg(countDistinct(col("user_id")).as("active"))
+    val base = offsets.filter(col("off") === 0)
+      .select(col("active").as("cohort"))
+    val points = offsets.crossJoin(broadcast(base))
+      .filter(col("off") > 0)
+      .select(col("off"), col("active"), col("cohort"),
+        expr("CAST(round(ln(CAST(active AS DOUBLE) / CAST(cohort AS DOUBLE)) * 1000000) AS BIGINT)")
+          .as("ln_share_e6"))
+    val fit = points.agg(
+      count(lit(1)).as("k"),
+      sum(col("off")).as("sx"), sum(col("ln_share_e6")).as("sy"),
+      sum(expr("CAST(off * off AS DECIMAL(38,0))")).as("sxx"),
+      sum(expr("CAST(off * ln_share_e6 AS DECIMAL(38,0))")).as("sxy"))
+    points.crossJoin(broadcast(fit))
+      .select(col("off"), col("active"), col("ln_share_e6"),
+        expr("CAST(round((CAST(k AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / (CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) AS BIGINT)")
+          .as("slope_e6_per_day"),
+        expr("CAST(round(-693147.180559945 * (CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / (CAST(k AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) * 1000) AS BIGINT)")
+          .as("halflife_days_e3"))
+      .orderBy(col("off"))
+  }
+
+  /** DuckDB oracle for [[retentionHalflife]] — identical collapse,
+    * quantized share points, and fit literals.
+    */
+  def retentionHalflifeOracleSql(maxOffset: Int = 13): String =
+    s"""WITH ud AS (
+       |  SELECT DISTINCT user_id, ts::DATE AS day
+       |  FROM events WHERE user_id IS NOT NULL),
+       |fd AS (SELECT user_id, min(day) AS first_day FROM ud GROUP BY 1),
+       |offs AS (
+       |  SELECT CAST(datediff('day', fd.first_day, ud.day) AS BIGINT) AS off,
+       |    count(DISTINCT ud.user_id) AS active
+       |  FROM ud JOIN fd USING (user_id)
+       |  WHERE datediff('day', fd.first_day, ud.day) <= $maxOffset
+       |  GROUP BY 1),
+       |base AS (SELECT active AS cohort FROM offs WHERE off = 0),
+       |points AS (
+       |  SELECT off, active, cohort,
+       |    CAST(round(ln(CAST(active AS DOUBLE) / CAST(cohort AS DOUBLE)) * 1000000) AS BIGINT) AS ln_share_e6
+       |  FROM offs CROSS JOIN base WHERE off > 0),
+       |fit AS (
+       |  SELECT count(*) AS k, sum(off) AS sx, sum(ln_share_e6) AS sy,
+       |    sum(off * off) AS sxx, sum(off * ln_share_e6) AS sxy
+       |  FROM points)
+       |SELECT off, active::BIGINT AS active, ln_share_e6,
+       |  CAST(round((CAST(k AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / (CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) AS BIGINT) AS slope_e6_per_day,
+       |  CAST(round(-693147.180559945 * (CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / (CAST(k AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) * 1000) AS BIGINT) AS halflife_days_e3
+       |FROM points CROSS JOIN fit ORDER BY off""".stripMargin
+
   /** The weighted-stump CTE block for the [[boostedStumps]] oracle:
     * given a users CTE (with label + w columns) named `src`, emit CTEs
     * `feat$t/rng$t/cells$t/scored$t/best$t` replaying the identical

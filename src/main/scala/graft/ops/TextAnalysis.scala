@@ -1744,6 +1744,91 @@ object TextAnalysis {
       |FROM bg JOIN model m ON m.w1 = bg.w1 AND m.w2 = bg.w2
       |GROUP BY 1 ORDER BY bg.doc_id""".stripMargin
 
+  /** RANK-BIASED OVERLAP (Webber et al., TOIS 2010) between two document
+    * rankings — the top-weighted agreement measure for comparing ranker
+    * versions (a plain intersection treats rank 1 and rank 1000 alike;
+    * RBO discounts depth d by p^(d−1)). Here the two deterministic
+    * rankings are by raw length (n_chars) and by distinct-token count —
+    * the "does tokenization change the corpus's notion of BIG?"
+    * diagnostic; the OPERATOR takes any two (doc_id, rank) frames.
+    *
+    * RBO@k = Σ_{d≤k} (1−p)·p^(d−1)·|A_d ∩ B_d|/d. Per-depth terms
+    * quantize to e9 integers (pow + one division each — the
+    * [[bm25Search]] discipline), the prefix sum is exact.
+    *
+    * Shape at 100 TB: rankings come from top-k heaps
+    * (TakeOrderedAndProject), so both frames are k-row; the depth grid
+    * join is k² at most — model-sized end to end after the two ranking
+    * scans.
+    */
+  def rankBiasedOverlap(
+      docs: DataFrame,
+      k: Int = 20,
+      pE3: Long = 900): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs
+      .select(col("doc_id"), length(col("text")).cast("long").as("len"),
+        expr("size(array_distinct(split(lower(text), '\\\\s+')))").cast("long")
+          .as("dtoks"))
+    // deterministic rankings; ties by doc_id. Model-sized top-k frames.
+    val byLen = toks
+      .withColumn("rank_a", row_number().over(
+        Window.orderBy(desc("len"), col("doc_id"))).cast("long"))
+      .filter(col("rank_a") <= k).select(col("doc_id"), col("rank_a"))
+    val byToks = toks
+      .withColumn("rank_b", row_number().over(
+        Window.orderBy(desc("dtoks"), col("doc_id"))).cast("long"))
+      .filter(col("rank_b") <= k).select(col("doc_id"), col("rank_b"))
+    val both = byLen.join(byToks, "doc_id")
+    val depths = (1L to k.toLong).map(Tuple1(_)).toDF("d")
+    val overlaps = depths.crossJoin(both)
+      .filter(col("rank_a") <= col("d") && col("rank_b") <= col("d"))
+      .groupBy(col("d")).agg(count(lit(1)).as("overlap"))
+    val terms = depths.join(overlaps, Seq("d"), "left")
+      .select(col("d"), coalesce(col("overlap"), lit(0L)).as("overlap"))
+      .withColumn("term_e9", expr(
+        s"CAST(round((1.0 - ${pE3 / 1000.0}) * pow(${pE3 / 1000.0}, d - 1) " +
+          "* CAST(overlap AS DOUBLE) / CAST(d AS DOUBLE) * 1000000000) AS BIGINT)"))
+    terms
+      .withColumn("rbo_prefix_e9", sum(col("term_e9")).over(
+        Window.orderBy(col("d"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy(col("d"))
+  }
+
+  /** DuckDB oracle for [[rankBiasedOverlap]] — identical rankings,
+    * depth-grid overlaps, and quantized term literal.
+    */
+  def rankBiasedOverlapOracleSql(k: Int = 20, pE3: Long = 900): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, length(text)::BIGINT AS len,
+       |    len(list_distinct(regexp_split_to_array(lower(text), '\\s+')))::BIGINT AS dtoks
+       |  FROM documents),
+       |ra AS (
+       |  SELECT doc_id, rank_a FROM (
+       |    SELECT doc_id, row_number() OVER (ORDER BY len DESC, doc_id) AS rank_a
+       |    FROM toks) WHERE rank_a <= $k),
+       |rb AS (
+       |  SELECT doc_id, rank_b FROM (
+       |    SELECT doc_id, row_number() OVER (ORDER BY dtoks DESC, doc_id) AS rank_b
+       |    FROM toks) WHERE rank_b <= $k),
+       |bo AS (SELECT ra.doc_id, rank_a, rank_b FROM ra JOIN rb USING (doc_id)),
+       |depths AS (SELECT unnest(range(1, ${k + 1}))::BIGINT AS d),
+       |ov AS (
+       |  SELECT d, count(*) AS overlap
+       |  FROM depths JOIN bo ON rank_a <= d AND rank_b <= d
+       |  GROUP BY d),
+       |terms AS (
+       |  SELECT depths.d, coalesce(ov.overlap, 0) AS overlap,
+       |    CAST(round((1.0 - ${pE3 / 1000.0}) * pow(${pE3 / 1000.0}, depths.d - 1) * CAST(coalesce(ov.overlap, 0) AS DOUBLE) / CAST(depths.d AS DOUBLE) * 1000000000) AS BIGINT) AS term_e9
+       |  FROM depths LEFT JOIN ov ON depths.d = ov.d)
+       |SELECT d, overlap::BIGINT AS overlap, term_e9,
+       |  sum(term_e9) OVER (ORDER BY d
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS rbo_prefix_e9
+       |FROM terms ORDER BY d""".stripMargin
+
   /** HEAPS' LAW vocabulary-growth curve: distinct vocabulary V(m) as a
     * function of corpus prefix size m, at 8 doc-id-value checkpoints,
     * plus the fitted log-log slope β (V ≈ K·mᵝ; β ≈ 0.4–0.6 for natural

@@ -340,5 +340,10 @@ class EmptyInputSpec extends SparkTestBase {
     val noLi8 = Seq.empty[(String, Double, Double)]
       .toDF("l_returnflag", "l_discount", "l_quantity")
     assert(graft.ops.Modeling.simpsonsCheck(noLi8).count() == 0)
+    assert(graft.ops.Analytics.hourlyValueBands(noEventsFull).count() == 0)
+    assert(graft.ops.Analytics.retentionHalflife(noEventsFull).count() == 0)
+    // the depth grid survives an empty corpus: k all-zero overlap rows
+    val noDocs7 = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(graft.ops.TextAnalysis.rankBiasedOverlap(noDocs7).count() == 20)
   }
 }

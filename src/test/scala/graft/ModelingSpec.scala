@@ -355,6 +355,50 @@ class ModelingSpec extends SparkTestBase {
     assert(alpha > 1000000L && alpha < 10000000L)
   }
 
+  test("hourlyValueBands picks exact lower quantiles per hour") {
+    // hour 1 holds cents 100..1000 (one each): lower-quantile picks are
+    // the 10th/50th/90th percentiles under 10*cw >= k*tw
+    val rows = (1 to 10).map(i => (i.toLong, 1L, "view", i.toDouble,
+      java.sql.Timestamp.valueOf("2026-01-01 01:00:00")))
+    val events = rows.toDF("event_id", "user_id", "event_type", "value", "ts")
+    val r = graft.ops.Analytics.hourlyValueBands(events).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((1L, 10L, 100L, 500L, 900L)))
+  }
+
+  test("retentionHalflife recovers a constructed halving cadence") {
+    // 8 users on day 0; exactly half remain active each later day:
+    // 4 on day 1, 2 on day 2, 1 on day 3 → slope = -ln2/day,
+    // half-life = 1.000 days
+    val rows = (0L until 8L).flatMap { u =>
+      (0 to 3).collect { case d if u < (8 >> d) =>
+        (u * 10 + d, u, "view", 1.0,
+          java.sql.Timestamp.valueOf(f"2026-01-${d + 1}%02d 00:00:00"))
+      }
+    }
+    val events = rows.toDF("event_id", "user_id", "event_type", "value", "ts")
+    val out = graft.ops.Analytics.retentionHalflife(events).collect()
+    assert(out.length == 3)
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 4L), (2L, 2L), (3L, 1L)))
+    assert(out.head.getLong(4) == 1000L) // half-life 1.000 days at e3
+  }
+
+  test("rankBiasedOverlap is 1 for identical rankings' prefix terms") {
+    // single-token-per-word docs where length order == distinct-token
+    // order → overlap(d) = d at every depth → RBO terms sum toward 1
+    val docs = (1 to 25).map(i =>
+      (i.toLong, (1 to (26 - i)).map(j => s"w$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.rankBiasedOverlap(docs, k = 20).collect()
+    assert(out.length == 20)
+    assert(out.forall(r => r.getLong(1) == r.getLong(0))) // full overlap
+    // prefix RBO approaches 1 - p^k from below; at d=20, p=0.9:
+    // 1 - 0.9^20 ≈ 0.8784 → within [0.87e9, 0.89e9]
+    val last = out.last.getLong(3)
+    assert(last > 870000000L && last < 890000000L)
+  }
+
   test("hubnessHistogram counts anti-hubs and conserves mass") {
     val e = Similarity.embeddings(spark, "/root/testdata/sf0.001")
     val out = Similarity.hubnessHistogram(e, k = 10).collect()
