@@ -1073,7 +1073,15 @@ object Corpus {
     var exhausted = false
     while (rnk <= k && !exhausted) {
       val gains = terms
-        .join(covered, Seq("term"), "left_anti")
+        // broadcast-HINT the covered frame: it is a localCheckpoint'ed
+        // LogicalRDD whose static size is defaultSizeInBytes (unknown),
+        // so without the hint Catalyst plans a sort-merge anti-join that
+        // shuffles the ENTIRE term frame every round (AQE usually
+        // rescues it to broadcast, but only after the term-side exchange
+        // may already have materialized — a race the ScaleCanarySpec
+        // caught as superlinear shuffle). Covered vocabulary is k docs'
+        // terms — document-scale, always broadcastable.
+        .join(broadcast(covered), Seq("term"), "left_anti")
         .groupBy(col("doc_id")).agg(count(lit(1)).as("gain"))
         .orderBy(desc("gain"), col("doc_id"))
         .limit(1)

@@ -157,4 +157,36 @@ class ScaleCanarySpec extends SparkTestBase {
       graft.ops.Relational.skyline(orders)
     }
   }
+
+  test("k-core: per-round semi-joins stay near-linear as the graph grows 4x", Slow) {
+    canary("kcore", 500000L) { n =>
+      val li = spark.range(n).select(
+        (col("id") / 5L).cast("long").as("l_orderkey"),
+        pmod(col("id") * lit(2654435761L), lit(n / 250L)).as("l_partkey"))
+      graft.ops.Graph.kCore(li)
+    }
+  }
+
+  test("entity resolution: star edges + pointer jumping stay near-linear as identities grow 4x", Slow) {
+    // key domains grow WITH the records (the honest regime: fixed-size
+    // key domains would densify every star and grow components, not the
+    // plan). Two coprime-ish moduli cross-link small multi-record chains.
+    canary("entity_resolution", 500000L) { n =>
+      val rk = spark.range(n).select(col("id").as("record_id"),
+        concat(lit("d"), pmod(col("id"), lit(n / 4L))).as("key"))
+        .unionAll(spark.range(n).select(col("id").as("record_id"),
+          concat(lit("e"), pmod(col("id") * 7L + 3L, lit(n / 3L))).as("key")))
+      graft.ops.Identity.resolveEntities(rk)
+    }
+  }
+
+  test("set cover: each greedy round is one linear anti-join pass at 4x docs", Slow) {
+    canary("set_cover", 25000L) { n =>
+      val toks = (0 until 12).map(j =>
+        expr(s"concat('w', pmod(id * ${j * 31 + 7}, ${n / 5}))"))
+      val docs = spark.range(n).select(col("id").as("doc_id"),
+        concat_ws(" ", toks: _*).as("text"))
+      graft.ops.Corpus.setCoverSelect(docs, k = 3)
+    }
+  }
 }
