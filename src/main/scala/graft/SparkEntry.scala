@@ -220,6 +220,39 @@ object SparkEntry {
     // fixed-point weighted PageRank over the user↔type interaction
     // graph: 10 exact integer power iterations, engine-independent
     "q_pagerank" -> ((s, d) => Graph.pageRank(Analytics.events(s, d), iters = 10)),
+    // TextRank keyword extraction: PageRank over the token-adjacency
+    // graph — corpus collapses to a vocab-sized edge list, then the
+    // same exact integer power iterations
+    "q_textrank" -> ((s, d) => Graph.textRank(TextAnalysis.documents(s, d))),
+    // deterministic synchronous label propagation over the co-purchase
+    // graph: 8 weighted-argmax rounds, smallest-label tie-break
+    "q_label_propagation" -> ((s, d) =>
+      Graph.labelPropagation(Relational.table(s, d, "lineitem"))),
+    // neighborhood recommender: top-3 co-purchased parts per part by
+    // exact integer Jaccard over order sets
+    "q_item_recs" -> ((s, d) =>
+      Relational.relatedItems(Relational.table(s, d, "lineitem"))),
+    // price-volume-mix revenue bridge between two ship years per brand:
+    // division-first unit prices, effects close to the delta exactly
+    "q_revenue_bridge" -> ((s, d) =>
+      Relational.revenueBridge(Relational.table(s, d, "lineitem"),
+        Relational.table(s, d, "part"))),
+    // off-policy evaluation: IPS + SNIPS of a fixed target policy under
+    // globally-estimated logging propensities, all integer arithmetic
+    "q_policy_eval" -> ((s, d) => Analytics.policyEval(Analytics.events(s, d))),
+    // snapshot reconciliation: late-arriving 1/97 slice vs deleted 1/89
+    // slice with restated open orders on the 1/11 grid
+    "q_snapshot_diff" -> ((s, d) => {
+      val orders = Relational.table(s, d, "orders")
+      val oldSnap = orders.filter(col("o_orderkey") % 97 =!= 0)
+      val newSnap = orders.filter(col("o_orderkey") % 89 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderstatus") === "O" && col("o_orderkey") % 11 === 0,
+            col("o_totalprice") + lit(1))
+            .otherwise(col("o_totalprice")))
+      Relational.snapshotDiff(oldSnap, newSnap,
+        Seq("o_orderkey"), Seq("o_totalprice", "o_orderstatus"))
+    }),
     // triangle census of the part co-purchase graph: degree-ordered wedge
     // enumeration (O(|E|^1.5) bound), equi-joins only
     "q_triangles" -> ((s, d) =>
@@ -1723,6 +1756,12 @@ object SparkEntry {
       """SELECT user_id, array_to_string(list_sort(list_distinct(list(event_type))), ',') AS event_types
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_pagerank" -> Graph.pageRankOracleSql(iters = 10),
+    "q_textrank" -> Graph.textRankOracleSql(),
+    "q_label_propagation" -> Graph.labelPropagationOracleSql(),
+    "q_snapshot_diff" -> Relational.snapshotDiffOracleSql,
+    "q_item_recs" -> Relational.relatedItemsOracleSql(),
+    "q_revenue_bridge" -> Relational.revenueBridgeOracleSql(),
+    "q_policy_eval" -> Analytics.policyEvalOracleSql,
     // triangle count is orientation-invariant: the oracle counts the
     // canonical a<b<c form, pinning the degree-ordered plan's result
     "q_triangles" ->

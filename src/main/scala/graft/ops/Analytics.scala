@@ -4553,4 +4553,88 @@ object Analytics {
        |UNION ALL
        |SELECT 2, feature, b, split_at, polarity, werr, wtot FROM best2
        |ORDER BY round""".stripMargin
+
+  /** OFF-POLICY EVALUATION (IPS + SNIPS) — "what would the reward have
+    * been under a different policy?", answered from logged data alone:
+    * the counterfactual layer above the A/B suite, and the standard
+    * offline gate before shipping a recommender or ranking change
+    * (Horvitz–Thompson / inverse-propensity scoring; SNIPS is the
+    * self-normalized variant of Swaminathan & Joachims 2015).
+    *
+    * Setup: context = user segment (`user_id % 4`), action = event
+    * type, reward = value cents. The LOGGING policy's propensities are
+    * estimated GLOBALLY (p̂(a) = n_a/n_total — a segment-blind logger);
+    * the TARGET policy is the fixed deterministic rule π(s) = purchase
+    * on even segments, view on odd. Per segment:
+    *   IPS   = Σ_matched r·(n div n_a) div n_s   (propensity-weighted)
+    *   SNIPS = Σ_matched r div n_matched         (weights cancel —
+    *           self-normalization kills the propensity variance)
+    * All arithmetic is integer (count ratios, cents), floors mirrored,
+    * so the pairing is digit-exact.
+    *
+    * Shape at 100 TB: everything collapses to (segment, action) count/
+    * sum cells in ONE corpus aggregate; the propensity table is
+    * action-cardinality-sized and broadcast. Nothing row-wise survives
+    * the first exchange.
+    */
+  def policyEval(df: DataFrame): DataFrame = {
+    val cells = df
+      .select(pmod(col("user_id"), lit(4L)).as("segment"),
+        col("event_type").as("action"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("segment"), col("action"))
+      .agg(count(lit(1)).as("n_sa"), sum(col("cents")).as("sum_cents"))
+    val glob = cells.groupBy(col("action"))
+      .agg(sum(col("n_sa")).as("n_a"))
+    val nTot = glob.agg(sum(col("n_a")).as("n_tot"))
+    val seg = cells.groupBy(col("segment")).agg(sum(col("n_sa")).as("n_s"))
+      .withColumn("target_action",
+        when(pmod(col("segment"), lit(2L)) === 0, lit("purchase"))
+          .otherwise(lit("view")))
+    seg
+      .join(cells,
+        seg("segment") === cells("segment") &&
+          seg("target_action") === cells("action"), "left")
+      .select(seg("segment"), col("target_action"), col("n_s"),
+        coalesce(col("n_sa"), lit(0L)).as("n_matched"),
+        coalesce(col("sum_cents"), lit(0L)).as("sum_matched_cents"))
+      .join(broadcast(glob), col("target_action") === glob("action"))
+      .crossJoin(broadcast(nTot))
+      .select(col("segment"), col("target_action"),
+        col("n_s").as("n_logged"), col("n_matched"),
+        expr("1000000 * n_tot div n_a").as("w_e6"),
+        expr("sum_matched_cents * (n_tot div n_a) div n_s").as("ips_cents"),
+        expr("CASE WHEN n_matched > 0 " +
+          "THEN sum_matched_cents div n_matched END").as("snips_cents"))
+      .orderBy(col("segment"))
+  }
+
+  /** DuckDB twin of [[policyEval]]. */
+  def policyEvalOracleSql: String =
+    """WITH cells AS MATERIALIZED (
+      |  SELECT user_id % 4 AS segment, event_type AS action,
+      |    count(*)::BIGINT AS n_sa,
+      |    sum((value::DECIMAL(12,2) * 100)::BIGINT)::BIGINT AS sum_cents
+      |  FROM events GROUP BY 1, 2),
+      |gl AS (SELECT action, sum(n_sa)::BIGINT AS n_a FROM cells GROUP BY 1),
+      |tot AS (SELECT sum(n_a)::BIGINT AS n_tot FROM gl),
+      |seg AS (
+      |  SELECT segment, sum(n_sa)::BIGINT AS n_s,
+      |    CASE WHEN segment % 2 = 0 THEN 'purchase' ELSE 'view' END
+      |      AS target_action
+      |  FROM cells GROUP BY 1),
+      |m AS (
+      |  SELECT s.segment, s.target_action, s.n_s,
+      |    coalesce(c.n_sa, 0)::BIGINT AS n_matched,
+      |    coalesce(c.sum_cents, 0)::BIGINT AS sum_matched_cents
+      |  FROM seg s LEFT JOIN cells c
+      |    ON s.segment = c.segment AND s.target_action = c.action)
+      |SELECT m.segment, m.target_action, m.n_s AS n_logged, m.n_matched,
+      |  (1000000 * t.n_tot // g.n_a)::BIGINT AS w_e6,
+      |  ((m.sum_matched_cents * (t.n_tot // g.n_a)) // m.n_s)::BIGINT
+      |    AS ips_cents,
+      |  (CASE WHEN m.n_matched > 0
+      |    THEN m.sum_matched_cents // m.n_matched END)::BIGINT AS snips_cents
+      |FROM m JOIN gl g ON m.target_action = g.action CROSS JOIN tot t
+      |ORDER BY m.segment""".stripMargin
 }

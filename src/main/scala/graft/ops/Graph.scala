@@ -53,6 +53,17 @@ object Graph {
       .groupBy(col("u"), col("t")).agg(count(lit(1)).as("w"))
     val edges = pairs.select(col("u").as("src"), col("t").as("dst"), col("w"))
       .unionAll(pairs.select(col("t").as("src"), col("u").as("dst"), col("w")))
+    rankFixedPoint(edges, iters).orderBy(col("node"))
+  }
+
+  /** The shared fixed-point power-iteration core behind [[pageRank]] and
+    * [[textRank]]: takes a weighted directed edge frame `(src, dst, w)`,
+    * returns `(node, rank)` after `iters` rounds of the integer
+    * recurrence documented on [[pageRank]]. The edge frame (out-weight
+    * folded in) persists partitioned on src for the per-iteration rank
+    * join; rank frames localCheckpoint eagerly so lineage stays flat.
+    */
+  private[ops] def rankFixedPoint(edges: DataFrame, iters: Int): DataFrame = {
     val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("out_w"))
     val e = edges.join(outw, "src")
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -74,7 +85,7 @@ object Graph {
         .localCheckpoint(true)
     }
     e.unpersist()
-    rank.orderBy(col("node"))
+    rank
   }
 
   /** Chained-CTE ANSI twin of [[pageRank]] for the DuckDB oracle — one
@@ -83,7 +94,6 @@ object Graph {
     * Spark's `div` on nonnegative Longs).
     */
   def pageRankOracleSql(iters: Int = 10): String = {
-    val S = RankScale
     val head =
       s"""WITH pairs AS MATERIALIZED (
          |  SELECT 'u:' || user_id::VARCHAR AS u, 't:' || event_type AS t,
@@ -92,7 +102,19 @@ object Graph {
          |edges AS MATERIALIZED (
          |  SELECT u AS src, t AS dst, w FROM pairs
          |  UNION ALL SELECT t, u, w FROM pairs),
-         |e AS MATERIALIZED (
+         |${rankCtesSql(iters)}
+         |SELECT node, rank FROM r$iters ORDER BY node""".stripMargin
+    head
+  }
+
+  /** The shared rank-iteration CTE chain — the ANSI twin of
+    * [[rankFixedPoint]]. Expects an `edges(src, dst, w)` CTE to be in
+    * scope; defines `e/nodes/cnt/r0..r<iters>`.
+    */
+  private def rankCtesSql(iters: Int): String = {
+    val S = RankScale
+    val head =
+      s"""e AS MATERIALIZED (
          |  SELECT src, dst, w, sum(w) OVER (PARTITION BY src) AS out_w
          |  FROM edges),
          |nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
@@ -111,9 +133,153 @@ object Graph {
          |  FROM nodes n CROSS JOIN cnt c
          |  LEFT JOIN c$t ci ON n.node = ci.dst)""".stripMargin
     }.mkString(",\n")
+    s"$head,\n$iterCtes"
+  }
+
+  /** TEXTRANK KEYWORD EXTRACTION (Mihalcea & Tarau, EMNLP'04): rank
+    * corpus vocabulary by PageRank over the token ADJACENCY graph —
+    * nodes are words (≥ 3 chars), one undirected edge per consecutive
+    * token pair weighted by its corpus-wide co-occurrence count — and
+    * return the top `k` keywords. The graph-centrality upgrade over raw
+    * frequency ranking: a word matters when it co-occurs with words
+    * that matter, which is exactly what TF-IDF/frequency toplists miss.
+    *
+    * Rank arithmetic is the [[rankFixedPoint]] integer recurrence, so
+    * the DuckDB pairing is digit-exact despite 10 power iterations.
+    *
+    * Shape at 100 TB: adjacency is a per-document window function
+    * (lead over token position — doc-sized partitions, one exchange),
+    * collapsed immediately to the VOCAB-sized weighted edge list;
+    * every rank iteration runs on the vocabulary graph, never the
+    * corpus. Top-k is TakeOrderedAndProject on the final rank frame.
+    */
+  def textRank(docs: DataFrame, iters: Int = 10, k: Int = 30): DataFrame = {
+    require(iters > 0, "iters must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val toks = docs.select(col("doc_id"),
+      posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "tok")))
+    val adj = toks
+      .select(col("doc_id"), col("tok").as("x"),
+        lead(col("tok"), 1).over(w).as("y"))
+      .filter(col("y").isNotNull && col("x") =!= col("y") &&
+        length(col("x")) >= 3 && length(col("y")) >= 3)
+    val pairs = adj
+      .select(least(col("x"), col("y")).as("u"),
+        greatest(col("x"), col("y")).as("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("w"))
+    val edges = pairs.select(col("u").as("src"), col("v").as("dst"), col("w"))
+      .unionAll(pairs.select(col("v").as("src"), col("u").as("dst"), col("w")))
+    rankFixedPoint(edges, iters)
+      .select(col("node").as("word"), col("rank"))
+      .orderBy(desc("rank"), col("word"))
+      .limit(k)
+  }
+
+  /** DuckDB twin of [[textRank]]: the zip-unnest token positions feed
+    * the same lead-window adjacency, then the shared rank CTE chain.
+    */
+  def textRankOracleSql(iters: Int = 10, k: Int = 30): String =
+    s"""WITH toks AS MATERIALIZED (
+       |  SELECT doc_id, unnest(generate_series(0, len(l) - 1)) AS pos,
+       |    unnest(l) AS tok
+       |  FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS l
+       |        FROM documents)),
+       |adj AS MATERIALIZED (
+       |  SELECT x, y FROM (
+       |    SELECT tok AS x,
+       |      lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS y
+       |    FROM toks)
+       |  WHERE y IS NOT NULL AND x <> y AND len(x) >= 3 AND len(y) >= 3),
+       |pairs AS MATERIALIZED (
+       |  SELECT least(x, y) AS u, greatest(x, y) AS v, count(*)::BIGINT AS w
+       |  FROM adj GROUP BY 1, 2),
+       |edges AS MATERIALIZED (
+       |  SELECT u AS src, v AS dst, w FROM pairs
+       |  UNION ALL SELECT v, u, w FROM pairs),
+       |${rankCtesSql(iters)}
+       |SELECT node AS word, rank FROM r$iters
+       |ORDER BY rank DESC, word LIMIT $k""".stripMargin
+
+  /** LABEL-PROPAGATION COMMUNITY DETECTION (Raghavan et al. 2007),
+    * made deterministic: over the part co-purchase graph
+    * ([[Relational.partPairCounts]]), every node starts as its own
+    * label; each SYNCHRONOUS round it adopts the label with the largest
+    * total incident edge weight among its neighbours (tie → smallest
+    * label). Fixed `rounds` rounds — the async/random variants of LPA
+    * are irreproducible by design; the synchronous weighted-argmax form
+    * is exactly replayable in ANSI SQL, so community membership pairs
+    * digit-exact. Returns the community summary (label, size, smallest
+    * member) largest-first.
+    *
+    * Shape at 100 TB: the corpus-scale work is the one pair build
+    * (shared machinery with triangles/k-core); each round is one
+    * edge⋈label join + a (node, label) weight aggregate + a per-node
+    * argmax window on the NODE-sized vote frame. localCheckpoint per
+    * round bounds lineage. Rounds are O(graph diameter) in practice —
+    * 8 here; nothing iterates over the corpus.
+    */
+  def labelPropagation(
+      lineitem: DataFrame, rounds: Int = 8, minSupport: Long = 2): DataFrame = {
+    require(rounds > 0, "rounds must be positive")
+    val pairs = Relational.partPairCounts(lineitem, minSupport)
+    val edges = pairs
+      .select(col("u").as("src"), col("v").as("dst"), col("support").as("w"))
+      .unionAll(pairs
+        .select(col("v").as("src"), col("u").as("dst"), col("support").as("w")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(true)
+    val argmax = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(desc("wt"), col("label"))
+    for (_ <- 1 to rounds) {
+      labels = edges.join(labels, edges("dst") === labels("node"))
+        .groupBy(col("src"), col("label")).agg(sum(col("w")).as("wt"))
+        .withColumn("rn", row_number().over(argmax))
+        .filter(col("rn") === 1)
+        .select(col("src").as("node"), col("label"))
+        .localCheckpoint(true)
+    }
+    edges.unpersist()
+    labels.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_members"), min(col("node")).as("min_member"))
+      .orderBy(desc("n_members"), col("label"))
+  }
+
+  /** DuckDB twin of [[labelPropagation]] — one CTE pair per round
+    * (votes → per-node argmax), identical tie-breaks.
+    */
+  def labelPropagationOracleSql(
+      rounds: Int = 8, minSupport: Long = 2): String = {
+    val head =
+      s"""WITH items AS (
+         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         |p AS MATERIALIZED (
+         |  SELECT a.pk AS u, b.pk AS v, count(*)::BIGINT AS w
+         |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+         |  GROUP BY 1, 2 HAVING count(*) >= $minSupport),
+         |e AS MATERIALIZED (
+         |  SELECT u AS src, v AS dst, w FROM p
+         |  UNION ALL SELECT v, u, w FROM p),
+         |l0 AS MATERIALIZED (
+         |  SELECT DISTINCT src AS node, src AS label FROM e)""".stripMargin
+    val iterCtes = (1 to rounds).map { t =>
+      s"""v$t AS MATERIALIZED (
+         |  SELECT e.src, l.label, sum(e.w)::BIGINT AS wt
+         |  FROM e JOIN l${t - 1} l ON e.dst = l.node GROUP BY 1, 2),
+         |l$t AS MATERIALIZED (
+         |  SELECT src AS node, label FROM (
+         |    SELECT src, label, row_number() OVER (
+         |      PARTITION BY src ORDER BY wt DESC, label) AS rn
+         |    FROM v$t) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
     s"""$head,
        |$iterCtes
-       |SELECT node, rank FROM r$iters ORDER BY node""".stripMargin
+       |SELECT label, count(*)::BIGINT AS n_members,
+       |  min(node)::BIGINT AS min_member
+       |FROM l$rounds GROUP BY 1
+       |ORDER BY n_members DESC, label""".stripMargin
   }
 
   /** Triangle census of the part co-purchase graph (nodes = parts, one

@@ -1557,4 +1557,232 @@ object Relational {
        |  END) AS boot_se_cents,
        |  rep_mean_min_cents, rep_mean_max_cents
        |FROM o CROSS JOIN s""".stripMargin
+
+  /** ITEM-ITEM RECOMMENDATIONS — the classic neighborhood recommender
+    * readout ("customers who bought X also bought Y"): for every part,
+    * the `topK` co-purchased parts ranked by JACCARD similarity of
+    * their order sets, co·10⁶ div (|A|+|B|−co) — exact integer, so the
+    * DuckDB pairing is digit-exact (cosine needs a sqrt; Jaccard is the
+    * standard integer-safe choice for implicit-feedback co-occurrence).
+    *
+    * Shape at 100 TB: the pair frame is [[partPairCounts]]' one-exchange
+    * build (support floor prunes the long tail before anything joins);
+    * per-part order counts ride a broadcast-if-small dimension join;
+    * top-k is a per-part row_number window on the PAIR-sized frame —
+    * never a cross join, never corpus-wide state.
+    */
+  def relatedItems(
+      lineitem: DataFrame, minSupport: Long = 2, topK: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sets = orderPartSets(lineitem)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = explodedPairs(sets)
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("co"))
+      .filter(col("co") >= minSupport)
+    val counts = sets.select(explode(col("pks")).as("pk"))
+      .groupBy(col("pk")).agg(count(lit(1)).as("cnt"))
+    val sym = pairs
+      .select(col("u").as("part_id"), col("v").as("rec_part_id"), col("co"))
+      .unionAll(pairs
+        .select(col("v").as("part_id"), col("u").as("rec_part_id"), col("co")))
+    val w = Window.partitionBy(col("part_id"))
+      .orderBy(desc("jaccard_e6"), col("rec_part_id"))
+    sym
+      .join(broadcastIfSmall(
+        counts.select(col("pk").as("part_id"), col("cnt").as("cnt_a"))),
+        "part_id")
+      .join(broadcastIfSmall(
+        counts.select(col("pk").as("rec_part_id"), col("cnt").as("cnt_b"))),
+        "rec_part_id")
+      .withColumn("jaccard_e6", expr("co * 1000000 div (cnt_a + cnt_b - co)"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= topK)
+      .select(col("part_id"), col("rec_part_id"), col("co").as("co_orders"),
+        col("jaccard_e6"), col("rnk"))
+      .orderBy(col("part_id"), col("rnk"))
+  }
+
+  /** DuckDB twin of [[relatedItems]]. */
+  def relatedItemsOracleSql(minSupport: Long = 2, topK: Int = 3): String =
+    s"""WITH items AS (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |cnt AS MATERIALIZED (
+       |  SELECT pk, count(*)::BIGINT AS c FROM items GROUP BY 1),
+       |p AS MATERIALIZED (
+       |  SELECT a.pk AS u, b.pk AS v, count(*)::BIGINT AS co
+       |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+       |  GROUP BY 1, 2 HAVING count(*) >= $minSupport),
+       |sym AS (
+       |  SELECT u AS part_id, v AS rec_part_id, co FROM p
+       |  UNION ALL SELECT v, u, co FROM p),
+       |s AS (
+       |  SELECT part_id, rec_part_id, co,
+       |    (co * 1000000) // (ca.c + cb.c - co) AS jaccard_e6
+       |  FROM sym
+       |  JOIN cnt ca ON part_id = ca.pk
+       |  JOIN cnt cb ON rec_part_id = cb.pk)
+       |SELECT part_id, rec_part_id, co AS co_orders, jaccard_e6, rnk
+       |FROM (SELECT *, row_number() OVER (
+       |    PARTITION BY part_id ORDER BY jaccard_e6 DESC, rec_part_id) AS rnk
+       |  FROM s)
+       |WHERE rnk <= $topK
+       |ORDER BY part_id, rnk""".stripMargin
+
+  /** PRICE–VOLUME–MIX BRIDGE — the standard BI revenue-variance
+    * decomposition between two periods, per brand: with period revenues
+    * r₀,r₁ (e-4 dollars, exact) and volumes v₀,v₁ (e-2 units, exact),
+    * unit prices pᵢ = rᵢ div vᵢ (nonnegative floor division — the ONLY
+    * divisions in the bridge, so Spark `div` and DuckDB `//` agree),
+    *   volume effect = (v₁−v₀)·p₀               (growth at old price)
+    *   price  effect = (p₁−p₀)·v₀               (new price at old volume)
+    *   mix residual  = Δr − volume − price      (interaction + floor dust)
+    * Negative deltas are only ever MULTIPLIED (exact in both engines),
+    * never divided, and the residual absorbs the unit-price floors, so
+    * the three effects SUM TO Δr exactly — the property a finance
+    * reviewer checks first. Division-first also keeps every product
+    * under price·volume ≈ total revenue (≪ Long range at any SF),
+    * where the effect·volume product of the textbook form overflows.
+    *
+    * Shape at 100 TB: one fact-scan aggregate per (brand, year) — the
+    * year predicate prunes at the scan; part is a broadcast dimension;
+    * the bridge arithmetic runs on the BRAND-sized frame.
+    */
+  def revenueBridge(
+      lineitem: DataFrame, part: DataFrame,
+      year0: Int = 1995, year1: Int = 1996): DataFrame = {
+    val rev = (money("l_extendedprice") *
+      (lit(1.0).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)")))
+    val byYear = lineitem
+      .filter(year(col("l_shipdate")).isin(year0, year1))
+      .join(broadcast(part.select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), year(col("l_shipdate")).as("yr"))
+      .agg(sum((rev * 10000).cast("long")).as("rev_e4"),
+        sum((col("l_quantity").cast("decimal(18,2)") * 100).cast("long"))
+          .as("vol_e2"))
+    val y0 = byYear.filter(col("yr") === year0)
+      .select(col("p_brand"), col("rev_e4").as("rev0_e4"),
+        col("vol_e2").as("vol0_e2"))
+    val y1 = byYear.filter(col("yr") === year1)
+      .select(col("p_brand"), col("rev_e4").as("rev1_e4"),
+        col("vol_e2").as("vol1_e2"))
+    y0.join(y1, "p_brand")
+      .filter(col("vol0_e2") > 0 && col("vol1_e2") > 0)
+      .withColumn("delta_e4", col("rev1_e4") - col("rev0_e4"))
+      .withColumn("p0_e4", expr("rev0_e4 div vol0_e2"))
+      .withColumn("p1_e4", expr("rev1_e4 div vol1_e2"))
+      .withColumn("volume_effect_e4",
+        expr("(vol1_e2 - vol0_e2) * p0_e4"))
+      .withColumn("price_effect_e4", expr("(p1_e4 - p0_e4) * vol0_e2"))
+      .withColumn("mix_residual_e4",
+        col("delta_e4") - col("volume_effect_e4") - col("price_effect_e4"))
+      .select(col("p_brand"), col("rev0_e4"), col("rev1_e4"), col("delta_e4"),
+        col("volume_effect_e4"), col("price_effect_e4"),
+        col("mix_residual_e4"))
+      .orderBy(col("p_brand"))
+  }
+
+  /** DuckDB twin of [[revenueBridge]]. */
+  def revenueBridgeOracleSql(year0: Int = 1995, year1: Int = 1996): String =
+    s"""WITH by_year AS MATERIALIZED (
+       |  SELECT p_brand, year(l_shipdate) AS yr,
+       |    sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+       |      * (CAST(1.0 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+       |      * 10000 AS BIGINT))::BIGINT AS rev_e4,
+       |    sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT))::BIGINT
+       |      AS vol_e2
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |  WHERE year(l_shipdate) IN ($year0, $year1)
+       |  GROUP BY 1, 2),
+       |y0 AS (SELECT p_brand, rev_e4 AS rev0_e4, vol_e2 AS vol0_e2
+       |       FROM by_year WHERE yr = $year0),
+       |y1 AS (SELECT p_brand, rev_e4 AS rev1_e4, vol_e2 AS vol1_e2
+       |       FROM by_year WHERE yr = $year1),
+       |b AS (
+       |  SELECT p_brand, rev0_e4, rev1_e4,
+       |    rev1_e4 - rev0_e4 AS delta_e4,
+       |    rev0_e4 // vol0_e2 AS p0_e4,
+       |    rev1_e4 // vol1_e2 AS p1_e4,
+       |    vol0_e2, vol1_e2
+       |  FROM y0 JOIN y1 USING (p_brand)
+       |  WHERE vol0_e2 > 0 AND vol1_e2 > 0)
+       |SELECT p_brand, rev0_e4, rev1_e4, delta_e4,
+       |  ((vol1_e2 - vol0_e2) * p0_e4)::BIGINT AS volume_effect_e4,
+       |  ((p1_e4 - p0_e4) * vol0_e2)::BIGINT AS price_effect_e4,
+       |  (delta_e4 - (vol1_e2 - vol0_e2) * p0_e4
+       |    - (p1_e4 - p0_e4) * vol0_e2)::BIGINT AS mix_residual_e4
+       |FROM b
+       |ORDER BY p_brand""".stripMargin
+
+  /** SNAPSHOT DIFF — the reconciliation primitive behind CDC validation,
+    * backfill sign-off, and cross-environment table compares: classify
+    * every key across two snapshot versions as added / removed /
+    * changed / unchanged and report per-class row counts with a
+    * deterministic key range. `changed` is a NULL-SAFE comparison over
+    * `compareCols` (a column going value↔NULL is a change, not a match).
+    *
+    * Shape at 100 TB: both sides project ONLY key + compare columns
+    * (column pruning reaches the parquet scan), then one co-partitioned
+    * full-outer shuffle join on the key — the classification and the
+    * final 4-row rollup are map-side. When the compared payload is wide,
+    * swap `compareCols` for a precomputed 8-byte row fingerprint
+    * (`xxhash64(struct(cols))`) on each side: the join then moves 16
+    * bytes per row instead of the payload; this exact-column form is the
+    * oracle-matched baseline.
+    */
+  def snapshotDiff(
+      oldSnap: DataFrame,
+      newSnap: DataFrame,
+      keyCols: Seq[String],
+      compareCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    require(compareCols.nonEmpty, "compareCols must be non-empty")
+    val o = oldSnap.select(
+      keyCols.map(col) ++ compareCols.map(c => col(c).as(s"old_$c"))
+        :+ lit(1).as("old_present"): _*)
+    val n = newSnap.select(
+      keyCols.map(col) ++ compareCols.map(c => col(c).as(s"new_$c"))
+        :+ lit(1).as("new_present"): _*)
+    val changed = compareCols
+      .map(c => !(col(s"old_$c") <=> col(s"new_$c")))
+      .reduce(_ || _)
+    o.join(n, keyCols, "full_outer")
+      .withColumn("change_type",
+        when(col("old_present").isNull, lit("added"))
+          .when(col("new_present").isNull, lit("removed"))
+          .when(changed, lit("changed"))
+          .otherwise(lit("unchanged")))
+      .groupBy(col("change_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col(keyCols.head)).as("min_key"),
+        max(col(keyCols.head)).as("max_key"))
+      .orderBy(col("change_type"))
+  }
+
+  /** DuckDB twin of the q_snapshot_diff wiring: old = orders without the
+    * late-arriving 1/97 slice; new = orders without the deleted 1/89
+    * slice, open orders on the 1/11 grid restated +1.00.
+    */
+  def snapshotDiffOracleSql: String =
+    """WITH old AS (
+      |  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+      |  WHERE o_orderkey % 97 <> 0),
+      |neu AS (
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_orderstatus = 'O' AND o_orderkey % 11 = 0
+      |      THEN o_totalprice + 1 ELSE o_totalprice END AS o_totalprice,
+      |    o_orderstatus FROM orders
+      |  WHERE o_orderkey % 89 <> 0),
+      |j AS (
+      |  SELECT coalesce(o.o_orderkey, n.o_orderkey) AS k,
+      |    CASE WHEN o.o_orderkey IS NULL THEN 'added'
+      |         WHEN n.o_orderkey IS NULL THEN 'removed'
+      |         WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
+      |           OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+      |           THEN 'changed'
+      |         ELSE 'unchanged' END AS change_type
+      |  FROM old o FULL OUTER JOIN neu n ON o.o_orderkey = n.o_orderkey)
+      |SELECT change_type, count(*)::BIGINT AS n_rows,
+      |  min(k)::BIGINT AS min_key, max(k)::BIGINT AS max_key
+      |FROM j GROUP BY 1 ORDER BY change_type""".stripMargin
 }

@@ -1209,4 +1209,30 @@ class AnalyticsSpec extends SparkTestBase {
     assert(out.head.getAs[Long]("beta1_e6") == 2000000L)
     assert(out.head.getAs[Long]("beta2_e6") == 3000000L)
   }
+
+  test("policyEval: hand-computed IPS and SNIPS under global propensities") {
+    import spark.implicits._
+    // seg 0 (user 0, target purchase): purchase 100c, purchase 200c,
+    //   view 500c → n_s=3, matched n=2 sum=300
+    // seg 1 (user 1, target view): view 400c, click 100c → n_s=2,
+    //   matched n=1 sum=400
+    // global: n_tot=5, n_purchase=2, n_view=2
+    // w_e6 = 1e6·5 div 2 = 2500000 for both targets
+    // seg0: ips = 300·(5 div 2) div 3 = 200; snips = 300 div 2 = 150
+    // seg1: ips = 400·(5 div 2) div 2 = 400; snips = 400
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val ev = Seq(
+      (1L, ts, 0L, "purchase", 1.0, "{}"), (2L, ts, 0L, "purchase", 2.0, "{}"),
+      (3L, ts, 0L, "view", 5.0, "{}"), (4L, ts, 1L, "view", 4.0, "{}"),
+      (5L, ts, 1L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = graft.ops.Analytics.policyEval(ev).collect()
+      .map(r => (r.getAs[Long]("segment"), r.getAs[String]("target_action"),
+        r.getAs[Long]("n_logged"), r.getAs[Long]("n_matched"),
+        r.getAs[Long]("w_e6"), r.getAs[Long]("ips_cents"),
+        r.getAs[Long]("snips_cents")))
+    assert(out.toSeq == Seq(
+      (0L, "purchase", 3L, 2L, 2500000L, 200L, 150L),
+      (1L, "view", 2L, 1L, 2500000L, 400L, 400L)))
+  }
 }

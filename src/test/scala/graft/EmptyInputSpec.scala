@@ -345,5 +345,18 @@ class EmptyInputSpec extends SparkTestBase {
     // the depth grid survives an empty corpus: k all-zero overlap rows
     val noDocs7 = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(graft.ops.TextAnalysis.rankBiasedOverlap(noDocs7).count() == 20)
+    assert(graft.ops.Graph.textRank(noDocs7).count() == 0)
+    assert(graft.ops.Graph.labelPropagation(noLi7).count() == 0)
+    val noSnap = Seq.empty[(Long, Long)].toDF("k", "v")
+    assert(graft.ops.Relational.snapshotDiff(
+      noSnap, noSnap, Seq("k"), Seq("v")).count() == 0)
+    assert(graft.ops.Relational.relatedItems(noLi7).count() == 0)
+    val noPart = Seq.empty[(Long, String)].toDF("p_partkey", "p_brand")
+    val noLiFull = Seq.empty[(Long, Long, Double, Double, Double,
+      java.sql.Timestamp)]
+      .toDF("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice",
+        "l_discount", "l_shipdate")
+    assert(graft.ops.Relational.revenueBridge(noLiFull, noPart).count() == 0)
+    assert(graft.ops.Analytics.policyEval(noEventsFull).count() == 0)
   }
 }

@@ -138,6 +138,53 @@ class GraphSpec extends SparkTestBase {
       .flatten.toDF("l_orderkey", "l_partkey")
     assert(graft.ops.Graph.kCore(li, k = 2).count() == 0)
   }
+
+  test("textRank: one hand-computed iteration over a hub-and-spokes adjacency graph") {
+    import spark.implicits._
+    // "hub aaa hub bbb hub ccc": adjacency pairs (aaa,hub) w2, (bbb,hub)
+    // w2, (ccc,hub) w1. N=4, init = 250000000; out_w: aaa 2, bbb 2,
+    // ccc 1, hub 5; base = (15·250000000) div 100 = 37500000
+    // contribs: hub ← 250M + 250M + 250M = 750M; aaa,bbb ← 250M·2 div 5
+    // = 100M; ccc ← 50M
+    val docs = Seq((1L, "hub aaa hub bbb hub ccc")).toDF("doc_id", "text")
+    val r1 = Graph.textRank(docs, iters = 1, k = 10).collect()
+      .map(r => r.getAs[String]("word") -> r.getAs[Long]("rank")).toMap
+    assert(r1 == Map(
+      "hub" -> 675000000L, "aaa" -> 122500000L, "bbb" -> 122500000L,
+      "ccc" -> 80000000L))
+  }
+
+  test("textRank: short tokens are dropped and k caps the toplist") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "go to the market and buy the fresh bread"),
+      (2L, "go to the market and buy the fresh milk")).toDF("doc_id", "text")
+    val out = Graph.textRank(docs, iters = 3, k = 3).collect()
+    assert(out.length == 3)
+    assert(out.forall(_.getAs[String]("word").length >= 3))
+    // deterministic across runs (integer arithmetic, total ordering)
+    val again = Graph.textRank(docs, iters = 3, k = 3).collect()
+    assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
+  test("labelPropagation: two triangles over a weak bridge settle into two communities") {
+    import spark.implicits._
+    // triangles {1,2,3} and {4,5,6}, intra-clique support 4, bridge
+    // 3–4 support 2: sync argmax (weight desc, label asc) converges by
+    // round 3 to labels 1 and 4; the bridge never flips a clique
+    def orders(base: Long, n: Int, pa: Long, pb: Long) =
+      (0 until n).flatMap(i => Seq((base + i, pa), (base + i, pb)))
+    val li = (
+      orders(100, 4, 1L, 2L) ++ orders(200, 4, 1L, 3L) ++
+      orders(300, 4, 2L, 3L) ++ orders(400, 4, 4L, 5L) ++
+      orders(500, 4, 4L, 6L) ++ orders(600, 4, 5L, 6L) ++
+      orders(700, 2, 3L, 4L)
+    ).toDF("l_orderkey", "l_partkey")
+    val out = Graph.labelPropagation(li, rounds = 8).collect()
+      .map(r => (r.getAs[Long]("label"), r.getAs[Long]("n_members"),
+        r.getAs[Long]("min_member")))
+    assert(out.toSeq == Seq((1L, 3L, 1L), (4L, 3L, 4L)))
+  }
 }
 
 private object Graft {

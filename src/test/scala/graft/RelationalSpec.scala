@@ -361,4 +361,69 @@ class RelationalSpec extends SparkTestBase {
     assert(spread.getAs[Long]("rep_mean_min_cents") <
       spread.getAs[Long]("rep_mean_max_cents"))
   }
+
+  test("snapshotDiff classifies added/removed/changed/unchanged with null-safe compares") {
+    import spark.implicits._
+    // key 1 only in old (removed), key 5 only in new (added),
+    // key 3 NULL→30 and key 4 40→NULL (both CHANGED — the null-safe
+    // compare treats value↔NULL as a difference), key 2 identical
+    val oldSnap = Seq(
+      (1L, Some(10L)), (2L, Some(20L)), (3L, None), (4L, Some(40L)))
+      .toDF("k", "v")
+    val newSnap = Seq(
+      (2L, Some(20L)), (3L, Some(30L)), (4L, None), (5L, Some(50L)))
+      .toDF("k", "v")
+    val out = Relational.snapshotDiff(oldSnap, newSnap, Seq("k"), Seq("v"))
+      .collect()
+      .map(r => (r.getAs[String]("change_type"), r.getAs[Long]("n_rows"),
+        r.getAs[Long]("min_key"), r.getAs[Long]("max_key")))
+    assert(out.toSeq == Seq(
+      ("added", 1L, 5L, 5L), ("changed", 2L, 3L, 4L),
+      ("removed", 1L, 1L, 1L), ("unchanged", 1L, 2L, 2L)))
+  }
+
+  test("relatedItems ranks co-purchased parts by exact Jaccard with tie-breaks") {
+    import spark.implicits._
+    // orders: {1,2} ×3, {1,3} ×2, {2,3} ×2 → counts: 1→5, 2→5, 3→4
+    // jaccard(1,2) = 3e6 div (5+5-3) = 428571
+    // jaccard(1,3) = 2e6 div (5+4-2) = 285714 = jaccard(2,3)
+    val li = (
+      (0 until 3).flatMap(i => Seq((10L + i, 1L), (10L + i, 2L))) ++
+      (0 until 2).flatMap(i => Seq((20L + i, 1L), (20L + i, 3L))) ++
+      (0 until 2).flatMap(i => Seq((30L + i, 2L), (30L + i, 3L)))
+    ).toDF("l_orderkey", "l_partkey")
+    val out = Relational.relatedItems(li).collect()
+      .map(r => (r.getAs[Long]("part_id"), r.getAs[Long]("rec_part_id"),
+        r.getAs[Long]("jaccard_e6"), r.getAs[Long]("rnk")))
+    assert(out.toSeq == Seq(
+      (1L, 2L, 428571L, 1L), (1L, 3L, 285714L, 2L),
+      (2L, 1L, 428571L, 1L), (2L, 3L, 285714L, 2L),
+      (3L, 1L, 285714L, 1L), (3L, 2L, 285714L, 2L)))
+  }
+
+  test("revenueBridge effects close to the revenue delta exactly") {
+    import spark.implicits._
+    // brand B: 1995 → 10 units at $2.00 (rev 20.00), 1996 → 20 units at
+    // $3.00 (rev 60.00). p0_e4 = 200000 div 1000 = 200; p1_e4 = 300.
+    // volume = (2000-1000)·200 = 200000; price = (300-200)·1000 =
+    // 100000; mix = 400000 - 200000 - 100000 = 100000 (=Δv·Δp exactly)
+    def lines(year: Int, n: Int, price: Double) =
+      (0 until n).map(i => (year * 100L + i, 1L, 1.0, price,
+        0.0, java.sql.Timestamp.valueOf(s"$year-06-01 00:00:00")))
+    val li = (lines(1995, 10, 2.0) ++ lines(1996, 20, 3.0))
+      .toDF("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice",
+        "l_discount", "l_shipdate")
+    val part = Seq((1L, "B")).toDF("p_partkey", "p_brand")
+    val out = Relational.revenueBridge(li, part).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("rev0_e4") == 200000L)
+    assert(r.getAs[Long]("rev1_e4") == 600000L)
+    assert(r.getAs[Long]("volume_effect_e4") == 200000L)
+    assert(r.getAs[Long]("price_effect_e4") == 100000L)
+    assert(r.getAs[Long]("mix_residual_e4") == 100000L)
+    assert(r.getAs[Long]("delta_e4") ==
+      r.getAs[Long]("volume_effect_e4") + r.getAs[Long]("price_effect_e4") +
+        r.getAs[Long]("mix_residual_e4"))
+  }
 }
