@@ -115,7 +115,14 @@ object Bench {
     // operator family pays JIT + whole-stage-codegen compilation (5-10x
     // the steady-state cost); the timed second run measures engine
     // throughput, which is the quantity comparable across engines.
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // optional comma-separated query filter (local iteration aid, the
+    // Verify precedent — the driver never sets it, so headline runs
+    // always cover the full suite)
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       // Per-query cache isolation: the library persists frames lazily
       // and leaves them for the session, so across a 100+-query suite
       // the unified pool fills with other queries' blocks and later

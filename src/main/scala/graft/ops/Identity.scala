@@ -64,20 +64,24 @@ object Identity {
         .groupBy(col("a")).agg(min(col("label")).as("nbr_label"))
       val relaxed = labels
         .join(neighborMin, labels("record_id") === neighborMin("a"), "left")
-        .select(col("record_id"),
+        .select(col("record_id"), col("label").as("old_label"),
           least(col("label"), coalesce(col("nbr_label"), col("label")))
             .as("label"))
       // pointer jumping: label := label(label). Every label value is
       // itself a record id (mins of record ids), so the self-join is
-      // total and the lookup never drops a row.
+      // total and the lookup never drops a row. The OLD label rides
+      // along into the checkpoint so the convergence check below is a
+      // partition-local count on materialized data — not (as it first
+      // shipped) a second shuffle join against the previous label
+      // frame, which doubled the per-round job count for nothing.
       val next = relaxed
         .join(relaxed.select(col("record_id").as("lid"),
           col("label").as("llabel")), col("label") === col("lid"))
-        .select(col("record_id"), col("llabel").as("label"))
+        .select(col("record_id"), col("llabel").as("label"),
+          (col("llabel") =!= col("old_label")).as("changed"))
         .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("label", "old"), "record_id")
-        .filter(col("label") =!= col("old")).count()
-      labels = next
+      changed = next.filter(col("changed")).count()
+      labels = next.select(col("record_id"), col("label"))
       round += 1
     }
     require(changed == 0,
