@@ -32,7 +32,14 @@ object Spatial {
     * circle test is a residual filter, and AQE's skew split covers a
     * hot cell (a city) the same way it covers a hot join key.
     */
-  def spatialNeighbors(events: DataFrame, epsE6: Long = 100000L): DataFrame = {
+  def spatialNeighbors(events: DataFrame, epsE6: Long = 100000L): DataFrame =
+    neighborPairs(events, epsE6).orderBy(col("uid_a"), col("uid_b"))
+
+  /** [[spatialNeighbors]] without the presentation sort — the internal
+    * form [[dbscan]] consumes (its checkpoint has no use for a global
+    * ordering exchange).
+    */
+  private def neighborPairs(events: DataFrame, epsE6: Long): DataFrame = {
     require(epsE6 > 0, "eps must be positive")
     val pts = events
       .filter(col("user_id").isNotNull)
@@ -56,7 +63,6 @@ object Spatial {
           (col("ya") - col("yb")) * (col("ya") - col("yb")))
       .filter(col("dist2") <= epsE6 * epsE6)
       .select(col("uid_a"), col("uid_b"), col("dist2"))
-      .orderBy(col("uid_a"), col("uid_b"))
   }
 
   /** DuckDB oracle for [[spatialNeighbors]] — the straightforward
@@ -102,7 +108,7 @@ object Spatial {
       minPts: Int = 4,
       maxIters: Int = 50): DataFrame = {
     require(minPts >= 1, "minPts must be at least 1")
-    val pairs = spatialNeighbors(events, epsE6)
+    val pairs = neighborPairs(events, epsE6)
     // symmetric neighbor lists (pairs are uid_a < uid_b)
     val nbrs = pairs.select(col("uid_a").as("u"), col("uid_b").as("v"))
       .unionByName(pairs.select(col("uid_b").as("u"), col("uid_a").as("v")))
@@ -126,15 +132,24 @@ object Spatial {
     while (changed > 0 && i < maxIters) {
       val nmin = coreEdges.join(labels, coreEdges("v") === labels("uid"))
         .groupBy(col("u")).agg(min(col("cluster_id")).as("nmin"))
-      val updated = labels.as("l")
+      val relaxed = labels.as("l")
         .join(nmin, col("l.uid") === nmin("u"), "left")
-        .select(col("l.uid").as("uid"),
+        .select(col("l.uid").as("uid"), col("l.cluster_id").as("old_label"),
           least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id")))
-            .as("new_cluster_id"),
-          (coalesce(col("nmin"), col("cluster_id")) < col("cluster_id")).as("chg"))
+            .as("mid"))
+      // pointer jumping (the [[Identity.resolveEntities]] discipline):
+      // label := label(label) compresses chains, so a cluster that
+      // snakes across many grid cells converges in O(log diameter)
+      // rounds instead of diameter rounds. Every label value is itself
+      // a core uid (mins of core uids), so the self-join is total.
+      val updated = relaxed
+        .join(relaxed.select(col("uid").as("lid"), col("mid").as("llabel")),
+          col("mid") === col("lid"))
+        .select(col("uid"), col("llabel").as("cluster_id"),
+          (col("llabel") =!= col("old_label")).as("chg"))
         .localCheckpoint()
       changed = updated.filter(col("chg")).count()
-      labels = updated.select(col("uid"), col("new_cluster_id").as("cluster_id"))
+      labels = updated.select(col("uid"), col("cluster_id"))
       i += 1
     }
     if (changed > 0) throw new IllegalStateException(
