@@ -1653,6 +1653,13 @@ object Relational {
     val rev = (money("l_extendedprice") *
       (lit(1.0).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)")))
     val byYear = lineitem
+      // raw-column range predicate FIRST so row-group min/max pruning
+      // fires at the scan (year(col) is not a pushable filter); the
+      // year() membership then narrows exactly inside the range
+      .filter(col("l_shipdate") >= lit(s"$year0-01-01 00:00:00")
+        .cast("timestamp") &&
+        col("l_shipdate") < lit(s"${year1 + 1}-01-01 00:00:00")
+          .cast("timestamp"))
       .filter(year(col("l_shipdate")).isin(year0, year1))
       .join(broadcast(part.select(col("p_partkey"), col("p_brand"))),
         col("l_partkey") === col("p_partkey"))

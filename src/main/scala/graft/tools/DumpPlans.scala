@@ -146,7 +146,13 @@ object DumpPlans {
       "q_mahalanobis" -> "Mahalanobis outliers: one moment aggregate broadcast back over the user frame, row-local closed-form d², TakeOrderedAndProject top-k",
       "q_heaps_law" -> "Heaps' law: every checkpoint answered from ONE first-seen-doc collapse of the trigram vocabulary — no per-checkpoint re-scan, no document sort",
       "q_powerlaw_alpha" -> "power-law alpha: degree aggregate (the only corpus step), e6-quantized ln terms summed order-free, 1-row MLE",
-      "q_simpsons" -> "Simpson's check: the grouped-OLS 5-sum aggregate twice over one shared projection, 1-row pooled slope broadcast into the per-stratum compare")
+      "q_simpsons" -> "Simpson's check: the grouped-OLS 5-sum aggregate twice over one shared projection, 1-row pooled slope broadcast into the per-stratum compare",
+      "q_textrank" -> "TextRank: per-doc lead-window adjacency collapses the corpus to a vocab-sized edge list; 10 integer rank iterations on the graph, TakeOrderedAndProject top-k",
+      "q_label_propagation" -> "label propagation: one pair build shared with triangles/k-core; each round an edge⋈label join + node-sized argmax window, localCheckpoint-bounded",
+      "q_snapshot_diff" -> "snapshot diff: both scans pruned to key+compare columns, one co-partitioned full-outer join, 4-row rollup",
+      "q_item_recs" -> "item recs: one-exchange pair build, broadcast part-count dims, per-part top-k window on the pair frame",
+      "q_revenue_bridge" -> "revenue bridge: pushed ship-date range + broadcast part dim, one (brand, year) aggregate, bridge arithmetic on the brand frame",
+      "q_policy_eval" -> "off-policy eval: ONE corpus collapse to (segment, action) cells; propensities and totals ride broadcasts over the 4-row segment frame")
 
     val sb = new StringBuilder
     sb.append("# PLANS — explain(\"formatted\") for headline queries\n\n")

@@ -905,4 +905,34 @@ class PlanShapeSpec extends SparkTestBase {
       s"node grid must broadcast across the key scan:\n$p")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
+
+  test("revenueBridge: ship-year range pushes to the scan; part broadcasts") {
+    val p = plan(Relational.revenueBridge(
+      Relational.table(spark, sf, "lineitem"),
+      Relational.table(spark, sf, "part")))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"),
+      s"year range must prune row groups at the scan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"part must broadcast:\n$p")
+  }
+
+  test("snapshotDiff: both snapshot scans read only key + compare columns") {
+    val orders = Relational.table(spark, sf, "orders")
+    val p = plan(Relational.snapshotDiff(orders, orders,
+      Seq("o_orderkey"), Seq("o_totalprice", "o_orderstatus")))
+    // column pruning is THE scale property of a reconciliation pass: a
+    // scan that drags o_comment through a full-outer join moves the
+    // whole table twice for a 3-column compare
+    assert(!p.contains("o_comment") && !p.contains("o_clerk"),
+      s"snapshot scans must prune to key+compare columns:\n$p")
+    assert(p.contains("o_totalprice"), p)
+  }
+
+  test("relatedItems: no cartesian product; per-part top-k is one window") {
+    val p = plan(Relational.relatedItems(
+      Relational.table(spark, sf, "lineitem")))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"pair build must stay an equi-join:\n$p")
+    assert(p.contains("Window"), p)
+  }
 }

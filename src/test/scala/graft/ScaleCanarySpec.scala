@@ -180,6 +180,15 @@ class ScaleCanarySpec extends SparkTestBase {
     }
   }
 
+  test("label propagation: per-round vote joins stay near-linear as the graph grows 4x", Slow) {
+    canary("label_propagation", 500000L) { n =>
+      val li = spark.range(n).select(
+        (col("id") / 5L).cast("long").as("l_orderkey"),
+        pmod(col("id") * lit(2654435761L), lit(n / 250L)).as("l_partkey"))
+      graft.ops.Graph.labelPropagation(li, rounds = 4)
+    }
+  }
+
   test("set cover: each greedy round is one linear anti-join pass at 4x docs", Slow) {
     canary("set_cover", 25000L) { n =>
       val toks = (0 until 12).map(j =>
