@@ -240,6 +240,13 @@ object SparkEntry {
     // off-policy evaluation: IPS + SNIPS of a fixed target policy under
     // globally-estimated logging propensities, all integer arithmetic
     "q_policy_eval" -> ((s, d) => Analytics.policyEval(Analytics.events(s, d))),
+    // rolling-origin backtest of the naive vs seasonal-naive baselines:
+    // one day-dimension collapse, MAE/WAPE/bias per (model, horizon)
+    "q_forecast_backtest" -> ((s, d) =>
+      Relational.forecastBacktest(Relational.table(s, d, "orders"))),
+    // l-diversity audit over the k-anon QI cells: distinct spend bands
+    // per cell vs the l-grid
+    "q_ldiversity" -> ((s, d) => Privacy.lDiversity(Analytics.events(s, d))),
     // snapshot reconciliation: late-arriving 1/97 slice vs deleted 1/89
     // slice with restated open orders on the 1/11 grid
     "q_snapshot_diff" -> ((s, d) => {
@@ -1762,6 +1769,8 @@ object SparkEntry {
     "q_item_recs" -> Relational.relatedItemsOracleSql(),
     "q_revenue_bridge" -> Relational.revenueBridgeOracleSql(),
     "q_policy_eval" -> Analytics.policyEvalOracleSql,
+    "q_forecast_backtest" -> Relational.forecastBacktestOracleSql(),
+    "q_ldiversity" -> Privacy.lDiversityOracleSql(),
     // triangle count is orientation-invariant: the oracle counts the
     // canonical a<b<c form, pinning the degree-ordered plan's result
     "q_triangles" ->

@@ -115,4 +115,64 @@ object Privacy {
         expr("(raw_rows - kept_rows) * 10000 div raw_rows"))
       .orderBy(col("cap"))
   }
+
+  /** L-DIVERSITY AUDIT — the disclosure check k-anonymity misses: a
+    * cell can hold ≥ k rows yet expose everyone in it if they all share
+    * the same SENSITIVE value (Machanavajjhala et al., ICDE'06). Over
+    * the same (event_type, day, hour) quasi-identifier cells as
+    * [[kAnonymity]], the sensitive attribute is the spend band
+    * (value cents div 500); a cell is weak at level ℓ when it carries
+    * fewer than ℓ distinct bands. Reports, per ℓ: weak cells, rows
+    * exposed in them, their share, and the corpus-wide minimum
+    * diversity.
+    *
+    * Shape at 100 TB: one corpus collapse to QI cells (distinct-band
+    * count rides the same aggregate), then the ℓ-grid is a broadcast
+    * cross over the CELL frame — the [[kAnonymity]] discipline.
+    */
+  def lDiversity(df: DataFrame, ls: Seq[Int] = Seq(2, 3, 5)): DataFrame = {
+    val cells = df.groupBy(
+        col("event_type"),
+        to_date(col("ts")).as("day"),
+        hour(col("ts")).as("hr"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(
+          expr("cast(round(value * 100) as bigint) div 500")).as("n_bands"))
+    val grid = df.sparkSession.createDataFrame(
+      ls.sorted.map(l => Tuple1(l.toLong))).toDF("l")
+    cells.crossJoin(broadcast(grid))
+      .groupBy(col("l"))
+      .agg(
+        count(lit(1)).as("n_cells"),
+        sum(col("n_rows")).as("n_rows_total"),
+        sum(when(col("n_bands") < col("l"), 1L).otherwise(0L))
+          .as("weak_cells"),
+        sum(when(col("n_bands") < col("l"), col("n_rows")).otherwise(0L))
+          .as("weak_rows"),
+        min(col("n_bands")).as("min_diversity"))
+      .withColumn("weak_share_e4", expr("weak_rows * 10000 div n_rows_total"))
+      .orderBy(col("l"))
+  }
+
+  /** DuckDB twin of [[lDiversity]]. */
+  def lDiversityOracleSql(ls: Seq[Int] = Seq(2, 3, 5)): String = {
+    val grid = ls.sorted.map(l => s"($l)").mkString(", ")
+    s"""WITH cells AS (
+       |  SELECT event_type, CAST(ts AS DATE) AS day, hour(ts) AS hr,
+       |    count(*)::BIGINT AS n_rows,
+       |    count(DISTINCT (value::DECIMAL(12,2) * 100)::BIGINT // 500)::BIGINT
+       |      AS n_bands
+       |  FROM events GROUP BY 1, 2, 3),
+       |grid AS (SELECT * FROM (VALUES $grid) t(l))
+       |SELECT l::BIGINT AS l, count(*)::BIGINT AS n_cells,
+       |  sum(n_rows)::BIGINT AS n_rows_total,
+       |  sum(CASE WHEN n_bands < l THEN 1 ELSE 0 END)::BIGINT AS weak_cells,
+       |  sum(CASE WHEN n_bands < l THEN n_rows ELSE 0 END)::BIGINT
+       |    AS weak_rows,
+       |  min(n_bands)::BIGINT AS min_diversity,
+       |  (sum(CASE WHEN n_bands < l THEN n_rows ELSE 0 END) * 10000
+       |    // sum(n_rows))::BIGINT AS weak_share_e4
+       |FROM cells CROSS JOIN grid GROUP BY l ORDER BY l""".stripMargin
+  }
 }

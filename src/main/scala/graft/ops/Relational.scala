@@ -1721,6 +1721,88 @@ object Relational {
        |FROM b
        |ORDER BY p_brand""".stripMargin
 
+  /** ROLLING-ORIGIN FORECAST BACKTEST — the evaluation harness a
+    * forecasting pipeline runs before trusting any model: from every
+    * origin day, "forecast" daily revenue 1..`maxH` days ahead with the
+    * two standard baselines every real model must beat — NAIVE (carry
+    * the origin-day value forward) and SEASONAL-NAIVE (same weekday,
+    * prior week) — and score per (model, horizon) on the shared
+    * evaluation set: MAE, WAPE (weighted absolute percentage error —
+    * one exact division per group, unlike MAPE's per-point ratios), and
+    * signed bias. Naive error grows with horizon while seasonal-naive
+    * stays flat — the signature a backtest exists to reveal.
+    *
+    * All arithmetic is integer cents. The signed division (bias) pairs
+    * directly: DuckDB's `//` truncates toward zero on negatives
+    * (−7 // 2 = −3, verified), exactly like Spark's `div` — no floor
+    * emulation needed.
+    *
+    * Shape at 100 TB: ONE fact collapse to the day dimension; origins ×
+    * horizons is a broadcast cross on the DATE-sized frame, target and
+    * seasonal lookups are date-equi-joins on it. The corpus is touched
+    * exactly once.
+    */
+  def forecastBacktest(orders: DataFrame, maxH: Int = 7): DataFrame = {
+    require(maxH >= 1, "maxH must be at least 1")
+    val spark = orders.sparkSession
+    val daily = orders
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum((money("o_totalprice") * 100).cast("long")).as("actual_cents"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val horizons = spark.range(1, maxH + 1)
+      .select(col("id").cast("int").as("h"))
+    val pts = daily
+      .select(col("day").as("origin"), col("actual_cents").as("naive_fc"))
+      .crossJoin(broadcast(horizons))
+      .withColumn("target_day", date_add(col("origin"), col("h")))
+      .join(daily.select(col("day").as("target_day"),
+        col("actual_cents").as("actual")), "target_day")
+      .withColumn("snaive_day", date_sub(col("target_day"), 7))
+      .join(daily.select(col("day").as("snaive_day"),
+        col("actual_cents").as("snaive_fc")), "snaive_day")
+    pts
+      .select(col("h"), col("actual"),
+        explode(map(
+          lit("naive"), col("actual") - col("naive_fc"),
+          lit("snaive"), col("actual") - col("snaive_fc"))))
+      .withColumnRenamed("key", "model").withColumnRenamed("value", "err")
+      .groupBy(col("model"), col("h").cast("long").as("h"))
+      .agg(count(lit(1)).as("n_points"),
+        sum(abs(col("err"))).as("sae"),
+        sum(col("err")).as("se"),
+        sum(col("actual")).as("sa"))
+      .select(col("model"), col("h"), col("n_points"),
+        expr("sae div n_points").as("mae_cents"),
+        expr("sae * 10000 div sa").as("wape_e4"),
+        expr("se div n_points").as("bias_cents"))
+      .orderBy(col("model"), col("h"))
+  }
+
+  /** DuckDB twin of [[forecastBacktest]]. */
+  def forecastBacktestOracleSql(maxH: Int = 7): String =
+    s"""WITH daily AS MATERIALIZED (
+       |  SELECT CAST(o_orderdate AS DATE) AS day,
+       |    sum((o_totalprice::DECIMAL(18,2) * 100)::BIGINT)::BIGINT
+       |      AS actual_cents
+       |  FROM orders GROUP BY 1),
+       |hs AS (SELECT unnest(range(1, ${maxH + 1}))::INTEGER AS h),
+       |pts AS (
+       |  SELECT hs.h, t.actual_cents AS actual,
+       |    o.actual_cents AS naive_fc, s.actual_cents AS snaive_fc
+       |  FROM daily o CROSS JOIN hs
+       |  JOIN daily t ON t.day = o.day + hs.h
+       |  JOIN daily s ON s.day = t.day - 7),
+       |long AS (
+       |  SELECT h, 'naive' AS model, actual - naive_fc AS err, actual
+       |  FROM pts
+       |  UNION ALL
+       |  SELECT h, 'snaive', actual - snaive_fc, actual FROM pts)
+       |SELECT model, h::BIGINT AS h, count(*)::BIGINT AS n_points,
+       |  (sum(abs(err)) // count(*))::BIGINT AS mae_cents,
+       |  (sum(abs(err)) * 10000 // sum(actual))::BIGINT AS wape_e4,
+       |  (sum(err) // count(*))::BIGINT AS bias_cents
+       |FROM long GROUP BY 1, 2 ORDER BY model, h""".stripMargin
+
   /** SNAPSHOT DIFF — the reconciliation primitive behind CDC validation,
     * backfill sign-off, and cross-environment table compares: classify
     * every key across two snapshot versions as added / removed /

@@ -468,6 +468,24 @@ class AnalyticsSpec extends SparkTestBase {
       (5L, 2L, 2L, 4L, 2L, 4L, 10000L)))
   }
 
+  test("lDiversity: spend-band diversity per cell against the l-grid") {
+    // cell (a, d0, h0): values 1.00, 1.00 → bands {0} (diversity 1)
+    // cell (b, d0, h1): values 1.00, 30.00 → bands {0, 6} (diversity 2)
+    val events = Seq(
+      (1L, 1L, "a", 1.0, ts(0L)), (2L, 2L, "a", 1.0, ts(1000000L)),
+      (3L, 3L, "b", 1.0, ts(3600L * 1000000L)),
+      (4L, 4L, "b", 30.0, ts(3601L * 1000000L))
+    ).toDF("event_id", "user_id", "event_type", "value", "ts")
+    val out = graft.ops.Privacy.lDiversity(events, Seq(2, 3)).collect()
+      .map(r => (r.getAs[Long]("l"), r.getAs[Long]("n_cells"),
+        r.getAs[Long]("weak_cells"), r.getAs[Long]("weak_rows"),
+        r.getAs[Long]("min_diversity"), r.getAs[Long]("weak_share_e4")))
+      .toSeq
+    assert(out == Seq(
+      (2L, 2L, 1L, 2L, 1L, 5000L),
+      (3L, 2L, 2L, 4L, 1L, 10000L)))
+  }
+
   test("cupedLift: theta and adjusted means match the closed form on hand data") {
     val day = 86400000000L
     val events = Seq(

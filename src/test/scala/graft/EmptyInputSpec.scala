@@ -358,5 +358,10 @@ class EmptyInputSpec extends SparkTestBase {
         "l_discount", "l_shipdate")
     assert(graft.ops.Relational.revenueBridge(noLiFull, noPart).count() == 0)
     assert(graft.ops.Analytics.policyEval(noEventsFull).count() == 0)
+    val noOrders10 = Seq.empty[(Long, java.sql.Timestamp, Double)]
+      .toDF("o_orderkey", "o_orderdate", "o_totalprice")
+    assert(graft.ops.Relational.forecastBacktest(noOrders10).count() == 0)
+    // the l-grid over an empty cell frame is an empty report
+    assert(graft.ops.Privacy.lDiversity(noEventsFull).count() == 0)
   }
 }

@@ -426,4 +426,27 @@ class RelationalSpec extends SparkTestBase {
       r.getAs[Long]("volume_effect_e4") + r.getAs[Long]("price_effect_e4") +
         r.getAs[Long]("mix_residual_e4"))
   }
+
+  test("forecastBacktest: seasonal-naive is exact on a perfectly weekly series; naive degrades off-cycle") {
+    import spark.implicits._
+    // 21 days, revenue = 1.00 + (i mod 7)·0.10 — exact weekly cycle:
+    // snaive MAE = 0 at every horizon; naive MAE = 0 only at h = 7
+    val orders = (0 until 21).map { i =>
+      (i.toLong, java.sql.Timestamp.valueOf(
+        java.time.LocalDate.of(2024, 1, 1).plusDays(i).atStartOfDay()),
+        1.0 + (i % 7) * 0.10)
+    }.toDF("o_orderkey", "o_orderdate", "o_totalprice")
+    val out = Relational.forecastBacktest(orders).collect()
+      .map(r => (r.getAs[String]("model"), r.getAs[Long]("h")) ->
+        (r.getAs[Long]("n_points"), r.getAs[Long]("mae_cents"),
+          r.getAs[Long]("bias_cents"))).toMap
+    assert(out.size == 14)
+    (1L to 7L).foreach { h =>
+      assert(out(("snaive", h))._2 == 0L, s"snaive mae at h=$h")
+    }
+    assert(out(("naive", 7L))._2 == 0L)
+    assert(out(("naive", 1L))._2 > 0L)
+    // h=1 eval set: origins 6..19 (targets must have a t-7 lookup)
+    assert(out(("naive", 1L))._1 == 14L)
+  }
 }
