@@ -247,6 +247,13 @@ object SparkEntry {
     // l-diversity audit over the k-anon QI cells: distinct spend bands
     // per cell vs the l-grid
     "q_ldiversity" -> ((s, d) => Privacy.lDiversity(Analytics.events(s, d))),
+    // 32-day truncated EWMA with exact rational weights 3^dt·4^(31-dt):
+    // one day-dimension convolution, one division per readout
+    "q_ewma_trend" -> ((s, d) =>
+      Relational.ewmaTrend(Relational.table(s, d, "orders"))),
+    // nearest-covariate matching ATT: value-domain collapse both arms,
+    // merge-window 1-NN with replacement, overlap diagnostics
+    "q_matched_att" -> ((s, d) => Analytics.matchedAtt(Analytics.events(s, d))),
     // snapshot reconciliation: late-arriving 1/97 slice vs deleted 1/89
     // slice with restated open orders on the 1/11 grid
     "q_snapshot_diff" -> ((s, d) => {
@@ -1771,6 +1778,8 @@ object SparkEntry {
     "q_policy_eval" -> Analytics.policyEvalOracleSql,
     "q_forecast_backtest" -> Relational.forecastBacktestOracleSql(),
     "q_ldiversity" -> Privacy.lDiversityOracleSql(),
+    "q_ewma_trend" -> Relational.ewmaTrendOracleSql(),
+    "q_matched_att" -> Analytics.matchedAttOracleSql(),
     // triangle count is orientation-invariant: the oracle counts the
     // canonical a<b<c form, pinning the degree-ordered plan's result
     "q_triangles" ->

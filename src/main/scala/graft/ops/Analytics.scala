@@ -4609,6 +4609,118 @@ object Analytics {
       .orderBy(col("segment"))
   }
 
+  /** MATCHING ESTIMATOR (nearest-covariate ATT) — the observational-
+    * causal layer next to CUPED/DiD: when treatment was NOT randomized,
+    * estimate its effect by pairing every treated user with the control
+    * whose pre-period spend is closest (1-NN matching with replacement,
+    * Rubin 1973), and averaging the matched post-period differences.
+    * Deterministic construction: controls collapse to one REPRESENTATIVE
+    * per distinct pre value (smallest user_id); a treated user matches
+    * the representative minimizing (|pre diff|, then lower pre). The
+    * match-distance columns are the standard overlap diagnostic — a
+    * large mean distance means the arms don't share support and the
+    * estimate is extrapolation.
+    *
+    * Shape at 100 TB: both arms collapse user→VALUE-DOMAIN first
+    * (distinct pre values with per-value counts/sums — the
+    * weightedQuantiles discipline), so the nearest-neighbor search is a
+    * single merge window over the bounded value domain, never a
+    * treated×control pair join; the final ATT is arithmetic on one row.
+    */
+  def matchedAtt(
+      df: DataFrame, splitIso: String = "2024-01-15 00:00:00"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val split = lit(splitIso).cast("timestamp")
+    val cents = (col("value").cast("decimal(12,2)") * 100).cast("long")
+    val users = df.filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("ts"), cents.as("cents"))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("ts") < split, col("cents")).otherwise(0L)).as("pre"),
+        sum(when(col("ts") >= split, col("cents")).otherwise(0L)).as("post"))
+      .withColumn("arm", col("user_id") % 2)
+    val reps = users.filter(col("arm") === 0)
+      .groupBy(col("pre"))
+      .agg(min(struct(col("user_id"), col("post"))).as("s"),
+        count(lit(1)).as("n_c"))
+      .select(col("pre"), col("s.post").as("c_post"), col("n_c"))
+    val tv = users.filter(col("arm") === 1)
+      .groupBy(col("pre"))
+      .agg(count(lit(1)).as("n_t"), sum(col("post")).as("sp"))
+    val pool = reps
+      .select(col("pre"), lit(0).as("kind"),
+        struct(col("pre").as("c_pre"), col("c_post")).as("rep"),
+        lit(null).cast("long").as("n_t"), lit(null).cast("long").as("sp"))
+      .unionByName(tv.select(col("pre"), lit(1).as("kind"),
+        lit(null).cast("struct<c_pre:bigint,c_post:bigint>").as("rep"),
+        col("n_t"), col("sp")))
+    val ord = Window.orderBy(col("pre"), col("kind"))
+    val matched = pool
+      .withColumn("below", last(col("rep"), ignoreNulls = true)
+        .over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("above", first(col("rep"), ignoreNulls = true)
+        .over(ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      .filter(col("kind") === 1)
+      .withColumn("pick", expr(
+        """CASE WHEN below IS NULL THEN above
+          |     WHEN above IS NULL THEN below
+          |     WHEN pre - below.c_pre <= above.c_pre - pre THEN below
+          |     ELSE above END""".stripMargin))
+      .filter(col("pick").isNotNull)
+      .select(col("n_t"), col("sp"),
+        col("pick.c_post").as("c_post"),
+        abs(col("pre") - col("pick.c_pre")).as("d"))
+    val nControls = users.filter(col("arm") === 0)
+      .agg(count(lit(1)).as("n_controls"))
+    // grouped (not global) aggregate so an empty match set yields an
+    // empty report in BOTH engines
+    matched.crossJoin(broadcast(nControls))
+      .groupBy(col("n_controls"))
+      .agg(
+        sum(col("n_t")).as("n_treated"),
+        sum(col("sp") - col("n_t") * col("c_post")).as("num"),
+        sum(col("n_t") * col("d")).as("sd"),
+        max(col("d")).as("max_match_dist_cents"))
+      .select(col("n_treated"), col("n_controls"),
+        expr("num div n_treated").as("att_cents"),
+        expr("sd div n_treated").as("mean_match_dist_cents"),
+        col("max_match_dist_cents"))
+  }
+
+  /** DuckDB twin of [[matchedAtt]] — the argmin is quadratic over the
+    * two collapsed value domains (oracle-scale only), same tie-breaks.
+    */
+  def matchedAttOracleSql(splitIso: String = "2024-01-15 00:00:00"): String =
+    s"""WITH users AS MATERIALIZED (
+       |  SELECT user_id,
+       |    sum(CASE WHEN ts < TIMESTAMP '$splitIso'
+       |        THEN (value::DECIMAL(12,2) * 100)::BIGINT ELSE 0 END) AS pre,
+       |    sum(CASE WHEN ts >= TIMESTAMP '$splitIso'
+       |        THEN (value::DECIMAL(12,2) * 100)::BIGINT ELSE 0 END) AS post,
+       |    user_id % 2 AS arm
+       |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+       |reps AS (
+       |  SELECT pre, post AS c_post FROM (
+       |    SELECT pre, post, row_number() OVER (
+       |      PARTITION BY pre ORDER BY user_id) AS rn
+       |    FROM users WHERE arm = 0) WHERE rn = 1),
+       |tv AS (
+       |  SELECT pre, count(*)::BIGINT AS n_t, sum(post)::BIGINT AS sp
+       |  FROM users WHERE arm = 1 GROUP BY pre),
+       |m AS (
+       |  SELECT pre, n_t, sp, c_post, d FROM (
+       |    SELECT tv.pre, tv.n_t, tv.sp, r.c_post,
+       |      abs(r.pre - tv.pre) AS d,
+       |      row_number() OVER (PARTITION BY tv.pre
+       |        ORDER BY abs(r.pre - tv.pre), r.pre) AS rn
+       |    FROM tv CROSS JOIN reps r) WHERE rn = 1),
+       |nc AS (SELECT count(*)::BIGINT AS n_controls FROM users WHERE arm = 0)
+       |SELECT sum(n_t)::BIGINT AS n_treated, nc.n_controls,
+       |  (sum(sp - n_t * c_post) // sum(n_t))::BIGINT AS att_cents,
+       |  (sum(n_t * d) // sum(n_t))::BIGINT AS mean_match_dist_cents,
+       |  max(d)::BIGINT AS max_match_dist_cents
+       |FROM m CROSS JOIN nc GROUP BY nc.n_controls""".stripMargin
+
   /** DuckDB twin of [[policyEval]]. */
   def policyEvalOracleSql: String =
     """WITH cells AS MATERIALIZED (

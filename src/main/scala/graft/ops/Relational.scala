@@ -1803,6 +1803,78 @@ object Relational {
        |  (sum(err) // count(*))::BIGINT AS bias_cents
        |FROM long GROUP BY 1, 2 ORDER BY model, h""".stripMargin
 
+  /** EXPONENTIALLY-WEIGHTED REVENUE TREND — the smoothing layer between
+    * raw daily revenue and the forecast baselines: a 32-day truncated
+    * EWMA with decay 3/4, computed EXACTLY in integers. The weight for
+    * age dt is W(dt) = 3^dt·4^(31−dt) (ratio 3/4, all BIGINT — 4^31
+    * just fits), and the smoothed value is ONE rational division
+    *   ewma(t) = Σ W(dt)·x(t−dt)  div  Σ W(dt)
+    * over the available history (edge days normalize by the weights
+    * actually present). No floating pow, no per-term floors — the
+    * pairing is digit-exact by construction, where a float EWMA
+    * diverges between engines after ~40 accumulations. Truncation at
+    * 32 days discards < 1e-4 of the mass.
+    *
+    * Shape at 100 TB: the corpus collapses to the DAY dimension once;
+    * the dt-grid (32 rows, literal weights) broadcasts across it and
+    * the convolution is a date-equi-join group-by — day-dimension work,
+    * independent of fact scale. Emits the trailing `lastDays` days.
+    */
+  def ewmaTrend(orders: DataFrame, lastDays: Int = 30): DataFrame = {
+    val spark = orders.sparkSession
+    import spark.implicits._
+    val depth = 31
+    val weights = (0 to depth).map(dt =>
+      (dt, BigInt(3).pow(dt).toLong * BigInt(4).pow(depth - dt).toLong))
+    val daily = orders
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum((money("o_totalprice") * 100).cast("long")).as("actual_cents"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val grid = weights.toDF("dt", "w")
+    val conv = daily
+      .crossJoin(broadcast(grid))
+      .withColumn("target_day", date_add(col("day"), col("dt")))
+      .groupBy(col("target_day").as("day"))
+      .agg(
+        sum(col("actual_cents").cast("decimal(38,0)") *
+          col("w").cast("decimal(38,0)")).as("num"),
+        // ΣW over the full 32-day window is 4^32−3^32 ≈ 1.8e19 > Long.Max
+        sum(col("w").cast("decimal(38,0)")).as("den"))
+    val maxDay = daily.agg(max(col("day")).as("max_day"))
+    conv
+      .join(daily.select(col("day"), col("actual_cents")), "day")
+      .crossJoin(broadcast(maxDay))
+      .filter(col("day") >= date_sub(col("max_day"), lastDays - 1))
+      .select(col("day"), col("actual_cents"),
+        expr("num div den").as("ewma_cents"))
+      .orderBy(col("day"))
+  }
+
+  /** DuckDB twin of [[ewmaTrend]] — the identical literal weight grid
+    * (generated from the same BigInt powers), HUGEINT numerator.
+    */
+  def ewmaTrendOracleSql(lastDays: Int = 30): String = {
+    val depth = 31
+    val grid = (0 to depth).map(dt =>
+      s"(${dt}, ${BigInt(3).pow(dt).toLong * BigInt(4).pow(depth - dt).toLong})")
+      .mkString(", ")
+    s"""WITH daily AS MATERIALIZED (
+       |  SELECT CAST(o_orderdate AS DATE) AS day,
+       |    sum((o_totalprice::DECIMAL(18,2) * 100)::BIGINT)::BIGINT
+       |      AS actual_cents
+       |  FROM orders GROUP BY 1),
+       |grid AS (SELECT * FROM (VALUES $grid) t(dt, w)),
+       |conv AS (
+       |  SELECT daily.day + grid.dt::INTEGER AS day,
+       |    sum(actual_cents::HUGEINT * w) AS num, sum(w)::HUGEINT AS den
+       |  FROM daily CROSS JOIN grid GROUP BY 1),
+       |mx AS (SELECT max(day) AS max_day FROM daily)
+       |SELECT d.day, d.actual_cents, (c.num // c.den)::BIGINT AS ewma_cents
+       |FROM conv c JOIN daily d USING (day) CROSS JOIN mx
+       |WHERE d.day >= mx.max_day - ${lastDays - 1}
+       |ORDER BY d.day""".stripMargin
+  }
+
   /** SNAPSHOT DIFF — the reconciliation primitive behind CDC validation,
     * backfill sign-off, and cross-environment table compares: classify
     * every key across two snapshot versions as added / removed /

@@ -486,6 +486,31 @@ class AnalyticsSpec extends SparkTestBase {
       (3L, 2L, 2L, 4L, 1L, 10000L)))
   }
 
+  test("matchedAtt: 1-NN matching with duplicate-pre representatives and tie-breaks") {
+    import spark.implicits._
+    // controls (even uid): pre 100→post 50 (uid 2), pre 200→post 80
+    // (uid 4), pre 100→post 70 (uid 6 — dup pre, rep stays uid 2)
+    // treated (odd uid): pre 90→post 100 (matches 100, d=10),
+    //   pre 150→post 60 (tie 100 vs 200 → lower pre, d=50),
+    //   pre 300→post 200 (matches 200, d=100)
+    // att = (50 + 10 + 120) div 3 = 60
+    val pre = java.sql.Timestamp.valueOf("2024-01-10 00:00:00")
+    val post = java.sql.Timestamp.valueOf("2024-01-20 00:00:00")
+    def u(uid: Long, p: Double, q: Double) = Seq(
+      (uid * 10, uid, "view", p, pre), (uid * 10 + 1, uid, "view", q, post))
+    val events = (u(2L, 1.0, 0.5) ++ u(4L, 2.0, 0.8) ++ u(6L, 1.0, 0.7) ++
+      u(1L, 0.9, 1.0) ++ u(3L, 1.5, 0.6) ++ u(5L, 3.0, 2.0))
+      .toDF("event_id", "user_id", "event_type", "value", "ts")
+    val out = graft.ops.Analytics.matchedAtt(events).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_treated") == 3L)
+    assert(r.getAs[Long]("n_controls") == 3L)
+    assert(r.getAs[Long]("att_cents") == 60L)
+    assert(r.getAs[Long]("mean_match_dist_cents") == 53L)
+    assert(r.getAs[Long]("max_match_dist_cents") == 100L)
+  }
+
   test("cupedLift: theta and adjusted means match the closed form on hand data") {
     val day = 86400000000L
     val events = Seq(

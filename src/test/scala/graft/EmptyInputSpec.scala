@@ -363,5 +363,7 @@ class EmptyInputSpec extends SparkTestBase {
     assert(graft.ops.Relational.forecastBacktest(noOrders10).count() == 0)
     // the l-grid over an empty cell frame is an empty report
     assert(graft.ops.Privacy.lDiversity(noEventsFull).count() == 0)
+    assert(graft.ops.Relational.ewmaTrend(noOrders10).count() == 0)
+    assert(graft.ops.Analytics.matchedAtt(noEventsFull).count() == 0)
   }
 }

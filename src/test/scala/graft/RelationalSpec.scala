@@ -449,4 +449,26 @@ class RelationalSpec extends SparkTestBase {
     // h=1 eval set: origins 6..19 (targets must have a t-7 lookup)
     assert(out(("naive", 1L))._1 == 14L)
   }
+
+  test("ewmaTrend: constant series passes through; a step blends by the exact rational weights") {
+    import spark.implicits._
+    def orders(rev: Int => Double) = (0 until 41).map { i =>
+      (i.toLong, java.sql.Timestamp.valueOf(
+        java.time.LocalDate.of(2024, 1, 1).plusDays(i).atStartOfDay()),
+        rev(i))
+    }.toDF("o_orderkey", "o_orderdate", "o_totalprice")
+    // constant $1.00: weights normalize away — ewma = 100c on every day,
+    // full and partial windows alike
+    val flat = Relational.ewmaTrend(orders(_ => 1.0), lastDays = 41).collect()
+    assert(flat.length == 41)
+    assert(flat.forall(_.getAs[Long]("ewma_cents") == 100L))
+    // step to $5.00 on the last day: ewma = (100·ΣW + 400·W0) div ΣW
+    val w0 = BigInt(4).pow(31)
+    val sw = BigInt(4).pow(32) - BigInt(3).pow(32)
+    val expected = ((BigInt(100) * sw + BigInt(400) * w0) / sw).toLong
+    val step = Relational.ewmaTrend(
+      orders(i => if (i == 40) 5.0 else 1.0), lastDays = 1).collect()
+    assert(step.length == 1)
+    assert(step.head.getAs[Long]("ewma_cents") == expected)
+  }
 }
