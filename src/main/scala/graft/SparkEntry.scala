@@ -254,6 +254,17 @@ object SparkEntry {
     // nearest-covariate matching ATT: value-domain collapse both arms,
     // merge-window 1-NN with replacement, overlap diagnostics
     "q_matched_att" -> ((s, d) => Analytics.matchedAtt(Analytics.events(s, d))),
+    // t-closeness audit: exact ordered-EMD of each QI cell's spend-band
+    // distribution vs the corpus distribution, per threshold grid
+    "q_tcloseness" -> ((s, d) => Privacy.tCloseness(Analytics.events(s, d))),
+    // split-conformal intervals: value-domain order statistic for q̂,
+    // realized coverage on the held-out arm
+    "q_conformal" -> ((s, d) =>
+      Analytics.conformalInterval(Analytics.events(s, d))),
+    // Shapley channel attribution: journeys collapse to a 2^n bitmask
+    // value domain; credits exact ×n!
+    "q_shapley_attribution" -> ((s, d) =>
+      Analytics.shapleyAttribution(Analytics.events(s, d))),
     // snapshot reconciliation: late-arriving 1/97 slice vs deleted 1/89
     // slice with restated open orders on the 1/11 grid
     "q_snapshot_diff" -> ((s, d) => {
@@ -1780,6 +1791,9 @@ object SparkEntry {
     "q_ldiversity" -> Privacy.lDiversityOracleSql(),
     "q_ewma_trend" -> Relational.ewmaTrendOracleSql(),
     "q_matched_att" -> Analytics.matchedAttOracleSql(),
+    "q_tcloseness" -> Privacy.tClosenessOracleSql(),
+    "q_conformal" -> Analytics.conformalIntervalOracleSql(),
+    "q_shapley_attribution" -> Analytics.shapleyAttributionOracleSql,
     // triangle count is orientation-invariant: the oracle counts the
     // canonical a<b<c form, pinning the degree-ordered plan's result
     "q_triangles" ->

@@ -3132,6 +3132,112 @@ object Analytics {
        |FROM eff CROSS JOIN tot ORDER BY channel""".stripMargin
   }
 
+  /** Literal factorial lookup 0..8 — the SAME expression string feeds
+    * both engines so the Shapley weights pair digit-exact.
+    */
+  private def factCase(e: String): String =
+    s"(CASE ($e) WHEN 0 THEN 1 WHEN 1 THEN 1 WHEN 2 THEN 2 WHEN 3 THEN 6" +
+      " WHEN 4 THEN 24 WHEN 5 THEN 120 WHEN 6 THEN 720 WHEN 7 THEN 5040" +
+      " WHEN 8 THEN 40320 END)"
+
+  /** SHAPLEY-VALUE CHANNEL ATTRIBUTION — the game-theoretic counterpart
+    * of [[removalEffect]] (Shapley 1953; Dalessandro et al., ADKDD'12):
+    * the coalition value v(S) is the number of converting users whose
+    * touched-channel set fits inside S, and each channel's credit is its
+    * average marginal contribution over all join orders,
+    *   φ_i = Σ_{S ∌ i} |S|!·(n−1−|S|)!/n! · (v(S∪i) − v(S)).
+    * Everything is carried ×n! so the output is exact integers
+    * (`phi_x_nfact`), with the efficiency identity Σφ = v(C) − v(∅)
+    * spec-pinned. Assumes ≤ 8 channels — attribution channels are a
+    * hand-curated marketing taxonomy, not an unbounded domain.
+    *
+    * Shape at 100 TB: ONE corpus collapse user→bitmask (a broadcast
+    * channel-rank join + bit_or), then mask→count (≤ 2^n rows); the 2^n
+    * coalition grid, subset-sum join, and marginal pairing all run on
+    * kilobyte frames. The exponential Shapley sum never touches the
+    * corpus — it touches the VALUE DOMAIN of journeys.
+    */
+  def shapleyAttribution(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    val types = df.filter(col("event_type") =!= "purchase")
+      .select(col("event_type").as("channel")).distinct()
+      .withColumn("rk", row_number().over(Window.orderBy(col("channel"))))
+      .withColumn("bit", expr("shiftleft(1L, cast(rk as int) - 1)"))
+    val nch = types.agg(count(lit(1)).as("n"))
+    val umasks = df.filter(col("user_id").isNotNull)
+      .join(broadcast(types), col("event_type") === col("channel"), "left")
+      .groupBy(col("user_id"))
+      .agg(
+        expr("bit_or(coalesce(bit, 0L))").as("mask"),
+        max(when(col("event_type") === "purchase", 1).otherwise(0)).as("conv"))
+      .filter(col("conv") === 1)
+      .groupBy(col("mask")).agg(count(lit(1)).as("u"))
+    val coals = spark.range(256).toDF("s")
+      .crossJoin(broadcast(nch))
+      .filter(col("s") < expr("shiftleft(1L, cast(n as int))"))
+    val v = coals.join(broadcast(umasks), expr("(mask & ~s) = 0"), "left")
+      .groupBy(col("s"), col("n"))
+      .agg(sum(coalesce(col("u"), lit(0L))).as("v"))
+    val marg = broadcast(types).crossJoin(v.as("a"))
+      .filter(expr("(a.s & bit) = 0"))
+      .join(broadcast(v.select(col("s").as("s2"), col("v").as("v2"))),
+        expr("s2 = a.s + bit"))
+      .withColumn("w", expr(
+        factCase("cast(bit_count(a.s) as int)") + " * " +
+          factCase("cast(n as int) - 1 - cast(bit_count(a.s) as int)")))
+    marg.groupBy(col("channel"), col("n"))
+      .agg(sum(col("w") * (col("v2") - col("v"))).as("phi_x_nfact"))
+      .withColumn("total", sum(col("phi_x_nfact"))
+        .over(Window.partitionBy(col("n"))))
+      .select(col("channel"),
+        expr("cast(" + factCase("cast(n as int)") + " as bigint)")
+          .as("n_fact"),
+        col("phi_x_nfact"),
+        expr("phi_x_nfact * 1000000 div nullif(total, 0)").as("share_e6"))
+      .orderBy(col("channel"))
+  }
+
+  /** DuckDB twin of [[shapleyAttribution]] — same bitmask value domain,
+    * same literal factorial grid.
+    */
+  def shapleyAttributionOracleSql: String = {
+    val wExpr = factCase("bit_count(a.s)") + " * " +
+      factCase("a.n - 1 - bit_count(a.s)")
+    s"""WITH types AS MATERIALIZED (
+       |  SELECT channel, 1::BIGINT << (row_number() OVER (ORDER BY channel)
+       |    - 1)::INTEGER AS bit
+       |  FROM (SELECT DISTINCT event_type AS channel FROM events
+       |        WHERE event_type <> 'purchase')),
+       |nch AS (SELECT count(*)::INTEGER AS n FROM types),
+       |umasks AS MATERIALIZED (
+       |  SELECT mask, count(*)::BIGINT AS u FROM (
+       |    SELECT e.user_id, bit_or(coalesce(t.bit, 0))::BIGINT AS mask,
+       |      max(CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END)
+       |        AS conv
+       |    FROM events e LEFT JOIN types t ON e.event_type = t.channel
+       |    WHERE e.user_id IS NOT NULL GROUP BY e.user_id)
+       |  WHERE conv = 1 GROUP BY mask),
+       |coals AS (SELECT g.s, n FROM (SELECT unnest(generate_series(0, 255))
+       |    ::BIGINT AS s) g CROSS JOIN nch WHERE g.s < (1::BIGINT << n)),
+       |v AS MATERIALIZED (
+       |  SELECT c.s, c.n, sum(coalesce(m.u, 0))::BIGINT AS v
+       |  FROM coals c LEFT JOIN umasks m ON (m.mask & ~c.s) = 0
+       |  GROUP BY c.s, c.n),
+       |marg AS (
+       |  SELECT t.channel, a.n, ($wExpr)::BIGINT AS w,
+       |    a.v AS v, b.v AS v2
+       |  FROM types t JOIN v a ON (a.s & t.bit) = 0
+       |  JOIN v b ON b.s = a.s + t.bit),
+       |phi AS (
+       |  SELECT channel, n, sum(w * (v2 - v))::BIGINT AS phi_x_nfact
+       |  FROM marg GROUP BY channel, n)
+       |SELECT channel, (${factCase("n")})::BIGINT AS n_fact, phi_x_nfact,
+       |  (phi_x_nfact * 1000000 // nullif(
+       |    sum(phi_x_nfact) OVER (PARTITION BY n), 0))::BIGINT AS share_e6
+       |FROM phi ORDER BY channel""".stripMargin
+  }
+
   /** The shared z → two-sided-p expression (Abramowitz & Stegun 7.1.26
     * erf polynomial, |ε| ≤ 1.5·10⁻⁷), emitted IDENTICALLY into both
     * engines' SQL so the only cross-engine risk is a last-ulp exp/sqrt
@@ -4720,6 +4826,122 @@ object Analytics {
        |  (sum(n_t * d) // sum(n_t))::BIGINT AS mean_match_dist_cents,
        |  max(d)::BIGINT AS max_match_dist_cents
        |FROM m CROSS JOIN nc GROUP BY nc.n_controls""".stripMargin
+
+  /** SPLIT-CONFORMAL PREDICTION INTERVALS — the distribution-free
+    * uncertainty layer over any point predictor (Vovk et al. 2005;
+    * Lei et al., JASA'18): fit on one half, take the ⌈(n+1)(1−α)⌉-th
+    * smallest absolute residual on the calibration half as the interval
+    * half-width q̂, and the marginal coverage guarantee P(|y−ŷ| ≤ q̂) ≥
+    * 1−α holds with NO model or distribution assumptions. Here the
+    * predictor is the simplest exact one — post-period spend forecast as
+    * pre · (Σpost_cal div Σpre_cal), integer cents throughout — and the
+    * readout per α is q̂ plus the realized coverage on the held-out arm,
+    * the check that the guarantee transferred.
+    *
+    * Shape at 100 TB: the corpus collapses user→(pre, post) once; the
+    * calibration order statistic comes from the weightedQuantiles
+    * discipline — residuals collapse to their VALUE DOMAIN with counts,
+    * one cumulative over the sorted domain, pick the first value whose
+    * cumulative count reaches k — never a global row sort, never top-k
+    * with k ≈ n.
+    */
+  def conformalInterval(
+      df: DataFrame,
+      splitIso: String = "2024-01-15 00:00:00",
+      alphasE6: Seq[Int] = Seq(100000, 200000)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    val split = lit(splitIso).cast("timestamp")
+    val cents = (col("value").cast("decimal(12,2)") * 100).cast("long")
+    val users = df.filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("ts"), cents.as("cents"))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("ts") < split, col("cents")).otherwise(0L)).as("pre"),
+        sum(when(col("ts") >= split, col("cents")).otherwise(0L)).as("post"))
+      .withColumn("arm", col("user_id") % 2)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // slope as one exact rational: scores use |post·Σpre − pre·Σpost|
+    // rescaled by Σpre only at readout, so no per-user rounding drifts
+    val fit = users.filter(col("arm") === 0)
+      .agg(sum(col("pre")).as("sp"), sum(col("post")).as("so"))
+    val scored = users.crossJoin(broadcast(fit))
+      .filter(col("sp") > 0L)
+      .withColumn("resid",
+        abs(col("post") - expr("cast(pre as decimal(38,0)) * so div sp")))
+    val calDomain = scored.filter(col("arm") === 0)
+      .groupBy(col("resid")).agg(count(lit(1)).as("c"))
+      .withColumn("cum",
+        sum(col("c")).over(Window.orderBy(col("resid"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val nCal = scored.filter(col("arm") === 0)
+      .agg(count(lit(1)).as("n_cal"))
+    val grid = spark.createDataFrame(
+      alphasE6.sorted.map(a => Tuple1(a.toLong))).toDF("alpha_e6")
+    // k = ⌈(n+1)(1−α)⌉ — ceil via (p + q−1) div q on positives (trunc
+    // and floor agree there, both engines); capped at n (k > n means
+    // q̂ = ∞; the cap is the standard small-n fallback)
+    val qhat = grid.crossJoin(broadcast(nCal))
+      .withColumn("k", least(col("n_cal"),
+        expr("((n_cal + 1) * (1000000 - alpha_e6) + 999999) div 1000000")))
+      .join(calDomain, col("cum") >= col("k"))
+      .groupBy(col("alpha_e6"), col("n_cal"), col("k"))
+      .agg(min(col("resid")).as("qhat_cents"))
+    scored.filter(col("arm") === 1)
+      .crossJoin(broadcast(qhat))
+      .groupBy(col("alpha_e6"), col("n_cal"), col("k"), col("qhat_cents"))
+      .agg(
+        count(lit(1)).as("n_test"),
+        sum(when(col("resid") <= col("qhat_cents"), 1L).otherwise(0L))
+          .as("covered"))
+      .select(col("alpha_e6"), col("n_cal"), col("k"), col("qhat_cents"),
+        col("n_test"),
+        expr("covered * 1000000 div n_test").as("coverage_e6"))
+      .orderBy(col("alpha_e6"))
+  }
+
+  /** DuckDB twin of [[conformalInterval]] — same value-domain order
+    * statistic and exact rational residuals.
+    */
+  def conformalIntervalOracleSql(
+      splitIso: String = "2024-01-15 00:00:00",
+      alphasE6: Seq[Int] = Seq(100000, 200000)): String = {
+    val grid = alphasE6.sorted.map(a => s"($a)").mkString(", ")
+    s"""WITH users AS MATERIALIZED (
+       |  SELECT user_id,
+       |    sum(CASE WHEN ts < TIMESTAMP '$splitIso'
+       |        THEN (value::DECIMAL(12,2) * 100)::BIGINT ELSE 0 END) AS pre,
+       |    sum(CASE WHEN ts >= TIMESTAMP '$splitIso'
+       |        THEN (value::DECIMAL(12,2) * 100)::BIGINT ELSE 0 END) AS post,
+       |    user_id % 2 AS arm
+       |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+       |fit AS (SELECT sum(pre)::BIGINT AS sp, sum(post)::BIGINT AS so
+       |        FROM users WHERE arm = 0),
+       |scored AS (
+       |  SELECT arm, abs(post - (pre::HUGEINT * so // sp))::BIGINT AS resid
+       |  FROM users CROSS JOIN fit WHERE sp > 0),
+       |cal AS (
+       |  SELECT resid, count(*)::BIGINT AS c,
+       |    sum(count(*)) OVER (ORDER BY resid)::BIGINT AS cum
+       |  FROM scored WHERE arm = 0 GROUP BY resid),
+       |ncal AS (SELECT count(*)::BIGINT AS n_cal FROM scored WHERE arm = 0),
+       |grid AS (SELECT * FROM (VALUES $grid) t(alpha_e6)),
+       |qh AS (
+       |  SELECT alpha_e6, n_cal, k, min(resid)::BIGINT AS qhat_cents
+       |  FROM (SELECT g.alpha_e6, n.n_cal,
+       |          least(n.n_cal, ((n.n_cal + 1) * (1000000 - g.alpha_e6)
+       |            + 999999) // 1000000)::BIGINT AS k
+       |        FROM grid g CROSS JOIN ncal n) kk
+       |  JOIN cal ON cal.cum >= kk.k
+       |  GROUP BY alpha_e6, n_cal, k)
+       |SELECT qh.alpha_e6::BIGINT AS alpha_e6, qh.n_cal, qh.k,
+       |  qh.qhat_cents,
+       |  count(*)::BIGINT AS n_test,
+       |  (sum(CASE WHEN s.resid <= qh.qhat_cents THEN 1 ELSE 0 END)
+       |    * 1000000 // count(*))::BIGINT AS coverage_e6
+       |FROM qh CROSS JOIN scored s WHERE s.arm = 1
+       |GROUP BY 1, 2, 3, 4 ORDER BY alpha_e6""".stripMargin
+  }
 
   /** DuckDB twin of [[policyEval]]. */
   def policyEvalOracleSql: String =

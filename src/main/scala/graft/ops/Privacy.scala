@@ -155,6 +155,117 @@ object Privacy {
       .orderBy(col("l"))
   }
 
+  /** T-CLOSENESS AUDIT — the disclosure check l-diversity misses: a cell
+    * can carry many distinct sensitive values yet still leak if its
+    * DISTRIBUTION over them differs sharply from the corpus-wide one
+    * (Li, Li & Venkatasubramanian, ICDE'07). Over the same
+    * (event_type, day, hour) QI cells and the same ordered sensitive
+    * attribute (spend band = cents div 500) as [[lDiversity]], the
+    * distance is the ordered-attribute Earth-Mover's Distance
+    *   EMD(P, Q) = (1/(m−1)) · Σ_j |CumP_j − CumQ_j|
+    * computed EXACTLY: the cumulative difference is carried as the
+    * integer n_j·G − g_j·N_c (cell count × global total minus global
+    * count × cell total), so the per-cell distance is one integer-e6
+    * division and the pairing is digit-exact — no floating densities.
+    * Reports, per threshold t: cells beyond t, rows exposed in them,
+    * their e4 share, and the worst cell distance.
+    *
+    * Shape at 100 TB: one corpus collapse to (cell, band) counts; the
+    * band domain (a broadcast m-row frame) fills the missing zeros, the
+    * cumulative runs per-cell over ≤ m rows, and the t-grid crosses the
+    * CELL frame — the [[kAnonymity]] discipline. Numerators ride
+    * decimal(38,0): n_c·G caps at (corpus rows)², inside decimal range
+    * up to ~1e19 rows.
+    */
+  def tCloseness(
+      df: DataFrame, ts: Seq[Int] = Seq(100000, 200000, 300000)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val src = df.select(
+      col("event_type"), to_date(col("ts")).as("day"),
+      hour(col("ts")).as("hr"),
+      expr("cast(round(value * 100) as bigint) div 500").as("band"))
+    val glob = src.groupBy(col("band")).agg(count(lit(1)).as("g"))
+    val tot = glob.agg(
+      sum(col("g")).as("gtot"), count(lit(1)).as("m"))
+    val cells = src.groupBy(col("event_type"), col("day"), col("hr"))
+      .agg(count(lit(1)).as("n_c"))
+    val cb = src.groupBy(col("event_type"), col("day"), col("hr"), col("band"))
+      .agg(count(lit(1)).as("n"))
+    val filled = cells.crossJoin(broadcast(glob))
+      .join(cb, Seq("event_type", "day", "hr", "band"), "left")
+      .na.fill(0L, Seq("n"))
+      .crossJoin(broadcast(tot))
+    val perCell = filled
+      .withColumn("cum",
+        sum(col("n").cast("decimal(38,0)") * col("gtot") -
+          col("g").cast("decimal(38,0)") * col("n_c"))
+          .over(Window.partitionBy(col("event_type"), col("day"), col("hr"))
+            .orderBy(col("band"))))
+      .groupBy(col("event_type"), col("day"), col("hr"), col("n_c"),
+        col("m"), col("gtot"))
+      .agg(sum(abs(col("cum"))).as("num"))
+      // m = 1 ⇒ every cum term is identically 0; greatest() only dodges
+      // the 0-divisor, it never changes a value
+      .select(col("n_c"), expr(
+        "cast(num * 1000000 div (greatest(m - 1, 1) * cast(n_c as decimal(38,0)) * gtot) as bigint)")
+        .as("emd_e6"))
+    val grid = df.sparkSession.createDataFrame(
+      ts.sorted.map(t => Tuple1(t.toLong))).toDF("t_e6")
+    perCell.crossJoin(broadcast(grid))
+      .groupBy(col("t_e6"))
+      .agg(
+        count(lit(1)).as("n_cells"),
+        sum(col("n_c")).as("n_rows_total"),
+        sum(when(col("emd_e6") > col("t_e6"), 1L).otherwise(0L))
+          .as("far_cells"),
+        sum(when(col("emd_e6") > col("t_e6"), col("n_c")).otherwise(0L))
+          .as("far_rows"),
+        max(col("emd_e6")).as("max_emd_e6"))
+      .withColumn("far_share_e4", expr("far_rows * 10000 div n_rows_total"))
+      .orderBy(col("t_e6"))
+  }
+
+  /** DuckDB twin of [[tCloseness]] — identical integer EMD construction;
+    * HUGEINT carries the cumulative numerator.
+    */
+  def tClosenessOracleSql(ts: Seq[Int] = Seq(100000, 200000, 300000)): String = {
+    val grid = ts.sorted.map(t => s"($t)").mkString(", ")
+    s"""WITH src AS MATERIALIZED (
+       |  SELECT event_type, CAST(ts AS DATE) AS day, hour(ts) AS hr,
+       |    (value::DECIMAL(12,2) * 100)::BIGINT // 500 AS band
+       |  FROM events),
+       |gband AS (SELECT band, count(*)::BIGINT AS g FROM src GROUP BY 1),
+       |tot AS (SELECT sum(g)::BIGINT AS gtot, count(*)::BIGINT AS m FROM gband),
+       |cells AS (SELECT event_type, day, hr, count(*)::BIGINT AS n_c
+       |          FROM src GROUP BY 1, 2, 3),
+       |cb AS (SELECT event_type, day, hr, band, count(*)::BIGINT AS n
+       |       FROM src GROUP BY 1, 2, 3, 4),
+       |filled AS (
+       |  SELECT c.event_type, c.day, c.hr, c.n_c, gl.band, gl.g,
+       |    coalesce(cb.n, 0)::BIGINT AS n, t.gtot, t.m
+       |  FROM cells c CROSS JOIN gband gl CROSS JOIN tot t
+       |  LEFT JOIN cb ON cb.event_type = c.event_type AND cb.day = c.day
+       |    AND cb.hr = c.hr AND cb.band = gl.band),
+       |cum AS (
+       |  SELECT event_type, day, hr, n_c, m, gtot,
+       |    sum(n::HUGEINT * gtot - g::HUGEINT * n_c) OVER (
+       |      PARTITION BY event_type, day, hr ORDER BY band) AS cum
+       |  FROM filled),
+       |per_cell AS (
+       |  SELECT n_c, (sum(abs(cum)) * 1000000
+       |    // (greatest(m - 1, 1)::HUGEINT * n_c * gtot))::BIGINT AS emd_e6
+       |  FROM cum GROUP BY event_type, day, hr, n_c, m, gtot),
+       |grid AS (SELECT * FROM (VALUES $grid) t(t_e6))
+       |SELECT t_e6::BIGINT AS t_e6, count(*)::BIGINT AS n_cells,
+       |  sum(n_c)::BIGINT AS n_rows_total,
+       |  sum(CASE WHEN emd_e6 > t_e6 THEN 1 ELSE 0 END)::BIGINT AS far_cells,
+       |  sum(CASE WHEN emd_e6 > t_e6 THEN n_c ELSE 0 END)::BIGINT AS far_rows,
+       |  max(emd_e6)::BIGINT AS max_emd_e6,
+       |  (sum(CASE WHEN emd_e6 > t_e6 THEN n_c ELSE 0 END) * 10000
+       |    // sum(n_c))::BIGINT AS far_share_e4
+       |FROM per_cell CROSS JOIN grid GROUP BY t_e6 ORDER BY t_e6""".stripMargin
+  }
+
   /** DuckDB twin of [[lDiversity]]. */
   def lDiversityOracleSql(ls: Seq[Int] = Seq(2, 3, 5)): String = {
     val grid = ls.sorted.map(l => s"($l)").mkString(", ")

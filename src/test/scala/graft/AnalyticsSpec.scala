@@ -486,6 +486,76 @@ class AnalyticsSpec extends SparkTestBase {
       (3L, 2L, 2L, 4L, 1L, 10000L)))
   }
 
+  test("tCloseness: uniform cell scores 0, skewed cells score the exact EMD") {
+    // global: band0 ×6, band1 ×2 (G=8, m=2)
+    // cell a (band0 ×2, band1 ×2): cum = |2·8 − 6·4| = 8 → 8e6/(1·4·8) = 250000
+    // cell b (band0 ×4): cum = |4·8 − 6·4| = 8 → 250000
+    val events = Seq(
+      (1L, 1L, "a", 1.0, ts(0L)), (2L, 2L, "a", 1.0, ts(1L)),
+      (3L, 3L, "a", 6.0, ts(2L)), (4L, 4L, "a", 6.0, ts(3L)),
+      (5L, 5L, "b", 1.0, ts(4L)), (6L, 6L, "b", 1.0, ts(5L)),
+      (7L, 7L, "b", 1.0, ts(6L)), (8L, 8L, "b", 1.0, ts(7L))
+    ).toDF("event_id", "user_id", "event_type", "value", "ts")
+    val out = graft.ops.Privacy.tCloseness(events, Seq(100000, 300000))
+      .collect()
+      .map(r => (r.getAs[Long]("t_e6"), r.getAs[Long]("n_cells"),
+        r.getAs[Long]("far_cells"), r.getAs[Long]("far_rows"),
+        r.getAs[Long]("max_emd_e6"), r.getAs[Long]("far_share_e4"))).toSeq
+    assert(out == Seq(
+      (100000L, 2L, 2L, 8L, 250000L, 10000L),
+      (300000L, 2L, 0L, 0L, 250000L, 0L)))
+    // a cell identical to the global distribution scores exactly 0
+    val uniform = Seq(
+      (1L, 1L, "a", 1.0, ts(0L)), (2L, 2L, "a", 6.0, ts(1L)),
+      (3L, 3L, "b", 1.0, ts(2L)), (4L, 4L, "b", 6.0, ts(3L))
+    ).toDF("event_id", "user_id", "event_type", "value", "ts")
+    val u = graft.ops.Privacy.tCloseness(uniform, Seq(100000)).collect()
+    assert(u.head.getAs[Long]("max_emd_e6") == 0L)
+  }
+
+  test("conformalInterval: order-statistic q̂ and held-out coverage on hand data") {
+    import spark.implicits._
+    val pre = java.sql.Timestamp.valueOf("2024-01-10 00:00:00")
+    val post = java.sql.Timestamp.valueOf("2024-01-20 00:00:00")
+    def u(uid: Long, p: Double, q: Double) = Seq(
+      (uid * 10, uid, "view", p, pre), (uid * 10 + 1, uid, "view", q, post))
+    // cal (even): Σpre=100c, Σpost=200c → ŷ = 2·pre; resids {5:2, 10:1}
+    // test (odd): resids 5 and 8
+    val events = (u(2L, 0.30, 0.70) ++ u(4L, 0.30, 0.55) ++
+      u(6L, 0.40, 0.75) ++ u(1L, 0.10, 0.25) ++ u(3L, 0.10, 0.28))
+      .toDF("event_id", "user_id", "event_type", "value", "ts")
+    val out = graft.ops.Analytics
+      .conformalInterval(events, alphasE6 = Seq(250000, 500000)).collect()
+      .map(r => (r.getAs[Long]("alpha_e6"), r.getAs[Long]("n_cal"),
+        r.getAs[Long]("k"), r.getAs[Long]("qhat_cents"),
+        r.getAs[Long]("n_test"), r.getAs[Long]("coverage_e6"))).toSeq
+    // α=0.25: k=⌈4·0.75⌉=3 → q̂=10, both test resids covered
+    // α=0.50: k=⌈4·0.50⌉=2 → q̂=5, only resid 5 covered
+    assert(out == Seq(
+      (250000L, 3L, 3L, 10L, 2L, 1000000L),
+      (500000L, 3L, 2L, 5L, 2L, 500000L)))
+  }
+
+  test("shapleyAttribution: exact ×n! credits and the efficiency identity") {
+    import spark.implicits._
+    val t0 = ts(0L)
+    // converting journeys: {a}, {a,b}, {b}, {} — non-converting {a} excluded
+    val events = Seq(
+      (1L, 1L, "a", t0), (2L, 1L, "purchase", t0),
+      (3L, 2L, "a", t0), (4L, 2L, "b", t0), (5L, 2L, "purchase", t0),
+      (6L, 3L, "b", t0), (7L, 3L, "purchase", t0),
+      (8L, 4L, "purchase", t0),
+      (9L, 5L, "a", t0)
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = graft.ops.Analytics.shapleyAttribution(events).collect()
+      .map(r => (r.getAs[String]("channel"), r.getAs[Long]("n_fact"),
+        r.getAs[Long]("phi_x_nfact"), r.getAs[Long]("share_e6"))).toSeq
+    // v(∅)=1 v({a})=2 v({b})=2 v({a,b})=4 → φ_a×2! = (2−1)+(4−2) = 3 = φ_b
+    assert(out == Seq(("a", 2L, 3L, 500000L), ("b", 2L, 3L, 500000L)))
+    // efficiency: Σφ×n! = n!·(v(C) − v(∅)) = 2·(4−1) = 6
+    assert(out.map(_._3).sum == 6L)
+  }
+
   test("matchedAtt: 1-NN matching with duplicate-pre representatives and tie-breaks") {
     import spark.implicits._
     // controls (even uid): pre 100→post 50 (uid 2), pre 200→post 80

@@ -365,5 +365,8 @@ class EmptyInputSpec extends SparkTestBase {
     assert(graft.ops.Privacy.lDiversity(noEventsFull).count() == 0)
     assert(graft.ops.Relational.ewmaTrend(noOrders10).count() == 0)
     assert(graft.ops.Analytics.matchedAtt(noEventsFull).count() == 0)
+    assert(graft.ops.Privacy.tCloseness(noEventsFull).count() == 0)
+    assert(graft.ops.Analytics.conformalInterval(noEventsFull).count() == 0)
+    assert(graft.ops.Analytics.shapleyAttribution(noEventsFull).count() == 0)
   }
 }
