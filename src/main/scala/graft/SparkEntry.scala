@@ -265,6 +265,18 @@ object SparkEntry {
     // value domain; credits exact ×n!
     "q_shapley_attribution" -> ((s, d) =>
       Analytics.shapleyAttribution(Analytics.events(s, d))),
+    // Jensen–Shannon drift: bounded symmetric divergence on the psi
+    // histogram, e6-rounded per-bin contributions
+    "q_jsd_drift" -> ((s, d) => Analytics.jsdDrift(Analytics.events(s, d))),
+    // MRR / MAP@k of the per-term BM25 rankings, relevance = tf ≥ 2
+    "q_retrieval_mrr" -> ((s, d) =>
+      TextAnalysis.retrievalEval(TextAnalysis.documents(s, d))),
+    // randomization test: 200 deterministic LCG reassignments, decimal
+    // cross-multiplied extremeness, add-one p
+    "q_perm_test" -> ((s, d) => Analytics.permTest(Analytics.events(s, d))),
+    // subclassification ATE on pre-spend strata with common-support trim
+    "q_stratified_ate" -> ((s, d) =>
+      Analytics.stratifiedAte(Analytics.events(s, d))),
     // snapshot reconciliation: late-arriving 1/97 slice vs deleted 1/89
     // slice with restated open orders on the 1/11 grid
     "q_snapshot_diff" -> ((s, d) => {
@@ -1794,6 +1806,10 @@ object SparkEntry {
     "q_tcloseness" -> Privacy.tClosenessOracleSql(),
     "q_conformal" -> Analytics.conformalIntervalOracleSql(),
     "q_shapley_attribution" -> Analytics.shapleyAttributionOracleSql,
+    "q_jsd_drift" -> Analytics.jsdDriftOracleSql(),
+    "q_retrieval_mrr" -> TextAnalysis.retrievalEvalOracleSql(),
+    "q_perm_test" -> Analytics.permTestOracleSql(),
+    "q_stratified_ate" -> Analytics.stratifiedAteOracleSql(),
     // triangle count is orientation-invariant: the oracle counts the
     // canonical a<b<c form, pinning the degree-ordered plan's result
     "q_triangles" ->

@@ -1083,6 +1083,105 @@ object Analytics {
       .orderBy(col("event_type"))
   }
 
+  /** JENSEN–SHANNON DIVERGENCE DRIFT — the bounded, symmetric member of
+    * the drift family next to [[psiDrift]] (unbounded, blows up on
+    * vanishing bins) and [[emdDrift]] (needs an ordered domain):
+    * JSD(P,Q) = ½·KL(P‖M) + ½·KL(Q‖M) with M = (P+Q)/2, always in
+    * [0, ln 2], defined even when supports barely overlap — the metric
+    * monitoring dashboards alarm on. Same 16-bin value histogram and
+    * add-one smoothing as [[psiDrift]] so the two drift readouts are
+    * directly comparable; per-bin contributions are rounded e6 then
+    * integer-summed (the established float+round pairing discipline).
+    *
+    * Shape at 100 TB: identical to [[psiDrift]] — one corpus collapse
+    * to (type, period, bin) counts, then windows and the ln arithmetic
+    * run on the 16·|types|-row dense grid.
+    */
+  def jsdDrift(
+      df: DataFrame,
+      splitTs: String = "2024-01-16 00:00:00",
+      nBins: Int = 16): DataFrame = {
+    val mm = df.agg(min(col("value")).as("vmin"), max(col("value")).as("vmax"))
+    val binned = df
+      .join(broadcast(mm))
+      .select(col("event_type"),
+        when(col("ts") < lit(splitTs).cast("timestamp"), lit(0))
+          .otherwise(lit(1)).as("period"),
+        when(col("vmax") === col("vmin"), lit(0L))
+          .otherwise(least(lit(nBins - 1L),
+            floor((col("value") - col("vmin")) * nBins /
+              (col("vmax") - col("vmin"))))).as("bin"))
+      .groupBy(col("event_type"), col("period"), col("bin"))
+      .agg(count(lit(1)).as("c"))
+    val grid = binned.select(col("event_type")).distinct()
+      .crossJoin(df.sparkSession.range(nBins).select(col("id").as("bin")))
+    grid
+      .join(binned.filter(col("period") === 0)
+        .select(col("event_type"), col("bin"), col("c").as("c0")),
+        Seq("event_type", "bin"), "left")
+      .join(binned.filter(col("period") === 1)
+        .select(col("event_type"), col("bin"), col("c").as("c1")),
+        Seq("event_type", "bin"), "left")
+      .na.fill(0L, Seq("c0", "c1"))
+      .withColumn("n0", sum(col("c0")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))))
+      .withColumn("n1", sum(col("c1")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))))
+      .withColumn("p", (col("c0") + 1).cast("double") / (col("n0") + nBins))
+      .withColumn("q", (col("c1") + 1).cast("double") / (col("n1") + nBins))
+      .withColumn("contrib_e6",
+        round((col("p") * log(lit(2.0) * col("p") / (col("p") + col("q"))) +
+          col("q") * log(lit(2.0) * col("q") / (col("p") + col("q")))) *
+          lit(500000.0), 0).cast("long"))
+      .groupBy(col("event_type"))
+      .agg(max(col("n0")).as("n_expected"), max(col("n1")).as("n_actual"),
+        sum(col("contrib_e6")).as("jsd_e6"))
+      .orderBy(col("event_type"))
+  }
+
+  /** DuckDB twin of [[jsdDrift]] — the q_psi_drift CTE shape with the
+    * JSD contribution expression.
+    */
+  def jsdDriftOracleSql(
+      splitTs: String = "2024-01-16 00:00:00",
+      nBins: Int = 16): String =
+    s"""WITH mm AS (SELECT min(value) AS vmin, max(value) AS vmax FROM events),
+       |b AS (
+       |  SELECT event_type,
+       |    CASE WHEN ts < TIMESTAMP '$splitTs' THEN 0 ELSE 1 END AS period,
+       |    (CASE WHEN vmax = vmin THEN 0
+       |          ELSE least(${nBins - 1},
+       |            floor((value - vmin) * $nBins / (vmax - vmin)))
+       |     END)::BIGINT AS bin
+       |  FROM events CROSS JOIN mm),
+       |c AS (SELECT event_type, period, bin, count(*)::BIGINT AS c
+       |      FROM b GROUP BY 1, 2, 3),
+       |ty AS (SELECT DISTINCT event_type FROM c),
+       |bins AS (SELECT range AS bin FROM range($nBins)),
+       |wide AS (
+       |  SELECT ty.event_type, bins.bin,
+       |    coalesce(c0.c, 0) AS c0, coalesce(c1.c, 0) AS c1
+       |  FROM ty CROSS JOIN bins
+       |  LEFT JOIN c c0 ON c0.event_type = ty.event_type
+       |    AND c0.bin = bins.bin AND c0.period = 0
+       |  LEFT JOIN c c1 ON c1.event_type = ty.event_type
+       |    AND c1.bin = bins.bin AND c1.period = 1),
+       |sm AS (
+       |  SELECT event_type, c0, c1,
+       |    sum(c0) OVER (PARTITION BY event_type) AS n0,
+       |    sum(c1) OVER (PARTITION BY event_type) AS n1
+       |  FROM wide),
+       |k AS (
+       |  SELECT event_type, n0, n1,
+       |    (c0 + 1)::DOUBLE / (n0 + $nBins) AS p,
+       |    (c1 + 1)::DOUBLE / (n1 + $nBins) AS q
+       |  FROM sm)
+       |SELECT event_type, max(n0)::BIGINT AS n_expected,
+       |  max(n1)::BIGINT AS n_actual,
+       |  sum(round((p * ln(2.0 * p / (p + q)) + q * ln(2.0 * q / (p + q)))
+       |    * 500000.0, 0))::BIGINT AS jsd_e6
+       |FROM k GROUP BY 1 ORDER BY event_type""".stripMargin
+
   /** Two-sample Kolmogorov–Smirnov distance of each event type's value
     * distribution against the REST of the traffic — the
     * distribution-shift readout (does "purchase" draw values like
@@ -4942,6 +5041,194 @@ object Analytics {
        |FROM qh CROSS JOIN scored s WHERE s.arm = 1
        |GROUP BY 1, 2, 3, 4 ORDER BY alpha_e6""".stripMargin
   }
+
+  /** RANDOMIZATION (PERMUTATION) TEST — the assumption-free inference
+    * backstop next to [[welchTtest]]/[[mannWhitney]] (Fisher 1935): the
+    * p-value for the observed between-arm mean-spend difference is the
+    * share of label reassignments producing an |effect| at least as
+    * large. Reassignments come from a deterministic LCG over
+    * (user_id, draw) — the SAME literal arithmetic in both engines —
+    * and every comparison is cross-multiplied in decimal, so the
+    * readout is exact: no float means, no RNG drift. Draws that land an
+    * arm empty count as extreme (the conservative convention; measure
+    * zero beyond toy inputs). p = (extreme + 1)/(B + 1), the standard
+    * add-one bound.
+    *
+    * Shape at 100 TB: the corpus collapses user→total once; the draw
+    * grid multiplies the USER DIMENSION by B (a broadcast cross), and
+    * each draw is a two-group partial aggregation — embarrassingly
+    * parallel, no window, no sort. B is the knob: cost is B user-scans'
+    * worth of aggregation, not B corpus scans.
+    */
+  def permTest(df: DataFrame, nDraws: Int = 200): DataFrame = {
+    val spark = df.sparkSession
+    val cents = (col("value").cast("decimal(12,2)") * 100).cast("long")
+    val users = df.filter(col("user_id").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(sum(cents).as("spend"))
+      .withColumn("arm", col("user_id") % 2)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val obs = users.agg(
+      sum(when(col("arm") === 1, col("spend")).otherwise(0L)).as("s1"),
+      sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("arm") === 0, col("spend")).otherwise(0L)).as("s0"),
+      sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"))
+    val grid = spark.range(1, nDraws + 1).select(col("id").as("b"))
+    val draws = users.crossJoin(broadcast(grid))
+      .withColumn("parm", expr(
+        "((user_id % 1000003) * 2654435761 + b * 40503) % 2147483647 % 2"))
+      .groupBy(col("b"))
+      .agg(
+        sum(when(col("parm") === 1, col("spend")).otherwise(0L)).as("s1b"),
+        sum(when(col("parm") === 1, 1L).otherwise(0L)).as("n1b"),
+        sum(when(col("parm") === 0, col("spend")).otherwise(0L)).as("s0b"),
+        sum(when(col("parm") === 0, 1L).otherwise(0L)).as("n0b"))
+    draws.crossJoin(broadcast(obs))
+      .withColumn("extreme", when(expr(
+        """abs(cast(s1b as decimal(38,0)) * n0b - cast(s0b as decimal(38,0)) * n1b)
+          |  * (cast(n1 as decimal(38,0)) * n0) >=
+          |abs(cast(s1 as decimal(38,0)) * n0 - cast(s0 as decimal(38,0)) * n1)
+          |  * (cast(n1b as decimal(38,0)) * n0b)""".stripMargin), 1L)
+        .otherwise(0L))
+      .groupBy(col("n1"), col("n0"), col("s1"), col("s0"))
+      .agg(count(lit(1)).as("n_draws"), sum(col("extreme")).as("extreme_draws"))
+      .select(
+        (col("n1") + col("n0")).as("n_users"),
+        expr("(s1 div nullif(n1, 0)) - (s0 div nullif(n0, 0))")
+          .as("obs_diff_cents"),
+        col("n_draws"), col("extreme_draws"),
+        expr("(extreme_draws + 1) * 1000000 div (n_draws + 1)").as("p_e6"))
+  }
+
+  /** DuckDB twin of [[permTest]] — identical LCG draws and decimal
+    * cross-multiplied comparisons.
+    */
+  def permTestOracleSql(nDraws: Int = 200): String =
+    s"""WITH users AS MATERIALIZED (
+       |  SELECT user_id,
+       |    sum((value::DECIMAL(12,2) * 100)::BIGINT) AS spend,
+       |    user_id % 2 AS arm
+       |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+       |obs AS (
+       |  SELECT sum(CASE WHEN arm = 1 THEN spend ELSE 0 END)::BIGINT AS s1,
+       |    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+       |    sum(CASE WHEN arm = 0 THEN spend ELSE 0 END)::BIGINT AS s0,
+       |    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS n0
+       |  FROM users),
+       |grid AS (SELECT range AS b FROM range(1, ${nDraws + 1})),
+       |draws AS (
+       |  SELECT b,
+       |    sum(CASE WHEN parm = 1 THEN spend ELSE 0 END)::BIGINT AS s1b,
+       |    sum(CASE WHEN parm = 1 THEN 1 ELSE 0 END)::BIGINT AS n1b,
+       |    sum(CASE WHEN parm = 0 THEN spend ELSE 0 END)::BIGINT AS s0b,
+       |    sum(CASE WHEN parm = 0 THEN 1 ELSE 0 END)::BIGINT AS n0b
+       |  FROM (SELECT u.spend, g.b,
+       |          ((u.user_id % 1000003) * 2654435761 + g.b * 40503)
+       |            % 2147483647 % 2 AS parm
+       |        FROM users u CROSS JOIN grid g)
+       |  GROUP BY b),
+       |ext AS (
+       |  SELECT n1, n0, s1, s0, count(*)::BIGINT AS n_draws,
+       |    sum(CASE WHEN
+       |      abs(s1b::HUGEINT * n0b - s0b::HUGEINT * n1b)
+       |        * (n1::HUGEINT * n0) >=
+       |      abs(s1::HUGEINT * n0 - s0::HUGEINT * n1)
+       |        * (n1b::HUGEINT * n0b)
+       |      THEN 1 ELSE 0 END)::BIGINT AS extreme_draws
+       |  FROM draws CROSS JOIN obs GROUP BY n1, n0, s1, s0)
+       |SELECT (n1 + n0)::BIGINT AS n_users,
+       |  ((s1 // nullif(n1, 0)) - (s0 // nullif(n0, 0)))::BIGINT
+       |    AS obs_diff_cents,
+       |  n_draws, extreme_draws,
+       |  ((extreme_draws + 1) * 1000000 // (n_draws + 1))::BIGINT AS p_e6
+       |FROM ext""".stripMargin
+
+  /** STRATIFIED (SUBCLASSIFICATION) ATE — the third leg of the
+    * observational-causal stool next to [[matchedAtt]] (1-NN matching)
+    * and [[cupedLift]] (regression adjustment): stratify on the
+    * confounder (pre-period spend, fixed-width bands), difference means
+    * WITHIN each stratum, and average the differences weighted by
+    * stratum size (Cochran 1968). Strata missing either arm are dropped
+    * — the common-support trim. Exact integers: per-stratum difference
+    * is one cross-multiplied rational, the weighted total quantizes
+    * each stratum term identically in both engines.
+    *
+    * Shape at 100 TB: corpus → user collapse, user → stratum collapse
+    * (both key-partitioned partial aggregations); everything after runs
+    * on the stratum dimension.
+    */
+  def stratifiedAte(
+      df: DataFrame,
+      splitIso: String = "2024-01-15 00:00:00",
+      bandCents: Int = 2000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val split = lit(splitIso).cast("timestamp")
+    val cents = (col("value").cast("decimal(12,2)") * 100).cast("long")
+    val users = df.filter(col("user_id").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("ts") < split, cents).otherwise(0L)).as("pre"),
+        sum(when(col("ts") >= split, cents).otherwise(0L)).as("post"))
+      .withColumn("arm", col("user_id") % 2)
+      .withColumn("stratum", expr(s"pre div $bandCents"))
+    val strata = users.groupBy(col("stratum"))
+      .agg(
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_treat"),
+        sum(when(col("arm") === 1, col("post")).otherwise(0L)).as("s1"),
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_ctrl"),
+        sum(when(col("arm") === 0, col("post")).otherwise(0L)).as("s0"))
+      .filter(col("n_treat") > 0 && col("n_ctrl") > 0)
+    strata
+      .withColumn("diff_cents", expr(
+        "(cast(s1 as decimal(38,0)) * n_ctrl - cast(s0 as decimal(38,0)) * n_treat) div (cast(n_treat as decimal(38,0)) * n_ctrl)"))
+      .withColumn("n_s", col("n_treat") + col("n_ctrl"))
+      .withColumn("n_total", sum(col("n_s")).over(Window.partitionBy()))
+      .withColumn("term", expr(
+        "(cast(n_s as decimal(38,0)) * (cast(s1 as decimal(38,0)) * n_ctrl - cast(s0 as decimal(38,0)) * n_treat)) div (cast(n_treat as decimal(38,0)) * n_ctrl)"))
+      .withColumn("ate_cents",
+        expr("cast(sum(term) over () as decimal(38,0)) div n_total"))
+      .select(col("stratum"), col("n_treat"), col("n_ctrl"),
+        col("diff_cents"),
+        expr("n_s * 1000000 div n_total").as("weight_e6"),
+        col("ate_cents"))
+      .orderBy(col("stratum"))
+  }
+
+  /** DuckDB twin of [[stratifiedAte]] — same trim, same quantization. */
+  def stratifiedAteOracleSql(
+      splitIso: String = "2024-01-15 00:00:00",
+      bandCents: Int = 2000): String =
+    s"""WITH users AS MATERIALIZED (
+       |  SELECT user_id,
+       |    sum(CASE WHEN ts < TIMESTAMP '$splitIso'
+       |        THEN (value::DECIMAL(12,2) * 100)::BIGINT ELSE 0 END) AS pre,
+       |    sum(CASE WHEN ts >= TIMESTAMP '$splitIso'
+       |        THEN (value::DECIMAL(12,2) * 100)::BIGINT ELSE 0 END) AS post,
+       |    user_id % 2 AS arm
+       |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+       |strata AS (
+       |  SELECT (pre // $bandCents)::BIGINT AS stratum,
+       |    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS n_treat,
+       |    sum(CASE WHEN arm = 1 THEN post ELSE 0 END)::BIGINT AS s1,
+       |    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS n_ctrl,
+       |    sum(CASE WHEN arm = 0 THEN post ELSE 0 END)::BIGINT AS s0
+       |  FROM users GROUP BY 1
+       |  HAVING sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) > 0
+       |     AND sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) > 0),
+       |terms AS (
+       |  SELECT stratum, n_treat, n_ctrl,
+       |    (s1::HUGEINT * n_ctrl - s0::HUGEINT * n_treat)
+       |      // (n_treat::HUGEINT * n_ctrl) AS diff_cents,
+       |    n_treat + n_ctrl AS n_s,
+       |    ((n_treat + n_ctrl)::HUGEINT * (s1::HUGEINT * n_ctrl
+       |      - s0::HUGEINT * n_treat)) // (n_treat::HUGEINT * n_ctrl) AS term
+       |  FROM strata),
+       |tot AS (SELECT sum(n_s)::BIGINT AS n_total,
+       |          sum(term)::HUGEINT AS term_sum FROM terms)
+       |SELECT stratum, n_treat, n_ctrl, diff_cents::BIGINT AS diff_cents,
+       |  (n_s * 1000000 // n_total)::BIGINT AS weight_e6,
+       |  (term_sum // n_total)::BIGINT AS ate_cents
+       |FROM terms CROSS JOIN tot ORDER BY stratum""".stripMargin
 
   /** DuckDB twin of [[policyEval]]. */
   def policyEvalOracleSql: String =

@@ -810,6 +810,118 @@ object TextAnalysis {
        |FROM dcg CROSS JOIN idcg""".stripMargin
   }
 
+  /** MRR / MAP@k RETRIEVAL EVAL — the rank-sensitive complements of
+    * [[ndcgEval]]: reciprocal rank grades WHERE the first hit lands,
+    * average precision grades the whole precision profile. One row per
+    * query term: the query is the term's own BM25 ranking, a document
+    * is RELEVANT when it mentions the term at least twice (the stricter
+    * criterion keeps precision non-degenerate — every retrieved doc
+    * trivially contains the term once). Exact integers throughout:
+    * RR = 10⁶ div first_rel_rank, P@i = hits_i·10⁶ div i summed at
+    * relevant positions, AP = that sum div min(R, k).
+    *
+    * Shape at 100 TB: the scan collapses to the query-term slice of the
+    * postings (|terms| · matching docs); the per-term rank window runs
+    * on that slice, never the corpus. Corpus-wide relevant counts ride
+    * the same collapsed frame.
+    */
+  def retrievalEval(
+      docs: DataFrame,
+      queryTerms: Seq[String] = Seq("spark", "join", "window"),
+      k: Int = 10,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(queryTerms.nonEmpty, "retrieval eval needs at least one term")
+    val withDl = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("dl", size(col("toks")).cast("double"))
+    val stats = withDl.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val tf = withDl
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val df_ = tf.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+    val idf = log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+    val termScore = idf * col("tf") * lit(k1 + 1.0) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+    val scored = tf.join(broadcast(df_), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("score_e4", round(termScore * 10000.0, 0).cast("long"))
+      .withColumn("rel", when(col("tf") >= 2.0, 1L).otherwise(0L))
+    val relTotals = scored.groupBy(col("term")).agg(sum(col("rel")).as("n_rel"))
+    val ranked = scored
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("term"))
+          .orderBy(desc("score_e4"), col("doc_id"))).cast("long"))
+      .filter(col("pos") <= k)
+      .withColumn("hits", sum(col("rel")).over(
+        Window.partitionBy(col("term")).orderBy(col("pos"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    ranked.groupBy(col("term"))
+      .agg(
+        min(when(col("rel") === 1L, col("pos"))).as("first_rel_rank"),
+        sum(col("rel")).as("hits_at_k"),
+        sum(when(col("rel") === 1L, expr("hits * 1000000 div pos"))
+          .otherwise(0L)).as("ap_num_e6"))
+      .join(broadcast(relTotals), "term")
+      .select(col("term"), col("n_rel"), col("first_rel_rank"),
+        coalesce(expr("1000000 div first_rel_rank"), lit(0L)).as("rr_e6"),
+        col("hits_at_k"),
+        coalesce(expr(s"ap_num_e6 div nullif(least(n_rel, $k), 0)"), lit(0L))
+          .as("ap_e6"))
+      .orderBy(col("term"))
+  }
+
+  /** DuckDB twin of [[retrievalEval]] — the q_bm25_search per-term score
+    * CTE plus the same integer RR/AP arithmetic.
+    */
+  def retrievalEvalOracleSql(
+      queryTerms: Seq[String] = Seq("spark", "join", "window"),
+      k: Int = 10): String = {
+    val termList = queryTerms.map(t => s"'$t'").mkString(", ")
+    s"""WITH t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+')
+       |             AS toks FROM documents),
+       |d AS (SELECT doc_id, len(toks)::DOUBLE AS dl, toks FROM t),
+       |s AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM d),
+       |tf AS (SELECT doc_id, dl, term, count(*)::DOUBLE AS tf
+       |       FROM (SELECT doc_id, dl, unnest(toks) AS term FROM d)
+       |       WHERE term IN ($termList) GROUP BY doc_id, dl, term),
+       |df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+       |sc AS (SELECT doc_id, term,
+       |         round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * tf
+       |           * (1.2 + 1.0) / (tf + 1.2 * ((1.0 - 0.75)
+       |           + 0.75 * dl / avgdl)) * 10000.0, 0)::BIGINT AS score_e4,
+       |         (CASE WHEN tf >= 2.0 THEN 1 ELSE 0 END)::BIGINT AS rel
+       |       FROM tf JOIN df USING (term) CROSS JOIN s),
+       |rt AS (SELECT term, sum(rel)::BIGINT AS n_rel FROM sc GROUP BY term),
+       |ranked AS (
+       |  SELECT term, rel,
+       |    row_number() OVER (PARTITION BY term
+       |      ORDER BY score_e4 DESC, doc_id)::BIGINT AS pos
+       |  FROM sc),
+       |topk AS (
+       |  SELECT term, rel, pos,
+       |    sum(rel) OVER (PARTITION BY term ORDER BY pos)::BIGINT AS hits
+       |  FROM ranked WHERE pos <= $k),
+       |ag AS (
+       |  SELECT term,
+       |    min(CASE WHEN rel = 1 THEN pos END)::BIGINT AS first_rel_rank,
+       |    sum(rel)::BIGINT AS hits_at_k,
+       |    sum(CASE WHEN rel = 1 THEN hits * 1000000 // pos ELSE 0 END)
+       |      ::BIGINT AS ap_num_e6
+       |  FROM topk GROUP BY term)
+       |SELECT ag.term, rt.n_rel, ag.first_rel_rank,
+       |  coalesce(1000000 // ag.first_rel_rank, 0)::BIGINT AS rr_e6,
+       |  ag.hits_at_k,
+       |  coalesce(ag.ap_num_e6 // nullif(least(rt.n_rel, $k), 0), 0)::BIGINT
+       |    AS ap_e6
+       |FROM ag JOIN rt USING (term) ORDER BY ag.term""".stripMargin
+  }
+
   /** Nucleus-vocabulary coverage — per source, how many distinct tokens
     * cover p of the token mass (the top-p "nucleus" of the unigram
     * distribution)? A tight nucleus means boilerplate-dominated text; a

@@ -556,6 +556,69 @@ class AnalyticsSpec extends SparkTestBase {
     assert(out.map(_._3).sum == 6L)
   }
 
+  test("jsdDrift: identical periods score 0; disjoint periods score positive and bounded") {
+    import spark.implicits._
+    val before = ts(0L)
+    val after = java.sql.Timestamp.valueOf("2024-01-20 00:00:00")
+    // type a: identical value mix both periods → every bin has p = q
+    // type b: all mass moves from the bottom bin to the top bin
+    val events = Seq(
+      (1L, 1L, "a", 1.0, before), (2L, 2L, "a", 9.0, before),
+      (3L, 3L, "a", 1.0, after), (4L, 4L, "a", 9.0, after),
+      (5L, 5L, "b", 1.0, before), (6L, 6L, "b", 1.0, before),
+      (7L, 7L, "b", 9.0, after), (8L, 8L, "b", 9.0, after)
+    ).toDF("event_id", "user_id", "event_type", "value", "ts")
+    val out = graft.ops.Analytics.jsdDrift(events).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("jsd_e6")))
+      .toMap
+    assert(out("a") == 0L)
+    assert(out("b") > 0L && out("b") <= 693148L) // ≤ ln 2 (+rounding)
+  }
+
+  test("permTest: no effect is never significant; a constant series is maximally extreme") {
+    import spark.implicits._
+    val t0 = ts(0L)
+    // identical spends in both arms: every reassignment reproduces
+    // |T| = 0 ≥ |T_obs| = 0 → p = (B+1)/(B+1) = 1
+    val flat = (1L to 20L).map(u => (u, u, "view", 1.0, t0))
+      .toDF("event_id", "user_id", "event_type", "value", "ts")
+    val pFlat = graft.ops.Analytics.permTest(flat, nDraws = 99).collect().head
+    assert(pFlat.getAs[Long]("obs_diff_cents") == 0L)
+    assert(pFlat.getAs[Long]("n_draws") == 99L)
+    assert(pFlat.getAs[Long]("p_e6") == 1000000L)
+    // strong separation (odd uids spend 100×): the observed assignment
+    // should be among the most extreme draws
+    val strong = (1L to 40L).map(u =>
+      (u, u, "view", if (u % 2 == 1) 100.0 else 1.0, t0))
+      .toDF("event_id", "user_id", "event_type", "value", "ts")
+    val pStrong = graft.ops.Analytics.permTest(strong, nDraws = 99)
+      .collect().head
+    assert(pStrong.getAs[Long]("obs_diff_cents") == 9900L)
+    assert(pStrong.getAs[Long]("p_e6") < 300000L)
+  }
+
+  test("stratifiedAte: within-stratum diffs, size weights, and the common-support trim") {
+    import spark.implicits._
+    val pre = java.sql.Timestamp.valueOf("2024-01-10 00:00:00")
+    val post = java.sql.Timestamp.valueOf("2024-01-20 00:00:00")
+    def u(uid: Long, p: Double, q: Double) = Seq(
+      (uid * 10, uid, "view", p, pre), (uid * 10 + 1, uid, "view", q, post))
+    // stratum 0: treat u1 (post 300) vs ctrl u2 (post 100) → diff 200
+    // stratum 1: treat u3+u5 (2200) vs ctrl u4 (600) → diff 500
+    // stratum 4: treat-only u7 → trimmed
+    val events = (u(1L, 1.00, 3.00) ++ u(2L, 1.50, 1.00) ++
+      u(3L, 21.00, 10.00) ++ u(5L, 21.50, 12.00) ++ u(4L, 22.00, 6.00) ++
+      u(7L, 90.00, 0.99))
+      .toDF("event_id", "user_id", "event_type", "value", "ts")
+    val out = graft.ops.Analytics.stratifiedAte(events).collect()
+      .map(r => (r.getAs[Long]("stratum"), r.getAs[Long]("n_treat"),
+        r.getAs[Long]("n_ctrl"), r.getAs[Long]("diff_cents"),
+        r.getAs[Long]("weight_e6"), r.getAs[Long]("ate_cents"))).toSeq
+    assert(out == Seq(
+      (0L, 1L, 1L, 200L, 400000L, 380L),
+      (1L, 2L, 1L, 500L, 600000L, 380L)))
+  }
+
   test("matchedAtt: 1-NN matching with duplicate-pre representatives and tie-breaks") {
     import spark.implicits._
     // controls (even uid): pre 100→post 50 (uid 2), pre 200→post 80

@@ -368,5 +368,9 @@ class EmptyInputSpec extends SparkTestBase {
     assert(graft.ops.Privacy.tCloseness(noEventsFull).count() == 0)
     assert(graft.ops.Analytics.conformalInterval(noEventsFull).count() == 0)
     assert(graft.ops.Analytics.shapleyAttribution(noEventsFull).count() == 0)
+    assert(graft.ops.Analytics.jsdDrift(noEventsFull).count() == 0)
+    assert(graft.ops.TextAnalysis.retrievalEval(noDocs, Seq("x")).count() == 0)
+    assert(graft.ops.Analytics.permTest(noEventsFull).count() == 0)
+    assert(graft.ops.Analytics.stratifiedAte(noEventsFull).count() == 0)
   }
 }

@@ -456,6 +456,25 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(out.getAs[Long]("ndcg_e4") == 10000L)
   }
 
+  test("retrievalEval: MRR and AP on a ranking where a short tf-1 doc outranks a relevant one") {
+    import spark.implicits._
+    // BM25 with dl-normalization ranks d3 (tf3) > d2 (tf1 but SHORT) >
+    // d1 (tf2): relevance (tf ≥ 2) hits at positions 1 and 3
+    val docs = Seq(
+      (1L, "x x a"), (2L, "x"), (3L, "x x x c"), (4L, "y z w")
+    ).toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis
+      .retrievalEval(docs, Seq("x"), k = 3).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_rel") == 2L)
+    assert(r.getAs[Long]("first_rel_rank") == 1L)
+    assert(r.getAs[Long]("rr_e6") == 1000000L)
+    assert(r.getAs[Long]("hits_at_k") == 2L)
+    // AP = (1e6·1/1 + 1e6·2/3) / 2 = (1000000 + 666666) div 2
+    assert(r.getAs[Long]("ap_e6") == 833333L)
+  }
+
   test("nucleusVocab: the 90% mass cut lands between head and tail") {
     import spark.implicits._
     // counts 8/1/1: 'a' and 'b' reach 90% of the 10-token mass; 'c'
