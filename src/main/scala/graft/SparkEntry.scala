@@ -277,6 +277,14 @@ object SparkEntry {
     // subclassification ATE on pre-spend strata with common-support trim
     "q_stratified_ate" -> ((s, d) =>
       Analytics.stratifiedAte(Analytics.events(s, d))),
+    // WOE / information value of the spend band vs the error-share label
+    "q_woe_iv" -> ((s, d) => Modeling.woeIv(Analytics.events(s, d))),
+    // Kendall τ-a between tf and df rankings of the top-100 terms
+    "q_kendall_tau" -> ((s, d) =>
+      TextAnalysis.kendallTau(TextAnalysis.documents(s, d))),
+    // Flesch reading-ease per source from three shared regex counts
+    "q_readability" -> ((s, d) =>
+      TextAnalysis.readability(TextAnalysis.documents(s, d))),
     // snapshot reconciliation: late-arriving 1/97 slice vs deleted 1/89
     // slice with restated open orders on the 1/11 grid
     "q_snapshot_diff" -> ((s, d) => {
@@ -1810,6 +1818,9 @@ object SparkEntry {
     "q_retrieval_mrr" -> TextAnalysis.retrievalEvalOracleSql(),
     "q_perm_test" -> Analytics.permTestOracleSql(),
     "q_stratified_ate" -> Analytics.stratifiedAteOracleSql(),
+    "q_woe_iv" -> Modeling.woeIvOracleSql(),
+    "q_kendall_tau" -> TextAnalysis.kendallTauOracleSql(),
+    "q_readability" -> TextAnalysis.readabilityOracleSql,
     // triangle count is orientation-invariant: the oracle counts the
     // canonical a<b<c form, pinning the degree-ordered plan's result
     "q_triangles" ->

@@ -922,6 +922,128 @@ object TextAnalysis {
        |FROM ag JOIN rt USING (term) ORDER BY ag.term""".stripMargin
   }
 
+  /** KENDALL RANK CORRELATION (τ-a) between the frequency ranking and
+    * the document-frequency ranking of the top-N terms — do bursty
+    * terms (high tf, few docs) distort the head of the vocabulary? The
+    * two rankings are tie-free by construction (count desc, then term),
+    * so τ-a = (C − D) / (n(n−1)/2) is exact: concordant/discordant
+    * counts come from the n(n−1)/2 pair grid and the readout is one
+    * integer division at e6.
+    *
+    * Shape at 100 TB: the corpus collapses once to (term, tf, df); the
+    * top-N cut is a TakeOrdered; the quadratic pair join runs on the
+    * N-row frame (N=100 → 4950 pairs) — model-sized by construction,
+    * the [[graft.ops.Analytics]] value-domain discipline.
+    */
+  def kendallTau(docs: DataFrame, topN: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      .orderBy(desc("tf"), col("term")).limit(topN)
+      .withColumn("r1", row_number().over(
+        Window.orderBy(desc("tf"), col("term"))).cast("long"))
+      .withColumn("r2", row_number().over(
+        Window.orderBy(desc("df"), col("term"))).cast("long"))
+    val pairs = terms.as("x")
+      .join(terms.select(col("term").as("term2"), col("r1").as("r1b"),
+        col("r2").as("r2b")).as("y"), expr("term < term2"))
+      .select(
+        when((col("r1") - col("r1b")) * (col("r2") - col("r2b")) > 0, 1L)
+          .otherwise(0L).as("conc"),
+        when((col("r1") - col("r1b")) * (col("r2") - col("r2b")) < 0, 1L)
+          .otherwise(0L).as("disc"))
+    terms.agg(count(lit(1)).as("n_items"))
+      .filter(col("n_items") > 1)
+      .crossJoin(pairs.agg(
+        coalesce(sum(col("conc")), lit(0L)).as("concordant"),
+        coalesce(sum(col("disc")), lit(0L)).as("discordant")))
+      .select(col("n_items"), col("concordant"), col("discordant"),
+        expr("(concordant - discordant) * 1000000 div (n_items * (n_items - 1) div 2)")
+          .as("tau_e6"))
+  }
+
+  /** DuckDB twin of [[kendallTau]]. */
+  def kendallTauOracleSql(topN: Int = 100): String =
+    s"""WITH tc AS (
+       |  SELECT term, count(*)::BIGINT AS tf,
+       |    count(DISTINCT doc_id)::BIGINT AS df
+       |  FROM (SELECT doc_id, unnest(regexp_split_to_array(lower(text),
+       |          '\\s+')) AS term FROM documents)
+       |  GROUP BY term ORDER BY tf DESC, term LIMIT $topN),
+       |ranked AS (
+       |  SELECT term,
+       |    row_number() OVER (ORDER BY tf DESC, term)::BIGINT AS r1,
+       |    row_number() OVER (ORDER BY df DESC, term)::BIGINT AS r2
+       |  FROM tc),
+       |pairs AS (
+       |  SELECT sum(CASE WHEN (x.r1 - y.r1) * (x.r2 - y.r2) > 0
+       |           THEN 1 ELSE 0 END)::BIGINT AS concordant,
+       |         sum(CASE WHEN (x.r1 - y.r1) * (x.r2 - y.r2) < 0
+       |           THEN 1 ELSE 0 END)::BIGINT AS discordant
+       |  FROM ranked x JOIN ranked y ON x.term < y.term),
+       |n AS (SELECT count(*)::BIGINT AS n_items FROM ranked
+       |      HAVING count(*) > 1)
+       |SELECT n_items, coalesce(concordant, 0) AS concordant,
+       |  coalesce(discordant, 0) AS discordant,
+       |  ((coalesce(concordant, 0) - coalesce(discordant, 0)) * 1000000
+       |    // (n_items * (n_items - 1) // 2))::BIGINT AS tau_e6
+       |FROM n CROSS JOIN pairs""".stripMargin
+
+  /** FLESCH READING-EASE PROFILE per source — the classic readability
+    * screen (Flesch 1948) a curation pipeline uses to route text to
+    * grade-level buckets: 206.835 − 1.015·(words/sentences) −
+    * 84.6·(syllables/words), computed on per-source aggregate counts.
+    * Sentences are [.!?]+ runs (min 1 per doc), syllables approximate
+    * as vowel-group runs — the standard heuristic; both engines run the
+    * SAME regexes and the score quantizes at e2.
+    *
+    * Shape at 100 TB: three regexp counts per row inside one narrow
+    * projection, then a per-source aggregate — one scan, no shuffle
+    * beyond the group-by.
+    */
+  def readability(docs: DataFrame): DataFrame = {
+    val counted = docs.select(
+      col("source"),
+      size(tokens(col("text"))).cast("long").as("w"),
+      greatest(lit(1L),
+        size(expr("regexp_extract_all(text, '[.!?]+', 0)")).cast("long"))
+        .as("s"),
+      size(expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)"))
+        .cast("long").as("y"))
+    counted.groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("w")).as("n_words"),
+        sum(col("s")).as("n_sentences"),
+        sum(col("y")).as("n_syllables"))
+      .filter(col("n_words") > 0)
+      .withColumn("flesch_e2",
+        round((lit(206.835) -
+          lit(1.015) * col("n_words").cast("double") /
+            col("n_sentences").cast("double") -
+          lit(84.6) * col("n_syllables").cast("double") /
+            col("n_words").cast("double")) * 100, 0).cast("long"))
+      .orderBy(col("source"))
+  }
+
+  /** DuckDB twin of [[readability]]. */
+  def readabilityOracleSql: String =
+    """WITH c AS (
+      |  SELECT source,
+      |    len(regexp_split_to_array(lower(text), '\s+'))::BIGINT AS w,
+      |    greatest(1, len(regexp_extract_all(text, '[.!?]+')))::BIGINT AS s,
+      |    len(regexp_extract_all(lower(text), '[aeiouy]+'))::BIGINT AS y
+      |  FROM documents)
+      |SELECT source, count(*)::BIGINT AS n_docs,
+      |  sum(w)::BIGINT AS n_words, sum(s)::BIGINT AS n_sentences,
+      |  sum(y)::BIGINT AS n_syllables,
+      |  round((206.835 - 1.015 * sum(w)::DOUBLE / sum(s)::DOUBLE
+      |    - 84.6 * sum(y)::DOUBLE / sum(w)::DOUBLE) * 100, 0)::BIGINT
+      |    AS flesch_e2
+      |FROM c GROUP BY source HAVING sum(w) > 0 ORDER BY source""".stripMargin
+
   /** Nucleus-vocabulary coverage — per source, how many distinct tokens
     * cover p of the token mass (the top-p "nucleus" of the unigram
     * distribution)? A tight nucleus means boilerplate-dominated text; a

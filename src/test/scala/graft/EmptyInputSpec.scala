@@ -372,5 +372,8 @@ class EmptyInputSpec extends SparkTestBase {
     assert(graft.ops.TextAnalysis.retrievalEval(noDocs, Seq("x")).count() == 0)
     assert(graft.ops.Analytics.permTest(noEventsFull).count() == 0)
     assert(graft.ops.Analytics.stratifiedAte(noEventsFull).count() == 0)
+    assert(graft.ops.Modeling.woeIv(noEventsFull).count() == 0)
+    assert(graft.ops.TextAnalysis.kendallTau(noDocs).count() == 0)
+    assert(graft.ops.TextAnalysis.readability(noDocs).count() == 0)
   }
 }

@@ -366,6 +366,26 @@ class ModelingSpec extends SparkTestBase {
       r.getLong(4)) == ((1L, 10L, 100L, 500L, 900L)))
   }
 
+  test("woeIv: single good and single bad band give symmetric ±ln2 WOE") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-10 00:00:00")
+    // u1: good (no errors), 1000c → bin 0; u2: bad (1/1 errors),
+    // 11000c → bin 5. G=B=1 → pg=2/11 vs pb=1/11 on their bins.
+    val events = Seq(
+      (1L, 1L, "view", 10.0, t0),
+      (2L, 2L, "error", 110.0, t0)
+    ).toDF("event_id", "user_id", "event_type", "value", "ts")
+    val out = graft.ops.Modeling.woeIv(events).collect()
+      .map(r => (r.getAs[Long]("bin"), r.getAs[Long]("n_good"),
+        r.getAs[Long]("n_bad"), r.getAs[Long]("woe_e6"),
+        r.getAs[Long]("iv_term_e6"), r.getAs[Long]("iv_e6"))).toSeq
+    assert(out.length == 10)
+    assert(out.head == (0L, 1L, 0L, 693147L, 63013L, 126026L))
+    assert(out(5) == (5L, 0L, 1L, -693147L, 63013L, 126026L))
+    assert(out.filter(r => r._1 != 0L && r._1 != 5L)
+      .forall(r => r._4 == 0L && r._5 == 0L))
+  }
+
   test("retentionHalflife recovers a constructed halving cadence") {
     // 8 users on day 0; exactly half remain active each later day:
     // 4 on day 1, 2 on day 2, 1 on day 3 → slope = -ln2/day,

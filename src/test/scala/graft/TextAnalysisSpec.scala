@@ -475,6 +475,38 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(r.getAs[Long]("ap_e6") == 833333L)
   }
 
+  test("kendallTau: partially inverted tf/df rankings on hand data") {
+    import spark.implicits._
+    // tf ranking: aa(4) bb(3) cc(2); df ranking: bb(3) cc(2) aa(1)
+    // pairs: (aa,bb) disc, (aa,cc) disc, (bb,cc) conc → τ = −1/3
+    val docs = Seq(
+      (1L, "aa aa aa aa"), (2L, "bb cc"), (3L, "bb cc"), (4L, "bb")
+    ).toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.kendallTau(docs).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_items") == 3L)
+    assert(r.getAs[Long]("concordant") == 1L)
+    assert(r.getAs[Long]("discordant") == 2L)
+    assert(r.getAs[Long]("tau_e6") == -333333L)
+  }
+
+  test("readability: Flesch score from exact word/sentence/syllable counts") {
+    import spark.implicits._
+    // 6 words, 2 sentence runs, 6 vowel groups:
+    // 206.835 − 1.015·3 − 84.6·1 = 119.19
+    val docs = Seq((1L, "The cat sat. The dog ran!", "s1"))
+      .toDF("doc_id", "text", "source")
+    val out = graft.ops.TextAnalysis.readability(docs).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_docs") == 1L)
+    assert(r.getAs[Long]("n_words") == 6L)
+    assert(r.getAs[Long]("n_sentences") == 2L)
+    assert(r.getAs[Long]("n_syllables") == 6L)
+    assert(r.getAs[Long]("flesch_e2") == 11919L)
+  }
+
   test("nucleusVocab: the 90% mass cut lands between head and tail") {
     import spark.implicits._
     // counts 8/1/1: 'a' and 'b' reach 90% of the 10-token mass; 'c'
