@@ -152,7 +152,19 @@ object DumpPlans {
       "q_snapshot_diff" -> "snapshot diff: both scans pruned to key+compare columns, one co-partitioned full-outer join, 4-row rollup",
       "q_item_recs" -> "item recs: one-exchange pair build, broadcast part-count dims, per-part top-k window on the pair frame",
       "q_revenue_bridge" -> "revenue bridge: pushed ship-date range + broadcast part dim, one (brand, year) aggregate, bridge arithmetic on the brand frame",
-      "q_policy_eval" -> "off-policy eval: ONE corpus collapse to (segment, action) cells; propensities and totals ride broadcasts over the 4-row segment frame")
+      "q_policy_eval" -> "off-policy eval: ONE corpus collapse to (segment, action) cells; propensities and totals ride broadcasts over the 4-row segment frame",
+      "q_ewma_trend" -> "EWMA trend: corpus collapses to the day dimension once; the 32-row exact-rational weight grid broadcasts and the convolution is a date-keyed aggregate",
+      "q_matched_att" -> "matching ATT: both arms collapse to the pre-spend VALUE DOMAIN; 1-NN is a merge window over that domain — never a treated×control pair join",
+      "q_tcloseness" -> "t-closeness: one (cell, band) collapse, broadcast band domain fills zeros, per-cell EMD cumulative runs on ≤m rows per cell",
+      "q_conformal" -> "conformal intervals: user collapse + residual VALUE-DOMAIN cumulative for the order statistic — no global row sort, no top-(0.9n)",
+      "q_shapley_attribution" -> "Shapley: broadcast channel→bit map over ONE user collapse; the 2^n coalition grid, subset-sum and marginal joins all run on kilobyte broadcast frames",
+      "q_perm_test" -> "randomization test: the 200-draw grid broadcasts across the user collapse (BNLJ); each draw is a partial aggregate — no corpus re-scan, no window",
+      "q_jsd_drift" -> "JSD drift: the psi histogram collapse reused — (type, period, bin) counts, ln arithmetic on the 16·|types|-row dense grid",
+      "q_retrieval_mrr" -> "MRR/MAP: postings sliced to the query terms, df/stats broadcast, per-term rank window on the slice — never the corpus",
+      "q_stratified_ate" -> "stratified ATE: user collapse → stratum collapse (two key-partitioned aggregates); trim + weighting on the stratum dimension",
+      "q_woe_iv" -> "WOE/IV: the mutualInfo discipline — one user collapse, ≤10-row (band, label) histogram carries all ln arithmetic",
+      "q_kendall_tau" -> "Kendall τ: (term, tf, df) collapse → top-N TakeOrdered; the quadratic pair grid runs on the 100-row frame",
+      "q_readability" -> "readability: three regexp counts in one narrow projection, per-source aggregate — one scan, one exchange")
 
     val sb = new StringBuilder
     sb.append("# PLANS — explain(\"formatted\") for headline queries\n\n")

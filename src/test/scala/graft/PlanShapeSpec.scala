@@ -935,4 +935,49 @@ class PlanShapeSpec extends SparkTestBase {
       s"pair build must stay an equi-join:\n$p")
     assert(p.contains("Window"), p)
   }
+
+  test("permTest: the draw grid broadcasts across the user collapse — no shuffle join") {
+    // 200 draws must multiply the USER dimension via a broadcast cross;
+    // a SortMergeJoin or CartesianProduct here re-shuffles the corpus
+    // collapse 200 times over
+    val p = plan(Analytics.permTest(Analytics.events(spark, sf)))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"draw grid must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("shapleyAttribution: channel ranks broadcast onto the corpus; coalition math never joins fact rows") {
+    val p = plan(Analytics.shapleyAttribution(Analytics.events(spark, sf)))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the type→bit map must broadcast over events:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"the 2^n coalition frames must stay broadcast-side:\n$p")
+  }
+
+  test("tCloseness and matchedAtt: value-domain machinery, no corpus-sized join") {
+    val pt = plan(graft.ops.Privacy.tCloseness(Analytics.events(spark, sf)))
+    assert(!pt.contains("CartesianProduct"), pt)
+    assert(!pt.contains("event_id"),
+      s"t-closeness must prune the events scan to (type, ts, value):\n$pt")
+    val pm = plan(Analytics.matchedAtt(Analytics.events(spark, sf)))
+    assert(!pm.contains("SortMergeJoin") && !pm.contains("CartesianProduct"),
+      s"1-NN matching must stay a merge window over the value domain:\n$pm")
+  }
+
+  test("ewmaTrend: orders scan prunes to (date, price); the weight grid broadcasts") {
+    val p = plan(Relational.ewmaTrend(Relational.table(spark, sf, "orders")))
+    assert(!p.contains("o_comment") && !p.contains("o_clerk"),
+      s"EWMA must read two columns only:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), s"dt-grid must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("retrievalEval: df broadcasts over the postings slice; ranking is a per-term window") {
+    val p = plan(graft.ops.TextAnalysis.retrievalEval(
+      graft.ops.TextAnalysis.documents(spark, sf)))
+    assert(p.contains("BroadcastHashJoin"), s"df/stats must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("Window"), p)
+  }
 }
