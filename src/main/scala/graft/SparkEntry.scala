@@ -285,6 +285,15 @@ object SparkEntry {
     // Flesch reading-ease per source from three shared regex counts
     "q_readability" -> ((s, d) =>
       TextAnalysis.readability(TextAnalysis.documents(s, d))),
+    // quantile treatment effects at deciles (value-domain order stats)
+    "q_qte" -> ((s, d) =>
+      Analytics.quantileTreatmentEffects(Analytics.events(s, d))),
+    // ECE/MCE scalar over the 8-bin calibration curve
+    "q_ece" -> ((s, d) =>
+      TextAnalysis.expectedCalibrationError(TextAnalysis.documents(s, d))),
+    // personalized PageRank: teleport restricted to the mod-97 seed set
+    "q_ppr" -> ((s, d) =>
+      Graph.personalizedPageRank(Analytics.events(s, d))),
     // snapshot reconciliation: late-arriving 1/97 slice vs deleted 1/89
     // slice with restated open orders on the 1/11 grid
     "q_snapshot_diff" -> ((s, d) => {
@@ -1560,6 +1569,32 @@ object SparkEntry {
       s"((($bm >> $i) & 1) << ${2 * i + 1})")).mkString(" | ")
   }
 
+  /** The reliability-curve SQL, shared verbatim by q_calibration_curve
+    * and the q_ece wrapper so the two can never drift apart.
+    */
+  private val calibrationCurveOracle: String =
+    """WITH f AS (
+      |  SELECT (lang = 'en')::BIGINT AS y,
+      |    1.0 AS x0,
+      |    ln(1.0 + len(toks)::DOUBLE) AS x1,
+      |    len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE AS x2,
+      |    len(list_filter(toks, t -> t IN ('the','a','of','and','to','in')))::DOUBLE
+      |      / len(toks)::DOUBLE AS x3,
+      |    length(text)::DOUBLE / len(toks)::DOUBLE AS x4
+      |  FROM (SELECT lang, text,
+      |          regexp_split_to_array(lower(text), '\s+') AS toks
+      |        FROM documents)),
+      |s AS (
+      |  SELECT y,
+      |    round((1.0 / (1.0 + exp(-((x0 * -3.0) + (x1 * 0.6) + (x2 * 2.0)
+      |      + (x3 * 3.0) + (x4 * 0.1))))) * 10000, 0)::BIGINT AS score_e4
+      |  FROM f)
+      |SELECT least(7, score_e4 // 1250)::BIGINT AS bin,
+      |  count(*)::BIGINT AS n,
+      |  (sum(score_e4) // count(*))::BIGINT AS mean_score_e4,
+      |  (sum(y) * 10000 // count(*))::BIGINT AS frac_pos_e4
+      |FROM s GROUP BY 1 ORDER BY bin""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     // catalog introspection: DuckDB builds the 19-col sink twin and reads
     // its own information_schema.columns; the CASE maps DuckDB type names
@@ -1821,6 +1856,8 @@ object SparkEntry {
     "q_woe_iv" -> Modeling.woeIvOracleSql(),
     "q_kendall_tau" -> TextAnalysis.kendallTauOracleSql(),
     "q_readability" -> TextAnalysis.readabilityOracleSql,
+    "q_qte" -> Analytics.quantileTreatmentEffectsOracleSql,
+    "q_ppr" -> Graph.personalizedPageRankOracleSql(),
     // triangle count is orientation-invariant: the oracle counts the
     // canonical a<b<c form, pinning the degree-ordered plan's result
     "q_triangles" ->
@@ -2141,28 +2178,15 @@ object SparkEntry {
         |        ELSE (m * sxy - s * s) * 10000 // (m * sxx - s * s)
         |   END)::BIGINT AS assortativity_e4
         |FROM s""".stripMargin,
-    "q_calibration_curve" ->
-      """WITH f AS (
-        |  SELECT (lang = 'en')::BIGINT AS y,
-        |    1.0 AS x0,
-        |    ln(1.0 + len(toks)::DOUBLE) AS x1,
-        |    len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE AS x2,
-        |    len(list_filter(toks, t -> t IN ('the','a','of','and','to','in')))::DOUBLE
-        |      / len(toks)::DOUBLE AS x3,
-        |    length(text)::DOUBLE / len(toks)::DOUBLE AS x4
-        |  FROM (SELECT lang, text,
-        |          regexp_split_to_array(lower(text), '\s+') AS toks
-        |        FROM documents)),
-        |s AS (
-        |  SELECT y,
-        |    round((1.0 / (1.0 + exp(-((x0 * -3.0) + (x1 * 0.6) + (x2 * 2.0)
-        |      + (x3 * 3.0) + (x4 * 0.1))))) * 10000, 0)::BIGINT AS score_e4
-        |  FROM f)
-        |SELECT least(7, score_e4 // 1250)::BIGINT AS bin,
-        |  count(*)::BIGINT AS n,
-        |  (sum(score_e4) // count(*))::BIGINT AS mean_score_e4,
-        |  (sum(y) * 10000 // count(*))::BIGINT AS frac_pos_e4
-        |FROM s GROUP BY 1 ORDER BY bin""".stripMargin,
+    "q_calibration_curve" -> calibrationCurveOracle,
+    // ECE wraps the identical curve SQL in one weighted-gap aggregate
+    "q_ece" ->
+      s"""SELECT count(*)::BIGINT AS n_bins, sum(n)::BIGINT AS n_total,
+         |  (sum(n * abs(frac_pos_e4 - mean_score_e4)) // sum(n))::BIGINT
+         |    AS ece_e4,
+         |  max(abs(frac_pos_e4 - mean_score_e4))::BIGINT AS mce_e4
+         |FROM ($calibrationCurveOracle) curve
+         |HAVING count(*) > 0""".stripMargin,
     "q_psi_drift" ->
       """WITH mm AS (SELECT min(value) AS vmin, max(value) AS vmax FROM events),
         |b AS (

@@ -5230,6 +5230,73 @@ object Analytics {
        |  (term_sum // n_total)::BIGINT AS ate_cents
        |FROM terms CROSS JOIN tot ORDER BY stratum""".stripMargin
 
+  /** QUANTILE TREATMENT EFFECTS — where [[stratifiedAte]] reports the
+    * MEAN shift, QTE reports the shift at each decile of the outcome
+    * distribution (Doksum 1974): an intervention that helps the median
+    * user but hurts the tail is invisible to an ATE and obvious here.
+    * Per decile τ, q_arm(τ) is the ⌈τ·n/10⌉-th order statistic of
+    * per-user spend (an exact, engine-agnostic definition — no
+    * interpolation), QTE(τ) = q_treat − q_ctrl.
+    *
+    * Shape at 100 TB: user collapse, then each arm's spend distribution
+    * collapses to its VALUE DOMAIN with counts; order statistics are
+    * one cumulative over the sorted domain joined against the 9-row
+    * decile grid — the weightedQuantiles discipline, never a row sort.
+    */
+  def quantileTreatmentEffects(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = (col("value").cast("decimal(12,2)") * 100).cast("long")
+    val users = df.filter(col("user_id").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(sum(cents).as("spend"))
+      .withColumn("arm", col("user_id") % 2)
+    val domain = users.groupBy(col("arm"), col("spend"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(
+        Window.partitionBy(col("arm")).orderBy(col("spend"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("arm"))))
+    val grid = df.sparkSession.range(1, 10).select(col("id").as("d"))
+    val qs = domain.join(broadcast(grid),
+        expr("cum * 10 >= d * n"))
+      .groupBy(col("d"), col("arm"), col("n"))
+      .agg(min(col("spend")).as("q"))
+    qs.filter(col("arm") === 1)
+      .select(col("d"), col("n").as("n_treat"), col("q").as("q_treat_cents"))
+      .join(qs.filter(col("arm") === 0)
+        .select(col("d"), col("n").as("n_ctrl"), col("q").as("q_ctrl_cents")),
+        Seq("d"))
+      .select(col("d").as("decile"), col("n_treat"), col("n_ctrl"),
+        col("q_treat_cents"), col("q_ctrl_cents"),
+        (col("q_treat_cents") - col("q_ctrl_cents")).as("qte_cents"))
+      .orderBy(col("decile"))
+  }
+
+  /** DuckDB twin of [[quantileTreatmentEffects]]. */
+  def quantileTreatmentEffectsOracleSql: String =
+    """WITH users AS MATERIALIZED (
+      |  SELECT user_id, sum((value::DECIMAL(12,2) * 100)::BIGINT) AS spend,
+      |    user_id % 2 AS arm
+      |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+      |dom AS (
+      |  SELECT arm, spend, count(*)::BIGINT AS c FROM users GROUP BY 1, 2),
+      |cums AS (
+      |  SELECT arm, spend,
+      |    sum(c) OVER (PARTITION BY arm ORDER BY spend)::BIGINT AS cum,
+      |    sum(c) OVER (PARTITION BY arm)::BIGINT AS n
+      |  FROM dom),
+      |grid AS (SELECT range AS d FROM range(1, 10)),
+      |qs AS (
+      |  SELECT d, arm, n, min(spend)::BIGINT AS q
+      |  FROM cums JOIN grid ON cum * 10 >= d * n
+      |  GROUP BY d, arm, n)
+      |SELECT t.d::BIGINT AS decile, t.n AS n_treat, c.n AS n_ctrl,
+      |  t.q AS q_treat_cents, c.q AS q_ctrl_cents,
+      |  (t.q - c.q)::BIGINT AS qte_cents
+      |FROM (SELECT * FROM qs WHERE arm = 1) t
+      |JOIN (SELECT * FROM qs WHERE arm = 0) c ON t.d = c.d
+      |ORDER BY decile""".stripMargin
+
   /** DuckDB twin of [[policyEval]]. */
   def policyEvalOracleSql: String =
     """WITH cells AS MATERIALIZED (

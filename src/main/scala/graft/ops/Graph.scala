@@ -201,6 +201,108 @@ object Graph {
        |SELECT node AS word, rank FROM r$iters
        |ORDER BY rank DESC, word LIMIT $k""".stripMargin
 
+  /** PERSONALIZED PAGERANK (Jeh & Widom, WWW'03) over the same
+    * user↔type interaction graph as [[pageRank]], with the teleport
+    * mass restricted to a SEED set (users with user_id ≡ 0 mod
+    * `modulus` — in production the query user or a trusted cohort):
+    * rank becomes proximity TO THE SEEDS rather than global importance,
+    * which is the variant recommendation and trust-propagation
+    * pipelines actually deploy. Same exact fixed-point integer
+    * recurrence; only the teleport term changes:
+    *   rankₜ(v) = [v ∈ S]·(15·(SCALE div |S|)) div 100
+    *            + (85·Σ contribs) div 100.
+    *
+    * Shape at 100 TB: identical to [[pageRank]] — the seed indicator is
+    * one more broadcast-joined node-sized column.
+    */
+  def personalizedPageRank(
+      events: DataFrame, iters: Int = 10, modulus: Long = 97L): DataFrame = {
+    require(iters > 0, "iters must be positive")
+    val pairs = events
+      .select(concat(lit("u:"), col("user_id").cast("string")).as("u"),
+        concat(lit("t:"), col("event_type")).as("t"),
+        col("user_id"))
+      .groupBy(col("u"), col("t"))
+      .agg(count(lit(1)).as("w"), min(col("user_id")).as("uid"))
+    val edges = pairs.select(col("u").as("src"), col("t").as("dst"), col("w"))
+      .unionAll(pairs.select(col("t").as("src"), col("u").as("dst"), col("w")))
+    val seeds = pairs.filter(col("uid") % modulus === 0L)
+      .select(col("u").as("node")).distinct()
+      .withColumn("is_seed", lit(1L))
+    val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("out_w"))
+    val e = edges.join(outw, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node")).distinct()
+      .join(broadcast(seeds), Seq("node"), "left")
+      .na.fill(0L, Seq("is_seed"))
+      .localCheckpoint(true)
+    val cnt = nodes.agg(sum(col("is_seed")).as("ns"))
+    def teleport = expr(s"is_seed * (15 * ($RankScale div nullif(ns, 0L))) div 100")
+    var rank = nodes.crossJoin(broadcast(cnt))
+      .select(col("node"),
+        expr(s"is_seed * ($RankScale div nullif(ns, 0L))").as("rank"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val contribs = e.join(rank, e("src") === rank("node"))
+        .select(col("dst"), expr("rank * w div out_w").as("contrib"))
+        .groupBy(col("dst")).agg(sum(col("contrib")).as("in_rank"))
+      rank = nodes.crossJoin(broadcast(cnt))
+        .join(contribs, nodes("node") === contribs("dst"), "left")
+        .select(col("node"),
+          (teleport + expr("(85 * coalesce(in_rank, 0L)) div 100"))
+            .as("rank"))
+        .localCheckpoint(true)
+    }
+    e.unpersist()
+    // proximity readout: nonzero-rank nodes only (untouched nodes carry
+    // no information in a personalized walk)
+    rank.filter(col("rank") > 0L).orderBy(desc("rank"), col("node"))
+  }
+
+  /** DuckDB twin of [[personalizedPageRank]] — the [[pageRankOracleSql]]
+    * CTE chain with the seed-gated teleport.
+    */
+  def personalizedPageRankOracleSql(
+      iters: Int = 10, modulus: Long = 97L): String = {
+    val S = RankScale
+    val head =
+      s"""WITH pairs AS MATERIALIZED (
+         |  SELECT 'u:' || user_id::VARCHAR AS u, 't:' || event_type AS t,
+         |    count(*)::BIGINT AS w, min(user_id) AS uid
+         |  FROM events GROUP BY 1, 2),
+         |edges AS MATERIALIZED (
+         |  SELECT u AS src, t AS dst, w FROM pairs
+         |  UNION ALL SELECT t, u, w FROM pairs),
+         |seeds AS MATERIALIZED (
+         |  SELECT DISTINCT u AS node, 1::BIGINT AS is_seed FROM pairs
+         |  WHERE uid % $modulus = 0),
+         |e AS MATERIALIZED (
+         |  SELECT src, dst, w, sum(w) OVER (PARTITION BY src) AS out_w
+         |  FROM edges),
+         |nodes AS MATERIALIZED (
+         |  SELECT n.node, coalesce(s.is_seed, 0) AS is_seed
+         |  FROM (SELECT DISTINCT src AS node FROM edges) n
+         |  LEFT JOIN seeds s ON n.node = s.node),
+         |cnt AS MATERIALIZED (SELECT sum(is_seed)::BIGINT AS ns FROM nodes),
+         |r0 AS MATERIALIZED (
+         |  SELECT node, (is_seed * ($S // nullif(ns, 0)))::BIGINT AS rank
+         |  FROM nodes CROSS JOIN cnt)""".stripMargin
+    val iterCtes = (1 to iters).map { t =>
+      s"""c$t AS MATERIALIZED (
+         |  SELECT e.dst, sum((r.rank * e.w) // e.out_w)::BIGINT AS in_rank
+         |  FROM e JOIN r${t - 1} r ON e.src = r.node GROUP BY 1),
+         |r$t AS MATERIALIZED (
+         |  SELECT n.node,
+         |    (n.is_seed * (15 * ($S // nullif(c.ns, 0))) // 100
+         |     + (85 * coalesce(ci.in_rank, 0)) // 100)::BIGINT AS rank
+         |  FROM nodes n CROSS JOIN cnt c
+         |  LEFT JOIN c$t ci ON n.node = ci.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""$head,
+       |$iterCtes
+       |SELECT node, rank FROM r$iters WHERE rank > 0
+       |ORDER BY rank DESC, node""".stripMargin
+  }
+
   /** LABEL-PROPAGATION COMMUNITY DETECTION (Raghavan et al. 2007),
     * made deterministic: over the part co-purchase graph
     * ([[Relational.partPairCounts]]), every node starts as its own

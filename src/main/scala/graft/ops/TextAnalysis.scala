@@ -922,6 +922,27 @@ object TextAnalysis {
        |FROM ag JOIN rt USING (term) ORDER BY ag.term""".stripMargin
   }
 
+  /** EXPECTED CALIBRATION ERROR — the scalar that summarizes the
+    * [[calibrationCurve]] the way AUC summarizes the ROC: the
+    * bin-size-weighted mean |observed − predicted| gap, plus the worst
+    * single-bin gap (the MCE). The number a model gate thresholds on
+    * when "is score 0.8 really 80%?" must be answered automatically.
+    * Pure integer arithmetic over the 8-bin curve frame.
+    */
+  def expectedCalibrationError(
+      df: DataFrame,
+      labelCol: Column = col("lang") === "en",
+      weights: Seq[Double] = defaultQualityWeights): DataFrame =
+    calibrationCurve(df, labelCol, weights)
+      .groupBy(lit(1).as("_g"))
+      .agg(
+        count(lit(1)).as("n_bins"),
+        sum(col("n")).as("n_total"),
+        expr("sum(n * abs(frac_pos_e4 - mean_score_e4)) div sum(n)")
+          .as("ece_e4"),
+        max(abs(col("frac_pos_e4") - col("mean_score_e4"))).as("mce_e4"))
+      .drop("_g")
+
   /** KENDALL RANK CORRELATION (τ-a) between the frequency ranking and
     * the document-frequency ranking of the top-N terms — do bursty
     * terms (high tf, few docs) distort the head of the vocabulary? The

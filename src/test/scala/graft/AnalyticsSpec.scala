@@ -619,6 +619,37 @@ class AnalyticsSpec extends SparkTestBase {
       (1L, 2L, 1L, 500L, 600000L, 380L)))
   }
 
+  test("quantileTreatmentEffects: deciles of a linear treated arm vs a constant control arm") {
+    import spark.implicits._
+    val t0 = ts(0L)
+    // treat (odd uid 1..19): spends 100,200,...,1000 → q(d) = 100·d
+    // ctrl (even uid 2..20): spend 50 everywhere → q(d) = 50
+    val events = ((1L to 19L by 2).zipWithIndex.map { case (u, i) =>
+      (u, u, "view", (i + 1) * 1.0, t0)
+    } ++ (2L to 20L by 2).map(u => (u, u, "view", 0.5, t0)))
+      .toDF("event_id", "user_id", "event_type", "value", "ts")
+    val out = graft.ops.Analytics.quantileTreatmentEffects(events).collect()
+      .map(r => (r.getAs[Long]("decile"), r.getAs[Long]("n_treat"),
+        r.getAs[Long]("n_ctrl"), r.getAs[Long]("q_treat_cents"),
+        r.getAs[Long]("q_ctrl_cents"), r.getAs[Long]("qte_cents"))).toSeq
+    assert(out == (1L to 9L).map(d =>
+      (d, 10L, 10L, 100L * d, 50L, 100L * d - 50L)))
+  }
+
+  test("personalizedPageRank: rank mass stays inside the seed's component") {
+    import spark.implicits._
+    val t0 = ts(0L)
+    // uid 0 (≡ 0 mod 97) is the seed; uid 1 shares type a with it;
+    // uid 2 sits in a disconnected component on type b
+    val events = Seq(
+      (1L, 0L, "a", t0), (2L, 1L, "a", t0), (3L, 2L, "b", t0)
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = graft.ops.Graph.personalizedPageRank(events).collect()
+      .map(r => (r.getAs[String]("node"), r.getAs[Long]("rank")))
+    assert(out.map(_._1).toSet == Set("u:0", "u:1", "t:a"))
+    assert(out.head._1 == "u:0", s"seed must rank first: ${out.toSeq}")
+  }
+
   test("matchedAtt: 1-NN matching with duplicate-pre representatives and tie-breaks") {
     import spark.implicits._
     // controls (even uid): pre 100→post 50 (uid 2), pre 200→post 80

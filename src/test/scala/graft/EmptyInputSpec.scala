@@ -375,5 +375,10 @@ class EmptyInputSpec extends SparkTestBase {
     assert(graft.ops.Modeling.woeIv(noEventsFull).count() == 0)
     assert(graft.ops.TextAnalysis.kendallTau(noDocs).count() == 0)
     assert(graft.ops.TextAnalysis.readability(noDocs).count() == 0)
+    assert(graft.ops.Analytics.quantileTreatmentEffects(noEventsFull)
+      .count() == 0)
+    assert(graft.ops.TextAnalysis.expectedCalibrationError(noDocs)
+      .count() == 0)
+    assert(graft.ops.Graph.personalizedPageRank(noEventsFull).count() == 0)
   }
 }

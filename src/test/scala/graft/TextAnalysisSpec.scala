@@ -420,6 +420,24 @@ class TextAnalysisSpec extends SparkTestBase {
       math.min(7L, r.getAs[Long]("mean_score_e4") / 1250L))
   }
 
+  test("expectedCalibrationError: single-bin curve gives ECE = MCE = the one gap") {
+    // the same four-identical-docs fixture: one bin, gap =
+    // |5000 − mean_score|, bin-weighted mean of one bin IS that gap
+    val docs = Seq(
+      (1L, "same words here", "en"), (2L, "same words here", "en"),
+      (3L, "same words here", "xx"), (4L, "same words here", "xx")
+    ).toDF("doc_id", "text", "lang")
+    val curve = TextAnalysis.calibrationCurve(docs).collect().head
+    val gap = math.abs(curve.getAs[Long]("frac_pos_e4") -
+      curve.getAs[Long]("mean_score_e4"))
+    val out = TextAnalysis.expectedCalibrationError(docs).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("n_bins") == 1L)
+    assert(out.head.getAs[Long]("n_total") == 4L)
+    assert(out.head.getAs[Long]("ece_e4") == gap)
+    assert(out.head.getAs[Long]("mce_e4") == gap)
+  }
+
   test("prCurve: zero weights pin every score at 5000 — counts flip exactly at the threshold") {
     import spark.implicits._
     val docs = Seq(
