@@ -294,6 +294,15 @@ object SparkEntry {
     // personalized PageRank: teleport restricted to the mod-97 seed set
     "q_ppr" -> ((s, d) =>
       Graph.personalizedPageRank(Analytics.events(s, d))),
+    // IV/Wald: mod-3 encouragement instrument, click treatment, LATE as
+    // one exact integer division
+    "q_iv_wald" -> ((s, d) => Analytics.ivWald(Analytics.events(s, d))),
+    // directed association rules with exact confidence over basketPairs
+    "q_assoc_rules" -> ((s, d) =>
+      Relational.assocRules(Relational.table(s, d, "lineitem"))),
+    // exact Gini of per-customer revenue via the value-domain identity
+    "q_gini" -> ((s, d) =>
+      Relational.giniCoefficient(Relational.table(s, d, "orders"))),
     // snapshot reconciliation: late-arriving 1/97 slice vs deleted 1/89
     // slice with restated open orders on the 1/11 grid
     "q_snapshot_diff" -> ((s, d) => {
@@ -1858,6 +1867,9 @@ object SparkEntry {
     "q_readability" -> TextAnalysis.readabilityOracleSql,
     "q_qte" -> Analytics.quantileTreatmentEffectsOracleSql,
     "q_ppr" -> Graph.personalizedPageRankOracleSql(),
+    "q_iv_wald" -> Analytics.ivWaldOracleSql,
+    "q_assoc_rules" -> Relational.assocRulesOracleSql(),
+    "q_gini" -> Relational.giniCoefficientOracleSql,
     // triangle count is orientation-invariant: the oracle counts the
     // canonical a<b<c form, pinning the degree-ordered plan's result
     "q_triangles" ->

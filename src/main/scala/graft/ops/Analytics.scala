@@ -5297,6 +5297,66 @@ object Analytics {
       |JOIN (SELECT * FROM qs WHERE arm = 0) c ON t.d = c.d
       |ORDER BY decile""".stripMargin
 
+  /** INSTRUMENTAL-VARIABLES (WALD) ESTIMATOR — the causal tool for when
+    * the TREATMENT ITSELF is self-selected but an ENCOURAGEMENT was
+    * randomized (Angrist, Imbens & Rubin 1996): instrument z = the
+    * mod-3 encouragement cohort, endogenous treatment d = the user
+    * actually clicked, outcome y = spend. LATE = ITT effect on y over
+    * ITT effect on d — and because both ITT contrasts share the n1·n0
+    * denominator, the Wald ratio collapses to ONE exact integer
+    * division: (Sy1·n0 − Sy0·n1) div (Sd1·n0 − Sd0·n1). Also reports
+    * the first stage (compliance delta) — the weak-instrument check
+    * that must be read before the LATE is believed.
+    *
+    * Shape at 100 TB: one user collapse, one 1-row aggregate.
+    */
+  def ivWald(df: DataFrame): DataFrame = {
+    val cents = (col("value").cast("decimal(12,2)") * 100).cast("long")
+    df.filter(col("user_id").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(sum(cents).as("y"),
+        max(when(col("event_type") === "click", 1L).otherwise(0L)).as("d"))
+      .withColumn("z", when(col("user_id") % 3 === 0L, 1L).otherwise(0L))
+      .groupBy(lit(1).as("_g"))
+      .agg(
+        sum(col("z")).as("n_enc"),
+        sum(lit(1L) - col("z")).as("n_ctrl"),
+        sum(col("z") * col("d")).as("d1"),
+        sum((lit(1L) - col("z")) * col("d")).as("d0"),
+        sum(col("z") * col("y")).as("y1"),
+        sum((lit(1L) - col("z")) * col("y")).as("y0"))
+      .drop("_g")
+      .select(col("n_enc"), col("n_ctrl"),
+        expr("(d1 * n_ctrl - d0 * n_enc) * 1000000 div nullif(n_enc * n_ctrl, 0)")
+          .as("first_stage_e6"),
+        expr("(cast(y1 as decimal(38,0)) * n_ctrl - cast(y0 as decimal(38,0)) * n_enc) div nullif(cast(n_enc as decimal(38,0)) * n_ctrl, 0)")
+          .as("itt_cents"),
+        expr("(cast(y1 as decimal(38,0)) * n_ctrl - cast(y0 as decimal(38,0)) * n_enc) div nullif(cast(d1 as decimal(38,0)) * n_ctrl - cast(d0 as decimal(38,0)) * n_enc, 0)")
+          .as("late_cents"))
+  }
+
+  /** DuckDB twin of [[ivWald]]. */
+  def ivWaldOracleSql: String =
+    """WITH users AS (
+      |  SELECT user_id, sum((value::DECIMAL(12,2) * 100)::BIGINT) AS y,
+      |    max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS d,
+      |    CASE WHEN user_id % 3 = 0 THEN 1 ELSE 0 END::BIGINT AS z
+      |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+      |s AS (
+      |  SELECT sum(z)::BIGINT AS n_enc, sum(1 - z)::BIGINT AS n_ctrl,
+      |    sum(z * d)::BIGINT AS d1, sum((1 - z) * d)::BIGINT AS d0,
+      |    sum(z * y)::BIGINT AS y1, sum((1 - z) * y)::BIGINT AS y0
+      |  FROM users GROUP BY true)
+      |SELECT n_enc, n_ctrl,
+      |  ((d1 * n_ctrl - d0 * n_enc) * 1000000
+      |    // nullif(n_enc * n_ctrl, 0))::BIGINT AS first_stage_e6,
+      |  ((y1::HUGEINT * n_ctrl - y0::HUGEINT * n_enc)
+      |    // nullif(n_enc::HUGEINT * n_ctrl, 0))::BIGINT AS itt_cents,
+      |  ((y1::HUGEINT * n_ctrl - y0::HUGEINT * n_enc)
+      |    // nullif(d1::HUGEINT * n_ctrl - d0::HUGEINT * n_enc, 0))::BIGINT
+      |    AS late_cents
+      |FROM s""".stripMargin
+
   /** DuckDB twin of [[policyEval]]. */
   def policyEvalOracleSql: String =
     """WITH cells AS MATERIALIZED (

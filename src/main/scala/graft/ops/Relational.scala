@@ -674,6 +674,120 @@ object Relational {
       .limit(k)
   }
 
+  /** ASSOCIATION RULES — the directed reading of [[basketPairs]]
+    * (Agrawal & Srikant, VLDB'94): for each frequent pair, both rules
+    * A→B and B→A with CONFIDENCE support/cnt(A) — the actionable number
+    * ("customers holding A buy B 62% of the time") that the symmetric
+    * lift can't give. Confidence is one exact integer division; lift is
+    * the established floor-e4 double (identical expression both
+    * engines). Top `k` by confidence.
+    *
+    * Shape at 100 TB: identical to [[basketPairs]] — the one basket
+    * collapse is shared (persisted), the direction flip is a union of
+    * the PAIR frame (already support-pruned), item counts broadcast.
+    */
+  def assocRules(
+      lineitem: DataFrame, minSupport: Long = 2, k: Int = 100): DataFrame = {
+    val sets = orderPartSets(lineitem)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = explodedPairs(sets)
+      .groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+    val counts = sets.select(explode(col("pks")).as("pk"))
+      .groupBy(col("pk")).agg(count(lit(1)).as("cnt"))
+    val nOrders = sets.agg(count(lit(1)).as("n_orders"))
+    val directed = pairs
+      .select(col("u").as("antecedent"), col("v").as("consequent"),
+        col("support"))
+      .unionAll(pairs.select(col("v").as("antecedent"),
+        col("u").as("consequent"), col("support")))
+    directed
+      .join(broadcastIfSmall(counts.select(col("pk").as("antecedent"),
+        col("cnt").as("cnt_ante"))), "antecedent")
+      .join(broadcastIfSmall(counts.select(col("pk").as("consequent"),
+        col("cnt").as("cnt_cons"))), "consequent")
+      .join(broadcast(nOrders))
+      .withColumn("conf_e4", expr("support * 10000 div cnt_ante"))
+      .withColumn("lift_e4",
+        floor(lit(10000.0) * col("support") * col("n_orders") /
+          (col("cnt_ante") * col("cnt_cons"))).cast("long"))
+      .select(col("antecedent"), col("consequent"), col("support"),
+        col("cnt_ante"), col("conf_e4"), col("lift_e4"))
+      .orderBy(col("conf_e4").desc, col("antecedent"), col("consequent"))
+      .limit(k)
+  }
+
+  /** DuckDB twin of [[assocRules]]. */
+  def assocRulesOracleSql(minSupport: Long = 2, k: Int = 100): String =
+    s"""WITH items AS (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |pairs AS (
+       |  SELECT a.pk AS u, b.pk AS v, count(*)::BIGINT AS support
+       |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+       |  GROUP BY 1, 2 HAVING count(*) >= $minSupport),
+       |counts AS (SELECT pk, count(*)::BIGINT AS cnt FROM items GROUP BY 1),
+       |total AS (SELECT count(DISTINCT ok)::BIGINT AS n_orders FROM items),
+       |directed AS (
+       |  SELECT u AS antecedent, v AS consequent, support FROM pairs
+       |  UNION ALL SELECT v, u, support FROM pairs)
+       |SELECT antecedent, consequent, support, ca.cnt AS cnt_ante,
+       |  (support * 10000 // ca.cnt)::BIGINT AS conf_e4,
+       |  floor(10000.0 * support * n_orders / (ca.cnt * cc.cnt))::BIGINT
+       |    AS lift_e4
+       |FROM directed
+       |JOIN counts ca ON ca.pk = antecedent
+       |JOIN counts cc ON cc.pk = consequent
+       |CROSS JOIN total
+       |ORDER BY conf_e4 DESC, antecedent, consequent LIMIT $k""".stripMargin
+
+  /** EXACT GINI COEFFICIENT of per-customer revenue — the single-number
+    * inequality readout behind [[revenueConcentration]]'s curve (and,
+    * on a corpus, "how skewed is the token mass across domains").
+    * Computed EXACTLY on the VALUE DOMAIN: for revenue value x with
+    * count c and cumulative count B below it, the sorted-rank identity
+    *   Σᵢ (2i − n − 1)·xᵢ = Σ_x x·c·(2B + c − n)
+    * turns the classic rank formula into one pass over distinct values —
+    * no row sort, no rank window over the customer dimension, and the
+    * e6 readout is a single integer division (ties contribute
+    * identically under any tie order, so the identity is exact).
+    */
+  def giniCoefficient(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = orders.groupBy(col("o_custkey"))
+      .agg(sum((money("o_totalprice") * 100).cast("long")).as("x"))
+    val stats = per.agg(
+      count(lit(1)).as("n"), sum(col("x")).as("s"))
+    val dom = per.groupBy(col("x")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(Window.orderBy(col("x"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(stats))
+      .select(expr(
+        "cast(x as decimal(38,0)) * c * (2 * (cum - c) + c - n)").as("term"),
+        col("n"), col("s"))
+    dom.groupBy(col("n"), col("s"))
+      .agg(sum(col("term")).as("num"))
+      .select(col("n").as("n_customers"), col("s").as("total_cents"),
+        expr("num * 1000000 div nullif(cast(n as decimal(38,0)) * s, 0)")
+          .as("gini_e6"))
+  }
+
+  /** DuckDB twin of [[giniCoefficient]]. */
+  def giniCoefficientOracleSql: String =
+    """WITH per AS (
+      |  SELECT o_custkey,
+      |    sum((o_totalprice::DECIMAL(18,2) * 100)::BIGINT)::BIGINT AS x
+      |  FROM orders GROUP BY 1),
+      |stats AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS s FROM per),
+      |dom AS (
+      |  SELECT x, count(*)::BIGINT AS c,
+      |    sum(count(*)) OVER (ORDER BY x)::BIGINT AS cum
+      |  FROM per GROUP BY x)
+      |SELECT n AS n_customers, s AS total_cents,
+      |  (sum(x::HUGEINT * c * (2 * (cum - c) + c - n)) * 1000000
+      |    // nullif(n::HUGEINT * s, 0))::BIGINT AS gini_e6
+      |FROM dom CROSS JOIN stats GROUP BY n, s""".stripMargin
+
   /** RFM customer segmentation (recency / frequency / monetary), the
     * classic CRM cut — binned by EXACT quartile boundaries instead of a
     * global ntile: ntile over the customer dimension is a

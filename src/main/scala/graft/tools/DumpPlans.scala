@@ -164,7 +164,13 @@ object DumpPlans {
       "q_stratified_ate" -> "stratified ATE: user collapse → stratum collapse (two key-partitioned aggregates); trim + weighting on the stratum dimension",
       "q_woe_iv" -> "WOE/IV: the mutualInfo discipline — one user collapse, ≤10-row (band, label) histogram carries all ln arithmetic",
       "q_kendall_tau" -> "Kendall τ: (term, tf, df) collapse → top-N TakeOrdered; the quadratic pair grid runs on the 100-row frame",
-      "q_readability" -> "readability: three regexp counts in one narrow projection, per-source aggregate — one scan, one exchange")
+      "q_readability" -> "readability: three regexp counts in one narrow projection, per-source aggregate — one scan, one exchange",
+      "q_qte" -> "QTE: user collapse → per-arm VALUE-DOMAIN cumulative; decile order statistics from a 9-row broadcast grid join — no row sort",
+      "q_ece" -> "ECE: the 8-bin calibration curve collapses to one weighted-gap aggregate — row-local scoring, two exchanges total",
+      "q_ppr" -> "personalized PageRank: seed indicator rides the node frame as one broadcast-joined column; same per-iteration edge⋈rank joins as q_pagerank",
+      "q_iv_wald" -> "IV/Wald: one user collapse, one 1-row six-sum aggregate; LATE is a single exact division — no joins at all",
+      "q_assoc_rules" -> "association rules: the shared basket collapse persisted once; direction flip unions the support-pruned PAIR frame; counts broadcast",
+      "q_gini" -> "Gini: customer collapse → revenue VALUE DOMAIN; the rank identity folds the sort into one cumulative + 1-row division")
 
     val sb = new StringBuilder
     sb.append("# PLANS — explain(\"formatted\") for headline queries\n\n")

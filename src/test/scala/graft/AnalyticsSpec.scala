@@ -650,6 +650,31 @@ class AnalyticsSpec extends SparkTestBase {
     assert(out.head._1 == "u:0", s"seed must rank first: ${out.toSeq}")
   }
 
+  test("ivWald: first stage, ITT, and LATE as exact integer ratios") {
+    import spark.implicits._
+    val t0 = ts(0L)
+    // encouraged (uid%3=0): u0 click y=1000, u3 no-click y=200,
+    // u6 click y=800 → d1=2, y1=2000. control: u1 y=300 d=0,
+    // u2 click y=500 → d0=1, y0=800.
+    val events = Seq(
+      (1L, 0L, "click", 4.0, t0), (2L, 0L, "view", 6.0, t0),
+      (3L, 3L, "view", 2.0, t0),
+      (4L, 6L, "click", 8.0, t0),
+      (5L, 1L, "view", 3.0, t0),
+      (6L, 2L, "click", 5.0, t0)
+    ).toDF("event_id", "user_id", "event_type", "value", "ts")
+    val out = graft.ops.Analytics.ivWald(events).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_enc") == 3L)
+    assert(r.getAs[Long]("n_ctrl") == 2L)
+    // first stage (2·2 − 1·3)/6 = 1/6; ITT (2000·2 − 800·3)/6 = 266⅔;
+    // LATE = 1600 div 1 = 1600
+    assert(r.getAs[Long]("first_stage_e6") == 166666L)
+    assert(r.getAs[Long]("itt_cents") == 266L)
+    assert(r.getAs[Long]("late_cents") == 1600L)
+  }
+
   test("matchedAtt: 1-NN matching with duplicate-pre representatives and tie-breaks") {
     import spark.implicits._
     // controls (even uid): pre 100→post 50 (uid 2), pre 200→post 80

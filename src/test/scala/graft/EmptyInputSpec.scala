@@ -380,5 +380,11 @@ class EmptyInputSpec extends SparkTestBase {
     assert(graft.ops.TextAnalysis.expectedCalibrationError(noDocs)
       .count() == 0)
     assert(graft.ops.Graph.personalizedPageRank(noEventsFull).count() == 0)
+    assert(graft.ops.Analytics.ivWald(noEventsFull).count() == 0)
+    val noLiAssoc = Seq.empty[(Long, Long)].toDF("l_orderkey", "l_partkey")
+    assert(graft.ops.Relational.assocRules(noLiAssoc).count() == 0)
+    val noOrdersCust = Seq.empty[(Long, Double)]
+      .toDF("o_custkey", "o_totalprice")
+    assert(graft.ops.Relational.giniCoefficient(noOrdersCust).count() == 0)
   }
 }

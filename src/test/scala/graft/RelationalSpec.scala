@@ -450,6 +450,33 @@ class RelationalSpec extends SparkTestBase {
     assert(out(("naive", 1L))._1 == 14L)
   }
 
+  test("assocRules: directed confidence orders the rules lift cannot distinguish") {
+    import spark.implicits._
+    // baskets {1,2}, {1,2}, {1}: support(1,2)=2, cnt(1)=3, cnt(2)=2
+    // → 2⇒1 confidence 100%, 1⇒2 confidence 66.66%, lift both 1.0
+    val li = Seq((10L, 1L), (10L, 2L), (20L, 1L), (20L, 2L), (30L, 1L))
+      .toDF("l_orderkey", "l_partkey")
+    val out = graft.ops.Relational.assocRules(li).collect()
+      .map(r => (r.getAs[Long]("antecedent"), r.getAs[Long]("consequent"),
+        r.getAs[Long]("support"), r.getAs[Long]("cnt_ante"),
+        r.getAs[Long]("conf_e4"), r.getAs[Long]("lift_e4"))).toSeq
+    assert(out == Seq(
+      (2L, 1L, 2L, 2L, 10000L, 10000L),
+      (1L, 2L, 2L, 3L, 6666L, 10000L)))
+  }
+
+  test("giniCoefficient: equality scores 0; a 100/300 split scores exactly 0.25") {
+    import spark.implicits._
+    val equal = Seq((1L, 2.0), (2L, 2.0)).toDF("o_custkey", "o_totalprice")
+    val g0 = graft.ops.Relational.giniCoefficient(equal).collect().head
+    assert(g0.getAs[Long]("gini_e6") == 0L)
+    val skewed = Seq((1L, 1.0), (2L, 3.0)).toDF("o_custkey", "o_totalprice")
+    val g1 = graft.ops.Relational.giniCoefficient(skewed).collect().head
+    assert(g1.getAs[Long]("n_customers") == 2L)
+    assert(g1.getAs[Long]("total_cents") == 400L)
+    assert(g1.getAs[Long]("gini_e6") == 250000L)
+  }
+
   test("ewmaTrend: constant series passes through; a step blends by the exact rational weights") {
     import spark.implicits._
     def orders(rev: Int => Double) = (0 until 41).map { i =>
