@@ -198,4 +198,17 @@ class ScaleCanarySpec extends SparkTestBase {
       graft.ops.Corpus.setCoverSelect(docs, k = 3)
     }
   }
+
+  test("permutation test: the draw-grid broadcast cross stays linear at 4x users", Slow) {
+    // the ×B user-dimension blowup is the op's documented cost knob —
+    // the canary pins that it is LINEAR in users (the grid broadcasts;
+    // a shuffle join here would re-exchange the collapse B times)
+    canary("perm_test", 500000L)(n =>
+      graft.ops.Analytics.permTest(events(n), nDraws = 50))
+  }
+
+  test("personalized pagerank: seeded iterations stay linear as the graph grows 4x", Slow) {
+    canary("ppr", 1250000L)(n =>
+      graft.ops.Graph.personalizedPageRank(events(n), iters = 5))
+  }
 }
