@@ -303,6 +303,14 @@ object SparkEntry {
     // exact Gini of per-customer revenue via the value-domain identity
     "q_gini" -> ((s, d) =>
       Relational.giniCoefficient(Relational.table(s, d, "orders"))),
+    // ESS of the IPS weights — the believe-the-estimate diagnostic
+    "q_ips_ess" -> ((s, d) => Analytics.ipsEss(Analytics.events(s, d))),
+    // (3/4)^week-age decayed item popularity, exact rational weights
+    "q_decayed_popularity" -> ((s, d) =>
+      Relational.decayedPopularity(Relational.table(s, d, "lineitem"))),
+    // catalog coverage / popularity-bias metrics over q_item_recs
+    "q_rec_coverage" -> ((s, d) =>
+      Relational.recCoverage(Relational.table(s, d, "lineitem"))),
     // snapshot reconciliation: late-arriving 1/97 slice vs deleted 1/89
     // slice with restated open orders on the 1/11 grid
     "q_snapshot_diff" -> ((s, d) => {
@@ -1870,6 +1878,9 @@ object SparkEntry {
     "q_iv_wald" -> Analytics.ivWaldOracleSql,
     "q_assoc_rules" -> Relational.assocRulesOracleSql(),
     "q_gini" -> Relational.giniCoefficientOracleSql,
+    "q_ips_ess" -> Analytics.ipsEssOracleSql,
+    "q_decayed_popularity" -> Relational.decayedPopularityOracleSql(),
+    "q_rec_coverage" -> Relational.recCoverageOracleSql(),
     // triangle count is orientation-invariant: the oracle counts the
     // canonical a<b<c form, pinning the degree-ordered plan's result
     "q_triangles" ->

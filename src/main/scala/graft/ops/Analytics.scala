@@ -4814,6 +4814,79 @@ object Analytics {
       .orderBy(col("segment"))
   }
 
+  /** EFFECTIVE SAMPLE SIZE of the IPS weights — the diagnostic that must
+    * be read before [[policyEval]]'s estimate is believed (Kong 1992;
+    * Owen, ch. 9): ESS = (Σw)²/Σw² collapses to the count of
+    * equally-informative samples; ESS ≪ n means a few huge weights carry
+    * the whole estimate and the variance is unusable. Weights are the
+    * same e6-quantized n_tot/n_a ratios [[policyEval]] reports, constant
+    * within each (segment, action) cell — so both sums are exact decimal
+    * arithmetic over the CELL frame, and the readout is two integer
+    * divisions.
+    *
+    * Shape at 100 TB: the one (segment, action) collapse is shared with
+    * policyEval; everything else is cell-frame arithmetic.
+    */
+  def ipsEss(df: DataFrame): DataFrame = {
+    val cells = df
+      .select(pmod(col("user_id"), lit(4L)).as("segment"),
+        col("event_type").as("action"))
+      .groupBy(col("segment"), col("action"))
+      .agg(count(lit(1)).as("n_sa"))
+    val glob = cells.groupBy(col("action")).agg(sum(col("n_sa")).as("n_a"))
+    val nTot = glob.agg(sum(col("n_a")).as("n_tot"))
+    val seg = cells.groupBy(col("segment")).agg(sum(col("n_sa")).as("n_s"))
+      .withColumn("target_action",
+        when(pmod(col("segment"), lit(2L)) === 0, lit("purchase"))
+          .otherwise(lit("view")))
+    seg
+      .join(cells,
+        seg("segment") === cells("segment") &&
+          seg("target_action") === cells("action"))
+      .join(broadcast(glob), col("target_action") === glob("action"))
+      .crossJoin(broadcast(nTot))
+      .select(col("n_sa"), expr("1000000 * n_tot div n_a").as("wq"))
+      .groupBy(lit(1).as("_g"))
+      .agg(
+        sum(col("n_sa")).as("n_matched"),
+        sum(col("n_sa").cast("decimal(38,0)") * col("wq")).as("sw"),
+        sum(col("n_sa").cast("decimal(38,0)") * col("wq") * col("wq"))
+          .as("sw2"))
+      .drop("_g")
+      .select(col("n_matched"),
+        expr("(sw * sw) div nullif(sw2, 0)").as("ess"),
+        expr("((sw * sw) div nullif(sw2, 0)) * 10000 div nullif(n_matched, 0)")
+          .as("ess_share_e4"))
+  }
+
+  /** DuckDB twin of [[ipsEss]]. */
+  def ipsEssOracleSql: String =
+    """WITH cells AS MATERIALIZED (
+      |  SELECT user_id % 4 AS segment, event_type AS action,
+      |    count(*)::BIGINT AS n_sa
+      |  FROM events GROUP BY 1, 2),
+      |ga AS (SELECT action, sum(n_sa)::BIGINT AS n_a
+      |       FROM cells GROUP BY 1),
+      |tot AS (SELECT sum(n_a)::BIGINT AS n_tot FROM ga),
+      |seg AS (
+      |  SELECT segment, sum(n_sa)::BIGINT AS n_s,
+      |    CASE WHEN segment % 2 = 0 THEN 'purchase' ELSE 'view' END
+      |      AS target_action
+      |  FROM cells GROUP BY segment),
+      |m AS (
+      |  SELECT c.n_sa, (1000000 * n_tot // n_a)::BIGINT AS wq
+      |  FROM seg s JOIN cells c
+      |    ON c.segment = s.segment AND c.action = s.target_action
+      |  JOIN ga g ON g.action = s.target_action
+      |  CROSS JOIN tot)
+      |SELECT sum(n_sa)::BIGINT AS n_matched,
+      |  ((sum(n_sa::HUGEINT * wq) * sum(n_sa::HUGEINT * wq))
+      |    // nullif(sum(n_sa::HUGEINT * wq * wq), 0))::BIGINT AS ess,
+      |  (((sum(n_sa::HUGEINT * wq) * sum(n_sa::HUGEINT * wq))
+      |    // nullif(sum(n_sa::HUGEINT * wq * wq), 0)) * 10000
+      |    // nullif(sum(n_sa), 0))::BIGINT AS ess_share_e4
+      |FROM m GROUP BY true""".stripMargin
+
   /** MATCHING ESTIMATOR (nearest-covariate ATT) — the observational-
     * causal layer next to CUPED/DiD: when treatment was NOT randomized,
     * estimate its effect by pairing every treated user with the control

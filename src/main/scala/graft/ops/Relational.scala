@@ -788,6 +788,118 @@ object Relational {
       |    // nullif(n::HUGEINT * s, 0))::BIGINT AS gini_e6
       |FROM dom CROSS JOIN stats GROUP BY n, s""".stripMargin
 
+  /** TIME-DECAYED POPULARITY — the freshness-aware item ranking every
+    * recommender front page runs: a part's score is its demand count
+    * convolved with an exponential decay over WEEK age, here the exact
+    * rational (3/4)^age carried as integer weights 3^age·4^(16−age)
+    * (the [[ewmaTrend]] discipline — no floating pow, truncated at 16
+    * weeks where <1% of the mass survives). A part selling hard THIS
+    * week beats a part that sold harder four months ago; raw counts
+    * can't see the difference.
+    *
+    * Shape at 100 TB: one (part, week-age) collapse, a 17-row broadcast
+    * weight grid, one part aggregate, TakeOrdered top-k.
+    */
+  def decayedPopularity(lineitem: DataFrame, k: Int = 50): DataFrame = {
+    val depth = 16
+    val weights = (0 to depth).map(a =>
+      (a.toLong, BigInt(3).pow(a).toLong * BigInt(4).pow(depth - a).toLong))
+    val spark = lineitem.sparkSession
+    val grid = spark.createDataFrame(weights).toDF("age", "w")
+    val mx = lineitem.agg(max(to_date(col("l_shipdate"))).as("mxd"))
+    lineitem
+      .crossJoin(broadcast(mx))
+      .groupBy(col("l_partkey"),
+        least(lit(depth.toLong),
+          floor(datediff(col("mxd"), to_date(col("l_shipdate"))) / 7)
+            .cast("long")).as("age"))
+      .agg(count(lit(1)).as("cnt"))
+      .join(broadcast(grid), "age")
+      .groupBy(col("l_partkey"))
+      .agg(
+        sum(col("cnt")).as("raw_cnt"),
+        sum(col("cnt").cast("decimal(38,0)") * col("w"))
+          .cast("decimal(38,0)").as("decayed"))
+      .select(col("l_partkey"), col("raw_cnt"),
+        col("decayed").cast("long").as("decayed_w"))
+      .orderBy(desc("decayed_w"), col("l_partkey"))
+      .limit(k)
+  }
+
+  /** DuckDB twin of [[decayedPopularity]]. */
+  def decayedPopularityOracleSql(k: Int = 50): String = {
+    val depth = 16
+    val grid = (0 to depth).map(a =>
+      s"($a, ${BigInt(3).pow(a).toLong * BigInt(4).pow(depth - a).toLong})")
+      .mkString(", ")
+    s"""WITH mx AS (SELECT max(CAST(l_shipdate AS DATE)) AS mxd
+       |            FROM lineitem),
+       |grid AS (SELECT * FROM (VALUES $grid) t(age, w)),
+       |aged AS (
+       |  SELECT l_partkey,
+       |    least($depth, date_diff('day', CAST(l_shipdate AS DATE), mxd)
+       |      // 7)::BIGINT AS age,
+       |    count(*)::BIGINT AS cnt
+       |  FROM lineitem CROSS JOIN mx GROUP BY 1, 2)
+       |SELECT l_partkey, sum(cnt)::BIGINT AS raw_cnt,
+       |  sum(cnt::HUGEINT * w)::BIGINT AS decayed_w
+       |FROM aged JOIN grid USING (age)
+       |GROUP BY l_partkey
+       |ORDER BY decayed_w DESC, l_partkey LIMIT $k""".stripMargin
+  }
+
+  /** RECOMMENDATION COVERAGE METRICS — the health readout over
+    * [[relatedItems]] a recsys team checks before shipping a model:
+    * catalog coverage (what share of the catalog ever gets
+    * recommended — low means a popularity trap), list count, and the
+    * most-recommended item's frequency (the popularity-bias ceiling).
+    * All exact integers over the recommendation frame.
+    *
+    * Shape: the recommendation build is [[relatedItems]] unchanged; the
+    * metrics are two tiny aggregates over its output plus one distinct
+    * count over the item dimension.
+    */
+  def recCoverage(
+      lineitem: DataFrame, minSupport: Long = 2, topK: Int = 3): DataFrame = {
+    val recs = relatedItems(lineitem, minSupport, topK)
+    val catalog = lineitem.agg(
+      countDistinct(col("l_partkey")).as("n_catalog"))
+    val freq = recs.groupBy(col("rec_part_id")).agg(count(lit(1)).as("f"))
+    recs.groupBy(lit(1).as("_g"))
+      .agg(
+        countDistinct(col("part_id")).as("n_lists"),
+        countDistinct(col("rec_part_id")).as("n_covered"),
+        count(lit(1)).as("n_recs"))
+      .drop("_g")
+      .crossJoin(freq.groupBy(lit(1).as("_g"))
+        .agg(max(col("f")).as("max_rec_freq")).drop("_g"))
+      .crossJoin(broadcast(catalog))
+      .select(col("n_catalog"), col("n_lists"), col("n_covered"),
+        col("n_recs"),
+        expr("n_covered * 10000 div nullif(n_catalog, 0)")
+          .as("coverage_e4"),
+        col("max_rec_freq"))
+  }
+
+  /** DuckDB twin of [[recCoverage]] — wraps the [[relatedItemsOracleSql]]
+    * query so the recommendation build cannot drift from q_item_recs.
+    */
+  def recCoverageOracleSql(minSupport: Long = 2, topK: Int = 3): String =
+    s"""WITH recs AS MATERIALIZED (
+       |  SELECT * FROM (${relatedItemsOracleSql(minSupport, topK)}) r),
+       |catalog AS (SELECT count(DISTINCT l_partkey)::BIGINT AS n_catalog
+       |            FROM lineitem),
+       |freq AS (SELECT rec_part_id, count(*)::BIGINT AS f
+       |         FROM recs GROUP BY 1)
+       |SELECT n_catalog,
+       |  count(DISTINCT part_id)::BIGINT AS n_lists,
+       |  count(DISTINCT rec_part_id)::BIGINT AS n_covered,
+       |  count(*)::BIGINT AS n_recs,
+       |  (count(DISTINCT rec_part_id) * 10000
+       |    // nullif(n_catalog, 0))::BIGINT AS coverage_e4,
+       |  (SELECT max(f) FROM freq)::BIGINT AS max_rec_freq
+       |FROM recs CROSS JOIN catalog GROUP BY n_catalog""".stripMargin
+
   /** RFM customer segmentation (recency / frequency / monetary), the
     * classic CRM cut — binned by EXACT quartile boundaries instead of a
     * global ntile: ntile over the customer dimension is a

@@ -675,6 +675,28 @@ class AnalyticsSpec extends SparkTestBase {
     assert(r.getAs[Long]("late_cents") == 1600L)
   }
 
+  test("ipsEss: uniform weights give ESS = n; skewed weights shrink it") {
+    import spark.implicits._
+    val t0 = ts(0L)
+    // uniform: every segment contributes one purchase and one view →
+    // equal action masses, equal weights, ESS = n_matched
+    val uniform = (0L to 3L).flatMap(u => Seq(
+      (u * 10, u, "purchase", 1.0, t0), (u * 10 + 1, u, "view", 1.0, t0)))
+      .toDF("event_id", "user_id", "event_type", "value", "ts")
+    val r0 = graft.ops.Analytics.ipsEss(uniform).collect().head
+    assert(r0.getAs[Long]("n_matched") == 4L)
+    assert(r0.getAs[Long]("ess_share_e4") == 10000L)
+    // skewed: 3 purchases vs 1 view → weights 4/3 vs 4 → ESS 2 of 4
+    val skewed = Seq(
+      (1L, 0L, "purchase", 1.0, t0), (2L, 0L, "purchase", 1.0, t0),
+      (3L, 0L, "purchase", 1.0, t0), (4L, 1L, "view", 1.0, t0))
+      .toDF("event_id", "user_id", "event_type", "value", "ts")
+    val r1 = graft.ops.Analytics.ipsEss(skewed).collect().head
+    assert(r1.getAs[Long]("n_matched") == 4L)
+    assert(r1.getAs[Long]("ess") == 2L)
+    assert(r1.getAs[Long]("ess_share_e4") == 5000L)
+  }
+
   test("matchedAtt: 1-NN matching with duplicate-pre representatives and tie-breaks") {
     import spark.implicits._
     // controls (even uid): pre 100→post 50 (uid 2), pre 200→post 80

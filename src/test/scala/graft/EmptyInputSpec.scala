@@ -386,5 +386,10 @@ class EmptyInputSpec extends SparkTestBase {
     val noOrdersCust = Seq.empty[(Long, Double)]
       .toDF("o_custkey", "o_totalprice")
     assert(graft.ops.Relational.giniCoefficient(noOrdersCust).count() == 0)
+    assert(graft.ops.Analytics.ipsEss(noEventsFull).count() == 0)
+    val noLiShip = Seq.empty[(Long, Long, java.sql.Timestamp)]
+      .toDF("l_orderkey", "l_partkey", "l_shipdate")
+    assert(graft.ops.Relational.decayedPopularity(noLiShip).count() == 0)
+    assert(graft.ops.Relational.recCoverage(noLiAssoc).count() == 0)
   }
 }

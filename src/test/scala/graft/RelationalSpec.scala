@@ -477,6 +477,40 @@ class RelationalSpec extends SparkTestBase {
     assert(g1.getAs[Long]("gini_e6") == 250000L)
   }
 
+  test("decayedPopularity: one fresh unit outranks four stale ones") {
+    import spark.implicits._
+    val fresh = java.sql.Timestamp.valueOf("2024-06-01 00:00:00")
+    val stale = java.sql.Timestamp.valueOf("2024-04-06 00:00:00") // 8 weeks
+    val li = (Seq((10L, 1L, fresh)) ++
+      (1 to 4).map(i => (20L + i, 2L, stale)))
+      .toDF("l_orderkey", "l_partkey", "l_shipdate")
+    val out = graft.ops.Relational.decayedPopularity(li).collect()
+      .map(r => (r.getAs[Long]("l_partkey"), r.getAs[Long]("raw_cnt"),
+        r.getAs[Long]("decayed_w"))).toSeq
+    // w(0) = 4^16; w(8) = 3^8·4^8 — the fresh unit wins despite 4x the
+    // raw demand on the stale part
+    assert(out == Seq(
+      (1L, 1L, 4294967296L),
+      (2L, 4L, 4L * 429981696L)))
+  }
+
+  test("recCoverage: coverage counts distinct recommended items against the catalog") {
+    import spark.implicits._
+    // pair (1,2) survives support ≥ 2 → recs 1→2 and 2→1; part 3 never
+    // recommended → coverage 2/3
+    val li = Seq((10L, 1L), (10L, 2L), (20L, 1L), (20L, 2L), (30L, 1L),
+      (30L, 3L)).toDF("l_orderkey", "l_partkey")
+    val out = graft.ops.Relational.recCoverage(li).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_catalog") == 3L)
+    assert(r.getAs[Long]("n_lists") == 2L)
+    assert(r.getAs[Long]("n_covered") == 2L)
+    assert(r.getAs[Long]("n_recs") == 2L)
+    assert(r.getAs[Long]("coverage_e4") == 6666L)
+    assert(r.getAs[Long]("max_rec_freq") == 1L)
+  }
+
   test("ewmaTrend: constant series passes through; a step blends by the exact rational weights") {
     import spark.implicits._
     def orders(rev: Int => Double) = (0 until 41).map { i =>
