@@ -311,6 +311,13 @@ object SparkEntry {
     // catalog coverage / popularity-bias metrics over q_item_recs
     "q_rec_coverage" -> ((s, d) =>
       Relational.recCoverage(Relational.table(s, d, "lineitem"))),
+    // MMR diversification: greedy exact-integer re-rank of the BM25 top-50
+    "q_mmr_diversify" -> ((s, d) =>
+      TextAnalysis.mmrDiversify(TextAnalysis.documents(s, d))),
+    // sorted-neighborhood blocking: one key sort + lead() window,
+    // banded-levenshtein verify — the third blocking discipline
+    "q_sorted_neighborhood" -> ((s, d) =>
+      Dedup.sortedNeighborhood(Relational.table(s, d, "part"))),
     // snapshot reconciliation: late-arriving 1/97 slice vs deleted 1/89
     // slice with restated open orders on the 1/11 grid
     "q_snapshot_diff" -> ((s, d) => {
@@ -1881,6 +1888,8 @@ object SparkEntry {
     "q_ips_ess" -> Analytics.ipsEssOracleSql,
     "q_decayed_popularity" -> Relational.decayedPopularityOracleSql(),
     "q_rec_coverage" -> Relational.recCoverageOracleSql(),
+    "q_mmr_diversify" -> TextAnalysis.mmrDiversifyOracleSql(),
+    "q_sorted_neighborhood" -> Dedup.sortedNeighborhoodOracleSql(),
     // triangle count is orientation-invariant: the oracle counts the
     // canonical a<b<c form, pinning the degree-ordered plan's result
     "q_triangles" ->

@@ -973,6 +973,88 @@ object Dedup {
        |WHERE levenshtein(d.dirty_label, c.clean_label) <= $dmax
        |ORDER BY dirty_id, clean_id""".stripMargin
 
+  /** SORTED-NEIGHBORHOOD dedup blocking (Hernández & Stolfo, SIGMOD'95)
+    * — the third blocking discipline next to the pigeonhole chunks of
+    * [[fuzzyJoin]] and the LSH bands of [[minHashLsh]]: sort the
+    * canonical keys once, slide a window of `w`, and verify only
+    * window-adjacent pairs. Same clean ∪ corrupted-twin population as
+    * [[fuzzyJoin]] so the two blocking strategies are directly
+    * comparable on recall; candidates come from `w` lead() columns
+    * (never a self-join), verification is the banded threshold
+    * levenshtein. SNM trades the pigeonhole's exactness for ONE sort —
+    * a typo in the first character defeats it (the classic SNM caveat,
+    * visible here as pairs fuzzyJoin finds and this op misses).
+    *
+    * Shape at 100 TB: one range-partitioned sort of the KEY dimension
+    * (ids + labels only — never payload), a narrow lead() window, and a
+    * candidate stream of n·w rows. No quadratic anything.
+    */
+  def sortedNeighborhood(
+      part: DataFrame, window: Int = 3, dmax: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(window >= 1, "window must be at least 1")
+    val labeled = part.select(col("p_partkey").cast("long").as("id"),
+      concat(col("p_name"), lit(" "), col("p_brand"), lit(" "),
+        col("p_type")).as("lab"))
+    val dirty = labeled.filter(col("id") % 2 === 0)
+      .select((col("id") + 1000000L).as("id"),
+        concat(substring(col("lab"), 1, 3), expr("substr(lab, 5)"))
+          .as("lab"))
+    val all = labeled.unionByName(dirty)
+    val w = Window.orderBy(col("lab"), col("id"))
+    val leadCols = Seq(col("id"), col("lab")) ++ (1 to window).map(i =>
+      struct(lead(col("id"), i).over(w).as("nid"),
+        lead(col("lab"), i).over(w).as("nlab")).as(s"n$i"))
+    val withLeads = all.select(leadCols: _*)
+    withLeads
+      .select(col("id"), col("lab"),
+        explode(array((1 to window).map(i => col(s"n$i")): _*)).as("nb"))
+      .filter(col("nb.nid").isNotNull)
+      .withColumn("dist",
+        levenshtein(col("lab"), col("nb.nlab"), dmax).cast("long"))
+      .filter(col("dist") >= 0L && col("dist") <= dmax)
+      .select(
+        least(col("id"), col("nb.nid")).as("id_a"),
+        greatest(col("id"), col("nb.nid")).as("id_b"),
+        col("dist"))
+      .distinct()
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** DuckDB twin of [[sortedNeighborhood]] — same sorted window, plain
+    * levenshtein (agrees with the banded form for kept pairs).
+    */
+  def sortedNeighborhoodOracleSql(window: Int = 3, dmax: Int = 2): String = {
+    val leads = (1 to window).map(i =>
+      s"lead(id, $i) OVER w AS nid$i, lead(lab, $i) OVER w AS nlab$i")
+      .mkString(",\n       |    ")
+    val arms = (1 to window).map(i =>
+      s"SELECT id, lab, nid$i AS nid, nlab$i AS nlab FROM leads")
+      .mkString("\n       |  UNION ALL ")
+    s"""WITH labeled AS (
+       |  SELECT p_partkey::BIGINT AS id,
+       |    p_name || ' ' || p_brand || ' ' || p_type AS lab
+       |  FROM part),
+       |dirty AS (
+       |  SELECT id + 1000000 AS id,
+       |    concat(substr(lab, 1, 3), substr(lab, 5)) AS lab
+       |  FROM labeled WHERE id % 2 = 0),
+       |al AS (SELECT * FROM labeled UNION ALL SELECT * FROM dirty),
+       |leads AS (
+       |  SELECT id, lab,
+       |    $leads
+       |  FROM al WINDOW w AS (ORDER BY lab, id)),
+       |cand AS (
+       |  $arms),
+       |hits AS (
+       |  SELECT least(id, nid) AS id_a, greatest(id, nid) AS id_b,
+       |    levenshtein(lab, nlab)::BIGINT AS dist
+       |  FROM cand WHERE nid IS NOT NULL
+       |    AND levenshtein(lab, nlab) <= $dmax)
+       |SELECT DISTINCT id_a, id_b, dist FROM hits
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** N-GRAM CONTAINMENT pairs: |A∩B| / |A| per ORDERED document pair —
     * the ASYMMETRIC near-dup measure Jaccard misses. A short document
     * quoted whole inside a long one has low Jaccard (the union is huge)

@@ -943,6 +943,120 @@ object TextAnalysis {
         max(abs(col("frac_pos_e4") - col("mean_score_e4"))).as("mce_e4"))
       .drop("_g")
 
+  /** MAXIMAL MARGINAL RELEVANCE re-ranking (Carbonell & Goldstein,
+    * SIGIR'98) — the diversification pass between retrieval and the
+    * user: greedily pick k results maximizing
+    *   λ·relevance − (1−λ)·max-similarity-to-already-picked,
+    * so near-duplicate hits stop crowding the page. Relevance is the
+    * BM25 score normalized to e6 (one integer division against the max);
+    * inter-document similarity is the exact token-set Jaccard (e6);
+    * λ = 0.7 enters as the integer pair (7, 3), so every greedy round
+    * is exact integer arithmetic with a (score, doc_id) tie-break — the
+    * whole trajectory replays digit-exact in ANSI SQL.
+    *
+    * Shape at 100 TB: the corpus-scale work is the BM25 top-`nCand` cut;
+    * the candidate frame (≤ nCand rows), its nCand² similarity grid, and
+    * the k greedy argmax rounds are all model-sized by construction.
+    */
+  def mmrDiversify(
+      docs: DataFrame,
+      queryTerms: Seq[String] = Seq("spark", "join", "window"),
+      nCand: Int = 50,
+      k: Int = 10): DataFrame = {
+    val cand = bm25Search(docs, queryTerms, nCand)
+    val relMax = cand.agg(max(col("score_e4")).as("mx"))
+    val rel = cand.crossJoin(broadcast(relMax))
+      .select(col("doc_id"), expr("score_e4 * 1000000 div mx").as("rel_e6"))
+      .localCheckpoint(true)
+    val tk = docs.join(rel.select(col("doc_id")), "doc_id")
+      .select(col("doc_id"), array_distinct(tokens(col("text"))).as("tk"))
+    val sim = tk.as("a").join(tk.as("b"),
+        col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"),
+        expr("""size(array_intersect(a.tk, b.tk)) * 1000000L div
+          |  size(array_union(a.tk, b.tk))""".stripMargin).as("jac_e6"))
+      .localCheckpoint(true)
+    var selected = rel.orderBy(desc("rel_e6"), col("doc_id")).limit(1)
+      .select(lit(1L).as("pick_rank"), col("doc_id"), col("rel_e6"),
+        expr("7 * rel_e6").as("mmr_x10"))
+      .localCheckpoint(true)
+    for (t <- 2 to k) {
+      val remaining = rel.join(selected.select(col("doc_id")),
+        Seq("doc_id"), "left_anti")
+      val maxsim = sim
+        .join(selected.select(col("doc_id").as("dst")), "dst")
+        .groupBy(col("src").as("doc_id"))
+        .agg(max(col("jac_e6")).as("ms"))
+      val pick = remaining.join(maxsim, Seq("doc_id"), "left")
+        .na.fill(0L, Seq("ms"))
+        .select(lit(t.toLong).as("pick_rank"), col("doc_id"), col("rel_e6"),
+          expr("7 * rel_e6 - 3 * ms").as("mmr_x10"))
+        .orderBy(desc("mmr_x10"), col("doc_id")).limit(1)
+      selected = selected.unionByName(pick).localCheckpoint(true)
+    }
+    selected.orderBy(col("pick_rank"))
+  }
+
+  /** DuckDB twin of [[mmrDiversify]] — the BM25 candidate CTE plus one
+    * chained CTE per greedy round (the [[graft.ops.Graph]] iteration
+    * discipline).
+    */
+  def mmrDiversifyOracleSql(
+      queryTerms: Seq[String] = Seq("spark", "join", "window"),
+      nCand: Int = 50,
+      k: Int = 10): String = {
+    val termList = queryTerms.map(t => s"'$t'").mkString(", ")
+    val rounds = (2 to k).map { t =>
+      s"""s$t AS MATERIALIZED (
+         |  SELECT * FROM s${t - 1}
+         |  UNION ALL
+         |  SELECT * FROM (
+         |    SELECT $t::BIGINT AS pick_rank, r.doc_id, r.rel_e6,
+         |      (7 * r.rel_e6 - 3 * coalesce((
+         |        SELECT max(sim.jac_e6) FROM sim
+         |        JOIN s${t - 1} p ON sim.dst = p.doc_id
+         |        WHERE sim.src = r.doc_id), 0))::BIGINT AS mmr_x10
+         |    FROM rel r
+         |    WHERE r.doc_id NOT IN (SELECT doc_id FROM s${t - 1})
+         |    ORDER BY mmr_x10 DESC, r.doc_id LIMIT 1))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+')
+       |             AS toks FROM documents),
+       |d AS (SELECT doc_id, len(toks)::DOUBLE AS dl, toks FROM t),
+       |s AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM d),
+       |tf AS (SELECT doc_id, dl, term, count(*)::DOUBLE AS tf
+       |       FROM (SELECT doc_id, dl, unnest(toks) AS term FROM d)
+       |       WHERE term IN ($termList) GROUP BY doc_id, dl, term),
+       |df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+       |sc AS (SELECT doc_id,
+       |         round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * tf
+       |           * (1.2 + 1.0) / (tf + 1.2 * ((1.0 - 0.75)
+       |           + 0.75 * dl / avgdl)) * 10000.0, 0)::BIGINT AS score_e4
+       |       FROM tf JOIN df USING (term) CROSS JOIN s),
+       |cand AS (SELECT doc_id, sum(score_e4)::BIGINT AS score_e4
+       |         FROM sc GROUP BY doc_id
+       |         ORDER BY score_e4 DESC, doc_id LIMIT $nCand),
+       |mx AS (SELECT max(score_e4)::BIGINT AS mx FROM cand),
+       |rel AS MATERIALIZED (
+       |  SELECT doc_id, (score_e4 * 1000000 // mx)::BIGINT AS rel_e6
+       |  FROM cand CROSS JOIN mx),
+       |tk AS (SELECT t.doc_id, list_distinct(t.toks) AS tk
+       |       FROM t JOIN rel ON t.doc_id = rel.doc_id),
+       |sim AS MATERIALIZED (
+       |  SELECT a.doc_id AS src, b.doc_id AS dst,
+       |    (len(list_intersect(a.tk, b.tk)) * 1000000
+       |      // len(list_distinct(list_concat(a.tk, b.tk))))::BIGINT
+       |      AS jac_e6
+       |  FROM tk a JOIN tk b ON a.doc_id <> b.doc_id),
+       |s1 AS MATERIALIZED (
+       |  SELECT 1::BIGINT AS pick_rank, doc_id, rel_e6,
+       |    (7 * rel_e6)::BIGINT AS mmr_x10
+       |  FROM rel ORDER BY rel_e6 DESC, doc_id LIMIT 1),
+       |$rounds
+       |SELECT pick_rank, doc_id, rel_e6, mmr_x10 FROM s$k
+       |ORDER BY pick_rank""".stripMargin
+  }
+
   /** KENDALL RANK CORRELATION (τ-a) between the frequency ranking and
     * the document-frequency ranking of the top-N terms — do bursty
     * terms (high tf, few docs) distort the head of the vocabulary? The

@@ -378,6 +378,20 @@ class DedupSpec extends SparkTestBase {
     assert(rows.head > rows.last, rows)
   }
 
+  test("sortedNeighborhood: adjacent-sorted twin found; far keys produce no pair") {
+    import spark.implicits._
+    // id 2's corrupted twin ("appe …", dist 1) sorts immediately before
+    // the clean label; the zebra row is windows away from both
+    val part = Seq(
+      (2L, "apple", "Brand#1", "ECONOMY"),
+      (3L, "zebra", "Brand#2", "STANDARD")
+    ).toDF("p_partkey", "p_name", "p_brand", "p_type")
+    val out = graft.ops.Dedup.sortedNeighborhood(part).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Long]("dist"))).toSeq
+    assert(out == Seq((2L, 1000002L, 1L)))
+  }
+
   test("fuzzyJoin: pigeonhole blocking loses no pair an exhaustive levenshtein join finds") {
     // labels engineered around the boundary: exact twin (dist 1 after
     // the deterministic corruption), a dist-2 neighbor, a dist-3 near

@@ -391,5 +391,10 @@ class EmptyInputSpec extends SparkTestBase {
       .toDF("l_orderkey", "l_partkey", "l_shipdate")
     assert(graft.ops.Relational.decayedPopularity(noLiShip).count() == 0)
     assert(graft.ops.Relational.recCoverage(noLiAssoc).count() == 0)
+    assert(graft.ops.TextAnalysis.mmrDiversify(noDocs, Seq("x"))
+      .count() == 0)
+    val noPart4 = Seq.empty[(Long, String, String, String)]
+      .toDF("p_partkey", "p_name", "p_brand", "p_type")
+    assert(graft.ops.Dedup.sortedNeighborhood(noPart4).count() == 0)
   }
 }

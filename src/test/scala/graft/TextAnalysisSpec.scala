@@ -525,6 +525,19 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(r.getAs[Long]("flesch_e2") == 11919L)
   }
 
+  test("mmrDiversify: a near-duplicate of the top hit is demoted below a fresh doc") {
+    import spark.implicits._
+    // d2 is byte-identical to d1 (similarity 1.0): plain BM25 would rank
+    // it second; MMR's redundancy penalty pushes the distinct d3 ahead
+    val docs = Seq(
+      (1L, "x x x a"), (2L, "x x x a"), (3L, "x x y z"), (4L, "m n")
+    ).toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.mmrDiversify(docs, Seq("x")).collect()
+      .map(r => (r.getAs[Long]("pick_rank"), r.getAs[Long]("doc_id")))
+      .toSeq
+    assert(out.map(_._2) == Seq(1L, 3L, 2L), out.mkString(";"))
+  }
+
   test("nucleusVocab: the 90% mass cut lands between head and tail") {
     import spark.implicits._
     // counts 8/1/1: 'a' and 'b' reach 90% of the 10-token mass; 'c'
