@@ -318,6 +318,9 @@ object SparkEntry {
     // banded-levenshtein verify — the third blocking discipline
     "q_sorted_neighborhood" -> ((s, d) =>
       Dedup.sortedNeighborhood(Relational.table(s, d, "part"))),
+    // trigram novelty per ingest batch — the dataset-freshness readout
+    "q_ngram_novelty" -> ((s, d) =>
+      TextAnalysis.ngramNovelty(TextAnalysis.documents(s, d))),
     // snapshot reconciliation: late-arriving 1/97 slice vs deleted 1/89
     // slice with restated open orders on the 1/11 grid
     "q_snapshot_diff" -> ((s, d) => {
@@ -1890,6 +1893,7 @@ object SparkEntry {
     "q_rec_coverage" -> Relational.recCoverageOracleSql(),
     "q_mmr_diversify" -> TextAnalysis.mmrDiversifyOracleSql(),
     "q_sorted_neighborhood" -> Dedup.sortedNeighborhoodOracleSql(),
+    "q_ngram_novelty" -> TextAnalysis.ngramNoveltyOracleSql(),
     // triangle count is orientation-invariant: the oracle counts the
     // canonical a<b<c form, pinning the degree-ordered plan's result
     "q_triangles" ->

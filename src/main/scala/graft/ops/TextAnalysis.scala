@@ -2254,6 +2254,70 @@ object TextAnalysis {
         col("ln_docs_e6"), col("ln_vocab_e6"), col("beta_e6"))
   }
 
+  /** N-GRAM NOVELTY per ingest batch — the dataset-freshness readout a
+    * continuously-fed corpus publishes next to [[heapsLaw]]'s growth
+    * curve: for each arrival batch (doc_id div `batchSize`), what share
+    * of its distinct trigrams was never seen in ANY earlier batch? A
+    * collapsing novelty rate means new data is re-treading old content
+    * (time to rebalance sources); a flat high rate means the corpus is
+    * still exploring. Exact integers: one first-seen collapse, counts,
+    * one e4 division.
+    *
+    * Shape at 100 TB: (batch, term) distinct collapse → term-keyed
+    * first-seen aggregate → batch-keyed counts; every exchange is keyed
+    * on the term or batch dimension, nothing quadratic, no window.
+    */
+  def ngramNovelty(docs: DataFrame, batchSize: Int = 50): DataFrame = {
+    val bt = docs.select(expr(s"doc_id div $batchSize").as("batch"),
+      col("doc_id"), col("text"))
+    val tb = bt
+      .select(col("batch"),
+        explode(graft.ops.Dedup.shingles(col("text"), 3)).as("term"))
+      .distinct()
+    val first = tb.groupBy(col("term")).agg(min(col("batch")).as("fb"))
+    val novelty = tb.join(first, "term")
+      .groupBy(col("batch"))
+      .agg(
+        count(lit(1)).as("n_distinct_terms"),
+        sum(when(col("batch") === col("fb"), 1L).otherwise(0L))
+          .as("n_new_terms"))
+    bt.groupBy(col("batch")).agg(count(lit(1)).as("n_docs"))
+      .join(novelty, Seq("batch"), "left")
+      .na.fill(0L, Seq("n_distinct_terms", "n_new_terms"))
+      .select(col("batch"), col("n_docs"), col("n_distinct_terms"),
+        col("n_new_terms"),
+        expr("n_new_terms * 10000 div nullif(n_distinct_terms, 0)")
+          .as("novelty_e4"))
+      .orderBy(col("batch"))
+  }
+
+  /** DuckDB twin of [[ngramNovelty]]. */
+  def ngramNoveltyOracleSql(batchSize: Int = 50): String =
+    s"""WITH bt AS (
+       |  SELECT doc_id // $batchSize AS batch, doc_id, text FROM documents),
+       |tb AS (
+       |  SELECT DISTINCT batch, term FROM (
+       |    SELECT batch, unnest(list_distinct(list_transform(
+       |      range(1, len(toks) - 1),
+       |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS term
+       |    FROM (SELECT batch, regexp_split_to_array(lower(text), '\\s+')
+       |            AS toks FROM bt)
+       |    WHERE len(toks) >= 3)),
+       |first AS (SELECT term, min(batch) AS fb FROM tb GROUP BY term),
+       |nov AS (
+       |  SELECT batch, count(*)::BIGINT AS n_distinct_terms,
+       |    sum(CASE WHEN batch = fb THEN 1 ELSE 0 END)::BIGINT
+       |      AS n_new_terms
+       |  FROM tb JOIN first USING (term) GROUP BY batch)
+       |SELECT b.batch::BIGINT AS batch, count(*)::BIGINT AS n_docs,
+       |  coalesce(max(n_distinct_terms), 0)::BIGINT AS n_distinct_terms,
+       |  coalesce(max(n_new_terms), 0)::BIGINT AS n_new_terms,
+       |  (coalesce(max(n_new_terms), 0) * 10000
+       |    // nullif(coalesce(max(n_distinct_terms), 0), 0))::BIGINT
+       |    AS novelty_e4
+       |FROM bt b LEFT JOIN nov ON b.batch = nov.batch
+       |GROUP BY b.batch ORDER BY batch""".stripMargin
+
   /** DuckDB oracle for [[heapsLaw]] — identical first-seen collapse,
     * value thresholds, per-point quantization, and slope literal.
     */

@@ -396,5 +396,6 @@ class EmptyInputSpec extends SparkTestBase {
     val noPart4 = Seq.empty[(Long, String, String, String)]
       .toDF("p_partkey", "p_name", "p_brand", "p_type")
     assert(graft.ops.Dedup.sortedNeighborhood(noPart4).count() == 0)
+    assert(graft.ops.TextAnalysis.ngramNovelty(noDocs).count() == 0)
   }
 }

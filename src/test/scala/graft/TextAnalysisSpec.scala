@@ -538,6 +538,24 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(out.map(_._2) == Seq(1L, 3L, 2L), out.mkString(";"))
   }
 
+  test("ngramNovelty: first batch is all-new; a re-tread batch scores 0") {
+    import spark.implicits._
+    // batch 0 (docs 0..49 range: here 1,2): two distinct trigrams
+    // batch 1 (doc 51): repeats doc 1's text → nothing new
+    // batch 2 (doc 101): one fresh trigram
+    val docs = Seq(
+      (1L, "a b c"), (2L, "d e f"), (51L, "a b c"), (101L, "g h i")
+    ).toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.ngramNovelty(docs).collect()
+      .map(r => (r.getAs[Long]("batch"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_distinct_terms"), r.getAs[Long]("n_new_terms"),
+        r.getAs[Long]("novelty_e4"))).toSeq
+    assert(out == Seq(
+      (0L, 2L, 2L, 2L, 10000L),
+      (1L, 1L, 1L, 0L, 0L),
+      (2L, 1L, 1L, 1L, 10000L)))
+  }
+
   test("nucleusVocab: the 90% mass cut lands between head and tail") {
     import spark.implicits._
     // counts 8/1/1: 'a' and 'b' reach 90% of the 10-token mass; 'c'
