@@ -321,6 +321,9 @@ object SparkEntry {
     // trigram novelty per ingest batch — the dataset-freshness readout
     "q_ngram_novelty" -> ((s, d) =>
       TextAnalysis.ngramNovelty(TextAnalysis.documents(s, d))),
+    // Newman modularity of the LPA partition — exact integer Q
+    "q_modularity" -> ((s, d) =>
+      Graph.modularity(Relational.table(s, d, "lineitem"))),
     // snapshot reconciliation: late-arriving 1/97 slice vs deleted 1/89
     // slice with restated open orders on the 1/11 grid
     "q_snapshot_diff" -> ((s, d) => {
@@ -1894,6 +1897,7 @@ object SparkEntry {
     "q_mmr_diversify" -> TextAnalysis.mmrDiversifyOracleSql(),
     "q_sorted_neighborhood" -> Dedup.sortedNeighborhoodOracleSql(),
     "q_ngram_novelty" -> TextAnalysis.ngramNoveltyOracleSql(),
+    "q_modularity" -> Graph.modularityOracleSql(),
     // triangle count is orientation-invariant: the oracle counts the
     // canonical a<b<c form, pinning the degree-ordered plan's result
     "q_triangles" ->

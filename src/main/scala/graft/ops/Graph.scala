@@ -321,8 +321,13 @@ object Graph {
     * round bounds lineage. Rounds are O(graph diameter) in practice —
     * 8 here; nothing iterates over the corpus.
     */
-  def labelPropagation(
-      lineitem: DataFrame, rounds: Int = 8, minSupport: Long = 2): DataFrame = {
+  /** The shared LPA core: symmetric weighted edge frame (persisted —
+    * caller unpersists) and the converged (node, label) frame after
+    * `rounds` synchronous rounds.
+    */
+  private def lpaCore(
+      lineitem: DataFrame, rounds: Int, minSupport: Long)
+      : (DataFrame, DataFrame) = {
     require(rounds > 0, "rounds must be positive")
     val pairs = Relational.partPairCounts(lineitem, minSupport)
     val edges = pairs
@@ -343,17 +348,65 @@ object Graph {
         .select(col("src").as("node"), col("label"))
         .localCheckpoint(true)
     }
+    (labels, edges)
+  }
+
+  def labelPropagation(
+      lineitem: DataFrame, rounds: Int = 8, minSupport: Long = 2): DataFrame = {
+    val (labels, edges) = lpaCore(lineitem, rounds, minSupport)
     edges.unpersist()
     labels.groupBy(col("label"))
       .agg(count(lit(1)).as("n_members"), min(col("node")).as("min_member"))
       .orderBy(desc("n_members"), col("label"))
   }
 
-  /** DuckDB twin of [[labelPropagation]] — one CTE pair per round
-    * (votes → per-node argmax), identical tie-breaks.
+  /** MODULARITY of the LPA partition — the single number that says
+    * whether the communities [[labelPropagation]] found are real
+    * structure or noise (Newman & Girvan 2004):
+    *   Q = Σ_c [ in_c/2m − (deg_c/2m)² ],
+    * ≈0 for random graphs, ≳0.3 for genuine community structure.
+    * Carried EXACTLY: with the symmetric edge frame (every undirected
+    * edge counted in both directions), in_c and 2m are plain integer
+    * weight sums and Q·e6 = Σ_c (2m·in_c − deg_c²)·10⁶ div (2m)² — one
+    * decimal division, digit-exact against the oracle's replay of the
+    * identical label trajectory.
+    *
+    * Shape at 100 TB: the LPA rounds dominate ([[labelPropagation]]'s
+    * cost envelope); the modularity readout adds two label joins and a
+    * community-dimension aggregate.
     */
-  def labelPropagationOracleSql(
-      rounds: Int = 8, minSupport: Long = 2): String = {
+  def modularity(
+      lineitem: DataFrame, rounds: Int = 8, minSupport: Long = 2): DataFrame = {
+    val (labels, edges) = lpaCore(lineitem, rounds, minSupport)
+    val m2 = edges.agg(sum(col("w")).as("m2"))
+    val lsrc = labels.select(col("node").as("src"), col("label").as("lsrc"))
+    val ldst = labels.select(col("node").as("dst"), col("label").as("ldst"))
+    val inC = edges.join(lsrc, "src").join(ldst, "dst")
+      .filter(col("lsrc") === col("ldst"))
+      .groupBy(col("lsrc").as("label")).agg(sum(col("w")).as("in_c"))
+    val degC = edges.groupBy(col("src")).agg(sum(col("w")).as("strength"))
+      .join(labels.withColumnRenamed("node", "src"), "src")
+      .groupBy(col("label")).agg(sum(col("strength")).as("deg_c"))
+    val out = degC.join(inC, Seq("label"), "left")
+      .na.fill(0L, Seq("in_c"))
+      .crossJoin(broadcast(m2))
+      .groupBy(col("m2"))
+      .agg(
+        count(lit(1)).as("n_communities"),
+        sum(expr(
+          "cast(m2 as decimal(38,0)) * in_c - cast(deg_c as decimal(38,0)) * deg_c"))
+          .as("num"))
+      .select(col("n_communities"), col("m2"),
+        expr("num * 1000000 div (cast(m2 as decimal(38,0)) * m2)")
+          .as("q_e6"))
+    edges.unpersist()
+    out
+  }
+
+  /** The shared LPA CTE chain (`items/p/e/l0..l<rounds>`), used by both
+    * oracle twins so the label trajectory cannot drift between them.
+    */
+  private def lpaCtesSql(rounds: Int, minSupport: Long): String = {
     val head =
       s"""WITH items AS (
          |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
@@ -376,13 +429,40 @@ object Graph {
          |      PARTITION BY src ORDER BY wt DESC, label) AS rn
          |    FROM v$t) WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
-    s"""$head,
-       |$iterCtes
+    s"$head,\n$iterCtes"
+  }
+
+  /** DuckDB twin of [[labelPropagation]] — one CTE pair per round
+    * (votes → per-node argmax), identical tie-breaks.
+    */
+  def labelPropagationOracleSql(
+      rounds: Int = 8, minSupport: Long = 2): String =
+    s"""${lpaCtesSql(rounds, minSupport)}
        |SELECT label, count(*)::BIGINT AS n_members,
        |  min(node)::BIGINT AS min_member
        |FROM l$rounds GROUP BY 1
        |ORDER BY n_members DESC, label""".stripMargin
-  }
+
+  /** DuckDB twin of [[modularity]] — the identical label trajectory plus
+    * the exact integer Q readout.
+    */
+  def modularityOracleSql(rounds: Int = 8, minSupport: Long = 2): String =
+    s"""${lpaCtesSql(rounds, minSupport)},
+       |lab AS MATERIALIZED (SELECT node, label FROM l$rounds),
+       |mm AS (SELECT sum(w)::BIGINT AS m2 FROM e),
+       |inc AS (
+       |  SELECT a.label, sum(e.w)::BIGINT AS in_c
+       |  FROM e JOIN lab a ON e.src = a.node JOIN lab b ON e.dst = b.node
+       |  WHERE a.label = b.label GROUP BY 1),
+       |degc AS (
+       |  SELECT a.label, sum(s.strength)::BIGINT AS deg_c
+       |  FROM (SELECT src, sum(w)::BIGINT AS strength FROM e GROUP BY 1) s
+       |  JOIN lab a ON s.src = a.node GROUP BY 1)
+       |SELECT count(*)::BIGINT AS n_communities, m2,
+       |  (sum(m2::HUGEINT * coalesce(in_c, 0) - deg_c::HUGEINT * deg_c)
+       |    * 1000000 // (m2::HUGEINT * m2))::BIGINT AS q_e6
+       |FROM degc LEFT JOIN inc USING (label) CROSS JOIN mm
+       |GROUP BY m2""".stripMargin
 
   /** Triangle census of the part co-purchase graph (nodes = parts, one
     * undirected edge per part pair ordered together in ≥ `minSupport`

@@ -397,5 +397,6 @@ class EmptyInputSpec extends SparkTestBase {
       .toDF("p_partkey", "p_name", "p_brand", "p_type")
     assert(graft.ops.Dedup.sortedNeighborhood(noPart4).count() == 0)
     assert(graft.ops.TextAnalysis.ngramNovelty(noDocs).count() == 0)
+    assert(graft.ops.Graph.modularity(noLiAssoc).count() == 0)
   }
 }

@@ -185,6 +185,26 @@ class GraphSpec extends SparkTestBase {
         r.getAs[Long]("min_member")))
     assert(out.toSeq == Seq((1L, 3L, 1L), (4L, 3L, 4L)))
   }
+
+  test("modularity: the two-clique bridge graph scores the exact closed form") {
+    import spark.implicits._
+    // same fixture as the LPA test: 2m = 52, in_c = 24 per clique,
+    // deg_c = 26 per clique → Q = 2·(52·24 − 26²)/52² = 1144/2704
+    def orders(base: Long, n: Int, pa: Long, pb: Long) =
+      (0 until n).flatMap(i => Seq((base + i, pa), (base + i, pb)))
+    val li = (
+      orders(100, 4, 1L, 2L) ++ orders(200, 4, 1L, 3L) ++
+      orders(300, 4, 2L, 3L) ++ orders(400, 4, 4L, 5L) ++
+      orders(500, 4, 4L, 6L) ++ orders(600, 4, 5L, 6L) ++
+      orders(700, 2, 3L, 4L)
+    ).toDF("l_orderkey", "l_partkey")
+    val out = Graph.modularity(li, rounds = 8).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_communities") == 2L)
+    assert(r.getAs[Long]("m2") == 52L)
+    assert(r.getAs[Long]("q_e6") == 1144L * 1000000L / 2704L)
+  }
 }
 
 private object Graft {
