@@ -377,7 +377,12 @@ object Graph {
     */
   def modularity(
       lineitem: DataFrame, rounds: Int = 8, minSupport: Long = 2): DataFrame = {
-    val (labels, edges) = lpaCore(lineitem, rounds, minSupport)
+    val (labels, edgesP) = lpaCore(lineitem, rounds, minSupport)
+    // three readout consumers (m2, in_c, deg_c) — pin the edge frame
+    // once and release the lpaCore persist, or each consumer would
+    // replay the pair build
+    val edges = edgesP.localCheckpoint(true)
+    edgesP.unpersist()
     val m2 = edges.agg(sum(col("w")).as("m2"))
     val lsrc = labels.select(col("node").as("src"), col("label").as("lsrc"))
     val ldst = labels.select(col("node").as("dst"), col("label").as("ldst"))
@@ -399,7 +404,6 @@ object Graph {
       .select(col("n_communities"), col("m2"),
         expr("num * 1000000 div (cast(m2 as decimal(38,0)) * m2)")
           .as("q_e6"))
-    edges.unpersist()
     out
   }
 
