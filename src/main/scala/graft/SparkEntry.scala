@@ -324,6 +324,14 @@ object SparkEntry {
     // Newman modularity of the LPA partition — exact integer Q
     "q_modularity" -> ((s, d) =>
       Graph.modularity(Relational.table(s, d, "lineitem"))),
+    // HHI supplier concentration per nation (basis points, exact)
+    "q_hhi" -> ((s, d) => Relational.hhiConcentration(
+      Relational.table(s, d, "lineitem"),
+      Relational.table(s, d, "supplier"),
+      Relational.table(s, d, "nation"))),
+    // next-event predictability: entropy per source state
+    "q_transition_entropy" -> ((s, d) =>
+      Analytics.transitionEntropy(Analytics.events(s, d))),
     // snapshot reconciliation: late-arriving 1/97 slice vs deleted 1/89
     // slice with restated open orders on the 1/11 grid
     "q_snapshot_diff" -> ((s, d) => {
@@ -1898,6 +1906,8 @@ object SparkEntry {
     "q_sorted_neighborhood" -> Dedup.sortedNeighborhoodOracleSql(),
     "q_ngram_novelty" -> TextAnalysis.ngramNoveltyOracleSql(),
     "q_modularity" -> Graph.modularityOracleSql(),
+    "q_hhi" -> Relational.hhiConcentrationOracleSql,
+    "q_transition_entropy" -> Analytics.transitionEntropyOracleSql,
     // triangle count is orientation-invariant: the oracle counts the
     // canonical a<b<c form, pinning the degree-ordered plan's result
     "q_triangles" ->

@@ -546,6 +546,75 @@ object Analytics {
       .orderBy(col("from_type"), col("to_type"))
   }
 
+  /** TRANSITION ENTROPY per source state — how PREDICTABLE is the next
+    * event after each type? The information-theoretic readout over the
+    * [[eventTransitions]] matrix: H(from) = −Σ p·ln p in micro-nats,
+    * plus the ln(k)-normalized e4 form (1.0 = uniformly unpredictable,
+    * 0 = deterministic). Per-cell terms round at e6 then integer-sum
+    * (the log-prob discipline), so the readout pairs digit-exact. The
+    * number a funnel designer reads before trusting a next-step model.
+    *
+    * Shape at 100 TB: the transition matrix is a |types|²-row frame off
+    * one lag window; everything here is arithmetic on that frame.
+    */
+  def transitionEntropy(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    df.withColumn("from_type", lag(col("event_type"), 1).over(w))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("tot", sum(col("n")).over(
+        Window.partitionBy(col("from_type"))))
+      .withColumn("term_e6",
+        round(-(col("n").cast("double") / col("tot")) *
+          log(col("n").cast("double") / col("tot")) * 1000000, 0)
+          .cast("long"))
+      .groupBy(col("from_type"))
+      .agg(
+        count(lit(1)).as("n_next_types"),
+        max(col("tot")).as("n_transitions"),
+        sum(col("term_e6")).as("entropy_e6"))
+      .withColumn("norm_entropy_e4",
+        expr("""CASE WHEN n_next_types > 1 THEN
+          |  cast(round(entropy_e6 / (ln(cast(n_next_types as double))
+          |    * 1000000.0) * 10000) as bigint)
+          |ELSE 0 END""".stripMargin))
+      .orderBy(col("from_type"))
+  }
+
+  /** DuckDB twin of [[transitionEntropy]]. */
+  def transitionEntropyOracleSql: String =
+    """WITH seq AS (
+      |  SELECT user_id, event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS from_type
+      |  FROM events),
+      |m AS (
+      |  SELECT from_type, event_type AS to_type, count(*)::BIGINT AS n
+      |  FROM seq WHERE from_type IS NOT NULL GROUP BY 1, 2),
+      |t AS (
+      |  SELECT from_type, n,
+      |    sum(n) OVER (PARTITION BY from_type)::BIGINT AS tot
+      |  FROM m),
+      |terms AS (
+      |  SELECT from_type, tot,
+      |    round(-(n::DOUBLE / tot) * ln(n::DOUBLE / tot) * 1000000,
+      |      0)::BIGINT AS term_e6
+      |  FROM t),
+      |h AS (
+      |  SELECT from_type, count(*)::BIGINT AS n_next_types,
+      |    max(tot)::BIGINT AS n_transitions,
+      |    sum(term_e6)::BIGINT AS entropy_e6
+      |  FROM terms GROUP BY 1)
+      |SELECT from_type, n_next_types, n_transitions, entropy_e6,
+      |  CASE WHEN n_next_types > 1 THEN
+      |    CAST(round(entropy_e6 / (ln(n_next_types::DOUBLE) * 1000000.0)
+      |      * 10000) AS BIGINT)
+      |  ELSE 0 END AS norm_entropy_e4
+      |FROM h ORDER BY from_type""".stripMargin
+
   def eventGaps(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("user_id"))

@@ -900,6 +900,58 @@ object Relational {
        |  (SELECT max(f) FROM freq)::BIGINT AS max_rec_freq
        |FROM recs CROSS JOIN catalog GROUP BY n_catalog""".stripMargin
 
+  /** HERFINDAHL–HIRSCHMAN INDEX of supplier revenue per nation — the
+    * antitrust-grade concentration scalar next to [[giniCoefficient]]
+    * (Gini measures inequality of the whole distribution, HHI the
+    * market power of the top): HHI = Σᵢ shareᵢ², on the standard 0–10000
+    * basis-point scale. Exact: with supplier revenue rᵢ and nation total
+    * T, HHI_bp = Σ rᵢ²·10⁴ div T² — one decimal division per nation,
+    * no float shares. DOJ thresholds (1500/2500) are the standard
+    * reading grid.
+    *
+    * Shape at 100 TB: fact collapses once to (nation, supplier) revenue;
+    * the index is a nation-keyed aggregate over that dimension frame.
+    */
+  def hhiConcentration(
+      lineitem: DataFrame, supplier: DataFrame, nation: DataFrame)
+      : DataFrame = {
+    val rev = lineitem
+      .join(broadcast(supplier.select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey"), col("s_suppkey"))
+      .agg(sum((money("l_extendedprice") * 100).cast("long")).as("r"))
+    rev.groupBy(col("s_nationkey"))
+      .agg(
+        count(lit(1)).as("n_suppliers"),
+        sum(col("r")).as("total_cents"),
+        sum(col("r").cast("decimal(38,0)") * col("r")).as("ss"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("nation"), col("n_suppliers"),
+        col("total_cents"),
+        expr("ss * 10000 div (cast(total_cents as decimal(38,0)) * total_cents)")
+          .as("hhi_bp"))
+      .orderBy(col("nation"))
+  }
+
+  /** DuckDB twin of [[hhiConcentration]]. */
+  def hhiConcentrationOracleSql: String =
+    """WITH rev AS (
+      |  SELECT s.s_nationkey, l.l_suppkey,
+      |    sum((l.l_extendedprice::DECIMAL(18,2) * 100)::BIGINT)::BIGINT AS r
+      |  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  GROUP BY 1, 2),
+      |agg AS (
+      |  SELECT s_nationkey, count(*)::BIGINT AS n_suppliers,
+      |    sum(r)::BIGINT AS total_cents,
+      |    sum(r::HUGEINT * r) AS ss
+      |  FROM rev GROUP BY 1)
+      |SELECT n.n_name AS nation, a.n_suppliers, a.total_cents,
+      |  (a.ss * 10000 // (a.total_cents::HUGEINT * a.total_cents))::BIGINT
+      |    AS hhi_bp
+      |FROM agg a JOIN nation n ON a.s_nationkey = n.n_nationkey
+      |ORDER BY nation""".stripMargin
+
   /** RFM customer segmentation (recency / frequency / monetary), the
     * classic CRM cut — binned by EXACT quartile boundaries instead of a
     * global ntile: ntile over the customer dimension is a

@@ -697,6 +697,25 @@ class AnalyticsSpec extends SparkTestBase {
     assert(r1.getAs[Long]("ess_share_e4") == 5000L)
   }
 
+  test("transitionEntropy: deterministic source scores 0; a fair binary source scores ln 2") {
+    import spark.implicits._
+    def ev(id: Long, u: Long, t: String, sec: Long) =
+      (id, u, t, ts(sec * 1000000L))
+    // a→b twice (deterministic); b→{a, c} once each (fair coin)
+    val events = Seq(
+      ev(1L, 1L, "a", 0), ev(2L, 1L, "b", 1), ev(3L, 1L, "a", 2),
+      ev(4L, 2L, "a", 0), ev(5L, 2L, "b", 1), ev(6L, 2L, "c", 2)
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = graft.ops.Analytics.transitionEntropy(events).collect()
+      .map(r => (r.getAs[String]("from_type"), r.getAs[Long]("n_next_types"),
+        r.getAs[Long]("n_transitions"), r.getAs[Long]("entropy_e6"),
+        r.getAs[Long]("norm_entropy_e4"))).toSeq
+    // per-cell e6 rounding: −½ln½ → 346574 each, so ln 2 lands at 693148
+    assert(out == Seq(
+      ("a", 1L, 2L, 0L, 0L),
+      ("b", 2L, 2L, 693148L, 10000L)))
+  }
+
   test("matchedAtt: 1-NN matching with duplicate-pre representatives and tie-breaks") {
     import spark.implicits._
     // controls (even uid): pre 100→post 50 (uid 2), pre 200→post 80

@@ -398,5 +398,12 @@ class EmptyInputSpec extends SparkTestBase {
     assert(graft.ops.Dedup.sortedNeighborhood(noPart4).count() == 0)
     assert(graft.ops.TextAnalysis.ngramNovelty(noDocs).count() == 0)
     assert(graft.ops.Graph.modularity(noLiAssoc).count() == 0)
+    val noLiSupp = Seq.empty[(Long, Long, Double)]
+      .toDF("l_orderkey", "l_suppkey", "l_extendedprice")
+    val noSupp2 = Seq.empty[(Long, Long)].toDF("s_suppkey", "s_nationkey")
+    val noNat2 = Seq.empty[(Long, String)].toDF("n_nationkey", "n_name")
+    assert(graft.ops.Relational.hhiConcentration(noLiSupp, noSupp2, noNat2)
+      .count() == 0)
+    assert(graft.ops.Analytics.transitionEntropy(noEventsFull).count() == 0)
   }
 }

@@ -511,6 +511,19 @@ class RelationalSpec extends SparkTestBase {
     assert(r.getAs[Long]("max_rec_freq") == 1L)
   }
 
+  test("hhiConcentration: monopoly scores 10000 bp, an equal duopoly 5000") {
+    import spark.implicits._
+    val li = Seq((1L, 10L, 5.0), (2L, 20L, 3.0), (3L, 30L, 3.0))
+      .toDF("l_orderkey", "l_suppkey", "l_extendedprice")
+    val supp = Seq((10L, 1L), (20L, 2L), (30L, 2L))
+      .toDF("s_suppkey", "s_nationkey")
+    val nat = Seq((1L, "AAA"), (2L, "BBB")).toDF("n_nationkey", "n_name")
+    val out = graft.ops.Relational.hhiConcentration(li, supp, nat).collect()
+      .map(r => (r.getAs[String]("nation"), r.getAs[Long]("n_suppliers"),
+        r.getAs[Long]("hhi_bp"))).toSeq
+    assert(out == Seq(("AAA", 1L, 10000L), ("BBB", 2L, 5000L)))
+  }
+
   test("ewmaTrend: constant series passes through; a step blends by the exact rational weights") {
     import spark.implicits._
     def orders(rev: Int => Double) = (0 until 41).map { i =>
