@@ -170,7 +170,16 @@ object DumpPlans {
       "q_ppr" -> "personalized PageRank: seed indicator rides the node frame as one broadcast-joined column; same per-iteration edge⋈rank joins as q_pagerank",
       "q_iv_wald" -> "IV/Wald: one user collapse, one 1-row six-sum aggregate; LATE is a single exact division — no joins at all",
       "q_assoc_rules" -> "association rules: the shared basket collapse persisted once; direction flip unions the support-pruned PAIR frame; counts broadcast",
-      "q_gini" -> "Gini: customer collapse → revenue VALUE DOMAIN; the rank identity folds the sort into one cumulative + 1-row division")
+      "q_gini" -> "Gini: customer collapse → revenue VALUE DOMAIN; the rank identity folds the sort into one cumulative + 1-row division",
+      "q_ips_ess" -> "IPS ESS: the policyEval (segment, action) collapse reused; both weight sums are cell-frame decimal arithmetic",
+      "q_decayed_popularity" -> "decayed popularity: one (part, week-age) collapse, 17-row broadcast weight grid, TakeOrderedAndProject top-k",
+      "q_rec_coverage" -> "rec coverage: the q_item_recs build unchanged; metrics are two tiny aggregates over its output",
+      "q_mmr_diversify" -> "MMR: BM25 top-50 cut is the only corpus step; the 50² sim grid and k greedy argmax rounds run on checkpointed model-sized frames",
+      "q_sorted_neighborhood" -> "sorted-neighborhood: ONE key-dimension sort, w lead() columns, banded-levenshtein verify on the n·w candidate stream — no self-join",
+      "q_ngram_novelty" -> "n-gram novelty: (batch, term) distinct collapse → term-keyed first-seen → batch counts; term/batch-keyed exchanges only",
+      "q_modularity" -> "modularity: the LPA rounds dominate; the Q readout adds two label joins + a community-dimension aggregate on a checkpointed edge frame",
+      "q_hhi" -> "HHI: fact collapses once to (nation, supplier) revenue; the index is a nation-keyed aggregate, dims broadcast",
+      "q_transition_entropy" -> "transition entropy: one lag window → |types|² matrix; all ln arithmetic on that frame")
 
     val sb = new StringBuilder
     sb.append("# PLANS — explain(\"formatted\") for headline queries\n\n")
