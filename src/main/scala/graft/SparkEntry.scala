@@ -332,6 +332,12 @@ object SparkEntry {
     // next-event predictability: entropy per source state
     "q_transition_entropy" -> ((s, d) =>
       Analytics.transitionEntropy(Analytics.events(s, d))),
+    // log-log demand elasticity per brand (e6-quantized lns, 5-sum OLS)
+    "q_price_elasticity" -> ((s, d) => Relational.priceElasticity(
+      Relational.table(s, d, "lineitem"), Relational.table(s, d, "part"))),
+    // customer spend-band transition matrix between the two half-periods
+    "q_segment_migration" -> ((s, d) =>
+      Relational.segmentMigration(Relational.table(s, d, "orders"))),
     // snapshot reconciliation: late-arriving 1/97 slice vs deleted 1/89
     // slice with restated open orders on the 1/11 grid
     "q_snapshot_diff" -> ((s, d) => {
@@ -1908,6 +1914,8 @@ object SparkEntry {
     "q_modularity" -> Graph.modularityOracleSql(),
     "q_hhi" -> Relational.hhiConcentrationOracleSql,
     "q_transition_entropy" -> Analytics.transitionEntropyOracleSql,
+    "q_price_elasticity" -> Relational.priceElasticityOracleSql,
+    "q_segment_migration" -> Relational.segmentMigrationOracleSql(),
     // triangle count is orientation-invariant: the oracle counts the
     // canonical a<b<c form, pinning the degree-ordered plan's result
     "q_triangles" ->

@@ -952,6 +952,132 @@ object Relational {
       |FROM agg a JOIN nation n ON a.s_nationkey = n.n_nationkey
       |ORDER BY nation""".stripMargin
 
+  /** PRICE ELASTICITY OF DEMAND per brand — the log-log OLS every
+    * pricing team runs: slope of ln(quantity) on ln(unit price) across
+    * a brand's line items (≈ −1 means revenue-neutral price moves).
+    * The [[graft.ops.TextAnalysis.heapsLaw]] discipline keeps the fit
+    * engine-exact: ln terms quantize to e6 INTEGERS per row, the five
+    * OLS sums are exact decimal integer sums (order-free — a raw float
+    * sum would drift with partial-aggregation order), and only the
+    * final slope is one rounded double expression, identical in both
+    * engines.
+    *
+    * Shape at 100 TB: one narrow row-local projection (two lns), one
+    * brand-keyed 5-sum aggregate. Nothing else.
+    */
+  def priceElasticity(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val obs = lineitem
+      .join(broadcast(part.select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand").as("brand"),
+        expr("""cast(round(ln(cast((cast(l_extendedprice as decimal(18,2))
+          |  * 100) as bigint) div cast(l_quantity as bigint))
+          |  * 1000000) as bigint)""".stripMargin).as("x"),
+        expr("cast(round(ln(cast(l_quantity as double)) * 1000000) as bigint)")
+          .as("y"))
+    obs.groupBy(col("brand"))
+      .agg(
+        count(lit(1)).as("n_obs"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"),
+        sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"))
+      .selectExpr("brand", "n_obs",
+        "CAST(round((CAST(n_obs AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / (CAST(n_obs AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * 10000) AS BIGINT) AS elasticity_e4")
+      .orderBy(col("brand"))
+  }
+
+  /** DuckDB twin of [[priceElasticity]]. */
+  def priceElasticityOracleSql: String =
+    """WITH obs AS (
+      |  SELECT p.p_brand AS brand,
+      |    CAST(round(ln(((l.l_extendedprice::DECIMAL(18,2) * 100)::BIGINT
+      |      // l.l_quantity::BIGINT)) * 1000000) AS BIGINT) AS x,
+      |    CAST(round(ln(l.l_quantity::DOUBLE) * 1000000) AS BIGINT) AS y
+      |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+      |s AS (
+      |  SELECT brand, count(*)::BIGINT AS n_obs,
+      |    sum(x)::HUGEINT AS sx, sum(y)::HUGEINT AS sy,
+      |    sum(x::HUGEINT * y) AS sxy, sum(x::HUGEINT * x) AS sxx
+      |  FROM obs GROUP BY brand)
+      |SELECT brand, n_obs,
+      |  CAST(round((CAST(n_obs AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / (CAST(n_obs AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * 10000) AS BIGINT) AS elasticity_e4
+      |FROM s ORDER BY brand""".stripMargin
+
+  /** SEGMENT MIGRATION MATRIX — customer-base dynamics the static
+    * [[rfmSegments]] snapshot can't show: bucket every customer's spend
+    * in the FIRST and SECOND half of the observed date range into $500
+    * bands (−1 = inactive that half) and count the (from, to)
+    * transitions. Reads as "who upgraded, who churned, who arrived".
+    * The half split lands on the midpoint date, computed exactly from
+    * min/max order dates; every count and band edge is an integer.
+    *
+    * Shape at 100 TB: one 1-row min/max broadcast anchors the split,
+    * one customer collapse carries both halves, the matrix is a ≤121-
+    * row aggregate.
+    */
+  def segmentMigration(
+      orders: DataFrame, bandCents: Int = 50000): DataFrame = {
+    val mm = orders.agg(
+      min(to_date(col("o_orderdate"))).as("mn"),
+      max(to_date(col("o_orderdate"))).as("mx"))
+    val per = orders.crossJoin(broadcast(mm))
+      .withColumn("mid",
+        expr("date_add(mn, cast(datediff(mx, mn) div 2 as int))"))
+      .groupBy(col("o_custkey"))
+      .agg(
+        sum(when(to_date(col("o_orderdate")) <= col("mid"),
+          (money("o_totalprice") * 100).cast("long")).otherwise(0L))
+          .as("s1"),
+        sum(when(to_date(col("o_orderdate")) > col("mid"),
+          (money("o_totalprice") * 100).cast("long")).otherwise(0L))
+          .as("s2"),
+        sum(when(to_date(col("o_orderdate")) <= col("mid"), 1L)
+          .otherwise(0L)).as("n1"),
+        sum(when(to_date(col("o_orderdate")) > col("mid"), 1L)
+          .otherwise(0L)).as("n2"))
+    per
+      .select(
+        when(col("n1") === 0L, lit(-1L))
+          .otherwise(least(lit(9L), expr(s"s1 div $bandCents")))
+          .as("band_from"),
+        when(col("n2") === 0L, lit(-1L))
+          .otherwise(least(lit(9L), expr(s"s2 div $bandCents")))
+          .as("band_to"))
+      .groupBy(col("band_from"), col("band_to"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("band_from"), col("band_to"))
+  }
+
+  /** DuckDB twin of [[segmentMigration]]. */
+  def segmentMigrationOracleSql(bandCents: Int = 50000): String =
+    s"""WITH mm AS (
+       |  SELECT min(CAST(o_orderdate AS DATE)) AS mn,
+       |    max(CAST(o_orderdate AS DATE)) AS mx
+       |  FROM orders),
+       |per AS (
+       |  SELECT o_custkey,
+       |    sum(CASE WHEN CAST(o_orderdate AS DATE) <= mid
+       |        THEN (o_totalprice::DECIMAL(18,2) * 100)::BIGINT
+       |        ELSE 0 END) AS s1,
+       |    sum(CASE WHEN CAST(o_orderdate AS DATE) > mid
+       |        THEN (o_totalprice::DECIMAL(18,2) * 100)::BIGINT
+       |        ELSE 0 END) AS s2,
+       |    sum(CASE WHEN CAST(o_orderdate AS DATE) <= mid THEN 1
+       |        ELSE 0 END) AS n1,
+       |    sum(CASE WHEN CAST(o_orderdate AS DATE) > mid THEN 1
+       |        ELSE 0 END) AS n2
+       |  FROM orders CROSS JOIN
+       |    (SELECT mn + (date_diff('day', mn, mx) // 2)::INTEGER AS mid
+       |     FROM mm) m
+       |  GROUP BY o_custkey)
+       |SELECT
+       |  (CASE WHEN n1 = 0 THEN -1
+       |        ELSE least(9, s1 // $bandCents) END)::BIGINT AS band_from,
+       |  (CASE WHEN n2 = 0 THEN -1
+       |        ELSE least(9, s2 // $bandCents) END)::BIGINT AS band_to,
+       |  count(*)::BIGINT AS n_customers
+       |FROM per GROUP BY 1, 2 ORDER BY band_from, band_to""".stripMargin
+
   /** RFM customer segmentation (recency / frequency / monetary), the
     * classic CRM cut — binned by EXACT quartile boundaries instead of a
     * global ntile: ntile over the customer dimension is a

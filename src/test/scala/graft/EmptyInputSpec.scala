@@ -405,5 +405,13 @@ class EmptyInputSpec extends SparkTestBase {
     assert(graft.ops.Relational.hhiConcentration(noLiSupp, noSupp2, noNat2)
       .count() == 0)
     assert(graft.ops.Analytics.transitionEntropy(noEventsFull).count() == 0)
+    val noLiQty = Seq.empty[(Long, Long, Double, Double)]
+      .toDF("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+    val noPartBrand = Seq.empty[(Long, String)].toDF("p_partkey", "p_brand")
+    assert(graft.ops.Relational.priceElasticity(noLiQty, noPartBrand)
+      .count() == 0)
+    val noOrdersCust4 = Seq.empty[(Long, Long, java.sql.Timestamp, Double)]
+      .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    assert(graft.ops.Relational.segmentMigration(noOrdersCust4).count() == 0)
   }
 }

@@ -524,6 +524,35 @@ class RelationalSpec extends SparkTestBase {
     assert(out == Seq(("AAA", 1L, 10000L), ("BBB", 2L, 5000L)))
   }
 
+  test("priceElasticity: a halved price doubling demand scores exactly −1") {
+    import spark.implicits._
+    // unit 200c→qty 2 and unit 100c→qty 4: the e6-quantized ln diffs are
+    // ±round(ln2·1e6) so the two-point slope is −1 with no residue
+    val li = Seq((1L, 1L, 2.0, 4.0), (2L, 1L, 4.0, 4.0))
+      .toDF("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+    val part = Seq((1L, "Brand#A")).toDF("p_partkey", "p_brand")
+    val out = graft.ops.Relational.priceElasticity(li, part).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("n_obs") == 2L)
+    assert(out.head.getAs[Long]("elasticity_e4") == -10000L)
+  }
+
+  test("segmentMigration: upgrades, churn, and the midpoint split on hand orders") {
+    import spark.implicits._
+    def d(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    // range 01-02..01-20 → mid = 01-11; c1 active first half only
+    // (band 1), c2 moves band 0 → band 1
+    val orders = Seq(
+      (1L, 1L, d("2024-01-02"), 600.0),
+      (2L, 2L, d("2024-01-02"), 100.0),
+      (3L, 2L, d("2024-01-20"), 600.0)
+    ).toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val out = graft.ops.Relational.segmentMigration(orders).collect()
+      .map(r => (r.getAs[Long]("band_from"), r.getAs[Long]("band_to"),
+        r.getAs[Long]("n_customers"))).toSeq
+    assert(out == Seq((0L, 1L, 1L), (1L, -1L, 1L)))
+  }
+
   test("ewmaTrend: constant series passes through; a step blends by the exact rational weights") {
     import spark.implicits._
     def orders(rev: Int => Double) = (0 until 41).map { i =>
