@@ -338,6 +338,9 @@ object SparkEntry {
     // customer spend-band transition matrix between the two half-periods
     "q_segment_migration" -> ((s, d) =>
       Relational.segmentMigration(Relational.table(s, d, "orders"))),
+    // 2×2 factorial interaction contrast over the mod-2 × mod-3 factors
+    "q_factorial_interaction" -> ((s, d) =>
+      Analytics.factorialInteraction(Analytics.events(s, d))),
     // snapshot reconciliation: late-arriving 1/97 slice vs deleted 1/89
     // slice with restated open orders on the 1/11 grid
     "q_snapshot_diff" -> ((s, d) => {
@@ -1916,6 +1919,7 @@ object SparkEntry {
     "q_transition_entropy" -> Analytics.transitionEntropyOracleSql,
     "q_price_elasticity" -> Relational.priceElasticityOracleSql,
     "q_segment_migration" -> Relational.segmentMigrationOracleSql(),
+    "q_factorial_interaction" -> Analytics.factorialInteractionOracleSql,
     // triangle count is orientation-invariant: the oracle counts the
     // canonical a<b<c form, pinning the degree-ordered plan's result
     "q_triangles" ->

@@ -5242,6 +5242,82 @@ object Analytics {
         expr("(extreme_draws + 1) * 1000000 div (n_draws + 1)").as("p_e6"))
   }
 
+  /** 2×2 FACTORIAL INTERACTION — the experimentation-plane readout for
+    * when TWO features ship together (Montgomery, DoE ch. 6): factors
+    * A = user_id mod 2 and B = user_id mod 3 == 0, cell means of spend,
+    * main effects, and the interaction contrast
+    *   (ȳ₁₁ − ȳ₁₀) − (ȳ₀₁ − ȳ₀₀)
+    * — the number that says the combined launch is NOT the sum of the
+    * parts. Exact pairing: cell means floor to integer cents (the div
+    * discipline, identical both engines) before the contrasts, so the
+    * readout is deterministic integer arithmetic over the four
+    * (sum, count) cell pairs.
+    *
+    * Shape at 100 TB: one user collapse, one 4-cell aggregate,
+    * arithmetic on 4 rows.
+    */
+  def factorialInteraction(df: DataFrame): DataFrame = {
+    val cents = (col("value").cast("decimal(12,2)") * 100).cast("long")
+    val cells = df.filter(col("user_id").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(sum(cents).as("y"))
+      .select(
+        (col("user_id") % 2).as("a"),
+        when(col("user_id") % 3 === 0L, 1L).otherwise(0L).as("b"),
+        col("y"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("s"))
+    val wide = cells.groupBy(lit(1).as("_g"))
+      .agg(
+        sum(when(col("a") === 1 && col("b") === 1, col("n"))).as("n11"),
+        sum(when(col("a") === 1 && col("b") === 1, col("s"))).as("s11"),
+        sum(when(col("a") === 1 && col("b") === 0, col("n"))).as("n10"),
+        sum(when(col("a") === 1 && col("b") === 0, col("s"))).as("s10"),
+        sum(when(col("a") === 0 && col("b") === 1, col("n"))).as("n01"),
+        sum(when(col("a") === 0 && col("b") === 1, col("s"))).as("s01"),
+        sum(when(col("a") === 0 && col("b") === 0, col("n"))).as("n00"),
+        sum(when(col("a") === 0 && col("b") === 0, col("s"))).as("s00"))
+      .drop("_g")
+      .filter(col("n11").isNotNull && col("n10").isNotNull &&
+        col("n01").isNotNull && col("n00").isNotNull)
+    wide.select(
+      (col("n11") + col("n10") + col("n01") + col("n00")).as("n_users"),
+      expr("s11 div n11 - s10 div n10").as("b_effect_in_a1_cents"),
+      expr("s01 div n01 - s00 div n00").as("b_effect_in_a0_cents"),
+      expr("(s11 div n11 - s10 div n10) - (s01 div n01 - s00 div n00)")
+        .as("interaction_cents"))
+  }
+
+  /** DuckDB twin of [[factorialInteraction]]. */
+  def factorialInteractionOracleSql: String =
+    """WITH users AS (
+      |  SELECT user_id % 2 AS a,
+      |    CASE WHEN user_id % 3 = 0 THEN 1 ELSE 0 END AS b,
+      |    sum((value::DECIMAL(12,2) * 100)::BIGINT) AS y
+      |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+      |cells AS (
+      |  SELECT a, b, count(*)::BIGINT AS n, sum(y)::BIGINT AS s
+      |  FROM users GROUP BY a, b),
+      |wide AS (
+      |  SELECT
+      |    sum(CASE WHEN a = 1 AND b = 1 THEN n END)::BIGINT AS n11,
+      |    sum(CASE WHEN a = 1 AND b = 1 THEN s END)::BIGINT AS s11,
+      |    sum(CASE WHEN a = 1 AND b = 0 THEN n END)::BIGINT AS n10,
+      |    sum(CASE WHEN a = 1 AND b = 0 THEN s END)::BIGINT AS s10,
+      |    sum(CASE WHEN a = 0 AND b = 1 THEN n END)::BIGINT AS n01,
+      |    sum(CASE WHEN a = 0 AND b = 1 THEN s END)::BIGINT AS s01,
+      |    sum(CASE WHEN a = 0 AND b = 0 THEN n END)::BIGINT AS n00,
+      |    sum(CASE WHEN a = 0 AND b = 0 THEN s END)::BIGINT AS s00
+      |  FROM cells GROUP BY true)
+      |SELECT (n11 + n10 + n01 + n00)::BIGINT AS n_users,
+      |  (s11 // n11 - s10 // n10)::BIGINT AS b_effect_in_a1_cents,
+      |  (s01 // n01 - s00 // n00)::BIGINT AS b_effect_in_a0_cents,
+      |  ((s11 // n11 - s10 // n10) - (s01 // n01 - s00 // n00))::BIGINT
+      |    AS interaction_cents
+      |FROM wide
+      |WHERE n11 IS NOT NULL AND n10 IS NOT NULL
+      |  AND n01 IS NOT NULL AND n00 IS NOT NULL""".stripMargin
+
   /** DuckDB twin of [[permTest]] — identical LCG draws and decimal
     * cross-multiplied comparisons.
     */

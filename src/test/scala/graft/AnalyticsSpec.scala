@@ -716,6 +716,28 @@ class AnalyticsSpec extends SparkTestBase {
       ("b", 2L, 2L, 693148L, 10000L)))
   }
 
+  test("factorialInteraction: a constructed synergy shows up only in the interaction") {
+    import spark.implicits._
+    val t0 = ts(0L)
+    // cell means (dollars): a0b0=1, a0b1=2, a1b0=3, a1b1=7 → B effect
+    // +1 under a0, +4 under a1 → interaction +3 (=300 cents)
+    // uids: a = uid%2, b = uid%3==0 → a0b0: 2; a0b1: 6; a1b0: 1; a1b1: 3
+    val events = Seq(
+      (1L, 2L, "view", 1.0, t0), (2L, 6L, "view", 2.0, t0),
+      (3L, 1L, "view", 3.0, t0), (4L, 3L, "view", 7.0, t0)
+    ).toDF("event_id", "user_id", "event_type", "value", "ts")
+    val out = graft.ops.Analytics.factorialInteraction(events).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_users") == 4L)
+    assert(r.getAs[Long]("b_effect_in_a1_cents") == 400L)
+    assert(r.getAs[Long]("b_effect_in_a0_cents") == 100L)
+    assert(r.getAs[Long]("interaction_cents") == 300L)
+    // a cell missing entirely → empty report, not a null contrast
+    val threeCells = events.filter(events("user_id") =!= 3L)
+    assert(graft.ops.Analytics.factorialInteraction(threeCells).count() == 0)
+  }
+
   test("matchedAtt: 1-NN matching with duplicate-pre representatives and tie-breaks") {
     import spark.implicits._
     // controls (even uid): pre 100→post 50 (uid 2), pre 200→post 80

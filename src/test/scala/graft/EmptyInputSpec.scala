@@ -413,5 +413,7 @@ class EmptyInputSpec extends SparkTestBase {
     val noOrdersCust4 = Seq.empty[(Long, Long, java.sql.Timestamp, Double)]
       .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
     assert(graft.ops.Relational.segmentMigration(noOrdersCust4).count() == 0)
+    assert(graft.ops.Analytics.factorialInteraction(noEventsFull)
+      .count() == 0)
   }
 }
