@@ -179,7 +179,10 @@ object DumpPlans {
       "q_ngram_novelty" -> "n-gram novelty: (batch, term) distinct collapse → term-keyed first-seen → batch counts; term/batch-keyed exchanges only",
       "q_modularity" -> "modularity: the LPA rounds dominate; the Q readout adds two label joins + a community-dimension aggregate on a checkpointed edge frame",
       "q_hhi" -> "HHI: fact collapses once to (nation, supplier) revenue; the index is a nation-keyed aggregate, dims broadcast",
-      "q_transition_entropy" -> "transition entropy: one lag window → |types|² matrix; all ln arithmetic on that frame")
+      "q_transition_entropy" -> "transition entropy: one lag window → |types|² matrix; all ln arithmetic on that frame",
+      "q_price_elasticity" -> "price elasticity: broadcast part dim, row-local e6 lns, one brand-keyed exact 5-sum aggregate",
+      "q_segment_migration" -> "segment migration: 1-row min/max broadcast anchors the midpoint, one customer collapse, ≤121-row matrix aggregate",
+      "q_factorial_interaction" -> "factorial interaction: user collapse → 4-cell aggregate → 1-row contrasts; no joins")
 
     val sb = new StringBuilder
     sb.append("# PLANS — explain(\"formatted\") for headline queries\n\n")
