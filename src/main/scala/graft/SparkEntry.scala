@@ -341,6 +341,8 @@ object SparkEntry {
     // 2×2 factorial interaction contrast over the mod-2 × mod-3 factors
     "q_factorial_interaction" -> ((s, d) =>
       Analytics.factorialInteraction(Analytics.events(s, d))),
+    // Cohen's d: standardized effect size between the parity arms
+    "q_cohens_d" -> ((s, d) => Analytics.cohensD(Analytics.events(s, d))),
     // snapshot reconciliation: late-arriving 1/97 slice vs deleted 1/89
     // slice with restated open orders on the 1/11 grid
     "q_snapshot_diff" -> ((s, d) => {
@@ -1920,6 +1922,7 @@ object SparkEntry {
     "q_price_elasticity" -> Relational.priceElasticityOracleSql,
     "q_segment_migration" -> Relational.segmentMigrationOracleSql(),
     "q_factorial_interaction" -> Analytics.factorialInteractionOracleSql,
+    "q_cohens_d" -> Analytics.cohensDOracleSql,
     // triangle count is orientation-invariant: the oracle counts the
     // canonical a<b<c form, pinning the degree-ordered plan's result
     "q_triangles" ->

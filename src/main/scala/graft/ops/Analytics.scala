@@ -5318,6 +5318,76 @@ object Analytics {
       |WHERE n11 IS NOT NULL AND n10 IS NOT NULL
       |  AND n01 IS NOT NULL AND n00 IS NOT NULL""".stripMargin
 
+  /** COHEN'S d EFFECT SIZE between the two arms — the magnitude readout
+    * p-values can't give ([[welchTtest]] says "real", d says "matters"):
+    * standardized mean difference over the pooled standard deviation,
+    * read against the 0.2/0.5/0.8 convention. Determinism: the five
+    * sufficient statistics are EXACT integer/decimal sums; the final d
+    * is one literal double expression (sqrt is IEEE-correctly-rounded,
+    * so identical inputs give identical output in both engines — the
+    * heapsLaw slope discipline).
+    *
+    * Shape at 100 TB: one user collapse, one two-group aggregate, 1-row
+    * arithmetic.
+    */
+  def cohensD(df: DataFrame): DataFrame = {
+    val cents = (col("value").cast("decimal(12,2)") * 100).cast("long")
+    df.filter(col("user_id").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(sum(cents).as("y"))
+      .withColumn("arm", col("user_id") % 2)
+      .groupBy(lit(1).as("_g"))
+      .agg(
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("arm") === 1, col("y")).otherwise(0L)).as("s1"),
+        sum(when(col("arm") === 1, col("y").cast("decimal(38,0)") * col("y"))
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("q1"),
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("arm") === 0, col("y")).otherwise(0L)).as("s0"),
+        sum(when(col("arm") === 0, col("y").cast("decimal(38,0)") * col("y"))
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("q0"))
+      .drop("_g")
+      .filter(col("n1") > 0 && col("n0") > 0 && col("n1") + col("n0") > 2)
+      .selectExpr("n1", "n0",
+        "CAST(s1 div n1 - s0 div n0 AS BIGINT) AS diff_cents",
+        """CASE WHEN (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+          |   + (CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)) > 0
+          |THEN CAST(round((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+          |  / sqrt(((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+          |        + (CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)))
+          |       / (CAST(n1 AS DOUBLE) + CAST(n0 AS DOUBLE) - 2.0)) * 10000) AS BIGINT)
+          |END AS d_e4""".stripMargin)
+  }
+
+  /** DuckDB twin of [[cohensD]] — identical sufficient statistics and
+    * the identical literal double expression.
+    */
+  def cohensDOracleSql: String =
+    """WITH users AS (
+      |  SELECT user_id, sum((value::DECIMAL(12,2) * 100)::BIGINT) AS y,
+      |    user_id % 2 AS arm
+      |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+      |s AS (
+      |  SELECT
+      |    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+      |    sum(CASE WHEN arm = 1 THEN y ELSE 0 END)::BIGINT AS s1,
+      |    sum(CASE WHEN arm = 1 THEN y::HUGEINT * y ELSE 0 END) AS q1,
+      |    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS n0,
+      |    sum(CASE WHEN arm = 0 THEN y ELSE 0 END)::BIGINT AS s0,
+      |    sum(CASE WHEN arm = 0 THEN y::HUGEINT * y ELSE 0 END) AS q0
+      |  FROM users GROUP BY true)
+      |SELECT n1, n0,
+      |  (s1 // n1 - s0 // n0)::BIGINT AS diff_cents,
+      |  CASE WHEN (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+      |     + (CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)) > 0
+      |  THEN CAST(round((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+      |    / sqrt(((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+      |          + (CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)))
+      |         / (CAST(n1 AS DOUBLE) + CAST(n0 AS DOUBLE) - 2.0)) * 10000) AS BIGINT)
+      |  END AS d_e4
+      |FROM s
+      |WHERE n1 > 0 AND n0 > 0 AND n1 + n0 > 2""".stripMargin
+
   /** DuckDB twin of [[permTest]] — identical LCG draws and decimal
     * cross-multiplied comparisons.
     */

@@ -738,6 +738,30 @@ class AnalyticsSpec extends SparkTestBase {
     assert(graft.ops.Analytics.factorialInteraction(threeCells).count() == 0)
   }
 
+  test("cohensD: hand-computed pooled-SD effect size") {
+    import spark.implicits._
+    val t0 = ts(0L)
+    // arm1 (odd): 100, 300 (mean 200, ss 20000); arm0 (even): 100, 100
+    // (mean 100, ss 0) → pooled var 10000, sd 100 → d = 1.0
+    val events = Seq(
+      (1L, 1L, "view", 1.0, t0), (2L, 3L, "view", 3.0, t0),
+      (3L, 2L, "view", 1.0, t0), (4L, 4L, "view", 1.0, t0)
+    ).toDF("event_id", "user_id", "event_type", "value", "ts")
+    val out = graft.ops.Analytics.cohensD(events).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("n1") == 2L && r.getAs[Long]("n0") == 2L)
+    assert(r.getAs[Long]("diff_cents") == 100L)
+    assert(r.getAs[Long]("d_e4") == 10000L)
+    // zero pooled variance → d undefined (null), not a crash
+    val flat = Seq(
+      (1L, 1L, "view", 1.0, t0), (2L, 3L, "view", 1.0, t0),
+      (3L, 2L, "view", 1.0, t0), (4L, 4L, "view", 1.0, t0)
+    ).toDF("event_id", "user_id", "event_type", "value", "ts")
+    val f = graft.ops.Analytics.cohensD(flat).collect().head
+    assert(f.isNullAt(f.fieldIndex("d_e4")))
+  }
+
   test("matchedAtt: 1-NN matching with duplicate-pre representatives and tie-breaks") {
     import spark.implicits._
     // controls (even uid): pre 100→post 50 (uid 2), pre 200→post 80

@@ -415,5 +415,6 @@ class EmptyInputSpec extends SparkTestBase {
     assert(graft.ops.Relational.segmentMigration(noOrdersCust4).count() == 0)
     assert(graft.ops.Analytics.factorialInteraction(noEventsFull)
       .count() == 0)
+    assert(graft.ops.Analytics.cohensD(noEventsFull).count() == 0)
   }
 }
