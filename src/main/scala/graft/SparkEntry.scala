@@ -31,29 +31,53 @@ object SparkEntry {
     * through clustering, audits, and curation. persist() keeps query
     * CONSTRUCTION job-free; the cache populates at the first action.
     */
-  private val nearDupPairsCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val sharedFrames = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, String), DataFrame]
 
-  private def nearDupPairs(s: SparkSession, d: String): DataFrame = {
-    // drop entries whose session has stopped: a long-lived JVM (test
-    // suite, repeated Verify mains) would otherwise accumulate persisted
-    // frames pinning executor storage and dead-session references
-    nearDupPairsCache.filterInPlace {
-      case ((sess, _), _) => !sess.sparkContext.isStopped
+  /** One shared frame per (session, sf-dir, tag): the first consumer
+    * builds (and usually persists) it, later consumers reuse the same
+    * plan + cache. Stopped sessions are evicted so a long-lived JVM
+    * (test suite, repeated Verify mains) never accumulates persisted
+    * frames pinning executor storage or dead-session references.
+    */
+  private def shared(s: SparkSession, d: String, tag: String)(
+      build: => DataFrame): DataFrame = {
+    sharedFrames.filterInPlace {
+      case ((sess, _, _), _) => !sess.sparkContext.isStopped
     }
-    nearDupPairsCache.getOrElseUpdate((s, d),
-      Dedup.minHashLsh(TextAnalysis.documents(s, d), 0.5, bands = 32).persist())
+    sharedFrames.getOrElseUpdate((s, d, tag), build)
   }
 
-  /** Unpersist and forget every cached pair set — entry-point mains
+  private def nearDupPairs(s: SparkSession, d: String): DataFrame =
+    shared(s, d, "neardup_pairs")(
+      Dedup.minHashLsh(TextAnalysis.documents(s, d), 0.5, bands = 32).persist())
+
+  /** The co-purchase pair graph ([[Relational.partPairCounts]] at
+    * minSupport 2) — the shared first stage of the whole graph-analytics
+    * family (triangles, k-core, LPA/modularity, degree stats, shortest
+    * paths, reachability). One exchange builds it; eight queries read it.
+    */
+  private def pairGraph(s: SparkSession, d: String): DataFrame =
+    shared(s, d, "pair_graph")(
+      Relational.partPairCounts(Relational.table(s, d, "lineitem"), 2)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** The 8-round LPA label trajectory over [[pairGraph]] — shared by
+    * q_label_propagation and q_modularity, which replay the IDENTICAL
+    * trajectory by construction ([[Graph.lpaLabels]]).
+    */
+  private def lpaLabels(s: SparkSession, d: String): DataFrame =
+    shared(s, d, "lpa_labels")(Graph.lpaLabels(pairGraph(s, d), rounds = 8))
+
+  /** Unpersist and forget every shared frame — entry-point mains
     * (Verify/Bench) call this before stopping their session so repeated
     * runs in one JVM never stack persisted storage.
     */
   def clearCaches(): Unit = {
-    nearDupPairsCache.foreach { case ((sess, _), df) =>
+    sharedFrames.foreach { case ((sess, _, _), df) =>
       if (!sess.sparkContext.isStopped) df.unpersist(blocking = false)
     }
-    nearDupPairsCache.clear()
+    sharedFrames.clear()
   }
 
   /** ANN-oracle planted corpus: the natural embeddings plus 12 IDENTICAL
@@ -227,7 +251,7 @@ object SparkEntry {
     // deterministic synchronous label propagation over the co-purchase
     // graph: 8 weighted-argmax rounds, smallest-label tie-break
     "q_label_propagation" -> ((s, d) =>
-      Graph.labelPropagation(Relational.table(s, d, "lineitem"))),
+      Graph.labelSummary(lpaLabels(s, d))),
     // neighborhood recommender: top-3 co-purchased parts per part by
     // exact integer Jaccard over order sets
     "q_item_recs" -> ((s, d) =>
@@ -323,7 +347,7 @@ object SparkEntry {
       TextAnalysis.ngramNovelty(TextAnalysis.documents(s, d))),
     // Newman modularity of the LPA partition — exact integer Q
     "q_modularity" -> ((s, d) =>
-      Graph.modularity(Relational.table(s, d, "lineitem"))),
+      Graph.modularityFromPairs(pairGraph(s, d), lpaLabels(s, d))),
     // HHI supplier concentration per nation (basis points, exact)
     "q_hhi" -> ((s, d) => Relational.hhiConcentration(
       Relational.table(s, d, "lineitem"),
@@ -359,7 +383,7 @@ object SparkEntry {
     // triangle census of the part co-purchase graph: degree-ordered wedge
     // enumeration (O(|E|^1.5) bound), equi-joins only
     "q_triangles" -> ((s, d) =>
-      Graph.triangleCount(Relational.table(s, d, "lineitem"))),
+      Graph.triangleCountFromPairs(pairGraph(s, d))),
     // chi-square independence of event_type × day-of-week: contingency
     // collapse first, exact integer contributions
     "q_chi_square" -> ((s, d) => Analytics.chiSquare(Analytics.events(s, d))),
@@ -511,7 +535,7 @@ object SparkEntry {
     }),
     // log-binned degree distribution: binary-string width, no float log
     "q_degree_distribution" -> ((s, d) =>
-      Graph.degreeDistribution(Relational.table(s, d, "lineitem"))),
+      Graph.degreeDistributionFromPairs(pairGraph(s, d))),
     // VARIANT (Spark 4's semi-structured type) end to end: props JSON →
     // parse_json → typed variant_get paths → per-type aggregate. The
     // open-schema path a pipeline takes BEFORE columns are promoted —
@@ -592,9 +616,8 @@ object SparkEntry {
     // thing as one SQL text — its MATERIALIZED CTEs do natively what the
     // persist does here.
     "q_sql_reachability" -> ((s, d) => {
-      Relational.partPairCounts(Relational.table(s, d, "lineitem"), 2)
+      pairGraph(s, d)
         .select(col("u"), col("v"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         .createOrReplaceTempView("edges_rec")
       s.sql(
         """WITH RECURSIVE
@@ -620,7 +643,7 @@ object SparkEntry {
     "q_event_trigrams" -> ((s, d) => Analytics.eventTrigrams(Analytics.events(s, d))),
     // degree assortativity of the co-purchase graph: three integer sums
     "q_assortativity" -> ((s, d) =>
-      Graph.assortativity(Relational.table(s, d, "lineitem"))),
+      Graph.assortativityFromPairs(pairGraph(s, d))),
     // reliability curve: integer-division score bins, observed vs predicted
     "q_calibration_curve" -> ((s, d) =>
       TextAnalysis.calibrationCurve(TextAnalysis.documents(s, d))),
@@ -839,7 +862,7 @@ object SparkEntry {
       Analytics.slidingDistinct(Analytics.events(s, d))),
     // bounded Bellman-Ford SSSP over the co-purchase rarity graph
     "q_shortest_paths" -> ((s, d) =>
-      Graph.shortestPaths(Relational.table(s, d, "lineitem"))),
+      Graph.shortestPathsFromPairs(pairGraph(s, d))),
     // GBDT primitive: histogram best-split search, weighted Gini argmin
     "q_tree_split" -> ((s, d) => Analytics.treeSplit(Analytics.events(s, d))),
     // positional-index phrase retrieval: generic k-slot intersection
@@ -900,7 +923,7 @@ object SparkEntry {
     "q_hubness" -> ((s, d) =>
       Similarity.hubnessHistogram(Similarity.embeddings(s, d))),
     // k-core backbone: iterative peeling to the exact fixed point
-    "q_kcore" -> ((s, d) => Graph.kCore(Relational.table(s, d, "lineitem"))),
+    "q_kcore" -> ((s, d) => Graph.kCoreFromPairs(pairGraph(s, d))),
     // density-relative outliers: LOF over e9-quantized cosine distances
     "q_lof" -> ((s, d) =>
       Similarity.lofOutliers(Similarity.embeddings(s, d))),
@@ -947,7 +970,7 @@ object SparkEntry {
       TextAnalysis.heapsLaw(TextAnalysis.documents(s, d))),
     // CSN power-law exponent of the co-purchase degree tail
     "q_powerlaw_alpha" -> ((s, d) =>
-      Graph.powerLawAlpha(Relational.table(s, d, "lineitem"))),
+      Graph.powerLawAlphaFromPairs(pairGraph(s, d))),
     // Simpson's check: pooled vs per-stratum slope with sign-flip flags
     "q_simpsons" -> ((s, d) =>
       Modeling.simpsonsCheck(Relational.table(s, d, "lineitem"))),

@@ -325,16 +325,30 @@ object Graph {
     * caller unpersists) and the converged (node, label) frame after
     * `rounds` synchronous rounds.
     */
-  private def lpaCore(
-      lineitem: DataFrame, rounds: Int, minSupport: Long)
-      : (DataFrame, DataFrame) = {
+  /** Symmetric weighted edge frame from the canonical (u < v) pair
+    * aggregate — a narrow union of two projections, so deriving it per
+    * consumer from a CACHED pair frame is cheaper than pinning a second
+    * copy.
+    */
+  private def symmetricEdges(pairs: DataFrame): DataFrame = pairs
+    .select(col("u").as("src"), col("v").as("dst"), col("support").as("w"))
+    .unionAll(pairs
+      .select(col("v").as("src"), col("u").as("dst"), col("support").as("w")))
+
+  /** The LPA label trajectory after `rounds` synchronous rounds over a
+    * prebuilt pair frame — the shared core of [[labelPropagation]] and
+    * [[modularity]], exposed so one cached trajectory can feed both
+    * readouts (SparkEntry shares it the way the near-dup pair set is
+    * shared): the 8-round iteration is the expensive half of either
+    * query, and the two queries replay the IDENTICAL trajectory by
+    * construction, so computing it twice is pure waste. Returns the
+    * eagerly localCheckpoint'ed (node, label) frame; the loop's edge
+    * frame is persisted for the rounds and released once the final
+    * labels are materialized.
+    */
+  def lpaLabels(pairs: DataFrame, rounds: Int = 8): DataFrame = {
     require(rounds > 0, "rounds must be positive")
-    val pairs = Relational.partPairCounts(lineitem, minSupport)
-    val edges = pairs
-      .select(col("u").as("src"), col("v").as("dst"), col("support").as("w"))
-      .unionAll(pairs
-        .select(col("v").as("src"), col("u").as("dst"), col("support").as("w")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val edges = symmetricEdges(pairs).persist(StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint(true)
@@ -348,17 +362,21 @@ object Graph {
         .select(col("src").as("node"), col("label"))
         .localCheckpoint(true)
     }
-    (labels, edges)
+    // labels are eager — the loop's working set can go now
+    edges.unpersist(blocking = false)
+    labels
   }
 
-  def labelPropagation(
-      lineitem: DataFrame, rounds: Int = 8, minSupport: Long = 2): DataFrame = {
-    val (labels, edges) = lpaCore(lineitem, rounds, minSupport)
-    edges.unpersist()
+  /** Community summary readout over an LPA label frame. */
+  def labelSummary(labels: DataFrame): DataFrame =
     labels.groupBy(col("label"))
       .agg(count(lit(1)).as("n_members"), min(col("node")).as("min_member"))
       .orderBy(desc("n_members"), col("label"))
-  }
+
+  def labelPropagation(
+      lineitem: DataFrame, rounds: Int = 8, minSupport: Long = 2): DataFrame =
+    labelSummary(
+      lpaLabels(Relational.partPairCounts(lineitem, minSupport), rounds))
 
   /** MODULARITY of the LPA partition — the single number that says
     * whether the communities [[labelPropagation]] found are real
@@ -377,12 +395,19 @@ object Graph {
     */
   def modularity(
       lineitem: DataFrame, rounds: Int = 8, minSupport: Long = 2): DataFrame = {
-    val (labels, edgesP) = lpaCore(lineitem, rounds, minSupport)
-    // three readout consumers (m2, in_c, deg_c) — pin the edge frame
-    // once and release the lpaCore persist, or each consumer would
-    // replay the pair build
-    val edges = edgesP.localCheckpoint(true)
-    edgesP.unpersist()
+    val pairs = Relational.partPairCounts(lineitem, minSupport)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    modularityFromPairs(pairs, lpaLabels(pairs, rounds))
+  }
+
+  /** Modularity readout over a prebuilt pair frame and its LPA label
+    * trajectory — the shareable form: when `pairs` is a cached frame
+    * and `labels` the cached [[lpaLabels]] trajectory, this adds only
+    * the three readout consumers (m2, in_c, deg_c — each a narrow
+    * rescan of the cached pairs) and a community-dimension aggregate.
+    */
+  def modularityFromPairs(pairs: DataFrame, labels: DataFrame): DataFrame = {
+    val edges = symmetricEdges(pairs)
     val m2 = edges.agg(sum(col("w")).as("m2"))
     val lsrc = labels.select(col("node").as("src"), col("label").as("lsrc"))
     val ldst = labels.select(col("node").as("dst"), col("label").as("ldst"))
@@ -492,11 +517,17 @@ object Graph {
     * Wedge count Σ C(d,2) and coefficient 3·Δ·10⁴ div wedges are exact
     * integers.
     */
-  def triangleCount(lineitem: DataFrame, minSupport: Long = 2): DataFrame = {
-    // single-exchange pair build shared with the basket-pair miner
-    val pairs = Relational.partPairCounts(lineitem, minSupport)
-      .select(col("u"), col("v"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+  def triangleCount(lineitem: DataFrame, minSupport: Long = 2): DataFrame =
+    // single-exchange pair build shared with the basket-pair miner;
+    // persisted here because the census reads it three times (degrees +
+    // both wedge legs) — the SparkEntry path passes the session-cached
+    // pair frame instead
+    triangleCountFromPairs(Relational.partPairCounts(lineitem, minSupport)
+      .persist(StorageLevel.MEMORY_AND_DISK))
+
+  /** [[triangleCount]] over a prebuilt (ideally cached) pair frame. */
+  def triangleCountFromPairs(pairsIn: DataFrame): DataFrame = {
+    val pairs = pairsIn.select(col("u"), col("v"))
     val deg = pairs.select(col("u").as("n"))
       .unionAll(pairs.select(col("v").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
@@ -506,6 +537,8 @@ object Graph {
       when(col("n") < (1L << 40), col("d") * lit(1L << 40) + col("n"))
         .otherwise(raise_error(lit("part id exceeds the 2^40 rank pack")))
         .as("rk"))
+    // three consumers (both wedge legs + the close leg) — pin the
+    // oriented frame so the two rank joins run once, not three times
     val oriented = pairs
       .join(rk.select(col("n").as("u"), col("rk").as("rku")), "u")
       .join(rk.select(col("n").as("v"), col("rk").as("rkv")), "v")
@@ -513,6 +546,7 @@ object Graph {
         when(col("rku") < col("rkv"), col("u")).otherwise(col("v")).as("s"),
         when(col("rku") < col("rkv"), col("rkv")).otherwise(col("rku")).as("rkt"),
         when(col("rku") < col("rkv"), col("v")).otherwise(col("u")).as("t"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val wedges = oriented.as("e1")
       .join(oriented.as("e2"),
         col("e1.s") === col("e2.s") && col("e1.rkt") < col("e2.rkt"))
@@ -546,8 +580,11 @@ object Graph {
     *
     * Shape: degree aggregate (node-dimension) + a ≤64-row bin aggregate.
     */
-  def degreeDistribution(lineitem: DataFrame, minSupport: Long = 2): DataFrame = {
-    val pairs = Relational.partPairCounts(lineitem, minSupport)
+  def degreeDistribution(lineitem: DataFrame, minSupport: Long = 2): DataFrame =
+    degreeDistributionFromPairs(Relational.partPairCounts(lineitem, minSupport))
+
+  /** [[degreeDistribution]] over a prebuilt (ideally cached) pair frame. */
+  def degreeDistributionFromPairs(pairs: DataFrame): DataFrame = {
     val deg = pairs.select(col("u").as("n"))
       .unionAll(pairs.select(col("v").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
@@ -573,9 +610,12 @@ object Graph {
     * statistic is a 1-row aggregate. Nothing beyond the pair build is
     * fact-sized.
     */
-  def assortativity(lineitem: DataFrame, minSupport: Long = 2): DataFrame = {
-    val pairs = Relational.partPairCounts(lineitem, minSupport)
-      .select(col("u"), col("v"))
+  def assortativity(lineitem: DataFrame, minSupport: Long = 2): DataFrame =
+    assortativityFromPairs(Relational.partPairCounts(lineitem, minSupport))
+
+  /** [[assortativity]] over a prebuilt (ideally cached) pair frame. */
+  def assortativityFromPairs(pairsIn: DataFrame): DataFrame = {
+    val pairs = pairsIn.select(col("u"), col("v"))
     val deg = pairs.select(col("u").as("n"))
       .unionAll(pairs.select(col("v").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
@@ -624,9 +664,14 @@ object Graph {
   def shortestPaths(
       lineitem: DataFrame,
       minSupport: Long = 2,
-      maxHops: Int = 4): DataFrame = {
+      maxHops: Int = 4): DataFrame =
+    shortestPathsFromPairs(
+      Relational.partPairCounts(lineitem, minSupport), maxHops)
+
+  /** [[shortestPaths]] over a prebuilt (ideally cached) pair frame. */
+  def shortestPathsFromPairs(pairsIn: DataFrame, maxHops: Int = 4): DataFrame = {
     require(maxHops >= 1, "maxHops must be at least 1")
-    val pairs = Relational.partPairCounts(lineitem, minSupport)
+    val pairs = pairsIn
       .select(col("u"), col("v"), expr("1000000L div support").as("w"))
     val edges = pairs
       .select(col("u").as("src"), col("v").as("dst"), col("w"))
@@ -704,10 +749,16 @@ object Graph {
       lineitem: DataFrame,
       k: Int = 3,
       minSupport: Long = 2,
-      maxRounds: Int = 60): DataFrame = {
-    val pairs = Relational.partPairCounts(lineitem, minSupport)
-      .select(col("u"), col("v"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      maxRounds: Int = 60): DataFrame =
+    // persisted: the peel loop reads the edge frame every round — the
+    // SparkEntry path passes the session-cached pair frame instead
+    kCoreFromPairs(Relational.partPairCounts(lineitem, minSupport)
+      .persist(StorageLevel.MEMORY_AND_DISK), k, maxRounds)
+
+  /** [[kCore]] over a prebuilt (ideally cached) pair frame. */
+  def kCoreFromPairs(
+      pairsIn: DataFrame, k: Int = 3, maxRounds: Int = 60): DataFrame = {
+    val pairs = pairsIn.select(col("u"), col("v"))
     val und = pairs
       .unionAll(pairs.select(col("v").as("u"), col("u").as("v")))
     var alive = und.select(col("u").as("n")).distinct().localCheckpoint(true)
@@ -753,9 +804,13 @@ object Graph {
   def powerLawAlpha(
       lineitem: DataFrame,
       dmin: Long = 2,
-      minSupport: Long = 2): DataFrame = {
+      minSupport: Long = 2): DataFrame =
+    powerLawAlphaFromPairs(
+      Relational.partPairCounts(lineitem, minSupport), dmin)
+
+  /** [[powerLawAlpha]] over a prebuilt (ideally cached) pair frame. */
+  def powerLawAlphaFromPairs(pairs: DataFrame, dmin: Long = 2): DataFrame = {
     require(dmin >= 1)
-    val pairs = Relational.partPairCounts(lineitem, minSupport)
     val deg = pairs.select(col("u").as("n"))
       .unionAll(pairs.select(col("v").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
