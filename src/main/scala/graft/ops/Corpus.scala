@@ -1070,6 +1070,7 @@ object Corpus {
     var covered = terms.select(col("term")).limit(0).localCheckpoint(true)
     val picks = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
     var rnk = 1L
+    var coveredTotal = 0L
     var exhausted = false
     while (rnk <= k && !exhausted) {
       val gains = terms
@@ -1094,7 +1095,11 @@ object Corpus {
           .union(terms.filter(col("doc_id") === docId).select(col("term")))
           .distinct()
           .localCheckpoint(true)
-        picks += ((rnk, docId, row.getLong(1), covered.count()))
+        // the anti-join makes gain EXACTLY the newly covered terms (the
+        // picked doc's terms are distinct), so the running total needs
+        // no extra count() action over the covered frame
+        coveredTotal += row.getLong(1)
+        picks += ((rnk, docId, row.getLong(1), coveredTotal))
         rnk += 1
       }
     }

@@ -211,7 +211,10 @@ object Dedup {
           .agg(count(lit(1)).as("df"))
           .filter(col("df") <= cut)
           .select(col("shingle"))
-        shAll.join(df, "shingle")
+        // the filtered frame feeds sizes + both self-join sides: pin it
+        // too, or the keep-join (and the df aggregate feeding it) runs
+        // once per consumer
+        shAll.join(df, "shingle").persist()
     }
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val inter = sh.as("a")
@@ -1082,7 +1085,10 @@ object Dedup {
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
       .select(col("shingle"))
-    val sh = shAll.join(keep, "shingle")
+    // pinned like the shAll explode: sizes + both self-join sides read
+    // the filtered frame, and the keep-join would otherwise replay per
+    // consumer
+    val sh = shAll.join(keep, "shingle").persist()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val inter = sh.as("a")
       .join(sh.as("b"),

@@ -861,7 +861,11 @@ object Relational {
     */
   def recCoverage(
       lineitem: DataFrame, minSupport: Long = 2, topK: Int = 3): DataFrame = {
+    // two consumers (the metrics aggregate + the frequency aggregate)
+    // would otherwise each replay the full recommendation build — pin
+    // the (pair-aggregated, small) rec frame once
     val recs = relatedItems(lineitem, minSupport, topK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val catalog = lineitem.agg(
       countDistinct(col("l_partkey")).as("n_catalog"))
     val freq = recs.groupBy(col("rec_part_id")).agg(count(lit(1)).as("f"))
