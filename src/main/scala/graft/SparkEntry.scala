@@ -924,6 +924,10 @@ object SparkEntry {
       Similarity.hubnessHistogram(Similarity.embeddings(s, d))),
     // k-core backbone: iterative peeling to the exact fixed point
     "q_kcore" -> ((s, d) => Graph.kCoreFromPairs(pairGraph(s, d))),
+    // connected-component census: pointer-jumped min labels over the
+    // shared pair graph; oracle replays plain propagation to fixpoint
+    "q_connected_components" -> ((s, d) =>
+      Graph.connectedComponentsFromPairs(pairGraph(s, d))),
     // density-relative outliers: LOF over e9-quantized cosine distances
     "q_lof" -> ((s, d) =>
       Similarity.lofOutliers(Similarity.embeddings(s, d))),
@@ -1025,6 +1029,9 @@ object SparkEntry {
     // chance-corrected agreement between the two shipped quality filters
     "q_cohen_kappa" -> ((s, d) =>
       TextAnalysis.cohenKappa(TextAnalysis.documents(s, d))),
+    // three-rater nominal agreement (Krippendorff), exact integer alpha
+    "q_krippendorff" -> ((s, d) =>
+      TextAnalysis.krippendorffAlpha(TextAnalysis.documents(s, d))),
     // Bloom gate capacity table at the corpus's exact key count
     "q_bloom_sizing" -> ((s, d) =>
       Dedup.bloomSizing(TextAnalysis.documents(s, d))),
@@ -4743,6 +4750,7 @@ object SparkEntry {
     "q_entity_resolution" -> Identity.entityResolutionOracleSql,
     "q_hubness" -> Similarity.hubnessHistogramOracleSql,
     "q_kcore" -> Graph.kCoreOracleSql(),
+    "q_connected_components" -> Graph.connectedComponentsOracleSql(),
     "q_lof" -> Similarity.lofOutliersOracleSql(),
     "q_containment" -> Dedup.containmentPairsOracleSql(),
     "q_sprt" -> Analytics.sprtTestOracleSql,
@@ -4776,6 +4784,7 @@ object SparkEntry {
     "q_ndcg" -> TextAnalysis.ndcgEvalOracleSql(),
     "q_nucleus_vocab" -> TextAnalysis.nucleusVocabOracleSql(),
     "q_cohen_kappa" -> TextAnalysis.cohenKappaOracleSql(),
+    "q_krippendorff" -> TextAnalysis.krippendorffAlphaOracleSql,
     "q_bloom_sizing" -> Dedup.bloomSizingOracleSql(),
     "q_spatial_join" -> Spatial.spatialNeighborsOracleSql(),
     "q_median_ci" -> Relational.medianCIOracleSql,

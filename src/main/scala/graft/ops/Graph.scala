@@ -876,4 +876,119 @@ object Graph {
        |JOIN a$rounds x ON e.u = x.n JOIN a$rounds y ON e.v = y.n
        |GROUP BY e.u ORDER BY part_id""".stripMargin
   }
+
+  /** CONNECTED COMPONENTS of the co-purchase graph — the census that
+    * says whether the catalog is one giant co-occurrence component or
+    * an archipelago (the question every graph-sampling and
+    * partition-placement decision starts from; also the generic form of
+    * [[Dedup.nearDupClusters]]'s duplicate-cluster labeling). Component
+    * label = minimum node id in the component — a canonical fixpoint
+    * REACHED BY ANY convergent min-propagation, so the Spark side is
+    * free to accelerate with pointer jumping (label := label(label),
+    * the [[Identity.resolveEntities]] discipline, O(log diameter)
+    * rounds) while the oracle replays plain synchronous min-propagation
+    * (diameter-many rounds, unrolled CTEs): trajectories differ, the
+    * unique fixpoint cannot.
+    *
+    * Output: one row per component — (component_id = min node, n_nodes,
+    * n_edges within), largest first.
+    *
+    * Shape at 100 TB: the corpus-scale work is the one shared pair
+    * build; each round is an edge⋈label join + node-sized min
+    * aggregate + the pointer-jump self-join on the NODE-sized label
+    * frame, localCheckpoint-bounded. Convergence is enforced — a
+    * non-converged census throws rather than emitting wrong components.
+    */
+  def connectedComponents(
+      lineitem: DataFrame, minSupport: Long = 2, maxRounds: Int = 30)
+      : DataFrame =
+    connectedComponentsFromPairs(
+      Relational.partPairCounts(lineitem, minSupport)
+        .persist(StorageLevel.MEMORY_AND_DISK), maxRounds)
+
+  /** [[connectedComponents]] over a prebuilt (ideally cached) pair frame. */
+  def connectedComponentsFromPairs(
+      pairsIn: DataFrame, maxRounds: Int = 30): DataFrame = {
+    val pairs = pairsIn.select(col("u"), col("v"))
+    val edges = pairs
+      .unionAll(pairs.select(col("v").as("u"), col("u").as("v")))
+    var labels = edges.select(col("u").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+      .localCheckpoint(true)
+    var round = 0
+    var changed = 1L
+    while (changed > 0 && round < maxRounds) {
+      val nbrMin = edges
+        .join(labels, edges("v") === labels("node"))
+        .groupBy(col("u")).agg(min(col("label")).as("nbr_label"))
+      val relaxed = labels.as("l")
+        .join(nbrMin, col("l.node") === nbrMin("u"), "left")
+        .select(col("l.node").as("node"), col("l.label").as("old_label"),
+          least(col("l.label"), coalesce(col("nbr_label"), col("l.label")))
+            .as("mid"))
+      // pointer jumping: every label value is itself a node id (mins of
+      // node ids), so the self-join is total and never drops a row
+      val next = relaxed
+        .join(relaxed.select(col("node").as("lid"), col("mid").as("llabel")),
+          col("mid") === col("lid"))
+        .select(col("node"), col("llabel").as("label"),
+          (col("llabel") =!= col("old_label")).as("chg"))
+        .localCheckpoint(true)
+      changed = next.filter(col("chg")).count()
+      labels = next.select(col("node"), col("label"))
+      round += 1
+    }
+    if (changed > 0) throw new IllegalStateException(
+      s"connected components did not converge in $maxRounds rounds")
+    val compEdges = pairs
+      .join(labels.select(col("node").as("u"), col("label").as("cl")),
+        Seq("u"))
+      .groupBy(col("cl").as("component_id"))
+      .agg(count(lit(1)).as("n_edges"))
+    labels.groupBy(col("label").as("component_id"))
+      .agg(count(lit(1)).as("n_nodes"))
+      .join(compEdges, Seq("component_id"), "left")
+      .na.fill(0L, Seq("n_edges"))
+      .orderBy(desc("n_nodes"), col("component_id"))
+  }
+
+  /** DuckDB oracle for [[connectedComponents]] — plain synchronous
+    * min-label propagation unrolled to `rounds` CTE layers (idempotent
+    * past the fixpoint, so any `rounds` ≥ the graph diameter yields the
+    * identical labels; rounds past convergence are cheap no-ops for the
+    * optimizer). Edge counts attach on the u endpoint, whose label
+    * equals its component's by fixpoint.
+    */
+  def connectedComponentsOracleSql(
+      minSupport: Long = 2, rounds: Int = 24): String = {
+    val head =
+      s"""WITH items AS (
+         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         |p AS MATERIALIZED (
+         |  SELECT a.pk AS u, b.pk AS v
+         |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+         |  GROUP BY 1, 2 HAVING count(*) >= $minSupport),
+         |e AS MATERIALIZED (
+         |  SELECT u, v FROM p UNION ALL SELECT v, u FROM p),
+         |l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS label FROM e)"""
+        .stripMargin
+    val iters = (1 to rounds).map { r =>
+      s"""l$r AS MATERIALIZED (
+         |  SELECT l.node, least(l.label, min(n.label)) AS label
+         |  FROM l${r - 1} l
+         |  JOIN e ON e.u = l.node
+         |  JOIN l${r - 1} n ON n.node = e.v
+         |  GROUP BY l.node, l.label)""".stripMargin
+    }.mkString(",\n")
+    s"""$head,
+       |$iters,
+       |ce AS (
+       |  SELECT l.label AS component_id, count(*)::BIGINT AS n_edges
+       |  FROM p JOIN l$rounds l ON l.node = p.u GROUP BY 1)
+       |SELECT l.label AS component_id, count(*)::BIGINT AS n_nodes,
+       |  coalesce(ce.n_edges, 0)::BIGINT AS n_edges
+       |FROM l$rounds l LEFT JOIN ce ON ce.component_id = l.label
+       |GROUP BY l.label, ce.n_edges
+       |ORDER BY n_nodes DESC, component_id""".stripMargin
+  }
 }

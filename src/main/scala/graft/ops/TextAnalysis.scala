@@ -713,6 +713,112 @@ object TextAnalysis {
        |FROM c""".stripMargin
   }
 
+  /** KRIPPENDORFF'S ALPHA (nominal) across three deterministic
+    * annotators — the multi-rater agreement statistic [[cohenKappa]]
+    * cannot provide (κ is pairwise; labeling campaigns run 3+ raters
+    * and report α, Krippendorff 2004). The three raters are the
+    * deterministic heuristics a curation pipeline actually disagrees
+    * over: a length band (n_chars), a vocabulary-diversity band
+    * (distinct/total tokens), and a stopword-density band — each
+    * mapping every document to a nominal class {0, 1, 2}.
+    *
+    * Exactness: every rating is integer-banded (integer `div`, no
+    * float); with a CONSTANT m = 3 raters per unit the per-unit
+    * coincidence divisor (m−1) = 2 is uniform, so the doubled
+    * coincidence matrix o2_ck = Σ_u (n_uc·n_uk − δ_ck·n_uc) is exact
+    * BIGINT, and with n_c the category marginals, n = Σ n_c:
+    *   α = 1 − (n−1)·D_o2 / (2·(n² − Σ n_c²))
+    * — one positive integer floor division, digit-exact in both
+    * engines. Documents with no tokens are excluded from ALL raters
+    * symmetrically (keeps m constant).
+    *
+    * Shape at 100 TB: ratings are three row-local projections of one
+    * scan; n_uc is a (doc, category) aggregate; the coincidence matrix
+    * is a per-doc self-join on ≤ 3 rows per doc collapsing to ≤ 9
+    * cells; everything after is category-dimension arithmetic.
+    */
+  def krippendorffAlpha(docs: DataFrame): DataFrame = {
+    val base = docs
+      .select(col("doc_id"), col("n_chars"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 1)
+      .select(col("doc_id"),
+        expr("CASE WHEN n_chars < 200 THEN 0L WHEN n_chars < 400 THEN 1L " +
+          "ELSE 2L END").as("cat_len"),
+        expr("least(2L, size(array_distinct(toks)) * 3L div size(toks))")
+          .as("cat_vocab"),
+        expr("least(2L, size(filter(toks, x -> x IN " +
+          "('the','a','of','and','to','in'))) * 10L div size(toks))")
+          .as("cat_stop"))
+    val ratings = base.select(col("doc_id"), col("cat_len").as("cat"))
+      .unionAll(base.select(col("doc_id"), col("cat_vocab").as("cat")))
+      .unionAll(base.select(col("doc_id"), col("cat_stop").as("cat")))
+    val nuc = ratings.groupBy(col("doc_id"), col("cat"))
+      .agg(count(lit(1)).as("cnt"))
+    val coin = nuc.as("a")
+      .join(nuc.as("b"), "doc_id")
+      .groupBy(col("a.cat").as("c"), col("b.cat").as("k"))
+      .agg(sum(col("a.cnt") * col("b.cnt") -
+        when(col("a.cat") === col("b.cat"), col("a.cnt")).otherwise(0L))
+        .as("o2"))
+    val do2 = coin.filter(col("c") =!= col("k"))
+      .agg(coalesce(sum(col("o2")), lit(0L)).as("d_o_x2"))
+    val marg = ratings.groupBy(col("cat")).agg(count(lit(1)).as("nc"))
+      .agg(count(lit(1)).as("n_categories"),
+        sum(col("nc")).as("n_ratings"),
+        sum(col("nc") * col("nc")).as("sum_nc_sq"))
+    marg.crossJoin(broadcast(do2))
+      .select(
+        (col("n_ratings") / 3L).cast("long").as("n_units"),
+        col("n_ratings"), col("n_categories"), col("d_o_x2"),
+        expr("""CASE WHEN n_ratings * n_ratings - sum_nc_sq = 0 THEN NULL
+               |  ELSE 1000000L - (n_ratings - 1) * d_o_x2 * 1000000L
+               |    div (2L * (n_ratings * n_ratings - sum_nc_sq))
+               |END""".stripMargin).as("alpha_e6"))
+  }
+
+  /** DuckDB oracle for [[krippendorffAlpha]] — the identical three
+    * banded raters, doubled coincidence matrix, and integer α.
+    */
+  def krippendorffAlphaOracleSql: String =
+    """WITH base AS (
+      |  SELECT doc_id,
+      |    CASE WHEN n_chars < 200 THEN 0 WHEN n_chars < 400 THEN 1
+      |      ELSE 2 END::BIGINT AS cat_len,
+      |    least(2, len(list_distinct(toks)) * 3 // len(toks))::BIGINT
+      |      AS cat_vocab,
+      |    least(2, len(list_filter(toks, x -> x IN
+      |      ('the','a','of','and','to','in'))) * 10 // len(toks))::BIGINT
+      |      AS cat_stop
+      |  FROM (SELECT doc_id, n_chars,
+      |          regexp_split_to_array(lower(text), '\s+') AS toks
+      |        FROM documents)
+      |  WHERE len(toks) >= 1),
+      |ratings AS (
+      |  SELECT doc_id, cat_len AS cat FROM base
+      |  UNION ALL SELECT doc_id, cat_vocab FROM base
+      |  UNION ALL SELECT doc_id, cat_stop FROM base),
+      |nuc AS (SELECT doc_id, cat, count(*)::BIGINT AS cnt
+      |        FROM ratings GROUP BY 1, 2),
+      |coin AS (
+      |  SELECT a.cat AS c, b.cat AS k,
+      |    sum(a.cnt * b.cnt
+      |      - CASE WHEN a.cat = b.cat THEN a.cnt ELSE 0 END)::BIGINT AS o2
+      |  FROM nuc a JOIN nuc b USING (doc_id) GROUP BY 1, 2),
+      |do2 AS (SELECT coalesce(sum(o2), 0)::BIGINT AS d_o_x2
+      |        FROM coin WHERE c <> k),
+      |marg AS (
+      |  SELECT count(*)::BIGINT AS n_categories,
+      |    sum(nc)::BIGINT AS n_ratings,
+      |    sum(nc * nc)::BIGINT AS sum_nc_sq
+      |  FROM (SELECT cat, count(*)::BIGINT AS nc FROM ratings GROUP BY 1))
+      |SELECT (n_ratings // 3)::BIGINT AS n_units, n_ratings, n_categories,
+      |  d_o_x2,
+      |  (CASE WHEN n_ratings * n_ratings - sum_nc_sq = 0 THEN NULL
+      |    ELSE 1000000 - (n_ratings - 1) * d_o_x2 * 1000000
+      |      // (2 * (n_ratings * n_ratings - sum_nc_sq))
+      |  END)::BIGINT AS alpha_e6
+      |FROM marg CROSS JOIN do2""".stripMargin
+
   /** 10⁹/log₂(i+1) for ranks 1..k — the DCG discounts as exact integer
     * constants computed once and embedded in both engines (the
     * [[graft.ops.Relational.poissonBootstrapSE]] constant discipline).

@@ -63,6 +63,34 @@ class GraphSpec extends SparkTestBase {
     assert(r.getAs[Long]("clustering_e4") == 6000L)
   }
 
+  test("connectedComponents: two components and a long path converge to min-id labels") {
+    import spark.implicits._
+    // component A: path 1-2-3-4 (pointer jumping must cross 3 hops);
+    // component B: pair 10-11; every edge backed by two orders
+    val li = (Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .zipWithIndex.flatMap { case ((u, v), i) =>
+        Seq((100L + 2 * i, u), (100L + 2 * i, v),
+          (200L + 2 * i, u), (200L + 2 * i, v))
+      }).toDF("l_orderkey", "l_partkey")
+    val out = graft.ops.Graph.connectedComponents(li, minSupport = 2)
+      .collect().map(r => (r.getAs[Long]("component_id"),
+        r.getAs[Long]("n_nodes"), r.getAs[Long]("n_edges")))
+    assert(out.toSeq == Seq((1L, 4L, 3L), (10L, 2L, 1L)))
+  }
+
+  test("connectedComponents: a single clique is one component; empty graph is empty") {
+    import spark.implicits._
+    val li = (for (o <- 1L to 2L; p <- 1L to 3L) yield (o, p))
+      .toDF("l_orderkey", "l_partkey")
+    val one = graft.ops.Graph.connectedComponents(li, minSupport = 2).collect()
+    assert(one.length == 1 &&
+      one.head.getAs[Long]("component_id") == 1L &&
+      one.head.getAs[Long]("n_nodes") == 3L &&
+      one.head.getAs[Long]("n_edges") == 3L)
+    val noLi = Seq.empty[(Long, Long)].toDF("l_orderkey", "l_partkey")
+    assert(graft.ops.Graph.connectedComponents(noLi).count() == 0)
+  }
+
   test("shortestPaths: a cheap 2-hop chain beats the direct heavy edge; hops ride the tie-break") {
     // undirected rarity graph (w = 1e6 div support):
     //   1–2 s=10 (w 100k), 2–3 s=10 (w 100k), 1–3 s=2 (w 500k),

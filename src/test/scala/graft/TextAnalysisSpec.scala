@@ -610,6 +610,46 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(out == Seq((1L, 2L, 4L, 2L, 5000L), (2L, 4L, 4L, 4L, 0L)))
   }
 
+  test("krippendorffAlpha: hand-computed coincidence matrix on two units; perfect agreement hits 1e6") {
+    import spark.implicits._
+    // doc 1 -> every rater says 2: n_chars >= 400; 10 distinct tokens
+    // (vocab 10*3 div 10 = 3 -> clamp 2); 2 stopwords (2*10 div 10 = 2)
+    val t1 = "the a b c d e f g h i"
+    // doc 2 -> raters say (len 0, vocab 0, stop 2): short, one repeated
+    // stopword token (distinct 1 -> 1*3 div 7 = 0; stop 7*10 div 7 -> 2)
+    val t2 = "the the the the the the the"
+    val docs = Seq(
+      (1L, t1, 500L),
+      (2L, t2, 50L)
+    ).toDF("doc_id", "text", "n_chars")
+    val r = graft.ops.TextAnalysis.krippendorffAlpha(docs).collect().head
+    // units: d1 {2:3}, d2 {0:2, 2:1}; o2 off-diagonal 2+2 = 4;
+    // marginals n_0 = 2, n_2 = 4, n = 6, n^2 - sum nc^2 = 16;
+    // alpha = 1 - 5*4/32 = 0.375
+    assert(r.getAs[Long]("n_units") == 2L)
+    assert(r.getAs[Long]("n_ratings") == 6L)
+    assert(r.getAs[Long]("n_categories") == 2L)
+    assert(r.getAs[Long]("d_o_x2") == 4L)
+    assert(r.getAs[Long]("alpha_e6") == 375000L)
+
+    // internal agreement on two DIFFERENT classes -> alpha exactly 1
+    val agree = Seq(
+      (1L, t1, 500L),
+      (2L, "x x x x x x x", 50L)
+    ).toDF("doc_id", "text", "n_chars")
+    val a = graft.ops.TextAnalysis.krippendorffAlpha(agree).collect().head
+    assert(a.getAs[Long]("d_o_x2") == 0L)
+    assert(a.getAs[Long]("alpha_e6") == 1000000L)
+
+    // all ratings one category -> expected disagreement 0 -> NULL alpha
+    val degen = Seq(
+      (1L, "x x x x x x x", 50L),
+      (2L, "y y y y y y y", 60L)
+    ).toDF("doc_id", "text", "n_chars")
+    val d = graft.ops.TextAnalysis.krippendorffAlpha(degen).collect().head
+    assert(d.isNullAt(d.fieldIndex("alpha_e6")))
+  }
+
   test("phraseSearch: overlapping occurrences and repeated-token phrases count exactly") {
     import spark.implicits._
     // 'a a a a' holds the trigram 'a a a' TWICE (overlap at starts 0,1);
