@@ -327,6 +327,13 @@ object SparkEntry {
     // exact Gini of per-customer revenue via the value-domain identity
     "q_gini" -> ((s, d) =>
       Relational.giniCoefficient(Relational.table(s, d, "orders"))),
+    // Theil inequality with the within/between-nation decomposition
+    "q_theil_decomposition" -> ((s, d) =>
+      Relational.theilDecomposition(Relational.table(s, d, "orders"),
+        Relational.table(s, d, "customer"))),
+    // signed-lag CCF: do views LEAD purchases, and by how many hours
+    "q_cross_correlation" -> ((s, d) =>
+      Analytics.crossCorrelation(Analytics.events(s, d))),
     // ESS of the IPS weights — the believe-the-estimate diagnostic
     "q_ips_ess" -> ((s, d) => Analytics.ipsEss(Analytics.events(s, d))),
     // (3/4)^week-age decayed item popularity, exact rational weights
@@ -1156,6 +1163,9 @@ object SparkEntry {
     "q_doc_stats" -> ((s, d) => TextAnalysis.docStats(TextAnalysis.documents(s, d))),
     "q_lang_stats" -> ((s, d) => TextAnalysis.langStats(TextAnalysis.documents(s, d))),
     "q_token_counts" -> ((s, d) => TextAnalysis.tokenCounts(TextAnalysis.documents(s, d))),
+    // word2vec negative-sampling table: count^0.75 flattened unigram draw
+    "q_negative_sampling" -> ((s, d) =>
+      TextAnalysis.negativeSamplingTable(TextAnalysis.documents(s, d))),
     "q_lang_id" -> ((s, d) => TextAnalysis.langId(TextAnalysis.documents(s, d))),
     "q_lang_id_ngram" -> ((s, d) => TextAnalysis.langIdCharNgram(TextAnalysis.documents(s, d))),
     "q_lang_confusion" -> ((s, d) => TextAnalysis.langConfusion(TextAnalysis.documents(s, d))),
@@ -1940,6 +1950,9 @@ object SparkEntry {
     "q_iv_wald" -> Analytics.ivWaldOracleSql,
     "q_assoc_rules" -> Relational.assocRulesOracleSql(),
     "q_gini" -> Relational.giniCoefficientOracleSql,
+    "q_theil_decomposition" -> Relational.theilDecompositionOracleSql,
+    "q_cross_correlation" -> Analytics.crossCorrelationOracleSql(),
+    "q_negative_sampling" -> TextAnalysis.negativeSamplingTableOracleSql(),
     "q_ips_ess" -> Analytics.ipsEssOracleSql,
     "q_decayed_popularity" -> Relational.decayedPopularityOracleSql(),
     "q_rec_coverage" -> Relational.recCoverageOracleSql(),

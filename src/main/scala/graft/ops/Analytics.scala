@@ -1000,6 +1000,90 @@ object Analytics {
       .orderBy(col("lag"))
   }
 
+  /** CROSS-CORRELATION (CCF) between two event types' hourly volumes at
+    * signed lags — the lead-lag readout [[volumeAcf]] cannot give: a
+    * peak at positive lag k means `typeA` activity predicts `typeB`
+    * activity k hours later (views lead purchases); the ACF only sees
+    * each series against itself. Same exactness discipline as the ACF:
+    * hour-equi-joined pairs (holes stay holes — no positional
+    * misalignment), exact integer sufficient sums, one
+    * correctly-rounded sqrt/divide per lag.
+    *
+    * Shape: the fact table collapses ONCE to the (hour, type) dimension
+    * (persisted — both join sides and both type filters read it); lags
+    * are a broadcast spine; everything after is lag-dimension sized.
+    */
+  def crossCorrelation(
+      df: DataFrame,
+      typeA: String = "view",
+      typeB: String = "purchase",
+      maxLag: Int = 6): DataFrame = {
+    require(maxLag >= 1, "maxLag must be at least 1")
+    val hourly = df
+      .filter(col("event_type").isin(typeA, typeB))
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = hourly.filter(col("event_type") === typeA)
+      .select(col("hour"), col("c").as("x"))
+    val b = hourly.filter(col("event_type") === typeB)
+      .select(col("hour").as("bhour"), col("c").as("y"))
+    val lags = df.sparkSession.range(-maxLag, maxLag + 1)
+      .select(col("id").as("lag"))
+    a.crossJoin(broadcast(lags))
+      .withColumn("bhour", expr("timestampadd(HOUR, CAST(lag AS INT), hour)"))
+      .join(b, "bhour")
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("lag"), col("n"),
+        expr("""CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
+               |  THEN NULL
+               |  ELSE CAST(round(CAST(n * sxy - sx * sy AS DOUBLE)
+               |    / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+               |           * CAST(n * syy - sy * sy AS DOUBLE)) * 10000, 0)
+               |    AS BIGINT) END""".stripMargin).as("r_e4"))
+      .orderBy(col("lag"))
+  }
+
+  /** DuckDB twin of [[crossCorrelation]] — identical hour-equi pairing
+    * and integer-sums Pearson per lag.
+    */
+  def crossCorrelationOracleSql(
+      typeA: String = "view",
+      typeB: String = "purchase",
+      maxLag: Int = 6): String =
+    s"""WITH h AS (
+       |  SELECT date_trunc('hour', ts) AS hour, event_type,
+       |    count(*)::BIGINT AS c
+       |  FROM events WHERE event_type IN ('$typeA', '$typeB')
+       |  GROUP BY 1, 2),
+       |a AS (SELECT hour, c AS x FROM h WHERE event_type = '$typeA'),
+       |b AS (SELECT hour AS bhour, c AS y FROM h
+       |      WHERE event_type = '$typeB'),
+       |lags AS (SELECT range AS lag FROM range(-$maxLag, ${maxLag + 1})),
+       |pairs AS (
+       |  SELECT lag, x, y
+       |  FROM a CROSS JOIN lags
+       |  JOIN b ON b.bhour = a.hour + lag * INTERVAL 1 HOUR),
+       |g AS (
+       |  SELECT lag, count(*)::BIGINT AS n,
+       |    sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+       |    sum(x * y)::BIGINT AS sxy, sum(x * x)::BIGINT AS sxx,
+       |    sum(y * y)::BIGINT AS syy
+       |  FROM pairs GROUP BY 1)
+       |SELECT lag::BIGINT AS lag, n,
+       |  (CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
+       |    THEN NULL
+       |    ELSE CAST(round((n * sxy - sx * sy)::DOUBLE
+       |      / sqrt((n * sxx - sx * sx)::DOUBLE
+       |             * (n * syy - sy * sy)::DOUBLE) * 10000, 0) AS BIGINT)
+       |  END) AS r_e4
+       |FROM g ORDER BY lag""".stripMargin
+
   /** Event-type affinity matrix: Jaccard overlap of each type pair's
     * USER sets — "do viewers also purchase?" as a number per pair, the
     * product-analytics counterpart of [[graft.ops.Relational.basketPairs]]

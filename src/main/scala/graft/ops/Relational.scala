@@ -788,6 +788,95 @@ object Relational {
       |    // nullif(n::HUGEINT * s, 0))::BIGINT AS gini_e6
       |FROM dom CROSS JOIN stats GROUP BY n, s""".stripMargin
 
+  /** THEIL INDEX with within/between decomposition — the inequality
+    * statistic [[giniCoefficient]] cannot decompose: Theil's T is the
+    * only standard inequality measure that splits ADDITIVELY into a
+    * between-group and a within-group share (Theil 1967), which is the
+    * question a marketplace team actually asks ("is spend inequality a
+    * nation-mix effect or within-nation concentration?"). Customer
+    * spend x_i in exact cents, groups = customer nation:
+    *   T       = Σ_i (x_i/X)·ln(x_i·n/X)
+    *   T_betw  = Σ_g (X_g/X)·ln(X_g·n/(X·n_g))
+    *   T_within := T − T_betw  (the decomposition identity, applied at
+    * the quantized scale so the three reported numbers are consistent
+    * BY CONSTRUCTION).
+    *
+    * Exactness: each ln term quantizes to e6 BEFORE the weighted sum
+    * (micro-nat discipline, [[graft.ops.Graph.powerLawAlpha]]); weights
+    * are exact cent counts in DECIMAL(38,0); the final divisions are
+    * signed integer div — DuckDB `//` truncates toward zero exactly
+    * like Spark `div` on all integers (round-10 finding). The per-value
+    * collapse mirrors [[giniCoefficient]]'s value-domain trick, so no
+    * row sort and no per-customer window.
+    *
+    * Shape at 100 TB: one fact collapse to the customer dimension, a
+    * broadcast nation attach, then value-domain / nation-dimension
+    * aggregates — nothing beyond the first groupBy is corpus-sized.
+    */
+  def theilDecomposition(orders: DataFrame, customer: DataFrame): DataFrame = {
+    val per = orders.groupBy(col("o_custkey"))
+      .agg(sum((money("o_totalprice") * 100).cast("long")).as("x"))
+      .join(broadcastIfSmall(customer.select(col("c_custkey").as("o_custkey"),
+        col("c_nationkey").as("nation"))), "o_custkey")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stats = per.agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
+    val total = per.groupBy(col("x")).agg(count(lit(1)).as("c"))
+      .crossJoin(broadcast(stats))
+      .select(expr("""cast(x as decimal(38,0)) * c *
+          |  CAST(round(ln(CAST(x AS DOUBLE) * n / s) * 1000000) AS BIGINT)"""
+        .stripMargin).as("term"), col("n"), col("s"))
+      .groupBy(col("n"), col("s"))
+      .agg(sum(col("term")).as("tnum"))
+      .select(col("n"), col("s"),
+        expr("tnum div nullif(cast(s as decimal(38,0)), 0)")
+          .cast("long").as("theil_e6"))
+    val between = per.groupBy(col("nation"))
+      .agg(sum(col("x")).as("xg"), count(lit(1)).as("ng"))
+      .crossJoin(broadcast(stats))
+      .select(expr("""cast(xg as decimal(38,0)) *
+          |  CAST(round(ln(CAST(xg AS DOUBLE) * n / (CAST(s AS DOUBLE) * ng))
+          |    * 1000000) AS BIGINT)""".stripMargin).as("term"),
+        col("n"), col("s"))
+      .groupBy(col("n"), col("s"))
+      .agg(sum(col("term")).as("bnum"))
+      .select(expr("bnum div nullif(cast(s as decimal(38,0)), 0)")
+        .cast("long").as("between_e6"))
+    total.crossJoin(broadcast(between))
+      .select(col("n").as("n_customers"), col("s").as("total_cents"),
+        col("theil_e6"), col("between_e6"),
+        (col("theil_e6") - col("between_e6")).as("within_e6"))
+  }
+
+  /** DuckDB twin of [[theilDecomposition]] — identical per-term e6
+    * quantization, HUGEINT weighted sums, truncating division.
+    */
+  def theilDecompositionOracleSql: String =
+    """WITH per AS (
+      |  SELECT o_custkey,
+      |    sum((o_totalprice::DECIMAL(18,2) * 100)::BIGINT)::BIGINT AS x,
+      |    any_value(c_nationkey) AS nation
+      |  FROM orders JOIN customer ON c_custkey = o_custkey
+      |  GROUP BY 1),
+      |stats AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS s FROM per),
+      |tot AS (
+      |  SELECT n, s,
+      |    (sum(x::HUGEINT * c *
+      |       CAST(round(ln(x::DOUBLE * n / s) * 1000000) AS BIGINT))
+      |     // nullif(s::HUGEINT, 0))::BIGINT AS theil_e6
+      |  FROM (SELECT x, count(*)::BIGINT AS c FROM per GROUP BY x)
+      |  CROSS JOIN stats GROUP BY n, s),
+      |betw AS (
+      |  SELECT (sum(xg::HUGEINT *
+      |       CAST(round(ln(xg::DOUBLE * n / (s::DOUBLE * ng)) * 1000000)
+      |         AS BIGINT))
+      |     // nullif(s::HUGEINT, 0))::BIGINT AS between_e6
+      |  FROM (SELECT nation, sum(x)::BIGINT AS xg, count(*)::BIGINT AS ng
+      |        FROM per GROUP BY 1)
+      |  CROSS JOIN stats GROUP BY n, s)
+      |SELECT n AS n_customers, s AS total_cents, theil_e6, between_e6,
+      |  (theil_e6 - between_e6)::BIGINT AS within_e6
+      |FROM tot CROSS JOIN betw""".stripMargin
+
   /** TIME-DECAYED POPULARITY — the freshness-aware item ranking every
     * recommender front page runs: a part's score is its demand count
     * convolved with an exponential decay over WEEK age, here the exact

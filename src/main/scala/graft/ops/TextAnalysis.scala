@@ -57,6 +57,62 @@ object TextAnalysis {
         bpeishTokenCount(col("text")).as("bpeish_tokens"))
       .orderBy(col("doc_id"))
 
+  /** NEGATIVE-SAMPLING TABLE (word2vec discipline): per-token sampling
+    * weight count^{3/4} — the unigram-distribution flattening Mikolov et
+    * al. (NeurIPS 2013) use so frequent tokens don't dominate negative
+    * draws; every contrastive-training pipeline materializes exactly
+    * this table before sampling. Emits the `topK` most frequent tokens
+    * with raw count, the e6-quantized weight, and the normalized
+    * sampling probability p_e9 (weight over the FULL vocabulary's
+    * weight total, not just the emitted rows).
+    *
+    * Exactness: pow(count, 0.75) is the same literal double expression
+    * in both engines, e6-quantized per term BEFORE any sum (the
+    * [[graft.ops.Dedup.lshTuningSweep]] pow discipline); the normalizer
+    * is then an exact integer sum and p_e9 one integer division. Ties
+    * in the top-k cut break on (count desc, token asc) — total order.
+    *
+    * Shape: one explode + token-dimension aggregate (the [[tokenCounts]]
+    * scan), a 1-row weight-total broadcast, TakeOrderedAndProject top-k.
+    */
+  def negativeSamplingTable(docs: DataFrame, topK: Int = 50): DataFrame = {
+    require(topK >= 1)
+    val counts = docs
+      .select(explode(tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .withColumn("w_e6",
+        expr("CAST(round(pow(CAST(cnt AS DOUBLE), 0.75) * 1000000) AS BIGINT)"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = counts.agg(sum(col("w_e6")).as("sw"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("token"), col("cnt"), col("w_e6"),
+        // decimal numerator: w_e6 ~ 1e10 at corpus scale, ×1e9 would
+        // wrap a Long (the DuckDB side is HUGEINT for the same reason)
+        expr("cast(w_e6 as decimal(38,0)) * 1000000000 div sw")
+          .cast("long").as("p_e9"))
+      .orderBy(desc("cnt"), col("token"))
+      .limit(topK)
+  }
+
+  /** DuckDB twin of [[negativeSamplingTable]] — identical pow literal,
+    * per-term quantization, and top-k tie-break.
+    */
+  def negativeSamplingTableOracleSql(topK: Int = 50): String =
+    s"""WITH tok AS (
+       |  SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS token
+       |  FROM documents),
+       |counts AS (
+       |  SELECT token, count(*)::BIGINT AS cnt,
+       |    CAST(round(pow(count(*)::DOUBLE, 0.75) * 1000000) AS BIGINT)
+       |      AS w_e6
+       |  FROM tok WHERE token <> '' GROUP BY 1),
+       |tot AS (SELECT sum(w_e6)::BIGINT AS sw FROM counts)
+       |SELECT token, cnt, w_e6,
+       |  (w_e6::HUGEINT * 1000000000 // sw)::BIGINT AS p_e9
+       |FROM counts CROSS JOIN tot
+       |ORDER BY cnt DESC, token LIMIT $topK""".stripMargin
+
   /** Language-ID marker words. Tiny per-language stopword lists: the
     * n-gram/stopword-hit heuristic standard for coarse lang-ID. Scoring is
     * CASE-sum algebra so the same formula is expressible in ANSI SQL for

@@ -380,6 +380,28 @@ class AnalyticsSpec extends SparkTestBase {
       (1L, 5L, Some(-10000L)), (2L, 4L, Some(10000L))))
   }
 
+  test("crossCorrelation: a one-hour-shifted copy peaks at lag +1; lag 0 is hand-checked") {
+    val hour = 3600L * 1000000L
+    // views follow pattern 1,3,2,5 over hours 0..3; purchases repeat the
+    // SAME pattern one hour later -> CCF is exactly 1 at lag +1
+    val pattern = Seq(1, 3, 2, 5)
+    val events = (pattern.zipWithIndex.flatMap { case (c, h) =>
+      (0 until c).map(i =>
+        ((h * 100 + i).toLong, "view", ts(h * hour + i * 1000000L)))
+    } ++ pattern.zipWithIndex.flatMap { case (c, h) =>
+      (0 until c).map(i =>
+        ((1000 + h * 100 + i).toLong, "purchase",
+          ts((h + 1) * hour + i * 1000000L)))
+    }).toDF("event_id", "event_type", "ts")
+    val out = Analytics.crossCorrelation(events, maxLag = 2).collect()
+      .map(r => r.getAs[Long]("lag") ->
+        ((r.getAs[Long]("n"), Option(r.getAs[java.lang.Long]("r_e4"))
+          .map(_.toLong)))).toMap
+    assert(out(1L) == ((4L, Some(10000L))))
+    // lag 0 overlap: v [3,2,5] vs p [1,3,2] -> r = -3/sqrt(84) -> -3273
+    assert(out(0L) == ((3L, Some(-3273L))))
+  }
+
   test("conversionLatency: earliest post-view purchase counts; pre-view purchases never do") {
     val events = Seq(
       // u10: view at 0, purchases at 10 s and 5 s → latency = 5 s

@@ -477,6 +477,34 @@ class RelationalSpec extends SparkTestBase {
     assert(g1.getAs[Long]("gini_e6") == 250000L)
   }
 
+  test("theilDecomposition: hand-computed micro-nat terms; decomposition identity holds") {
+    import spark.implicits._
+    // nation 1: spends 100, 300 cents; nation 2: one customer at 400
+    // T terms (e6, per value): 100*ln(3/8)e6 + 300*ln(9/8)e6 + 400*ln(3/2)e6
+    //   = 100*(-980829) + 300*117783 + 400*405465 = 99438000 -> div 800 = 124297
+    // between: 400*ln(0.75)e6 + 400*ln(1.5)e6 = 47113200 -> div 800 = 58891
+    val orders = Seq((1L, 1.0), (2L, 3.0), (3L, 4.0))
+      .toDF("o_custkey", "o_totalprice")
+    val customer = Seq((1L, 1L), (2L, 1L), (3L, 2L))
+      .toDF("c_custkey", "c_nationkey")
+    val r = graft.ops.Relational.theilDecomposition(orders, customer)
+      .collect().head
+    assert(r.getAs[Long]("n_customers") == 3L)
+    assert(r.getAs[Long]("total_cents") == 800L)
+    assert(r.getAs[Long]("theil_e6") == 124297L)
+    assert(r.getAs[Long]("between_e6") == 58891L)
+    assert(r.getAs[Long]("within_e6") == 124297L - 58891L)
+
+    // perfect equality -> every term ln(1) = 0 -> all three indices 0
+    val equal = Seq((1L, 2.0), (2L, 2.0)).toDF("o_custkey", "o_totalprice")
+    val cust2 = Seq((1L, 1L), (2L, 2L)).toDF("c_custkey", "c_nationkey")
+    val e = graft.ops.Relational.theilDecomposition(equal, cust2)
+      .collect().head
+    assert(e.getAs[Long]("theil_e6") == 0L)
+    assert(e.getAs[Long]("between_e6") == 0L)
+    assert(e.getAs[Long]("within_e6") == 0L)
+  }
+
   test("decayedPopularity: one fresh unit outranks four stale ones") {
     import spark.implicits._
     val fresh = java.sql.Timestamp.valueOf("2024-06-01 00:00:00")

@@ -610,6 +610,25 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(out == Seq((1L, 2L, 4L, 2L, 5000L), (2L, 4L, 4L, 4L, 0L)))
   }
 
+  test("negativeSamplingTable: count^0.75 flattens the draw; probabilities are exact integer shares") {
+    import spark.implicits._
+    // token a appears 16 times, b once: w(a) = 16^0.75 = 8 exactly,
+    // w(b) = 1 -> p(a) = 8e6*1e9 // 9e6, p(b) = 1e6*1e9 // 9e6
+    val docs = Seq(
+      (1L, ("a " * 16).trim),
+      (2L, "b")
+    ).toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.negativeSamplingTable(docs)
+      .collect().map(r => (r.getAs[String]("token"), r.getAs[Long]("cnt"),
+        r.getAs[Long]("w_e6"), r.getAs[Long]("p_e9")))
+    assert(out.toSeq == Seq(
+      ("a", 16L, 8000000L, 888888888L),
+      ("b", 1L, 1000000L, 111111111L)))
+    // raw-count sampling would give a 16/17 = 94% share; ^0.75 flattens
+    // it to 88.9% -- the whole point of the table
+    assert(out.head._4 < 16L * 1000000000L / 17L)
+  }
+
   test("krippendorffAlpha: hand-computed coincidence matrix on two units; perfect agreement hits 1e6") {
     import spark.implicits._
     // doc 1 -> every rater says 2: n_chars >= 400; 10 distinct tokens
