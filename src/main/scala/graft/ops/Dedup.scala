@@ -936,14 +936,17 @@ object Dedup {
       .filter(col("p") >= 1 && col("p") <= col("m") - col("clen") + 1)
       .withColumn("chunk", expr("substr(dirty_label, p, clen)"))
       .select(col("dirty_label"), col("l"), col("slot"), col("chunk"))
-    // candidates off hot chunk keys all land in the same join tasks;
-    // round-robin rebalance the (narrow) candidate stream so the verify
-    // parallelizes, and use the BANDED threshold levenshtein — O(d·n)
-    // with early exit instead of the full O(n²) table, exact for every
-    // distance ≤ dmax (above it returns -1, which the filter drops)
+    // verify MAP-SIDE, straight off the candidate join: the BANDED
+    // threshold levenshtein — O(d·n) with early exit instead of the
+    // full O(n²) table, exact for every distance ≤ dmax (above it
+    // returns -1, which the filter drops) — runs before anything is
+    // exchanged, so the only post-join shuffle is the distinct over the
+    // (small) VERIFIED pair set. A hot chunk key skews the join itself,
+    // which is AQE skew-split territory; an explicit pre-verify
+    // repartition (shipped through round 9) re-shuffled the full
+    // candidate stream for a ~7% slowdown at sf0.1.
     val labelPairs = probes.join(chunks, Seq("l", "slot", "chunk"))
       .select(col("dirty_label"), col("clean_label"))
-      .repartition(col("dirty_label"), col("clean_label"))
       .withColumn("dist",
         levenshtein(col("dirty_label"), col("clean_label"), dmax)
           .cast("long"))
