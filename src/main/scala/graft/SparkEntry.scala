@@ -1039,6 +1039,9 @@ object SparkEntry {
     // three-rater nominal agreement (Krippendorff), exact integer alpha
     "q_krippendorff" -> ((s, d) =>
       TextAnalysis.krippendorffAlpha(TextAnalysis.documents(s, d))),
+    // McNemar: is one quality filter systematically more permissive
+    "q_mcnemar" -> ((s, d) =>
+      TextAnalysis.mcnemar(TextAnalysis.documents(s, d))),
     // Bloom gate capacity table at the corpus's exact key count
     "q_bloom_sizing" -> ((s, d) =>
       Dedup.bloomSizing(TextAnalysis.documents(s, d))),
@@ -1088,6 +1091,8 @@ object SparkEntry {
     "q_churn_labels" -> ((s, d) => Analytics.churnLabels(Analytics.events(s, d))),
     // Kaplan-Meier view→purchase conversion with right-censoring
     "q_survival_km" -> ((s, d) => Analytics.survivalCurve(Analytics.events(s, d))),
+    // log-rank: are the two arms' conversion curves the same, with censoring
+    "q_logrank" -> ((s, d) => Analytics.logRank(Analytics.events(s, d))),
     "q_user_sessions" -> ((s, d) => Analytics.userSessions(Analytics.events(s, d))),
     // one summary row over the session table (exact integer means)
     "q_session_stats" -> ((s, d) => Analytics.sessionStats(Analytics.events(s, d))),
@@ -1950,6 +1955,7 @@ object SparkEntry {
     "q_iv_wald" -> Analytics.ivWaldOracleSql,
     "q_assoc_rules" -> Relational.assocRulesOracleSql(),
     "q_gini" -> Relational.giniCoefficientOracleSql,
+    "q_logrank" -> Analytics.logRankOracleSql(),
     "q_theil_decomposition" -> Relational.theilDecompositionOracleSql,
     "q_cross_correlation" -> Analytics.crossCorrelationOracleSql(),
     "q_negative_sampling" -> TextAnalysis.negativeSamplingTableOracleSql(),
@@ -4798,6 +4804,7 @@ object SparkEntry {
     "q_nucleus_vocab" -> TextAnalysis.nucleusVocabOracleSql(),
     "q_cohen_kappa" -> TextAnalysis.cohenKappaOracleSql(),
     "q_krippendorff" -> TextAnalysis.krippendorffAlphaOracleSql,
+    "q_mcnemar" -> TextAnalysis.mcnemarOracleSql(),
     "q_bloom_sizing" -> Dedup.bloomSizingOracleSql(),
     "q_spatial_join" -> Spatial.spatialNeighborsOracleSql(),
     "q_median_ci" -> Relational.medianCIOracleSql,

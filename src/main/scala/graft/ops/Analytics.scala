@@ -2123,6 +2123,142 @@ object Analytics {
       .orderBy(col("t_days"))
   }
 
+  /** LOG-RANK TEST between the two user-parity arms' conversion curves —
+    * the hypothesis test that belongs to [[survivalCurve]]: "are these
+    * two survival curves the same?" compared over EVERY event day with
+    * censoring handled, not just at one horizon (Mantel 1966; the
+    * standard primary analysis for time-to-event A/B readouts).
+    * Same duration/censoring construction as the KM curve, arms from
+    * user-id parity (the [[mannWhitney]] arm discipline).
+    *
+    * At each pooled event day t: observed arm-0 events d1_t vs the
+    * hypergeometric expectation E1_t = d_t·n1_t/n_t and variance
+    * V_t = d_t·(n1_t/n_t)·(n2_t/n_t)·(n_t−d_t)/(n_t−1); the statistic
+    * is (Σd1 − ΣE1)²/ΣV ~ χ²(1). E and V terms quantize to e6 BEFORE
+    * summing (micro-nat discipline — order-free integer totals); the
+    * final χ² is one shared double literal, e4-rounded.
+    *
+    * Shape: one user collapse to durations, then everything lives on
+    * the ≤31-row day dimension (cumulative risk sets are windows over
+    * it); the statistic is a 1-row aggregate.
+    */
+  def logRank(
+      df: DataFrame,
+      endIso: String = "2024-01-31 00:00:00"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val end = lit(endIso).cast("timestamp")
+    val views = df.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
+    val firstPurchase = df.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"))
+      .join(views, "user_id")
+      .filter(col("ts") >= col("v_ts"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("p_ts"))
+    val durations = views.join(firstPurchase, Seq("user_id"), "left")
+      .select((col("user_id") % 2 === 0).as("arm0"),
+        when(col("p_ts").isNotNull,
+          datediff(to_date(col("p_ts")), to_date(col("v_ts"))))
+          .otherwise(datediff(to_date(end), to_date(col("v_ts"))))
+          .cast("long").as("t_days"),
+        col("p_ts").isNotNull.as("converted"))
+    val days = durations.groupBy(col("t_days"))
+      .agg(
+        sum(when(col("arm0") && col("converted"), 1L).otherwise(0L)).as("d1"),
+        sum(when(col("converted"), 1L).otherwise(0L)).as("d"),
+        sum(when(col("arm0"), 1L).otherwise(0L)).as("rm1"),
+        count(lit(1)).as("rm"))
+    val totals = durations.agg(
+      sum(when(col("arm0"), 1L).otherwise(0L)).as("n1_total"),
+      count(lit(1)).as("n_total"))
+    val wCum = Window.orderBy(col("t_days"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val terms = days.crossJoin(broadcast(totals))
+      .withColumn("n1", col("n1_total") -
+        coalesce(sum(col("rm1")).over(wCum), lit(0L)))
+      .withColumn("n", col("n_total") -
+        coalesce(sum(col("rm")).over(wCum), lit(0L)))
+      .filter(col("d") > 0L)
+      .select(col("d1"),
+        expr("CAST(round(CAST(d AS DOUBLE) * n1 / n * 1000000) AS BIGINT)")
+          .as("e1_e6"),
+        expr("""CASE WHEN n > 1 THEN
+               |  CAST(round(CAST(d AS DOUBLE) * n1 * (n - n1) * (n - d)
+               |    / (CAST(n AS DOUBLE) * n * (n - 1)) * 1000000) AS BIGINT)
+               |ELSE 0L END""".stripMargin).as("v_e6"))
+    terms.agg(
+        sum(col("d1")).as("o1"),
+        sum(col("e1_e6")).as("e1_e6"),
+        sum(col("v_e6")).as("v_e6"))
+      .crossJoin(broadcast(totals))
+      .select(col("n1_total"),
+        (col("n_total") - col("n1_total")).as("n2_total"),
+        col("o1"), col("e1_e6"), col("v_e6"),
+        expr("""CASE WHEN v_e6 > 0 THEN
+               |  CAST(round((CAST(o1 * 1000000 - e1_e6 AS DOUBLE) / 1000000)
+               |    * (CAST(o1 * 1000000 - e1_e6 AS DOUBLE) / 1000000)
+               |    / (CAST(v_e6 AS DOUBLE) / 1000000) * 10000) AS BIGINT)
+               |END""".stripMargin).as("chi2_e4"))
+  }
+
+  /** DuckDB twin of [[logRank]] — identical duration construction,
+    * per-day e6 hypergeometric terms, shared χ² literal.
+    */
+  def logRankOracleSql(endIso: String = "2024-01-31 00:00:00"): String =
+    s"""WITH views AS (
+       |  SELECT user_id, min(ts) AS v_ts FROM events
+       |  WHERE event_type = 'view' GROUP BY 1),
+       |fp AS (
+       |  SELECT e.user_id, min(e.ts) AS p_ts
+       |  FROM events e JOIN views v ON e.user_id = v.user_id
+       |  WHERE e.event_type = 'purchase' AND e.ts >= v.v_ts
+       |  GROUP BY 1),
+       |dur AS (
+       |  SELECT (v.user_id % 2 = 0) AS arm0,
+       |    (CASE WHEN p_ts IS NOT NULL
+       |      THEN date_diff('day', v_ts::DATE, p_ts::DATE)
+       |      ELSE date_diff('day', v_ts::DATE, TIMESTAMP '$endIso'::DATE)
+       |    END)::BIGINT AS t_days,
+       |    p_ts IS NOT NULL AS converted
+       |  FROM views v LEFT JOIN fp ON v.user_id = fp.user_id),
+       |days AS (
+       |  SELECT t_days,
+       |    sum(CASE WHEN arm0 AND converted THEN 1 ELSE 0 END)::BIGINT AS d1,
+       |    sum(CASE WHEN converted THEN 1 ELSE 0 END)::BIGINT AS d,
+       |    sum(CASE WHEN arm0 THEN 1 ELSE 0 END)::BIGINT AS rm1,
+       |    count(*)::BIGINT AS rm
+       |  FROM dur GROUP BY 1),
+       |tot AS (
+       |  SELECT sum(CASE WHEN arm0 THEN 1 ELSE 0 END)::BIGINT AS n1_total,
+       |    count(*)::BIGINT AS n_total
+       |  FROM dur),
+       |risk AS (
+       |  SELECT d1, d,
+       |    n1_total - coalesce(sum(rm1) OVER (ORDER BY t_days
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n1,
+       |    n_total - coalesce(sum(rm) OVER (ORDER BY t_days
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n
+       |  FROM days CROSS JOIN tot),
+       |terms AS (
+       |  SELECT d1,
+       |    CAST(round(d::DOUBLE * n1 / n * 1000000) AS BIGINT) AS e1_e6,
+       |    (CASE WHEN n > 1 THEN
+       |      CAST(round(d::DOUBLE * n1 * (n - n1) * (n - d)
+       |        / (n::DOUBLE * n * (n - 1)) * 1000000) AS BIGINT)
+       |    ELSE 0 END) AS v_e6
+       |  FROM risk WHERE d > 0),
+       |agg AS (
+       |  SELECT sum(d1)::BIGINT AS o1, sum(e1_e6)::BIGINT AS e1_e6,
+       |    sum(v_e6)::BIGINT AS v_e6
+       |  FROM terms)
+       |SELECT n1_total, (n_total - n1_total)::BIGINT AS n2_total,
+       |  o1, e1_e6, v_e6,
+       |  (CASE WHEN v_e6 > 0 THEN
+       |    CAST(round(((o1 * 1000000 - e1_e6)::DOUBLE / 1000000)
+       |      * ((o1 * 1000000 - e1_e6)::DOUBLE / 1000000)
+       |      / (v_e6::DOUBLE / 1000000) * 10000) AS BIGINT)
+       |  END) AS chi2_e4
+       |FROM agg CROSS JOIN tot""".stripMargin
+
   /** Streaming state-store sizing audit: for each candidate session gap,
     * how many sessions would be OPEN simultaneously — the number that
     * sizes `flatMapGroupsWithState` state and decides whether a gap

@@ -727,11 +727,60 @@ object TextAnalysis {
            |END""".stripMargin))
   }
 
+  /** McNEMAR'S TEST on the same paired labelers as [[cohenKappa]] — the
+    * question κ does not answer: not "do the two filters agree" but "is
+    * one filter systematically more permissive than the other on the
+    * SAME documents" (Dietterich 1998's recommended paired-classifier
+    * test). Only the discordant cells matter: b = heuristic-keep /
+    * model-drop, c = heuristic-drop / model-keep; under H₀ they split
+    * 50/50 and χ² = (b−c)²/(b+c) ~ χ²(1). Everything is exact integers
+    * — (b−c)²·10⁴ div (b+c) needs no float at all (no continuity
+    * correction, so the two engines share one integer formula).
+    *
+    * Shape: identical to [[cohenKappa]] — two row-local label
+    * projections, one doc-keyed join, a 1-row aggregate.
+    */
+  def mcnemar(docs: DataFrame, cutE4: Long = 6000L): DataFrame = {
+    val a = qualityScore(docs).select(col("doc_id"),
+      (expr("CAST(round(quality * 10000, 0) AS BIGINT)") >= cutE4).as("la"))
+    val b = logisticQuality(docs).select(col("doc_id"), col("keep").as("lb"))
+    a.join(b, "doc_id")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("la") && !col("lb"), 1L).otherwise(0L)).as("n_b"),
+        sum(when(!col("la") && col("lb"), 1L).otherwise(0L)).as("n_c"))
+      .select(col("n"), col("n_b"), col("n_c"),
+        expr("""CASE WHEN n_b + n_c > 0 THEN
+               |  (n_b - n_c) * (n_b - n_c) * 10000 div (n_b + n_c)
+               |END""".stripMargin).as("chi2_e4"))
+  }
+
+  /** DuckDB oracle for [[mcnemar]] — the [[cohenKappaOracleSql]] labeler
+    * CTEs with the discordant-cell χ².
+    */
+  def mcnemarOracleSql(cutE4: Long = 6000L): String = {
+    val labelers = cohenKappaLabelerCtes(cutE4)
+    s"""$labelers,
+       |c AS (SELECT count(*)::BIGINT AS n,
+       |        sum(CASE WHEN la AND NOT lb THEN 1 ELSE 0 END)::BIGINT AS n_b,
+       |        sum(CASE WHEN NOT la AND lb THEN 1 ELSE 0 END)::BIGINT AS n_c
+       |      FROM qa JOIN qb USING (doc_id))
+       |SELECT n, n_b, n_c,
+       |  (CASE WHEN n_b + n_c > 0 THEN
+       |    (n_b - n_c) * (n_b - n_c) * 10000 // (n_b + n_c)
+       |  END)::BIGINT AS chi2_e4
+       |FROM c""".stripMargin
+  }
+
   /** DuckDB oracle for [[cohenKappa]] — both labelers' SQL joined, same
     * FLOOR semantics.
     */
-  def cohenKappaOracleSql(cutE4: Long = 6000L): String = {
-    val pe = "((n_kk + n_kd) * (n_kk + n_dk) + (n_dk + n_dd) * (n_kd + n_dd))"
+  /** The shared labeler CTE prefix (`t`/`qa`/`qb`) of
+    * [[cohenKappaOracleSql]] and [[mcnemarOracleSql]] — one definition
+    * so the two paired tests cannot drift on what "the two filters"
+    * mean.
+    */
+  private def cohenKappaLabelerCtes(cutE4: Long): String =
     s"""WITH t AS (SELECT doc_id, text, n_chars,
        |             regexp_split_to_array(lower(text), '\\s+') AS toks
        |           FROM documents),
@@ -752,7 +801,11 @@ object TextAnalysis {
        |      + (len(list_filter(toks, x -> x IN ('the','a','of','and','to','in')))::DOUBLE / len(toks)::DOUBLE * 3.0)
        |      + (length(text)::DOUBLE / len(toks)::DOUBLE * 0.1)))))
        |      * 10000, 0)::BIGINT >= 5000 AS lb
-       |  FROM t),
+       |  FROM t)""".stripMargin
+
+  def cohenKappaOracleSql(cutE4: Long = 6000L): String = {
+    val pe = "((n_kk + n_kd) * (n_kk + n_dk) + (n_dk + n_dd) * (n_kd + n_dd))"
+    s"""${cohenKappaLabelerCtes(cutE4)},
        |c AS (SELECT count(*)::BIGINT AS n,
        |        sum(CASE WHEN la AND lb THEN 1 ELSE 0 END)::BIGINT AS n_kk,
        |        sum(CASE WHEN la AND NOT lb THEN 1 ELSE 0 END)::BIGINT AS n_kd,

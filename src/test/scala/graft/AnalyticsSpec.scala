@@ -380,6 +380,32 @@ class AnalyticsSpec extends SparkTestBase {
       (1L, 5L, Some(-10000L)), (2L, 4L, Some(10000L))))
   }
 
+  test("logRank: symmetric arms score 0; one-sided conversion hand-computes to 3.0") {
+    val day = 86400L * 1000000L
+    // symmetric: each arm converts one user on day 1 and one on day 2
+    val sym = Seq(
+      (1L, 1L, "view", ts(0L)), (2L, 2L, "view", ts(0L)),
+      (3L, 3L, "view", ts(0L)), (4L, 4L, "view", ts(0L)),
+      (5L, 1L, "purchase", ts(day)), (6L, 2L, "purchase", ts(day)),
+      (7L, 3L, "purchase", ts(2 * day)), (8L, 4L, "purchase", ts(2 * day))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val r0 = Analytics.logRank(sym).collect().head
+    assert(r0.getAs[Long]("chi2_e4") == 0L)
+    // one-sided: only the even arm converts (day 1); odd users censor.
+    // day 1: d=2, d1=2, n1=2, n=4 -> E1 = 1, V = 16/48 -> chi2 = 3.0
+    val oneSided = Seq(
+      (1L, 1L, "view", ts(0L)), (2L, 2L, "view", ts(0L)),
+      (3L, 3L, "view", ts(0L)), (4L, 4L, "view", ts(0L)),
+      (5L, 2L, "purchase", ts(day)), (6L, 4L, "purchase", ts(day))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val r1 = Analytics.logRank(oneSided).collect().head
+    assert(r1.getAs[Long]("n1_total") == 2L)
+    assert(r1.getAs[Long]("o1") == 2L)
+    assert(r1.getAs[Long]("e1_e6") == 1000000L)
+    assert(r1.getAs[Long]("v_e6") == 333333L)
+    assert(r1.getAs[Long]("chi2_e4") == 30000L)
+  }
+
   test("crossCorrelation: a one-hour-shifted copy peaks at lag +1; lag 0 is hand-checked") {
     val hour = 3600L * 1000000L
     // views follow pattern 1,3,2,5 over hours 0..3; purchases repeat the

@@ -610,6 +610,24 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(out == Seq((1L, 2L, 4L, 2L, 5000L), (2L, 4L, 4L, 4L, 0L)))
   }
 
+  test("mcnemar: discordant cells reconcile with cohenKappa's and the integer chi-square recomputes") {
+    import spark.implicits._
+    val docs = (1 to 40).map { i =>
+      val text = if (i % 3 == 0) "the of and to in a " * 8 + s"w$i"
+      else s"x$i y$i z$i"
+      (i.toLong, text, text.length.toLong)
+    }.toDF("doc_id", "text", "n_chars")
+    val k = graft.ops.TextAnalysis.cohenKappa(docs).collect().head
+    val m = graft.ops.TextAnalysis.mcnemar(docs).collect().head
+    assert(m.getAs[Long]("n") == k.getAs[Long]("n"))
+    assert(m.getAs[Long]("n_b") == k.getAs[Long]("n_kd"))
+    assert(m.getAs[Long]("n_c") == k.getAs[Long]("n_dk"))
+    val (b, c) = (m.getAs[Long]("n_b"), m.getAs[Long]("n_c"))
+    if (b + c > 0)
+      assert(m.getAs[Long]("chi2_e4") == (b - c) * (b - c) * 10000 / (b + c))
+    else assert(m.isNullAt(m.fieldIndex("chi2_e4")))
+  }
+
   test("negativeSamplingTable: count^0.75 flattens the draw; probabilities are exact integer shares") {
     import spark.implicits._
     // token a appears 16 times, b once: w(a) = 16^0.75 = 8 exactly,
