@@ -331,6 +331,13 @@ object SparkEntry {
     "q_theil_decomposition" -> ((s, d) =>
       Relational.theilDecomposition(Relational.table(s, d, "orders"),
         Relational.table(s, d, "customer"))),
+    // referential-integrity audit over the star schema's four FK edges
+    "q_fk_orphans" -> ((s, d) =>
+      Relational.fkOrphans(Relational.table(s, d, "lineitem"),
+        Relational.table(s, d, "orders"),
+        Relational.table(s, d, "customer"),
+        Relational.table(s, d, "part"),
+        Relational.table(s, d, "nation"))),
     // signed-lag CCF: do views LEAD purchases, and by how many hours
     "q_cross_correlation" -> ((s, d) =>
       Analytics.crossCorrelation(Analytics.events(s, d))),
@@ -1957,6 +1964,7 @@ object SparkEntry {
     "q_gini" -> Relational.giniCoefficientOracleSql,
     "q_logrank" -> Analytics.logRankOracleSql(),
     "q_theil_decomposition" -> Relational.theilDecompositionOracleSql,
+    "q_fk_orphans" -> Relational.fkOrphansOracleSql,
     "q_cross_correlation" -> Analytics.crossCorrelationOracleSql(),
     "q_negative_sampling" -> TextAnalysis.negativeSamplingTableOracleSql(),
     "q_ips_ess" -> Analytics.ipsEssOracleSql,

@@ -788,6 +788,85 @@ object Relational {
       |    // nullif(n::HUGEINT * s, 0))::BIGINT AS gini_e6
       |FROM dom CROSS JOIN stats GROUP BY n, s""".stripMargin
 
+  /** REFERENTIAL-INTEGRITY AUDIT across the star schema's FK edges —
+    * the first data-quality gate a warehouse load runs: per foreign-key
+    * edge, how many child rows exist, how many DISTINCT child keys, and
+    * how many child rows point at a parent that does not exist
+    * (orphans), with nulls counted separately (a null FK is a modeling
+    * decision; a dangling one is corruption). Audits the four spine
+    * edges lineitem→orders, lineitem→part, orders→customer,
+    * customer→nation.
+    *
+    * Shape at 100 TB: each edge is ONE left-anti join of the child's
+    * key projection against the parent's key dimension (parent sides
+    * broadcast when small; an anti join never inflates rows) plus one
+    * child-side aggregate — no edge ever joins fact×fact. All counts
+    * exact integers.
+    */
+  def fkOrphans(
+      lineitem: DataFrame,
+      orders: DataFrame,
+      customer: DataFrame,
+      part: DataFrame,
+      nation: DataFrame): DataFrame = {
+    val spark = lineitem.sparkSession
+    import spark.implicits._
+    def edge(tag: String, child: DataFrame, childKey: String,
+        parent: DataFrame, parentKey: String): DataFrame = {
+      val keys = child.select(col(childKey).as("k"))
+      val stats = keys.agg(
+        count(lit(1)).as("n_child_rows"),
+        countDistinct(col("k")).as("n_child_keys"),
+        sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_null"))
+      val orphans = keys.filter(col("k").isNotNull)
+        .join(parent.select(col(parentKey).as("k")), Seq("k"), "left_anti")
+        .agg(count(lit(1)).as("n_orphan_rows"),
+          countDistinct(col("k")).as("n_orphan_keys"))
+      stats.crossJoin(broadcast(orphans))
+        .select(lit(tag).as("fk_edge"), col("n_child_rows"),
+          col("n_child_keys"), col("n_null"), col("n_orphan_rows"),
+          col("n_orphan_keys"))
+    }
+    edge("lineitem.l_orderkey->orders", lineitem, "l_orderkey",
+        orders, "o_orderkey")
+      .unionByName(edge("lineitem.l_partkey->part", lineitem, "l_partkey",
+        part, "p_partkey"))
+      .unionByName(edge("orders.o_custkey->customer", orders, "o_custkey",
+        customer, "c_custkey"))
+      .unionByName(edge("customer.c_nationkey->nation", customer,
+        "c_nationkey", nation, "n_nationkey"))
+      .orderBy(col("fk_edge"))
+  }
+
+  /** DuckDB twin of [[fkOrphans]] — the same four anti-join audits. */
+  def fkOrphansOracleSql: String = {
+    def edge(tag: String, child: String, childKey: String,
+        parent: String, parentKey: String): String =
+      s"""SELECT '$tag' AS fk_edge,
+         |  (SELECT count(*) FROM $child)::BIGINT AS n_child_rows,
+         |  (SELECT count(DISTINCT $childKey) FROM $child)::BIGINT
+         |    AS n_child_keys,
+         |  (SELECT count(*) FROM $child WHERE $childKey IS NULL)::BIGINT
+         |    AS n_null,
+         |  (SELECT count(*) FROM $child
+         |   WHERE $childKey IS NOT NULL AND $childKey NOT IN
+         |     (SELECT $parentKey FROM $parent))::BIGINT AS n_orphan_rows,
+         |  (SELECT count(DISTINCT $childKey) FROM $child
+         |   WHERE $childKey IS NOT NULL AND $childKey NOT IN
+         |     (SELECT $parentKey FROM $parent))::BIGINT AS n_orphan_keys"""
+        .stripMargin
+    Seq(
+      edge("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+        "orders", "o_orderkey"),
+      edge("lineitem.l_partkey->part", "lineitem", "l_partkey",
+        "part", "p_partkey"),
+      edge("orders.o_custkey->customer", "orders", "o_custkey",
+        "customer", "c_custkey"),
+      edge("customer.c_nationkey->nation", "customer", "c_nationkey",
+        "nation", "n_nationkey"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY fk_edge")
+  }
+
   /** THEIL INDEX with within/between decomposition — the inequality
     * statistic [[giniCoefficient]] cannot decompose: Theil's T is the
     * only standard inequality measure that splits ADDITIVELY into a

@@ -477,6 +477,27 @@ class RelationalSpec extends SparkTestBase {
     assert(g1.getAs[Long]("gini_e6") == 250000L)
   }
 
+  test("fkOrphans: planted dangling keys and nulls are counted per edge, clean edges read zero") {
+    import spark.implicits._
+    // order 99 does not exist (2 lineitem rows dangle); one null partkey
+    val li = Seq((1L, Some(10L)), (1L, Some(10L)), (99L, Some(20L)),
+      (99L, None)).toDF("l_orderkey", "l_partkey")
+    val orders = Seq((1L, 5L)).toDF("o_orderkey", "o_custkey")
+    val customer = Seq((5L, 7L)).toDF("c_custkey", "c_nationkey")
+    val part = Seq((10L, "p")).toDF("p_partkey", "p_name")
+    val nation = Seq((7L, "x")).toDF("n_nationkey", "n_name")
+    val out = graft.ops.Relational
+      .fkOrphans(li, orders, customer, part, nation)
+      .collect().map(r => r.getAs[String]("fk_edge") ->
+        ((r.getAs[Long]("n_child_rows"), r.getAs[Long]("n_null"),
+          r.getAs[Long]("n_orphan_rows"), r.getAs[Long]("n_orphan_keys"))))
+      .toMap
+    assert(out("lineitem.l_orderkey->orders") == ((4L, 0L, 2L, 1L)))
+    assert(out("lineitem.l_partkey->part") == ((4L, 1L, 1L, 1L)))
+    assert(out("orders.o_custkey->customer") == ((1L, 0L, 0L, 0L)))
+    assert(out("customer.c_nationkey->nation") == ((1L, 0L, 0L, 0L)))
+  }
+
   test("theilDecomposition: hand-computed micro-nat terms; decomposition identity holds") {
     import spark.implicits._
     // nation 1: spends 100, 300 cents; nation 2: one customer at 400
