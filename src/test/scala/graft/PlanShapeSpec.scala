@@ -980,4 +980,52 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
     assert(p.contains("Window"), p)
   }
+
+  test("shared pair graph: a second consumer's plan reads the persisted frame, not the fact table") {
+    // the graph family's 100 TB posture: ONE partPairCounts exchange per
+    // session feeds triangles/k-core/LPA/CC — after the first consumer
+    // materializes the cache, later consumers' plans must scan the
+    // InMemoryRelation instead of re-running the lineitem collapse
+    val pairs = Relational.partPairCounts(
+        Relational.table(spark, sf, "lineitem"), 2)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      pairs.count() // populate
+      // the AQE physical string truncates leaf nodes — pin the cache
+      // substitution on the optimized logical plan, where the scan
+      // source is always visible
+      val q = graft.ops.Graph.degreeDistributionFromPairs(pairs)
+        .queryExecution.optimizedPlan
+      // every leaf must be the cached relation (whose node string echoes
+      // the ORIGINAL parquet plan it caches — so assert on node types,
+      // not on substring absence)
+      val leaves = q.collectLeaves()
+      assert(leaves.nonEmpty && leaves.forall(
+        _.getClass.getSimpleName == "InMemoryRelation"),
+        s"consumer must read only the cached pair frame:\n$q")
+    } finally pairs.unpersist(blocking = false)
+  }
+
+  test("fkOrphans: every edge audit is a broadcast anti join — no fact-fact shuffle") {
+    val p = plan(Relational.fkOrphans(
+      Relational.table(spark, sf, "lineitem"),
+      Relational.table(spark, sf, "orders"),
+      Relational.table(spark, sf, "customer"),
+      Relational.table(spark, sf, "part"),
+      Relational.table(spark, sf, "nation")))
+    assert(p.contains("BroadcastHashJoin LeftAnti") ||
+      p.contains("BroadcastHashJoin [") && p.contains("LeftAnti"),
+      s"parent sides must broadcast into the anti join:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("theilDecomposition: the nation attach broadcasts; ln terms stay on the value domain") {
+    val p = plan(Relational.theilDecomposition(
+      Relational.table(spark, sf, "orders"),
+      Relational.table(spark, sf, "customer")))
+    assert(p.contains("BroadcastHashJoin"),
+      s"customer dimension must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"),
+      p)
+  }
 }
