@@ -933,6 +933,9 @@ object SparkEntry {
     // multi-key identity stitching: star edges + min-label fixed point
     "q_entity_resolution" -> ((s, d) =>
       Identity.entityResolution(Analytics.events(s, d))),
+    // MDM survivorship: merge resolved entities under most-recent-wins
+    "q_golden_records" -> ((s, d) =>
+      Identity.goldenRecords(Analytics.events(s, d))),
     // kNN hubness diagnostic: k-occurrence histogram with anti-hub zeros
     "q_hubness" -> ((s, d) =>
       Similarity.hubnessHistogram(Similarity.embeddings(s, d))),
@@ -4813,6 +4816,7 @@ object SparkEntry {
     "q_cohen_kappa" -> TextAnalysis.cohenKappaOracleSql(),
     "q_krippendorff" -> TextAnalysis.krippendorffAlphaOracleSql,
     "q_mcnemar" -> TextAnalysis.mcnemarOracleSql(),
+    "q_golden_records" -> Identity.goldenRecordsOracleSql,
     "q_bloom_sizing" -> Dedup.bloomSizingOracleSql(),
     "q_spatial_join" -> Spatial.spatialNeighborsOracleSql(),
     "q_median_ci" -> Relational.medianCIOracleSql,

@@ -43,6 +43,25 @@ object Identity {
     */
   def resolveEntities(recordKeys: DataFrame, maxRounds: Int = 20): DataFrame = {
     val keyed = recordKeys.select(col("record_id"), col("key")).persist()
+    val labels = resolveEntityLabels(keyed, maxRounds)
+    val members = labels.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_records"))
+    val keys = keyed.join(labels, "record_id")
+      .groupBy(col("label"))
+      .agg(countDistinct(col("key")).as("n_keys"))
+    members.join(keys, "label")
+      .select(col("label").as("entity_id"), col("n_records"), col("n_keys"))
+      .orderBy(col("entity_id"))
+  }
+
+  /** The (record_id, label) frame [[resolveEntities]] summarizes —
+    * exposed so survivorship ([[goldenRecords]]) can consume the same
+    * converged labels. Input may be pre-persisted; the loop derives its
+    * edge frame from it either way.
+    */
+  def resolveEntityLabels(
+      recordKeys: DataFrame, maxRounds: Int = 20): DataFrame = {
+    val keyed = recordKeys.select(col("record_id"), col("key"))
     val starHeads = keyed.groupBy(col("key"))
       .agg(min(col("record_id")).as("head_id"))
     val starEdges = keyed
@@ -86,14 +105,7 @@ object Identity {
     }
     require(changed == 0,
       s"entity resolution did not converge within $maxRounds rounds")
-    val members = labels.groupBy(col("label"))
-      .agg(count(lit(1)).as("n_records"))
-    val keys = keyed.join(labels, "record_id")
-      .groupBy(col("label"))
-      .agg(countDistinct(col("key")).as("n_keys"))
-    members.join(keys, "label")
-      .select(col("label").as("entity_id"), col("n_records"), col("n_keys"))
-      .orderBy(col("entity_id"))
+    labels
   }
 
   /** The synthetic (record, key) pairs for the events table: each user
@@ -113,6 +125,85 @@ object Identity {
   /** End-to-end query: resolve event users into entities. */
   def entityResolution(events: DataFrame): DataFrame =
     resolveEntities(eventUserKeys(events))
+
+  /** GOLDEN-RECORD SURVIVORSHIP — the step after [[entityResolution]]
+    * every MDM pipeline runs: merge each entity's member records into
+    * ONE canonical row under explicit survivorship rules. Rules here
+    * are the standard trio: additive facts SUM (event count, value
+    * cents), temporal facts take extremes (first seen = min day), and
+    * contested single-value attributes go MOST-RECENT-WINS — the
+    * member with the latest activity donates its last event type, ties
+    * broken by event id, which is unique, so the winner is total-order
+    * deterministic. Recency rides a zero-padded (ts, event_id) string
+    * pack so one max() both picks the winner and carries its attribute
+    * — the same packed-argmax trick as [[Graph.triangleCount]]'s rank
+    * pack, in string space because the carried value is a string.
+    *
+    * Shape at 100 TB: one fact collapse to per-record attribute rows,
+    * the label attach (entity labels are record-dimension), and one
+    * entity-dimension aggregate. The resolution loop is
+    * [[resolveEntityLabels]] unchanged.
+    */
+  def goldenRecords(events: DataFrame, maxRounds: Int = 20): DataFrame = {
+    val keyed = eventUserKeys(events)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val labels = resolveEntityLabels(keyed, maxRounds)
+    val perUser = events.filter(col("user_id").isNotNull)
+      .select(col("user_id").as("record_id"), col("event_id"),
+        col("event_type"), unix_micros(col("ts")).as("tsu"),
+        to_date(col("ts")).as("d"),
+        (col("value").cast("decimal(12,2)") * 100).cast("long").as("cents"))
+      .groupBy(col("record_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("cents")).as("value_cents"),
+        min(col("d")).as("first_seen"),
+        max(concat(lpad(col("tsu").cast("string"), 20, "0"),
+          lpad(col("event_id").cast("string"), 20, "0"), lit(":"),
+          col("event_type"))).as("recency_key"))
+    perUser.join(labels, "record_id")
+      .groupBy(col("label").as("entity_id"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("n_events")).as("n_events"),
+        sum(col("value_cents")).as("value_cents"),
+        min(col("first_seen")).as("first_seen"),
+        substring(max(col("recency_key")), 42, 1000).as("last_type"))
+      .orderBy(col("entity_id"))
+  }
+
+  /** DuckDB oracle for [[goldenRecords]] — the [[entityResolutionOracleSql]]
+    * closure plus the identical packed-recency survivorship.
+    */
+  def goldenRecordsOracleSql: String =
+    """WITH RECURSIVE u AS (SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL),
+      |rk AS (
+      |  SELECT user_id AS record_id, 'd' || (user_id % 97) AS key FROM u
+      |  UNION ALL
+      |  SELECT user_id AS record_id, 'e' || ((user_id * 7 + 3) % 101) AS key FROM u),
+      |heads AS (SELECT key, min(record_id) AS head_id FROM rk GROUP BY key),
+      |star AS (
+      |  SELECT DISTINCT rk.record_id AS a, heads.head_id AS b
+      |  FROM rk JOIN heads USING (key) WHERE rk.record_id <> heads.head_id),
+      |edges AS (SELECT a, b FROM star UNION SELECT b, a FROM star),
+      |reach AS (
+      |  SELECT record_id AS src, record_id AS dst FROM (SELECT DISTINCT record_id FROM rk)
+      |  UNION
+      |  SELECT r.src, e.b AS dst FROM reach r JOIN edges e ON r.dst = e.a),
+      |lab AS (SELECT src AS record_id, min(dst) AS label FROM reach GROUP BY src),
+      |per_user AS (
+      |  SELECT user_id AS record_id, count(*)::BIGINT AS n_events,
+      |    sum((value::DECIMAL(12,2) * 100)::BIGINT)::BIGINT AS value_cents,
+      |    min(ts::DATE) AS first_seen,
+      |    max(lpad(epoch_us(ts)::VARCHAR, 20, '0')
+      |        || lpad(event_id::VARCHAR, 20, '0') || ':' || event_type)
+      |      AS recency_key
+      |  FROM events WHERE user_id IS NOT NULL GROUP BY 1)
+      |SELECT lab.label AS entity_id, count(*)::BIGINT AS n_members,
+      |  sum(n_events)::BIGINT AS n_events,
+      |  sum(value_cents)::BIGINT AS value_cents,
+      |  min(first_seen) AS first_seen,
+      |  substr(max(recency_key), 42) AS last_type
+      |FROM per_user JOIN lab USING (record_id)
+      |GROUP BY lab.label ORDER BY entity_id""".stripMargin
 
   /** DuckDB oracle for [[entityResolution]] — identical synthetic keys
     * and star edges, components via a recursive-CTE transitive closure

@@ -477,6 +477,26 @@ class RelationalSpec extends SparkTestBase {
     assert(g1.getAs[Long]("gini_e6") == 250000L)
   }
 
+  test("goldenRecords: most-recent-wins survivorship, additive sums, min first-seen") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(ms: Long) = new Timestamp(ms)
+    // users 1 and 98 share device key d1 (1 % 97 = 98 % 97) -> one entity.
+    // user 98 is the most recent (later ts), so its last event type wins;
+    // sums add across members; first_seen is the earliest member day.
+    val events = Seq(
+      (10L, 1L, "view", 2.0, t(86400000L)),
+      (11L, 98L, "purchase", 3.5, t(2 * 86400000L)),
+      (12L, 98L, "click", 1.0, t(3 * 86400000L))
+    ).toDF("event_id", "user_id", "event_type", "value", "ts")
+    val out = graft.ops.Identity.goldenRecords(events).collect()
+      .map(r => (r.getAs[Long]("entity_id"), r.getAs[Long]("n_members"),
+        r.getAs[Long]("n_events"), r.getAs[Long]("value_cents"),
+        r.getAs[java.sql.Date]("first_seen").toString,
+        r.getAs[String]("last_type")))
+    assert(out.toSeq == Seq((1L, 2L, 3L, 650L, "1970-01-02", "click")))
+  }
+
   test("fkOrphans: planted dangling keys and nulls are counted per edge, clean edges read zero") {
     import spark.implicits._
     // order 99 does not exist (2 lineitem rows dangle); one null partkey

@@ -167,6 +167,15 @@ class ScaleCanarySpec extends SparkTestBase {
     }
   }
 
+  test("connected components: pointer-jumped min labels stay near-linear as the graph grows 4x", Slow) {
+    canary("connected_components", 500000L) { n =>
+      val li = spark.range(n).select(
+        (col("id") / 5L).cast("long").as("l_orderkey"),
+        pmod(col("id") * lit(2654435761L), lit(n / 250L)).as("l_partkey"))
+      graft.ops.Graph.connectedComponents(li)
+    }
+  }
+
   test("entity resolution: star edges + pointer jumping stay near-linear as identities grow 4x", Slow) {
     // key domains grow WITH the records (the honest regime: fixed-size
     // key domains would densify every star and grow components, not the
