@@ -1103,6 +1103,8 @@ object SparkEntry {
     "q_survival_km" -> ((s, d) => Analytics.survivalCurve(Analytics.events(s, d))),
     // log-rank: are the two arms' conversion curves the same, with censoring
     "q_logrank" -> ((s, d) => Analytics.logRank(Analytics.events(s, d))),
+    // Spearman rho on x2 mid-ranks: tie-aware engagement-vs-spend monotony
+    "q_spearman" -> ((s, d) => Analytics.spearman(Analytics.events(s, d))),
     "q_user_sessions" -> ((s, d) => Analytics.userSessions(Analytics.events(s, d))),
     // one summary row over the session table (exact integer means)
     "q_session_stats" -> ((s, d) => Analytics.sessionStats(Analytics.events(s, d))),
@@ -1966,6 +1968,7 @@ object SparkEntry {
     "q_assoc_rules" -> Relational.assocRulesOracleSql(),
     "q_gini" -> Relational.giniCoefficientOracleSql,
     "q_logrank" -> Analytics.logRankOracleSql(),
+    "q_spearman" -> Analytics.spearmanOracleSql,
     "q_theil_decomposition" -> Relational.theilDecompositionOracleSql,
     "q_fk_orphans" -> Relational.fkOrphansOracleSql,
     "q_cross_correlation" -> Analytics.crossCorrelationOracleSql(),

@@ -2123,6 +2123,94 @@ object Analytics {
       .orderBy(col("t_days"))
   }
 
+  /** SPEARMAN RANK CORRELATION between per-user activity (event count)
+    * and per-user spend — the tie-aware monotone-association statistic
+    * next to [[graft.ops.TextAnalysis.kendallTau]] (which ships the
+    * tie-free construction): heavy-tailed engagement/spend relations
+    * are monotone but wildly non-linear, so Pearson on raw values
+    * understates them; Spearman is Pearson on MID-RANKS, and with ties
+    * the mid-ranks must be averaged, not arbitrary.
+    *
+    * Exactness: ×2 mid-ranks are exact integers (the [[mannWhitney]]
+    * discipline — rank2 = 2·(count below) + (count equal) + 1 from one
+    * value-domain cumulative window per axis), so all Pearson
+    * sufficient sums are exact; the final ρ is one correctly-rounded
+    * sqrt/divide (the [[volumeAcf]] float discipline).
+    *
+    * Shape: ONE user collapse; each axis's ranks live on its value
+    * domain (two dimension-sized windows + equi-joins back); the
+    * statistic is a 1-row aggregate. DECIMAL sufficient sums — rank2
+    * reaches 2n and its square times n overflows a Long near 2M users.
+    */
+  def spearman(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = df.filter(col("user_id").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("a"),
+        coalesce(sum((col("value").cast("decimal(12,2)") * 100)
+          .cast("long")), lit(0L)).as("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def ranks(c: String): DataFrame = {
+      val w = Window.orderBy(col(c)).rowsBetween(Window.unboundedPreceding, -1)
+      per.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+        .withColumn("below", coalesce(sum(col("cnt")).over(w), lit(0L)))
+        .select(col(c), (lit(2L) * col("below") + col("cnt") + 1L).as(s"r_$c"))
+    }
+    per
+      .join(ranks("a"), "a")
+      .join(ranks("b"), "b")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("r_a").cast("decimal(38,0)")).as("sx"),
+        sum(col("r_b").cast("decimal(38,0)")).as("sy"),
+        sum((col("r_a") * col("r_b")).cast("decimal(38,0)")).as("sxy"),
+        sum((col("r_a") * col("r_a")).cast("decimal(38,0)")).as("sxx"),
+        sum((col("r_b") * col("r_b")).cast("decimal(38,0)")).as("syy"))
+      .select(col("n"),
+        expr("""CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
+               |  THEN NULL
+               |  ELSE CAST(round(CAST(n * sxy - sx * sy AS DOUBLE)
+               |    / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+               |           * CAST(n * syy - sy * sy AS DOUBLE)) * 10000, 0)
+               |    AS BIGINT) END""".stripMargin).as("rho_e4"))
+  }
+
+  /** DuckDB twin of [[spearman]] — identical ×2 mid-ranks and Pearson
+    * literal.
+    */
+  def spearmanOracleSql: String =
+    """WITH per AS (
+      |  SELECT user_id, count(*)::BIGINT AS a,
+      |    coalesce(sum((value::DECIMAL(12,2) * 100)::BIGINT), 0)::BIGINT
+      |      AS b
+      |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+      |ra AS (
+      |  SELECT a, 2 * coalesce(sum(cnt) OVER (ORDER BY a
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |    + cnt + 1 AS r_a
+      |  FROM (SELECT a, count(*)::BIGINT AS cnt FROM per GROUP BY a)),
+      |rb AS (
+      |  SELECT b, 2 * coalesce(sum(cnt) OVER (ORDER BY b
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |    + cnt + 1 AS r_b
+      |  FROM (SELECT b, count(*)::BIGINT AS cnt FROM per GROUP BY b)),
+      |j AS (SELECT r_a, r_b FROM per JOIN ra USING (a) JOIN rb USING (b)),
+      |g AS (
+      |  SELECT count(*)::BIGINT AS n,
+      |    sum(r_a::HUGEINT) AS sx, sum(r_b::HUGEINT) AS sy,
+      |    sum(r_a::HUGEINT * r_b) AS sxy,
+      |    sum(r_a::HUGEINT * r_a) AS sxx,
+      |    sum(r_b::HUGEINT * r_b) AS syy
+      |  FROM j)
+      |SELECT n,
+      |  (CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
+      |    THEN NULL
+      |    ELSE CAST(round((n * sxy - sx * sy)::DOUBLE
+      |      / sqrt((n * sxx - sx * sx)::DOUBLE
+      |             * (n * syy - sy * sy)::DOUBLE) * 10000, 0) AS BIGINT)
+      |  END) AS rho_e4
+      |FROM g""".stripMargin
+
   /** LOG-RANK TEST between the two user-parity arms' conversion curves —
     * the hypothesis test that belongs to [[survivalCurve]]: "are these
     * two survival curves the same?" compared over EVERY event day with

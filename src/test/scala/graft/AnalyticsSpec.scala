@@ -380,6 +380,29 @@ class AnalyticsSpec extends SparkTestBase {
       (1L, 5L, Some(-10000L)), (2L, 4L, Some(10000L))))
   }
 
+  test("spearman: perfect monotone nonlinear relation scores 1; ties get averaged mid-ranks") {
+    // users 1..4: counts 1,2,3,4 with spends 1,8,27,64 (monotone,
+    // non-linear -> Pearson < 1, Spearman exactly 1)
+    val mono = (1 to 4).flatMap { u =>
+      (0 until u).map(i => ((u * 10 + i).toLong, u.toLong,
+        if (i == 0) u * u * u * 1.0 else 0.0, ts(i * 1000000L)))
+    }.toDF("event_id", "user_id", "value", "ts")
+    val r = Analytics.spearman(mono).collect().head
+    assert(r.getAs[Long]("n") == 4L)
+    assert(r.getAs[Long]("rho_e4") == 10000L)
+    // tie case, hand-computed: per-user counts (1,1,2), spend cents
+    // (1000,2000,3000). a mid-ranks x2: tie at 1 -> (3,3), then 6;
+    // b distinct -> (2,4,6). Pearson((3,3,6),(2,4,6)) = 18/sqrt(18*24)
+    // = 0.86602 -> 8660
+    val tied = Seq(
+      (1L, 1L, 10.0, ts(0L)),
+      (2L, 2L, 20.0, ts(0L)),
+      (3L, 3L, 15.0, ts(0L)), (4L, 3L, 15.0, ts(1000000L))
+    ).toDF("event_id", "user_id", "value", "ts")
+    val r2 = Analytics.spearman(tied).collect().head
+    assert(r2.getAs[Long]("rho_e4") == 8660L)
+  }
+
   test("logRank: symmetric arms score 0; one-sided conversion hand-computes to 3.0") {
     val day = 86400L * 1000000L
     // symmetric: each arm converts one user on day 1 and one on day 2
