@@ -945,6 +945,9 @@ object SparkEntry {
     // shared pair graph; oracle replays plain propagation to fixpoint
     "q_connected_components" -> ((s, d) =>
       Graph.connectedComponentsFromPairs(pairGraph(s, d))),
+    // per-node clustering coefficient: community cores vs brokers
+    "q_local_clustering" -> ((s, d) =>
+      Graph.localClusteringFromPairs(pairGraph(s, d))),
     // density-relative outliers: LOF over e9-quantized cosine distances
     "q_lof" -> ((s, d) =>
       Similarity.lofOutliers(Similarity.embeddings(s, d))),
@@ -4784,6 +4787,7 @@ object SparkEntry {
     "q_hubness" -> Similarity.hubnessHistogramOracleSql,
     "q_kcore" -> Graph.kCoreOracleSql(),
     "q_connected_components" -> Graph.connectedComponentsOracleSql(),
+    "q_local_clustering" -> Graph.localClusteringOracleSql(),
     "q_lof" -> Similarity.lofOutliersOracleSql(),
     "q_containment" -> Dedup.containmentPairsOracleSql(),
     "q_sprt" -> Analytics.sprtTestOracleSql,

@@ -63,6 +63,26 @@ class GraphSpec extends SparkTestBase {
     assert(r.getAs[Long]("clustering_e4") == 6000L)
   }
 
+  test("localClustering: the triangle's corners score 1, the hub bridging it to a pendant scores below") {
+    import spark.implicits._
+    // triangle 1-2-3 plus pendant edge 1-4 (each edge backed by 2 orders)
+    // degrees: 1->3, 2->2, 3->2, 4->1; triangles per node: 1,1,1,0
+    // lcc: node 1 = 2*1e6/(3*2) = 333333; nodes 2,3 = 2*1e6/2 = 1000000
+    val li = Seq(
+      (1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L),
+      (3L, 1L), (3L, 3L), (4L, 1L), (4L, 3L),
+      (5L, 2L), (5L, 3L), (6L, 2L), (6L, 3L),
+      (7L, 1L), (7L, 4L), (8L, 1L), (8L, 4L)
+    ).toDF("l_orderkey", "l_partkey")
+    val out = graft.ops.Graph.localClustering(li, minDegree = 2)
+      .collect().map(r => (r.getAs[Long]("part_id"),
+        r.getAs[Long]("degree"), r.getAs[Long]("n_triangles"),
+        r.getAs[Long]("lcc_e6")))
+    assert(out.toSeq == Seq(
+      (2L, 2L, 1L, 1000000L), (3L, 2L, 1L, 1000000L),
+      (1L, 3L, 1L, 333333L)))
+  }
+
   test("connectedComponents: two components and a long path converge to min-id labels") {
     import spark.implicits._
     // component A: path 1-2-3-4 (pointer jumping must cross 3 hops);
