@@ -332,6 +332,10 @@ object SparkEntry {
       Relational.theilDecomposition(Relational.table(s, d, "orders"),
         Relational.table(s, d, "customer"))),
     // referential-integrity audit over the star schema's four FK edges
+    // one-way ANOVA F + eta^2: do the 25 nations differ in spend at all
+    "q_anova_f" -> ((s, d) =>
+      Relational.anovaF(Relational.table(s, d, "orders"),
+        Relational.table(s, d, "customer"))),
     "q_fk_orphans" -> ((s, d) =>
       Relational.fkOrphans(Relational.table(s, d, "lineitem"),
         Relational.table(s, d, "orders"),
@@ -1974,6 +1978,7 @@ object SparkEntry {
     "q_spearman" -> Analytics.spearmanOracleSql,
     "q_theil_decomposition" -> Relational.theilDecompositionOracleSql,
     "q_fk_orphans" -> Relational.fkOrphansOracleSql,
+    "q_anova_f" -> Relational.anovaFOracleSql,
     "q_cross_correlation" -> Analytics.crossCorrelationOracleSql(),
     "q_negative_sampling" -> TextAnalysis.negativeSamplingTableOracleSql(),
     "q_ips_ess" -> Analytics.ipsEssOracleSql,

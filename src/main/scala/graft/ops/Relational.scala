@@ -926,6 +926,96 @@ object Relational {
         (col("theil_e6") - col("between_e6")).as("within_e6"))
   }
 
+  /** ONE-WAY ANOVA F across nations on per-customer spend — the k-group
+    * mean-difference test the shipped 2-arm tools (Welch t, Cohen's d,
+    * Mann-Whitney) cannot run: "do the 25 nations differ in average
+    * customer spend at all?" is one F statistic, not 300 pairwise
+    * t-tests (which would need a multiplicity correction the single F
+    * avoids). Reports F, its degrees of freedom, and η² (the share of
+    * spend variance the nation factor explains — the effect size that
+    * says whether a significant F matters).
+    *
+    * Exactness: group sums and squared sums are exact integers (cents);
+    * each group's Sg²/ng quantizes to an integer PER GROUP before the
+    * sum (order-free, micro-nat discipline), so SSB/SSW/SST are exact
+    * integer arithmetic on those terms; F is one shared double literal
+    * (e4), η² one integer division (e6).
+    *
+    * Shape: one fact collapse to customers, broadcast nation attach,
+    * nation-dimension aggregates, 1-row statistic.
+    */
+  def anovaF(orders: DataFrame, customer: DataFrame): DataFrame = {
+    // WHOLE-DOLLAR units (cents div 100, floor — identical truncation in
+    // both engines): at cent scale the per-group Sg^2/ng terms pass 1e19
+    // at sf0.1 and overflow BIGINT; dollars keep every term comfortably
+    // inside, and the F statistic is scale-invariant anyway
+    val per = orders.groupBy(col("o_custkey"))
+      .agg(expr("sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) div 100")
+        .as("x"))
+      .join(broadcastIfSmall(customer.select(col("c_custkey").as("o_custkey"),
+        col("c_nationkey").as("nation"))), "o_custkey")
+    val groups = per.groupBy(col("nation"))
+      .agg(sum(col("x")).as("sg"), count(lit(1)).as("ng"))
+      .select(
+        expr("CAST(round(CAST(sg AS DOUBLE) * sg / ng) AS BIGINT)").as("t"),
+        col("sg"), col("ng"))
+    groups.agg(
+        count(lit(1)).as("k"),
+        sum(col("ng")).as("n"),
+        sum(col("sg")).as("s"),
+        sum(col("t")).as("sum_t"))
+      .crossJoin(broadcast(per.agg(
+        sum((col("x").cast("decimal(38,0)") * col("x")).cast("decimal(38,0)"))
+          .as("sxx"))))
+      .select(col("k"), col("n"),
+        expr("sum_t - CAST(round(CAST(s AS DOUBLE) * s / n) AS BIGINT)")
+          .as("ssb"),
+        expr("CAST(sxx - sum_t AS DECIMAL(38,0))").cast("long").as("ssw"))
+      .select(col("k"), col("n"), col("ssb"), col("ssw"),
+        expr("""CASE WHEN k > 1 AND n > k AND ssw > 0 THEN
+               |  CAST(round((CAST(ssb AS DOUBLE) / (k - 1))
+               |    / (CAST(ssw AS DOUBLE) / (n - k)) * 10000) AS BIGINT)
+               |END""".stripMargin).as("f_e4"),
+        expr("""CASE WHEN ssb + ssw > 0 THEN
+               |  CAST(CAST(ssb AS DECIMAL(38,0)) * 1000000 div (ssb + ssw)
+               |    AS BIGINT)
+               |END""".stripMargin).as("eta2_e6"))
+  }
+
+  /** DuckDB twin of [[anovaF]] — identical per-group quantization and
+    * shared F literal.
+    */
+  def anovaFOracleSql: String =
+    """WITH per AS (
+      |  SELECT o_custkey,
+      |    (sum((o_totalprice::DECIMAL(18,2) * 100)::BIGINT) // 100)::BIGINT
+      |      AS x,
+      |    any_value(c_nationkey) AS nation
+      |  FROM orders JOIN customer ON c_custkey = o_custkey
+      |  GROUP BY 1),
+      |grp AS (
+      |  SELECT CAST(round(sg::DOUBLE * sg / ng) AS BIGINT) AS t, sg, ng
+      |  FROM (SELECT nation, sum(x)::BIGINT AS sg, count(*)::BIGINT AS ng
+      |        FROM per GROUP BY 1)),
+      |g AS (
+      |  SELECT count(*)::BIGINT AS k, sum(ng)::BIGINT AS n,
+      |    sum(sg)::BIGINT AS s, sum(t)::BIGINT AS sum_t
+      |  FROM grp),
+      |xx AS (SELECT sum(x::HUGEINT * x) AS sxx FROM per),
+      |parts AS (
+      |  SELECT k, n,
+      |    (sum_t - CAST(round(s::DOUBLE * s / n) AS BIGINT))::BIGINT AS ssb,
+      |    CAST(sxx - sum_t AS BIGINT) AS ssw
+      |  FROM g CROSS JOIN xx)
+      |SELECT k, n, ssb, ssw,
+      |  (CASE WHEN k > 1 AND n > k AND ssw > 0 THEN
+      |    CAST(round((ssb::DOUBLE / (k - 1))
+      |      / (ssw::DOUBLE / (n - k)) * 10000) AS BIGINT)
+      |  END) AS f_e4,
+      |  (CASE WHEN ssb + ssw > 0 THEN
+      |    ssb::HUGEINT * 1000000 // (ssb + ssw) END)::BIGINT AS eta2_e6
+      |FROM parts""".stripMargin
+
   /** DuckDB twin of [[theilDecomposition]] — identical per-term e6
     * quantization, HUGEINT weighted sums, truncating division.
     */

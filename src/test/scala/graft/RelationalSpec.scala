@@ -477,6 +477,33 @@ class RelationalSpec extends SparkTestBase {
     assert(g1.getAs[Long]("gini_e6") == 250000L)
   }
 
+  test("anovaF: identical groups score F=0; a separated group hand-computes") {
+    import spark.implicits._
+    // two nations, per-customer spends (in whole dollars): nation 1 ->
+    // (1, 3), nation 2 -> (5, 7). S1=4, S2=12, S=16, n=4, k=2.
+    // terms: 4^2/2=8, 12^2/2=72; c=16^2/4=64; SSB=80-64=16;
+    // sxx=1+9+25+49=84; SSW=84-80=4; F=(16/1)/(4/2)=8 -> 80000;
+    // eta2 = 16e6 div 20 = 800000
+    val orders = Seq((1L, 1.0), (2L, 3.0), (3L, 5.0), (4L, 7.0))
+      .toDF("o_custkey", "o_totalprice")
+    val customer = Seq((1L, 1L), (2L, 1L), (3L, 2L), (4L, 2L))
+      .toDF("c_custkey", "c_nationkey")
+    val r = graft.ops.Relational.anovaF(orders, customer).collect().head
+    assert(r.getAs[Long]("k") == 2L && r.getAs[Long]("n") == 4L)
+    assert(r.getAs[Long]("ssb") == 16L && r.getAs[Long]("ssw") == 4L)
+    assert(r.getAs[Long]("f_e4") == 80000L)
+    assert(r.getAs[Long]("eta2_e6") == 800000L)
+
+    // same distribution in both nations -> SSB = 0, F = 0
+    val cust2 = Seq((1L, 1L), (2L, 2L), (3L, 1L), (4L, 2L))
+      .toDF("c_custkey", "c_nationkey")
+    val orders2 = Seq((1L, 2.0), (2L, 2.0), (3L, 6.0), (4L, 6.0))
+      .toDF("o_custkey", "o_totalprice")
+    val r2 = graft.ops.Relational.anovaF(orders2, cust2).collect().head
+    assert(r2.getAs[Long]("ssb") == 0L)
+    assert(r2.getAs[Long]("f_e4") == 0L)
+  }
+
   test("goldenRecords: most-recent-wins survivorship, additive sums, min first-seen") {
     import spark.implicits._
     import java.sql.Timestamp
