@@ -400,6 +400,35 @@ class StreamingSpec extends SparkTestBase {
     } finally if (q.isActive) q.stop()
   }
 
+  test("AvailableNow drains a multi-file backlog in bounded batches and self-terminates") {
+    // the catch-up posture at 100 TB: a restarted job finds a deep
+    // backlog and must drain it in BOUNDED batches (maxFilesPerTrigger
+    // caps per-batch work so no single batch needs backlog-sized
+    // memory), then stop on its own — no always-on cluster for batch
+    // catch-up. AvailableNow + the cap is exactly that contract.
+    val dir = java.nio.file.Files.createTempDirectory("graft_avnow").toString
+    val srcDir = s"$dir/in"; val outDir = s"$dir/out"; val ckpt = s"$dir/ckpt"
+    new java.io.File(srcDir).mkdirs()
+    (1 to 3).foreach { i =>
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$srcDir/backlog$i.jsonl"),
+        msg1.replace("test-dag-001", s"test-dag-a$i") + "\n" +
+          msg2.replace("test-dag-002", s"test-dag-b$i") + "\n")
+    }
+    val src = spark.readStream.format("text")
+      .option("maxFilesPerTrigger", 1).load(srcDir)
+    val q = Pipeline.startSink(Pipeline.process(src), outDir, ckpt,
+      trigger = Trigger.AvailableNow())
+    try {
+      q.awaitTermination(120000)
+      assert(!q.isActive, "AvailableNow must stop on its own")
+      // the cap held: the drain took one batch per file
+      val batches = q.recentProgress.count(_.numInputRows > 0)
+      assert(batches == 3, s"expected 3 bounded batches, saw $batches")
+      assert(spark.read.parquet(outDir).count() == 6)
+    } finally if (q.isActive) q.stop()
+  }
+
   test("transformWithState running counts (RocksDB state store)") {
     implicit val ctx = spark.sqlContext
     // the transformWithState API requires the RocksDB provider — state
