@@ -1112,6 +1112,8 @@ object SparkEntry {
     "q_logrank" -> ((s, d) => Analytics.logRank(Analytics.events(s, d))),
     // Spearman rho on x2 mid-ranks: tie-aware engagement-vs-spend monotony
     "q_spearman" -> ((s, d) => Analytics.spearman(Analytics.events(s, d))),
+    // Mann-Kendall: is there a monotone trend at all (Theil-Sen's test twin)
+    "q_mann_kendall" -> ((s, d) => Analytics.mannKendall(Analytics.events(s, d))),
     "q_user_sessions" -> ((s, d) => Analytics.userSessions(Analytics.events(s, d))),
     // one summary row over the session table (exact integer means)
     "q_session_stats" -> ((s, d) => Analytics.sessionStats(Analytics.events(s, d))),
@@ -1976,6 +1978,7 @@ object SparkEntry {
     "q_gini" -> Relational.giniCoefficientOracleSql,
     "q_logrank" -> Analytics.logRankOracleSql(),
     "q_spearman" -> Analytics.spearmanOracleSql,
+    "q_mann_kendall" -> Analytics.mannKendallOracleSql,
     "q_theil_decomposition" -> Relational.theilDecompositionOracleSql,
     "q_fk_orphans" -> Relational.fkOrphansOracleSql,
     "q_anova_f" -> Relational.anovaFOracleSql,

@@ -3136,6 +3136,74 @@ object Analytics {
       |  END) AS z_e4
       |FROM a""".stripMargin
 
+  /** MANN–KENDALL TREND TEST over the daily event-count series — the
+    * significance companion to [[theilSen]]: Theil–Sen ESTIMATES the
+    * robust slope, Mann–Kendall answers whether a monotone trend exists
+    * at all, distribution-free (no normality assumption a count series
+    * would violate). S = Σ_{i<j} sign(y_j − y_i) over time-ordered
+    * pairs; Var(S)·18 = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5) with the tie
+    * correction (tied counts happen on real traffic); z applies the
+    * standard continuity correction (S∓1).
+    *
+    * Exactness: S and 18·Var(S) are exact integers (pair signs and tie
+    * polynomial); z is one shared double literal (e4). Shape: the scan
+    * collapses onto the calendar-bounded day dimension; the O(days²)
+    * pair join and the tie aggregate run on that kilobyte frame — the
+    * [[theilSen]] cost envelope exactly.
+    */
+  def mannKendall(df: DataFrame): DataFrame = {
+    val daily = df.groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sPairs = daily.as("a")
+      .join(daily.as("b"), col("a.day") < col("b.day"))
+      .agg(coalesce(sum(signum(col("b.y") - col("a.y")).cast("long")),
+        lit(0L)).as("s"))
+    val ties = daily.groupBy(col("y")).agg(count(lit(1)).as("t"))
+      .agg(coalesce(sum(expr("t * (t - 1) * (2 * t + 5)")), lit(0L))
+        .as("tie_poly"))
+    val n = daily.agg(count(lit(1)).as("n"))
+    sPairs.crossJoin(broadcast(ties)).crossJoin(broadcast(n))
+      .select(col("n"), col("s"),
+        expr("n * (n - 1) * (2 * n + 5) - tie_poly").as("var_x18"))
+      .select(col("n"), col("s"), col("var_x18"),
+        expr("""CASE WHEN var_x18 > 0 THEN
+               |  CAST(round((CASE WHEN s > 0 THEN s - 1
+               |                   WHEN s < 0 THEN s + 1 ELSE 0 END)
+               |    / sqrt(CAST(var_x18 AS DOUBLE) / 18.0) * 10000)
+               |    AS BIGINT)
+               |END""".stripMargin).as("z_e4"))
+  }
+
+  /** DuckDB twin of [[mannKendall]] — identical pair signs, tie
+    * polynomial, and continuity-corrected z literal.
+    */
+  def mannKendallOracleSql: String =
+    """WITH daily AS (
+      |  SELECT ts::DATE AS day, count(*)::BIGINT AS y
+      |  FROM events GROUP BY 1),
+      |sp AS (
+      |  SELECT coalesce(sum(CASE WHEN b.y > a.y THEN 1
+      |                           WHEN b.y < a.y THEN -1 ELSE 0 END), 0)
+      |    ::BIGINT AS s
+      |  FROM daily a JOIN daily b ON a.day < b.day),
+      |tp AS (
+      |  SELECT coalesce(sum(t * (t - 1) * (2 * t + 5)), 0)::BIGINT
+      |    AS tie_poly
+      |  FROM (SELECT count(*)::BIGINT AS t FROM daily GROUP BY y)),
+      |nn AS (SELECT count(*)::BIGINT AS n FROM daily),
+      |g AS (
+      |  SELECT n, s, (n * (n - 1) * (2 * n + 5) - tie_poly)::BIGINT
+      |    AS var_x18
+      |  FROM sp CROSS JOIN tp CROSS JOIN nn)
+      |SELECT n, s, var_x18,
+      |  (CASE WHEN var_x18 > 0 THEN
+      |    CAST(round((CASE WHEN s > 0 THEN s - 1
+      |                     WHEN s < 0 THEN s + 1 ELSE 0 END)
+      |      / sqrt(var_x18::DOUBLE / 18.0) * 10000) AS BIGINT)
+      |  END) AS z_e4
+      |FROM g""".stripMargin
+
   /** Theil–Sen robust trend over the daily event-count series — the
     * outlier-immune twin of an OLS slope ([[seasonalDecompose]]'s trend
     * line): the median of all pairwise slopes (y_j−y_i)/(x_j−x_i),

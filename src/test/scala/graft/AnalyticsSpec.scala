@@ -380,6 +380,28 @@ class AnalyticsSpec extends SparkTestBase {
       (1L, 5L, Some(-10000L)), (2L, 4L, Some(10000L))))
   }
 
+  test("mannKendall: strictly rising series hand-computes; flat series has zero S and null z on zero variance") {
+    val day = 86400L * 1000000L
+    // daily counts 1,2,3,4 -> all 6 pairs positive: S = 6; no ties:
+    // var*18 = 4*3*13 = 156; z = (6-1)/sqrt(156/18) = 5/2.94392 = 1.6984
+    val rising = (0 until 4).flatMap { d =>
+      (0 to d).map(i => ((d * 10 + i).toLong, ts(d * day + i * 1000000L)))
+    }.toDF("event_id", "ts")
+    val r = Analytics.mannKendall(rising).collect().head
+    assert(r.getAs[Long]("n") == 4L)
+    assert(r.getAs[Long]("s") == 6L)
+    assert(r.getAs[Long]("var_x18") == 156L)
+    assert(r.getAs[Long]("z_e4") == 16984L)
+    // constant series: S = 0 and the tie polynomial cancels the
+    // variance entirely -> z must be NULL, not a 0/0
+    val flat = (0 until 3).map(d => (d.toLong, ts(d * day)))
+      .toDF("event_id", "ts")
+    val f = Analytics.mannKendall(flat).collect().head
+    assert(f.getAs[Long]("s") == 0L)
+    assert(f.getAs[Long]("var_x18") == 0L)
+    assert(f.isNullAt(f.fieldIndex("z_e4")))
+  }
+
   test("spearman: perfect monotone nonlinear relation scores 1; ties get averaged mid-ranks") {
     // users 1..4: counts 1,2,3,4 with spends 1,8,27,64 (monotone,
     // non-linear -> Pearson < 1, Spearman exactly 1)
