@@ -405,6 +405,8 @@ object SparkEntry {
     // chi-square independence of event_type × day-of-week: contingency
     // collapse first, exact integer contributions
     "q_chi_square" -> ((s, d) => Analytics.chiSquare(Analytics.events(s, d))),
+    // Cramer's V: the effect size of the type x day-of-week association
+    "q_cramers_v" -> ((s, d) => Analytics.cramersV(Analytics.events(s, d))),
     // week-over-week growth: collapse to the week dimension before the LAG
     "q_revenue_growth" -> ((s, d) =>
       Relational.revenueGrowth(Relational.table(s, d, "orders"))),
@@ -1710,6 +1712,27 @@ object SparkEntry {
       |  (sum(y) * 10000 // count(*))::BIGINT AS frac_pos_e4
       |FROM s GROUP BY 1 ORDER BY bin""".stripMargin
 
+  /** The q_chi_square contingency SQL — shared with q_cramers_v so the
+    * two cannot drift on what the contingency table is.
+    */
+  private val chiSquareOracle: String =
+    """WITH cells AS (
+      |  SELECT event_type, (dayofweek(ts) + 1)::BIGINT AS dow,
+      |    count(*)::BIGINT AS o
+      |  FROM events GROUP BY 1, 2),
+      |m AS (
+      |  SELECT event_type, dow, o,
+      |    sum(o) OVER (PARTITION BY event_type) AS rt,
+      |    sum(o) OVER (PARTITION BY dow) AS ct,
+      |    sum(o) OVER () AS n
+      |  FROM cells)
+      |SELECT event_type, dow, o AS observed,
+      |  ((rt::HUGEINT * ct * 10000) // n)::BIGINT AS expected_e4,
+      |  (((o::HUGEINT * n - rt::HUGEINT * ct)
+      |    * (o::HUGEINT * n - rt::HUGEINT * ct) * 1000000)
+      |   // (n::HUGEINT * rt * ct))::BIGINT AS contrib_e6
+      |FROM m ORDER BY event_type, dow""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     // catalog introspection: DuckDB builds the 19-col sink twin and reads
     // its own information_schema.columns; the CASE maps DuckDB type names
@@ -2021,23 +2044,8 @@ object SparkEntry {
         |       ELSE 3 * any_value(n_triangles) * 10000 // sum(d * (d - 1) // 2)
         |  END::BIGINT AS clustering_e4
         |FROM deg CROSS JOIN tri""".stripMargin,
-    "q_chi_square" ->
-      """WITH cells AS (
-        |  SELECT event_type, (dayofweek(ts) + 1)::BIGINT AS dow,
-        |    count(*)::BIGINT AS o
-        |  FROM events GROUP BY 1, 2),
-        |m AS (
-        |  SELECT event_type, dow, o,
-        |    sum(o) OVER (PARTITION BY event_type) AS rt,
-        |    sum(o) OVER (PARTITION BY dow) AS ct,
-        |    sum(o) OVER () AS n
-        |  FROM cells)
-        |SELECT event_type, dow, o AS observed,
-        |  ((rt::HUGEINT * ct * 10000) // n)::BIGINT AS expected_e4,
-        |  (((o::HUGEINT * n - rt::HUGEINT * ct)
-        |    * (o::HUGEINT * n - rt::HUGEINT * ct) * 1000000)
-        |   // (n::HUGEINT * rt * ct))::BIGINT AS contrib_e6
-        |FROM m ORDER BY event_type, dow""".stripMargin,
+    "q_chi_square" -> chiSquareOracle,
+    "q_cramers_v" -> Analytics.cramersVOracleSql(chiSquareOracle),
     "q_revenue_growth" ->
       """WITH weekly AS (
         |  SELECT date_trunc('week', o_orderdate) AS week,

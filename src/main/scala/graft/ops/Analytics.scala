@@ -1465,6 +1465,65 @@ object Analytics {
       .orderBy(col("event_type"), col("dow"))
   }
 
+  /** CRAMÉR'S V over the [[chiSquare]] contingency table — the effect
+    * size that belongs to the independence test (the Cohen's-d / η²
+    * pattern: χ² says the type×day-of-week association is non-random,
+    * V = sqrt(χ²/(n·min(r−1,c−1))) ∈ [0,1] says whether it MATTERS —
+    * at corpus n, trivial associations reach significance).
+    *
+    * Exactness: the per-cell contributions are [[chiSquare]]'s exact
+    * e6 integers summed exactly; ZERO cells (type×dow combinations with
+    * no events — [[chiSquare]] emits observed cells only) contribute
+    * exactly their expected mass E each, and Σ_full E = n, so the
+    * zero-cell term is n·10⁶ − Σ_observed expected_e4·100 — recovered
+    * from the emitted columns, identically in both engines; r, c, n are
+    * exact counts; V is one shared double literal (e4). Shape: the same
+    * (type, dow) cell collapse, then 1-row arithmetic.
+    */
+  def cramersV(df: DataFrame): DataFrame = {
+    val cells = chiSquare(df)
+    cells.agg(
+        sum(col("observed")).as("n"),
+        countDistinct(col("event_type")).as("r"),
+        countDistinct(col("dow")).as("c"),
+        sum(col("contrib_e6")).as("obs_e6"),
+        sum(col("expected_e4")).as("exp_e4"))
+      .select(col("n"), col("r"), col("c"),
+        expr("obs_e6 + greatest(0L, n * 1000000 - exp_e4 * 100)")
+          .as("chi2_e6"))
+      .select(col("n"), col("r"), col("c"), col("chi2_e6"),
+        expr("""CASE WHEN n > 0 AND least(r - 1, c - 1) > 0 THEN
+               |  CAST(round(sqrt(CAST(chi2_e6 AS DOUBLE) / 1000000
+               |      / (CAST(n AS DOUBLE) * least(r - 1, c - 1))) * 10000)
+               |    AS BIGINT)
+               |END""".stripMargin).as("v_e4"))
+  }
+
+  /** DuckDB twin of [[cramersV]] — wraps the q_chi_square cell SQL so
+    * the contingency construction cannot drift, then the same V
+    * literal.
+    */
+  def cramersVOracleSql(chiSquareSql: String): String =
+    s"""WITH cells AS ($chiSquareSql),
+       |g0 AS (
+       |  SELECT sum(observed)::BIGINT AS n,
+       |    count(DISTINCT event_type)::BIGINT AS r,
+       |    count(DISTINCT dow)::BIGINT AS c,
+       |    sum(contrib_e6)::BIGINT AS obs_e6,
+       |    sum(expected_e4)::BIGINT AS exp_e4
+       |  FROM cells),
+       |g AS (
+       |  SELECT n, r, c,
+       |    (obs_e6 + greatest(0, n * 1000000 - exp_e4 * 100))::BIGINT
+       |      AS chi2_e6
+       |  FROM g0)
+       |SELECT n, r, c, chi2_e6,
+       |  (CASE WHEN n > 0 AND least(r - 1, c - 1) > 0 THEN
+       |    CAST(round(sqrt(chi2_e6::DOUBLE / 1000000
+       |        / (n::DOUBLE * least(r - 1, c - 1))) * 10000) AS BIGINT)
+       |  END) AS v_e4
+       |FROM g""".stripMargin
+
   /** PURE non-equi interval join — the operator class the equi-keyed
     * attribution join ([[purchaseAttribution]]) and the as-of union-scan
     * ([[asofLastView]]) both sidestep: points (all events) joined into

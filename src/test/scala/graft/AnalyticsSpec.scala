@@ -380,6 +380,29 @@ class AnalyticsSpec extends SparkTestBase {
       (1L, 5L, Some(-10000L)), (2L, 4L, Some(10000L))))
   }
 
+  test("cramersV: a perfectly type-determined day reads V = 1; independence reads 0") {
+    val day = 86400L * 1000000L
+    // 2x2, perfect association: type a only on Sunday-epoch day 3,
+    // type b only on day 4 (different dow); chi2 = n, V = 1
+    val perfect = Seq(
+      (1L, "a", ts(3 * day)), (2L, "a", ts(3 * day + 1000000L)),
+      (3L, "b", ts(4 * day)), (4L, "b", ts(4 * day + 1000000L))
+    ).toDF("event_id", "event_type", "ts")
+    val r = Analytics.cramersV(perfect).collect().head
+    assert(r.getAs[Long]("n") == 4L)
+    assert(r.getAs[Long]("r") == 2L && r.getAs[Long]("c") == 2L)
+    assert(r.getAs[Long]("v_e4") == 10000L)
+    // identical type mix on both days -> every cell matches its
+    // expectation exactly -> chi2 = 0, V = 0
+    val indep = Seq(
+      (1L, "a", ts(3 * day)), (2L, "b", ts(3 * day + 1000000L)),
+      (3L, "a", ts(4 * day)), (4L, "b", ts(4 * day + 1000000L))
+    ).toDF("event_id", "event_type", "ts")
+    val i = Analytics.cramersV(indep).collect().head
+    assert(i.getAs[Long]("chi2_e6") == 0L)
+    assert(i.getAs[Long]("v_e4") == 0L)
+  }
+
   test("mannKendall: strictly rising series hand-computes; flat series has zero S and null z on zero variance") {
     val day = 86400L * 1000000L
     // daily counts 1,2,3,4 -> all 6 pairs positive: S = 6; no ties:
