@@ -817,7 +817,11 @@ object Relational {
       val stats = keys.agg(
         count(lit(1)).as("n_child_rows"),
         countDistinct(col("k")).as("n_child_keys"),
-        sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_null"))
+        // coalesce: on an EMPTY child sum() is NULL while the oracle's
+        // filtered count(*) reads 0 — the null-where-contract-says-count
+        // bug class the empty-input sweep exists to catch
+        coalesce(sum(when(col("k").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("n_null"))
       val orphans = keys.filter(col("k").isNotNull)
         .join(parent.select(col(parentKey).as("k")), Seq("k"), "left_anti")
         .agg(count(lit(1)).as("n_orphan_rows"),

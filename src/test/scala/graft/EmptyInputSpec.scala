@@ -417,4 +417,47 @@ class EmptyInputSpec extends SparkTestBase {
       .count() == 0)
     assert(graft.ops.Analytics.cohensD(noEventsFull).count() == 0)
   }
+  test("round-10 close additions survive empty inputs") {
+    // document plane
+    assert(TextAnalysis.negativeSamplingTable(noDocs).count() == 0)
+    val alpha = TextAnalysis.krippendorffAlpha(noDocs).collect().head
+    assert(alpha.isNullAt(alpha.fieldIndex("alpha_e6")))
+    val mc = TextAnalysis.mcnemar(noDocs).collect().head
+    assert(mc.getAs[Long]("n") == 0L)
+    assert(mc.isNullAt(mc.fieldIndex("chi2_e4")))
+    // event plane: 1-row statistics stay well-formed (counts real,
+    // statistic NULL), dimension outputs stay empty
+    assert(Analytics.crossCorrelation(noEvents).count() == 0)
+    val sp = Analytics.spearman(noEvents).collect().head
+    assert(sp.getAs[Long]("n") == 0L && sp.isNullAt(sp.fieldIndex("rho_e4")))
+    val mk = Analytics.mannKendall(noEvents).collect().head
+    assert(mk.getAs[Long]("n") == 0L && mk.getAs[Long]("s") == 0L &&
+      mk.isNullAt(mk.fieldIndex("z_e4")))
+    val cv = Analytics.cramersV(noEvents).collect().head
+    assert(cv.isNullAt(cv.fieldIndex("v_e4")))
+    val lr = Analytics.logRank(noEvents).collect().head
+    assert(lr.isNullAt(lr.fieldIndex("chi2_e4")))
+    assert(graft.ops.Identity.goldenRecords(noEvents).count() == 0)
+    // relational plane
+    val noOrders = Seq.empty[(Long, Long, Double)]
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val noCust = Seq.empty[(Long, Long)].toDF("c_custkey", "c_nationkey")
+    assert(graft.ops.Relational.theilDecomposition(noOrders, noCust)
+      .count() == 0)
+    val af = graft.ops.Relational.anovaF(noOrders, noCust).collect().head
+    assert(af.getAs[Long]("k") == 0L && af.isNullAt(af.fieldIndex("f_e4")))
+    val noLi10 = Seq.empty[(Long, Long)].toDF("l_orderkey", "l_partkey")
+    assert(graft.ops.Graph.localClusteringFromPairs(
+      graft.ops.Relational.partPairCounts(noLi10, 2)).count() == 0)
+    val noPart10 = Seq.empty[(Long, String)].toDF("p_partkey", "p_name")
+    val noNation10 = Seq.empty[(Long, String)].toDF("n_nationkey", "n_name")
+    val fk = graft.ops.Relational.fkOrphans(
+      noLi10.withColumn("l_partkey", $"l_partkey"),
+      noOrders, noCust.withColumnRenamed("c_nationkey", "c_nationkey"),
+      noPart10, noNation10).collect()
+    assert(fk.length == 4 && fk.forall(r =>
+      r.getAs[Long]("n_child_rows") == 0L && r.getAs[Long]("n_null") == 0L
+        && r.getAs[Long]("n_orphan_rows") == 0L))
+  }
+
 }
