@@ -336,6 +336,10 @@ object SparkEntry {
     "q_anova_f" -> ((s, d) =>
       Relational.anovaF(Relational.table(s, d, "orders"),
         Relational.table(s, d, "customer"))),
+    // Kruskal-Wallis: the rank-based k-group test (heavy tails welcome)
+    "q_kruskal_wallis" -> ((s, d) =>
+      Relational.kruskalWallis(Relational.table(s, d, "orders"),
+        Relational.table(s, d, "customer"))),
     "q_fk_orphans" -> ((s, d) =>
       Relational.fkOrphans(Relational.table(s, d, "lineitem"),
         Relational.table(s, d, "orders"),
@@ -2005,6 +2009,7 @@ object SparkEntry {
     "q_theil_decomposition" -> Relational.theilDecompositionOracleSql,
     "q_fk_orphans" -> Relational.fkOrphansOracleSql,
     "q_anova_f" -> Relational.anovaFOracleSql,
+    "q_kruskal_wallis" -> Relational.kruskalWallisOracleSql,
     "q_cross_correlation" -> Analytics.crossCorrelationOracleSql(),
     "q_negative_sampling" -> TextAnalysis.negativeSamplingTableOracleSql(),
     "q_ips_ess" -> Analytics.ipsEssOracleSql,

@@ -986,6 +986,87 @@ object Relational {
                |END""".stripMargin).as("eta2_e6"))
   }
 
+  /** KRUSKAL–WALLIS H across nations on per-customer spend — the
+    * rank-based k-group test completing the inference quadrant:
+    * [[graft.ops.Analytics.mannWhitney]] is the 2-arm rank test,
+    * [[anovaF]] the parametric k-group test; KW is what a heavy-tailed
+    * spend distribution actually calls for (ANOVA's F leans on
+    * normality that cents data violates). ×2 mid-ranks over the global
+    * spend value domain (the [[graft.ops.Analytics.spearman]]
+    * machinery), H = 3·Σ_g(R2_g²/n_g)/(n(n+1)) − 3(n+1) on the doubled
+    * ranks, divided by the tie correction 1 − Σ(t³−t)/(n³−n).
+    *
+    * Exactness: rank sums and the tie polynomial are exact integers;
+    * each group's R2_g²/n_g quantizes per group before the sum; H and
+    * the correction are one shared double literal (e4).
+    *
+    * Shape: one fact collapse, broadcast nation attach, a value-domain
+    * rank window, nation-dimension aggregates, 1-row statistic.
+    */
+  def kruskalWallis(orders: DataFrame, customer: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = orders.groupBy(col("o_custkey"))
+      .agg(sum((money("o_totalprice") * 100).cast("long")).as("x"))
+      .join(broadcastIfSmall(customer.select(col("c_custkey").as("o_custkey"),
+        col("c_nationkey").as("nation"))), "o_custkey")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val w = Window.orderBy(col("x")).rowsBetween(Window.unboundedPreceding, -1)
+    val ranks = per.groupBy(col("x")).agg(count(lit(1)).as("cnt"))
+      .withColumn("below", coalesce(sum(col("cnt")).over(w), lit(0L)))
+      .select(col("x"), col("cnt"),
+        (lit(2L) * col("below") + col("cnt") + 1L).as("r2"))
+    val groups = per.join(ranks.select(col("x"), col("r2")), "x")
+      .groupBy(col("nation"))
+      .agg(sum(col("r2")).as("r2g"), count(lit(1)).as("ng"))
+      .select(expr("CAST(round(CAST(r2g AS DOUBLE) * r2g / ng) AS BIGINT)")
+        .as("t"), col("ng"))
+    val ties = ranks.agg(coalesce(
+      sum(expr("cnt * cnt * cnt - cnt")), lit(0L)).as("tie_poly"))
+    groups.agg(count(lit(1)).as("k"), sum(col("ng")).as("n"),
+        sum(col("t")).as("sum_t"))
+      .crossJoin(broadcast(ties))
+      .select(col("k"), col("n"), col("tie_poly"),
+        expr("""CASE WHEN n > k AND k > 1
+               |  AND n * n * n - n > tie_poly THEN
+               |  CAST(round((3.0 * sum_t / (CAST(n AS DOUBLE) * (n + 1))
+               |      - 3.0 * (n + 1))
+               |    / (1.0 - CAST(tie_poly AS DOUBLE) / (CAST(n AS DOUBLE) * n * n - n))
+               |    * 10000) AS BIGINT)
+               |END""".stripMargin).as("h_e4"))
+  }
+
+  /** DuckDB twin of [[kruskalWallis]] — identical ×2 mid-ranks,
+    * per-group quantization, and shared H literal.
+    */
+  def kruskalWallisOracleSql: String =
+    """WITH per AS (
+      |  SELECT o_custkey,
+      |    sum((o_totalprice::DECIMAL(18,2) * 100)::BIGINT)::BIGINT AS x,
+      |    any_value(c_nationkey) AS nation
+      |  FROM orders JOIN customer ON c_custkey = o_custkey
+      |  GROUP BY 1),
+      |ranks AS (
+      |  SELECT x, cnt,
+      |    2 * coalesce(sum(cnt) OVER (ORDER BY x
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |    + cnt + 1 AS r2
+      |  FROM (SELECT x, count(*)::BIGINT AS cnt FROM per GROUP BY x)),
+      |grp AS (
+      |  SELECT CAST(round(r2g::DOUBLE * r2g / ng) AS BIGINT) AS t, ng
+      |  FROM (SELECT nation, sum(r2)::BIGINT AS r2g, count(*)::BIGINT AS ng
+      |        FROM per JOIN ranks USING (x) GROUP BY nation)),
+      |tp AS (SELECT coalesce(sum(cnt * cnt * cnt - cnt), 0)::BIGINT
+      |         AS tie_poly FROM ranks),
+      |g AS (SELECT count(*)::BIGINT AS k, sum(ng)::BIGINT AS n,
+      |        sum(t)::BIGINT AS sum_t FROM grp)
+      |SELECT k, n, tie_poly,
+      |  (CASE WHEN n > k AND k > 1 AND n * n * n - n > tie_poly THEN
+      |    CAST(round((3.0 * sum_t / (n::DOUBLE * (n + 1)) - 3.0 * (n + 1))
+      |      / (1.0 - tie_poly::DOUBLE / (n::DOUBLE * n * n - n))
+      |      * 10000) AS BIGINT)
+      |  END) AS h_e4
+      |FROM g CROSS JOIN tp""".stripMargin
+
   /** DuckDB twin of [[anovaF]] — identical per-group quantization and
     * shared F literal.
     */

@@ -477,6 +477,28 @@ class RelationalSpec extends SparkTestBase {
     assert(g1.getAs[Long]("gini_e6") == 250000L)
   }
 
+  test("kruskalWallis: perfectly separated groups hand-compute; one-group and empty inputs stay null") {
+    import spark.implicits._
+    // nations 1,2 with spends (1,3) and (5,7) dollars: no ties, ranks
+    // 1..4 (x2: 2,4,6,8). R2_1 = 6, R2_2 = 14; terms 18, 98; n=4, k=2.
+    // H = 3*116/(4*5) - 3*5 = 17.4 - 15 = 2.4; no ties -> C = 1 -> 24000
+    val orders = Seq((1L, 1.0), (2L, 3.0), (3L, 5.0), (4L, 7.0))
+      .toDF("o_custkey", "o_totalprice")
+    val customer = Seq((1L, 1L), (2L, 1L), (3L, 2L), (4L, 2L))
+      .toDF("c_custkey", "c_nationkey")
+    val r = graft.ops.Relational.kruskalWallis(orders, customer)
+      .collect().head
+    assert(r.getAs[Long]("k") == 2L && r.getAs[Long]("n") == 4L)
+    assert(r.getAs[Long]("tie_poly") == 0L)
+    assert(r.getAs[Long]("h_e4") == 24000L)
+    // all spends identical -> total ties cancel the correction -> NULL
+    val flat = Seq((1L, 2.0), (2L, 2.0), (3L, 2.0), (4L, 2.0))
+      .toDF("o_custkey", "o_totalprice")
+    val f = graft.ops.Relational.kruskalWallis(flat, customer)
+      .collect().head
+    assert(f.isNullAt(f.fieldIndex("h_e4")))
+  }
+
   test("anovaF: identical groups score F=0; a separated group hand-computes") {
     import spark.implicits._
     // two nations, per-customer spends (in whole dollars): nation 1 ->
