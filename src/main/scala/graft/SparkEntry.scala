@@ -29,7 +29,11 @@ object SparkEntry {
     * ~8 s of the round-5 bench. This is also the honest 100 TB shape: a
     * dedup run materializes its pair set exactly once and threads it
     * through clustering, audits, and curation. persist() keeps query
-    * CONSTRUCTION job-free; the cache populates at the first action.
+    * CONSTRUCTION job-free; the cache populates at the first action —
+    * EXCEPT for eagerly-materialized shared frames (lpa_labels, whose
+    * localCheckpoint(true) loop runs its propagation rounds as jobs at
+    * construction of the first consumer), so bench timing attributes
+    * that trajectory build to whichever consumer runs first.
     */
   private val sharedFrames = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String, String), DataFrame]
@@ -331,7 +335,6 @@ object SparkEntry {
     "q_theil_decomposition" -> ((s, d) =>
       Relational.theilDecomposition(Relational.table(s, d, "orders"),
         Relational.table(s, d, "customer"))),
-    // referential-integrity audit over the star schema's four FK edges
     // one-way ANOVA F + eta^2: do the 25 nations differ in spend at all
     "q_anova_f" -> ((s, d) =>
       Relational.anovaF(Relational.table(s, d, "orders"),
@@ -340,6 +343,7 @@ object SparkEntry {
     "q_kruskal_wallis" -> ((s, d) =>
       Relational.kruskalWallis(Relational.table(s, d, "orders"),
         Relational.table(s, d, "customer"))),
+    // referential-integrity audit over the star schema's four FK edges
     "q_fk_orphans" -> ((s, d) =>
       Relational.fkOrphans(Relational.table(s, d, "lineitem"),
         Relational.table(s, d, "orders"),

@@ -1048,7 +1048,12 @@ object Graph {
     * past the fixpoint, so any `rounds` ≥ the graph diameter yields the
     * identical labels; rounds past convergence are cheap no-ops for the
     * optimizer). Edge counts attach on the u endpoint, whose label
-    * equals its component's by fixpoint.
+    * equals its component's by fixpoint. Fixpoint GUARD: a trailing
+    * UNION ALL emits a sentinel (-1, -1, n_changed) row iff the last
+    * two layers still differ — a diameter > `rounds` graph then breaks
+    * the row-count/hash compare loudly (the Spark side throws on
+    * non-convergence; without this the oracle would silently bless
+    * wrong labels).
     */
   def connectedComponentsOracleSql(
       minSupport: Long = 2, rounds: Int = 24): String = {
@@ -1080,6 +1085,12 @@ object Graph {
        |  coalesce(ce.n_edges, 0)::BIGINT AS n_edges
        |FROM l$rounds l LEFT JOIN ce ON ce.component_id = l.label
        |GROUP BY l.label, ce.n_edges
+       |UNION ALL
+       |SELECT (-1)::BIGINT AS component_id, (-1)::BIGINT AS n_nodes,
+       |  count(*)::BIGINT AS n_edges
+       |FROM l$rounds a JOIN l${rounds - 1} b ON a.node = b.node
+       |WHERE a.label <> b.label
+       |HAVING count(*) > 0
        |ORDER BY n_nodes DESC, component_id""".stripMargin
   }
 }

@@ -842,7 +842,13 @@ object Relational {
       .orderBy(col("fk_edge"))
   }
 
-  /** DuckDB twin of [[fkOrphans]] — the same four anti-join audits. */
+  /** DuckDB twin of [[fkOrphans]] — the same four anti-join audits.
+    * NOT EXISTS, never NOT IN: a single NULL parent key makes NOT IN
+    * three-valued-logic its way to zero rows, silently reading "no
+    * orphans" on exactly the corruption class this audit exists to
+    * detect; NOT EXISTS is the faithful anti-join twin of the Spark
+    * `left_anti` side.
+    */
   def fkOrphansOracleSql: String = {
     def edge(tag: String, child: String, childKey: String,
         parent: String, parentKey: String): String =
@@ -853,11 +859,15 @@ object Relational {
          |  (SELECT count(*) FROM $child WHERE $childKey IS NULL)::BIGINT
          |    AS n_null,
          |  (SELECT count(*) FROM $child
-         |   WHERE $childKey IS NOT NULL AND $childKey NOT IN
-         |     (SELECT $parentKey FROM $parent))::BIGINT AS n_orphan_rows,
+         |   WHERE $childKey IS NOT NULL AND NOT EXISTS
+         |     (SELECT 1 FROM $parent
+         |      WHERE $parent.$parentKey = $child.$childKey))::BIGINT
+         |    AS n_orphan_rows,
          |  (SELECT count(DISTINCT $childKey) FROM $child
-         |   WHERE $childKey IS NOT NULL AND $childKey NOT IN
-         |     (SELECT $parentKey FROM $parent))::BIGINT AS n_orphan_keys"""
+         |   WHERE $childKey IS NOT NULL AND NOT EXISTS
+         |     (SELECT 1 FROM $parent
+         |      WHERE $parent.$parentKey = $child.$childKey))::BIGINT
+         |    AS n_orphan_keys"""
         .stripMargin
     Seq(
       edge("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",

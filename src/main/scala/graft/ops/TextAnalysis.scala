@@ -838,8 +838,12 @@ object TextAnalysis {
     * BIGINT, and with n_c the category marginals, n = Σ n_c:
     *   α = 1 − (n−1)·D_o2 / (2·(n² − Σ n_c²))
     * — one positive integer floor division, digit-exact in both
-    * engines. Documents with no tokens are excluded from ALL raters
-    * symmetrically (keeps m constant).
+    * engines. The (n−1)·D_o2·10⁶ numerator and the n² / Σ n_c² terms
+    * exceed 2⁶³ around ~700k documents, so they widen to
+    * DECIMAL(38,0) on the Spark side and HUGEINT in the oracle (the
+    * spearman/negativeSamplingTable discipline) — `div` semantics are
+    * unchanged (all terms positive). Documents with no tokens are
+    * excluded from ALL raters symmetrically (keeps m constant).
     *
     * Shape at 100 TB: ratings are three row-local projections of one
     * scan; n_uc is a (doc, category) aggregate; the coincidence matrix
@@ -874,14 +878,17 @@ object TextAnalysis {
     val marg = ratings.groupBy(col("cat")).agg(count(lit(1)).as("nc"))
       .agg(count(lit(1)).as("n_categories"),
         sum(col("nc")).as("n_ratings"),
-        sum(col("nc") * col("nc")).as("sum_nc_sq"))
+        sum(expr("CAST(nc AS DECIMAL(38,0)) * nc")).as("sum_nc_sq"))
     marg.crossJoin(broadcast(do2))
       .select(
         (col("n_ratings") / 3L).cast("long").as("n_units"),
         col("n_ratings"), col("n_categories"), col("d_o_x2"),
-        expr("""CASE WHEN n_ratings * n_ratings - sum_nc_sq = 0 THEN NULL
-               |  ELSE 1000000L - (n_ratings - 1) * d_o_x2 * 1000000L
-               |    div (2L * (n_ratings * n_ratings - sum_nc_sq))
+        expr("""CASE WHEN CAST(n_ratings AS DECIMAL(38,0)) * n_ratings
+               |    - sum_nc_sq = 0 THEN NULL
+               |  ELSE 1000000L - CAST(n_ratings - 1 AS DECIMAL(38,0))
+               |    * d_o_x2 * 1000000
+               |    div (2L * (CAST(n_ratings AS DECIMAL(38,0)) * n_ratings
+               |      - sum_nc_sq))
                |END""".stripMargin).as("alpha_e6"))
   }
 
@@ -918,13 +925,13 @@ object TextAnalysis {
       |marg AS (
       |  SELECT count(*)::BIGINT AS n_categories,
       |    sum(nc)::BIGINT AS n_ratings,
-      |    sum(nc * nc)::BIGINT AS sum_nc_sq
+      |    sum(nc::HUGEINT * nc)::HUGEINT AS sum_nc_sq
       |  FROM (SELECT cat, count(*)::BIGINT AS nc FROM ratings GROUP BY 1))
       |SELECT (n_ratings // 3)::BIGINT AS n_units, n_ratings, n_categories,
       |  d_o_x2,
-      |  (CASE WHEN n_ratings * n_ratings - sum_nc_sq = 0 THEN NULL
-      |    ELSE 1000000 - (n_ratings - 1) * d_o_x2 * 1000000
-      |      // (2 * (n_ratings * n_ratings - sum_nc_sq))
+      |  (CASE WHEN n_ratings::HUGEINT * n_ratings - sum_nc_sq = 0 THEN NULL
+      |    ELSE 1000000 - (n_ratings - 1)::HUGEINT * d_o_x2 * 1000000
+      |      // (2 * (n_ratings::HUGEINT * n_ratings - sum_nc_sq))
       |  END)::BIGINT AS alpha_e6
       |FROM marg CROSS JOIN do2""".stripMargin
 
