@@ -951,8 +951,15 @@ object SparkEntry {
     "q_golden_records" -> ((s, d) =>
       Identity.goldenRecords(Analytics.events(s, d))),
     // kNN hubness diagnostic: k-occurrence histogram with anti-hub zeros
+    // (sampleMod = 1 pins the exact form — it IS the oracle pair)
     "q_hubness" -> ((s, d) =>
-      Similarity.hubnessHistogram(Similarity.embeddings(s, d))),
+      Similarity.hubnessHistogram(Similarity.embeddings(s, d),
+        sampleMod = 1)),
+    // the 100 TB form of the same diagnostic: deterministic vec_id-mod
+    // sample bounds the all-pairs budget; oracle applies the same mod
+    "q_hubness_sampled" -> ((s, d) =>
+      Similarity.hubnessHistogram(Similarity.embeddings(s, d),
+        sampleMod = 4)),
     // k-core backbone: iterative peeling to the exact fixed point
     "q_kcore" -> ((s, d) => Graph.kCoreFromPairs(pairGraph(s, d))),
     // connected-component census: pointer-jumped min labels over the
@@ -963,8 +970,12 @@ object SparkEntry {
     "q_local_clustering" -> ((s, d) =>
       Graph.localClusteringFromPairs(pairGraph(s, d))),
     // density-relative outliers: LOF over e9-quantized cosine distances
+    // (sampleMod = 1 pins the exact form — it IS the oracle pair)
     "q_lof" -> ((s, d) =>
-      Similarity.lofOutliers(Similarity.embeddings(s, d))),
+      Similarity.lofOutliers(Similarity.embeddings(s, d), sampleMod = 1)),
+    // the 100 TB form: LOF scored against sampled local density
+    "q_lof_sampled" -> ((s, d) =>
+      Similarity.lofOutliers(Similarity.embeddings(s, d), sampleMod = 4)),
     // asymmetric near-dup: ordered n-gram containment pairs
     "q_containment" -> ((s, d) =>
       Dedup.containmentPairs(TextAnalysis.documents(s, d))),
@@ -4809,11 +4820,13 @@ object SparkEntry {
     "q_mutual_info" -> Modeling.mutualInfoOracleSql,
     "q_isotonic" -> Modeling.isotonicCalibrationOracleSql,
     "q_entity_resolution" -> Identity.entityResolutionOracleSql,
-    "q_hubness" -> Similarity.hubnessHistogramOracleSql,
+    "q_hubness" -> Similarity.hubnessHistogramOracleSql(),
+    "q_hubness_sampled" -> Similarity.hubnessHistogramOracleSql(sampleMod = 4),
     "q_kcore" -> Graph.kCoreOracleSql(),
     "q_connected_components" -> Graph.connectedComponentsOracleSql(),
     "q_local_clustering" -> Graph.localClusteringOracleSql(),
     "q_lof" -> Similarity.lofOutliersOracleSql(),
+    "q_lof_sampled" -> Similarity.lofOutliersOracleSql(sampleMod = 4),
     "q_containment" -> Dedup.containmentPairsOracleSql(),
     "q_sprt" -> Analytics.sprtTestOracleSql,
     "q_weighted_quantiles" -> Analytics.weightedQuantilesOracleSql,

@@ -1504,18 +1504,28 @@ object Similarity {
     * trusting [[bruteForceTopK]]/IVF recall numbers.
     *
     * Shape: all-vs-all exact kNN with the corpus itself as the query
-    * side — quadratic BY DEFINITION, so at 100 TB this diagnostic runs
-    * on a deterministic sample (vec_id-hash) sized to the budget, or on
-    * the IVF candidate graph; the histogram collapses everything to
-    * ≤ occ_max rows either way. The anti-hub row (occ = 0) comes from a
-    * right join back to the corpus — vectors appearing in no list are
-    * exactly the ones a count-only pass would silently drop.
+    * side — quadratic BY DEFINITION, so above `maxExactRows` this
+    * diagnostic runs on the deterministic vec_id-mod sample (the IVF
+    * `trainSampleMod` discipline, :246): `sampleMod = 0` (the default)
+    * counts the corpus once and picks the smallest power-of-two modulus
+    * that bounds the sampled side — at 100 TB the pair budget stays
+    * ~maxExactRows² no matter how the corpus grows, and the histogram
+    * still collapses to ≤ occ_max rows. `sampleMod = 1` forces the
+    * exact form (the oracle pair); `sampleMod ≥ 2` forces that rate.
+    * The anti-hub row (occ = 0) comes from a left join back to the
+    * (sampled) corpus — vectors appearing in no list are exactly the
+    * ones a count-only pass would silently drop.
     */
-  def hubnessHistogram(corpus: DataFrame, k: Int = 10): DataFrame = {
-    val occ = bruteForceTopK(corpus, corpus, k)
+  def hubnessHistogram(
+      corpus: DataFrame,
+      k: Int = 10,
+      sampleMod: Int = 0,
+      maxExactRows: Long = DiagExactMaxRows): DataFrame = {
+    val base = diagSample(corpus, sampleMod, maxExactRows)
+    val occ = bruteForceTopK(base, base, k)
       .groupBy(col("neighbor_id"))
       .agg(count(lit(1)).as("occ"))
-    corpus.select(col("vec_id"))
+    base.select(col("vec_id"))
       .join(occ, col("vec_id") === col("neighbor_id"), "left")
       .select(col("vec_id"), coalesce(col("occ"), lit(0L)).as("occ"))
       .groupBy(col("occ"))
@@ -1523,17 +1533,56 @@ object Similarity {
       .orderBy(col("occ"))
   }
 
-  /** DuckDB oracle for [[hubnessHistogram]] — the [[bruteForceTopK]]
-    * oracle's scoring with the full corpus as queries, folded to the
-    * same occurrence histogram (anti-hubs restored by the left join).
+  /** Quadratic-diagnostic budget: corpora at or under this row count run
+    * [[hubnessHistogram]]/[[lofOutliers]] exactly; above it the auto
+    * path (`sampleMod = 0`) samples down to ≤ this many rows.
     */
-  def hubnessHistogramOracleSql: String =
-    """WITH scored AS (
+  val DiagExactMaxRows: Long = 1024L
+
+  /** The deterministic id-sample the quadratic diagnostics run on:
+    * `sampleMod` ≥ 2 keeps `vec_id % sampleMod = 0` (the
+    * `trainSampleMod` discipline — reproducible across runs AND
+    * engines, so the sampled form stays oracle-pairable); 1 keeps
+    * everything; 0 auto-sizes via [[autoSampleMod]] (one bounded
+    * count() at plan-construction time).
+    */
+  private def diagSample(
+      corpus: DataFrame, sampleMod: Int, maxExactRows: Long): DataFrame = {
+    val m = if (sampleMod > 0) sampleMod else autoSampleMod(corpus, maxExactRows)
+    if (m > 1) corpus.filter(pmod(col("vec_id"), lit(m.toLong)) === 0L)
+    else corpus
+  }
+
+  /** Smallest power-of-two modulus m with n/m ≤ `maxRows` — the id-mod
+    * sample rate that holds a quadratic diagnostic to a fixed pair
+    * budget as the corpus grows (n = 10⁹, maxRows = 1024 → m = 2²⁰,
+    * ~10⁶ pairs instead of 10¹⁸).
+    */
+  def autoSampleMod(corpus: DataFrame, maxRows: Long): Int = {
+    require(maxRows > 0, "maxRows must be positive")
+    val n = corpus.count()
+    var m = 1L
+    while (n / m > maxRows && m < (1L << 30)) m *= 2
+    m.toInt
+  }
+
+  /** DuckDB oracle for [[hubnessHistogram]] — the [[bruteForceTopK]]
+    * oracle's scoring with the (sampled) corpus as queries, folded to
+    * the same occurrence histogram (anti-hubs restored by the left
+    * join). `sampleMod` must match the Spark side's RESOLVED modulus
+    * (the auto path resolves to 1 at oracle scale by construction:
+    * sf0.01 is under [[DiagExactMaxRows]]).
+    */
+  def hubnessHistogramOracleSql(sampleMod: Int = 1): String =
+    s"""WITH emb AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  WHERE vec_id % $sampleMod = 0),
+      |scored AS (
       |  SELECT q.vec_id AS query_id, c.vec_id,
       |    list_sum(list_transform(range(1, len(q.embedding) + 1), i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))
       |    / sqrt(list_sum(list_transform(range(1, len(q.embedding) + 1), i -> q.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE)))
       |    / sqrt(list_sum(list_transform(range(1, len(c.embedding) + 1), i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))) AS cos
-      |  FROM embeddings c CROSS JOIN embeddings q WHERE c.vec_id <> q.vec_id),
+      |  FROM emb c CROSS JOIN emb q WHERE c.vec_id <> q.vec_id),
       |topk AS (
       |  SELECT query_id, vec_id AS neighbor_id FROM (
       |    SELECT query_id, vec_id,
@@ -1542,7 +1591,7 @@ object Similarity {
       |occ AS (SELECT neighbor_id, count(*) AS occ FROM topk GROUP BY neighbor_id),
       |per_vec AS (
       |  SELECT e.vec_id, coalesce(occ.occ, 0) AS occ
-      |  FROM embeddings e LEFT JOIN occ ON e.vec_id = occ.neighbor_id)
+      |  FROM emb e LEFT JOIN occ ON e.vec_id = occ.neighbor_id)
       |SELECT occ::BIGINT AS occ, count(*)::BIGINT AS n_vecs
       |FROM per_vec GROUP BY occ ORDER BY occ""".stripMargin
 
@@ -1561,19 +1610,33 @@ object Similarity {
     * discipline); the final score makes one double excursion through the
     * identical literal `S_p · Σ 1/S_o / k²`, rounded at e6.
     *
-    * Shape at 100 TB: the quadratic candidate pass here is the
-    * correctness baseline — production swaps it for the IVF/LSH
-    * candidate graph ([[ivfTopK]]) and everything downstream is
+    * Shape at 100 TB: the quadratic candidate pass caps itself — above
+    * `maxExactRows` the auto path (`sampleMod = 0`, the default) runs
+    * on the deterministic vec_id-mod sample ([[diagSample]], the same
+    * discipline as [[hubnessHistogram]]), so the pair budget stays
+    * ~maxExactRows² and LOF scores density RELATIVE TO THE SAMPLE —
+    * the right semantics for a corpus-health diagnostic (outliers are
+    * flagged against sampled local density, not absolute distance).
+    * `sampleMod = 1` forces the exact form (the oracle pair);
+    * `sampleMod ≥ 2` forces that rate. For per-point (not diagnostic)
+    * scoring at scale, swap the candidate pass for the IVF/LSH
+    * candidate graph ([[ivfTopK]]) — everything downstream is
     * unchanged: LOF needs only each point's kNN list (k rows/point) and
     * one id-keyed re-join to pull the neighbors' sums — two k-bounded
     * shuffles on a kNN-sized frame, never n².
     */
-  def lofOutliers(corpus: DataFrame, k: Int = 10, topN: Int = 50): DataFrame = {
+  def lofOutliers(
+      corpus: DataFrame,
+      k: Int = 10,
+      topN: Int = 50,
+      sampleMod: Int = 0,
+      maxExactRows: Long = DiagExactMaxRows): DataFrame = {
     import graft.functions.VectorFunctions.vecDot
-    val q = corpus.select(
+    val base = diagSample(corpus, sampleMod, maxExactRows)
+    val q = base.select(
       col("vec_id").as("query_id"), col("embedding").as("q_emb"),
       Dedup.vecNorm(col("embedding")).as("q_norm"))
-    val dists = corpus
+    val dists = base
       .withColumn("c_norm", Dedup.vecNorm(col("embedding")))
       .join(broadcast(q), col("vec_id") =!= col("query_id"))
       .withColumn("cos",
@@ -1616,17 +1679,23 @@ object Similarity {
 
   /** DuckDB oracle for [[lofOutliers]] — identical e9 distance
     * quantization, exact integer reach sums, per-term e15 reciprocals,
-    * and the character-identical final score literal.
+    * and the character-identical final score literal. `sampleMod` must
+    * match the Spark side's RESOLVED modulus (auto resolves to 1 at
+    * oracle scale — sf0.01 is under [[DiagExactMaxRows]]).
     */
-  def lofOutliersOracleSql(k: Int = 10, topN: Int = 50): String =
-    s"""WITH dists AS (
+  def lofOutliersOracleSql(
+      k: Int = 10, topN: Int = 50, sampleMod: Int = 1): String =
+    s"""WITH emb AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  WHERE vec_id % $sampleMod = 0),
+       |dists AS (
        |  SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
        |    CAST(round((1.0 - (
        |      list_sum(list_transform(range(1, len(q.embedding) + 1), i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))
        |      / sqrt(list_sum(list_transform(range(1, len(q.embedding) + 1), i -> q.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE)))
        |      / sqrt(list_sum(list_transform(range(1, len(c.embedding) + 1), i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)))
        |    )) * 1000000000) AS BIGINT) AS dist_e9
-       |  FROM embeddings c CROSS JOIN embeddings q WHERE c.vec_id <> q.vec_id),
+       |  FROM emb c CROSS JOIN emb q WHERE c.vec_id <> q.vec_id),
        |knn AS (
        |  SELECT query_id, nbr_id, dist_e9 FROM (
        |    SELECT query_id, nbr_id, dist_e9,

@@ -429,4 +429,40 @@ class ModelingSpec extends SparkTestBase {
     // ...and total occurrences = k per query vector
     assert(out.map { case (occ, n) => occ * n }.sum == 10 * nVecs)
   }
+
+  test("autoSampleMod picks the smallest power-of-two under the budget") {
+    val e = Similarity.embeddings(spark, "/root/testdata/sf0.001") // 500
+    assert(Similarity.autoSampleMod(e, 1024L) == 1) // under budget: exact
+    assert(Similarity.autoSampleMod(e, 500L) == 1)  // exactly at budget
+    assert(Similarity.autoSampleMod(e, 499L) == 2)  // one over: halve
+    assert(Similarity.autoSampleMod(e, 100L) == 8)  // 500/4=125>100, /8=62
+  }
+
+  test("sampled hubness conserves mass within the id-mod sample") {
+    val e = Similarity.embeddings(spark, "/root/testdata/sf0.001")
+    val nSample = e.filter(expr("vec_id % 4 = 0")).count()
+    val out = Similarity.hubnessHistogram(e, k = 10, sampleMod = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // the histogram universe is exactly the sample, and each sampled
+    // query still contributes k occurrences — the diagnostic's
+    // invariants survive sampling
+    assert(out.map(_._2).sum == nSample)
+    assert(out.map { case (occ, n) => occ * n }.sum == 10 * nSample)
+    // auto path: a budget under the corpus size engages the same mod
+    val auto = Similarity.hubnessHistogram(e, k = 10, sampleMod = 0,
+      maxExactRows = 125L).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(auto.toSeq == out.toSeq)
+  }
+
+  test("sampled LOF still flags a retained density outlier first") {
+    // the orthogonal outlier carries vec_id 100 ≡ 0 (mod 4), so the
+    // id-mod sample keeps it; bundle ids 0..11 sample down to {0,4,8}
+    val vecs = (0 until 12).map(i =>
+      (i.toLong, Array(1.0f, 0.001f * i), 0)) :+ (100L, Array(0.0f, 1.0f), 0)
+    val e = vecs.toDF("vec_id", "embedding", "label")
+    val out = Similarity.lofOutliers(e, k = 2, topN = 2, sampleMod = 4)
+      .collect()
+    assert(out.head.getLong(0) == 100L)
+    assert(out.head.getLong(1) > 1000000L) // still sparser than neighbors
+  }
 }
