@@ -223,8 +223,11 @@ object SparkEntry {
       Analytics.verificationCount(Analytics.eventsSince(s, d, "2024-01-30T00:00:00Z"))),
     "q_health_check" -> ((s, d) =>
       Analytics.healthCheck(Analytics.eventsSince(s, d, "2024-01-15T00:00:00Z"))),
+    // the sketch-accuracy audit: exact distincts + a per-engine verdict
+    // that the engine's own HLL landed within 5% — the shape that lets
+    // an approximate query carry an exact oracle pair
     "q_health_check_approx" -> ((s, d) =>
-      Analytics.healthCheckApprox(Analytics.eventsSince(s, d, "2024-01-15T00:00:00Z"))),
+      Analytics.healthCheckApproxEnvelope(Analytics.eventsSince(s, d, "2024-01-15T00:00:00Z"))),
     "q_type_counts" -> ((s, d) => Analytics.typeCounts(Analytics.events(s, d))),
     "q_hourly_counts" -> ((s, d) => Analytics.hourlyCounts(Analytics.events(s, d))),
     // trailing-24h z-score per (type, hour) — integer moment sums, one
@@ -1655,9 +1658,10 @@ object SparkEntry {
       Similarity.labelSilhouette(Similarity.embeddings(s, d)))
   )
 
-  /** DuckDB twins. Omitted (→ driver rows-only check): ONLY
-    * q_health_check_approx — HLL estimates are engine-specific by
-    * nature (q_schema_introspection pairs against DuckDB's own
+  /** DuckDB twins. NOTHING is omitted — every query pairs (round 11:
+    * even the HLL row pairs via the envelope-verdict shape, each engine
+    * asserting its own sketch against the shared exact counts;
+    * q_schema_introspection pairs against DuckDB's own
     * information_schema.columns since round 10). Every approximate path
     * now carries a value oracle at a
     * recall-safe operating point: q_minhash_lsh pairs with the
@@ -1883,6 +1887,25 @@ object SparkEntry {
         |  count(DISTINCT event_type) AS unique_event_types,
         |  epoch_us(max(ts)) AS latest_event_us
         |FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'""".stripMargin,
+    // sketch audit: DuckDB asserts ITS approx_count_distinct against its
+    // exact counts; Spark asserted HLL++ against the same exact counts —
+    // the shared (exact, boolean) columns compare digit-exact
+    "q_health_check_approx" ->
+      """WITH s AS (
+        |  SELECT count(*)::BIGINT AS total_events,
+        |    count(DISTINCT user_id)::BIGINT AS unique_users_exact,
+        |    count(DISTINCT event_type)::BIGINT AS unique_event_types_exact,
+        |    approx_count_distinct(user_id)::BIGINT AS users_est,
+        |    approx_count_distinct(event_type)::BIGINT AS types_est,
+        |    epoch_us(max(ts))::BIGINT AS latest_event_us
+        |  FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00')
+        |SELECT total_events, unique_users_exact, unique_event_types_exact,
+        |  latest_event_us,
+        |  abs(users_est - unique_users_exact) * 100
+        |    <= 5 * unique_users_exact AS users_within_env,
+        |  abs(types_est - unique_event_types_exact) * 100
+        |    <= 5 * unique_event_types_exact AS types_within_env
+        |FROM s""".stripMargin,
     "q_type_counts" ->
       """SELECT event_type, count(*) AS n FROM events
         |GROUP BY event_type ORDER BY n DESC, event_type""".stripMargin,

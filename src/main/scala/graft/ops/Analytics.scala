@@ -151,6 +151,37 @@ object Analytics {
         approx_count_distinct(col("event_type")).as("unique_event_types"),
         unix_micros(max(col("ts"))).as("latest_event_us"))
 
+  /** The ORACLE-PAIRABLE form of [[healthCheckApprox]]: raw HLL
+    * estimates can never hash-match across engines (Spark HLL++ vs
+    * DuckDB's sketch are different implementations), so this audit
+    * emits what CAN match exactly — the exact distincts plus a boolean
+    * verdict that each engine's OWN sketch landed within `envelopePct`
+    * of its own exact count. Both engines assert the same invariant
+    * independently; agreeing (exact, true, true) rows are a real
+    * bounded-error correctness check, not a rows-only count. The
+    * production query stays [[healthCheckApprox]] (sketch only, no
+    * exact-distinct expand); this form is the accuracy AUDIT a sketch
+    * deployment runs on a sample before trusting the estimates.
+    */
+  def healthCheckApproxEnvelope(
+      df: DataFrame, envelopePct: Int = 5): DataFrame =
+    df.filter(recentHalf)
+      .agg(
+        count(lit(1)).as("total_events"),
+        countDistinct(col("user_id")).as("unique_users_exact"),
+        countDistinct(col("event_type")).as("unique_event_types_exact"),
+        approx_count_distinct(col("user_id")).as("users_est"),
+        approx_count_distinct(col("event_type")).as("types_est"),
+        unix_micros(max(col("ts"))).as("latest_event_us"))
+      .select(col("total_events"), col("unique_users_exact"),
+        col("unique_event_types_exact"), col("latest_event_us"),
+        (abs(col("users_est") - col("unique_users_exact")) * 100 <=
+          lit(envelopePct.toLong) * col("unique_users_exact"))
+          .as("users_within_env"),
+        (abs(col("types_est") - col("unique_event_types_exact")) * 100 <=
+          lit(envelopePct.toLong) * col("unique_event_types_exact"))
+          .as("types_within_env"))
+
   /** A5 (web-application.py:282-283): frequency count per event type. */
   def typeCounts(df: DataFrame): DataFrame =
     df.groupBy(col("event_type"))

@@ -29,14 +29,13 @@ class DocCountSpec extends AnyFunSuite {
         s"SparkEntry.oracleSql has ${SparkEntry.oracleSql.size}")
   }
 
-  test("every oracle pairs an existing query; only the HLL row is rows-only") {
+  test("every oracle pairs an existing query and every query is paired") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracle SQL without a query: $orphans")
     val unpaired = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // the documented-permanent exception: HLL sketch estimates are
-    // engine-specific, so q_health_check_approx stays rows-only (its 5%
-    // envelope is spec-pinned instead)
-    assert(unpaired == Set("q_health_check_approx"),
-      s"unexpected rows-only queries: ${unpaired - "q_health_check_approx"}")
+    // round 11 closed the last rows-only row: the HLL audit now pairs
+    // via the envelope-verdict shape (each engine asserts its own
+    // sketch against the shared exact counts)
+    assert(unpaired.isEmpty, s"unexpected rows-only queries: $unpaired")
   }
 }
