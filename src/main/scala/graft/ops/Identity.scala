@@ -23,16 +23,19 @@ object Identity {
     *     between linear and quadratic in the hottest key. Components of
     *     the star graph equal components of the clique graph.
     *  2. MIN-LABEL PROPAGATION WITH POINTER JUMPING to a fixed point:
-    *     every record starts labeled with itself; each round takes the
-    *     min label over the record's (symmetrized) neighborhood and
-    *     itself, THEN compresses paths by following the label one hop
-    *     (label := label(label)). The compression step is what makes
+    *     every record starts SEEDED at the min star head across its
+    *     keys (the state one relax round would reach, free with the
+    *     head groupBy); each round takes the min label over the
+    *     record's (symmetrized) neighborhood and itself, THEN
+    *     compresses paths by following the label two hops
+    *     (label := label(label(label))). The compression is what makes
     *     this deployable: plain neighbor-min needs component-DIAMETER
     *     rounds (identity graphs routinely chain hundreds of hops — the
     *     synthetic keys below already build 40-hop chains), while
-    *     jumping doubles the propagated distance each round →
-    *     O(log diameter) rounds, each one edge-frame shuffle plus one
-    *     label-frame self-join. The loop checks an exact changed-count
+    *     double jumping compounds propagated distance ~4× per round →
+    *     ~log₄(diameter) rounds, each one edge-frame shuffle plus two
+    *     label-frame self-joins (the self-joins are cheap next to the
+    *     edge relax and the per-round convergence-count job). The loop checks an exact changed-count
     *     per round (a count on a record-sized frame) and stops at zero,
     *     with localCheckpoint bounding lineage (the [[Graph.pageRank]] /
     *     Bellman-Ford discipline); maxRounds is a documented safety
@@ -72,8 +75,22 @@ object Identity {
     val edges = starEdges
       .union(starEdges.select(col("b").as("a"), col("a").as("b")))
       .persist()
-    var labels = keyed.select(col("record_id")).distinct()
-      .select(col("record_id"), col("record_id").as("label"))
+    // SEED from the star contraction (round-10 verdict item 4): instead
+    // of the identity labeling, every record starts at the min star
+    // head across its keys — the state one full relax round would
+    // reach, for the price of the groupBy that built the heads anyway.
+    // Seed labels are record ids within the record's own component and
+    // ≤ its id, so the fixed point (component min) is unchanged.
+    // (A pre-loop pointer jump on the seed was measured and REJECTED:
+    // two extra label-frame self-joins cost more than the round they
+    // occasionally save — the in-loop double jump already compresses
+    // from the seeded state at ~4x per round.)
+    var labels = keyed
+      .join(starHeads, "key")
+      .groupBy(col("record_id"))
+      .agg(min(col("head_id")).as("min_head"))
+      .select(col("record_id"),
+        least(col("record_id"), col("min_head")).as("label"))
       .localCheckpoint()
     var round = 0
     var changed = 1L
@@ -86,18 +103,28 @@ object Identity {
         .select(col("record_id"), col("label").as("old_label"),
           least(col("label"), coalesce(col("nbr_label"), col("label")))
             .as("label"))
-      // pointer jumping: label := label(label). Every label value is
-      // itself a record id (mins of record ids), so the self-join is
-      // total and the lookup never drops a row. The OLD label rides
-      // along into the checkpoint so the convergence check below is a
-      // partition-local count on materialized data — not (as it first
-      // shipped) a second shuffle join against the previous label
-      // frame, which doubled the per-round job count for nothing.
-      val next = relaxed
+      // pointer jumping, TWICE per round: label := label(label(label)).
+      // Every label value is itself a record id (mins of record ids),
+      // so each self-join is total and the lookup never drops a row. A
+      // single jump grows propagated distance d → 2d+1 per round; the
+      // second jump (one more record-frame self-join, cheap next to the
+      // edge-frame relax) compounds it to ~4d+3, so a diameter-D chain
+      // closes in ~log₄ D relax rounds instead of ~log₂ D — and each
+      // relax round carries a shuffle over the EDGE frame plus a
+      // convergence-count job, which is where the wall-clock lives.
+      // The OLD label rides along into the checkpoint so the
+      // convergence check below is a partition-local count on
+      // materialized data, not a second shuffle join.
+      val jumped = relaxed
         .join(relaxed.select(col("record_id").as("lid"),
           col("label").as("llabel")), col("label") === col("lid"))
-        .select(col("record_id"), col("llabel").as("label"),
-          (col("llabel") =!= col("old_label")).as("changed"))
+        .select(col("record_id"), col("old_label"),
+          col("llabel").as("label"))
+      val next = jumped
+        .join(jumped.select(col("record_id").as("lid2"),
+          col("label").as("llabel2")), col("label") === col("lid2"))
+        .select(col("record_id"), col("llabel2").as("label"),
+          (col("llabel2") =!= col("old_label")).as("changed"))
         .localCheckpoint()
       changed = next.filter(col("changed")).count()
       labels = next.select(col("record_id"), col("label"))

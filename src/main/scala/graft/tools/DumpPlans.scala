@@ -194,7 +194,10 @@ object DumpPlans {
       "q_golden_records" -> "golden records: one fact collapse to per-record attributes, label attach, entity-dimension aggregate with packed-recency argmax",
       "q_spearman" -> "spearman: one user collapse, two value-domain rank windows joined back, 1-row DECIMAL Pearson",
       "q_local_clustering" -> "local clustering: shared pair graph, oriented wedge join (O(E^1.5)), 3-row explode per triangle, top-k",
-      "q_anova_f" -> "anova F: fact collapse + broadcast nation attach, nation-dimension sum-of-squares terms, 1-row statistic")
+      "q_anova_f" -> "anova F: fact collapse + broadcast nation attach, nation-dimension sum-of-squares terms, 1-row statistic",
+      "q_hubness_sampled" -> "sampled hubness: deterministic vec_id-mod sample bounds the all-pairs budget before the broadcast kNN; the histogram collapse is unchanged",
+      "q_lof_sampled" -> "sampled LOF: the id-mod sample caps the quadratic candidate pass; k-bounded kNN frame and integer reach arithmetic identical to the exact twin",
+      "q_health_check_approx" -> "HLL audit: one aggregate computes sketch AND exact distincts; the emitted row is the envelope verdict both engines can match digit-exact")
 
     val sb = new StringBuilder
     sb.append("# PLANS — explain(\"formatted\") for headline queries\n\n")
@@ -206,6 +209,34 @@ object DumpPlans {
       val formatted = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
       sb.append(s"\n## $name\n\n$note\n\n```\n$formatted```\n")
+    }
+    // AQE skew-join evidence (round-10 verdict item 6): q_salted_join is
+    // the MANUAL answer to one too-hot key; this section documents the
+    // AUTOMATIC one. The synthetic single-hot-key join executes under
+    // skew thresholds scaled to sandbox bytes (defaults gate on 256 MB
+    // partitions) and the FINAL adaptive plan — the only place skew=true
+    // exists — is dumped. Pinned by PlanShapeSpec's AQE test.
+    locally {
+      import org.apache.spark.sql.functions.{col, when, lpad}
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "100k")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32k")
+      val fact = spark.range(0, 200000)
+        .select(when(col("id") < 180000, 0L).otherwise(col("id")).as("k"),
+          lpad(col("id").cast("string"), 32, "x").as("pad"))
+      val dim = spark.range(0, 2000)
+        .select(col("id").as("dk"), (col("id") * 2).as("w"))
+      val joined = fact.join(dim, col("k") === col("dk"))
+      joined.collect()
+      sb.append("\n## aqe_skew_join (executed — not a SparkEntry query)\n\n")
+      sb.append("AQE OptimizeSkewedJoin splits the same single-hot-key ")
+      sb.append("shape q_salted_join handles manually — no salt in the ")
+      sb.append("query; the runtime marks the join skew=true and splits ")
+      sb.append("the oversized partition. Thresholds scaled to sandbox ")
+      sb.append("bytes; the rewrite is the one that fires at 100 TB.\n\n")
+      sb.append(s"```\n${joined.queryExecution.executedPlan}```\n")
     }
     Files.writeString(Paths.get(out), sb.toString)
     println(s"wrote $out")

@@ -1028,4 +1028,42 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"),
       p)
   }
+
+  test("AQE splits the hot key automatically (skew=true) — the no-salt twin of saltedJoin") {
+    // q_salted_join proves the MANUAL answer to one too-hot key; this
+    // pins the AUTOMATIC one: Spark's OptimizeSkewedJoin must mark and
+    // split the same single-hot-key shape at runtime with no salting in
+    // the query. Thresholds are scaled to sandbox bytes (the defaults
+    // gate on 256 MB partitions); the rewrite itself is the one that
+    // fires at 100 TB sizes.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{when, lpad}
+    val confs = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force SMJ
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "100k",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32k")
+    val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // one hot key carrying ~90% of the fact side, plus a uniform tail
+      val fact = spark.range(0, 200000)
+        .select(when($"id" < 180000, 0L).otherwise($"id").as("k"),
+          lpad($"id".cast("string"), 32, "x").as("pad"))
+      val dim = spark.range(0, 2000)
+        .select($"id".as("dk"), ($"id" * 2).as("w"))
+      val joined = fact.join(dim, $"k" === $"dk")
+      // execute THIS dataset's own QueryExecution (count() would build
+      // a separate one and the inspected plan would never run) — the
+      // AQE final plan only exists after execution
+      // hot key 0 matches dk=0 → 180000 rows; tail keys ≥ 180000 miss
+      assert(joined.collect().length == 180000)
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"AQE did not mark the hot-key join as skewed:\n$p")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
