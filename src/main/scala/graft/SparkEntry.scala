@@ -911,6 +911,11 @@ object SparkEntry {
     // form — integer arithmetic end to end
     "q_cusum" -> ((s, d) => Analytics.cusum(Analytics.events(s, d))),
     // merge-overlapping-intervals coverage: prefix-max sweep, no self-join
+    // pure range join THROUGH THE INJECTED OPTIMIZER RULE: surge-window
+    // traffic — RangeJoinRule rewrites the containment join to a
+    // 1-hour-bin equi-join (RangeJoinSpec pins rows + plan shape)
+    "q_surge_windows" -> ((s, d) =>
+      Intervals.surgeWindowTraffic(Analytics.events(s, d))),
     "q_interval_coalesce" -> ((s, d) =>
       Intervals.intervalCoalesce(Analytics.events(s, d))),
     // small-file compaction planner: size-sorted cumulative-sum binning
@@ -4833,6 +4838,7 @@ object SparkEntry {
     "q_cep_pattern" -> Analytics.cepPatternOracleSql(),
     "q_cusum" -> Analytics.cusumOracleSql(),
     "q_interval_coalesce" -> Intervals.intervalCoalesceOracleSql,
+    "q_surge_windows" -> Intervals.surgeWindowTrafficOracleSql,
     "q_compaction_plan" -> Layout.compactionPlanOracleSql(),
     "q_ols_multi" -> Analytics.olsMultiOracleSql,
     "q_nb_langid" -> TextAnalysis.naiveBayesLangIdOracleSql,

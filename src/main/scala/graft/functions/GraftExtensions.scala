@@ -24,11 +24,16 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *   poly_hash_array(arr)     packed dual poly hash per array element
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (name, builder) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo(classOf[GraftExtensions].getName, name), builder))
     }
+    // whole-operator optimizer extension: the bin-bucketed range-join
+    // rewrite (conf-gated — inert until spark.graft.rangeJoin.binSize
+    // is set; see graft.plans.RangeJoinRule)
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinRule())
+  }
 }
 
 object GraftExtensions {

@@ -100,4 +100,68 @@ object Intervals {
       |  (sum(be - bs) // 60000000)::BIGINT AS covered_minutes,
       |  (max(be - bs) // 60000000)::BIGINT AS longest_minutes
       |FROM merged GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** PURE range join through the OPTIMIZER RULE
+    * ([[graft.plans.RangeJoinRule]]): traffic attribution against the
+    * ten busiest hours' "surge windows" — each window spans
+    * [hour − 15 min, hour + 45 min), deliberately UNALIGNED with any
+    * truncation bucket so the join is a genuine interval containment
+    * (an event near a busy-hour boundary can fall in two adjacent
+    * windows), not a disguised group-by. The join condition is
+    * range-only — exactly the shape Catalyst would otherwise plan as a
+    * BroadcastNestedLoopJoin — and the injected rule rewrites it to a
+    * 1-hour-bin equi-join with the containment as residual
+    * (RangeJoinSpec pins both semantics and plan shape).
+    *
+    * The binSize conf stays set on the session: the rule only fires on
+    * inner joins whose condition is range-only (any equality conjunct
+    * stands it down) and the rewrite is semantics-preserving, so a
+    * live conf cannot change any result — only collapse a quadratic
+    * plan. Registration is idempotent.
+    *
+    * Shape at 100 TB: the window side is dimension-sized (top-10), the
+    * event side shuffles ONCE on its hour bin; each window explodes to
+    * ≤ 2 bins. All arithmetic integer micros → digit-exact oracle.
+    */
+  def surgeWindowTraffic(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    graft.plans.RangeJoinRule.register(spark)
+    spark.conf.set(graft.plans.RangeJoinRule.BinSizeKey, "3600000000")
+    val busiest = events
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("hour"))
+      .limit(10)
+    val windows = busiest.select(
+      (expr("unix_micros(hour)") - lit(900000000L)).as("lo"),
+      (expr("unix_micros(hour)") + lit(2700000000L) - 1L).as("hi"))
+    val points = events.select(
+      expr("unix_micros(ts)").as("t_us"), col("user_id"))
+    points
+      .join(windows, col("t_us") >= col("lo") && col("t_us") <= col("hi"))
+      .groupBy(col("lo").as("window_start_us"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("window_start_us"))
+  }
+
+  /** DuckDB oracle for [[surgeWindowTraffic]] — the plain quadratic
+    * range join (DuckDB IEJoins it happily at oracle scale; the rewrite
+    * under test is semantics-preserving, so the naive form IS the
+    * specification).
+    */
+  def surgeWindowTrafficOracleSql: String =
+    """WITH h AS (
+      |  SELECT date_trunc('hour', ts) AS hour, count(*) AS n
+      |  FROM events GROUP BY 1 ORDER BY n DESC, hour LIMIT 10),
+      |w AS (
+      |  SELECT epoch_us(hour) - 900000000 AS lo,
+      |    epoch_us(hour) + 2700000000 - 1 AS hi
+      |  FROM h),
+      |p AS (SELECT epoch_us(ts) AS t_us, user_id FROM events)
+      |SELECT w.lo AS window_start_us,
+      |  count(*)::BIGINT AS n_events,
+      |  count(DISTINCT p.user_id)::BIGINT AS n_users
+      |FROM p JOIN w ON p.t_us >= w.lo AND p.t_us <= w.hi
+      |GROUP BY w.lo ORDER BY window_start_us""".stripMargin
 }

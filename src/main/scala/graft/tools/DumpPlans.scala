@@ -197,7 +197,8 @@ object DumpPlans {
       "q_anova_f" -> "anova F: fact collapse + broadcast nation attach, nation-dimension sum-of-squares terms, 1-row statistic",
       "q_hubness_sampled" -> "sampled hubness: deterministic vec_id-mod sample bounds the all-pairs budget before the broadcast kNN; the histogram collapse is unchanged",
       "q_lof_sampled" -> "sampled LOF: the id-mod sample caps the quadratic candidate pass; k-bounded kNN frame and integer reach arithmetic identical to the exact twin",
-      "q_health_check_approx" -> "HLL audit: one aggregate computes sketch AND exact distincts; the emitted row is the envelope verdict both engines can match digit-exact")
+      "q_health_check_approx" -> "HLL audit: one aggregate computes sketch AND exact distincts; the emitted row is the envelope verdict both engines can match digit-exact",
+      "q_surge_windows" -> "range join through the injected optimizer rule: containment condition rewritten to a 1-hour-bin equi-join (windows explode to ≤2 bins, events shuffle once) with the exact range as residual — never a BroadcastNestedLoopJoin")
 
     val sb = new StringBuilder
     sb.append("# PLANS — explain(\"formatted\") for headline queries\n\n")
