@@ -958,6 +958,10 @@ object SparkEntry {
     // MDM survivorship: merge resolved entities under most-recent-wins
     "q_golden_records" -> ((s, d) =>
       Identity.goldenRecords(Analytics.events(s, d))),
+    // margin-criterion pair mining across the label-parity pools:
+    // hubness-corrected cosine, forward/backward best candidates
+    "q_margin_pairs" -> ((s, d) =>
+      Similarity.marginPairs(Similarity.embeddings(s, d))),
     // kNN hubness diagnostic: k-occurrence histogram with anti-hub zeros
     // (sampleMod = 1 pins the exact form — it IS the oracle pair)
     "q_hubness" -> ((s, d) =>
@@ -4849,6 +4853,7 @@ object SparkEntry {
     "q_mutual_info" -> Modeling.mutualInfoOracleSql,
     "q_isotonic" -> Modeling.isotonicCalibrationOracleSql,
     "q_entity_resolution" -> Identity.entityResolutionOracleSql,
+    "q_margin_pairs" -> Similarity.marginPairsOracleSql(),
     "q_hubness" -> Similarity.hubnessHistogramOracleSql(),
     "q_hubness_sampled" -> Similarity.hubnessHistogramOracleSql(sampleMod = 4),
     "q_kcore" -> Graph.kCoreOracleSql(),

@@ -1494,6 +1494,105 @@ object Similarity {
        |FROM cent LEFT JOIN cell ON cent.rnk = cell.rnk
        |ORDER BY cent.rnk""".stripMargin
 
+  /** MARGIN-BASED PAIR MINING (the Artetxe & Schwenk 2019 bitext-mining
+    * criterion): candidate cross-pool pairs scored by
+    *   margin(x, y) = cos(x, y) / ( (Σ NN_k(x) cos)/2k + (Σ NN_k(y) cos)/2k )
+    * — raw cosine is NOT comparable across query vectors (hub vectors
+    * score high against everything); dividing by the mean similarity of
+    * each side's own k-neighborhood cancels the hubness and is the
+    * standard criterion for mining aligned pairs (translation pairs,
+    * near-duplicate captions, question↔answer alignment) from two
+    * embedding pools. Pools here are the label-parity halves of the
+    * corpus (a deterministic stand-in for source/target languages); the
+    * OPERATOR is generic over any two frames.
+    *
+    * Candidates are the union of forward and backward best matches
+    * (x's top-1 in B, y's top-1 in A) — the mutual-best subset scores
+    * highest, one-directional bests keep recall.
+    *
+    * Exactness: cosines quantize to e9 integers immediately (the
+    * [[lofOutliers]] discipline — one rounded double per pair);
+    * neighborhood sums are exact BIGINT; the margin is ONE integer
+    * division  cos_e9·2k·10⁶ div max(S_x + S_y, 1)  (the max guards
+    * degenerate all-orthogonal neighborhoods), so ranking and values
+    * are digit-exact against the oracle.
+    *
+    * Shape: the all-pairs scoring here is the exact correctness
+    * baseline (pools are oracle-scale); at 100 TB the candidate pass
+    * swaps for [[ivfTopK]] per pool — margins only need each side's
+    * top-k list, everything downstream is k-bounded per vector. The
+    * scored frame persists once and serves both direction windows.
+    */
+  def marginPairs(corpus: DataFrame, k: Int = 4, topN: Int = 50): DataFrame = {
+    import graft.functions.VectorFunctions.vecDot
+    val a = corpus.filter(pmod(col("label"), lit(2)) === 0)
+      .select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
+        Dedup.vecNorm(col("embedding")).as("a_norm"))
+    val b = corpus.filter(pmod(col("label"), lit(2)) === 1)
+      .select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
+        Dedup.vecNorm(col("embedding")).as("b_norm"))
+    val scored = b.join(broadcast(a), col("a_id") =!= col("b_id"))
+      .withColumn("cos",
+        vecDot(col("a_emb"), col("b_emb")) / col("a_norm") / col("b_norm"))
+      .select(col("a_id"), col("b_id"),
+        expr("CAST(round(cos * 1000000000) AS BIGINT)").as("cos_e9"))
+    val wa = Window.partitionBy(col("a_id"))
+      .orderBy(desc("cos_e9"), col("b_id"))
+    val wb = Window.partitionBy(col("b_id"))
+      .orderBy(desc("cos_e9"), col("a_id"))
+    val ranked = scored
+      .withColumn("rka", row_number().over(wa))
+      .withColumn("rkb", row_number().over(wb))
+      .persist()
+    val sa = ranked.filter(col("rka") <= k)
+      .groupBy(col("a_id")).agg(sum(col("cos_e9")).as("sa"))
+    val sb = ranked.filter(col("rkb") <= k)
+      .groupBy(col("b_id")).agg(sum(col("cos_e9")).as("sb"))
+    ranked.filter(col("rka") === 1 || col("rkb") === 1)
+      .select(col("a_id"), col("b_id"), col("cos_e9"))
+      .join(sa, "a_id").join(sb, "b_id")
+      .select(col("a_id"), col("b_id"), col("cos_e9"),
+        expr(s"(cos_e9 * ${2 * k} * 1000000L) div " +
+          "greatest(sa + sb, 1L)").as("margin_e6"))
+      .orderBy(desc("margin_e6"), col("a_id"), col("b_id"))
+      .limit(topN)
+  }
+
+  /** DuckDB oracle for [[marginPairs]] — identical e9 cosine
+    * quantization, exact neighborhood sums, and the same single
+    * integer-division margin.
+    */
+  def marginPairsOracleSql(k: Int = 4, topN: Int = 50): String =
+    s"""WITH a AS (
+       |  SELECT vec_id AS a_id, embedding AS ae FROM embeddings
+       |  WHERE label % 2 = 0),
+       |b AS (
+       |  SELECT vec_id AS b_id, embedding AS be FROM embeddings
+       |  WHERE label % 2 = 1),
+       |s AS MATERIALIZED (
+       |  SELECT a_id, b_id,
+       |    CAST(round((
+       |      list_sum(list_transform(range(1, len(ae) + 1), i -> ae[i]::DOUBLE * be[i]::DOUBLE))
+       |      / sqrt(list_sum(list_transform(range(1, len(ae) + 1), i -> ae[i]::DOUBLE * ae[i]::DOUBLE)))
+       |      / sqrt(list_sum(list_transform(range(1, len(be) + 1), i -> be[i]::DOUBLE * be[i]::DOUBLE)))
+       |    ) * 1000000000) AS BIGINT) AS cos_e9
+       |  FROM b CROSS JOIN a WHERE a_id <> b_id),
+       |r AS MATERIALIZED (
+       |  SELECT a_id, b_id, cos_e9,
+       |    row_number() OVER (PARTITION BY a_id ORDER BY cos_e9 DESC, b_id) AS rka,
+       |    row_number() OVER (PARTITION BY b_id ORDER BY cos_e9 DESC, a_id) AS rkb
+       |  FROM s),
+       |sa AS (SELECT a_id, sum(cos_e9)::BIGINT AS sa FROM r
+       |       WHERE rka <= $k GROUP BY 1),
+       |sb AS (SELECT b_id, sum(cos_e9)::BIGINT AS sb FROM r
+       |       WHERE rkb <= $k GROUP BY 1)
+       |SELECT r.a_id, r.b_id, r.cos_e9,
+       |  ((r.cos_e9 * ${2 * k} * 1000000) // greatest(sa.sa + sb.sb, 1))::BIGINT
+       |    AS margin_e6
+       |FROM r JOIN sa USING (a_id) JOIN sb USING (b_id)
+       |WHERE r.rka = 1 OR r.rkb = 1
+       |ORDER BY margin_e6 DESC, a_id, b_id LIMIT $topN""".stripMargin
+
   /** HUBNESS DIAGNOSTIC: the k-occurrence distribution — for every
     * vector, how many OTHER vectors' exact top-k lists it appears in,
     * histogrammed. High-dimensional corpora grow "hubs" (vectors that

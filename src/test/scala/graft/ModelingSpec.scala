@@ -454,6 +454,28 @@ class ModelingSpec extends SparkTestBase {
     assert(auto.toSeq == out.toSeq)
   }
 
+  test("marginPairs ranks the exclusive alignment above the hub's pair") {
+    // pool A (even labels): a100 aligned exactly with b201; a102/a104
+    // form a tight bundle whose best B match is the hub b203 (which is
+    // near EVERYTHING in the bundle direction). Raw cosine ranks the
+    // hub pairs at 1.0-ish too; the margin criterion divides by each
+    // side's neighborhood mean, so the exclusive a100↔b201 alignment
+    // (neighbors mostly orthogonal → small denominator) must win.
+    val vecs = Seq(
+      (100L, Array(1.0f, 0.0f, 0.0f), 0),
+      (102L, Array(0.0f, 1.0f, 0.0f), 2),
+      (104L, Array(0.0f, 0.995f, 0.1f), 4),
+      (201L, Array(0.999f, 0.04f, 0.0f), 1),
+      (203L, Array(0.0f, 0.97f, 0.05f), 3),
+      (205L, Array(0.05f, 0.96f, 0.08f), 5))
+    val e = vecs.toDF("vec_id", "embedding", "label")
+    val out = Similarity.marginPairs(e, k = 2, topN = 3).collect()
+    assert(out.head.getLong(0) == 100L && out.head.getLong(1) == 201L,
+      out.mkString("; "))
+    // margin > 1: the pair's cosine beats its neighborhoods' mean
+    assert(out.head.getLong(3) > 1000000L, out.mkString("; "))
+  }
+
   test("sampled LOF still flags a retained density outlier first") {
     // the orthogonal outlier carries vec_id 100 ≡ 0 (mod 4), so the
     // id-mod sample keeps it; bundle ids 0..11 sample down to {0,4,8}
