@@ -510,6 +510,10 @@ object SparkEntry {
       Analytics.seasonalDecompose(Analytics.events(s, d))),
     // acquisition curve: first-touch per day + dimension-sized cumsum
     "q_user_growth" -> ((s, d) => Analytics.userGrowth(Analytics.events(s, d))),
+    // Holt linear-trend forecast: impulse-response weight constants
+    // shared verbatim by both engines — no float crosses the oracle
+    "q_holt_forecast" -> ((s, d) =>
+      Analytics.holtForecast(Analytics.events(s, d))),
     // TPC-H Q21 shape: EXISTS + NOT EXISTS decorrelated to per-order
     // aggregates reusing the orderkey clustering
     "q_sole_blame_suppliers" -> ((s, d) =>
@@ -2853,6 +2857,7 @@ object SparkEntry {
         |  sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS cents
         |FROM events GROUP BY user_id HAVING count(*) >= 100
         |ORDER BY user_id""".stripMargin,
+    "q_holt_forecast" -> Analytics.holtForecastOracleSql(),
     "q_seasonal_decomp" ->
       """WITH daily AS (
         |  SELECT CAST(ts AS DATE) AS day, count(*)::BIGINT AS n

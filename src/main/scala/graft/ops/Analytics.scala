@@ -1955,6 +1955,115 @@ object Analytics {
       .orderBy(col("day_us"))
   }
 
+  /** HOLT LINEAR-TREND FORECAST (double exponential smoothing) of daily
+    * event volume — the capacity-planning readout [[seasonalDecompose]]
+    * describes but does not predict: level l_t = αy_t + (1−α)(l_{t−1} +
+    * b_{t−1}), trend b_t = β(l_t − l_{t−1}) + (1−β)b_{t−1}, forecast
+    * ŷ_{T+h} = l_T + h·b_T (Holt 1957). Runs on the trailing
+    * [[HoltWindow]] most-recent days (data-anchored recency, the
+    * q_recent_events discipline) with the textbook init l₁ = y₁,
+    * b₁ = y₂ − y₁.
+    *
+    * Exactness: the recurrence is LINEAR in the observations, so
+    * l_T and b_T are fixed weighted sums over the window — the weights
+    * depend only on (α, β, W), never on data. They are computed ONCE
+    * here (impulse responses of the recurrence, one pass per unit
+    * vector), rounded to e12 integers, and the SAME integer constants
+    * are embedded in the Spark plan and the oracle SQL (the
+    * [[graft.ops.TextAnalysis]] nDCG-discount discipline) — no float
+    * ever crosses engines. Sums widen to DECIMAL(38,0)/HUGEINT
+    * (count·1e12 per term).
+    *
+    * Shape at 100 TB: the stream collapses to the day dimension in one
+    * aggregate; ranking, the 28-row weight join and the 7-row horizon
+    * spine are all dimension-sized broadcasts.
+    */
+  def holtForecast(df: DataFrame, horizons: Int = 7): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val weights = holtWeightsE12.toSeq.map { case (age, wl, wb) => (age.toLong, wl, wb) }
+      .toDF("age", "wl_e12", "wb_e12")
+    val daily = df.groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val ranked = daily
+      .withColumn("age", row_number()
+        .over(Window.orderBy(desc("day"))).cast("long"))
+      .filter(col("age") <= HoltWindow)
+    val state = ranked.join(broadcast(weights), "age")
+      .agg(
+        sum(expr("CAST(n AS DECIMAL(38,0)) * wl_e12")).as("level_e12"),
+        sum(expr("CAST(n AS DECIMAL(38,0)) * wb_e12")).as("trend_e12"))
+    val spine = (1 to horizons).map(_.toLong).toDF("h")
+    state.crossJoin(broadcast(spine))
+      .select(col("h"),
+        expr("CAST(level_e12 div 1000000000 AS BIGINT)").as("level_e3"),
+        expr("CAST(trend_e12 div 1000000000 AS BIGINT)").as("trend_e3"),
+        expr("CAST((level_e12 + h * trend_e12) div 1000000000 AS BIGINT)")
+          .as("forecast_e3"))
+      .orderBy(col("h"))
+  }
+
+  /** Trailing-window length for [[holtForecast]]. */
+  val HoltWindow: Int = 28
+
+  /** Holt smoothing parameters as exact literals. */
+  val HoltAlpha: Double = 0.3
+  val HoltBeta: Double = 0.1
+
+  /** The e12-quantized (age → level-weight, trend-weight) table: run the
+    * Holt recurrence once per unit impulse e_j over a W-day window and
+    * read off l_W and b_W's coefficient on y_j. age 1 = most recent day
+    * (j = W), age W = oldest. Computed once per JVM; identical constants
+    * feed both engines.
+    */
+  lazy val holtWeightsE12: IndexedSeq[(Int, Long, Long)] = {
+    val W = HoltWindow
+    // coefficient vectors of l_t and b_t over (y_1 … y_W)
+    var l = Array.tabulate(W)(j => if (j == 0) 1.0 else 0.0)
+    var b = Array.tabulate(W)(j =>
+      if (j == 1) 1.0 else if (j == 0) -1.0 else 0.0)
+    for (t <- 2 to W) {
+      val y = Array.tabulate(W)(j => if (j == t - 1) 1.0 else 0.0)
+      val nl = Array.tabulate(W)(j =>
+        HoltAlpha * y(j) + (1.0 - HoltAlpha) * (l(j) + b(j)))
+      val nb = Array.tabulate(W)(j =>
+        HoltBeta * (nl(j) - l(j)) + (1.0 - HoltBeta) * b(j))
+      l = nl; b = nb
+    }
+    (1 to W).map { age =>
+      val j = W - age // 0-based chronological index of the age-th newest
+      (age, math.round(l(j) * 1e12), math.round(b(j) * 1e12))
+    }
+  }
+
+  /** DuckDB oracle for [[holtForecast]] — the identical e12 weight
+    * constants inlined as a VALUES table; identical ranking, HUGEINT
+    * sums, and truncating divisions.
+    */
+  def holtForecastOracleSql(horizons: Int = 7): String = {
+    val vals = holtWeightsE12
+      .map { case (a, wl, wb) => s"($a, $wl, $wb)" }.mkString(", ")
+    val hs = (1 to horizons).map(h => s"($h)").mkString(", ")
+    s"""WITH daily AS (
+       |  SELECT ts::DATE AS day, count(*)::BIGINT AS n
+       |  FROM events GROUP BY 1),
+       |ranked AS (
+       |  SELECT n, row_number() OVER (ORDER BY day DESC) AS age
+       |  FROM daily),
+       |w(age, wl_e12, wb_e12) AS (VALUES $vals),
+       |state AS (
+       |  SELECT sum(n::HUGEINT * wl_e12) AS level_e12,
+       |         sum(n::HUGEINT * wb_e12) AS trend_e12
+       |  FROM ranked JOIN w USING (age)),
+       |spine(h) AS (VALUES $hs)
+       |SELECT h::BIGINT AS h,
+       |  (level_e12 // 1000000000)::BIGINT AS level_e3,
+       |  (trend_e12 // 1000000000)::BIGINT AS trend_e3,
+       |  ((level_e12 + h * trend_e12) // 1000000000)::BIGINT AS forecast_e3
+       |FROM state CROSS JOIN spine ORDER BY h""".stripMargin
+  }
+
   /** Cumulative user growth: new users (first-touch) per day and the
     * running total — the acquisition curve next to [[activeUsers]]'s
     * activity windows. Distinct growth equals the sum of first-touches,

@@ -1670,4 +1670,37 @@ class AnalyticsSpec extends SparkTestBase {
       (0L, "purchase", 3L, 2L, 2500000L, 200L, 150L),
       (1L, "view", 2L, 1L, 2500000L, 400L, 400L)))
   }
+
+  test("holtForecast extrapolates an exact linear series") {
+    import spark.implicits._
+    // y_d = 100 + 10·d for 28 consecutive days: Holt's recurrence is
+    // EXACT on a line for any (α, β) given the l₁=y₁, b₁=y₂−y₁ init —
+    // level_T = y_T, trend_T = slope, forecast_{T+h} = y_T + 10h
+    val rows = for {
+      d <- 0 until 28
+      i <- 0 until (100 + 10 * d)
+    } yield (d.toLong * 1000 + i,
+      java.sql.Timestamp.valueOf(f"2024-01-${d + 1}%02d 12:00:00"),
+      i.toLong, "view", 1.0, "{}")
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = graft.ops.Analytics.holtForecast(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.length == 7)
+    // e12 weights introduce ≤ W·5e-13 relative rounding — at e3 display
+    // precision the line must be EXACT
+    val last = 100L + 10L * 27L // y at the newest day = 370
+    out.foreach { case (h, level, trend, fc) =>
+      assert(math.abs(level - last * 1000L) <= 1, (h, level))
+      assert(math.abs(trend - 10000L) <= 1, (h, trend))
+      assert(math.abs(fc - (last + 10 * h) * 1000L) <= 2, (h, fc))
+    }
+  }
+
+  test("holt weight constants conserve mass: level weights sum to 1, trend to 0") {
+    val ws = graft.ops.Analytics.holtWeightsE12
+    assert(ws.length == graft.ops.Analytics.HoltWindow)
+    // a constant series must forecast itself: Σwl = 1, Σwb = 0
+    assert(math.abs(ws.map(_._2).sum - 1000000000000L) <= ws.length)
+    assert(math.abs(ws.map(_._3).sum) <= ws.length)
+  }
 }
