@@ -558,4 +558,34 @@ object Pipeline {
         col("window.start").as("window_start"),
         col("window.end").as("window_end"),
         col("event_type"), col("n"), col("sum_value"))
+
+  /** TIERED windowed aggregation — TWO chained stateful operators in
+    * ONE streaming query (multiple-stateful-operator support, the
+    * Spark ≥ 3.5 capability that replaces the old two-job + intermediate
+    * sink topology): a fine window aggregate feeds a coarse window
+    * aggregate directly, `window(window, coarse)` re-windowing the fine
+    * window's struct column. Both tiers share the source watermark;
+    * append mode emits a coarse row once the watermark closes it.
+    *
+    * Why it matters at 100 TB: the fine tier's partial aggregation
+    * collapses the stream BEFORE the coarse tier's state — coarse state
+    * is per (coarse window × type), independent of event volume, and
+    * the intermediate sink + re-read of the legacy topology (a full
+    * serialize/deserialize of the fine tier) disappears.
+    */
+  def tieredCounts(
+      events: DataFrame,
+      fine: String = "60 seconds",
+      coarse: String = "10 minutes",
+      watermark: String = DefaultWatermark): DataFrame =
+    events
+      .withWatermark("timestamp", watermark)
+      .groupBy(window(col("timestamp"), fine), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(window(col("window"), coarse), col("event_type"))
+      .agg(sum(col("n")).as("n"), count(lit(1)).as("n_fine_windows"))
+      .select(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n"), col("n_fine_windows"))
 }

@@ -353,6 +353,34 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("chained stateful operators: fine windows feed coarse windows in one query") {
+    implicit val ctx = spark.sqlContext
+    def ev(id: String, tsIso: String) =
+      s"""{"id":"$id","timestamp":"$tsIso","message":"m","user_id":"u","event_type":"click","value":1.0}"""
+    val input = MemoryStream[String]
+    val tiered = Pipeline.tieredCounts(
+      Pipeline.process(input.toDF()),
+      fine = "60 seconds", coarse = "10 minutes", watermark = "1 minute")
+    val q = tiered.writeStream.format("memory").queryName("tiered_sink")
+      .outputMode("append").start()
+    try {
+      // three events across two fine windows inside ONE coarse window
+      input.addData(
+        ev("a", "2024-01-15T10:00:10Z"), ev("b", "2024-01-15T10:00:40Z"),
+        ev("c", "2024-01-15T10:03:10Z"))
+      q.processAllAvailable()
+      // watermark still inside the coarse window → nothing emitted yet
+      assert(spark.table("tiered_sink").isEmpty)
+      // advance past 10:10 + watermark → the coarse window closes
+      input.addData(ev("d", "2024-01-15T10:30:00Z"))
+      q.processAllAvailable()
+      val rows = spark.table("tiered_sink")
+        .select($"window_start".cast("string"), $"n", $"n_fine_windows")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      assert(rows.toSet == Set(("2024-01-15 10:00:00", 3L, 2L)), rows.toSeq)
+    } finally q.stop()
+  }
+
   test("fromKafka reaches Spark's kafka source resolution (no connector here)") {
     // the sandbox ships no kafka connector jar; the wiring is correct iff
     // Spark's DataSource lookup is what rejects it, with its standard
