@@ -331,6 +331,11 @@ object SparkEntry {
     // directed association rules with exact confidence over basketPairs
     "q_assoc_rules" -> ((s, d) =>
       Relational.assocRules(Relational.table(s, d, "lineitem"))),
+    // A-priori level 3: candidate triples from the SHARED pair graph,
+    // levelwise-gated verification — never a naive 3-way basket join
+    "q_frequent_triples" -> ((s, d) =>
+      Relational.frequentTriples(Relational.table(s, d, "lineitem"),
+        pairGraph(s, d))),
     // exact Gini of per-customer revenue via the value-domain identity
     "q_gini" -> ((s, d) =>
       Relational.giniCoefficient(Relational.table(s, d, "orders"))),
@@ -2053,6 +2058,7 @@ object SparkEntry {
     "q_ppr" -> Graph.personalizedPageRankOracleSql(),
     "q_iv_wald" -> Analytics.ivWaldOracleSql,
     "q_assoc_rules" -> Relational.assocRulesOracleSql(),
+    "q_frequent_triples" -> Relational.frequentTriplesOracleSql(),
     "q_gini" -> Relational.giniCoefficientOracleSql,
     "q_logrank" -> Analytics.logRankOracleSql(),
     "q_spearman" -> Analytics.spearmanOracleSql,

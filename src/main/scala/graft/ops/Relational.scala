@@ -718,6 +718,71 @@ object Relational {
       .limit(k)
   }
 
+  /** FREQUENT TRIPLES by A-PRIORI levelwise mining (Agrawal & Srikant,
+    * VLDB 1994) — the third itemset level [[basketPairs]]/[[assocRules]]
+    * stop short of. The naive 3-way basket self-join is O(Σ |basket|³);
+    * the levelwise shape bounds every stage by FREQUENT sub-patterns:
+    *
+    *  1. L2 = the support-pruned pair frame (the SHARED co-purchase
+    *     pair graph — the graph family's cached first stage, reused);
+    *  2. candidates C3 = L2 ⋈ L2 on the shared first item, plus the
+    *     A-priori prune (the third 2-subset (q, r) must also be in L2)
+    *     — LOSSLESS: a triple's support is ≤ each pair's support, so
+    *     nothing a final HAVING would keep is pruned;
+    *  3. verification gates the per-order pair stream by L2 (semi-join)
+    *     BEFORE extending with a third in-order item, and gates the
+    *     extension by C3 before counting — infrequent junk never rides
+    *     an exchange.
+    *
+    * Exact integer supports; total ORDER BY. At 100 TB every gate is a
+    * key-partitioned semi-join (AQE broadcasts C3/L2 when they fit,
+    * which is the common case after pruning); the basket collapse is
+    * the one corpus-scale exchange, shared with the pair family.
+    */
+  def frequentTriples(
+      lineitem: DataFrame,
+      pairs: DataFrame,
+      minSupport: Long = 2): DataFrame = {
+    val l2 = pairs.select(col("u"), col("v"))
+    val cands = l2.select(col("u").as("p"), col("v").as("q"))
+      .join(l2.select(col("u").as("p"), col("v").as("r")), "p")
+      .filter(col("q") < col("r"))
+      .join(l2.select(col("u").as("q"), col("v").as("r")),
+        Seq("q", "r"), "left_semi")
+    val sets = orderPartSets(lineitem)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val opairs = sets
+      .select(col("ok"), explode(expr(
+        """flatten(transform(pks, (x, i) ->
+          |  transform(slice(pks, i + 2, size(pks)), y -> struct(x AS u, y AS v))))"""
+          .stripMargin)).as("pr"))
+      .select(col("ok"), col("pr.u").as("p"), col("pr.v").as("q"))
+      .join(l2.select(col("u").as("p"), col("v").as("q")),
+        Seq("p", "q"), "left_semi")
+    val third = sets.select(col("ok"), explode(col("pks")).as("r"))
+    opairs.join(third, "ok")
+      .filter(col("q") < col("r"))
+      .join(cands, Seq("p", "q", "r"), "left_semi")
+      .groupBy(col("p"), col("q"), col("r"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+      .orderBy(desc("support"), col("p"), col("q"), col("r"))
+  }
+
+  /** DuckDB twin of [[frequentTriples]] — the NAIVE 3-way basket join
+    * with the same HAVING; levelwise pruning is lossless (see scaladoc),
+    * so the naive form IS the specification.
+    */
+  def frequentTriplesOracleSql(minSupport: Long = 2): String =
+    s"""WITH items AS (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem)
+       |SELECT a.pk AS p, b.pk AS q, c.pk AS r, count(*)::BIGINT AS support
+       |FROM items a
+       |JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+       |JOIN items c ON b.ok = c.ok AND b.pk < c.pk
+       |GROUP BY 1, 2, 3 HAVING count(*) >= $minSupport
+       |ORDER BY support DESC, p, q, r""".stripMargin
+
   /** DuckDB twin of [[assocRules]]. */
   def assocRulesOracleSql(minSupport: Long = 2, k: Int = 100): String =
     s"""WITH items AS (

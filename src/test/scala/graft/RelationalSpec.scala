@@ -465,6 +465,24 @@ class RelationalSpec extends SparkTestBase {
       (1L, 2L, 2L, 3L, 6666L, 10000L)))
   }
 
+  test("frequentTriples: A-priori prune drops the candidate whose (q,r) pair is infrequent") {
+    import spark.implicits._
+    // baskets: {1,2,3} ×2, {1,2,4}, {1,3,4}
+    // pair supports: (1,2)=3, (1,3)=3, (2,3)=2, (1,4)=2, (2,4)=1, (3,4)=1
+    // only (1,2,3) survives at minSupport 2 — candidates (1,2,4)/(1,3,4)
+    // are pruned because their (2,4)/(3,4) sub-pairs are infrequent
+    val li = Seq(
+      (10L, 1L), (10L, 2L), (10L, 3L),
+      (20L, 1L), (20L, 2L), (20L, 3L),
+      (30L, 1L), (30L, 2L), (30L, 4L),
+      (40L, 1L), (40L, 3L), (40L, 4L))
+      .toDF("l_orderkey", "l_partkey")
+    val pairs = graft.ops.Relational.partPairCounts(li, 2)
+    val out = graft.ops.Relational.frequentTriples(li, pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((1L, 2L, 3L, 2L)))
+  }
+
   test("giniCoefficient: equality scores 0; a 100/300 split scores exactly 0.25") {
     import spark.implicits._
     val equal = Seq((1L, 2.0), (2L, 2.0)).toDF("o_custkey", "o_totalprice")
