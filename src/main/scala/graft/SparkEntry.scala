@@ -519,6 +519,10 @@ object SparkEntry {
     // shared verbatim by both engines — no float crosses the oracle
     "q_holt_forecast" -> ((s, d) =>
       Analytics.holtForecast(Analytics.events(s, d))),
+    // schema-driven per-column profile: ONE scan, exact distincts,
+    // cross-engine-rendered extrema — the first query on any new table
+    "q_table_profile" -> ((s, d) =>
+      Catalog.profileTable(Analytics.events(s, d))),
     // TPC-H Q21 shape: EXISTS + NOT EXISTS decorrelated to per-order
     // aggregates reusing the orderkey clustering
     "q_sole_blame_suppliers" -> ((s, d) =>
@@ -2864,6 +2868,7 @@ object SparkEntry {
         |FROM events GROUP BY user_id HAVING count(*) >= 100
         |ORDER BY user_id""".stripMargin,
     "q_holt_forecast" -> Analytics.holtForecastOracleSql(),
+    "q_table_profile" -> Catalog.profileEventsOracleSql,
     "q_seasonal_decomp" ->
       """WITH daily AS (
         |  SELECT CAST(ts AS DATE) AS day, count(*)::BIGINT AS n

@@ -45,4 +45,86 @@ object Catalog {
       .map(f => (f.name, f.dataType.sql, if (f.nullable) "YES" else "NO"))
       .toDF("column_name", "data_type", "is_nullable")
   }
+
+  /** DATA-PROFILE REPORT — one row per column with the ingest-audit
+    * basics (row count, null count, exact distinct count, rendered
+    * min/max): the first query run against ANY newly landed table, and
+    * the one every schema-drift / quality incident starts from. The
+    * operator is schema-driven and generic: aggregates are generated
+    * from the DataFrame's StructType, so it profiles any table.
+    *
+    * Cross-engine value rendering (min/max must hash-match the oracle):
+    * integers and strings render verbatim, timestamps through
+    * unix_micros, dates ISO, floating point at e2 (cent) integer
+    * precision; unorderable types (arrays, structs) get NULL extrema.
+    *
+    * Shape: ONE scan. The k exact distinct aggregates plan as a single
+    * Expand (k× the row stream under map-side partial aggregation) —
+    * the exact form is the audit/oracle twin; at 100 TB swap
+    * `countDistinct` for `approx_count_distinct` and the envelope
+    * discipline (the [[graft.ops.Analytics.healthCheckApproxEnvelope]]
+    * shape) — same report, sketch-sized state.
+    */
+  def profileTable(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val fields = df.schema.fields.toSeq
+    def rendered(dt: DataType, c: Column): Option[Column] = dt match {
+      case ByteType | ShortType | IntegerType | LongType |
+           _: DecimalType => Some(c.cast("string"))
+      case StringType => Some(c)
+      case DateType => Some(c.cast("string"))
+      case TimestampType => Some(unix_micros(c).cast("string"))
+      case DoubleType | FloatType =>
+        Some(round(c * 100).cast("long").cast("string"))
+      case _ => None
+    }
+    val aggs = fields.flatMap { f =>
+      val c = col(s"`${f.name}`")
+      def mm(agg: Column): Column =
+        rendered(f.dataType, agg).getOrElse(lit(null).cast("string"))
+      Seq(
+        sum(when(c.isNull, 1L).otherwise(0L)).as(s"${f.name}__nn"),
+        countDistinct(c).as(s"${f.name}__nd"),
+        mm(min(c)).as(s"${f.name}__mn"),
+        mm(max(c)).as(s"${f.name}__mx"))
+    }
+    val one = df.agg(count(lit(1)).as("__rows"), aggs: _*)
+    val stackExpr = s"stack(${fields.length}, " + fields.map(f =>
+      s"'${f.name}', `${f.name}__nn`, `${f.name}__nd`, " +
+        s"`${f.name}__mn`, `${f.name}__mx`").mkString(", ") +
+      ") AS (column_name, n_null, n_distinct, min_repr, max_repr)"
+    one.selectExpr(stackExpr, "__rows AS n_rows")
+      .select(col("column_name"), col("n_rows"), col("n_null"),
+        col("n_distinct"), col("min_repr"), col("max_repr"))
+      .orderBy(col("column_name"))
+  }
+
+  /** DuckDB oracle for [[profileTable]] over the events table — the six
+    * per-column audits unioned, with the identical rendering rules.
+    */
+  def profileEventsOracleSql: String = {
+    def row(name: String, mn: String, mx: String): String =
+      s"""SELECT '$name' AS column_name,
+         |  count(*)::BIGINT AS n_rows,
+         |  sum(CASE WHEN $name IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+         |  count(DISTINCT $name)::BIGINT AS n_distinct,
+         |  $mn AS min_repr, $mx AS max_repr
+         |FROM events""".stripMargin
+    def v(e: String) = (s"CAST(min($e) AS VARCHAR)", s"CAST(max($e) AS VARCHAR)")
+    val (ei1, ei2) = v("event_id"); val (u1, u2) = v("user_id")
+    val (t1, t2) = ("CAST(epoch_us(min(ts)) AS VARCHAR)",
+      "CAST(epoch_us(max(ts)) AS VARCHAR)")
+    val (va1, va2) = ("CAST(CAST(round(min(value) * 100) AS BIGINT) AS VARCHAR)",
+      "CAST(CAST(round(max(value) * 100) AS BIGINT) AS VARCHAR)")
+    Seq(
+      row("event_id", ei1, ei2),
+      row("ts", t1, t2),
+      row("user_id", u1, u2),
+      row("event_type", "min(event_type)", "max(event_type)"),
+      row("value", va1, va2),
+      row("props", "min(props)", "max(props)"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+  }
 }

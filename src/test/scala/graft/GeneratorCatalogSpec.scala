@@ -75,4 +75,25 @@ class GeneratorCatalogSpec extends SparkTestBase {
     assert(cols.values.forall(_._2 == "YES"),
       "file-based tables surface every column as nullable")
   }
+
+  test("profileTable: exact per-column nulls/distincts and rendered extrema") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some("b"), Some(1.005), Seq(1, 2)),
+      (2L, None, Some(-0.005), Seq(3)),
+      (3L, Some("a"), None, Seq.empty[Int]),
+      (3L, Some("a"), Some(2.0), Seq(4)))
+      .toDF("k", "s", "v", "arr")
+    val out = Catalog.profileTable(df).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        Option(r.getString(4)), Option(r.getString(5)))).toMap
+    assert(out.keySet == Set("k", "s", "v", "arr"))
+    assert(out("k") == ((4L, 0L, 3L, Some("1"), Some("3"))))
+    assert(out("s") == ((4L, 1L, 2L, Some("a"), Some("b"))))
+    // doubles render at e2: HALF_UP at the cent boundary, both signs
+    assert(out("v") == ((4L, 1L, 3L, Some("-1"), Some("200"))))
+    // unorderable array column: counts still exact, extrema NULL
+    assert(out("arr")._1 == 4L && out("arr")._2 == 0L && out("arr")._3 == 4L)
+    assert(out("arr")._4.isEmpty && out("arr")._5.isEmpty)
+  }
 }
