@@ -3425,12 +3425,14 @@ object Analytics {
       .withColumn("x", datediff(col("day"), lit("2024-01-01").cast("date"))
         .cast("long"))
       .persist()
-    // FLOOR(double division), not integer `div`: dy can be negative and
-    // Spark's div truncates toward zero while DuckDB's // floors. The
-    // double path is exact here: dy·10⁶ and dx are < 2⁵³, and a non-
-    // integer quotient with denominator dx ≤ series length sits ≥ 1/dx
-    // from any integer — far beyond one ulp — so FLOOR agrees with exact
-    // rational floor in both engines.
+    // FLOOR(double division) gives the mathematician's floor for
+    // negative dy (a slope estimator should bin -0.4 to -1, not 0 —
+    // integer `div`/`//` truncate toward zero in BOTH engines, which
+    // would bias small negative slopes upward). The double path is
+    // exact here: dy·10⁶ and dx are < 2⁵³, and a non-integer quotient
+    // with denominator dx ≤ series length sits ≥ 1/dx from any integer
+    // — far beyond one ulp — so FLOOR agrees with exact rational floor
+    // in both engines.
     val pairs = daily.as("a").join(daily.as("b"), col("b.x") > col("a.x"))
       .select(col("a.x").as("xi"), col("b.x").as("xj"),
         expr("CAST(FLOOR((b.y - a.y) * 1000000.0 / (b.x - a.x)) AS BIGINT)")

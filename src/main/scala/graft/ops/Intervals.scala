@@ -113,11 +113,14 @@ object Intervals {
     * 1-hour-bin equi-join with the containment as residual
     * (RangeJoinSpec pins both semantics and plan shape).
     *
-    * The binSize conf stays set on the session: the rule only fires on
-    * inner joins whose condition is range-only (any equality conjunct
-    * stands it down) and the rewrite is semantics-preserving, so a
-    * live conf cannot change any result — only collapse a quadratic
-    * plan. Registration is idempotent.
+    * The confs stay set on the session (optimization happens at
+    * execution, after this builder returns), so they are SCOPED: the
+    * pointColumn conf restricts the rule to joins whose point side is
+    * THIS query's `t_us` column — a binSize tuned for an hour of
+    * microseconds must never leak onto another query's range join
+    * (before the scope existed it rewrote an unrelated stats-interval
+    * join into a 2.5-billion-element bin sequence). The rewrite itself
+    * is semantics-preserving; registration is idempotent.
     *
     * Shape at 100 TB: the window side is dimension-sized (top-10), the
     * event side shuffles ONCE on its hour bin; each window explodes to
@@ -127,6 +130,7 @@ object Intervals {
     val spark = events.sparkSession
     graft.plans.RangeJoinRule.register(spark)
     spark.conf.set(graft.plans.RangeJoinRule.BinSizeKey, "3600000000")
+    spark.conf.set(graft.plans.RangeJoinRule.PointColumnKey, "t_us")
     val busiest = events
       .groupBy(date_trunc("hour", col("ts")).as("hour"))
       .agg(count(lit(1)).as("n"))

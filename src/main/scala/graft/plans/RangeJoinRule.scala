@@ -60,10 +60,11 @@ case class RangeJoinRule() extends Rule[LogicalPlan] {
     if (binSize.isEmpty) return plan
     val b = binSize.toDouble
     require(b > 0, s"$BinSizeKey must be positive, got $binSize")
+    val pointCol = conf.getConfString(PointColumnKey, "")
     plan.transformUp {
       case j @ Join(left, right, Inner, Some(cond), hint)
           if eligible(j, cond) =>
-        extractRange(cond, left, right) match {
+        extractRange(cond, left, right, pointCol) match {
           case Some(RangeSides(point, lo, hi, pointIsLeft)) =>
             val (pointPlan, intervalPlan) =
               if (pointIsLeft) (left, right) else (right, left)
@@ -113,6 +114,17 @@ object RangeJoinRule {
     */
   val BinSizeKey = "spark.graft.rangeJoin.binSize"
 
+  /** Optional point-column scope: when set, the rule rewrites ONLY
+    * joins whose point side is an attribute with this exact name. A
+    * bin width tuned for one domain (an hour of microseconds) is a
+    * landmine in another — a session-wide binSize once rewrote an
+    * unrelated stats-interval join into a 2.5-billion-element bin
+    * sequence. A query that leaves the confs set for its execution
+    * MUST scope them to its own point column; the unscoped form is for
+    * sessions that run one range-join workload.
+    */
+  val PointColumnKey = "spark.graft.rangeJoin.pointColumn"
+
   /** Runtime registration on an existing session (the config path is
     * `spark.sql.extensions=graft.functions.GraftExtensions`).
     */
@@ -139,11 +151,14 @@ object RangeJoinRule {
   /** Find a (point ≥/> lo, point ≤/< hi) pair where the point expression
     * references exactly one join side and both bounds reference only the
     * other. Comparisons are normalized so the point lands on the left.
+    * A non-empty `pointCol` additionally requires the point to be an
+    * attribute with that name (the [[PointColumnKey]] scope).
     */
   private[plans] def extractRange(
       cond: Expression,
       left: LogicalPlan,
-      right: LogicalPlan): Option[RangeSides] = {
+      right: LogicalPlan,
+      pointCol: String = ""): Option[RangeSides] = {
     val conjuncts = splitConjuncts(cond)
     // (point, bound, isLower) triples, point normalized to first position
     val cmps: Seq[(Expression, Expression, Boolean)] = conjuncts.flatMap {
@@ -162,10 +177,15 @@ object RangeJoinRule {
     }
     def numeric(e: Expression): Boolean =
       e.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
+    def inScope(e: Expression): Boolean = pointCol.isEmpty || (e match {
+      case a: Attribute => SQLConf.get.resolver(a.name, pointCol)
+      case _ => false
+    })
     val candidates = for {
       (p1, lo, isLo) <- cmps if isLo
       (p2, hi, isHi) <- cmps if !isHi
       if p1.semanticEquals(p2) && numeric(p1) && numeric(lo) && numeric(hi)
+      if inScope(p1)
       pSide <- sideOf(p1)
       loSide <- sideOf(lo) if loSide != pSide
       hiSide <- sideOf(hi) if hiSide != pSide

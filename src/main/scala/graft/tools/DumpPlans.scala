@@ -198,7 +198,11 @@ object DumpPlans {
       "q_hubness_sampled" -> "sampled hubness: deterministic vec_id-mod sample bounds the all-pairs budget before the broadcast kNN; the histogram collapse is unchanged",
       "q_lof_sampled" -> "sampled LOF: the id-mod sample caps the quadratic candidate pass; k-bounded kNN frame and integer reach arithmetic identical to the exact twin",
       "q_health_check_approx" -> "HLL audit: one aggregate computes sketch AND exact distincts; the emitted row is the envelope verdict both engines can match digit-exact",
-      "q_surge_windows" -> "range join through the injected optimizer rule: containment condition rewritten to a 1-hour-bin equi-join (windows explode to ≤2 bins, events shuffle once) with the exact range as residual — never a BroadcastNestedLoopJoin")
+      "q_surge_windows" -> "range join through the injected optimizer rule: containment condition rewritten to a 1-hour-bin equi-join (windows explode to ≤2 bins, events shuffle once) with the exact range as residual — never a BroadcastNestedLoopJoin",
+      "q_margin_pairs" -> "margin-criterion pair mining: one scored frame persists and serves both direction windows; neighborhood sums are k-bounded aggregates; the margin is one integer division",
+      "q_frequent_triples" -> "A-priori level 3: candidates from L2⋈L2 + lossless subset prune; per-order pair stream semi-gated by L2 BEFORE the third-item extension, extension semi-gated by candidates before counting",
+      "q_holt_forecast" -> "Holt forecast: one day-dimension collapse, 28-row broadcast weight join, DECIMAL(38,0) weighted sums, 7-row horizon spine — constants embedded, no float crosses engines",
+      "q_table_profile" -> "table profile: ONE scan, k exact distincts on a single Expand, per-column extrema rendered cross-engine-safe, stack unpivot to the column dimension")
 
     val sb = new StringBuilder
     sb.append("# PLANS — explain(\"formatted\") for headline queries\n\n")

@@ -30,7 +30,10 @@ class RangeJoinSpec extends SparkTestBase {
   private def withRule[T](binSize: String)(body: => T): T = {
     RangeJoinRule.register(spark)
     spark.conf.set(RangeJoinRule.BinSizeKey, binSize)
-    try body finally spark.conf.unset(RangeJoinRule.BinSizeKey)
+    try body finally {
+      spark.conf.unset(RangeJoinRule.BinSizeKey)
+      spark.conf.unset(RangeJoinRule.PointColumnKey)
+    }
   }
 
   private def planOf(df: DataFrame): String =
@@ -116,6 +119,24 @@ class RangeJoinSpec extends SparkTestBase {
       .count(_.isInstanceOf[RangeJoinRule]) == 1)
   }
 
+  test("pointColumn scope: the rule never touches another column's range join") {
+    // the hazard this scope exists for: a binSize tuned for one domain
+    // (an hour of microseconds) once exploded an UNRELATED query's
+    // stats-interval join into a 2.5-billion-element bin sequence
+    withRule("10.0") {
+      spark.conf.set(RangeJoinRule.PointColumnKey, "t_us")
+      val df = points.join(intervals,
+        col("v") >= col("lo") && col("v") <= col("hi"))
+      val p = planOf(df)
+      assert(!p.contains("__graft_pbin"),
+        s"rule fired on out-of-scope column v:\n$p")
+      // matching column name (case-insensitive resolver) still rewrites
+      val scoped = points.withColumnRenamed("v", "T_US")
+        .join(intervals, col("T_US") >= col("lo") && col("T_US") <= col("hi"))
+      assert(planOf(scoped).contains("__graft_pbin"), planOf(scoped))
+    }
+  }
+
   test("q_surge_windows executes through the rewrite — no nested-loop join") {
     val df = graft.ops.Intervals.surgeWindowTraffic(
       graft.ops.Analytics.events(spark, "/root/testdata/sf0.001"))
@@ -127,6 +148,9 @@ class RangeJoinSpec extends SparkTestBase {
         !p.contains("CartesianProduct"),
         s"surge-window containment join still quadratic:\n$p")
       assert(p.contains("__graft_pbin") || p.contains("__graft_ibin"), p)
-    } finally spark.conf.unset(RangeJoinRule.BinSizeKey)
+    } finally {
+      spark.conf.unset(RangeJoinRule.BinSizeKey)
+      spark.conf.unset(RangeJoinRule.PointColumnKey)
+    }
   }
 }
