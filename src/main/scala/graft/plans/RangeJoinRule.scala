@@ -71,10 +71,20 @@ case class RangeJoinRule() extends Rule[LogicalPlan] {
             // 2. point bin: one row-local column
             val pBin = Alias(binOf(point, b), "__graft_pbin")()
             val pointProj = Project(pointPlan.output :+ pBin, pointPlan)
-            // 3. interval side explodes to its covered bins
-            val seq = Sequence(
-              binOf(lo, b), binOf(hi, b), Some(Literal(1L)),
-              Some(SQLConf.get.sessionLocalTimeZone))
+            // 3. interval side explodes to its covered bins. An
+            // INVERTED interval (lo > hi — garbage data) must explode
+            // to ZERO rows exactly as the naive inner join matches
+            // nothing; a bare Sequence would THROW on start > stop,
+            // turning bad rows into a job failure the original query
+            // never had. (A null bound makes Sequence null and
+            // Explode drops the row — already inner-join-faithful.)
+            val loBin = binOf(lo, b)
+            val hiBin = binOf(hi, b)
+            val seq = If(
+              LessThanOrEqual(loBin, hiBin),
+              Sequence(loBin, hiBin, Some(Literal(1L)),
+                Some(SQLConf.get.sessionLocalTimeZone)),
+              Literal.create(null, org.apache.spark.sql.types.ArrayType(LongType)))
             val iBin = AttributeReference("__graft_ibin", LongType)()
             val intervalGen = Generate(
               Explode(seq), unrequiredChildIndex = Nil, outer = false,

@@ -460,4 +460,37 @@ class EmptyInputSpec extends SparkTestBase {
         && r.getAs[Long]("n_orphan_rows") == 0L))
   }
 
+  test("round-11 operators survive empty inputs") {
+    import spark.implicits._
+    val noEventsFull = Seq.empty[(Long, java.sql.Timestamp, Long, String, Double, String)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val noVecs = Seq.empty[(Long, Array[Float], Int)]
+      .toDF("vec_id", "embedding", "label")
+    assert(graft.ops.Similarity.marginPairs(noVecs).count() == 0)
+    // Holt on nothing: the weighted-sum aggregate still emits its one
+    // state row (null sums), so the 7 horizon rows carry null forecasts
+    val holt = graft.ops.Analytics.holtForecast(noEventsFull).collect()
+    assert(holt.length == 7 &&
+      holt.forall(_.isNullAt(holt.head.fieldIndex("forecast_e3"))))
+    // surge sets the session-scoped range-join confs for its execution;
+    // unset them here so suite ordering can't leak them into the
+    // RangeJoinSpec inertness pin
+    try assert(graft.ops.Intervals.surgeWindowTraffic(noEventsFull).count() == 0)
+    finally {
+      spark.conf.unset(graft.plans.RangeJoinRule.BinSizeKey)
+      spark.conf.unset(graft.plans.RangeJoinRule.PointColumnKey)
+    }
+    val noLi = Seq.empty[(Long, Long)].toDF("l_orderkey", "l_partkey")
+    assert(graft.ops.Relational.frequentTriples(noLi,
+      graft.ops.Relational.partPairCounts(noLi, 2)).count() == 0)
+    // profiler: one row per column even on an empty frame, zero counts
+    val prof = graft.ops.Catalog.profileTable(noEventsFull).collect()
+    assert(prof.length == 6 && prof.forall(r =>
+      r.getAs[Long]("n_rows") == 0L && r.getAs[Long]("n_distinct") == 0L))
+    // sampled diagnostics under auto mode count an empty corpus safely
+    assert(graft.ops.Similarity.hubnessHistogram(noVecs, sampleMod = 0)
+      .count() == 0)
+    assert(graft.ops.Similarity.lofOutliers(noVecs, sampleMod = 4)
+      .count() == 0)
+  }
 }

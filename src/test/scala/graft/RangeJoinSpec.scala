@@ -80,6 +80,20 @@ class RangeJoinSpec extends SparkTestBase {
     }
   }
 
+  test("an inverted interval (lo > hi) matches nothing instead of throwing") {
+    import spark.implicits._
+    // a bare sequence(start, stop) THROWS on start > stop — the rewrite
+    // must keep the naive join's behavior: garbage rows match nothing
+    val bad = Seq((80L, 50.0, -50.0), (90L, 0.0, 20.0))
+      .toDF("iid", "lo", "hi")
+    withRule("10.0") {
+      val df = points.join(bad,
+        col("v") >= col("lo") && col("v") <= col("hi"))
+      assert(planOf(df).contains("__graft_pbin"), planOf(df))
+      assert(rows(df) == Set((3L, 90L), (4L, 90L)))
+    }
+  }
+
   test("an equality conjunct stands the rule down (hash key already exists)") {
     withRule("10.0") {
       val df = points.join(intervals,
