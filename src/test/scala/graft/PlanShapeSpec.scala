@@ -1029,6 +1029,32 @@ class PlanShapeSpec extends SparkTestBase {
       p)
   }
 
+  test("frequentTriples: every levelwise gate plans as a semi-join; no cartesian") {
+    val li = Relational.table(spark, sf, "lineitem")
+    val p = plan(Relational.frequentTriples(li,
+      Relational.partPairCounts(li, 2)))
+    assert(p.contains("LeftSemi"),
+      s"A-priori gates must be semi-joins:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("holtForecast: the 28-row weight table broadcasts onto the day collapse") {
+    val p = plan(Analytics.holtForecast(
+      Analytics.eventsSince(spark, sf, "2024-01-01T00:00:00Z")))
+    assert(p.contains("BroadcastHashJoin"),
+      s"weight join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("profileTable: the k exact distincts ride ONE Expand over one scan") {
+    val p = plan(graft.ops.Catalog.profileTable(
+      Analytics.eventsSince(spark, sf, "2024-01-01T00:00:00Z")))
+    // one Expand node (k-fold row stream under partial aggregation),
+    // one generator for the stack unpivot — never k separate scans
+    assert("Expand".r.findAllIn(p).length == 1, p)
+    assert("Scan parquet".r.findAllIn(p).size <= 1, p)
+  }
+
   test("AQE splits the hot key automatically (skew=true) — the no-salt twin of saltedJoin") {
     // q_salted_join proves the MANUAL answer to one too-hot key; this
     // pins the AUTOMATIC one: Spark's OptimizeSkewedJoin must mark and
