@@ -129,7 +129,10 @@ object Bench {
         if (latN == 0 || (n > 0 && p99 < latP99)) {
           latP50 = p50; latP99 = p99; latN = n; latLoad = loadavg
         }
-        done = !(latN > 0 && latP99 > 10.0 * latP50)
+        // an empty window (n == 0, the -1 sentinels) is ALSO evidence
+        // of a bad slice — keep burning attempts rather than exiting
+        // with sentinels while retries remain
+        done = latN > 0 && latP99 <= 10.0 * latP50
         if (!done && latAttempts < 3) Thread.sleep(5000)
       }
     } catch { case e: Throwable =>

@@ -162,6 +162,13 @@ object Analytics {
     * production query stays [[healthCheckApprox]] (sketch only, no
     * exact-distinct expand); this form is the accuracy AUDIT a sketch
     * deployment runs on a sample before trusting the estimates.
+    *
+    * The Spark sketch is pinned to rsd = 0.015 so the 5% envelope is a
+    * ≥ 3.3σ bound the sketch actually guarantees — at Spark's default
+    * rsd (0.05) the envelope is a ~1σ coin-flip that can legitimately
+    * fail on another dataset while DuckDB's higher-precision sketch
+    * stays inside, hard-failing the digit-exact pairing spuriously.
+    * DuckDB's HLL error is far below 5%, so its side is many-σ too.
     */
   def healthCheckApproxEnvelope(
       df: DataFrame, envelopePct: Int = 5): DataFrame =
@@ -170,8 +177,8 @@ object Analytics {
         count(lit(1)).as("total_events"),
         countDistinct(col("user_id")).as("unique_users_exact"),
         countDistinct(col("event_type")).as("unique_event_types_exact"),
-        approx_count_distinct(col("user_id")).as("users_est"),
-        approx_count_distinct(col("event_type")).as("types_est"),
+        approx_count_distinct(col("user_id"), 0.015).as("users_est"),
+        approx_count_distinct(col("event_type"), 0.015).as("types_est"),
         unix_micros(max(col("ts"))).as("latest_event_us"))
       .select(col("total_events"), col("unique_users_exact"),
         col("unique_event_types_exact"), col("latest_event_us"),
@@ -1960,9 +1967,12 @@ object Analytics {
     * describes but does not predict: level l_t = αy_t + (1−α)(l_{t−1} +
     * b_{t−1}), trend b_t = β(l_t − l_{t−1}) + (1−β)b_{t−1}, forecast
     * ŷ_{T+h} = l_T + h·b_T (Holt 1957). Runs on the trailing
-    * [[HoltWindow]] most-recent days (data-anchored recency, the
-    * q_recent_events discipline) with the textbook init l₁ = y₁,
-    * b₁ = y₂ − y₁.
+    * [[HoltWindow]] most-recent CALENDAR days (data-anchored recency,
+    * the q_recent_events discipline) with the textbook init l₁ = y₁,
+    * b₁ = y₂ − y₁. The recurrence assumes an equally-spaced daily
+    * series: age is calendar distance from the newest day, and if any
+    * of the [[HoltWindow]] days is absent the outputs are NULL (a
+    * truncated weight sum is a biased forecast, not a forecast).
     *
     * Exactness: the recurrence is LINEAR in the observations, so
     * l_T and b_T are fixed weighted sums over the window — the weights
@@ -1979,27 +1989,42 @@ object Analytics {
     * spine are all dimension-sized broadcasts.
     */
   def holtForecast(df: DataFrame, horizons: Int = 7): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val spark = df.sparkSession
     import spark.implicits._
     val weights = holtWeightsE12.toSeq.map { case (age, wl, wb) => (age.toLong, wl, wb) }
       .toDF("age", "wl_e12", "wb_e12")
     val daily = df.groupBy(to_date(col("ts")).as("day"))
       .agg(count(lit(1)).as("n"))
-    val ranked = daily
-      .withColumn("age", row_number()
-        .over(Window.orderBy(desc("day"))).cast("long"))
+    // age is CALENDAR distance from the newest day (1 = newest), not a
+    // presence rank: the weights assume an equally-spaced daily series,
+    // so a missing day must leave its weight UNMATCHED (and trip the
+    // completeness guard below) rather than silently shifting every
+    // older day one weight younger — that bias is the exact mis-forecast
+    // a rank-based age produced on gappy series.
+    val maxDay = daily.agg(max(col("day")).as("max_day"))
+    val ranked = daily.crossJoin(broadcast(maxDay))
+      .withColumn("age",
+        (datediff(col("max_day"), col("day")) + 1).cast("long"))
       .filter(col("age") <= HoltWindow)
     val state = ranked.join(broadcast(weights), "age")
       .agg(
+        count(lit(1)).as("n_obs"),
         sum(expr("CAST(n AS DECIMAL(38,0)) * wl_e12")).as("level_e12"),
         sum(expr("CAST(n AS DECIMAL(38,0)) * wb_e12")).as("trend_e12"))
     val spine = (1 to horizons).map(_.toLong).toDF("h")
+    // completeness guard: below a full HoltWindow of consecutive days
+    // the level weights no longer sum to 1 and the "forecast" is a
+    // biased partial sum — emit NULL rather than a silently-wrong
+    // number (the horizon spine still emits its `horizons` rows).
+    val full = col("n_obs") === lit(HoltWindow.toLong)
     state.crossJoin(broadcast(spine))
       .select(col("h"),
-        expr("CAST(level_e12 div 1000000000 AS BIGINT)").as("level_e3"),
-        expr("CAST(trend_e12 div 1000000000 AS BIGINT)").as("trend_e3"),
-        expr("CAST((level_e12 + h * trend_e12) div 1000000000 AS BIGINT)")
+        when(full, expr("CAST(level_e12 div 1000000000 AS BIGINT)"))
+          .as("level_e3"),
+        when(full, expr("CAST(trend_e12 div 1000000000 AS BIGINT)"))
+          .as("trend_e3"),
+        when(full,
+          expr("CAST((level_e12 + h * trend_e12) div 1000000000 AS BIGINT)"))
           .as("forecast_e3"))
       .orderBy(col("h"))
   }
@@ -2049,18 +2074,25 @@ object Analytics {
        |  SELECT ts::DATE AS day, count(*)::BIGINT AS n
        |  FROM events GROUP BY 1),
        |ranked AS (
-       |  SELECT n, row_number() OVER (ORDER BY day DESC) AS age
+       |  SELECT n,
+       |    date_diff('day', day, (SELECT max(day) FROM daily)) + 1 AS age
        |  FROM daily),
        |w(age, wl_e12, wb_e12) AS (VALUES $vals),
        |state AS (
-       |  SELECT sum(n::HUGEINT * wl_e12) AS level_e12,
+       |  SELECT count(*) AS n_obs,
+       |         sum(n::HUGEINT * wl_e12) AS level_e12,
        |         sum(n::HUGEINT * wb_e12) AS trend_e12
-       |  FROM ranked JOIN w USING (age)),
+       |  FROM ranked JOIN w USING (age)
+       |  WHERE age <= $HoltWindow),
        |spine(h) AS (VALUES $hs)
        |SELECT h::BIGINT AS h,
-       |  (level_e12 // 1000000000)::BIGINT AS level_e3,
-       |  (trend_e12 // 1000000000)::BIGINT AS trend_e3,
-       |  ((level_e12 + h * trend_e12) // 1000000000)::BIGINT AS forecast_e3
+       |  CASE WHEN n_obs = $HoltWindow
+       |    THEN (level_e12 // 1000000000)::BIGINT END AS level_e3,
+       |  CASE WHEN n_obs = $HoltWindow
+       |    THEN (trend_e12 // 1000000000)::BIGINT END AS trend_e3,
+       |  CASE WHEN n_obs = $HoltWindow
+       |    THEN ((level_e12 + h * trend_e12) // 1000000000)::BIGINT
+       |    END AS forecast_e3
        |FROM state CROSS JOIN spine ORDER BY h""".stripMargin
   }
 

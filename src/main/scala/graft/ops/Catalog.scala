@@ -80,24 +80,37 @@ object Catalog {
         Some(round(c * 100).cast("long").cast("string"))
       case _ => None
     }
-    val aggs = fields.flatMap { f =>
-      val c = col(s"`${f.name}`")
+    // intermediate aliases are POSITIONAL (c0__nn …), never derived from
+    // the user's column names: a field named `x'y` or `a``b` must not be
+    // able to corrupt any generated identifier. Source columns resolve
+    // through df(_) with backticks doubled (the one escape Spark's
+    // attribute parser defines), and the unpivot is typed Columns —
+    // explode over an array of structs, the codegen'd twin of stack()
+    // with zero string interpolation to break.
+    val aggs = fields.zipWithIndex.flatMap { case (f, i) =>
+      val c = df(s"`${f.name.replace("`", "``")}`")
       def mm(agg: Column): Column =
         rendered(f.dataType, agg).getOrElse(lit(null).cast("string"))
       Seq(
-        sum(when(c.isNull, 1L).otherwise(0L)).as(s"${f.name}__nn"),
-        countDistinct(c).as(s"${f.name}__nd"),
-        mm(min(c)).as(s"${f.name}__mn"),
-        mm(max(c)).as(s"${f.name}__mx"))
+        sum(when(c.isNull, 1L).otherwise(0L)).as(s"c${i}__nn"),
+        countDistinct(c).as(s"c${i}__nd"),
+        mm(min(c)).as(s"c${i}__mn"),
+        mm(max(c)).as(s"c${i}__mx"))
     }
     val one = df.agg(count(lit(1)).as("__rows"), aggs: _*)
-    val stackExpr = s"stack(${fields.length}, " + fields.map(f =>
-      s"'${f.name}', `${f.name}__nn`, `${f.name}__nd`, " +
-        s"`${f.name}__mn`, `${f.name}__mx`").mkString(", ") +
-      ") AS (column_name, n_null, n_distinct, min_repr, max_repr)"
-    one.selectExpr(stackExpr, "__rows AS n_rows")
-      .select(col("column_name"), col("n_rows"), col("n_null"),
-        col("n_distinct"), col("min_repr"), col("max_repr"))
+    val entries = fields.zipWithIndex.map { case (f, i) =>
+      struct(
+        lit(f.name).as("column_name"),
+        col(s"c${i}__nn").as("n_null"),
+        col(s"c${i}__nd").as("n_distinct"),
+        col(s"c${i}__mn").as("min_repr"),
+        col(s"c${i}__mx").as("max_repr"))
+    }
+    one.select(col("__rows").as("n_rows"),
+        explode(array(entries: _*)).as("e"))
+      .select(col("e.column_name").as("column_name"), col("n_rows"),
+        col("e.n_null").as("n_null"), col("e.n_distinct").as("n_distinct"),
+        col("e.min_repr").as("min_repr"), col("e.max_repr").as("max_repr"))
       .orderBy(col("column_name"))
   }
 

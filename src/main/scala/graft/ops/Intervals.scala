@@ -116,10 +116,13 @@ object Intervals {
     * The confs stay set on the session (optimization happens at
     * execution, after this builder returns), so they are SCOPED: the
     * pointColumn conf restricts the rule to joins whose point side is
-    * THIS query's `t_us` column — a binSize tuned for an hour of
+    * THIS query's point column — a binSize tuned for an hour of
     * microseconds must never leak onto another query's range join
     * (before the scope existed it rewrote an unrelated stats-interval
-    * join into a 2.5-billion-element bin sequence). The rewrite itself
+    * join into a 2.5-billion-element bin sequence). The point column is
+    * named `__surge_t_us`, unique to this query, so even another
+    * pure-range join over a plain `t_us` epoch column can never inherit
+    * the bin size from the still-set session confs. The rewrite itself
     * is semantics-preserving; registration is idempotent.
     *
     * Shape at 100 TB: the window side is dimension-sized (top-10), the
@@ -130,7 +133,7 @@ object Intervals {
     val spark = events.sparkSession
     graft.plans.RangeJoinRule.register(spark)
     spark.conf.set(graft.plans.RangeJoinRule.BinSizeKey, "3600000000")
-    spark.conf.set(graft.plans.RangeJoinRule.PointColumnKey, "t_us")
+    spark.conf.set(graft.plans.RangeJoinRule.PointColumnKey, "__surge_t_us")
     val busiest = events
       .groupBy(date_trunc("hour", col("ts")).as("hour"))
       .agg(count(lit(1)).as("n"))
@@ -140,9 +143,10 @@ object Intervals {
       (expr("unix_micros(hour)") - lit(900000000L)).as("lo"),
       (expr("unix_micros(hour)") + lit(2700000000L) - 1L).as("hi"))
     val points = events.select(
-      expr("unix_micros(ts)").as("t_us"), col("user_id"))
+      expr("unix_micros(ts)").as("__surge_t_us"), col("user_id"))
     points
-      .join(windows, col("t_us") >= col("lo") && col("t_us") <= col("hi"))
+      .join(windows,
+        col("__surge_t_us") >= col("lo") && col("__surge_t_us") <= col("hi"))
       .groupBy(col("lo").as("window_start_us"))
       .agg(count(lit(1)).as("n_events"),
         countDistinct(col("user_id")).as("n_users"))

@@ -1696,6 +1696,30 @@ class AnalyticsSpec extends SparkTestBase {
     }
   }
 
+  test("holtForecast refuses a gapped or short series (NULL, not a biased number)") {
+    import spark.implicits._
+    def series(days: Seq[Int]) = days.flatMap { d =>
+      (0 until 100).map(i => (d.toLong * 1000 + i,
+        java.sql.Timestamp.valueOf(f"2024-01-${d + 1}%02d 12:00:00"),
+        i.toLong, "view", 1.0, "{}"))
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    // one missing day inside the 28-day window: every output NULL —
+    // before the calendar-age guard this silently shifted older days
+    // one weight younger and emitted a biased forecast
+    val gapped = graft.ops.Analytics.holtForecast(
+      series((0 until 28).filterNot(_ == 13))).collect()
+    assert(gapped.length == 7 &&
+      gapped.forall(_.isNullAt(gapped.head.fieldIndex("forecast_e3"))))
+    // fewer than 28 days total: NULL too
+    val short = graft.ops.Analytics.holtForecast(series(0 until 10)).collect()
+    assert(short.length == 7 &&
+      short.forall(_.isNullAt(short.head.fieldIndex("level_e3"))))
+    // the exact 28-day run still forecasts (constant series → itself)
+    val full = graft.ops.Analytics.holtForecast(series(0 until 28)).collect()
+    assert(full.length == 7 && full.forall(r =>
+      math.abs(r.getLong(r.fieldIndex("forecast_e3")) - 100000L) <= 2))
+  }
+
   test("holt weight constants conserve mass: level weights sum to 1, trend to 0") {
     val ws = graft.ops.Analytics.holtWeightsE12
     assert(ws.length == graft.ops.Analytics.HoltWindow)

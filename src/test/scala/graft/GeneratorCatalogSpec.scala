@@ -96,4 +96,19 @@ class GeneratorCatalogSpec extends SparkTestBase {
     assert(out("arr")._1 == 4L && out("arr")._2 == 0L && out("arr")._3 == 4L)
     assert(out("arr")._4.isEmpty && out("arr")._5.isEmpty)
   }
+
+  test("profileTable: hostile column names (quotes, backticks, dots) profile intact") {
+    // the 'profiles any table' claim, taken literally: names that would
+    // corrupt any string-interpolated stack()/identifier are resolved
+    // through typed Columns + doubled backticks, never re-parsed
+    import spark.implicits._
+    val df = Seq((1L, "x"), (2L, "y"), (2L, null))
+      .toDF("it's", "a.b`c")
+    val out = Catalog.profileTable(df).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        Option(r.getString(4)), Option(r.getString(5)))).toMap
+    assert(out.keySet == Set("it's", "a.b`c"))
+    assert(out("it's") == ((3L, 0L, 2L, Some("1"), Some("2"))))
+    assert(out("a.b`c") == ((3L, 1L, 2L, Some("x"), Some("y"))))
+  }
 }
