@@ -519,6 +519,10 @@ object SparkEntry {
     // shared verbatim by both engines — no float crosses the oracle
     "q_holt_forecast" -> ((s, d) =>
       Analytics.holtForecast(Analytics.events(s, d))),
+    // additive weekly seasonality on top of the level+trend recurrence —
+    // same impulse-response exact-constant discipline
+    "q_holtwinters_forecast" -> ((s, d) =>
+      Analytics.holtWintersForecast(Analytics.events(s, d))),
     // schema-driven per-column profile: ONE scan, exact distincts,
     // cross-engine-rendered extrema — the first query on any new table
     "q_table_profile" -> ((s, d) =>
@@ -1502,6 +1506,10 @@ object SparkEntry {
       Dedup.bloomIncrementalDedup(idx, incrementalBatch(docs), expectedItems = 4096L)
     }),
     "q_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(TextAnalysis.documents(s, d), 0.05)),
+    // exact Jaccard self-join through PPJoin-style prefix filtering —
+    // the deterministic scale path (zero false negatives, candidates
+    // only on rare prefix tokens)
+    "q_setsim_prefix" -> ((s, d) => Dedup.setSimJoinPrefix(TextAnalysis.documents(s, d), 0.7)),
     // BM25 topical-document mining; e4-integer scores (order-independent)
     "q_bm25_search" -> ((s, d) =>
       TextAnalysis.bm25Search(TextAnalysis.documents(s, d), Seq("spark", "join", "window"))),
@@ -2868,6 +2876,7 @@ object SparkEntry {
         |FROM events GROUP BY user_id HAVING count(*) >= 100
         |ORDER BY user_id""".stripMargin,
     "q_holt_forecast" -> Analytics.holtForecastOracleSql(),
+    "q_holtwinters_forecast" -> Analytics.holtWintersForecastOracleSql(),
     "q_table_profile" -> Catalog.profileEventsOracleSql,
     "q_seasonal_decomp" ->
       """WITH daily AS (
@@ -4950,6 +4959,21 @@ object SparkEntry {
         |SELECT doc_a, doc_b, round(i::DOUBLE / (sa.sz + sb.sz - i), 4) AS jaccard
         |FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
         |WHERE round(i::DOUBLE / (sa.sz + sb.sz - i), 4) >= 0.05
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // prefix filtering is exact, so the naive inverted-list join IS the
+    // specification — identical SQL at the operating threshold
+    "q_setsim_prefix" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+        |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+        |       FROM t WHERE len(toks) >= 3),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, round(i::DOUBLE / (sa.sz + sb.sz - i), 4) AS jaccard
+        |FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+        |WHERE round(i::DOUBLE / (sa.sz + sb.sz - i), 4) >= 0.7
         |ORDER BY doc_a, doc_b""".stripMargin,
     "q_incremental_lsh" ->
       """WITH corp AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks FROM documents),

@@ -2096,6 +2096,161 @@ object Analytics {
        |FROM state CROSS JOIN spine ORDER BY h""".stripMargin
   }
 
+  /** Holt-Winters ADDITIVE seasonal forecast of daily event volume —
+    * what [[holtForecast]] cannot see: a weekly rhythm. Level/trend/
+    * seasonal recurrences (Winters 1960), period [[HwPeriod]] = 7 days,
+    * trailing [[HwWindow]] = 28 calendar days (4 full weeks), textbook
+    * init l_m = mean(week₁), b_m = (mean(week₂) − mean(week₁))/m,
+    * s_i = y_i − l_m; forecast ŷ_{T+h} = l_T + h·b_T + s_{T+h−m}.
+    *
+    * Exactness: like Holt, the full recurrence system is LINEAR in the
+    * observations, so l_T, b_T and each of the last m seasonal states
+    * are fixed weighted sums over the 28-day window. The weights are
+    * computed once per JVM (impulse responses, [[holtWintersWeightsE12]]),
+    * e12-quantized, and the SAME integers feed the Spark plan and the
+    * DuckDB oracle in LONG form (h, age, wl, wb, ws) — the seasonal
+    * pick for horizon h is thereby a plain equi-join, no element_at /
+    * CASE ladder to keep in sync across engines. Sums widen to
+    * DECIMAL(38,0)/HUGEINT.
+    *
+    * Same equally-spaced contract as [[holtForecast]]: age is calendar
+    * distance from the newest day; any gap or short history in the
+    * window nulls the outputs (n_obs guard) instead of emitting a
+    * truncated — biased — weight sum.
+    *
+    * Shape at 100 TB: one partial+final aggregate collapses the corpus
+    * to the day dimension; the 196-row weight table broadcasts; the
+    * spine left-join keeps the 7 output rows even on an empty corpus.
+    */
+  def holtWintersForecast(df: DataFrame, horizons: Int = 7): DataFrame = {
+    require(horizons <= HwPeriod,
+      s"seasonal index T+h-m is only materialized for h <= $HwPeriod")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val weights = holtWintersWeightsE12
+      .map { case (h, age, wl, wb, ws) => (h.toLong, age.toLong, wl, wb, ws) }
+      .toDF("h", "age", "wl_e12", "wb_e12", "ws_e12")
+      .filter(col("h") <= horizons)
+    val daily = df.groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val maxDay = daily.agg(max(col("day")).as("max_day"))
+    val ranked = daily.crossJoin(broadcast(maxDay))
+      .withColumn("age",
+        (datediff(col("max_day"), col("day")) + 1).cast("long"))
+      .filter(col("age") <= HwWindow)
+    val state = ranked.join(broadcast(weights), "age")
+      .groupBy(col("h"))
+      .agg(
+        count(lit(1)).as("n_obs"),
+        sum(expr("CAST(n AS DECIMAL(38,0)) * wl_e12")).as("level_e12"),
+        sum(expr("CAST(n AS DECIMAL(38,0)) * wb_e12")).as("trend_e12"),
+        sum(expr("CAST(n AS DECIMAL(38,0)) * ws_e12")).as("season_e12"))
+    val spine = (1 to horizons).map(_.toLong).toDF("h")
+    val full = col("n_obs") === lit(HwWindow.toLong)
+    spine.join(state, Seq("h"), "left")
+      .select(col("h"),
+        when(full, expr("CAST(level_e12 div 1000000000 AS BIGINT)"))
+          .as("level_e3"),
+        when(full, expr("CAST(trend_e12 div 1000000000 AS BIGINT)"))
+          .as("trend_e3"),
+        when(full, expr("CAST(season_e12 div 1000000000 AS BIGINT)"))
+          .as("season_e3"),
+        when(full,
+          expr("CAST((level_e12 + h * trend_e12 + season_e12) " +
+            "div 1000000000 AS BIGINT)"))
+          .as("forecast_e3"))
+      .orderBy(col("h"))
+  }
+
+  /** Seasonal period (days) and trailing window for [[holtWintersForecast]]. */
+  val HwPeriod: Int = 7
+  val HwWindow: Int = 28
+
+  /** Holt-Winters smoothing parameters as exact literals. */
+  val HwAlpha: Double = 0.3
+  val HwBeta: Double = 0.1
+  val HwGamma: Double = 0.2
+
+  /** e12-quantized Holt-Winters impulse-response weights in LONG form:
+    * (h, age, level-weight, trend-weight, seasonal-weight of s_{T+h−m}).
+    * age 1 = newest day in the window. Computed once per JVM by running
+    * the coupled (l, b, s) recurrences on coefficient VECTORS over
+    * (y_1 … y_W) — one sweep total, the unit impulses fall out of the
+    * tabulated initial coefficients; identical constants feed both
+    * engines.
+    */
+  lazy val holtWintersWeightsE12: IndexedSeq[(Int, Int, Long, Long, Long)] = {
+    val W = HwWindow; val m = HwPeriod
+    val a = HwAlpha; val bt = HwBeta; val g = HwGamma
+    // coefficient vectors over chronological y_1..y_W (0-based j)
+    var l = Array.tabulate(W)(j => if (j < m) 1.0 / m else 0.0)
+    var b = Array.tabulate(W)(j =>
+      if (j >= m && j < 2 * m) 1.0 / (m.toDouble * m)
+      else if (j < m) -1.0 / (m.toDouble * m) else 0.0)
+    val s = Array.ofDim[Double](W + 1, W) // s(t)(j), t = 1..W
+    for (i <- 1 to m; j <- 0 until W)
+      s(i)(j) = (if (j == i - 1) 1.0 else 0.0) - l(j)
+    for (t <- m + 1 to W) {
+      val y = Array.tabulate(W)(j => if (j == t - 1) 1.0 else 0.0)
+      val lp = l; val bp = b
+      val nl = Array.tabulate(W)(j =>
+        a * (y(j) - s(t - m)(j)) + (1.0 - a) * (lp(j) + bp(j)))
+      val nb = Array.tabulate(W)(j =>
+        bt * (nl(j) - lp(j)) + (1.0 - bt) * bp(j))
+      for (j <- 0 until W)
+        s(t)(j) = g * (y(j) - nl(j)) + (1.0 - g) * s(t - m)(j)
+      l = nl; b = nb
+    }
+    for {
+      h <- 1 to HwPeriod
+      age <- 1 to W
+    } yield {
+      val j = W - age // chronological index of the age-th newest day
+      (h, age, math.round(l(j) * 1e12), math.round(b(j) * 1e12),
+        math.round(s(W + h - m)(j) * 1e12))
+    }
+  }
+
+  /** DuckDB oracle for [[holtWintersForecast]] — identical e12 weight
+    * constants inlined as a long-form VALUES table; identical calendar
+    * ageing, HUGEINT sums, completeness guard and truncating divisions.
+    */
+  def holtWintersForecastOracleSql(horizons: Int = 7): String = {
+    val vals = holtWintersWeightsE12
+      .filter(_._1 <= horizons)
+      .map { case (h, a, wl, wb, ws) => s"($h, $a, $wl, $wb, $ws)" }
+      .mkString(", ")
+    val hs = (1 to horizons).map(h => s"($h)").mkString(", ")
+    s"""WITH daily AS (
+       |  SELECT ts::DATE AS day, count(*)::BIGINT AS n
+       |  FROM events GROUP BY 1),
+       |ranked AS (
+       |  SELECT n,
+       |    date_diff('day', day, (SELECT max(day) FROM daily)) + 1 AS age
+       |  FROM daily),
+       |w(h, age, wl_e12, wb_e12, ws_e12) AS (VALUES $vals),
+       |state AS (
+       |  SELECT h, count(*) AS n_obs,
+       |         sum(n::HUGEINT * wl_e12) AS level_e12,
+       |         sum(n::HUGEINT * wb_e12) AS trend_e12,
+       |         sum(n::HUGEINT * ws_e12) AS season_e12
+       |  FROM ranked JOIN w USING (age)
+       |  WHERE age <= $HwWindow GROUP BY h),
+       |spine(h) AS (VALUES $hs)
+       |SELECT spine.h::BIGINT AS h,
+       |  CASE WHEN n_obs = $HwWindow
+       |    THEN (level_e12 // 1000000000)::BIGINT END AS level_e3,
+       |  CASE WHEN n_obs = $HwWindow
+       |    THEN (trend_e12 // 1000000000)::BIGINT END AS trend_e3,
+       |  CASE WHEN n_obs = $HwWindow
+       |    THEN (season_e12 // 1000000000)::BIGINT END AS season_e3,
+       |  CASE WHEN n_obs = $HwWindow
+       |    THEN ((level_e12 + spine.h * trend_e12 + season_e12)
+       |      // 1000000000)::BIGINT END AS forecast_e3
+       |FROM spine LEFT JOIN state ON spine.h = state.h
+       |ORDER BY h""".stripMargin
+  }
+
   /** Cumulative user growth: new users (first-touch) per day and the
     * running total — the acquisition curve next to [[activeUsers]]'s
     * activity windows. Distinct growth equals the sum of first-touches,

@@ -1727,4 +1727,54 @@ class AnalyticsSpec extends SparkTestBase {
     assert(math.abs(ws.map(_._2).sum - 1000000000000L) <= ws.length)
     assert(math.abs(ws.map(_._3).sum) <= ws.length)
   }
+
+  test("holtWinters reproduces a pure weekly season exactly (zero trend)") {
+    import spark.implicits._
+    // y_d = 100 + saw(d mod 7), Σsaw = 0: the textbook init lands the
+    // recurrence on its fixed point (l = 100, b = 0, s = saw), so every
+    // forecast must equal the series continued — exactly, at e3
+    val saw = Array(3, -2, 5, -4, 1, -1, -2) // sums to 0
+    val rows = for {
+      d <- 0 until 28
+      i <- 0 until (100 + saw(d % 7))
+    } yield (d.toLong * 1000 + i,
+      java.sql.Timestamp.valueOf(f"2024-01-${d + 1}%02d 12:00:00"),
+      i.toLong, "view", 1.0, "{}")
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = graft.ops.Analytics.holtWintersForecast(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.length == 7)
+    out.foreach { case (h, level, trend, season, fc) =>
+      // day 28 has phase 27 % 7 = 6; horizon h lands on phase (27+h) % 7
+      val expect = (100L + saw(((27 + h) % 7).toInt)) * 1000L
+      assert(math.abs(level - 100000L) <= 1, (h, level))
+      assert(math.abs(trend) <= 1, (h, trend))
+      assert(math.abs(season - (expect - 100000L)) <= 2, (h, season))
+      assert(math.abs(fc - expect) <= 2, (h, fc))
+    }
+  }
+
+  test("holtWinters refuses gapped/short series and conserves weight mass") {
+    import spark.implicits._
+    val ws = graft.ops.Analytics.holtWintersWeightsE12
+    assert(ws.length ==
+      graft.ops.Analytics.HwPeriod * graft.ops.Analytics.HwWindow)
+    for (h <- 1 to graft.ops.Analytics.HwPeriod) {
+      val rows = ws.filter(_._1 == h)
+      // constant series forecasts itself: Σwl = 1, Σwb = 0, Σws = 0
+      assert(math.abs(rows.map(_._3).sum - 1000000000000L) <= rows.length, h)
+      assert(math.abs(rows.map(_._4).sum) <= rows.length, h)
+      assert(math.abs(rows.map(_._5).sum) <= rows.length, h)
+    }
+    def series(days: Seq[Int]) = days.flatMap { d =>
+      (0 until 100).map(i => (d.toLong * 1000 + i,
+        java.sql.Timestamp.valueOf(f"2024-01-${d + 1}%02d 12:00:00"),
+        i.toLong, "view", 1.0, "{}"))
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val gapped = graft.ops.Analytics.holtWintersForecast(
+      series((0 until 28).filterNot(_ == 9))).collect()
+    assert(gapped.length == 7 &&
+      gapped.forall(_.isNullAt(gapped.head.fieldIndex("forecast_e3"))))
+  }
 }

@@ -218,6 +218,41 @@ class DedupSpec extends SparkTestBase {
         "recall-(1-ε) oracle argument no longer holds at threshold 0.5")
   }
 
+  test("setSimJoinPrefix: identical rows to the all-pairs baseline (the exactness contract)") {
+    // prefix filtering claims ZERO false negatives — so at every
+    // threshold the output must equal ngramJaccardPairs row for row,
+    // on the real corpus, including thresholds where t·sz lands on an
+    // integer boundary (the double-ceil hazard the e4 arithmetic kills)
+    val docs = graft.ops.TextAnalysis.documents(spark, "/root/testdata/sf0.001")
+    for (t <- Seq(0.3, 0.5, 0.7, 0.9)) {
+      val fast = Dedup.setSimJoinPrefix(docs, t).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val base = Dedup.ngramJaccardPairs(docs, t).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(fast == base, s"prefix-filtered join diverged at t=$t")
+      assert(t > 0.8 || fast.nonEmpty, s"degenerate corpus at t=$t")
+    }
+  }
+
+  test("setSimJoinPrefix: boilerplate banner never drives candidates, true pair survives") {
+    // ten docs share an identical high-df banner; only two are real
+    // near-dups. The global rarity order puts the banner shingles at the
+    // back of every sorted set, outside each prefix — the pair list must
+    // contain exactly the true pair (plus banner-only docs pair up ONLY
+    // if their full Jaccard clears the threshold, which it doesn't here)
+    val boiler = "subscribe to our newsletter for updates and offers"
+    val uniq = (1 to 10).map(i =>
+      (i.toLong, s"$boiler document $i speaks about topic${i * 7} and " +
+        s"subject${i * 13} entirely alone here"))
+    val twin = Seq(
+      (20L, "the quick brown fox jumps over the lazy dog tonight"),
+      (21L, "the quick brown fox jumps over the lazy dog today"))
+    val corpus = (uniq ++ twin).toDF("doc_id", "text")
+    val out = Dedup.setSimJoinPrefix(corpus, 0.6).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((20L, 21L)), out.toString)
+  }
+
   test("repeatedSpans: maximal cross-doc spans, disjoint islands, within-doc repeats ignored") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),

@@ -493,4 +493,17 @@ class EmptyInputSpec extends SparkTestBase {
     assert(graft.ops.Similarity.lofOutliers(noVecs, sampleMod = 4)
       .count() == 0)
   }
+
+  test("round-12 operators survive empty inputs") {
+    import spark.implicits._
+    val noEventsFull = Seq.empty[(Long, java.sql.Timestamp, Long, String, Double, String)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(graft.ops.Dedup.setSimJoinPrefix(noDocs).count() == 0)
+    // Holt-Winters keeps its 7 spine rows with NULL forecasts (the same
+    // contract as holtForecast — the spine left-join preserves them)
+    val hw = graft.ops.Analytics.holtWintersForecast(noEventsFull).collect()
+    assert(hw.length == 7 &&
+      hw.forall(_.isNullAt(hw.head.fieldIndex("forecast_e3"))))
+  }
 }
