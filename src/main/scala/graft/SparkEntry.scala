@@ -991,6 +991,10 @@ object SparkEntry {
         sampleMod = 4)),
     // k-core backbone: iterative peeling to the exact fixed point
     "q_kcore" -> ((s, d) => Graph.kCoreFromPairs(pairGraph(s, d))),
+    // k-truss: the edge-level tightening of the core — every surviving
+    // edge interlocks in >= k-2 surviving triangles (k=3 is this
+    // corpus's knee: its triangles don't interlock, so k=4 is empty)
+    "q_ktruss" -> ((s, d) => Graph.kTrussFromPairs(pairGraph(s, d), k = 3)),
     // connected-component census: pointer-jumped min labels over the
     // shared pair graph; oracle replays plain propagation to fixpoint
     "q_connected_components" -> ((s, d) =>
@@ -4882,6 +4886,7 @@ object SparkEntry {
     "q_hubness" -> Similarity.hubnessHistogramOracleSql(),
     "q_hubness_sampled" -> Similarity.hubnessHistogramOracleSql(sampleMod = 4),
     "q_kcore" -> Graph.kCoreOracleSql(),
+    "q_ktruss" -> Graph.kTrussOracleSql(k = 3),
     "q_connected_components" -> Graph.connectedComponentsOracleSql(),
     "q_local_clustering" -> Graph.localClusteringOracleSql(),
     "q_lof" -> Similarity.lofOutliersOracleSql(),

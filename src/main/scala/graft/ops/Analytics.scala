@@ -2147,7 +2147,10 @@ object Analytics {
         sum(expr("CAST(n AS DECIMAL(38,0)) * ws_e12")).as("season_e12"))
     val spine = (1 to horizons).map(_.toLong).toDF("h")
     val full = col("n_obs") === lit(HwWindow.toLong)
-    spine.join(state, Seq("h"), "left")
+    // state is ≤ `horizons` rows but sits behind an aggregate whose size
+    // estimate Catalyst won't trust — hint it, or the 7-row outer join
+    // plans as a sort-merge exchange
+    spine.join(broadcast(state), Seq("h"), "left")
       .select(col("h"),
         when(full, expr("CAST(level_e12 div 1000000000 AS BIGINT)"))
           .as("level_e3"),

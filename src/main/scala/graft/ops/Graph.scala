@@ -787,6 +787,150 @@ object Graph {
       .orderBy(col("part_id"))
   }
 
+  /** K-TRUSS of the co-purchase graph — the edge-level tightening of
+    * [[kCore]]: keep exactly the edges that sit in ≥ k−2 triangles whose
+    * OTHER edges also survive (Cohen 2008). Where the k-core keeps every
+    * node with enough neighbors, the k-truss demands the neighborhoods
+    * interlock — it is the standard "cohesive community backbone"
+    * extraction, and deleting one edge can cascade (its triangles lose a
+    * side, their other edges lose support), so the peel iterates to a
+    * fixed point exactly like the core peel.
+    *
+    * Per round, triangle support is computed with the SAME
+    * degree-oriented wedge join as [[triangleCountFromPairs]] — every
+    * wedge centre has out-degree O(√|E|) regardless of hub degree, so
+    * each round is O(|E|^1.5) worst-case and never enumerates a hub's
+    * neighbor pairs quadratically. Orientation is an enumeration device
+    * only: each triangle found once, then exploded back onto its three
+    * CANONICAL (least, greatest) edges for the support count, so the
+    * result is orientation-free and the DuckDB oracle can enumerate
+    * canonically (a<b<c) without replicating the orientation.
+    *
+    * Fixed-point discipline: monotone shrinking edge set, count-equality
+    * convergence test (next ⊆ current, so equal counts ⟹ equal sets),
+    * localCheckpoint per round to cut lineage, hard `require` on
+    * stabilization — the [[connectedComponentsFromPairs]] contract. The
+    * oracle unrolls the peel; layers past the fixed point are idempotent.
+    *
+    * Output: surviving canonical edges with their final support,
+    * ordered. Empty when no edge interlocks at level k.
+    */
+  def kTruss(
+      lineitem: DataFrame,
+      k: Int = 4,
+      minSupport: Long = 2,
+      maxRounds: Int = 30): DataFrame =
+    kTrussFromPairs(Relational.partPairCounts(lineitem, minSupport)
+      .persist(StorageLevel.MEMORY_AND_DISK), k, maxRounds)
+
+  /** [[kTruss]] over a prebuilt (ideally cached) pair frame. */
+  def kTrussFromPairs(
+      pairsIn: DataFrame, k: Int = 4, maxRounds: Int = 30): DataFrame = {
+    require(k >= 3, "a k-truss is defined for k >= 3")
+    val spark = pairsIn.sparkSession
+    import spark.implicits._
+    // returns (support frame, the round's persisted oriented frame) —
+    // the caller checkpoints support EAGERLY then releases the pin, so
+    // a 30-round peel never stacks 30 persisted frames in the pool
+    def supportOf(edges: DataFrame): (DataFrame, DataFrame) = {
+      val deg = edges.select(col("u").as("n"))
+        .unionAll(edges.select(col("v").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("d"))
+      val rk = deg.select(col("n"),
+        when(col("n") < (1L << 40), col("d") * lit(1L << 40) + col("n"))
+          .otherwise(raise_error(lit("part id exceeds the 2^40 rank pack")))
+          .as("rk"))
+      val oriented = edges
+        .join(rk.select(col("n").as("u"), col("rk").as("rku")), "u")
+        .join(rk.select(col("n").as("v"), col("rk").as("rkv")), "v")
+        .select(
+          when(col("rku") < col("rkv"), col("u")).otherwise(col("v")).as("s"),
+          when(col("rku") < col("rkv"), col("rkv")).otherwise(col("rku")).as("rkt"),
+          when(col("rku") < col("rkv"), col("v")).otherwise(col("u")).as("t"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val tri = oriented.as("e1")
+        .join(oriented.as("e2"),
+          col("e1.s") === col("e2.s") && col("e1.rkt") < col("e2.rkt"))
+        .select(col("e1.s").as("a"), col("e1.t").as("b"), col("e2.t").as("c"))
+        .join(oriented.select(col("s").as("b"), col("t").as("c")), Seq("b", "c"))
+      val sup = tri.select(explode(array(
+          struct(least(col("a"), col("b")).as("u"),
+            greatest(col("a"), col("b")).as("v")),
+          struct(least(col("a"), col("c")).as("u"),
+            greatest(col("a"), col("c")).as("v")),
+          struct(least(col("b"), col("c")).as("u"),
+            greatest(col("b"), col("c")).as("v")))).as("e"))
+        .groupBy(col("e.u").as("u"), col("e.v").as("v"))
+        .agg(count(lit(1)).as("support"))
+      (sup, oriented)
+    }
+    var edges = pairsIn.select(col("u"), col("v")).localCheckpoint(true)
+    var n = edges.count()
+    var sup = spark.emptyDataset[(Long, Long, Long)]
+      .toDF("u", "v", "support")
+    var stable = n == 0L
+    var round = 0
+    while (!stable && round < maxRounds) {
+      val (supDf, orientedPin) = supportOf(edges)
+      sup = supDf.localCheckpoint(true)
+      orientedPin.unpersist(false)
+      val next = sup.filter(col("support") >= (k - 2).toLong)
+        .select(col("u"), col("v")).localCheckpoint(true)
+      val nNext = next.count()
+      // next ⊆ edges (support rows only exist for current edges), so
+      // count equality is set equality
+      stable = nNext == n
+      edges = next
+      n = nNext
+      stable = stable || n == 0L
+      round += 1
+    }
+    require(stable, s"k-truss peeling did not stabilize within $maxRounds rounds")
+    if (n == 0L) sup.filter(lit(false)).orderBy(col("u"), col("v"))
+    else sup.filter(col("support") >= (k - 2).toLong).orderBy(col("u"), col("v"))
+  }
+
+  /** DuckDB oracle for [[kTruss]] — canonical (a<b<c) triangle
+    * enumeration, support by exploding each triangle onto its three
+    * edges, peel unrolled to `rounds` idempotent CTE layers (the
+    * [[kCoreOracleSql]] discipline; KTrussSpec pins the sf0.01 peel
+    * depth well under the bound).
+    */
+  def kTrussOracleSql(k: Int = 4, minSupport: Long = 2, rounds: Int = 12): String = {
+    val kk = k - 2
+    val head =
+      s"""WITH items AS (
+         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         |e0 AS MATERIALIZED (
+         |  SELECT a.pk AS u, b.pk AS v
+         |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+         |  GROUP BY 1, 2 HAVING count(*) >= $minSupport)""".stripMargin
+    def triOf(e: String, t: String) =
+      s"""$t AS MATERIALIZED (
+         |  SELECT ab.u AS x, ab.v AS y, bc.v AS z
+         |  FROM $e ab JOIN $e bc ON ab.v = bc.u
+         |  JOIN $e ac ON ac.u = ab.u AND ac.v = bc.v)""".stripMargin
+    val iters = (1 to rounds).map { r =>
+      triOf(s"e${r - 1}", s"t$r") + ",\n" +
+        s"""e$r AS MATERIALIZED (
+           |  SELECT u, v FROM (
+           |    SELECT u, v, count(*) AS sup FROM (
+           |      SELECT x AS u, y AS v FROM t$r
+           |      UNION ALL SELECT y, z FROM t$r
+           |      UNION ALL SELECT x, z FROM t$r)
+           |    GROUP BY u, v) WHERE sup >= $kk)""".stripMargin
+    }.mkString(",\n")
+    s"""$head,
+       |$iters,
+       |${triOf(s"e$rounds", "tf")}
+       |SELECT u, v, count(*)::BIGINT AS support FROM (
+       |  SELECT x AS u, y AS v FROM tf
+       |  UNION ALL SELECT y, z FROM tf
+       |  UNION ALL SELECT x, z FROM tf)
+       |GROUP BY u, v HAVING count(*) >= $kk
+       |ORDER BY u, v""".stripMargin
+  }
+
   /** DISCRETE POWER-LAW EXPONENT (Clauset–Shalizi–Newman continuous-MLE
     * approximation): α ≈ 1 + n / Σ_{d≥dmin} ln(d/(dmin − ½)) over the
     * co-purchase degree sequence — the single number that says whether

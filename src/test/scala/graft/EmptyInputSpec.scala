@@ -500,6 +500,8 @@ class EmptyInputSpec extends SparkTestBase {
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
     val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(graft.ops.Dedup.setSimJoinPrefix(noDocs).count() == 0)
+    val noPairs = Seq.empty[(Long, Long)].toDF("u", "v")
+    assert(graft.ops.Graph.kTrussFromPairs(noPairs).count() == 0)
     // Holt-Winters keeps its 7 spine rows with NULL forecasts (the same
     // contract as holtForecast — the spine left-join preserves them)
     val hw = graft.ops.Analytics.holtWintersForecast(noEventsFull).collect()

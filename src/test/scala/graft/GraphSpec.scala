@@ -187,6 +187,35 @@ class GraphSpec extends SparkTestBase {
     assert(graft.ops.Graph.kCore(li, k = 2).count() == 0)
   }
 
+  test("kTruss keeps the interlocked clique, sheds the pendant triangle") {
+    import spark.implicits._
+    // K4 on 1-4 (every edge in 2 triangles) plus a triangle (1,5,6)
+    // hanging off node 1 (its edges sit in exactly 1 triangle)
+    val pairs = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (1L, 5L), (1L, 6L), (5L, 6L)).toDF("u", "v")
+    val t4 = graft.ops.Graph.kTrussFromPairs(pairs, k = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(t4.toSeq == Seq((1L, 2L, 2L), (1L, 3L, 2L), (1L, 4L, 2L),
+      (2L, 3L, 2L), (2L, 4L, 2L), (3L, 4L, 2L)))
+    // at k = 3 every triangle edge survives, supports intact
+    val t3 = graft.ops.Graph.kTrussFromPairs(pairs, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(t3 == Set((1L, 2L, 2L), (1L, 3L, 2L), (1L, 4L, 2L),
+      (2L, 3L, 2L), (2L, 4L, 2L), (3L, 4L, 2L),
+      (1L, 5L, 1L), (1L, 6L, 1L), (5L, 6L, 1L)))
+  }
+
+  test("kTruss deletion cascades: two chained triangles unravel completely") {
+    import spark.implicits._
+    // triangles (1,2,3) and (2,3,4) share edge (2,3): at k=4 the four
+    // support-1 edges die first, which orphans (2,3) — a second peel
+    // round must remove it too (single-pass support filtering would not)
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("u", "v")
+    assert(graft.ops.Graph.kTrussFromPairs(pairs, k = 4).count() == 0)
+  }
+
   test("textRank: one hand-computed iteration over a hub-and-spokes adjacency graph") {
     import spark.implicits._
     // "hub aaa hub bbb hub ccc": adjacency pairs (aaa,hub) w2, (bbb,hub)

@@ -1038,6 +1038,26 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("setSimJoinPrefix: shingles materialize once, verify is row-local array algebra") {
+    val p = plan(graft.ops.Dedup.setSimJoinPrefix(
+      graft.ops.TextAnalysis.documents(spark, sf), 0.7))
+    // the exploded shingle frame is persisted and re-read (df counts,
+    // prefixes, verify arrays) — never re-exploded per consumer
+    assert(p.contains("InMemoryTableScan"), p)
+    // candidate generation is an equi-join on the prefix token; the
+    // exact verify is codegen'd array_intersect, not a second corpus join
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("array_intersect"), p)
+  }
+
+  test("holtWinters: 196-row weight table broadcasts; spine keeps rows via left join") {
+    val p = plan(Analytics.holtWintersForecast(
+      Analytics.eventsSince(spark, sf, "2024-01-01T00:00:00Z")))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("holtForecast: the 28-row weight table broadcasts onto the day collapse") {
     val p = plan(Analytics.holtForecast(
       Analytics.eventsSince(spark, sf, "2024-01-01T00:00:00Z")))
