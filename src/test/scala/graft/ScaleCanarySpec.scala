@@ -239,4 +239,31 @@ class ScaleCanarySpec extends SparkTestBase {
     }
   }
 
+  test("prefix set-sim join: corpus-wide boilerplate never drives candidate growth", Slow) {
+    // the prefix-filter claim under stress: EVERY doc shares an 8-word
+    // boilerplate banner (those shingles have df = n — the all-pairs
+    // join would materialize n² candidate rows on them), while true
+    // near-dups exist only within (2i, 2i+1) pairs. Rarest-first
+    // prefixes must keep the candidate join on the pair-unique
+    // shingles, so shuffle grows linearly, and the n/2 planted pairs
+    // all surface (completion assert: rows > 0).
+    canary("setsim_prefix", 4000L) { n =>
+      val boiler = "terms of service apply to all content here"
+      val uniq = (0 until 15).map(j => expr(s"concat('w', id div 2, '_', $j)"))
+      val tail = expr("concat('t', id % 2)")
+      val docs = spark.range(n).select(col("id").as("doc_id"),
+        concat_ws(" ", lit(boiler) +: uniq :+ tail: _*).as("text"))
+      graft.ops.Dedup.setSimJoinPrefix(docs, threshold = 0.7)
+    }
+  }
+
+  test("k-truss: per-round oriented wedge joins stay near-linear as the graph grows 4x", Slow) {
+    canary("ktruss", 500000L) { n =>
+      val li = spark.range(n).select(
+        (col("id") / 5L).cast("long").as("l_orderkey"),
+        pmod(col("id") * lit(2654435761L), lit(n / 250L)).as("l_partkey"))
+      graft.ops.Graph.kTruss(li, k = 3)
+    }
+  }
+
 }
