@@ -202,7 +202,10 @@ object DumpPlans {
       "q_margin_pairs" -> "margin-criterion pair mining: one scored frame persists and serves both direction windows; neighborhood sums are k-bounded aggregates; the margin is one integer division",
       "q_frequent_triples" -> "A-priori level 3: candidates from L2⋈L2 + lossless subset prune; per-order pair stream semi-gated by L2 BEFORE the third-item extension, extension semi-gated by candidates before counting",
       "q_holt_forecast" -> "Holt forecast: one day-dimension collapse, 28-row broadcast weight join, DECIMAL(38,0) weighted sums, 7-row horizon spine — constants embedded, no float crosses engines",
-      "q_table_profile" -> "table profile: ONE scan, k exact distincts on a single Expand, per-column extrema rendered cross-engine-safe, stack unpivot to the column dimension")
+      "q_table_profile" -> "table profile: ONE scan, k exact distincts on a single Expand, per-column extrema rendered cross-engine-safe, typed explode-of-structs unpivot to the column dimension",
+      "q_setsim_prefix" -> "exact set-similarity join: rarest-first prefix filter (integer-e4 prefix lengths), candidate equi-join on prefix tokens only, row-local array_intersect verify — zero false negatives, boilerplate tokens never drive candidates",
+      "q_holtwinters_forecast" -> "Holt-Winters: one day-dimension collapse, 196-row long-form weight broadcast (seasonal pick is an equi-join on horizon), DECIMAL(38,0) sums, broadcast spine left-join keeps the 7 rows",
+      "q_ktruss" -> "k-truss peel: per-round degree-oriented wedge join (hub-safe O(E^1.5)), canonical-edge support explode, localCheckpoint-bounded fixed point")
 
     val sb = new StringBuilder
     sb.append("# PLANS — explain(\"formatted\") for headline queries\n\n")
