@@ -288,10 +288,14 @@ object Dedup {
       .persist()
     val dfTab = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     val byDoc = Window.partitionBy(col("doc_id"))
+    // persisted: feeds the prefixes AND the verify arrays — and because
+    // the window already hash-partitioned by doc_id, the docSets
+    // aggregate below reuses that partitioning with NO new exchange
     val ranked = sh.join(dfTab, "shingle")
       .withColumn("sz", count(lit(1)).over(byDoc))
       .withColumn("pos", row_number()
         .over(byDoc.orderBy(col("df"), col("shingle"))))
+      .persist()
     // prefix length p = sz − ⌈t·sz⌉ + 1, integer-exact in e4
     val prefix = ranked.filter(
       col("pos") <= col("sz") -
@@ -306,7 +310,7 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
       .distinct()
-    val docSets = sh.groupBy(col("doc_id"))
+    val docSets = ranked.groupBy(col("doc_id"))
       .agg(collect_list(col("shingle")).as("set"))
     cand
       .join(docSets.as("da"), col("doc_a") === col("da.doc_id"))
