@@ -280,6 +280,10 @@ object Dedup {
       threshold: Double = 0.7,
       n: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // t = 0 would silently degenerate to the all-pairs join (prefix =
+    // whole set); t > 1 is vacuous. Both are caller bugs — refuse.
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"jaccard threshold must be in (0, 1], got $threshold")
     val tE4 = math.round(threshold * 10000).toInt
     // shingles are per-doc-distinct by construction (WordShingles);
     // persisted once, read by df counts, prefixes, and verify arrays

@@ -864,7 +864,16 @@ object Graph {
         .agg(count(lit(1)).as("support"))
       (sup, oriented)
     }
-    var edges = pairsIn.select(col("u"), col("v")).localCheckpoint(true)
+    // canonicalize defensively (row-local): a caller passing (v, u) or
+    // both orientations would otherwise double every support count —
+    // the support explode always emits (least, greatest), so mixed
+    // orientations in the INPUT are the one garbage shape that would
+    // corrupt silently instead of failing
+    var edges = pairsIn
+      .select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"))
+      .distinct()
+      .localCheckpoint(true)
     var n = edges.count()
     var sup = spark.emptyDataset[(Long, Long, Long)]
       .toDF("u", "v", "support")
@@ -1162,7 +1171,16 @@ object Graph {
           least(col("l.label"), coalesce(col("nbr_label"), col("l.label")))
             .as("mid"))
       // pointer jumping: every label value is itself a node id (mins of
-      // node ids), so the self-join is total and never drops a row
+      // node ids), so the self-join is total and never drops a row.
+      // (A SECOND jump per round — the entity-resolution trick — was
+      // measured and REJECTED here: without an extra per-round
+      // checkpoint the un-materialized relax subtree recomputes 4x,
+      // and on this edge-heavy graph the round cost grew 4.7→7.0 s at
+      // sf0.1 (and blew dbscan's grid graph to 158 s). The ER win only
+      // exists because ITS edge frame — two star keys per record — is
+      // tiny next to the label frame; when the edge relax dominates
+      // the round, extra jumps buy nothing the recomputation doesn't
+      // take back.)
       val next = relaxed
         .join(relaxed.select(col("node").as("lid"), col("mid").as("llabel")),
           col("mid") === col("lid"))
