@@ -1532,6 +1532,15 @@ object SparkEntry {
           concat(col("text"), lit(" batchdup")).as("text"))
       Dedup.incrementalMinHashLsh(docs, batch, threshold = 0.5, bands = 32)
     }),
+    // the EXACT incremental twin of q_incremental_lsh: same batch, same
+    // threshold, recall 1 by the prefix theorem instead of banding
+    "q_incremental_setsim" -> ((s, d) => {
+      val docs = TextAnalysis.documents(s, d)
+      val batch = docs.filter(pmod(col("doc_id"), lit(5L)) === 0L)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" batchdup")).as("text"))
+      Dedup.incrementalSetSimPrefix(docs, batch, threshold = 0.5)
+    }),
     "q_simhash_pairs" -> ((s, d) => Dedup.simHashPairs(TextAnalysis.documents(s, d))),
     // exact-substring detection at word granularity: maximal spans whose
     // 8-gram windows recur in ≥2 docs (replicable PolyHash → full oracle)
@@ -4981,6 +4990,30 @@ object SparkEntry {
         |WHERE round(i::DOUBLE / (sa.sz + sb.sz - i), 4) >= 0.7
         |ORDER BY doc_a, doc_b""".stripMargin,
     "q_incremental_lsh" ->
+      """WITH corp AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks FROM documents),
+        |bat AS (SELECT doc_id + 1000000 AS doc_id,
+        |        regexp_split_to_array(lower(text || ' batchdup'), '\s+') AS toks
+        |        FROM documents WHERE doc_id % 5 = 0),
+        |shc AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+        |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+        |        FROM corp WHERE len(toks) >= 3),
+        |shb AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+        |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+        |        FROM bat WHERE len(toks) >= 3),
+        |szc AS (SELECT doc_id, count(*) AS sz FROM shc GROUP BY 1),
+        |szb AS (SELECT doc_id, count(*) AS sz FROM shb GROUP BY 1),
+        |inter AS (SELECT c.doc_id AS corpus_id, b.doc_id AS batch_id, count(*) AS i
+        |          FROM shc c JOIN shb b ON c.shingle = b.shingle GROUP BY 1, 2)
+        |SELECT corpus_id, batch_id,
+        |  round(i::DOUBLE / (sc.sz + sb.sz - i), 4) AS jaccard
+        |FROM inter JOIN szc sc ON corpus_id = sc.doc_id JOIN szb sb ON batch_id = sb.doc_id
+        |WHERE round(i::DOUBLE / (sc.sz + sb.sz - i), 4) >= 0.5
+        |ORDER BY corpus_id, batch_id""".stripMargin,
+    // exact incremental near-dup: the prefix filter is recall-1, so the
+    // naive cross jaccard IS the specification (identical SQL to the
+    // LSH twin — there the same SQL is an oracle only via the banding
+    // argument; here it is one by theorem)
+    "q_incremental_setsim" ->
       """WITH corp AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks FROM documents),
         |bat AS (SELECT doc_id + 1000000 AS doc_id,
         |        regexp_split_to_array(lower(text || ' batchdup'), '\s+') AS toks

@@ -513,6 +513,83 @@ object Dedup {
       .orderBy(col("corpus_id"), col("batch_id"))
   }
 
+  /** EXACT incremental near-dup: annotate a new batch against an
+    * existing corpus with every cross pair at Jaccard ≥ `threshold` —
+    * zero false negatives, completing the dedup-plane 2×2 the other
+    * three cells already fill: exact batch ([[setSimJoinPrefix]]),
+    * probabilistic batch ([[minHashLsh]]), probabilistic incremental
+    * ([[incrementalMinHashLsh]] — recall rests on the banding argument),
+    * exact incremental (this). When an ingest gate must PROVE it never
+    * admits a ≥ t duplicate (contractual dedup, benchmark
+    * decontamination), the banding miss floor is a liability; this
+    * path's prefix-filter theorem is recall-1 by construction.
+    *
+    * Cross-set prefix filtering: the theorem (prefixes of length
+    * |X| − ⌈t·|X|⌉ + 1 under one shared total order must intersect when
+    * J ≥ t) never requires the two sets to come from the same
+    * collection — only that BOTH prefixes use the SAME order. The order
+    * here is (corpus df asc, shingle): exactly what a deployment
+    * freezes when it builds the index, with batch-novel shingles at
+    * df = 0 (rarest; they cannot match the corpus, so they only shrink
+    * the probe's candidate surface further).
+    *
+    * Shape at 100 TB: the corpus side materializes ONCE as the
+    * (shingle, corpus_id, sz) PREFIX INDEX — `bucketBy(shingle)` it and
+    * every later ingest shuffles only the batch probe to the index
+    * layout. Verification fetches corpus shingle arrays for candidate
+    * ids only. Nothing corpus-sized moves per batch, and unlike the
+    * band index there is no recall knob to tune — the same integer-e4
+    * prefix arithmetic as [[setSimJoinPrefix]] guarantees the pair set.
+    */
+  def incrementalSetSimPrefix(
+      corpus: DataFrame,
+      batch: DataFrame,
+      threshold: Double = 0.5,
+      shingleSize: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"jaccard threshold must be in (0, 1], got $threshold")
+    val tE4 = math.round(threshold * 10000).toInt
+    // lazy persists, the incrementalMinHashLsh discipline: each shingle
+    // frame feeds its prefix branch and the verification join
+    val shC = shingleFrame(corpus, shingleSize).persist()
+    val shB = shingleFrame(batch, shingleSize).persist()
+    val expC = shC.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val dfTab = expC.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    def prefixOf(exp: DataFrame): DataFrame = {
+      val byDoc = Window.partitionBy(col("doc_id"))
+      exp.join(dfTab, Seq("shingle"), "left")
+        .na.fill(0L, Seq("df"))
+        .withColumn("sz", count(lit(1)).over(byDoc))
+        .withColumn("pos", row_number()
+          .over(byDoc.orderBy(col("df"), col("shingle"))))
+        .filter(col("pos") <= col("sz") -
+          expr(s"CAST((sz * $tE4 + 9999) div 10000 AS BIGINT)") + 1L)
+        .select(col("doc_id"), col("shingle"), col("sz"))
+    }
+    val index = prefixOf(expC)
+    val probe = prefixOf(
+      shB.select(col("doc_id"), explode(col("sh")).as("shingle")))
+    val cand = index.as("c")
+      .join(probe.as("b"), col("c.shingle") === col("b.shingle"))
+      .filter(least(col("c.sz"), col("b.sz")) * 10000L >=
+        greatest(col("c.sz"), col("b.sz")) * tE4.toLong)
+      .select(col("c.doc_id").as("corpus_id"), col("b.doc_id").as("batch_id"))
+      .dropDuplicates("corpus_id", "batch_id")
+    cand
+      .join(shC.select(col("doc_id").as("corpus_id"), col("sh").as("sh_c")),
+        "corpus_id")
+      .join(shB.select(col("doc_id").as("batch_id"), col("sh").as("sh_b")),
+        "batch_id")
+      .withColumn("inter", size(array_intersect(col("sh_c"), col("sh_b"))))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") /
+          (size(col("sh_c")) + size(col("sh_b")) - col("inter")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("corpus_id"), col("batch_id"), col("jaccard"))
+      .orderBy(col("corpus_id"), col("batch_id"))
+  }
+
   /** 64-bit SimHash over shingles: bit j of the signature is the majority
     * vote of shingle-hash bit j — one hash pass + one codegen'd majority
     * loop ([[graft.functions.SimHash64]]). Row-local.

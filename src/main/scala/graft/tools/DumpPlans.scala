@@ -205,7 +205,8 @@ object DumpPlans {
       "q_table_profile" -> "table profile: ONE scan, k exact distincts on a single Expand, per-column extrema rendered cross-engine-safe, typed explode-of-structs unpivot to the column dimension",
       "q_setsim_prefix" -> "exact set-similarity join: rarest-first prefix filter (integer-e4 prefix lengths), candidate equi-join on prefix tokens only, row-local array_intersect verify — zero false negatives, boilerplate tokens never drive candidates",
       "q_holtwinters_forecast" -> "Holt-Winters: one day-dimension collapse, 196-row long-form weight broadcast (seasonal pick is an equi-join on horizon), DECIMAL(38,0) sums, broadcast spine left-join keeps the 7 rows",
-      "q_ktruss" -> "k-truss peel: per-round degree-oriented wedge join (hub-safe O(E^1.5)), canonical-edge support explode, localCheckpoint-bounded fixed point")
+      "q_ktruss" -> "k-truss peel: per-round degree-oriented wedge join (hub-safe O(E^1.5)), canonical-edge support explode, localCheckpoint-bounded fixed point",
+      "q_incremental_setsim" -> "exact incremental near-dup: corpus prefix INDEX (shingle, id, sz — the bucketBy target), batch probe prefixes under the frozen corpus-df order, candidates equi-join prefix tokens, verify fetches corpus arrays for candidate ids only — recall 1 by theorem, no banding knob")
 
     val sb = new StringBuilder
     sb.append("# PLANS — explain(\"formatted\") for headline queries\n\n")

@@ -234,6 +234,45 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("incrementalSetSimPrefix equals the LSH twin and finds every planted cross dup") {
+    // at this corpus's operating point both incremental paths equal the
+    // exact cross-pair set — LSH by the banding argument, prefix by
+    // theorem — so their outputs must be row-identical
+    val docs = graft.ops.TextAnalysis.documents(spark, "/root/testdata/sf0.001")
+    val batch = docs.filter(pmod(col("doc_id"), lit(5L)) === 0L)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" batchdup")).as("text"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = rows(Dedup.incrementalSetSimPrefix(docs, batch, 0.5))
+    val lsh = rows(Dedup.incrementalMinHashLsh(docs, batch, 0.5, bands = 32))
+    assert(exact == lsh && exact.nonEmpty,
+      s"exact=${exact.size} lsh=${lsh.size}")
+    // every batch doc is a planted near-dup of its source: all present
+    val ids = exact.map(_._2)
+    val expected = docs.filter(pmod(col("doc_id"), lit(5L)) === 0L)
+      .select(col("doc_id")).collect().map(_.getLong(0) + 1000000L).toSet
+    assert(ids == expected, s"missing batch dups: ${expected.diff(ids)}")
+  }
+
+  test("incrementalSetSimPrefix: batch-novel shingles rank rarest and cannot drop pairs") {
+    import spark.implicits._
+    // batch doc = corpus doc plus a tail of tokens the corpus has never
+    // seen: its prefix fills with df=0 novel shingles, and the pair must
+    // STILL surface through the corpus-df-ordered index prefix
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "totally different content about other things entirely here"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa brandnew1 brandnew2"))
+      .toDF("doc_id", "text")
+    val out = Dedup.incrementalSetSimPrefix(corpus, batch, 0.6).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 8 shared shingles, batch has 10, corpus 8 → J = 8/10 = 0.8 ≥ 0.6
+    assert(out == Set((1L, 10L)), out.toString)
+  }
+
   test("setSimJoinPrefix: boilerplate banner never drives candidates, true pair survives") {
     // ten docs share an identical high-df banner; only two are real
     // near-dups. The global rarity order puts the banner shingles at the

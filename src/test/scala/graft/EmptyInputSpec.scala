@@ -502,6 +502,11 @@ class EmptyInputSpec extends SparkTestBase {
     assert(graft.ops.Dedup.setSimJoinPrefix(noDocs).count() == 0)
     val noPairs = Seq.empty[(Long, Long)].toDF("u", "v")
     assert(graft.ops.Graph.kTrussFromPairs(noPairs).count() == 0)
+    // exact incremental: empty corpus, empty batch, and both
+    val someDocs = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    assert(graft.ops.Dedup.incrementalSetSimPrefix(noDocs, someDocs).count() == 0)
+    assert(graft.ops.Dedup.incrementalSetSimPrefix(someDocs, noDocs).count() == 0)
+    assert(graft.ops.Dedup.incrementalSetSimPrefix(noDocs, noDocs).count() == 0)
     // Holt-Winters keeps its 7 spine rows with NULL forecasts (the same
     // contract as holtForecast — the spine left-join preserves them)
     val hw = graft.ops.Analytics.holtWintersForecast(noEventsFull).collect()

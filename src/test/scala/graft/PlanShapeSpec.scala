@@ -1051,6 +1051,18 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("array_intersect"), p)
   }
 
+  test("incrementalSetSimPrefix: batch probes the index; verify is row-local") {
+    val docs = graft.ops.TextAnalysis.documents(spark, sf)
+    import org.apache.spark.sql.functions.{col => c}
+    val batch = docs.limit(50)
+      .select((c("doc_id") + 1000000L).as("doc_id"), c("text"))
+    val p = plan(graft.ops.Dedup.incrementalSetSimPrefix(docs, batch, 0.5))
+    assert(p.contains("InMemoryTableScan"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("array_intersect"), p)
+  }
+
   test("holtWinters: 196-row weight table broadcasts; spine keeps rows via left join") {
     val p = plan(Analytics.holtWintersForecast(
       Analytics.eventsSince(spark, sf, "2024-01-01T00:00:00Z")))
