@@ -234,6 +234,30 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("setSimJoinPrefix property: equals brute force on random corpora across thresholds") {
+    import spark.implicits._
+    // seeded-random corpora over a TINY vocabulary: heavy shingle
+    // collisions, repeated within-doc tokens, set sizes 1..10 — the
+    // regime where an off-by-one prefix (tie order, ceil boundary,
+    // length filter) would actually show. Thresholds include exact
+    // integer products (2/3 with sz=9, 0.75 with sz=8, 1.0).
+    val rnd = new scala.util.Random(42)
+    val vocab = (0 until 12).map(i => s"w$i")
+    for (trial <- 0 until 8) {
+      val docs = (0 until 12).map { d =>
+        val len = 3 + rnd.nextInt(10)
+        (d.toLong, Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }.toDF("doc_id", "text")
+      val t = Seq(0.3, 0.5, 2.0 / 3, 0.75, 1.0)(trial % 5)
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val fast = rows(Dedup.setSimJoinPrefix(docs, t))
+      val base = rows(Dedup.ngramJaccardPairs(docs, t))
+      assert(fast == base,
+        s"trial $trial t=$t: fast-only=${fast.diff(base)} missed=${base.diff(fast)}")
+    }
+  }
+
   test("incrementalSetSimPrefix equals the LSH twin and finds every planted cross dup") {
     // at this corpus's operating point both incremental paths equal the
     // exact cross-pair set — LSH by the banding argument, prefix by
