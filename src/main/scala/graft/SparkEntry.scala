@@ -198,7 +198,10 @@ object SparkEntry {
     // ---- the core pipeline itself (SURVEY §2.3-P1..P9, §2.4-F1..F3):
     // events → wire-format JSON → full parse/validate/enrich/score chain ----
     "q_event_pipeline" -> ((s, d) => {
-      val wire = Analytics.events(s, d).select(to_json(struct(
+      // Par.widen: the per-row serialize→parse→enrich chain is compute-
+      // dense — off the 1-row-group scan it ran as ONE task
+      val wire = Par.widen(Analytics.events(s, d), col("event_id"))
+        .select(to_json(struct(
         col("event_id").cast("string").as("id"),
         date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'").as("timestamp"),
         col("props").as("message"),
@@ -1580,7 +1583,7 @@ object SparkEntry {
         col("user_id"), col("event_type"), col("value"))
       .orderBy("event_id")),
     "q_publish_roundtrip" -> ((s, d) => {
-      val ev = Analytics.events(s, d)
+      val ev = Par.widen(Analytics.events(s, d), col("event_id"))
       val wire = Generator.toWire(
         ev.select(
           col("event_id").cast("string").as("id"),

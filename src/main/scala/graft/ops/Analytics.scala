@@ -43,7 +43,8 @@ object Analytics {
     *    the parquet scan natively.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
-    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val path = s"$sfDir/events.parquet"
+    val raw = spark.read.parquet(path)
     raw.schema("ts").dataType match {
       case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
@@ -63,8 +64,9 @@ object Analytics {
     */
   def eventsSince(spark: SparkSession, sfDir: String, sinceIso: String): DataFrame = {
     val instant = java.time.Instant.parse(sinceIso)
-    val raw = spark.read.parquet(s"$sfDir/events.parquet")
-    raw.schema("ts").dataType match {
+    val path = s"$sfDir/events.parquet"
+    val raw = spark.read.parquet(path)
+    val filtered = raw.schema("ts").dataType match {
       case LongType => // nanos-as-long: compare raw nanos, then convert
         raw.filter(col("ts") >= lit(instant.getEpochSecond * 1000000000L))
           .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
@@ -77,6 +79,7 @@ object Analytics {
       case other => throw new IllegalStateException(
         s"events.ts: unsupported parquet-inferred type $other")
     }
+    filtered
   }
 
   /** F4-analog: "last hour" → last day of the dataset. */
@@ -5030,7 +5033,10 @@ object Analytics {
           >= count(lit(1)), 1L).otherwise(0L).as("label"))
       .withColumn("w", lit(1L))
       .persist()
-    val best1 = bestWeightedStump(users, bins)
+    // 1-row eager checkpoint: best1 feeds the reweight broadcast AND the
+    // final union — un-materialized, the whole round-1 stump search
+    // (histogram pass over the user frame included) re-executed 3x
+    val best1 = bestWeightedStump(users, bins).localCheckpoint(true)
     val reweighted = users.crossJoin(broadcast(best1.select(
         col("feature").as("bf"), col("b").as("bb"), col("mn"), col("mx"),
         col("polarity").as("bp"))))

@@ -1010,7 +1010,7 @@ object Corpus {
     // two consumers (pair sets + per-source sizes) share the one
     // tokenize+shingle explosion via a lazy persist — the basketPairs
     // pattern; Bench/Verify clear the pool
-    val sh = docs.select(col("source"),
+    val sh = Par.widen(docs, col("doc_id")).select(col("source"),
       explode(graft.functions.ShingleFunctions.wordShingles(toks, n))
         .as("shingle"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1062,27 +1062,30 @@ object Corpus {
     // template-generated corpus fits inside one long document and the
     // greedy loop would stop after one pick; trigram coverage keeps the
     // marginal-gain structure non-trivial
-    val terms = docs
+    val terms = Par.widen(docs, col("doc_id"))
       .select(col("doc_id"),
         explode(Dedup.shingles(col("text"), 3)).as("term"))
       .distinct()
       .persist()
-    var covered = terms.select(col("term")).limit(0).localCheckpoint(true)
+    // The covered vocabulary lives DRIVER-SIDE: it is k docs' distinct
+    // trigrams — document-scale, bounded by the greedy budget — and
+    // holding it as a local Set replaces the per-round union + distinct
+    // + localCheckpoint maintenance jobs (and the checkpointed frame's
+    // unknown-size anti-join planning hazard the old broadcast hint
+    // worked around) with ZERO jobs: each round is now exactly one
+    // anti-join-aggregate pass over the persisted term frame plus one
+    // doc-sized term fetch (both bounded sync points, the 1-row-argmax
+    // discipline). Gain arithmetic and tie-breaks are unchanged.
+    val covered = scala.collection.mutable.HashSet.empty[String]
     val picks = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
     var rnk = 1L
     var coveredTotal = 0L
     var exhausted = false
     while (rnk <= k && !exhausted) {
+      val coveredDf = broadcast(
+        covered.toSeq.sorted.toDF("term")) // sorted: deterministic plan
       val gains = terms
-        // broadcast-HINT the covered frame: it is a localCheckpoint'ed
-        // LogicalRDD whose static size is defaultSizeInBytes (unknown),
-        // so without the hint Catalyst plans a sort-merge anti-join that
-        // shuffles the ENTIRE term frame every round (AQE usually
-        // rescues it to broadcast, but only after the term-side exchange
-        // may already have materialized — a race the ScaleCanarySpec
-        // caught as superlinear shuffle). Covered vocabulary is k docs'
-        // terms — document-scale, always broadcastable.
-        .join(broadcast(covered), Seq("term"), "left_anti")
+        .join(coveredDf, Seq("term"), "left_anti")
         .groupBy(col("doc_id")).agg(count(lit(1)).as("gain"))
         .orderBy(desc("gain"), col("doc_id"))
         .limit(1)
@@ -1091,10 +1094,8 @@ object Corpus {
       else {
         val row = gains.head
         val docId = row.getLong(0)
-        covered = covered
-          .union(terms.filter(col("doc_id") === docId).select(col("term")))
-          .distinct()
-          .localCheckpoint(true)
+        covered ++= terms.filter(col("doc_id") === docId)
+          .select(col("term")).as[String].collect()
         // the anti-join makes gain EXACTLY the newly covered terms (the
         // picked doc's terms are distinct), so the running total needs
         // no extra count() action over the covered frame

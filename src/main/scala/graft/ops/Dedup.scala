@@ -198,8 +198,10 @@ object Dedup {
     // cached lazily: read by sizes and by BOTH sides of the self-join.
     // persist() (not localCheckpoint) keeps the library function lazy —
     // building or explaining the query runs no jobs; the cache populates
-    // at first action and both branches read one materialization
-    val shAll = docs
+    // at first action and both branches read one materialization.
+    // Par.widen: the 100-200x shingle explode is compute-dense (guide
+    // §2.5) — off a 1-row-group scan it ran as ONE task
+    val shAll = Par.widen(docs, col("doc_id"))
       .select(col("doc_id"), explode(shingles(col("text"), n)).as("shingle"))
       .persist()
     val sh = maxDf match {
@@ -287,7 +289,7 @@ object Dedup {
     val tE4 = math.round(threshold * 10000).toInt
     // shingles are per-doc-distinct by construction (WordShingles);
     // persisted once, read by df counts, prefixes, and verify arrays
-    val sh = docs
+    val sh = Par.widen(docs, col("doc_id"))
       .select(col("doc_id"), explode(shingles(col("text"), n)).as("shingle"))
       .persist()
     val dfTab = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
@@ -400,7 +402,7 @@ object Dedup {
     // job-free): read by the band branch and by BOTH sides of the
     // verification join — the "persist the signature table" step an
     // at-scale dedup run does before candidate generation
-    val withSh = docs
+    val withSh = Par.widen(docs, col("doc_id"))
       .select(col("doc_id"), shingles(col("text"), shingleSize).as("sh"))
       .filter(size(col("sh")) > 0)
       .persist()
@@ -463,7 +465,7 @@ object Dedup {
     * the frame every signature/verification path starts from.
     */
   private[graft] def shingleFrame(docs: DataFrame, shingleSize: Int): DataFrame =
-    docs
+    Par.widen(docs, col("doc_id"))
       .select(col("doc_id"), shingles(col("text"), shingleSize).as("sh"))
       .filter(size(col("sh")) > 0)
 
@@ -614,7 +616,7 @@ object Dedup {
     // persist (lazy): both sides of the chunk self-join read the same
     // signature table — cached once at first action, halving the
     // shingle+hash compute, without running jobs at construction time
-    val sigDf = docs
+    val sigDf = Par.widen(docs, col("doc_id"))
       .select(col("doc_id"), shingles(col("text")).as("sh"))
       .filter(size(col("sh")) > 0)
       .withColumn("sig",
@@ -680,8 +682,12 @@ object Dedup {
       docs: DataFrame,
       pairs: DataFrame,
       maxIters: Int = 50): DataFrame = {
+    // checkpointed PRE-PARTITIONED on the per-round join key dst (guide
+    // §2.4): the symmetrized union otherwise re-exchanges the edge frame
+    // every propagation round
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .repartition(col("dst"))
       .localCheckpoint()
     // propagate over the INDUCED SUBGRAPH only: a doc with no near-dup
     // edge can never change label, so the iteration state is the pair
@@ -860,8 +866,11 @@ object Dedup {
     * Norms are precomputed once per vector before the join.
     */
   def embeddingNearDup(embeddings: DataFrame, threshold: Double = 0.45): DataFrame = {
-    val e = embeddings.select(col("vec_id"), col("embedding"),
-      vecNorm(col("embedding")).as("norm"))
+    // Par.widen: the O(n²) scoring streams one side of a nested-loop
+    // join — off a 1-row-group scan it ran as ONE task
+    val e = Par.widen(embeddings, col("vec_id"))
+      .select(col("vec_id"), col("embedding"),
+        vecNorm(col("embedding")).as("norm"))
     e.as("a")
       .join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .withColumn("cos",
@@ -1117,7 +1126,19 @@ object Dedup {
     // which is AQE skew-split territory; an explicit pre-verify
     // repartition (shipped through round 9) re-shuffled the full
     // candidate stream for a ~7% slowdown at sf0.1.
-    val labelPairs = probes.join(chunks, Seq("l", "slot", "chunk"))
+    // PIN the candidate join's parallelism at the session's configured
+    // shuffle partitions (guide §2.5): the join INPUT is label-space
+    // bytes (small) but the join OUTPUT × levenshtein verify is the
+    // dominant compute, so AQE's byte-based coalescing under-parallelizes
+    // it — profiling measured the whole verify as ONE 7.1 s task at
+    // sf0.1/local[32]. An explicit-N repartition on the join keys is not
+    // coalescable, both sides share the one exchange pair, and the number
+    // is the session conf the static planner would have used — no new
+    // constant, no extra exchange.
+    val np = part.sparkSession.sessionState.conf.numShufflePartitions
+    val labelPairs = probes.repartition(np, col("l"), col("slot"), col("chunk"))
+      .join(chunks.repartition(np, col("l"), col("slot"), col("chunk")),
+        Seq("l", "slot", "chunk"))
       .select(col("dirty_label"), col("clean_label"))
       .withColumn("dist",
         levenshtein(col("dirty_label"), col("clean_label"), dmax)
@@ -1253,7 +1274,7 @@ object Dedup {
       thresholdE6: Long = 400000L,
       n: Int = 3,
       maxDf: Int = 100): DataFrame = {
-    val shAll = docs
+    val shAll = Par.widen(docs, col("doc_id"))
       .select(col("doc_id"), explode(shingles(col("text"), n)).as("shingle"))
       .persist()
     val keep = shAll.groupBy(col("shingle"))

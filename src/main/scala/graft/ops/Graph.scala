@@ -64,24 +64,47 @@ object Graph {
     * join; rank frames localCheckpoint eagerly so lineage stays flat.
     */
   private[ops] def rankFixedPoint(edges: DataFrame, iters: Int): DataFrame = {
-    val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("out_w"))
-    val e = edges.join(outw, "src")
+    // out-weight folded in with ONE pass + ONE exchange (the window
+    // formulation the oracle already uses): the groupBy+self-join form
+    // scanned the un-persisted edge build twice and exchanged twice.
+    // The window leaves e hash-partitioned on src — exactly what the
+    // per-iteration rank join wants, so the edge frame never moves again
+    // (guide §2.4). Per-iteration eager checkpoints are KEPT: a lazily
+    // chained multi-iteration plan was measured SLOWER (5.4 s vs 3.5 s
+    // q_pagerank) — each chained segment becomes one huge unique
+    // whole-stage-codegen unit (~1 s janino compile in a 1-task stage),
+    // while per-iteration plans are textually identical and hit the
+    // codegen cache.
+    val e = edges.withColumn("out_w",
+        sum(col("w")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("src"))))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("node")).distinct()
       .localCheckpoint(true)
-    val cnt = nodes.agg(count(lit(1)).as("n"))
-    var rank = nodes.crossJoin(broadcast(cnt))
-      .select(col("node"), expr(s"$RankScale div n").as("rank"))
+    // 1-row driver-side count (the k-means-seed discipline): n rides the
+    // per-iteration recurrence as a LITERAL instead of a broadcast
+    // crossJoin — one fewer broadcast exchange (and its AQE stage job)
+    // per iteration, bit-identical arithmetic
+    val n = nodes.count()
+    var rank = nodes
+      .select(col("node"), lit(RankScale / math.max(n, 1L)).as("rank"))
       .localCheckpoint(true)
+    // REQUIREMENT: `edges` is symmetric (both callers build it as
+    // pair ∪ swap(pair)), so every node is some edge's dst and the
+    // aggregate's key set IS the node set — the per-iteration
+    // left-join back onto `nodes` (plus the broadcast AQE builds for
+    // it) is algebraically redundant and dropped. The teleport term is
+    // a constant, so no per-node attribute is needed either. A directed
+    // caller would need the nodes join back; the oracle pairing guards
+    // the equivalence.
     for (_ <- 1 to iters) {
       val contribs = e.join(rank, e("src") === rank("node"))
         .select(col("dst"), expr("rank * w div out_w").as("contrib"))
         .groupBy(col("dst")).agg(sum(col("contrib")).as("in_rank"))
-      rank = nodes.crossJoin(broadcast(cnt))
-        .join(contribs, nodes("node") === contribs("dst"), "left")
-        .select(col("node"),
-          (expr(s"(15 * ($RankScale div n)) div 100")
-            + expr("(85 * coalesce(in_rank, 0L)) div 100")).as("rank"))
+      rank = contribs
+        .select(col("dst").as("node"),
+          (lit((15L * (RankScale / math.max(n, 1L))) / 100L)
+            + expr("(85 * in_rank) div 100")).as("rank"))
         .localCheckpoint(true)
     }
     e.unpersist()
@@ -157,7 +180,7 @@ object Graph {
     require(iters > 0, "iters must be positive")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
-    val toks = docs.select(col("doc_id"),
+    val toks = Par.widen(docs, col("doc_id")).select(col("doc_id"),
       posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "tok")))
     val adj = toks
       .select(col("doc_id"), col("tok").as("x"),
@@ -229,27 +252,51 @@ object Graph {
     val seeds = pairs.filter(col("uid") % modulus === 0L)
       .select(col("u").as("node")).distinct()
       .withColumn("is_seed", lit(1L))
-    val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("out_w"))
-    val e = edges.join(outw, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    // single-pass out-weight + per-iteration checkpoints + driver-side
+    // seed count — the [[rankFixedPoint]] discipline (see its scaladoc
+    // for the measured rationale); arithmetic is bit-identical: is_seed
+    // is 0/1, so `is_seed * (15*(S div ns)) div 100` equals
+    // `is_seed * lit((15*(S/ns))/100)`, and ns = 0 reproduces the
+    // nullif → null-rank → empty-readout path via a typed null literal
+    // dst's seed flag rides the persisted edge frame so the iteration
+    // can rebuild the rank frame straight from the contribution
+    // aggregate (the [[rankFixedPoint]] symmetric-graph argument) —
+    // no per-iteration nodes join, no per-iteration broadcast
+    val e = edges
+      .join(broadcast(seeds.select(col("node").as("dst"),
+        col("is_seed").as("dst_seed"))), Seq("dst"), "left")
+      .na.fill(0L, Seq("dst_seed"))
+      .withColumn("out_w",
+        sum(col("w")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("src"))))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("node")).distinct()
       .join(broadcast(seeds), Seq("node"), "left")
       .na.fill(0L, Seq("is_seed"))
       .localCheckpoint(true)
-    val cnt = nodes.agg(sum(col("is_seed")).as("ns"))
-    def teleport = expr(s"is_seed * (15 * ($RankScale div nullif(ns, 0L))) div 100")
-    var rank = nodes.crossJoin(broadcast(cnt))
-      .select(col("node"),
-        expr(s"is_seed * ($RankScale div nullif(ns, 0L))").as("rank"))
+    val nsRow = nodes.agg(sum(col("is_seed")).as("ns")).head()
+    val nsOpt: Option[Long] =
+      if (nsRow.isNullAt(0)) None else Some(nsRow.getLong(0)).filter(_ != 0L)
+    val initPer = nsOpt.map(v => lit(RankScale / v))
+      .getOrElse(lit(null).cast("long"))
+    val telePer = nsOpt.map(v => lit((15L * (RankScale / v)) / 100L))
+      .getOrElse(lit(null).cast("long"))
+    var rank = nodes
+      .select(col("node"), (col("is_seed") * initPer).as("rank"))
       .localCheckpoint(true)
     for (_ <- 1 to iters) {
+      // symmetric edges ⇒ the aggregate's dst key set IS the node set
+      // (rankFixedPoint's argument); dst_seed is per-dst constant, so
+      // max() carries it exactly
       val contribs = e.join(rank, e("src") === rank("node"))
-        .select(col("dst"), expr("rank * w div out_w").as("contrib"))
-        .groupBy(col("dst")).agg(sum(col("contrib")).as("in_rank"))
-      rank = nodes.crossJoin(broadcast(cnt))
-        .join(contribs, nodes("node") === contribs("dst"), "left")
-        .select(col("node"),
-          (teleport + expr("(85 * coalesce(in_rank, 0L)) div 100"))
-            .as("rank"))
+        .select(col("dst"), col("dst_seed"),
+          expr("rank * w div out_w").as("contrib"))
+        .groupBy(col("dst")).agg(sum(col("contrib")).as("in_rank"),
+          max(col("dst_seed")).as("is_seed"))
+      rank = contribs
+        .select(col("dst").as("node"),
+          (col("is_seed") * telePer
+            + expr("(85 * in_rank) div 100")).as("rank"))
         .localCheckpoint(true)
     }
     e.unpersist()
@@ -348,19 +395,27 @@ object Graph {
     */
   def lpaLabels(pairs: DataFrame, rounds: Int = 8): DataFrame = {
     require(rounds > 0, "rounds must be positive")
-    val edges = symmetricEdges(pairs).persist(StorageLevel.MEMORY_AND_DISK)
+    // persisted PRE-PARTITIONED on the per-round join key: a plain
+    // union has no partitioning, so every round re-exchanged the whole
+    // edge frame; hash(dst) in the cache makes the per-round join
+    // shuffle only the node-sized label frame (guide §2.4)
+    val edges = symmetricEdges(pairs).repartition(col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint(true)
     val argmax = org.apache.spark.sql.expressions.Window
       .partitionBy(col("src")).orderBy(desc("wt"), col("label"))
-    for (_ <- 1 to rounds) {
+    // checkpoint cadence — see [[rankFixedPoint]]: fixed-round loop,
+    // identical per-round algebra, 1/ckptEvery the materialization jobs
+    val ckptEvery = 4
+    for (r <- 1 to rounds) {
       labels = edges.join(labels, edges("dst") === labels("node"))
         .groupBy(col("src"), col("label")).agg(sum(col("w")).as("wt"))
         .withColumn("rn", row_number().over(argmax))
         .filter(col("rn") === 1)
         .select(col("src").as("node"), col("label"))
-        .localCheckpoint(true)
+      if (r % ckptEvery == 0 || r == rounds) labels = labels.localCheckpoint(true)
     }
     // labels are eager — the loop's working set can go now
     edges.unpersist(blocking = false)
@@ -1154,8 +1209,15 @@ object Graph {
   def connectedComponentsFromPairs(
       pairsIn: DataFrame, maxRounds: Int = 30): DataFrame = {
     val pairs = pairsIn.select(col("u"), col("v"))
+    // persisted PRE-PARTITIONED on the per-round join key (guide §2.4):
+    // the symmetrized union has no partitioning, so every relax round
+    // re-exchanged the full edge frame; hash(v) in the cache leaves only
+    // the node-sized label frame shuffling per round. Released after the
+    // loop (labels are eagerly checkpointed, the census reads `pairs`).
     val edges = pairs
       .unionAll(pairs.select(col("v").as("u"), col("u").as("v")))
+      .repartition(col("v"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("u").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
       .localCheckpoint(true)
@@ -1191,6 +1253,7 @@ object Graph {
       labels = next.select(col("node"), col("label"))
       round += 1
     }
+    edges.unpersist(blocking = false)
     if (changed > 0) throw new IllegalStateException(
       s"connected components did not converge in $maxRounds rounds")
     val compEdges = pairs

@@ -72,8 +72,13 @@ object Identity {
       .filter(col("record_id") =!= col("head_id"))
       .select(col("record_id").as("a"), col("head_id").as("b"))
       .distinct()
+    // persisted PRE-PARTITIONED on the per-round join key b (guide
+    // §2.4): the symmetrized union has no partitioning, so every relax
+    // round re-exchanged the edge frame; hash(b) in the cache leaves
+    // only the record-sized label frame shuffling per round
     val edges = starEdges
       .union(starEdges.select(col("b").as("a"), col("a").as("b")))
+      .repartition(col("b"))
       .persist()
     // SEED from the star contraction (round-10 verdict item 4): instead
     // of the identity labeling, every record starts at the min star

@@ -628,7 +628,9 @@ object Relational {
     * queries.
     */
   def orderPartSets(lineitem: DataFrame): DataFrame =
-    lineitem
+    // Par.widen: collect_set over a 1-row-group scan otherwise runs its
+    // whole map side (and the downstream C(k,2) pair explode) on ONE task
+    Par.widen(lineitem, col("l_orderkey"))
       .groupBy(col("l_orderkey").as("ok"))
       .agg(sort_array(collect_set(col("l_partkey"))).as("pks"))
 

@@ -690,14 +690,29 @@ object Similarity {
       pqMaxIters: Int = 3,
       shiftEpsilon: Double = 1e-3,
       trainSampleMod: Int = 4): DataFrame = {
-    val coarse = trainCentroids(corpus, nCells, maxIters, shiftEpsilon,
-      trainSampleMod = trainSampleMod)
+    // The two trainings are INDEPENDENT (both read only the corpus
+    // sample) — overlap them as concurrent driver threads (guide §2.6):
+    // each training is a chain of small sequential jobs with driver
+    // sync points, so run alone it leaves the executor pool mostly
+    // idle; overlapped, one training's jobs back-fill the other's
+    // sync gaps. Results are unchanged — the loops themselves are
+    // untouched and deterministic.
     // PQ codebooks get a LOOSER iteration budget than the coarse
     // quantizer: sub-quantizer error is absorbed by the exact re-rank
     // (only the shortlist ordering depends on it), where coarse-cell
     // quality decides which candidates exist at all
-    val books = trainPqCodebooks(corpus, m, pqK, dim, pqMaxIters,
-      shiftEpsilon, trainSampleMod)
+    val pqExec = java.util.concurrent.Executors.newSingleThreadExecutor()
+    val booksFut = pqExec.submit(
+      new java.util.concurrent.Callable[DataFrame] {
+        override def call(): DataFrame =
+          trainPqCodebooks(corpus, m, pqK, dim, pqMaxIters,
+            shiftEpsilon, trainSampleMod)
+      })
+    val coarse = try {
+      trainCentroids(corpus, nCells, maxIters, shiftEpsilon,
+        trainSampleMod = trainSampleMod)
+    } finally pqExec.shutdown()
+    val books = booksFut.get()
     val packed = packBooks(books)
     val coded = assignToCell(corpus, coarse).crossJoin(broadcast(packed))
       .select(col("vec_id"), col("cell"),
@@ -907,9 +922,16 @@ object Similarity {
     import graft.functions.VectorFunctions.vecDot
     val cents = trainCentroids(embeddings, nCells, maxIters,
       trainSampleMod = trainSampleMod)
+    // persisted PRE-PARTITIONED on the cell key with an explicit N
+    // (the session's shuffle partitions): the cell self-join below then
+    // reuses the cached hash(cell) layout on BOTH sides — zero-exchange
+    // join — at ~nCells-way parallelism instead of the ONE task the
+    // 1-row-group scan's narrow assignment would give it
+    val np = embeddings.sparkSession.sessionState.conf.numShufflePartitions
     val e = assignToCell(embeddings, cents)
       .select(col("cell"), col("vec_id"), col("embedding"),
         Dedup.vecNorm(col("embedding")).as("norm"))
+      .repartition(np, col("cell"))
       .persist()
     try {
       val pairs = e.as("a")
@@ -1648,8 +1670,13 @@ object Similarity {
   private def diagSample(
       corpus: DataFrame, sampleMod: Int, maxExactRows: Long): DataFrame = {
     val m = if (sampleMod > 0) sampleMod else autoSampleMod(corpus, maxExactRows)
-    if (m > 1) corpus.filter(pmod(col("vec_id"), lit(m.toLong)) === 0L)
-    else corpus
+    // Par.widen: the diagnostics stream this frame through an all-pairs
+    // broadcast join — off a 1-row-group scan the whole O(n²) scoring
+    // ran as ONE task (measured 4.85 s of q_hubness's 5.4 s at sf0.1)
+    Par.widen(
+      if (m > 1) corpus.filter(pmod(col("vec_id"), lit(m.toLong)) === 0L)
+      else corpus,
+      col("vec_id"))
   }
 
   /** Smallest power-of-two modulus m with n/m ≤ `maxRows` — the id-mod

@@ -54,8 +54,16 @@ object Spatial {
       .withColumn("dcy", explode(expr("array(-1L, 0L, 1L)")))
       .select(col("uid").as("uid_a"), col("x").as("xa"), col("y").as("ya"),
         (col("cx") + col("dcx")).as("cx"), (col("cy") + col("dcy")).as("cy"))
-    probe.join(cells.select(col("uid").as("uid_b"), col("x").as("xb"),
-        col("y").as("yb"), col("cx"), col("cy")),
+    // PIN the candidate join's parallelism at the configured shuffle
+    // partitions (the fuzzyJoin discipline): join INPUT bytes are point-
+    // sized but the in-join 3×3-neighborhood candidate stream × distance
+    // residual is the dominant compute, which AQE's byte-based
+    // coalescing otherwise squeezes onto 1-2 tasks
+    val np = events.sparkSession.sessionState.conf.numShufflePartitions
+    probe.repartition(np, col("cx"), col("cy"))
+      .join(cells.select(col("uid").as("uid_b"), col("x").as("xb"),
+        col("y").as("yb"), col("cx"), col("cy"))
+        .repartition(np, col("cx"), col("cy")),
         Seq("cx", "cy"))
       .filter(col("uid_a") < col("uid_b"))
       .withColumn("dist2",
@@ -120,10 +128,13 @@ object Spatial {
       .filter(coalesce(col("deg"), lit(0L)) + 1L >= minPts)
       .select(col("uid"))
       .localCheckpoint()
-    // min-label propagation over core-core edges only
+    // min-label propagation over core-core edges only; checkpointed
+    // PRE-PARTITIONED on the per-round join key v (guide §2.4) so each
+    // round shuffles only the core-sized label frame, not the edges
     val coreEdges = nbrs
       .join(core.select(col("uid").as("u")), "u")
       .join(core.select(col("uid").as("v")), "v")
+      .repartition(col("v"))
       .localCheckpoint()
     var labels = core.select(col("uid"), col("uid").as("cluster_id"))
       .localCheckpoint()

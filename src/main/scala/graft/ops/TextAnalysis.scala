@@ -1185,11 +1185,13 @@ object TextAnalysis {
       queryTerms: Seq[String] = Seq("spark", "join", "window"),
       nCand: Int = 50,
       k: Int = 10): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     val cand = bm25Search(docs, queryTerms, nCand)
     val relMax = cand.agg(max(col("score_e4")).as("mx"))
     val rel = cand.crossJoin(broadcast(relMax))
       .select(col("doc_id"), expr("score_e4 * 1000000 div mx").as("rel_e6"))
-      .localCheckpoint(true)
+      .localCheckpoint(true) // two consumers: the tk join + the collect
     val tk = docs.join(rel.select(col("doc_id")), "doc_id")
       .select(col("doc_id"), array_distinct(tokens(col("text"))).as("tk"))
     val sim = tk.as("a").join(tk.as("b"),
@@ -1197,26 +1199,38 @@ object TextAnalysis {
       .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"),
         expr("""size(array_intersect(a.tk, b.tk)) * 1000000L div
           |  size(array_union(a.tk, b.tk))""".stripMargin).as("jac_e6"))
-      .localCheckpoint(true)
-    var selected = rel.orderBy(desc("rel_e6"), col("doc_id")).limit(1)
-      .select(lit(1L).as("pick_rank"), col("doc_id"), col("rel_e6"),
-        expr("7 * rel_e6").as("mmr_x10"))
-      .localCheckpoint(true)
-    for (t <- 2 to k) {
-      val remaining = rel.join(selected.select(col("doc_id")),
-        Seq("doc_id"), "left_anti")
-      val maxsim = sim
-        .join(selected.select(col("doc_id").as("dst")), "dst")
-        .groupBy(col("src").as("doc_id"))
-        .agg(max(col("jac_e6")).as("ms"))
-      val pick = remaining.join(maxsim, Seq("doc_id"), "left")
-        .na.fill(0L, Seq("ms"))
-        .select(lit(t.toLong).as("pick_rank"), col("doc_id"), col("rel_e6"),
-          expr("7 * rel_e6 - 3 * ms").as("mmr_x10"))
-        .orderBy(desc("mmr_x10"), col("doc_id")).limit(1)
-      selected = selected.unionByName(pick).localCheckpoint(true)
+    // The greedy trajectory runs DRIVER-SIDE (guide §1.2 — per-task work
+    // only after the job shape is right): every frame it touches is
+    // model-sized BY CONSTRUCTION (rel ≤ nCand rows, sim ≤ nCand² —
+    // kilobytes at nCand = 50), yet the Spark-loop form paid ~6 jobs ×
+    // (k−1) rounds of scheduling/AQE barriers on those kilobytes —
+    // 69 jobs, the whole query's cost at sf0.1. Two bounded collects
+    // (the k-means-seed / 1-row-argmax discipline) and the identical
+    // integer recurrence — 7·rel − 3·maxsim, (mmr desc, doc_id asc)
+    // tie-break — replay the exact same picks; the oracle pins it.
+    val relLocal = rel.as[(Long, Long)].collect().sortBy(_._1)
+    val simLocal = sim.as[(Long, Long, Long)].collect()
+      .groupBy(_._1).map { case (s, a) =>
+        s -> a.map { case (_, d, j) => d -> j }.toMap }
+    val picks = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    val chosen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    for (t <- 1 to k) {
+      val remaining = relLocal.filter { case (d, _) => !chosen.contains(d) }
+      val scored = remaining.map { case (d, r) =>
+        val ms = if (chosen.isEmpty) 0L
+          else chosen.map(c => simLocal.get(d).flatMap(_.get(c)).getOrElse(0L)).max
+        (d, r, 7L * r - 3L * ms)
+      }
+      if (scored.nonEmpty) {
+        val (d, r, m) = scored.minBy { case (d, _, m) => (-m, d) }
+        // round 1 records mmr_x10 = 7·rel (no similarity term yet) —
+        // same as the Spark form's first-pick projection
+        picks += ((t.toLong, d, r, if (t == 1) 7L * r else m))
+        chosen += d
+      }
     }
-    selected.orderBy(col("pick_rank"))
+    picks.toSeq.toDF("pick_rank", "doc_id", "rel_e6", "mmr_x10")
+      .orderBy(col("pick_rank"))
   }
 
   /** DuckDB twin of [[mmrDiversify]] — the BM25 candidate CTE plus one
@@ -2172,8 +2186,12 @@ object TextAnalysis {
     * score rows and drop out (inner-join semantics, engine-independent).
     */
   def naiveBayesLangId(docs: DataFrame): DataFrame = {
+    // persisted: FOUR consumers (vocab, per-lang token mass, model
+    // counts, scoring) otherwise re-run the corpus explode each — the
+    // minHashLsh shingle-frame discipline
     val toks = docs
       .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("term"))
+      .persist()
     val vocab = toks.select(col("term")).distinct()
     val vsize = vocab.agg(count(lit(1)).as("v"))
     val langs = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs_l"))
@@ -2274,10 +2292,13 @@ object TextAnalysis {
         |       else sequence(1, size(toks) - 1) end,
         |  i -> struct(element_at(toks, i) as w1, element_at(toks, i + 1) as w2))
         |""".stripMargin)
+    // persisted: the model counts AND the per-doc scoring join both read
+    // the exploded bigram frame
     val bigrams = docs
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), explode(bigramsCol).as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .persist()
     val biCounts = bigrams.groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("c_bi"))
       .localCheckpoint()

