@@ -1218,8 +1218,14 @@ object Graph {
       .unionAll(pairs.select(col("v").as("u"), col("u").as("v")))
       .repartition(col("v"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("u").as("node")).distinct()
-      .select(col("node"), col("node").as("label"))
+    // SEED at min(node, min neighbor) — one relax round for the price of
+    // one aggregate over the cached edge frame (the entity-resolution
+    // seeding discipline); symmetric edges cover every node on the u
+    // side, and every seed is a node id inside the node's own component
+    // ≤ its id, so the fixpoint is unchanged
+    var labels = edges.groupBy(col("u")).agg(min(col("v")).as("mn"))
+      .select(col("u").as("node"),
+        least(col("u"), col("mn")).as("label"))
       .localCheckpoint(true)
     var round = 0
     var changed = 1L

@@ -49,28 +49,42 @@ object Spatial {
     val cells = pts
       .withColumn("cx", expr(s"x div $epsE6"))
       .withColumn("cy", expr(s"y div $epsE6"))
+    // HALF-neighborhood probe: the full 3×3 explode finds every
+    // unordered pair TWICE (once from each endpoint's probe) and lets
+    // the uid filter drop one copy — paying the join for both. Probing
+    // only the scan-order-forward half {(0,0),(1,0),(-1,1),(0,1),(1,1)}
+    // generates each cross-cell pair exactly once (the 8-neighborhood
+    // splits antisymmetrically) and same-cell pairs dedup on uid order,
+    // halving the candidate stream at any scale. Output identity is
+    // restored with least/greatest — the pair SET is provably the same.
     val probe = cells
-      .withColumn("dcx", explode(expr("array(-1L, 0L, 1L)")))
-      .withColumn("dcy", explode(expr("array(-1L, 0L, 1L)")))
-      .select(col("uid").as("uid_a"), col("x").as("xa"), col("y").as("ya"),
-        (col("cx") + col("dcx")).as("cx"), (col("cy") + col("dcy")).as("cy"))
+      .withColumn("dc", explode(expr(
+        "array(struct(0L AS dcx, 0L AS dcy), struct(1L AS dcx, 0L AS dcy)," +
+          " struct(-1L AS dcx, 1L AS dcy), struct(0L AS dcx, 1L AS dcy)," +
+          " struct(1L AS dcx, 1L AS dcy))")))
+      .select(col("uid").as("uid_p"), col("x").as("xp"), col("y").as("yp"),
+        (col("cx") + col("dc.dcx")).as("cx"),
+        (col("cy") + col("dc.dcy")).as("cy"),
+        (col("dc.dcx") === 0L && col("dc.dcy") === 0L).as("same_cell"))
     // PIN the candidate join's parallelism at the configured shuffle
     // partitions (the fuzzyJoin discipline): join INPUT bytes are point-
-    // sized but the in-join 3×3-neighborhood candidate stream × distance
+    // sized but the in-join neighborhood candidate stream × distance
     // residual is the dominant compute, which AQE's byte-based
     // coalescing otherwise squeezes onto 1-2 tasks
     val np = events.sparkSession.sessionState.conf.numShufflePartitions
     probe.repartition(np, col("cx"), col("cy"))
-      .join(cells.select(col("uid").as("uid_b"), col("x").as("xb"),
-        col("y").as("yb"), col("cx"), col("cy"))
+      .join(cells.select(col("uid").as("uid_c"), col("x").as("xc"),
+        col("y").as("yc"), col("cx"), col("cy"))
         .repartition(np, col("cx"), col("cy")),
         Seq("cx", "cy"))
-      .filter(col("uid_a") < col("uid_b"))
+      .filter(!col("same_cell") || col("uid_p") < col("uid_c"))
+      .filter(col("uid_p") =!= col("uid_c"))
       .withColumn("dist2",
-        (col("xa") - col("xb")) * (col("xa") - col("xb")) +
-          (col("ya") - col("yb")) * (col("ya") - col("yb")))
+        (col("xp") - col("xc")) * (col("xp") - col("xc")) +
+          (col("yp") - col("yc")) * (col("yp") - col("yc")))
       .filter(col("dist2") <= epsE6 * epsE6)
-      .select(col("uid_a"), col("uid_b"), col("dist2"))
+      .select(least(col("uid_p"), col("uid_c")).as("uid_a"),
+        greatest(col("uid_p"), col("uid_c")).as("uid_b"), col("dist2"))
   }
 
   /** DuckDB oracle for [[spatialNeighbors]] — the straightforward
@@ -136,7 +150,17 @@ object Spatial {
       .join(core.select(col("uid").as("v")), "v")
       .repartition(col("v"))
       .localCheckpoint()
-    var labels = core.select(col("uid"), col("uid").as("cluster_id"))
+    // SEED at min(uid, min core-neighbor) — the state one relax round
+    // reaches, for one aggregate over the already-partitioned core-edge
+    // frame (the entity-resolution seeding discipline). Every seed is a
+    // core uid inside the node's own component and ≤ its uid, so the
+    // fixpoint (component-min core uid) is unchanged; isolated cores
+    // keep themselves via the left join.
+    val seedMin = coreEdges.groupBy(col("u")).agg(min(col("v")).as("mn"))
+    var labels = core
+      .join(seedMin, core("uid") === seedMin("u"), "left")
+      .select(col("uid"),
+        least(col("uid"), coalesce(col("mn"), col("uid"))).as("cluster_id"))
       .localCheckpoint()
     var changed = 1L
     var i = 0
