@@ -62,9 +62,26 @@ class ScaleCanarySpec extends SparkTestBase {
     // the 4x setsim run measured 5.6 MB under full-suite cache pressure
     // vs 2.2 MB in isolation, tripping the growth bound spuriously)
     spark.catalog.clearCache()
-    val bS = shuffleBytes { rowsS = run(small).count() }
+    var bS = shuffleBytes { rowsS = run(small).count() }
     spark.catalog.clearCache()
-    val bL = shuffleBytes { rowsL = run(large).count() }
+    var bL = shuffleBytes { rowsL = run(large).count() }
+    // self-defending re-measure (the Bench throughput/latency discipline):
+    // clearCache only empties the pool at the START of a measurement —
+    // when the suite-wide old gen is near capacity the family's OWN
+    // persisted frames can still be evicted MID-run, and the recompute
+    // re-shuffles are tallied as if the plan grew (observed in-suite:
+    // setsim 4x leg 9.0 MB under pressure vs 2.2 MB on a clean heap). A
+    // genuinely quadratic plan (the defect this canary exists to catch)
+    // blows the bound on a clean heap too, so one GC'd retry cannot mask
+    // it; eviction noise does not survive the retry.
+    if (bL > bS * ratio * 2) {
+      spark.catalog.clearCache()
+      System.gc()
+      bS = shuffleBytes { rowsS = run(small).count() }
+      spark.catalog.clearCache()
+      bL = shuffleBytes { rowsL = run(large).count() }
+      info(s"$name: growth bound tripped once; re-measured on a GC'd heap")
+    }
     assert(rowsS > 0 && rowsL > 0, s"$name produced no rows")
     assert(bS > 0, s"$name small run produced no shuffle to measure")
     // linear-growth bound with 2x headroom over the data ratio: catches
